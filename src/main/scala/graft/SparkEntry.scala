@@ -14,12 +14,13 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Transforms.queries ++
       ops.Events.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries
+      ops.Multimodal.queries ++ ops.TableOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Transforms.oracles ++
       ops.Events.oracles ++ ops.TextAnalysis.oracles ++
-      ops.Dedup.oracles ++ ops.Similarity.oracles
+      ops.Dedup.oracles ++ ops.Similarity.oracles ++
+      ops.TableOps.oracles
 }

@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.table.{GraftTable, Meta, Views}
+import java.nio.file.Files
+
+/** Table-format operators (SURVEY.md §2.C) exposed as driver-checkable
+  * queries: each builds a scratch GraftTable from the test data, runs
+  * the table operation, and returns the resulting state as a
+  * DataFrame whose content is expressible (where possible) as plain
+  * SQL over the original tables — so the DuckDB oracle validates the
+  * whole write→snapshot→scan path end to end.
+  */
+object TableOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft-tf").toString + "/t"
+
+  /** create → append → scan: the round-trip must be invisible to the
+    * aggregation downstream. */
+  val tfSnapshotScan: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val t = GraftTable.create(s, scratch(), li.schema)
+    t.append(li)
+    t.scan()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val tfSnapshotScanSql: String =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS qty
+       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
+  /** two appends → read @snapshot1 vs @latest. */
+  val tfTimeTravel: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val t = GraftTable.create(s, scratch(), li.schema)
+    t.append(li.filter(year(col("l_shipdate")) < 1997))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(li.filter(year(col("l_shipdate")) >= 1997))
+    Seq(("latest", t.scan().count()), ("s1", t.timeTravel(s1).count()))
+      .toDF("label", "n_rows").orderBy(col("label"))
+  }
+
+  val tfTimeTravelSql: String =
+    """SELECT * FROM (
+         SELECT 'latest' AS label, count(*) AS n_rows FROM lineitem
+         UNION ALL
+         SELECT 's1', count(*) FROM lineitem WHERE year(l_shipdate) < 1997)
+       ORDER BY label"""
+
+  /** manifest stats pruning: files planned for a high-key predicate out
+    * of a range-partitioned write (rows-only; TableSpec asserts the
+    * skip). */
+  val tfFilesPruned: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val t = GraftTable.create(s, scratch(), li.schema)
+    t.append(li.repartitionByRange(8, col("l_orderkey")))
+    val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val cut = (maxKey * 9 / 10).toString
+    val total = t.plannedFiles(Seq.empty).size
+    val planned = t.plannedFiles(Seq(t.StatFilter("l_orderkey", ">", cut))).size
+    val rows = t.scan(Seq(t.StatFilter("l_orderkey", ">", cut)))
+      .filter(col("l_orderkey") > cut.toLong).count()
+    Seq((total, planned, rows)).toDF("n_files_total", "n_files_planned", "n_rows")
+  }
+
+  /** partitioned write (month transform) + partition-pruned scan. */
+  val tfPartitionScan: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, scratch(), o.schema,
+      spec = Seq(Meta.PartitionField("o_orderdate", "month", "_p_month")))
+    t.append(o)
+    // months-from-epoch for 1996: [312, 323]
+    t.scan(Seq(t.StatFilter("_p_month", ">=", "312"),
+        t.StatFilter("_p_month", "<=", "323")))
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(graft.functions.IcebergTransforms
+        .monthsFromEpoch(col("o_orderdate")).as("m_1970"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("m_1970"))
+  }
+
+  val tfPartitionScanSql: String =
+    """SELECT ((year(o_orderdate)-1970)*12 + month(o_orderdate)-1)::int AS m_1970,
+       count(*) AS n FROM orders WHERE year(o_orderdate) = 1996
+       GROUP BY 1 ORDER BY m_1970"""
+
+  /** bin-pack rewrite: 40 small files → few, rows identical
+    * (rows-only; content hash asserted in TableSpec). */
+  val tfCompaction: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val t = GraftTable.create(s, scratch(), li.schema)
+    t.append(li.repartition(40))
+    val before = (t.filesDF.count(), t.scan().count())
+    t.compact(targetFileBytes = 512L * 1024 * 1024)
+    val after = (t.filesDF.count(), t.scan().count())
+    Seq(("before", before._1, before._2), ("after", after._1, after._2))
+      .toDF("phase", "n_files", "n_rows").orderBy(col("phase"))
+  }
+
+  /** branch (snapshot ref) isolation: dev and main advance
+    * independently from a shared base. */
+  val tfBranchScan: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, scratch(), o.schema)
+    t.append(o.filter(col("o_orderkey") % 3 === 0))
+    t.setRef("dev", t.meta.currentSnapshotId.get)
+    t.append(o.filter(col("o_orderkey") % 3 === 1), branch = "dev")
+    t.append(o.filter(col("o_orderkey") % 3 === 2)) // main only
+    Seq(("dev", t.scan(branch = Some("dev")).count()),
+      ("main", t.scan().count()))
+      .toDF("branch", "n_rows").orderBy(col("branch"))
+  }
+
+  val tfBranchScanSql: String =
+    """SELECT * FROM (
+         SELECT 'dev' AS branch, count(*) AS n_rows FROM orders
+           WHERE o_orderkey % 3 IN (0, 1)
+         UNION ALL
+         SELECT 'main', count(*) FROM orders WHERE o_orderkey % 3 IN (0, 2))
+       ORDER BY branch"""
+
+  /** add-column evolution: old files null-fill, new files carry data. */
+  val tfSchemaEvolution: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, scratch(), o.schema)
+    t.append(o.filter(col("o_orderstatus") === "F"))
+    t.addColumns(StructType(Seq(StructField("priority_rank", IntegerType))))
+    t.append(o.filter(col("o_orderstatus") =!= "F")
+      .withColumn("priority_rank", substring(col("o_orderpriority"), 1, 1).cast("int")))
+    val df = t.scan()
+    df.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("priority_rank").isNull, 1).otherwise(0)).as("n_null"),
+      coalesce(sum(col("priority_rank")), lit(0L)).as("rank_sum"))
+  }
+
+  val tfSchemaEvolutionSql: String =
+    """SELECT count(*) AS n_total,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_null,
+       sum(CASE WHEN o_orderstatus <> 'F'
+           THEN CAST(substring(o_orderpriority,1,1) AS int) ELSE 0 END) AS rank_sum
+       FROM orders"""
+
+  /** MERGE upsert: update half the keys, insert fresh ones, verify the
+    * final table state against the equivalent CASE expression. */
+  val tfMergeUpsert: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, scratch(), o.schema)
+    t.append(o.filter(col("o_orderkey") % 3 === 0))
+    val source = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.filter(col("o_orderkey") % 3 === 1))
+    t.merge(source, keyCols = Seq("o_orderkey"),
+      updateCols = Seq("o_totalprice"))
+    t.scan().agg(
+      count(lit(1)).as("n"),
+      round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val tfMergeUpsertSql: String =
+    """SELECT count(*) AS n,
+       round(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END),2) AS total
+       FROM orders WHERE o_orderkey % 3 IN (0, 1)"""
+
+  /** copy-on-write DELETE WHERE, stats-targeted. */
+  val tfDeleteWhere: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, scratch(), o.schema)
+    t.append(o)
+    t.delete(col("o_orderstatus") === "F",
+      touched = Seq(t.StatFilter("o_orderstatus", "=", "F")))
+    t.scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfDeleteWhereSql: String =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
+       FROM orders WHERE o_orderstatus <> 'F'
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
+  /** SQL view over a GraftTable, resolved at query time. */
+  val tfView: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val root = scratch()
+    val t = GraftTable.create(s, root, o.schema)
+    t.append(o)
+    Views.createView(root + "-v", "prio_counts",
+      """SELECT o_orderpriority, count(*) AS n,
+         round(avg(o_totalprice),2) AS avg_price
+         FROM ord GROUP BY 1 ORDER BY o_orderpriority""",
+      Map("ord" -> root))
+    Views.queryView(s, root + "-v")
+  }
+
+  val tfViewSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       round(avg(o_totalprice),2) AS avg_price
+       FROM orders GROUP BY 1 ORDER BY o_orderpriority"""
+
+  /** materialized view: stale after source append, refresh catches up
+    * (lineage-stamped full refresh; staleness asserted in TableSpec). */
+  val tfMatViewRefresh: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val root = scratch()
+    val t = GraftTable.create(s, root, o.schema)
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    val mv = Views.createMaterializedView(s, root + "-mv", "status_counts",
+      "SELECT o_orderstatus, count(*) AS n FROM ord GROUP BY 1",
+      Map("ord" -> root))
+    mv.refresh()
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    val stale = mv.isFresh // false: lineage behind
+    mv.refresh()
+    mv.read.orderBy(col("o_orderstatus"))
+  }
+
+  val tfMatViewRefreshSql: String =
+    """SELECT o_orderstatus, count(*) AS n FROM orders
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
+  val queries: Map[String, Q] = Map(
+    "tf_snapshot_scan" -> tfSnapshotScan,
+    "tf_time_travel" -> tfTimeTravel,
+    "tf_files_pruned" -> tfFilesPruned,
+    "tf_partition_scan" -> tfPartitionScan,
+    "tf_compaction" -> tfCompaction,
+    "tf_branch_scan" -> tfBranchScan,
+    "tf_schema_evolution" -> tfSchemaEvolution,
+    "tf_merge_upsert" -> tfMergeUpsert,
+    "tf_delete_where" -> tfDeleteWhere,
+    "tf_view" -> tfView,
+    "tf_mat_view_refresh" -> tfMatViewRefresh)
+
+  val oracles: Map[String, String] = Map(
+    "tf_snapshot_scan" -> tfSnapshotScanSql,
+    "tf_time_travel" -> tfTimeTravelSql,
+    "tf_partition_scan" -> tfPartitionScanSql,
+    "tf_branch_scan" -> tfBranchScanSql,
+    "tf_schema_evolution" -> tfSchemaEvolutionSql,
+    "tf_merge_upsert" -> tfMergeUpsertSql,
+    "tf_delete_where" -> tfDeleteWhereSql,
+    "tf_view" -> tfViewSql,
+    "tf_mat_view_refresh" -> tfMatViewRefreshSql)
+}

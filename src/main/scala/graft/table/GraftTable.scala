@@ -1,0 +1,383 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.IcebergTransforms
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-versioned table on parquet — the reference's table
+  * operations (iceberg-rust/src/table/transaction/mod.rs:33 `append`,
+  * `rewrite`, `add_schema`, `update_properties`, `set_snapshot_ref`)
+  * re-expressed as Spark jobs over a Meta.TableMetadata tree.
+  *
+  * Scale design:
+  *  - data files are immutable parquet; every mutation is a new
+  *    snapshot over a file-set delta (copy-on-write), so readers never
+  *    block and time travel is a chain replay;
+  *  - per-file min/max/null stats are collected with ONE distributed
+  *    aggregation per write (grouped by input_file_name — no
+  *    per-file driver loop), and scans prune on them before any
+  *    footer is opened (reference: pruning_statistics.rs);
+  *  - partition-spec writes shuffle once on the transform columns;
+  *    compaction bin-packs per partition in parallel.
+  */
+class GraftTable private (val root: String, val spark: SparkSession) {
+
+  def meta: Meta.TableMetadata = Meta.load(root)
+
+  private def dataDir: Path = Paths.get(root, "data")
+
+  // ---- write path -----------------------------------------------------
+
+  /** Transform column for a partition field, derived from the spec. */
+  private def transformCol(pf: Meta.PartitionField): Column = {
+    val c = col(pf.sourceColumn)
+    pf.transform match {
+      case "identity" => c
+      case t if t.startsWith("bucket[") =>
+        IcebergTransforms.bucket(c, t.stripPrefix("bucket[").stripSuffix("]").toInt)
+      case t if t.startsWith("truncate[") =>
+        IcebergTransforms.truncateInt(c, t.stripPrefix("truncate[").stripSuffix("]").toInt)
+      case "year" => IcebergTransforms.yearsFromEpoch(c)
+      case "month" => IcebergTransforms.monthsFromEpoch(c)
+      case "day" => IcebergTransforms.daysFromEpoch(c)
+      case "hour" => IcebergTransforms.hoursFromEpoch(c)
+      case "void" => IcebergTransforms.voidTransform(c)
+      case other => throw new IllegalArgumentException(s"unknown transform $other")
+    }
+  }
+
+  /** Stats-collection columns for pruning: min/max/null per atomic
+    * column, computed in the same job that reads the staged files. */
+  private def statsAgg(schema: StructType): Seq[Column] =
+    schema.fields.filter(f => isPrunable(f.dataType)).flatMap { f =>
+      Seq(min(col(f.name)).cast("string").as(s"__min_${f.name}"),
+        max(col(f.name)).cast("string").as(s"__max_${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
+    }.toSeq
+
+  private def isPrunable(t: DataType): Boolean = t match {
+    case _: IntegerType | _: LongType | _: DoubleType | _: FloatType |
+        _: StringType | _: DateType | _: TimestampType | _: ShortType |
+        _: DecimalType => true
+    case _ => false
+  }
+
+  /** Write `df` as new data files and collect their manifest entries.
+    * One write job + one stats job (a single groupBy over the staged
+    * files); no driver-side per-file work. */
+  private def writeFiles(df: DataFrame, schema: StructType): Seq[Meta.DataFile] = {
+    val m = meta
+    val staging = Paths.get(root, s"stage-${UUID.randomUUID().toString.take(8)}")
+    val partNames = m.spec.map(_.name)
+
+    val withParts = m.spec.foldLeft(df)((acc, pf) =>
+      acc.withColumn(pf.name, transformCol(pf)))
+    val writer =
+      if (m.spec.nonEmpty)
+        // shuffle once on the partition values so each partition's rows
+        // land in few files rather than every task writing every partition
+        withParts.repartition(partNames.map(col): _*)
+          .write.partitionBy(partNames: _*)
+      else withParts.write
+    writer.parquet(staging.toString)
+
+    // stats per staged file, one distributed agg
+    val staged = spark.read
+      .option("basePath", staging.toString)
+      .parquet(staging.toString)
+    val statRows = staged
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1L)).as("__records"), statsAgg(schema): _*)
+      .collect()
+
+    val moved = statRows.map { row =>
+      val uri = row.getString(row.fieldIndex("__file"))
+      val src = Paths.get(java.net.URI.create(uri).getPath)
+      // partition dir structure (name=value/...) relative to staging
+      val rel = staging.relativize(src)
+      val dest = dataDir.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+
+      val partValues = rel.iterator().asScala.toSeq.dropRight(1)
+        .map(_.toString.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      val stats = schema.fields.filter(f => isPrunable(f.dataType)).map { f =>
+        f.name -> Meta.ColStats(
+          Option(row.getAs[String](s"__min_${f.name}")).getOrElse(""),
+          Option(row.getAs[String](s"__max_${f.name}")).getOrElse(""),
+          row.getAs[Long](s"__nulls_${f.name}"))
+      }.toMap
+      Meta.DataFile(
+        path = dataDir.relativize(dest).toString,
+        partitionValues = partValues,
+        recordCount = row.getAs[Long]("__records"),
+        fileSizeBytes = Files.size(dest),
+        stats = stats)
+    }.toSeq
+
+    // clean staging skeleton
+    Files.walk(staging).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    moved
+  }
+
+  private def commit(op: String, added: Seq[Meta.DataFile],
+      removed: Seq[String], schemaId: Option[Int] = None,
+      lineage: Map[String, Long] = Map.empty,
+      branch: String = "main"): Meta.TableMetadata = this.synchronized {
+    val m = meta
+    val parent = m.refs.get(branch).orElse(m.currentSnapshotId)
+    val snap = Meta.Snapshot(
+      snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1,
+      parentId = parent,
+      sequenceNumber = m.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = op,
+      addedFiles = added,
+      removedPaths = removed,
+      schemaId = schemaId.getOrElse(m.currentSchemaId),
+      lineage = lineage,
+      summary = Map("added-files" -> added.size.toString,
+        "removed-files" -> removed.size.toString))
+    val newRefs = m.refs + (branch -> snap.snapshotId)
+    Meta.write(root, m.copy(
+      snapshots = m.snapshots :+ snap,
+      currentSnapshotId =
+        if (branch == "main") Some(snap.snapshotId) else m.currentSnapshotId,
+      refs = newRefs))
+  }
+
+  /** Append rows (transaction/mod.rs:55). */
+  def append(df: DataFrame, lineage: Map[String, Long] = Map.empty,
+      branch: String = "main"): GraftTable = {
+    val files = writeFiles(df, meta.schema)
+    commit("append", files, Seq.empty, lineage = lineage, branch = branch)
+    this
+  }
+
+  /** Overwrite the whole table content (MV full refresh path). */
+  def overwrite(df: DataFrame, lineage: Map[String, Long] = Map.empty): GraftTable = {
+    val old = meta.liveFiles(None).map(_.path)
+    val files = writeFiles(df, meta.schema)
+    commit("overwrite", files, old, lineage = lineage)
+    this
+  }
+
+  // ---- read path ------------------------------------------------------
+
+  private def absolute(f: Meta.DataFile): String =
+    dataDir.resolve(f.path).toString
+
+  /** Simple comparison predicates a manifest can prune on. */
+  case class StatFilter(column: String, op: String, value: String)
+
+  /** Files selected for a scan after stats pruning — the manifest-level
+    * skip (reference: pruning_statistics.rs). `null` stats or
+    * non-prunable columns keep the file (pruning must be sound). */
+  def plannedFiles(filters: Seq[StatFilter], snapshotId: Option[Long] = None,
+      branch: Option[String] = None): Seq[Meta.DataFile] = {
+    val m = meta
+    val snapId = branch.flatMap(m.refs.get).orElse(snapshotId)
+    val live = m.liveFiles(snapId)
+    val schema = m.schemas(snapId.flatMap(m.snapshot).map(_.schemaId)
+      .getOrElse(m.currentSchemaId))
+    val partFields = m.spec.map(_.name).toSet
+    live.filter { f =>
+      filters.forall { flt =>
+        // partition-value pruning: exact value per file, numeric compare
+        if (partFields.contains(flt.column)) {
+          f.partitionValues.get(flt.column) match {
+            case Some(v) =>
+              val cmp = java.lang.Long.compare(v.toLong, flt.value.toLong)
+              flt.op match {
+                case "=" => cmp == 0
+                case ">" => cmp > 0
+                case ">=" => cmp >= 0
+                case "<" => cmp < 0
+                case "<=" => cmp <= 0
+                case _ => true
+              }
+            case None => true
+          }
+        } else (f.stats.get(flt.column), schema.fields.find(_.name == flt.column)) match {
+          case (Some(st), Some(field)) if st.min.nonEmpty && st.max.nonEmpty =>
+            val cmp = comparator(field.dataType)
+            flt.op match {
+              case "=" => cmp(st.min, flt.value) <= 0 && cmp(st.max, flt.value) >= 0
+              case ">" => cmp(st.max, flt.value) > 0
+              case ">=" => cmp(st.max, flt.value) >= 0
+              case "<" => cmp(st.min, flt.value) < 0
+              case "<=" => cmp(st.min, flt.value) <= 0
+              case _ => true
+            }
+          case _ => true
+        }
+      }
+    }
+  }
+
+  private def comparator(t: DataType): (String, String) => Int = t match {
+    case _: IntegerType | _: LongType | _: ShortType =>
+      (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+    case _: DoubleType | _: FloatType | _: DecimalType =>
+      (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+    // dates/timestamps cast to ISO strings — lexicographic works
+    case _ => (a, b) => a.compareTo(b)
+  }
+
+  /** Scan: assemble the DataFrame from the live (possibly pruned) file
+    * list under the snapshot's schema. Missing columns in old files
+    * (schema evolution) read as null; parquet row-group pushdown still
+    * applies on top of manifest pruning. */
+  def scan(filters: Seq[StatFilter] = Seq.empty,
+      snapshotId: Option[Long] = None,
+      branch: Option[String] = None): DataFrame = {
+    val m = meta
+    val snapId = branch.flatMap(m.refs.get).orElse(snapshotId)
+    val schema = m.schemas(snapId.flatMap(m.snapshot).map(_.schemaId)
+      .getOrElse(m.currentSchemaId))
+    val files = plannedFiles(filters, snapshotId, branch)
+    if (files.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(absolute): _*)
+  }
+
+  def timeTravel(snapshotId: Long): DataFrame = scan(snapshotId = Some(snapshotId))
+
+  // ---- maintenance ----------------------------------------------------
+
+  /** Bin-packing compaction (transaction/mod.rs:76 `rewrite`): group
+    * live files below the size threshold into target-sized bins per
+    * partition, rewrite each bin with one job. Rows are preserved
+    * exactly; only file boundaries change. */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): GraftTable = {
+    val m = meta
+    val live = m.liveFiles(None)
+    val byPartition = live.groupBy(_.partitionValues)
+    val toRewrite = byPartition.toSeq.flatMap { case (_, files) =>
+      val small = files.filter(_.fileSizeBytes < targetFileBytes)
+      if (small.size > 1) Some(small) else None
+    }
+    if (toRewrite.isEmpty) return this
+    val allSmall = toRewrite.flatten
+    val totalBytes = allSmall.map(_.fileSizeBytes).sum
+    val targetN = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.schema(m.schema)
+      .parquet(allSmall.map(absolute): _*)
+      .repartition(targetN)
+    val files = writeFiles(df, m.schema)
+    commit("rewrite", files, allSmall.map(_.path))
+    this
+  }
+
+  /** Copy-on-write DELETE WHERE: only files whose stats can contain
+    * matches are rewritten; untouched files carry over. */
+  def delete(predicate: Column, touched: Seq[StatFilter] = Seq.empty): GraftTable = {
+    val m = meta
+    val candidates = plannedFiles(touched)
+    if (candidates.isEmpty) return this
+    val remaining = spark.read.schema(m.schema)
+      .parquet(candidates.map(absolute): _*)
+      .filter(!predicate)
+    val files = writeFiles(remaining, m.schema)
+    commit("delete", files, candidates.map(_.path))
+    this
+  }
+
+  /** Copy-on-write MERGE (upsert): update matching target rows from
+    * `source` by key, insert unmatched source rows. Implemented as a
+    * full-outer join keyed on `keyCols` — shuffles both sides once on
+    * the key. */
+  def merge(source: DataFrame, keyCols: Seq[String],
+      updateCols: Seq[String]): GraftTable = {
+    val m = meta
+    val target = scan()
+    val srcCols = source.columns
+    val joined = target.as("t").join(source.as("s"), keyCols, "full_outer")
+    val merged = joined.select(m.schema.fields.map { f =>
+      val name = f.name
+      if (keyCols.contains(name))
+        // using-columns full-outer join already coalesces the key
+        col(name)
+      else if (updateCols.contains(name) && srcCols.contains(name))
+        coalesce(col(s"s.$name"), col(s"t.$name")).as(name)
+      else if (srcCols.contains(name))
+        coalesce(col(s"t.$name"), col(s"s.$name")).as(name)
+      else col(s"t.$name").as(name)
+    }.toSeq: _*)
+    val files = writeFiles(merged, m.schema)
+    commit("overwrite", files, m.liveFiles(None).map(_.path))
+    this
+  }
+
+  // ---- schema / refs / properties -------------------------------------
+
+  /** Schema evolution: add nullable columns (transaction add_schema).
+    * Existing files keep their bytes; scans null-fill. */
+  def addColumns(newCols: StructType): GraftTable = this.synchronized {
+    val m = meta
+    val merged = StructType(m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
+    val id = m.schemas.keys.max + 1
+    Meta.write(root, m.copy(schemas = m.schemas + (id -> merged), currentSchemaId = id))
+    this
+  }
+
+  /** Named ref (branch/tag) to a snapshot (set_snapshot_ref). */
+  def setRef(name: String, snapshotId: Long): GraftTable = this.synchronized {
+    val m = meta
+    Meta.write(root, m.copy(refs = m.refs + (name -> snapshotId)))
+    this
+  }
+
+  def updateProperties(entries: Map[String, String]): GraftTable = this.synchronized {
+    val m = meta
+    Meta.write(root, m.copy(properties = m.properties ++ entries))
+    this
+  }
+
+  // ---- metadata tables ------------------------------------------------
+
+  /** `files` metadata table: one row per live data file. */
+  def filesDF: DataFrame = {
+    import spark.implicits._
+    meta.liveFiles(None)
+      .map(f => (f.path, f.partitionValues.map(kv => s"${kv._1}=${kv._2}").toSeq.sorted.mkString("/"),
+        f.recordCount, f.fileSizeBytes))
+      .toDF("path", "partition", "records", "bytes")
+  }
+
+  /** `snapshots` metadata table. */
+  def snapshotsDF: DataFrame = {
+    import spark.implicits._
+    meta.snapshots
+      .map(s => (s.snapshotId, s.parentId.getOrElse(-1L), s.operation,
+        s.addedFiles.size, s.removedPaths.size))
+      .toDF("snapshot_id", "parent_id", "operation", "added_files", "removed_files")
+  }
+}
+
+object GraftTable {
+
+  /** Create a new table (schema + optional partition spec). */
+  def create(spark: SparkSession, root: String, schema: StructType,
+      spec: Seq[Meta.PartitionField] = Seq.empty,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    require(!Meta.exists(root), s"table already exists at $root")
+    Meta.write(root, Meta.TableMetadata(
+      location = root, formatVersion = 1,
+      schemas = Map(0 -> schema), currentSchemaId = 0,
+      spec = spec, properties = properties,
+      snapshots = Seq.empty, currentSnapshotId = None,
+      refs = Map.empty, lastVersion = 0))
+    new GraftTable(root, spark)
+  }
+
+  def load(spark: SparkSession, root: String): GraftTable = {
+    require(Meta.exists(root), s"no table at $root")
+    new GraftTable(root, spark)
+  }
+}

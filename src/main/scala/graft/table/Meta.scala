@@ -1,0 +1,235 @@
+package graft.table
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Table-metadata model for GraftTable (SURVEY.md §2.C) — the Iceberg
+  * metadata tree re-expressed minimally: versioned metadata JSON files
+  * holding schemas, a partition spec, snapshots with inline manifests
+  * (per-file column stats), and named refs.
+  *
+  * Shapes follow the reference's spec crate (iceberg-rust-spec/src/
+  * spec/table_metadata.rs, snapshot.rs, manifest.rs, partition.rs) but
+  * the representation is deliberately simpler: manifests are inlined
+  * in the snapshot (at 100 TB you would spill manifest groups to
+  * separate avro/parquet files and prune manifest-first exactly like
+  * the reference's manifest_list.rs; the pruning interface below is
+  * already file-granular so that change is internal).
+  */
+object Meta {
+  val mapper = new ObjectMapper()
+
+  /** Column stats for one data file — the pruning unit
+    * (reference: datafusion_iceberg/src/pruning_statistics.rs). Values
+    * are stored as JSON strings and compared through the column type. */
+  case class ColStats(min: String, max: String, nullCount: Long)
+
+  case class DataFile(
+      path: String,
+      partitionValues: Map[String, String],
+      recordCount: Long,
+      fileSizeBytes: Long,
+      stats: Map[String, ColStats])
+
+  case class Snapshot(
+      snapshotId: Long,
+      parentId: Option[Long],
+      sequenceNumber: Long,
+      timestampMs: Long,
+      operation: String, // append | rewrite | overwrite | delete
+      addedFiles: Seq[DataFile],
+      removedPaths: Seq[String],
+      schemaId: Int,
+      /** lineage: source table → snapshot id at MV refresh time
+        * (reference: rewrite_with_lineage, table/transaction/mod.rs:97) */
+      lineage: Map[String, Long],
+      summary: Map[String, String]) {
+
+    /** Live files as of this snapshot, given the parent chain's state. */
+    def apply(parentLive: Seq[DataFile]): Seq[DataFile] = {
+      val removed = removedPaths.toSet
+      parentLive.filterNot(f => removed.contains(f.path)) ++ addedFiles
+    }
+  }
+
+  case class PartitionField(sourceColumn: String, transform: String, name: String)
+
+  case class TableMetadata(
+      location: String,
+      formatVersion: Int,
+      schemas: Map[Int, StructType],
+      currentSchemaId: Int,
+      spec: Seq[PartitionField],
+      properties: Map[String, String],
+      snapshots: Seq[Snapshot],
+      currentSnapshotId: Option[Long],
+      refs: Map[String, Long],
+      lastVersion: Int) {
+
+    def schema: StructType = schemas(currentSchemaId)
+
+    def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
+    /** Live file set at a snapshot, replaying the append/remove chain. */
+    def liveFiles(snapshotId: Option[Long]): Seq[DataFile] = {
+      snapshotId.orElse(currentSnapshotId) match {
+        case None => Seq.empty
+        case Some(id) =>
+          val chain = scala.collection.mutable.ArrayBuffer[Snapshot]()
+          var cur = snapshot(id)
+          while (cur.isDefined) {
+            chain += cur.get
+            cur = cur.get.parentId.flatMap(snapshot)
+          }
+          chain.reverse.foldLeft(Seq.empty[DataFile])((live, s) => s(live))
+      }
+    }
+  }
+
+  // ---- JSON writing ---------------------------------------------------
+
+  private def statsNode(stats: Map[String, ColStats]): ObjectNode = {
+    val n = mapper.createObjectNode()
+    stats.foreach { case (c, st) =>
+      val sn = n.putObject(c)
+      sn.put("min", st.min); sn.put("max", st.max); sn.put("nulls", st.nullCount)
+    }
+    n
+  }
+
+  private def fileNode(f: DataFile): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("path", f.path)
+    val pv = n.putObject("partition")
+    f.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+    n.put("records", f.recordCount)
+    n.put("bytes", f.fileSizeBytes)
+    n.set("stats", statsNode(f.stats))
+    n
+  }
+
+  def toJson(m: TableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("location", m.location)
+    root.put("format_version", m.formatVersion)
+    val schemas = root.putObject("schemas")
+    m.schemas.foreach { case (id, st) => schemas.put(id.toString, st.json) }
+    root.put("current_schema_id", m.currentSchemaId)
+    val spec = root.putArray("partition_spec")
+    m.spec.foreach { pf =>
+      val n = spec.addObject()
+      n.put("source", pf.sourceColumn); n.put("transform", pf.transform)
+      n.put("name", pf.name)
+    }
+    val props = root.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    val snaps = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val n = snaps.addObject()
+      n.put("snapshot_id", s.snapshotId)
+      s.parentId.foreach(p => n.put("parent_id", p))
+      n.put("sequence_number", s.sequenceNumber)
+      n.put("timestamp_ms", s.timestampMs)
+      n.put("operation", s.operation)
+      val af = n.putArray("added_files")
+      s.addedFiles.foreach(f => af.add(fileNode(f)))
+      val rp = n.putArray("removed_paths")
+      s.removedPaths.foreach(rp.add)
+      n.put("schema_id", s.schemaId)
+      val ln = n.putObject("lineage")
+      s.lineage.foreach { case (k, v) => ln.put(k, v) }
+      val sm = n.putObject("summary")
+      s.summary.foreach { case (k, v) => sm.put(k, v) }
+    }
+    m.currentSnapshotId.foreach(id => root.put("current_snapshot_id", id))
+    val refs = root.putObject("refs")
+    m.refs.foreach { case (k, v) => refs.put(k, v) }
+    root.put("last_version", m.lastVersion)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  // ---- JSON reading ---------------------------------------------------
+
+  private def readStats(n: JsonNode): Map[String, ColStats] =
+    n.properties().asScala.map { e =>
+      e.getKey -> ColStats(e.getValue.get("min").asText(),
+        e.getValue.get("max").asText(), e.getValue.get("nulls").asLong())
+    }.toMap
+
+  private def readFile(n: JsonNode): DataFile = DataFile(
+    path = n.get("path").asText(),
+    partitionValues = n.get("partition").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap,
+    recordCount = n.get("records").asLong(),
+    fileSizeBytes = n.get("bytes").asLong(),
+    stats = readStats(n.get("stats")))
+
+  def fromJson(json: String): TableMetadata = {
+    val root = mapper.readTree(json)
+    val schemas = root.get("schemas").properties().asScala.map { e =>
+      e.getKey.toInt -> org.apache.spark.sql.types.DataType
+        .fromJson(e.getValue.asText()).asInstanceOf[StructType]
+    }.toMap
+    val spec = root.get("partition_spec").elements().asScala.map { n =>
+      PartitionField(n.get("source").asText(), n.get("transform").asText(),
+        n.get("name").asText())
+    }.toSeq
+    val snapshots = root.get("snapshots").elements().asScala.map { n =>
+      Snapshot(
+        snapshotId = n.get("snapshot_id").asLong(),
+        parentId = Option(n.get("parent_id")).map(_.asLong()),
+        sequenceNumber = n.get("sequence_number").asLong(),
+        timestampMs = n.get("timestamp_ms").asLong(),
+        operation = n.get("operation").asText(),
+        addedFiles = n.get("added_files").elements().asScala.map(readFile).toSeq,
+        removedPaths = n.get("removed_paths").elements().asScala.map(_.asText()).toSeq,
+        schemaId = n.get("schema_id").asInt(),
+        lineage = n.get("lineage").properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap,
+        summary = n.get("summary").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+    }.toSeq
+    TableMetadata(
+      location = root.get("location").asText(),
+      formatVersion = root.get("format_version").asInt(),
+      schemas = schemas,
+      currentSchemaId = root.get("current_schema_id").asInt(),
+      spec = spec,
+      properties = root.get("properties").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap,
+      snapshots = snapshots,
+      currentSnapshotId = Option(root.get("current_snapshot_id")).map(_.asLong()),
+      refs = root.get("refs").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      lastVersion = root.get("last_version").asInt())
+  }
+
+  // ---- versioned store (file "catalog", reference: iceberg-file-catalog) --
+
+  def metadataDir(root: String): Path = Paths.get(root, "metadata")
+
+  def write(root: String, m: TableMetadata): TableMetadata = {
+    val next = m.copy(lastVersion = m.lastVersion + 1)
+    val dir = metadataDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".v${next.lastVersion}.metadata.json.tmp")
+    Files.writeString(tmp, toJson(next))
+    // rename is the commit point (single-writer; a real catalog would CAS)
+    Files.move(tmp, dir.resolve(s"v${next.lastVersion}.metadata.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(dir.resolve("version-hint.text"), next.lastVersion.toString)
+    next
+  }
+
+  def load(root: String): TableMetadata = {
+    val dir = metadataDir(root)
+    val v = Files.readString(dir.resolve("version-hint.text")).trim.toInt
+    fromJson(Files.readString(dir.resolve(s"v$v.metadata.json")))
+  }
+
+  def exists(root: String): Boolean =
+    Files.exists(metadataDir(root).resolve("version-hint.text"))
+}

@@ -1,0 +1,105 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Views and materialized views over GraftTables (reference:
+  * iceberg-rust-spec view_metadata.rs / materialized_view_metadata.rs,
+  * iceberg-rust/src/materialized_view, datafusion_iceberg/src/
+  * materialized_view.rs).
+  *
+  * A view is a versioned SQL definition resolved against named source
+  * tables at query time. A materialized view adds a storage GraftTable
+  * plus refresh lineage: each refresh records the source snapshot ids
+  * it read (like the reference's rewrite_with_lineage), and freshness
+  * is "recorded lineage == current source snapshots".
+  */
+object Views {
+  private val mapper = new ObjectMapper()
+
+  case class ViewDef(name: String, sql: String, sources: Map[String, String],
+      version: Int)
+
+  private def viewPath(root: String) = Paths.get(root, "view.json")
+
+  def createView(root: String, name: String, sql: String,
+      sources: Map[String, String]): ViewDef = {
+    val d = ViewDef(name, sql, sources, 1)
+    writeView(root, d)
+    d
+  }
+
+  private def writeView(root: String, d: ViewDef): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val n = mapper.createObjectNode()
+    n.put("name", d.name); n.put("sql", d.sql); n.put("version", d.version)
+    val s = n.putObject("sources")
+    d.sources.foreach { case (k, v) => s.put(k, v) }
+    Files.writeString(viewPath(root), mapper.writeValueAsString(n))
+  }
+
+  def loadView(root: String): ViewDef = {
+    val n = mapper.readTree(Files.readString(viewPath(root)))
+    ViewDef(n.get("name").asText(), n.get("sql").asText(),
+      n.get("sources").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
+      n.get("version").asInt())
+  }
+
+  /** Execute a view: register each source table's current scan as a
+    * temp view, run the SQL. The plan is fully declarative — Catalyst
+    * sees straight through to the parquet scans. */
+  def queryView(spark: SparkSession, root: String): DataFrame = {
+    val d = loadView(root)
+    d.sources.foreach { case (alias, tableRoot) =>
+      GraftTable.load(spark, tableRoot).scan().createOrReplaceTempView(alias)
+    }
+    spark.sql(d.sql)
+  }
+
+  // ---- materialized view ---------------------------------------------
+
+  class MaterializedView(val root: String, val spark: SparkSession) {
+    def view: ViewDef = loadView(root)
+    def storage: GraftTable = GraftTable.load(spark, s"$root/storage")
+
+    private def currentSourceSnapshots: Map[String, Long] =
+      view.sources.map { case (alias, tableRoot) =>
+        alias -> GraftTable.load(spark, tableRoot)
+          .meta.currentSnapshotId.getOrElse(0L)
+      }
+
+    /** Lineage recorded by the last refresh (empty → never refreshed). */
+    def recordedLineage: Map[String, Long] = {
+      val m = storage.meta
+      m.currentSnapshotId.flatMap(m.snapshot).map(_.lineage).getOrElse(Map.empty)
+    }
+
+    /** Fresh iff every source is still at its refresh-time snapshot. */
+    def isFresh: Boolean = recordedLineage == currentSourceSnapshots
+
+    /** Full refresh: recompute the view and overwrite storage, stamping
+      * the source snapshot lineage (reference: materialized_view.rs
+      * full refresh + rewrite_with_lineage). */
+    def refresh(): MaterializedView = {
+      val result = queryView(spark, root)
+      storage.overwrite(result, lineage = currentSourceSnapshots)
+      this
+    }
+
+    /** Read the materialization (does not implicitly refresh). */
+    def read: DataFrame = storage.scan()
+  }
+
+  def createMaterializedView(spark: SparkSession, root: String, name: String,
+      sql: String, sources: Map[String, String]): MaterializedView = {
+    createView(root, name, sql, sources)
+    val schema = queryView(spark, root).schema
+    GraftTable.create(spark, s"$root/storage", schema)
+    new MaterializedView(root, spark)
+  }
+
+  def loadMaterializedView(spark: SparkSession, root: String): MaterializedView =
+    new MaterializedView(root, spark)
+}

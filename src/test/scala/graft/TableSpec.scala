@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.{GraftTable, Meta, Views}
+import java.nio.file.Files
+
+/** GraftTable: Iceberg table semantics as Spark jobs (SURVEY.md §2.C). */
+class TableSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-table").toString + "/t"
+
+  private def li = Tables.lineitem(spark, sf)
+
+  test("create + append + scan round-trips rows exactly") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li)
+    assert(t.scan().count() === li.count())
+    val a = t.scan().agg(sum("l_quantity")).collect()(0).getDouble(0)
+    val b = li.agg(sum("l_quantity")).collect()(0).getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+
+  test("snapshots accumulate and time travel replays the chain") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    val batch1 = li.filter(col("l_orderkey") % 2 === 0)
+    val batch2 = li.filter(col("l_orderkey") % 2 =!= 0)
+    t.append(batch1)
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(batch2)
+    assert(t.scan().count() === li.count())
+    assert(t.timeTravel(s1).count() === batch1.count())
+    assert(t.snapshotsDF.count() === 2)
+  }
+
+  test("stats pruning skips files a predicate cannot match") {
+    val root = tmp()
+    // write ordered by orderkey so files have disjoint key ranges
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.repartitionByRange(8, col("l_orderkey")))
+    val all = t.plannedFiles(Seq.empty)
+    val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val pruned = t.plannedFiles(Seq(t.StatFilter("l_orderkey", ">", (maxKey - 10).toString)))
+    assert(all.size === 8)
+    assert(pruned.size < all.size, s"pruned=${pruned.size} all=${all.size}")
+    // soundness: pruned scan returns exactly the matching rows
+    val got = t.scan(Seq(t.StatFilter("l_orderkey", ">", (maxKey - 10).toString)))
+      .filter(col("l_orderkey") > maxKey - 10).count()
+    val want = li.filter(col("l_orderkey") > maxKey - 10).count()
+    assert(got === want)
+  }
+
+  test("partitioned write produces partition dirs and partition pruning") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema,
+      spec = Seq(Meta.PartitionField("l_shipdate", "month", "_p_month")))
+    t.append(li)
+    val files = t.plannedFiles(Seq.empty)
+    assert(files.forall(_.partitionValues.contains("_p_month")))
+    assert(files.map(_.partitionValues("_p_month")).distinct.size > 1)
+    // rows survive partitioned write intact, source column preserved
+    assert(t.scan().count() === li.count())
+    assert(t.scan().columns.contains("l_shipdate"))
+  }
+
+  test("compaction preserves rows and reduces file count") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.repartition(40))
+    val before = t.filesDF.count()
+    val rowsBefore = t.scan().count()
+    val hashBefore = t.scan().agg(sum(hash(col("l_orderkey"), col("l_linenumber")).cast("long"))).collect()(0).getLong(0)
+    t.compact(targetFileBytes = 512L * 1024 * 1024)
+    val after = t.filesDF.count()
+    assert(after < before, s"$after !< $before")
+    assert(t.scan().count() === rowsBefore)
+    val hashAfter = t.scan().agg(sum(hash(col("l_orderkey"), col("l_linenumber")).cast("long"))).collect()(0).getLong(0)
+    assert(hashAfter === hashBefore, "row content changed in compaction")
+  }
+
+  test("branches isolate writes; refs move independently") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(100))
+    val s1 = t.meta.currentSnapshotId.get
+    t.setRef("dev", s1)
+    t.append(li.limit(50), branch = "dev")  // dev gets +50
+    t.append(li.limit(25))                   // main gets +25
+    assert(t.scan(branch = Some("dev")).count() === 150)
+    assert(t.scan().count() === 125)
+  }
+
+  test("schema evolution: new column null-filled for old files") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(100))
+    t.addColumns(StructType(Seq(StructField("quality", DoubleType))))
+    t.append(li.limit(50).withColumn("quality", lit(0.5)))
+    val df = t.scan()
+    assert(df.columns.contains("quality"))
+    assert(df.filter(col("quality").isNull).count() === 100)
+    assert(df.filter(col("quality") === 0.5).count() === 50)
+  }
+
+  test("delete-where rewrites only matching files") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.repartitionByRange(8, col("l_orderkey")))
+    val cut = li.agg(expr("percentile(l_orderkey, 0.9)")).collect()(0).getDouble(0).toLong
+    t.delete(col("l_orderkey") > cut,
+      touched = Seq(t.StatFilter("l_orderkey", ">", cut.toString)))
+    assert(t.scan().filter(col("l_orderkey") > cut).count() === 0)
+    val want = li.filter(col("l_orderkey") <= cut).count()
+    assert(t.scan().count() === want)
+    // untouched files carried over, not rewritten
+    val lastOp = t.meta.snapshots.last
+    assert(lastOp.operation === "delete")
+    assert(lastOp.removedPaths.size < 8)
+  }
+
+  test("merge upserts matching keys and inserts new ones") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "amount")
+    val t = GraftTable.create(spark, root, base.schema)
+    t.append(base)
+    val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0))
+      .toDF("id", "name", "amount")
+    t.merge(updates, keyCols = Seq("id"), updateCols = Seq("name", "amount"))
+    val got = t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.sameElements(Array(
+      (1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0))))
+  }
+
+  test("views resolve over current table state") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(500))
+    val vroot = root + "-view"
+    Views.createView(vroot, "qty_by_flag",
+      "SELECT l_returnflag, count(*) AS n FROM li GROUP BY 1",
+      Map("li" -> root))
+    val before = Views.queryView(spark, vroot).agg(sum("n")).collect()(0).getLong(0)
+    assert(before === 500)
+    t.append(li.limit(100))
+    val after = Views.queryView(spark, vroot).agg(sum("n")).collect()(0).getLong(0)
+    assert(after === 600)
+  }
+
+  test("materialized view: staleness by lineage, full refresh") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(500))
+    val mvroot = root + "-mv"
+    val mv = Views.createMaterializedView(spark, mvroot, "flag_counts",
+      "SELECT l_returnflag, count(*) AS n FROM li GROUP BY 1",
+      Map("li" -> root))
+    assert(!mv.isFresh) // never refreshed
+    mv.refresh()
+    assert(mv.isFresh)
+    val n1 = mv.read.agg(sum("n")).collect()(0).getLong(0)
+    assert(n1 === 500)
+    t.append(li.limit(100)) // source moves → stale
+    assert(!mv.isFresh)
+    assert(mv.read.agg(sum("n")).collect()(0).getLong(0) === 500) // stale read
+    mv.refresh()
+    assert(mv.isFresh)
+    assert(mv.read.agg(sum("n")).collect()(0).getLong(0) === 600)
+  }
+}
