@@ -27,42 +27,46 @@ object Dedup {
       .otherwise(array(lower(text)))
   }
 
-  /** (doc_id, shingle) pairs, distinct per doc. */
-  private def shingleTable(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, shingle-set array) — stays un-exploded; the kernels
+    * consume whole arrays. Repartitioned first: the corpus arrives as
+    * few large files, and per-row hashing is CPU-bound — without the
+    * shuffle a single core does all the work (on a cluster the same
+    * spread comes from input splits; the tiny shuffle is the local
+    * equalizer). */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh_arr"))
 
   private val NumHashes = 64
   private val NumBands = 16
-  private val RowsPerBand = NumHashes / NumBands
 
-  /** MinHash signatures: k=64 min-hashes from the murmur3 family
-    * (shingle hashed with the hash-function index mixed in), banded
-    * into 16 keys of 4 rows for LSH. One shuffle (the groupBy). */
+  /** MinHash LSH keys: the codegen'd MinHashBands kernel computes all
+    * 64 min-hashes and folds them into 16 band keys in one pass per
+    * document — no explode, no 64-column aggregation, no shuffle. */
   private def bandedSignatures(s: SparkSession, d: String): DataFrame = {
-    val sigCols = (0 until NumHashes).map(i =>
-      min(hash(col("sh"), lit(i))).as(s"sig_$i"))
-    val sigs = shingleTable(s, d)
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until NumBands).map { b =>
-      val slice = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(slice: _*).as("bh"))
-    }
-    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    docShingles(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.functions.ArrayKernels
+          .minhashBandKeys(col("sh_arr"), NumHashes, NumBands))
+          .as(Seq("band", "bh")))
   }
 
   /** LSH candidate pairs: docs agreeing on at least one full band.
-    * Equi-join on (band, band-hash) — the shuffle key is the bucket,
-    * so cost tracks candidate count, never N². */
+    * One shuffle on the bucket key, then pairs generated within each
+    * bucket (a self-join would recompute the signatures for both
+    * sides). Giant buckets are dropped — they are non-discriminative
+    * band collisions and the standard LSH skew guard: cost stays
+    * bounded by candidate count, never N². */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val b = bandedSignatures(s, d)
-    val left = b.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-    val right = b.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
-    left.join(right, Seq("band", "bh"))
+    val buckets = bandedSignatures(s, d)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 64))
+    buckets
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
@@ -106,6 +110,7 @@ object Dedup {
     * chunk), exact hamming filter after the equi-join. */
   val ddSimhash: Q = (s, d) => {
     val fp = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextHash.simhash(col("text")).as("sh"))
     val keyed = fp.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
@@ -113,33 +118,34 @@ object Dedup {
           shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
       }: _*)).as("x"))
       .select(col("doc_id"), col("sh"), col("x.c").as("c"), col("x.v").as("v"))
-    val l = keyed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("c"), col("v"))
-    val r = keyed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("c"), col("v"))
-    l.join(r, Seq("c", "v"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // bucket-grouped pair generation: one shuffle on the chunk key,
+    // fingerprints computed once, giant buckets skew-capped
+    keyed.groupBy(col("c"), col("v"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
+      .filter(size(col("ds")).between(2, 64))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact n-gram Jaccard verification of the LSH candidates: join the
-    * shingle sets only for candidate pairs, never all-pairs. */
+    * candidates back to the (broadcastable) per-doc shingle arrays and
+    * run the set kernel per pair — never all-pairs, no explode. */
   val ddNgramJaccard: Q = (s, d) => {
     val pairs = minhashPairs(s, d)
-    val sh = shingleTable(s, d)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    val sh = docShingles(s, d)
+    // no broadcast hint: the shingle side is corpus-sized — AQE picks
+    // broadcast at small SF, shuffle join at scale
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("arr_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("arr_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+        round(graft.functions.ArrayKernels.jaccardSim(col("arr_a"), col("arr_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }

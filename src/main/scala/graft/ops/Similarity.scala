@@ -29,8 +29,11 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Repartitioned on read: the corpus arrives as one file locally and
+    * the cosine kernels are CPU-bound — spread before computing. */
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         col("label"))
 
@@ -44,7 +47,7 @@ object Similarity {
     val b = v.select(col("vec_id").as("ib"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
-        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        graft.functions.ArrayKernels.cosineSim(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") > 0.45)
       .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
       .orderBy(col("ia"), col("ib"))
@@ -67,7 +70,7 @@ object Similarity {
       .orderBy(col("cos_raw").desc, col("vec_id"))
     v.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (dot(col("emb"), col("qe")) / (col("nrm") * col("qn"))).as("cos_raw"))
+        graft.functions.ArrayKernels.cosineSim(col("emb"), col("qe")).as("cos_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("vec_id"),
@@ -134,7 +137,7 @@ object Similarity {
       .orderBy(col("cos_raw").desc, col("vec_id"))
     cands
       .select(col("q_id"), col("vec_id"),
-        (dot(col("emb"), col("qe")) / (col("nrm") * col("qn"))).as("cos_raw"))
+        graft.functions.ArrayKernels.cosineSim(col("emb"), col("qe")).as("cos_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("vec_id"),
@@ -167,15 +170,15 @@ object Similarity {
     val cents = broadcast(centroids(vectors(s, d))
       .select(col("cluster"), col("cemb"), norm(col("cemb")).as("cnrm")))
 
-    // nearest centroid per vector (inverted-list assignment)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cluster"))
+    // nearest centroid per vector (inverted-list assignment): argmax
+    // via max_by in one aggregation — no per-vector window shuffle
     val assigned = v.join(cents)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"),
-        (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))).as("csim"))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cluster"))
+        graft.functions.ArrayKernels.cosineSim(col("emb"), col("cemb")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cluster"), col("emb"), col("nrm")), col("csim")).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.nrm").as("nrm"), col("best.cluster").as("cluster"))
 
     // nProbe nearest centroids per query
     val q = v.filter(col("vec_id") < 5)
@@ -184,7 +187,7 @@ object Similarity {
       .orderBy(col("qsim").desc, col("cluster"))
     val probes = q.join(cents)
       .select(col("q_id"), col("qe"), col("qn"), col("cluster"),
-        (dot(col("qe"), col("cemb")) / (col("qn") * col("cnrm"))).as("qsim"))
+        graft.functions.ArrayKernels.cosineSim(col("qe"), col("cemb")).as("qsim"))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= NProbe)
       .select(col("q_id"), col("qe"), col("qn"), col("cluster"))
@@ -194,7 +197,7 @@ object Similarity {
     assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (dot(col("emb"), col("qe")) / (col("nrm") * col("qn"))).as("cos_raw"))
+        graft.functions.ArrayKernels.cosineSim(col("emb"), col("qe")).as("cos_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("vec_id"),

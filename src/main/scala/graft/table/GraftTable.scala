@@ -50,15 +50,6 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }
   }
 
-  /** Stats-collection columns for pruning: min/max/null per atomic
-    * column, computed in the same job that reads the staged files. */
-  private def statsAgg(schema: StructType): Seq[Column] =
-    schema.fields.filter(f => isPrunable(f.dataType)).flatMap { f =>
-      Seq(min(col(f.name)).cast("string").as(s"__min_${f.name}"),
-        max(col(f.name)).cast("string").as(s"__max_${f.name}"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
-    }.toSeq
-
   private def isPrunable(t: DataType): Boolean = t match {
     case _: IntegerType | _: LongType | _: DoubleType | _: FloatType |
         _: StringType | _: DateType | _: TimestampType | _: ShortType |
@@ -67,8 +58,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   }
 
   /** Write `df` as new data files and collect their manifest entries.
-    * One write job + one stats job (a single groupBy over the staged
-    * files); no driver-side per-file work. */
+    * One write job; stats come from the parquet FOOTERS the write
+    * already produced (min/max/null per column per row group) via a
+    * distributed footer-read job — metadata-only IO, no second pass
+    * over the data (the reference reads the same footer statistics:
+    * iceberg-rust/src/file_format/parquet.rs). */
   private def writeFiles(df: DataFrame, schema: StructType): Seq[Meta.DataFile] = {
     val m = meta
     val staging = Paths.get(root, s"stage-${UUID.randomUUID().toString.take(8)}")
@@ -85,39 +79,28 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       else withParts.write
     writer.parquet(staging.toString)
 
-    // stats per staged file, one distributed agg
-    val staged = spark.read
-      .option("basePath", staging.toString)
-      .parquet(staging.toString)
-    val statRows = staged
-      .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1L)).as("__records"), statsAgg(schema): _*)
-      .collect()
+    val stagedPaths = Files.walk(staging).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(_.toString).toSeq
+    val prunable = schema.fields.filter(f => isPrunable(f.dataType)).map(_.name)
+    val fileStats = FooterStats.collect(spark, stagedPaths, prunable.toSet)
 
-    val moved = statRows.map { row =>
-      val uri = row.getString(row.fieldIndex("__file"))
-      val src = Paths.get(java.net.URI.create(uri).getPath)
+    val moved = fileStats.map { fs =>
+      val src = Paths.get(fs.path)
       // partition dir structure (name=value/...) relative to staging
       val rel = staging.relativize(src)
       val dest = dataDir.resolve(rel)
       Files.createDirectories(dest.getParent)
       Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-
       val partValues = rel.iterator().asScala.toSeq.dropRight(1)
         .map(_.toString.split("=", 2)).map(a => a(0) -> a(1)).toMap
-      val stats = schema.fields.filter(f => isPrunable(f.dataType)).map { f =>
-        f.name -> Meta.ColStats(
-          Option(row.getAs[String](s"__min_${f.name}")).getOrElse(""),
-          Option(row.getAs[String](s"__max_${f.name}")).getOrElse(""),
-          row.getAs[Long](s"__nulls_${f.name}"))
-      }.toMap
       Meta.DataFile(
         path = dataDir.relativize(dest).toString,
         partitionValues = partValues,
-        recordCount = row.getAs[Long]("__records"),
+        recordCount = fs.records,
         fileSizeBytes = Files.size(dest),
-        stats = stats)
-    }.toSeq
+        stats = fs.stats)
+    }
 
     // clean staging skeleton
     Files.walk(staging).iterator().asScala.toSeq.reverse
