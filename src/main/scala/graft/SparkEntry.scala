@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Transforms.queries ++
       ops.Events.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ ops.TableOps.queries
+      ops.Multimodal.queries ++ ops.TableOps.queries ++
+      ops.CatalogOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -22,5 +23,5 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Transforms.oracles ++
       ops.Events.oracles ++ ops.TextAnalysis.oracles ++
       ops.Dedup.oracles ++ ops.Similarity.oracles ++
-      ops.TableOps.oracles
+      ops.TableOps.oracles ++ ops.CatalogOps.oracles
 }

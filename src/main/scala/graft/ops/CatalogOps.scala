@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.table.GraftCatalog
+import java.nio.file.Files
+
+/** Catalog + SQL front-end operators (SURVEY.md §2.C): the reference's
+  * end-to-end flows — CSV ingestion through INSERT INTO
+  * (datafusion_iceberg/examples/insert_csv.rs), CTAS, catalog SQL
+  * reads, and incremental MV refresh — as driver-checkable queries.
+  */
+object CatalogOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft-cat").toString
+
+  /** CSV → INSERT INTO → aggregate through the catalog SQL layer
+    * (mirrors insert_csv.rs: load lineitem CSV, insert, group-by). */
+  val tfInsertSelect: Q = (s, d) => {
+    val wh = scratch()
+    val cat = GraftCatalog(s, wh)
+    // stage the lineitem sample as CSV — the source-format leg
+    val csvDir = s"$wh/csv_in"
+    val li = Tables.lineitem(s, d)
+    li.write.option("header", "true").csv(csvDir)
+    val csv = s.read.option("header", "true").schema(li.schema).csv(csvDir)
+    csv.createOrReplaceTempView("lineitem_csv")
+
+    cat.createTable("li", li.schema)
+    cat.sql("insert into li select * from lineitem_csv")
+    cat.sql("""select l_returnflag, sum(l_quantity) as sum_qty,
+               count(*) as n from li group by l_returnflag
+               order by l_returnflag""")
+  }
+
+  val tfInsertSelectSql: String =
+    """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
+  /** CTAS + catalog view + join through the SQL front-end. */
+  val tfCtasView: Q = (s, d) => {
+    val cat = GraftCatalog(s, scratch())
+    Tables.orders(s, d).createOrReplaceTempView("orders_src")
+    Tables.customer(s, d).createOrReplaceTempView("customer_src")
+    cat.sql("create table ord as select * from orders_src")
+    cat.sql("create table cust as select * from customer_src")
+    cat.sql("""create view cust_orders as
+               select c_mktsegment, count(*) as n,
+                      round(sum(o_totalprice),2) as total
+               from ord join cust on o_custkey = c_custkey
+               group by c_mktsegment""")
+    cat.sql("select * from cust_orders order by c_mktsegment")
+  }
+
+  val tfCtasViewSql: String =
+    """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice),2) AS total
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1 ORDER BY c_mktsegment"""
+
+  /** Incremental MV refresh: base load → refresh → append delta →
+    * incremental fold. Result must equal the full recompute (oracle);
+    * the incremental path itself (delta-only IO) is asserted in
+    * TableSpec. */
+  val tfMvIncremental: Q = (s, d) => {
+    val wh = scratch()
+    val cat = GraftCatalog(s, wh)
+    val ev = Tables.events(s, d)
+    cat.createTable("ev", ev.schema)
+    cat.table("ev").append(ev.filter(col("event_id") % 4 =!= 0))
+    // sums stay unrounded in the materialization: rounding composes
+    // wrongly across incremental folds (round(a)+round(b) != round(a+b))
+    val mv = graft.table.Views.createMaterializedView(s, s"$wh/mv", "by_type",
+      """SELECT event_type, count(*) AS n, sum(value) AS total
+         FROM ev GROUP BY event_type""",
+      Map("ev" -> s"$wh/ev"),
+      incrementalFold = Some(
+        """SELECT event_type, sum(n) AS n, sum(total) AS total
+           FROM mv_delta_union GROUP BY event_type"""))
+    mv.refresh()
+    cat.table("ev").append(ev.filter(col("event_id") % 4 === 0))
+    mv.refreshIncremental()
+    mv.read.select(col("event_type"), col("n"), round(col("total"), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  val tfMvIncrementalSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value),2) AS total
+       FROM events GROUP BY 1 ORDER BY event_type"""
+
+  val queries: Map[String, Q] = Map(
+    "tf_insert_select" -> tfInsertSelect,
+    "tf_ctas_view" -> tfCtasView,
+    "tf_mv_incremental" -> tfMvIncremental)
+
+  val oracles: Map[String, String] = Map(
+    "tf_insert_select" -> tfInsertSelectSql,
+    "tf_ctas_view" -> tfCtasViewSql,
+    "tf_mv_incremental" -> tfMvIncrementalSql)
+}

@@ -33,6 +33,21 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       n_events: Int, session_value: Double, duration_s: Long)
 
+  /** Stream → GraftTable sink: each micro-batch appends as a snapshot
+    * (exactly-once per batch under Spark's checkpointing; snapshots
+    * make the commit atomic on the table side). Returns the query —
+    * caller manages lifecycle. */
+  def writeToTable(stream: DataFrame, table: graft.table.GraftTable,
+      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.append(batch)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Stateful sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState: state is one open session per user,
     * closed sessions are emitted on gap or event-time timeout.

@@ -1,0 +1,103 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** File-backed catalog of GraftTables and views (reference:
+  * iceberg-file-catalog + iceberg-sql-catalog crates, and the SQL
+  * front-end in datafusion-iceberg-sql / datafusion_iceberg/src/
+  * planner.rs: CREATE TABLE / CREATE VIEW DDL, INSERT INTO, SELECT).
+  *
+  * SQL statements are routed: DML/DDL verbs that Spark's session
+  * catalog can't target (our tables live outside it) are parsed off
+  * the front of the statement and executed as table operations; plain
+  * SELECTs run on Catalyst with every catalog entry registered as a
+  * temp view, so the full Spark SQL surface applies.
+  */
+class GraftCatalog(val spark: SparkSession, val warehouse: String) {
+  private val mapper = new ObjectMapper()
+  private def catPath = Paths.get(warehouse, "catalog.json")
+
+  private def entries: Map[String, String] = { // name -> kind
+    if (!Files.exists(catPath)) Map.empty
+    else {
+      val n = mapper.readTree(Files.readString(catPath))
+      n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  private def saveEntries(m: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(warehouse))
+    val n = mapper.createObjectNode()
+    m.foreach { case (k, v) => n.put(k, v) }
+    Files.writeString(catPath, mapper.writeValueAsString(n))
+  }
+
+  private def tableRoot(name: String) = s"$warehouse/$name"
+
+  def createTable(name: String, schema: StructType,
+      spec: Seq[Meta.PartitionField] = Seq.empty): GraftTable = {
+    val t = GraftTable.create(spark, tableRoot(name), schema, spec)
+    saveEntries(entries + (name -> "table"))
+    t
+  }
+
+  def table(name: String): GraftTable = {
+    require(entries.get(name).contains("table"), s"no table $name in catalog")
+    GraftTable.load(spark, tableRoot(name))
+  }
+
+  def createView(name: String, viewSql: String): Unit = {
+    val tableSources = entries.filter(_._2 == "table").keys
+      .map(t => t -> tableRoot(t)).toMap
+    Views.createView(tableRoot(name), name, viewSql, tableSources)
+    saveEntries(entries + (name -> "view"))
+  }
+
+  def tableNames: Seq[String] = entries.filter(_._2 == "table").keys.toSeq.sorted
+  def viewNames: Seq[String] = entries.filter(_._2 == "view").keys.toSeq.sorted
+
+  /** Register every table and view as a temp view for Catalyst. */
+  private def registerAll(): Unit = {
+    tableNames.foreach(t => table(t).scan().createOrReplaceTempView(t))
+    viewNames.foreach { v =>
+      Views.queryView(spark, tableRoot(v)).createOrReplaceTempView(v)
+    }
+  }
+
+  private val InsertInto = """(?is)\s*insert\s+into\s+([\w.]+)\s+(select\b.*)""".r
+  private val CreateTableAs = """(?is)\s*create\s+table\s+([\w.]+)\s+as\s+(select\b.*)""".r
+  private val CreateViewAs = """(?is)\s*create\s+view\s+([\w.]+)\s+as\s+(select\b.*)""".r
+  private val DropTable = """(?is)\s*drop\s+(?:table|view)\s+([\w.]+)\s*;?\s*""".r
+
+  /** Execute a SQL statement against the catalog. */
+  def sql(stmt: String): DataFrame = stmt.stripSuffix(";") match {
+    case InsertInto(name, select) =>
+      registerAll()
+      val df = spark.sql(select)
+      table(name).append(df)
+      spark.emptyDataFrame
+    case CreateTableAs(name, select) =>
+      registerAll()
+      val df = spark.sql(select)
+      createTable(name, df.schema).append(df)
+      spark.emptyDataFrame
+    case CreateViewAs(name, select) =>
+      createView(name, select)
+      spark.emptyDataFrame
+    case DropTable(name) =>
+      saveEntries(entries - name)
+      spark.emptyDataFrame
+    case select =>
+      registerAll()
+      spark.sql(select)
+  }
+}
+
+object GraftCatalog {
+  def apply(spark: SparkSession, warehouse: String): GraftCatalog =
+    new GraftCatalog(spark, warehouse)
+}

@@ -231,6 +231,32 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def timeTravel(snapshotId: Long): DataFrame = scan(snapshotId = Some(snapshotId))
 
+  /** True iff every snapshot after `since` on the main chain is a pure
+    * append — the precondition for incremental consumers. */
+  def appendsOnlySince(since: Option[Long]): Boolean = {
+    val m = meta
+    var cur = m.currentSnapshotId.flatMap(m.snapshot)
+    var ok = true
+    while (cur.isDefined && since != cur.map(_.snapshotId)) {
+      if (cur.get.operation != "append") ok = false
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    ok
+  }
+
+  /** Scan only the files added after snapshot `since` (append delta) —
+    * the incremental-refresh read path: IO is proportional to new
+    * data, not table size. */
+  def scanAppendedSince(since: Option[Long]): DataFrame = {
+    val m = meta
+    val baseline = since.map(id => m.liveFiles(Some(id)).map(_.path).toSet)
+      .getOrElse(Set.empty)
+    val delta = m.liveFiles(None).filterNot(f => baseline.contains(f.path))
+    if (delta.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(delta.map(absolute): _*)
+  }
+
   // ---- maintenance ----------------------------------------------------
 
   /** Bin-packing compaction (transaction/mod.rs:76 `rewrite`): group

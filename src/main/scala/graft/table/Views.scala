@@ -88,13 +88,56 @@ object Views {
       this
     }
 
+    /** Incremental refresh (the reference's roadmap feature): valid
+      * when every source moved by pure appends and the view's
+      * aggregates are distributive. The view SQL runs over ONLY the
+      * appended files, then `foldSql` (provided at creation) merges
+      * the delta with the stored state over a temp view named
+      * `mv_delta_union` — IO is proportional to new data, not source
+      * size. Falls back to full refresh (returns false) otherwise. */
+    def refreshIncremental(): Boolean = {
+      val d = view
+      val foldSql = loadFold(root)
+      val lineage = recordedLineage
+      val incrementalOk = foldSql.nonEmpty && lineage.nonEmpty &&
+        d.sources.forall { case (alias, tableRoot) =>
+          GraftTable.load(spark, tableRoot)
+            .appendsOnlySince(lineage.get(alias))
+        }
+      if (!incrementalOk) { refresh(); return false }
+      d.sources.foreach { case (alias, tableRoot) =>
+        GraftTable.load(spark, tableRoot)
+          .scanAppendedSince(lineage.get(alias))
+          .createOrReplaceTempView(alias)
+      }
+      val delta = spark.sql(d.sql)
+      storage.scan().unionByName(delta)
+        .createOrReplaceTempView("mv_delta_union")
+      val folded = spark.sql(foldSql.get)
+      storage.overwrite(folded, lineage = currentSourceSnapshots)
+      true
+    }
+
     /** Read the materialization (does not implicitly refresh). */
     def read: DataFrame = storage.scan()
   }
 
+  private def foldPath(root: String) = Paths.get(root, "fold.sql")
+
+  private[table] def loadFold(root: String): Option[String] = {
+    val p = foldPath(root)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  /** @param incrementalFold optional re-aggregation SQL over the temp
+    *   view `mv_delta_union` (stored state ∪ delta result) enabling
+    *   refreshIncremental, e.g. for a count view
+    *   `SELECT k, sum(n) AS n FROM mv_delta_union GROUP BY k`. */
   def createMaterializedView(spark: SparkSession, root: String, name: String,
-      sql: String, sources: Map[String, String]): MaterializedView = {
+      sql: String, sources: Map[String, String],
+      incrementalFold: Option[String] = None): MaterializedView = {
     createView(root, name, sql, sources)
+    incrementalFold.foreach(f => Files.writeString(foldPath(root), f))
     val schema = queryView(spark, root).schema
     GraftTable.create(spark, s"$root/storage", schema)
     new MaterializedView(root, spark)

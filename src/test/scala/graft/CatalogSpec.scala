@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.{GraftCatalog, Views}
+import graft.streaming.EventStreams
+import java.nio.file.Files
+
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def wh(): String = Files.createTempDirectory("graft-wh").toString
+
+  test("catalog: create, insert into select, query, drop") {
+    val cat = GraftCatalog(spark, wh())
+    Tables.nation(spark, sf).createOrReplaceTempView("nation_src")
+    cat.sql("create table nat as select * from nation_src")
+    assert(cat.tableNames === Seq("nat"))
+    cat.sql("insert into nat select * from nation_src")
+    val n = cat.sql("select count(*) as n from nat").collect()(0).getLong(0)
+    assert(n === 50) // 25 + 25
+    cat.sql("drop table nat")
+    assert(cat.tableNames.isEmpty)
+  }
+
+  test("catalog: json ingestion leg") {
+    val cat = GraftCatalog(spark, wh())
+    val dir = wh() + "/json_in"
+    Tables.region(spark, sf).write.json(dir)
+    val json = spark.read.schema(Tables.region(spark, sf).schema).json(dir)
+    json.createOrReplaceTempView("region_json")
+    cat.createTable("reg", Tables.region(spark, sf).schema)
+    cat.sql("insert into reg select * from region_json")
+    assert(cat.sql("select * from reg").count() === 5)
+  }
+
+  test("incremental MV refresh reads only the delta and matches full recompute") {
+    val w = wh()
+    val cat = GraftCatalog(spark, w)
+    val ev = Tables.events(spark, sf)
+    cat.createTable("ev", ev.schema)
+    cat.table("ev").append(ev.filter(col("event_id") % 2 === 0))
+    val mv = Views.createMaterializedView(spark, s"$w/mv", "by_type",
+      "SELECT event_type, count(*) AS n FROM ev GROUP BY event_type",
+      Map("ev" -> s"$w/ev"),
+      incrementalFold = Some(
+        "SELECT event_type, sum(n) AS n FROM mv_delta_union GROUP BY event_type"))
+    mv.refresh()
+    cat.table("ev").append(ev.filter(col("event_id") % 2 === 1))
+    val usedIncremental = mv.refreshIncremental()
+    assert(usedIncremental, "should have taken the incremental path")
+    assert(mv.isFresh)
+    val got = mv.read.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want))
+  }
+
+  test("incremental refresh falls back to full after non-append ops") {
+    val w = wh()
+    val cat = GraftCatalog(spark, w)
+    val ev = Tables.events(spark, sf)
+    cat.createTable("ev", ev.schema)
+    cat.table("ev").append(ev)
+    val mv = Views.createMaterializedView(spark, s"$w/mv", "by_type",
+      "SELECT event_type, count(*) AS n FROM ev GROUP BY event_type",
+      Map("ev" -> s"$w/ev"),
+      incrementalFold = Some(
+        "SELECT event_type, sum(n) AS n FROM mv_delta_union GROUP BY event_type"))
+    mv.refresh()
+    cat.table("ev").delete(col("event_type") === "error")
+    val usedIncremental = mv.refreshIncremental()
+    assert(!usedIncremental, "delete must force the full path")
+    assert(mv.read.filter(col("event_type") === "error").count() === 0)
+  }
+
+  test("streaming writes land as table snapshots") {
+    val w = wh()
+    val ev = Tables.events(spark, sf)
+    val stageDir = s"$w/stream_in"
+    ev.write.parquet(stageDir)
+    val t = graft.table.GraftTable.create(spark, s"$w/ev_sink", ev.schema)
+    val stream = spark.readStream.schema(ev.schema).parquet(stageDir)
+    val q = EventStreams.writeToTable(stream, t, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(t.scan().count() === ev.count())
+    assert(t.meta.snapshots.nonEmpty)
+    assert(t.meta.snapshots.forall(_.operation == "append"))
+  }
+}
