@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the graft expressions, so `spark.sql` users get
+  * the same kernels as the Column API:
+  *
+  *   SELECT iceberg_bucket(o_orderkey, 16), simhash64(text), ...
+  *
+  * Two paths: `GraftExtensions` for session construction
+  * (`.withExtensions(new GraftExtensions)` or the
+  * spark.sql.extensions conf), `Registry.register` for an existing
+  * session.
+  */
+object Registry {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "iceberg_bucket" -> (args => IcebergBucket(args(0), intArg(args(1), "iceberg_bucket"))),
+    "simhash64" -> (args => SimHash64(args(0))),
+    "doc_fingerprint" -> (args => DocFingerprint(args(0))),
+    "cosine_sim" -> (args => CosineSim(args(0), args(1))),
+    "jaccard_sim" -> (args => JaccardSim(args(0), args(1))),
+    "minhash_bands" -> (args => MinHashBands(args(0),
+      intArg(args(1), "minhash_bands"), intArg(args(2), "minhash_bands"))))
+
+  /** Register on a live session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Session-extension registration (injectFunction). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Registry.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

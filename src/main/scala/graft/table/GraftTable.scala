@@ -70,12 +70,23 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
     val withParts = m.spec.foldLeft(df)((acc, pf) =>
       acc.withColumn(pf.name, transformCol(pf)))
+    // sort order = write clustering: range-partition + in-partition sort
+    // gives files disjoint key ranges, which is what makes the manifest
+    // min/max pruning bite (reference: spec/sort.rs)
     val writer =
-      if (m.spec.nonEmpty)
+      if (m.spec.nonEmpty) {
         // shuffle once on the partition values so each partition's rows
         // land in few files rather than every task writing every partition
-        withParts.repartition(partNames.map(col): _*)
-          .write.partitionBy(partNames: _*)
+        val parted = withParts.repartition(partNames.map(col): _*)
+        val sorted =
+          if (m.sortOrder.nonEmpty)
+            parted.sortWithinPartitions((partNames ++ m.sortOrder).map(col): _*)
+          else parted
+        sorted.write.partitionBy(partNames: _*)
+      } else if (m.sortOrder.nonEmpty)
+        withParts.repartitionByRange(m.sortOrder.map(col): _*)
+          .sortWithinPartitions(m.sortOrder.map(col): _*)
+          .write
       else withParts.write
     writer.parquet(staging.toString)
 
@@ -283,6 +294,49 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Expire snapshots older than the newest `keepLast`, keeping every
+    * snapshot a ref points to plus its ancestry. Expired snapshots are
+    * squashed into a synthetic base so the live chain still replays. */
+  def expireSnapshots(keepLast: Int): GraftTable = this.synchronized {
+    val m = meta
+    val keepIds = scala.collection.mutable.Set[Long]()
+    (m.refs.values.toSeq ++ m.currentSnapshotId.toSeq).distinct.foreach { tip =>
+      var cur = m.snapshot(tip)
+      var n = 0
+      while (cur.isDefined && n < keepLast) {
+        keepIds += cur.get.snapshotId
+        cur = cur.get.parentId.flatMap(m.snapshot)
+        n += 1
+      }
+    }
+    if (keepIds.size == m.snapshots.size) return this
+    // squash: for each kept snapshot whose parent is expired, rebase it
+    // onto a base snapshot holding the expired prefix's live file set
+    val kept = m.snapshots.filter(s => keepIds.contains(s.snapshotId))
+    val rebased = kept.map { s =>
+      if (s.parentId.exists(p => !keepIds.contains(p))) {
+        // squash: the rebased snapshot carries its full live file set
+        s.copy(parentId = None, addedFiles = s(m.liveFiles(s.parentId)),
+          removedPaths = Seq.empty)
+      } else s
+    }
+    Meta.write(root, m.copy(snapshots = rebased))
+    this
+  }
+
+  /** Delete data files no snapshot references (post-expire GC). */
+  def vacuum(): Seq[String] = this.synchronized {
+    val m = meta
+    val referenced = m.snapshots.flatMap(_.addedFiles.map(_.path)).toSet
+    val onDisk =
+      if (!Files.exists(dataDir)) Seq.empty[Path]
+      else Files.walk(dataDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p)).toSeq
+    val orphans = onDisk.filterNot(p => referenced.contains(dataDir.relativize(p).toString))
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.map(p => dataDir.relativize(p).toString)
+  }
+
   /** Copy-on-write DELETE WHERE: only files whose stats can contain
     * matches are rewritten; untouched files carry over. */
   def delete(predicate: Column, touched: Seq[StatFilter] = Seq.empty): GraftTable = {
@@ -371,17 +425,19 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
 object GraftTable {
 
-  /** Create a new table (schema + optional partition spec). */
+  /** Create a new table (schema + optional partition spec + optional
+    * sort order for write clustering). */
   def create(spark: SparkSession, root: String, schema: StructType,
       spec: Seq[Meta.PartitionField] = Seq.empty,
-      properties: Map[String, String] = Map.empty): GraftTable = {
+      properties: Map[String, String] = Map.empty,
+      sortOrder: Seq[String] = Seq.empty): GraftTable = {
     require(!Meta.exists(root), s"table already exists at $root")
     Meta.write(root, Meta.TableMetadata(
       location = root, formatVersion = 1,
       schemas = Map(0 -> schema), currentSchemaId = 0,
       spec = spec, properties = properties,
       snapshots = Seq.empty, currentSnapshotId = None,
-      refs = Map.empty, lastVersion = 0))
+      refs = Map.empty, lastVersion = 0, sortOrder = sortOrder))
     new GraftTable(root, spark)
   }
 

@@ -67,7 +67,10 @@ object Meta {
       snapshots: Seq[Snapshot],
       currentSnapshotId: Option[Long],
       refs: Map[String, Long],
-      lastVersion: Int) {
+      lastVersion: Int,
+      /** write clustering: range-partition + sort columns
+        * (reference: iceberg-rust-spec/src/spec/sort.rs) */
+      sortOrder: Seq[String] = Seq.empty) {
 
     def schema: StructType = schemas(currentSchemaId)
 
@@ -145,6 +148,8 @@ object Meta {
       s.summary.foreach { case (k, v) => sm.put(k, v) }
     }
     m.currentSnapshotId.foreach(id => root.put("current_snapshot_id", id))
+    val so = root.putArray("sort_order")
+    m.sortOrder.foreach(so.add)
     val refs = root.putObject("refs")
     m.refs.foreach { case (k, v) => refs.put(k, v) }
     root.put("last_version", m.lastVersion)
@@ -204,7 +209,9 @@ object Meta {
       currentSnapshotId = Option(root.get("current_snapshot_id")).map(_.asLong()),
       refs = root.get("refs").properties().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
-      lastVersion = root.get("last_version").asInt())
+      lastVersion = root.get("last_version").asInt(),
+      sortOrder = Option(root.get("sort_order")).map(
+        _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
   }
 
   // ---- versioned store (file "catalog", reference: iceberg-file-catalog) --

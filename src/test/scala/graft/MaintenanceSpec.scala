@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.GraftTable
+import java.nio.file.Files
+
+class MaintenanceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-maint").toString + "/t"
+
+  test("expire + vacuum drops unreferenced files, live scans unchanged") {
+    val li = Tables.lineitem(spark, sf)
+    val t = GraftTable.create(spark, tmp(), li.schema)
+    t.append(li.limit(100))
+    t.append(li.limit(200))
+    t.overwrite(li.limit(300)) // makes the first two snapshots' files orphanable
+    val rowsBefore = t.scan().count()
+    t.expireSnapshots(keepLast = 1)
+    assert(t.meta.snapshots.size === 1)
+    val removed = t.vacuum()
+    assert(removed.nonEmpty, "overwritten files should be orphaned")
+    assert(t.scan().count() === rowsBefore)
+  }
+
+  test("expire keeps branch ancestry") {
+    val li = Tables.lineitem(spark, sf)
+    val t = GraftTable.create(spark, tmp(), li.schema)
+    t.append(li.limit(100))
+    t.setRef("dev", t.meta.currentSnapshotId.get)
+    t.append(li.limit(50))
+    t.append(li.limit(25))
+    t.expireSnapshots(keepLast = 1)
+    // dev's tip snapshot must survive because the ref points at it
+    assert(t.scan(branch = Some("dev")).count() === 100)
+    assert(t.scan().count() === 175)
+    t.vacuum()
+    assert(t.scan(branch = Some("dev")).count() === 100)
+  }
+
+  test("sort order clusters files into disjoint key ranges") {
+    val li = Tables.lineitem(spark, sf)
+    val t = GraftTable.create(spark, tmp(), li.schema,
+      sortOrder = Seq("l_orderkey"))
+    // AQE coalesces this small input to one partition (correct at
+    // scale); disable to observe multi-file clustering
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.append(li)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val files = t.plannedFiles(Seq.empty)
+    assert(files.size > 1, "want multiple files to check clustering")
+    val ranges = files.map(f =>
+      (f.stats("l_orderkey").min.toLong, f.stats("l_orderkey").max.toLong))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) =>
+        assert(max1 <= min2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // pruning now selects a strict subset for a point-ish predicate
+    val mid = ranges(ranges.size / 2)._1.toString
+    val planned = t.plannedFiles(Seq(t.StatFilter("l_orderkey", "=", mid)))
+    assert(planned.size < files.size)
+  }
+
+  test("SQL registry exposes the custom expressions") {
+    graft.functions.Registry.register(spark)
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_reg")
+    val r = spark.sql(
+      """SELECT iceberg_bucket(o_orderkey, 16) AS b,
+         iceberg_bucket(o_orderpriority, 4) AS pb
+         FROM orders_reg LIMIT 5""").collect()
+    assert(r.forall(x => x.getInt(0) >= 0 && x.getInt(0) < 16))
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_reg")
+    val h = spark.sql(
+      "SELECT simhash64(text) AS s, doc_fingerprint(text) AS f FROM docs_reg LIMIT 3")
+      .collect()
+    assert(h.forall(x => x.getLong(0) != 0 || x.getLong(1) != 0))
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS c").collect()
+    assert(math.abs(c(0).getDouble(0) - 0.7071067811865475) < 1e-12)
+  }
+}
