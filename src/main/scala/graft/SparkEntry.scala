@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Advanced.queries ++ ops.Transforms.queries ++
+    ops.Relational.queries ++ ops.Advanced.queries ++ ops.Extended.queries ++
+      ops.Transforms.queries ++
       ops.Events.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.TableOps.queries ++
@@ -20,7 +21,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.Advanced.oracles ++ ops.Transforms.oracles ++
+    ops.Relational.oracles ++ ops.Advanced.oracles ++ ops.Extended.oracles ++
+      ops.Transforms.oracles ++
       ops.Events.oracles ++ ops.TextAnalysis.oracles ++
       ops.Dedup.oracles ++ ops.Similarity.oracles ++
       ops.TableOps.oracles ++ ops.CatalogOps.oracles
