@@ -41,6 +41,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.subsetOf(batch), "stream emitted a window batch disagrees with")
   }
 
+  test("streaming dedup: dropDuplicates within watermark matches batch distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toFile
+    dir.deleteOnExit()
+    val ev = Tables.events(spark, sf)
+    // duplicate the stream on purpose
+    ev.unionByName(ev).write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(ev.schema).parquet(dir + "/in")
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").count() === ev.count())
+  }
+
   test("stateful sessionization agrees with the batch gap logic on closed sessions") {
     val spark0 = spark
     import spark0.implicits._
