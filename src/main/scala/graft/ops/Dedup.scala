@@ -104,6 +104,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components by iterative min-label propagation: each
+    * round every node adopts the smallest label in its neighborhood
+    * (one shuffle per round, cached between rounds); converges in
+    * O(diameter) rounds — near-dup clusters are shallow, so few. The
+    * exact transitive-closure upgrade of the one-pass keep-min policy. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** MinHash dedup with exact clusters: keep the minimum doc_id of
+    * every connected component (rows-only; cluster correctness
+    * asserted on a synthetic chain graph in PipelineSpec). */
+  val ddMinhashCluster: Q = (s, d) => {
+    val comp = connectedComponents(minhashPairs(s, d))
+    val survivorsInClusters = comp.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cluster_size"))
+    Tables.documents(s, d)
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("cluster_size"))
+      .unionByName(survivorsInClusters.select(col("doc_id"), col("cluster_size")))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dups: 64-bit fingerprints via the codegen'd SimHash64
     * expression, candidate generation by 16-bit chunk agreement
     * (pigeonhole: hamming <= 3 over 4 chunks guarantees a shared
@@ -154,6 +202,7 @@ object Dedup {
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhashPairs,
     "dd_minhash_dedup" -> ddMinhashDedup,
+    "dd_minhash_cluster" -> ddMinhashCluster,
     "dd_simhash" -> ddSimhash,
     "dd_ngram_jaccard" -> ddNgramJaccard)
 

@@ -154,7 +154,28 @@ object Extended {
            AND length(regexp_replace(text,'[^A-Za-z]','','g')) / length(text)::double > 0.6) t
        WHERE rn = 1 GROUP BY 1 ORDER BY lang"""
 
+  /** Range-frame window: rolling 7-day spend per customer — a RANGE
+    * frame over event-time (epoch seconds), not a row count. */
+  val q31RangeFrame: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-6L * 86400, 0)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("weekly"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q31Sql: String =
+    """SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY epoch(o_orderdate)::bigint
+         RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW),2) AS weekly
+       FROM orders ORDER BY o_custkey, o_orderkey"""
+
   val queries: Map[String, Q] = Map(
+    "q31_range_frame" -> q31RangeFrame,
     "q25_json" -> q25Json,
     "q26_pivot" -> q26Pivot,
     "q27_explode_agg" -> q27ExplodeAgg,
@@ -164,6 +185,7 @@ object Extended {
     "pipeline_clean" -> pipelineClean)
 
   val oracles: Map[String, String] = Map(
+    "q31_range_frame" -> q31Sql,
     "q25_json" -> q25Sql,
     "q26_pivot" -> q26Sql,
     "q27_explode_agg" -> q27Sql,

@@ -119,30 +119,43 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     moved
   }
 
+  /** Commit a snapshot with optimistic concurrency: the metadata delta
+    * is rebuilt from the freshest base on every attempt, and the
+    * rename-without-replace in Meta.write is the CAS — a losing writer
+    * gets CommitConflict and retries on the new base (appends always
+    * merge; the file delta itself never changes). */
   private def commit(op: String, added: Seq[Meta.DataFile],
       removed: Seq[String], schemaId: Option[Int] = None,
       lineage: Map[String, Long] = Map.empty,
       branch: String = "main"): Meta.TableMetadata = this.synchronized {
-    val m = meta
-    val parent = m.refs.get(branch).orElse(m.currentSnapshotId)
-    val snap = Meta.Snapshot(
-      snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1,
-      parentId = parent,
-      sequenceNumber = m.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
-      timestampMs = System.currentTimeMillis(),
-      operation = op,
-      addedFiles = added,
-      removedPaths = removed,
-      schemaId = schemaId.getOrElse(m.currentSchemaId),
-      lineage = lineage,
-      summary = Map("added-files" -> added.size.toString,
-        "removed-files" -> removed.size.toString))
-    val newRefs = m.refs + (branch -> snap.snapshotId)
-    Meta.write(root, m.copy(
-      snapshots = m.snapshots :+ snap,
-      currentSnapshotId =
-        if (branch == "main") Some(snap.snapshotId) else m.currentSnapshotId,
-      refs = newRefs))
+    var attempts = 0
+    while (true) {
+      val m = meta
+      val parent = m.refs.get(branch).orElse(m.currentSnapshotId)
+      val snap = Meta.Snapshot(
+        snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1,
+        parentId = parent,
+        sequenceNumber = m.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
+        timestampMs = System.currentTimeMillis(),
+        operation = op,
+        addedFiles = added,
+        removedPaths = removed,
+        schemaId = schemaId.getOrElse(m.currentSchemaId),
+        lineage = lineage,
+        summary = Map("added-files" -> added.size.toString,
+          "removed-files" -> removed.size.toString))
+      val newRefs = m.refs + (branch -> snap.snapshotId)
+      try {
+        return Meta.write(root, m.copy(
+          snapshots = m.snapshots :+ snap,
+          currentSnapshotId =
+            if (branch == "main") Some(snap.snapshotId) else m.currentSnapshotId,
+          refs = newRefs))
+      } catch {
+        case _: Meta.CommitConflict if attempts < 10 => attempts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Append rows (transaction/mod.rs:55). */
@@ -316,8 +329,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val rebased = kept.map { s =>
       if (s.parentId.exists(p => !keepIds.contains(p))) {
         // squash: the rebased snapshot carries its full live file set
+        // (manifestPath cleared — addedFiles is authoritative again)
         s.copy(parentId = None, addedFiles = s(m.liveFiles(s.parentId)),
-          removedPaths = Seq.empty)
+          removedPaths = Seq.empty, manifestPath = None)
       } else s
     }
     Meta.write(root, m.copy(snapshots = rebased))
@@ -327,7 +341,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** Delete data files no snapshot references (post-expire GC). */
   def vacuum(): Seq[String] = this.synchronized {
     val m = meta
-    val referenced = m.snapshots.flatMap(_.addedFiles.map(_.path)).toSet
+    val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
     val onDisk =
       if (!Files.exists(dataDir)) Seq.empty[Path]
       else Files.walk(dataDir).iterator().asScala
@@ -418,7 +432,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     import spark.implicits._
     meta.snapshots
       .map(s => (s.snapshotId, s.parentId.getOrElse(-1L), s.operation,
-        s.addedFiles.size, s.removedPaths.size))
+        s.files.size, s.removedPaths.size))
       .toDF("snapshot_id", "parent_id", "operation", "added_files", "removed_files")
   }
 }

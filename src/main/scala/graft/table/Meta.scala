@@ -46,12 +46,23 @@ object Meta {
       /** lineage: source table → snapshot id at MV refresh time
         * (reference: rewrite_with_lineage, table/transaction/mod.rs:97) */
       lineage: Map[String, Long],
-      summary: Map[String, String]) {
+      summary: Map[String, String],
+      /** large manifests spill out of the metadata JSON (see
+        * spillManifests); when set, addedFiles lives in this file */
+      manifestPath: Option[String] = None) {
+
+    /** Added files, resolving a spilled manifest lazily. */
+    lazy val files: Seq[DataFile] = manifestPath match {
+      case None => addedFiles
+      case Some(p) =>
+        mapper.readTree(Files.readString(Paths.get(p)))
+          .elements().asScala.map(readFile).toSeq
+    }
 
     /** Live files as of this snapshot, given the parent chain's state. */
     def apply(parentLive: Seq[DataFile]): Seq[DataFile] = {
       val removed = removedPaths.toSet
-      parentLive.filterNot(f => removed.contains(f.path)) ++ addedFiles
+      parentLive.filterNot(f => removed.contains(f.path)) ++ files
     }
   }
 
@@ -142,6 +153,7 @@ object Meta {
       val rp = n.putArray("removed_paths")
       s.removedPaths.foreach(rp.add)
       n.put("schema_id", s.schemaId)
+      s.manifestPath.foreach(p => n.put("manifest_path", p))
       val ln = n.putObject("lineage")
       s.lineage.foreach { case (k, v) => ln.put(k, v) }
       val sm = n.putObject("summary")
@@ -195,7 +207,8 @@ object Meta {
         lineage = n.get("lineage").properties().asScala
           .map(e => e.getKey -> e.getValue.asLong()).toMap,
         summary = n.get("summary").properties().asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .map(e => e.getKey -> e.getValue.asText()).toMap,
+        manifestPath = Option(n.get("manifest_path")).map(_.asText()))
     }.toSeq
     TableMetadata(
       location = root.get("location").asText(),
@@ -218,15 +231,49 @@ object Meta {
 
   def metadataDir(root: String): Path = Paths.get(root, "metadata")
 
+  /** Thrown when another writer committed the same version first —
+    * callers (GraftTable.commit) reload and retry (optimistic
+    * concurrency, like the reference catalogs' CAS update). */
+  class CommitConflict(v: Int)
+    extends RuntimeException(s"metadata version $v already committed")
+
+  /** Manifests above this size spill to a side file so the metadata
+    * JSON stays small no matter how many data files accumulate
+    * (reference: manifest_list.rs keeps manifests out of
+    * table_metadata for the same reason). */
+  private val InlineManifestLimit = 64
+
+  private def spillManifests(root: String, m: TableMetadata): TableMetadata = {
+    val dir = metadataDir(root).resolve("manifests")
+    val snaps = m.snapshots.map { s =>
+      if (s.addedFiles.size <= InlineManifestLimit || s.manifestPath.isDefined) s
+      else {
+        Files.createDirectories(dir)
+        val p = dir.resolve(s"snap-${s.snapshotId}.json")
+        val arr = mapper.createArrayNode()
+        s.addedFiles.foreach(f => arr.add(fileNode(f)))
+        Files.writeString(p, mapper.writeValueAsString(arr))
+        s.copy(addedFiles = Seq.empty, manifestPath = Some(p.toString))
+      }
+    }
+    m.copy(snapshots = snaps)
+  }
+
   def write(root: String, m: TableMetadata): TableMetadata = {
-    val next = m.copy(lastVersion = m.lastVersion + 1)
+    val next = spillManifests(root, m).copy(lastVersion = m.lastVersion + 1)
     val dir = metadataDir(root)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".v${next.lastVersion}.metadata.json.tmp")
+    val tmp = dir.resolve(
+      s".v${next.lastVersion}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.writeString(tmp, toJson(next))
-    // rename is the commit point (single-writer; a real catalog would CAS)
-    Files.move(tmp, dir.resolve(s"v${next.lastVersion}.metadata.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // rename-without-replace is the commit point: exactly one writer
+    // can create vN, the loser gets CommitConflict and retries
+    try Files.move(tmp, dir.resolve(s"v${next.lastVersion}.metadata.json"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflict(next.lastVersion)
+    }
     Files.writeString(dir.resolve("version-hint.text"), next.lastVersion.toString)
     next
   }

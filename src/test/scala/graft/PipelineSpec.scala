@@ -41,6 +41,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(a ^ c) < 20, "one-word edit should stay close")
   }
 
+  test("connected components finds transitive clusters the one-pass policy misses") {
+    val spark0 = spark
+    import spark0.implicits._
+    // chain 1-2-3-4 plus isolated edge 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comp = ops.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L && comp(4L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+  }
+
+  test("minhash cluster dedup covers all docs exactly once") {
+    val out = ops.Dedup.ddMinhashCluster(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    // every doc is either a survivor (its own row) or absorbed into a
+    // cluster's size; sizes must sum to the corpus
+    assert(out.map(_.getLong(1)).sum === total)
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+  }
+
   test("fingerprint is deterministic and collision-free on the corpus") {
     val fps = ops.TextAnalysis.taFingerprint(spark, sf).collect()
     assert(fps.map(_.getLong(1)).distinct.length === fps.length)
