@@ -65,6 +65,22 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(planned.size < files.size)
   }
 
+  test("concurrent appends from independent handles both commit") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    GraftTable.create(spark, root, li.schema)
+    // two independent table handles racing on the same root: the
+    // rename-CAS in Meta.write serializes them; the loser retries
+    val t1 = GraftTable.load(spark, root)
+    val t2 = GraftTable.load(spark, root)
+    val th1 = new Thread(() => t1.append(li.limit(100)))
+    val th2 = new Thread(() => t2.append(li.limit(200)))
+    th1.start(); th2.start(); th1.join(120000); th2.join(120000)
+    val t = GraftTable.load(spark, root)
+    assert(t.meta.snapshots.size === 2, t.meta.snapshots.map(_.snapshotId))
+    assert(t.scan().count() === 300)
+  }
+
   test("SQL registry exposes the custom expressions") {
     graft.functions.Registry.register(spark)
     Tables.orders(spark, sf).createOrReplaceTempView("orders_reg")
