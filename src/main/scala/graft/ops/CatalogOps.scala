@@ -90,13 +90,36 @@ object CatalogOps {
     """SELECT event_type, count(*) AS n, round(sum(value),2) AS total
        FROM events GROUP BY 1 ORDER BY event_type"""
 
+  /** DataSource V2 path: spark.read.format("graft") with predicate +
+    * column pushdown (manifest pruning inside Spark's planner, then
+    * the vectorized parquet reader). */
+  val tfConnectorScan: Q = (s, d) => {
+    val wh = scratch()
+    val li = Tables.lineitem(s, d)
+    graft.table.GraftTable
+      .create(s, s"$wh/li", li.schema, sortOrder = Seq("l_shipdate"))
+      .append(li)
+    s.read.format("graft").load(s"$wh/li")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01 00:00:00")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val tfConnectorScanSql: String =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS qty
+       FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1 ORDER BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "tf_insert_select" -> tfInsertSelect,
     "tf_ctas_view" -> tfCtasView,
-    "tf_mv_incremental" -> tfMvIncremental)
+    "tf_mv_incremental" -> tfMvIncremental,
+    "tf_connector_scan" -> tfConnectorScan)
 
   val oracles: Map[String, String] = Map(
     "tf_insert_select" -> tfInsertSelectSql,
     "tf_ctas_view" -> tfCtasViewSql,
-    "tf_mv_incremental" -> tfMvIncrementalSql)
+    "tf_mv_incremental" -> tfMvIncrementalSql,
+    "tf_connector_scan" -> tfConnectorScanSql)
 }

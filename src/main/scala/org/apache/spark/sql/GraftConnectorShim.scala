@@ -1,0 +1,80 @@
+package org.apache.spark.sql.execution.datasources
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.connector.read.PartitionReaderFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Bridge into Spark's file-source machinery for the graft DataSource
+  * V2 connector: PartitionedFile/FilePartition construction and the
+  * vectorized parquet PartitionReaderFactory are private[sql] or take
+  * private[sql] arguments, so the glue lives in this package — the
+  * connector itself (graft.spark) uses only the public V2 API plus
+  * these four factory methods.
+  */
+object GraftConnectorShim {
+
+  def partitionedFile(path: String, fileSize: Long, modTime: Long): PartitionedFile =
+    PartitionedFile(
+      partitionValues = InternalRow.empty,
+      filePath = SparkPath.fromPathString(path),
+      start = 0L,
+      length = fileSize,
+      locations = Array.empty,
+      modificationTime = modTime,
+      fileSize = fileSize)
+
+  def filePartition(index: Int, files: Seq[PartitionedFile]): FilePartition =
+    FilePartition(index, files.toArray)
+
+  def parquetReaderFactory(
+      spark: org.apache.spark.sql.SparkSession,
+      dataSchema: StructType,
+      readDataSchema: StructType,
+      pushedFilters: Array[Filter]): PartitionReaderFactory = {
+    val classic = spark.asInstanceOf[SparkSession]
+    val hadoopConf = classic.sessionState
+      .newHadoopConfWithOptions(Map.empty)
+    val sqlConf = classic.sessionState.conf
+    // mirror ParquetScan.createReaderFactory's conf preparation: the
+    // read-support class + requested schema + type-mapping flags the
+    // reader resolves from the task-side configuration
+    hadoopConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[parquet.ParquetReadSupport].getName)
+    hadoopConf.set(
+      parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchema.json)
+    hadoopConf.set(
+      parquet.ParquetWriteSupport.SPARK_ROW_SCHEMA, readDataSchema.json)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    val broadcastConf: Broadcast[SerializableConfiguration] =
+      classic.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(
+      sqlConf,
+      broadcastConf,
+      dataSchema,
+      readDataSchema,
+      StructType(Nil), // no directory-derived partition columns
+      pushedFilters,
+      None,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+}

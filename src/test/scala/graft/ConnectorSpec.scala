@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.GraftTable
+import java.nio.file.Files
+
+/** DataSource V2 connector: format("graft") reads with manifest
+  * pruning and vectorized parquet. */
+class ConnectorSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-conn").toString + "/t"
+
+  test("format(graft) round-trips rows and schema") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    GraftTable.create(spark, root, li.schema).append(li)
+    val df = spark.read.format("graft").load(root)
+    assert(df.schema === li.schema)
+    assert(df.count() === li.count())
+    val a = df.agg(round(sum("l_extendedprice"), 2)).collect()(0).getDouble(0)
+    val b = li.agg(round(sum("l_extendedprice"), 2)).collect()(0).getDouble(0)
+    assert(a === b)
+  }
+
+  test("filters prune files at planning time and prune columns") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema, sortOrder = Seq("l_orderkey"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.append(li)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(t.filesDF.count() > 1)
+
+    val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val df = spark.read.format("graft").load(root)
+      .filter(col("l_orderkey") > maxKey - 5)
+      .select(col("l_orderkey"), col("l_quantity"))
+    // correctness under pruning
+    val want = li.filter(col("l_orderkey") > maxKey - 5).count()
+    assert(df.count() === want)
+    // the scan plans fewer tasks than a full read would
+    val full = spark.read.format("graft").load(root)
+      .queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions
+    val pruned = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions
+    assert(pruned <= full)
+    assert(df.queryExecution.executedPlan.toString.contains("GraftScan"))
+  }
+
+  test("snapshot and branch options select table versions") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(100))
+    val s1 = t.meta.currentSnapshotId.get
+    t.setRef("dev", s1)
+    t.append(li.limit(50), branch = "dev")
+    t.append(li.limit(200))
+    assert(spark.read.format("graft").load(root).count() === 300)
+    assert(spark.read.format("graft").option("snapshot", s1.toString)
+      .load(root).count() === 100)
+    assert(spark.read.format("graft").option("branch", "dev")
+      .load(root).count() === 150)
+  }
+}
