@@ -121,13 +121,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-statistics quality score: mean unigram log-probability per
+    * document under the corpus's own unigram model — the classic
+    * cheap fluency proxy. Two distributed phases: build the frequency
+    * table (one groupBy), then score docs (join words→freq, one agg).
+    * The vocabulary is bounded, so the freq side broadcasts at scale. */
+  val taUnigramLogprob: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = words.agg(count(lit(1)).as("t"))
+    words
+      .join(freq, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("c").cast("double") / col("t"))), 6).as("logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taUnigramLogprobSql: String =
+    """WITH words AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+         FROM documents),
+       freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+       tot AS (SELECT count(*) AS t FROM words)
+       SELECT doc_id, round(avg(ln(c::double / t)), 6) AS logprob
+       FROM words JOIN freq USING (w) CROSS JOIN tot
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "ta_unigram_logprob" -> taUnigramLogprob,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangid,
     "ta_fingerprint" -> taFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "ta_unigram_logprob" -> taUnigramLogprobSql,
     "ta_tokens" -> taTokensSql,
     "ta_quality" -> taQualitySql)
 }

@@ -25,7 +25,8 @@ import scala.jdk.CollectionConverters._
   * reader for row-group pruning. File tasks are bin-packed toward
   * maxPartitionBytes so task count tracks data size, not file count.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
   override def shortName(): String = "graft"
 
   private def root(options: CaseInsensitiveStringMap): String = {
@@ -35,18 +36,52 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Meta.load(root(options)).schema
+    // a write to a not-yet-created table resolves the provider before
+    // createRelation runs — report an empty schema instead of failing
+    if (Meta.exists(root(options))) Meta.load(root(options)).schema
+    else StructType(Nil)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftSparkTable(properties.get("path"))
+
+  /** Write path (V1 provider — Spark prefers it for `df.write` when
+    * both interfaces are present): append/overwrite become table
+    * snapshots; the table is created on first write. */
+  override def createRelation(
+      ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft sink requires a path"))
+    val spark = data.sparkSession
+    val t =
+      if (Meta.exists(path)) GraftTable.load(spark, path)
+      else GraftTable.create(spark, path, data.schema)
+    mode match {
+      case org.apache.spark.sql.SaveMode.Append => t.append(data)
+      case org.apache.spark.sql.SaveMode.Overwrite => t.overwrite(data)
+      case org.apache.spark.sql.SaveMode.ErrorIfExists =>
+        if (t.meta.currentSnapshotId.isDefined)
+          throw new IllegalStateException(s"graft table $path is not empty")
+        t.append(data)
+      case org.apache.spark.sql.SaveMode.Ignore =>
+        if (t.meta.currentSnapshotId.isEmpty) t.append(data)
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = t.meta.schema
+    }
+  }
 }
 
 class GraftSparkTable(root: String) extends Table with SupportsRead {
   private lazy val meta = Meta.load(root)
 
   override def name(): String = s"graft.`$root`"
-  override def schema(): StructType = meta.schema
+  override def schema(): StructType =
+    if (Meta.exists(root)) meta.schema else StructType(Nil)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 

@@ -53,6 +53,18 @@ class ConnectorSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("GraftScan"))
   }
 
+  test("df.write.format(graft) appends and overwrites as snapshots") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    li.limit(100).write.format("graft").mode("append").save(root)
+    li.limit(50).write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() === 150)
+    li.limit(20).write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root).count() === 20)
+    val t = GraftTable.load(spark, root)
+    assert(t.meta.snapshots.map(_.operation) === Seq("append", "append", "overwrite"))
+  }
+
   test("snapshot and branch options select table versions") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()
