@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{ArrayKernels, IcebergHash, TextHash}
+import scala.util.Random
+
+/** Property-style checks for the hashing/similarity kernels, over
+  * seeded random samples (deterministic across runs). */
+class KernelPropertySpec extends AnyFunSuite {
+  private val rnd = new Random(42)
+
+  private def randString(): String =
+    Random.javaRandomToRandom(new java.util.Random(rnd.nextLong()))
+      .alphanumeric.take(rnd.nextInt(30)).mkString
+
+  test("bucket is always in [0, n) across the long range") {
+    val samples = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue) ++
+      (1 to 1000).map(_ => rnd.nextLong())
+    samples.foreach { v =>
+      val b = IcebergHash.bucketLong(v, 16)
+      assert(b >= 0 && b < 16, s"v=$v b=$b")
+    }
+  }
+
+  test("bucket over strings is deterministic and range-bound") {
+    (1 to 500).foreach { _ =>
+      val s = randString()
+      val b1 = IcebergHash.bucketUtf8(UTF8String.fromString(s), 32)
+      val b2 = IcebergHash.bucketUtf8(UTF8String.fromString(s), 32)
+      assert(b1 === b2)
+      assert(b1 >= 0 && b1 < 32)
+    }
+  }
+
+  test("murmur3 distributes: 1000 sequential keys fill most of 32 buckets") {
+    val hit = (0 until 1000).map(i => IcebergHash.bucketLong(i.toLong, 32)).toSet
+    assert(hit.size >= 28, s"only ${hit.size} buckets hit")
+  }
+
+  private def arr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  test("jaccard is bounded, reflexive, and symmetric") {
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(20) + 1)(randString())
+      val b = Seq.fill(rnd.nextInt(20) + 1)(randString())
+      val j = ArrayKernels.jaccard(arr(a), arr(b))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(ArrayKernels.jaccard(arr(a), arr(a)) === 1.0)
+      assert(ArrayKernels.jaccard(arr(b), arr(a)) === j)
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    (1 to 200).foreach { _ =>
+      val v = Array.fill(16)(rnd.nextDouble() * 200 - 100)
+      if (v.exists(x => math.abs(x) > 1e-3)) {
+        val a = new GenericArrayData(v.map(Double.box).toArray[Any])
+        assert(math.abs(ArrayKernels.cosine(a, a) - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("simhash is deterministic; disjoint vocab differs") {
+    (1 to 200).foreach { _ =>
+      val s = randString() + " " + randString()
+      assert(TextHash.simhash64(UTF8String.fromString(s)) ===
+        TextHash.simhash64(UTF8String.fromString(s)))
+    }
+    val a = TextHash.simhash64(UTF8String.fromString("alpha beta gamma delta"))
+    val b = TextHash.simhash64(UTF8String.fromString("one two three four"))
+    assert(a !== b)
+  }
+
+  test("minhash bands: subset similarity raises band agreement") {
+    def bands(xs: Seq[String]) =
+      (0 until 16).map(i => ArrayKernels.minhashBands(arr(xs), 64, 16).getInt(i))
+    val base = (1 to 40).map(i => s"sh_$i")
+    val near = base.drop(2) ++ Seq("x_1", "x_2") // ~90% overlap
+    val far = (100 to 140).map(i => s"sh_$i")
+    val agreeNear = bands(base).zip(bands(near)).count { case (x, y) => x == y }
+    val agreeFar = bands(base).zip(bands(far)).count { case (x, y) => x == y }
+    assert(agreeNear > agreeFar)
+    assert(agreeFar === 0)
+  }
+}
