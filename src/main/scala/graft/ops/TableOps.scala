@@ -233,7 +233,31 @@ object TableOps {
     """SELECT o_orderstatus, count(*) AS n FROM orders
        GROUP BY 1 ORDER BY o_orderstatus"""
 
+  /** merge-on-read DELETE: equality-delete file + scan-time anti-join,
+    * then applyDeletes folds them into rewritten data — both read
+    * paths must agree with the SQL predicate. */
+  val tfDeleteMor: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, scratch(), o.schema)
+    t.append(o)
+    t.deleteWhereMoR(col("o_orderpriority") === "5-LOW", Seq("o_orderkey"))
+    val morCount = t.scan().count() // anti-join path
+    t.applyDeletes()                // fold-in path
+    t.scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mor_n", lit(morCount))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfDeleteMorSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       (SELECT count(*) FROM orders WHERE o_orderpriority <> '5-LOW') AS mor_n
+       FROM orders WHERE o_orderpriority <> '5-LOW'
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
+    "tf_delete_mor" -> tfDeleteMor,
     "tf_snapshot_scan" -> tfSnapshotScan,
     "tf_time_travel" -> tfTimeTravel,
     "tf_files_pruned" -> tfFilesPruned,
@@ -247,6 +271,7 @@ object TableOps {
     "tf_mat_view_refresh" -> tfMatViewRefresh)
 
   val oracles: Map[String, String] = Map(
+    "tf_delete_mor" -> tfDeleteMorSql,
     "tf_snapshot_scan" -> tfSnapshotScanSql,
     "tf_time_travel" -> tfTimeTravelSql,
     "tf_partition_scan" -> tfPartitionScanSql,

@@ -127,7 +127,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   private def commit(op: String, added: Seq[Meta.DataFile],
       removed: Seq[String], schemaId: Option[Int] = None,
       lineage: Map[String, Long] = Map.empty,
-      branch: String = "main"): Meta.TableMetadata = this.synchronized {
+      branch: String = "main",
+      addedDeletes: Seq[Meta.DataFile] = Seq.empty,
+      removedDeletes: Seq[String] = Seq.empty): Meta.TableMetadata = this.synchronized {
     var attempts = 0
     while (true) {
       val m = meta
@@ -143,7 +145,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         schemaId = schemaId.getOrElse(m.currentSchemaId),
         lineage = lineage,
         summary = Map("added-files" -> added.size.toString,
-          "removed-files" -> removed.size.toString))
+          "removed-files" -> removed.size.toString),
+        addedDeleteFiles = addedDeletes,
+        removedDeletePaths = removedDeletes)
       val newRefs = m.refs + (branch -> snap.snapshotId)
       try {
         return Meta.write(root, m.copy(
@@ -166,11 +170,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
-  /** Overwrite the whole table content (MV full refresh path). */
+  /** Overwrite the whole table content (MV full refresh path); any
+    * outstanding equality deletes are obsolete and dropped. */
   def overwrite(df: DataFrame, lineage: Map[String, Long] = Map.empty): GraftTable = {
-    val old = meta.liveFiles(None).map(_.path)
-    val files = writeFiles(df, meta.schema)
-    commit("overwrite", files, old, lineage = lineage)
+    val m = meta
+    val old = m.liveFiles(None).map(_.path)
+    val files = writeFiles(df, m.schema)
+    commit("overwrite", files, old, lineage = lineage,
+      removedDeletes = m.liveDeleteFiles(None).map(_.path))
     this
   }
 
@@ -239,7 +246,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** Scan: assemble the DataFrame from the live (possibly pruned) file
     * list under the snapshot's schema. Missing columns in old files
     * (schema evolution) read as null; parquet row-group pushdown still
-    * applies on top of manifest pruning. */
+    * applies on top of manifest pruning. Outstanding equality-delete
+    * files (merge-on-read) are applied as a broadcastable anti-join. */
   def scan(filters: Seq[StatFilter] = Seq.empty,
       snapshotId: Option[Long] = None,
       branch: Option[String] = None): DataFrame = {
@@ -248,9 +256,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val schema = m.schemas(snapId.flatMap(m.snapshot).map(_.schemaId)
       .getOrElse(m.currentSchemaId))
     val files = plannedFiles(filters, snapshotId, branch)
-    if (files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(absolute): _*)
+    val base =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(absolute): _*)
+    val deletes = m.liveDeleteFiles(snapId)
+    deletes.groupBy(_.equalityColumns).foldLeft(base) { case (df, (eqCols, dfiles)) =>
+      val delDf = spark.read.parquet(dfiles.map(absolute): _*)
+      df.join(delDf, eqCols, "left_anti")
+    }
   }
 
   def timeTravel(snapshotId: Long): DataFrame = scan(snapshotId = Some(snapshotId))
@@ -341,7 +355,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** Delete data files no snapshot references (post-expire GC). */
   def vacuum(): Seq[String] = this.synchronized {
     val m = meta
-    val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
+    val referenced = (m.snapshots.flatMap(_.files.map(_.path)) ++
+      m.snapshots.flatMap(_.addedDeleteFiles.map(_.path))).toSet
     val onDisk =
       if (!Files.exists(dataDir)) Seq.empty[Path]
       else Files.walk(dataDir).iterator().asScala
@@ -349,6 +364,47 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val orphans = onDisk.filterNot(p => referenced.contains(dataDir.relativize(p).toString))
     orphans.foreach(Files.deleteIfExists(_))
     orphans.map(p => dataDir.relativize(p).toString)
+  }
+
+  /** Merge-on-read DELETE WHERE (Iceberg v2 equality deletes): the
+    * matching key values are written as a small delete file and
+    * applied at scan via anti-join — O(matches) write cost instead of
+    * rewriting data files; `applyDeletes` folds them in later. */
+  def deleteWhereMoR(predicate: Column, keyCols: Seq[String]): GraftTable = {
+    val m = meta
+    val keys = scan().filter(predicate).select(keyCols.map(col): _*).distinct()
+    val staging = Paths.get(root, s"stage-${UUID.randomUUID().toString.take(8)}")
+    keys.write.parquet(staging.toString)
+    val dir = dataDir.resolve("deletes")
+    Files.createDirectories(dir)
+    val added = Files.walk(staging).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.map { src =>
+        val dest = dir.resolve(s"eq-${UUID.randomUUID().toString.take(8)}.parquet")
+        Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+        Meta.DataFile(
+          path = dataDir.relativize(dest).toString,
+          partitionValues = Map.empty,
+          recordCount = -1L, fileSizeBytes = Files.size(dest),
+          stats = Map.empty, equalityColumns = keyCols)
+      }
+    Files.walk(staging).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    commit("delete-eq", Seq.empty, Seq.empty, addedDeletes = added)
+    this
+  }
+
+  /** Fold outstanding equality deletes into the data (the rewrite the
+    * reference's `rewrite` transaction performs): data files rewritten
+    * minus deleted keys, delete files dropped. */
+  def applyDeletes(): GraftTable = {
+    val m = meta
+    val deletes = m.liveDeleteFiles(None)
+    if (deletes.isEmpty) return this
+    val files = writeFiles(scan(), m.schema)
+    commit("rewrite", files, m.liveFiles(None).map(_.path),
+      removedDeletes = deletes.map(_.path))
+    this
   }
 
   /** Copy-on-write DELETE WHERE: only files whose stats can contain

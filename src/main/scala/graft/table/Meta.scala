@@ -32,7 +32,10 @@ object Meta {
       partitionValues: Map[String, String],
       recordCount: Long,
       fileSizeBytes: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats],
+      /** set only on equality-delete files: the key columns whose
+        * values this file deletes (Iceberg v2 equality deletes) */
+      equalityColumns: Seq[String] = Seq.empty)
 
   case class Snapshot(
       snapshotId: Long,
@@ -49,7 +52,12 @@ object Meta {
       summary: Map[String, String],
       /** large manifests spill out of the metadata JSON (see
         * spillManifests); when set, addedFiles lives in this file */
-      manifestPath: Option[String] = None) {
+      manifestPath: Option[String] = None,
+      /** merge-on-read: equality-delete files added/removed by this
+        * snapshot (applied at scan via anti-join until a rewrite
+        * folds them in) */
+      addedDeleteFiles: Seq[DataFile] = Seq.empty,
+      removedDeletePaths: Seq[String] = Seq.empty) {
 
     /** Added files, resolving a spilled manifest lazily. */
     lazy val files: Seq[DataFile] = manifestPath match {
@@ -87,8 +95,7 @@ object Meta {
 
     def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
 
-    /** Live file set at a snapshot, replaying the append/remove chain. */
-    def liveFiles(snapshotId: Option[Long]): Seq[DataFile] = {
+    private def chainTo(snapshotId: Option[Long]): Seq[Snapshot] =
       snapshotId.orElse(currentSnapshotId) match {
         case None => Seq.empty
         case Some(id) =>
@@ -98,9 +105,19 @@ object Meta {
             chain += cur.get
             cur = cur.get.parentId.flatMap(snapshot)
           }
-          chain.reverse.foldLeft(Seq.empty[DataFile])((live, s) => s(live))
+          chain.reverse.toSeq
       }
-    }
+
+    /** Live file set at a snapshot, replaying the append/remove chain. */
+    def liveFiles(snapshotId: Option[Long]): Seq[DataFile] =
+      chainTo(snapshotId).foldLeft(Seq.empty[DataFile])((live, s) => s(live))
+
+    /** Live equality-delete files at a snapshot (merge-on-read). */
+    def liveDeleteFiles(snapshotId: Option[Long]): Seq[DataFile] =
+      chainTo(snapshotId).foldLeft(Seq.empty[DataFile]) { (live, s) =>
+        val removed = s.removedDeletePaths.toSet
+        live.filterNot(f => removed.contains(f.path)) ++ s.addedDeleteFiles
+      }
   }
 
   // ---- JSON writing ---------------------------------------------------
@@ -122,6 +139,10 @@ object Meta {
     n.put("records", f.recordCount)
     n.put("bytes", f.fileSizeBytes)
     n.set("stats", statsNode(f.stats))
+    if (f.equalityColumns.nonEmpty) {
+      val eq = n.putArray("equality_columns")
+      f.equalityColumns.foreach(eq.add)
+    }
     n
   }
 
@@ -154,6 +175,14 @@ object Meta {
       s.removedPaths.foreach(rp.add)
       n.put("schema_id", s.schemaId)
       s.manifestPath.foreach(p => n.put("manifest_path", p))
+      if (s.addedDeleteFiles.nonEmpty) {
+        val adf = n.putArray("added_delete_files")
+        s.addedDeleteFiles.foreach(f => adf.add(fileNode(f)))
+      }
+      if (s.removedDeletePaths.nonEmpty) {
+        val rdp = n.putArray("removed_delete_paths")
+        s.removedDeletePaths.foreach(rdp.add)
+      }
       val ln = n.putObject("lineage")
       s.lineage.foreach { case (k, v) => ln.put(k, v) }
       val sm = n.putObject("summary")
@@ -182,7 +211,9 @@ object Meta {
       .map(e => e.getKey -> e.getValue.asText()).toMap,
     recordCount = n.get("records").asLong(),
     fileSizeBytes = n.get("bytes").asLong(),
-    stats = readStats(n.get("stats")))
+    stats = readStats(n.get("stats")),
+    equalityColumns = Option(n.get("equality_columns")).map(
+      _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
 
   def fromJson(json: String): TableMetadata = {
     val root = mapper.readTree(json)
@@ -208,7 +239,11 @@ object Meta {
           .map(e => e.getKey -> e.getValue.asLong()).toMap,
         summary = n.get("summary").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap,
-        manifestPath = Option(n.get("manifest_path")).map(_.asText()))
+        manifestPath = Option(n.get("manifest_path")).map(_.asText()),
+        addedDeleteFiles = Option(n.get("added_delete_files")).map(
+          _.elements().asScala.map(readFile).toSeq).getOrElse(Seq.empty),
+        removedDeletePaths = Option(n.get("removed_delete_paths")).map(
+          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
     }.toSeq
     TableMetadata(
       location = root.get("location").asText(),

@@ -123,6 +123,25 @@ class TableSpec extends AnyFunSuite {
     assert(lastOp.removedPaths.size < 8)
   }
 
+  test("merge-on-read deletes: no data rewrite until applyDeletes") {
+    val o = Tables.orders(spark, sf)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, o.schema)
+    t.append(o)
+    val filesBefore = t.meta.liveFiles(None).map(_.path).toSet
+    t.deleteWhereMoR(col("o_orderstatus") === "F", Seq("o_orderkey"))
+    // data files untouched, scan already excludes the rows
+    assert(t.meta.liveFiles(None).map(_.path).toSet === filesBefore)
+    val want = o.filter(col("o_orderstatus") =!= "F").count()
+    assert(t.scan().count() === want)
+    assert(t.meta.liveDeleteFiles(None).nonEmpty)
+    // folding in rewrites data and drops the delete files
+    t.applyDeletes()
+    assert(t.meta.liveDeleteFiles(None).isEmpty)
+    assert(t.scan().count() === want)
+    assert(t.scan().filter(col("o_orderstatus") === "F").count() === 0)
+  }
+
   test("merge upserts matching keys and inserts new ones") {
     val spark0 = spark
     import spark0.implicits._
