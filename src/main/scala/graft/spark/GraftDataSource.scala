@@ -76,19 +76,31 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 }
 
-class GraftSparkTable(root: String) extends Table with SupportsRead {
+class GraftSparkTable(root: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val meta = Meta.load(root)
 
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType =
     if (Meta.exists(root)) meta.schema else StructType(Nil)
+
+  /** BATCH_WRITE only once the table exists — creation-on-first-write
+    * goes through the V1 provider, which knows the incoming schema. */
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (Meta.exists(root))
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root,
       Option(options.get("snapshot")).map(_.toLong),
       Option(options.get("branch")))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root, info.schema())
 }
 
 class GraftScanBuilder(root: String, snapshotId: Option[Long],
@@ -132,9 +144,20 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
     case _ => None
   }
 
-  override def build(): Scan =
-    new GraftScan(root, table, snapshotId, branch, requiredSchema,
+  override def build(): Scan = {
+    // merge-on-read: if equality-delete files are live, their key
+    // columns must be read even when pruned away (Spark projects the
+    // extra columns back out above the scan)
+    val deletes = table.liveDeleteFiles(
+      branch.flatMap(table.refs.get).orElse(snapshotId))
+    val eqCols = deletes.flatMap(_.equalityColumns).distinct
+    val withKeys =
+      if (eqCols.forall(requiredSchema.fieldNames.contains)) requiredSchema
+      else StructType(table.schema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
+    new GraftScan(root, table, snapshotId, branch, withKeys,
       pushed, pushed.flatMap(toStatFilter))
+  }
 }
 
 class GraftScan(root: String, table: Meta.TableMetadata,
@@ -177,7 +200,150 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftConnectorShim.parquetReaderFactory(
-      SparkSession.active, table.schema, requiredSchema, pushedFilters)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val delegate = GraftConnectorShim.parquetReaderFactory(
+      spark, table.schema, requiredSchema, pushedFilters)
+    val snapId = branch.flatMap(table.refs.get).orElse(snapshotId)
+    val deletes = table.liveDeleteFiles(snapId)
+    if (deletes.isEmpty) delegate
+    else {
+      val dataDir = java.nio.file.Paths.get(root, "data")
+      // one key set per equality-column group, values pre-converted to
+      // catalyst form so executor-side membership tests are direct
+      val groups = deletes.groupBy(_.equalityColumns).toSeq.map { case (eqCols, dfiles) =>
+        val keyDf = spark.read.parquet(
+          dfiles.map(f => dataDir.resolve(f.path).toString): _*)
+        val idx = eqCols.map(requiredSchema.fieldIndex).toArray
+        val types = idx.map(requiredSchema.fields(_).dataType)
+        val keys = keyDf.select(eqCols.map(org.apache.spark.sql.functions.col): _*)
+          .collect()
+          .map(r => (0 until r.length).map(i =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToCatalyst(r.get(i))).toVector)
+          .toSet
+        DeleteKeyGroup(idx, types, keys)
+      }
+      DeleteFilteringReaderFactory(delegate, groups)
+    }
+  }
+}
+
+/** One equality-delete group: where the key columns sit in the read
+  * schema, their types, and the deleted key tuples (catalyst form). */
+case class DeleteKeyGroup(
+    indexes: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType],
+    keys: Set[Vector[Any]])
+
+/** Wraps the parquet reader factory to drop rows whose equality key is
+  * deleted (merge-on-read applied inside the scan, so the connector
+  * and GraftTable.scan agree). */
+case class DeleteFilteringReaderFactory(
+    delegate: PartitionReaderFactory, groups: Seq[DeleteKeyGroup])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = delegate.createReader(partition)
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var current: org.apache.spark.sql.catalyst.InternalRow = _
+      private def deleted(row: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+        groups.exists { g =>
+          val key = (0 until g.indexes.length).map(i =>
+            row.get(g.indexes(i), g.types(i))).toVector
+          g.keys.contains(key)
+        }
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (!deleted(r)) { current = r; return true }
+        }
+        false
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = current
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+// ---- V2 write path ---------------------------------------------------
+
+/** BatchWrite: executors stream InternalRows into per-task parquet
+  * files under a staging dir; the driver commit ingests them (footer
+  * stats job) and snapshots — append or truncate+overwrite. */
+class GraftWriteBuilder(root: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new GraftWrite(root, schema, overwrite)
+}
+
+class GraftWrite(root: String, schema: StructType, overwrite: Boolean)
+  extends org.apache.spark.sql.connector.write.Write {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftBatchWrite(root, schema, overwrite)
+}
+
+class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val staging =
+    java.nio.file.Paths.get(root, s"stage-v2-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    java.nio.file.Files.createDirectories(staging)
+    GraftWriterFactory(staging.toString,
+      GraftConnectorShim.prepareParquetWriteConf(SparkSession.active, schema))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    GraftTable.load(SparkSession.active, root)
+      .commitStagedWrite(staging, overwrite)
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(staging))
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+}
+
+case class GraftCommitMessage(path: String, rows: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+case class GraftWriterFactory(staging: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftDataWriter(
+      s"$staging/part-$partitionId-$taskId.parquet", conf.value, partitionId, taskId)
+}
+
+class GraftDataWriter(path: String,
+    conf: org.apache.hadoop.conf.Configuration, partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  private val writer =
+    GraftConnectorShim.newParquetTaskWriter(path, conf, partitionId, taskId)
+  private var rows = 0L
+
+  override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    writer.write(row); rows += 1
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close(); GraftCommitMessage(path, rows)
+  }
+  override def abort(): Unit = {
+    writer.close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
+  override def close(): Unit = ()
 }

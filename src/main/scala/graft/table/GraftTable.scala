@@ -89,7 +89,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           .write
       else withParts.write
     writer.parquet(staging.toString)
+    ingestStaged(staging, schema)
+  }
 
+  /** Collect footer stats for every parquet under `staging`, move the
+    * files into the data dir (preserving partition subdirs), return
+    * their manifest entries, and remove the staging skeleton. */
+  private[graft] def ingestStaged(staging: Path,
+      schema: StructType): Seq[Meta.DataFile] = {
     val stagedPaths = Files.walk(staging).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(_.toString).toSeq
@@ -117,6 +124,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     Files.walk(staging).iterator().asScala.toSeq.reverse
       .foreach(p => Files.deleteIfExists(p))
     moved
+  }
+
+  /** V2 connector commit point: ingest a staging dir the executors
+    * populated (BatchWrite) and snapshot it. */
+  private[graft] def commitStagedWrite(staging: Path, overwrite: Boolean): Unit = {
+    val m = meta
+    val files = ingestStaged(staging, m.schema)
+    if (overwrite)
+      commit("overwrite", files, m.liveFiles(None).map(_.path),
+        removedDeletes = m.liveDeleteFiles(None).map(_.path))
+    else commit("append", files, Seq.empty)
   }
 
   /** Commit a snapshot with optimistic concurrency: the metadata delta

@@ -34,6 +34,44 @@ object GraftConnectorShim {
   def filePartition(index: Int, files: Seq[PartitionedFile]): FilePartition =
     FilePartition(index, files.toArray)
 
+  /** Driver-side: hadoop conf prepared the way ParquetFileFormat.
+    * prepareWrite does, serialized for shipping to write tasks. */
+  def prepareParquetWriteConf(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: StructType): SerializableConfiguration = {
+    val classic = spark.asInstanceOf[SparkSession]
+    val conf = classic.sessionState.newHadoopConfWithOptions(Map.empty)
+    val sqlConf = classic.sessionState.conf
+    conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[parquet.ParquetWriteSupport].getName)
+    parquet.ParquetWriteSupport.setSchema(schema, conf)
+    conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
+      sqlConf.parquetCompressionCodec)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    new SerializableConfiguration(conf)
+  }
+
+  /** Executor-side: a parquet OutputWriter for one task file. */
+  def newParquetTaskWriter(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      partitionId: Int, taskId: Long): OutputWriter = {
+    val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
+      new org.apache.hadoop.mapreduce.TaskID(
+        new org.apache.hadoop.mapreduce.JobID("graft", 0),
+        org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+      taskId.toInt)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf, attempt)
+    new parquet.ParquetOutputWriter(path, ctx)
+  }
+
   def parquetReaderFactory(
       spark: org.apache.spark.sql.SparkSession,
       dataSchema: StructType,

@@ -65,6 +65,35 @@ class ConnectorSpec extends AnyFunSuite {
     assert(t.meta.snapshots.map(_.operation) === Seq("append", "append", "overwrite"))
   }
 
+  test("V2 batch write: append to an existing table goes through executors") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    GraftTable.create(spark, root, li.schema).append(li.limit(10))
+    // table exists → BATCH_WRITE capability → V2 path
+    li.limit(90).write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() === 100)
+    li.limit(40).write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root).count() === 40)
+    val sum1 = spark.read.format("graft").load(root)
+      .agg(round(sum("l_extendedprice"), 2)).collect()(0).getDouble(0)
+    val sum2 = li.limit(40).agg(round(sum("l_extendedprice"), 2)).collect()(0).getDouble(0)
+    assert(sum1 === sum2)
+  }
+
+  test("connector applies merge-on-read deletes at scan") {
+    val o = Tables.orders(spark, sf)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, o.schema)
+    t.append(o)
+    t.deleteWhereMoR(col("o_orderstatus") === "F", Seq("o_orderkey"))
+    val want = o.filter(col("o_orderstatus") =!= "F").count()
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() === want)
+    // even when the key column is pruned away, deletes still apply
+    assert(df.select("o_totalprice").count() === want)
+    assert(df.filter(col("o_orderstatus") === "F").count() === 0)
+  }
+
   test("snapshot and branch options select table versions") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()
