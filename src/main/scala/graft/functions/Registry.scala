@@ -29,7 +29,8 @@ object Registry {
     "cosine_sim" -> (args => CosineSim(args(0), args(1))),
     "jaccard_sim" -> (args => JaccardSim(args(0), args(1))),
     "minhash_bands" -> (args => MinHashBands(args(0),
-      intArg(args(1), "minhash_bands"), intArg(args(2), "minhash_bands"))))
+      intArg(args(1), "minhash_bands"), intArg(args(2), "minhash_bands"))),
+    "zorder2" -> (args => ZOrder2(args(0), args(1))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -50,6 +50,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }
   }
 
+  private val ZOrderSpec = """zorder\((\w+),\s*(\w+)\)""".r
+
+  /** A sort-order entry is a column name or `zorder(a,b)`. */
+  private def sortColumn(entry: String): Column = entry match {
+    case ZOrderSpec(a, b) =>
+      graft.functions.ZOrderKeys.zorder(col(a).cast("int"), col(b).cast("int"))
+    case name => col(name)
+  }
+
   private def isPrunable(t: DataType): Boolean = t match {
     case _: IntegerType | _: LongType | _: DoubleType | _: FloatType |
         _: StringType | _: DateType | _: TimestampType | _: ShortType |
@@ -72,20 +81,23 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       acc.withColumn(pf.name, transformCol(pf)))
     // sort order = write clustering: range-partition + in-partition sort
     // gives files disjoint key ranges, which is what makes the manifest
-    // min/max pruning bite (reference: spec/sort.rs)
+    // min/max pruning bite (reference: spec/sort.rs). An entry of the
+    // form zorder(a,b) clusters on the Morton interleave — narrow
+    // per-file ranges in BOTH dimensions.
+    val sortCols = m.sortOrder.map(sortColumn)
     val writer =
       if (m.spec.nonEmpty) {
         // shuffle once on the partition values so each partition's rows
         // land in few files rather than every task writing every partition
         val parted = withParts.repartition(partNames.map(col): _*)
         val sorted =
-          if (m.sortOrder.nonEmpty)
-            parted.sortWithinPartitions((partNames ++ m.sortOrder).map(col): _*)
+          if (sortCols.nonEmpty)
+            parted.sortWithinPartitions(partNames.map(col) ++ sortCols: _*)
           else parted
         sorted.write.partitionBy(partNames: _*)
-      } else if (m.sortOrder.nonEmpty)
-        withParts.repartitionByRange(m.sortOrder.map(col): _*)
-          .sortWithinPartitions(m.sortOrder.map(col): _*)
+      } else if (sortCols.nonEmpty)
+        withParts.repartitionByRange(sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
           .write
       else withParts.write
     writer.parquet(staging.toString)

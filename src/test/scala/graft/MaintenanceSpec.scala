@@ -65,6 +65,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(planned.size < files.size)
   }
 
+  test("z-order clustering prunes on both dimensions") {
+    val o = Tables.orders(spark, sf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (zt, lt) = try {
+      val zt = GraftTable.create(spark, tmp(), o.schema,
+        sortOrder = Seq("zorder(o_custkey, o_orderkey)"))
+      zt.append(o)
+      val lt = GraftTable.create(spark, tmp(), o.schema,
+        sortOrder = Seq("o_custkey"))
+      lt.append(o)
+      (zt, lt)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(zt.filesDF.count() > 1)
+    // predicate on the SECOND dimension: the linear sort gives every
+    // file the full o_orderkey range; z-order gives narrow ranges
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val cut = (maxK / 8).toString
+    val zPlanned = zt.plannedFiles(Seq(zt.StatFilter("o_orderkey", "<", cut))).size
+    val lPlanned = lt.plannedFiles(Seq(lt.StatFilter("o_orderkey", "<", cut))).size
+    assert(zPlanned < lPlanned,
+      s"zorder planned $zPlanned vs linear $lPlanned of ${zt.filesDF.count()}")
+    // correctness under the pruned scan
+    val want = o.filter(col("o_orderkey") < cut.toLong).count()
+    val got = zt.scan(Seq(zt.StatFilter("o_orderkey", "<", cut)))
+      .filter(col("o_orderkey") < cut.toLong).count()
+    assert(got === want)
+  }
+
+  test("zorder kernel is order-preserving per dimension") {
+    import graft.functions.ZOrderKeys
+    // fixing one dimension, z-values must be monotonic in the other
+    val fixed = 12345
+    val zs = Seq(Int.MinValue, -10, 0, 7, 1000, Int.MaxValue)
+      .map(v => ZOrderKeys.zOrder2(v, fixed))
+    assert(zs === zs.sorted)
+    val zs2 = Seq(Int.MinValue, -10, 0, 7, 1000, Int.MaxValue)
+      .map(v => ZOrderKeys.zOrder2(fixed, v))
+    assert(zs2 === zs2.sorted)
+  }
+
   test("concurrent appends from independent handles both commit") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()
