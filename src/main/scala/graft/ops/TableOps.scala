@@ -256,7 +256,24 @@ object TableOps {
        FROM orders WHERE o_orderpriority <> '5-LOW'
        GROUP BY 1 ORDER BY o_orderstatus"""
 
+  /** metadata tables: per-file and per-snapshot listings as queryable
+    * DataFrames (rows-only; file counts are layout-dependent but the
+    * row-count sum must equal the data). */
+  val tfMetadataTables: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val t = GraftTable.create(s, scratch(), li.schema)
+    t.append(li.filter(col("l_linenumber") <= 3))
+    t.append(li.filter(col("l_linenumber") > 3))
+    val files = t.filesDF.agg(count(lit(1)).as("n_files"),
+      sum(col("records")).as("n_records")).collect()(0)
+    val snaps = t.snapshotsDF.count()
+    Seq((files.getLong(0), files.getLong(1), snaps, t.scan().count()))
+      .toDF("n_files", "n_records", "n_snapshots", "n_rows")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tf_metadata_tables" -> tfMetadataTables,
     "tf_delete_mor" -> tfDeleteMor,
     "tf_snapshot_scan" -> tfSnapshotScan,
     "tf_time_travel" -> tfTimeTravel,
