@@ -174,8 +174,80 @@ object Extended {
          RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW),2) AS weekly
        FROM orders ORDER BY o_custkey, o_orderkey"""
 
+  /** Correlated LATERAL subquery (top-2 orders per customer) — Spark
+    * plans it as a rewritten join; the per-customer limit semantics
+    * are what make it LATERAL rather than a plain join. */
+  val q32Lateral: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer_lat,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c_custkey, t.o_orderkey""")
+  }
+
+  val q32Sql: String =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_custkey = c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       ORDER BY c_custkey, t.o_orderkey"""
+
+  /** Null-semantics suite: null-safe equality, NULLIF, COALESCE,
+    * null-counting — SQL's three-valued logic corners. */
+  val q33NullSemantics: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .withColumn("maybe_price",
+        when(col("o_orderstatus") === "P", lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("maybe_price").isNull, 1).otherwise(0)).as("n_null"),
+        count(col("maybe_price")).as("n_nonnull"),
+        round(coalesce(avg(col("maybe_price")), lit(0.0)), 2).as("avg_price"),
+        sum(when(col("maybe_price") <=> lit(null).cast("double"), 1).otherwise(0)).as("n_nullsafe"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderstatus,
+       sum(CASE WHEN maybe_price IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(maybe_price) AS n_nonnull,
+       round(coalesce(avg(maybe_price), 0), 2) AS avg_price,
+       sum(CASE WHEN maybe_price IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe
+       FROM (SELECT o_orderstatus,
+               CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_totalprice END AS maybe_price
+             FROM orders) t
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
+  /** Ordered string aggregation per group (deterministic order). */
+  val q34StringAgg: Q = (s, d) => {
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 50)
+      .groupBy(col("c_nationkey"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(concat(col("c_mktsegment"), lit("#"),
+          lpad(col("c_custkey").cast("string"), 6, "0"))))).as("members"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q34Sql: String =
+    """SELECT c_nationkey,
+       string_agg(c_mktsegment || '#' || lpad(c_custkey::varchar, 6, '0'), ','
+         ORDER BY c_mktsegment || '#' || lpad(c_custkey::varchar, 6, '0')) AS members
+       FROM customer WHERE c_custkey < 50
+       GROUP BY 1 ORDER BY c_nationkey"""
+
   val queries: Map[String, Q] = Map(
     "q31_range_frame" -> q31RangeFrame,
+    "q32_lateral" -> q32Lateral,
+    "q33_null_semantics" -> q33NullSemantics,
+    "q34_string_agg" -> q34StringAgg,
     "q25_json" -> q25Json,
     "q26_pivot" -> q26Pivot,
     "q27_explode_agg" -> q27ExplodeAgg,
@@ -186,6 +258,9 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q31_range_frame" -> q31Sql,
+    "q32_lateral" -> q32Sql,
+    "q33_null_semantics" -> q33Sql,
+    "q34_string_agg" -> q34Sql,
     "q25_json" -> q25Sql,
     "q26_pivot" -> q26Sql,
     "q27_explode_agg" -> q27Sql,

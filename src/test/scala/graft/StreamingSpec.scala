@@ -59,6 +59,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() === ev.count())
   }
 
+  test("stream-stream join: purchases join clicks within the event-time bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toFile
+    dir.deleteOnExit()
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("overwrite").parquet(dir + "/in")
+    def side(t: String) = spark.readStream.schema(ev.schema).parquet(dir + "/in")
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${t}_id"), col("user_id").as(s"${t}_user"),
+        col("ts").as(s"${t}_ts"))
+      .withWatermark(s"${t}_ts", "1 hour")
+    val joined = side("purchase").join(side("click"),
+      expr("""purchase_user = click_user AND
+              click_ts BETWEEN purchase_ts - INTERVAL 10 MINUTES AND purchase_ts"""))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_out").count()
+    // batch equivalent over the same frames
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val want = p.join(c, col("pu") === col("cu") &&
+      col("cts").between(col("pts") - expr("INTERVAL 10 MINUTES"), col("pts"))).count()
+    assert(got === want, s"stream=$got batch=$want")
+  }
+
   test("stateful sessionization agrees with the batch gap logic on closed sessions") {
     val spark0 = spark
     import spark0.implicits._
