@@ -106,11 +106,62 @@ class GraftSparkTable(root: String) extends Table with SupportsRead
 class GraftScanBuilder(root: String, snapshotId: Option[Long],
     branch: Option[String])
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val table = Meta.load(root)
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.schema
+  private var pushedAgg: Option[MetadataAggSpec] = None
+
+  /** Ungrouped, unfiltered COUNT(*)/MIN/MAX answer straight from the
+    * manifest — zero data IO (the metadata-only query path the
+    * reference gets from manifest stats). Declined when filters,
+    * grouping, merge-on-read deletes, or missing stats make the
+    * manifest answer unsound. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val snapId = branch.flatMap(table.refs.get).orElse(snapshotId)
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    if (table.liveDeleteFiles(snapId).nonEmpty) return false
+    val files = table.liveFiles(snapId)
+    if (files.isEmpty) return false
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val resolved = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(MetadataAgg("count", ""))
+      case m: Min => colOf(m.column()).filter(statsComplete(files, _))
+        .map(MetadataAgg("min", _))
+      case m: Max => colOf(m.column()).filter(statsComplete(files, _))
+        .map(MetadataAgg("max", _))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) return false
+    pushedAgg = Some(MetadataAggSpec(resolved.flatten, snapId))
+    true
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushAggregation(agg)
+
+  private def statsComplete(files: Seq[Meta.DataFile], c: String): Boolean = {
+    import org.apache.spark.sql.types._
+    val simpleTyped = table.schema.fields.find(_.name == c).exists(_.dataType match {
+      case IntegerType | LongType | ShortType | DoubleType | FloatType |
+          StringType => true
+      case _ => false
+    })
+    simpleTyped && files.forall(f => f.stats.get(c).exists(s =>
+      s.min.nonEmpty && s.max.nonEmpty && s.nullCount == 0))
+  }
 
   /** Translate the pushable comparisons into manifest StatFilters;
     * everything is also returned as residual (pruning is a skip
@@ -145,6 +196,10 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
   }
 
   override def build(): Scan = {
+    pushedAgg match {
+      case Some(spec) => return MetadataAggScan.build(table, spec)
+      case None =>
+    }
     // merge-on-read: if equality-delete files are live, their key
     // columns must be read even when pruned away (Spark projects the
     // extra columns back out above the scan)
@@ -346,4 +401,69 @@ class GraftDataWriter(path: String,
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
   }
   override def close(): Unit = ()
+}
+
+// ---- metadata-only aggregate pushdown --------------------------------
+
+case class MetadataAgg(kind: String, column: String)
+case class MetadataAggSpec(aggs: Seq[MetadataAgg], snapshotId: Option[Long])
+
+/** LocalScan answering ungrouped COUNT/MIN/MAX from manifest stats —
+  * the query never touches a data file. */
+object MetadataAggScan {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def build(table: Meta.TableMetadata, spec: MetadataAggSpec)
+      : org.apache.spark.sql.connector.read.LocalScan = {
+    val files = table.liveFiles(spec.snapshotId)
+
+    def typed(c: String): DataType =
+      table.schema.fields.find(_.name == c).get.dataType
+
+    def toCatalyst(v: String, t: DataType): Any = t match {
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case ShortType => v.toShort
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      case other => throw new IllegalStateException(s"unexpected agg type $other")
+    }
+
+    def ordering(t: DataType): Ordering[Any] = (t match {
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
+      case DoubleType => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+      case FloatType => Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
+      case StringType => Ordering.by[Any, String](_.toString)
+      case other => throw new IllegalStateException(s"unexpected agg type $other")
+    })
+
+    val (values, fields) = spec.aggs.zipWithIndex.map { case (a, i) =>
+      a.kind match {
+        case "count" =>
+          (files.map(_.recordCount).sum: Any,
+            StructField(s"f$i", LongType, nullable = false))
+        case "min" =>
+          val t = typed(a.column)
+          val v = files.map(f => toCatalyst(f.stats(a.column).min, t)).min(ordering(t))
+          (v, StructField(s"f$i", t))
+        case "max" =>
+          val t = typed(a.column)
+          val v = files.map(f => toCatalyst(f.stats(a.column).max, t)).max(ordering(t))
+          (v, StructField(s"f$i", t))
+      }
+    }.unzip
+
+    val schema = StructType(fields)
+    val row = new GenericInternalRow(values.toArray)
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+      override def description(): String =
+        s"GraftMetadataAggScan(${spec.aggs.mkString(",")})"
+    }
+  }
 }

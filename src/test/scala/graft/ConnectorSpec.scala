@@ -94,6 +94,36 @@ class ConnectorSpec extends AnyFunSuite {
     assert(df.filter(col("o_orderstatus") === "F").count() === 0)
   }
 
+  test("ungrouped count/min/max answer from manifest stats without data IO") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    GraftTable.create(spark, root, li.schema).append(li)
+    val df = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
+        max("l_orderkey").as("mx"))
+    // the metadata LocalScan plans as a LocalTableScan over the agg
+    // schema — no BatchScan (no data file is opened)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan [f0") && !plan.contains("BatchScan"),
+      plan.take(800))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === li.count())
+    assert(r.getLong(1) === li.agg(min("l_orderkey")).collect()(0).getLong(0))
+    assert(r.getLong(2) === li.agg(max("l_orderkey")).collect()(0).getLong(0))
+    // a filtered aggregate must NOT use the metadata path
+    val filtered = spark.read.format("graft").load(root)
+      .filter(col("l_quantity") > 10).agg(count(lit(1)))
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.collect()(0).getLong(0) ===
+      li.filter(col("l_quantity") > 10).count())
+    // merge-on-read deletes also disable it, and counts stay correct
+    val t = GraftTable.load(spark, root)
+    t.deleteWhereMoR(col("l_orderkey") % 2 === 0, Seq("l_orderkey", "l_linenumber"))
+    val afterDel = spark.read.format("graft").load(root).agg(count(lit(1)))
+    assert(afterDel.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(afterDel.collect()(0).getLong(0) === t.scan().count())
+  }
+
   test("snapshot and branch options select table versions") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()
