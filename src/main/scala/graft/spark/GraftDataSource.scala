@@ -219,18 +219,50 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     snapshotId: Option[Long], branch: Option[String],
     requiredSchema: StructType, pushedFilters: Array[Filter],
     statFilters: Array[(String, String, String)])
-  extends Scan with Batch {
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(root=$root, prunedBy=${statFilters.length} stat filters)"
 
+  // ---- runtime filtering (dynamic file pruning from join keys) -------
+
+  /** Columns a runtime filter (e.g. the build side of a join) may
+    * arrive on — restricted to the scan's own output, which is what
+    * Spark resolves the references against. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    requiredSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  @volatile private var runtimeStatFilters: Seq[(String, String, String)] = Seq.empty
+
+  /** Runtime IN-filters become min/max envelopes over the manifest:
+    * files outside [min(values), max(values)] are dropped before any
+    * task launches — dynamic partition/file pruning. */
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeStatFilters = filters.toSeq.flatMap {
+      case In(c, values) if values.nonEmpty && values.forall(_ != null) =>
+        val strs = values.map(_.toString)
+        val cmp: (String, String) => Int =
+          if (values.head.isInstanceOf[Number])
+            (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+          else (a, b) => a.compareTo(b)
+        Seq((c, ">=", strs.min(Ordering.fromLessThan[String](cmp(_, _) < 0))),
+          (c, "<=", strs.max(Ordering.fromLessThan[String](cmp(_, _) < 0))))
+      case EqualTo(c, v) if v != null =>
+        Seq((c, "=", v.toString))
+      case _ => Seq.empty
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val t = GraftTable.load(spark, root)
     val files = t.plannedFiles(
-      statFilters.toSeq.map(s => t.StatFilter(s._1, s._2, s._3)),
+      (statFilters.toSeq ++ runtimeStatFilters).map(s => t.StatFilter(s._1, s._2, s._3)),
       snapshotId, branch)
     val dataDir = java.nio.file.Paths.get(root, "data")
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes

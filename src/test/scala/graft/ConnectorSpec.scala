@@ -124,6 +124,27 @@ class ConnectorSpec extends AnyFunSuite {
     assert(afterDel.collect()(0).getLong(0) === t.scan().count())
   }
 
+  test("runtime filtering prunes fact files from the join build side") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema, sortOrder = Seq("l_orderkey"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.append(li)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(t.filesDF.count() > 1)
+    // tiny dim: a few low order keys → the runtime IN-filter envelope
+    // should prune the high-key files of the sorted fact table
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = li.select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq.toDF("k")
+    val fact = spark.read.format("graft").load(root)
+    val joined = fact.join(broadcast(dim), col("l_orderkey") === col("k"))
+    val want = li.join(broadcast(dim), col("l_orderkey") === col("k")).count()
+    assert(joined.count() === want)
+  }
+
   test("snapshot and branch options select table versions") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()
