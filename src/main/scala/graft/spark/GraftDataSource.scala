@@ -220,7 +220,35 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     requiredSchema: StructType, pushedFilters: Array[Filter],
     statFilters: Array[(String, String, String)])
   extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Identity partition columns whose source survives into the scan
+    * output — the storage-partitioned-join clustering. */
+  private def identityPartCols: Seq[String] =
+    table.spec.filter(_.transform == "identity").map(_.sourceColumn)
+      .filter(requiredSchema.fieldNames.contains)
+
+  private def spjEligible: Boolean =
+    table.spec.nonEmpty && table.spec.forall(_.transform == "identity") &&
+      identityPartCols.size == table.spec.size
+
+  /** Report key-grouped partitioning over identity partition columns:
+    * two tables partitioned the same way then join WITHOUT a shuffle
+    * (storage-partitioned join; needs
+    * spark.sql.sources.v2.bucketing.enabled). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    if (spjEligible) {
+      val parts = planInputPartitions()
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        identityPartCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]).toArray,
+        parts.length)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -258,39 +286,72 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
+  private def plannedDataFiles(spark: org.apache.spark.sql.SparkSession): Seq[Meta.DataFile] = {
     val t = GraftTable.load(spark, root)
-    val files = t.plannedFiles(
+    t.plannedFiles(
       (statFilters.toSeq ++ runtimeStatFilters).map(s => t.StatFilter(s._1, s._2, s._3)),
       snapshotId, branch)
+  }
+
+  private def toFilePartition(idx: Int, bin: Seq[Meta.DataFile])
+      : org.apache.spark.sql.execution.datasources.FilePartition = {
     val dataDir = java.nio.file.Paths.get(root, "data")
-    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    // bin-pack files into tasks toward maxPartitionBytes
-    val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Meta.DataFile]]()
-    var cur = scala.collection.mutable.ArrayBuffer[Meta.DataFile]()
-    var curBytes = 0L
-    files.sortBy(-_.fileSizeBytes).foreach { f =>
-      if (curBytes + f.fileSizeBytes > maxBytes && cur.nonEmpty) {
-        bins += cur; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
+    GraftConnectorShim.filePartition(idx, bin.map { f =>
+      val p = dataDir.resolve(f.path)
+      GraftConnectorShim.partitionedFile(
+        "file://" + p.toString, f.fileSizeBytes,
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    })
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val files = plannedDataFiles(spark)
+    if (spjEligible) {
+      // one partition per partition-value tuple, keyed for SPJ
+      val specNames = table.spec.map(_.name)
+      val types = identityPartCols.map(c =>
+        table.schema.fields.find(_.name == c).get.dataType)
+      files.groupBy(f => specNames.map(f.partitionValues.getOrElse(_, "")))
+        .toSeq.sortBy(_._1.mkString("/"))
+        .zipWithIndex.map { case ((key, bin), i) =>
+          val keyVals = key.zip(types).map { case (v, t) =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(t match {
+              case org.apache.spark.sql.types.IntegerType => v.toInt
+              case org.apache.spark.sql.types.LongType => v.toLong
+              case org.apache.spark.sql.types.ShortType => v.toShort
+              case _ => v
+            })
+          }
+          KeyedFilePartition(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              keyVals.toArray[Any]),
+            toFilePartition(i, bin)): InputPartition
+        }.toArray
+    } else {
+      val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      // bin-pack files into tasks toward maxPartitionBytes
+      val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Meta.DataFile]]()
+      var cur = scala.collection.mutable.ArrayBuffer[Meta.DataFile]()
+      var curBytes = 0L
+      files.sortBy(-_.fileSizeBytes).foreach { f =>
+        if (curBytes + f.fileSizeBytes > maxBytes && cur.nonEmpty) {
+          bins += cur; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
+        }
+        cur += f; curBytes += f.fileSizeBytes
       }
-      cur += f; curBytes += f.fileSizeBytes
+      if (cur.nonEmpty) bins += cur
+      bins.zipWithIndex.map { case (bin, i) =>
+        toFilePartition(i, bin.toSeq): InputPartition
+      }.toArray
     }
-    if (cur.nonEmpty) bins += cur
-    bins.zipWithIndex.map { case (bin, i) =>
-      GraftConnectorShim.filePartition(i, bin.toSeq.map { f =>
-        val p = dataDir.resolve(f.path)
-        GraftConnectorShim.partitionedFile(
-          "file://" + p.toString, f.fileSizeBytes,
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      }): InputPartition
-    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    val delegate = GraftConnectorShim.parquetReaderFactory(
-      spark, table.schema, requiredSchema, pushedFilters)
+    val delegate: PartitionReaderFactory = UnwrapKeyedFactory(
+      GraftConnectorShim.parquetReaderFactory(
+        spark, table.schema, requiredSchema, pushedFilters))
     val snapId = branch.flatMap(table.refs.get).orElse(snapshotId)
     val deletes = table.liveDeleteFiles(snapId)
     if (deletes.isEmpty) delegate
@@ -314,6 +375,34 @@ class GraftScan(root: String, table: Meta.TableMetadata,
       DeleteFilteringReaderFactory(delegate, groups)
     }
   }
+}
+
+/** Key-grouped input partition for storage-partitioned joins: wraps a
+  * FilePartition with its partition-value key. */
+case class KeyedFilePartition(
+    key: org.apache.spark.sql.catalyst.InternalRow,
+    inner: org.apache.spark.sql.execution.datasources.FilePartition)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps KeyedFilePartition before the parquet factory (which casts
+  * its input to FilePartition). */
+case class UnwrapKeyedFactory(delegate: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: KeyedFilePartition => k.inner
+    case other => other
+  }
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
 }
 
 /** One equality-delete group: where the key columns sit in the read

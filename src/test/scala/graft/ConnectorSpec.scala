@@ -145,6 +145,45 @@ class ConnectorSpec extends AnyFunSuite {
     assert(joined.count() === want)
   }
 
+  test("storage-partitioned join: co-partitioned tables join without shuffle") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val r1 = tmp(); val r2 = tmp()
+    GraftTable.create(spark, r1, o.schema,
+      spec = Seq(graft.table.Meta.PartitionField("o_custkey", "identity", "_p_ck")))
+      .append(o.filter(col("o_custkey") < 40))
+    GraftTable.create(spark, r2, c.schema,
+      spec = Seq(graft.table.Meta.PartitionField("c_custkey", "identity", "_p_ck")))
+      .append(c.filter(col("c_custkey") < 40))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fo = spark.read.format("graft").load(r1)
+      val fc = spark.read.format("graft").load(r2)
+      val joined = fo.join(fc, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not introduce a shuffle: the only allowed
+      // Exchange is the one ABOVE the join for the final aggregation
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan.take(1500))
+      val belowJoin = plan.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange"),
+        "shuffle below the join:\n" + plan.take(2500))
+      // correctness vs plain join
+      val want = o.filter(col("o_custkey") < 40)
+        .join(c.filter(col("c_custkey") < 40), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted
+      assert(joined.collect().map(_.toString).sorted.sameElements(want))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("snapshot and branch options select table versions") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()
