@@ -87,12 +87,45 @@ object Events {
              ORDER BY ts DESC, event_id DESC) AS rn
          FROM events) t WHERE rn = 1 ORDER BY user_id, event_type"""
 
+  /** Funnel analysis: signup → click → purchase conversion, ordered by
+    * each user's first event of each stage. One shuffle (per-user
+    * conditional-min agg), then a single-row rollup. */
+  val evFunnel: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_signup")).as("n_signup"),
+        sum(when(col("t_click") > col("t_signup"), 1).otherwise(0)).as("n_click_after"),
+        sum(when(col("t_purchase") > col("t_click") &&
+          col("t_click") > col("t_signup"), 1).otherwise(0)).as("n_full"))
+  }
+
+  val evFunnelSql: String =
+    """WITH stages AS (
+         SELECT user_id,
+           min(CASE WHEN event_type='signup' THEN ts END) AS t_signup,
+           min(CASE WHEN event_type='click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type='purchase' THEN ts END) AS t_purchase
+         FROM events GROUP BY user_id)
+       SELECT count(*) AS n_users, count(t_signup) AS n_signup,
+         sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_click_after,
+         sum(CASE WHEN t_purchase > t_click AND t_click > t_signup
+             THEN 1 ELSE 0 END) AS n_full
+       FROM stages"""
+
   val queries: Map[String, Q] = Map(
+    "ev_funnel" -> evFunnel,
     "ev_window_agg" -> evWindowAgg,
     "ev_sessionize" -> evSessionize,
     "ev_dedup_latest" -> evDedupLatest)
 
   val oracles: Map[String, String] = Map(
+    "ev_funnel" -> evFunnelSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_dedup_latest" -> evDedupLatestSql)

@@ -243,8 +243,32 @@ object Extended {
        FROM customer WHERE c_custkey < 50
        GROUP BY 1 ORDER BY c_nationkey"""
 
+  /** Explicit GROUPING SETS with grouping() indicator columns (beyond
+    * q18's ROLLUP): disjoint grouping combinations in one pass. */
+  val q35GroupingSets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+         grouping(o_orderstatus) AS g_status,
+         grouping(o_orderpriority) AS g_prio,
+         count(*) AS n, round(sum(o_totalprice),2) AS total
+         FROM orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
+  val q35Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_prio,
+       count(*) AS n, round(sum(o_totalprice),2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
   val queries: Map[String, Q] = Map(
     "q31_range_frame" -> q31RangeFrame,
+    "q35_grouping_sets" -> q35GroupingSets,
     "q32_lateral" -> q32Lateral,
     "q33_null_semantics" -> q33NullSemantics,
     "q34_string_agg" -> q34StringAgg,
@@ -258,6 +282,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q31_range_frame" -> q31Sql,
+    "q35_grouping_sets" -> q35Sql,
     "q32_lateral" -> q32Sql,
     "q33_null_semantics" -> q33Sql,
     "q34_string_agg" -> q34Sql,
