@@ -269,10 +269,15 @@ class GraftScan(root: String, table: Meta.TableMetadata,
 
   /** Runtime IN-filters become min/max envelopes over the manifest:
     * files outside [min(values), max(values)] are dropped before any
-    * task launches — dynamic partition/file pruning. */
+    * task launches — dynamic partition/file pruning. Only numeric and
+    * string keys translate: other types (e.g. timestamps) render
+    * differently from the canonical stat strings, and pruning must
+    * stay sound, so they are ignored rather than risked. */
   override def filter(filters: Array[Filter]): Unit = {
+    def safe(v: Any): Boolean = v.isInstanceOf[Number] || v.isInstanceOf[String]
     runtimeStatFilters = filters.toSeq.flatMap {
-      case In(c, values) if values.nonEmpty && values.forall(_ != null) =>
+      case In(c, values) if values.nonEmpty &&
+          values.forall(v => v != null && safe(v)) =>
         val strs = values.map(_.toString)
         val cmp: (String, String) => Int =
           if (values.head.isInstanceOf[Number])
@@ -280,7 +285,7 @@ class GraftScan(root: String, table: Meta.TableMetadata,
           else (a, b) => a.compareTo(b)
         Seq((c, ">=", strs.min(Ordering.fromLessThan[String](cmp(_, _) < 0))),
           (c, "<=", strs.max(Ordering.fromLessThan[String](cmp(_, _) < 0))))
-      case EqualTo(c, v) if v != null =>
+      case EqualTo(c, v) if v != null && safe(v) =>
         Seq((c, "=", v.toString))
       case _ => Seq.empty
     }
