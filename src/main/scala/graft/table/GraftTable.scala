@@ -373,9 +373,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val rebased = kept.map { s =>
       if (s.parentId.exists(p => !keepIds.contains(p))) {
         // squash: the rebased snapshot carries its full live file set
-        // (manifestPath cleared — addedFiles is authoritative again)
+        // AND live delete-file set (manifestPath cleared — addedFiles
+        // is authoritative again); dropping either would resurrect
+        // overwritten or deleted rows
+        val removedDel = s.removedDeletePaths.toSet
+        val liveDeletes = m.liveDeleteFiles(s.parentId)
+          .filterNot(f => removedDel.contains(f.path)) ++ s.addedDeleteFiles
         s.copy(parentId = None, addedFiles = s(m.liveFiles(s.parentId)),
-          removedPaths = Seq.empty, manifestPath = None)
+          removedPaths = Seq.empty, manifestPath = None,
+          addedDeleteFiles = liveDeletes, removedDeletePaths = Seq.empty)
       } else s
     }
     Meta.write(root, m.copy(snapshots = rebased))
@@ -473,7 +479,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       else col(s"t.$name").as(name)
     }.toSeq: _*)
     val files = writeFiles(merged, m.schema)
-    commit("overwrite", files, m.liveFiles(None).map(_.path))
+    // the merged result read through scan() already reflects equality
+    // deletes — drop them or they would re-apply to the new data
+    commit("overwrite", files, m.liveFiles(None).map(_.path),
+      removedDeletes = m.liveDeleteFiles(None).map(_.path))
     this
   }
 

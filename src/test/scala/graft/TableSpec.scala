@@ -142,6 +142,37 @@ class TableSpec extends AnyFunSuite {
     assert(t.scan().filter(col("o_orderstatus") === "F").count() === 0)
   }
 
+  test("merge clears stale equality deletes so re-inserted keys survive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "amount")
+    val t = GraftTable.create(spark, tmp(), base.schema)
+    t.append(base)
+    t.deleteWhereMoR(col("id") === 2L, Seq("id"))
+    assert(t.scan().count() === 2)
+    // merge re-inserts id=2: the old delete file must not re-apply
+    t.merge(Seq((2L, 99.0)).toDF("id", "amount"),
+      keyCols = Seq("id"), updateCols = Seq("amount"))
+    val got = t.scan().orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(Array((1L, 10.0), (2L, 99.0), (3L, 30.0))))
+    assert(t.meta.liveDeleteFiles(None).isEmpty)
+  }
+
+  test("expire preserves delete files added by expired snapshots") {
+    val o = Tables.orders(spark, sf)
+    val t = GraftTable.create(spark, tmp(), o.schema)
+    t.append(o)
+    t.deleteWhereMoR(col("o_orderstatus") === "F", Seq("o_orderkey"))
+    val want = t.scan().count()
+    t.append(o.limit(0)) // advance the chain past the delete snapshot
+    t.expireSnapshots(keepLast = 1)
+    assert(t.meta.liveDeleteFiles(None).nonEmpty,
+      "squash must carry the live delete files")
+    assert(t.scan().count() === want, "deleted rows resurrected after expire")
+    t.vacuum()
+    assert(t.scan().count() === want)
+  }
+
   test("merge upserts matching keys and inserts new ones") {
     val spark0 = spark
     import spark0.implicits._
