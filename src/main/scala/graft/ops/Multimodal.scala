@@ -36,12 +36,13 @@ object Multimodal {
     * contract the pipeline depends on. */
   object FakeDecoder {
     def decode(m: MediaRow): MediaMeta = {
-      val h = graft.functions.IcebergHash.hashBytes(m.payload)
-      val w = 160 + (math.abs(h) % 8) * 80 // "decoded" width
-      val ht = 90 + (math.abs(h >> 3) % 8) * 60 // "decoded" height
+      // mask to 31 bits: math.abs(Int.MinValue) stays negative
+      val h = graft.functions.IcebergHash.hashBytes(m.payload) & 0x7fffffff
+      val w = 160 + (h % 8) * 80 // "decoded" width
+      val ht = 90 + ((h >> 3) % 8) * 60 // "decoded" height
       val frames = m.media_type match {
-        case "video" => 1 + math.abs(h >> 6) % 300
-        case "audio" => 1 + math.abs(h >> 6) % 3000
+        case "video" => 1 + (h >> 6) % 300
+        case "audio" => 1 + (h >> 6) % 3000
         case _ => 1
       }
       // 8-dim "feature": rolling hash of payload windows, unit-scaled

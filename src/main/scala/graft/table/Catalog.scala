@@ -72,6 +72,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private val CreateTableAs = """(?is)\s*create\s+table\s+([\w.]+)\s+as\s+(select\b.*)""".r
   private val CreateViewAs = """(?is)\s*create\s+view\s+([\w.]+)\s+as\s+(select\b.*)""".r
   private val DropTable = """(?is)\s*drop\s+(?:table|view)\s+([\w.]+)\s*;?\s*""".r
+  private val DeleteFrom = """(?is)\s*delete\s+from\s+([\w.]+)\s+where\s+(.*)""".r
+  private val Update = """(?is)\s*update\s+([\w.]+)\s+set\s+(.*?)\s+where\s+(.*)""".r
 
   /** Execute a SQL statement against the catalog. */
   def sql(stmt: String): DataFrame = stmt.stripSuffix(";") match {
@@ -90,6 +92,24 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       spark.emptyDataFrame
     case DropTable(name) =>
       saveEntries(entries - name)
+      spark.emptyDataFrame
+    case DeleteFrom(name, cond) =>
+      table(name).delete(org.apache.spark.sql.functions.expr(cond))
+      spark.emptyDataFrame
+    case Update(name, sets, cond) =>
+      // copy-on-write UPDATE: rewrite with CASE-wrapped SET clauses
+      val t = table(name)
+      val condition = org.apache.spark.sql.functions.expr(cond)
+      val assignments = sets.split(",").map { s =>
+        val Array(colName, valueExpr) = s.split("=", 2).map(_.trim)
+        colName -> org.apache.spark.sql.functions.expr(valueExpr)
+      }
+      val updated = assignments.foldLeft(t.scan()) { case (df, (c, v)) =>
+        df.withColumn(c,
+          org.apache.spark.sql.functions.when(condition, v)
+            .otherwise(org.apache.spark.sql.functions.col(c)))
+      }
+      t.overwrite(updated)
       spark.emptyDataFrame
     case select =>
       registerAll()

@@ -24,6 +24,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.tableNames.isEmpty)
   }
 
+  test("catalog: DELETE FROM and UPDATE route to table operations") {
+    val cat = GraftCatalog(spark, wh())
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_dml")
+    cat.sql("create table ord as select * from orders_dml")
+    val before = cat.sql("select count(*) as n from ord").collect()(0).getLong(0)
+    cat.sql("delete from ord where o_orderstatus = 'F'")
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") =!= "F").count()
+    assert(cat.sql("select count(*) as n from ord").collect()(0).getLong(0) === want)
+    assert(want < before)
+    cat.sql("update ord set o_totalprice = o_totalprice * 2 where o_orderstatus = 'O'")
+    val got = cat.sql(
+      "select round(sum(o_totalprice),2) as s from ord").collect()(0).getDouble(0)
+    val expect = Tables.orders(spark, sf).filter(col("o_orderstatus") =!= "F")
+      .withColumn("o_totalprice",
+        when(col("o_orderstatus") === "O", col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .agg(round(sum("o_totalprice"), 2)).collect()(0).getDouble(0)
+    assert(math.abs(got - expect) < 0.02)
+  }
+
   test("catalog: json ingestion leg") {
     val cat = GraftCatalog(spark, wh())
     val dir = wh() + "/json_in"
