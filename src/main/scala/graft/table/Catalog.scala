@@ -38,9 +38,18 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   private def tableRoot(name: String) = s"$warehouse/$name"
 
+  /** Catalog entries register as Spark temp views, which cannot contain
+    * dots — enforce simple names up front (namespacing is the
+    * warehouse directory's job). */
+  private def validName(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"catalog names must be simple identifiers (no dots): $name")
+    name
+  }
+
   def createTable(name: String, schema: StructType,
       spec: Seq[Meta.PartitionField] = Seq.empty): GraftTable = {
-    val t = GraftTable.create(spark, tableRoot(name), schema, spec)
+    val t = GraftTable.create(spark, tableRoot(validName(name)), schema, spec)
     saveEntries(entries + (name -> "table"))
     t
   }
@@ -53,7 +62,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def createView(name: String, viewSql: String): Unit = {
     val tableSources = entries.filter(_._2 == "table").keys
       .map(t => t -> tableRoot(t)).toMap
-    Views.createView(tableRoot(name), name, viewSql, tableSources)
+    Views.createView(tableRoot(validName(name)), name, viewSql, tableSources)
     saveEntries(entries + (name -> "view"))
   }
 
