@@ -59,10 +59,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     case name => col(name)
   }
 
+  // decimals are excluded: parquet stores their stats as unscaled
+  // binary, which the string-canonical manifest form cannot represent
+  // faithfully — no stats means no pruning, which stays sound
   private def isPrunable(t: DataType): Boolean = t match {
     case _: IntegerType | _: LongType | _: DoubleType | _: FloatType |
-        _: StringType | _: DateType | _: TimestampType | _: ShortType |
-        _: DecimalType => true
+        _: StringType | _: DateType | _: TimestampType | _: ShortType => true
     case _ => false
   }
 
@@ -267,7 +269,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   private def comparator(t: DataType): (String, String) => Int = t match {
     case _: IntegerType | _: LongType | _: ShortType =>
       (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
-    case _: DoubleType | _: FloatType | _: DecimalType =>
+    case _: DoubleType | _: FloatType =>
       (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
     // dates/timestamps cast to ISO strings — lexicographic works
     case _ => (a, b) => a.compareTo(b)
