@@ -1,0 +1,163 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table.{GraftTable, Meta}
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** Spark TableCatalog plugin backed by a GraftTable warehouse — the
+  * reference's catalog front-ends (iceberg-file-catalog /
+  * iceberg-sql-catalog + datafusion planner DDL) on Spark's native
+  * catalog API. Register with:
+  *
+  *   spark.sql.catalog.graft_wh = graft.spark.GraftTableCatalog
+  *   spark.sql.catalog.graft_wh.warehouse = /path/to/warehouse
+  *
+  * and standard SQL works end to end:
+  *
+  *   CREATE TABLE graft_wh.db.t (...) PARTITIONED BY (months(ts))
+  *   INSERT INTO graft_wh.db.t SELECT ...        -- V2 batch write
+  *   SELECT ... FROM graft_wh.db.t               -- pruned V2 scan
+  *   DROP TABLE graft_wh.db.t
+  *
+  * PARTITIONED BY transforms map onto the Iceberg transform set
+  * (identity, bucket, years/months/days/hours).
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"spark.sql.catalog.$name.warehouse must be set")
+  }
+
+  override def name(): String = catalogName
+
+  private def tableRoot(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => Meta.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tableRoot(ident)
+    if (!Meta.exists(root))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftSparkTable(root)
+  }
+
+  private def toPartitionField(t: Transform): Meta.PartitionField = {
+    val c = t.references()(0).fieldNames().mkString(".")
+    t.name() match {
+      case "identity" => Meta.PartitionField(c, "identity", s"_p_$c")
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException("bucket needs a count"))
+        Meta.PartitionField(c, s"bucket[$n]", s"_p_${c}_bucket")
+      case "years" => Meta.PartitionField(c, "year", s"_p_${c}_year")
+      case "months" => Meta.PartitionField(c, "month", s"_p_${c}_month")
+      case "days" => Meta.PartitionField(c, "day", s"_p_${c}_day")
+      case "hours" => Meta.PartitionField(c, "hour", s"_p_${c}_hour")
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported transform $other")
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val root = tableRoot(ident)
+    if (Meta.exists(root))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    GraftTable.create(SparkSession.active, root, schema,
+      spec = partitions.toSeq.map(toPartitionField),
+      properties = properties.asScala.toMap - "owner" - "provider")
+    new GraftSparkTable(root)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    val t = GraftTable.load(SparkSession.active, root)
+    changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+        t.addColumns(StructType(Seq(
+          org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType()))))
+      case p: TableChange.SetProperty =>
+        t.updateProperties(Map(p.property() -> p.value()))
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported change $other")
+    }
+    new GraftSparkTable(root)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = Paths.get(tableRoot(ident))
+    if (!Meta.exists(root.toString)) false
+    else {
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = Paths.get(tableRoot(oldIdent))
+    val to = Paths.get(tableRoot(newIdent))
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ---- namespaces ----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = Paths.get(warehouse)
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !Meta.exists(p.toString))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    Files.createDirectories(Paths.get((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(dir)) false
+    else {
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      true
+    }
+  }
+}

@@ -141,10 +141,23 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   }
 
   /** V2 connector commit point: ingest a staging dir the executors
-    * populated (BatchWrite) and snapshot it. */
+    * populated (BatchWrite) and snapshot it. Partition-spec'd tables
+    * route the staged rows back through the partitioning write path
+    * (transform columns + partition dirs), then drop the stage. */
   private[graft] def commitStagedWrite(staging: Path, overwrite: Boolean): Unit = {
     val m = meta
-    val files = ingestStaged(staging, m.schema)
+    val files =
+      if (m.spec.isEmpty) ingestStaged(staging, m.schema)
+      else {
+        val stagedPaths = Files.walk(staging).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+          .map(_.toString).toSeq
+        val out = writeFiles(
+          spark.read.schema(m.schema).parquet(stagedPaths: _*), m.schema)
+        Files.walk(staging).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        out
+      }
     if (overwrite)
       commit("overwrite", files, m.liveFiles(None).map(_.path),
         removedDeletes = m.liveDeleteFiles(None).map(_.path))

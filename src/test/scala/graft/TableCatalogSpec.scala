@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The TableCatalog plugin: standard Spark SQL DDL/DML against a graft
+  * warehouse. */
+class TableCatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft-sqlcat").toString
+    spark.conf.set("spark.sql.catalog.graft_wh", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wh.warehouse", dir)
+    dir
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT / DROP through the catalog") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.db")
+    spark.sql(
+      """CREATE TABLE graft_wh.db.orders
+         (o_orderkey BIGINT, o_custkey BIGINT, o_status STRING, o_total DOUBLE)""")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus").as("o_status"), col("o_totalprice").as("o_total"))
+      .createOrReplaceTempView("orders_src_cat")
+    spark.sql("INSERT INTO graft_wh.db.orders SELECT * FROM orders_src_cat")
+    val n = spark.sql("SELECT count(*) FROM graft_wh.db.orders")
+      .collect()(0).getLong(0)
+    assert(n === Tables.orders(spark, sf).count())
+    val agg = spark.sql(
+      """SELECT o_status, count(*) AS n FROM graft_wh.db.orders
+         GROUP BY 1 ORDER BY 1""").collect()
+    assert(agg.length === 3)
+    // a second INSERT is a second snapshot
+    spark.sql("INSERT INTO graft_wh.db.orders SELECT * FROM orders_src_cat LIMIT 10")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/orders")
+    assert(t.meta.snapshots.size === 2)
+    assert(spark.sql("SHOW TABLES IN graft_wh.db").collect()
+      .map(_.getString(1)).contains("orders"))
+    spark.sql("DROP TABLE graft_wh.db.orders")
+    intercept[Exception](spark.sql("SELECT * FROM graft_wh.db.orders").collect())
+  }
+
+  test("PARTITIONED BY transforms map onto the Iceberg spec") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.db2")
+    spark.sql(
+      """CREATE TABLE graft_wh.db2.ev (event_id BIGINT, ts TIMESTAMP, v DOUBLE)
+         PARTITIONED BY (days(ts), bucket(8, event_id))""")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db2/ev")
+    assert(t.meta.spec.map(_.transform) === Seq("day", "bucket[8]"))
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value").as("v"))
+      .createOrReplaceTempView("ev_src_cat")
+    spark.sql("INSERT INTO graft_wh.db2.ev SELECT * FROM ev_src_cat")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.db2.ev").collect()(0).getLong(0)
+      === Tables.events(spark, sf).count())
+    // partition values recorded per file
+    val files = t.plannedFiles(Seq.empty)
+    assert(files.forall(f => f.partitionValues.contains("_p_ts_day") &&
+      f.partitionValues.contains("_p_event_id_bucket")))
+  }
+}
