@@ -76,7 +76,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 }
 
-class GraftSparkTable(root: String) extends Table with SupportsRead
+class GraftSparkTable(root: String,
+    pinnedSnapshot: Option[Long] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val meta = Meta.load(root)
 
@@ -94,7 +95,7 @@ class GraftSparkTable(root: String) extends Table with SupportsRead
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root,
-      Option(options.get("snapshot")).map(_.toLong),
+      pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)),
       Option(options.get("branch")))
 
   override def newWriteBuilder(

@@ -60,6 +60,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(root)
   }
 
+  /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF <id>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = tableRoot(ident)
+    if (!Meta.exists(root))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftSparkTable(root, pinnedSnapshot = Some(version.toLong))
+  }
+
   private def toPartitionField(t: Transform): Meta.PartitionField = {
     val c = t.references()(0).fieldNames().mkString(".")
     t.name() match {

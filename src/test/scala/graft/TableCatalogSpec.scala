@@ -44,6 +44,21 @@ class TableCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT * FROM graft_wh.db.orders").collect())
   }
 
+  test("SQL time travel: VERSION AS OF selects a snapshot") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.tt")
+    spark.sql("CREATE TABLE graft_wh.tt.n (k BIGINT, v STRING)")
+    Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("bigint").as("k"), col("n_name").as("v"))
+      .createOrReplaceTempView("nation_tt")
+    spark.sql("INSERT INTO graft_wh.tt.n SELECT * FROM nation_tt")
+    val s1 = graft.table.GraftTable.load(spark, s"$wh/tt/n").meta.currentSnapshotId.get
+    spark.sql("INSERT INTO graft_wh.tt.n SELECT * FROM nation_tt")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.tt.n").collect()(0).getLong(0) === 50)
+    assert(spark.sql(s"SELECT count(*) FROM graft_wh.tt.n VERSION AS OF $s1")
+      .collect()(0).getLong(0) === 25)
+  }
+
   test("PARTITIONED BY transforms map onto the Iceberg spec") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.db2")
