@@ -44,14 +44,14 @@ object Events {
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("session_value"),
+        round(sum(col("value")), 2).cast("decimal(18,2)").as("session_value"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
   val evSessionizeSql: String =
-    """SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value),2) AS session_value,
+    """SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+       round(sum(value),2)::DECIMAL(18,2) AS session_value,
        date_diff('second', min(ts), max(ts)) AS duration_s
        FROM (
          SELECT user_id, ts, value,
@@ -113,9 +113,9 @@ object Events {
            min(CASE WHEN event_type='purchase' THEN ts END) AS t_purchase
          FROM events GROUP BY user_id)
        SELECT count(*) AS n_users, count(t_signup) AS n_signup,
-         sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_click_after,
+         sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END)::BIGINT AS n_click_after,
          sum(CASE WHEN t_purchase > t_click AND t_click > t_signup
-             THEN 1 ELSE 0 END) AS n_full
+             THEN 1 ELSE 0 END)::BIGINT AS n_full
        FROM stages"""
 
   val queries: Map[String, Q] = Map(

@@ -148,9 +148,9 @@ object TableOps {
 
   val tfSchemaEvolutionSql: String =
     """SELECT count(*) AS n_total,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_null,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_null,
        sum(CASE WHEN o_orderstatus <> 'F'
-           THEN CAST(substring(o_orderpriority,1,1) AS int) ELSE 0 END) AS rank_sum
+           THEN CAST(substring(o_orderpriority,1,1) AS int) ELSE 0 END)::BIGINT AS rank_sum
        FROM orders"""
 
   /** MERGE upsert: update half the keys, insert fresh ones, verify the

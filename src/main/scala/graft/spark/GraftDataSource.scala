@@ -188,12 +188,37 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
   }
 
   private[spark] def toStatFilter(f: Filter): Option[(String, String, String)] = f match {
-    case EqualTo(c, v: Any) => Some((c, "=", v.toString))
-    case GreaterThan(c, v: Any) => Some((c, ">", v.toString))
-    case GreaterThanOrEqual(c, v: Any) => Some((c, ">=", v.toString))
-    case LessThan(c, v: Any) => Some((c, "<", v.toString))
-    case LessThanOrEqual(c, v: Any) => Some((c, "<=", v.toString))
+    case EqualTo(c, v: Any) => canonicalLiteral(v).map((c, "=", _))
+    case GreaterThan(c, v: Any) => canonicalLiteral(v).map((c, ">", _))
+    case GreaterThanOrEqual(c, v: Any) => canonicalLiteral(v).map((c, ">=", _))
+    case LessThan(c, v: Any) => canonicalLiteral(v).map((c, "<", _))
+    case LessThanOrEqual(c, v: Any) => canonicalLiteral(v).map((c, "<=", _))
     case _ => None
+  }
+
+  /** Render a pushed-filter literal in the SAME canonical string form
+    * FooterStats writes into the manifest — naive toString is unsound
+    * for temporal values (java.sql.Timestamp appends '.0', Instant
+    * uses 'T...Z'), and a lexicographic mismatch silently drops files
+    * whose stat boundary equals the literal. Types with no canonical
+    * form return None: the filter still runs, it just can't prune. */
+  private def canonicalLiteral(v: Any): Option[String] = {
+    def micros(i: java.time.Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    v match {
+      case null => None
+      case _: java.math.BigDecimal | _: BigDecimal => None // stats skip decimals
+      case n: Number => Some(n.toString)
+      case s: String => Some(s)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case d: java.sql.Date => Some(d.toLocalDate.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case t: java.sql.Timestamp =>
+        Some(graft.table.FooterStats.canonicalTimestampMicros(micros(t.toInstant)))
+      case i: java.time.Instant =>
+        Some(graft.table.FooterStats.canonicalTimestampMicros(micros(i)))
+      case _ => None
+    }
   }
 
   override def build(): Scan = {
@@ -230,9 +255,31 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     table.spec.filter(_.transform == "identity").map(_.sourceColumn)
       .filter(requiredSchema.fieldNames.contains)
 
+  private def snapId: Option[Long] =
+    branch.flatMap(table.refs.get).orElse(snapshotId)
+
+  /** Live equality deletes with sequence numbers: a delete applies
+    * only to data files with a SMALLER data sequence (Iceberg v2). */
+  private lazy val deletesWithSeq: Seq[(Meta.DataFile, Long)] =
+    table.liveDeleteFilesWithSeq(snapId)
+
+  private lazy val seqByPath: Map[String, Long] =
+    table.liveFilesWithSeq(snapId).map { case (f, q) => f.path -> q }.toMap
+
+  /** The applicable-delete signature of a data file: which delete
+    * files scope to it. Partition bins never mix signatures, so the
+    * reader applies one uniform delete set per task. */
+  private def deleteSig(f: Meta.DataFile): Seq[String] = {
+    val seq = seqByPath.getOrElse(f.path, Long.MinValue)
+    deletesWithSeq.filter(_._2 > seq).map(_._1.path).sorted
+  }
+
+  // SPJ is declined while equality deletes are outstanding: the keyed
+  // single-partition-per-value layout cannot also honor per-file
+  // delete scoping bins
   private def spjEligible: Boolean =
     table.spec.nonEmpty && table.spec.forall(_.transform == "identity") &&
-      identityPartCols.size == table.spec.size
+      identityPartCols.size == table.spec.size && deletesWithSeq.isEmpty
 
   /** Report key-grouped partitioning over identity partition columns:
     * two tables partitioned the same way then join WITHOUT a shuffle
@@ -336,20 +383,63 @@ class GraftScan(root: String, table: Meta.TableMetadata,
         }.toArray
     } else {
       val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-      // bin-pack files into tasks toward maxPartitionBytes
-      val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Meta.DataFile]]()
-      var cur = scala.collection.mutable.ArrayBuffer[Meta.DataFile]()
-      var curBytes = 0L
-      files.sortBy(-_.fileSizeBytes).foreach { f =>
-        if (curBytes + f.fileSizeBytes > maxBytes && cur.nonEmpty) {
-          bins += cur; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
-        }
-        cur += f; curBytes += f.fileSizeBytes
+      val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
+      // bins never mix delete signatures: each task applies one
+      // uniform (sequence-scoped) delete set to all its files
+      files.groupBy(deleteSig).toSeq.sortBy(_._1.mkString(";")).foreach {
+        case (sig, group) =>
+          val specs =
+            if (sig.isEmpty) Seq.empty else buildDeleteSpecs(spark, sig)
+          // bin-pack files into tasks toward maxPartitionBytes
+          val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Meta.DataFile]]()
+          var cur = scala.collection.mutable.ArrayBuffer[Meta.DataFile]()
+          var curBytes = 0L
+          group.sortBy(-_.fileSizeBytes).foreach { f =>
+            if (curBytes + f.fileSizeBytes > maxBytes && cur.nonEmpty) {
+              bins += cur; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
+            }
+            cur += f; curBytes += f.fileSizeBytes
+          }
+          if (cur.nonEmpty) bins += cur
+          bins.foreach { bin =>
+            val idx = out.length
+            out += toFilePartition(idx, bin.toSeq)
+            if (specs.nonEmpty) specsOut(idx) = specs
+          }
       }
-      if (cur.nonEmpty) bins += cur
-      bins.zipWithIndex.map { case (bin, i) =>
-        toFilePartition(i, bin.toSeq): InputPartition
-      }.toArray
+      deleteSpecsByPartition = specsOut.toMap
+      out.toArray
+    }
+  }
+
+  /** partition index → applicable delete groups, bound at planning
+    * time (partition bins are delete-signature-uniform). */
+  @volatile private var deleteSpecsByPartition: Map[Int, Seq[DeleteFilesSpec]] = Map.empty
+
+  /** Build the executor-readable delete specs for one signature: the
+    * delete keys are NEVER collected on the driver — each executor
+    * reads the (small) delete parquets itself and caches the key set
+    * per JVM, so task closures stay O(file list), not O(deleted keys). */
+  private def buildDeleteSpecs(spark: SparkSession,
+      sig: Seq[String]): Seq[DeleteFilesSpec] = {
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val byPath = deletesWithSeq.map(_._1).map(f => f.path -> f).toMap
+    sig.map(byPath).groupBy(_.equalityColumns).toSeq.map { case (eqCols, dfiles) =>
+      val keySchema = StructType(
+        table.schema.fields.filter(f => eqCols.contains(f.name)))
+      val part = GraftConnectorShim.filePartition(0, dfiles.map { f =>
+        val p = dataDir.resolve(f.path)
+        GraftConnectorShim.partitionedFile("file://" + p.toString, f.fileSizeBytes,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      })
+      DeleteFilesSpec(
+        keyIndexes = keySchema.fields.map(f => requiredSchema.fieldIndex(f.name)),
+        keyTypes = keySchema.fields.map(_.dataType),
+        factory = GraftConnectorShim.parquetReaderFactory(
+          spark, keySchema, keySchema, Array.empty),
+        part = part,
+        cacheKey = dfiles.map(_.path).sorted.mkString(";"))
     }
   }
 
@@ -358,28 +448,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     val delegate: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
         spark, table.schema, requiredSchema, pushedFilters))
-    val snapId = branch.flatMap(table.refs.get).orElse(snapshotId)
-    val deletes = table.liveDeleteFiles(snapId)
-    if (deletes.isEmpty) delegate
-    else {
-      val dataDir = java.nio.file.Paths.get(root, "data")
-      // one key set per equality-column group, values pre-converted to
-      // catalyst form so executor-side membership tests are direct
-      val groups = deletes.groupBy(_.equalityColumns).toSeq.map { case (eqCols, dfiles) =>
-        val keyDf = spark.read.parquet(
-          dfiles.map(f => dataDir.resolve(f.path).toString): _*)
-        val idx = eqCols.map(requiredSchema.fieldIndex).toArray
-        val types = idx.map(requiredSchema.fields(_).dataType)
-        val keys = keyDf.select(eqCols.map(org.apache.spark.sql.functions.col): _*)
-          .collect()
-          .map(r => (0 until r.length).map(i =>
-            org.apache.spark.sql.catalyst.CatalystTypeConverters
-              .convertToCatalyst(r.get(i))).toVector)
-          .toSet
-        DeleteKeyGroup(idx, types, keys)
-      }
-      DeleteFilteringReaderFactory(delegate, groups)
-    }
+    if (deletesWithSeq.isEmpty) delegate
+    else MorReaderFactory(delegate, deleteSpecsByPartition)
   }
 }
 
@@ -411,30 +481,81 @@ case class UnwrapKeyedFactory(delegate: PartitionReaderFactory)
     delegate.supportColumnarReads(unwrap(p))
 }
 
-/** One equality-delete group: where the key columns sit in the read
-  * schema, their types, and the deleted key tuples (catalyst form). */
-case class DeleteKeyGroup(
-    indexes: Array[Int],
-    types: Array[org.apache.spark.sql.types.DataType],
-    keys: Set[Vector[Any]])
+/** One equality-delete group, executor-readable: where the key columns
+  * sit in the read schema, plus the parquet reader factory + file
+  * partition an executor uses to load the delete keys ITSELF. Keys
+  * never pass through the driver or task closures (at 100 TB a delete
+  * set can be millions of keys — driver collection would OOM and
+  * bloat every closure; this mirrors how Iceberg readers handle v2
+  * delete files). */
+case class DeleteFilesSpec(
+    keyIndexes: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
+    factory: PartitionReaderFactory,
+    part: org.apache.spark.sql.execution.datasources.FilePartition,
+    cacheKey: String)
+
+/** Per-JVM cache of delete-key sets: each executor reads a delete file
+  * group once, no matter how many tasks apply it. */
+object DeleteKeyCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Vector[Any]]]()
+
+  def get(spec: DeleteFilesSpec): Set[Vector[Any]] =
+    cache.computeIfAbsent(spec.cacheKey, _ => load(spec))
+
+  // reader rows reuse buffers; key values must be defensively copied
+  private def copyVal(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
+    case other => other
+  }
+
+  private def load(spec: DeleteFilesSpec): Set[Vector[Any]] = {
+    val reader = spec.factory.createReader(spec.part)
+    val b = Set.newBuilder[Vector[Any]]
+    try {
+      while (reader.next()) {
+        val r = reader.get()
+        b += spec.keyTypes.indices
+          .map(i => copyVal(r.get(i, spec.keyTypes(i)))).toVector
+      }
+    } finally reader.close()
+    b.result()
+  }
+}
 
 /** Wraps the parquet reader factory to drop rows whose equality key is
-  * deleted (merge-on-read applied inside the scan, so the connector
-  * and GraftTable.scan agree). */
-case class DeleteFilteringReaderFactory(
-    delegate: PartitionReaderFactory, groups: Seq[DeleteKeyGroup])
+  * deleted. Partitions were bound to their applicable delete groups at
+  * planning time (sequence-scoped: files appended AFTER a delete are
+  * not filtered by it). */
+case class MorReaderFactory(
+    delegate: PartitionReaderFactory,
+    specsByPartition: Map[Int, Seq[DeleteFilesSpec]])
   extends PartitionReaderFactory {
+
+  private def specsFor(p: InputPartition): Seq[DeleteFilesSpec] = p match {
+    case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+      specsByPartition.getOrElse(f.index, Seq.empty)
+    case k: KeyedFilePartition =>
+      specsByPartition.getOrElse(k.inner.index, Seq.empty)
+    case _ => Seq.empty
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val inner = delegate.createReader(partition)
-    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+    val specs = specsFor(partition)
+    if (specs.isEmpty) inner
+    else new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private val groups = specs.map(s => (s, DeleteKeyCache.get(s)))
       private var current: org.apache.spark.sql.catalyst.InternalRow = _
       private def deleted(row: org.apache.spark.sql.catalyst.InternalRow): Boolean =
-        groups.exists { g =>
-          val key = (0 until g.indexes.length).map(i =>
-            row.get(g.indexes(i), g.types(i))).toVector
-          g.keys.contains(key)
+        groups.exists { case (s, keys) =>
+          val key = (0 until s.keyIndexes.length).map(i =>
+            row.get(s.keyIndexes(i), s.keyTypes(i))).toVector
+          keys.contains(key)
         }
       override def next(): Boolean = {
         while (inner.next()) {
@@ -447,6 +568,10 @@ case class DeleteFilteringReaderFactory(
       override def close(): Unit = inner.close()
     }
   }
+
+  // all partitions must agree on columnar vs row (Spark checks the
+  // whole scan), so a scan with any live deletes reads row-based
+  override def supportColumnarReads(p: InputPartition): Boolean = false
 }
 
 // ---- V2 write path ---------------------------------------------------

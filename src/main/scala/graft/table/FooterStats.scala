@@ -29,6 +29,17 @@ object FooterStats {
   private val tsFormat = DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
 
+  /** The canonical stat string for a timestamp in epoch micros — the
+    * ONE formatter both stats collection and filter-literal rendering
+    * must share, or lexicographic pruning comparisons are unsound. */
+  def canonicalTimestampMicros(micros: Long): String = {
+    val base = tsFormat.format(Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), 0))
+    val frac = Math.floorMod(micros, 1000000L)
+    if (frac == 0) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
   def collect(spark: SparkSession, paths: Seq[String],
       prunable: Set[String]): Seq[FileStats] = {
     if (paths.isEmpty) return Seq.empty
@@ -59,8 +70,14 @@ object FooterStats {
           val name = c.getPath.toDotString
           if (prunable.contains(name)) {
             val st = c.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              val tpe = schema.getType(Seq(name): _*).asPrimitiveType()
+            val prim = schema.getType(Seq(name): _*).asPrimitiveType()
+            // INT96 timestamps (Spark's parquet default) have no sane
+            // stats ordering and their Binary min/max is not text —
+            // no stats for them means no pruning, which stays sound
+            val int96 = prim.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+            if (st != null && st.hasNonNullValue && !int96) {
+              val tpe = prim
               val mn = canonical(st.genericGetMin, tpe.getLogicalTypeAnnotation)
               val mx = canonical(st.genericGetMax, tpe.getLogicalTypeAnnotation)
               val nulls = if (st.isNumNullsSet) st.getNumNulls else 0L
@@ -115,11 +132,7 @@ object FooterStats {
             case LogicalTypeAnnotation.TimeUnit.MICROS => l.longValue()
             case LogicalTypeAnnotation.TimeUnit.NANOS => l / 1000L
           }
-          val base = tsFormat.format(Instant.ofEpochSecond(
-            Math.floorDiv(micros, 1000000L), 0))
-          val frac = Math.floorMod(micros, 1000000L)
-          if (frac == 0) base
-          else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+          canonicalTimestampMicros(micros)
         case _ => l.toString
       }
     case d: java.lang.Double => d.toString

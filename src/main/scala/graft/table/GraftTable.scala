@@ -102,8 +102,22 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           .sortWithinPartitions(sortCols: _*)
           .write
       else withParts.write
-    writer.parquet(staging.toString)
+    withMicrosTimestamps(writer.parquet(staging.toString))
     ingestStaged(staging, schema)
+  }
+
+  /** Run a write with INT64-micros parquet timestamps: Spark's INT96
+    * default carries no usable column statistics, which would disable
+    * timestamp pruning on every file this table writes. */
+  private def withMicrosTimestamps[A](body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Collect footer stats for every parquet under `staging`, move the
@@ -247,19 +261,33 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val partFields = m.spec.map(_.name).toSet
     live.filter { f =>
       filters.forall { flt =>
-        // partition-value pruning: exact value per file, numeric compare
+        // partition-value pruning: exact value per file, compared
+        // through the transform's output type (identity/truncate keep
+        // the source column's type; the datetime/bucket transforms are
+        // numeric). Unparseable values keep the file — pruning is a
+        // skip optimization and must stay sound.
         if (partFields.contains(flt.column)) {
           f.partitionValues.get(flt.column) match {
             case Some(v) =>
-              val cmp = java.lang.Long.compare(v.toLong, flt.value.toLong)
-              flt.op match {
-                case "=" => cmp == 0
-                case ">" => cmp > 0
-                case ">=" => cmp >= 0
-                case "<" => cmp < 0
-                case "<=" => cmp <= 0
-                case _ => true
-              }
+              val pf = m.spec.find(_.name == flt.column).get
+              val pcmp: (String, String) => Int =
+                if (pf.transform == "identity" || pf.transform.startsWith("truncate"))
+                  schema.fields.find(_.name == pf.sourceColumn)
+                    .map(f => comparator(f.dataType))
+                    .getOrElse((a: String, b: String) => a.compareTo(b))
+                else (a: String, b: String) =>
+                  java.lang.Long.compare(a.toLong, b.toLong)
+              scala.util.Try {
+                val cmp = pcmp(v, flt.value)
+                flt.op match {
+                  case "=" => cmp == 0
+                  case ">" => cmp > 0
+                  case ">=" => cmp >= 0
+                  case "<" => cmp < 0
+                  case "<=" => cmp <= 0
+                  case _ => true
+                }
+              }.getOrElse(true)
             case None => true
           }
         } else (f.stats.get(flt.column), schema.fields.find(_.name == flt.column)) match {
@@ -301,15 +329,37 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val schema = m.schemas(snapId.flatMap(m.snapshot).map(_.schemaId)
       .getOrElse(m.currentSchemaId))
     val files = plannedFiles(filters, snapshotId, branch)
-    val base =
-      if (files.isEmpty) spark.createDataFrame(
+    val seqByPath = m.liveFilesWithSeq(snapId).map { case (f, q) => f.path -> q }.toMap
+    readWithDeletes(files.map(f => (f, seqByPath(f.path))),
+      m.liveDeleteFilesWithSeq(snapId), schema)
+  }
+
+  /** Read `files` applying live equality deletes with Iceberg v2
+    * sequence scoping: a delete file applies only to data files with a
+    * SMALLER data sequence number (an append after the delete is not
+    * hidden by it). Files are grouped into classes sharing the same
+    * applicable-delete set — each class is one parquet read plus
+    * anti-joins, and the classes union (typically 1–2 classes, since
+    * delete files are rare relative to appends). */
+  private def readWithDeletes(filesWithSeq: Seq[(Meta.DataFile, Long)],
+      deletesWithSeq: Seq[(Meta.DataFile, Long)],
+      schema: StructType): DataFrame = {
+    if (filesWithSeq.isEmpty)
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files.map(absolute): _*)
-    val deletes = m.liveDeleteFiles(snapId)
-    deletes.groupBy(_.equalityColumns).foldLeft(base) { case (df, (eqCols, dfiles)) =>
-      val delDf = spark.read.parquet(dfiles.map(absolute): _*)
-      df.join(delDf, eqCols, "left_anti")
-    }
+    val classes = filesWithSeq.groupBy { case (_, seq) =>
+      deletesWithSeq.filter(_._2 > seq).map(_._1.path).sorted }
+    classes.toSeq.map { case (delPaths, group) =>
+      val base = spark.read.schema(schema)
+        .parquet(group.map(g => absolute(g._1)): _*)
+      val applicable = deletesWithSeq.map(_._1)
+        .filter(d => delPaths.contains(d.path))
+      applicable.groupBy(_.equalityColumns).foldLeft(base) {
+        case (df, (eqCols, dfiles)) =>
+          val delDf = spark.read.parquet(dfiles.map(absolute): _*)
+          df.join(delDf, eqCols, "left_anti")
+      }
+    }.reduce(_ unionByName _)
   }
 
   def timeTravel(snapshotId: Long): DataFrame = scan(snapshotId = Some(snapshotId))
@@ -358,8 +408,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val allSmall = toRewrite.flatten
     val totalBytes = allSmall.map(_.fileSizeBytes).sum
     val targetN = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.schema(m.schema)
-      .parquet(allSmall.map(absolute): _*)
+    // fold applicable equality deletes into the rewrite (the new files
+    // get a sequence above every live delete, so scans won't re-apply)
+    val seqByPath = m.liveFilesWithSeq(None).map { case (f, q) => f.path -> q }.toMap
+    val df = readWithDeletes(allSmall.map(f => (f, seqByPath(f.path))),
+      m.liveDeleteFilesWithSeq(None), m.schema)
       .repartition(targetN)
     val files = writeFiles(df, m.schema)
     commit("rewrite", files, allSmall.map(_.path))
@@ -391,10 +444,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         // AND live delete-file set (manifestPath cleared — addedFiles
         // is authoritative again); dropping either would resurrect
         // overwritten or deleted rows
+        // preserve each carried file's original data sequence number:
+        // delete-applicability (seq ordering) must survive the squash
         val removedDel = s.removedDeletePaths.toSet
-        val liveDeletes = m.liveDeleteFiles(s.parentId)
+        val liveDeletes = m.liveDeleteFilesWithSeq(s.parentId)
+          .map { case (f, seq) => f.copy(dataSequence = Some(seq)) }
           .filterNot(f => removedDel.contains(f.path)) ++ s.addedDeleteFiles
-        s.copy(parentId = None, addedFiles = s(m.liveFiles(s.parentId)),
+        val parentLive = m.liveFilesWithSeq(s.parentId)
+          .map { case (f, seq) => f.copy(dataSequence = Some(seq)) }
+        s.copy(parentId = None, addedFiles = s(parentLive),
           removedPaths = Seq.empty, manifestPath = None,
           addedDeleteFiles = liveDeletes, removedDeletePaths = Seq.empty)
       } else s
@@ -403,16 +461,22 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
-  /** Delete data files no snapshot references (post-expire GC). */
-  def vacuum(): Seq[String] = this.synchronized {
+  /** Delete data files no snapshot references (post-expire GC). Only
+    * files older than `olderThanMs` are removed: a freshly staged file
+    * may belong to an in-flight commit whose snapshot is not yet
+    * visible (the reference's orphan GC uses the same age cutoff). */
+  def vacuum(olderThanMs: Long = 3600000L): Seq[String] = this.synchronized {
     val m = meta
     val referenced = (m.snapshots.flatMap(_.files.map(_.path)) ++
       m.snapshots.flatMap(_.addedDeleteFiles.map(_.path))).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val onDisk =
       if (!Files.exists(dataDir)) Seq.empty[Path]
       else Files.walk(dataDir).iterator().asScala
         .filter(p => Files.isRegularFile(p)).toSeq
-    val orphans = onDisk.filterNot(p => referenced.contains(dataDir.relativize(p).toString))
+    val orphans = onDisk.filterNot(p =>
+      referenced.contains(dataDir.relativize(p).toString) ||
+        Files.getLastModifiedTime(p).toMillis > cutoff)
     orphans.foreach(Files.deleteIfExists(_))
     orphans.map(p => dataDir.relativize(p).toString)
   }
@@ -425,7 +489,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val m = meta
     val keys = scan().filter(predicate).select(keyCols.map(col): _*).distinct()
     val staging = Paths.get(root, s"stage-${UUID.randomUUID().toString.take(8)}")
-    keys.write.parquet(staging.toString)
+    withMicrosTimestamps(keys.write.parquet(staging.toString))
     val dir = dataDir.resolve("deletes")
     Files.createDirectories(dir)
     val added = Files.walk(staging).iterator().asScala
@@ -464,9 +528,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val m = meta
     val candidates = plannedFiles(touched)
     if (candidates.isEmpty) return this
-    val remaining = spark.read.schema(m.schema)
-      .parquet(candidates.map(absolute): _*)
-      .filter(!predicate)
+    val seqByPath = m.liveFilesWithSeq(None).map { case (f, q) => f.path -> q }.toMap
+    // SQL DELETE keeps rows where the predicate is NULL (not TRUE),
+    // so !predicate alone is wrong under three-valued logic
+    val remaining = readWithDeletes(candidates.map(f => (f, seqByPath(f.path))),
+      m.liveDeleteFilesWithSeq(None), m.schema)
+      .filter(!coalesce(predicate, lit(false)))
     val files = writeFiles(remaining, m.schema)
     commit("delete", files, candidates.map(_.path))
     this
@@ -556,6 +623,11 @@ object GraftTable {
       properties: Map[String, String] = Map.empty,
       sortOrder: Seq[String] = Seq.empty): GraftTable = {
     require(!Meta.exists(root), s"table already exists at $root")
+    // a spec name that shadows a schema column would make partitionBy
+    // strip the data column from the files (scans would null-fill it)
+    spec.foreach(pf => require(!schema.fieldNames.contains(pf.name),
+      s"partition field name '${pf.name}' collides with a schema column; " +
+        "use a distinct name (e.g. prefix '_p_')"))
     Meta.write(root, Meta.TableMetadata(
       location = root, formatVersion = 1,
       schemas = Map(0 -> schema), currentSchemaId = 0,

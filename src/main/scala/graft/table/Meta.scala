@@ -3,7 +3,7 @@ package graft.table
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
 import scala.jdk.CollectionConverters._
 
 /** Table-metadata model for GraftTable (SURVEY.md §2.C) — the Iceberg
@@ -35,7 +35,12 @@ object Meta {
       stats: Map[String, ColStats],
       /** set only on equality-delete files: the key columns whose
         * values this file deletes (Iceberg v2 equality deletes) */
-      equalityColumns: Seq[String] = Seq.empty)
+      equalityColumns: Seq[String] = Seq.empty,
+      /** data sequence number carried across rewrites (Iceberg v2:
+        * equality deletes apply only to data files with a SMALLER
+        * data sequence number — spec/snapshot.rs sequence ordering).
+        * None = inherit the sequence of the committing snapshot. */
+      dataSequence: Option[Long] = None)
 
   case class Snapshot(
       snapshotId: Long,
@@ -63,7 +68,7 @@ object Meta {
     lazy val files: Seq[DataFile] = manifestPath match {
       case None => addedFiles
       case Some(p) =>
-        mapper.readTree(Files.readString(Paths.get(p)))
+        mapper.readTree(TableIO.readString(TableIO.path(p)))
           .elements().asScala.map(readFile).toSeq
     }
 
@@ -118,6 +123,25 @@ object Meta {
         val removed = s.removedDeletePaths.toSet
         live.filterNot(f => removed.contains(f.path)) ++ s.addedDeleteFiles
       }
+
+    /** Live data files with their data sequence numbers (the snapshot
+      * that added each file, unless a rewrite preserved an explicit
+      * dataSequence — Iceberg v2 sequence inheritance). */
+    def liveFilesWithSeq(snapshotId: Option[Long]): Seq[(DataFile, Long)] =
+      chainTo(snapshotId).foldLeft(Seq.empty[(DataFile, Long)]) { (live, s) =>
+        val removed = s.removedPaths.toSet
+        live.filterNot { case (f, _) => removed.contains(f.path) } ++
+          s.files.map(f => (f, f.dataSequence.getOrElse(s.sequenceNumber)))
+      }
+
+    /** Live equality-delete files with their sequence numbers. A delete
+      * applies only to data files with a strictly smaller sequence. */
+    def liveDeleteFilesWithSeq(snapshotId: Option[Long]): Seq[(DataFile, Long)] =
+      chainTo(snapshotId).foldLeft(Seq.empty[(DataFile, Long)]) { (live, s) =>
+        val removed = s.removedDeletePaths.toSet
+        live.filterNot { case (f, _) => removed.contains(f.path) } ++
+          s.addedDeleteFiles.map(f => (f, f.dataSequence.getOrElse(s.sequenceNumber)))
+      }
   }
 
   // ---- JSON writing ---------------------------------------------------
@@ -143,6 +167,7 @@ object Meta {
       val eq = n.putArray("equality_columns")
       f.equalityColumns.foreach(eq.add)
     }
+    f.dataSequence.foreach(n.put("sequence", _))
     n
   }
 
@@ -213,7 +238,8 @@ object Meta {
     fileSizeBytes = n.get("bytes").asLong(),
     stats = readStats(n.get("stats")),
     equalityColumns = Option(n.get("equality_columns")).map(
-      _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
+      _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+    dataSequence = Option(n.get("sequence")).map(_.asLong()))
 
   def fromJson(json: String): TableMetadata = {
     val root = mapper.readTree(json)
@@ -264,7 +290,8 @@ object Meta {
 
   // ---- versioned store (file "catalog", reference: iceberg-file-catalog) --
 
-  def metadataDir(root: String): Path = Paths.get(root, "metadata")
+  def metadataDir(root: String): org.apache.hadoop.fs.Path =
+    TableIO.path(root, "metadata")
 
   /** Thrown when another writer committed the same version first —
     * callers (GraftTable.commit) reload and retry (optimistic
@@ -279,15 +306,15 @@ object Meta {
   private val InlineManifestLimit = 64
 
   private def spillManifests(root: String, m: TableMetadata): TableMetadata = {
-    val dir = metadataDir(root).resolve("manifests")
+    val dir = new org.apache.hadoop.fs.Path(metadataDir(root), "manifests")
     val snaps = m.snapshots.map { s =>
       if (s.addedFiles.size <= InlineManifestLimit || s.manifestPath.isDefined) s
       else {
-        Files.createDirectories(dir)
-        val p = dir.resolve(s"snap-${s.snapshotId}.json")
+        TableIO.mkdirs(dir)
+        val p = new org.apache.hadoop.fs.Path(dir, s"snap-${s.snapshotId}.json")
         val arr = mapper.createArrayNode()
         s.addedFiles.foreach(f => arr.add(fileNode(f)))
-        Files.writeString(p, mapper.writeValueAsString(arr))
+        TableIO.writeString(p, mapper.writeValueAsString(arr))
         s.copy(addedFiles = Seq.empty, manifestPath = Some(p.toString))
       }
     }
@@ -297,28 +324,57 @@ object Meta {
   def write(root: String, m: TableMetadata): TableMetadata = {
     val next = spillManifests(root, m).copy(lastVersion = m.lastVersion + 1)
     val dir = metadataDir(root)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(
+    TableIO.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
       s".v${next.lastVersion}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.writeString(tmp, toJson(next))
+    TableIO.writeString(tmp, toJson(next))
     // rename-without-replace is the commit point: exactly one writer
     // can create vN, the loser gets CommitConflict and retries
-    try Files.move(tmp, dir.resolve(s"v${next.lastVersion}.metadata.json"))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new CommitConflict(next.lastVersion)
-    }
-    Files.writeString(dir.resolve("version-hint.text"), next.lastVersion.toString)
+    if (!TableIO.renameNoReplace(tmp,
+        new org.apache.hadoop.fs.Path(dir, s"v${next.lastVersion}.metadata.json")))
+      throw new CommitConflict(next.lastVersion)
+    // the hint is advisory (readers fall back to a dir listing), but
+    // write it via temp+rename so a concurrent reader never sees a
+    // truncated half-write
+    val hintTmp = new org.apache.hadoop.fs.Path(dir,
+      s".hint-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    TableIO.writeString(hintTmp, next.lastVersion.toString)
+    TableIO.renameOverwrite(hintTmp,
+      new org.apache.hadoop.fs.Path(dir, "version-hint.text"))
     next
   }
 
   def load(root: String): TableMetadata = {
     val dir = metadataDir(root)
-    val v = Files.readString(dir.resolve("version-hint.text")).trim.toInt
-    fromJson(Files.readString(dir.resolve(s"v$v.metadata.json")))
+    val v = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no metadata versions under $dir"))
+    fromJson(TableIO.readString(
+      new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json")))
   }
 
-  def exists(root: String): Boolean =
-    Files.exists(metadataDir(root).resolve("version-hint.text"))
+  private val VersionFile = """v(\d+)\.metadata\.json""".r
+
+  /** Current metadata version. The hint file is advisory and can lag
+    * (two racing committers write it out of order), so take the max of
+    * the hint and the versions actually present — Iceberg's Hadoop
+    * tables recover exactly this way. */
+  private def currentVersion(dir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val hinted = scala.util.Try(TableIO.readString(
+      new org.apache.hadoop.fs.Path(dir, "version-hint.text")).trim.toInt).toOption
+    val listed = scala.util.Try {
+      TableIO.listFilesRecursive(dir).flatMap {
+        case (p, _, _) => p.getName match {
+          case VersionFile(n) => Some(n.toInt)
+          case _ => None
+        }
+      }.maxOption
+    }.toOption.flatten
+    (hinted.toSeq ++ listed.toSeq).maxOption
+  }
+
+  def exists(root: String): Boolean = {
+    val dir = metadataDir(root)
+    TableIO.exists(new org.apache.hadoop.fs.Path(dir, "version-hint.text")) ||
+      (TableIO.exists(dir) && currentVersion(dir).isDefined)
+  }
 }

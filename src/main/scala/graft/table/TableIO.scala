@@ -1,0 +1,117 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import java.nio.charset.StandardCharsets
+
+/** Hadoop `FileSystem` IO for the table layer.
+  *
+  * Every metadata/data-file operation routes through this object, so
+  * the SAME table code runs on local disk (`file:///`), HDFS, or any
+  * Hadoop-compatible object store — the reference's table layer is
+  * likewise storage-abstracted (iceberg-rust/src/catalog/bucket.rs:
+  * memory/S3 object_store builders). java.nio would bind the format
+  * to a single node's disk, which no 1000-executor cluster has.
+  *
+  * Commit atomicity: `renameNoReplace` is the optimistic-concurrency
+  * commit point. On HDFS, rename-without-overwrite is atomic. On a
+  * plain local FS across processes (and on S3, where rename is
+  * copy+delete), the exists-check+rename window is not atomic — the
+  * same caveat Iceberg's HadoopCatalog documents; production
+  * multi-writer setups should front commits with a shared catalog
+  * (see graft.table.Catalog / the JDBC-style CAS there).
+  */
+object TableIO {
+
+  def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def path(s: String): HPath = new HPath(s)
+  def path(parent: String, child: String): HPath = new HPath(parent, child)
+
+  def fs(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  def exists(p: HPath): Boolean = fs(p).exists(p)
+
+  def mkdirs(p: HPath): Unit = fs(p).mkdirs(p)
+
+  def readString(p: HPath): String = {
+    val in = fs(p).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeString(p: HPath, s: String, overwrite: Boolean = true): Unit = {
+    val out = fs(p).create(p, overwrite)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Plain move (staged-file ingest). On object stores this is a
+    * server-side copy; data files move once, at commit. */
+  def rename(src: HPath, dst: HPath): Unit = {
+    val f = fs(src)
+    f.mkdirs(dst.getParent)
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+  }
+
+  /** Atomic rename-with-replace (FileContext honors OVERWRITE where
+    * the FS supports it — POSIX rename on local, atomic on HDFS). */
+  def renameOverwrite(src: HPath, dst: HPath): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs(src).getUri, conf)
+    fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private val commitLock = new Object
+
+  /** Rename that FAILS (returns false) when the destination exists —
+    * the metadata-version CAS. In-JVM races are excluded by the lock;
+    * cross-process atomicity is the filesystem's rename contract. */
+  def renameNoReplace(src: HPath, dst: HPath): Boolean = commitLock.synchronized {
+    val f = fs(src)
+    if (f.exists(dst)) { f.delete(src, false); false }
+    else f.rename(src, dst)
+  }
+
+  def delete(p: HPath, recursive: Boolean = false): Boolean =
+    fs(p).delete(p, recursive)
+
+  def size(p: HPath): Long = fs(p).getFileStatus(p).getLen
+
+  def mtime(p: HPath): Long = fs(p).getFileStatus(p).getModificationTime
+
+  /** All regular files under `p`, recursively: (path, size, mtimeMs).
+    * One listFiles call — on object stores this is a flat listing, not
+    * a per-directory walk. */
+  def listFilesRecursive(p: HPath): Seq[(HPath, Long, Long)] = {
+    val f = fs(p)
+    if (!f.exists(p)) return Seq.empty
+    val it = f.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer[(HPath, Long, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile)
+        buf += ((st.getPath, st.getLen, st.getModificationTime))
+    }
+    buf.toSeq
+  }
+
+  /** Child path relative to `base`, as a slash string (partition-dir
+    * structure survives the move out of staging). */
+  def relativize(base: HPath, child: HPath): String = {
+    val f = fs(base)
+    val b = f.makeQualified(base).toUri.getPath.stripSuffix("/") + "/"
+    val c = f.makeQualified(child).toUri.getPath
+    require(c.startsWith(b), s"$child is not under $base")
+    c.stripPrefix(b)
+  }
+
+  /** Fully-qualified URI string for a path (what Spark's readers and
+    * PartitionedFile want). */
+  def qualified(p: HPath): String =
+    fs(p).makeQualified(p).toUri.toString
+}

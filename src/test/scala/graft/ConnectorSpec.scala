@@ -94,6 +94,23 @@ class ConnectorSpec extends AnyFunSuite {
     assert(df.filter(col("o_orderstatus") === "F").count() === 0)
   }
 
+  test("connector sequence-scopes deletes: later appends are not filtered") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    t.deleteWhereMoR(col("id") === 2L, Seq("id"))
+    t.append(Seq((2L, "b2")).toDF("id", "v"))
+    val read = spark.read.format("graft").load(root)
+    assert(read.count() === 3, "re-inserted key hidden by an older delete")
+    assert(read.filter(col("id") === 2L).select("v").as[String].collect()
+      .toSeq === Seq("b2"))
+    // pruned-column read still applies scoped deletes
+    assert(read.select("v").count() === 3)
+  }
+
   test("ungrouped count/min/max answer from manifest stats without data IO") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()

@@ -20,7 +20,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val rowsBefore = t.scan().count()
     t.expireSnapshots(keepLast = 1)
     assert(t.meta.snapshots.size === 1)
-    val removed = t.vacuum()
+    val removed = t.vacuum(0L)
     assert(removed.nonEmpty, "overwritten files should be orphaned")
     assert(t.scan().count() === rowsBefore)
   }
@@ -36,7 +36,7 @@ class MaintenanceSpec extends AnyFunSuite {
     // dev's tip snapshot must survive because the ref points at it
     assert(t.scan(branch = Some("dev")).count() === 100)
     assert(t.scan().count() === 175)
-    t.vacuum()
+    t.vacuum(0L)
     assert(t.scan(branch = Some("dev")).count() === 100)
   }
 

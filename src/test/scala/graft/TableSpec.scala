@@ -169,8 +169,38 @@ class TableSpec extends AnyFunSuite {
     assert(t.meta.liveDeleteFiles(None).nonEmpty,
       "squash must carry the live delete files")
     assert(t.scan().count() === want, "deleted rows resurrected after expire")
-    t.vacuum()
+    t.vacuum(0L)
     assert(t.scan().count() === want)
+  }
+
+  test("append after MoR delete is not hidden (sequence scoping)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    t.deleteWhereMoR(col("id") === 2L, Seq("id"))
+    assert(t.scan().count() === 2)
+    // re-insert the deleted key AFTER the delete: the equality delete
+    // has a smaller sequence number and must not apply to the new file
+    t.append(Seq((2L, "b2")).toDF("id", "v"))
+    val rows = t.scan().orderBy("id").collect()
+    assert(rows.length === 3, "re-inserted key hidden by an older delete")
+    assert(rows(1).getString(1) === "b2")
+  }
+
+  test("CoW delete keeps rows where the predicate is NULL") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "x")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    t.delete(col("x") > 5.0)
+    val ids = t.scan().select("id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(2L, 3L), "NULL-predicate row must survive DELETE")
   }
 
   test("merge upserts matching keys and inserts new ones") {

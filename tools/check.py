@@ -12,14 +12,30 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def normval(v):
+    """Engine-neutral value form: int widths, decimal/float split,
+    date vs midnight-timestamp, and numpy scalars all collapse."""
+    import decimal, datetime
+    import numpy as np
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (np.integer, int)):
+        return int(v)
+    if isinstance(v, (np.floating, float)):
+        return float(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return pd.Timestamp(v).isoformat()
+    return str(v)
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for comparison
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    rows = [[normval(v) for v in row] for row in df.itertuples(index=False)]
+    rows.sort(key=lambda r: tuple(str(x) for x in r))
+    return pd.DataFrame(rows, columns=list(df.columns), dtype=object)
 
 def values_close(a, b):
     if isinstance(a, float) and isinstance(b, float):
@@ -37,7 +53,9 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.sql(sql).df()
+            # .arrow() keeps DECIMAL columns as decimals (like the
+            # driver's bit-exact compare); .df() would float them
+            exp = con.sql(sql).arrow().to_pandas()
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
             exp, got = canon(exp), canon(got)
