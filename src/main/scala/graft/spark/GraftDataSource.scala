@@ -348,12 +348,11 @@ class GraftScan(root: String, table: Meta.TableMetadata,
 
   private def toFilePartition(idx: Int, bin: Seq[Meta.DataFile])
       : org.apache.spark.sql.execution.datasources.FilePartition = {
-    val dataDir = java.nio.file.Paths.get(root, "data")
+    val dataDir = graft.table.TableIO.path(root, "data")
     GraftConnectorShim.filePartition(idx, bin.map { f =>
-      val p = dataDir.resolve(f.path)
+      val p = new org.apache.hadoop.fs.Path(dataDir, f.path)
       GraftConnectorShim.partitionedFile(
-        "file://" + p.toString, f.fileSizeBytes,
-        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        graft.table.TableIO.qualified(p), f.fileSizeBytes, 0L)
     })
   }
 
@@ -423,15 +422,15 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     * per JVM, so task closures stay O(file list), not O(deleted keys). */
   private def buildDeleteSpecs(spark: SparkSession,
       sig: Seq[String]): Seq[DeleteFilesSpec] = {
-    val dataDir = java.nio.file.Paths.get(root, "data")
+    val dataDir = graft.table.TableIO.path(root, "data")
     val byPath = deletesWithSeq.map(_._1).map(f => f.path -> f).toMap
     sig.map(byPath).groupBy(_.equalityColumns).toSeq.map { case (eqCols, dfiles) =>
       val keySchema = StructType(
         table.schema.fields.filter(f => eqCols.contains(f.name)))
       val part = GraftConnectorShim.filePartition(0, dfiles.map { f =>
-        val p = dataDir.resolve(f.path)
-        GraftConnectorShim.partitionedFile("file://" + p.toString, f.fileSizeBytes,
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        val p = new org.apache.hadoop.fs.Path(dataDir, f.path)
+        GraftConnectorShim.partitionedFile(
+          graft.table.TableIO.qualified(p), f.fileSizeBytes, 0L)
       })
       DeleteFilesSpec(
         keyIndexes = keySchema.fields.map(f => requiredSchema.fieldIndex(f.name)),
@@ -599,12 +598,12 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean)
 class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
   extends org.apache.spark.sql.connector.write.BatchWrite {
   private val staging =
-    java.nio.file.Paths.get(root, s"stage-v2-${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.table.TableIO.path(root, s"stage-v2-${java.util.UUID.randomUUID().toString.take(8)}")
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
-    java.nio.file.Files.createDirectories(staging)
+    graft.table.TableIO.mkdirs(staging)
     GraftWriterFactory(staging.toString,
       GraftConnectorShim.prepareParquetWriteConf(SparkSession.active, schema))
   }
@@ -615,12 +614,8 @@ class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
       .commitStagedWrite(staging, overwrite)
 
   override def abort(
-      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(staging))
-      java.nio.file.Files.walk(staging).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-  }
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    graft.table.TableIO.delete(staging, recursive = true)
 }
 
 case class GraftCommitMessage(path: String, rows: Long)
@@ -650,7 +645,8 @@ class GraftDataWriter(path: String,
   }
   override def abort(): Unit = {
     writer.close()
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, false)
   }
   override def close(): Unit = ()
 }

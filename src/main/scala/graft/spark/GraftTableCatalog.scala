@@ -5,8 +5,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.table.{GraftTable, Meta}
-import java.nio.file.{Files, Paths}
+import graft.table.{GraftTable, Meta, TableIO}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
@@ -45,11 +44,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
-    if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala
+    val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!TableIO.isDirectory(dir)) Array.empty
+    else TableIO.listDir(dir).map(_.getPath).iterator
       .filter(p => Meta.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .map(p => Identifier.of(namespace, p.getName))
       .toArray
   }
 
@@ -114,38 +113,31 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val root = Paths.get(tableRoot(ident))
+    val root = TableIO.path(tableRoot(ident))
     if (!Meta.exists(root.toString)) false
-    else {
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-      true
-    }
+    else TableIO.delete(root, recursive = true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = Paths.get(tableRoot(oldIdent))
-    val to = Paths.get(tableRoot(newIdent))
-    Files.createDirectories(to.getParent)
-    Files.move(from, to)
-  }
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    TableIO.rename(TableIO.path(tableRoot(oldIdent)),
+      TableIO.path(tableRoot(newIdent)))
 
   // ---- namespaces ----------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] = {
-    val dir = Paths.get(warehouse)
-    if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !Meta.exists(p.toString))
-      .map(p => Array(p.getFileName.toString)).toArray
+    val dir = TableIO.path(warehouse)
+    if (!TableIO.isDirectory(dir)) Array.empty
+    else TableIO.listDir(dir).iterator.map(_.getPath)
+      .filter(p => TableIO.isDirectory(p) && !Meta.exists(p.toString))
+      .map(p => Array(p.getName)).toArray
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
-    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
-    if (!Files.isDirectory(dir))
+    val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!TableIO.isDirectory(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         namespace.toSeq)
     java.util.Collections.emptyMap()
@@ -153,19 +145,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: JMap[String, String]): Unit =
-    Files.createDirectories(Paths.get((warehouse +: namespace.toSeq).mkString("/")))
+    TableIO.mkdirs(TableIO.path((warehouse +: namespace.toSeq).mkString("/")))
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
-    if (!Files.isDirectory(dir)) false
-    else {
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-      true
-    }
+    val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!TableIO.isDirectory(dir)) false
+    else TableIO.delete(dir, recursive = true)
   }
 }

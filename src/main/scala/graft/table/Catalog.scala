@@ -3,7 +3,6 @@ package graft.table
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import com.fasterxml.jackson.databind.ObjectMapper
-import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** File-backed catalog of GraftTables and views (reference:
@@ -19,21 +18,21 @@ import scala.jdk.CollectionConverters._
   */
 class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private val mapper = new ObjectMapper()
-  private def catPath = Paths.get(warehouse, "catalog.json")
+  private def catPath = TableIO.path(warehouse, "catalog.json")
 
   private def entries: Map[String, String] = { // name -> kind
-    if (!Files.exists(catPath)) Map.empty
+    if (!TableIO.exists(catPath)) Map.empty
     else {
-      val n = mapper.readTree(Files.readString(catPath))
+      val n = mapper.readTree(TableIO.readString(catPath))
       n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }
   }
 
   private def saveEntries(m: Map[String, String]): Unit = {
-    Files.createDirectories(Paths.get(warehouse))
+    TableIO.mkdirs(TableIO.path(warehouse))
     val n = mapper.createObjectNode()
     m.foreach { case (k, v) => n.put(k, v) }
-    Files.writeString(catPath, mapper.writeValueAsString(n))
+    TableIO.writeString(catPath, mapper.writeValueAsString(n))
   }
 
   private def tableRoot(name: String) = s"$warehouse/$name"

@@ -57,8 +57,12 @@ object FooterStats {
   /** Read one footer: merge row-group statistics per column. */
   def readFooter(path: String, conf: Configuration,
       prunable: Set[String]): FileStats = {
+    // scheme-less paths are local (executor-side default FS may differ)
+    val hp = new Path(path)
+    val qualified =
+      if (hp.toUri.getScheme == null) new Path("file://" + path) else hp
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path("file://" + path), conf))
+      HadoopInputFile.fromPath(qualified, conf))
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala

@@ -4,9 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.IcebergTransforms
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{Path => HPath}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 /** Snapshot-versioned table on parquet — the reference's table
   * operations (iceberg-rust/src/table/transaction/mod.rs:33 `append`,
@@ -28,7 +27,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def meta: Meta.TableMetadata = Meta.load(root)
 
-  private def dataDir: Path = Paths.get(root, "data")
+  private def dataDir: HPath = TableIO.path(root, "data")
 
   // ---- write path -----------------------------------------------------
 
@@ -76,7 +75,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * iceberg-rust/src/file_format/parquet.rs). */
   private def writeFiles(df: DataFrame, schema: StructType): Seq[Meta.DataFile] = {
     val m = meta
-    val staging = Paths.get(root, s"stage-${UUID.randomUUID().toString.take(8)}")
+    val staging = TableIO.path(root, s"stage-${UUID.randomUUID().toString.take(8)}")
     val partNames = m.spec.map(_.name)
 
     val withParts = m.spec.foldLeft(df)((acc, pf) =>
@@ -123,34 +122,32 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** Collect footer stats for every parquet under `staging`, move the
     * files into the data dir (preserving partition subdirs), return
     * their manifest entries, and remove the staging skeleton. */
-  private[graft] def ingestStaged(staging: Path,
+  private[graft] def ingestStaged(staging: HPath,
       schema: StructType): Seq[Meta.DataFile] = {
-    val stagedPaths = Files.walk(staging).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(_.toString).toSeq
+    val staged = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+    val stagedPaths = staged.map(_._1.toString)
+    val sizeByPath = staged.map { case (p, sz, _) => p.toString -> sz }.toMap
     val prunable = schema.fields.filter(f => isPrunable(f.dataType)).map(_.name)
     val fileStats = FooterStats.collect(spark, stagedPaths, prunable.toSet)
 
     val moved = fileStats.map { fs =>
-      val src = Paths.get(fs.path)
+      val src = TableIO.path(fs.path)
       // partition dir structure (name=value/...) relative to staging
-      val rel = staging.relativize(src)
-      val dest = dataDir.resolve(rel)
-      Files.createDirectories(dest.getParent)
-      Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-      val partValues = rel.iterator().asScala.toSeq.dropRight(1)
-        .map(_.toString.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      val rel = TableIO.relativize(staging, src)
+      val dest = new HPath(dataDir, rel)
+      TableIO.rename(src, dest)
+      val partValues = rel.split("/").toSeq.dropRight(1)
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
       Meta.DataFile(
-        path = dataDir.relativize(dest).toString,
+        path = rel,
         partitionValues = partValues,
         recordCount = fs.records,
-        fileSizeBytes = Files.size(dest),
+        fileSizeBytes = sizeByPath.getOrElse(fs.path, TableIO.size(dest)),
         stats = fs.stats)
     }
 
-    // clean staging skeleton
-    Files.walk(staging).iterator().asScala.toSeq.reverse
-      .foreach(p => Files.deleteIfExists(p))
+    TableIO.delete(staging, recursive = true)
     moved
   }
 
@@ -158,18 +155,16 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * populated (BatchWrite) and snapshot it. Partition-spec'd tables
     * route the staged rows back through the partitioning write path
     * (transform columns + partition dirs), then drop the stage. */
-  private[graft] def commitStagedWrite(staging: Path, overwrite: Boolean): Unit = {
+  private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean): Unit = {
     val m = meta
     val files =
       if (m.spec.isEmpty) ingestStaged(staging, m.schema)
       else {
-        val stagedPaths = Files.walk(staging).iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-          .map(_.toString).toSeq
+        val stagedPaths = TableIO.listFilesRecursive(staging)
+          .filter(_._1.getName.endsWith(".parquet")).map(_._1.toString)
         val out = writeFiles(
           spark.read.schema(m.schema).parquet(stagedPaths: _*), m.schema)
-        Files.walk(staging).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+        TableIO.delete(staging, recursive = true)
         out
       }
     if (overwrite)
@@ -243,7 +238,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   // ---- read path ------------------------------------------------------
 
   private def absolute(f: Meta.DataFile): String =
-    dataDir.resolve(f.path).toString
+    new HPath(dataDir, f.path).toString
 
   /** Simple comparison predicates a manifest can prune on. */
   case class StatFilter(column: String, op: String, value: String)
@@ -470,15 +465,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val referenced = (m.snapshots.flatMap(_.files.map(_.path)) ++
       m.snapshots.flatMap(_.addedDeleteFiles.map(_.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val onDisk =
-      if (!Files.exists(dataDir)) Seq.empty[Path]
-      else Files.walk(dataDir).iterator().asScala
-        .filter(p => Files.isRegularFile(p)).toSeq
-    val orphans = onDisk.filterNot(p =>
-      referenced.contains(dataDir.relativize(p).toString) ||
-        Files.getLastModifiedTime(p).toMillis > cutoff)
-    orphans.foreach(Files.deleteIfExists(_))
-    orphans.map(p => dataDir.relativize(p).toString)
+    val orphans = TableIO.listFilesRecursive(dataDir).filterNot {
+      case (p, _, mtime) =>
+        referenced.contains(TableIO.relativize(dataDir, p)) || mtime > cutoff
+    }
+    orphans.foreach { case (p, _, _) => TableIO.delete(p) }
+    orphans.map { case (p, _, _) => TableIO.relativize(dataDir, p) }
   }
 
   /** Merge-on-read DELETE WHERE (Iceberg v2 equality deletes): the
@@ -488,23 +480,22 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def deleteWhereMoR(predicate: Column, keyCols: Seq[String]): GraftTable = {
     val m = meta
     val keys = scan().filter(predicate).select(keyCols.map(col): _*).distinct()
-    val staging = Paths.get(root, s"stage-${UUID.randomUUID().toString.take(8)}")
+    val staging = TableIO.path(root, s"stage-${UUID.randomUUID().toString.take(8)}")
     withMicrosTimestamps(keys.write.parquet(staging.toString))
-    val dir = dataDir.resolve("deletes")
-    Files.createDirectories(dir)
-    val added = Files.walk(staging).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq.map { src =>
-        val dest = dir.resolve(s"eq-${UUID.randomUUID().toString.take(8)}.parquet")
-        Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+    val dir = new HPath(dataDir, "deletes")
+    TableIO.mkdirs(dir)
+    val added = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dir, s"eq-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
         Meta.DataFile(
-          path = dataDir.relativize(dest).toString,
+          path = TableIO.relativize(dataDir, dest),
           partitionValues = Map.empty,
-          recordCount = -1L, fileSizeBytes = Files.size(dest),
+          recordCount = -1L, fileSizeBytes = sz,
           stats = Map.empty, equalityColumns = keyCols)
       }
-    Files.walk(staging).iterator().asScala.toSeq.reverse
-      .foreach(p => Files.deleteIfExists(p))
+    TableIO.delete(staging, recursive = true)
     commit("delete-eq", Seq.empty, Seq.empty, addedDeletes = added)
     this
   }

@@ -100,6 +100,17 @@ object TableIO {
     buf.toSeq
   }
 
+  /** Immediate children of a directory (empty if it doesn't exist). */
+  def listDir(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq
+  }
+
+  def isDirectory(p: HPath): Boolean = {
+    val f = fs(p)
+    f.exists(p) && f.getFileStatus(p).isDirectory
+  }
+
   /** Child path relative to `base`, as a slash string (partition-dir
     * structure survives the move out of staging). */
   def relativize(base: HPath, child: HPath): String = {

@@ -1,7 +1,6 @@
 package graft.table
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths}
 import com.fasterxml.jackson.databind.ObjectMapper
 import scala.jdk.CollectionConverters._
 
@@ -22,7 +21,7 @@ object Views {
   case class ViewDef(name: String, sql: String, sources: Map[String, String],
       version: Int)
 
-  private def viewPath(root: String) = Paths.get(root, "view.json")
+  private def viewPath(root: String) = TableIO.path(root, "view.json")
 
   def createView(root: String, name: String, sql: String,
       sources: Map[String, String]): ViewDef = {
@@ -32,16 +31,16 @@ object Views {
   }
 
   private def writeView(root: String, d: ViewDef): Unit = {
-    Files.createDirectories(Paths.get(root))
+    TableIO.mkdirs(TableIO.path(root))
     val n = mapper.createObjectNode()
     n.put("name", d.name); n.put("sql", d.sql); n.put("version", d.version)
     val s = n.putObject("sources")
     d.sources.foreach { case (k, v) => s.put(k, v) }
-    Files.writeString(viewPath(root), mapper.writeValueAsString(n))
+    TableIO.writeString(viewPath(root), mapper.writeValueAsString(n))
   }
 
   def loadView(root: String): ViewDef = {
-    val n = mapper.readTree(Files.readString(viewPath(root)))
+    val n = mapper.readTree(TableIO.readString(viewPath(root)))
     ViewDef(n.get("name").asText(), n.get("sql").asText(),
       n.get("sources").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
       n.get("version").asInt())
@@ -122,11 +121,11 @@ object Views {
     def read: DataFrame = storage.scan()
   }
 
-  private def foldPath(root: String) = Paths.get(root, "fold.sql")
+  private def foldPath(root: String) = TableIO.path(root, "fold.sql")
 
   private[table] def loadFold(root: String): Option[String] = {
     val p = foldPath(root)
-    if (Files.exists(p)) Some(Files.readString(p)) else None
+    if (TableIO.exists(p)) Some(TableIO.readString(p)) else None
   }
 
   /** @param incrementalFold optional re-aggregation SQL over the temp
@@ -137,7 +136,7 @@ object Views {
       sql: String, sources: Map[String, String],
       incrementalFold: Option[String] = None): MaterializedView = {
     createView(root, name, sql, sources)
-    incrementalFold.foreach(f => Files.writeString(foldPath(root), f))
+    incrementalFold.foreach(f => TableIO.writeString(foldPath(root), f))
     val schema = queryView(spark, root).schema
     GraftTable.create(spark, s"$root/storage", schema)
     new MaterializedView(root, spark)

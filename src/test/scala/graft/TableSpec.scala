@@ -25,6 +25,18 @@ class TableSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-6)
   }
 
+  test("table works with an explicit file:/// Hadoop URI root") {
+    val root = "file://" + tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(500))
+    assert(t.scan().count() === 500)
+    t.deleteWhereMoR(col("l_orderkey") === 1L, Seq("l_orderkey"))
+    assert(t.scan().filter(col("l_orderkey") === 1L).count() === 0)
+    // connector read over the same URI root
+    assert(spark.read.format("graft").load(root).count() ===
+      t.scan().count())
+  }
+
   test("snapshots accumulate and time travel replays the chain") {
     val root = tmp()
     val t = GraftTable.create(spark, root, li.schema)
