@@ -206,6 +206,29 @@ object Dedup {
     "dd_simhash" -> ddSimhash,
     "dd_ngram_jaccard" -> ddNgramJaccard)
 
+  /** Exhaustive all-pairs oracle for the LSH-candidates + exact-verify
+    * pipeline: DuckDB recomputes word-3-gram shingle sets for every
+    * doc and checks EVERY pair — if the LSH candidate generation ever
+    * drops a true >=0.5 pair, the gate fails. (All-pairs is fine for
+    * the oracle at sf0.01; the engine side never goes quadratic.) */
+  val ddNgramJaccardSql: String =
+    """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(ws) >= 3
+            THEN list_distinct(list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+            ELSE [trim(lower(text))] END AS sh_arr
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(len(list_intersect(a.sh_arr, b.sh_arr))::DOUBLE
+          / len(list_distinct(list_concat(a.sh_arr, b.sh_arr))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh_arr, b.sh_arr))::DOUBLE
+          / len(list_distinct(list_concat(a.sh_arr, b.sh_arr))) >= 0.5
+      ORDER BY doc_a, doc_b"""
+
   val oracles: Map[String, String] = Map(
-    "dd_exact" -> ddExactSql)
+    "dd_exact" -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql)
 }

@@ -3,16 +3,22 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
 
-/** Multimodal-column plumbing (SURVEY.md §2.D): media as opaque binary
-  * columns with typed metadata, decode/feature-extraction as a
-  * partition-local Dataset transform.
+/** Multimodal columns (SURVEY.md §2.D): media as opaque binary
+  * columns with typed metadata; decode / resize / feature-extract as
+  * partition-local Dataset transforms (scan → mapPartitions, no
+  * shuffle).
   *
-  * The decode kernel is a STUB — image/audio codecs are not in this
-  * container — but everything Spark-side is real: binary schema,
-  * mapPartitions batching, typed output rows, partition-preserving
-  * execution. Swapping `FakeDecoder` for a JNI/FFI codec changes no
-  * plan shape.
+  * Image and audio are REAL codecs: PNG via javax.imageio (decode +
+  * area-averaged resize to an 8×8 grayscale feature) and WAV/PCM16
+  * (RIFF header parse + windowed amplitude features). Video remains a
+  * clearly-marked stub — no video codec ships in the JDK — but its
+  * row shape and batching are identical, so swapping in an FFI codec
+  * changes no plan.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -30,45 +36,121 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Float])
 
-  /** STUB decoder: deterministic pseudo-decode from payload bytes. A
-    * real implementation would parse container headers and run the
-    * codec; the signature (bytes in, dims + features out) is the
-    * contract the pipeline depends on. */
-  object FakeDecoder {
-    def decode(m: MediaRow): MediaMeta = {
-      // mask to 31 bits: math.abs(Int.MinValue) stays negative
-      val h = graft.functions.IcebergHash.hashBytes(m.payload) & 0x7fffffff
-      val w = 160 + (h % 8) * 80 // "decoded" width
-      val ht = 90 + ((h >> 3) % 8) * 60 // "decoded" height
-      val frames = m.media_type match {
-        case "video" => 1 + (h >> 6) % 300
-        case "audio" => 1 + (h >> 6) % 3000
-        case _ => 1
+  object MediaCodec {
+
+    /** Deterministic real PNG: pixels from an LCG over the seed. */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var x = seed | 1L
+      var i = 0
+      while (i < width * height) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(i % width, i / width, (x >>> 40).toInt & 0xffffff)
+        i += 1
       }
-      // 8-dim "feature": rolling hash of payload windows, unit-scaled
-      val feat = Array.tabulate(8) { i =>
-        val slice = m.payload.drop(i * (m.payload.length / 8 max 1))
-          .take(m.payload.length / 8 max 1)
-        graft.functions.IcebergHash.hashBytes(slice).toFloat / Int.MaxValue
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic real WAV (RIFF/PCM16 mono 8kHz). */
+    def encodeWav(nSamples: Int, seed: Long): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(36 + dataLen); b.put("WAVE".getBytes)
+      b.put("fmt ".getBytes); b.putInt(16)
+      b.putShort(1); b.putShort(1) // PCM, mono
+      b.putInt(8000); b.putInt(8000 * 2) // sample rate, byte rate
+      b.putShort(2); b.putShort(16) // block align, bits
+      b.put("data".getBytes); b.putInt(dataLen)
+      var x = seed | 1L
+      var i = 0
+      while (i < nSamples) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        b.putShort((x >>> 48).toShort)
+        i += 1
       }
-      MediaMeta(m.media_id, m.media_type, m.payload.length, w, ht, frames, feat)
+      b.array()
+    }
+
+    /** 8×8 area-averaged grayscale resize → 64-dim unit feature. */
+    private def imageFeature(img: BufferedImage): Array[Float] = {
+      val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+      g.dispose()
+      Array.tabulate(64) { i =>
+        val rgb = small.getRGB(i % 8, i / 8)
+        val lum = 0.299f * ((rgb >> 16) & 0xff) +
+          0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+        lum / 255f
+      }
+    }
+
+    /** Real decode for image (PNG/JPEG via ImageIO) and audio
+      * (WAV/PCM16); video is the marked stub. */
+    def decode(m: MediaRow): MediaMeta = m.media_type match {
+      case "image" =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        require(img != null, s"media ${m.media_id}: undecodable image")
+        MediaMeta(m.media_id, m.media_type, m.payload.length,
+          img.getWidth, img.getHeight, 1, imageFeature(img))
+      case "audio" =>
+        val b = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
+        require(m.payload.length >= 44 &&
+          new String(m.payload, 0, 4) == "RIFF" &&
+          new String(m.payload, 8, 4) == "WAVE",
+          s"media ${m.media_id}: not a RIFF/WAVE payload")
+        val sampleRate = b.getInt(24)
+        val bytesPerSample = b.getShort(34) / 8
+        val dataLen = b.getInt(40)
+        val frames = dataLen / (bytesPerSample max 1)
+        // windowed mean-absolute-amplitude feature (8 windows)
+        val feat = Array.tabulate(8) { w =>
+          val win = frames / 8 max 1
+          var sum = 0L; var n = 0
+          var i = w * win
+          while (i < ((w + 1) * win min frames)) {
+            sum += math.abs(b.getShort(44 + i * 2).toInt); n += 1; i += 1
+          }
+          if (n == 0) 0f else (sum.toFloat / n) / Short.MaxValue
+        }
+        MediaMeta(m.media_id, m.media_type, m.payload.length,
+          sampleRate, 1, frames, feat)
+      case _ =>
+        // STUB: video frame-sampling needs a codec the JDK lacks; the
+        // deterministic pseudo-decode keeps the pipeline end-to-end
+        val h = graft.functions.IcebergHash.hashBytes(m.payload) & 0x7fffffff
+        MediaMeta(m.media_id, m.media_type, m.payload.length,
+          160 + (h % 8) * 80, 90 + ((h >> 3) % 8) * 60,
+          1 + (h >> 6) % 300, Array.tabulate(8)(_.toFloat))
     }
   }
 
-  /** Documents-as-media: payload = UTF-8 bytes, media type round-robin
-    * by id — exercises the binary column path end to end, then decodes
-    * partition-locally (no shuffle: the plan is scan → mapPartitions →
-    * sort for output determinism only). */
+  /** Documents-as-media: REAL payloads synthesized per row (PNG bytes
+    * for image rows, WAV bytes for audio rows, raw text for video),
+    * then decoded back partition-locally — the decode step parses
+    * actual container headers. The plan is scan → mapPartitions
+    * (encode) → mapPartitions (decode) → sort for output determinism. */
   val mmBinaryMeta: Q = (s, d) => {
     import s.implicits._
     val media = Tables.documents(s, d)
-      .select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id % 3) match {
+          case 1 => MediaRow(id, "image",
+            MediaCodec.encodePng(16 + (id % 4).toInt * 8,
+              12 + (id % 3).toInt * 8, id))
+          case 2 => MediaRow(id, "audio",
+            MediaCodec.encodeWav(800 + (id % 10).toInt * 80, id))
+          case _ => MediaRow(id, "video", text.getBytes("UTF-8"))
+        }
+      })
     media
-      .mapPartitions(_.map(FakeDecoder.decode))
+      .mapPartitions(_.map(MediaCodec.decode))
       .toDF()
       .select(col("media_id"), col("media_type"), col("byte_len"),
         col("width"), col("height"), col("n_frames"))

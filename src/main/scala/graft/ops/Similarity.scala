@@ -37,21 +37,46 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         col("label"))
 
-  /** Cosine near-duplicate pairs above tau. The self-join is a
-    * broadcast nested-loop at test scale; at 100 TB this operator is
-    * the one to replace with the LSH variant below — kept exact here
-    * because it is the oracle-checkable baseline. */
-  val ddEmbedNeardup: Q = (s, d) => {
+  /** Cosine near-duplicate pairs above tau.
+    *
+    * Two plans behind a size gate: the exact all-pairs join is the
+    * oracle-checkable baseline and ONLY runs when the corpus is small
+    * enough to afford N² (maxExact); above that the pairs come from
+    * LSH bucket candidates (equi-join on hyperplane-bucket keys — the
+    * shuffle carries candidates, never N²) with exact cosine verify.
+    * Pointing the old unconditional all-pairs at a full corpus was a
+    * scale-killer; the gate makes the default safe. */
+  def embedNeardupPairs(s: SparkSession, d: String,
+      maxExact: Long = 100000L): DataFrame = {
     val v = vectors(s, d).select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"))
-    val a = v.select(col("vec_id").as("ia"), col("emb").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("ib"), col("emb").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("ia") < col("ib"))
-      .select(col("ia"), col("ib"),
-        graft.functions.ArrayKernels.cosineSim(col("ea"), col("eb")).as("cos"))
-      .filter(col("cos") > 0.45)
-      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("ia"), col("ib"))
+    val exact = v.count() <= maxExact
+    if (exact) {
+      val a = v.select(col("vec_id").as("ia"), col("emb").as("ea"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("ib"), col("emb").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          graft.functions.ArrayKernels.cosineSim(col("ea"), col("eb")).as("cos"))
+        .filter(col("cos") > 0.45)
+        .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("ia"), col("ib"))
+    } else {
+      // candidates from any shared LSH bucket; one shuffle on the key
+      val vk = v.select(col("vec_id"), col("emb"),
+          explode(bucketKeys(col("emb"))).as("k"))
+      val a = vk.select(col("k"), col("vec_id").as("ia"), col("emb").as("ea"))
+      val b = vk.select(col("k"), col("vec_id").as("ib"), col("emb").as("eb"))
+      a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), col("ea"), col("eb"))
+        .dropDuplicates("ia", "ib")
+        .select(col("ia"), col("ib"),
+          graft.functions.ArrayKernels.cosineSim(col("ea"), col("eb")).as("cos"))
+        .filter(col("cos") > 0.45)
+        .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("ia"), col("ib"))
+    }
   }
+
+  val ddEmbedNeardup: Q = (s, d) => embedNeardupPairs(s, d)
 
   val ddEmbedNeardupSql: String =
     """SELECT a.vec_id AS ia, b.vec_id AS ib,

@@ -65,12 +65,20 @@ object TableOps {
     t.append(li.repartitionByRange(8, col("l_orderkey")))
     val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
     val cut = (maxKey * 9 / 10).toString
-    val total = t.plannedFiles(Seq.empty).size
-    val planned = t.plannedFiles(Seq(t.StatFilter("l_orderkey", ">", cut))).size
+    val total = t.plannedFiles(Seq.empty).size.toLong
+    val planned = t.plannedFiles(Seq(t.StatFilter("l_orderkey", ">", cut))).size.toLong
     val rows = t.scan(Seq(t.StatFilter("l_orderkey", ">", cut)))
       .filter(col("l_orderkey") > cut.toLong).count()
-    Seq((total, planned, rows)).toDF("n_files_total", "n_files_planned", "n_rows")
+    // planned-file count is range-boundary-dependent; the oracle-stable
+    // facts are the total, that pruning skipped files, and row exactness
+    Seq((total, planned < total, rows))
+      .toDF("n_files_total", "pruned_some", "n_rows")
   }
+
+  val tfFilesPrunedSql: String =
+    """SELECT 8::BIGINT AS n_files_total, true AS pruned_some,
+       count(*) AS n_rows FROM lineitem
+       WHERE l_orderkey > (SELECT (max(l_orderkey)*9)//10 FROM lineitem)"""
 
   /** partitioned write (month transform) + partition-pruned scan. */
   val tfPartitionScan: Q = (s, d) => {
@@ -106,6 +114,14 @@ object TableOps {
     Seq(("before", before._1, before._2), ("after", after._1, after._2))
       .toDF("phase", "n_files", "n_rows").orderBy(col("phase"))
   }
+
+  /** Oracle for the compaction contract itself: 40 round-robin files
+    * in, one ≥-target bin out, rows preserved exactly. */
+  val tfCompactionSql: String =
+    """SELECT 'after' AS phase, 1::BIGINT AS n_files, count(*) AS n_rows FROM lineitem
+       UNION ALL
+       SELECT 'before', 40::BIGINT, count(*) FROM lineitem
+       ORDER BY phase"""
 
   /** branch (snapshot ref) isolation: dev and main advance
     * independently from a shared base. */
@@ -272,7 +288,41 @@ object TableOps {
       .toDF("n_files", "n_records", "n_snapshots", "n_rows")
   }
 
+  /** Single-partition local input → one file per append; record sums
+    * must equal the table rows exactly. */
+  val tfMetadataTablesSql: String =
+    """SELECT 2::BIGINT AS n_files, count(*) AS n_records,
+       2::BIGINT AS n_snapshots, count(*) AS n_rows FROM lineitem"""
+
+  /** Binary Iceberg v2 interop: write a REAL-format table (avro
+    * manifests + manifest list + metadata.json), read it back through
+    * the interop reader with manifest-bounds pruning, aggregate. The
+    * oracle is the same aggregation over the raw source — so the
+    * round-trip through the standard format is what's validated. */
+  val tfIcebergRead: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val loc = scratch()
+    graft.table.iceberg.IcebergWrite.create(
+      s, loc, o.filter(col("o_orderkey") % 2 === 0))
+    graft.table.iceberg.IcebergWrite.append(
+      s, loc, o.filter(col("o_orderkey") % 2 =!= 0))
+    val t = graft.table.iceberg.IcebergTable.load(s, loc)
+    t.scan(None, Seq(("o_totalprice", ">", "50000.0")))
+      .filter(col("o_totalprice") > 50000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).cast("decimal(18,2)").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfIcebergReadSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice),2)::DECIMAL(18,2) AS total
+       FROM orders WHERE o_totalprice > 50000
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
+    "tf_iceberg_read" -> tfIcebergRead,
     "tf_metadata_tables" -> tfMetadataTables,
     "tf_delete_mor" -> tfDeleteMor,
     "tf_snapshot_scan" -> tfSnapshotScan,
@@ -288,6 +338,10 @@ object TableOps {
     "tf_mat_view_refresh" -> tfMatViewRefresh)
 
   val oracles: Map[String, String] = Map(
+    "tf_iceberg_read" -> tfIcebergReadSql,
+    "tf_compaction" -> tfCompactionSql,
+    "tf_files_pruned" -> tfFilesPrunedSql,
+    "tf_metadata_tables" -> tfMetadataTablesSql,
     "tf_delete_mor" -> tfDeleteMorSql,
     "tf_snapshot_scan" -> tfSnapshotScanSql,
     "tf_time_travel" -> tfTimeTravelSql,

@@ -109,6 +109,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB twin of taLangid: same marker ratios, same CJK override,
+    * same (score DESC, lang DESC) tie-break. */
+  val taLangidSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+    val ratioLangs = markers.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map {
+      case (l, ws) =>
+        s"""SELECT doc_id, lang, '$l' AS l,
+            len(list_filter(ws, x -> list_contains(${inList(ws)}, x)))::DOUBLE
+              / len(ws) AS score FROM w"""
+    }
+    val zh =
+      s"""SELECT doc_id, lang, 'zh' AS l,
+          CASE WHEN regexp_matches(text, '[一-鿿]')
+               THEN 1000.0 ELSE 0.0 END AS score FROM w"""
+    s"""WITH w AS (
+          SELECT doc_id, lang, text,
+            list_transform(regexp_split_to_array(trim(text), '\\s+'),
+              x -> lower(x)) AS ws
+          FROM documents),
+        s AS (${(ratioLangs :+ zh).mkString("\n UNION ALL ")}),
+        p AS (SELECT doc_id, lang, l,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, l DESC) AS rn FROM s)
+        SELECT doc_id, lang AS lang_true, l AS lang_pred
+        FROM p WHERE rn = 1 ORDER BY doc_id"""
+  }
+
   /** Rolling-hash document fingerprint: full-text murmur3 plus a
     * winnowed min-hash over sliding 8-byte windows — content-defined,
     * shift-tolerant. A codegen'd Catalyst expression (functions.
@@ -160,5 +187,6 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "ta_unigram_logprob" -> taUnigramLogprobSql,
     "ta_tokens" -> taTokensSql,
-    "ta_quality" -> taQualitySql)
+    "ta_quality" -> taQualitySql,
+    "ta_langid" -> taLangidSql)
 }

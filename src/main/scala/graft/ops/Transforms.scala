@@ -65,6 +65,62 @@ object Transforms {
       .orderBy(col("key_bucket"), col("prio_bucket"))
   }
 
+
+  /** Independent DuckDB implementation of murmur3_x86_32 in PURE SQL
+    * (recursive CTE over 4-byte blocks for strings, unrolled two-block
+    * form for the 8-byte-LE long serialization) — validated against
+    * the public Iceberg spec vectors (hash(34L)=2017239379,
+    * hash("iceberg")=1210000089). This makes the bucket transform
+    * oracle-checked rather than rows-only: two unrelated
+    * implementations must agree on every bucket count. */
+  val ptBucketSql: String =
+    """WITH RECURSIVE prio AS (SELECT DISTINCT o_orderpriority AS s FROM orders),
+blk AS (
+  SELECT s, 0::BIGINT AS i, 0::BIGINT AS h, length(s)//4 AS nb FROM prio
+  UNION ALL
+  SELECT s, i+1,
+    ((((((xor(h, (((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT)) << 13) | ((xor(h, (((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT)) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296),
+    nb
+  FROM blk WHERE i < nb),
+done AS (SELECT s, h, nb FROM blk WHERE i = nb),
+tail AS (
+  SELECT s, h, length(s) AS len,
+    CASE length(s) % 4
+      WHEN 0 THEN 0 WHEN 1 THEN ord(substr(s, 4*nb+1, 1))
+      WHEN 2 THEN ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256
+      ELSE ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256 + ord(substr(s, 4*nb+3, 1))*65536
+    END AS tk
+  FROM done),
+mixed AS (
+  SELECT s, len, CASE WHEN len % 4 = 0 THEN h
+    ELSE xor(h, ((((((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | ((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT) END AS hm
+  FROM tail),
+fin AS (
+  SELECT s, xor(hm, len) AS f0, xor(f0, f0 >> 16) AS f1,
+    ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+    ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+  FROM mixed),
+prio_buckets AS (
+  SELECT s, ((hu & 2147483647) % 4)::INT AS prio_bucket FROM fin),
+key_hash AS (
+  SELECT o_orderkey, o_orderpriority,
+    (o_orderkey & 4294967295) AS w0, ((o_orderkey >> 32) & 4294967295) AS w1,
+    ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
+    ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
+    xor(0::BIGINT, p0b) AS h0a,
+    ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
+    ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
+    ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
+    xor(h0, p1b) AS h1a,
+    ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
+    xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
+    ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+    ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+  FROM orders)
+SELECT ((k.hu & 2147483647) % 16)::INT AS key_bucket, pb.prio_bucket, count(*) AS n
+FROM key_hash k JOIN prio_buckets pb ON k.o_orderpriority = pb.s
+GROUP BY 1, 2 ORDER BY key_bucket, prio_bucket"""
+
   val queries: Map[String, Q] = Map(
     "pt_truncate" -> ptTruncate,
     "pt_datetime" -> ptDatetime,
@@ -72,5 +128,6 @@ object Transforms {
 
   val oracles: Map[String, String] = Map(
     "pt_truncate" -> ptTruncateSql,
-    "pt_datetime" -> ptDatetimeSql)
+    "pt_datetime" -> ptDatetimeSql,
+    "pt_bucket" -> ptBucketSql)
 }

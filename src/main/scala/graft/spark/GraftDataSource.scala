@@ -247,7 +247,26 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     statFilters: Array[(String, String, String)])
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Manifest-derived statistics (reference:
+    * datafusion_iceberg/src/statistics.rs reports the same totals to
+    * its planner): sizeInBytes/rowCount from the PRUNED file list, so
+    * Spark sizes joins from what will actually be read — a graft
+    * relation under the broadcast threshold gets broadcast instead of
+    * shuffled, which is the difference that matters at 100 TB. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val files = plannedDataFiles(SparkSession.active)
+    val bytes = files.map(_.fileSizeBytes).sum
+    val rows = files.map(_.recordCount).filter(_ >= 0).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** Identity partition columns whose source survives into the scan
     * output — the storage-partitioned-join clustering. */

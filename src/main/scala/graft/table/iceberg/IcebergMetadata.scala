@@ -1,0 +1,237 @@
+package graft.table.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.types.{StructField, StructType}
+import graft.table.TableIO
+import scala.jdk.CollectionConverters._
+
+/** The real Iceberg v2 `metadata.json` tree, read and written in the
+  * format any engine understands (reference model:
+  * iceberg-rust-spec/src/spec/table_metadata.rs, snapshot.rs).
+  *
+  * This is the interop boundary: graft's own tables keep their compact
+  * metadata (graft.table.Meta), while this module speaks the standard
+  * — read a table Spark/Trino/the reference wrote, or write one they
+  * can read.
+  */
+object IcebergMetadata {
+  private val mapper = new ObjectMapper()
+
+  case class IceField(id: Int, name: String, required: Boolean, tpe: String)
+  case class IceSchema(schemaId: Int, fields: Seq[IceField]) {
+    def toSpark: StructType = StructType(fields.map(f =>
+      StructField(f.name, IcebergTypes.toSpark(f.tpe), nullable = !f.required)))
+    def fieldId(name: String): Option[Int] = fields.find(_.name == name).map(_.id)
+  }
+
+  case class IcePartitionField(sourceId: Int, fieldId: Int, name: String,
+      transform: String)
+  case class IceSpec(specId: Int, fields: Seq[IcePartitionField])
+
+  case class IceSnapshot(snapshotId: Long, parentId: Option[Long],
+      sequenceNumber: Long, timestampMs: Long, manifestList: String,
+      operation: String, schemaId: Int)
+
+  case class IceMetadata(
+      formatVersion: Int,
+      tableUuid: String,
+      location: String,
+      lastSequenceNumber: Long,
+      lastColumnId: Int,
+      currentSchemaId: Int,
+      schemas: Seq[IceSchema],
+      defaultSpecId: Int,
+      specs: Seq[IceSpec],
+      lastPartitionId: Int,
+      properties: Map[String, String],
+      currentSnapshotId: Option[Long],
+      snapshots: Seq[IceSnapshot],
+      refs: Map[String, Long]) {
+    def schema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
+    def snapshot(id: Long): Option[IceSnapshot] =
+      snapshots.find(_.snapshotId == id)
+    def currentSnapshot: Option[IceSnapshot] =
+      currentSnapshotId.flatMap(snapshot)
+  }
+
+  /** Spark schema -> Iceberg schema with sequential field ids. */
+  def schemaFromSpark(schema: StructType, schemaId: Int = 0): IceSchema =
+    IceSchema(schemaId, schema.fields.zipWithIndex.map { case (f, i) =>
+      IceField(i + 1, f.name, required = !f.nullable,
+        IcebergTypes.toIceberg(f.dataType))
+    }.toSeq)
+
+  // ---- JSON write ----------------------------------------------------
+
+  def toJson(m: IceMetadata): String = {
+    val r = mapper.createObjectNode()
+    r.put("format-version", m.formatVersion)
+    r.put("table-uuid", m.tableUuid)
+    r.put("location", m.location)
+    r.put("last-sequence-number", m.lastSequenceNumber)
+    r.put("last-updated-ms", System.currentTimeMillis())
+    r.put("last-column-id", m.lastColumnId)
+    r.put("current-schema-id", m.currentSchemaId)
+    val schemas = r.putArray("schemas")
+    m.schemas.foreach { s =>
+      val n = schemas.addObject()
+      n.put("type", "struct"); n.put("schema-id", s.schemaId)
+      val fs = n.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = fs.addObject()
+        fn.put("id", f.id); fn.put("name", f.name)
+        fn.put("required", f.required); fn.put("type", f.tpe)
+      }
+    }
+    r.put("default-spec-id", m.defaultSpecId)
+    val specs = r.putArray("partition-specs")
+    m.specs.foreach { s =>
+      val n = specs.addObject()
+      n.put("spec-id", s.specId)
+      val fs = n.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = fs.addObject()
+        fn.put("name", f.name); fn.put("transform", f.transform)
+        fn.put("source-id", f.sourceId); fn.put("field-id", f.fieldId)
+      }
+    }
+    r.put("last-partition-id", m.lastPartitionId)
+    r.put("default-sort-order-id", 0)
+    val so = r.putArray("sort-orders")
+    val son = so.addObject()
+    son.put("order-id", 0); son.putArray("fields")
+    val props = r.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId.foreach(r.put("current-snapshot-id", _))
+    val snaps = r.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val n = snaps.addObject()
+      n.put("snapshot-id", s.snapshotId)
+      s.parentId.foreach(n.put("parent-snapshot-id", _))
+      n.put("sequence-number", s.sequenceNumber)
+      n.put("timestamp-ms", s.timestampMs)
+      n.put("manifest-list", s.manifestList)
+      n.put("schema-id", s.schemaId)
+      val sum = n.putObject("summary")
+      sum.put("operation", s.operation)
+    }
+    val refs = r.putObject("refs")
+    m.refs.foreach { case (name, id) =>
+      val n = refs.putObject(name)
+      n.put("snapshot-id", id)
+      n.put("type", if (name == "main") "branch" else "branch")
+    }
+    r.putArray("snapshot-log"); r.putArray("metadata-log")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(r)
+  }
+
+  // ---- JSON read -----------------------------------------------------
+
+  def fromJson(json: String): IceMetadata = {
+    val r = mapper.readTree(json)
+    def arr(n: JsonNode): Seq[JsonNode] =
+      Option(n).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+
+    val formatVersion = r.get("format-version").asInt()
+    val schemas =
+      if (r.has("schemas")) arr(r.get("schemas")).map(readSchema)
+      else Seq(readSchema(r.get("schema"))) // v1 single-schema form
+    val currentSchemaId =
+      if (r.has("current-schema-id")) r.get("current-schema-id").asInt()
+      else schemas.head.schemaId
+    val specs =
+      if (r.has("partition-specs")) arr(r.get("partition-specs")).map(readSpec)
+      else Seq(IceSpec(0, arr(r.get("partition-spec")).map(readSpecField)))
+    val snapshots = arr(r.get("snapshots")).map { n =>
+      IceSnapshot(
+        snapshotId = n.get("snapshot-id").asLong(),
+        parentId = Option(n.get("parent-snapshot-id")).map(_.asLong()),
+        sequenceNumber =
+          Option(n.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        timestampMs = n.get("timestamp-ms").asLong(),
+        manifestList = n.get("manifest-list").asText(),
+        operation = Option(n.get("summary"))
+          .flatMap(s => Option(s.get("operation"))).map(_.asText())
+          .getOrElse("append"),
+        schemaId = Option(n.get("schema-id")).map(_.asInt())
+          .getOrElse(currentSchemaId))
+    }
+    IceMetadata(
+      formatVersion = formatVersion,
+      tableUuid = Option(r.get("table-uuid")).map(_.asText()).getOrElse(""),
+      location = r.get("location").asText(),
+      lastSequenceNumber =
+        Option(r.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+      lastColumnId = Option(r.get("last-column-id")).map(_.asInt()).getOrElse(0),
+      currentSchemaId = currentSchemaId,
+      schemas = schemas,
+      defaultSpecId =
+        Option(r.get("default-spec-id")).map(_.asInt()).getOrElse(0),
+      specs = specs,
+      lastPartitionId =
+        Option(r.get("last-partition-id")).map(_.asInt()).getOrElse(999),
+      properties = Option(r.get("properties")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      currentSnapshotId =
+        Option(r.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
+      snapshots = snapshots,
+      refs = Option(r.get("refs")).map(_.properties().asScala.map(e =>
+        e.getKey -> e.getValue.get("snapshot-id").asLong()).toMap)
+        .getOrElse(Map.empty))
+  }
+
+  private def readSchema(n: JsonNode): IceSchema =
+    IceSchema(
+      Option(n.get("schema-id")).map(_.asInt()).getOrElse(0),
+      n.get("fields").elements().asScala.map { f =>
+        IceField(f.get("id").asInt(), f.get("name").asText(),
+          f.get("required").asBoolean(),
+          // nested types arrive as objects; primitives as text
+          if (f.get("type").isTextual) f.get("type").asText()
+          else f.get("type").toString)
+      }.toSeq)
+
+  private def readSpec(n: JsonNode): IceSpec =
+    IceSpec(n.get("spec-id").asInt(),
+      n.get("fields").elements().asScala.map(readSpecField).toSeq)
+
+  private def readSpecField(f: JsonNode): IcePartitionField =
+    IcePartitionField(
+      sourceId = f.get("source-id").asInt(),
+      fieldId = Option(f.get("field-id")).map(_.asInt()).getOrElse(1000),
+      name = f.get("name").asText(),
+      transform = f.get("transform").asText())
+
+  // ---- versioned store -----------------------------------------------
+
+  /** Latest metadata file under `location/metadata`, via
+    * version-hint.text or a listing (same recovery as HadoopTables). */
+  def load(location: String): IceMetadata = {
+    val dir = TableIO.path(location, "metadata")
+    val hint = new org.apache.hadoop.fs.Path(dir, "version-hint.text")
+    val VersionRe = """v(\d+)\.metadata\.json""".r
+    val file = if (TableIO.exists(hint)) {
+      val v = TableIO.readString(hint).trim
+      new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json")
+    } else {
+      val best = TableIO.listDir(dir).map(_.getPath)
+        .flatMap(p => p.getName match {
+          case VersionRe(n) => Some((n.toInt, p))
+          case _ => None
+        }).sortBy(_._1).lastOption
+      best.map(_._2).getOrElse(
+        throw new IllegalStateException(s"no Iceberg metadata under $dir"))
+    }
+    fromJson(TableIO.readString(file))
+  }
+
+  def write(location: String, version: Int, m: IceMetadata): Unit = {
+    val dir = TableIO.path(location, "metadata")
+    TableIO.mkdirs(dir)
+    TableIO.writeString(
+      new org.apache.hadoop.fs.Path(dir, s"v$version.metadata.json"), toJson(m))
+    TableIO.writeString(
+      new org.apache.hadoop.fs.Path(dir, "version-hint.text"), version.toString)
+  }
+}

@@ -201,6 +201,25 @@ class ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest statistics drive broadcast of a small graft side") {
+    val n = Tables.nation(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val root = tmp()
+    GraftTable.create(spark, root, n.schema).append(n)
+    val dim = spark.read.format("graft").load(root)
+    // optimizer statistics must reflect actual file bytes, not the
+    // unknown-source default (which would force a shuffle join)
+    val stats = dim.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 &&
+      stats.sizeInBytes < 10L * 1024 * 1024,
+      s"graft relation reported ${stats.sizeInBytes} bytes")
+    assert(stats.rowCount.exists(_.toLong === n.count()))
+    val joined = o.join(dim, o("o_custkey") % 25 === dim("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected statistics-driven broadcast, got:\n$plan")
+  }
+
   test("snapshot and branch options select table versions") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.TableIO
+import graft.table.iceberg.{IcebergAvro, IcebergMetadata, IcebergTable, IcebergWrite}
+import java.nio.file.Files
+
+/** Binary Iceberg v2 interop: metadata.json + avro manifest lists +
+  * avro manifests round-trip (SURVEY.md §2.C tf_iceberg_read). */
+class IcebergInteropSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ice").toString + "/t"
+
+  test("create + append round-trips rows through the real format") {
+    val o = Tables.orders(spark, sf)
+    val loc = tmp()
+    val t = IcebergWrite.create(spark, loc,
+      o.filter(col("o_orderstatus") === "F"))
+    val n1 = t.scan().count()
+    assert(n1 === o.filter(col("o_orderstatus") === "F").count())
+    val s1 = t.meta.currentSnapshotId.get
+
+    IcebergWrite.append(spark, loc, o.filter(col("o_orderstatus") =!= "F"))
+    assert(t.scan().count() === o.count())
+    // time travel through the real snapshot chain
+    assert(t.timeTravel(s1).count() === n1)
+    assert(t.meta.snapshots.size === 2)
+  }
+
+  test("metadata.json parses back with schemas, snapshots, refs") {
+    val o = Tables.orders(spark, sf).limit(100)
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, o)
+    val m = IcebergMetadata.load(loc)
+    assert(m.formatVersion === 2)
+    assert(m.schema.fields.map(_.name) === o.schema.fieldNames.toSeq)
+    assert(m.schema.toSpark === o.schema)
+    assert(m.currentSnapshotId.isDefined)
+    assert(m.refs.get("main") === m.currentSnapshotId)
+    assert(m.snapshots.head.manifestList.nonEmpty)
+  }
+
+  test("avro manifests carry per-file bounds that prune scans") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    // two appends -> two files with disjoint key ranges
+    IcebergWrite.create(spark, loc,
+      (1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    IcebergWrite.append(spark, loc,
+      (1000L to 1100L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    val t = IcebergTable.load(spark, loc)
+    val all = t.plannedFiles()
+    assert(all.size === 2)
+    // decoded canonical bounds
+    val statsById = all.map { case (e, st) => st("id") }
+    assert(statsById.exists(s => s.min == "1" && s.max == "100"))
+    assert(statsById.exists(s => s.min == "1000" && s.max == "1100"))
+    // manifest pruning: id > 500 touches one file
+    val pruned = t.plannedFiles(None, Seq(("id", ">", "500")))
+    assert(pruned.size === 1)
+    assert(t.scan(None, Seq(("id", ">", "500"))).count() === 101)
+  }
+
+  test("manifest list read handles the raw avro layer directly") {
+    val o = Tables.orders(spark, sf).limit(50)
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, o)
+    val m = IcebergMetadata.load(loc)
+    val mfs = IcebergAvro.readManifestList(
+      TableIO.path(m.currentSnapshot.get.manifestList))
+    assert(mfs.nonEmpty)
+    assert(mfs.forall(_.content === 0))
+    val entries = IcebergAvro.readManifest(TableIO.path(mfs.head.path))
+    assert(entries.map(_.recordCount).sum === 50)
+    assert(entries.forall(_.fileFormat === "PARQUET"))
+    assert(entries.forall(_.status === 1))
+  }
+
+  test("timestamp and date bounds decode to canonical stat strings") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-15"),
+        java.sql.Timestamp.valueOf("2024-01-15 10:30:00")),
+      (2L, java.sql.Date.valueOf("2024-06-30"),
+        java.sql.Timestamp.valueOf("2024-06-30 23:59:59")))
+      .toDF("id", "d", "ts")
+    IcebergWrite.create(spark, loc, df.coalesce(1))
+    val t = IcebergTable.load(spark, loc)
+    val (_, stats) = t.plannedFiles().head
+    assert(stats("d").min === "2024-01-15")
+    assert(stats("d").max === "2024-06-30")
+    assert(stats("ts").min === "2024-01-15 10:30:00")
+    assert(stats("ts").max === "2024-06-30 23:59:59")
+  }
+}

@@ -102,12 +102,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(lshRecall >= 0.05, s"LSH recall too low: $lshRecall")
   }
 
+  test("embed neardup gates to LSH above the size threshold (no all-pairs join)") {
+    // force the scale path: threshold 0 -> LSH buckets + exact verify
+    val lsh = graft.ops.Similarity.embedNeardupPairs(spark, sf, maxExact = 0L)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"scale path must not plan an all-pairs join:\n$plan")
+    // verified candidates are exact: every surviving pair must appear
+    // in the brute-force baseline with the same cosine
+    val brute = graft.ops.Similarity.embedNeardupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val found = lsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(found.subsetOf(brute), "LSH pair not confirmed by brute force")
+  }
+
   test("multimodal decode keeps schema and is deterministic") {
     val rows = ops.Multimodal.mmBinaryMeta(spark, sf).collect()
     assert(rows.length > 0)
     assert(rows.forall(r => r.getInt(3) > 0 && r.getInt(4) > 0 && r.getInt(5) >= 1))
     val again = ops.Multimodal.mmBinaryMeta(spark, sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("image decode recovers the TRUE encoded dimensions via ImageIO") {
+    val rows = ops.Multimodal.mmBinaryMeta(spark, sf).collect()
+      .filter(_.getString(1) == "image")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(3) === 16 + (id % 4).toInt * 8, s"width of media $id")
+      assert(r.getInt(4) === 12 + (id % 3).toInt * 8, s"height of media $id")
+    }
+    // and the raw codec round-trips pixel-for-pixel dims
+    val png = ops.Multimodal.MediaCodec.encodePng(33, 21, 7L)
+    val meta = ops.Multimodal.MediaCodec.decode(
+      ops.Multimodal.MediaRow(7L, "image", png))
+    assert(meta.width === 33 && meta.height === 21)
+    assert(meta.feature.length === 64 && meta.feature.forall(f => f >= 0f && f <= 1f))
+  }
+
+  test("audio decode parses the real WAV header (rate + frame count)") {
+    val rows = ops.Multimodal.mmBinaryMeta(spark, sf).collect()
+      .filter(_.getString(1) == "audio")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(3) === 8000, "sample rate from the RIFF header")
+      assert(r.getInt(5) === 800 + (id % 10).toInt * 80, s"frames of media $id")
+    }
   }
 
   test("event sessions are gap-consistent") {
