@@ -93,6 +93,24 @@ class GraftSparkTable(root: String,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** The table's partition transforms, in V2 terms (analyzer metadata;
+    * the scan's KeyGroupedPartitioning is what actually drives SPJ). */
+  override def partitioning(): Array[Transform] =
+    if (!Meta.exists(root)) Array.empty
+    else meta.spec.map { pf =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      pf.transform match {
+        case "identity" => Expressions.identity(pf.sourceColumn)
+        case t if t.startsWith("bucket[") => Expressions.bucket(
+          t.stripPrefix("bucket[").stripSuffix("]").toInt, pf.sourceColumn)
+        case "year" => Expressions.years(pf.sourceColumn)
+        case "month" => Expressions.months(pf.sourceColumn)
+        case "day" => Expressions.days(pf.sourceColumn)
+        case "hour" => Expressions.hours(pf.sourceColumn)
+        case _ => Expressions.identity(pf.sourceColumn)
+      }
+    }.toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root,
       pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)),
@@ -300,6 +318,17 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     table.spec.nonEmpty && table.spec.forall(_.transform == "identity") &&
       identityPartCols.size == table.spec.size && deletesWithSeq.isEmpty
 
+  /** Single bucket[n] partition spec whose source column survives into
+    * the output — the bucket-SPJ clustering (needs the catalog's
+    * FunctionCatalog to resolve `bucket` on both join sides). */
+  private def bucketSpec: Option[(Meta.PartitionField, Int)] = table.spec match {
+    case Seq(pf) if pf.transform.startsWith("bucket[") &&
+        requiredSchema.fieldNames.contains(pf.sourceColumn) &&
+        deletesWithSeq.isEmpty =>
+      Some((pf, pf.transform.stripPrefix("bucket[").stripSuffix("]").toInt))
+    case _ => None
+  }
+
   /** Report key-grouped partitioning over identity partition columns:
     * two tables partitioned the same way then join WITHOUT a shuffle
     * (storage-partitioned join; needs
@@ -313,8 +342,17 @@ class GraftScan(root: String, table: Meta.TableMetadata,
           org.apache.spark.sql.connector.expressions.Expressions.identity(c)
             .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]).toArray,
         parts.length)
-    } else
-      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    } else bucketSpec match {
+      case Some((pf, n)) =>
+        val parts = planInputPartitions()
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, pf.sourceColumn)
+            .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]),
+          parts.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
   }
 
   override def readSchema(): StructType = requiredSchema
@@ -397,6 +435,17 @@ class GraftScan(root: String, table: Meta.TableMetadata,
           KeyedFilePartition(
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               keyVals.toArray[Any]),
+            toFilePartition(i, bin)): InputPartition
+        }.toArray
+    } else if (bucketSpec.isDefined) {
+      // one partition per bucket value, keyed by the bucket int
+      val (pf, _) = bucketSpec.get
+      files.groupBy(_.partitionValues.getOrElse(pf.name, "0"))
+        .toSeq.sortBy(_._1.toInt)
+        .zipWithIndex.map { case ((bucket, bin), i) =>
+          KeyedFilePartition(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](bucket.toInt)),
             toFilePartition(i, bin)): InputPartition
         }.toArray
     } else {

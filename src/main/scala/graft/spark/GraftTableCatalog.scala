@@ -27,9 +27,62 @@ import scala.jdk.CollectionConverters._
   * PARTITIONED BY transforms map onto the Iceberg transform set
   * (identity, bucket, years/months/days/hours).
   */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+/** Iceberg `bucket(n, col)` as a V2 catalog function: both sides of a
+  * join resolve THIS function (same canonicalName) for their reported
+  * bucket partitioning, which is what lets Spark conclude the
+  * partitionings are compatible and drop the shuffle. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): Iceberg murmur3_x86_32 bucket transform"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2, "bucket(numBuckets, col)")
+    val keyType = inputType.fields(1).dataType
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        keyType match {
+          case LongType | TimestampType =>
+            graft.functions.IcebergHash.bucketLong(input.getLong(1), n)
+          case IntegerType | DateType =>
+            graft.functions.IcebergHash.bucketLong(input.getInt(1).toLong, n)
+          case StringType =>
+            graft.functions.IcebergHash.bucketUtf8(input.getUTF8String(1), n)
+          case other => throw new UnsupportedOperationException(
+            s"bucket over $other")
+        }
+      }
+    }
+  }
+}
+
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // ---- FunctionCatalog: expose the bucket transform so Spark can
+  // align KeyGroupedPartitioning across tables (storage-partitioned
+  // joins over bucket-partitioned tables; identity SPJ needs no
+  // function resolution, bucket SPJ does)
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -18,21 +18,46 @@ import scala.jdk.CollectionConverters._
   */
 class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private val mapper = new ObjectMapper()
-  private def catPath = TableIO.path(warehouse, "catalog.json")
+  private def catDir = TableIO.path(warehouse, "catalog")
+  private val VersionRe = """v(\d+)\.json""".r
 
-  private def entries: Map[String, String] = { // name -> kind
-    if (!TableIO.exists(catPath)) Map.empty
+  /** The registry is a versioned CAS chain, like the reference's SQL
+    * catalog (iceberg-sql-catalog CAS on (name, version)): every
+    * mutation rebuilds from the freshest version and commits vN+1 via
+    * rename-without-replace — two catalog handles (or processes)
+    * registering concurrently both land, the loser retrying on the
+    * winner's state instead of overwriting it. */
+  private def currentVersion: Int =
+    TableIO.listDir(catDir).map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toInt
+    }.maxOption.getOrElse(0)
+
+  private def entriesAt(v: Int): Map[String, String] =
+    if (v == 0) Map.empty
     else {
-      val n = mapper.readTree(TableIO.readString(catPath))
+      val n = mapper.readTree(TableIO.readString(
+        new org.apache.hadoop.fs.Path(catDir, s"v$v.json")))
       n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }
-  }
 
-  private def saveEntries(m: Map[String, String]): Unit = {
-    TableIO.mkdirs(TableIO.path(warehouse))
-    val n = mapper.createObjectNode()
-    m.foreach { case (k, v) => n.put(k, v) }
-    TableIO.writeString(catPath, mapper.writeValueAsString(n))
+  private def entries: Map[String, String] = entriesAt(currentVersion)
+
+  private def update(f: Map[String, String] => Map[String, String]): Unit = {
+    TableIO.mkdirs(catDir)
+    var attempts = 0
+    while (attempts < 50) {
+      val v = currentVersion
+      val next = f(entriesAt(v))
+      val n = mapper.createObjectNode()
+      next.foreach { case (k, kind) => n.put(k, kind) }
+      val tmp = new org.apache.hadoop.fs.Path(catDir,
+        s".v${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      TableIO.writeString(tmp, mapper.writeValueAsString(n))
+      if (TableIO.renameNoReplace(tmp,
+          new org.apache.hadoop.fs.Path(catDir, s"v${v + 1}.json"))) return
+      attempts += 1 // lost the race: retry on the winner's version
+    }
+    throw new IllegalStateException("catalog commit contention")
   }
 
   private def tableRoot(name: String) = s"$warehouse/$name"
@@ -49,7 +74,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def createTable(name: String, schema: StructType,
       spec: Seq[Meta.PartitionField] = Seq.empty): GraftTable = {
     val t = GraftTable.create(spark, tableRoot(validName(name)), schema, spec)
-    saveEntries(entries + (name -> "table"))
+    update(_ + (name -> "table"))
     t
   }
 
@@ -62,7 +87,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val tableSources = entries.filter(_._2 == "table").keys
       .map(t => t -> tableRoot(t)).toMap
     Views.createView(tableRoot(validName(name)), name, viewSql, tableSources)
-    saveEntries(entries + (name -> "view"))
+    update(_ + (name -> "view"))
   }
 
   def tableNames: Seq[String] = entries.filter(_._2 == "table").keys.toSeq.sorted
@@ -99,7 +124,7 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       createView(name, select)
       spark.emptyDataFrame
     case DropTable(name) =>
-      saveEntries(entries - name)
+      update(_ - name)
       spark.emptyDataFrame
     case DeleteFrom(name, cond) =>
       table(name).delete(org.apache.spark.sql.functions.expr(cond))

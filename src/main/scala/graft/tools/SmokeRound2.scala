@@ -77,6 +77,33 @@ object SmokeRound2 {
       println(s"[4] ts-literal pruning  >=: $n ==: $n2 expect 1 and 1: " + (n == 1 && n2 == 1))
     }
 
+    // 6. bucket SPJ through the SQL catalog: no shuffle below the join
+    {
+      val wh = java.nio.file.Files.createTempDirectory("smoke-spj").toString
+      spark.conf.set("spark.sql.catalog.smoke_wh", "graft.spark.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.smoke_wh.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS smoke_wh.db")
+      spark.sql("CREATE TABLE smoke_wh.db.f (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, k))")
+      spark.sql("CREATE TABLE smoke_wh.db.d (k BIGINT, s STRING) PARTITIONED BY (bucket(4, k))")
+      (1L to 500L).map(i => (i, i * 2.0)).toDF("k", "v").createOrReplaceTempView("fs")
+      (1L to 500L).map(i => (i, s"s$i")).toDF("k", "s").createOrReplaceTempView("ds")
+      spark.sql("INSERT INTO smoke_wh.db.f SELECT * FROM fs")
+      spark.sql("INSERT INTO smoke_wh.db.d SELECT * FROM ds")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = spark.sql(
+        "SELECT f.k, f.v, d.s FROM smoke_wh.db.f f JOIN smoke_wh.db.d d ON f.k = d.k")
+      val plan = j.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      val noShuffleBelow = joinIdx >= 0 && !plan.substring(joinIdx).contains("Exchange")
+      println(s"[6] bucket SPJ  rows=${j.count()} expect 500; " +
+        s"no shuffle below join: $noShuffleBelow")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
     // 5. hash-parity spot check: decimal output types on fixed queries
     {
       val d = graft.SparkEntry.queries("q14_conditional_agg")(spark, "/root/testdata/sf0.001")

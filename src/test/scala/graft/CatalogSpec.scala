@@ -24,6 +24,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.tableNames.isEmpty)
   }
 
+  test("catalog: concurrent registrations from independent handles both land") {
+    val spark0 = spark
+    import spark0.implicits._
+    val w = wh()
+    val cat1 = GraftCatalog(spark, w)
+    val cat2 = GraftCatalog(spark, w)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    // two handles racing on the registry: the version-CAS serializes
+    // them; neither registration may overwrite the other's
+    val th1 = new Thread(() => cat1.createTable("t_left", df.schema))
+    val th2 = new Thread(() => cat2.createTable("t_right", df.schema))
+    th1.start(); th2.start(); th1.join(60000); th2.join(60000)
+    val cat3 = GraftCatalog(spark, w)
+    assert(cat3.tableNames === Seq("t_left", "t_right"))
+  }
+
   test("catalog: DELETE FROM and UPDATE route to table operations") {
     val cat = GraftCatalog(spark, wh())
     Tables.orders(spark, sf).createOrReplaceTempView("orders_dml")

@@ -16,6 +16,43 @@ class TableCatalogSpec extends AnyFunSuite {
     dir
   }
 
+  test("bucket SPJ: co-bucketed catalog tables join without a shuffle") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.spj")
+    spark.sql(
+      """CREATE TABLE graft_wh.spj.fact (k BIGINT, v DOUBLE)
+         PARTITIONED BY (bucket(8, k))""")
+    spark.sql(
+      """CREATE TABLE graft_wh.spj.dim (k BIGINT, name STRING)
+         PARTITIONED BY (bucket(8, k))""")
+    val spark0 = spark
+    import spark0.implicits._
+    (1L to 2000L).map(i => (i, i * 1.5)).toDF("k", "v")
+      .createOrReplaceTempView("fact_src")
+    (1L to 2000L).map(i => (i, s"n$i")).toDF("k", "name")
+      .createOrReplaceTempView("dim_src")
+    spark.sql("INSERT INTO graft_wh.spj.fact SELECT * FROM fact_src")
+    spark.sql("INSERT INTO graft_wh.spj.dim SELECT * FROM dim_src")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.sql(
+        """SELECT f.k, f.v, d.name FROM graft_wh.spj.fact f
+           JOIN graft_wh.spj.dim d ON f.k = d.k""")
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan.take(1500))
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        "shuffle below the bucket-SPJ join:\n" + plan.take(2500))
+      assert(joined.count() === 2000)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("CREATE TABLE / INSERT INTO / SELECT / DROP through the catalog") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.db")
