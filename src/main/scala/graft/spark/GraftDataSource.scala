@@ -658,7 +658,40 @@ class GraftWriteBuilder(root: String, schema: StructType)
 }
 
 class GraftWrite(root: String, schema: StructType, overwrite: Boolean)
-  extends org.apache.spark.sql.connector.write.Write {
+  extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  private def spec: Seq[Meta.PartitionField] =
+    if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
+
+  /** Cluster incoming rows by the partition transforms (resolved via
+    * the catalog's FunctionCatalog), so each write task produces few
+    * files per partition value — rows are partition-routed ON THE
+    * EXECUTORS and the commit ingests files in place. Without this the
+    * commit re-read and re-shuffled everything (double write IO). */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (spec.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      spec.map { pf =>
+        (pf.transform match {
+          case "identity" => Expressions.identity(pf.sourceColumn)
+          case t if t.startsWith("bucket[") => Expressions.bucket(
+            t.stripPrefix("bucket[").stripSuffix("]").toInt, pf.sourceColumn)
+          case "year" => Expressions.years(pf.sourceColumn)
+          case "month" => Expressions.months(pf.sourceColumn)
+          case "day" => Expressions.days(pf.sourceColumn)
+          case "hour" => Expressions.hours(pf.sourceColumn)
+          case _ => Expressions.identity(pf.sourceColumn)
+        }): org.apache.spark.sql.connector.expressions.Expression
+      }.toArray)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBatchWrite(root, schema, overwrite)
 }
@@ -672,8 +705,10 @@ class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     graft.table.TableIO.mkdirs(staging)
+    val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
     GraftWriterFactory(staging.toString,
-      GraftConnectorShim.prepareParquetWriteConf(SparkSession.active, schema))
+      GraftConnectorShim.prepareParquetWriteConf(SparkSession.active, schema),
+      RowTransform.forSpec(spec, schema))
   }
 
   override def commit(
@@ -690,12 +725,56 @@ case class GraftCommitMessage(path: String, rows: Long)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class GraftWriterFactory(staging: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    transforms: Seq[RowTransform] = Seq.empty)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
-    new GraftDataWriter(
-      s"$staging/part-$partitionId-$taskId.parquet", conf.value, partitionId, taskId)
+    if (transforms.isEmpty)
+      new GraftDataWriter(
+        s"$staging/part-$partitionId-$taskId.parquet", conf.value, partitionId, taskId)
+    else
+      new PartitionedGraftDataWriter(staging, conf.value, partitionId, taskId, transforms)
+}
+
+/** Partition-routing writer: evaluates the spec transforms per row
+  * (executor-side, same values as the Catalyst transform columns) and
+  * streams rows into one open parquet file per partition value. The
+  * requested clustered distribution keeps the set of open files per
+  * task small. */
+class PartitionedGraftDataWriter(staging: String,
+    conf: org.apache.hadoop.conf.Configuration, partitionId: Int, taskId: Long,
+    transforms: Seq[RowTransform])
+  extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val writers = scala.collection.mutable.Map[
+    String, (org.apache.spark.sql.execution.datasources.OutputWriter, String)]()
+  private var rows = 0L
+
+  override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    val dir = transforms.map(t => s"${t.name}=${t.eval(row)}").mkString("/")
+    val w = writers.getOrElseUpdate(dir, {
+      val path = s"$staging/$dir/part-$partitionId-$taskId.parquet"
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(conf).mkdirs(hp.getParent)
+      (GraftConnectorShim.newParquetTaskWriter(path, conf, partitionId, taskId),
+        path)
+    })._1
+    w.write(row); rows += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    GraftCommitMessage(s"$staging ${writers.size} files", rows)
+  }
+
+  override def abort(): Unit = writers.values.foreach { case (w, path) =>
+    w.close()
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class GraftDataWriter(path: String,

@@ -27,10 +27,12 @@ import scala.jdk.CollectionConverters._
   * PARTITIONED BY transforms map onto the Iceberg transform set
   * (identity, bucket, years/months/days/hours).
   */
-/** Iceberg `bucket(n, col)` as a V2 catalog function: both sides of a
-  * join resolve THIS function (same canonicalName) for their reported
-  * bucket partitioning, which is what lets Spark conclude the
-  * partitionings are compatible and drop the shuffle. */
+/** The Iceberg transform set as V2 catalog functions. Two uses: both
+  * sides of a join resolve the SAME function (canonicalName) for their
+  * reported bucket partitioning, letting Spark drop the shuffle
+  * (storage-partitioned join); and V2 writes that request a clustered
+  * distribution over these transforms resolve them here so rows
+  * shuffle to the right write task. */
 object GraftBucketFunction
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
   import org.apache.spark.sql.types._
@@ -66,6 +68,50 @@ object GraftBucketFunction
   }
 }
 
+/** years/months/days/hours over date or timestamp columns —
+  * units-since-epoch at UTC, matching IcebergTransforms exactly. */
+case class GraftDatetimeFunction(fname: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = fname
+  override def description(): String = s"$fname(col): Iceberg datetime transform"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1, s"$fname(col)")
+    val keyType = inputType.fields.head.dataType
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = fname
+      override def canonicalName(): String = s"graft.$fname"
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val (y, m, d, h) = keyType match {
+          case DateType =>
+            val ld = java.time.LocalDate.ofEpochDay(input.getInt(0).toLong)
+            (ld.getYear, ld.getMonthValue, ld.toEpochDay, ld.toEpochDay * 24)
+          case TimestampType | TimestampNTZType =>
+            val micros = input.getLong(0)
+            val dt = java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC)
+            (dt.getYear, dt.getMonthValue,
+              Math.floorDiv(micros, 86400000000L),
+              Math.floorDiv(micros, 3600000000L))
+          case other =>
+            throw new UnsupportedOperationException(s"$fname over $other")
+        }
+        fname match {
+          case "years" => y - 1970
+          case "months" => (y - 1970) * 12 + m - 1
+          case "days" => d.toInt
+          case "hours" => h.toInt
+        }
+      }
+    }
+  }
+}
+
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
@@ -77,12 +123,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   // function resolution, bucket SPJ does)
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
-    Array(Identifier.of(Array.empty[String], "bucket"))
+    ("bucket" +: GraftTableCatalog.DatetimeFunctions)
+      .map(n => Identifier.of(Array.empty[String], n)).toArray
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    ident.name().toLowerCase match {
+      case "bucket" => GraftBucketFunction
+      case n if GraftTableCatalog.DatetimeFunctions.contains(n) =>
+        GraftDatetimeFunction(n)
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident)
+    }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -209,4 +261,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     if (!TableIO.isDirectory(dir)) false
     else TableIO.delete(dir, recursive = true)
   }
+}
+
+object GraftTableCatalog {
+  val DatetimeFunctions: Seq[String] = Seq("years", "months", "days", "hours")
 }

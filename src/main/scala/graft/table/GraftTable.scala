@@ -138,7 +138,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       val dest = new HPath(dataDir, rel)
       TableIO.rename(src, dest)
       val partValues = rel.split("/").toSeq.dropRight(1)
-        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        .map(_.split("=", 2))
+        .map(a => a(0) -> PathCodec.unescape(a(1))).toMap
       Meta.DataFile(
         path = rel,
         partitionValues = partValues,
@@ -157,8 +158,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * (transform columns + partition dirs), then drop the stage. */
   private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean): Unit = {
     val m = meta
+    // executors already partition-routed the staged files (the V2
+    // write's clustered distribution + per-row transforms), so a plain
+    // ingest suffices. Only sort-ordered tables still re-cluster here:
+    // range-partitioned sort is a write-side layout the row-router
+    // doesn't produce.
     val files =
-      if (m.spec.isEmpty) ingestStaged(staging, m.schema)
+      if (m.sortOrder.isEmpty) ingestStaged(staging, m.schema)
       else {
         val stagedPaths = TableIO.listFilesRecursive(staging)
           .filter(_._1.getName.endsWith(".parquet")).map(_._1.toString)

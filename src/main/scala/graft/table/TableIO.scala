@@ -126,3 +126,37 @@ object TableIO {
   def qualified(p: HPath): String =
     fs(p).makeQualified(p).toUri.toString
 }
+
+/** Hive-style %XX escaping for partition-dir values (compatible with
+  * what Spark's own partitionBy writes for special characters). */
+object PathCodec {
+  private def unsafe(c: Char): Boolean =
+    !(c.isLetterOrDigit && c < 128) && c != '_' && c != '.' && c != '-'
+
+  def escape(s: String): String = {
+    val b = new StringBuilder
+    s.getBytes("UTF-8").foreach { byte =>
+      val c = (byte & 0xff).toChar
+      if (unsafe(c)) b.append(f"%%${byte & 0xff}%02X") else b.append(c)
+    }
+    b.toString
+  }
+
+  def unescape(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        } catch {
+          case _: NumberFormatException => out.write(c.toInt); i += 1
+        }
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+}
+

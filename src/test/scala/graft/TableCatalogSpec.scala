@@ -16,6 +16,37 @@ class TableCatalogSpec extends AnyFunSuite {
     dir
   }
 
+  test("executor-routed partition values match the Catalyst write path") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.pv")
+    spark.sql(
+      """CREATE TABLE graft_wh.pv.ev (event_id BIGINT, ts TIMESTAMP, v DOUBLE)
+         PARTITIONED BY (days(ts), bucket(8, event_id))""")
+    val src = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value").as("v"))
+    src.createOrReplaceTempView("ev_pv_src")
+    // executor path: V2 INSERT routes rows per-row on the write tasks
+    spark.sql("INSERT INTO graft_wh.pv.ev SELECT * FROM ev_pv_src")
+    val viaV2 = graft.table.GraftTable.load(spark, s"$wh/pv/ev")
+      .meta.liveFiles(None).map(_.partitionValues).toSet
+    // driver path: GraftTable.append computes transform COLUMNS
+    val root2 = java.nio.file.Files.createTempDirectory("pv-ref").toString + "/t"
+    val ref = graft.table.GraftTable.create(spark, root2, src.schema,
+      spec = Seq(
+        graft.table.Meta.PartitionField("ts", "day", "_p_ts_day"),
+        graft.table.Meta.PartitionField("event_id", "bucket[8]", "_p_event_id_bucket")))
+    ref.append(src)
+    val viaDriver = ref.meta.liveFiles(None).map(_.partitionValues).toSet
+    assert(viaV2 === viaDriver,
+      s"partition routing diverged:\nV2=${viaV2.toSeq.sortBy(_.toString).take(5)}\n" +
+        s"driver=${viaDriver.toSeq.sortBy(_.toString).take(5)}")
+    // partition-pruned read agrees with a raw filter
+    val day = viaV2.head("_p_ts_day")
+    val t2 = graft.table.GraftTable.load(spark, s"$wh/pv/ev")
+    val pruned = t2.scan(Seq(t2.StatFilter("_p_ts_day", "=", day)))
+    assert(pruned.count() > 0)
+  }
+
   test("bucket SPJ: co-bucketed catalog tables join without a shuffle") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.spj")
