@@ -272,6 +272,34 @@ object TableOps {
        FROM orders WHERE o_orderpriority <> '5-LOW'
        GROUP BY 1 ORDER BY o_orderstatus"""
 
+  /** Merge-on-read POSITIONAL delete (Iceberg v2 position deletes):
+    * row slots (file, row-index) of the matching rows are recorded in
+    * a delete file and dropped at scan via an anti-join on the parquet
+    * `_metadata` columns — O(matches) write cost for any predicate,
+    * no key column required. Then a value is re-appended: position
+    * deletes must never touch the new file. */
+  val tfDeletePos: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, scratch(), o.schema)
+    t.append(o)
+    t.deleteWhereMoRPositional(
+      col("o_orderstatus") === "O" && col("o_totalprice") < 50000)
+    t.append(o.filter(col("o_orderstatus") === "O" &&
+      col("o_totalprice") < 50000).limit(7))
+    t.scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfDeletePosSql: String =
+    """SELECT o_orderstatus,
+       (count(*) FILTER (WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 50000))
+        + CASE WHEN o_orderstatus = 'O' THEN LEAST(7,
+            count(*) FILTER (WHERE o_orderstatus = 'O' AND o_totalprice < 50000))
+          ELSE 0 END)::BIGINT AS n
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** metadata tables: per-file and per-snapshot listings as queryable
     * DataFrames (rows-only; file counts are layout-dependent but the
     * row-count sum must equal the data). */
@@ -323,6 +351,7 @@ object TableOps {
 
   val queries: Map[String, Q] = Map(
     "tf_iceberg_read" -> tfIcebergRead,
+    "tf_delete_pos" -> tfDeletePos,
     "tf_metadata_tables" -> tfMetadataTables,
     "tf_delete_mor" -> tfDeleteMor,
     "tf_snapshot_scan" -> tfSnapshotScan,
@@ -339,6 +368,7 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "tf_iceberg_read" -> tfIcebergReadSql,
+    "tf_delete_pos" -> tfDeletePosSql,
     "tf_compaction" -> tfCompactionSql,
     "tf_files_pruned" -> tfFilesPrunedSql,
     "tf_metadata_tables" -> tfMetadataTablesSql,

@@ -303,12 +303,17 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   private lazy val seqByPath: Map[String, Long] =
     table.liveFilesWithSeq(snapId).map { case (f, q) => f.path -> q }.toMap
 
-  /** The applicable-delete signature of a data file: which delete
-    * files scope to it. Partition bins never mix signatures, so the
-    * reader applies one uniform delete set per task. */
-  private def deleteSig(f: Meta.DataFile): Seq[String] = {
+  /** The applicable-delete signature of a data file: (equality delete
+    * paths, position delete paths) that scope to it. Partition bins
+    * never mix signatures, so the reader applies one uniform delete
+    * set per task; files under position deletes get single-file bins
+    * (the reader tracks row indexes per file). */
+  private def deleteSig(f: Meta.DataFile): (Seq[String], Seq[String]) = {
     val seq = seqByPath.getOrElse(f.path, Long.MinValue)
-    deletesWithSeq.filter(_._2 > seq).map(_._1.path).sorted
+    (deletesWithSeq.filter { case (d, ds) => d.content == 2 && ds > seq }
+      .map(_._1.path).sorted,
+      deletesWithSeq.filter { case (d, ds) => d.content == 1 && ds >= seq }
+        .map(_._1.path).sorted)
   }
 
   // SPJ is declined while equality deletes are outstanding: the keyed
@@ -452,30 +457,49 @@ class GraftScan(root: String, table: Meta.TableMetadata,
       val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
       val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
+      val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
       // bins never mix delete signatures: each task applies one
       // uniform (sequence-scoped) delete set to all its files
-      files.groupBy(deleteSig).toSeq.sortBy(_._1.mkString(";")).foreach {
-        case (sig, group) =>
+      files.groupBy(deleteSig).toSeq
+        .sortBy { case ((eq, pos), _) => (eq ++ pos).mkString(";") }
+        .foreach { case ((eqSig, posSig), group) =>
           val specs =
-            if (sig.isEmpty) Seq.empty else buildDeleteSpecs(spark, sig)
-          // bin-pack files into tasks toward maxPartitionBytes
-          val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Meta.DataFile]]()
-          var cur = scala.collection.mutable.ArrayBuffer[Meta.DataFile]()
-          var curBytes = 0L
-          group.sortBy(-_.fileSizeBytes).foreach { f =>
-            if (curBytes + f.fileSizeBytes > maxBytes && cur.nonEmpty) {
-              bins += cur; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
+            if (eqSig.isEmpty) Seq.empty else buildDeleteSpecs(spark, eqSig)
+          val posSpec =
+            if (posSig.isEmpty) None else Some(buildPosSpec(spark, posSig))
+          if (posSig.nonEmpty) {
+            // single-file bins: the reader counts row indexes per file
+            group.foreach { f =>
+              val idx = out.length
+              out += toFilePartition(idx, Seq(f))
+              if (specs.nonEmpty) specsOut(idx) = specs
+              val dataDir = graft.table.TableIO.path(root, "data")
+              val uri = graft.table.TableIO.qualified(
+                new org.apache.hadoop.fs.Path(dataDir, f.path))
+              posOut(idx) = (posSpec.get,
+                new org.apache.hadoop.fs.Path(uri).toUri.getPath)
             }
-            cur += f; curBytes += f.fileSizeBytes
+          } else {
+            // bin-pack files into tasks toward maxPartitionBytes
+            val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Meta.DataFile]]()
+            var cur = scala.collection.mutable.ArrayBuffer[Meta.DataFile]()
+            var curBytes = 0L
+            group.sortBy(-_.fileSizeBytes).foreach { f =>
+              if (curBytes + f.fileSizeBytes > maxBytes && cur.nonEmpty) {
+                bins += cur; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
+              }
+              cur += f; curBytes += f.fileSizeBytes
+            }
+            if (cur.nonEmpty) bins += cur
+            bins.foreach { bin =>
+              val idx = out.length
+              out += toFilePartition(idx, bin.toSeq)
+              if (specs.nonEmpty) specsOut(idx) = specs
+            }
           }
-          if (cur.nonEmpty) bins += cur
-          bins.foreach { bin =>
-            val idx = out.length
-            out += toFilePartition(idx, bin.toSeq)
-            if (specs.nonEmpty) specsOut(idx) = specs
-          }
-      }
+        }
       deleteSpecsByPartition = specsOut.toMap
+      posSpecsByPartition = posOut.toMap
       out.toArray
     }
   }
@@ -483,6 +507,32 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   /** partition index → applicable delete groups, bound at planning
     * time (partition bins are delete-signature-uniform). */
   @volatile private var deleteSpecsByPartition: Map[Int, Seq[DeleteFilesSpec]] = Map.empty
+
+  /** partition index → (position-delete spec, this partition's data
+    * file path) for single-file partitions under position deletes. */
+  @volatile private var posSpecsByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty
+
+  /** Position-delete files become an executor-readable spec like the
+    * equality ones: schema (file_path string, pos long). */
+  private def buildPosSpec(spark: SparkSession, sig: Seq[String]): PosDeleteSpec = {
+    val dataDir = graft.table.TableIO.path(root, "data")
+    val byPath = deletesWithSeq.map(_._1).map(f => f.path -> f).toMap
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
+    val part = GraftConnectorShim.filePartition(0, sig.map(byPath).map { f =>
+      val p = new org.apache.hadoop.fs.Path(dataDir, f.path)
+      GraftConnectorShim.partitionedFile(
+        graft.table.TableIO.qualified(p), f.fileSizeBytes, 0L)
+    })
+    PosDeleteSpec(
+      factory = GraftConnectorShim.parquetReaderFactory(
+        spark, schema, schema, Array.empty),
+      part = part,
+      cacheKey = "pos:" + sig.sorted.mkString(";"))
+  }
 
   /** Build the executor-readable delete specs for one signature: the
     * delete keys are NEVER collected on the driver — each executor
@@ -512,11 +562,19 @@ class GraftScan(root: String, table: Meta.TableMetadata,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
+    // position deletes are applied by STREAM index, which is only the
+    // file row index if the parquet reader skips nothing — so row-group
+    // predicate pushdown must be off while any position delete is live
+    // (filters still run above the scan: pushFilters keeps them all as
+    // residual)
+    val pushForDelegate =
+      if (deletesWithSeq.exists(_._1.content == 1)) Array.empty[Filter]
+      else pushedFilters
     val delegate: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
-        spark, table.schema, requiredSchema, pushedFilters))
+        spark, table.schema, requiredSchema, pushForDelegate))
     if (deletesWithSeq.isEmpty) delegate
-    else MorReaderFactory(delegate, deleteSpecsByPartition)
+    else MorReaderFactory(delegate, deleteSpecsByPartition, posSpecsByPartition)
   }
 }
 
@@ -562,14 +620,42 @@ case class DeleteFilesSpec(
     part: org.apache.spark.sql.execution.datasources.FilePartition,
     cacheKey: String)
 
+/** One position-delete group, executor-readable: the parquet reader
+  * factory + file partition over (file_path, pos) delete rows. */
+case class PosDeleteSpec(
+    factory: PartitionReaderFactory,
+    part: org.apache.spark.sql.execution.datasources.FilePartition,
+    cacheKey: String)
+
 /** Per-JVM cache of delete-key sets: each executor reads a delete file
   * group once, no matter how many tasks apply it. */
 object DeleteKeyCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[Vector[Any]]]()
+  private val posCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Set[Long]]]()
 
   def get(spec: DeleteFilesSpec): Set[Vector[Any]] =
     cache.computeIfAbsent(spec.cacheKey, _ => load(spec))
+
+  /** Deleted row positions grouped by data-file URI path. */
+  def getPositions(spec: PosDeleteSpec): Map[String, Set[Long]] =
+    posCache.computeIfAbsent(spec.cacheKey, _ => loadPositions(spec))
+
+  private def loadPositions(spec: PosDeleteSpec): Map[String, Set[Long]] = {
+    val reader = spec.factory.createReader(spec.part)
+    val b = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    try {
+      while (reader.next()) {
+        val r = reader.get()
+        // normalize URI forms (file:/ vs file:///) to the path part
+        val key = new org.apache.hadoop.fs.Path(
+          r.getUTF8String(0).toString).toUri.getPath
+        b.getOrElseUpdate(key, scala.collection.mutable.Set[Long]()) += r.getLong(1)
+      }
+    } finally reader.close()
+    b.map { case (k, v) => k -> v.toSet }.toMap
+  }
 
   // reader rows reuse buffers; key values must be defensively copied
   private def copyVal(v: Any): Any = v match {
@@ -599,33 +685,44 @@ object DeleteKeyCache {
   * not filtered by it). */
 case class MorReaderFactory(
     delegate: PartitionReaderFactory,
-    specsByPartition: Map[Int, Seq[DeleteFilesSpec]])
+    specsByPartition: Map[Int, Seq[DeleteFilesSpec]],
+    posByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty)
   extends PartitionReaderFactory {
 
-  private def specsFor(p: InputPartition): Seq[DeleteFilesSpec] = p match {
-    case f: org.apache.spark.sql.execution.datasources.FilePartition =>
-      specsByPartition.getOrElse(f.index, Seq.empty)
-    case k: KeyedFilePartition =>
-      specsByPartition.getOrElse(k.inner.index, Seq.empty)
-    case _ => Seq.empty
+  private def indexOf(p: InputPartition): Int = p match {
+    case f: org.apache.spark.sql.execution.datasources.FilePartition => f.index
+    case k: KeyedFilePartition => k.inner.index
+    case _ => -1
   }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val inner = delegate.createReader(partition)
-    val specs = specsFor(partition)
-    if (specs.isEmpty) inner
+    val idx = indexOf(partition)
+    val specs = specsByPartition.getOrElse(idx, Seq.empty)
+    val pos = posByPartition.get(idx)
+    if (specs.isEmpty && pos.isEmpty) inner
     else new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
       private val groups = specs.map(s => (s, DeleteKeyCache.get(s)))
+      // positional deletes: this partition is a single whole file, so
+      // the stream index IS the row index within the file
+      private val deadPositions: Set[Long] = pos match {
+        case Some((spec, filePath)) =>
+          DeleteKeyCache.getPositions(spec).getOrElse(filePath, Set.empty)
+        case None => Set.empty
+      }
+      private var rowIdx = -1L
       private var current: org.apache.spark.sql.catalyst.InternalRow = _
       private def deleted(row: org.apache.spark.sql.catalyst.InternalRow): Boolean =
-        groups.exists { case (s, keys) =>
-          val key = (0 until s.keyIndexes.length).map(i =>
-            row.get(s.keyIndexes(i), s.keyTypes(i))).toVector
-          keys.contains(key)
-        }
+        deadPositions.contains(rowIdx) ||
+          groups.exists { case (s, keys) =>
+            val key = (0 until s.keyIndexes.length).map(i =>
+              row.get(s.keyIndexes(i), s.keyTypes(i))).toVector
+            keys.contains(key)
+          }
       override def next(): Boolean = {
         while (inner.next()) {
+          rowIdx += 1
           val r = inner.get()
           if (!deleted(r)) { current = r; return true }
         }

@@ -335,32 +335,99 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       m.liveDeleteFilesWithSeq(snapId), schema)
   }
 
-  /** Read `files` applying live equality deletes with Iceberg v2
-    * sequence scoping: a delete file applies only to data files with a
-    * SMALLER data sequence number (an append after the delete is not
-    * hidden by it). Files are grouped into classes sharing the same
+  /** Read `files` applying live deletes with Iceberg v2 sequence
+    * scoping: an EQUALITY delete applies only to data files with a
+    * strictly smaller data sequence (an append after the delete is not
+    * hidden by it); a POSITION delete applies to files with sequence
+    * <= its own. Files are grouped into classes sharing the same
     * applicable-delete set — each class is one parquet read plus
     * anti-joins, and the classes union (typically 1–2 classes, since
-    * delete files are rare relative to appends). */
+    * delete files are rare relative to appends).
+    *
+    * With `keepPos` the output carries `__file`/`__pos` metadata
+    * columns (the positional-delete write path needs them). */
   private def readWithDeletes(filesWithSeq: Seq[(Meta.DataFile, Long)],
       deletesWithSeq: Seq[(Meta.DataFile, Long)],
-      schema: StructType): DataFrame = {
-    if (filesWithSeq.isEmpty)
+      schema: StructType, keepPos: Boolean = false): DataFrame = {
+    if (filesWithSeq.isEmpty) {
+      val emptySchema =
+        if (!keepPos) schema
+        else StructType(schema.fields ++ Seq(
+          StructField("__file", StringType), StructField("__pos", LongType)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    }
+    def eqApplicable(seq: Long) = deletesWithSeq
+      .filter { case (d, ds) => d.content == 2 && ds > seq }.map(_._1)
+    def posApplicable(seq: Long) = deletesWithSeq
+      .filter { case (d, ds) => d.content == 1 && ds >= seq }.map(_._1)
     val classes = filesWithSeq.groupBy { case (_, seq) =>
-      deletesWithSeq.filter(_._2 > seq).map(_._1.path).sorted }
-    classes.toSeq.map { case (delPaths, group) =>
-      val base = spark.read.schema(schema)
+      (eqApplicable(seq).map(_.path).sorted,
+        posApplicable(seq).map(_.path).sorted) }
+    classes.toSeq.map { case ((eqPaths, posPaths), group) =>
+      val needPos = keepPos || posPaths.nonEmpty
+      val raw = spark.read.schema(schema)
         .parquet(group.map(g => absolute(g._1)): _*)
-      val applicable = deletesWithSeq.map(_._1)
-        .filter(d => delPaths.contains(d.path))
-      applicable.groupBy(_.equalityColumns).foldLeft(base) {
+      val base =
+        if (!needPos) raw
+        else raw.withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+      val eqFiles = deletesWithSeq.map(_._1)
+        .filter(d => eqPaths.contains(d.path))
+      val afterEq = eqFiles.groupBy(_.equalityColumns).foldLeft(base) {
         case (df, (eqCols, dfiles)) =>
           val delDf = spark.read.parquet(dfiles.map(absolute): _*)
           df.join(delDf, eqCols, "left_anti")
       }
+      val afterPos =
+        if (posPaths.isEmpty) afterEq
+        else {
+          val posFiles = deletesWithSeq.map(_._1)
+            .filter(d => posPaths.contains(d.path))
+          val delDf = spark.read.parquet(posFiles.map(absolute): _*)
+          afterEq.join(delDf,
+            afterEq("__file") === delDf("file_path") &&
+              afterEq("__pos") === delDf("pos"),
+            "left_anti")
+        }
+      if (keepPos) afterPos
+      else if (needPos) afterPos.drop("__file", "__pos")
+      else afterPos
     }.reduce(_ unionByName _)
+  }
+
+  /** Merge-on-read positional DELETE (Iceberg v2 position deletes):
+    * record (data file, row index) of the matching rows as a small
+    * delete file; scans drop those exact row slots via anti-join on
+    * the parquet `_metadata` columns. Unlike equality deletes this
+    * targets physical rows, so it composes with ANY predicate without
+    * needing a key column. */
+  def deleteWhereMoRPositional(predicate: Column): GraftTable = {
+    val m = meta
+    val seqByPath = m.liveFilesWithSeq(None).map { case (f, q) => f.path -> q }.toMap
+    val live = m.liveFiles(None).map(f => (f, seqByPath(f.path)))
+    val matches = readWithDeletes(live, m.liveDeleteFilesWithSeq(None),
+      m.schema, keepPos = true)
+      .filter(predicate)
+      .select(col("__file").as("file_path"), col("__pos").as("pos"))
+    val staging = TableIO.path(root, s"stage-${UUID.randomUUID().toString.take(8)}")
+    matches.write.parquet(staging.toString)
+    val dir = new HPath(dataDir, "deletes")
+    TableIO.mkdirs(dir)
+    val added = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dir, s"pos-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        Meta.DataFile(
+          path = TableIO.relativize(dataDir, dest),
+          partitionValues = Map.empty,
+          recordCount = -1L, fileSizeBytes = sz,
+          stats = Map.empty, content = 1)
+      }
+    TableIO.delete(staging, recursive = true)
+    commit("delete-pos", Seq.empty, Seq.empty, addedDeletes = added)
+    this
   }
 
   def timeTravel(snapshotId: Long): DataFrame = scan(snapshotId = Some(snapshotId))
@@ -499,7 +566,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           path = TableIO.relativize(dataDir, dest),
           partitionValues = Map.empty,
           recordCount = -1L, fileSizeBytes = sz,
-          stats = Map.empty, equalityColumns = keyCols)
+          stats = Map.empty, equalityColumns = keyCols, content = 2)
       }
     TableIO.delete(staging, recursive = true)
     commit("delete-eq", Seq.empty, Seq.empty, addedDeletes = added)

@@ -40,7 +40,12 @@ object Meta {
         * equality deletes apply only to data files with a SMALLER
         * data sequence number — spec/snapshot.rs sequence ordering).
         * None = inherit the sequence of the committing snapshot. */
-      dataSequence: Option[Long] = None)
+      dataSequence: Option[Long] = None,
+      /** Iceberg v2 file content: 0 = data, 1 = position deletes
+        * (rows of data-file path + row index), 2 = equality deletes.
+        * Derived from equalityColumns for metadata written before the
+        * field existed. */
+      content: Int = 0)
 
   case class Snapshot(
       snapshotId: Long,
@@ -168,6 +173,7 @@ object Meta {
       f.equalityColumns.foreach(eq.add)
     }
     f.dataSequence.foreach(n.put("sequence", _))
+    if (f.content != 0) n.put("content", f.content)
     n
   }
 
@@ -239,7 +245,10 @@ object Meta {
     stats = readStats(n.get("stats")),
     equalityColumns = Option(n.get("equality_columns")).map(
       _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
-    dataSequence = Option(n.get("sequence")).map(_.asLong()))
+    dataSequence = Option(n.get("sequence")).map(_.asLong()),
+    content = Option(n.get("content")).map(_.asInt()).getOrElse {
+      if (Option(n.get("equality_columns")).exists(_.size() > 0)) 2 else 0
+    })
 
   def fromJson(json: String): TableMetadata = {
     val root = mapper.readTree(json)

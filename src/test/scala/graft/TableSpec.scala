@@ -202,6 +202,35 @@ class TableSpec extends AnyFunSuite {
     assert(rows(1).getString(1) === "b2")
   }
 
+  test("positional MoR delete drops exact row slots; later appends unaffected") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df.coalesce(1))
+    t.deleteWhereMoRPositional(col("id") % 2L === 0L)
+    assert(t.scan().select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // re-insert one deleted value AFTER the positional delete: position
+    // deletes target old row slots, never the new file
+    t.append(Seq((2L, "b2")).toDF("id", "v"))
+    assert(t.scan().select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // connector read agrees (executor-side positional filtering)
+    val conn = spark.read.format("graft").load(root)
+    assert(conn.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // filters still work with positional deletes live
+    assert(conn.filter(col("id") > 1L).count() === 2)
+    // stacking: equality delete on top of positional
+    t.deleteWhereMoR(col("id") === 1L, Seq("id"))
+    assert(t.scan().select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    assert(spark.read.format("graft").load(root)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    // fold everything in: rewrite clears both delete kinds
+    t.applyDeletes()
+    assert(t.meta.liveDeleteFiles(None).isEmpty)
+    assert(t.scan().select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+  }
+
   test("CoW delete keeps rows where the predicate is NULL") {
     val spark0 = spark
     import spark0.implicits._
