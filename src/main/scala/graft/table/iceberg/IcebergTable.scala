@@ -31,24 +31,23 @@ class IcebergTable private (val location: String, val spark: SparkSession) {
     else new HPath(location, p)
   }
 
-  /** Live data-file entries at a snapshot, with decoded stats. */
+  /** Live data-file entries at a snapshot, with decoded stats and the
+    * data sequence number (per-entry, else inherited from the
+    * manifest-list entry — Iceberg v2 sequence inheritance). */
   def plannedFiles(snapshotId: Option[Long] = None,
       filters: Seq[(String, String, String)] = Seq.empty)
-      : Seq[(IcebergAvro.DataFileEntry, Map[String, Meta.ColStats])] = {
+      : Seq[(IcebergAvro.DataFileEntry, Map[String, Meta.ColStats], Long)] = {
     val m = meta
     val snap = snapshotId.flatMap(m.snapshot).orElse(m.currentSnapshot)
       .getOrElse(return Seq.empty)
     val schemaById = m.schemas.find(_.schemaId == snap.schemaId)
       .getOrElse(m.schema)
     val manifests = IcebergAvro.readManifestList(resolve(snap.manifestList))
-    val deleteManifests = manifests.filter(_.content != 0)
-    require(deleteManifests.isEmpty,
-      "Iceberg tables with delete files are not supported by this reader yet")
-    val entries = manifests.flatMap(mf =>
-      IcebergAvro.readManifest(resolve(mf.path)))
-      .filter(e => e.status != 2 && e.content == 0)
-    val nameById = schemaById.fields.map(f => f.id -> f).toMap
-    val withStats = entries.map { e =>
+    val entries = manifests.filter(_.content == 0).flatMap(mf =>
+      IcebergAvro.readManifest(resolve(mf.path))
+        .filter(e => e.status != 2 && e.content == 0)
+        .map(e => (e, e.sequenceNumber.getOrElse(mf.sequenceNumber))))
+    val withStats = entries.map { case (e, seq) =>
       val stats = schemaById.fields.flatMap { f =>
         val lower = e.lowerBounds.get(f.id)
           .flatMap(b => IcebergTypes.decodeToCanonical(
@@ -63,9 +62,9 @@ class IcebergTable private (val location: String, val spark: SparkSession) {
           case _ => None
         }
       }.toMap
-      (e, stats)
+      (e, stats, seq)
     }
-    withStats.filter { case (_, stats) =>
+    withStats.filter { case (_, stats, _) =>
       filters.forall { case (c, op, value) =>
         (stats.get(c), schemaById.fields.find(_.name == c)) match {
           case (Some(st), Some(f)) =>
@@ -92,18 +91,84 @@ class IcebergTable private (val location: String, val spark: SparkSession) {
     case _ => (a, b) => a.compareTo(b)
   }
 
-  def scan(snapshotId: Option[Long] = None,
-      filters: Seq[(String, String, String)] = Seq.empty): DataFrame = {
+  /** Live delete-file entries (content 1 = positional, 2 = equality)
+    * with their sequence numbers, from delete manifests. */
+  def deleteEntries(snapshotId: Option[Long] = None)
+      : Seq[(IcebergAvro.DataFileEntry, Long)] = {
     val m = meta
     val snap = snapshotId.flatMap(m.snapshot).orElse(m.currentSnapshot)
-    val schemaOf = snap.map(s => m.schemas.find(_.schemaId == s.schemaId)
-      .getOrElse(m.schema)).getOrElse(m.schema).toSpark
+      .getOrElse(return Seq.empty)
+    IcebergAvro.readManifestList(resolve(snap.manifestList))
+      .filter(_.content == 1).flatMap { mf =>
+        IcebergAvro.readManifest(resolve(mf.path))
+          .filter(e => e.status != 2 && e.content != 0)
+          .map(e => (e, e.sequenceNumber.getOrElse(mf.sequenceNumber)))
+      }
+  }
+
+  /** Normalize URI forms (file:/ vs file:///) so position-delete
+    * `file_path` values compare against `_metadata.file_path`. */
+  private def normPath(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.regexp_replace(c, "^[a-z]+:/+", "/")
+
+  def scan(snapshotId: Option[Long] = None,
+      filters: Seq[(String, String, String)] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = meta
+    val snap = snapshotId.flatMap(m.snapshot).orElse(m.currentSnapshot)
+    val iceSchema = snap.map(s => m.schemas.find(_.schemaId == s.schemaId)
+      .getOrElse(m.schema)).getOrElse(m.schema)
+    val schemaOf = iceSchema.toSpark
     val files = plannedFiles(snapshotId, filters)
     if (files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf)
-    else spark.read.schema(schemaOf)
-      .parquet(files.map(f => resolve(f._1.filePath).toString): _*)
+    val deletes = deleteEntries(snapshotId)
+    if (deletes.isEmpty)
+      return spark.read.schema(schemaOf)
+        .parquet(files.map(f => resolve(f._1.filePath).toString): _*)
+
+    // sequence scoping (Iceberg v2): equality deletes apply to data
+    // files with seq < theirs, positional with seq <= theirs. Files
+    // sharing an applicable-delete set read together.
+    val dataWithSeq = files.map { case (e, _, seq) => (e, seq) }
+    val classes = dataWithSeq.groupBy { case (_, seq) =>
+      (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
+        .map(_._1.filePath).sorted,
+        deletes.filter { case (d, ds) => d.content == 1 && ds >= seq }
+          .map(_._1.filePath).sorted)
+    }
+    classes.toSeq.map { case ((eqPaths, posPaths), group) =>
+      val needPos = posPaths.nonEmpty
+      val raw = spark.read.schema(schemaOf)
+        .parquet(group.map(g => resolve(g._1.filePath).toString): _*)
+      val base =
+        if (!needPos) raw
+        else raw.withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+      val eqFiles = deletes.map(_._1).filter(d => eqPaths.contains(d.filePath))
+      val afterEq = eqFiles.groupBy(_.equalityIds).foldLeft(base) {
+        case (df, (eqIds, dfiles)) =>
+          val eqCols = eqIds.flatMap(id =>
+            iceSchema.fields.find(_.id == id).map(_.name))
+          val delDf = spark.read
+            .parquet(dfiles.map(d => resolve(d.filePath).toString): _*)
+            .select(eqCols.map(col): _*)
+          df.join(delDf, eqCols, "left_anti")
+      }
+      val result =
+        if (!needPos) afterEq
+        else {
+          val posFiles = deletes.map(_._1).filter(d => posPaths.contains(d.filePath))
+          val delDf = spark.read
+            .parquet(posFiles.map(d => resolve(d.filePath).toString): _*)
+          afterEq.join(delDf,
+            normPath(afterEq("__file")) === normPath(delDf("file_path")) &&
+              afterEq("__pos") === delDf("pos"),
+            "left_anti").drop("__file", "__pos")
+        }
+      result
+    }.reduce(_ unionByName _)
   }
 
   def timeTravel(snapshotId: Long): DataFrame = scan(Some(snapshotId))

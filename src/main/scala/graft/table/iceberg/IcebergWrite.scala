@@ -162,6 +162,122 @@ object IcebergWrite {
     IcebergMetadata.write(location, lastV + 1, next)
   }
 
+  /** Commit a DELETE snapshot in the real format: a delete parquet
+    * (equality keys, or file_path/pos rows for positional), a delete
+    * manifest (entry content 1|2), and a manifest list carrying the
+    * previous manifests forward (reference:
+    * iceberg-rust/src/table/transaction writes the same layering). */
+  private def commitDelete(spark: SparkSession, location: String,
+      deleteDf: DataFrame, content: Int, eqCols: Seq[String]): Unit = {
+    val m = IcebergMetadata.load(location)
+    val schema = m.schema
+    val staging = TableIO.path(location, s"stage-${UUID.randomUUID().toString.take(8)}")
+    deleteDf.coalesce(1).write.parquet(staging.toString)
+    val dataDir = TableIO.path(location, "data")
+    TableIO.mkdirs(dataDir)
+    val kind = if (content == 1) "pos" else "eq"
+    val moved = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dataDir,
+          s"$kind-delete-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        (dest, sz)
+      }
+    TableIO.delete(staging, recursive = true)
+
+    val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val seq = m.lastSequenceNumber + 1
+    val eqIds = eqCols.flatMap(schema.fieldId)
+    val entries = moved.map { case (p, sz) =>
+      val e = IcebergAvro.record(IcebergAvro.manifestSchema(emptyPartition))
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", null)
+      e.put("file_sequence_number", null)
+      val dfSchema = e.getSchema.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", content)
+      d.put("file_path", TableIO.qualified(p))
+      d.put("file_format", "PARQUET")
+      d.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", -1L)
+      d.put("file_size_in_bytes", sz)
+      d.put("null_value_counts", null)
+      d.put("lower_bounds", null)
+      d.put("upper_bounds", null)
+      if (eqIds.nonEmpty) {
+        val arrSchema = dfSchema.getField("equality_ids").schema().getTypes.get(1)
+        val arr = new GenericData.Array[Any](eqIds.size, arrSchema)
+        eqIds.foreach(id => arr.add(id))
+        d.put("equality_ids", arr)
+      } else d.put("equality_ids", null)
+      e.put("data_file", d)
+      e: org.apache.avro.generic.GenericRecord
+    }
+    val metaDir = TableIO.path(location, "metadata")
+    val manifestPath = new HPath(metaDir,
+      s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+    val manifestLen = IcebergAvro.writeManifest(manifestPath, emptyPartition,
+      entries, icebergSchemaJson(schema), """{"spec-id":0,"fields":[]}""")
+
+    val prevManifests = m.currentSnapshot.map(s =>
+      IcebergAvro.readManifestList(new HPath(s.manifestList))).getOrElse(Seq.empty)
+    val mlSchema = IcebergAvro.manifestListSchema
+    def mfRecord(path: String, len: Long, ct: Int, sq: Long,
+        snapId: Long): org.apache.avro.generic.GenericRecord = {
+      val r = IcebergAvro.record(mlSchema)
+      r.put("manifest_path", path); r.put("manifest_length", len)
+      r.put("partition_spec_id", 0); r.put("content", ct)
+      r.put("sequence_number", sq); r.put("min_sequence_number", sq)
+      r.put("added_snapshot_id", snapId)
+      r.put("added_files_count", 0); r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 0L); r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val newEntry = mfRecord(TableIO.qualified(manifestPath), manifestLen, 1,
+      seq, snapshotId)
+    val carried = prevManifests.map(mf => mfRecord(
+      mf.path, mf.length, mf.content, mf.sequenceNumber, mf.addedSnapshotId))
+    val mlPath = new HPath(metaDir,
+      s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+    IcebergAvro.writeManifestList(mlPath, newEntry +: carried, snapshotId, seq)
+
+    val snap = IcebergMetadata.IceSnapshot(
+      snapshotId = snapshotId, parentId = m.currentSnapshotId,
+      sequenceNumber = seq, timestampMs = System.currentTimeMillis(),
+      manifestList = TableIO.qualified(mlPath),
+      operation = "delete", schemaId = m.currentSchemaId)
+    val next = m.copy(
+      lastSequenceNumber = seq,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = m.snapshots :+ snap,
+      refs = m.refs + ("main" -> snapshotId))
+    val VersionRe = """v(\d+)\.metadata\.json""".r
+    val lastV = TableIO.listDir(metaDir).map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toInt
+    }.maxOption.getOrElse(0)
+    IcebergMetadata.write(location, lastV + 1, next)
+  }
+
+  /** Equality DELETE: the distinct key tuples become an equality
+    * delete file scoped (by sequence) to all earlier data. */
+  def deleteEquality(spark: SparkSession, location: String,
+      keys: DataFrame, eqCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    commitDelete(spark, location,
+      keys.select(eqCols.map(col): _*).distinct(), 2, eqCols)
+  }
+
+  /** Positional DELETE: rows of (file_path, pos). */
+  def deletePositional(spark: SparkSession, location: String,
+      positions: DataFrame): Unit =
+    commitDelete(spark, location,
+      positions.select("file_path", "pos"), 1, Seq.empty)
+
   private val emptyPartition =
     """{"type":"record","name":"r102","fields":[]}"""
 

@@ -56,7 +56,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     val all = t.plannedFiles()
     assert(all.size === 2)
     // decoded canonical bounds
-    val statsById = all.map { case (e, st) => st("id") }
+    val statsById = all.map { case (e, st, _) => st("id") }
     assert(statsById.exists(s => s.min == "1" && s.max == "100"))
     assert(statsById.exists(s => s.min == "1000" && s.max == "1100"))
     // manifest pruning: id > 500 touches one file
@@ -80,6 +80,33 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(entries.forall(_.status === 1))
   }
 
+  test("delete manifests: equality and positional deletes apply, sequence-scoped") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    val t = IcebergWrite.create(spark, loc, df)
+    // equality delete: drop even ids
+    IcebergWrite.deleteEquality(spark, loc,
+      (1L to 100L).filter(_ % 2 == 0).map(Tuple1(_)).toDF("id"), Seq("id"))
+    assert(t.scan().count() === 50)
+    assert(t.scan().filter(col("id") % 2 === 0).count() === 0)
+    // append AFTER the delete: new rows with even ids must survive
+    IcebergWrite.append(spark, loc, Seq((2L, "again")).toDF("id", "v"))
+    assert(t.scan().count() === 51)
+    assert(t.scan().filter(col("id") === 2L).count() === 1)
+    // positional delete of one exact row slot (physical file + index)
+    val target = spark.read
+      .parquet(t.plannedFiles().map(_._1.filePath): _*)
+      .withColumn("fp", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(col("id") === 1L)
+      .select(col("fp").as("file_path"), col("pos"))
+    IcebergWrite.deletePositional(spark, loc, target)
+    assert(t.scan().count() === 50)
+    assert(t.scan().filter(col("id") === 1L).count() === 0)
+  }
+
   test("timestamp and date bounds decode to canonical stat strings") {
     val spark0 = spark
     import spark0.implicits._
@@ -92,7 +119,7 @@ class IcebergInteropSpec extends AnyFunSuite {
       .toDF("id", "d", "ts")
     IcebergWrite.create(spark, loc, df.coalesce(1))
     val t = IcebergTable.load(spark, loc)
-    val (_, stats) = t.plannedFiles().head
+    val (_, stats, _) = t.plannedFiles().head
     assert(stats("d").min === "2024-01-15")
     assert(stats("d").max === "2024-06-30")
     assert(stats("ts").min === "2024-01-15 10:30:00")
