@@ -99,12 +99,36 @@ object Advanced {
     * DETERMINISTICALLY (hash of row identity, not rand()), join on
     * (key, salt). Verified against the unsalted join by the oracle. */
   val q24SaltedJoin: Q = (s, d) => {
+    // Scale-safe salting: detect the HOT probe keys first (one cheap
+    // partial-agg pass + a tiny collect of outliers), salt only rows
+    // with those keys, and union with the plain join for the cold
+    // side. Salting everything would explode the build side ×salts —
+    // correct, but a needless 8× at 100 TB when skew is concentrated
+    // in a handful of keys. (AQE skew-join is the zero-code variant;
+    // this is the explicit form.)
     val salts = 8
     val li = Tables.lineitem(s, d)
-      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
     val ord = Tables.orders(s, d)
+    // hot = keys with above-structural-max fanout (TPC-H orders have
+    // <=7 lines; anything past the bulk is "skewed" for the pattern).
+    // The hot set is a DataFrame, broadcast into semi/anti joins — no
+    // driver collect, no giant IN-list.
+    val hotDf = broadcast(
+      li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 6).select(col("l_orderkey")))
+    val liHot = li.join(hotDf, Seq("l_orderkey"), "left_semi")
+      .withColumn("salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    val liCold = li.join(hotDf, Seq("l_orderkey"), "left_anti")
+    val ordHot = ord.join(hotDf.withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey"), "left_semi")
       .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
-    li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+    val ordCold = ord.join(hotDf.withColumnRenamed("l_orderkey", "o_orderkey"),
+      Seq("o_orderkey"), "left_anti")
+    liHot.join(ordHot,
+        col("l_orderkey") === col("o_orderkey") && liHot("salt") === ordHot("salt"))
+      .drop("salt")
+      .unionByName(liCold.join(ordCold, col("l_orderkey") === col("o_orderkey")))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
       .orderBy(col("o_orderpriority"))

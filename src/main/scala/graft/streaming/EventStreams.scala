@@ -48,6 +48,25 @@ object EventStreams {
       .start()
   }
 
+  /** Stream → REAL Iceberg table sink: each micro-batch appends as an
+    * Iceberg snapshot through the binary-interop writer (avro
+    * manifests + metadata.json) — any Iceberg engine can query the
+    * stream's output while it runs. The table is created from the
+    * first batch's schema. */
+  def writeToIceberg(stream: DataFrame, location: String,
+      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!graft.table.iceberg.IcebergTable.exists(location))
+          graft.table.iceberg.IcebergWrite.create(batch.sparkSession, location, batch)
+        else
+          graft.table.iceberg.IcebergWrite.append(batch.sparkSession, location, batch)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Stateful sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState: state is one open session per user,
     * closed sessions are emitted on gap or event-time timeout.

@@ -114,6 +114,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(mv.read.filter(col("event_type") === "error").count() === 0)
   }
 
+  test("streaming writes land as REAL Iceberg snapshots (binary interop sink)") {
+    val w = wh()
+    val ev = Tables.events(spark, sf)
+    val stageDir = s"$w/ice_stream_in"
+    ev.limit(2000).write.parquet(stageDir)
+    val staged = spark.read.parquet(stageDir).count()
+    val loc = s"$w/ice_sink"
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = EventStreams.writeToIceberg(stream, loc, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val t = graft.table.iceberg.IcebergTable.load(spark, loc)
+    assert(t.scan().count() === staged)
+    // the output is the standard format: metadata.json + avro manifests
+    val m = t.meta
+    assert(m.formatVersion === 2)
+    assert(m.currentSnapshot.exists(_.manifestList.endsWith(".avro")))
+  }
+
   test("streaming writes land as table snapshots") {
     val w = wh()
     val ev = Tables.events(spark, sf)
