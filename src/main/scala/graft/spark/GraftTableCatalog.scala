@@ -152,16 +152,23 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
     if (!TableIO.isDirectory(dir)) Array.empty
     else TableIO.listDir(dir).map(_.getPath).iterator
-      .filter(p => Meta.exists(p.toString))
+      .filter(p => Meta.exists(p.toString) ||
+        graft.table.iceberg.IcebergTable.exists(p.toString))
       .map(p => Identifier.of(namespace, p.getName))
       .toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     val root = tableRoot(ident)
-    if (!Meta.exists(root))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new GraftSparkTable(root)
+    // graft and real Iceberg share the metadata/vN.metadata.json +
+    // version-hint convention; the metadata dialect tells them apart
+    if (Meta.exists(root) && scala.util.Try(Meta.load(root)).isSuccess)
+      new GraftSparkTable(root)
+    // a directory holding REAL Iceberg metadata serves as a read-only
+    // interop table: standard SQL over any engine's Iceberg output
+    else if (graft.table.iceberg.IcebergTable.exists(root))
+      new IcebergSparkTable(root)
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
   }
 
   /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF <id>`. */

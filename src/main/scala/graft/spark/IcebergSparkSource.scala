@@ -1,0 +1,237 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.GraftConnectorShim
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table.TableIO
+import graft.table.iceberg.{IcebergAvro, IcebergMetadata, IcebergTable}
+
+/** Standard Spark SQL over REAL (foreign-written) Iceberg v2 tables:
+  * the TableCatalog serves this V2 table for any directory holding
+  * Iceberg metadata instead of graft metadata, so
+  *
+  *   SELECT ... FROM graft_wh.db.some_iceberg_table
+  *
+  * plans manifest-pruned vectorized parquet scans over a table ANY
+  * engine wrote — with v2 delete manifests (equality + positional)
+  * applied executor-side through the same merge-on-read reader
+  * machinery as graft's own connector.
+  */
+class IcebergSparkTable(location: String) extends Table with SupportsRead {
+  private lazy val ice = IcebergMetadata.load(location)
+
+  override def name(): String = s"iceberg.`$location`"
+  override def schema(): StructType = ice.schema.toSpark
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IcebergScanBuilder(location,
+      Option(options.get("snapshot")).map(_.toLong))
+}
+
+class IcebergScanBuilder(location: String, snapshotId: Option[Long])
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val ice = IcebergMetadata.load(location)
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = ice.schema.toSpark
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // everything stays residual; pruning is a skip optimization
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(
+      ice.schema.toSpark.fields.filter(f => names.contains(f.name)))
+  }
+
+  /** The manifest-prunable subset of the pushed filters, rendered in
+    * canonical stat-string form (same translation as GraftScan). */
+  private def statFilters: Seq[(String, String, String)] = {
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case n: Number => Some(n.toString)
+      case s: String => Some(s)
+      case d: java.sql.Date => Some(d.toLocalDate.toString)
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        Some(graft.table.FooterStats.canonicalTimestampMicros(
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L)))
+      case i: java.time.Instant =>
+        Some(graft.table.FooterStats.canonicalTimestampMicros(
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L)))
+      case _ => None
+    }
+    pushed.toSeq.flatMap {
+      case EqualTo(c, v) => lit(v).map((c, "=", _))
+      case GreaterThan(c, v) => lit(v).map((c, ">", _))
+      case GreaterThanOrEqual(c, v) => lit(v).map((c, ">=", _))
+      case LessThan(c, v) => lit(v).map((c, "<", _))
+      case LessThanOrEqual(c, v) => lit(v).map((c, "<=", _))
+      case _ => None
+    }
+  }
+
+  override def build(): Scan = {
+    // merge-on-read: equality-delete key columns must be read even
+    // when pruned away
+    val t = IcebergTable.load(SparkSession.active, location)
+    val eqIds = t.deleteEntries(snapshotId).map(_._1)
+      .filter(_.content == 2).flatMap(_.equalityIds).distinct
+    val eqCols = eqIds.flatMap(id => ice.schema.fields.find(_.id == id).map(_.name))
+    val withKeys =
+      if (eqCols.forall(requiredSchema.fieldNames.contains)) requiredSchema
+      else StructType(ice.schema.toSpark.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
+    new IcebergScan(location, snapshotId, withKeys, pushed, statFilters)
+  }
+}
+
+class IcebergScan(location: String, snapshotId: Option[Long],
+    requiredSchema: StructType, pushedFilters: Array[Filter],
+    statFilters: Seq[(String, String, String)])
+  extends Scan with Batch {
+
+  private def sparkSession = SparkSession.active
+  private lazy val table = IcebergTable.load(sparkSession, location)
+  private lazy val ice = table.meta
+
+  private lazy val deletes: Seq[(IcebergAvro.DataFileEntry, Long)] =
+    table.deleteEntries(snapshotId)
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"IcebergScan($location)"
+
+  private def resolve(p: String): org.apache.hadoop.fs.Path = {
+    val u = new java.net.URI(p)
+    if (u.getScheme != null || p.startsWith("/"))
+      new org.apache.hadoop.fs.Path(p)
+    else new org.apache.hadoop.fs.Path(location, p)
+  }
+
+  @volatile private var deleteSpecsByPartition: Map[Int, Seq[DeleteFilesSpec]] = Map.empty
+  @volatile private var posSpecsByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = sparkSession
+    val files = table.plannedFiles(snapshotId, statFilters)
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    def sig(seq: Long): (Seq[String], Seq[String]) =
+      (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
+        .map(_._1.filePath).sorted,
+        deletes.filter { case (d, ds) => d.content == 1 && ds >= seq }
+          .map(_._1.filePath).sorted)
+    val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
+    val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
+
+    def toPartition(idx: Int, bin: Seq[IcebergAvro.DataFileEntry])
+        : org.apache.spark.sql.execution.datasources.FilePartition =
+      GraftConnectorShim.filePartition(idx, bin.map { e =>
+        GraftConnectorShim.partitionedFile(
+          TableIO.qualified(resolve(e.filePath)), e.fileSizeBytes, 0L)
+      })
+
+    files.groupBy { case (_, _, seq) => sig(seq) }.toSeq
+      .sortBy { case ((eq, pos), _) => (eq ++ pos).mkString(";") }
+      .foreach { case ((eqSig, posSig), group) =>
+        val specs =
+          if (eqSig.isEmpty) Seq.empty
+          else buildEqSpecs(spark, eqSig)
+        val posSpec =
+          if (posSig.isEmpty) None else Some(buildPosSpec(spark, posSig))
+        if (posSig.nonEmpty) {
+          group.foreach { case (e, _, _) =>
+            val idx = out.length
+            out += toPartition(idx, Seq(e))
+            if (specs.nonEmpty) specsOut(idx) = specs
+            posOut(idx) = (posSpec.get,
+              resolve(e.filePath).toUri.getPath)
+          }
+        } else {
+          val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[IcebergAvro.DataFileEntry]]()
+          var cur = scala.collection.mutable.ArrayBuffer[IcebergAvro.DataFileEntry]()
+          var curBytes = 0L
+          group.map(_._1).sortBy(-_.fileSizeBytes).foreach { e =>
+            if (curBytes + e.fileSizeBytes > maxBytes && cur.nonEmpty) {
+              bins += cur; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
+            }
+            cur += e; curBytes += e.fileSizeBytes
+          }
+          if (cur.nonEmpty) bins += cur
+          bins.foreach { bin =>
+            val idx = out.length
+            out += toPartition(idx, bin.toSeq)
+            if (specs.nonEmpty) specsOut(idx) = specs
+          }
+        }
+      }
+    deleteSpecsByPartition = specsOut.toMap
+    posSpecsByPartition = posOut.toMap
+    out.toArray
+  }
+
+  private def buildEqSpecs(spark: SparkSession,
+      sig: Seq[String]): Seq[DeleteFilesSpec] = {
+    val byPath = deletes.map(_._1).map(e => e.filePath -> e).toMap
+    sig.map(byPath).groupBy(_.equalityIds).toSeq.map { case (eqIds, dfiles) =>
+      val eqCols = eqIds.flatMap(id =>
+        ice.schema.fields.find(_.id == id).map(_.name))
+      val keySchema = StructType(requiredSchema.fields
+        .filter(f => eqCols.contains(f.name)))
+      val part = GraftConnectorShim.filePartition(0, dfiles.map { e =>
+        GraftConnectorShim.partitionedFile(
+          TableIO.qualified(resolve(e.filePath)), e.fileSizeBytes, 0L)
+      })
+      DeleteFilesSpec(
+        keyIndexes = keySchema.fields.map(f => requiredSchema.fieldIndex(f.name)),
+        keyTypes = keySchema.fields.map(_.dataType),
+        factory = GraftConnectorShim.parquetReaderFactory(
+          spark, keySchema, keySchema, Array.empty),
+        part = part,
+        cacheKey = "ice-eq:" + dfiles.map(_.filePath).sorted.mkString(";"))
+    }
+  }
+
+  private def buildPosSpec(spark: SparkSession, sig: Seq[String]): PosDeleteSpec = {
+    val byPath = deletes.map(_._1).map(e => e.filePath -> e).toMap
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
+    val part = GraftConnectorShim.filePartition(0, sig.map(byPath).map { e =>
+      GraftConnectorShim.partitionedFile(
+        TableIO.qualified(resolve(e.filePath)), e.fileSizeBytes, 0L)
+    })
+    PosDeleteSpec(
+      factory = GraftConnectorShim.parquetReaderFactory(
+        spark, schema, schema, Array.empty),
+      part = part,
+      cacheKey = "ice-pos:" + sig.sorted.mkString(";"))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = sparkSession
+    val pushForDelegate =
+      if (deletes.exists(_._1.content == 1)) Array.empty[Filter]
+      else pushedFilters
+    val delegate: PartitionReaderFactory =
+      GraftConnectorShim.parquetReaderFactory(
+        spark, ice.schema.toSpark, requiredSchema, pushForDelegate)
+    if (deletes.isEmpty) delegate
+    else MorReaderFactory(delegate, deleteSpecsByPartition, posSpecsByPartition)
+  }
+}

@@ -127,6 +127,41 @@ class TableCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 25)
   }
 
+  test("standard SQL reads a REAL (foreign-format) Iceberg table with deletes") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ice")
+    val loc = s"$wh/ice/foreign"
+    val df = (1L to 200L).map(i => (i, s"v$i", i * 1.5)).toDF("id", "v", "x")
+      .coalesce(1)
+    graft.table.iceberg.IcebergWrite.create(spark, loc, df)
+    graft.table.iceberg.IcebergWrite.deleteEquality(spark, loc,
+      (1L to 200L).filter(_ % 4 == 0).map(Tuple1(_)).toDF("id"), Seq("id"))
+    // SQL over the foreign table: 200 - 50 deleted = 150
+    val n = spark.sql("SELECT count(*) FROM graft_wh.ice.foreign")
+      .collect()(0).getLong(0)
+    assert(n === 150)
+    // filters + pruned columns still apply deletes correctly
+    val hi = spark.sql(
+      "SELECT v FROM graft_wh.ice.foreign WHERE id > 100").collect()
+    assert(hi.length === (101L to 200L).count(_ % 4 != 0))
+    // listed alongside graft tables
+    assert(spark.sql("SHOW TABLES IN graft_wh.ice").collect()
+      .map(_.getString(1)).contains("foreign"))
+    // positional delete visible through SQL too
+    val target = spark.read
+      .parquet(graft.table.iceberg.IcebergTable.load(spark, loc)
+        .plannedFiles().map(_._1.filePath): _*)
+      .withColumn("fp", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(col("id") === 1L)
+      .select(col("fp").as("file_path"), col("pos"))
+    graft.table.iceberg.IcebergWrite.deletePositional(spark, loc, target)
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ice.foreign")
+      .collect()(0).getLong(0) === 149)
+  }
+
   test("PARTITIONED BY transforms map onto the Iceberg spec") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.db2")
