@@ -179,6 +179,22 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(root, pinnedSnapshot = Some(version.toLong))
   }
 
+  /** SQL time travel by time: `... TIMESTAMP AS OF '2024-01-01 ...'`.
+    * Resolves to the latest snapshot committed at or before the
+    * timestamp (micros since epoch, per the V2 contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = tableRoot(ident)
+    if (!Meta.exists(root))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val tsMs = timestampMicros / 1000L
+    val snap = Meta.load(root).snapshots
+      .filter(_.timestampMs <= tsMs)
+      .sortBy(_.timestampMs).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot of $ident at or before timestamp $tsMs"))
+    new GraftSparkTable(root, pinnedSnapshot = Some(snap.snapshotId))
+  }
+
   private def toPartitionField(t: Transform): Meta.PartitionField = {
     val c = t.references()(0).fieldNames().mkString(".")
     t.name() match {

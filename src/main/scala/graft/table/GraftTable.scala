@@ -651,6 +651,62 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Roll the main branch back to an earlier snapshot: time travel
+    * made current. The abandoned snapshots stay in history (expire
+    * removes them), so rollback is itself reversible. */
+  def rollbackTo(snapshotId: Long): GraftTable = this.synchronized {
+    val m = meta
+    require(m.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
+    Meta.write(root, m.copy(
+      currentSnapshotId = Some(snapshotId),
+      refs = m.refs + ("main" -> snapshotId)))
+    this
+  }
+
+  /** Merge-on-read UPDATE: the matching rows' slots become a position
+    * delete and the updated rows append as new data — O(matches) write
+    * cost like the reference's row-level operations, no full-file
+    * rewrite. The SET clauses evaluate over the current row. */
+  def updateWhereMoR(predicate: Column,
+      assignments: Map[String, Column]): GraftTable = {
+    val m = meta
+    val seqByPath = m.liveFilesWithSeq(None).map { case (f, q) => f.path -> q }.toMap
+    val live = m.liveFiles(None).map(f => (f, seqByPath(f.path)))
+    val current = readWithDeletes(live, m.liveDeleteFilesWithSeq(None),
+      m.schema, keepPos = true).filter(predicate)
+    // updated rows (new data) — computed BEFORE the delete commits
+    val updated = assignments.foldLeft(current) { case (df, (c, v)) =>
+      df.withColumn(c, v)
+    }.select(m.schema.fieldNames.map(col): _*)
+    val newFiles = writeFiles(updated, m.schema)
+    // position-delete the old slots
+    val positions = current
+      .select(col("__file").as("file_path"), col("__pos").as("pos"))
+    val staging = TableIO.path(root, s"stage-${UUID.randomUUID().toString.take(8)}")
+    positions.write.parquet(staging.toString)
+    val dir = new HPath(dataDir, "deletes")
+    TableIO.mkdirs(dir)
+    val added = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dir, s"pos-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        // the delete's sequence pins BELOW this commit: it reaches every
+        // pre-existing file (seq <= N-1) but not the rows added here
+        Meta.DataFile(
+          path = TableIO.relativize(dataDir, dest),
+          partitionValues = Map.empty,
+          recordCount = -1L, fileSizeBytes = sz,
+          stats = Map.empty, content = 1,
+          dataSequence = Some(
+            m.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L)))
+      }
+    TableIO.delete(staging, recursive = true)
+    // ONE snapshot deletes the old slots and adds the new rows
+    commit("update-mor", newFiles, Seq.empty, addedDeletes = added)
+    this
+  }
+
   def updateProperties(entries: Map[String, String]): GraftTable = this.synchronized {
     val m = meta
     Meta.write(root, m.copy(properties = m.properties ++ entries))

@@ -127,6 +127,26 @@ class TableCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 25)
   }
 
+  test("TIMESTAMP AS OF resolves the snapshot current at that time") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.tt")
+    spark.sql("CREATE TABLE graft_wh.tt.t (id BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("tt_src1")
+    spark.sql("INSERT INTO graft_wh.tt.t SELECT * FROM tt_src1")
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(15)
+    Seq((2L, "b")).toDF("id", "v").createOrReplaceTempView("tt_src2")
+    spark.sql("INSERT INTO graft_wh.tt.t SELECT * FROM tt_src2")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.tt.t")
+      .collect()(0).getLong(0) === 2)
+    val asOf = spark.sql(
+      s"SELECT count(*) FROM graft_wh.tt.t TIMESTAMP AS OF '$between'")
+      .collect()(0).getLong(0)
+    assert(asOf === 1)
+  }
+
   test("standard SQL reads a REAL (foreign-format) Iceberg table with deletes") {
     wh
     val spark0 = spark

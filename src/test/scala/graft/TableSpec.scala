@@ -231,6 +231,39 @@ class TableSpec extends AnyFunSuite {
     assert(t.scan().select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
   }
 
+  test("MoR UPDATE rewrites matching rows via position delete + append") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df.coalesce(1))
+    t.updateWhereMoR(col("id") >= 2L, Map("x" -> (col("x") * 10)))
+    val rows = t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((1L, 10.0), (2L, 200.0), (3L, 300.0)))
+    // connector read agrees; no data files were rewritten (MoR)
+    assert(spark.read.format("graft").load(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq === rows)
+    assert(t.meta.liveDeleteFiles(None).nonEmpty)
+    // a later equality delete still reaches the updated rows
+    t.deleteWhereMoR(col("id") === 2L, Seq("id"))
+    assert(t.scan().select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("rollbackTo makes an earlier snapshot current again") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(100))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(li.limit(50))
+    assert(t.scan().count() === 150)
+    t.rollbackTo(s1)
+    assert(t.scan().count() === 100)
+    // rollback is reversible: the newer snapshot still exists
+    assert(t.meta.snapshots.size === 2)
+  }
+
   test("CoW delete keeps rows where the predicate is NULL") {
     val spark0 = spark
     import spark0.implicits._
