@@ -130,19 +130,15 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       table(name).delete(org.apache.spark.sql.functions.expr(cond))
       spark.emptyDataFrame
     case Update(name, sets, cond) =>
-      // copy-on-write UPDATE: rewrite with CASE-wrapped SET clauses
+      // merge-on-read UPDATE: position-delete the matched slots and
+      // append the updated rows — write cost O(matches), not O(table)
       val t = table(name)
       val condition = org.apache.spark.sql.functions.expr(cond)
       val assignments = sets.split(",").map { s =>
         val Array(colName, valueExpr) = s.split("=", 2).map(_.trim)
         colName -> org.apache.spark.sql.functions.expr(valueExpr)
-      }
-      val updated = assignments.foldLeft(t.scan()) { case (df, (c, v)) =>
-        df.withColumn(c,
-          org.apache.spark.sql.functions.when(condition, v)
-            .otherwise(org.apache.spark.sql.functions.col(c)))
-      }
-      t.overwrite(updated)
+      }.toMap
+      t.updateWhereMoR(condition, assignments)
       spark.emptyDataFrame
     case select =>
       registerAll()
