@@ -17,9 +17,11 @@ import scala.jdk.CollectionConverters._
   * decode into the engine's canonical stat strings, so the SAME
   * pruning semantics apply to foreign tables as to graft's own.
   */
-class IcebergTable private (val location: String, val spark: SparkSession) {
+class IcebergTable private (val location: String, val spark: SparkSession,
+    pinned: Option[IcebergMetadata.IceMetadata] = None) {
 
-  def meta: IcebergMetadata.IceMetadata = IcebergMetadata.load(location)
+  def meta: IcebergMetadata.IceMetadata =
+    pinned.getOrElse(IcebergMetadata.load(location))
 
   def schema: StructType = meta.schema.toSpark
 
@@ -177,6 +179,13 @@ class IcebergTable private (val location: String, val spark: SparkSession) {
 object IcebergTable {
   def load(spark: SparkSession, location: String): IcebergTable =
     new IcebergTable(location, spark)
+
+  /** A table handle over metadata obtained elsewhere (e.g. from a
+    * REST catalog response) — scans resolve data/manifest paths from
+    * the metadata itself, no direct metadata-dir access needed. */
+  def fromMetadata(spark: SparkSession,
+      m: IcebergMetadata.IceMetadata): IcebergTable =
+    new IcebergTable(m.location, spark, Some(m))
 
   def exists(location: String): Boolean =
     TableIO.exists(TableIO.path(location, "metadata"))

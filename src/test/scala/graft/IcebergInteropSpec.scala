@@ -107,6 +107,33 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.scan().filter(col("id") === 1L).count() === 0)
   }
 
+  test("REST catalog serves discovery + metadata; client scans over HTTP metadata") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient}
+    val wh = Files.createTempDirectory("graft-rest").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      IcebergRestClient.createNamespace(base, "db")
+      assert(IcebergRestClient.listNamespaces(base).contains("db"))
+      // a real-format table lands in the warehouse (any engine could
+      // have written it); the REST layer only serves metadata
+      val df = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      IcebergWrite.create(spark, s"$wh/db/t1", df)
+      assert(IcebergRestClient.listTables(base, "db") === Seq("t1"))
+      assert(IcebergRestClient.tableExists(base, "db", "t1"))
+      // load over HTTP: scan plans entirely from the RESPONSE metadata
+      val t = IcebergRestClient.loadTable(spark, base, "db", "t1")
+      assert(t.scan().count() === 300)
+      assert(t.scan().filter(col("id") > 200).count() === 100)
+      // drop through the API
+      IcebergRestClient.dropTable(base, "db", "t1")
+      assert(!IcebergRestClient.tableExists(base, "db", "t1"))
+      assert(IcebergRestClient.listTables(base, "db").isEmpty)
+    } finally server.stop()
+  }
+
   test("timestamp and date bounds decode to canonical stat strings") {
     val spark0 = spark
     import spark0.implicits._
