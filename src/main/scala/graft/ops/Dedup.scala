@@ -24,7 +24,7 @@ object Dedup {
     when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", slice(w, i + 1, lit(3)))))
-      .otherwise(array(lower(text)))
+      .otherwise(array(trim(lower(text)))) // trimmed, like the oracle
   }
 
   /** (doc_id, shingle-set array) — stays un-exploded; the kernels
@@ -193,8 +193,9 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("arr_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("arr_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(graft.functions.ArrayKernels.jaccardSim(col("arr_a"), col("arr_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+        graft.functions.ArrayKernels.jaccardSim(col("arr_a"), col("arr_b")).as("j_raw"))
+      .filter(col("j_raw") >= 0.5) // threshold the RAW ratio (like the oracle)
+      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -49,7 +49,9 @@ object Similarity {
   def embedNeardupPairs(s: SparkSession, d: String,
       maxExact: Long = 100000L): DataFrame = {
     val v = vectors(s, d).select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"))
-    val exact = v.count() <= maxExact
+    // size gate from the RAW table: Spark answers count() over plain
+    // parquet from row-group metadata — no data pass for the gate
+    val exact = Tables.embeddings(s, d).count() <= maxExact
     if (exact) {
       val a = v.select(col("vec_id").as("ia"), col("emb").as("ea"), col("nrm").as("na"))
       val b = v.select(col("vec_id").as("ib"), col("emb").as("eb"), col("nrm").as("nb"))

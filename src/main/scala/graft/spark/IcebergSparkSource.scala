@@ -85,30 +85,34 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long])
 
   override def build(): Scan = {
     // merge-on-read: equality-delete key columns must be read even
-    // when pruned away
-    val t = IcebergTable.load(SparkSession.active, location)
-    val eqIds = t.deleteEntries(snapshotId).map(_._1)
+    // when pruned away. Load the table + delete manifests ONCE and
+    // hand them to the scan — metadata walks are driver round-trips
+    // on object storage.
+    // pinned metadata: one read serves planning end to end
+    val t = IcebergTable.fromMetadata(SparkSession.active,
+      graft.table.iceberg.IcebergMetadata.load(location))
+    val deletes = t.deleteEntries(snapshotId)
+    val eqIds = deletes.map(_._1)
       .filter(_.content == 2).flatMap(_.equalityIds).distinct
     val eqCols = eqIds.flatMap(id => ice.schema.fields.find(_.id == id).map(_.name))
     val withKeys =
       if (eqCols.forall(requiredSchema.fieldNames.contains)) requiredSchema
       else StructType(ice.schema.toSpark.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
-    new IcebergScan(location, snapshotId, withKeys, pushed, statFilters)
+    new IcebergScan(location, snapshotId, withKeys, pushed, statFilters,
+      t, deletes)
   }
 }
 
 class IcebergScan(location: String, snapshotId: Option[Long],
     requiredSchema: StructType, pushedFilters: Array[Filter],
-    statFilters: Seq[(String, String, String)])
+    statFilters: Seq[(String, String, String)],
+    table: IcebergTable,
+    deletes: Seq[(IcebergAvro.DataFileEntry, Long)])
   extends Scan with Batch {
 
   private def sparkSession = SparkSession.active
-  private lazy val table = IcebergTable.load(sparkSession, location)
   private lazy val ice = table.meta
-
-  private lazy val deletes: Seq[(IcebergAvro.DataFileEntry, Long)] =
-    table.deleteEntries(snapshotId)
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this

@@ -108,6 +108,30 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private val DeleteFrom = """(?is)\s*delete\s+from\s+([\w.]+)\s+where\s+(.*)""".r
   private val Update = """(?is)\s*update\s+([\w.]+)\s+set\s+(.*?)\s+where\s+(.*)""".r
 
+  /** Split SET clauses on top-level commas only — commas inside
+    * function calls (round(x, 2)) or literals stay put. */
+  private def splitAssignments(sets: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Option[Char] = None
+    sets.foreach { c =>
+      quote match {
+        case Some(q) =>
+          cur.append(c); if (c == q) quote = None
+        case None => c match {
+          case '\'' | '"' => quote = Some(c); cur.append(c)
+          case '(' => depth += 1; cur.append(c)
+          case ')' => depth -= 1; cur.append(c)
+          case ',' if depth == 0 => out += cur.toString; cur.clear()
+          case other => cur.append(other)
+        }
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
   /** Execute a SQL statement against the catalog. */
   def sql(stmt: String): DataFrame = stmt.stripSuffix(";") match {
     case InsertInto(name, select) =>
@@ -134,10 +158,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // append the updated rows — write cost O(matches), not O(table)
       val t = table(name)
       val condition = org.apache.spark.sql.functions.expr(cond)
-      val assignments = sets.split(",").map { s =>
+      val assignments = splitAssignments(sets).map { s =>
         val Array(colName, valueExpr) = s.split("=", 2).map(_.trim)
         colName -> org.apache.spark.sql.functions.expr(valueExpr)
-      }.toMap
+      }
       t.updateWhereMoR(condition, assignments)
       spark.emptyDataFrame
     case select =>

@@ -160,11 +160,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val m = meta
     // executors already partition-routed the staged files (the V2
     // write's clustered distribution + per-row transforms), so a plain
-    // ingest suffices. Only sort-ordered tables still re-cluster here:
-    // range-partitioned sort is a write-side layout the row-router
-    // doesn't produce.
+    // ingest suffices. Re-cluster through the driver path only when
+    // the layout demands it: sort-ordered tables (range-partitioned
+    // sort is a write-side layout the row-router doesn't produce), or
+    // a spec'd table whose staged files are NOT in partition dirs
+    // (a writer that bypassed the partition routing).
+    val staged = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+    val routed = m.spec.isEmpty ||
+      staged.forall(f => TableIO.relativize(staging, f._1).contains("="))
     val files =
-      if (m.sortOrder.isEmpty) ingestStaged(staging, m.schema)
+      if (m.sortOrder.isEmpty && routed) ingestStaged(staging, m.schema)
       else {
         val stagedPaths = TableIO.listFilesRecursive(staging)
           .filter(_._1.getName.endsWith(".parquet")).map(_._1.toString)
@@ -668,7 +674,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * cost like the reference's row-level operations, no full-file
     * rewrite. The SET clauses evaluate over the current row. */
   def updateWhereMoR(predicate: Column,
-      assignments: Map[String, Column]): GraftTable = {
+      assignments: Seq[(String, Column)]): GraftTable = {
     val m = meta
     val seqByPath = m.liveFilesWithSeq(None).map { case (f, q) => f.path -> q }.toMap
     val live = m.liveFiles(None).map(f => (f, seqByPath(f.path)))

@@ -202,10 +202,11 @@ object IcebergAvro {
   }
 
   def writeManifest(p: HPath, partitionRecord: String,
-      entries: Seq[GenericRecord], schemaJson: String, specJson: String): Long =
+      entries: Seq[GenericRecord], schemaJson: String, specJson: String,
+      content: String = "data"): Long =
     writeAvro(p, manifestSchema(partitionRecord), entries,
       Map("schema" -> schemaJson, "partition-spec" -> specJson,
-        "format-version" -> "2", "content" -> "data"))
+        "format-version" -> "2", "content" -> content))
 
   def writeManifestList(p: HPath, manifests: Seq[GenericRecord],
       snapshotId: Long, seq: Long): Long =

@@ -206,25 +206,27 @@ object IcebergMetadata {
   // ---- versioned store -----------------------------------------------
 
   /** Latest metadata file under `location/metadata`, via
-    * version-hint.text or a listing (same recovery as HadoopTables). */
-  def load(location: String): IceMetadata = {
+    * version-hint.text or a listing (same recovery as HadoopTables —
+    * foreign writers need not leave a hint). */
+  def currentMetadataFile(location: String): org.apache.hadoop.fs.Path = {
     val dir = TableIO.path(location, "metadata")
     val hint = new org.apache.hadoop.fs.Path(dir, "version-hint.text")
     val VersionRe = """v(\d+)\.metadata\.json""".r
-    val file = if (TableIO.exists(hint)) {
+    if (TableIO.exists(hint)) {
       val v = TableIO.readString(hint).trim
       new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json")
     } else {
-      val best = TableIO.listDir(dir).map(_.getPath)
+      TableIO.listDir(dir).map(_.getPath)
         .flatMap(p => p.getName match {
           case VersionRe(n) => Some((n.toInt, p))
           case _ => None
-        }).sortBy(_._1).lastOption
-      best.map(_._2).getOrElse(
-        throw new IllegalStateException(s"no Iceberg metadata under $dir"))
+        }).sortBy(_._1).lastOption.map(_._2).getOrElse(
+          throw new IllegalStateException(s"no Iceberg metadata under $dir"))
     }
-    fromJson(TableIO.readString(file))
   }
+
+  def load(location: String): IceMetadata =
+    fromJson(TableIO.readString(currentMetadataFile(location)))
 
   def write(location: String, version: Int, m: IceMetadata): Unit = {
     val dir = TableIO.path(location, "metadata")

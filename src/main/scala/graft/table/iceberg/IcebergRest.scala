@@ -92,11 +92,9 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
         val root = tableRoot(ns, t)
         if (!IcebergTable.exists(root)) notFound(ex)
         else {
-          // LoadTableResult: metadata-location + inline metadata
-          val dir = TableIO.path(root, "metadata")
-          val hint = TableIO.readString(
-            new org.apache.hadoop.fs.Path(dir, "version-hint.text")).trim
-          val mLoc = new org.apache.hadoop.fs.Path(dir, s"v$hint.metadata.json")
+          // LoadTableResult: metadata-location + inline metadata (the
+          // hint is optional — foreign writers may not leave one)
+          val mLoc = IcebergMetadata.currentMetadataFile(root)
           val n = mapper.createObjectNode()
           n.put("metadata-location", TableIO.qualified(mLoc))
           n.set("metadata", mapper.readTree(TableIO.readString(mLoc)))

@@ -162,6 +162,36 @@ object IcebergWrite {
     IcebergMetadata.write(location, lastV + 1, next)
   }
 
+  /** Schema evolution (reference: transaction add_schema): register a
+    * new schema with the added nullable columns and make it current.
+    * Existing snapshots keep their schema-id; readers of old snapshots
+    * see the old shape, new appends carry the new columns, and scans
+    * of the current schema null-fill older files. */
+  def addColumns(location: String,
+      newCols: org.apache.spark.sql.types.StructType): Unit = {
+    val m = IcebergMetadata.load(location)
+    val old = m.schema
+    newCols.fields.foreach(f => require(!old.fields.exists(_.name == f.name),
+      s"column ${f.name} already exists"))
+    val nextFieldId = m.lastColumnId + 1
+    val added = newCols.fields.zipWithIndex.map { case (f, i) =>
+      IcebergMetadata.IceField(nextFieldId + i, f.name, required = false,
+        IcebergTypes.toIceberg(f.dataType))
+    }
+    val newSchema = IcebergMetadata.IceSchema(
+      m.schemas.map(_.schemaId).max + 1, old.fields ++ added)
+    val next = m.copy(
+      schemas = m.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastColumnId = newSchema.fields.map(_.id).max)
+    val metaDir = TableIO.path(location, "metadata")
+    val VersionRe = """v(\d+)\.metadata\.json""".r
+    val lastV = TableIO.listDir(metaDir).map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toInt
+    }.maxOption.getOrElse(0)
+    IcebergMetadata.write(location, lastV + 1, next)
+  }
+
   /** Commit a DELETE snapshot in the real format: a delete parquet
     * (equality keys, or file_path/pos rows for positional), a delete
     * manifest (entry content 1|2), and a manifest list carrying the
@@ -171,6 +201,7 @@ object IcebergWrite {
       deleteDf: DataFrame, content: Int, eqCols: Seq[String]): Unit = {
     val m = IcebergMetadata.load(location)
     val schema = m.schema
+    val deleteRows = deleteDf.count() // spec: record_count is required
     val staging = TableIO.path(location, s"stage-${UUID.randomUUID().toString.take(8)}")
     deleteDf.coalesce(1).write.parquet(staging.toString)
     val dataDir = TableIO.path(location, "data")
@@ -202,7 +233,7 @@ object IcebergWrite {
       d.put("file_format", "PARQUET")
       d.put("partition",
         new GenericData.Record(dfSchema.getField("partition").schema()))
-      d.put("record_count", -1L)
+      d.put("record_count", deleteRows)
       d.put("file_size_in_bytes", sz)
       d.put("null_value_counts", null)
       d.put("lower_bounds", null)
@@ -220,7 +251,8 @@ object IcebergWrite {
     val manifestPath = new HPath(metaDir,
       s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
     val manifestLen = IcebergAvro.writeManifest(manifestPath, emptyPartition,
-      entries, icebergSchemaJson(schema), """{"spec-id":0,"fields":[]}""")
+      entries, icebergSchemaJson(schema), """{"spec-id":0,"fields":[]}""",
+      content = "deletes")
 
     val prevManifests = m.currentSnapshot.map(s =>
       IcebergAvro.readManifestList(new HPath(s.manifestList))).getOrElse(Seq.empty)

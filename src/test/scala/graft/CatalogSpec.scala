@@ -61,6 +61,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 0.02)
   }
 
+  test("catalog: UPDATE with commas inside SET expressions parses correctly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cat = GraftCatalog(spark, wh())
+    Seq((1L, 1.234, "x"), (2L, 5.678, "y")).toDF("id", "v", "s")
+      .createOrReplaceTempView("upd_src")
+    cat.sql("create table u as select * from upd_src")
+    cat.sql("update u set v = round(v, 1), s = concat(s, '!') where id = 2")
+    val rows = cat.sql("select id, v, s from u order by id").collect()
+    assert(rows(0).getDouble(1) === 1.234 && rows(0).getString(2) === "x")
+    assert(rows(1).getDouble(1) === 5.7 && rows(1).getString(2) === "y!")
+  }
+
   test("catalog: json ingestion leg") {
     val cat = GraftCatalog(spark, wh())
     val dir = wh() + "/json_in"

@@ -107,6 +107,29 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.scan().filter(col("id") === 1L).count() === 0)
   }
 
+  test("schema evolution: new columns null-fill old files; old snapshots keep shape") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val t = IcebergWrite.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val s1 = t.meta.currentSnapshotId.get
+    IcebergWrite.addColumns(loc, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType))))
+    IcebergWrite.append(spark, loc,
+      Seq((3L, "c", 9.5)).toDF("id", "v", "score").coalesce(1))
+    // current scan: three columns, old rows null-filled
+    val rows = t.scan().orderBy("id").collect()
+    assert(rows.map(_.length).toSet === Set(3))
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    assert(rows(2).getDouble(2) === 9.5)
+    // time travel to the pre-evolution snapshot: original two columns
+    assert(t.timeTravel(s1).schema.fieldNames.toSeq === Seq("id", "v"))
+    // field ids of the added column continue the sequence
+    assert(t.meta.schema.fields.map(_.id) === Seq(1, 2, 3))
+  }
+
   test("REST catalog serves discovery + metadata; client scans over HTTP metadata") {
     val spark0 = spark
     import spark0.implicits._

@@ -238,7 +238,7 @@ class TableSpec extends AnyFunSuite {
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
     val t = GraftTable.create(spark, root, df.schema)
     t.append(df.coalesce(1))
-    t.updateWhereMoR(col("id") >= 2L, Map("x" -> (col("x") * 10)))
+    t.updateWhereMoR(col("id") >= 2L, Seq("x" -> (col("x") * 10)))
     val rows = t.scan().orderBy("id").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(rows === Seq((1L, 10.0), (2L, 200.0), (3L, 300.0)))
