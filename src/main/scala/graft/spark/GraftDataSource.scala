@@ -97,19 +97,7 @@ class GraftSparkTable(root: String,
     * the scan's KeyGroupedPartitioning is what actually drives SPJ). */
   override def partitioning(): Array[Transform] =
     if (!Meta.exists(root)) Array.empty
-    else meta.spec.map { pf =>
-      import org.apache.spark.sql.connector.expressions.Expressions
-      pf.transform match {
-        case "identity" => Expressions.identity(pf.sourceColumn)
-        case t if t.startsWith("bucket[") => Expressions.bucket(
-          t.stripPrefix("bucket[").stripSuffix("]").toInt, pf.sourceColumn)
-        case "year" => Expressions.years(pf.sourceColumn)
-        case "month" => Expressions.months(pf.sourceColumn)
-        case "day" => Expressions.days(pf.sourceColumn)
-        case "hour" => Expressions.hours(pf.sourceColumn)
-        case _ => Expressions.identity(pf.sourceColumn)
-      }
-    }.toArray
+    else meta.spec.map(RowTransform.toV2).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root,
@@ -773,16 +761,12 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean)
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     else org.apache.spark.sql.connector.distributions.Distributions.clustered(
       spec.map { pf =>
-        (pf.transform match {
-          case "identity" => Expressions.identity(pf.sourceColumn)
-          case t if t.startsWith("bucket[") => Expressions.bucket(
-            t.stripPrefix("bucket[").stripSuffix("]").toInt, pf.sourceColumn)
-          case "year" => Expressions.years(pf.sourceColumn)
-          case "month" => Expressions.months(pf.sourceColumn)
-          case "day" => Expressions.days(pf.sourceColumn)
-          case "hour" => Expressions.hours(pf.sourceColumn)
-          case _ => Expressions.identity(pf.sourceColumn)
-        }): org.apache.spark.sql.connector.expressions.Expression
+        // truncate has no catalog function to resolve against; cluster
+        // by the (finer) source column instead — still a valid routing
+        (if (pf.transform.startsWith("truncate["))
+          Expressions.identity(pf.sourceColumn)
+        else RowTransform.toV2(pf))
+          : org.apache.spark.sql.connector.expressions.Expression
       }.toArray)
   }
 

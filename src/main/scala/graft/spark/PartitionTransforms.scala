@@ -86,6 +86,27 @@ case class RowTransform(name: String, kind: String, param: Int,
 }
 
 object RowTransform {
+
+  /** One Meta transform string -> V2 Transform expression mapping,
+    * shared by Table.partitioning() and the write distribution. */
+  def toV2(pf: Meta.PartitionField)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    pf.transform match {
+      case "identity" => Expressions.identity(pf.sourceColumn)
+      case t if t.startsWith("bucket[") => Expressions.bucket(
+        t.stripPrefix("bucket[").stripSuffix("]").toInt, pf.sourceColumn)
+      case t if t.startsWith("truncate[") => Expressions.apply("truncate",
+        Expressions.literal(t.stripPrefix("truncate[").stripSuffix("]").toInt),
+        Expressions.column(pf.sourceColumn))
+      case "year" => Expressions.years(pf.sourceColumn)
+      case "month" => Expressions.months(pf.sourceColumn)
+      case "day" => Expressions.days(pf.sourceColumn)
+      case "hour" => Expressions.hours(pf.sourceColumn)
+      case _ => Expressions.identity(pf.sourceColumn)
+    }
+  }
+
   /** Compile a partition spec against a write schema. */
   def forSpec(spec: Seq[Meta.PartitionField], schema: StructType): Seq[RowTransform] =
     spec.map { pf =>

@@ -236,4 +236,14 @@ object IcebergMetadata {
     TableIO.writeString(
       new org.apache.hadoop.fs.Path(dir, "version-hint.text"), version.toString)
   }
+
+  /** Commit `m` as the next metadata version (listing-derived bump). */
+  def writeNext(location: String, m: IceMetadata): Unit = {
+    val dir = TableIO.path(location, "metadata")
+    val VersionRe = """v(\d+)\.metadata\.json""".r
+    val lastV = TableIO.listDir(dir).map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toInt
+    }.maxOption.getOrElse(0)
+    write(location, lastV + 1, m)
+  }
 }

@@ -155,11 +155,7 @@ object IcebergWrite {
       currentSnapshotId = Some(snapshotId),
       snapshots = m.snapshots :+ snap,
       refs = m.refs + ("main" -> snapshotId))
-    val VersionRe = """v(\d+)\.metadata\.json""".r
-    val lastV = TableIO.listDir(metaDir).map(_.getPath.getName).collect {
-      case VersionRe(n) => n.toInt
-    }.maxOption.getOrElse(0)
-    IcebergMetadata.write(location, lastV + 1, next)
+    IcebergMetadata.writeNext(location, next)
   }
 
   /** Schema evolution (reference: transaction add_schema): register a
@@ -184,12 +180,7 @@ object IcebergWrite {
       schemas = m.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,
       lastColumnId = newSchema.fields.map(_.id).max)
-    val metaDir = TableIO.path(location, "metadata")
-    val VersionRe = """v(\d+)\.metadata\.json""".r
-    val lastV = TableIO.listDir(metaDir).map(_.getPath.getName).collect {
-      case VersionRe(n) => n.toInt
-    }.maxOption.getOrElse(0)
-    IcebergMetadata.write(location, lastV + 1, next)
+    IcebergMetadata.writeNext(location, next)
   }
 
   /** Commit a DELETE snapshot in the real format: a delete parquet
@@ -288,11 +279,7 @@ object IcebergWrite {
       currentSnapshotId = Some(snapshotId),
       snapshots = m.snapshots :+ snap,
       refs = m.refs + ("main" -> snapshotId))
-    val VersionRe = """v(\d+)\.metadata\.json""".r
-    val lastV = TableIO.listDir(metaDir).map(_.getPath.getName).collect {
-      case VersionRe(n) => n.toInt
-    }.maxOption.getOrElse(0)
-    IcebergMetadata.write(location, lastV + 1, next)
+    IcebergMetadata.writeNext(location, next)
   }
 
   /** Equality DELETE: the distinct key tuples become an equality
