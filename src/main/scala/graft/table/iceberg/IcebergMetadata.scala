@@ -105,17 +105,7 @@ object IcebergMetadata {
     m.properties.foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(r.put("current-snapshot-id", _))
     val snaps = r.putArray("snapshots")
-    m.snapshots.foreach { s =>
-      val n = snaps.addObject()
-      n.put("snapshot-id", s.snapshotId)
-      s.parentId.foreach(n.put("parent-snapshot-id", _))
-      n.put("sequence-number", s.sequenceNumber)
-      n.put("timestamp-ms", s.timestampMs)
-      n.put("manifest-list", s.manifestList)
-      n.put("schema-id", s.schemaId)
-      val sum = n.putObject("summary")
-      sum.put("operation", s.operation)
-    }
+    m.snapshots.foreach(s => snaps.add(snapshotToNode(s)))
     val refs = r.putObject("refs")
     m.refs.foreach { case (name, id) =>
       val n = refs.putObject(name)
@@ -143,20 +133,8 @@ object IcebergMetadata {
     val specs =
       if (r.has("partition-specs")) arr(r.get("partition-specs")).map(readSpec)
       else Seq(IceSpec(0, arr(r.get("partition-spec")).map(readSpecField)))
-    val snapshots = arr(r.get("snapshots")).map { n =>
-      IceSnapshot(
-        snapshotId = n.get("snapshot-id").asLong(),
-        parentId = Option(n.get("parent-snapshot-id")).map(_.asLong()),
-        sequenceNumber =
-          Option(n.get("sequence-number")).map(_.asLong()).getOrElse(0L),
-        timestampMs = n.get("timestamp-ms").asLong(),
-        manifestList = n.get("manifest-list").asText(),
-        operation = Option(n.get("summary"))
-          .flatMap(s => Option(s.get("operation"))).map(_.asText())
-          .getOrElse("append"),
-        schemaId = Option(n.get("schema-id")).map(_.asInt())
-          .getOrElse(currentSchemaId))
-    }
+    val snapshots = arr(r.get("snapshots"))
+      .map(n => snapshotFromNode(n, currentSchemaId))
     IceMetadata(
       formatVersion = formatVersion,
       tableUuid = Option(r.get("table-uuid")).map(_.asText()).getOrElse(""),
@@ -179,6 +157,48 @@ object IcebergMetadata {
       refs = Option(r.get("refs")).map(_.properties().asScala.map(e =>
         e.getKey -> e.getValue.get("snapshot-id").asLong()).toMap)
         .getOrElse(Map.empty))
+  }
+
+  /** One snapshot <-> its metadata.json object (also the shape the
+    * REST commit protocol's add-snapshot update carries). */
+  def snapshotToNode(s: IceSnapshot): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("snapshot-id", s.snapshotId)
+    s.parentId.foreach(n.put("parent-snapshot-id", _))
+    n.put("sequence-number", s.sequenceNumber)
+    n.put("timestamp-ms", s.timestampMs)
+    n.put("manifest-list", s.manifestList)
+    n.put("schema-id", s.schemaId)
+    n.putObject("summary").put("operation", s.operation)
+    n
+  }
+
+  def snapshotFromNode(n: JsonNode, defaultSchemaId: Int): IceSnapshot =
+    IceSnapshot(
+      snapshotId = n.get("snapshot-id").asLong(),
+      parentId = Option(n.get("parent-snapshot-id")).map(_.asLong()),
+      sequenceNumber =
+        Option(n.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+      timestampMs = n.get("timestamp-ms").asLong(),
+      manifestList = n.get("manifest-list").asText(),
+      operation = Option(n.get("summary"))
+        .flatMap(s => Option(s.get("operation"))).map(_.asText())
+        .getOrElse("append"),
+      schemaId = Option(n.get("schema-id")).map(_.asInt())
+        .getOrElse(defaultSchemaId))
+
+  def schemaFromNode(n: JsonNode): IceSchema = readSchema(n)
+
+  def schemaToNode(s: IceSchema): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "struct"); n.put("schema-id", s.schemaId)
+    val fs = n.putArray("fields")
+    s.fields.foreach { f =>
+      val fn = fs.addObject()
+      fn.put("id", f.id); fn.put("name", f.name)
+      fn.put("required", f.required); fn.put("type", f.tpe)
+    }
+    n
   }
 
   private def readSchema(n: JsonNode): IceSchema =
@@ -237,13 +257,32 @@ object IcebergMetadata {
       new org.apache.hadoop.fs.Path(dir, "version-hint.text"), version.toString)
   }
 
+  private val VersionRe = """v(\d+)\.metadata\.json""".r
+
+  private def lastVersion(location: String): Int =
+    TableIO.listDir(TableIO.path(location, "metadata"))
+      .map(_.getPath.getName).collect {
+        case VersionRe(n) => n.toInt
+      }.maxOption.getOrElse(0)
+
   /** Commit `m` as the next metadata version (listing-derived bump). */
-  def writeNext(location: String, m: IceMetadata): Unit = {
+  def writeNext(location: String, m: IceMetadata): Unit =
+    write(location, lastVersion(location) + 1, m)
+
+  /** CAS commit: vN+1 lands via rename-without-replace; returns false
+    * when another writer won the version (REST commits turn that into
+    * a 409). */
+  def commitNext(location: String, m: IceMetadata): Boolean = {
     val dir = TableIO.path(location, "metadata")
-    val VersionRe = """v(\d+)\.metadata\.json""".r
-    val lastV = TableIO.listDir(dir).map(_.getPath.getName).collect {
-      case VersionRe(n) => n.toInt
-    }.maxOption.getOrElse(0)
-    write(location, lastV + 1, m)
+    TableIO.mkdirs(dir)
+    val v = lastVersion(location) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    TableIO.writeString(tmp, toJson(m))
+    val ok = TableIO.renameNoReplace(tmp,
+      new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json"))
+    if (ok) TableIO.writeString(
+      new org.apache.hadoop.fs.Path(dir, "version-hint.text"), v.toString)
+    ok
   }
 }

@@ -35,10 +35,23 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
     ex.close()
   }
 
-  private def notFound(ex: HttpExchange): Unit = {
+  private def errBody(msg: String): Array[Byte] = {
     val n = mapper.createObjectNode()
-    n.putObject("error").put("message", "not found").put("code", 404)
-    reply(ex, 404, json(n))
+    n.putObject("error").put("message", msg)
+    json(n)
+  }
+
+  private def notFound(ex: HttpExchange): Unit =
+    reply(ex, 404, errBody("not found"))
+
+  /** LoadTableResult for the table's current metadata. */
+  private def loadTableResult(root: String): Array[Byte] = {
+    val mLoc = IcebergMetadata.currentMetadataFile(root)
+    val n = mapper.createObjectNode()
+    n.put("metadata-location", TableIO.qualified(mLoc))
+    n.set("metadata", mapper.readTree(TableIO.readString(mLoc)))
+    n.putObject("config")
+    json(n)
   }
 
   private def nsRoot(ns: String) = TableIO.path(s"$warehouse/$ns")
@@ -88,19 +101,92 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
           reply(ex, 200, json(n))
         }
 
-      case ("GET", Seq("namespaces", ns, "tables", t)) =>
+      case ("POST", Seq("namespaces", ns, "tables")) =>
+        // createTable: name + Iceberg schema JSON -> empty table
+        val body = mapper.readTree(ex.getRequestBody)
+        val name = body.get("name").asText()
+        val root = tableRoot(ns, name)
+        if (IcebergTable.exists(root)) reply(ex, 409, errBody("table exists"))
+        else {
+          val schema = IcebergMetadata.schemaFromNode(body.get("schema"))
+          val m0 = IcebergMetadata.IceMetadata(
+            formatVersion = 2,
+            tableUuid = java.util.UUID.randomUUID().toString,
+            location = root,
+            lastSequenceNumber = 0L,
+            lastColumnId = schema.fields.map(_.id).maxOption.getOrElse(0),
+            currentSchemaId = schema.schemaId,
+            schemas = Seq(schema),
+            defaultSpecId = 0,
+            specs = Seq(IcebergMetadata.IceSpec(0, Seq.empty)),
+            lastPartitionId = 999,
+            properties = Map.empty,
+            currentSnapshotId = None,
+            snapshots = Seq.empty,
+            refs = Map.empty)
+          IcebergMetadata.write(root, 1, m0)
+          reply(ex, 200, loadTableResult(root))
+        }
+
+      case ("POST", Seq("namespaces", ns, "tables", t)) =>
+        // commitTable: requirements + updates (the spec's update-table
+        // protocol subset: assert-ref-snapshot-id, add-snapshot,
+        // set-snapshot-ref, add-schema, set-current-schema), CAS'd
+        // onto the next metadata version — the loser gets 409 and
+        // retries on fresh state (reference: update_table's CAS)
         val root = tableRoot(ns, t)
         if (!IcebergTable.exists(root)) notFound(ex)
         else {
-          // LoadTableResult: metadata-location + inline metadata (the
-          // hint is optional — foreign writers may not leave one)
-          val mLoc = IcebergMetadata.currentMetadataFile(root)
-          val n = mapper.createObjectNode()
-          n.put("metadata-location", TableIO.qualified(mLoc))
-          n.set("metadata", mapper.readTree(TableIO.readString(mLoc)))
-          n.putObject("config")
-          reply(ex, 200, json(n))
+          val body = mapper.readTree(ex.getRequestBody)
+          val m = IcebergMetadata.load(root)
+          import scala.jdk.CollectionConverters._
+          val reqFailure = Option(body.get("requirements")).toSeq
+            .flatMap(_.elements().asScala).flatMap { r =>
+              r.get("type").asText() match {
+                case "assert-ref-snapshot-id" =>
+                  val ref = r.get("ref").asText()
+                  val want = Option(r.get("snapshot-id"))
+                    .filterNot(_.isNull).map(_.asLong())
+                  if (m.refs.get(ref) == want) None
+                  else Some(s"ref $ref moved: expected $want, is ${m.refs.get(ref)}")
+                case "assert-table-uuid" =>
+                  if (r.get("uuid").asText() == m.tableUuid) None
+                  else Some("table uuid mismatch")
+                case other => Some(s"unsupported requirement $other")
+              }
+            }
+          if (reqFailure.nonEmpty)
+            reply(ex, 409, errBody(reqFailure.mkString("; ")))
+          else {
+            val next = Option(body.get("updates")).toSeq
+              .flatMap(_.elements().asScala).foldLeft(m) { (acc, u) =>
+                u.get("action").asText() match {
+                  case "add-snapshot" =>
+                    val s = IcebergMetadata.snapshotFromNode(
+                      u.get("snapshot"), acc.currentSchemaId)
+                    acc.copy(snapshots = acc.snapshots :+ s,
+                      lastSequenceNumber =
+                        math.max(acc.lastSequenceNumber, s.sequenceNumber))
+                  case "set-snapshot-ref" =>
+                    val ref = u.get("ref-name").asText()
+                    val id = u.get("snapshot-id").asLong()
+                    acc.copy(refs = acc.refs + (ref -> id),
+                      currentSnapshotId =
+                        if (ref == "main") Some(id) else acc.currentSnapshotId)
+                  case other =>
+                    throw new IllegalArgumentException(s"unsupported update $other")
+                }
+              }
+            if (IcebergMetadata.commitNext(root, next))
+              reply(ex, 200, loadTableResult(root))
+            else reply(ex, 409, errBody("commit conflict: version already taken"))
+          }
         }
+
+      case ("GET", Seq("namespaces", ns, "tables", t)) =>
+        val root = tableRoot(ns, t)
+        if (!IcebergTable.exists(root)) notFound(ex)
+        else reply(ex, 200, loadTableResult(root))
 
       case ("HEAD", Seq("namespaces", ns, "tables", t)) =>
         reply(ex,
@@ -197,5 +283,56 @@ object IcebergRestClient {
     val m = IcebergMetadata.fromJson(
       mapper.writeValueAsString(res.get("metadata")))
     IcebergTable.fromMetadata(spark, m)
+  }
+
+  private def post(uri: String, body: String): java.net.http.HttpResponse[String] =
+    http.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+
+  /** Create an empty table over the protocol. */
+  def createTable(base: String, ns: String, name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("name", name)
+    n.set("schema",
+      IcebergMetadata.schemaToNode(IcebergMetadata.schemaFromSpark(schema)))
+    val resp = post(s"$base/v1/namespaces/$ns/tables", mapper.writeValueAsString(n))
+    require(resp.statusCode() == 200, s"createTable -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** Append via the REST commit protocol: write data + manifests into
+    * the table's storage, then POST add-snapshot/set-snapshot-ref with
+    * an assert-ref requirement — the server CAS rejects lost races
+    * with 409 (this is exactly how engines commit through a REST
+    * catalog: data plane to storage, metadata plane over HTTP). */
+  def appendViaRest(spark: org.apache.spark.sql.SparkSession,
+      base: String, ns: String, table: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val m = IcebergMetadata.fromJson(
+      mapper.writeValueAsString(res.get("metadata")))
+    val snap = IcebergWrite.prepareAppend(spark, m, df)
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
+    m.currentSnapshotId match {
+      case Some(id) => r.put("snapshot-id", id)
+      case None => r.putNull("snapshot-id")
+    }
+    val ups = body.putArray("updates")
+    val add = ups.addObject()
+    add.put("action", "add-snapshot")
+    add.set("snapshot", IcebergMetadata.snapshotToNode(snap))
+    val ref = ups.addObject()
+    ref.put("action", "set-snapshot-ref"); ref.put("ref-name", "main")
+    ref.put("type", "branch"); ref.put("snapshot-id", snap.snapshotId)
+    val resp = post(s"$base/v1/namespaces/$ns/tables/$table",
+      mapper.writeValueAsString(body))
+    require(resp.statusCode() == 200,
+      s"commit -> ${resp.statusCode()}: ${resp.body()}")
   }
 }

@@ -51,6 +51,21 @@ object IcebergWrite {
     * carrying the previous manifests forward). */
   def append(spark: SparkSession, location: String, df: DataFrame): Unit = {
     val m = IcebergMetadata.load(location)
+    val snap = prepareAppend(spark, m, df)
+    IcebergMetadata.writeNext(location, m.copy(
+      lastSequenceNumber = snap.sequenceNumber,
+      currentSnapshotId = Some(snap.snapshotId),
+      snapshots = m.snapshots :+ snap,
+      refs = m.refs + ("main" -> snap.snapshotId)))
+  }
+
+  /** Write the data files + manifest + manifest list for an append
+    * over metadata `m` and return the snapshot — WITHOUT committing
+    * metadata. Local commits writeNext; REST commits POST this
+    * snapshot through the commit protocol instead. */
+  def prepareAppend(spark: SparkSession,
+      m: IcebergMetadata.IceMetadata, df: DataFrame): IcebergMetadata.IceSnapshot = {
+    val location = m.location
     val schema = m.schema
     val sparkSchema = schema.toSpark
 
@@ -141,8 +156,7 @@ object IcebergWrite {
     val mlPath = new HPath(metaDir, s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
     IcebergAvro.writeManifestList(mlPath, newEntry +: carried, snapshotId, seq)
 
-    // 4. metadata.json vN+1
-    val snap = IcebergMetadata.IceSnapshot(
+    IcebergMetadata.IceSnapshot(
       snapshotId = snapshotId,
       parentId = m.currentSnapshotId,
       sequenceNumber = seq,
@@ -150,12 +164,6 @@ object IcebergWrite {
       manifestList = TableIO.qualified(mlPath),
       operation = "append",
       schemaId = m.currentSchemaId)
-    val next = m.copy(
-      lastSequenceNumber = seq,
-      currentSnapshotId = Some(snapshotId),
-      snapshots = m.snapshots :+ snap,
-      refs = m.refs + ("main" -> snapshotId))
-    IcebergMetadata.writeNext(location, next)
   }
 
   /** Schema evolution (reference: transaction add_schema): register a

@@ -154,6 +154,43 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergRestClient.dropTable(base, "db", "t1")
       assert(!IcebergRestClient.tableExists(base, "db", "t1"))
       assert(IcebergRestClient.listTables(base, "db").isEmpty)
+
+      // full commit protocol: create + append entirely over REST
+      val schema = (1L to 3L).map(i => (i, s"r$i")).toDF("id", "v").schema
+      IcebergRestClient.createTable(base, "db", "t2", schema)
+      IcebergRestClient.appendViaRest(spark, base, "db", "t2",
+        (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+      IcebergRestClient.appendViaRest(spark, base, "db", "t2",
+        (101L to 150L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+      val t2 = IcebergRestClient.loadTable(spark, base, "db", "t2")
+      assert(t2.scan().count() === 150)
+      assert(t2.meta.snapshots.size === 2)
+      // a stale commit (wrong assert-ref) must be rejected with 409
+      val staleMeta = t2.meta.copy(currentSnapshotId = Some(999L))
+      val staleSnap = IcebergWrite.prepareAppend(spark, staleMeta,
+        (1L to 5L).map(i => (i, "x")).toDF("id", "v").coalesce(1))
+      val err = intercept[IllegalArgumentException] {
+        // assert-ref carries the stale id 999 -> server refuses
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val body = mapper.createObjectNode()
+        val r = body.putArray("requirements").addObject()
+        r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
+        r.put("snapshot-id", 999L)
+        val add = body.putArray("updates").addObject()
+        add.put("action", "add-snapshot")
+        add.set("snapshot", graft.table.iceberg.IcebergMetadata.snapshotToNode(staleSnap))
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"$base/v1/namespaces/db/tables/t2"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              mapper.writeValueAsString(body))).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"expected-409:${resp.statusCode()}")
+      }
+      assert(err.getMessage.contains("expected-409:409"))
+      // table state unchanged after the refused commit
+      assert(IcebergRestClient.loadTable(spark, base, "db", "t2")
+        .scan().count() === 150)
     } finally server.stop()
   }
 
