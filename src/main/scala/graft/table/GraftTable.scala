@@ -222,7 +222,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
             if (branch == "main") Some(snap.snapshotId) else m.currentSnapshotId,
           refs = newRefs))
       } catch {
-        case _: Meta.CommitConflict if attempts < 10 => attempts += 1
+        case _: Meta.CommitConflict if attempts < 50 => attempts += 1
       }
     }
     throw new IllegalStateException("unreachable")

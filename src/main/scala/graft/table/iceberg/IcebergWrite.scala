@@ -23,10 +23,19 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergWrite {
 
-  /** Create an Iceberg table at `location` with `df` as snapshot 1. */
-  def create(spark: SparkSession, location: String, df: DataFrame): IcebergTable = {
+  /** Create an Iceberg table at `location` with `df` as snapshot 1.
+    * `partitionCols` become identity partition fields: data files land
+    * in partition dirs and manifests carry typed partition structs
+    * (spec field-ids from 1000, per convention). */
+  def create(spark: SparkSession, location: String, df: DataFrame,
+      partitionCols: Seq[String] = Seq.empty): IcebergTable = {
     require(!IcebergTable.exists(location), s"Iceberg table exists at $location")
     val schema = IcebergMetadata.schemaFromSpark(df.schema)
+    val specFields = partitionCols.zipWithIndex.map { case (c, i) =>
+      val srcId = schema.fieldId(c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c to partition by"))
+      IcebergMetadata.IcePartitionField(srcId, 1000 + i, c, "identity")
+    }
     val m0 = IcebergMetadata.IceMetadata(
       formatVersion = 2,
       tableUuid = UUID.randomUUID().toString,
@@ -36,8 +45,8 @@ object IcebergWrite {
       currentSchemaId = 0,
       schemas = Seq(schema),
       defaultSpecId = 0,
-      specs = Seq(IcebergMetadata.IceSpec(0, Seq.empty)),
-      lastPartitionId = 999,
+      specs = Seq(IcebergMetadata.IceSpec(0, specFields)),
+      lastPartitionId = 999 + specFields.size,
       properties = Map("write.format.default" -> "parquet"),
       currentSnapshotId = None,
       snapshots = Seq.empty,
@@ -68,14 +77,31 @@ object IcebergWrite {
     val location = m.location
     val schema = m.schema
     val sparkSchema = schema.toSpark
+    val spec = m.specs.find(_.specId == m.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    require(spec.forall(_.transform == "identity"),
+      "only identity partitions are supported by the interop writer")
+    val specColNames = spec.map(pf =>
+      schema.fields.find(_.id == pf.sourceId).get.name)
 
-    // 1. data files
+    // 1. data files — partitioned tables route through helper columns
+    // (data files KEEP all columns; only the `_p_` helper is stripped)
     val staging = TableIO.path(location, s"stage-${UUID.randomUUID().toString.take(8)}")
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
-    try df.write.parquet(staging.toString)
-    finally prev match {
+    try {
+      if (spec.isEmpty) df.write.parquet(staging.toString)
+      else {
+        import org.apache.spark.sql.functions.col
+        val withHelpers = specColNames.foldLeft(df)((acc, c) =>
+          acc.withColumn(s"_p_$c", col(c)))
+        withHelpers
+          .repartition(specColNames.map(c => col(s"_p_$c")): _*)
+          .write.partitionBy(specColNames.map(c => s"_p_$c"): _*)
+          .parquet(staging.toString)
+      }
+    } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
@@ -84,20 +110,26 @@ object IcebergWrite {
     val moved = TableIO.listFilesRecursive(staging)
       .filter(_._1.getName.endsWith(".parquet"))
       .map { case (src, sz, _) =>
-        val dest = new HPath(dataDir, src.getName)
+        val rel = TableIO.relativize(staging, src)
+        val dest = new HPath(dataDir, rel)
         TableIO.rename(src, dest)
-        (dest, sz)
+        // partition values per spec field, parsed from `_p_<col>=v` dirs
+        val dirVals = rel.split("/").dropRight(1)
+          .map(_.split("=", 2)).map(a => a(0).stripPrefix("_p_") -> a(1)).toMap
+        (dest, sz, specColNames.map(dirVals.getOrElse(_, null)))
       }
     TableIO.delete(staging, recursive = true)
 
     val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = m.lastSequenceNumber + 1
 
-    // 2. manifest with typed footer bounds
+    // 2. manifest with typed footer bounds + typed partition struct
     val schemaJson = icebergSchemaJson(schema)
-    val entryAndRows = moved.map { case (p, sz) =>
+    val partRecordJson = partitionRecordJson(spec, schema)
+    val specJson = partitionSpecJson(spec)
+    val entryAndRows = moved.map { case (p, sz, partVals) =>
       val (records, lower, upper, nulls) = footerBounds(p, sparkSchema, schema)
-      val e = IcebergAvro.record(IcebergAvro.manifestSchema(emptyPartition))
+      val e = IcebergAvro.record(IcebergAvro.manifestSchema(partRecordJson))
       e.put("status", 1) // added
       e.put("snapshot_id", snapshotId)
       e.put("sequence_number", null) // inherited from the manifest list
@@ -107,8 +139,13 @@ object IcebergWrite {
       d.put("content", 0)
       d.put("file_path", TableIO.qualified(p))
       d.put("file_format", "PARQUET")
-      d.put("partition",
-        new GenericData.Record(dfSchema.getField("partition").schema()))
+      val partRec = new GenericData.Record(dfSchema.getField("partition").schema())
+      spec.zip(partVals).foreach { case (pf, v) =>
+        val t = IcebergTypes.toSpark(
+          schema.fields.find(_.id == pf.sourceId).get.tpe)
+        partRec.put(pf.name, typedPartitionValue(t, v))
+      }
+      d.put("partition", partRec)
       d.put("record_count", records)
       d.put("file_size_in_bytes", sz)
       d.put("null_value_counts", keyedLongs(dfSchema, "null_value_counts", nulls))
@@ -123,7 +160,7 @@ object IcebergWrite {
     TableIO.mkdirs(metaDir)
     val manifestPath = new HPath(metaDir, s"manifest-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
     val manifestLen = IcebergAvro.writeManifest(
-      manifestPath, emptyPartition, manifestEntries, schemaJson, """{"spec-id":0,"fields":[]}""")
+      manifestPath, partRecordJson, manifestEntries, schemaJson, specJson)
 
     // 3. manifest list: previous snapshot's manifests + the new one
     val prevManifests = m.currentSnapshot.map(s =>
@@ -307,6 +344,43 @@ object IcebergWrite {
 
   private val emptyPartition =
     """{"type":"record","name":"r102","fields":[]}"""
+
+  /** Avro record schema for the partition struct of a spec (nullable
+    * fields with the spec's field-ids). */
+  private def partitionRecordJson(spec: Seq[IcebergMetadata.IcePartitionField],
+      schema: IcebergMetadata.IceSchema): String = {
+    if (spec.isEmpty) return emptyPartition
+    val fields = spec.map { pf =>
+      val avroType = IcebergTypes.toSpark(
+        schema.fields.find(_.id == pf.sourceId).get.tpe) match {
+        case LongType | TimestampType => "\"long\""
+        case IntegerType | ShortType | DateType => "\"int\""
+        case StringType => "\"string\""
+        case other =>
+          throw new UnsupportedOperationException(s"partition over $other")
+      }
+      s"""{"name":"${pf.name}","type":["null",$avroType],"default":null,"field-id":${pf.fieldId}}"""
+    }
+    s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}"""
+  }
+
+  private def partitionSpecJson(spec: Seq[IcebergMetadata.IcePartitionField]): String = {
+    val fields = spec.map(pf =>
+      s"""{"name":"${pf.name}","transform":"identity","source-id":${pf.sourceId},"field-id":${pf.fieldId}}""")
+    s"""{"spec-id":0,"fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** Partition-dir string -> the avro value for the partition struct. */
+  private def typedPartitionValue(t: DataType, v: String): Any =
+    if (v == null || v == "__HIVE_DEFAULT_PARTITION__") null
+    else t match {
+      case LongType => java.lang.Long.valueOf(v)
+      case IntegerType | ShortType => Integer.valueOf(v)
+      case DateType =>
+        Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+      case TimestampType => java.lang.Long.valueOf(v)
+      case _ => graft.table.PathCodec.unescape(v)
+    }
 
   private def icebergSchemaJson(s: IcebergMetadata.IceSchema): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -107,6 +107,30 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.scan().filter(col("id") === 1L).count() === 0)
   }
 
+  test("identity-partitioned writes: partition dirs, typed manifest structs, pruning") {
+    val o = Tables.orders(spark, sf)
+    val loc = tmp()
+    val t = IcebergWrite.create(spark, loc, o, partitionCols = Seq("o_orderstatus"))
+    assert(t.scan().count() === o.count())
+    // data files keep ALL columns (Iceberg data files are complete)
+    assert(t.scan().columns.contains("o_orderstatus"))
+    // manifests carry typed partition structs keyed by the spec name
+    val parts = t.plannedFiles().map(_._1.partition)
+    assert(parts.nonEmpty && parts.forall(_.contains("o_orderstatus")))
+    val values = parts.flatMap(_.get("o_orderstatus")).map(String.valueOf(_)).toSet
+    assert(values === Set("F", "O", "P"))
+    // bounds-based pruning skips other partitions' files entirely
+    val pruned = t.plannedFiles(None, Seq(("o_orderstatus", "=", "P")))
+    assert(pruned.size < t.plannedFiles().size)
+    assert(t.scan(None, Seq(("o_orderstatus", "=", "P")))
+      .filter(col("o_orderstatus") === "P").count() ===
+      o.filter(col("o_orderstatus") === "P").count())
+    // metadata records the identity spec
+    val spec = t.meta.specs.head.fields
+    assert(spec.map(_.name) === Seq("o_orderstatus"))
+    assert(spec.head.transform === "identity")
+  }
+
   test("schema evolution: new columns null-fill old files; old snapshots keep shape") {
     val spark0 = spark
     import spark0.implicits._
