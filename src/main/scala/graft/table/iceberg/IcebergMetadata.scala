@@ -74,16 +74,7 @@ object IcebergMetadata {
     r.put("last-column-id", m.lastColumnId)
     r.put("current-schema-id", m.currentSchemaId)
     val schemas = r.putArray("schemas")
-    m.schemas.foreach { s =>
-      val n = schemas.addObject()
-      n.put("type", "struct"); n.put("schema-id", s.schemaId)
-      val fs = n.putArray("fields")
-      s.fields.foreach { f =>
-        val fn = fs.addObject()
-        fn.put("id", f.id); fn.put("name", f.name)
-        fn.put("required", f.required); fn.put("type", f.tpe)
-      }
-    }
+    m.schemas.foreach(s => schemas.add(schemaToNode(s)))
     r.put("default-spec-id", m.defaultSpecId)
     val specs = r.putArray("partition-specs")
     m.specs.foreach { s =>
@@ -225,24 +216,18 @@ object IcebergMetadata {
 
   // ---- versioned store -----------------------------------------------
 
-  /** Latest metadata file under `location/metadata`, via
-    * version-hint.text or a listing (same recovery as HadoopTables —
-    * foreign writers need not leave a hint). */
+  /** Latest metadata file under `location/metadata`. The hint file is
+    * advisory and can lag under concurrent commits, so this takes the
+    * MAX of the hint and the versions actually present (same recovery
+    * as HadoopTables; foreign writers need not leave a hint at all). */
   def currentMetadataFile(location: String): org.apache.hadoop.fs.Path = {
     val dir = TableIO.path(location, "metadata")
     val hint = new org.apache.hadoop.fs.Path(dir, "version-hint.text")
-    val VersionRe = """v(\d+)\.metadata\.json""".r
-    if (TableIO.exists(hint)) {
-      val v = TableIO.readString(hint).trim
-      new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json")
-    } else {
-      TableIO.listDir(dir).map(_.getPath)
-        .flatMap(p => p.getName match {
-          case VersionRe(n) => Some((n.toInt, p))
-          case _ => None
-        }).sortBy(_._1).lastOption.map(_._2).getOrElse(
-          throw new IllegalStateException(s"no Iceberg metadata under $dir"))
-    }
+    val hinted = scala.util.Try(TableIO.readString(hint).trim.toInt).toOption
+    val v = (hinted.toSeq :+ lastVersion(location)).max
+    if (v <= 0)
+      throw new IllegalStateException(s"no Iceberg metadata under $dir")
+    new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json")
   }
 
   def load(location: String): IceMetadata =
@@ -269,20 +254,38 @@ object IcebergMetadata {
   def writeNext(location: String, m: IceMetadata): Unit =
     write(location, lastVersion(location) + 1, m)
 
-  /** CAS commit: vN+1 lands via rename-without-replace; returns false
-    * when another writer won the version (REST commits turn that into
-    * a 409). */
-  def commitNext(location: String, m: IceMetadata): Boolean = {
+  /** The current metadata plus the version it came from — the base a
+    * CAS commit must pin so the WHOLE load-validate-commit span is
+    * protected, not just the final rename. */
+  def loadVersioned(location: String): (IceMetadata, Int) = {
+    val v = lastVersion(location)
+    require(v > 0, s"no Iceberg metadata under $location")
+    (fromJson(TableIO.readString(TableIO.path(
+      s"$location/metadata", s"v$v.metadata.json"))), v)
+  }
+
+  /** CAS commit against the base version the caller validated on:
+    * v(base+1) lands via rename-without-replace, so a writer that read
+    * base and lost the race gets false (REST turns that into 409) —
+    * it can never silently overwrite a snapshot committed in between. */
+  def commitAt(location: String, m: IceMetadata, baseVersion: Int): Boolean = {
     val dir = TableIO.path(location, "metadata")
     TableIO.mkdirs(dir)
-    val v = lastVersion(location) + 1
+    val v = baseVersion + 1
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     TableIO.writeString(tmp, toJson(m))
     val ok = TableIO.renameNoReplace(tmp,
       new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json"))
-    if (ok) TableIO.writeString(
-      new org.apache.hadoop.fs.Path(dir, "version-hint.text"), v.toString)
+    if (ok) {
+      // hint is advisory and may lag; write via tmp+rename so readers
+      // never see a truncated half-write
+      val hintTmp = new org.apache.hadoop.fs.Path(dir,
+        s".hint-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      TableIO.writeString(hintTmp, v.toString)
+      TableIO.renameOverwrite(hintTmp,
+        new org.apache.hadoop.fs.Path(dir, "version-hint.text"))
+    }
     ok
   }
 }

@@ -10,14 +10,12 @@ import java.nio.charset.StandardCharsets
   * real-format tables (reference: iceberg-rest-catalog crate; the
   * endpoint shapes follow the public Iceberg REST OpenAPI spec).
   *
-  * Serves the metadata plane over HTTP — `GET /v1/config`, namespace
+  * Serves the metadata plane over HTTP: `GET /v1/config`, namespace
   * and table listing, `LoadTableResult` with the full metadata JSON,
-  * table existence and drop. Any REST-capable Iceberg client can
-  * discover and read these tables; the data plane stays the shared
+  * table existence/drop, createTable, and the update-table COMMIT
+  * protocol (requirements + updates) CAS'd against the base metadata
+  * version — lost races get 409. The data plane stays the shared
   * filesystem/object store, as in every Iceberg REST deployment.
-  * Multi-writer commits stay on the metadata-file CAS (a commit
-  * endpoint would layer the same CAS behind POST, like the
-  * reference's `update_table`).
   */
 class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
   private val mapper = new ObjectMapper()
@@ -35,14 +33,17 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
     ex.close()
   }
 
-  private def errBody(msg: String): Array[Byte] = {
+  private class BadRequest(msg: String) extends RuntimeException(msg)
+
+  /** Iceberg REST ErrorModel shape: message + code. */
+  private def errBody(msg: String, code: Int): Array[Byte] = {
     val n = mapper.createObjectNode()
-    n.putObject("error").put("message", msg)
+    n.putObject("error").put("message", msg).put("code", code)
     json(n)
   }
 
   private def notFound(ex: HttpExchange): Unit =
-    reply(ex, 404, errBody("not found"))
+    reply(ex, 404, errBody("not found", 404))
 
   /** LoadTableResult for the table's current metadata. */
   private def loadTableResult(root: String): Array[Byte] = {
@@ -102,11 +103,16 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
         }
 
       case ("POST", Seq("namespaces", ns, "tables")) =>
-        // createTable: name + Iceberg schema JSON -> empty table
+        // createTable: name + Iceberg schema JSON -> empty table. The
+        // v1 metadata lands via the same rename-CAS as commits, so of
+        // two racing creators exactly one wins (the other 409s).
         val body = mapper.readTree(ex.getRequestBody)
         val name = body.get("name").asText()
         val root = tableRoot(ns, name)
-        if (IcebergTable.exists(root)) reply(ex, 409, errBody("table exists"))
+        if (!TableIO.isDirectory(nsRoot(ns)))
+          reply(ex, 404, errBody(s"namespace $ns does not exist", 404))
+        else if (IcebergTable.exists(root))
+          reply(ex, 409, errBody("table exists", 409))
         else {
           val schema = IcebergMetadata.schemaFromNode(body.get("schema"))
           val m0 = IcebergMetadata.IceMetadata(
@@ -124,21 +130,25 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
             currentSnapshotId = None,
             snapshots = Seq.empty,
             refs = Map.empty)
-          IcebergMetadata.write(root, 1, m0)
-          reply(ex, 200, loadTableResult(root))
+          if (IcebergMetadata.commitAt(root, m0, 0))
+            reply(ex, 200, loadTableResult(root))
+          else reply(ex, 409, errBody("table exists", 409))
         }
 
       case ("POST", Seq("namespaces", ns, "tables", t)) =>
         // commitTable: requirements + updates (the spec's update-table
-        // protocol subset: assert-ref-snapshot-id, add-snapshot,
-        // set-snapshot-ref, add-schema, set-current-schema), CAS'd
-        // onto the next metadata version — the loser gets 409 and
-        // retries on fresh state (reference: update_table's CAS)
+        // protocol subset: assert-ref-snapshot-id / assert-table-uuid
+        // requirements; add-snapshot, set-snapshot-ref, add-schema,
+        // set-current-schema updates). The commit CAS pins the BASE
+        // version the requirements were validated against, so the
+        // whole load-validate-commit span is protected — a racer past
+        // the load window gets 409, never a silent overwrite
+        // (reference: update_table's CAS).
         val root = tableRoot(ns, t)
         if (!IcebergTable.exists(root)) notFound(ex)
         else {
           val body = mapper.readTree(ex.getRequestBody)
-          val m = IcebergMetadata.load(root)
+          val (m, baseVersion) = IcebergMetadata.loadVersioned(root)
           import scala.jdk.CollectionConverters._
           val reqFailure = Option(body.get("requirements")).toSeq
             .flatMap(_.elements().asScala).flatMap { r =>
@@ -152,11 +162,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
                 case "assert-table-uuid" =>
                   if (r.get("uuid").asText() == m.tableUuid) None
                   else Some("table uuid mismatch")
-                case other => Some(s"unsupported requirement $other")
+                case other => throw new BadRequest(s"unsupported requirement $other")
               }
             }
           if (reqFailure.nonEmpty)
-            reply(ex, 409, errBody(reqFailure.mkString("; ")))
+            reply(ex, 409, errBody(reqFailure.mkString("; "), 409))
           else {
             val next = Option(body.get("updates")).toSeq
               .flatMap(_.elements().asScala).foldLeft(m) { (acc, u) =>
@@ -173,13 +183,24 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
                     acc.copy(refs = acc.refs + (ref -> id),
                       currentSnapshotId =
                         if (ref == "main") Some(id) else acc.currentSnapshotId)
+                  case "add-schema" =>
+                    val sch = IcebergMetadata.schemaFromNode(u.get("schema"))
+                    acc.copy(schemas = acc.schemas :+ sch,
+                      lastColumnId = math.max(acc.lastColumnId,
+                        sch.fields.map(_.id).maxOption.getOrElse(0)))
+                  case "set-current-schema" =>
+                    val id = u.get("schema-id").asInt()
+                    // -1 = the schema added in this same commit
+                    acc.copy(currentSchemaId =
+                      if (id == -1) acc.schemas.last.schemaId else id)
                   case other =>
-                    throw new IllegalArgumentException(s"unsupported update $other")
+                    throw new BadRequest(s"unsupported update $other")
                 }
               }
-            if (IcebergMetadata.commitNext(root, next))
+            if (IcebergMetadata.commitAt(root, next, baseVersion))
               reply(ex, 200, loadTableResult(root))
-            else reply(ex, 409, errBody("commit conflict: version already taken"))
+            else reply(ex, 409,
+              errBody("commit conflict: base version superseded", 409))
           }
         }
 
@@ -204,11 +225,9 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
       case _ => notFound(ex)
     }
   } catch {
+    case e: BadRequest => reply(ex, 400, errBody(e.getMessage, 400))
     case e: Exception =>
-      val n = mapper.createObjectNode()
-      n.putObject("error").put("message", String.valueOf(e.getMessage))
-        .put("code", 500)
-      reply(ex, 500, json(n))
+      reply(ex, 500, errBody(String.valueOf(e.getMessage), 500))
   }
 
   def start(): IcebergRestServer = {

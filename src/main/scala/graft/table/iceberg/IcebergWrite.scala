@@ -107,11 +107,15 @@ object IcebergWrite {
     }
     val dataDir = TableIO.path(location, "data")
     TableIO.mkdirs(dataDir)
+    // files FLATTEN into data/ — Iceberg carries partition values in
+    // the manifest, not the directory layout, and flat names keep the
+    // stored file paths free of escaped partition-value characters
     val moved = TableIO.listFilesRecursive(staging)
       .filter(_._1.getName.endsWith(".parquet"))
       .map { case (src, sz, _) =>
         val rel = TableIO.relativize(staging, src)
-        val dest = new HPath(dataDir, rel)
+        val dest = new HPath(dataDir,
+          s"${UUID.randomUUID().toString.take(8)}-${src.getName}")
         TableIO.rename(src, dest)
         // partition values per spec field, parsed from `_p_<col>=v` dirs
         val dirVals = rel.split("/").dropRight(1)
@@ -126,7 +130,7 @@ object IcebergWrite {
     // 2. manifest with typed footer bounds + typed partition struct
     val schemaJson = icebergSchemaJson(schema)
     val partRecordJson = partitionRecordJson(spec, schema)
-    val specJson = partitionSpecJson(spec)
+    val specJson = partitionSpecJson(spec, m.defaultSpecId)
     val entryAndRows = moved.map { case (p, sz, partVals) =>
       val (records, lower, upper, nulls) = footerBounds(p, sparkSchema, schema)
       val e = IcebergAvro.record(IcebergAvro.manifestSchema(partRecordJson))
@@ -171,7 +175,7 @@ object IcebergWrite {
       val r = IcebergAvro.record(mlSchema)
       r.put("manifest_path", path)
       r.put("manifest_length", len)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", m.defaultSpecId)
       r.put("content", content)
       r.put("sequence_number", sq)
       r.put("min_sequence_number", sq)
@@ -297,7 +301,7 @@ object IcebergWrite {
         snapId: Long): org.apache.avro.generic.GenericRecord = {
       val r = IcebergAvro.record(mlSchema)
       r.put("manifest_path", path); r.put("manifest_length", len)
-      r.put("partition_spec_id", 0); r.put("content", ct)
+      r.put("partition_spec_id", m.defaultSpecId); r.put("content", ct)
       r.put("sequence_number", sq); r.put("min_sequence_number", sq)
       r.put("added_snapshot_id", snapId)
       r.put("added_files_count", 0); r.put("existing_files_count", 0)
@@ -364,23 +368,30 @@ object IcebergWrite {
     s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}"""
   }
 
-  private def partitionSpecJson(spec: Seq[IcebergMetadata.IcePartitionField]): String = {
+  private def partitionSpecJson(spec: Seq[IcebergMetadata.IcePartitionField],
+      specId: Int): String = {
     val fields = spec.map(pf =>
       s"""{"name":"${pf.name}","transform":"identity","source-id":${pf.sourceId},"field-id":${pf.fieldId}}""")
-    s"""{"spec-id":0,"fields":[${fields.mkString(",")}]}"""
+    s"""{"spec-id":$specId,"fields":[${fields.mkString(",")}]}"""
   }
 
-  /** Partition-dir string -> the avro value for the partition struct. */
-  private def typedPartitionValue(t: DataType, v: String): Any =
-    if (v == null || v == "__HIVE_DEFAULT_PARTITION__") null
-    else t match {
-      case LongType => java.lang.Long.valueOf(v)
-      case IntegerType | ShortType => Integer.valueOf(v)
+  /** Partition-dir string -> the avro value for the partition struct
+    * (Spark renders dir values as escaped display strings — dates as
+    * yyyy-MM-dd, timestamps as 'yyyy-MM-dd HH:mm:ss[.S]'). */
+  private def typedPartitionValue(t: DataType, v: String): Any = {
+    if (v == null || v == "__HIVE_DEFAULT_PARTITION__") return null
+    val s = graft.table.PathCodec.unescape(v)
+    t match {
+      case LongType => java.lang.Long.valueOf(s)
+      case IntegerType | ShortType => Integer.valueOf(s)
       case DateType =>
-        Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
-      case TimestampType => java.lang.Long.valueOf(v)
-      case _ => graft.table.PathCodec.unescape(v)
+        Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case TimestampType =>
+        val i = java.sql.Timestamp.valueOf(s).toInstant
+        java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => s
     }
+  }
 
   private def icebergSchemaJson(s: IcebergMetadata.IceSchema): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

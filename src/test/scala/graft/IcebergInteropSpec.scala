@@ -218,6 +218,35 @@ class IcebergInteropSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("commitAt pins the base version: a stale base cannot overwrite") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, Seq((1L, "a")).toDF("id", "v"))
+    // reader A loads and validates against this version...
+    val (m, base) = IcebergMetadata.loadVersioned(loc)
+    // ...writer B commits in between
+    IcebergWrite.append(spark, loc, Seq((2L, "b")).toDF("id", "v"))
+    // A's commit against the superseded base must FAIL, not overwrite
+    assert(!IcebergMetadata.commitAt(loc, m, base))
+    // B's snapshot is intact
+    assert(IcebergTable.load(spark, loc).scan().count() === 2)
+  }
+
+  test("identity partition on timestamp column round-trips dir values") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 11:30:00")))
+      .toDF("id", "ts")
+    val t = IcebergWrite.create(spark, loc, df, partitionCols = Seq("ts"))
+    assert(t.scan().count() === 2)
+    val parts = t.plannedFiles().map(_._1.partition)
+    assert(parts.forall(_.get("ts").exists(_ != null)))
+  }
+
   test("timestamp and date bounds decode to canonical stat strings") {
     val spark0 = spark
     import spark0.implicits._
