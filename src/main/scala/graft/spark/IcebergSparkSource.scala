@@ -109,10 +109,26 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     statFilters: Seq[(String, String, String)],
     table: IcebergTable,
     deletes: Seq[(IcebergAvro.DataFileEntry, Long)])
-  extends Scan with Batch {
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private def sparkSession = SparkSession.active
   private lazy val ice = table.meta
+
+  /** Manifest-derived sizes from the PRUNED file list — foreign tables
+    * get the same statistics-driven broadcast decisions as graft's own
+    * (reference: datafusion_iceberg/src/statistics.rs). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val files = table.plannedFiles(snapshotId, statFilters)
+    val bytes = files.map(_._1.fileSizeBytes).sum
+    val rows = files.map(_._1.recordCount).filter(_ >= 0).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this

@@ -169,6 +169,11 @@ class TableCatalogSpec extends AnyFunSuite {
     // listed alongside graft tables
     assert(spark.sql("SHOW TABLES IN graft_wh.ice").collect()
       .map(_.getString(1)).contains("foreign"))
+    // manifest statistics reach the optimizer (no unknown-size default)
+    val stats = spark.table("graft_wh.ice.foreign")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10L * 1024 * 1024,
+      s"foreign iceberg relation reported ${stats.sizeInBytes} bytes")
     // positional delete visible through SQL too
     val target = spark.read
       .parquet(graft.table.iceberg.IcebergTable.load(spark, loc)
