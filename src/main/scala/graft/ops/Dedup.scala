@@ -229,7 +229,86 @@ object Dedup {
           / len(list_distinct(list_concat(a.sh_arr, b.sh_arr))) >= 0.5
       ORDER BY doc_a, doc_b"""
 
+  /** Exhaustive oracle for the LSH candidate generation itself: DuckDB
+    * recomputes TRUE word-3-gram Jaccard for every pair and keeps those
+    * >= 0.5. At gate scale the LSH band collision probability below the
+    * threshold is low enough that candidates == true pairs, so this
+    * checks recall (no true pair missed by banding) and precision (no
+    * sub-threshold band collision) of the MinHash pipeline at once,
+    * against an implementation sharing no code with the engine's. */
+  val ddMinhashPairsSql: String =
+    """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(ws) >= 3
+            THEN list_distinct(list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+            ELSE [trim(lower(text))] END AS sh_arr
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh_arr, b.sh_arr))::DOUBLE
+          / len(list_distinct(list_concat(a.sh_arr, b.sh_arr))) >= 0.5
+      ORDER BY doc_a, doc_b"""
+
+  /** Independent DuckDB twin of the full SimHash pipeline in PURE SQL:
+    * per-word murmur3_x86_32 under both seeds (recursive CTE over
+    * 4-byte blocks — same validated mixer as the pt_bucket oracle,
+    * seed-parameterized), occurrence-weighted ±1 votes per bit, sign →
+    * two 32-bit fingerprint halves, then an EXHAUSTIVE all-pairs
+    * hamming<=3 scan. If the engine's pigeonhole chunk bucketing ever
+    * drops a true near-dup pair (or admits a wrong one), the gate
+    * fails. 2538058380 = unsigned 0x9747b28c, the second simhash seed. */
+  val ddSimhashSql: String =
+    """WITH RECURSIVE
+wordcnt AS (
+  SELECT doc_id, w, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY doc_id, w),
+words AS (SELECT DISTINCT w AS s FROM wordcnt),
+seeds AS (SELECT unnest([0::BIGINT, 2538058380::BIGINT]) AS seed),
+blk AS (
+  SELECT s, seed, 0::BIGINT AS i, seed AS h, length(s)//4 AS nb FROM words, seeds
+  UNION ALL
+  SELECT s, seed, i+1, (((((xor(h, ((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295)::HUGEINT * 461845907 % 4294967296)::BIGINT)) << 13) | ((xor(h, ((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295)::HUGEINT * 461845907 % 4294967296)::BIGINT)) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296, nb FROM blk WHERE i < nb),
+done AS (SELECT s, seed, h, nb FROM blk WHERE i = nb),
+tail AS (SELECT s, seed, h, length(s) AS len, CASE length(s) % 4
+      WHEN 0 THEN 0 WHEN 1 THEN ord(substr(s, 4*nb+1, 1))
+      WHEN 2 THEN ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256
+      ELSE ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256 + ord(substr(s, 4*nb+3, 1))*65536
+    END AS tk FROM done),
+mixed AS (
+  SELECT s, seed, len, CASE WHEN len % 4 = 0 THEN h
+    ELSE xor(h, ((((((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | ((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT) END AS hm
+  FROM tail),
+fin AS (
+  SELECT s, seed, xor(hm, len) AS f0, xor(f0, f0 >> 16) AS f1,
+    ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+    ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+  FROM mixed),
+votes AS (
+  SELECT wc.doc_id, b.j,
+    sum(CASE WHEN ((h1.hu >> b.j) & 1) = 1 THEN wc.cnt ELSE -wc.cnt END) AS v1,
+    sum(CASE WHEN ((h2.hu >> b.j) & 1) = 1 THEN wc.cnt ELSE -wc.cnt END) AS v2
+  FROM wordcnt wc
+  JOIN (SELECT s, hu FROM fin WHERE seed = 0) h1 ON wc.w = h1.s
+  JOIN (SELECT s, hu FROM fin WHERE seed = 2538058380) h2 ON wc.w = h2.s,
+  range(0,32) b(j)
+  GROUP BY 1,2),
+fp AS (
+  SELECT doc_id,
+    sum(CASE WHEN v1 > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS lo,
+    sum(CASE WHEN v2 > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS hi
+  FROM votes GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+ORDER BY doc_a, doc_b"""
+
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
+    "dd_minhash_pairs" -> ddMinhashPairsSql,
+    "dd_simhash" -> ddSimhashSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql)
 }
