@@ -45,14 +45,14 @@ object Events {
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")).cast("decimal(38,10)"), 2)
-          .cast("decimal(18,2)").as("session_value"),
+          .cast("double").as("session_value"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
   val evSessionizeSql: String =
     """SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
-       round(sum(value)::DECIMAL(38,10),2)::DECIMAL(18,2) AS session_value,
+       round(sum(value)::DECIMAL(38,10),2)::DOUBLE AS session_value,
        date_diff('second', min(ts), max(ts)) AS duration_s
        FROM (
          SELECT user_id, ts, value,

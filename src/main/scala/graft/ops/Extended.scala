@@ -138,14 +138,14 @@ object Extended {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"),
         round(avg(length(col("text"))).cast("decimal(38,10)"), 4)
-          .cast("decimal(18,4)").as("avg_chars"))
+          .cast("double").as("avg_chars"))
       .orderBy(col("lang"))
   }
 
   val pipelineCleanSql: String =
     """SELECT lang, count(*) AS n_docs,
        sum(len(regexp_split_to_array(trim(text),'\s+')))::BIGINT AS n_tokens,
-       round(avg(length(text))::DECIMAL(38,10),4)::DECIMAL(18,4) AS avg_chars
+       round(avg(length(text))::DECIMAL(38,10),4)::DOUBLE AS avg_chars
        FROM (
          SELECT lang, text,
            row_number() OVER (PARTITION BY substring(text,1,40)
@@ -211,7 +211,7 @@ object Extended {
         count(col("maybe_price")).as("n_nonnull"),
         round(coalesce(avg(col("maybe_price")).cast("decimal(38,10)"),
             lit(0).cast("decimal(38,10)")), 2)
-          .cast("decimal(18,2)").as("avg_price"),
+          .cast("double").as("avg_price"),
         sum(when(col("maybe_price") <=> lit(null).cast("double"), 1).otherwise(0)).as("n_nullsafe"))
       .orderBy(col("o_orderstatus"))
   }
@@ -220,7 +220,7 @@ object Extended {
     """SELECT o_orderstatus,
        sum(CASE WHEN maybe_price IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
        count(maybe_price) AS n_nonnull,
-       round(coalesce(avg(maybe_price)::DECIMAL(38,10), 0), 2)::DECIMAL(18,2) AS avg_price,
+       round(coalesce(avg(maybe_price)::DECIMAL(38,10), 0), 2)::DOUBLE AS avg_price,
        sum(CASE WHEN maybe_price IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)::BIGINT AS n_nullsafe
        FROM (SELECT o_orderstatus,
                CASE WHEN o_orderstatus = 'P' THEN NULL

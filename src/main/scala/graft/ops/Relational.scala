@@ -312,7 +312,7 @@ object Relational {
         sum(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("n_low"),
         round(sum(when(col("o_totalprice") > 100000, col("o_totalprice")).otherwise(0.0))
           .cast("decimal(38,10)"), 2)
-          .cast("decimal(18,2)").as("big_total"))
+          .cast("double").as("big_total"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -320,7 +320,7 @@ object Relational {
     """SELECT o_orderstatus,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS n_high,
        sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n_low,
-       round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END)::DECIMAL(38,10),2)::DECIMAL(18,2) AS big_total
+       round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END)::DECIMAL(38,10),2)::DOUBLE AS big_total
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   /** Global sort + limit: Spark plans TakeOrderedAndProject — no full
