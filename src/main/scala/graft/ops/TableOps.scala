@@ -20,6 +20,8 @@ object TableOps {
   private def scratch(): String =
     Files.createTempDirectory("graft-tf").toString + "/t"
 
+  private def ts(s: String) = to_timestamp(lit(s))
+
   /** create → append → scan: the round-trip must be invisible to the
     * aggregation downstream. */
   val tfSnapshotScan: Q = (s, d) => {
@@ -349,8 +351,34 @@ object TableOps {
        FROM orders WHERE o_totalprice > 50000
        GROUP BY 1 ORDER BY o_orderstatus"""
 
+  /** Real-format Iceberg table with TRANSFORM partitions (month +
+    * bucket): the interop writer computes partition values per row,
+    * manifests carry the typed transform structs, and the scan prunes
+    * through the transforms (range on month, equality on bucket) —
+    * reference: iceberg-rust/src/arrow/transform.rs. */
+  val tfIcebergPartitioned: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val loc = scratch()
+    graft.table.iceberg.IcebergWrite.createWithSpec(
+      s, loc, o, Seq("o_orderdate" -> "month", "o_custkey" -> "bucket[8]"))
+    val t = graft.table.iceberg.IcebergTable.load(s, loc)
+    t.scan(None, Seq(("o_orderdate", ">=", "1995-06-01 00:00:00")))
+      .filter(col("o_orderdate") >= ts("1995-06-01 00:00:00"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("month"))
+  }
+
+  val tfIcebergPartitionedSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+       round(sum(o_totalprice),2) AS total
+       FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+       GROUP BY 1 ORDER BY month"""
+
   val queries: Map[String, Q] = Map(
     "tf_iceberg_read" -> tfIcebergRead,
+    "tf_iceberg_partitioned" -> tfIcebergPartitioned,
     "tf_delete_pos" -> tfDeletePos,
     "tf_metadata_tables" -> tfMetadataTables,
     "tf_delete_mor" -> tfDeleteMor,
@@ -368,6 +396,7 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "tf_iceberg_read" -> tfIcebergReadSql,
+    "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,
     "tf_delete_pos" -> tfDeletePosSql,
     "tf_compaction" -> tfCompactionSql,
     "tf_files_pruned" -> tfFilesPrunedSql,

@@ -66,9 +66,11 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       }.toMap
       (e, stats, seq)
     }
-    withStats.filter { case (_, stats, _) =>
+    val spec = m.specs.find(_.specId == m.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    withStats.filter { case (e, stats, _) =>
       filters.forall { case (c, op, value) =>
-        (stats.get(c), schemaById.fields.find(_.name == c)) match {
+        val statsKeep = (stats.get(c), schemaById.fields.find(_.name == c)) match {
           case (Some(st), Some(f)) =>
             val cmp = comparator(IcebergTypes.toSpark(f.tpe))
             op match {
@@ -81,8 +83,52 @@ class IcebergTable private (val location: String, val spark: SparkSession,
             }
           case _ => true // no stats -> keep (pruning must stay sound)
         }
+        statsKeep && partitionKeep(e, spec, schemaById, c, op, value)
       }
     }
+  }
+
+  /** Transform-aware partition pruning: map the literal through each
+    * spec field's transform and compare against the manifest's typed
+    * partition value — equality prunes on any transform (bucket
+    * included); range ops only on order-preserving ones. A file with
+    * no partition value for the field is kept (soundness). */
+  private def partitionKeep(e: IcebergAvro.DataFileEntry,
+      spec: Seq[IcebergMetadata.IcePartitionField],
+      schema: IcebergMetadata.IceSchema,
+      c: String, op: String, value: String): Boolean = {
+    spec.filter(pf => schema.fields.find(_.id == pf.sourceId).exists(_.name == c))
+      .forall { pf =>
+        val srcType = IcebergTypes.toSpark(
+          schema.fields.find(_.id == pf.sourceId).get.tpe)
+        (e.partition.get(pf.name), Transforms.applyLiteral(pf.transform, srcType, value)) match {
+          case (Some(pv), Some(tv)) if pv != null =>
+            def asLong(a: Any): Option[Long] = a match {
+              case i: java.lang.Integer => Some(i.longValue())
+              case l: java.lang.Long => Some(l.longValue())
+              case s: String => s.toLongOption
+              case _ => None
+            }
+            (asLong(pv), asLong(tv)) match {
+              case (Some(p), Some(t)) => op match {
+                case "=" => p == t
+                case ">" if Transforms.monotonic(pf.transform) => p >= t
+                case ">=" if Transforms.monotonic(pf.transform) => p >= t
+                case "<" if Transforms.monotonic(pf.transform) => p <= t
+                case "<=" if Transforms.monotonic(pf.transform) => p <= t
+                case _ => true
+              }
+              case _ => op match {
+                // non-numeric (string identity / truncate prefix):
+                // applyLiteral computed the exact partition value, so
+                // equality compares directly; ranges stay unpruned
+                case "=" => pv.toString == tv.toString
+                case _ => true
+              }
+            }
+          case _ => true
+        }
+      }
   }
 
   private def comparator(t: DataType): (String, String) => Int = t match {

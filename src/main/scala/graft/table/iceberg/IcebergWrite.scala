@@ -28,13 +28,25 @@ object IcebergWrite {
     * in partition dirs and manifests carry typed partition structs
     * (spec field-ids from 1000, per convention). */
   def create(spark: SparkSession, location: String, df: DataFrame,
-      partitionCols: Seq[String] = Seq.empty): IcebergTable = {
+      partitionCols: Seq[String] = Seq.empty): IcebergTable =
+    createWithSpec(spark, location, df, partitionCols.map(_ -> "identity"))
+
+  /** Create with a full partition spec: (sourceColumn, transform)
+    * pairs where transform is any of identity / bucket[N] /
+    * truncate[W] / year / month / day / hour — the reference computes
+    * the same transform values on write
+    * (iceberg-rust/src/arrow/transform.rs, spec/partition.rs:27).
+    * Field names follow the Iceberg convention (`col_bucket`,
+    * `col_day`, ...), so they never collide with data columns. */
+  def createWithSpec(spark: SparkSession, location: String, df: DataFrame,
+      partitions: Seq[(String, String)]): IcebergTable = {
     require(!IcebergTable.exists(location), s"Iceberg table exists at $location")
     val schema = IcebergMetadata.schemaFromSpark(df.schema)
-    val specFields = partitionCols.zipWithIndex.map { case (c, i) =>
+    val specFields = partitions.zipWithIndex.map { case ((c, transform), i) =>
       val srcId = schema.fieldId(c).getOrElse(
         throw new IllegalArgumentException(s"no column $c to partition by"))
-      IcebergMetadata.IcePartitionField(srcId, 1000 + i, c, "identity")
+      IcebergMetadata.IcePartitionField(
+        srcId, 1000 + i, Transforms.fieldName(c, transform), transform)
     }
     val m0 = IcebergMetadata.IceMetadata(
       formatVersion = 2,
@@ -79,13 +91,13 @@ object IcebergWrite {
     val sparkSchema = schema.toSpark
     val spec = m.specs.find(_.specId == m.defaultSpecId)
       .map(_.fields).getOrElse(Seq.empty)
-    require(spec.forall(_.transform == "identity"),
-      "only identity partitions are supported by the interop writer")
-    val specColNames = spec.map(pf =>
+    val specSrcCols = spec.map(pf =>
       schema.fields.find(_.id == pf.sourceId).get.name)
+    val specHelpers = spec.map(pf => s"_p_${pf.name}")
 
     // 1. data files — partitioned tables route through helper columns
-    // (data files KEEP all columns; only the `_p_` helper is stripped)
+    // carrying the TRANSFORM value (data files KEEP all columns; only
+    // the `_p_` helper is stripped by partitionBy)
     val staging = TableIO.path(location, s"stage-${UUID.randomUUID().toString.take(8)}")
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
@@ -94,11 +106,14 @@ object IcebergWrite {
       if (spec.isEmpty) df.write.parquet(staging.toString)
       else {
         import org.apache.spark.sql.functions.col
-        val withHelpers = specColNames.foldLeft(df)((acc, c) =>
-          acc.withColumn(s"_p_$c", col(c)))
+        val withHelpers = spec.zip(specSrcCols).foldLeft(df) {
+          case (acc, (pf, src)) => acc.withColumn(s"_p_${pf.name}",
+            Transforms.column(pf.transform, col(src),
+              sparkSchema.fields.find(_.name == src).get.dataType))
+        }
         withHelpers
-          .repartition(specColNames.map(c => col(s"_p_$c")): _*)
-          .write.partitionBy(specColNames.map(c => s"_p_$c"): _*)
+          .repartition(specHelpers.map(col): _*)
+          .write.partitionBy(specHelpers: _*)
           .parquet(staging.toString)
       }
     } finally prev match {
@@ -117,10 +132,10 @@ object IcebergWrite {
         val dest = new HPath(dataDir,
           s"${UUID.randomUUID().toString.take(8)}-${src.getName}")
         TableIO.rename(src, dest)
-        // partition values per spec field, parsed from `_p_<col>=v` dirs
+        // partition values per spec field, parsed from `_p_<name>=v` dirs
         val dirVals = rel.split("/").dropRight(1)
           .map(_.split("=", 2)).map(a => a(0).stripPrefix("_p_") -> a(1)).toMap
-        (dest, sz, specColNames.map(dirVals.getOrElse(_, null)))
+        (dest, sz, spec.map(pf => dirVals.getOrElse(pf.name, null)))
       }
     TableIO.delete(staging, recursive = true)
 
@@ -145,9 +160,10 @@ object IcebergWrite {
       d.put("file_format", "PARQUET")
       val partRec = new GenericData.Record(dfSchema.getField("partition").schema())
       spec.zip(partVals).foreach { case (pf, v) =>
-        val t = IcebergTypes.toSpark(
+        val srcT = IcebergTypes.toSpark(
           schema.fields.find(_.id == pf.sourceId).get.tpe)
-        partRec.put(pf.name, typedPartitionValue(t, v))
+        partRec.put(pf.name,
+          typedPartitionValue(Transforms.resultType(pf.transform, srcT), v))
       }
       d.put("partition", partRec)
       d.put("record_count", records)
@@ -355,8 +371,8 @@ object IcebergWrite {
       schema: IcebergMetadata.IceSchema): String = {
     if (spec.isEmpty) return emptyPartition
     val fields = spec.map { pf =>
-      val avroType = IcebergTypes.toSpark(
-        schema.fields.find(_.id == pf.sourceId).get.tpe) match {
+      val avroType = Transforms.resultType(pf.transform, IcebergTypes.toSpark(
+        schema.fields.find(_.id == pf.sourceId).get.tpe)) match {
         case LongType | TimestampType => "\"long\""
         case IntegerType | ShortType | DateType => "\"int\""
         case StringType => "\"string\""
@@ -371,7 +387,7 @@ object IcebergWrite {
   private def partitionSpecJson(spec: Seq[IcebergMetadata.IcePartitionField],
       specId: Int): String = {
     val fields = spec.map(pf =>
-      s"""{"name":"${pf.name}","transform":"identity","source-id":${pf.sourceId},"field-id":${pf.fieldId}}""")
+      s"""{"name":"${pf.name}","transform":"${pf.transform}","source-id":${pf.sourceId},"field-id":${pf.fieldId}}""")
     s"""{"spec-id":$specId,"fields":[${fields.mkString(",")}]}"""
   }
 

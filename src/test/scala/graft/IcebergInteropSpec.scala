@@ -131,6 +131,87 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(spec.head.transform === "identity")
   }
 
+  test("bucket(4)-partitioned writes: transform values in manifests, equality pruning") {
+    val o = Tables.orders(spark, sf)
+    val loc = tmp()
+    val t = IcebergWrite.createWithSpec(spark, loc, o,
+      Seq("o_custkey" -> "bucket[4]"))
+    assert(t.scan().count() === o.count())
+    // spec + metadata.json record the real transform string
+    val pf = t.meta.specs.head.fields.head
+    assert(pf.transform === "bucket[4]")
+    assert(pf.name === "o_custkey_bucket")
+    // manifest partition values are the bucket numbers, matching the
+    // Catalyst kernel's murmur3 on the driver
+    val parts = t.plannedFiles().map(_._1.partition)
+    val buckets = parts.flatMap(_.get("o_custkey_bucket"))
+      .map(String.valueOf(_).toInt).toSet
+    assert(buckets.subsetOf(Set(0, 1, 2, 3)) && buckets.size > 1)
+    // equality predicate prunes to the single matching bucket's files
+    val k = o.select("o_custkey").head().getLong(0)
+    val expectBucket = graft.functions.IcebergHash.bucketLong(k, 4)
+    val pruned = t.plannedFiles(None, Seq(("o_custkey", "=", k.toString)))
+    assert(pruned.nonEmpty && pruned.size < t.plannedFiles().size)
+    assert(pruned.forall(e =>
+      String.valueOf(e._1.partition("o_custkey_bucket")).toInt == expectBucket))
+    // scan through the pruned plan stays correct
+    assert(t.scan(None, Seq(("o_custkey", "=", k.toString)))
+      .filter(col("o_custkey") === k).count() ===
+      o.filter(col("o_custkey") === k).count())
+  }
+
+  test("day-partitioned writes: date transform values, range pruning") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-10")),
+      (2L, java.sql.Date.valueOf("2024-01-10")),
+      (3L, java.sql.Date.valueOf("2024-03-05")),
+      (4L, java.sql.Date.valueOf("2024-03-06"))).toDF("id", "d")
+    val t = IcebergWrite.createWithSpec(spark, loc, df, Seq("d" -> "day"))
+    assert(t.meta.specs.head.fields.head.transform === "day")
+    assert(t.scan().count() === 4)
+    // partition values are epoch days (ints)
+    val days = t.plannedFiles().map(_._1.partition("d_day"))
+      .map(String.valueOf(_).toInt).toSet
+    assert(days === Set(
+      java.time.LocalDate.parse("2024-01-10").toEpochDay.toInt,
+      java.time.LocalDate.parse("2024-03-05").toEpochDay.toInt,
+      java.time.LocalDate.parse("2024-03-06").toEpochDay.toInt))
+    // equality + range predicates prune through the day transform
+    assert(t.plannedFiles(None, Seq(("d", "=", "2024-01-10"))).size === 1)
+    assert(t.plannedFiles(None, Seq(("d", ">", "2024-02-01"))).size === 2)
+    assert(t.plannedFiles(None, Seq(("d", "<=", "2024-01-31"))).size === 1)
+    assert(t.scan(None, Seq(("d", ">", "2024-02-01")))
+      .filter(col("d") > lit("2024-02-01")).count() === 2)
+  }
+
+  test("truncate + month transforms round-trip partition values") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val df = Seq(
+      (7L, "alpha", java.sql.Timestamp.valueOf("2024-01-15 10:30:00")),
+      (23L, "alibi", java.sql.Timestamp.valueOf("2024-02-20 11:00:00")),
+      (101L, "beta", java.sql.Timestamp.valueOf("2024-02-25 12:00:00")))
+      .toDF("id", "s", "ts")
+    val t = IcebergWrite.createWithSpec(spark, loc, df,
+      Seq("id" -> "truncate[10]", "s" -> "truncate[2]", "ts" -> "month"))
+    assert(t.scan().count() === 3)
+    val parts = t.plannedFiles().map(_._1.partition)
+    val trunc = parts.map(p => String.valueOf(p("id_trunc")).toLong).toSet
+    assert(trunc === Set(0L, 20L, 100L))
+    val pre = parts.map(p => String.valueOf(p("s_trunc"))).toSet
+    assert(pre === Set("al", "be"))
+    val months = parts.map(p => String.valueOf(p("ts_month")).toInt).toSet
+    assert(months === Set(54 * 12, 54 * 12 + 1)) // 2024-01, 2024-02
+    // string-truncate equality pruning: literal maps to its prefix
+    val prunedS = t.plannedFiles(None, Seq(("s", "=", "beta")))
+    assert(prunedS.forall(e => String.valueOf(e._1.partition("s_trunc")) == "be"))
+    assert(prunedS.size < parts.size)
+  }
+
   test("schema evolution: new columns null-fill old files; old snapshots keep shape") {
     val spark0 = spark
     import spark0.implicits._
