@@ -33,15 +33,64 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       n_events: Int, session_value: Double, duration_s: Long)
 
-  /** Stream → GraftTable sink: each micro-batch appends as a snapshot
-    * (exactly-once per batch under Spark's checkpointing; snapshots
-    * make the commit atomic on the table side). Returns the query —
-    * caller manages lifecycle. */
+  /** Snapshot-summary key recording the last streaming micro-batch
+    * committed to a table (same device as Iceberg's own Spark sink:
+    * the batch id rides in the snapshot summary, so replay detection
+    * needs no side-channel state). */
+  val BatchIdKey = "streaming-batch-id"
+
+  /** Commit one micro-batch to a GraftTable, skipping batches already
+    * committed (a restart replays the last uncommitted micro-batch —
+    * without the check it would double-append). */
+  def appendBatchToTable(table: graft.table.GraftTable,
+      batch: DataFrame, batchId: Long): Boolean = {
+    val last = table.meta.snapshots
+      .flatMap(_.summary.get(BatchIdKey)).flatMap(_.toLongOption)
+      .maxOption
+    if (last.exists(_ >= batchId)) false
+    else { table.append(batch, summary = Map(BatchIdKey -> batchId.toString)); true }
+  }
+
+  /** Commit one micro-batch to a REAL Iceberg table, idempotent on
+    * batchId via the snapshot summary. */
+  def appendBatchToIceberg(location: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    if (!graft.table.iceberg.IcebergTable.exists(location)) {
+      // stamp the id on the create's snapshot too
+      graft.table.iceberg.IcebergWrite.create(batch.sparkSession, location,
+        batch)
+      val m = graft.table.iceberg.IcebergMetadata.load(location)
+      val stamped = m.snapshots.map(s =>
+        if (m.currentSnapshotId.contains(s.snapshotId))
+          s.copy(summary = s.summary + (BatchIdKey -> batchId.toString))
+        else s)
+      graft.table.iceberg.IcebergMetadata.writeNext(location,
+        m.copy(snapshots = stamped))
+      true
+    } else {
+      val m = graft.table.iceberg.IcebergMetadata.load(location)
+      val last = m.snapshots
+        .flatMap(_.summary.get(BatchIdKey)).flatMap(_.toLongOption)
+        .maxOption
+      if (last.exists(_ >= batchId)) false
+      else {
+        graft.table.iceberg.IcebergWrite.append(batch.sparkSession, location,
+          batch, summary = Map(BatchIdKey -> batchId.toString))
+        true
+      }
+    }
+  }
+
+  /** Stream → GraftTable sink: each micro-batch appends as a snapshot.
+    * Exactly-once per batch under checkpointing: the batch id is
+    * stamped into the snapshot summary and a replayed batch id is
+    * skipped, so restart replays cannot double-append. Returns the
+    * query — caller manages lifecycle. */
   def writeToTable(stream: DataFrame, table: graft.table.GraftTable,
       trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        table.append(batch)
+        appendBatchToTable(table, batch, batchId)
         ()
       }
       .trigger(trigger)
@@ -52,15 +101,13 @@ object EventStreams {
     * Iceberg snapshot through the binary-interop writer (avro
     * manifests + metadata.json) — any Iceberg engine can query the
     * stream's output while it runs. The table is created from the
-    * first batch's schema. */
+    * first batch's schema; replayed batch ids are skipped (idempotent
+    * restarts, like Iceberg's own Spark streaming sink). */
   def writeToIceberg(stream: DataFrame, location: String,
       trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!graft.table.iceberg.IcebergTable.exists(location))
-          graft.table.iceberg.IcebergWrite.create(batch.sparkSession, location, batch)
-        else
-          graft.table.iceberg.IcebergWrite.append(batch.sparkSession, location, batch)
+        appendBatchToIceberg(location, batch, batchId)
         ()
       }
       .trigger(trigger)

@@ -195,7 +195,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       lineage: Map[String, Long] = Map.empty,
       branch: String = "main",
       addedDeletes: Seq[Meta.DataFile] = Seq.empty,
-      removedDeletes: Seq[String] = Seq.empty): Meta.TableMetadata = this.synchronized {
+      removedDeletes: Seq[String] = Seq.empty,
+      summaryExtra: Map[String, String] = Map.empty): Meta.TableMetadata = this.synchronized {
     var attempts = 0
     while (true) {
       val m = meta
@@ -211,7 +212,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         schemaId = schemaId.getOrElse(m.currentSchemaId),
         lineage = lineage,
         summary = Map("added-files" -> added.size.toString,
-          "removed-files" -> removed.size.toString),
+          "removed-files" -> removed.size.toString) ++ summaryExtra,
         addedDeleteFiles = addedDeletes,
         removedDeletePaths = removedDeletes)
       val newRefs = m.refs + (branch -> snap.snapshotId)
@@ -228,11 +229,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Append rows (transaction/mod.rs:55). */
+  /** Append rows (transaction/mod.rs:55). `summary` entries land in
+    * the snapshot summary — streaming sinks stamp their batch id here
+    * so a replayed micro-batch is detectable. */
   def append(df: DataFrame, lineage: Map[String, Long] = Map.empty,
-      branch: String = "main"): GraftTable = {
+      branch: String = "main",
+      summary: Map[String, String] = Map.empty): GraftTable = {
     val files = writeFiles(df, meta.schema)
-    commit("append", files, Seq.empty, lineage = lineage, branch = branch)
+    commit("append", files, Seq.empty, lineage = lineage, branch = branch,
+      summaryExtra = summary)
     this
   }
 

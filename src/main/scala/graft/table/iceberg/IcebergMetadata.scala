@@ -31,7 +31,8 @@ object IcebergMetadata {
 
   case class IceSnapshot(snapshotId: Long, parentId: Option[Long],
       sequenceNumber: Long, timestampMs: Long, manifestList: String,
-      operation: String, schemaId: Int)
+      operation: String, schemaId: Int,
+      summary: Map[String, String] = Map.empty)
 
   case class IceMetadata(
       formatVersion: Int,
@@ -160,7 +161,9 @@ object IcebergMetadata {
     n.put("timestamp-ms", s.timestampMs)
     n.put("manifest-list", s.manifestList)
     n.put("schema-id", s.schemaId)
-    n.putObject("summary").put("operation", s.operation)
+    val sm = n.putObject("summary")
+    sm.put("operation", s.operation)
+    s.summary.foreach { case (k, v) => sm.put(k, v) }
     n
   }
 
@@ -176,7 +179,10 @@ object IcebergMetadata {
         .flatMap(s => Option(s.get("operation"))).map(_.asText())
         .getOrElse("append"),
       schemaId = Option(n.get("schema-id")).map(_.asInt())
-        .getOrElse(defaultSchemaId))
+        .getOrElse(defaultSchemaId),
+      summary = Option(n.get("summary")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap - "operation")
+        .getOrElse(Map.empty))
 
   def schemaFromNode(n: JsonNode): IceSchema = readSchema(n)
 

@@ -69,10 +69,12 @@ object IcebergWrite {
   }
 
   /** Append `df` as a new snapshot (new manifest + new manifest list
-    * carrying the previous manifests forward). */
-  def append(spark: SparkSession, location: String, df: DataFrame): Unit = {
+    * carrying the previous manifests forward). `summary` entries land
+    * in the snapshot summary (streaming sinks stamp batch ids). */
+  def append(spark: SparkSession, location: String, df: DataFrame,
+      summary: Map[String, String] = Map.empty): Unit = {
     val m = IcebergMetadata.load(location)
-    val snap = prepareAppend(spark, m, df)
+    val snap = prepareAppend(spark, m, df).copy(summary = summary)
     IcebergMetadata.writeNext(location, m.copy(
       lastSequenceNumber = snap.sequenceNumber,
       currentSnapshotId = Some(snap.snapshotId),

@@ -159,4 +159,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(t.meta.snapshots.nonEmpty)
     assert(t.meta.snapshots.forall(_.operation == "append"))
   }
+
+  test("sink replay: a duplicate batchId is skipped, not double-appended") {
+    val w = wh()
+    val ev = Tables.events(spark, sf).limit(500)
+    // GraftTable sink
+    val t = graft.table.GraftTable.create(spark, s"$w/replay_sink", ev.schema)
+    assert(EventStreams.appendBatchToTable(t, ev, batchId = 0L))
+    val n1 = t.scan().count()
+    // a restart replays the last uncommitted micro-batch with the SAME id
+    assert(!EventStreams.appendBatchToTable(t, ev, batchId = 0L))
+    assert(t.scan().count() === n1, "replayed batch must not double-append")
+    assert(EventStreams.appendBatchToTable(t, ev, batchId = 1L))
+    assert(t.scan().count() === 2 * n1)
+    // the batch id rides in the snapshot summary (no side-channel state)
+    assert(t.meta.snapshots.flatMap(_.summary.get(EventStreams.BatchIdKey))
+      === Seq("0", "1"))
+
+    // REAL-Iceberg sink: same contract, summary in metadata.json
+    val loc = s"$w/replay_ice"
+    assert(EventStreams.appendBatchToIceberg(loc, ev, batchId = 0L))
+    val it = graft.table.iceberg.IcebergTable.load(spark, loc)
+    val m1 = it.scan().count()
+    assert(!EventStreams.appendBatchToIceberg(loc, ev, batchId = 0L))
+    assert(it.scan().count() === m1)
+    assert(EventStreams.appendBatchToIceberg(loc, ev, batchId = 1L))
+    assert(it.scan().count() === 2 * m1)
+    assert(it.meta.snapshots.flatMap(_.summary.get(EventStreams.BatchIdKey))
+      === Seq("0", "1"))
+  }
 }
