@@ -21,17 +21,50 @@ import graft.table.iceberg.{IcebergAvro, IcebergMetadata, IcebergTable}
   * applied executor-side through the same merge-on-read reader
   * machinery as graft's own connector.
   */
-class IcebergSparkTable(location: String) extends Table with SupportsRead {
+class IcebergSparkTable(location: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val ice = IcebergMetadata.load(location)
 
   override def name(): String = s"iceberg.`$location`"
   override def schema(): StructType = ice.schema.toSpark
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IcebergScanBuilder(location,
       Option(options.get("snapshot")).map(_.toLong))
+
+  /** INSERT INTO a table some other engine created (reference:
+    * datafusion_iceberg/src/table.rs:216 insert_into). The V1 write
+    * bridge hands the planned DataFrame to the interop writer, which
+    * runs the distributed parquet write, computes transform partition
+    * values, and commits a real Iceberg snapshot (avro manifest +
+    * manifest list + next metadata.json). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteAll = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              if (overwriteAll)
+                graft.table.iceberg.IcebergWrite.overwrite(
+                  data.sparkSession, location, data)
+              else
+                graft.table.iceberg.IcebergWrite.append(
+                  data.sparkSession, location, data)
+            }
+        }
+    }
 }
 
 class IcebergScanBuilder(location: String, snapshotId: Option[Long])

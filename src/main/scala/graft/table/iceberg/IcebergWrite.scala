@@ -225,6 +225,42 @@ object IcebergWrite {
       schemaId = m.currentSchemaId)
   }
 
+  /** Replace all table content (INSERT OVERWRITE): write the new data
+    * like an append, then publish a manifest list holding ONLY the new
+    * snapshot's own manifests — readers of the new snapshot see just
+    * the new content, older snapshots still time-travel. */
+  def overwrite(spark: SparkSession, location: String, df: DataFrame): Unit = {
+    val m = IcebergMetadata.load(location)
+    val snap0 = prepareAppend(spark, m, df)
+    val own = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
+      .filter(_.addedSnapshotId == snap0.snapshotId)
+    val recs = own.map { mf =>
+      val entries = IcebergAvro.readManifest(new HPath(mf.path))
+      val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
+      r.put("manifest_path", mf.path); r.put("manifest_length", mf.length)
+      r.put("partition_spec_id", m.defaultSpecId); r.put("content", mf.content)
+      r.put("sequence_number", mf.sequenceNumber)
+      r.put("min_sequence_number", mf.sequenceNumber)
+      r.put("added_snapshot_id", mf.addedSnapshotId)
+      r.put("added_files_count", entries.size)
+      r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
+      r.put("added_rows_count", entries.map(_.recordCount).sum)
+      r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
+      r: org.apache.avro.generic.GenericRecord
+    }
+    val mlPath = new HPath(TableIO.path(location, "metadata"),
+      s"snap-ow-${snap0.snapshotId}-${UUID.randomUUID().toString.take(8)}.avro")
+    IcebergAvro.writeManifestList(mlPath, recs, snap0.snapshotId,
+      snap0.sequenceNumber)
+    val snap = snap0.copy(operation = "overwrite",
+      manifestList = TableIO.qualified(mlPath))
+    IcebergMetadata.writeNext(location, m.copy(
+      lastSequenceNumber = snap.sequenceNumber,
+      currentSnapshotId = Some(snap.snapshotId),
+      snapshots = m.snapshots :+ snap,
+      refs = m.refs + ("main" -> snap.snapshotId)))
+  }
+
   /** Schema evolution (reference: transaction add_schema): register a
     * new schema with the added nullable columns and make it current.
     * Existing snapshots keep their schema-id; readers of old snapshots

@@ -187,6 +187,39 @@ class TableCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 149)
   }
 
+  test("SQL INSERT INTO a foreign Iceberg table commits real snapshots") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ice")
+    val loc = s"$wh/ice/writable"
+    graft.table.iceberg.IcebergWrite.create(spark, loc,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // INSERT INTO through standard SQL
+    Seq((100L, "new1"), (101L, "new2")).toDF("id", "v")
+      .createOrReplaceTempView("ice_ins_src")
+    spark.sql("INSERT INTO graft_wh.ice.writable SELECT * FROM ice_ins_src")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ice.writable")
+      .collect()(0).getLong(0) === 52)
+    // the commit is a REAL Iceberg snapshot: the interop reader (and
+    // hence any other engine) sees the appended rows + snapshot chain
+    val t = graft.table.iceberg.IcebergTable.load(spark, loc)
+    assert(t.scan().count() === 52)
+    assert(t.meta.snapshots.size === 2)
+    assert(t.scan().filter(col("id") >= 100L).count() === 2)
+    // INSERT OVERWRITE replaces content in a new snapshot; the old
+    // snapshot still time-travels
+    val before = t.meta.currentSnapshotId.get
+    Seq((7L, "only")).toDF("id", "v").createOrReplaceTempView("ice_ow_src")
+    spark.sql(
+      "INSERT OVERWRITE graft_wh.ice.writable SELECT * FROM ice_ow_src")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ice.writable")
+      .collect()(0).getLong(0) === 1)
+    val t2 = graft.table.iceberg.IcebergTable.load(spark, loc)
+    assert(t2.meta.currentSnapshot.exists(_.operation == "overwrite"))
+    assert(t2.timeTravel(before).count() === 52)
+  }
+
   test("PARTITIONED BY transforms map onto the Iceberg spec") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.db2")
