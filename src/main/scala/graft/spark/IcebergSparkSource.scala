@@ -143,6 +143,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     table: IcebergTable,
     deletes: Seq[(IcebergAvro.DataFileEntry, Long)])
   extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private def sparkSession = SparkSession.active
@@ -163,6 +165,85 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     }
   }
 
+  // ---- runtime filtering (dynamic file pruning from join keys) -------
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    requiredSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  @volatile private var runtimeStatFilters: Seq[(String, String, String)] = Seq.empty
+
+  /** Runtime IN-filters from the build side of a join become min/max
+    * envelopes over the manifest bounds; equality literals also map
+    * through partition transforms (bucket pruning on foreign tables).
+    * Numeric/string keys only — other literal types render differently
+    * from the canonical stat strings and pruning must stay sound. */
+  override def filter(filters: Array[Filter]): Unit = {
+    def safe(v: Any): Boolean = v.isInstanceOf[Number] || v.isInstanceOf[String]
+    runtimeStatFilters = filters.toSeq.flatMap {
+      case In(c, values) if values.nonEmpty &&
+          values.forall(v => v != null && safe(v)) =>
+        val strs = values.map(_.toString)
+        val cmp: (String, String) => Int =
+          if (values.head.isInstanceOf[Number])
+            (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+          else (a, b) => a.compareTo(b)
+        Seq((c, ">=", strs.min(Ordering.fromLessThan[String](cmp(_, _) < 0))),
+          (c, "<=", strs.max(Ordering.fromLessThan[String](cmp(_, _) < 0))))
+      case EqualTo(c, v) if v != null && safe(v) =>
+        Seq((c, "=", v.toString))
+      case _ => Seq.empty
+    }
+  }
+
+  private def allStatFilters: Seq[(String, String, String)] =
+    statFilters ++ runtimeStatFilters
+
+  // ---- storage-partitioned join over foreign identity/bucket specs --
+
+  private lazy val spec = ice.specs.find(_.specId == ice.defaultSpecId)
+    .map(_.fields).getOrElse(Seq.empty)
+
+  private def srcName(pf: graft.table.iceberg.IcebergMetadata.IcePartitionField): String =
+    ice.schema.fields.find(_.id == pf.sourceId).map(_.name).getOrElse("")
+
+  private def spjEligible: Boolean =
+    spec.nonEmpty && spec.forall(_.transform == "identity") &&
+      spec.forall(pf => requiredSchema.fieldNames.contains(srcName(pf))) &&
+      deletes.isEmpty
+
+  private def bucketSpec
+      : Option[(graft.table.iceberg.IcebergMetadata.IcePartitionField, Int)] =
+    spec match {
+      case Seq(pf) if pf.transform.startsWith("bucket[") &&
+          requiredSchema.fieldNames.contains(srcName(pf)) && deletes.isEmpty =>
+        Some((pf, pf.transform.stripPrefix("bucket[").stripSuffix("]").toInt))
+      case _ => None
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    if (spjEligible) {
+      val parts = planInputPartitions()
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        spec.map(pf =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(srcName(pf))
+            .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]).toArray,
+        parts.length)
+    } else bucketSpec match {
+      case Some((pf, n)) =>
+        val parts = planInputPartitions()
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, srcName(pf))
+            .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]),
+          parts.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
+
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = s"IcebergScan($location)"
@@ -177,9 +258,36 @@ class IcebergScan(location: String, snapshotId: Option[Long],
   @volatile private var deleteSpecsByPartition: Map[Int, Seq[DeleteFilesSpec]] = Map.empty
   @volatile private var posSpecsByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty
 
+  /** Avro partition value → catalyst value for the SPJ key row. */
+  private def catalystKey(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(u.toString)
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case other => other // Integer (int/date), Long (long/timestamp)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = sparkSession
-    val files = table.plannedFiles(snapshotId, statFilters)
+    val files = table.plannedFiles(snapshotId, allStatFilters)
+    def toPartition(idx: Int, bin: Seq[IcebergAvro.DataFileEntry])
+        : org.apache.spark.sql.execution.datasources.FilePartition =
+      GraftConnectorShim.filePartition(idx, bin.map { e =>
+        GraftConnectorShim.partitionedFile(
+          TableIO.qualified(resolve(e.filePath)), e.fileSizeBytes, 0L)
+      })
+    if (spjEligible || bucketSpec.isDefined) {
+      // one keyed partition per partition-value tuple (SPJ layout)
+      val names = if (spjEligible) spec.map(_.name) else Seq(bucketSpec.get._1.name)
+      return files.groupBy(f => names.map(n => f._1.partition.get(n).orNull))
+        .toSeq.sortBy(_._1.map(String.valueOf).mkString("/"))
+        .zipWithIndex.map { case ((key, bin), i) =>
+          KeyedFilePartition(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              key.map(catalystKey).toArray[Any]),
+            toPartition(i, bin.map(_._1))): InputPartition
+        }.toArray
+    }
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
     def sig(seq: Long): (Seq[String], Seq[String]) =
       (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
@@ -189,13 +297,6 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
     val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
     val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
-
-    def toPartition(idx: Int, bin: Seq[IcebergAvro.DataFileEntry])
-        : org.apache.spark.sql.execution.datasources.FilePartition =
-      GraftConnectorShim.filePartition(idx, bin.map { e =>
-        GraftConnectorShim.partitionedFile(
-          TableIO.qualified(resolve(e.filePath)), e.fileSizeBytes, 0L)
-      })
 
     files.groupBy { case (_, _, seq) => sig(seq) }.toSeq
       .sortBy { case ((eq, pos), _) => (eq ++ pos).mkString(";") }
@@ -281,9 +382,9 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     val pushForDelegate =
       if (deletes.exists(_._1.content == 1)) Array.empty[Filter]
       else pushedFilters
-    val delegate: PartitionReaderFactory =
+    val delegate: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
-        spark, ice.schema.toSpark, requiredSchema, pushForDelegate)
+        spark, ice.schema.toSpark, requiredSchema, pushForDelegate))
     if (deletes.isEmpty) delegate
     else MorReaderFactory(delegate, deleteSpecsByPartition, posSpecsByPartition)
   }

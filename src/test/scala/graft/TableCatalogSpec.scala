@@ -220,6 +220,68 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(t2.timeTravel(before).count() === 52)
   }
 
+  test("foreign Iceberg join: runtime filters prune files, results exact") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ice")
+    val loc = s"$wh/ice/rtf"
+    // 4 appends -> 4 files with disjoint id ranges
+    graft.table.iceberg.IcebergWrite.create(spark, loc,
+      (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "x").coalesce(1))
+    Seq(101L to 200L, 201L to 300L, 301L to 400L).foreach(r =>
+      graft.table.iceberg.IcebergWrite.append(spark, loc,
+        r.map(i => (i, i * 2.0)).toDF("id", "x").coalesce(1)))
+    val t = graft.table.iceberg.IcebergTable.load(spark, loc)
+    assert(t.plannedFiles().size === 4)
+    val dim = Seq(5L, 17L, 40L).toDF("k")
+    val fact = spark.table("graft_wh.ice.rtf")
+    val joined = fact.join(broadcast(dim), col("id") === col("k"))
+    assert(joined.count() === 3)
+    // after execution the adaptive plan shows the scan with runtime
+    // group filtering applied (file pruning from the build side)
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("IcebergScan"), planStr)
+    assert(planStr.contains("RuntimeFilters"), planStr)
+  }
+
+  test("foreign Iceberg bucket tables storage-partition-join without a shuffle") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ice")
+    val l1 = s"$wh/ice/spj_a"; val l2 = s"$wh/ice/spj_b"
+    graft.table.iceberg.IcebergWrite.createWithSpec(spark, l1,
+      (1L to 400L).map(i => (i, s"a$i")).toDF("id", "va"),
+      Seq("id" -> "bucket[4]"))
+    graft.table.iceberg.IcebergWrite.createWithSpec(spark, l2,
+      (1L to 400L by 2).map(i => (i, s"b$i")).toDF("id", "vb"),
+      Seq("id" -> "bucket[4]"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val a = spark.table("graft_wh.ice.spj_a")
+      val b = spark.table("graft_wh.ice.spj_b")
+      val joined = a.join(b, "id")
+      val plan = joined.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected a shuffled join operator:\n$plan")
+      val exchangesBelowJoin = joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchangesBelowJoin.isEmpty,
+        s"foreign bucket SPJ must not shuffle either side:\n$plan")
+      assert(joined.count() === 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("PARTITIONED BY transforms map onto the Iceberg spec") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.db2")
