@@ -122,7 +122,7 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long])
     // hand them to the scan — metadata walks are driver round-trips
     // on object storage.
     // pinned metadata: one read serves planning end to end
-    val t = IcebergTable.fromMetadata(SparkSession.active,
+    val t = IcebergTable.fromMetadataAt(SparkSession.active, location,
       graft.table.iceberg.IcebergMetadata.load(location))
     val deletes = t.deleteEntries(snapshotId)
     val eqIds = deletes.map(_._1)
@@ -248,12 +248,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
   override def toBatch: Batch = this
   override def description(): String = s"IcebergScan($location)"
 
-  private def resolve(p: String): org.apache.hadoop.fs.Path = {
-    val u = new java.net.URI(p)
-    if (u.getScheme != null || p.startsWith("/"))
-      new org.apache.hadoop.fs.Path(p)
-    else new org.apache.hadoop.fs.Path(location, p)
-  }
+  private def resolve(p: String): org.apache.hadoop.fs.Path =
+    table.resolvePath(p) // remaps absolute paths across catalog renames
 
   @volatile private var deleteSpecsByPartition: Map[Int, Seq[DeleteFilesSpec]] = Map.empty
   @volatile private var posSpecsByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty

@@ -39,11 +39,56 @@ object Views {
     TableIO.writeString(viewPath(root), mapper.writeValueAsString(n))
   }
 
-  def loadView(root: String): ViewDef = {
-    val n = mapper.readTree(TableIO.readString(viewPath(root)))
-    ViewDef(n.get("name").asText(), n.get("sql").asText(),
+  def loadView(root: String): ViewDef = loadViewVersioned(root)._1
+
+  /** Current view definition + the version file number it came from.
+    * Versioned chain: view-v{N}.json written by commitViewAt (the
+    * REST replace-view path); a bare view.json (createView) reads as
+    * version 1. */
+  def loadViewVersioned(root: String): (ViewDef, Int) = {
+    val dir = TableIO.path(root)
+    val versioned = TableIO.listDir(dir).map(_.getPath.getName)
+      .flatMap {
+        case s if s.startsWith("view-v") && s.endsWith(".json") =>
+          s.stripPrefix("view-v").stripSuffix(".json").toIntOption
+        case _ => None
+      }
+    val (p, v) = versioned.maxOption match {
+      case Some(n) => (TableIO.path(root, s"view-v$n.json"), n)
+      case None => (viewPath(root), 1)
+    }
+    val n = mapper.readTree(TableIO.readString(p))
+    (ViewDef(n.get("name").asText(), n.get("sql").asText(),
       n.get("sources").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
-      n.get("version").asInt())
+      n.get("version").asInt()), v)
+  }
+
+  def viewExists(root: String): Boolean =
+    TableIO.exists(viewPath(root)) || (TableIO.isDirectory(TableIO.path(root)) &&
+      TableIO.listDir(TableIO.path(root)).exists(st =>
+        st.getPath.getName.startsWith("view-v") &&
+          st.getPath.getName.endsWith(".json")))
+
+  /** CAS-commit the next view version against the base the caller
+    * loaded: the rename-without-replace of view-v{base+1}.json is the
+    * atomic claim — a racer that committed first wins, this returns
+    * false (REST maps it to 409). Mirrors the reference's versioned
+    * view representations (iceberg-rust/src/view/transaction/mod.rs:31
+    * update_representation). */
+  def commitViewAt(root: String, d: ViewDef, baseVersion: Int): Boolean = {
+    TableIO.mkdirs(TableIO.path(root))
+    val n = mapper.createObjectNode()
+    n.put("name", d.name); n.put("sql", d.sql)
+    n.put("version", baseVersion + 1)
+    val s = n.putObject("sources")
+    d.sources.foreach { case (k, v) => s.put(k, v) }
+    val tmp = TableIO.path(root,
+      s".tmp-view-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    TableIO.writeString(tmp, mapper.writeValueAsString(n))
+    val ok = TableIO.renameNoReplace(tmp,
+      TableIO.path(root, s"view-v${baseVersion + 1}.json"))
+    if (!ok) TableIO.delete(tmp)
+    ok
   }
 
   /** Execute a view: register each source table's current scan as a

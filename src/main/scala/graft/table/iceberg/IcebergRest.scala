@@ -58,6 +58,28 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
   private def nsRoot(ns: String) = TableIO.path(s"$warehouse/$ns")
   private def tableRoot(ns: String, t: String) = s"$warehouse/$ns/$t"
 
+  /** View definition from a create/replace request body. */
+  private def viewFromBody(name: String,
+      body: com.fasterxml.jackson.databind.JsonNode): graft.table.Views.ViewDef = {
+    import scala.jdk.CollectionConverters._
+    val sql = Option(body.get("sql")).map(_.asText())
+      .getOrElse(throw new BadRequest("sql required"))
+    val sources = Option(body.get("sources")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    graft.table.Views.ViewDef(name, sql, sources, 1)
+  }
+
+  /** LoadViewResult-ish shape: current definition + its version. */
+  private def viewResult(root: String): Array[Byte] = {
+    val (d, version) = graft.table.Views.loadViewVersioned(root)
+    val n = mapper.createObjectNode()
+    n.put("name", d.name); n.put("sql", d.sql)
+    n.put("current-version", version)
+    val s = n.putObject("sources")
+    d.sources.foreach { case (k, v) => s.put(k, v) }
+    json(n)
+  }
+
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripPrefix("/v1").stripSuffix("/")
     val method = ex.getRequestMethod
@@ -193,6 +215,21 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
                     // -1 = the schema added in this same commit
                     acc.copy(currentSchemaId =
                       if (id == -1) acc.schemas.last.schemaId else id)
+                  case "set-properties" =>
+                    val ups = u.get("updates").properties().asScala
+                      .map(e => e.getKey -> e.getValue.asText()).toMap
+                    acc.copy(properties = acc.properties ++ ups)
+                  case "remove-properties" =>
+                    val rems = u.get("removals").elements().asScala
+                      .map(_.asText()).toSeq
+                    acc.copy(properties = acc.properties -- rems)
+                  case "remove-snapshots" =>
+                    val ids = u.get("snapshot-ids").elements().asScala
+                      .map(_.asLong()).toSet
+                    require(!acc.currentSnapshotId.exists(ids.contains),
+                      "cannot remove the current snapshot")
+                    acc.copy(snapshots =
+                      acc.snapshots.filterNot(s => ids.contains(s.snapshotId)))
                   case other =>
                     throw new BadRequest(s"unsupported update $other")
                 }
@@ -208,6 +245,123 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
         val root = tableRoot(ns, t)
         if (!IcebergTable.exists(root)) notFound(ex)
         else reply(ex, 200, loadTableResult(root))
+
+      // ---- views (reference: catalog_api_api.rs create_view :568,
+      // list_views :726, load_view :815, drop_view :640,
+      // replace_view :926) --------------------------------------------
+
+      case ("GET", Seq("namespaces", ns, "views")) =>
+        if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
+        else {
+          val n = mapper.createObjectNode()
+          val arr = n.putArray("identifiers")
+          TableIO.listDir(nsRoot(ns))
+            .filter(st => graft.table.Views.viewExists(st.getPath.toString))
+            .foreach { st =>
+              val id = arr.addObject()
+              id.putArray("namespace").add(ns)
+              id.put("name", st.getPath.getName)
+            }
+          reply(ex, 200, json(n))
+        }
+
+      case ("POST", Seq("namespaces", ns, "views")) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val name = body.get("name").asText()
+        val root = tableRoot(ns, name)
+        if (!TableIO.isDirectory(nsRoot(ns)))
+          reply(ex, 404, errBody(s"namespace $ns does not exist", 404))
+        else if (graft.table.Views.viewExists(root) || IcebergTable.exists(root))
+          reply(ex, 409, errBody("view or table exists", 409))
+        else {
+          val d = viewFromBody(name, body)
+          if (graft.table.Views.commitViewAt(root, d, 0))
+            reply(ex, 200, viewResult(root))
+          else reply(ex, 409, errBody("view exists", 409))
+        }
+
+      case ("GET", Seq("namespaces", ns, "views", v)) =>
+        val root = tableRoot(ns, v)
+        if (!graft.table.Views.viewExists(root)) notFound(ex)
+        else reply(ex, 200, viewResult(root))
+
+      case ("HEAD", Seq("namespaces", ns, "views", v)) =>
+        reply(ex,
+          if (graft.table.Views.viewExists(tableRoot(ns, v))) 204 else 404,
+          Array.empty)
+
+      case ("DELETE", Seq("namespaces", ns, "views", v)) =>
+        val root = tableRoot(ns, v)
+        if (!graft.table.Views.viewExists(root)) notFound(ex)
+        else {
+          TableIO.delete(TableIO.path(root), recursive = true)
+          reply(ex, 204, Array.empty)
+        }
+
+      case ("POST", Seq("namespaces", ns, "views", v)) =>
+        // replace_view: the body carries the new SQL plus the base
+        // version the client loaded; the versioned-file CAS turns a
+        // lost race into 409 (reference: replace_view :926)
+        val root = tableRoot(ns, v)
+        if (!graft.table.Views.viewExists(root)) notFound(ex)
+        else {
+          val body = mapper.readTree(ex.getRequestBody)
+          val base = Option(body.get("base-version")).map(_.asInt())
+            .getOrElse(throw new BadRequest("base-version required"))
+          val (cur, curVersion) = graft.table.Views.loadViewVersioned(root)
+          if (base != curVersion)
+            reply(ex, 409, errBody(
+              s"view moved: base $base, current $curVersion", 409))
+          else {
+            val d = viewFromBody(v, body).copy(name = cur.name)
+            if (graft.table.Views.commitViewAt(root, d, base))
+              reply(ex, 200, viewResult(root))
+            else reply(ex, 409,
+              errBody("view commit conflict: base version superseded", 409))
+          }
+        }
+
+      // ---- rename / register (catalog_api_api.rs rename_table :874,
+      // register_table :848) ------------------------------------------
+
+      case ("POST", Seq("tables", "rename")) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        def ident(k: String): (String, String) = {
+          val n = body.get(k)
+          (n.get("namespace").elements().next().asText(), n.get("name").asText())
+        }
+        val (sns, sname) = ident("source")
+        val (dns, dname) = ident("destination")
+        val src = tableRoot(sns, sname); val dst = tableRoot(dns, dname)
+        if (!IcebergTable.exists(src)) notFound(ex)
+        else if (!TableIO.isDirectory(nsRoot(dns)))
+          reply(ex, 404, errBody(s"namespace $dns does not exist", 404))
+        else if (IcebergTable.exists(dst) || TableIO.exists(TableIO.path(dst)))
+          reply(ex, 409, errBody("destination exists", 409))
+        else {
+          TableIO.rename(TableIO.path(src), TableIO.path(dst))
+          reply(ex, 204, Array.empty)
+        }
+
+      case ("POST", Seq("namespaces", ns, "register")) =>
+        // register an EXISTING table (metadata written by any engine)
+        // under this catalog: the metadata is imported as version 1
+        // here; its `location` keeps pointing at the original data
+        val body = mapper.readTree(ex.getRequestBody)
+        val name = body.get("name").asText()
+        val mLoc = body.get("metadata-location").asText()
+        val root = tableRoot(ns, name)
+        if (!TableIO.isDirectory(nsRoot(ns)))
+          reply(ex, 404, errBody(s"namespace $ns does not exist", 404))
+        else if (IcebergTable.exists(root))
+          reply(ex, 409, errBody("table exists", 409))
+        else {
+          val m = IcebergMetadata.fromJson(
+            TableIO.readString(TableIO.path(mLoc)))
+          if (IcebergMetadata.commitAt(root, m, 0))
+            reply(ex, 200, loadTableResult(root))
+          else reply(ex, 409, errBody("table exists", 409))
+        }
 
       case ("HEAD", Seq("namespaces", ns, "tables", t)) =>
         reply(ex,
@@ -301,7 +455,11 @@ object IcebergRestClient {
     val res = get(s"$base/v1/namespaces/$ns/tables/$table")
     val m = IcebergMetadata.fromJson(
       mapper.writeValueAsString(res.get("metadata")))
-    IcebergTable.fromMetadata(spark, m)
+    // anchor at the served metadata file's table dir, not the recorded
+    // location — they differ after a catalog rename
+    val mLoc = new org.apache.hadoop.fs.Path(res.get("metadata-location").asText())
+    val root = mLoc.getParent.getParent.toUri.getPath
+    IcebergTable.fromMetadataAt(spark, root, m)
   }
 
   private def post(uri: String, body: String): java.net.http.HttpResponse[String] =
@@ -320,6 +478,111 @@ object IcebergRestClient {
       IcebergMetadata.schemaToNode(IcebergMetadata.schemaFromSpark(schema)))
     val resp = post(s"$base/v1/namespaces/$ns/tables", mapper.writeValueAsString(n))
     require(resp.statusCode() == 200, s"createTable -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  private def delete(uri: String): Int =
+    http.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+        .DELETE().build(),
+      java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+
+  // ---- views ----------------------------------------------------------
+
+  def listViews(base: String, ns: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    get(s"$base/v1/namespaces/$ns/views").get("identifiers").elements()
+      .asScala.map(_.get("name").asText()).toSeq
+  }
+
+  def createView(base: String, ns: String, name: String, sql: String,
+      sources: Map[String, String] = Map.empty): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("name", name); n.put("sql", sql)
+    val s = n.putObject("sources")
+    sources.foreach { case (k, v) => s.put(k, v) }
+    val resp = post(s"$base/v1/namespaces/$ns/views", mapper.writeValueAsString(n))
+    require(resp.statusCode() == 200,
+      s"createView -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** (sql, sources, current version). */
+  def loadView(base: String, ns: String, name: String)
+      : (String, Map[String, String], Int) = {
+    import scala.jdk.CollectionConverters._
+    val n = get(s"$base/v1/namespaces/$ns/views/$name")
+    (n.get("sql").asText(),
+      n.get("sources").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap,
+      n.get("current-version").asInt())
+  }
+
+  /** Replace the view SQL against the base version the caller loaded;
+    * returns the HTTP status (200 ok, 409 lost race). */
+  def replaceView(base: String, ns: String, name: String, sql: String,
+      baseVersion: Int, sources: Map[String, String] = Map.empty): Int = {
+    val n = mapper.createObjectNode()
+    n.put("sql", sql); n.put("base-version", baseVersion)
+    val s = n.putObject("sources")
+    sources.foreach { case (k, v) => s.put(k, v) }
+    post(s"$base/v1/namespaces/$ns/views/$name",
+      mapper.writeValueAsString(n)).statusCode()
+  }
+
+  def dropView(base: String, ns: String, name: String): Unit =
+    require(delete(s"$base/v1/namespaces/$ns/views/$name") == 204, "dropView failed")
+
+  // ---- rename / register / properties ---------------------------------
+
+  def renameTable(base: String, ns: String, from: String, to: String,
+      toNs: String = null): Unit = {
+    val n = mapper.createObjectNode()
+    val s = n.putObject("source")
+    s.putArray("namespace").add(ns); s.put("name", from)
+    val d = n.putObject("destination")
+    d.putArray("namespace").add(if (toNs == null) ns else toNs)
+    d.put("name", to)
+    val resp = post(s"$base/v1/tables/rename", mapper.writeValueAsString(n))
+    require(resp.statusCode() == 204,
+      s"renameTable -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  def registerTable(base: String, ns: String, name: String,
+      metadataLocation: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("name", name); n.put("metadata-location", metadataLocation)
+    val resp = post(s"$base/v1/namespaces/$ns/register",
+      mapper.writeValueAsString(n))
+    require(resp.statusCode() == 200,
+      s"registerTable -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** Set/remove table properties through the commit protocol
+    * (set-properties / remove-properties updates, uuid-asserted). */
+  def updateProperties(base: String, ns: String, table: String,
+      set: Map[String, String], remove: Seq[String] = Seq.empty): Unit = {
+    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val uuid = res.get("metadata").get("table-uuid").asText()
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-table-uuid"); r.put("uuid", uuid)
+    val ups = body.putArray("updates")
+    if (set.nonEmpty) {
+      val u = ups.addObject()
+      u.put("action", "set-properties")
+      val m = u.putObject("updates")
+      set.foreach { case (k, v) => m.put(k, v) }
+    }
+    if (remove.nonEmpty) {
+      val u = ups.addObject()
+      u.put("action", "remove-properties")
+      val arr = u.putArray("removals")
+      remove.foreach(arr.add)
+    }
+    val resp = post(s"$base/v1/namespaces/$ns/tables/$table",
+      mapper.writeValueAsString(body))
+    require(resp.statusCode() == 200,
+      s"updateProperties -> ${resp.statusCode()}: ${resp.body()}")
   }
 
   /** Append via the REST commit protocol: write data + manifests into

@@ -25,13 +25,37 @@ class IcebergTable private (val location: String, val spark: SparkSession,
 
   def schema: StructType = meta.schema.toSpark
 
-  /** Resolve a path stored in metadata (absolute URI or
-    * location-relative). */
-  private def resolve(p: String): HPath = {
-    val u = new java.net.URI(p)
-    if (u.getScheme != null || p.startsWith("/")) new HPath(p)
-    else new HPath(location, p)
+  private def norm(s: String): String = s.replaceFirst("^[a-z]+:/+", "/")
+
+  /** When the table was RENAMED through a catalog, the directory moved
+    * but metadata still holds absolute paths under the old location.
+    * If the recorded location differs from where the table actually
+    * lives AND nothing exists at the recorded location anymore, remap
+    * old-prefix paths to the actual root. (A REGISTERED table also has
+    * location != root, but its recorded location still exists and owns
+    * the data — no remap.) */
+  private lazy val remapFrom: Option[String] = {
+    val recorded = pinned.map(_.location)
+      .getOrElse(scala.util.Try(meta.location).getOrElse(location))
+    if (recorded.nonEmpty && norm(recorded) != norm(location) &&
+        !TableIO.isDirectory(TableIO.path(recorded))) Some(norm(recorded))
+    else None
   }
+
+  /** Resolve a path stored in metadata (absolute URI or
+    * location-relative), remapping across catalog renames. */
+  def resolvePath(p: String): HPath = {
+    val q = remapFrom match {
+      case Some(old) if norm(p).startsWith(old) =>
+        location + norm(p).stripPrefix(old)
+      case _ => p
+    }
+    val u = new java.net.URI(q)
+    if (u.getScheme != null || q.startsWith("/")) new HPath(q)
+    else new HPath(location, q)
+  }
+
+  private def resolve(p: String): HPath = resolvePath(p)
 
   /** Live data-file entries at a snapshot, with decoded stats and the
     * data sequence number (per-entry, else inherited from the
@@ -232,6 +256,13 @@ object IcebergTable {
   def fromMetadata(spark: SparkSession,
       m: IcebergMetadata.IceMetadata): IcebergTable =
     new IcebergTable(m.location, spark, Some(m))
+
+  /** Like fromMetadata, but anchored at the directory the table
+    * ACTUALLY lives in (a catalog rename moves the directory without
+    * rewriting recorded absolute paths — resolution remaps them). */
+  def fromMetadataAt(spark: SparkSession, root: String,
+      m: IcebergMetadata.IceMetadata): IcebergTable =
+    new IcebergTable(root, spark, Some(m))
 
   def exists(location: String): Boolean =
     TableIO.exists(TableIO.path(location, "metadata"))

@@ -235,6 +235,64 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.meta.schema.fields.map(_.id) === Seq(1, 2, 3))
   }
 
+  test("REST views, rename, register, properties round-trip over HTTP") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val wh = Files.createTempDirectory("graft-rest-v").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+
+      // -- views: create / list / load / replace(+CAS 409) / drop
+      C.createView(base, "db", "v_top", "SELECT id FROM src WHERE id > 10")
+      assert(C.listViews(base, "db") === Seq("v_top"))
+      val (sql1, _, ver1) = C.loadView(base, "db", "v_top")
+      assert(sql1.contains("id > 10") && ver1 === 1)
+      assert(C.replaceView(base, "db", "v_top",
+        "SELECT id FROM src WHERE id > 20", baseVersion = 1) === 200)
+      val (sql2, _, ver2) = C.loadView(base, "db", "v_top")
+      assert(sql2.contains("id > 20") && ver2 === 2)
+      // lost view-commit race: stale base -> 409, current def untouched
+      assert(C.replaceView(base, "db", "v_top",
+        "SELECT 1", baseVersion = 1) === 409)
+      assert(C.loadView(base, "db", "v_top")._1.contains("id > 20"))
+      C.dropView(base, "db", "v_top")
+      assert(C.listViews(base, "db").isEmpty)
+
+      // -- rename_table: content + snapshots follow the new identity
+      val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      IcebergWrite.create(spark, s"$wh/db/orig", df)
+      C.renameTable(base, "db", "orig", "renamed")
+      assert(C.listTables(base, "db") === Seq("renamed"))
+      assert(!C.tableExists(base, "db", "orig"))
+      assert(C.loadTable(spark, base, "db", "renamed").scan().count() === 40)
+
+      // -- register_table: metadata written OUTSIDE the warehouse
+      val ext = Files.createTempDirectory("graft-ext").toString + "/t"
+      IcebergWrite.create(spark, ext,
+        (1L to 25L).map(i => (i, i * 2.0)).toDF("id", "x").coalesce(1))
+      val mLoc = graft.table.iceberg.IcebergMetadata
+        .currentMetadataFile(ext).toString
+      C.registerTable(base, "db", "reg", mLoc)
+      assert(C.tableExists(base, "db", "reg"))
+      // scans resolve data at the ORIGINAL location
+      assert(C.loadTable(spark, base, "db", "reg").scan().count() === 25)
+
+      // -- properties through the commit protocol
+      C.updateProperties(base, "db", "renamed",
+        set = Map("owner" -> "graft", "retention" -> "7d"))
+      val m1 = C.loadTable(spark, base, "db", "renamed").meta
+      assert(m1.properties.get("owner").contains("graft"))
+      C.updateProperties(base, "db", "renamed",
+        set = Map.empty, remove = Seq("retention"))
+      val m2 = C.loadTable(spark, base, "db", "renamed").meta
+      assert(!m2.properties.contains("retention"))
+      assert(m2.properties.get("owner").contains("graft"))
+    } finally server.stop()
+  }
+
   test("REST catalog serves discovery + metadata; client scans over HTTP metadata") {
     val spark0 = spark
     import spark0.implicits._
