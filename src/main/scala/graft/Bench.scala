@@ -29,10 +29,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision timings go to a sidecar file; stdout carries ONE
+    // compact JSON line. The line must stay well under 2000 bytes: the
+    // harness keeps only the final 2000 bytes of output (plus sbt's
+    // trailing "[success]" line) when extracting the metric, so
+    // full-precision doubles for ~80 queries would push the line's
+    // start out of that window and the metric would never parse.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    def fmt(v: Double): String = f"$v%.2f"
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"sf":$sfNum}"""
+    try {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -108,8 +108,16 @@ object Dedup {
     * round every node adopts the smallest label in its neighborhood
     * (one shuffle per round, cached between rounds); converges in
     * O(diameter) rounds — near-dup clusters are shallow, so few. The
-    * exact transitive-closure upgrade of the one-pass keep-min policy. */
-  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * exact transitive-closure upgrade of the one-pass keep-min policy.
+    *
+    * Scale hardening: every 5th round the label frame is
+    * `localCheckpoint`ed, truncating the otherwise linearly growing
+    * plan lineage (at 100 TB a deep chain would re-plan an iter-deep
+    * DAG each round). Non-convergence at `maxIter` is never silent:
+    * it logs a warning and, with `requireConvergence`, throws — split
+    * clusters must not masquerade as exact components. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      requireConvergence: Boolean = false): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -122,11 +130,12 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      val joined = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+      val updated =
+        if ((i + 1) % 5 == 0) joined.localCheckpoint() else joined.cache()
       val changed = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
@@ -135,6 +144,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged) {
+      val msg = s"connectedComponents did not converge within $maxIter iterations; " +
+        "labels may name split clusters (raise maxIter for deep chains)"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 
@@ -306,9 +321,60 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
 ORDER BY doc_a, doc_b"""
 
+  /** Shared oracle fragment: true word-3-gram Jaccard >= 0.5 pairs,
+    * recomputed exhaustively (all pairs) in DuckDB. At gate scale the
+    * LSH candidates equal exactly this set (asserted independently by
+    * the dd_minhash_pairs oracle), so downstream keys built on the
+    * candidate set can be oracled against the true-pair set. */
+  private val truePairsCte: String =
+    """sh AS (
+        SELECT doc_id,
+          CASE WHEN len(ws) >= 3
+            THEN list_distinct(list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+            ELSE [trim(lower(text))] END AS sh_arr
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh_arr, b.sh_arr))::DOUBLE
+            / len(list_distinct(list_concat(a.sh_arr, b.sh_arr))) >= 0.5)"""
+
+  /** Oracle for the keep-min-neighbor dedup: a doc dies iff it is the
+    * larger id of some true near-dup pair. */
+  val ddMinhashDedupSql: String =
+    s"""WITH $truePairsCte
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+      ORDER BY doc_id"""
+
+  /** Oracle for the exact-cluster dedup: DuckDB recomputes connected
+    * components by recursive transitive closure (every node's cluster
+    * = the minimum doc_id it can reach) — an independent formulation
+    * of the engine's iterative min-label propagation. */
+  val ddMinhashClusterSql: String =
+    s"""WITH RECURSIVE $truePairsCte,
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+      surv AS (SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS cluster_size
+               FROM comp GROUP BY cluster)
+      SELECT doc_id, 1::BIGINT AS cluster_size FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+      UNION ALL
+      SELECT doc_id, cluster_size FROM surv
+      ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashPairsSql,
+    "dd_minhash_dedup" -> ddMinhashDedupSql,
+    "dd_minhash_cluster" -> ddMinhashClusterSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql)
 }

@@ -53,6 +53,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(comp(10L) === 10L && comp(11L) === 10L)
   }
 
+  test("connected components surfaces non-convergence on chains deeper than maxIter") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a 9-edge path needs ~ceil(log2(9)) doubling rounds under plain
+    // min-label propagation; with maxIter=2 it cannot converge
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      ops.Dedup.connectedComponents(chain, maxIter = 2, requireConvergence = true).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // without requireConvergence the same run returns (possibly split)
+    // labels and only warns — every node still gets a label
+    val labels = ops.Dedup.connectedComponents(chain, maxIter = 2).collect()
+    assert(labels.length === 10)
+    // and with enough iterations the checkpointed loop converges to one cluster
+    val full = ops.Dedup.connectedComponents(chain, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet === Set(1L))
+  }
+
   test("minhash cluster dedup covers all docs exactly once") {
     val out = ops.Dedup.ddMinhashCluster(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()

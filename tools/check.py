@@ -5,9 +5,13 @@ against DuckDB oracles on the same parquet tables, compare sorted rows.
 Usage: python3 tools/check.py <sfDir> <outDir>
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pandas as pd
+
+# STRICT=1 → floats must match bit-exactly (mirrors the driver's hash
+# compare); default allows 1e-9 relative drift (row/schema-level check).
+STRICT = os.environ.get("STRICT", "0") == "1"
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -41,6 +45,8 @@ def values_close(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if STRICT:
+            return a == b
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
 
