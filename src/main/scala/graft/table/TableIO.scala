@@ -90,6 +90,26 @@ object TableIO {
   def listFilesRecursive(p: HPath): Seq[(HPath, Long, Long)] = {
     val f = fs(p)
     if (!f.exists(p)) return Seq.empty
+    // Local-FS fast path: Hadoop's LocalFileSystem materializes each
+    // LocatedFileStatus permission by exec'ing `ls` per file (~5 ms
+    // each) — a recursive NIO walk reads the same (path, size, mtime)
+    // three orders of magnitude faster. Remote schemes keep the flat
+    // listFiles listing.
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val root = java.nio.file.Paths.get(p.toUri.getPath)
+      val out = scala.collection.mutable.ArrayBuffer[(HPath, Long, Long)]()
+      java.nio.file.Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+        override def visitFile(file: java.nio.file.Path,
+            attrs: java.nio.file.attribute.BasicFileAttributes): java.nio.file.FileVisitResult = {
+          if (attrs.isRegularFile && !file.getFileName.toString.startsWith("."))
+            out += ((new HPath("file://" + file.toAbsolutePath.toString),
+              attrs.size(), attrs.lastModifiedTime().toMillis))
+          java.nio.file.FileVisitResult.CONTINUE
+        }
+      })
+      return out.toSeq
+    }
     val it = f.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer[(HPath, Long, Long)]()
     while (it.hasNext) {

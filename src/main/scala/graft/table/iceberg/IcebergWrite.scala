@@ -23,6 +23,28 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergWrite {
 
+  /** (record count, lower bounds, upper bounds, null counts) keyed by
+    * Iceberg field id, values in single-value binary encoding. */
+  private type FileStats =
+    (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long])
+
+  /** Map `xs` on a bounded driver thread pool — for per-file metadata
+    * operations (renames) whose latency is per-RPC, not per-byte. */
+  private def parallelOnDriver[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.size <= 4) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, xs.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = xs.map(x => new java.util.concurrent.Callable[B] {
+          override def call(): B = f(x)
+        })
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    }
+  }
+
   /** Create an Iceberg table at `location` with `df` as snapshot 1.
     * `partitionCols` become identity partition fields: data files land
     * in partition dirs and manifests carry typed partition structs
@@ -86,6 +108,13 @@ object IcebergWrite {
     * over metadata `m` and return the snapshot — WITHOUT committing
     * metadata. Local commits writeNext; REST commits POST this
     * snapshot through the commit protocol instead. */
+  private val profile = java.lang.Boolean.getBoolean("graft.iceberg.profile")
+  @inline private def timed[T](label: String)(f: => T): T =
+    if (!profile) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[iceprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
   def prepareAppend(spark: SparkSession,
       m: IcebergMetadata.IceMetadata, df: DataFrame): IcebergMetadata.IceSnapshot = {
     val location = m.location
@@ -104,7 +133,7 @@ object IcebergWrite {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
-    try {
+    try { timed("write-parquet") {
       if (spec.isEmpty) df.write.parquet(staging.toString)
       else {
         import org.apache.spark.sql.functions.col
@@ -113,12 +142,18 @@ object IcebergWrite {
             Transforms.column(pf.transform, col(src),
               sparkSchema.fields.find(_.name == src).get.dataType))
         }
+        // The staging dir is private to this commit and the table
+        // becomes visible only at the metadata CAS, so the v2 commit
+        // algorithm's task-side renames (parallel, executor-side) are
+        // safe here — v1's sequential driver-side merge dominates a
+        // fine-grained spec's many partition dirs.
         withHelpers
           .repartition(specHelpers.map(col): _*)
           .write.partitionBy(specHelpers: _*)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .parquet(staging.toString)
       }
-    } finally prev match {
+    } } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
@@ -126,10 +161,13 @@ object IcebergWrite {
     TableIO.mkdirs(dataDir)
     // files FLATTEN into data/ — Iceberg carries partition values in
     // the manifest, not the directory layout, and flat names keep the
-    // stored file paths free of escaped partition-value characters
-    val moved = TableIO.listFilesRecursive(staging)
-      .filter(_._1.getName.endsWith(".parquet"))
-      .map { case (src, sz, _) =>
+    // stored file paths free of escaped partition-value characters.
+    // Renames run on a driver thread pool: a fine-grained partition
+    // spec (month × bucket) yields hundreds of files and sequential
+    // per-file metadata RPCs would dominate the commit.
+    val staged = timed("list-staging")(TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet")))
+    val moved = timed("rename")(parallelOnDriver(staged) { case (src, sz, _) =>
         val rel = TableIO.relativize(staging, src)
         val dest = new HPath(dataDir,
           s"${UUID.randomUUID().toString.take(8)}-${src.getName}")
@@ -138,8 +176,26 @@ object IcebergWrite {
         val dirVals = rel.split("/").dropRight(1)
           .map(_.split("=", 2)).map(a => a(0).stripPrefix("_p_") -> a(1)).toMap
         (dest, sz, spec.map(pf => dirVals.getOrElse(pf.name, null)))
-      }
-    TableIO.delete(staging, recursive = true)
+      })
+    timed("delete-staging")(TableIO.delete(staging, recursive = true))
+
+    // Per-file stats: above a handful of files the footer reads run as
+    // a Spark job (the same shape as FooterStats.collect) — at commit
+    // time only the small encoded stat maps cross back to the driver,
+    // never file contents. Sequentially for tiny appends, where job
+    // latency would exceed the work.
+    val statsByPath: Map[String, FileStats] = timed("footer-stats")(
+      if (moved.size <= 8)
+        moved.map { case (p, _, _) =>
+          p.toString -> footerBounds(p, sparkSchema, schema)
+        }.toMap
+      else {
+        val paths = moved.map(_._1.toString)
+        val slices = math.min(paths.size, spark.sparkContext.defaultParallelism)
+        spark.sparkContext.parallelize(paths, slices)
+          .map(ps => ps -> footerBounds(new HPath(ps), sparkSchema, schema))
+          .collect().toMap
+      })
 
     val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = m.lastSequenceNumber + 1
@@ -149,7 +205,7 @@ object IcebergWrite {
     val partRecordJson = partitionRecordJson(spec, schema)
     val specJson = partitionSpecJson(spec, m.defaultSpecId)
     val entryAndRows = moved.map { case (p, sz, partVals) =>
-      val (records, lower, upper, nulls) = footerBounds(p, sparkSchema, schema)
+      val (records, lower, upper, nulls) = statsByPath(p.toString)
       val e = IcebergAvro.record(IcebergAvro.manifestSchema(partRecordJson))
       e.put("status", 1) // added
       e.put("snapshot_id", snapshotId)
@@ -181,8 +237,8 @@ object IcebergWrite {
     val metaDir = TableIO.path(location, "metadata")
     TableIO.mkdirs(metaDir)
     val manifestPath = new HPath(metaDir, s"manifest-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
-    val manifestLen = IcebergAvro.writeManifest(
-      manifestPath, partRecordJson, manifestEntries, schemaJson, specJson)
+    val manifestLen = timed("write-manifest")(IcebergAvro.writeManifest(
+      manifestPath, partRecordJson, manifestEntries, schemaJson, specJson))
 
     // 3. manifest list: previous snapshot's manifests + the new one
     val prevManifests = m.currentSnapshot.map(s =>

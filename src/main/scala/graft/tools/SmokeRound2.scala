@@ -104,12 +104,14 @@ object SmokeRound2 {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
-    // 5. hash-parity spot check: decimal output types on fixed queries
+    // 5. hash-parity spot check: q14 rounds in decimal space, then both
+    // sides cast back to double (the final fix that made the oracle
+    // hash-match) — the output type must be DoubleType on our side too
     {
       val d = graft.SparkEntry.queries("q14_conditional_agg")(spark, "/root/testdata/sf0.001")
       val tpe = d.schema("big_total").dataType
-      println(s"[5] q14 big_total type=$tpe expect DecimalType(18,2): " +
-        (tpe == org.apache.spark.sql.types.DecimalType(18, 2)))
+      println(s"[5] q14 big_total type=$tpe expect DoubleType: " +
+        (tpe == org.apache.spark.sql.types.DoubleType))
     }
 
     spark.stop()
