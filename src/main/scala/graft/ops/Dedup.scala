@@ -104,22 +104,73 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Connected components by iterative min-label propagation: each
+  /** Connected components over the candidate-pair graph.
+    *
+    * Size-gated two-tier strategy (the same shape as the
+    * dd_embed_neardup gate): LSH candidate graphs are SPARSE — edge
+    * count is orders of magnitude below row count — so up to
+    * `localThreshold` edges (default 1M ≈ 16 MB) the edge list is
+    * collected once and resolved EXACTLY by union-find on the driver:
+    * one pass, no iterative shuffle rounds, always converged. Above
+    * the gate, iterative min-label propagation runs distributed: each
     * round every node adopts the smallest label in its neighborhood
     * (one shuffle per round, cached between rounds); converges in
-    * O(diameter) rounds — near-dup clusters are shallow, so few. The
-    * exact transitive-closure upgrade of the one-pass keep-min policy.
+    * O(diameter) rounds — near-dup clusters are shallow, so few.
     *
-    * Scale hardening: every 5th round the label frame is
-    * `localCheckpoint`ed, truncating the otherwise linearly growing
-    * plan lineage (at 100 TB a deep chain would re-plan an iter-deep
-    * DAG each round). Non-convergence at `maxIter` is never silent:
-    * it logs a warning and, with `requireConvergence`, throws — split
-    * clusters must not masquerade as exact components. */
+    * Scale hardening (distributed tier): every 5th round the label
+    * frame is `localCheckpoint`ed, truncating the otherwise linearly
+    * growing plan lineage (at 100 TB a deep chain would re-plan an
+    * iter-deep DAG each round). Non-convergence at `maxIter` is never
+    * silent: it logs a warning and, with `requireConvergence`, throws
+    * — split clusters must not masquerade as exact components. */
+  /** Exact union-find over a collected edge list; roots are kept at
+    * the component minimum, so the emitted `cluster` label equals the
+    * smallest member id — identical to what min-label propagation
+    * converges to. Id type is carried through generically (Long or
+    * String doc ids both order naturally). */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean = a match {
+      case c: java.lang.Comparable[_] =>
+        c.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
+      case _ => a.toString < b.toString
+    }
+    edgeRows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach(id =>
+      out.add(org.apache.spark.sql.Row(id, find(id))))
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", idType), StructField("cluster", idType))))
+  }
+
   private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-      requireConvergence: Boolean = false): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      requireConvergence: Boolean = false,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val deduped = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val nEdges = deduped.count()
+    if (nEdges <= localThreshold) {
+      val rows = deduped.collect()
+      deduped.unpersist()
+      return localUnionFind(pairs.sparkSession, rows,
+        pairs.schema("doc_a").dataType)
+    }
+    val edges = deduped.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(deduped.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
@@ -144,6 +195,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    deduped.unpersist()
     if (!converged) {
       val msg = s"connectedComponents did not converge within $maxIter iterations; " +
         "labels may name split clusters (raise maxIter for deep chains)"

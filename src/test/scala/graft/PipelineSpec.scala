@@ -60,15 +60,15 @@ class PipelineSpec extends AnyFunSuite {
     // min-label propagation; with maxIter=2 it cannot converge
     val chain = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val ex = intercept[IllegalStateException] {
-      ops.Dedup.connectedComponents(chain, maxIter = 2, requireConvergence = true).collect()
+      ops.Dedup.connectedComponents(chain, maxIter = 2, requireConvergence = true, localThreshold = 0L).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
     // without requireConvergence the same run returns (possibly split)
     // labels and only warns — every node still gets a label
-    val labels = ops.Dedup.connectedComponents(chain, maxIter = 2).collect()
+    val labels = ops.Dedup.connectedComponents(chain, maxIter = 2, localThreshold = 0L).collect()
     assert(labels.length === 10)
     // and with enough iterations the checkpointed loop converges to one cluster
-    val full = ops.Dedup.connectedComponents(chain, maxIter = 12).collect()
+    val full = ops.Dedup.connectedComponents(chain, maxIter = 12, localThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full.values.toSet === Set(1L))
   }
