@@ -263,13 +263,39 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** Files selected for a scan after stats pruning — the manifest-level
     * skip (reference: pruning_statistics.rs). `null` stats or
     * non-prunable columns keep the file (pruning must be sound). */
+  /** Column-bound check shared by manifest-group and per-file pruning:
+    * true when the [min,max] window could contain a match. */
+  private def boundsAdmit(st: Meta.ColStats, dt: DataType,
+      flt: StatFilter): Boolean = {
+    if (st.min.isEmpty || st.max.isEmpty) return true
+    val cmp = Meta.comparator(dt)
+    flt.op match {
+      case "=" => cmp(st.min, flt.value) <= 0 && cmp(st.max, flt.value) >= 0
+      case ">" => cmp(st.max, flt.value) > 0
+      case ">=" => cmp(st.max, flt.value) >= 0
+      case "<" => cmp(st.min, flt.value) < 0
+      case "<=" => cmp(st.min, flt.value) <= 0
+      case _ => true
+    }
+  }
+
   def plannedFiles(filters: Seq[StatFilter], snapshotId: Option[Long] = None,
       branch: Option[String] = None): Seq[Meta.DataFile] = {
     val m = meta
     val snapId = branch.flatMap(m.refs.get).orElse(snapshotId)
-    val live = m.liveFiles(snapId)
     val schema = m.schemas(snapId.flatMap(m.snapshot).map(_.schemaId)
       .getOrElse(m.currentSchemaId))
+    // manifest-first: a spilled group whose aggregate bounds exclude
+    // every filter match is skipped without reading its manifest file
+    // — planning IO stays proportional to the MATCHING metadata, not
+    // the table's full history (at 100 TB the manifest tier, not the
+    // file tier, is what must be pruned first).
+    val live = m.liveFilesPruned(snapId, s => filters.forall { flt =>
+      (s.manifestStats.get(flt.column), schema.fields.find(_.name == flt.column)) match {
+        case (Some(st), Some(field)) => boundsAdmit(st, field.dataType, flt)
+        case _ => true
+      }
+    })
     val partFields = m.spec.map(_.name).toSet
     live.filter { f =>
       filters.forall { flt =>
@@ -303,30 +329,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
             case None => true
           }
         } else (f.stats.get(flt.column), schema.fields.find(_.name == flt.column)) match {
-          case (Some(st), Some(field)) if st.min.nonEmpty && st.max.nonEmpty =>
-            val cmp = comparator(field.dataType)
-            flt.op match {
-              case "=" => cmp(st.min, flt.value) <= 0 && cmp(st.max, flt.value) >= 0
-              case ">" => cmp(st.max, flt.value) > 0
-              case ">=" => cmp(st.max, flt.value) >= 0
-              case "<" => cmp(st.min, flt.value) < 0
-              case "<=" => cmp(st.min, flt.value) <= 0
-              case _ => true
-            }
+          case (Some(st), Some(field)) => boundsAdmit(st, field.dataType, flt)
           case _ => true
         }
       }
     }
   }
 
-  private def comparator(t: DataType): (String, String) => Int = t match {
-    case _: IntegerType | _: LongType | _: ShortType =>
-      (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
-    case _: DoubleType | _: FloatType =>
-      (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
-    // dates/timestamps cast to ISO strings — lexicographic works
-    case _ => (a, b) => a.compareTo(b)
-  }
+  private def comparator(t: DataType): (String, String) => Int =
+    Meta.comparator(t)
 
   /** Scan: assemble the DataFrame from the live (possibly pruned) file
     * list under the snapshot's schema. Missing columns in old files

@@ -63,6 +63,14 @@ object Meta {
       /** large manifests spill out of the metadata JSON (see
         * spillManifests); when set, addedFiles lives in this file */
       manifestPath: Option[String] = None,
+      /** aggregate column bounds over a SPILLED manifest group,
+        * computed at spill time: min-of-mins / max-of-maxs / summed
+        * nulls per column, only for columns where EVERY file in the
+        * group carries usable stats. Lets planning skip the group —
+        * and the IO to load its entries — when a predicate cannot
+        * match (reference: manifest_list.rs partition summaries serve
+        * the same manifest-first prune). */
+      manifestStats: Map[String, ColStats] = Map.empty,
       /** merge-on-read: equality-delete files added/removed by this
         * snapshot (applied at scan via anti-join until a rewrite
         * folds them in) */
@@ -121,6 +129,20 @@ object Meta {
     /** Live file set at a snapshot, replaying the append/remove chain. */
     def liveFiles(snapshotId: Option[Long]): Seq[DataFile] =
       chainTo(snapshotId).foldLeft(Seq.empty[DataFile])((live, s) => s(live))
+
+    /** Like liveFiles, but a snapshot whose spilled manifest group is
+      * rejected by `keepGroup` contributes no files — and its manifest
+      * file is never read (manifest-first pruning). Later snapshots'
+      * removals still apply to files already accumulated. Only sound
+      * when `keepGroup` is a proof that no file in the group can
+      * match the scan's predicate. */
+    def liveFilesPruned(snapshotId: Option[Long],
+        keepGroup: Snapshot => Boolean): Seq[DataFile] =
+      chainTo(snapshotId).foldLeft(Seq.empty[DataFile]) { (live, s) =>
+        val removed = s.removedPaths.toSet
+        val kept = live.filterNot(f => removed.contains(f.path))
+        if (s.manifestPath.isEmpty || keepGroup(s)) kept ++ s.files else kept
+      }
 
     /** Live equality-delete files at a snapshot (merge-on-read). */
     def liveDeleteFiles(snapshotId: Option[Long]): Seq[DataFile] =
@@ -206,6 +228,8 @@ object Meta {
       s.removedPaths.foreach(rp.add)
       n.put("schema_id", s.schemaId)
       s.manifestPath.foreach(p => n.put("manifest_path", p))
+      if (s.manifestStats.nonEmpty)
+        n.set[ObjectNode]("manifest_stats", statsNode(s.manifestStats))
       if (s.addedDeleteFiles.nonEmpty) {
         val adf = n.putArray("added_delete_files")
         s.addedDeleteFiles.foreach(f => adf.add(fileNode(f)))
@@ -275,6 +299,8 @@ object Meta {
         summary = n.get("summary").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap,
         manifestPath = Option(n.get("manifest_path")).map(_.asText()),
+        manifestStats = Option(n.get("manifest_stats")).map(readStats)
+          .getOrElse(Map.empty),
         addedDeleteFiles = Option(n.get("added_delete_files")).map(
           _.elements().asScala.map(readFile).toSeq).getOrElse(Seq.empty),
         removedDeletePaths = Option(n.get("removed_delete_paths")).map(
@@ -314,17 +340,53 @@ object Meta {
     * table_metadata for the same reason). */
   private val InlineManifestLimit = 64
 
+  /** Type-aware comparison over the string-encoded stat values (dates
+    * and timestamps serialize to ISO strings, where lexicographic
+    * order is value order). */
+  def comparator(t: org.apache.spark.sql.types.DataType): (String, String) => Int = t match {
+    case _: org.apache.spark.sql.types.IntegerType |
+         _: org.apache.spark.sql.types.LongType |
+         _: org.apache.spark.sql.types.ShortType =>
+      (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+    case _: org.apache.spark.sql.types.DoubleType |
+         _: org.apache.spark.sql.types.FloatType =>
+      (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => (a, b) => a.compareTo(b)
+  }
+
+  /** Aggregate bounds over a group's files: a column participates only
+    * if every file has usable stats for it — a single stat-less file
+    * would make the group bound unsound. */
+  private def groupStats(files: Seq[DataFile],
+      schema: StructType): Map[String, ColStats] =
+    schema.fields.flatMap { field =>
+      val per = files.map(_.stats.get(field.name))
+      if (per.exists(st => st.isEmpty || st.get.min.isEmpty || st.get.max.isEmpty)) None
+      else {
+        val cmp = comparator(field.dataType)
+        val sts = per.map(_.get)
+        Some(field.name -> ColStats(
+          sts.map(_.min).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+          sts.map(_.max).reduce((a, b) => if (cmp(a, b) >= 0) a else b),
+          sts.map(_.nullCount).sum))
+      }
+    }.toMap
+
   private def spillManifests(root: String, m: TableMetadata): TableMetadata = {
     val dir = new org.apache.hadoop.fs.Path(metadataDir(root), "manifests")
+    val limit = m.properties.get("manifest.inline-limit").map(_.toInt)
+      .getOrElse(InlineManifestLimit)
     val snaps = m.snapshots.map { s =>
-      if (s.addedFiles.size <= InlineManifestLimit || s.manifestPath.isDefined) s
+      if (s.addedFiles.size <= limit || s.manifestPath.isDefined) s
       else {
         TableIO.mkdirs(dir)
         val p = new org.apache.hadoop.fs.Path(dir, s"snap-${s.snapshotId}.json")
         val arr = mapper.createArrayNode()
         s.addedFiles.foreach(f => arr.add(fileNode(f)))
         TableIO.writeString(p, mapper.writeValueAsString(arr))
-        s.copy(addedFiles = Seq.empty, manifestPath = Some(p.toString))
+        s.copy(addedFiles = Seq.empty, manifestPath = Some(p.toString),
+          manifestStats = groupStats(s.addedFiles,
+            m.schemas.getOrElse(s.schemaId, m.schema)))
       }
     }
     m.copy(snapshots = snaps)

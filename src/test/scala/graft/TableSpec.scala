@@ -67,6 +67,42 @@ class TableSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("manifest-first pruning skips whole spilled groups without reading them") {
+    val root = tmp()
+    // inline-limit 0: every append spills its manifest to a side file
+    // and records aggregate group bounds
+    val t = GraftTable.create(spark, root, li.schema,
+      properties = Map("manifest.inline-limit" -> "0"))
+    t.append(li.filter(col("l_orderkey") <= 1000L)
+      .repartitionByRange(4, col("l_orderkey")))
+    t.append(li.filter(col("l_orderkey") > 1000L)
+      .repartitionByRange(4, col("l_orderkey")))
+    val m = t.meta
+    val spilled = m.snapshots.filter(_.manifestPath.isDefined)
+    assert(spilled.size === 2)
+    assert(spilled.forall(_.manifestStats.get("l_orderkey").exists(st =>
+      st.min.nonEmpty && st.max.nonEmpty)))
+    // the predicate admits only the second group; the first group's
+    // manifest file is DELETED first, so resolving it would throw —
+    // surviving proves the group was pruned manifest-first
+    val firstManifest = spilled.minBy(_.snapshotId).manifestPath.get
+    val planned = {
+      val bak = java.nio.file.Paths.get(
+        firstManifest.stripPrefix("file:").replaceAll("^/+", "/"))
+      val saved = java.nio.file.Files.readAllBytes(bak)
+      java.nio.file.Files.delete(bak)
+      try t.plannedFiles(Seq(t.StatFilter("l_orderkey", ">", "1000")))
+      finally java.nio.file.Files.write(bak, saved)
+    }
+    assert(planned.nonEmpty)
+    val lo = planned.flatMap(_.stats.get("l_orderkey")).map(_.min.toLong)
+    assert(lo.forall(_ > 1000L - 1), s"planned mins=$lo")
+    // soundness: the filtered scan still returns exactly the right rows
+    val got = t.scan(Seq(t.StatFilter("l_orderkey", ">", "1000")))
+      .filter(col("l_orderkey") > 1000L).count()
+    assert(got === li.filter(col("l_orderkey") > 1000L).count())
+  }
+
   test("partitioned write produces partition dirs and partition pruning") {
     val root = tmp()
     val t = GraftTable.create(spark, root, li.schema,
