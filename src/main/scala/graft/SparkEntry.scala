@@ -25,5 +25,6 @@ object SparkEntry {
       ops.Transforms.oracles ++
       ops.Events.oracles ++ ops.TextAnalysis.oracles ++
       ops.Dedup.oracles ++ ops.Similarity.oracles ++
+      ops.Multimodal.oracles ++
       ops.TableOps.oracles ++ ops.CatalogOps.oracles
 }

@@ -26,11 +26,16 @@ object Multimodal {
   /** Input: media id + opaque payload + declared type. */
   case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Output: extracted metadata + a fixed-size feature vector. */
+  /** Output: extracted metadata + a fixed-size feature vector.
+    * `byte_len` is the container size; `decoded_bytes` is the size of
+    * the DECODED content (pixel bytes / PCM data bytes / raw payload),
+    * which — unlike a compressed container length — is derivable from
+    * the decoded dimensions and so exactly oracle-checkable. */
   case class MediaMeta(
       media_id: Long,
       media_type: String,
       byte_len: Int,
+      decoded_bytes: Int,
       width: Int,
       height: Int,
       n_frames: Int,
@@ -96,6 +101,7 @@ object Multimodal {
         val img = ImageIO.read(new ByteArrayInputStream(m.payload))
         require(img != null, s"media ${m.media_id}: undecodable image")
         MediaMeta(m.media_id, m.media_type, m.payload.length,
+          img.getWidth * img.getHeight * 3,
           img.getWidth, img.getHeight, 1, imageFeature(img))
       case "audio" =>
         val b = ByteBuffer.wrap(m.payload).order(ByteOrder.LITTLE_ENDIAN)
@@ -117,13 +123,14 @@ object Multimodal {
           }
           if (n == 0) 0f else (sum.toFloat / n) / Short.MaxValue
         }
-        MediaMeta(m.media_id, m.media_type, m.payload.length,
+        MediaMeta(m.media_id, m.media_type, m.payload.length, dataLen,
           sampleRate, 1, frames, feat)
       case _ =>
         // STUB: video frame-sampling needs a codec the JDK lacks; the
         // deterministic pseudo-decode keeps the pipeline end-to-end
         val h = graft.functions.IcebergHash.hashBytes(m.payload) & 0x7fffffff
         MediaMeta(m.media_id, m.media_type, m.payload.length,
+          m.payload.length,
           160 + (h % 8) * 80, 90 + ((h >> 3) % 8) * 60,
           1 + (h >> 6) % 300, Array.tabulate(8)(_.toFloat))
     }
@@ -152,11 +159,66 @@ object Multimodal {
     media
       .mapPartitions(_.map(MediaCodec.decode))
       .toDF()
-      .select(col("media_id"), col("media_type"), col("byte_len"),
+      .select(col("media_id"), col("media_type"), col("decoded_bytes"),
         col("width"), col("height"), col("n_frames"))
       .orderBy(col("media_id"))
   }
 
   val queries: Map[String, Q] = Map("mm_binary_meta" -> mmBinaryMeta)
-  val oracles: Map[String, String] = Map.empty
+
+  /** DuckDB replica of the decode outputs: the synthesis parameters
+    * (dimensions, sample counts) are deterministic in doc_id, the
+    * video pseudo-decode is murmur3 over the text (the same pure-SQL
+    * recursive mix as the pt_bucket / ta_fingerprint oracles), and
+    * decoded_bytes is derivable from the decoded dimensions — so the
+    * real ImageIO / RIFF decode path is what the gate checks. */
+  val mmBinaryMetaSql: String =
+    """WITH RECURSIVE vid AS (SELECT doc_id, text AS s FROM documents WHERE doc_id % 3 = 0),
+blk AS (
+  SELECT doc_id, s, 0::BIGINT AS i, 0::BIGINT AS h, length(s)//4 AS nb FROM vid
+  UNION ALL
+  SELECT doc_id, s, i+1,
+    ((((((xor(h, (((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT)) << 13) | ((xor(h, (((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT)) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296),
+    nb
+  FROM blk WHERE i < nb),
+done AS (SELECT doc_id, s, h, nb FROM blk WHERE i = nb),
+tail AS (
+  SELECT doc_id, s, h, length(s) AS len,
+    CASE length(s) % 4
+      WHEN 0 THEN 0 WHEN 1 THEN ord(substr(s, 4*nb+1, 1))
+      WHEN 2 THEN ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256
+      ELSE ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256 + ord(substr(s, 4*nb+3, 1))*65536
+    END AS tk
+  FROM done),
+mixed AS (
+  SELECT doc_id, len, CASE WHEN len % 4 = 0 THEN h
+    ELSE xor(h, ((((((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | ((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT) END AS hm
+  FROM tail),
+fin AS (
+  SELECT doc_id, xor(hm, len) AS f0, xor(f0, f0 >> 16) AS f1,
+    ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+    ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+  FROM mixed),
+vh AS (SELECT doc_id, (hu & 2147483647) AS h FROM fin)
+SELECT d.doc_id AS media_id,
+  CASE d.doc_id % 3 WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
+  (CASE d.doc_id % 3
+    WHEN 1 THEN (16 + (d.doc_id % 4) * 8) * 20 * 3
+    WHEN 2 THEN (800 + (d.doc_id % 10) * 80) * 2
+    ELSE length(d.text) END)::INT AS decoded_bytes,
+  (CASE d.doc_id % 3
+    WHEN 1 THEN 16 + (d.doc_id % 4) * 8
+    WHEN 2 THEN 8000
+    ELSE 160 + (v.h % 8) * 80 END)::INT AS width,
+  (CASE d.doc_id % 3
+    WHEN 1 THEN 20 WHEN 2 THEN 1
+    ELSE 90 + ((v.h >> 3) % 8) * 60 END)::INT AS height,
+  (CASE d.doc_id % 3
+    WHEN 1 THEN 1
+    WHEN 2 THEN 800 + (d.doc_id % 10) * 80
+    ELSE 1 + (v.h >> 6) % 300 END)::INT AS n_frames
+FROM documents d LEFT JOIN vh v ON d.doc_id = v.doc_id
+ORDER BY media_id"""
+
+  val oracles: Map[String, String] = Map("mm_binary_meta" -> mmBinaryMetaSql)
 }

@@ -238,7 +238,87 @@ object Similarity {
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk)
 
+  /** Exact DuckDB replica of the LSH path: the hyperplanes are
+    * deterministic (murmur3 of the flat index via the same pure-SQL
+    * 8-byte mix as the pt_bucket oracle, scaled by Int.MaxValue), so
+    * the oracle rebuilds the identical planes, buckets every vector
+    * per table, joins on (table, bucket), and reranks candidates —
+    * validating bucketing AND rerank bit-for-bit, not just recall. */
+  val annLshTopkSql: String =
+    """WITH
+idx AS (SELECT unnest(range(0, 2048)) AS f),
+mh AS (
+  SELECT f,
+    ((f)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
+    ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
+    xor(0::BIGINT, p0b) AS h0a,
+    ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
+    xor(h0, 0::BIGINT) AS h1a,
+    ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
+    xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
+    ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+    ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+  FROM idx),
+pc AS (
+  SELECT f // 64 AS p, f % 64 AS i,
+    (CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END) / 2147483647.0 AS c
+  FROM mh),
+planes AS (SELECT p, p // 4 AS t, p % 4 AS bit, list(c ORDER BY i) AS pl FROM pc GROUP BY p),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vb AS (
+  SELECT vec_id, t,
+    sum(CASE WHEN list_inner_product(e, pl) >= 0 THEN 1 << bit ELSE 0 END)::BIGINT AS b
+  FROM emb, planes GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, v.vec_id AS vec_id
+  FROM vb q JOIN vb v ON q.t = v.t AND q.b = v.b AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 5),
+rer AS (
+  SELECT c.q_id, c.vec_id,
+    list_cosine_similarity(qe.e, ve.e) AS cos_raw,
+    row_number() OVER (PARTITION BY c.q_id
+      ORDER BY list_cosine_similarity(qe.e, ve.e) DESC, c.vec_id) AS rank
+  FROM cand c JOIN emb qe ON qe.vec_id = c.q_id JOIN emb ve ON ve.vec_id = c.vec_id)
+SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cos
+FROM rer WHERE rank <= 10 ORDER BY q_id, rank"""
+
+  /** Exact DuckDB replica of the IVF path: label-seeded mean centroids
+    * (avg per dimension), argmax assignment, nProbe=2 probe selection,
+    * exact rerank over the probed inverted lists. */
+  val annIvfTopkSql: String =
+    """WITH
+emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+comp AS (
+  SELECT label AS cluster, i, avg(e[i]) AS cx
+  FROM emb, unnest(range(1, 65)) t(i)
+  GROUP BY label, i),
+cents AS (SELECT cluster, list(cx ORDER BY i) AS cemb FROM comp GROUP BY cluster),
+assigned AS (
+  SELECT vec_id, arg_max(cluster, list_cosine_similarity(e, cemb)) AS cluster
+  FROM emb, cents GROUP BY vec_id),
+probes AS (
+  SELECT q_id, cluster FROM (
+    SELECT q.vec_id AS q_id, c.cluster,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.e, c.cemb) DESC, c.cluster) AS prank
+    FROM emb q, cents c WHERE q.vec_id < 5) t
+  WHERE prank <= 2),
+cand AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.q_id),
+rer AS (
+  SELECT c.q_id, c.vec_id,
+    list_cosine_similarity(qe.e, ve.e) AS cos_raw,
+    row_number() OVER (PARTITION BY c.q_id
+      ORDER BY list_cosine_similarity(qe.e, ve.e) DESC, c.vec_id) AS rank
+  FROM cand c JOIN emb qe ON qe.vec_id = c.q_id JOIN emb ve ON ve.vec_id = c.vec_id)
+SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cos
+FROM rer WHERE rank <= 10 ORDER BY q_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "dd_embed_neardup" -> ddEmbedNeardupSql,
-    "ann_brute_topk" -> annBruteTopkSql)
+    "ann_brute_topk" -> annBruteTopkSql,
+    "ann_lsh_topk" -> annLshTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql)
 }

@@ -184,7 +184,77 @@ object TextAnalysis {
     "ta_langid" -> taLangid,
     "ta_fingerprint" -> taFingerprint)
 
+  /** Pure-SQL replica of TextHash.fingerprint for the DuckDB oracle:
+    * murmur3_x86_32 of the full (ASCII) text via the same recursive
+    * block mix used by the pt_bucket oracle, plus the minimum signed
+    * murmur3 over sliding 8-byte windows (two fixed blocks, len-8
+    * finalize), combined as (full << 32) | (min & 0xffffffff). */
+  val taFingerprintSql: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, text AS s FROM documents),
+blk AS (
+  SELECT doc_id, s, 0::BIGINT AS i, 0::BIGINT AS h, length(s)//4 AS nb FROM d
+  UNION ALL
+  SELECT doc_id, s, i+1,
+    ((((((xor(h, (((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT)) << 13) | ((xor(h, (((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT)) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296),
+    nb
+  FROM blk WHERE i < nb),
+done AS (SELECT doc_id, s, h, nb FROM blk WHERE i = nb),
+tail AS (
+  SELECT doc_id, s, h, length(s) AS len,
+    CASE length(s) % 4
+      WHEN 0 THEN 0 WHEN 1 THEN ord(substr(s, 4*nb+1, 1))
+      WHEN 2 THEN ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256
+      ELSE ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256 + ord(substr(s, 4*nb+3, 1))*65536
+    END AS tk
+  FROM done),
+mixed AS (
+  SELECT doc_id, len, CASE WHEN len % 4 = 0 THEN h
+    ELSE xor(h, ((((((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | ((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT) END AS hm
+  FROM tail),
+fin AS (
+  SELECT doc_id, xor(hm, len) AS f0, xor(f0, f0 >> 16) AS f1,
+    ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+    ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+  FROM mixed),
+full_h AS (
+  SELECT doc_id, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS fs
+  FROM fin),
+win AS (
+  SELECT doc_id, text AS s, unnest(range(1, length(text)-6)) AS i
+  FROM documents WHERE length(text) >= 8),
+wh AS (
+  SELECT doc_id,
+    (ord(substr(s,i,1)) + ord(substr(s,i+1,1))*256 + ord(substr(s,i+2,1))*65536 + ord(substr(s,i+3,1))*16777216) AS w0,
+    (ord(substr(s,i+4,1)) + ord(substr(s,i+5,1))*256 + ord(substr(s,i+6,1))*65536 + ord(substr(s,i+7,1))*16777216) AS w1
+  FROM win),
+wmix AS (
+  SELECT doc_id,
+    ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
+    ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
+    xor(0::BIGINT, p0b) AS h0a,
+    ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
+    ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
+    ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
+    xor(h0, p1b) AS h1a,
+    ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
+    xor(h1b, 8) AS g0, xor(g0, g0 >> 16) AS g1,
+    ((g1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS g2, xor(g2, g2 >> 13) AS g3,
+    ((g3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS g4, xor(g4, g4 >> 16) AS whu
+  FROM wh),
+minh AS (
+  SELECT doc_id,
+    min(CASE WHEN whu >= 2147483648 THEN whu - 4294967296 ELSE whu END) AS m
+  FROM wmix GROUP BY doc_id)
+SELECT f.doc_id,
+  f.fs * 4294967296 +
+    (CASE WHEN coalesce(m.m, 2147483647) < 0
+      THEN coalesce(m.m, 2147483647) + 4294967296
+      ELSE coalesce(m.m, 2147483647) END) AS fingerprint
+FROM full_h f LEFT JOIN minh m ON f.doc_id = m.doc_id
+ORDER BY f.doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "ta_fingerprint" -> taFingerprintSql,
     "ta_unigram_logprob" -> taUnigramLogprobSql,
     "ta_tokens" -> taTokensSql,
     "ta_quality" -> taQualitySql,
