@@ -18,8 +18,25 @@ import scala.jdk.CollectionConverters._
 object Views {
   private val mapper = new ObjectMapper()
 
+  /** One SQL text for one engine dialect (Iceberg view spec: a view
+    * version carries a list of representations; reference:
+    * iceberg-rust/src/view/transaction/mod.rs:31
+    * update_representation). */
+  case class ViewRepresentation(dialect: String, sql: String)
+
   case class ViewDef(name: String, sql: String, sources: Map[String, String],
-      version: Int)
+      version: Int,
+      representations: Seq[ViewRepresentation] = Seq.empty) {
+    /** Effective representations: `sql` is the canonical "spark"
+      * dialect; files written before multi-dialect support read as
+      * that single representation. */
+    def allRepresentations: Seq[ViewRepresentation] =
+      if (representations.nonEmpty) representations
+      else Seq(ViewRepresentation("spark", sql))
+
+    def sqlFor(dialect: String): Option[String] =
+      allRepresentations.find(_.dialect == dialect).map(_.sql)
+  }
 
   private def viewPath(root: String) = TableIO.path(root, "view.json")
 
@@ -30,13 +47,25 @@ object Views {
     d
   }
 
-  private def writeView(root: String, d: ViewDef): Unit = {
-    TableIO.mkdirs(TableIO.path(root))
+  private def viewNode(d: ViewDef, version: Int) = {
     val n = mapper.createObjectNode()
-    n.put("name", d.name); n.put("sql", d.sql); n.put("version", d.version)
+    n.put("name", d.name); n.put("sql", d.sql); n.put("version", version)
     val s = n.putObject("sources")
     d.sources.foreach { case (k, v) => s.put(k, v) }
-    TableIO.writeString(viewPath(root), mapper.writeValueAsString(n))
+    if (d.representations.nonEmpty) {
+      val reps = n.putArray("representations")
+      d.representations.foreach { r =>
+        val rn = reps.addObject()
+        rn.put("type", "sql"); rn.put("dialect", r.dialect); rn.put("sql", r.sql)
+      }
+    }
+    n
+  }
+
+  private def writeView(root: String, d: ViewDef): Unit = {
+    TableIO.mkdirs(TableIO.path(root))
+    TableIO.writeString(viewPath(root),
+      mapper.writeValueAsString(viewNode(d, d.version)))
   }
 
   def loadView(root: String): ViewDef = loadViewVersioned(root)._1
@@ -58,9 +87,12 @@ object Views {
       case None => (viewPath(root), 1)
     }
     val n = mapper.readTree(TableIO.readString(p))
+    val reps = Option(n.get("representations")).map(_.elements().asScala.map(rn =>
+      ViewRepresentation(rn.get("dialect").asText(), rn.get("sql").asText())
+    ).toSeq).getOrElse(Seq.empty)
     (ViewDef(n.get("name").asText(), n.get("sql").asText(),
       n.get("sources").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
-      n.get("version").asInt()), v)
+      n.get("version").asInt(), reps), v)
   }
 
   def viewExists(root: String): Boolean =
@@ -77,18 +109,34 @@ object Views {
     * update_representation). */
   def commitViewAt(root: String, d: ViewDef, baseVersion: Int): Boolean = {
     TableIO.mkdirs(TableIO.path(root))
-    val n = mapper.createObjectNode()
-    n.put("name", d.name); n.put("sql", d.sql)
-    n.put("version", baseVersion + 1)
-    val s = n.putObject("sources")
-    d.sources.foreach { case (k, v) => s.put(k, v) }
     val tmp = TableIO.path(root,
       s".tmp-view-${java.util.UUID.randomUUID().toString.take(8)}.json")
-    TableIO.writeString(tmp, mapper.writeValueAsString(n))
+    TableIO.writeString(tmp,
+      mapper.writeValueAsString(viewNode(d, baseVersion + 1)))
     val ok = TableIO.renameNoReplace(tmp,
       TableIO.path(root, s"view-v${baseVersion + 1}.json"))
     if (!ok) TableIO.delete(tmp)
     ok
+  }
+
+  /** Dialect evolution (reference: view/transaction/mod.rs:31
+    * update_representation): upsert one dialect's SQL as a NEW view
+    * version via the versioned-file CAS. The "spark" dialect is the
+    * canonical one `queryView` executes, so updating it also moves
+    * the primary SQL. Returns the committed (def, version); throws
+    * on a lost commit race — callers reload and retry like a table
+    * commit conflict. */
+  def updateRepresentation(root: String, dialect: String,
+      sql: String): (ViewDef, Int) = {
+    val (cur, curVersion) = loadViewVersioned(root)
+    val reps = cur.allRepresentations.filterNot(_.dialect == dialect) :+
+      ViewRepresentation(dialect, sql)
+    val next = cur.copy(
+      sql = if (dialect == "spark") sql else cur.sql,
+      representations = reps)
+    if (!commitViewAt(root, next, curVersion))
+      throw new Meta.CommitConflict(curVersion + 1)
+    (next, curVersion + 1)
   }
 
   /** Execute a view: register each source table's current scan as a
@@ -99,7 +147,7 @@ object Views {
     d.sources.foreach { case (alias, tableRoot) =>
       GraftTable.load(spark, tableRoot).scan().createOrReplaceTempView(alias)
     }
-    spark.sql(d.sql)
+    spark.sql(d.sqlFor("spark").getOrElse(d.sql))
   }
 
   // ---- materialized view ---------------------------------------------

@@ -66,7 +66,12 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
       .getOrElse(throw new BadRequest("sql required"))
     val sources = Option(body.get("sources")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
-    graft.table.Views.ViewDef(name, sql, sources, 1)
+    // optional multi-dialect representations (Iceberg view spec shape)
+    val reps = Option(body.get("representations")).map(_.elements().asScala.map(
+      rn => graft.table.Views.ViewRepresentation(
+        rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
+      .getOrElse(Seq.empty)
+    graft.table.Views.ViewDef(name, sql, sources, 1, reps)
   }
 
   /** LoadViewResult-ish shape: current definition + its version. */
@@ -77,6 +82,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
     n.put("current-version", version)
     val s = n.putObject("sources")
     d.sources.foreach { case (k, v) => s.put(k, v) }
+    val reps = n.putArray("representations")
+    d.allRepresentations.foreach { r =>
+      val rn = reps.addObject()
+      rn.put("type", "sql"); rn.put("dialect", r.dialect); rn.put("sql", r.sql)
+    }
     json(n)
   }
 
@@ -516,14 +526,34 @@ object IcebergRestClient {
       n.get("current-version").asInt())
   }
 
+  /** Multi-dialect representations of the current view version. */
+  def loadViewRepresentations(base: String, ns: String, name: String)
+      : Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val n = get(s"$base/v1/namespaces/$ns/views/$name")
+    Option(n.get("representations")).map(_.elements().asScala.map(rn =>
+      rn.get("dialect").asText() -> rn.get("sql").asText()).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
   /** Replace the view SQL against the base version the caller loaded;
-    * returns the HTTP status (200 ok, 409 lost race). */
+    * returns the HTTP status (200 ok, 409 lost race). Optional
+    * `representations` carry other dialects' SQL alongside the
+    * canonical one (Iceberg view-spec representation evolution). */
   def replaceView(base: String, ns: String, name: String, sql: String,
-      baseVersion: Int, sources: Map[String, String] = Map.empty): Int = {
+      baseVersion: Int, sources: Map[String, String] = Map.empty,
+      representations: Seq[(String, String)] = Seq.empty): Int = {
     val n = mapper.createObjectNode()
     n.put("sql", sql); n.put("base-version", baseVersion)
     val s = n.putObject("sources")
     sources.foreach { case (k, v) => s.put(k, v) }
+    if (representations.nonEmpty) {
+      val reps = n.putArray("representations")
+      representations.foreach { case (d, q) =>
+        val rn = reps.addObject()
+        rn.put("type", "sql"); rn.put("dialect", d); rn.put("sql", q)
+      }
+    }
     post(s"$base/v1/namespaces/$ns/views/$name",
       mapper.writeValueAsString(n)).statusCode()
   }

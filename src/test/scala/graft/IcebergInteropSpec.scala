@@ -258,6 +258,15 @@ class IcebergInteropSpec extends AnyFunSuite {
       assert(C.replaceView(base, "db", "v_top",
         "SELECT 1", baseVersion = 1) === 409)
       assert(C.loadView(base, "db", "v_top")._1.contains("id > 20"))
+      // representation evolution over HTTP: ship a second dialect
+      assert(C.replaceView(base, "db", "v_top",
+        "SELECT id FROM src WHERE id > 20", baseVersion = 2,
+        representations = Seq(
+          "spark" -> "SELECT id FROM src WHERE id > 20",
+          "duckdb" -> "SELECT id FROM 'src.parquet' WHERE id > 20")) === 200)
+      val reps = C.loadViewRepresentations(base, "db", "v_top").toMap
+      assert(reps("duckdb").contains("'src.parquet'"))
+      assert(reps("spark").contains("id > 20") && reps.size === 2)
       C.dropView(base, "db", "v_top")
       assert(C.listViews(base, "db").isEmpty)
 

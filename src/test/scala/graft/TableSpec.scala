@@ -345,6 +345,32 @@ class TableSpec extends AnyFunSuite {
     assert(after === 600)
   }
 
+  test("view representation evolution: dialects version forward") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(100))
+    val vroot = root + "-view"
+    Views.createView(vroot, "cnt", "SELECT count(*) AS n FROM src",
+      Map("src" -> root))
+    // add a duckdb representation: new version, spark execution unchanged
+    val (_, v2) = Views.updateRepresentation(vroot, "duckdb",
+      "SELECT count(*) AS n FROM read_parquet('src/**.parquet')")
+    assert(v2 === 2)
+    assert(Views.queryView(spark, vroot).collect()(0).getLong(0) === 100L)
+    val (cur, ver) = Views.loadViewVersioned(vroot)
+    assert(ver === 2)
+    assert(cur.sqlFor("duckdb").exists(_.contains("read_parquet")))
+    assert(cur.sqlFor("spark").exists(_.contains("FROM src")))
+    // evolving the spark dialect moves what queryView executes...
+    Views.updateRepresentation(vroot, "spark",
+      "SELECT count(*) + 1 AS n FROM src")
+    assert(Views.queryView(spark, vroot).collect()(0).getLong(0) === 101L)
+    // ...and carries the other dialect forward
+    assert(Views.loadView(vroot).sqlFor("duckdb").isDefined)
+    // a commit against a superseded base loses (version CAS)
+    assert(!Views.commitViewAt(vroot, Views.loadView(vroot), 2))
+  }
+
   test("materialized view: staleness by lineage, full refresh") {
     val root = tmp()
     val t = GraftTable.create(spark, root, li.schema)
