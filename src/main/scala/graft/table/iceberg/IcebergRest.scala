@@ -17,7 +17,13 @@ import java.nio.charset.StandardCharsets
   * version — lost races get 409. The data plane stays the shared
   * filesystem/object store, as in every Iceberg REST deployment.
   */
-class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
+/** @param bearerToken when set, every request must carry
+  *   `Authorization: Bearer <token>` or is rejected 401 — the same
+  *   static-bearer mode the reference client configures
+  *   (iceberg-rest-catalog/src/apis/configuration.rs
+  *   bearer_access_token). */
+class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
+    bearerToken: Option[String] = None) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
@@ -90,7 +96,34 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
     json(n)
   }
 
+  /** Offset-based pageToken/pageSize pagination over a sorted listing
+    * (reference: catalog_api_api.rs threads page_token through every
+    * list endpoint). Returns the page and the next-page-token. */
+  private def paginate(ex: HttpExchange,
+      items: Seq[String]): (Seq[String], Option[String]) = {
+    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val a = kv.split("=", 2)
+        a(0) -> java.net.URLDecoder.decode(a(1), "UTF-8")
+      }.toMap
+    val start = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+    val size = params.get("pageSize").flatMap(_.toIntOption)
+    val sorted = items.sorted
+    size match {
+      case None => (sorted.drop(start), None)
+      case Some(n) =>
+        val page = sorted.slice(start, start + n)
+        val next = if (start + n < sorted.size) Some((start + n).toString) else None
+        (page, next)
+    }
+  }
+
   private def handle(ex: HttpExchange): Unit = try {
+    if (bearerToken.exists(t =>
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .forall(_ != s"Bearer $t"))) {
+      reply(ex, 401, errBody("unauthorized", 401)); return
+    }
     val path = ex.getRequestURI.getPath.stripPrefix("/v1").stripSuffix("/")
     val method = ex.getRequestMethod
     val parts = path.stripPrefix("/").split("/").toSeq
@@ -102,12 +135,15 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
         reply(ex, 200, json(n))
 
       case ("GET", Seq("namespaces")) =>
-        val n = mapper.createObjectNode()
-        val arr = n.putArray("namespaces")
-        TableIO.listDir(TableIO.path(warehouse))
+        val names = TableIO.listDir(TableIO.path(warehouse))
           .filter(st => st.isDirectory &&
             !IcebergTable.exists(st.getPath.toString))
-          .foreach(st => arr.addArray().add(st.getPath.getName))
+          .map(_.getPath.getName)
+        val (page, next) = paginate(ex, names)
+        val n = mapper.createObjectNode()
+        val arr = n.putArray("namespaces")
+        page.foreach(nm => arr.addArray().add(nm))
+        next.foreach(t => n.put("next-page-token", t))
         reply(ex, 200, json(n))
 
       case ("POST", Seq("namespaces")) =>
@@ -122,15 +158,18 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
       case ("GET", Seq("namespaces", ns, "tables")) =>
         if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
         else {
+          val names = TableIO.listDir(nsRoot(ns))
+            .filter(st => IcebergTable.exists(st.getPath.toString))
+            .map(_.getPath.getName)
+          val (page, next) = paginate(ex, names)
           val n = mapper.createObjectNode()
           val arr = n.putArray("identifiers")
-          TableIO.listDir(nsRoot(ns))
-            .filter(st => IcebergTable.exists(st.getPath.toString))
-            .foreach { st =>
-              val id = arr.addObject()
-              id.putArray("namespace").add(ns)
-              id.put("name", st.getPath.getName)
-            }
+          page.foreach { nm =>
+            val id = arr.addObject()
+            id.putArray("namespace").add(ns)
+            id.put("name", nm)
+          }
+          next.foreach(t => n.put("next-page-token", t))
           reply(ex, 200, json(n))
         }
 
@@ -263,15 +302,18 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0) {
       case ("GET", Seq("namespaces", ns, "views")) =>
         if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
         else {
+          val names = TableIO.listDir(nsRoot(ns))
+            .filter(st => graft.table.Views.viewExists(st.getPath.toString))
+            .map(_.getPath.getName)
+          val (page, next) = paginate(ex, names)
           val n = mapper.createObjectNode()
           val arr = n.putArray("identifiers")
-          TableIO.listDir(nsRoot(ns))
-            .filter(st => graft.table.Views.viewExists(st.getPath.toString))
-            .foreach { st =>
-              val id = arr.addObject()
-              id.putArray("namespace").add(ns)
-              id.put("name", st.getPath.getName)
-            }
+          page.foreach { nm =>
+            val id = arr.addObject()
+            id.putArray("namespace").add(ns)
+            id.put("name", nm)
+          }
+          next.foreach(t => n.put("next-page-token", t))
           reply(ex, 200, json(n))
         }
 
@@ -410,9 +452,19 @@ object IcebergRestClient {
   private val mapper = new ObjectMapper()
   private val http = java.net.http.HttpClient.newHttpClient()
 
+  /** Static bearer credential applied to every request when set — the
+    * shape of the reference client's configuration field
+    * (configuration.rs bearer_access_token). */
+  @volatile var bearerToken: Option[String] = None
+
+  private def rb(uri: String): java.net.http.HttpRequest.Builder = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+    bearerToken.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+  }
+
   private def get(uri: String): com.fasterxml.jackson.databind.JsonNode = {
     val resp = http.send(
-      java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri)).GET().build(),
+      rb(uri).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200, s"GET $uri -> ${resp.statusCode()}")
     mapper.readTree(resp.body())
@@ -430,11 +482,28 @@ object IcebergRestClient {
       .asScala.map(_.get("name").asText()).toSeq
   }
 
+  /** Paged listing: follows next-page-token until exhausted, pageSize
+    * rows per request (reference clients thread page_token the same
+    * way through list_tables). */
+  def listTablesPaged(base: String, ns: String, pageSize: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var token: Option[String] = None
+    var done = false
+    while (!done) {
+      val q = s"pageSize=$pageSize" + token.map(t => s"&pageToken=$t").getOrElse("")
+      val n = get(s"$base/v1/namespaces/$ns/tables?$q")
+      out ++= n.get("identifiers").elements().asScala.map(_.get("name").asText())
+      token = Option(n.get("next-page-token")).map(_.asText())
+      done = token.isEmpty
+    }
+    out.toSeq
+  }
+
   def createNamespace(base: String, ns: String): Unit = {
     val body = s"""{"namespace":["$ns"]}"""
     val resp = http.send(
-      java.net.http.HttpRequest.newBuilder(
-        java.net.URI.create(s"$base/v1/namespaces"))
+      rb(s"$base/v1/namespaces")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200, s"createNamespace -> ${resp.statusCode()}")
@@ -442,8 +511,7 @@ object IcebergRestClient {
 
   def tableExists(base: String, ns: String, table: String): Boolean = {
     val resp = http.send(
-      java.net.http.HttpRequest.newBuilder(
-        java.net.URI.create(s"$base/v1/namespaces/$ns/tables/$table"))
+      rb(s"$base/v1/namespaces/$ns/tables/$table")
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
       java.net.http.HttpResponse.BodyHandlers.discarding())
     resp.statusCode() == 204
@@ -451,8 +519,7 @@ object IcebergRestClient {
 
   def dropTable(base: String, ns: String, table: String): Unit = {
     val resp = http.send(
-      java.net.http.HttpRequest.newBuilder(
-        java.net.URI.create(s"$base/v1/namespaces/$ns/tables/$table"))
+      rb(s"$base/v1/namespaces/$ns/tables/$table")
         .DELETE().build(),
       java.net.http.HttpResponse.BodyHandlers.discarding())
     require(resp.statusCode() == 204, s"dropTable -> ${resp.statusCode()}")
@@ -474,7 +541,7 @@ object IcebergRestClient {
 
   private def post(uri: String, body: String): java.net.http.HttpResponse[String] =
     http.send(
-      java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      rb(uri)
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -492,7 +559,7 @@ object IcebergRestClient {
 
   private def delete(uri: String): Int =
     http.send(
-      java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      rb(uri)
         .DELETE().build(),
       java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
 

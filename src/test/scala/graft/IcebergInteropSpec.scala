@@ -302,6 +302,37 @@ class IcebergInteropSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("REST bearer auth gates every endpoint; pagination pages stably") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val wh = Files.createTempDirectory("graft-rest-auth").toString
+    val server = new IcebergRestServer(wh, bearerToken = Some("s3cret")).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      // no credential -> 401 surfaces as a failed require
+      C.bearerToken = None
+      assert(intercept[IllegalArgumentException] {
+        C.listNamespaces(base)
+      }.getMessage.contains("401"))
+      // wrong credential -> still 401
+      C.bearerToken = Some("wrong")
+      assert(intercept[IllegalArgumentException] {
+        C.listNamespaces(base)
+      }.getMessage.contains("401"))
+      // right credential -> full surface works
+      C.bearerToken = Some("s3cret")
+      C.createNamespace(base, "db")
+      for (i <- 1 to 5)
+        IcebergWrite.create(spark, s"$wh/db/t$i",
+          Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1))
+      assert(C.listTables(base, "db").sorted === (1 to 5).map(i => s"t$i"))
+      // pagination: 2 per page, 3 pages, same complete set
+      assert(C.listTablesPaged(base, "db", pageSize = 2) ===
+        (1 to 5).map(i => s"t$i"))
+    } finally { C.bearerToken = None; server.stop() }
+  }
+
   test("REST catalog serves discovery + metadata; client scans over HTTP metadata") {
     val spark0 = spark
     import spark0.implicits._
