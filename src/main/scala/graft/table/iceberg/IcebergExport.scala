@@ -1,0 +1,267 @@
+package graft.table.iceberg
+
+import org.apache.avro.generic.GenericData
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.table.{Meta, TableIO}
+import java.util.UUID
+
+/** Export a graft-format table as a REAL Iceberg v2 table any engine
+  * can read: fresh metadata.json + avro manifests at `dest`, with the
+  * graft table's existing data parquet files referenced IN PLACE by
+  * absolute URI — metadata-only, no data copy (the reference's
+  * register_table flow likewise publishes existing files under new
+  * metadata, catalog_api_api.rs:848).
+  *
+  * Fidelity carried over:
+  *  - partition spec (same transform vocabulary) + typed partition
+  *    values per file,
+  *  - per-file column bounds re-encoded from graft's canonical stat
+  *    strings into Iceberg single-value binaries,
+  *  - merge-on-read deletes with their data-sequence scoping:
+  *    equality-delete parquets are referenced as-is (content=2 +
+  *    equality_ids); POSITIONAL delete parquets are the one rewrite —
+  *    the Iceberg spec matches their file_path column against the
+  *    manifest's data-file URI strings exactly, so they are re-written
+  *    under dest with translated paths.
+  */
+object IcebergExport {
+
+  /** Property recording the graft metadata version an export mirrors —
+    * re-export is needed iff the source version moved. */
+  val SourceVersionProp = "graft.source-version"
+
+  def export(spark: SparkSession, graftRoot: String, dest: String): Unit = {
+    val m = Meta.load(graftRoot)
+    val sparkSchema = m.schema
+    val ice = IcebergMetadata.schemaFromSpark(sparkSchema)
+    val specFields = m.spec.zipWithIndex.map { case (pf, i) =>
+      IcebergMetadata.IcePartitionField(
+        ice.fieldId(pf.sourceColumn).getOrElse(throw new IllegalArgumentException(
+          s"partition source ${pf.sourceColumn} not in schema")),
+        1000 + i, pf.name, pf.transform)
+    }
+    val dataDir = TableIO.path(graftRoot, "data")
+    val files = m.liveFilesWithSeq(None)
+    val deletes = m.liveDeleteFilesWithSeq(None)
+    val maxSeq = (files ++ deletes).map(_._2).maxOption.getOrElse(1L)
+
+    val metaDir = TableIO.path(dest, "metadata")
+    TableIO.mkdirs(metaDir)
+
+    def dataFileUri(rel: String): String =
+      TableIO.qualified(new HPath(dataDir, rel))
+
+    // positional deletes: rewrite with file_path translated to the
+    // URIs the exported manifests carry (must match byte-for-byte)
+    val posDeletes = deletes.filter(_._1.content == 1)
+    val translatedPos: Map[String, (String, Long, Long)] =
+      if (posDeletes.isEmpty) Map.empty
+      else {
+        val destData = TableIO.path(dest, "data")
+        TableIO.mkdirs(destData)
+        import spark.implicits._
+        val uriByRel = files.map { case (f, _) => f.path -> dataFileUri(f.path) }
+        val uriDf = uriByRel.toDF("rel", "uri")
+        posDeletes.map { case (d, seq) =>
+          val src = spark.read.parquet(new HPath(dataDir, d.path).toString)
+          // recorded file_path values are reader-local URIs of the same
+          // physical files; the dataDir-relative suffix is the join key
+          val translated = src
+            .withColumn("rel", regexp_replace(col("file_path"), "^.*?/data/", ""))
+            .join(broadcast(uriDf), Seq("rel"))
+            .select(col("uri").as("file_path"), col("pos"))
+          val staging = new HPath(dest, s"stage-${UUID.randomUUID().toString.take(8)}")
+          translated.coalesce(1).write.parquet(staging.toString)
+          val out = TableIO.listFilesRecursive(staging)
+            .filter(_._1.getName.endsWith(".parquet")).head
+          val destFile = new HPath(destData,
+            s"pos-delete-${UUID.randomUUID().toString.take(8)}.parquet")
+          TableIO.rename(out._1, destFile)
+          TableIO.delete(staging, recursive = true)
+          d.path -> (TableIO.qualified(destFile), out._2, seq)
+        }.toMap
+      }
+
+    val partRecordJson = IcebergWrite.partitionRecordJson(specFields, ice)
+    val schemaJson = IcebergWrite.icebergSchemaJson(ice)
+    val specJson = IcebergWrite.partitionSpecJson(specFields, 0)
+    val snapshotId = 1L
+
+    def entry(uri: String, f: Meta.DataFile, seq: Long, sizeBytes: Long,
+        content: Int): org.apache.avro.generic.GenericRecord = {
+      val e = IcebergAvro.record(IcebergAvro.manifestSchema(partRecordJson))
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      val dfSchema = e.getSchema.getField("data_file").schema()
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", content)
+      d.put("file_path", uri)
+      d.put("file_format", "PARQUET")
+      val partRec = new GenericData.Record(dfSchema.getField("partition").schema())
+      specFields.foreach { pf =>
+        val srcT = sparkSchema.fields(
+          ice.fields.indexWhere(_.id == pf.sourceId)).dataType
+        f.partitionValues.get(pf.name).foreach { v =>
+          partRec.put(pf.name, IcebergWrite.typedPartitionValue(
+            Transforms.resultType(pf.transform, srcT), v))
+        }
+      }
+      d.put("partition", partRec)
+      d.put("record_count", f.recordCount)
+      d.put("file_size_in_bytes", sizeBytes)
+      val (lower, upper, nulls) = encodeStats(f, ice, sparkSchema)
+      d.put("null_value_counts",
+        IcebergWrite.keyedLongs(dfSchema, "null_value_counts", nulls))
+      d.put("lower_bounds", IcebergWrite.keyedBytes(dfSchema, "lower_bounds", lower))
+      d.put("upper_bounds", IcebergWrite.keyedBytes(dfSchema, "upper_bounds", upper))
+      if (content == 2 && f.equalityColumns.nonEmpty) {
+        val eqIds = f.equalityColumns.flatMap(ice.fieldId)
+        val arrSchema = dfSchema.getField("equality_ids").schema().getTypes.get(1)
+        val arr = new GenericData.Array[Any](eqIds.size, arrSchema)
+        eqIds.foreach(id => arr.add(id))
+        d.put("equality_ids", arr)
+      } else d.put("equality_ids", null)
+      e.put("data_file", d)
+      e
+    }
+
+    val dataEntries = files.map { case (f, seq) =>
+      entry(dataFileUri(f.path), f, seq, fileSize(dataDir, f), 0)
+    }
+    val deleteEntries = deletes.map {
+      case (d, seq) if d.content == 1 =>
+        val (uri, size, s) = translatedPos(d.path)
+        entry(uri, d, s, size, 1)
+      case (d, seq) =>
+        entry(dataFileUri(d.path), d, seq, fileSize(dataDir, d), 2)
+    }
+
+    val manifests = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Int, Long, Long, Int, Long)]()
+    if (dataEntries.nonEmpty) {
+      val p = new HPath(metaDir, s"manifest-exp-${UUID.randomUUID().toString.take(8)}.avro")
+      val len = IcebergAvro.writeManifest(p, partRecordJson, dataEntries,
+        schemaJson, specJson)
+      manifests += ((TableIO.qualified(p), len, 0,
+        files.map(_._2).max, files.map(_._2).min,
+        files.size, files.map(_._1.recordCount).sum))
+    }
+    if (deleteEntries.nonEmpty) {
+      val p = new HPath(metaDir, s"manifest-exp-del-${UUID.randomUUID().toString.take(8)}.avro")
+      val len = IcebergAvro.writeManifest(p, partRecordJson, deleteEntries,
+        schemaJson, specJson, content = "deletes")
+      manifests += ((TableIO.qualified(p), len, 1,
+        deletes.map(_._2).max, deletes.map(_._2).min, deletes.size, 0L))
+    }
+
+    val mlSchema = IcebergAvro.manifestListSchema
+    val mlRecords = manifests.map { case (path, len, content, seq, minSeq, n, rows) =>
+      val r = IcebergAvro.record(mlSchema)
+      r.put("manifest_path", path); r.put("manifest_length", len)
+      r.put("partition_spec_id", 0); r.put("content", content)
+      r.put("sequence_number", seq); r.put("min_sequence_number", minSeq)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", n)
+      r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
+      r: org.apache.avro.generic.GenericRecord
+    }.toSeq
+    val mlPath = new HPath(metaDir, s"snap-exp-${UUID.randomUUID().toString.take(8)}.avro")
+    IcebergAvro.writeManifestList(mlPath, mlRecords, snapshotId, maxSeq)
+
+    val snap = IcebergMetadata.IceSnapshot(
+      snapshotId = snapshotId, parentId = None,
+      sequenceNumber = maxSeq, timestampMs = System.currentTimeMillis(),
+      manifestList = TableIO.qualified(mlPath),
+      operation = "append", schemaId = 0,
+      summary = Map("exported-from" -> graftRoot))
+    val iceMeta = IcebergMetadata.IceMetadata(
+      formatVersion = 2,
+      tableUuid = UUID.randomUUID().toString,
+      location = dest,
+      lastSequenceNumber = maxSeq,
+      lastColumnId = ice.fields.map(_.id).maxOption.getOrElse(0),
+      currentSchemaId = 0,
+      schemas = Seq(ice),
+      defaultSpecId = 0,
+      specs = Seq(IcebergMetadata.IceSpec(0, specFields)),
+      lastPartitionId = 999 + specFields.size,
+      properties = Map(
+        "write.format.default" -> "parquet",
+        SourceVersionProp -> m.lastVersion.toString),
+      currentSnapshotId = Some(snapshotId),
+      snapshots = Seq(snap),
+      refs = Map("main" -> snapshotId))
+    IcebergMetadata.write(dest, 1, iceMeta)
+  }
+
+  /** Re-export only when the graft table has committed a newer
+    * metadata version than the mirror records. Returns dest. */
+  def exportIfStale(spark: SparkSession, graftRoot: String,
+      dest: String): String = {
+    val srcVersion = Meta.load(graftRoot).lastVersion
+    val current = scala.util.Try(IcebergMetadata.load(dest))
+      .toOption.flatMap(_.properties.get(SourceVersionProp))
+      .flatMap(_.toIntOption)
+    if (!current.contains(srcVersion)) {
+      if (TableIO.exists(TableIO.path(dest)))
+        TableIO.delete(TableIO.path(dest), recursive = true)
+      export(spark, graftRoot, dest)
+    }
+    dest
+  }
+
+  private def fileSize(dataDir: HPath, f: Meta.DataFile): Long =
+    if (f.fileSizeBytes > 0) f.fileSizeBytes
+    else TableIO.size(new HPath(dataDir, f.path))
+
+  /** graft canonical stat strings → Iceberg single-value binaries. */
+  private def encodeStats(f: Meta.DataFile, ice: IcebergMetadata.IceSchema,
+      schema: StructType)
+      : (Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
+    val lower = scala.collection.mutable.Map[Int, Array[Byte]]()
+    val upper = scala.collection.mutable.Map[Int, Array[Byte]]()
+    val nulls = scala.collection.mutable.Map[Int, Long]()
+    f.stats.foreach { case (colName, st) =>
+      for {
+        id <- ice.fieldId(colName)
+        field <- schema.fields.find(_.name == colName)
+      } {
+        nulls(id) = st.nullCount
+        if (st.min.nonEmpty && st.max.nonEmpty) for {
+          mn <- statValue(field.dataType, st.min)
+          mx <- statValue(field.dataType, st.max)
+        } {
+          lower(id) = IcebergTypes.encode(field.dataType, mn)
+          upper(id) = IcebergTypes.encode(field.dataType, mx)
+        }
+      }
+    }
+    (lower.toMap, upper.toMap, nulls.toMap)
+  }
+
+  /** Parse a canonical stat string back to the value IcebergTypes.encode
+    * expects (inverse of IcebergTypes.decodeToCanonical). */
+  private def statValue(t: DataType, s: String): Option[Any] = t match {
+    case IntegerType | ShortType => s.toIntOption
+    case LongType => s.toLongOption
+    case FloatType => s.toFloatOption
+    case DoubleType => s.toDoubleOption
+    case StringType => Some(s)
+    case DateType =>
+      scala.util.Try(java.time.LocalDate.parse(s).toEpochDay.toInt).toOption
+    case TimestampType | TimestampNTZType => scala.util.Try {
+      // canonical form is UTC 'yyyy-MM-dd HH:mm:ss[.frac]'
+      val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    }.toOption
+    case _ => None
+  }
+}

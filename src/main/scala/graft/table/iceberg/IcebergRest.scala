@@ -139,6 +139,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           .filter(st => st.isDirectory &&
             !IcebergTable.exists(st.getPath.toString))
           .map(_.getPath.getName)
+          .filterNot(_.startsWith("."))
         val (page, next) = paginate(ex, names)
         val n = mapper.createObjectNode()
         val arr = n.putArray("namespaces")
@@ -161,6 +162,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           val names = TableIO.listDir(nsRoot(ns))
             .filter(st => IcebergTable.exists(st.getPath.toString))
             .map(_.getPath.getName)
+            .filterNot(_.startsWith("."))
           val (page, next) = paginate(ex, names)
           val n = mapper.createObjectNode()
           val arr = n.putArray("identifiers")
@@ -292,8 +294,23 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
 
       case ("GET", Seq("namespaces", ns, "tables", t)) =>
         val root = tableRoot(ns, t)
-        if (!IcebergTable.exists(root)) notFound(ex)
-        else reply(ex, 200, loadTableResult(root))
+        // a graft-format table is served through an on-the-fly
+        // real-format mirror: metadata-only export referencing the
+        // graft data files in place, refreshed when the source
+        // version moves (both formats keep a `metadata` dir, so the
+        // format probe is parsing, not existence)
+        val graftMirror = scala.util.Try(graft.table.Meta.load(root))
+          .toOption.map { _ =>
+            val spark = org.apache.spark.sql.SparkSession.getDefaultSession
+              .orElse(org.apache.spark.sql.SparkSession.getActiveSession).orNull
+            IcebergExport.exportIfStale(spark, root, s"$warehouse/$ns/.mirror-$t")
+          }
+        graftMirror match {
+          case Some(mirror) => reply(ex, 200, loadTableResult(mirror))
+          case None =>
+            if (!IcebergTable.exists(root)) notFound(ex)
+            else reply(ex, 200, loadTableResult(root))
+        }
 
       // ---- views (reference: catalog_api_api.rs create_view :568,
       // list_views :726, load_view :815, drop_view :640,
@@ -305,6 +322,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           val names = TableIO.listDir(nsRoot(ns))
             .filter(st => graft.table.Views.viewExists(st.getPath.toString))
             .map(_.getPath.getName)
+            .filterNot(_.startsWith("."))
           val (page, next) = paginate(ex, names)
           val n = mapper.createObjectNode()
           val arr = n.putArray("identifiers")

@@ -456,12 +456,12 @@ object IcebergWrite {
     commitDelete(spark, location,
       positions.select("file_path", "pos"), 1, Seq.empty)
 
-  private val emptyPartition =
+  private[iceberg] val emptyPartition =
     """{"type":"record","name":"r102","fields":[]}"""
 
   /** Avro record schema for the partition struct of a spec (nullable
     * fields with the spec's field-ids). */
-  private def partitionRecordJson(spec: Seq[IcebergMetadata.IcePartitionField],
+  private[iceberg] def partitionRecordJson(spec: Seq[IcebergMetadata.IcePartitionField],
       schema: IcebergMetadata.IceSchema): String = {
     if (spec.isEmpty) return emptyPartition
     val fields = spec.map { pf =>
@@ -478,7 +478,7 @@ object IcebergWrite {
     s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}"""
   }
 
-  private def partitionSpecJson(spec: Seq[IcebergMetadata.IcePartitionField],
+  private[iceberg] def partitionSpecJson(spec: Seq[IcebergMetadata.IcePartitionField],
       specId: Int): String = {
     val fields = spec.map(pf =>
       s"""{"name":"${pf.name}","transform":"${pf.transform}","source-id":${pf.sourceId},"field-id":${pf.fieldId}}""")
@@ -488,7 +488,7 @@ object IcebergWrite {
   /** Partition-dir string -> the avro value for the partition struct
     * (Spark renders dir values as escaped display strings — dates as
     * yyyy-MM-dd, timestamps as 'yyyy-MM-dd HH:mm:ss[.S]'). */
-  private def typedPartitionValue(t: DataType, v: String): Any = {
+  private[iceberg] def typedPartitionValue(t: DataType, v: String): Any = {
     if (v == null || v == "__HIVE_DEFAULT_PARTITION__") return null
     val s = graft.table.PathCodec.unescape(v)
     t match {
@@ -503,7 +503,7 @@ object IcebergWrite {
     }
   }
 
-  private def icebergSchemaJson(s: IcebergMetadata.IceSchema): String = {
+  private[iceberg] def icebergSchemaJson(s: IcebergMetadata.IceSchema): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("type", "struct"); n.put("schema-id", s.schemaId)
@@ -516,7 +516,7 @@ object IcebergWrite {
     mapper.writeValueAsString(n)
   }
 
-  private def keyedBytes(dfSchema: org.apache.avro.Schema, field: String,
+  private[iceberg] def keyedBytes(dfSchema: org.apache.avro.Schema, field: String,
       m: Map[Int, Array[Byte]]): Any = {
     if (m.isEmpty) return null
     val arrSchema = dfSchema.getField(field).schema().getTypes.get(1)
@@ -530,7 +530,7 @@ object IcebergWrite {
     arr
   }
 
-  private def keyedLongs(dfSchema: org.apache.avro.Schema, field: String,
+  private[iceberg] def keyedLongs(dfSchema: org.apache.avro.Schema, field: String,
       m: Map[Int, Long]): Any = {
     if (m.isEmpty) return null
     val arrSchema = dfSchema.getField(field).schema().getTypes.get(1)

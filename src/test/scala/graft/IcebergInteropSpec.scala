@@ -302,6 +302,46 @@ class IcebergInteropSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("graft table exports as real-format Iceberg; REST serves it via mirror") {
+    import graft.table.{GraftTable, Meta}
+    import graft.table.iceberg.IcebergExport
+    val wh = Files.createTempDirectory("graft-mirror").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val root = s"$wh/db/gt"
+    val li = Tables.lineitem(spark, sf)
+    val t = GraftTable.create(spark, root, li.schema,
+      spec = Seq(Meta.PartitionField("l_linestatus", "identity", "p_ls")))
+    t.append(li.limit(2000))
+    t.deleteWhereMoR(col("l_orderkey") === 1L, Seq("l_orderkey"))
+    t.deleteWhereMoRPositional(col("l_quantity") === 10.0)
+    val want = t.scan().count()
+    val wantSum = t.scan().agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    assert(want > 0)
+
+    // direct export: metadata-only mirror, data files referenced in place
+    val dest = s"$wh/exported"
+    IcebergExport.export(spark, root, dest)
+    val it = IcebergTable.load(spark, dest)
+    assert(it.scan().count() === want)
+    val gotSum = it.scan().agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    assert(math.abs(gotSum - wantSum) < 1e-6)
+
+    // REST: the graft table lists and loads through the on-the-fly mirror
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      assert(C.listTables(base, "db").contains("gt"))
+      assert(C.loadTable(spark, base, "db", "gt").scan().count() === want)
+      // mirror refreshes when the graft table commits a new version
+      t.append(li.limit(100))
+      val fresh = t.scan().count()
+      assert(C.loadTable(spark, base, "db", "gt").scan().count() === fresh)
+      // the hidden mirror dir never appears in listings
+      assert(!C.listTables(base, "db").exists(_.startsWith(".")))
+    } finally server.stop()
+  }
+
   test("REST bearer auth gates every endpoint; pagination pages stably") {
     val spark0 = spark
     import spark0.implicits._
