@@ -376,7 +376,36 @@ object TableOps {
        FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
        GROUP BY 1 ORDER BY month"""
 
+  /** graft -> real-format Iceberg export round-trip: build a graft
+    * table, apply a merge-on-read equality delete (so sequence scoping
+    * crosses the format boundary), export METADATA-ONLY (data parquet
+    * referenced in place), and aggregate through the binary interop
+    * reader. The oracle is the same filter+agg over the raw source, so
+    * what's validated is that the exported manifests + delete files
+    * reproduce the table exactly. */
+  val tfExportRoundtrip: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val root = scratch()
+    val t = graft.table.GraftTable.create(s, root, o.schema)
+    t.append(o)
+    t.deleteWhereMoR(col("o_orderstatus") === "P", Seq("o_orderstatus"))
+    val dest = scratch()
+    graft.table.iceberg.IcebergExport.export(s, root, dest)
+    graft.table.iceberg.IcebergTable.load(s, dest).scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).cast("decimal(18,2)").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfExportRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice),2)::DECIMAL(18,2) AS total
+       FROM orders WHERE o_orderstatus <> 'P'
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
+    "tf_export_roundtrip" -> tfExportRoundtrip,
     "tf_iceberg_read" -> tfIcebergRead,
     "tf_iceberg_partitioned" -> tfIcebergPartitioned,
     "tf_delete_pos" -> tfDeletePos,
@@ -395,6 +424,7 @@ object TableOps {
     "tf_mat_view_refresh" -> tfMatViewRefresh)
 
   val oracles: Map[String, String] = Map(
+    "tf_export_roundtrip" -> tfExportRoundtripSql,
     "tf_iceberg_read" -> tfIcebergReadSql,
     "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,
     "tf_delete_pos" -> tfDeletePosSql,
