@@ -177,7 +177,49 @@ object TextAnalysis {
        FROM words JOIN freq USING (w) CROSS JOIN tot
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Deterministic hash-based stratified sampling (data mixing): each
+    * language keeps the documents whose murmur3(doc_id) bucket over
+    * 100 slots falls under its quota — the dominant source (en) is
+    * downsampled to 25%, the rest kept at 75%. This is THE
+    * reproducible 100-TB sampling/mixing primitive: no RNG state, no
+    * shuffle, membership decidable per row inside codegen (the same
+    * codegen'd murmur3 the Iceberg bucket transform uses), and the
+    * sample is stable across reruns, retries, and cluster sizes. */
+  val pipelineMix: Q = (s, d) => {
+    val slot = graft.functions.IcebergTransforms.bucket(col("doc_id"), 100)
+    Tables.documents(s, d)
+      .withColumn("slot", slot)
+      .filter(col("slot") <
+        when(col("lang") === "en", lit(25)).otherwise(lit(75)))
+      .select(col("doc_id"), col("lang"), col("slot"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pure-SQL murmur3 of the 8-byte doc_id (the pt_bucket key-hash
+    * pattern) -> bucket over 100 -> per-language quota filter. */
+  val pipelineMixSql: String =
+    """WITH key_hash AS (
+      SELECT doc_id, lang,
+        (doc_id & 4294967295) AS w0, ((doc_id >> 32) & 4294967295) AS w1,
+        ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
+        ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
+        xor(0::BIGINT, p0b) AS h0a,
+        ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
+        ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
+        ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
+        xor(h0, p1b) AS h1a,
+        ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
+        xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
+        ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+        ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+      FROM documents)
+    SELECT doc_id, lang, ((hu & 2147483647) % 100)::INT AS slot
+    FROM key_hash
+    WHERE ((hu & 2147483647) % 100) < CASE WHEN lang = 'en' THEN 25 ELSE 75 END
+    ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_mix" -> pipelineMix,
     "ta_unigram_logprob" -> taUnigramLogprob,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
@@ -254,6 +296,7 @@ FROM full_h f LEFT JOIN minh m ON f.doc_id = m.doc_id
 ORDER BY f.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "pipeline_mix" -> pipelineMixSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_unigram_logprob" -> taUnigramLogprobSql,
     "ta_tokens" -> taTokensSql,
