@@ -218,7 +218,35 @@ object TextAnalysis {
     WHERE ((hu & 2147483647) % 100) < CASE WHEN lang = 'en' THEN 25 ELSE 75 END
     ORDER BY doc_id"""
 
+  /** Word-repetition quality rule (the Gopher/C4-style duplicate-word
+    * filter): per-document duplicate-word fraction in exact integer
+    * permyriad — (n_words - n_distinct) * 10000 / n_words with integer
+    * division, so the oracle comparison is bit-exact with no floating
+    * rounding seam. One narrow projection, no shuffle, all inside
+    * codegen. */
+  val taRepetition: Q = (s, d) => {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        ((col("n_words") - col("n_distinct")) * lit(10000) / col("n_words"))
+          .cast("int").as("dup_permyriad"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taRepetitionSql: String =
+    """SELECT doc_id, len(ws)::INT AS n_words,
+         len(list_distinct(ws))::INT AS n_distinct,
+         ((len(ws) - len(list_distinct(ws))) * 10000 // len(ws))::INT AS dup_permyriad
+       FROM (SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+         FROM documents)
+       ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "ta_repetition" -> taRepetition,
     "pipeline_mix" -> pipelineMix,
     "ta_unigram_logprob" -> taUnigramLogprob,
     "ta_tokens" -> taTokens,
@@ -296,6 +324,7 @@ FROM full_h f LEFT JOIN minh m ON f.doc_id = m.doc_id
 ORDER BY f.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "ta_repetition" -> taRepetitionSql,
     "pipeline_mix" -> pipelineMixSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_unigram_logprob" -> taUnigramLogprobSql,
