@@ -78,8 +78,40 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
 class GraftSparkTable(root: String,
     pinnedSnapshot: Option[Long] = None) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private lazy val meta = Meta.load(root)
+
+  /** SQL `DELETE FROM <catalog table> WHERE ...`: the analyzer pushes
+    * the condition as data-source filters; every translatable filter
+    * routes to GraftTable's copy-on-write delete (which keeps
+    * NULL-predicate rows per three-valued SQL semantics and prunes
+    * rewrite candidates by manifest stats). Untranslatable conditions
+    * make canDeleteWhere return false and the statement fails fast —
+    * better than a silent wrong delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftSparkTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val cond = filters.flatMap(GraftSparkTable.filterColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val touched = filters.flatMap(statFilterOf).toSeq
+    val t = GraftTable.load(spark, root)
+    t.delete(cond, touched.map(f =>
+      t.StatFilter(f._1, f._2, f._3)))
+  }
+
+  private def statFilterOf(f: Filter): Option[(String, String, String)] =
+    f match {
+      case EqualTo(a, v) => Some((a, "=", v.toString))
+      case GreaterThan(a, v) => Some((a, ">", v.toString))
+      case GreaterThanOrEqual(a, v) => Some((a, ">=", v.toString))
+      case LessThan(a, v) => Some((a, "<", v.toString))
+      case LessThanOrEqual(a, v) => Some((a, "<=", v.toString))
+      case _ => None
+    }
 
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType =
@@ -108,6 +140,37 @@ class GraftSparkTable(root: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(root, info.schema())
+}
+
+object GraftSparkTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** sources.Filter -> Column, for the V2 SupportsDelete path. Only
+    * filters with exact Column equivalents translate; anything else
+    * returns None and the DELETE is rejected up front. */
+  private[spark] def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for { x <- filterColumn(l); y <- filterColumn(r) } yield x && y
+    case Or(l, r) =>
+      for { x <- filterColumn(l); y <- filterColumn(r) } yield x || y
+    case Not(c) => filterColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 class GraftScanBuilder(root: String, snapshotId: Option[Long],

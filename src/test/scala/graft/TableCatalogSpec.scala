@@ -112,6 +112,29 @@ class TableCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT * FROM graft_wh.db.orders").collect())
   }
 
+  test("SQL DELETE FROM routes through SupportsDelete (3VL preserved)") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.del")
+    spark.sql("CREATE TABLE graft_wh.del.t (k BIGINT, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 7.0), (3L, 9.0), (4L, java.lang.Double.NaN))
+      .toDF("k", "v").withColumn("v",
+        when(col("k") === 4L, lit(null).cast("double")).otherwise(col("v")))
+      .createOrReplaceTempView("del_src")
+    spark.sql("INSERT INTO graft_wh.del.t SELECT * FROM del_src")
+    spark.sql("DELETE FROM graft_wh.del.t WHERE v > 5.0")
+    val left = spark.sql("SELECT k FROM graft_wh.del.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    // rows 2 and 3 deleted; row 4 (v IS NULL -> predicate NULL) KEPT
+    assert(left === Seq(1L, 4L))
+    // compound predicates translate too
+    spark.sql("DELETE FROM graft_wh.del.t WHERE k = 1 OR v IS NULL")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.del.t")
+      .collect()(0).getLong(0) === 0L)
+    spark.sql("DROP TABLE graft_wh.del.t")
+  }
+
   test("SQL time travel: VERSION AS OF selects a snapshot") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.tt")
