@@ -79,7 +79,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 class GraftSparkTable(root: String,
     pinnedSnapshot: Option[Long] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO (and DELETEs SupportsDelete can't take):
+    * group-based copy-on-write. The operation's scan records the
+    * candidate files it planned; the replacement write commits new
+    * files and removes exactly those in one snapshot. Rows are never
+    * filtered inside the scan (the condition lives in the replacement
+    * projection), so non-matching rows of candidate files are copied
+    * forward intact. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(root, info.command())
   private lazy val meta = Meta.load(root)
 
   /** SQL `DELETE FROM <catalog table> WHERE ...`: the analyzer pushes
@@ -173,8 +186,120 @@ object GraftSparkTable {
   }
 }
 
+/** One SQL row-level statement: scan side records the replaced group,
+  * write side swaps it atomically (copy-on-write ReplaceData). */
+class GraftRowLevelOperation(root: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** Union across (re)plannings: the runtime group-filter subquery
+    * plans a SUBSET of the main scan's files, and AQE may re-plan —
+    * accumulating keeps the replaced set a superset of every file
+    * whose rows fed the replacement write. */
+  private[spark] val scanned =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, None, None, Some(this))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new GraftReplaceWrite(root, info.schema(), () => scanned.get().toSeq)
+    }
+}
+
+/** ReplaceData write: same executor-side partition routing as the
+  * plain V2 write, but the commit removes the scanned group. */
+class GraftReplaceWrite(root: String, schema: StructType,
+    replaced: () => Seq[String])
+  extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  private def spec: Seq[Meta.PartitionField] =
+    if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (spec.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      spec.map { pf =>
+        (if (pf.transform.startsWith("truncate["))
+          Expressions.identity(pf.sourceColumn)
+        else RowTransform.toV2(pf))
+          : org.apache.spark.sql.connector.expressions.Expression
+      }.toArray)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftReplaceBatchWrite(root, schema, replaced)
+}
+
+class GraftReplaceBatchWrite(root: String, schema: StructType,
+    replaced: () => Seq[String])
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val staging = graft.table.TableIO.path(
+    root, s"stage-rlo-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    graft.table.TableIO.mkdirs(staging)
+    val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
+    ReplaceRowAdapterFactory(
+      GraftWriterFactory(staging.toString,
+        GraftConnectorShim.prepareParquetWriteConf(SparkSession.active, schema),
+        RowTransform.forSpec(spec, schema)),
+      schema)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    GraftTable.load(SparkSession.active, root)
+      .commitStagedReplace(staging, replaced())
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    graft.table.TableIO.delete(staging, recursive = true)
+}
+
+/** ReplaceData feeds writers `__row_operation +: dataColumns` when the
+  * operation declares no metadata attributes (Spark applies a
+  * projection only on the metadata path) — this adapter strips the
+  * leading operation column so the parquet writers see exactly the
+  * table schema. */
+case class ReplaceRowAdapterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private val w = inner.createWriter(partitionId, taskId)
+      private lazy val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        dataSchema, (1 to dataSchema.length).toIndexedSeq)
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == dataSchema.length) w.write(row)
+        else { proj.project(row); w.write(proj) }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+        w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+}
+
 class GraftScanBuilder(root: String, snapshotId: Option[Long],
-    branch: Option[String])
+    branch: Option[String],
+    capture: Option[GraftRowLevelOperation] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -306,14 +431,15 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
       else StructType(table.schema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new GraftScan(root, table, snapshotId, branch, withKeys,
-      pushed, pushed.flatMap(toStatFilter))
+      pushed, pushed.flatMap(toStatFilter), capture)
   }
 }
 
 class GraftScan(root: String, table: Meta.TableMetadata,
     snapshotId: Option[Long], branch: Option[String],
     requiredSchema: StructType, pushedFilters: Array[Filter],
-    statFilters: Array[(String, String, String)])
+    statFilters: Array[(String, String, String)],
+    capture: Option[GraftRowLevelOperation] = None)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -472,6 +598,9 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val files = plannedDataFiles(spark)
+    // group-based row-level ops replace exactly the files this scan
+    // planned (runtime group filtering has already narrowed the set)
+    capture.foreach(_.scanned.updateAndGet(_ ++ files.map(_.path)))
     if (spjEligible) {
       // one partition per partition-value tuple, keyed for SPJ
       val specNames = table.spec.map(_.name)
@@ -618,8 +747,13 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     // predicate pushdown must be off while any position delete is live
     // (filters still run above the scan: pushFilters keeps them all as
     // residual)
+    // ...and a row-level operation's scan must read candidate files
+    // WHOLE: the pushed group-filter condition may only prune files,
+    // never rows — non-matching rows are copied forward by the
+    // replacement projection, so dropping them here would lose data
     val pushForDelegate =
-      if (deletesWithSeq.exists(_._1.content == 1)) Array.empty[Filter]
+      if (capture.isDefined ||
+          deletesWithSeq.exists(_._1.content == 1)) Array.empty[Filter]
       else pushedFilters
     val delegate: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(

@@ -185,6 +185,33 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     else commit("append", files, Seq.empty)
   }
 
+  /** Commit a group replacement (the V2 row-level-operation path: SQL
+    * UPDATE / MERGE INTO / complex DELETE): the staged files become
+    * live, the scanned candidate files are removed, one snapshot.
+    * Outstanding MoR delete files stay — they only scope to data
+    * files with a SMALLER sequence, and the replacement files commit
+    * at a higher one, so old deletes can never hide rewritten rows. */
+  private[graft] def commitStagedReplace(staging: HPath,
+      replaced: Seq[String]): Unit = {
+    val m = meta
+    val staged = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+    val routed = m.spec.isEmpty ||
+      staged.forall(f => TableIO.relativize(staging, f._1).contains("="))
+    val files =
+      if (m.sortOrder.isEmpty && routed) ingestStaged(staging, m.schema)
+      else {
+        val stagedPaths = staged.map(_._1.toString)
+        val out =
+          if (stagedPaths.isEmpty) Seq.empty
+          else writeFiles(
+            spark.read.schema(m.schema).parquet(stagedPaths: _*), m.schema)
+        TableIO.delete(staging, recursive = true)
+        out
+      }
+    commit("rewrite", files, replaced)
+  }
+
   /** Commit a snapshot with optimistic concurrency: the metadata delta
     * is rebuilt from the freshest base on every attempt, and the
     * rename-without-replace in Meta.write is the CAS — a losing writer

@@ -135,6 +135,51 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_wh.del.t")
   }
 
+  test("SQL UPDATE and MERGE INTO run as group-based copy-on-write") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.rlo")
+    spark.sql("CREATE TABLE graft_wh.rlo.t (k BIGINT, v DOUBLE, tag STRING)")
+    (1L to 100L).map(i => (i, i.toDouble, "keep")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("rlo_src")
+    spark.sql("INSERT INTO graft_wh.rlo.t SELECT * FROM rlo_src")
+
+    // UPDATE: matched rows change, the rest are copied forward intact
+    spark.sql("UPDATE graft_wh.rlo.t SET v = v * 10, tag = 'bumped' WHERE k <= 5")
+    val after = spark.sql(
+      "SELECT sum(v) AS sv, count(*) AS n FROM graft_wh.rlo.t").collect()(0)
+    assert(after.getLong(1) === 100L)
+    // 1..5 went from 15 to 150; rest unchanged (5050 - 15 + 150)
+    assert(math.abs(after.getDouble(0) - 5185.0) < 1e-9)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_wh.rlo.t WHERE tag = 'bumped'")
+      .collect()(0).getLong(0) === 5L)
+
+    // MERGE INTO: updates matches, inserts the rest
+    Seq((3L, 999.0, "merged"), (200L, 200.0, "new"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("rlo_merge_src")
+    spark.sql(
+      """MERGE INTO graft_wh.rlo.t t USING rlo_merge_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET t.v = s.v, t.tag = s.tag
+         WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)""")
+    val m = spark.sql(
+      "SELECT k, v, tag FROM graft_wh.rlo.t WHERE k IN (3, 200) ORDER BY k")
+      .collect()
+    assert(m.length === 2)
+    assert(m(0).getDouble(1) === 999.0 && m(0).getString(2) === "merged")
+    assert(m(1).getDouble(1) === 200.0 && m(1).getString(2) === "new")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.rlo.t")
+      .collect()(0).getLong(0) === 101L)
+
+    // DELETE with a condition SupportsDelete can't translate falls
+    // back to the row-level rewrite
+    spark.sql("DELETE FROM graft_wh.rlo.t WHERE k % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.rlo.t")
+      .collect()(0).getLong(0) === 50L)
+    spark.sql("DROP TABLE graft_wh.rlo.t")
+  }
+
   test("SQL time travel: VERSION AS OF selects a snapshot") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.tt")
