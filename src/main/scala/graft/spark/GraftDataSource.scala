@@ -135,7 +135,8 @@ class GraftSparkTable(root: String,
   override def capabilities(): java.util.Set[TableCapability] =
     if (Meta.exists(root))
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   /** The table's partition transforms, in V2 terms (analyzer metadata;
@@ -594,6 +595,10 @@ class GraftScan(root: String, table: Meta.TableMetadata,
         graft.table.TableIO.qualified(p), f.fileSizeBytes, 0L)
     })
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, requiredSchema)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

@@ -41,6 +41,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.subsetOf(batch), "stream emitted a window batch disagrees with")
   }
 
+  test("graft table as a streaming source: snapshots arrive as micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft-src-stream")
+      .toString + "/t"
+    val df1 = (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1)
+
+    // batch 1: the existing snapshot (parquet sink: checkpoint-recoverable)
+    val out = root + "-out"
+    val q1 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === 40L)
+
+    // two more snapshots + a compaction (rewrite must NOT re-emit rows)
+    t.append((41L to 60L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    t.append((61L to 70L).map(i => (i, s"c$i")).toDF("k", "v").coalesce(1))
+    t.compact(targetFileBytes = 512L * 1024 * 1024)
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val ks = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // exactly 1..70, each once: checkpoint resumed past snapshot 1 and
+    // the rewrite snapshot contributed nothing
+    assert(ks === (1L to 70L))
+  }
+
   test("streaming dedup: dropDuplicates within watermark matches batch distinct") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toFile
     dir.deleteOnExit()
