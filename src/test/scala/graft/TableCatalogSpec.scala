@@ -180,6 +180,31 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_wh.rlo.t")
   }
 
+  test("row-level UPDATE routes partitions on a PARTITIONED BY table") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.rlop")
+    spark.sql(
+      """CREATE TABLE graft_wh.rlop.t (k BIGINT, grp BIGINT, v DOUBLE)
+         PARTITIONED BY (bucket(4, grp))""")
+    (1L to 200L).map(i => (i, i % 10, i.toDouble)).toDF("k", "grp", "v")
+      .createOrReplaceTempView("rlop_src")
+    spark.sql("INSERT INTO graft_wh.rlop.t SELECT * FROM rlop_src")
+    spark.sql("UPDATE graft_wh.rlop.t SET v = -1.0 WHERE grp = 3")
+    val neg = spark.sql(
+      "SELECT count(*) FROM graft_wh.rlop.t WHERE v = -1.0")
+      .collect()(0).getLong(0)
+    assert(neg === 20L)
+    assert(spark.sql("SELECT count(*) FROM graft_wh.rlop.t")
+      .collect()(0).getLong(0) === 200L)
+    // replacement files carry partition values (scan with the bucket
+    // filter prunes and still sees updated rows)
+    val t = graft.table.GraftTable.load(spark, s"$wh/rlop/t")
+    assert(t.meta.liveFiles(None).forall(_.partitionValues.nonEmpty))
+    spark.sql("DROP TABLE graft_wh.rlop.t")
+  }
+
   test("SQL time travel: VERSION AS OF selects a snapshot") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.tt")
