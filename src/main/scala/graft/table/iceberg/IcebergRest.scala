@@ -61,6 +61,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     json(n)
   }
 
+  private val mirrorLock = new Object
+
+  /** Received metrics reports, newest last: (namespace.table, report json). */
+  val metricsLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
   private def nsRoot(ns: String) = TableIO.path(s"$warehouse/$ns")
   private def tableRoot(ns: String, t: String) = s"$warehouse/$ns/$t"
 
@@ -303,7 +308,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           .toOption.map { _ =>
             val spark = org.apache.spark.sql.SparkSession.getDefaultSession
               .orElse(org.apache.spark.sql.SparkSession.getActiveSession).orNull
-            IcebergExport.exportIfStale(spark, root, s"$warehouse/$ns/.mirror-$t")
+            // serialized: concurrent loads must not observe a mirror
+            // mid-rewrite (delete + re-export is not atomic)
+            mirrorLock.synchronized {
+              IcebergExport.exportIfStale(spark, root, s"$warehouse/$ns/.mirror-$t")
+            }
           }
         graftMirror match {
           case Some(mirror) => reply(ex, 200, loadTableResult(mirror))
@@ -334,6 +343,13 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           next.foreach(t => n.put("next-page-token", t))
           reply(ex, 200, json(n))
         }
+
+      case ("POST", Seq("namespaces", ns, "tables", t, "metrics")) =>
+        // report_metrics (reference: catalog_api_api.rs:942): accept a
+        // scan/commit report; recorded in-memory for operators to poll
+        val body = mapper.readTree(ex.getRequestBody)
+        metricsLog.add(s"$ns.$t" -> body.toString)
+        reply(ex, 204, Array.empty)
 
       case ("POST", Seq("namespaces", ns, "views")) =>
         val body = mapper.readTree(ex.getRequestBody)
@@ -641,6 +657,14 @@ object IcebergRestClient {
     }
     post(s"$base/v1/namespaces/$ns/views/$name",
       mapper.writeValueAsString(n)).statusCode()
+  }
+
+  /** POST a metrics report for a table (reference: report_metrics). */
+  def reportMetrics(base: String, ns: String, table: String,
+      reportJson: String): Unit = {
+    val resp = post(s"$base/v1/namespaces/$ns/tables/$table/metrics", reportJson)
+    require(resp.statusCode() == 204,
+      s"reportMetrics -> ${resp.statusCode()}")
   }
 
   def dropView(base: String, ns: String, name: String): Unit =

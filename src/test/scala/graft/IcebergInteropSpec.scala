@@ -299,6 +299,12 @@ class IcebergInteropSpec extends AnyFunSuite {
       val m2 = C.loadTable(spark, base, "db", "renamed").meta
       assert(!m2.properties.contains("retention"))
       assert(m2.properties.get("owner").contains("graft"))
+
+      // -- metrics report endpoint (reference report_metrics): 204 + recorded
+      C.reportMetrics(base, "db", "renamed",
+        """{"report-type":"scan-report","filters":[],"metrics":{"result-data-files":3}}""")
+      assert(server.metricsLog.size() === 1)
+      assert(server.metricsLog.peek()._1 === "db.renamed")
     } finally server.stop()
   }
 
