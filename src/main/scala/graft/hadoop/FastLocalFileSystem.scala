@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 import java.io.FileNotFoundException
 import java.nio.file.{Files, NoSuchFileException}
-import java.nio.file.attribute.{PosixFileAttributes, PosixFilePermission, PosixFilePermissions}
+import java.nio.file.attribute.{PosixFileAttributes, PosixFilePermission}
 import scala.jdk.CollectionConverters._
 
 /** Local `file://` FileSystem with java.nio metadata operations.
@@ -37,10 +37,19 @@ class FastLocalFileSystem extends RawLocalFileSystem {
   }
 
   override def setPermission(p: Path, permission: FsPermission): Unit = {
-    val f = pathToFile(p).toPath
-    // FsPermission renders as the 9-char rwx string PosixFilePermissions parses
-    val s = permission.toString.take(9)
-    Files.setPosixFilePermissions(f, PosixFilePermissions.fromString(s))
+    // build the set from the mode BITS — FsPermission.toString renders
+    // a sticky bit as 't'/'T', which PosixFilePermissions.fromString
+    // rejects (NIO has no sticky-bit notion; it is dropped, as
+    // RawLocalFileSystem's non-native fallback effectively did too)
+    import PosixFilePermission._
+    val mode = permission.toShort
+    val set = java.util.EnumSet.noneOf(classOf[PosixFilePermission])
+    def bit(b: Int, perm: PosixFilePermission): Unit =
+      if ((mode & b) != 0) { set.add(perm); () }
+    bit(0x100, OWNER_READ); bit(0x80, OWNER_WRITE); bit(0x40, OWNER_EXECUTE)
+    bit(0x20, GROUP_READ); bit(0x10, GROUP_WRITE); bit(0x8, GROUP_EXECUTE)
+    bit(0x4, OTHERS_READ); bit(0x2, OTHERS_WRITE); bit(0x1, OTHERS_EXECUTE)
+    Files.setPosixFilePermissions(pathToFile(p).toPath, set)
   }
 
   private def status(p: Path, nio: java.nio.file.Path): FileStatus = {

@@ -116,15 +116,20 @@ class GraftSparkTable(root: String,
       t.StatFilter(f._1, f._2, f._3)))
   }
 
-  private def statFilterOf(f: Filter): Option[(String, String, String)] =
+  // literals rendered through the SAME canonical form the manifest
+  // stats use — naive toString on temporal values would make the
+  // rewrite-candidate pruning unsound (matching rows silently kept)
+  private def statFilterOf(f: Filter): Option[(String, String, String)] = {
+    import GraftScanBuilder.canonicalLiteral
     f match {
-      case EqualTo(a, v) => Some((a, "=", v.toString))
-      case GreaterThan(a, v) => Some((a, ">", v.toString))
-      case GreaterThanOrEqual(a, v) => Some((a, ">=", v.toString))
-      case LessThan(a, v) => Some((a, "<", v.toString))
-      case LessThanOrEqual(a, v) => Some((a, "<=", v.toString))
+      case EqualTo(a, v) => canonicalLiteral(v).map((a, "=", _))
+      case GreaterThan(a, v) => canonicalLiteral(v).map((a, ">", _))
+      case GreaterThanOrEqual(a, v) => canonicalLiteral(v).map((a, ">=", _))
+      case LessThan(a, v) => canonicalLiteral(v).map((a, "<", _))
+      case LessThanOrEqual(a, v) => canonicalLiteral(v).map((a, "<=", _))
       case _ => None
     }
+  }
 
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType =
@@ -298,6 +303,33 @@ case class ReplaceRowAdapterFactory(
     }
 }
 
+object GraftScanBuilder {
+  /** Render a filter literal in the SAME canonical string form
+    * FooterStats writes into the manifest — naive toString is unsound
+    * for temporal values (java.sql.Timestamp appends '.0', Instant
+    * uses 'T...Z'), and a lexicographic mismatch silently drops files
+    * whose stat boundary equals the literal. Types with no canonical
+    * form return None: the filter still runs, it just can't prune. */
+  private[spark] def canonicalLiteral(v: Any): Option[String] = {
+    def micros(i: java.time.Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    v match {
+      case null => None
+      case _: java.math.BigDecimal | _: BigDecimal => None // stats skip decimals
+      case n: Number => Some(n.toString)
+      case s: String => Some(s)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case d: java.sql.Date => Some(d.toLocalDate.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case t: java.sql.Timestamp =>
+        Some(graft.table.FooterStats.canonicalTimestampMicros(micros(t.toInstant)))
+      case i: java.time.Instant =>
+        Some(graft.table.FooterStats.canonicalTimestampMicros(micros(i)))
+      case _ => None
+    }
+  }
+}
+
 class GraftScanBuilder(root: String, snapshotId: Option[Long],
     branch: Option[String],
     capture: Option[GraftRowLevelOperation] = None)
@@ -391,30 +423,8 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
     case _ => None
   }
 
-  /** Render a pushed-filter literal in the SAME canonical string form
-    * FooterStats writes into the manifest — naive toString is unsound
-    * for temporal values (java.sql.Timestamp appends '.0', Instant
-    * uses 'T...Z'), and a lexicographic mismatch silently drops files
-    * whose stat boundary equals the literal. Types with no canonical
-    * form return None: the filter still runs, it just can't prune. */
-  private def canonicalLiteral(v: Any): Option[String] = {
-    def micros(i: java.time.Instant): Long =
-      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
-    v match {
-      case null => None
-      case _: java.math.BigDecimal | _: BigDecimal => None // stats skip decimals
-      case n: Number => Some(n.toString)
-      case s: String => Some(s)
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-      case d: java.sql.Date => Some(d.toLocalDate.toString)
-      case d: java.time.LocalDate => Some(d.toString)
-      case t: java.sql.Timestamp =>
-        Some(graft.table.FooterStats.canonicalTimestampMicros(micros(t.toInstant)))
-      case i: java.time.Instant =>
-        Some(graft.table.FooterStats.canonicalTimestampMicros(micros(i)))
-      case _ => None
-    }
-  }
+  private def canonicalLiteral(v: Any): Option[String] =
+    GraftScanBuilder.canonicalLiteral(v)
 
   override def build(): Scan = {
     pushedAgg match {
@@ -550,7 +560,15 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     * Spark resolves the references against. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    requiredSchema.fieldNames.map(
+    // a row-level operation's replaced group must equal EXACTLY the
+    // files every one of its scans planned; Spark also routes the
+    // runtime group-filter subquery through the operation's builder,
+    // so runtime narrowing of just the main scan would desynchronize
+    // the sets (files removed whose rows were never rewritten). The
+    // op's scans therefore decline runtime filtering: every scan
+    // plans the same statically-pruned set.
+    if (capture.isDefined) Array.empty
+    else requiredSchema.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   @volatile private var runtimeStatFilters: Seq[(String, String, String)] = Seq.empty
@@ -562,6 +580,7 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     * differently from the canonical stat strings, and pruning must
     * stay sound, so they are ignored rather than risked. */
   override def filter(filters: Array[Filter]): Unit = {
+    if (capture.isDefined) return // see filterAttributes
     def safe(v: Any): Boolean = v.isInstanceOf[Number] || v.isInstanceOf[String]
     runtimeStatFilters = filters.toSeq.flatMap {
       case In(c, values) if values.nonEmpty &&

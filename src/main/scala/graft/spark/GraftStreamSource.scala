@@ -16,9 +16,10 @@ import graft.table.Meta
   *
   * Only `append` snapshots contribute rows: `rewrite` (compaction)
   * re-expresses EXISTING rows in new files and `overwrite`/`delete`
-  * retract rows, which an append-only stream cannot represent — those
-  * snapshots are skipped, matching the reference's append-level
-  * incremental semantics. A fresh stream starts from snapshot 0
+  * retract rows, which an append-only stream cannot represent —
+  * compaction is skipped (row-preserving), every other non-append
+  * snapshot fails the stream loudly, matching the reference's
+  * append-level incremental semantics. A fresh stream starts from snapshot 0
   * (everything); a restarted stream starts from its checkpoint.
   */
 class GraftMicroBatchStream(root: String, requiredSchema: StructType)
@@ -41,10 +42,19 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType)
     val e = end.asInstanceOf[SnapshotOffset].id
     if (e <= s) return Array.empty
     val m = Meta.load(root)
-    val added = m.snapshots
+    // main-chain lineage only: branch commits and rollback orphans
+    // share the snapshots list but must not leak into the stream
+    val inRange = m.chainSnapshots(None)
       .filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
-      .filter(_.operation == "append")
-      .flatMap(_.files)
+    // rewrite (compaction) re-expresses existing rows -> skip; every
+    // other non-append mutates visible content in a way an append
+    // stream cannot represent -> fail loudly rather than drop data
+    inRange.find(sn => sn.operation != "append" && sn.operation != "rewrite")
+      .foreach(sn => throw new IllegalStateException(
+        s"streaming read reached ${sn.operation} snapshot ${sn.snapshotId}; " +
+          "append-only streams cannot represent replaced/deleted rows — " +
+          "re-read the table as a batch source"))
+    val added = inRange.filter(_.operation == "append").flatMap(_.files)
     if (added.isEmpty) return Array.empty
     val dataDir = graft.table.TableIO.path(root, "data")
     val targetBytes = 128L * 1024 * 1024

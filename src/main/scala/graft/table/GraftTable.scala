@@ -209,7 +209,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         TableIO.delete(staging, recursive = true)
         out
       }
-    commit("rewrite", files, replaced)
+    // "replace", not "rewrite": a MERGE can INSERT brand-new rows, so
+    // consumers that treat rewrites as row-preserving (the streaming
+    // source, MV incremental refresh) must see this as content change
+    commit("replace", files, replaced)
   }
 
   /** Commit a snapshot with optimistic concurrency: the metadata delta

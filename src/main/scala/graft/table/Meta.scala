@@ -52,7 +52,7 @@ object Meta {
       parentId: Option[Long],
       sequenceNumber: Long,
       timestampMs: Long,
-      operation: String, // append | rewrite | overwrite | delete
+      operation: String, // append | rewrite | replace | overwrite | delete
       addedFiles: Seq[DataFile],
       removedPaths: Seq[String],
       schemaId: Int,
@@ -125,6 +125,12 @@ object Meta {
           }
           chain.reverse.toSeq
       }
+
+    /** Snapshots on the lineage ending at `snapshotId` (or current),
+      * oldest first — branch commits and rolled-back orphans share the
+      * snapshots list but are NOT on this chain. */
+    def chainSnapshots(snapshotId: Option[Long]): Seq[Snapshot] =
+      chainTo(snapshotId)
 
     /** Live file set at a snapshot, replaying the append/remove chain. */
     def liveFiles(snapshotId: Option[Long]): Seq[DataFile] =

@@ -65,12 +65,18 @@ object IcebergExport {
         import spark.implicits._
         val uriByRel = files.map { case (f, _) => f.path -> dataFileUri(f.path) }
         val uriDf = uriByRel.toDF("rel", "uri")
+        // recorded file_path values are reader-local URIs of the same
+        // physical files: strip the dataDir PREFIX (scheme-insensitive,
+        // via the URI path) to recover the dataDir-relative join key —
+        // a substring match on '/data/' would misfire for any
+        // warehouse rooted under a path containing that segment
+        val dataDirPath = dataDir.toUri.getPath.stripSuffix("/") + "/"
         posDeletes.map { case (d, seq) =>
           val src = spark.read.parquet(new HPath(dataDir, d.path).toString)
-          // recorded file_path values are reader-local URIs of the same
-          // physical files; the dataDir-relative suffix is the join key
           val translated = src
-            .withColumn("rel", regexp_replace(col("file_path"), "^.*?/data/", ""))
+            .withColumn("rel", regexp_replace(
+              regexp_replace(col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", ""),
+              "^" + java.util.regex.Pattern.quote(dataDirPath), ""))
             .join(broadcast(uriDf), Seq("rel"))
             .select(col("uri").as("file_path"), col("pos"))
           val staging = new HPath(dest, s"stage-${UUID.randomUUID().toString.take(8)}")

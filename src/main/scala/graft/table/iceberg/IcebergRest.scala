@@ -304,22 +304,21 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         // graft data files in place, refreshed when the source
         // version moves (both formats keep a `metadata` dir, so the
         // format probe is parsing, not existence)
-        val graftMirror = scala.util.Try(graft.table.Meta.load(root))
-          .toOption.map { _ =>
-            val spark = org.apache.spark.sql.SparkSession.getDefaultSession
-              .orElse(org.apache.spark.sql.SparkSession.getActiveSession).orNull
-            // serialized: concurrent loads must not observe a mirror
-            // mid-rewrite (delete + re-export is not atomic)
-            mirrorLock.synchronized {
-              IcebergExport.exportIfStale(spark, root, s"$warehouse/$ns/.mirror-$t")
-            }
+        val isGraft = scala.util.Try(graft.table.Meta.load(root)).isSuccess
+        if (isGraft) {
+          val spark = org.apache.spark.sql.SparkSession.getDefaultSession
+            .orElse(org.apache.spark.sql.SparkSession.getActiveSession).orNull
+          // the WHOLE load is serialized: refresh is delete + re-export
+          // (not atomic), so the metadata read must also hold the lock
+          // or a concurrent refresh could yank files mid-read
+          val body = mirrorLock.synchronized {
+            val mirror = IcebergExport.exportIfStale(
+              spark, root, s"$warehouse/$ns/.mirror-$t")
+            loadTableResult(mirror)
           }
-        graftMirror match {
-          case Some(mirror) => reply(ex, 200, loadTableResult(mirror))
-          case None =>
-            if (!IcebergTable.exists(root)) notFound(ex)
-            else reply(ex, 200, loadTableResult(root))
-        }
+          reply(ex, 200, body)
+        } else if (!IcebergTable.exists(root)) notFound(ex)
+        else reply(ex, 200, loadTableResult(root))
 
       // ---- views (reference: catalog_api_api.rs create_view :568,
       // list_views :726, load_view :815, drop_view :640,
