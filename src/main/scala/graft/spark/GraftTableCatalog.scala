@@ -232,6 +232,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         t.addColumns(StructType(Seq(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType()))))
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        t.dropColumn(d.fieldNames()(0))
       case p: TableChange.SetProperty =>
         t.updateProperties(Map(p.property() -> p.value()))
       case other =>

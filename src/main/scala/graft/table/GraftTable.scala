@@ -696,6 +696,25 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Schema evolution: drop a column (new schema version; data files
+    * are untouched — scans with the new schema simply stop projecting
+    * the column, old snapshots keep their schema-id and still see it).
+    * Columns are matched by NAME (graft metadata has no field ids), so
+    * dropping is sound but RENAME is not offered: a renamed column
+    * could not be re-associated with the bytes in existing files. */
+  def dropColumn(name: String): GraftTable = this.synchronized {
+    val m = meta
+    require(m.schema.fieldNames.contains(name), s"no column $name")
+    require(!m.spec.exists(_.sourceColumn == name),
+      s"column $name is a partition source; drop the spec first")
+    require(!m.sortOrder.contains(name),
+      s"column $name is in the sort order")
+    val next = StructType(m.schema.fields.filterNot(_.name == name))
+    val id = m.schemas.keys.max + 1
+    Meta.write(root, m.copy(schemas = m.schemas + (id -> next), currentSchemaId = id))
+    this
+  }
+
   /** Named ref (branch/tag) to a snapshot (set_snapshot_ref). */
   def setRef(name: String, snapshotId: Long): GraftTable = this.synchronized {
     val m = meta

@@ -205,6 +205,35 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_wh.rlop.t")
   }
 
+  test("ALTER TABLE DROP COLUMN: new reads omit it, old snapshots keep it") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ddl")
+    spark.sql("CREATE TABLE graft_wh.ddl.t (k BIGINT, v DOUBLE, junk STRING)")
+    Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("k", "v", "junk")
+      .createOrReplaceTempView("ddl_src")
+    spark.sql("INSERT INTO graft_wh.ddl.t SELECT * FROM ddl_src")
+    val snap1 = graft.table.GraftTable.load(spark, s"$wh/ddl/t")
+      .meta.currentSnapshotId.get
+    spark.sql("ALTER TABLE graft_wh.ddl.t DROP COLUMN junk")
+    val cols = spark.sql("SELECT * FROM graft_wh.ddl.t").columns.toSeq
+    assert(cols === Seq("k", "v"))
+    assert(spark.sql("SELECT sum(v) FROM graft_wh.ddl.t")
+      .collect()(0).getDouble(0) === 3.0)
+    // the old snapshot still reads with its own schema (junk intact)
+    val t = graft.table.GraftTable.load(spark, s"$wh/ddl/t")
+    assert(t.timeTravel(snap1).columns.contains("junk"))
+    // MERGE with WHEN MATCHED DELETE over the evolved table
+    Seq((1L, 0.0)).toDF("k", "v").createOrReplaceTempView("ddl_del_src")
+    spark.sql(
+      """MERGE INTO graft_wh.ddl.t t USING ddl_del_src s ON t.k = s.k
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT k FROM graft_wh.ddl.t").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    spark.sql("DROP TABLE graft_wh.ddl.t")
+  }
+
   test("SQL time travel: VERSION AS OF selects a snapshot") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.tt")
