@@ -23,7 +23,10 @@ import java.nio.charset.StandardCharsets
   *   (iceberg-rest-catalog/src/apis/configuration.rs
   *   bearer_access_token). */
 class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
-    bearerToken: Option[String] = None) {
+    bearerToken: Option[String] = None,
+    /** client_credentials accepted by the token endpoint: (id, secret).
+      * A successful grant returns `bearerToken` as the access token. */
+    oauthClients: Map[String, String] = Map.empty) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
@@ -124,7 +127,9 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   }
 
   private def handle(ex: HttpExchange): Unit = try {
-    if (bearerToken.exists(t =>
+    val isTokenEndpoint =
+      ex.getRequestURI.getPath.stripSuffix("/") == "/v1/oauth/tokens"
+    if (!isTokenEndpoint && bearerToken.exists(t =>
         Option(ex.getRequestHeaders.getFirst("Authorization"))
           .forall(_ != s"Bearer $t"))) {
       reply(ex, 401, errBody("unauthorized", 401)); return
@@ -134,6 +139,28 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     val parts = path.stripPrefix("/").split("/").toSeq
 
     (method, parts) match {
+      case ("POST", Seq("oauth", "tokens")) =>
+        // RFC 6749 client_credentials grant (the Iceberg REST spec's
+        // /v1/oauth/tokens): form-encoded id+secret exchange for the
+        // catalog's bearer token (reference clients hold the result as
+        // configuration.oauth_access_token)
+        val form = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+          .split("&").filter(_.contains("=")).map { kv =>
+            val a = kv.split("=", 2)
+            a(0) -> java.net.URLDecoder.decode(a(1), "UTF-8")
+          }.toMap
+        val ok = form.get("grant_type").contains("client_credentials") &&
+          form.get("client_id").exists(id =>
+            oauthClients.get(id) == form.get("client_secret"))
+        if (!ok) reply(ex, 401, errBody("invalid_client", 401))
+        else {
+          val n = mapper.createObjectNode()
+          n.put("access_token", bearerToken.getOrElse(""))
+          n.put("token_type", "bearer")
+          reply(ex, 200, json(n))
+        }
+
       case ("GET", Seq("config")) =>
         val n = mapper.createObjectNode()
         n.putObject("defaults"); n.putObject("overrides")
@@ -656,6 +683,25 @@ object IcebergRestClient {
     }
     post(s"$base/v1/namespaces/$ns/views/$name",
       mapper.writeValueAsString(n)).statusCode()
+  }
+
+  /** client_credentials grant: exchange id+secret for the catalog's
+    * bearer token and install it on this client. */
+  def authenticate(base: String, clientId: String,
+      clientSecret: String): String = {
+    val form = s"grant_type=client_credentials&client_id=" +
+      java.net.URLEncoder.encode(clientId, "UTF-8") +
+      "&client_secret=" + java.net.URLEncoder.encode(clientSecret, "UTF-8")
+    val resp = http.send(
+      rb(s"$base/v1/oauth/tokens")
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(form)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"authenticate -> ${resp.statusCode()}: ${resp.body()}")
+    val token = mapper.readTree(resp.body()).get("access_token").asText()
+    bearerToken = Some(token)
+    token
   }
 
   /** POST a metrics report for a table (reference: report_metrics). */

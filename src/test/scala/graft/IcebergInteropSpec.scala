@@ -353,7 +353,8 @@ class IcebergInteropSpec extends AnyFunSuite {
     import spark0.implicits._
     import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
     val wh = Files.createTempDirectory("graft-rest-auth").toString
-    val server = new IcebergRestServer(wh, bearerToken = Some("s3cret")).start()
+    val server = new IcebergRestServer(wh, bearerToken = Some("s3cret"),
+      oauthClients = Map("svc" -> "pw")).start()
     try {
       val base = s"http://127.0.0.1:${server.port}"
       // no credential -> 401 surfaces as a failed require
@@ -366,8 +367,14 @@ class IcebergInteropSpec extends AnyFunSuite {
       assert(intercept[IllegalArgumentException] {
         C.listNamespaces(base)
       }.getMessage.contains("401"))
-      // right credential -> full surface works
-      C.bearerToken = Some("s3cret")
+      // the token endpoint itself needs no bearer: a client_credentials
+      // grant returns the catalog token and installs it
+      C.bearerToken = None
+      assert(intercept[IllegalArgumentException] {
+        C.authenticate(base, "svc", "WRONG")
+      }.getMessage.contains("401"))
+      val granted = C.authenticate(base, "svc", "pw")
+      assert(granted === "s3cret" && C.bearerToken.contains("s3cret"))
       C.createNamespace(base, "db")
       for (i <- 1 to 5)
         IcebergWrite.create(spark, s"$wh/db/t$i",
