@@ -119,13 +119,45 @@ object Events {
              THEN 1 ELSE 0 END)::BIGINT AS n_full
        FROM stages"""
 
+  /** Cohort retention: users bucketed by their FIRST event day, then
+    * the distinct-user count still active exactly 0/1/3/7 days later —
+    * the standard activation/retention curve. Two shuffles (first-day
+    * agg keyed by user, final cohort agg); the active-day set is
+    * deduped before the join so the wire carries user-days, not raw
+    * events. */
+  val evRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.distinct()
+      .join(firstDay, Seq("user_id"))
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset_days").isin(0, 1, 3, 7))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  val evRetentionSql: String =
+    """WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+       fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+       act AS (SELECT DISTINCT user_id, day FROM ev)
+       SELECT f.cohort_day, (a.day - f.cohort_day) AS offset_days,
+         count(DISTINCT a.user_id)::BIGINT AS n_users
+       FROM act a JOIN fd f USING (user_id)
+       WHERE (a.day - f.cohort_day) IN (0, 1, 3, 7)
+       GROUP BY 1, 2 ORDER BY cohort_day, offset_days"""
+
   val queries: Map[String, Q] = Map(
+    "ev_retention" -> evRetention,
     "ev_funnel" -> evFunnel,
     "ev_window_agg" -> evWindowAgg,
     "ev_sessionize" -> evSessionize,
     "ev_dedup_latest" -> evDedupLatest)
 
   val oracles: Map[String, String] = Map(
+    "ev_retention" -> evRetentionSql,
     "ev_funnel" -> evFunnelSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_sessionize" -> evSessionizeSql,
