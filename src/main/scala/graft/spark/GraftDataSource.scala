@@ -133,7 +133,12 @@ class GraftSparkTable(root: String,
 
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType =
-    if (Meta.exists(root)) meta.schema else StructType(Nil)
+    if (!Meta.exists(root)) StructType(Nil)
+    else pinnedSnapshot.flatMap(meta.snapshot)
+      // a time-travel pin reads with the SNAPSHOT's schema: after
+      // DROP COLUMN the old snapshot must still show the column
+      .flatMap(sn => meta.schemas.get(sn.schemaId))
+      .getOrElse(meta.schema)
 
   /** BATCH_WRITE only once the table exists — creation-on-first-write
     * goes through the V1 provider, which knows the incoming schema. */
@@ -339,7 +344,12 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
 
   private val table = Meta.load(root)
   private var pushed: Array[Filter] = Array.empty
-  private var requiredSchema: StructType = table.schema
+  private def snapshotSchema: StructType =
+    snapshotId.orElse(branch.flatMap(table.refs.get))
+      .flatMap(table.snapshot)
+      .flatMap(sn => table.schemas.get(sn.schemaId))
+      .getOrElse(table.schema)
+  private var requiredSchema: StructType = snapshotSchema
   private var pushedAgg: Option[MetadataAggSpec] = None
 
   /** Ungrouped, unfiltered COUNT(*)/MIN/MAX answer straight from the

@@ -690,6 +690,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * Existing files keep their bytes; scans null-fill. */
   def addColumns(newCols: StructType): GraftTable = this.synchronized {
     val m = meta
+    // re-adding a DROPPED name would resurrect the old bytes still in
+    // existing files (name-matched projection) instead of null-filling
+    val tombstones = m.properties.get(DroppedColumnsProp)
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    newCols.fields.foreach(f => require(!tombstones.contains(f.name),
+      s"column ${f.name} was previously dropped; existing files still " +
+        "hold values under that name — choose a fresh name"))
     val merged = StructType(m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
     val id = m.schemas.keys.max + 1
     Meta.write(root, m.copy(schemas = m.schemas + (id -> merged), currentSchemaId = id))
@@ -707,13 +714,33 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     require(m.schema.fieldNames.contains(name), s"no column $name")
     require(!m.spec.exists(_.sourceColumn == name),
       s"column $name is a partition source; drop the spec first")
-    require(!m.sortOrder.contains(name),
-      s"column $name is in the sort order")
+    // sort-order entries may be bare names OR zorder(a,b) — check the
+    // referenced columns, not the entry strings
+    val sortRefs = m.sortOrder.flatMap {
+      case ZOrderSpec(a, b) => Seq(a, b)
+      case n => Seq(n)
+    }
+    require(!sortRefs.contains(name),
+      s"column $name is referenced by the sort order")
+    // a live equality delete keyed on the column would turn into an
+    // empty-key match-everything (connector) or an unresolvable join
+    // (driver scan) — fold the deletes in first
+    require(!m.liveDeleteFiles(None).exists(_.equalityColumns.contains(name)),
+      s"column $name keys live equality-delete files; applyDeletes first")
     val next = StructType(m.schema.fields.filterNot(_.name == name))
     val id = m.schemas.keys.max + 1
-    Meta.write(root, m.copy(schemas = m.schemas + (id -> next), currentSchemaId = id))
+    // tombstone the name: old files still hold bytes under it, and a
+    // re-added column of the same name would resurrect them (schemas
+    // are name-matched; there are no field ids to disambiguate)
+    val dropped = (m.properties.get(DroppedColumnsProp)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty) :+ name).distinct
+    Meta.write(root, m.copy(
+      schemas = m.schemas + (id -> next), currentSchemaId = id,
+      properties = m.properties + (DroppedColumnsProp -> dropped.mkString(","))))
     this
   }
+
+  private val DroppedColumnsProp = "graft.dropped-columns"
 
   /** Named ref (branch/tag) to a snapshot (set_snapshot_ref). */
   def setRef(name: String, snapshotId: Long): GraftTable = this.synchronized {

@@ -27,6 +27,8 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     /** client_credentials accepted by the token endpoint: (id, secret).
       * A successful grant returns `bearerToken` as the access token. */
     oauthClients: Map[String, String] = Map.empty) {
+  require(oauthClients.isEmpty || bearerToken.isDefined,
+    "oauthClients without a bearerToken would mint empty access tokens")
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
@@ -109,11 +111,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     * list endpoint). Returns the page and the next-page-token. */
   private def paginate(ex: HttpExchange,
       items: Seq[String]): (Seq[String], Option[String]) = {
-    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
-      .split("&").filter(_.contains("=")).map { kv =>
-        val a = kv.split("=", 2)
-        a(0) -> java.net.URLDecoder.decode(a(1), "UTF-8")
-      }.toMap
+    val params = parseParams(Option(ex.getRequestURI.getQuery).getOrElse(""))
     val start = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
     val size = params.get("pageSize").flatMap(_.toIntOption)
     val sorted = items.sorted
@@ -126,17 +124,26 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     }
   }
 
+  /** form/query "k=v&k2=v2" → decoded map (token bodies, pagination). */
+  private def parseParams(raw: String): Map[String, String] =
+    raw.split("&").filter(_.contains("=")).map { kv =>
+      val a = kv.split("=", 2)
+      a(0) -> java.net.URLDecoder.decode(a(1), "UTF-8")
+    }.toMap
+
   private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath.stripPrefix("/v1").stripSuffix("/")
+    val method = ex.getRequestMethod
+    val parts = path.stripPrefix("/").split("/").toSeq
+    // the exemption uses the SAME normalized (method, parts) the router
+    // matches on — two different path normalizations would disagree
     val isTokenEndpoint =
-      ex.getRequestURI.getPath.stripSuffix("/") == "/v1/oauth/tokens"
+      method == "POST" && parts == Seq("oauth", "tokens")
     if (!isTokenEndpoint && bearerToken.exists(t =>
         Option(ex.getRequestHeaders.getFirst("Authorization"))
           .forall(_ != s"Bearer $t"))) {
       reply(ex, 401, errBody("unauthorized", 401)); return
     }
-    val path = ex.getRequestURI.getPath.stripPrefix("/v1").stripSuffix("/")
-    val method = ex.getRequestMethod
-    val parts = path.stripPrefix("/").split("/").toSeq
 
     (method, parts) match {
       case ("POST", Seq("oauth", "tokens")) =>
@@ -144,12 +151,8 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         // /v1/oauth/tokens): form-encoded id+secret exchange for the
         // catalog's bearer token (reference clients hold the result as
         // configuration.oauth_access_token)
-        val form = new String(ex.getRequestBody.readAllBytes(),
-          StandardCharsets.UTF_8)
-          .split("&").filter(_.contains("=")).map { kv =>
-            val a = kv.split("=", 2)
-            a(0) -> java.net.URLDecoder.decode(a(1), "UTF-8")
-          }.toMap
+        val form = parseParams(new String(
+          ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
         val ok = form.get("grant_type").contains("client_credentials") &&
           form.get("client_id").exists(id =>
             oauthClients.get(id) == form.get("client_secret"))

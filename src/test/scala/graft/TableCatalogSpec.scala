@@ -221,9 +221,23 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(cols === Seq("k", "v"))
     assert(spark.sql("SELECT sum(v) FROM graft_wh.ddl.t")
       .collect()(0).getDouble(0) === 3.0)
-    // the old snapshot still reads with its own schema (junk intact)
+    // the old snapshot still reads with its own schema (junk intact) —
+    // on the driver API and through SQL time travel
     val t = graft.table.GraftTable.load(spark, s"$wh/ddl/t")
     assert(t.timeTravel(snap1).columns.contains("junk"))
+    assert(spark.sql(
+      s"SELECT * FROM graft_wh.ddl.t VERSION AS OF $snap1")
+      .columns.contains("junk"))
+    // re-adding the dropped name would resurrect old bytes -> refused
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wh.ddl.t ADD COLUMN junk STRING")
+    }.getMessage.contains("previously dropped"))
+    // dropping a column that keys live equality deletes -> refused
+    t.deleteWhereMoR(col("k") === 999L, Seq("k"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wh.ddl.t DROP COLUMN k")
+    }.getMessage.contains("equality-delete"))
+    t.applyDeletes()
     // MERGE with WHEN MATCHED DELETE over the evolved table
     Seq((1L, 0.0)).toDF("k", "v").createOrReplaceTempView("ddl_del_src")
     spark.sql(
