@@ -245,7 +245,45 @@ object TextAnalysis {
          FROM documents)
        ORDER BY doc_id"""
 
+  /** Test-set decontamination: flag corpus documents sharing ANY word
+    * 5-gram with the eval set (here: doc_id < 20 plays the benchmark)
+    * — the standard leakage check before training. The eval gram set
+    * is tiny by construction and broadcast; the corpus side explodes
+    * per-doc DISTINCT grams, so the join carries corpus grams once
+    * each and no N² pair ever forms. */
+  val pipelineDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 5)
+    def grams = transform(
+      sequence(lit(0), size(col("ws")) - 5),
+      i => concat_ws(" ", (1 to 5).map(k => element_at(col("ws"), i + k)): _*))
+    val evalGrams = docs.filter(col("doc_id") < 20)
+      .select(explode(grams).as("gram")).distinct()
+    docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelineDecontaminateSql: String =
+    """WITH g AS (SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+       eg AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws)-3),
+           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS gram
+         FROM g WHERE doc_id < 20 AND len(ws) >= 5),
+       cg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-3),
+           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))) AS gram
+         FROM g WHERE doc_id >= 20 AND len(ws) >= 5)
+       SELECT c.doc_id, count(DISTINCT c.gram)::BIGINT AS n_hits
+       FROM cg c JOIN eg e USING (gram)
+       GROUP BY 1 ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_decontaminate" -> pipelineDecontaminate,
     "ta_repetition" -> taRepetition,
     "pipeline_mix" -> pipelineMix,
     "ta_unigram_logprob" -> taUnigramLogprob,
@@ -324,6 +362,7 @@ FROM full_h f LEFT JOIN minh m ON f.doc_id = m.doc_id
 ORDER BY f.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "ta_repetition" -> taRepetitionSql,
     "pipeline_mix" -> pipelineMixSql,
     "ta_fingerprint" -> taFingerprintSql,
