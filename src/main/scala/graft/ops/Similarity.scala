@@ -118,29 +118,14 @@ object Similarity {
 
   // ---- LSH (random hyperplane) ---------------------------------------
 
-  private val LshTables = 8
-  private val PlanesPerTable = 4
-
-  /** Deterministic pseudo-random hyperplanes: component derived from
-    * murmur3 of the flat index, mapped into [-1, 1]. Indexed
-    * [table * PlanesPerTable + plane][dim]. */
-  private[ops] lazy val planes: Array[Array[Double]] =
-    Array.tabulate(LshTables * PlanesPerTable, Dim) { (p, i) =>
-      val h = graft.functions.IcebergHash.hashLong((p * Dim + i).toLong)
-      h.toDouble / Int.MaxValue
-    }
-
   /** (table, sign-bit bucket) keys for a vector — multi-table LSH: a
     * neighbor is a candidate if it agrees on all planes of ANY table,
-    * which keeps per-table selectivity high without killing recall. */
+    * which keeps per-table selectivity high without killing recall.
+    * One compact codegen'd expression (LshKernel) — the previous
+    * 32-literal-array formulation cost ~6 s of whole-stage codegen
+    * compilation per cold plan. */
   private def bucketKeys(emb: Column): Column =
-    array((0 until LshTables).map { t =>
-      val bucket = (0 until PlanesPerTable).map { p =>
-        val plane = array(planes(t * PlanesPerTable + p).map(lit(_)): _*)
-        when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("b"))
-    }: _*)
+    graft.functions.LshKernel.bucketKeysCol(emb)
 
   /** LSH top-k: equi-join on (table, bucket), candidates deduped, exact
     * rerank only on candidates. Shuffle cost tracks candidate count.

@@ -69,6 +69,14 @@ object ProfR5 {
       time("mxb maxRecordsPerFile no-repart")(
         withMB.write.partitionBy("_m", "_b").parquet(dest()))
     }
+    if (which == "ann") for (rnd <- 1 to 3) {
+      time(s"ann_lsh_topk run$rnd") {
+        graft.ops.Similarity.queries("ann_lsh_topk")(spark, sf).collect()
+      }
+      time(s"ann_ivf_topk run$rnd") {
+        graft.ops.Similarity.queries("ann_ivf_topk")(spark, sf).collect()
+      }
+    }
     if (which == "both" || which == "cc") {
       time("dd_minhash_cluster total") {
         graft.ops.Dedup.queries("dd_minhash_cluster")(spark, sf).collect()
