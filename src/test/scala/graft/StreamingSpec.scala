@@ -80,6 +80,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(ks === (1L to 70L))
   }
 
+  test("streaming source fails loudly on replace snapshots, ignores branches") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft-src-guard")
+      .toString + "/t"
+    val df1 = (1L to 20L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1)
+    // a branch append must NOT leak into the main-table stream
+    t.setRef("dev", t.meta.currentSnapshotId.get)
+    t.append((100L to 120L).map(i => (i, s"d$i")).toDF("k", "v").coalesce(1),
+      branch = "dev")
+    val out = root + "-out"
+    val q1 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination(120000)
+    val ks = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks === (1L to 20L), s"branch rows leaked: $ks")
+    // a replace snapshot (SQL UPDATE-style rewrite) fails the stream
+    // rather than silently dropping replaced rows
+    t.delete(col("k") === 1L) // CoW delete commits a "delete" snapshot
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000)
+    }
+    assert(ex.getMessage.contains("append-only streams") ||
+      Option(ex.getCause).exists(_.getMessage.contains("append-only streams")))
+  }
+
   test("streaming dedup: dropDuplicates within watermark matches batch distinct") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toFile
     dir.deleteOnExit()
