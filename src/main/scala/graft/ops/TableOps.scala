@@ -394,13 +394,14 @@ object TableOps {
     graft.table.iceberg.IcebergTable.load(s, dest).scan()
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).cast("decimal(18,2)").as("total"))
+        round(sum(col("o_totalprice")).cast("decimal(38,10)"), 2)
+          .cast("decimal(18,2)").as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
   val tfExportRoundtripSql: String =
     """SELECT o_orderstatus, count(*) AS n,
-       round(sum(o_totalprice),2)::DECIMAL(18,2) AS total
+       round(sum(o_totalprice)::DECIMAL(38,10),2)::DECIMAL(18,2) AS total
        FROM orders WHERE o_orderstatus <> 'P'
        GROUP BY 1 ORDER BY o_orderstatus"""
 
