@@ -76,7 +76,11 @@ class FastLocalFileSystem extends RawLocalFileSystem {
     val out = scala.collection.mutable.ArrayBuffer[FileStatus]()
     val stream = Files.newDirectoryStream(dir)
     try stream.iterator().asScala.foreach { child =>
-      val childPath = new Path(makeQualified(f), child.getFileName.toString)
+      // 3-arg Path treats the name as a raw component; Path(String)
+      // would URI-parse it, misreading a literal ':' in a filename as
+      // a scheme (same guard as RawLocalFileSystem.listStatus)
+      val childPath = new Path(makeQualified(f),
+        new Path(null, null, child.getFileName.toString))
       try out += status(childPath, child)
       catch { case _: NoSuchFileException => } // raced deletion
     } finally stream.close()

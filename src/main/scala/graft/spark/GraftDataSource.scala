@@ -412,9 +412,11 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(required: StructType): Unit = {
-    // retain table-schema field order and types
+    // retain field order and types of the SNAPSHOT schema, not the
+    // current one — a time-travel/branch scan may select a column the
+    // live schema has since dropped
     val names = required.fieldNames.toSet
-    requiredSchema = StructType(table.schema.fields.filter(f => names.contains(f.name)))
+    requiredSchema = StructType(snapshotSchema.fields.filter(f => names.contains(f.name)))
   }
 
   private def parquetPushable(f: Filter): Boolean = f match {
@@ -449,7 +451,7 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
     val eqCols = deletes.flatMap(_.equalityColumns).distinct
     val withKeys =
       if (eqCols.forall(requiredSchema.fieldNames.contains)) requiredSchema
-      else StructType(table.schema.fields.filter(f =>
+      else StructType(snapshotSchema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new GraftScan(root, table, snapshotId, branch, withKeys,
       pushed, pushed.flatMap(toStatFilter), capture)

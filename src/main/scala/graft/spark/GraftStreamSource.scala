@@ -46,9 +46,11 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType)
     // share the snapshots list but must not leak into the stream
     val inRange = m.chainSnapshots(None)
       .filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
-    // rewrite (compaction) re-expresses existing rows -> skip; every
-    // other non-append mutates visible content in a way an append
-    // stream cannot represent -> fail loudly rather than drop data
+    // "rewrite" is reserved for pure bin-pack compaction (rows
+    // preserved exactly) -> skip; delete-folding rewrites commit as
+    // "rewrite-fold" and fall through to the loud failure below, like
+    // every other op that mutates visible content in a way an
+    // append-only stream cannot represent
     inRange.find(sn => sn.operation != "append" && sn.operation != "rewrite")
       .foreach(sn => throw new IllegalStateException(
         s"streaming read reached ${sn.operation} snapshot ${sn.snapshotId}; " +

@@ -211,8 +211,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       }
     // "replace", not "rewrite": a MERGE can INSERT brand-new rows, so
     // consumers that treat rewrites as row-preserving (the streaming
-    // source, MV incremental refresh) must see this as content change
-    commit("replace", files, replaced)
+    // source, MV incremental refresh) must see this as content change.
+    // requireLive: the staged rows were computed from a read of
+    // `replaced` — if a concurrent commit rewrote or dropped any of
+    // those files, this commit is based on stale data and must abort
+    // (the reference validates replaced files still exist at commit).
+    commit("replace", files, replaced, requireLive = replaced)
   }
 
   /** Commit a snapshot with optimistic concurrency: the metadata delta
@@ -226,10 +230,20 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       branch: String = "main",
       addedDeletes: Seq[Meta.DataFile] = Seq.empty,
       removedDeletes: Seq[String] = Seq.empty,
-      summaryExtra: Map[String, String] = Map.empty): Meta.TableMetadata = this.synchronized {
+      summaryExtra: Map[String, String] = Map.empty,
+      requireLive: Seq[String] = Seq.empty): Meta.TableMetadata = this.synchronized {
     var attempts = 0
     while (true) {
       val m = meta
+      if (requireLive.nonEmpty) {
+        val live = m.liveFiles(m.refs.get(branch).orElse(m.currentSnapshotId))
+          .map(_.path).toSet
+        val gone = requireLive.filterNot(live.contains)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"$op commit aborted: ${gone.size} file(s) read by this operation " +
+            s"were rewritten or removed by a concurrent commit " +
+            s"(e.g. ${gone.head}); re-run the operation on the new base")
+      }
       val parent = m.refs.get(branch).orElse(m.currentSnapshotId)
       val snap = Meta.Snapshot(
         snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1,
@@ -535,7 +549,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       m.liveDeleteFilesWithSeq(None), m.schema)
       .repartition(targetN)
     val files = writeFiles(df, m.schema)
-    commit("rewrite", files, allSmall.map(_.path))
+    // a compaction with live deletes folds them into the rewritten
+    // files (rows removed) -> "rewrite-fold"; only a delete-free
+    // bin-pack is the row-preserving "rewrite" streams may skip
+    val op = if (m.liveDeleteFilesWithSeq(None).nonEmpty) "rewrite-fold"
+             else "rewrite"
+    commit(op, files, allSmall.map(_.path))
     this
   }
 
@@ -627,13 +646,16 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   /** Fold outstanding equality deletes into the data (the rewrite the
     * reference's `rewrite` transaction performs): data files rewritten
-    * minus deleted keys, delete files dropped. */
+    * minus deleted keys, delete files dropped. Committed as
+    * "rewrite-fold", NOT "rewrite": folding deletes REMOVES live rows,
+    * so row-preserving consumers (the streaming source) must not treat
+    * it as a pure compaction. */
   def applyDeletes(): GraftTable = {
     val m = meta
     val deletes = m.liveDeleteFiles(None)
     if (deletes.isEmpty) return this
     val files = writeFiles(scan(), m.schema)
-    commit("rewrite", files, m.liveFiles(None).map(_.path),
+    commit("rewrite-fold", files, m.liveFiles(None).map(_.path),
       removedDeletes = deletes.map(_.path))
     this
   }

@@ -228,6 +228,13 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT * FROM graft_wh.ddl.t VERSION AS OF $snap1")
       .columns.contains("junk"))
+    // ...and the read must actually EXECUTE: selecting the dropped
+    // column through time travel exercises pruneColumns against the
+    // snapshot schema, not just analysis-time resolution
+    val old = spark.sql(
+      s"SELECT k, junk FROM graft_wh.ddl.t VERSION AS OF $snap1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(old === Set((1L, "x"), (2L, "y")))
     // re-adding the dropped name would resurrect old bytes -> refused
     assert(intercept[Exception] {
       spark.sql("ALTER TABLE graft_wh.ddl.t ADD COLUMN junk STRING")
