@@ -103,6 +103,39 @@ object TableOps {
        count(*) AS n FROM orders WHERE year(o_orderdate) = 1996
        GROUP BY 1 ORDER BY m_1970"""
 
+  /** Partition-spec EVOLUTION (transaction/mod.rs:47 set_default_spec;
+    * iceberg-rust-spec partition.rs spec list): write one era under
+    * month(o_orderdate), evolve the live table's default spec to
+    * day(o_orderdate), write a second era — then a pruned scan spans
+    * both, each file's partitionValues resolved through the spec that
+    * WROTE it (per-file spec-id). Filters on both eras' partition
+    * fields are passed; a file lacking a field keeps (sound), so the
+    * month-era files prune by _p_month and the day-era by _p_day. */
+  val tfSpecEvolution: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val t = GraftTable.create(s, scratch(), o.schema,
+      spec = Seq(Meta.PartitionField("o_orderdate", "month", "_p_month")))
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.setDefaultSpec(Seq(Meta.PartitionField("o_orderdate", "day", "_p_day")))
+    t.append(o.filter(col("o_orderkey") % 2 =!= 0))
+    // 1996 window: months-from-epoch [312,323], days-from-epoch [9496,9861]
+    t.scan(Seq(
+        t.StatFilter("_p_month", ">=", "312"), t.StatFilter("_p_month", "<=", "323"),
+        t.StatFilter("_p_day", ">=", "9496"), t.StatFilter("_p_day", "<=", "9861")))
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")).cast("decimal(38,10)"), 2)
+          .cast("decimal(18,2)").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfSpecEvolutionSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice)::DECIMAL(38,10),2)::DECIMAL(18,2) AS total
+       FROM orders WHERE year(o_orderdate) = 1996
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
   /** bin-pack rewrite: 40 small files → few, rows identical
     * (rows-only; content hash asserted in TableSpec). */
   val tfCompaction: Q = (s, d) => {
@@ -416,6 +449,7 @@ object TableOps {
     "tf_time_travel" -> tfTimeTravel,
     "tf_files_pruned" -> tfFilesPruned,
     "tf_partition_scan" -> tfPartitionScan,
+    "tf_spec_evolution" -> tfSpecEvolution,
     "tf_compaction" -> tfCompaction,
     "tf_branch_scan" -> tfBranchScan,
     "tf_schema_evolution" -> tfSchemaEvolution,
@@ -436,6 +470,7 @@ object TableOps {
     "tf_snapshot_scan" -> tfSnapshotScanSql,
     "tf_time_travel" -> tfTimeTravelSql,
     "tf_partition_scan" -> tfPartitionScanSql,
+    "tf_spec_evolution" -> tfSpecEvolutionSql,
     "tf_branch_scan" -> tfBranchScanSql,
     "tf_schema_evolution" -> tfSchemaEvolutionSql,
     "tf_merge_upsert" -> tfMergeUpsertSql,

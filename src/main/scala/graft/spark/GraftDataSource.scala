@@ -516,12 +516,19 @@ class GraftScan(root: String, table: Meta.TableMetadata,
         .map(_._1.path).sorted)
   }
 
+  /** After partition-spec evolution, files from older eras don't carry
+    * the default spec's values — key-grouped claims would be unsound
+    * until a rewrite migrates them, so SPJ requires a uniform spec. */
+  private lazy val uniformSpec: Boolean =
+    table.liveFiles(snapId).forall(_.specId == table.defaultSpecId)
+
   // SPJ is declined while equality deletes are outstanding: the keyed
   // single-partition-per-value layout cannot also honor per-file
   // delete scoping bins
   private def spjEligible: Boolean =
     table.spec.nonEmpty && table.spec.forall(_.transform == "identity") &&
-      identityPartCols.size == table.spec.size && deletesWithSeq.isEmpty
+      identityPartCols.size == table.spec.size && deletesWithSeq.isEmpty &&
+      uniformSpec
 
   /** Single bucket[n] partition spec whose source column survives into
     * the output — the bucket-SPJ clustering (needs the catalog's
@@ -529,7 +536,7 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   private def bucketSpec: Option[(Meta.PartitionField, Int)] = table.spec match {
     case Seq(pf) if pf.transform.startsWith("bucket[") &&
         requiredSchema.fieldNames.contains(pf.sourceColumn) &&
-        deletesWithSeq.isEmpty =>
+        deletesWithSeq.isEmpty && uniformSpec =>
       Some((pf, pf.transform.stripPrefix("bucket[").stripSuffix("]").toInt))
     case _ => None
   }

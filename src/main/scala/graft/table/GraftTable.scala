@@ -124,6 +124,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * their manifest entries, and remove the staging skeleton. */
   private[graft] def ingestStaged(staging: HPath,
       schema: StructType): Seq[Meta.DataFile] = {
+    // every file entering the table is stamped with the spec that
+    // routed it — after spec evolution, scans resolve partitionValues
+    // through this id, never the (possibly newer) default spec
+    val specId = meta.defaultSpecId
     val staged = TableIO.listFilesRecursive(staging)
       .filter(_._1.getName.endsWith(".parquet"))
     val stagedPaths = staged.map(_._1.toString)
@@ -145,7 +149,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         partitionValues = partValues,
         recordCount = fs.records,
         fileSizeBytes = sizeByPath.getOrElse(fs.path, TableIO.size(dest)),
-        stats = fs.stats)
+        stats = fs.stats,
+        specId = specId)
     }
 
     TableIO.delete(staging, recursive = true)
@@ -340,18 +345,23 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         case _ => true
       }
     })
-    val partFields = m.spec.map(_.name).toSet
+    // union over ALL specs: after evolution a filter column may be a
+    // partition field only for SOME files' eras
+    val partFields = m.specs.values.flatten.map(_.name).toSet
     live.filter { f =>
       filters.forall { flt =>
         // partition-value pruning: exact value per file, compared
         // through the transform's output type (identity/truncate keep
         // the source column's type; the datetime/bucket transforms are
-        // numeric). Unparseable values keep the file — pruning is a
-        // skip optimization and must stay sound.
-        if (partFields.contains(flt.column)) {
+        // numeric). The transform is resolved through the FILE's own
+        // spec (per-file spec-id), so files written before a spec
+        // change keep pruning correctly. Unparseable values keep the
+        // file — pruning is a skip optimization and must stay sound.
+        val filePf = m.specOf(f).find(_.name == flt.column)
+        if (partFields.contains(flt.column) && filePf.isDefined) {
           f.partitionValues.get(flt.column) match {
             case Some(v) =>
-              val pf = m.spec.find(_.name == flt.column).get
+              val pf = filePf.get
               val pcmp: (String, String) => Int =
                 if (pf.transform == "identity" || pf.transform.startsWith("truncate"))
                   schema.fields.find(_.name == pf.sourceColumn)
@@ -734,8 +744,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def dropColumn(name: String): GraftTable = this.synchronized {
     val m = meta
     require(m.schema.fieldNames.contains(name), s"no column $name")
-    require(!m.spec.exists(_.sourceColumn == name),
-      s"column $name is a partition source; drop the spec first")
+    require(!m.specs.values.flatten.exists(_.sourceColumn == name),
+      s"column $name is a partition source (in the default or a " +
+        "historical spec); drop the spec first")
     // sort-order entries may be bare names OR zorder(a,b) — check the
     // referenced columns, not the entry strings
     val sortRefs = m.sortOrder.flatMap {
@@ -763,6 +774,28 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   }
 
   private val DroppedColumnsProp = "graft.dropped-columns"
+
+  /** Partition-spec evolution (transaction/mod.rs:47 set_default_spec):
+    * change how FUTURE writes are partitioned without touching data.
+    * The new spec is appended to the spec list under a fresh id and
+    * becomes the default; existing files keep their own spec id and
+    * scans resolve each file's partitionValues through the spec that
+    * wrote it. An identical existing spec is reused (same-id
+    * idempotence, like Iceberg's spec dedup). */
+  def setDefaultSpec(spec: Seq[Meta.PartitionField]): GraftTable = this.synchronized {
+    val m = meta
+    spec.foreach { pf =>
+      require(m.schema.fieldNames.contains(pf.sourceColumn),
+        s"partition source column '${pf.sourceColumn}' is not in the schema")
+      require(!m.schema.fieldNames.contains(pf.name),
+        s"partition field name '${pf.name}' collides with a schema column; " +
+          "use a distinct name (e.g. prefix '_p_')")
+    }
+    val id = m.specs.find(_._2 == spec).map(_._1)
+      .getOrElse(m.specs.keys.maxOption.getOrElse(-1) + 1)
+    Meta.write(root, m.copy(specs = m.specs + (id -> spec), defaultSpecId = id))
+    this
+  }
 
   /** Named ref (branch/tag) to a snapshot (set_snapshot_ref). */
   def setRef(name: String, snapshotId: Long): GraftTable = this.synchronized {
@@ -871,7 +904,7 @@ object GraftTable {
     Meta.write(root, Meta.TableMetadata(
       location = root, formatVersion = 1,
       schemas = Map(0 -> schema), currentSchemaId = 0,
-      spec = spec, properties = properties,
+      specs = Map(0 -> spec), defaultSpecId = 0, properties = properties,
       snapshots = Seq.empty, currentSnapshotId = None,
       refs = Map.empty, lastVersion = 0, sortOrder = sortOrder))
     new GraftTable(root, spark)

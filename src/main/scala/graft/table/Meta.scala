@@ -45,7 +45,12 @@ object Meta {
         * (rows of data-file path + row index), 2 = equality deletes.
         * Derived from equalityColumns for metadata written before the
         * field existed. */
-      content: Int = 0)
+      content: Int = 0,
+      /** id of the partition spec this file was written under — after
+        * spec evolution, files from different eras resolve their
+        * partitionValues through their OWN spec (iceberg-rust-spec:
+        * per-manifest partition-spec-id). */
+      specId: Int = 0)
 
   case class Snapshot(
       snapshotId: Long,
@@ -99,7 +104,13 @@ object Meta {
       formatVersion: Int,
       schemas: Map[Int, StructType],
       currentSchemaId: Int,
-      spec: Seq[PartitionField],
+      /** partition-spec list, id -> fields (iceberg-rust-spec
+        * table_metadata.rs `partition_specs` + `default_spec_id`):
+        * a live table can re-partition (setDefaultSpec) without
+        * rewriting data — new files route through the new default,
+        * old files keep resolving through their own spec id. */
+      specs: Map[Int, Seq[PartitionField]],
+      defaultSpecId: Int,
       properties: Map[String, String],
       snapshots: Seq[Snapshot],
       currentSnapshotId: Option[Long],
@@ -110,6 +121,13 @@ object Meta {
       sortOrder: Seq[String] = Seq.empty) {
 
     def schema: StructType = schemas(currentSchemaId)
+
+    /** The DEFAULT spec — what new writes partition by. */
+    def spec: Seq[PartitionField] = specs.getOrElse(defaultSpecId, Seq.empty)
+
+    /** The spec a given file was written under. */
+    def specOf(f: DataFile): Seq[PartitionField] =
+      specs.getOrElse(f.specId, Seq.empty)
 
     def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
 
@@ -202,6 +220,7 @@ object Meta {
     }
     f.dataSequence.foreach(n.put("sequence", _))
     if (f.content != 0) n.put("content", f.content)
+    if (f.specId != 0) n.put("spec_id", f.specId)
     n
   }
 
@@ -212,12 +231,16 @@ object Meta {
     val schemas = root.putObject("schemas")
     m.schemas.foreach { case (id, st) => schemas.put(id.toString, st.json) }
     root.put("current_schema_id", m.currentSchemaId)
-    val spec = root.putArray("partition_spec")
-    m.spec.foreach { pf =>
-      val n = spec.addObject()
-      n.put("source", pf.sourceColumn); n.put("transform", pf.transform)
-      n.put("name", pf.name)
+    val specsNode = root.putObject("partition_specs")
+    m.specs.foreach { case (id, fields) =>
+      val arr = specsNode.putArray(id.toString)
+      fields.foreach { pf =>
+        val n = arr.addObject()
+        n.put("source", pf.sourceColumn); n.put("transform", pf.transform)
+        n.put("name", pf.name)
+      }
     }
+    root.put("default_spec_id", m.defaultSpecId)
     val props = root.putObject("properties")
     m.properties.foreach { case (k, v) => props.put(k, v) }
     val snaps = root.putArray("snapshots")
@@ -278,7 +301,8 @@ object Meta {
     dataSequence = Option(n.get("sequence")).map(_.asLong()),
     content = Option(n.get("content")).map(_.asInt()).getOrElse {
       if (Option(n.get("equality_columns")).exists(_.size() > 0)) 2 else 0
-    })
+    },
+    specId = Option(n.get("spec_id")).map(_.asInt()).getOrElse(0))
 
   def fromJson(json: String): TableMetadata = {
     val root = mapper.readTree(json)
@@ -286,10 +310,21 @@ object Meta {
       e.getKey.toInt -> org.apache.spark.sql.types.DataType
         .fromJson(e.getValue.asText()).asInstanceOf[StructType]
     }.toMap
-    val spec = root.get("partition_spec").elements().asScala.map { n =>
-      PartitionField(n.get("source").asText(), n.get("transform").asText(),
-        n.get("name").asText())
-    }.toSeq
+    def readSpecFields(n: JsonNode): Seq[PartitionField] =
+      n.elements().asScala.map { f =>
+        PartitionField(f.get("source").asText(), f.get("transform").asText(),
+          f.get("name").asText())
+      }.toSeq
+    // new form: partition_specs map + default_spec_id; legacy form
+    // (pre-evolution metadata): a single partition_spec array = spec 0
+    val specs = Option(root.get("partition_specs")) match {
+      case Some(node) => node.properties().asScala
+        .map(e => e.getKey.toInt -> readSpecFields(e.getValue)).toMap
+      case None => Map(0 -> Option(root.get("partition_spec"))
+        .map(readSpecFields).getOrElse(Seq.empty))
+    }
+    val defaultSpecId =
+      Option(root.get("default_spec_id")).map(_.asInt()).getOrElse(0)
     val snapshots = root.get("snapshots").elements().asScala.map { n =>
       Snapshot(
         snapshotId = n.get("snapshot_id").asLong(),
@@ -317,7 +352,8 @@ object Meta {
       formatVersion = root.get("format_version").asInt(),
       schemas = schemas,
       currentSchemaId = root.get("current_schema_id").asInt(),
-      spec = spec,
+      specs = specs,
+      defaultSpecId = defaultSpecId,
       properties = root.get("properties").properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap,
       snapshots = snapshots,

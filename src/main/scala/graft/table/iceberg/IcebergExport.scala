@@ -37,12 +37,25 @@ object IcebergExport {
     val m = Meta.load(graftRoot)
     val sparkSchema = m.schema
     val ice = IcebergMetadata.schemaFromSpark(sparkSchema)
-    val specFields = m.spec.zipWithIndex.map { case (pf, i) =>
-      IcebergMetadata.IcePartitionField(
-        ice.fieldId(pf.sourceColumn).getOrElse(throw new IllegalArgumentException(
-          s"partition source ${pf.sourceColumn} not in schema")),
-        1000 + i, pf.name, pf.transform)
-    }
+    // the full spec LIST exports, with partition field ids unique
+    // across specs and shared when two specs carry the same field
+    // (iceberg-rust-spec table_metadata.rs partition_specs)
+    var nextPartFieldId = 1000
+    val fieldIdByKey =
+      scala.collection.mutable.Map[(String, String, String), Int]()
+    val specsById: Map[Int, Seq[IcebergMetadata.IcePartitionField]] =
+      m.specs.toSeq.sortBy(_._1).map { case (sid, fields) =>
+        sid -> fields.map { pf =>
+          val fid = fieldIdByKey.getOrElseUpdate(
+            (pf.sourceColumn, pf.transform, pf.name),
+            { val v = nextPartFieldId; nextPartFieldId += 1; v })
+          IcebergMetadata.IcePartitionField(
+            ice.fieldId(pf.sourceColumn).getOrElse(throw new IllegalArgumentException(
+              s"partition source ${pf.sourceColumn} not in schema")),
+            fid, pf.name, pf.transform)
+        }
+      }.toMap
+    val specFields = specsById(m.defaultSpecId)
     val dataDir = TableIO.path(graftRoot, "data")
     val files = m.liveFilesWithSeq(None)
     val deletes = m.liveDeleteFilesWithSeq(None)
@@ -91,13 +104,13 @@ object IcebergExport {
         }.toMap
       }
 
-    val partRecordJson = IcebergWrite.partitionRecordJson(specFields, ice)
     val schemaJson = IcebergWrite.icebergSchemaJson(ice)
-    val specJson = IcebergWrite.partitionSpecJson(specFields, 0)
     val snapshotId = 1L
 
     def entry(uri: String, f: Meta.DataFile, seq: Long, sizeBytes: Long,
-        content: Int): org.apache.avro.generic.GenericRecord = {
+        content: Int, specFields: Seq[IcebergMetadata.IcePartitionField])
+        : org.apache.avro.generic.GenericRecord = {
+      val partRecordJson = IcebergWrite.partitionRecordJson(specFields, ice)
       val e = IcebergAvro.record(IcebergAvro.manifestSchema(partRecordJson))
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
@@ -136,40 +149,48 @@ object IcebergExport {
       e
     }
 
-    val dataEntries = files.map { case (f, seq) =>
-      entry(dataFileUri(f.path), f, seq, fileSize(dataDir, f), 0)
-    }
-    val deleteEntries = deletes.map {
-      case (d, seq) if d.content == 1 =>
-        val (uri, size, s) = translatedPos(d.path)
-        entry(uri, d, s, size, 1)
-      case (d, seq) =>
-        entry(dataFileUri(d.path), d, seq, fileSize(dataDir, d), 2)
-    }
-
+    // one data manifest PER SPEC the live files were written under —
+    // each manifest's partition record matches its own spec, and the
+    // manifest-list entry carries the spec id readers resolve against
     val manifests = scala.collection.mutable.ArrayBuffer[
-      (String, Long, Int, Long, Long, Int, Long)]()
-    if (dataEntries.nonEmpty) {
+      (String, Long, Int, Int, Long, Long, Int, Long)]()
+    files.groupBy(_._1.specId).toSeq.sortBy(_._1).foreach { case (sid, group) =>
+      val sf = specsById.getOrElse(sid, Seq.empty)
+      val entries = group.map { case (f, seq) =>
+        entry(dataFileUri(f.path), f, seq, fileSize(dataDir, f), 0, sf)
+      }
       val p = new HPath(metaDir, s"manifest-exp-${UUID.randomUUID().toString.take(8)}.avro")
-      val len = IcebergAvro.writeManifest(p, partRecordJson, dataEntries,
-        schemaJson, specJson)
-      manifests += ((TableIO.qualified(p), len, 0,
-        files.map(_._2).max, files.map(_._2).min,
-        files.size, files.map(_._1.recordCount).sum))
+      val len = IcebergAvro.writeManifest(p,
+        IcebergWrite.partitionRecordJson(sf, ice), entries,
+        schemaJson, IcebergWrite.partitionSpecJson(sf, sid))
+      manifests += ((TableIO.qualified(p), len, sid, 0,
+        group.map(_._2).max, group.map(_._2).min,
+        group.size, group.map(_._1.recordCount).sum))
     }
-    if (deleteEntries.nonEmpty) {
+    if (deletes.nonEmpty) {
+      // delete files are table-scoped (no partition values) — written
+      // under the default spec with null partition fields
+      val deleteEntries = deletes.map {
+        case (d, seq) if d.content == 1 =>
+          val (uri, size, s) = translatedPos(d.path)
+          entry(uri, d, s, size, 1, specFields)
+        case (d, seq) =>
+          entry(dataFileUri(d.path), d, seq, fileSize(dataDir, d), 2, specFields)
+      }
       val p = new HPath(metaDir, s"manifest-exp-del-${UUID.randomUUID().toString.take(8)}.avro")
-      val len = IcebergAvro.writeManifest(p, partRecordJson, deleteEntries,
-        schemaJson, specJson, content = "deletes")
-      manifests += ((TableIO.qualified(p), len, 1,
+      val len = IcebergAvro.writeManifest(p,
+        IcebergWrite.partitionRecordJson(specFields, ice), deleteEntries,
+        schemaJson, IcebergWrite.partitionSpecJson(specFields, m.defaultSpecId),
+        content = "deletes")
+      manifests += ((TableIO.qualified(p), len, m.defaultSpecId, 1,
         deletes.map(_._2).max, deletes.map(_._2).min, deletes.size, 0L))
     }
 
     val mlSchema = IcebergAvro.manifestListSchema
-    val mlRecords = manifests.map { case (path, len, content, seq, minSeq, n, rows) =>
+    val mlRecords = manifests.map { case (path, len, sid, content, seq, minSeq, n, rows) =>
       val r = IcebergAvro.record(mlSchema)
       r.put("manifest_path", path); r.put("manifest_length", len)
-      r.put("partition_spec_id", 0); r.put("content", content)
+      r.put("partition_spec_id", sid); r.put("content", content)
       r.put("sequence_number", seq); r.put("min_sequence_number", minSeq)
       r.put("added_snapshot_id", snapshotId)
       r.put("added_files_count", n)
@@ -195,9 +216,10 @@ object IcebergExport {
       lastColumnId = ice.fields.map(_.id).maxOption.getOrElse(0),
       currentSchemaId = 0,
       schemas = Seq(ice),
-      defaultSpecId = 0,
-      specs = Seq(IcebergMetadata.IceSpec(0, specFields)),
-      lastPartitionId = 999 + specFields.size,
+      defaultSpecId = m.defaultSpecId,
+      specs = specsById.toSeq.sortBy(_._1)
+        .map { case (sid, sf) => IcebergMetadata.IceSpec(sid, sf) },
+      lastPartitionId = math.max(999, nextPartFieldId - 1),
       properties = Map(
         "write.format.default" -> "parquet",
         SourceVersionProp -> m.lastVersion.toString),

@@ -69,11 +69,14 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     val schemaById = m.schemas.find(_.schemaId == snap.schemaId)
       .getOrElse(m.schema)
     val manifests = IcebergAvro.readManifestList(resolve(snap.manifestList))
+    // partition pruning resolves each entry through the spec its
+    // MANIFEST was written under (partition_spec_id), so tables with
+    // evolved specs prune every era of files correctly
     val entries = manifests.filter(_.content == 0).flatMap(mf =>
       IcebergAvro.readManifest(resolve(mf.path))
         .filter(e => e.status != 2 && e.content == 0)
-        .map(e => (e, e.sequenceNumber.getOrElse(mf.sequenceNumber))))
-    val withStats = entries.map { case (e, seq) =>
+        .map(e => (e, e.sequenceNumber.getOrElse(mf.sequenceNumber), mf.specId)))
+    val withStats = entries.map { case (e, seq, specId) =>
       val stats = schemaById.fields.flatMap { f =>
         val lower = e.lowerBounds.get(f.id)
           .flatMap(b => IcebergTypes.decodeToCanonical(
@@ -88,11 +91,11 @@ class IcebergTable private (val location: String, val spark: SparkSession,
           case _ => None
         }
       }.toMap
-      (e, stats, seq)
+      (e, stats, seq, specId)
     }
-    val spec = m.specs.find(_.specId == m.defaultSpecId)
-      .map(_.fields).getOrElse(Seq.empty)
-    withStats.filter { case (e, stats, _) =>
+    def specById(id: Int): Seq[IcebergMetadata.IcePartitionField] =
+      m.specs.find(_.specId == id).map(_.fields).getOrElse(Seq.empty)
+    withStats.filter { case (e, stats, _, specId) =>
       filters.forall { case (c, op, value) =>
         val statsKeep = (stats.get(c), schemaById.fields.find(_.name == c)) match {
           case (Some(st), Some(f)) =>
@@ -107,9 +110,9 @@ class IcebergTable private (val location: String, val spark: SparkSession,
             }
           case _ => true // no stats -> keep (pruning must stay sound)
         }
-        statsKeep && partitionKeep(e, spec, schemaById, c, op, value)
+        statsKeep && partitionKeep(e, specById(specId), schemaById, c, op, value)
       }
-    }
+    }.map { case (e, stats, seq, _) => (e, stats, seq) }
   }
 
   /** Transform-aware partition pruning: map the literal through each

@@ -348,6 +348,44 @@ class IcebergInteropSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("evolved-spec graft table exports with per-spec manifests; pruning spans eras") {
+    import graft.table.{GraftTable, Meta}
+    import graft.table.iceberg.{IcebergExport, IcebergMetadata}
+    val wh = Files.createTempDirectory("graft-spec-evo").toString
+    val root = s"$wh/gt"
+    val li = Tables.lineitem(spark, sf)
+    val t = GraftTable.create(spark, root, li.schema,
+      spec = Seq(Meta.PartitionField("l_shipdate", "month", "_p_month")))
+    t.append(li.filter(col("l_orderkey") % 2 === 0))
+    t.setDefaultSpec(Seq(Meta.PartitionField("l_shipdate", "day", "_p_day")))
+    t.append(li.filter(col("l_orderkey") % 2 =!= 0))
+    val want = t.scan().count()
+
+    val dest = s"$wh/exported"
+    IcebergExport.export(spark, root, dest)
+    // both specs export, default points at the day spec, and the
+    // manifest list carries one data manifest per spec id
+    val im = IcebergMetadata.load(dest)
+    assert(im.specs.map(_.specId).sorted === Seq(0, 1))
+    assert(im.defaultSpecId === 1)
+    val it = IcebergTable.load(spark, dest)
+    assert(it.scan().count() === want)
+    // partition pruning through the reader: a Jan-1996 predicate must
+    // plan fewer files than the full table, from BOTH eras, and the
+    // filtered read stays exact
+    val all = it.plannedFiles()
+    val planned = it.plannedFiles(None,
+      Seq(("l_shipdate", ">=", "1996-01-01 00:00:00"),
+        ("l_shipdate", "<=", "1996-01-31 23:59:59")))
+    assert(planned.size < all.size, s"planned=${planned.size} all=${all.size}")
+    val got = it.scan(None, Seq(("l_shipdate", ">=", "1996-01-01 00:00:00"),
+        ("l_shipdate", "<=", "1996-01-31 23:59:59")))
+      .filter(year(col("l_shipdate")) === 1996 && month(col("l_shipdate")) === 1)
+      .count()
+    assert(got === li.filter(year(col("l_shipdate")) === 1996 &&
+      month(col("l_shipdate")) === 1).count())
+  }
+
   test("REST bearer auth gates every endpoint; pagination pages stably") {
     val spark0 = spark
     import spark0.implicits._

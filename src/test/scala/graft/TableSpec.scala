@@ -116,6 +116,54 @@ class TableSpec extends AnyFunSuite {
     assert(t.scan().columns.contains("l_shipdate"))
   }
 
+  test("partition-spec evolution: per-file spec-ids, both eras prune") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema,
+      spec = Seq(Meta.PartitionField("l_shipdate", "month", "_p_month")))
+    t.append(li.filter(col("l_orderkey") % 2 === 0))
+    t.setDefaultSpec(Seq(Meta.PartitionField("l_shipdate", "day", "_p_day")))
+    t.append(li.filter(col("l_orderkey") % 2 =!= 0))
+    val m = t.meta
+    assert(m.specs.size === 2)
+    assert(m.defaultSpecId === 1)
+    val files = m.liveFiles(None)
+    // both eras present, each stamped with its own spec id and carrying
+    // that spec's partition field
+    assert(files.exists(_.specId === 0) && files.exists(_.specId === 1))
+    assert(files.filter(_.specId === 0).forall(_.partitionValues.contains("_p_month")))
+    assert(files.filter(_.specId === 1).forall(_.partitionValues.contains("_p_day")))
+    // re-setting an identical spec reuses its id (idempotent evolution)
+    t.setDefaultSpec(Seq(Meta.PartitionField("l_shipdate", "month", "_p_month")))
+    assert(t.meta.defaultSpecId === 0)
+    assert(t.meta.specs.size === 2)
+    t.setDefaultSpec(Seq(Meta.PartitionField("l_shipdate", "day", "_p_day")))
+    // pruning: a one-month window must skip files in BOTH eras
+    // (month-era by _p_month, day-era by _p_day), and stay sound
+    val all = t.plannedFiles(Seq.empty)
+    val mLo = "312" // 1996-01 in months-from-epoch
+    val dLo = "9496"; val dHi = "9526" // 1996-01 in days-from-epoch
+    val pruned = t.plannedFiles(Seq(
+      t.StatFilter("_p_month", ">=", mLo), t.StatFilter("_p_month", "<=", mLo),
+      t.StatFilter("_p_day", ">=", dLo), t.StatFilter("_p_day", "<=", dHi)))
+    assert(pruned.filter(_.specId === 0).size <
+      all.filter(_.specId === 0).size, "month era did not prune")
+    assert(pruned.filter(_.specId === 1).size <
+      all.filter(_.specId === 1).size, "day era did not prune")
+    val got = t.scan(Seq(
+        t.StatFilter("_p_month", ">=", mLo), t.StatFilter("_p_month", "<=", mLo),
+        t.StatFilter("_p_day", ">=", dLo), t.StatFilter("_p_day", "<=", dHi)))
+      .filter(year(col("l_shipdate")) === 1996 && month(col("l_shipdate")) === 1)
+      .count()
+    val want = li.filter(year(col("l_shipdate")) === 1996 &&
+      month(col("l_shipdate")) === 1).count()
+    assert(got === want)
+    // metadata survives a JSON round-trip (spec list + per-file ids)
+    val reloaded = Meta.load(root)
+    assert(reloaded.specs === t.meta.specs)
+    assert(reloaded.liveFiles(None).map(f => f.path -> f.specId).toMap ===
+      files.map(f => f.path -> f.specId).toMap)
+  }
+
   test("compaction preserves rows and reduces file count") {
     val root = tmp()
     val t = GraftTable.create(spark, root, li.schema)
