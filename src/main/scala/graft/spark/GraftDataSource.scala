@@ -265,10 +265,12 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     graft.table.TableIO.mkdirs(staging)
+    SparkSession.active.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
     ReplaceRowAdapterFactory(
       GraftWriterFactory(staging.toString,
-        GraftConnectorShim.prepareParquetWriteConf(SparkSession.active, schema),
+        GraftConnectorShim.prepareParquetWriteConf(SparkSession.active,
+          GraftWriteSchemas.withTableFieldIds(root, schema)),
         RowTransform.forSpec(spec, schema)),
       schema)
   }
@@ -308,6 +310,21 @@ case class ReplaceRowAdapterFactory(
     }
 }
 
+object GraftWriteSchemas {
+  /** The query's output schema usually arrives WITHOUT the table's
+    * field-id metadata — graft parquet footers must carry the ids or
+    * id-matched reads break, so re-attach them by name before the
+    * write conf is prepared. */
+  def withTableFieldIds(root: String, schema: StructType): StructType = {
+    if (!Meta.exists(root)) return schema
+    val t = Meta.load(root).schema
+    if (!Meta.hasFieldIds(t)) return schema
+    StructType(schema.fields.map(f =>
+      t.fields.find(_.name == f.name)
+        .map(tf => f.copy(metadata = tf.metadata)).getOrElse(f)))
+  }
+}
+
 object GraftScanBuilder {
   /** Render a filter literal in the SAME canonical string form
     * FooterStats writes into the manifest — naive toString is unsound
@@ -341,6 +358,11 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  // connector reads resolve columns by field id (see GraftTable):
+  // scan building runs before the reader factory snapshots SQLConf
+  SparkSession.active.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  SparkSession.active.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
   private val table = Meta.load(root)
   private var pushed: Array[Filter] = Array.empty
@@ -1026,9 +1048,11 @@ class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     graft.table.TableIO.mkdirs(staging)
+    SparkSession.active.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
     GraftWriterFactory(staging.toString,
-      GraftConnectorShim.prepareParquetWriteConf(SparkSession.active, schema),
+      GraftConnectorShim.prepareParquetWriteConf(SparkSession.active,
+        GraftWriteSchemas.withTableFieldIds(root, schema)),
       RowTransform.forSpec(spec, schema))
   }
 

@@ -234,6 +234,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType()))))
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         t.dropColumn(d.fieldNames()(0))
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        t.renameColumn(r.fieldNames()(0), r.newName())
       case p: TableChange.SetProperty =>
         t.updateProperties(Map(p.property() -> p.value()))
       case other =>

@@ -25,6 +25,14 @@ import java.util.UUID
   */
 class GraftTable private (val root: String, val spark: SparkSession) {
 
+  // field-id-based column resolution: ids in the schema metadata are
+  // written to parquet footers and matched on read, so renamed /
+  // re-added columns bind to the right bytes in every file era. Both
+  // flags are scoped to schemas that CARRY ids — foreign parquet reads
+  // in the same session are untouched.
+  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   def meta: Meta.TableMetadata = Meta.load(root)
 
   private def dataDir: HPath = TableIO.path(root, "data")
@@ -78,7 +86,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val staging = TableIO.path(root, s"stage-${UUID.randomUUID().toString.take(8)}")
     val partNames = m.spec.map(_.name)
 
-    val withParts = m.spec.foldLeft(df)((acc, pf) =>
+    // carry the table schema's field-id metadata onto the outgoing
+    // rows (the caller's frame usually lacks it), so the parquet
+    // footers record ids and id-matched reads work on every file
+    val withIds =
+      if (!Meta.hasFieldIds(schema)) df
+      else df.select(schema.fields.map(f =>
+        col(f.name).as(f.name, f.metadata)).toSeq: _*)
+    val withParts = m.spec.foldLeft(withIds)((acc, pf) =>
       acc.withColumn(pf.name, transformCol(pf)))
     // sort order = write clustering: range-partition + in-partition sort
     // gives files disjoint key ranges, which is what makes the manifest
@@ -719,34 +734,38 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   // ---- schema / refs / properties -------------------------------------
 
   /** Schema evolution: add nullable columns (transaction add_schema).
-    * Existing files keep their bytes; scans null-fill. */
+    * Existing files keep their bytes; scans null-fill. With field ids
+    * (every table created since ids landed), a re-added name gets a
+    * FRESH id, so old bytes under a dropped name can never resurrect;
+    * legacy id-less tables keep the name-tombstone guard. */
   def addColumns(newCols: StructType): GraftTable = this.synchronized {
     val m = meta
-    // re-adding a DROPPED name would resurrect the old bytes still in
-    // existing files (name-matched projection) instead of null-filling
-    val tombstones = m.properties.get(DroppedColumnsProp)
-      .map(_.split(",").toSet).getOrElse(Set.empty)
-    newCols.fields.foreach(f => require(!tombstones.contains(f.name),
-      s"column ${f.name} was previously dropped; existing files still " +
-        "hold values under that name — choose a fresh name"))
-    val merged = StructType(m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
+    if (!Meta.hasFieldIds(m.schema)) {
+      val tombstones = m.properties.get(DroppedColumnsProp)
+        .map(_.split(",").toSet).getOrElse(Set.empty)
+      newCols.fields.foreach(f => require(!tombstones.contains(f.name),
+        s"column ${f.name} was previously dropped; existing files still " +
+          "hold values under that name — choose a fresh name"))
+    }
+    val startId = Meta.maxFieldId(m.schemas.values) + 1
+    val stamped =
+      if (!Meta.hasFieldIds(m.schema)) newCols
+      else Meta.withFieldIds(StructType(newCols.fields.map(
+        _.copy(metadata = org.apache.spark.sql.types.Metadata.empty))), startId)
+    val merged = StructType(m.schema.fields ++ stamped.fields.map(_.copy(nullable = true)))
     val id = m.schemas.keys.max + 1
     Meta.write(root, m.copy(schemas = m.schemas + (id -> merged), currentSchemaId = id))
     this
   }
 
-  /** Schema evolution: drop a column (new schema version; data files
-    * are untouched — scans with the new schema simply stop projecting
-    * the column, old snapshots keep their schema-id and still see it).
-    * Columns are matched by NAME (graft metadata has no field ids), so
-    * dropping is sound but RENAME is not offered: a renamed column
-    * could not be re-associated with the bytes in existing files. */
-  def dropColumn(name: String): GraftTable = this.synchronized {
-    val m = meta
-    require(m.schema.fieldNames.contains(name), s"no column $name")
+  /** Shared preconditions for dropping or renaming a column: partition
+    * specs, the sort order, and live equality deletes all reference
+    * columns by name and would dangle. */
+  private def requireUnreferenced(m: Meta.TableMetadata, name: String,
+      action: String): Unit = {
     require(!m.specs.values.flatten.exists(_.sourceColumn == name),
       s"column $name is a partition source (in the default or a " +
-        "historical spec); drop the spec first")
+        s"historical spec); cannot $action")
     // sort-order entries may be bare names OR zorder(a,b) — check the
     // referenced columns, not the entry strings
     val sortRefs = m.sortOrder.flatMap {
@@ -754,22 +773,56 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       case n => Seq(n)
     }
     require(!sortRefs.contains(name),
-      s"column $name is referenced by the sort order")
+      s"column $name is referenced by the sort order; cannot $action")
     // a live equality delete keyed on the column would turn into an
     // empty-key match-everything (connector) or an unresolvable join
     // (driver scan) — fold the deletes in first
     require(!m.liveDeleteFiles(None).exists(_.equalityColumns.contains(name)),
       s"column $name keys live equality-delete files; applyDeletes first")
+  }
+
+  /** Schema evolution: drop a column (new schema version; data files
+    * are untouched — scans with the new schema simply stop projecting
+    * the column, old snapshots keep their schema-id and still see it).
+    * The dropped field's id is retired, never reused. */
+  def dropColumn(name: String): GraftTable = this.synchronized {
+    val m = meta
+    require(m.schema.fieldNames.contains(name), s"no column $name")
+    requireUnreferenced(m, name, "drop it")
     val next = StructType(m.schema.fields.filterNot(_.name == name))
     val id = m.schemas.keys.max + 1
-    // tombstone the name: old files still hold bytes under it, and a
-    // re-added column of the same name would resurrect them (schemas
-    // are name-matched; there are no field ids to disambiguate)
-    val dropped = (m.properties.get(DroppedColumnsProp)
-      .map(_.split(",").toSeq).getOrElse(Seq.empty) :+ name).distinct
+    // legacy id-less tables tombstone the name (old files still hold
+    // bytes under it and projection is name-matched); id-carrying
+    // tables need no tombstone — a re-add allocates a fresh id
+    val props =
+      if (Meta.hasFieldIds(m.schema)) m.properties
+      else m.properties + (DroppedColumnsProp ->
+        (m.properties.get(DroppedColumnsProp)
+          .map(_.split(",").toSeq).getOrElse(Seq.empty) :+ name)
+          .distinct.mkString(","))
     Meta.write(root, m.copy(
       schemas = m.schemas + (id -> next), currentSchemaId = id,
-      properties = m.properties + (DroppedColumnsProp -> dropped.mkString(","))))
+      properties = props))
+    this
+  }
+
+  /** Schema evolution: RENAME a column (iceberg-rust-spec schema.rs —
+    * identity is the field id, the name is a label). The field keeps
+    * its id, so id-matched reads keep resolving the bytes in every
+    * existing file; requires an id-carrying schema. */
+  def renameColumn(name: String, newName: String): GraftTable = this.synchronized {
+    val m = meta
+    require(Meta.hasFieldIds(m.schema),
+      "rename needs field-id column identity; this table predates ids " +
+        "(recreate it, or add-then-backfill)")
+    require(m.schema.fieldNames.contains(name), s"no column $name")
+    require(!m.schema.fieldNames.contains(newName),
+      s"column $newName already exists")
+    requireUnreferenced(m, name, "rename it")
+    val next = StructType(m.schema.fields.map(f =>
+      if (f.name == name) f.copy(name = newName) else f))
+    val id = m.schemas.keys.max + 1
+    Meta.write(root, m.copy(schemas = m.schemas + (id -> next), currentSchemaId = id))
     this
   }
 
@@ -903,7 +956,9 @@ object GraftTable {
         "use a distinct name (e.g. prefix '_p_')"))
     Meta.write(root, Meta.TableMetadata(
       location = root, formatVersion = 1,
-      schemas = Map(0 -> schema), currentSchemaId = 0,
+      // every column gets a stable field id at birth (ids 1..N) —
+      // the identity that makes rename / drop+re-add sound
+      schemas = Map(0 -> Meta.withFieldIds(schema, 1)), currentSchemaId = 0,
       specs = Map(0 -> spec), defaultSpecId = 0, properties = properties,
       snapshots = Seq.empty, currentSnapshotId = None,
       refs = Map.empty, lastVersion = 0, sortOrder = sortOrder))

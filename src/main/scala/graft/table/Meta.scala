@@ -22,6 +22,40 @@ import scala.jdk.CollectionConverters._
 object Meta {
   val mapper = new ObjectMapper()
 
+  /** Stable column identity (iceberg-rust-spec/src/spec/schema.rs
+    * tracks columns by field id): ids ride in each StructField's
+    * metadata under Spark's own `parquet.field.id` key, are written
+    * into parquet footers (fieldId.write.enabled) and matched on read
+    * (fieldId.read.enabled) — which is what makes RENAME COLUMN and
+    * drop-then-re-add sound without any name tombstoning. */
+  val FieldIdKey = "parquet.field.id"
+
+  def fieldId(f: org.apache.spark.sql.types.StructField): Option[Int] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt)
+    else None
+
+  def hasFieldIds(schema: StructType): Boolean =
+    schema.fields.nonEmpty && schema.fields.forall(fieldId(_).isDefined)
+
+  /** Highest assigned field id across every schema version — new
+    * columns allocate ABOVE it, so a retired id is never reused. */
+  def maxFieldId(schemas: Iterable[StructType]): Int =
+    schemas.flatMap(_.fields).flatMap(fieldId).maxOption.getOrElse(0)
+
+  /** Assign fresh sequential ids to any field lacking one. */
+  def withFieldIds(schema: StructType, firstId: Int): StructType = {
+    var next = firstId
+    StructType(schema.fields.map { f =>
+      if (fieldId(f).isDefined) f
+      else {
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next.toLong).build()
+        next += 1
+        f.copy(metadata = md)
+      }
+    })
+  }
+
   /** Column stats for one data file — the pruning unit
     * (reference: datafusion_iceberg/src/pruning_statistics.rs). Values
     * are stored as JSON strings and compared through the column type. */

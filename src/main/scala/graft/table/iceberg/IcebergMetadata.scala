@@ -57,10 +57,15 @@ object IcebergMetadata {
   }
 
   /** Spark schema -> Iceberg schema with sequential field ids. */
+  /** Field ids carried in the Spark schema's metadata (graft stamps
+    * them at create, and they're what the parquet FOOTERS record) are
+    * reused verbatim — exported metadata must agree with the footers
+    * or foreign id-based readers mis-resolve. Id-less schemas get
+    * sequential ids. */
   def schemaFromSpark(schema: StructType, schemaId: Int = 0): IceSchema =
     IceSchema(schemaId, schema.fields.zipWithIndex.map { case (f, i) =>
-      IceField(i + 1, f.name, required = !f.nullable,
-        IcebergTypes.toIceberg(f.dataType))
+      IceField(graft.table.Meta.fieldId(f).getOrElse(i + 1), f.name,
+        required = !f.nullable, IcebergTypes.toIceberg(f.dataType))
     }.toSeq)
 
   // ---- JSON write ----------------------------------------------------

@@ -18,7 +18,11 @@ class ConnectorSpec extends AnyFunSuite {
     val root = tmp()
     GraftTable.create(spark, root, li.schema).append(li)
     val df = spark.read.format("graft").load(root)
-    assert(df.schema === li.schema)
+    // names/types/nullability round-trip; the connector additionally
+    // exposes the table's field-id metadata, which the source lacked
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq
+    assert(shape(df.schema) === shape(li.schema))
     assert(df.count() === li.count())
     val a = df.agg(round(sum("l_extendedprice"), 2)).collect()(0).getDouble(0)
     val b = li.agg(round(sum("l_extendedprice"), 2)).collect()(0).getDouble(0)

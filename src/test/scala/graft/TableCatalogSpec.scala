@@ -235,10 +235,15 @@ class TableCatalogSpec extends AnyFunSuite {
       s"SELECT k, junk FROM graft_wh.ddl.t VERSION AS OF $snap1")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(old === Set((1L, "x"), (2L, "y")))
-    // re-adding the dropped name would resurrect old bytes -> refused
-    assert(intercept[Exception] {
-      spark.sql("ALTER TABLE graft_wh.ddl.t ADD COLUMN junk STRING")
-    }.getMessage.contains("previously dropped"))
+    // re-adding the dropped name is SAFE with field-id identity: the
+    // new column gets a fresh id, so old bytes (stored under the
+    // retired id) null-fill instead of resurrecting
+    spark.sql("ALTER TABLE graft_wh.ddl.t ADD COLUMN junk STRING")
+    val readded = spark.sql("SELECT k, junk FROM graft_wh.ddl.t")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(readded === Set((1L, null), (2L, null)),
+      s"re-added column must null-fill, got $readded")
+    spark.sql("ALTER TABLE graft_wh.ddl.t DROP COLUMN junk")
     // dropping a column that keys live equality deletes -> refused
     t.deleteWhereMoR(col("k") === 999L, Seq("k"))
     assert(intercept[Exception] {
@@ -253,6 +258,41 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT k FROM graft_wh.ddl.t").collect()
       .map(_.getLong(0)).toSeq === Seq(2L))
     spark.sql("DROP TABLE graft_wh.ddl.t")
+  }
+
+  test("ALTER TABLE RENAME COLUMN: field-id identity binds old bytes to the new name") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ddl")
+    spark.sql("CREATE TABLE graft_wh.ddl.rn (k BIGINT, price DOUBLE)")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+      .createOrReplaceTempView("rn_src")
+    spark.sql("INSERT INTO graft_wh.ddl.rn SELECT * FROM rn_src")
+    val snap1 = graft.table.GraftTable.load(spark, s"$wh/ddl/rn")
+      .meta.currentSnapshotId.get
+    spark.sql("ALTER TABLE graft_wh.ddl.rn RENAME COLUMN price TO amount")
+    // pre-rename files resolve through the field id: values intact
+    assert(spark.sql("SELECT sum(amount) FROM graft_wh.ddl.rn")
+      .collect()(0).getDouble(0) === 30.0)
+    // writes after the rename mix eras; both read back under the new name
+    Seq((3L, 30.0)).toDF("k", "amount").createOrReplaceTempView("rn_src2")
+    spark.sql("INSERT INTO graft_wh.ddl.rn SELECT * FROM rn_src2")
+    assert(spark.sql("SELECT sum(amount) FROM graft_wh.ddl.rn")
+      .collect()(0).getDouble(0) === 60.0)
+    // time travel keeps the OLD name for the old snapshot, values intact
+    val old = spark.sql(
+      s"SELECT k, price FROM graft_wh.ddl.rn VERSION AS OF $snap1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(old === Set((1L, 10.0), (2L, 20.0)))
+    // driver API: filters and aggregates on the renamed column
+    val t = graft.table.GraftTable.load(spark, s"$wh/ddl/rn")
+    assert(t.scan().filter(col("amount") > 15.0).count() === 2)
+    // rename to an existing name refused
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wh.ddl.rn RENAME COLUMN amount TO k")
+    }.getMessage.contains("already exists"))
+    spark.sql("DROP TABLE graft_wh.ddl.rn")
   }
 
   test("SQL time travel: VERSION AS OF selects a snapshot") {
