@@ -155,10 +155,13 @@ class GraftSparkTable(root: String,
     if (!Meta.exists(root)) Array.empty
     else meta.spec.map(RowTransform.toV2).toArray
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    import scala.jdk.CollectionConverters._
     new GraftScanBuilder(root,
       pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)),
-      Option(options.get("branch")))
+      Option(options.get("branch")),
+      streamOptions = options.asCaseSensitiveMap().asScala.toMap)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -354,7 +357,8 @@ object GraftScanBuilder {
 
 class GraftScanBuilder(root: String, snapshotId: Option[Long],
     branch: Option[String],
-    capture: Option[GraftRowLevelOperation] = None)
+    capture: Option[GraftRowLevelOperation] = None,
+    streamOptions: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -476,7 +480,7 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
       else StructType(snapshotSchema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new GraftScan(root, table, snapshotId, branch, withKeys,
-      pushed, pushed.flatMap(toStatFilter), capture)
+      pushed, pushed.flatMap(toStatFilter), capture, streamOptions)
   }
 }
 
@@ -484,7 +488,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     snapshotId: Option[Long], branch: Option[String],
     requiredSchema: StructType, pushedFilters: Array[Filter],
     statFilters: Array[(String, String, String)],
-    capture: Option[GraftRowLevelOperation] = None)
+    capture: Option[GraftRowLevelOperation] = None,
+    streamOptions: Map[String, String] = Map.empty)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -658,7 +663,7 @@ class GraftScan(root: String, table: Meta.TableMetadata,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(root, requiredSchema)
+    new GraftMicroBatchStream(root, requiredSchema, streamOptions)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

@@ -2,7 +2,7 @@ package graft.spark
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.GraftConnectorShim
 import org.apache.spark.sql.types.StructType
 import graft.table.Meta
@@ -14,24 +14,102 @@ import graft.table.Meta
   * incremental read). Offsets are snapshot ids (monotonic, max+1 at
   * commit), so restart resumes exactly from the checkpointed snapshot.
   *
-  * Only `append` snapshots contribute rows: `rewrite` (compaction)
-  * re-expresses EXISTING rows in new files and `overwrite`/`delete`
-  * retract rows, which an append-only stream cannot represent —
-  * compaction is skipped (row-preserving), every other non-append
-  * snapshot fails the stream loudly, matching the reference's
-  * append-level incremental semantics. A fresh stream starts from snapshot 0
-  * (everything); a restarted stream starts from its checkpoint.
-  */
-class GraftMicroBatchStream(root: String, requiredSchema: StructType)
-  extends MicroBatchStream {
+  * Only `append` snapshots contribute rows: `rewrite` (pure bin-pack
+  * compaction) re-expresses EXISTING rows in new files and is skipped;
+  * `rewrite-fold` / `overwrite` / `delete` / `replace` remove or
+  * replace rows, which an append-only stream cannot represent — every
+  * such snapshot fails the stream loudly, matching the reference's
+  * append-level incremental semantics. A fresh stream starts from
+  * snapshot 0 (everything); a restarted stream starts from its
+  * checkpoint.
+  *
+  * ADMISSION CONTROL (SupportsAdmissionControl): `maxFilesPerTrigger`
+  * / `maxBytesPerTrigger` read options clamp each micro-batch at
+  * snapshot granularity — a stream resuming after a long gap drains
+  * the backlog in bounded batches instead of planning one batch over
+  * everything (at 100 TB an unbounded catch-up batch is an
+  * OOM-or-nothing job). Trigger.AvailableNow is supported natively:
+  * the target offset pins at query start and the bounded batches run
+  * until they reach it. */
+class GraftMicroBatchStream(root: String, requiredSchema: StructType,
+    options: Map[String, String] = Map.empty)
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private case class SnapshotOffset(id: Long) extends Offset {
     override def json(): String = id.toString
   }
 
+  private def opt(name: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
   override def initialOffset(): Offset = SnapshotOffset(0L)
 
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      opt("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt)),
+      opt("maxBytesPerTrigger").map(n => ReadLimit.maxBytes(n.toLong))).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Trigger.AvailableNow: pin the drain target at query start — data
+    * committed after this point belongs to the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Meta.load(root).currentSnapshotId.getOrElse(0L))
+
+  /** (maxFiles, maxBytes) a ReadLimit allows per batch. */
+  private def caps(limit: ReadLimit): (Long, Long) = limit match {
+    case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+    case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(caps).reduce((a, b) =>
+        (math.min(a._1, b._1), math.min(a._2, b._2)))
+    case _ => (Long.MaxValue, Long.MaxValue)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SnapshotOffset].id
+    val m = Meta.load(root)
+    val tip = availableNowCap.getOrElse(m.currentSnapshotId.getOrElse(0L))
+    val pending = m.chainSnapshots(None)
+      .filter(sn => sn.snapshotId > s && sn.snapshotId <= tip)
+    if (pending.isEmpty) return SnapshotOffset(math.max(s, tip))
+    val (maxFiles, maxBytes) = caps(limit)
+    // admit whole snapshots in order until the NEXT one would exceed
+    // the cap; always admit at least one so the stream progresses even
+    // when a single snapshot is larger than the cap. Non-append
+    // snapshots count no files (the plan phase handles them: skip for
+    // pure rewrites, loud failure otherwise).
+    var files = 0L; var bytes = 0L
+    var end = s
+    var admitted = 0
+    val it = pending.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val sn = it.next()
+      val snFiles = if (sn.operation == "append") sn.files.size.toLong else 0L
+      val snBytes =
+        if (sn.operation == "append") sn.files.map(_.fileSizeBytes).sum else 0L
+      if (admitted > 0 && (files + snFiles > maxFiles || bytes + snBytes > maxBytes))
+        stop = true
+      else {
+        files += snFiles; bytes += snBytes
+        end = sn.snapshotId; admitted += 1
+      }
+    }
+    SnapshotOffset(end)
+  }
+
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def reportLatestOffset(): Offset =
     SnapshotOffset(Meta.load(root).currentSnapshotId.getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =

@@ -120,6 +120,62 @@ class StreamingSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("append-only streams")))
   }
 
+  test("admission control: maxFilesPerTrigger drains a backlog in bounded batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft-src-admission")
+      .toString + "/t"
+    // 10-snapshot backlog, one file per snapshot
+    val df1 = (1L to 10L).map(i => (i, s"s0-$i")).toDF("k", "v").coalesce(1)
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1)
+    (1 to 9).foreach { s =>
+      t.append((1L to 10L).map(i => (s * 10 + i, s"s$s-$i"))
+        .toDF("k", "v").coalesce(1))
+    }
+    assert(t.meta.snapshots.size === 10)
+
+    // cap at 3 files per micro-batch: 10 one-file snapshots need >= 4
+    // batches; AvailableNow must still drain the WHOLE backlog
+    val out = root + "-out"
+    val q1 = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "3")
+      .load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === 100L)
+    val progress = q1.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 4,
+      s"expected >=4 bounded batches, got ${progress.length}")
+    assert(progress.forall(_.numInputRows <= 30),
+      s"a batch exceeded the 3-file cap: ${progress.map(_.numInputRows).toSeq}")
+
+    // checkpoint resume: new snapshots drain from the checkpoint, still
+    // bounded (2 snapshots under a 1-file cap -> 2 batches)
+    t.append((101L to 110L).map(i => (i, s"x$i")).toDF("k", "v").coalesce(1))
+    t.append((111L to 120L).map(i => (i, s"y$i")).toDF("k", "v").coalesce(1))
+    val q2 = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val ks = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks === (1L to 120L), "resume missed or duplicated rows")
+    val progress2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(progress2.length === 2,
+      s"expected 2 one-snapshot batches, got ${progress2.length}")
+  }
+
   test("streaming dedup: dropDuplicates within watermark matches batch distinct") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toFile
     dir.deleteOnExit()
