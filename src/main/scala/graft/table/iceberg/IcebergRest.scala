@@ -68,8 +68,86 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
 
   private val mirrorLock = new Object
 
+  /** Serializes multi-table transactions against each other so two
+    * transactions never interleave their per-table CAS commits (a
+    * concurrent SINGLE-table commit is still caught by the CAS and
+    * triggers the rollback path). */
+  private val transactionLock = new java.util.concurrent.locks.ReentrantLock()
+
   /** Received metrics reports, newest last: (namespace.table, report json). */
   val metricsLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  /** The update-table protocol's requirement checks, shared by the
+    * single-table commit and commitTransaction. Returns failures. */
+  private def checkRequirements(m: IcebergMetadata.IceMetadata,
+      reqs: Option[com.fasterxml.jackson.databind.JsonNode]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    reqs.toSeq.flatMap(_.elements().asScala).flatMap { r =>
+      r.get("type").asText() match {
+        case "assert-ref-snapshot-id" =>
+          val ref = r.get("ref").asText()
+          val want = Option(r.get("snapshot-id"))
+            .filterNot(_.isNull).map(_.asLong())
+          if (m.refs.get(ref) == want) None
+          else Some(s"ref $ref moved: expected $want, is ${m.refs.get(ref)}")
+        case "assert-table-uuid" =>
+          if (r.get("uuid").asText() == m.tableUuid) None
+          else Some("table uuid mismatch")
+        case other => throw new BadRequest(s"unsupported requirement $other")
+      }
+    }
+  }
+
+  /** The update-table protocol's metadata updates, shared by the
+    * single-table commit and commitTransaction. */
+  private def applyUpdates(m: IcebergMetadata.IceMetadata,
+      updates: Option[com.fasterxml.jackson.databind.JsonNode])
+      : IcebergMetadata.IceMetadata = {
+    import scala.jdk.CollectionConverters._
+    updates.toSeq.flatMap(_.elements().asScala).foldLeft(m) { (acc, u) =>
+      u.get("action").asText() match {
+        case "add-snapshot" =>
+          val s = IcebergMetadata.snapshotFromNode(
+            u.get("snapshot"), acc.currentSchemaId)
+          acc.copy(snapshots = acc.snapshots :+ s,
+            lastSequenceNumber =
+              math.max(acc.lastSequenceNumber, s.sequenceNumber))
+        case "set-snapshot-ref" =>
+          val ref = u.get("ref-name").asText()
+          val id = u.get("snapshot-id").asLong()
+          acc.copy(refs = acc.refs + (ref -> id),
+            currentSnapshotId =
+              if (ref == "main") Some(id) else acc.currentSnapshotId)
+        case "add-schema" =>
+          val sch = IcebergMetadata.schemaFromNode(u.get("schema"))
+          acc.copy(schemas = acc.schemas :+ sch,
+            lastColumnId = math.max(acc.lastColumnId,
+              sch.fields.map(_.id).maxOption.getOrElse(0)))
+        case "set-current-schema" =>
+          val id = u.get("schema-id").asInt()
+          // -1 = the schema added in this same commit
+          acc.copy(currentSchemaId =
+            if (id == -1) acc.schemas.last.schemaId else id)
+        case "set-properties" =>
+          val ups = u.get("updates").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+          acc.copy(properties = acc.properties ++ ups)
+        case "remove-properties" =>
+          val rems = u.get("removals").elements().asScala
+            .map(_.asText()).toSeq
+          acc.copy(properties = acc.properties -- rems)
+        case "remove-snapshots" =>
+          val ids = u.get("snapshot-ids").elements().asScala
+            .map(_.asLong()).toSet
+          require(!acc.currentSnapshotId.exists(ids.contains),
+            "cannot remove the current snapshot")
+          acc.copy(snapshots =
+            acc.snapshots.filterNot(s => ids.contains(s.snapshotId)))
+        case other =>
+          throw new BadRequest(s"unsupported update $other")
+      }
+    }
+  }
 
   private def nsRoot(ns: String) = TableIO.path(s"$warehouse/$ns")
   private def tableRoot(ns: String, t: String) = s"$warehouse/$ns/$t"
@@ -257,75 +335,80 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         else {
           val body = mapper.readTree(ex.getRequestBody)
           val (m, baseVersion) = IcebergMetadata.loadVersioned(root)
-          import scala.jdk.CollectionConverters._
-          val reqFailure = Option(body.get("requirements")).toSeq
-            .flatMap(_.elements().asScala).flatMap { r =>
-              r.get("type").asText() match {
-                case "assert-ref-snapshot-id" =>
-                  val ref = r.get("ref").asText()
-                  val want = Option(r.get("snapshot-id"))
-                    .filterNot(_.isNull).map(_.asLong())
-                  if (m.refs.get(ref) == want) None
-                  else Some(s"ref $ref moved: expected $want, is ${m.refs.get(ref)}")
-                case "assert-table-uuid" =>
-                  if (r.get("uuid").asText() == m.tableUuid) None
-                  else Some("table uuid mismatch")
-                case other => throw new BadRequest(s"unsupported requirement $other")
-              }
-            }
+          val reqFailure = checkRequirements(m, Option(body.get("requirements")))
           if (reqFailure.nonEmpty)
             reply(ex, 409, errBody(reqFailure.mkString("; "), 409))
           else {
-            val next = Option(body.get("updates")).toSeq
-              .flatMap(_.elements().asScala).foldLeft(m) { (acc, u) =>
-                u.get("action").asText() match {
-                  case "add-snapshot" =>
-                    val s = IcebergMetadata.snapshotFromNode(
-                      u.get("snapshot"), acc.currentSchemaId)
-                    acc.copy(snapshots = acc.snapshots :+ s,
-                      lastSequenceNumber =
-                        math.max(acc.lastSequenceNumber, s.sequenceNumber))
-                  case "set-snapshot-ref" =>
-                    val ref = u.get("ref-name").asText()
-                    val id = u.get("snapshot-id").asLong()
-                    acc.copy(refs = acc.refs + (ref -> id),
-                      currentSnapshotId =
-                        if (ref == "main") Some(id) else acc.currentSnapshotId)
-                  case "add-schema" =>
-                    val sch = IcebergMetadata.schemaFromNode(u.get("schema"))
-                    acc.copy(schemas = acc.schemas :+ sch,
-                      lastColumnId = math.max(acc.lastColumnId,
-                        sch.fields.map(_.id).maxOption.getOrElse(0)))
-                  case "set-current-schema" =>
-                    val id = u.get("schema-id").asInt()
-                    // -1 = the schema added in this same commit
-                    acc.copy(currentSchemaId =
-                      if (id == -1) acc.schemas.last.schemaId else id)
-                  case "set-properties" =>
-                    val ups = u.get("updates").properties().asScala
-                      .map(e => e.getKey -> e.getValue.asText()).toMap
-                    acc.copy(properties = acc.properties ++ ups)
-                  case "remove-properties" =>
-                    val rems = u.get("removals").elements().asScala
-                      .map(_.asText()).toSeq
-                    acc.copy(properties = acc.properties -- rems)
-                  case "remove-snapshots" =>
-                    val ids = u.get("snapshot-ids").elements().asScala
-                      .map(_.asLong()).toSet
-                    require(!acc.currentSnapshotId.exists(ids.contains),
-                      "cannot remove the current snapshot")
-                    acc.copy(snapshots =
-                      acc.snapshots.filterNot(s => ids.contains(s.snapshotId)))
-                  case other =>
-                    throw new BadRequest(s"unsupported update $other")
-                }
-              }
+            val next = applyUpdates(m, Option(body.get("updates")))
             if (IcebergMetadata.commitAt(root, next, baseVersion))
               reply(ex, 200, loadTableResult(root))
             else reply(ex, 409,
               errBody("commit conflict: base version superseded", 409))
           }
         }
+
+      case ("POST", Seq("transactions", "commit")) =>
+        // commitTransaction (catalog_api_api.rs commit_transaction):
+        // N tables' requirements+updates commit atomically — every
+        // requirement is validated against the tables' CURRENT state,
+        // then each table CAS-commits in order; a lost CAS rolls the
+        // already-committed tables back (compensating commit of their
+        // prior metadata) and the whole transaction returns 409.
+        transactionLock.lock()
+        try {
+          import scala.jdk.CollectionConverters._
+          val body = mapper.readTree(ex.getRequestBody)
+          val changes = Option(body.get("table-changes")).toSeq
+            .flatMap(_.elements().asScala).map { ch =>
+              val id = ch.get("identifier")
+              val ns = id.get("namespace").elements().next().asText()
+              val name = id.get("name").asText()
+              (tableRoot(ns, name), s"$ns.$name", ch)
+            }
+          if (changes.isEmpty) throw new BadRequest("table-changes required")
+          changes.find { case (root, _, _) => !IcebergTable.exists(root) } match {
+            case Some((_, label, _)) =>
+              reply(ex, 404, errBody(s"table $label does not exist", 404))
+            case None =>
+              // phase 1: load + validate EVERY table before touching any
+              val loaded = changes.map { case (root, label, ch) =>
+                val (m, v) = IcebergMetadata.loadVersioned(root)
+                (root, label, ch, m, v)
+              }
+              val failures = loaded.flatMap { case (_, label, ch, m, _) =>
+                checkRequirements(m, Option(ch.get("requirements")))
+                  .map(f => s"$label: $f")
+              }
+              if (failures.nonEmpty)
+                reply(ex, 409, errBody(failures.mkString("; "), 409))
+              else {
+                // phase 2: commit in order; first CAS loss aborts and
+                // rolls back everything already committed
+                val done = scala.collection.mutable.ArrayBuffer[
+                  (String, IcebergMetadata.IceMetadata, Int)]()
+                val conflict = loaded.collectFirst {
+                  case (root, label, ch, m, v) if {
+                    val next = applyUpdates(m, Option(ch.get("updates")))
+                    val ok = IcebergMetadata.commitAt(root, next, v)
+                    if (ok) done += ((root, m, v + 1))
+                    !ok
+                  } => label
+                }
+                conflict match {
+                  case Some(label) =>
+                    // compensate: restore each committed table's prior
+                    // metadata as a NEW version on top
+                    done.reverse.foreach { case (root, prior, committedV) =>
+                      IcebergMetadata.commitAt(root, prior, committedV)
+                    }
+                    reply(ex, 409, errBody(
+                      s"transaction aborted: $label commit conflict; " +
+                        "all tables rolled back", 409))
+                  case None => reply(ex, 204, Array.empty)
+                }
+              }
+          }
+        } finally transactionLock.unlock()
 
       case ("GET", Seq("namespaces", ns, "tables", t)) =>
         val root = tableRoot(ns, t)
@@ -452,6 +535,28 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         else if (!TableIO.isDirectory(nsRoot(dns)))
           reply(ex, 404, errBody(s"namespace $dns does not exist", 404))
         else if (IcebergTable.exists(dst) || TableIO.exists(TableIO.path(dst)))
+          reply(ex, 409, errBody("destination exists", 409))
+        else {
+          TableIO.rename(TableIO.path(src), TableIO.path(dst))
+          reply(ex, 204, Array.empty)
+        }
+
+      case ("POST", Seq("views", "rename")) =>
+        // rename_view (catalog_api_api.rs rename_view): same move
+        // semantics as table rename, guarded by view existence
+        val body = mapper.readTree(ex.getRequestBody)
+        def ident(k: String): (String, String) = {
+          val n = body.get(k)
+          (n.get("namespace").elements().next().asText(), n.get("name").asText())
+        }
+        val (sns, sname) = ident("source")
+        val (dns, dname) = ident("destination")
+        val src = tableRoot(sns, sname); val dst = tableRoot(dns, dname)
+        if (!graft.table.Views.viewExists(src)) notFound(ex)
+        else if (!TableIO.isDirectory(nsRoot(dns)))
+          reply(ex, 404, errBody(s"namespace $dns does not exist", 404))
+        else if (graft.table.Views.viewExists(dst) ||
+            IcebergTable.exists(dst) || TableIO.exists(TableIO.path(dst)))
           reply(ex, 409, errBody("destination exists", 409))
         else {
           TableIO.rename(TableIO.path(src), TableIO.path(dst))
@@ -731,6 +836,64 @@ object IcebergRestClient {
     val resp = post(s"$base/v1/tables/rename", mapper.writeValueAsString(n))
     require(resp.statusCode() == 204,
       s"renameTable -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  def renameView(base: String, ns: String, from: String, to: String,
+      toNs: String = null): Unit = {
+    val n = mapper.createObjectNode()
+    val s = n.putObject("source")
+    s.putArray("namespace").add(ns); s.put("name", from)
+    val d = n.putObject("destination")
+    d.putArray("namespace").add(if (toNs == null) ns else toNs)
+    d.put("name", to)
+    val resp = post(s"$base/v1/views/rename", mapper.writeValueAsString(n))
+    require(resp.statusCode() == 204,
+      s"renameView -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** One table's slice of a multi-table transaction: identifier +
+    * requirements + updates, the same shapes the single-table commit
+    * accepts. */
+  case class TableChange(ns: String, name: String,
+      requirements: Seq[com.fasterxml.jackson.databind.node.ObjectNode],
+      updates: Seq[com.fasterxml.jackson.databind.node.ObjectNode])
+
+  /** Current table uuid (for building assert-table-uuid requirements). */
+  def tableUuid(base: String, ns: String, table: String): String =
+    get(s"$base/v1/namespaces/$ns/tables/$table")
+      .get("metadata").get("table-uuid").asText()
+
+  def requireUuid(uuid: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val r = mapper.createObjectNode()
+    r.put("type", "assert-table-uuid"); r.put("uuid", uuid)
+    r
+  }
+
+  def setPropertiesUpdate(set: Map[String, String])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val u = mapper.createObjectNode()
+    u.put("action", "set-properties")
+    val m = u.putObject("updates")
+    set.foreach { case (k, v) => m.put(k, v) }
+    u
+  }
+
+  /** commitTransaction: all changes land atomically or none do.
+    * Returns the HTTP status (204 success, 409 conflict+rollback). */
+  def commitTransaction(base: String, changes: Seq[TableChange]): Int = {
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("table-changes")
+    changes.foreach { ch =>
+      val n = arr.addObject()
+      val id = n.putObject("identifier")
+      id.putArray("namespace").add(ch.ns); id.put("name", ch.name)
+      val reqs = n.putArray("requirements")
+      ch.requirements.foreach(reqs.add)
+      val ups = n.putArray("updates")
+      ch.updates.foreach(ups.add)
+    }
+    post(s"$base/v1/transactions/commit",
+      mapper.writeValueAsString(body)).statusCode()
   }
 
   def registerTable(base: String, ns: String, name: String,

@@ -386,6 +386,71 @@ class IcebergInteropSpec extends AnyFunSuite {
       month(col("l_shipdate")) === 1).count())
   }
 
+  test("REST commitTransaction is atomic across tables; conflicts roll back; views rename") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val wh = Files.createTempDirectory("graft-rest-txn").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+      IcebergWrite.create(spark, s"$wh/db/ta",
+        (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+      IcebergWrite.create(spark, s"$wh/db/tb",
+        (1L to 10L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+      val uuidA = C.tableUuid(base, "db", "ta")
+      val uuidB = C.tableUuid(base, "db", "tb")
+      def props(t: String): Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        graft.table.iceberg.IcebergMetadata.load(s"$wh/db/$t").properties
+      }
+
+      // happy path: both tables' property changes land in one call
+      assert(C.commitTransaction(base, Seq(
+        C.TableChange("db", "ta", Seq(C.requireUuid(uuidA)),
+          Seq(C.setPropertiesUpdate(Map("txn" -> "1")))),
+        C.TableChange("db", "tb", Seq(C.requireUuid(uuidB)),
+          Seq(C.setPropertiesUpdate(Map("txn" -> "1")))))) === 204)
+      assert(props("ta").get("txn") === Some("1"))
+      assert(props("tb").get("txn") === Some("1"))
+
+      // requirement failure on the SECOND table: nothing commits
+      assert(C.commitTransaction(base, Seq(
+        C.TableChange("db", "ta", Seq(C.requireUuid(uuidA)),
+          Seq(C.setPropertiesUpdate(Map("txn" -> "2")))),
+        C.TableChange("db", "tb",
+          Seq(C.requireUuid("00000000-0000-0000-0000-000000000000")),
+          Seq(C.setPropertiesUpdate(Map("txn" -> "2")))))) === 409)
+      assert(props("ta").get("txn") === Some("1"), "requirement 409 must commit nothing")
+
+      // mid-transaction CAS conflict: the same table twice makes the
+      // second change's base stale after the first commits — the first
+      // must ROLL BACK, leaving the table as before the transaction
+      assert(C.commitTransaction(base, Seq(
+        C.TableChange("db", "ta", Seq(C.requireUuid(uuidA)),
+          Seq(C.setPropertiesUpdate(Map("txn" -> "3")))),
+        C.TableChange("db", "ta", Seq(C.requireUuid(uuidA)),
+          Seq(C.setPropertiesUpdate(Map("other" -> "x")))))) === 409)
+      assert(props("ta").get("txn") === Some("1"),
+        s"mid-transaction conflict must roll back, got ${props("ta")}")
+      assert(!props("ta").contains("other"))
+
+      // unknown table: 404, nothing commits
+      assert(C.commitTransaction(base, Seq(
+        C.TableChange("db", "ta", Seq(C.requireUuid(uuidA)),
+          Seq(C.setPropertiesUpdate(Map("txn" -> "4")))),
+        C.TableChange("db", "missing", Seq.empty, Seq.empty))) === 404)
+      assert(props("ta").get("txn") === Some("1"))
+
+      // rename_view: identity moves, definition intact
+      C.createView(base, "db", "v_old", "SELECT id FROM src")
+      C.renameView(base, "db", "v_old", "v_new")
+      assert(C.listViews(base, "db") === Seq("v_new"))
+      assert(C.loadView(base, "db", "v_new")._1.contains("SELECT id"))
+    } finally server.stop()
+  }
+
   test("REST bearer auth gates every endpoint; pagination pages stably") {
     val spark0 = spark
     import spark0.implicits._
