@@ -13,12 +13,14 @@ import javax.imageio.ImageIO
   * partition-local Dataset transforms (scan → mapPartitions, no
   * shuffle).
   *
-  * Image and audio are REAL codecs: PNG via javax.imageio (decode +
-  * area-averaged resize to an 8×8 grayscale feature) and WAV/PCM16
-  * (RIFF header parse + windowed amplitude features). Video remains a
-  * clearly-marked stub — no video codec ships in the JDK — but its
-  * row shape and batching are identical, so swapping in an FFI codec
-  * changes no plan.
+  * All three modalities are REAL codecs: PNG via javax.imageio
+  * (decode + area-averaged resize to an 8×8 grayscale feature),
+  * WAV/PCM16 (RIFF header parse + windowed amplitude features), and
+  * animated GIF as the video container (multi-frame decode via the
+  * JDK's GIF ImageReader, evenly-spaced frame SAMPLING for a
+  * per-frame luminance feature — the shape of any video
+  * frame-sampling pipeline; a heavier codec swaps in behind the same
+  * row shape without changing the plan).
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -78,6 +80,34 @@ object Multimodal {
       b.array()
     }
 
+    /** Deterministic real animated GIF: nFrames frames of LCG pixels
+      * (palettized by the writer; dimensions and frame count are what
+      * the decode oracle checks). */
+    def encodeGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var x = seed | 1L
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < width * height) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          img.setRGB(i % width, i / width, (x >>> 40).toInt & 0xffffff)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+
     /** 8×8 area-averaged grayscale resize → 64-dim unit feature. */
     private def imageFeature(img: BufferedImage): Array[Float] = {
       val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
@@ -94,8 +124,8 @@ object Multimodal {
       }
     }
 
-    /** Real decode for image (PNG/JPEG via ImageIO) and audio
-      * (WAV/PCM16); video is the marked stub. */
+    /** Real decode for image (PNG/JPEG via ImageIO), audio
+      * (WAV/PCM16), and video (animated GIF, frame-sampled). */
     def decode(m: MediaRow): MediaMeta = m.media_type match {
       case "image" =>
         val img = ImageIO.read(new ByteArrayInputStream(m.payload))
@@ -126,21 +156,45 @@ object Multimodal {
         MediaMeta(m.media_id, m.media_type, m.payload.length, dataLen,
           sampleRate, 1, frames, feat)
       case _ =>
-        // STUB: video frame-sampling needs a codec the JDK lacks; the
-        // deterministic pseudo-decode keeps the pipeline end-to-end
-        val h = graft.functions.IcebergHash.hashBytes(m.payload) & 0x7fffffff
-        MediaMeta(m.media_id, m.media_type, m.payload.length,
-          m.payload.length,
-          160 + (h % 8) * 80, 90 + ((h >> 3) % 8) * 60,
-          1 + (h >> 6) % 300, Array.tabulate(8)(_.toFloat))
+        // video = animated GIF: multi-frame decode + frame SAMPLING
+        // (up to 8 evenly-spaced frames, mean luminance per sample)
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(m.payload))
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"media ${m.media_id}: undecodable video")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          require(n > 0, s"media ${m.media_id}: zero-frame video")
+          val first = reader.read(0)
+          val feat = Array.tabulate(8) { i =>
+            val fi = if (n == 1) 0 else (i * (n - 1)) / 7
+            val img = if (fi == 0) first else reader.read(fi)
+            var sum = 0f
+            var p = 0
+            val (w, h) = (img.getWidth, img.getHeight)
+            while (p < w * h) {
+              val rgb = img.getRGB(p % w, p / w)
+              sum += 0.299f * ((rgb >> 16) & 0xff) +
+                0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+              p += 1
+            }
+            sum / (w * h) / 255f
+          }
+          MediaMeta(m.media_id, m.media_type, m.payload.length,
+            first.getWidth * first.getHeight * 3 * n,
+            first.getWidth, first.getHeight, n, feat)
+        } finally { reader.dispose(); iis.close() }
     }
   }
 
   /** Documents-as-media: REAL payloads synthesized per row (PNG bytes
-    * for image rows, WAV bytes for audio rows, raw text for video),
-    * then decoded back partition-locally — the decode step parses
-    * actual container headers. The plan is scan → mapPartitions
-    * (encode) → mapPartitions (decode) → sort for output determinism. */
+    * for image rows, WAV bytes for audio rows, animated-GIF bytes for
+    * video rows), then decoded back partition-locally — the decode
+    * step parses actual container headers and, for video, samples
+    * real frames. The plan is scan → mapPartitions (encode) →
+    * mapPartitions (decode) → sort for output determinism. */
   val mmBinaryMeta: Q = (s, d) => {
     import s.implicits._
     val media = Tables.documents(s, d)
@@ -153,7 +207,9 @@ object Multimodal {
               12 + (id % 3).toInt * 8, id))
           case 2 => MediaRow(id, "audio",
             MediaCodec.encodeWav(800 + (id % 10).toInt * 80, id))
-          case _ => MediaRow(id, "video", text.getBytes("UTF-8"))
+          case _ => MediaRow(id, "video",
+            MediaCodec.encodeGif(24 + (id % 4).toInt * 8,
+              18 + (id % 3).toInt * 6, 2 + (id % 7).toInt, id))
         }
       })
     media
@@ -166,59 +222,31 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map("mm_binary_meta" -> mmBinaryMeta)
 
-  /** DuckDB replica of the decode outputs: the synthesis parameters
-    * (dimensions, sample counts) are deterministic in doc_id, the
-    * video pseudo-decode is murmur3 over the text (the same pure-SQL
-    * recursive mix as the pt_bucket / ta_fingerprint oracles), and
-    * decoded_bytes is derivable from the decoded dimensions — so the
-    * real ImageIO / RIFF decode path is what the gate checks. */
+  /** DuckDB replica of the decode outputs: every synthesis parameter
+    * (dimensions, sample counts, frame counts) is deterministic in
+    * doc_id and decoded_bytes is derivable from the decoded
+    * dimensions — so what the gate checks is that the real ImageIO
+    * PNG / RIFF WAV / multi-frame GIF decode paths recover exactly
+    * the containers' declared shapes. */
   val mmBinaryMetaSql: String =
-    """WITH RECURSIVE vid AS (SELECT doc_id, text AS s FROM documents WHERE doc_id % 3 = 0),
-blk AS (
-  SELECT doc_id, s, 0::BIGINT AS i, 0::BIGINT AS h, length(s)//4 AS nb FROM vid
-  UNION ALL
-  SELECT doc_id, s, i+1,
-    ((((((xor(h, (((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT)) << 13) | ((xor(h, (((((((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | (((((ord(substr(s, 4*i+1, 1)) + ord(substr(s, 4*i+2, 1))*256 + ord(substr(s, 4*i+3, 1))*65536 + ord(substr(s, 4*i+4, 1))*16777216))::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT)) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296),
-    nb
-  FROM blk WHERE i < nb),
-done AS (SELECT doc_id, s, h, nb FROM blk WHERE i = nb),
-tail AS (
-  SELECT doc_id, s, h, length(s) AS len,
-    CASE length(s) % 4
-      WHEN 0 THEN 0 WHEN 1 THEN ord(substr(s, 4*nb+1, 1))
-      WHEN 2 THEN ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256
-      ELSE ord(substr(s, 4*nb+1, 1)) + ord(substr(s, 4*nb+2, 1))*256 + ord(substr(s, 4*nb+3, 1))*65536
-    END AS tk
-  FROM done),
-mixed AS (
-  SELECT doc_id, len, CASE WHEN len % 4 = 0 THEN h
-    ELSE xor(h, ((((((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) << 15) | ((((tk)::HUGEINT * 3432918353 % 4294967296)::BIGINT) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT) END AS hm
-  FROM tail),
-fin AS (
-  SELECT doc_id, xor(hm, len) AS f0, xor(f0, f0 >> 16) AS f1,
-    ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
-    ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
-  FROM mixed),
-vh AS (SELECT doc_id, (hu & 2147483647) AS h FROM fin)
-SELECT d.doc_id AS media_id,
-  CASE d.doc_id % 3 WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
-  (CASE d.doc_id % 3
-    WHEN 1 THEN (16 + (d.doc_id % 4) * 8) * 20 * 3
-    WHEN 2 THEN (800 + (d.doc_id % 10) * 80) * 2
-    ELSE length(d.text) END)::INT AS decoded_bytes,
-  (CASE d.doc_id % 3
-    WHEN 1 THEN 16 + (d.doc_id % 4) * 8
+    """SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
+  (CASE doc_id % 3
+    WHEN 1 THEN (16 + (doc_id % 4) * 8) * 20 * 3
+    WHEN 2 THEN (800 + (doc_id % 10) * 80) * 2
+    ELSE (24 + (doc_id % 4) * 8) * (18 + (doc_id % 3) * 6) * 3 * (2 + doc_id % 7) END)::INT AS decoded_bytes,
+  (CASE doc_id % 3
+    WHEN 1 THEN 16 + (doc_id % 4) * 8
     WHEN 2 THEN 8000
-    ELSE 160 + (v.h % 8) * 80 END)::INT AS width,
-  (CASE d.doc_id % 3
+    ELSE 24 + (doc_id % 4) * 8 END)::INT AS width,
+  (CASE doc_id % 3
     WHEN 1 THEN 20 WHEN 2 THEN 1
-    ELSE 90 + ((v.h >> 3) % 8) * 60 END)::INT AS height,
-  (CASE d.doc_id % 3
+    ELSE 18 + (doc_id % 3) * 6 END)::INT AS height,
+  (CASE doc_id % 3
     WHEN 1 THEN 1
-    WHEN 2 THEN 800 + (d.doc_id % 10) * 80
-    ELSE 1 + (v.h >> 6) % 300 END)::INT AS n_frames
-FROM documents d LEFT JOIN vh v ON d.doc_id = v.doc_id
-ORDER BY media_id"""
+    WHEN 2 THEN 800 + (doc_id % 10) * 80
+    ELSE 2 + doc_id % 7 END)::INT AS n_frames
+FROM documents ORDER BY media_id"""
 
   val oracles: Map[String, String] = Map("mm_binary_meta" -> mmBinaryMetaSql)
 }
