@@ -168,7 +168,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // interop table: standard SQL over any engine's Iceberg output
     else if (graft.table.iceberg.IcebergTable.exists(root))
       new IcebergSparkTable(root)
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    else {
+      // metadata tables (Spark-Iceberg UX): `SELECT * FROM cat.ns.t.files
+      // / .snapshots / .history` — the trailing name selects the
+      // metadata view over the table at cat.ns.t. A REAL table of the
+      // same name takes precedence (checked above).
+      val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+      if (ident.namespace().nonEmpty &&
+          GraftMetadataSparkTable.Kinds.contains(kind)) {
+        val parentRoot = (warehouse +: ident.namespace().toSeq).mkString("/")
+        if (Meta.exists(parentRoot) &&
+            scala.util.Try(Meta.load(parentRoot)).isSuccess)
+          return new GraftMetadataSparkTable(parentRoot, kind)
+      }
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
   }
 
   /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF <id>`. */
@@ -292,4 +306,109 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftTableCatalog {
   val DatetimeFunctions: Seq[String] = Seq("years", "months", "days", "hours")
+}
+
+/** Read-only metadata tables in the Spark-Iceberg UX: the table's
+  * files / snapshots / history exposed as `cat.ns.t.files` etc.
+  * (reference: the spec's metadata-table listings over manifests).
+  * Content is metadata-scale (one row per file / snapshot), built on
+  * the driver from the manifest tree — no data IO. */
+object GraftMetadataSparkTable {
+  import org.apache.spark.sql.types._
+
+  val Kinds: Set[String] = Set("files", "snapshots", "history")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("path", StringType),
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("content", IntegerType),
+      StructField("records", LongType),
+      StructField("bytes", LongType)))
+    case "snapshots" => StructType(Seq(
+      StructField("snapshot_id", LongType),
+      StructField("parent_id", LongType),
+      StructField("sequence_number", LongType),
+      StructField("committed_at", TimestampType),
+      StructField("operation", StringType),
+      StructField("added_files", IntegerType),
+      StructField("removed_files", IntegerType)))
+    case "history" => StructType(Seq(
+      StructField("made_current_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("parent_id", LongType),
+      StructField("is_current_ancestor", BooleanType)))
+  }
+
+  def rowsOf(root: String, kind: String): Seq[Seq[Any]] = {
+    val m = Meta.load(root)
+    kind match {
+      case "files" =>
+        (m.liveFiles(None) ++ m.liveDeleteFiles(None)).map(f => Seq(
+          f.path,
+          f.partitionValues.toSeq.sorted.map(kv => s"${kv._1}=${kv._2}")
+            .mkString("/"),
+          f.specId, f.content, f.recordCount, f.fileSizeBytes))
+      case "snapshots" =>
+        m.snapshots.map(s => Seq(
+          s.snapshotId, s.parentId.getOrElse(-1L), s.sequenceNumber,
+          new java.sql.Timestamp(s.timestampMs), s.operation,
+          s.files.size, s.removedPaths.size))
+      case "history" =>
+        val onChain = m.chainSnapshots(None).map(_.snapshotId).toSet
+        m.snapshots.map(s => Seq(
+          new java.sql.Timestamp(s.timestampMs), s.snapshotId,
+          s.parentId.getOrElse(-1L), onChain.contains(s.snapshotId)))
+    }
+  }
+}
+
+class GraftMetadataSparkTable(root: String, kind: String)
+  extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+
+  override def name(): String = s"$root#$kind"
+  override def schema(): StructType = GraftMetadataSparkTable.schemaOf(kind)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = schema()
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(MetadataRowsPartition(
+            GraftMetadataSparkTable.rowsOf(root, kind)))
+        override def createReaderFactory(): PartitionReaderFactory =
+          MetadataRowsReaderFactory(schema())
+      }
+    }
+}
+
+case class MetadataRowsPartition(rows: Seq[Seq[Any]])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+case class MetadataRowsReaderFactory(schema: StructType)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val it = p.asInstanceOf[MetadataRowsPartition].rows.iterator
+      private val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)
+      private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else {
+          cur = conv(org.apache.spark.sql.Row(it.next(): _*))
+            .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          true
+        }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+      override def close(): Unit = ()
+    }
 }

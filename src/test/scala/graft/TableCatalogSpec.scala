@@ -295,6 +295,54 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_wh.ddl.rn")
   }
 
+  test("SQL metadata tables: t.files / t.snapshots / t.history") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mt")
+    spark.sql("CREATE TABLE graft_wh.mt.t (k BIGINT, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").createOrReplaceTempView("mt_src")
+    spark.sql("INSERT INTO graft_wh.mt.t SELECT * FROM mt_src")
+    spark.sql("INSERT INTO graft_wh.mt.t SELECT k + 10, v FROM mt_src")
+    val t = graft.table.GraftTable.load(spark, s"$wh/mt/t")
+
+    // snapshots: one row per snapshot, aggregable with plain SQL
+    val snaps = spark.sql(
+      """SELECT operation, count(*) AS n FROM graft_wh.mt.t.snapshots
+         GROUP BY operation""").collect()
+    assert(snaps.map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("append", 2L)))
+
+    // files: live data files with spec ids and sizes
+    val files = spark.sql(
+      "SELECT count(*) AS n, sum(records) AS recs FROM graft_wh.mt.t.files")
+      .collect()(0)
+    assert(files.getLong(0) === t.meta.liveFiles(None).size.toLong)
+    assert(files.getLong(1) === 4L)
+
+    // history: every snapshot was made current on the main chain
+    val hist = spark.sql(
+      """SELECT snapshot_id, is_current_ancestor FROM graft_wh.mt.t.history
+         ORDER BY made_current_at""").collect()
+    assert(hist.length === 2 && hist.forall(_.getBoolean(1)))
+
+    // a rollback leaves the abandoned snapshot in history, off-chain
+    val first = t.meta.chainSnapshots(None).head.snapshotId
+    t.rollbackTo(first)
+    val hist2 = spark.sql(
+      "SELECT snapshot_id, is_current_ancestor FROM graft_wh.mt.t.history")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(hist2(first) === true)
+    assert(hist2.values.count(_ == false) === 1)
+
+    // a real table named like a metadata table still wins resolution
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mt.t2")
+    spark.sql("CREATE TABLE graft_wh.mt.t2.files (x BIGINT)")
+    assert(spark.sql("SELECT * FROM graft_wh.mt.t2.files").columns === Array("x"))
+    spark.sql("DROP TABLE graft_wh.mt.t2.files")
+    spark.sql("DROP TABLE graft_wh.mt.t")
+  }
+
   test("SQL time travel: VERSION AS OF selects a snapshot") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.tt")
