@@ -168,9 +168,7 @@ object Multimodal {
           val n = reader.getNumImages(true)
           require(n > 0, s"media ${m.media_id}: zero-frame video")
           val first = reader.read(0)
-          val feat = Array.tabulate(8) { i =>
-            val fi = if (n == 1) 0 else (i * (n - 1)) / 7
-            val img = if (fi == 0) first else reader.read(fi)
+          def meanLum(img: BufferedImage): Float = {
             var sum = 0f
             var p = 0
             val (w, h) = (img.getWidth, img.getHeight)
@@ -182,6 +180,12 @@ object Multimodal {
             }
             sum / (w * h) / 255f
           }
+          // sample indexes repeat when n < 8 — decode each frame ONCE
+          def sampleIdx(i: Int): Int = if (n == 1) 0 else (i * (n - 1)) / 7
+          val lumByFrame = (0 until 8).map(sampleIdx).distinct.map { fi =>
+            fi -> meanLum(if (fi == 0) first else reader.read(fi))
+          }.toMap
+          val feat = Array.tabulate(8)(i => lumByFrame(sampleIdx(i)))
           MediaMeta(m.media_id, m.media_type, m.payload.length,
             first.getWidth * first.getHeight * 3 * n,
             first.getWidth, first.getHeight, n, feat)
@@ -208,8 +212,8 @@ object Multimodal {
           case 2 => MediaRow(id, "audio",
             MediaCodec.encodeWav(800 + (id % 10).toInt * 80, id))
           case _ => MediaRow(id, "video",
-            MediaCodec.encodeGif(24 + (id % 4).toInt * 8,
-              18 + (id % 3).toInt * 6, 2 + (id % 7).toInt, id))
+            MediaCodec.encodeGif(16 + (id % 4).toInt * 4,
+              12 + (id % 3).toInt * 4, 2 + (id % 4).toInt, id))
         }
       })
     media
@@ -234,18 +238,18 @@ object Multimodal {
   (CASE doc_id % 3
     WHEN 1 THEN (16 + (doc_id % 4) * 8) * 20 * 3
     WHEN 2 THEN (800 + (doc_id % 10) * 80) * 2
-    ELSE (24 + (doc_id % 4) * 8) * (18 + (doc_id % 3) * 6) * 3 * (2 + doc_id % 7) END)::INT AS decoded_bytes,
+    ELSE (16 + (doc_id % 4) * 4) * (12 + (doc_id % 3) * 4) * 3 * (2 + doc_id % 4) END)::INT AS decoded_bytes,
   (CASE doc_id % 3
     WHEN 1 THEN 16 + (doc_id % 4) * 8
     WHEN 2 THEN 8000
-    ELSE 24 + (doc_id % 4) * 8 END)::INT AS width,
+    ELSE 16 + (doc_id % 4) * 4 END)::INT AS width,
   (CASE doc_id % 3
     WHEN 1 THEN 20 WHEN 2 THEN 1
-    ELSE 18 + (doc_id % 3) * 6 END)::INT AS height,
+    ELSE 12 + (doc_id % 3) * 4 END)::INT AS height,
   (CASE doc_id % 3
     WHEN 1 THEN 1
     WHEN 2 THEN 800 + (doc_id % 10) * 80
-    ELSE 2 + doc_id % 7 END)::INT AS n_frames
+    ELSE 2 + doc_id % 4 END)::INT AS n_frames
 FROM documents ORDER BY media_id"""
 
   val oracles: Map[String, String] = Map("mm_binary_meta" -> mmBinaryMetaSql)

@@ -105,23 +105,24 @@ object TableOps {
 
   /** Partition-spec EVOLUTION (transaction/mod.rs:47 set_default_spec;
     * iceberg-rust-spec partition.rs spec list): write one era under
-    * month(o_orderdate), evolve the live table's default spec to
-    * day(o_orderdate), write a second era — then a pruned scan spans
-    * both, each file's partitionValues resolved through the spec that
-    * WROTE it (per-file spec-id). Filters on both eras' partition
-    * fields are passed; a file lacking a field keeps (sound), so the
-    * month-era files prune by _p_month and the day-era by _p_day. */
+    * year(o_orderdate), evolve the live table's default spec to
+    * month(o_orderdate) (the volume-grew re-partition), write a second
+    * era — then a pruned scan spans both, each file's partitionValues
+    * resolved through the spec that WROTE it (per-file spec-id).
+    * Filters on both eras' partition fields are passed; a file lacking
+    * a field keeps (sound), so the year-era files prune by _p_year and
+    * the month-era by _p_month. */
   val tfSpecEvolution: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val t = GraftTable.create(s, scratch(), o.schema,
-      spec = Seq(Meta.PartitionField("o_orderdate", "month", "_p_month")))
+      spec = Seq(Meta.PartitionField("o_orderdate", "year", "_p_year")))
     t.append(o.filter(col("o_orderkey") % 2 === 0))
-    t.setDefaultSpec(Seq(Meta.PartitionField("o_orderdate", "day", "_p_day")))
+    t.setDefaultSpec(Seq(Meta.PartitionField("o_orderdate", "month", "_p_month")))
     t.append(o.filter(col("o_orderkey") % 2 =!= 0))
-    // 1996 window: months-from-epoch [312,323], days-from-epoch [9496,9861]
+    // 1996 window: years-from-epoch 26, months-from-epoch [312,323]
     t.scan(Seq(
-        t.StatFilter("_p_month", ">=", "312"), t.StatFilter("_p_month", "<=", "323"),
-        t.StatFilter("_p_day", ">=", "9496"), t.StatFilter("_p_day", "<=", "9861")))
+        t.StatFilter("_p_year", ">=", "26"), t.StatFilter("_p_year", "<=", "26"),
+        t.StatFilter("_p_month", ">=", "312"), t.StatFilter("_p_month", "<=", "323")))
       .filter(year(col("o_orderdate")) === 1996)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
