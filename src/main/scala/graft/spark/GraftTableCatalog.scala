@@ -250,6 +250,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         t.dropColumn(d.fieldNames()(0))
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
         t.renameColumn(r.fieldNames()(0), r.newName())
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+        t.updateColumnType(u.fieldNames()(0), u.newDataType())
       case p: TableChange.SetProperty =>
         t.updateProperties(Map(p.property() -> p.value()))
       case other =>
@@ -316,7 +318,7 @@ object GraftTableCatalog {
 object GraftMetadataSparkTable {
   import org.apache.spark.sql.types._
 
-  val Kinds: Set[String] = Set("files", "snapshots", "history")
+  val Kinds: Set[String] = Set("files", "snapshots", "history", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -339,6 +341,12 @@ object GraftMetadataSparkTable {
       StructField("snapshot_id", LongType),
       StructField("parent_id", LongType),
       StructField("is_current_ancestor", BooleanType)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("file_count", LongType),
+      StructField("record_count", LongType),
+      StructField("total_bytes", LongType)))
   }
 
   def rowsOf(root: String, kind: String): Seq[Seq[Any]] = {
@@ -360,6 +368,15 @@ object GraftMetadataSparkTable {
         m.snapshots.map(s => Seq(
           new java.sql.Timestamp(s.timestampMs), s.snapshotId,
           s.parentId.getOrElse(-1L), onChain.contains(s.snapshotId)))
+      case "partitions" =>
+        m.liveFiles(None)
+          .groupBy(f => (f.specId, f.partitionValues.toSeq.sorted
+            .map(kv => s"${kv._1}=${kv._2}").mkString("/")))
+          .toSeq.sortBy(_._1._2)
+          .map { case ((specId, part), files) => Seq(
+            part, specId, files.size.toLong,
+            files.map(_.recordCount).sum, files.map(_.fileSizeBytes).sum)
+          }
     }
   }
 }

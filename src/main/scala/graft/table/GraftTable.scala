@@ -806,6 +806,55 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Schema evolution: WIDEN a column's type — exactly the safe
+    * promotions the spec allows (iceberg-rust-spec schema.rs:
+    * int->long, float->double, decimal precision growth at fixed
+    * scale). Data files are untouched: Spark's parquet reader up-casts
+    * the old physical type into the widened slot at read, manifest
+    * stat strings parse identically under the widened comparator, and
+    * Iceberg's bucket transform hashes int and long the same way by
+    * design, so even bucket-partitioned sources stay stable. */
+  def updateColumnType(name: String, newType: DataType): GraftTable = this.synchronized {
+    val m = meta
+    val field = m.schema.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    def promotable(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+    require(promotable(field.dataType, newType),
+      s"cannot change $name: ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a safe promotion " +
+        "(int->long, float->double, decimal precision growth)")
+    if (field.dataType == newType) return this
+    val next = StructType(m.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    val id = m.schemas.keys.max + 1
+    Meta.write(root, m.copy(schemas = m.schemas + (id -> next), currentSchemaId = id))
+    this
+  }
+
+  /** Sort-order evolution (iceberg-rust-spec spec/sort.rs): change the
+    * write clustering for FUTURE writes. Sort order is a layout hint,
+    * not a correctness property, so no per-file tracking is needed —
+    * files written under the old order simply keep their layout. */
+  def setSortOrder(entries: Seq[String]): GraftTable = this.synchronized {
+    val m = meta
+    val refs = entries.flatMap {
+      case ZOrderSpec(a, b) => Seq(a, b)
+      case n => Seq(n)
+    }
+    refs.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"sort column '$c' is not in the schema"))
+    Meta.write(root, m.copy(sortOrder = entries))
+    this
+  }
+
   /** Schema evolution: RENAME a column (iceberg-rust-spec schema.rs —
     * identity is the field id, the name is a label). The field keeps
     * its id, so id-matched reads keep resolving the bytes in every

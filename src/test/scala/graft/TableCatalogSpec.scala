@@ -341,6 +341,58 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft_wh.mt.t2.files").columns === Array("x"))
     spark.sql("DROP TABLE graft_wh.mt.t2.files")
     spark.sql("DROP TABLE graft_wh.mt.t")
+
+    // partitions: one row per live partition with rolled-up counts
+    spark.sql("""CREATE TABLE graft_wh.mt.p (k BIGINT, tag STRING)
+                 PARTITIONED BY (tag)""")
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "tag")
+      .createOrReplaceTempView("mtp_src")
+    spark.sql("INSERT INTO graft_wh.mt.p SELECT * FROM mtp_src")
+    val parts = spark.sql(
+      """SELECT partition, record_count FROM graft_wh.mt.p.partitions
+         ORDER BY partition""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(parts === Array(("_p_tag=a", 2L), ("_p_tag=b", 1L)))
+    spark.sql("DROP TABLE graft_wh.mt.p")
+  }
+
+  test("ALTER COLUMN TYPE: safe promotions widen in place, unsafe refused") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ddl")
+    spark.sql("CREATE TABLE graft_wh.ddl.wt (k BIGINT, cnt INT, ratio FLOAT)")
+    Seq((1L, 10, 0.5f), (2L, 20, 1.5f)).toDF("k", "cnt", "ratio")
+      .createOrReplaceTempView("wt_src")
+    spark.sql("INSERT INTO graft_wh.ddl.wt SELECT * FROM wt_src")
+    val snap1 = graft.table.GraftTable.load(spark, s"$wh/ddl/wt")
+      .meta.currentSnapshotId.get
+    spark.sql("ALTER TABLE graft_wh.ddl.wt ALTER COLUMN cnt TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_wh.ddl.wt ALTER COLUMN ratio TYPE DOUBLE")
+    // old INT32/FLOAT files up-cast at read; new writes exceed int range
+    Seq((3L, 3000000000L, 2.5)).toDF("k", "cnt", "ratio")
+      .createOrReplaceTempView("wt_src2")
+    spark.sql("INSERT INTO graft_wh.ddl.wt SELECT * FROM wt_src2")
+    val agg = spark.sql(
+      "SELECT sum(cnt), round(sum(ratio), 1) FROM graft_wh.ddl.wt").collect()(0)
+    assert(agg.getLong(0) === 3000000030L)
+    assert(agg.getDouble(1) === 4.5)
+    // the old snapshot keeps its own (narrow) schema
+    val oldField = spark.sql(
+      s"SELECT cnt FROM graft_wh.ddl.wt VERSION AS OF $snap1")
+    assert(oldField.schema.fields(0).dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(oldField.collect().map(_.getInt(0)).sorted === Array(10, 20))
+    // narrowing is refused by Spark's analyzer before reaching graft;
+    // long->string passes Spark's up-cast check but is NOT an Iceberg
+    // promotion, so graft's own guard refuses it
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wh.ddl.wt ALTER COLUMN cnt TYPE INT")
+    }.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wh.ddl.wt ALTER COLUMN k TYPE STRING")
+    }.getMessage.contains("safe promotion"))
+    spark.sql("DROP TABLE graft_wh.ddl.wt")
   }
 
   test("SQL time travel: VERSION AS OF selects a snapshot") {

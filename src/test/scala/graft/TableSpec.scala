@@ -164,6 +164,36 @@ class TableSpec extends AnyFunSuite {
       files.map(f => f.path -> f.specId).toMap)
   }
 
+  test("sort-order evolution: new writes cluster by the evolved order") {
+    val root = tmp()
+    // era 1: unclustered round-robin — key ranges overlap across files
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.repartition(8))
+    val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val flt = Seq(t.StatFilter("l_orderkey", ">", (maxKey - 10).toString))
+    val era1Planned = t.plannedFiles(flt).size
+    val era1All = t.plannedFiles(Seq.empty).size
+    assert(era1Planned === era1All, "round-robin files should not prune")
+    // evolve the write clustering; future writes range-cluster on the key
+    t.setSortOrder(Seq("l_orderkey"))
+    assert(graft.table.Meta.load(root).sortOrder === Seq("l_orderkey"))
+    // clustering comes from the table, not the input layout (AQE off so
+    // the range shuffle keeps multiple partitions on this tiny input)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.append(li.repartition(8))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val all = t.plannedFiles(Seq.empty)
+    val planned = t.plannedFiles(flt)
+    // era-1 files all survive (overlapping ranges); era-2 files prune
+    assert(all.size - planned.size > 0,
+      s"evolved sort order did not enable pruning: ${planned.size}/${all.size}")
+    // unknown sort column refused
+    assertThrows[IllegalArgumentException](t.setSortOrder(Seq("nope")))
+    // soundness across both eras
+    val got = t.scan(flt).filter(col("l_orderkey") > maxKey - 10).count()
+    assert(got === 2 * li.filter(col("l_orderkey") > maxKey - 10).count())
+  }
+
   test("compaction preserves rows and reduces file count") {
     val root = tmp()
     val t = GraftTable.create(spark, root, li.schema)
