@@ -43,7 +43,13 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
   private def opt(name: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
 
-  override def initialOffset(): Offset = SnapshotOffset(0L)
+  /** Fresh streams start from snapshot 0 (full history) unless
+    * `startingSnapshotId` pins a later starting point — the stream
+    * then emits only changes committed AFTER that snapshot (Iceberg's
+    * stream-from-snapshot option). Checkpointed streams ignore this
+    * (Spark restores the offset from the checkpoint). */
+  override def initialOffset(): Offset =
+    SnapshotOffset(opt("startingSnapshotId").map(_.toLong).getOrElse(0L))
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = Seq(

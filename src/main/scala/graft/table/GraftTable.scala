@@ -276,7 +276,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         schemaId = schemaId.getOrElse(m.currentSchemaId),
         lineage = lineage,
         summary = Map("added-files" -> added.size.toString,
-          "removed-files" -> removed.size.toString) ++ summaryExtra,
+          "removed-files" -> removed.size.toString,
+          "added-records" -> added.map(_.recordCount).filter(_ >= 0).sum.toString)
+          ++ summaryExtra,
         addedDeleteFiles = addedDeletes,
         removedDeletePaths = removedDeletes)
       val newRefs = m.refs + (branch -> snap.snapshotId)

@@ -218,6 +218,9 @@ object IcebergMetadata {
     IceSpec(n.get("spec-id").asInt(),
       n.get("fields").elements().asScala.map(readSpecField).toSeq)
 
+  /** Public spec parser (REST commit protocol's add-spec update). */
+  def specFromNode(n: JsonNode): IceSpec = readSpec(n)
+
   private def readSpecField(f: JsonNode): IcePartitionField =
     IcePartitionField(
       sourceId = f.get("source-id").asInt(),

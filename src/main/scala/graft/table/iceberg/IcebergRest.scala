@@ -128,6 +128,16 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           // -1 = the schema added in this same commit
           acc.copy(currentSchemaId =
             if (id == -1) acc.schemas.last.schemaId else id)
+        case "add-spec" =>
+          val spec = IcebergMetadata.specFromNode(u.get("spec"))
+          acc.copy(specs = acc.specs :+ spec,
+            lastPartitionId = math.max(acc.lastPartitionId,
+              spec.fields.map(_.fieldId).maxOption.getOrElse(0)))
+        case "set-default-spec" =>
+          val id = u.get("spec-id").asInt()
+          // -1 = the spec added in this same commit
+          acc.copy(defaultSpecId =
+            if (id == -1) acc.specs.last.specId else id)
         case "set-properties" =>
           val ups = u.get("updates").properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap

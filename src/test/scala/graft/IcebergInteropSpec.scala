@@ -448,6 +448,35 @@ class IcebergInteropSpec extends AnyFunSuite {
       C.renameView(base, "db", "v_old", "v_new")
       assert(C.listViews(base, "db") === Seq("v_new"))
       assert(C.loadView(base, "db", "v_new")._1.contains("SELECT id"))
+
+      // spec evolution over the commit protocol: add-spec +
+      // set-default-spec(-1) land atomically and persist
+      val specNode = {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val u = m.createObjectNode()
+        u.put("action", "add-spec")
+        val sp = u.putObject("spec")
+        sp.put("spec-id", 1)
+        val fs = sp.putArray("fields")
+        val f = fs.addObject()
+        f.put("source-id", 1); f.put("field-id", 1000)
+        f.put("name", "id_bucket"); f.put("transform", "bucket[4]")
+        u
+      }
+      val setDefault = {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val u = m.createObjectNode()
+        u.put("action", "set-default-spec"); u.put("spec-id", -1)
+        u
+      }
+      assert(C.commitTransaction(base, Seq(
+        C.TableChange("db", "tb", Seq(C.requireUuid(uuidB)),
+          Seq(specNode, setDefault)))) === 204)
+      val evolved = graft.table.iceberg.IcebergMetadata.load(s"$wh/db/tb")
+      assert(evolved.specs.map(_.specId).sorted === Seq(0, 1))
+      assert(evolved.defaultSpecId === 1)
+      assert(evolved.specs.find(_.specId == 1).get
+        .fields.head.transform === "bucket[4]")
     } finally server.stop()
   }
 

@@ -176,6 +176,32 @@ class StreamingSpec extends AnyFunSuite {
       s"expected 2 one-snapshot batches, got ${progress2.length}")
   }
 
+  test("startingSnapshotId: a fresh stream skips history before the pin") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft-src-start")
+      .toString + "/t"
+    val df1 = (1L to 20L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1)
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1)
+    val pin = t.meta.currentSnapshotId.get
+    t.append((21L to 30L).map(i => (i, s"new$i")).toDF("k", "v").coalesce(1))
+    val out = root + "-out"
+    val q = spark.readStream.format("graft")
+      .option("startingSnapshotId", pin.toString)
+      .load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ks = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks === (21L to 30L), s"pre-pin history leaked: $ks")
+  }
+
   test("streaming dedup: dropDuplicates within watermark matches batch distinct") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toFile
     dir.deleteOnExit()
