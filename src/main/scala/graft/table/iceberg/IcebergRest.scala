@@ -5,6 +5,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.table.TableIO
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 
 /** Minimal Iceberg REST catalog front-end over a warehouse of
   * real-format tables (reference: iceberg-rest-catalog crate; the
@@ -162,6 +163,25 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   private def nsRoot(ns: String) = TableIO.path(s"$warehouse/$ns")
   private def tableRoot(ns: String, t: String) = s"$warehouse/$ns/$t"
 
+  /** Namespace properties live in a dot-file inside the namespace dir
+    * (dot-names are excluded from every listing). */
+  private def nsPropsPath(ns: String) =
+    new org.apache.hadoop.fs.Path(nsRoot(ns), ".nsprops.json")
+
+  private def readNsProps(ns: String): Map[String, String] =
+    if (!TableIO.exists(nsPropsPath(ns))) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(TableIO.readString(nsPropsPath(ns)))
+        .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+
+  private def writeNsProps(ns: String, props: Map[String, String]): Unit = {
+    val n = mapper.createObjectNode()
+    props.foreach { case (k, v) => n.put(k, v) }
+    TableIO.writeString(nsPropsPath(ns), mapper.writeValueAsString(n))
+  }
+
   /** View definition from a create/replace request body. */
   private def viewFromBody(name: String,
       body: com.fasterxml.jackson.databind.JsonNode): graft.table.Views.ViewDef = {
@@ -274,10 +294,56 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         val body = mapper.readTree(ex.getRequestBody)
         val ns = body.get("namespace").elements().next().asText()
         TableIO.mkdirs(nsRoot(ns))
+        val props = Option(body.get("properties")).map(p =>
+          p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty[String, String])
+        if (props.nonEmpty) writeNsProps(ns, props)
         val n = mapper.createObjectNode()
         n.putArray("namespace").add(ns)
-        n.putObject("properties")
+        val pn = n.putObject("properties")
+        props.foreach { case (k, v) => pn.put(k, v) }
         reply(ex, 200, json(n))
+
+      case ("GET", Seq("namespaces", ns)) =>
+        // loadNamespaceMetadata (catalog_api_api.rs
+        // load_namespace_metadata): the namespace + its properties
+        if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
+        else {
+          val n = mapper.createObjectNode()
+          n.putArray("namespace").add(ns)
+          val pn = n.putObject("properties")
+          readNsProps(ns).foreach { case (k, v) => pn.put(k, v) }
+          reply(ex, 200, json(n))
+        }
+
+      case ("HEAD", Seq("namespaces", ns)) =>
+        reply(ex, if (TableIO.isDirectory(nsRoot(ns))) 204 else 404, Array.empty)
+
+      case ("POST", Seq("namespaces", ns, "properties")) =>
+        // updateProperties on a namespace (catalog_api_api.rs
+        // update_properties): {updates:{..}, removals:[..]} ->
+        // {updated:[..], removed:[..], missing:[..]}
+        if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
+        else {
+          val body = mapper.readTree(ex.getRequestBody)
+          val updates = Option(body.get("updates")).map(p =>
+            p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty[String, String])
+          val removals = Option(body.get("removals")).map(
+            _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+          val overlap = updates.keySet.intersect(removals.toSet)
+          if (overlap.nonEmpty) throw new BadRequest(
+            s"keys in both updates and removals: ${overlap.mkString(",")}")
+          val cur = readNsProps(ns)
+          val missing = removals.filterNot(cur.contains)
+          writeNsProps(ns, cur -- removals ++ updates)
+          val n = mapper.createObjectNode()
+          val up = n.putArray("updated"); updates.keys.toSeq.sorted.foreach(up.add)
+          val rm = n.putArray("removed")
+          removals.filter(cur.contains).foreach(rm.add)
+          val ms = n.putArray("missing"); missing.foreach(ms.add)
+          reply(ex, 200, json(n))
+        }
 
       case ("GET", Seq("namespaces", ns, "tables")) =>
         if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
@@ -740,6 +806,34 @@ object IcebergRestClient {
       rb(uri)
         .DELETE().build(),
       java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+
+  /** loadNamespaceMetadata: the namespace's properties. */
+  def namespaceProperties(base: String, ns: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    get(s"$base/v1/namespaces/$ns").get("properties").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /** updateProperties on a namespace; returns (updated, removed, missing). */
+  def updateNamespaceProperties(base: String, ns: String,
+      set: Map[String, String], remove: Seq[String] = Seq.empty)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val n = mapper.createObjectNode()
+    val u = n.putObject("updates")
+    set.foreach { case (k, v) => u.put(k, v) }
+    val rm = n.putArray("removals")
+    remove.foreach(rm.add)
+    val resp = post(s"$base/v1/namespaces/$ns/properties",
+      mapper.writeValueAsString(n))
+    require(resp.statusCode() == 200,
+      s"updateNamespaceProperties -> ${resp.statusCode()}: ${resp.body()}")
+    val r = mapper.readTree(resp.body())
+    def strs(k: String): Seq[String] =
+      Option(r.get(k)).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Seq.empty)
+    (strs("updated"), strs("removed"), strs("missing"))
+  }
 
   // ---- views ----------------------------------------------------------
 

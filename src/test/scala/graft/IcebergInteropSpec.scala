@@ -477,6 +477,20 @@ class IcebergInteropSpec extends AnyFunSuite {
       assert(evolved.defaultSpecId === 1)
       assert(evolved.specs.find(_.specId == 1).get
         .fields.head.transform === "bucket[4]")
+
+      // namespace metadata: properties round-trip + RFC update response
+      assert(C.namespaceProperties(base, "db") === Map.empty)
+      val (up, rm0, ms0) = C.updateNamespaceProperties(base, "db",
+        Map("owner" -> "etl", "comment" -> "demo"))
+      assert(up.sorted === Seq("comment", "owner") && rm0.isEmpty && ms0.isEmpty)
+      assert(C.namespaceProperties(base, "db") ===
+        Map("owner" -> "etl", "comment" -> "demo"))
+      val (_, rm, ms) = C.updateNamespaceProperties(base, "db",
+        Map.empty, remove = Seq("comment", "nope"))
+      assert(rm === Seq("comment") && ms === Seq("nope"))
+      assert(C.namespaceProperties(base, "db") === Map("owner" -> "etl"))
+      // the props dot-file never leaks into table listings
+      assert(!C.listTables(base, "db").exists(_.startsWith(".")))
     } finally server.stop()
   }
 
