@@ -194,6 +194,29 @@ class TableSpec extends AnyFunSuite {
     assert(got === 2 * li.filter(col("l_orderkey") > maxKey - 10).count())
   }
 
+  test("row-level commit aborts when a concurrent commit rewrote its files") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(1000).coalesce(1))
+    // a row-level op scans these files...
+    val scanned = t.meta.liveFiles(None).map(_.path)
+    assert(scanned.nonEmpty)
+    // ...then a concurrent writer rewrites them (CoW delete)
+    val victim = li.limit(1).collect()(0).getLong(0)
+    val expect = t.scan().filter(col("l_orderkey") =!= victim).count()
+    t.delete(col("l_orderkey") === victim)
+    assert(t.meta.liveFiles(None).map(_.path).intersect(scanned).isEmpty,
+      "test setup: the delete should have rewritten every scanned file")
+    // the stale op's commit must abort, not clobber the delete
+    val staging = graft.table.TableIO.path(root, "stage-stale")
+    li.limit(10).coalesce(1).write.parquet(staging.toString)
+    assertThrows[java.util.ConcurrentModificationException] {
+      t.commitStagedReplace(staging, scanned)
+    }
+    // the concurrent delete's result is intact
+    assert(t.scan().count() === expect)
+  }
+
   test("compaction preserves rows and reduces file count") {
     val root = tmp()
     val t = GraftTable.create(spark, root, li.schema)
