@@ -160,10 +160,11 @@ object Multimodal {
         // (up to 8 evenly-spaced frames, mean luminance per sample)
         val iis = ImageIO.createImageInputStream(
           new ByteArrayInputStream(m.payload))
-        val readers = ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"media ${m.media_id}: undecodable video")
-        val reader = readers.next()
+        var reader: javax.imageio.ImageReader = null
         try {
+          val readers = ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"media ${m.media_id}: undecodable video")
+          reader = readers.next()
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           require(n > 0, s"media ${m.media_id}: zero-frame video")
@@ -189,7 +190,10 @@ object Multimodal {
           MediaMeta(m.media_id, m.media_type, m.payload.length,
             first.getWidth * first.getHeight * 3 * n,
             first.getWidth, first.getHeight, n, feat)
-        } finally { reader.dispose(); iis.close() }
+        } finally {
+          if (reader != null) reader.dispose()
+          iis.close()
+        }
     }
   }
 

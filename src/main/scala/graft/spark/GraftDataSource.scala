@@ -418,6 +418,7 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
 
   private def statsComplete(files: Seq[Meta.DataFile], c: String): Boolean = {
     import org.apache.spark.sql.types._
+    if (table.statsUnprunable.contains(c)) return false
     val simpleTyped = table.schema.fields.find(_.name == c).exists(_.dataType match {
       case IntegerType | LongType | ShortType | DoubleType | FloatType |
           StringType => true

@@ -98,9 +98,16 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     var stop = false
     while (it.hasNext && !stop) {
       val sn = it.next()
-      val snFiles = if (sn.operation == "append") sn.files.size.toLong else 0L
+      // budget from the snapshot SUMMARY when present — resolving
+      // sn.files would re-read a spilled manifest on every poll
+      val snFiles =
+        if (sn.operation != "append") 0L
+        else sn.summary.get("added-files").flatMap(_.toLongOption)
+          .getOrElse(sn.files.size.toLong)
       val snBytes =
-        if (sn.operation == "append") sn.files.map(_.fileSizeBytes).sum else 0L
+        if (sn.operation != "append") 0L
+        else sn.summary.get("added-bytes").flatMap(_.toLongOption)
+          .getOrElse(sn.files.map(_.fileSizeBytes).sum)
       if (admitted > 0 && (files + snFiles > maxFiles || bytes + snBytes > maxBytes))
         stop = true
       else {

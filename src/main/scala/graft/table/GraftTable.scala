@@ -27,9 +27,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   // field-id-based column resolution: ids in the schema metadata are
   // written to parquet footers and matched on read, so renamed /
-  // re-added columns bind to the right bytes in every file era. Both
-  // flags are scoped to schemas that CARRY ids — foreign parquet reads
-  // in the same session are untouched.
+  // re-added columns bind to the right bytes in every file era. The
+  // flags only change reads whose REQUESTED schema carries id
+  // metadata (graft's own schemas); plain parquet reads are
+  // unaffected. One sharp edge is deliberate: explicitly requesting
+  // an id-carrying schema over id-less foreign files fails loudly
+  // (ignoreMissing stays false) rather than null-filling.
   spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
@@ -88,11 +91,16 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
     // carry the table schema's field-id metadata onto the outgoing
     // rows (the caller's frame usually lacks it), so the parquet
-    // footers record ids and id-matched reads work on every file
+    // footers record ids and id-matched reads work on every file.
+    // Mapped over the FRAME's columns, not the schema's: a frame
+    // missing a newly-added nullable column still writes (scans
+    // null-fill it), exactly as before ids existed.
     val withIds =
       if (!Meta.hasFieldIds(schema)) df
-      else df.select(schema.fields.map(f =>
-        col(f.name).as(f.name, f.metadata)).toSeq: _*)
+      else df.select(df.columns.toSeq.map { c =>
+        schema.fields.find(_.name == c)
+          .map(f => col(c).as(c, f.metadata)).getOrElse(col(c))
+      }: _*)
     val withParts = m.spec.foldLeft(withIds)((acc, pf) =>
       acc.withColumn(pf.name, transformCol(pf)))
     // sort order = write clustering: range-partition + in-partition sort
@@ -117,7 +125,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           .write
       else withParts.write
     withMicrosTimestamps(writer.parquet(staging.toString))
-    ingestStaged(staging, schema)
+    ingestStaged(staging, schema, m.defaultSpecId)
   }
 
   /** Run a write with INT64-micros parquet timestamps: Spark's INT96
@@ -138,11 +146,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * files into the data dir (preserving partition subdirs), return
     * their manifest entries, and remove the staging skeleton. */
   private[graft] def ingestStaged(staging: HPath,
-      schema: StructType): Seq[Meta.DataFile] = {
+      schema: StructType, specId: Int): Seq[Meta.DataFile] = {
     // every file entering the table is stamped with the spec that
-    // routed it — after spec evolution, scans resolve partitionValues
-    // through this id, never the (possibly newer) default spec
-    val specId = meta.defaultSpecId
+    // ROUTED it (the caller's captured metadata, not a fresh load —
+    // a concurrent setDefaultSpec between routing and ingest must not
+    // relabel files whose partitionValues the old spec computed)
     val staged = TableIO.listFilesRecursive(staging)
       .filter(_._1.getName.endsWith(".parquet"))
     val stagedPaths = staged.map(_._1.toString)
@@ -190,7 +198,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val routed = m.spec.isEmpty ||
       staged.forall(f => TableIO.relativize(staging, f._1).contains("="))
     val files =
-      if (m.sortOrder.isEmpty && routed) ingestStaged(staging, m.schema)
+      if (m.sortOrder.isEmpty && routed) ingestStaged(staging, m.schema, m.defaultSpecId)
       else {
         val stagedPaths = TableIO.listFilesRecursive(staging)
           .filter(_._1.getName.endsWith(".parquet")).map(_._1.toString)
@@ -219,7 +227,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val routed = m.spec.isEmpty ||
       staged.forall(f => TableIO.relativize(staging, f._1).contains("="))
     val files =
-      if (m.sortOrder.isEmpty && routed) ingestStaged(staging, m.schema)
+      if (m.sortOrder.isEmpty && routed) ingestStaged(staging, m.schema, m.defaultSpecId)
       else {
         val stagedPaths = staged.map(_._1.toString)
         val out =
@@ -277,7 +285,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         lineage = lineage,
         summary = Map("added-files" -> added.size.toString,
           "removed-files" -> removed.size.toString,
-          "added-records" -> added.map(_.recordCount).filter(_ >= 0).sum.toString)
+          "added-records" -> added.map(_.recordCount).filter(_ >= 0).sum.toString,
+          // lets streaming admission control budget a batch without
+          // resolving the snapshot's (possibly spilled) manifest
+          "added-bytes" -> added.map(_.fileSizeBytes).sum.toString)
           ++ summaryExtra,
         addedDeleteFiles = addedDeletes,
         removedDeletePaths = removedDeletes)
@@ -345,9 +356,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }
   }
 
-  def plannedFiles(filters: Seq[StatFilter], snapshotId: Option[Long] = None,
+  def plannedFiles(filters0: Seq[StatFilter], snapshotId: Option[Long] = None,
       branch: Option[String] = None): Seq[Meta.DataFile] = {
     val m = meta
+    // columns retired from stats pruning (float->double promotion)
+    // contribute no filters at all — sound, just unpruned
+    val filters = filters0.filterNot(f => m.statsUnprunable.contains(f.column))
     val snapId = branch.flatMap(m.refs.get).orElse(snapshotId)
     val schema = m.schemas(snapId.flatMap(m.snapshot).map(_.schemaId)
       .getOrElse(m.currentSchemaId))
@@ -837,9 +851,25 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val next = StructType(m.schema.fields.map(f =>
       if (f.name == name) f.copy(dataType = newType) else f))
     val id = m.schemas.keys.max + 1
-    Meta.write(root, m.copy(schemas = m.schemas + (id -> next), currentSchemaId = id))
+    // float-era stat strings are SHORTEST-float renderings ("0.3"),
+    // which parse to a different double than the widened value
+    // (0.30000001192092896) — comparing them under the double
+    // comparator would prune files that contain matches. Integral and
+    // decimal promotions render exactly; only float->double must
+    // retire the column from stats-based pruning (old AND new files:
+    // eras are indistinguishable in the manifest).
+    val props =
+      if (field.dataType != FloatType || newType != DoubleType) m.properties
+      else m.properties + (StatsUnprunableProp ->
+        (m.properties.get(StatsUnprunableProp)
+          .map(_.split(",").toSeq).getOrElse(Seq.empty) :+ name)
+          .distinct.mkString(","))
+    Meta.write(root, m.copy(schemas = m.schemas + (id -> next),
+      currentSchemaId = id, properties = props))
     this
   }
+
+  private def StatsUnprunableProp = Meta.StatsUnprunableProp
 
   /** Sort-order evolution (iceberg-rust-spec spec/sort.rs): change the
     * write clustering for FUTURE writes. Sort order is a layout hint,
@@ -869,6 +899,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     require(m.schema.fieldNames.contains(name), s"no column $name")
     require(!m.schema.fieldNames.contains(newName),
       s"column $newName already exists")
+    // a partition-FIELD name collision would make writeFiles overwrite
+    // the renamed column with the transform output and partitionBy
+    // strip it from the files (same guard as create/setDefaultSpec)
+    require(!m.specs.values.flatten.exists(_.name == newName),
+      s"'$newName' is a partition field name (in the default or a " +
+        "historical spec); choose a different name")
     requireUnreferenced(m, name, "rename it")
     val next = StructType(m.schema.fields.map(f =>
       if (f.name == name) f.copy(name = newName) else f))

@@ -22,6 +22,9 @@ import scala.jdk.CollectionConverters._
 object Meta {
   val mapper = new ObjectMapper()
 
+  /** See TableMetadata.statsUnprunable. */
+  val StatsUnprunableProp = "graft.stats-unprunable"
+
   /** Stable column identity (iceberg-rust-spec/src/spec/schema.rs
     * tracks columns by field id): ids ride in each StructField's
     * metadata under Spark's own `parquet.field.id` key, are written
@@ -155,6 +158,13 @@ object Meta {
       sortOrder: Seq[String] = Seq.empty) {
 
     def schema: StructType = schemas(currentSchemaId)
+
+    /** Columns whose manifest stats must NOT drive pruning or
+      * metadata-only aggregates — a float->double promotion makes the
+      * float-era stat strings imprecise under the double comparator. */
+    def statsUnprunable: Set[String] =
+      properties.get(Meta.StatsUnprunableProp)
+        .map(_.split(",").toSet).getOrElse(Set.empty)
 
     /** The DEFAULT spec — what new writes partition by. */
     def spec: Seq[PartitionField] = specs.getOrElse(defaultSpecId, Seq.empty)

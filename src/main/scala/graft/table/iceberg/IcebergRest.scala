@@ -164,7 +164,12 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   private def tableRoot(ns: String, t: String) = s"$warehouse/$ns/$t"
 
   /** Namespace properties live in a dot-file inside the namespace dir
-    * (dot-names are excluded from every listing). */
+    * (dot-names are excluded from every listing). Read-modify-write
+    * cycles serialize on nsPropsLock (the server runs a thread pool),
+    * and the write lands via temp+rename so a crash never leaves a
+    * truncated file. */
+  private[iceberg] val nsPropsLock = new Object
+
   private def nsPropsPath(ns: String) =
     new org.apache.hadoop.fs.Path(nsRoot(ns), ".nsprops.json")
 
@@ -179,7 +184,10 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   private def writeNsProps(ns: String, props: Map[String, String]): Unit = {
     val n = mapper.createObjectNode()
     props.foreach { case (k, v) => n.put(k, v) }
-    TableIO.writeString(nsPropsPath(ns), mapper.writeValueAsString(n))
+    val tmp = new org.apache.hadoop.fs.Path(nsRoot(ns),
+      s".nsprops-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    TableIO.writeString(tmp, mapper.writeValueAsString(n))
+    TableIO.renameOverwrite(tmp, nsPropsPath(ns))
   }
 
   /** View definition from a create/replace request body. */
@@ -334,13 +342,14 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           val overlap = updates.keySet.intersect(removals.toSet)
           if (overlap.nonEmpty) throw new BadRequest(
             s"keys in both updates and removals: ${overlap.mkString(",")}")
-          val cur = readNsProps(ns)
-          val missing = removals.filterNot(cur.contains)
-          writeNsProps(ns, cur -- removals ++ updates)
+          val (removed, missing) = nsPropsLock.synchronized {
+            val cur = readNsProps(ns)
+            writeNsProps(ns, cur -- removals ++ updates)
+            (removals.filter(cur.contains), removals.filterNot(cur.contains))
+          }
           val n = mapper.createObjectNode()
           val up = n.putArray("updated"); updates.keys.toSeq.sorted.foreach(up.add)
-          val rm = n.putArray("removed")
-          removals.filter(cur.contains).foreach(rm.add)
+          val rm = n.putArray("removed"); removed.foreach(rm.add)
           val ms = n.putArray("missing"); missing.foreach(ms.add)
           reply(ex, 200, json(n))
         }
@@ -446,25 +455,29 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             case Some((_, label, _)) =>
               reply(ex, 404, errBody(s"table $label does not exist", 404))
             case None =>
-              // phase 1: load + validate EVERY table before touching any
+              // phase 1: load, validate requirements, AND dry-run the
+              // updates for EVERY table before touching any — a
+              // malformed update in table N must not leave tables
+              // 1..N-1 committed
               val loaded = changes.map { case (root, label, ch) =>
                 val (m, v) = IcebergMetadata.loadVersioned(root)
-                (root, label, ch, m, v)
+                val next = applyUpdates(m, Option(ch.get("updates")))
+                (root, label, ch, m, v, next)
               }
-              val failures = loaded.flatMap { case (_, label, ch, m, _) =>
+              val failures = loaded.flatMap { case (_, label, ch, m, _, _) =>
                 checkRequirements(m, Option(ch.get("requirements")))
                   .map(f => s"$label: $f")
               }
               if (failures.nonEmpty)
                 reply(ex, 409, errBody(failures.mkString("; "), 409))
               else {
-                // phase 2: commit in order; first CAS loss aborts and
-                // rolls back everything already committed
+                // phase 2: commit the precomputed metadatas in order;
+                // the first CAS loss aborts and rolls back everything
+                // already committed
                 val done = scala.collection.mutable.ArrayBuffer[
                   (String, IcebergMetadata.IceMetadata, Int)]()
                 val conflict = loaded.collectFirst {
-                  case (root, label, ch, m, v) if {
-                    val next = applyUpdates(m, Option(ch.get("updates")))
+                  case (root, label, _, m, v, next) if {
                     val ok = IcebergMetadata.commitAt(root, next, v)
                     if (ok) done += ((root, m, v + 1))
                     !ok
@@ -473,13 +486,24 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
                 conflict match {
                   case Some(label) =>
                     // compensate: restore each committed table's prior
-                    // metadata as a NEW version on top
-                    done.reverse.foreach { case (root, prior, committedV) =>
-                      IcebergMetadata.commitAt(root, prior, committedV)
+                    // metadata as a NEW version on top. If a concurrent
+                    // commit slipped past our version, retry once on
+                    // the fresh base; surface any table we could not
+                    // restore rather than claiming a clean rollback.
+                    val unrestored = done.reverse.flatMap {
+                      case (root, prior, committedV) =>
+                        if (IcebergMetadata.commitAt(root, prior, committedV)) None
+                        else {
+                          val (_, cur) = IcebergMetadata.loadVersioned(root)
+                          if (IcebergMetadata.commitAt(root, prior, cur)) None
+                          else Some(root)
+                        }
                     }
+                    val detail =
+                      if (unrestored.isEmpty) "all tables rolled back"
+                      else s"ROLLBACK INCOMPLETE for: ${unrestored.mkString(", ")}"
                     reply(ex, 409, errBody(
-                      s"transaction aborted: $label commit conflict; " +
-                        "all tables rolled back", 409))
+                      s"transaction aborted: $label commit conflict; $detail", 409))
                   case None => reply(ex, 204, Array.empty)
                 }
               }

@@ -254,6 +254,33 @@ class TableSpec extends AnyFunSuite {
     assert(df.columns.contains("quality"))
     assert(df.filter(col("quality").isNull).count() === 100)
     assert(df.filter(col("quality") === 0.5).count() === 50)
+    // appending a frame WITHOUT the added column must still work
+    // (writers often lag a schema change); the rows null-fill
+    t.append(li.limit(25))
+    assert(t.scan().filter(col("quality").isNull).count() === 125)
+  }
+
+  test("float->double promotion never prunes files on imprecise float stats") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    // one tight file whose max is 0.3f — the float stat string "0.3"
+    // parses to a double BELOW the widened cell value
+    val df = Seq((1L, 0.1f), (2L, 0.2f), (3L, 0.3f)).toDF("k", "x").coalesce(1)
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    t.updateColumnType("x", DoubleType)
+    assert(graft.table.Meta.load(root).statsUnprunable === Set("x"))
+    // 0.3f widens to 0.30000001192092896 > 0.3 — the row must survive
+    // even though the manifest's float-era max says "0.3"
+    val got = t.scan(Seq(t.StatFilter("x", ">", "0.3")))
+      .filter(col("x") > 0.3).count()
+    assert(got === 1L, "float-era stats pruned a matching row")
+    // metadata-only MAX over the promoted column must NOT be answered
+    // from the (imprecise) manifest: the connector declines pushdown
+    val viaConnector = spark.read.format("graft").load(root)
+      .agg(max(col("x"))).collect()(0).getDouble(0)
+    assert(viaConnector > 0.3, s"manifest answered imprecise max: $viaConnector")
   }
 
   test("delete-where rewrites only matching files") {
