@@ -602,19 +602,41 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** Expire snapshots older than the newest `keepLast`, keeping every
     * snapshot a ref points to plus its ancestry. Expired snapshots are
     * squashed into a synthetic base so the live chain still replays. */
-  def expireSnapshots(keepLast: Int): GraftTable = this.synchronized {
+  def expireSnapshots(keepLast: Int,
+      nowMs: Long = System.currentTimeMillis()): GraftTable = this.synchronized {
     val m = meta
+    // ref expiry first: a ref whose target snapshot is older than its
+    // maxRefAgeMs disappears (never main) and stops pinning ancestry
+    val expiredRefs = m.refs.keySet.filter { name =>
+      name != "main" && m.refRetention.get(name).flatMap(_.maxRefAgeMs).exists(
+        age => m.refs.get(name).flatMap(m.snapshot)
+          .exists(s => nowMs - s.timestampMs > age))
+    }
+    val liveRefs = m.refs -- expiredRefs
     val keepIds = scala.collection.mutable.Set[Long]()
-    (m.refs.values.toSeq ++ m.currentSnapshotId.toSeq).distinct.foreach { tip =>
+    val tips = liveRefs.toSeq.map { case (name, id) => (Some(name), id) } ++
+      m.currentSnapshotId.map(id => (None, id)).toSeq
+    tips.distinct.foreach { case (refName, tip) =>
+      val ret = refName.flatMap(m.refRetention.get)
+      // per-ref budget: a tag pins exactly its snapshot; a branch with
+      // a policy keeps minSnapshotsToKeep and everything younger than
+      // maxSnapshotAgeMs; otherwise the global keepLast applies
+      val minKeep = ret match {
+        case Some(r) if r.refType == "tag" => 1
+        case Some(r) => r.minSnapshotsToKeep.getOrElse(keepLast)
+        case None => keepLast
+      }
+      val maxAge = ret.filter(_.refType != "tag").flatMap(_.maxSnapshotAgeMs)
       var cur = m.snapshot(tip)
       var n = 0
-      while (cur.isDefined && n < keepLast) {
+      while (cur.isDefined && (n < minKeep ||
+          maxAge.exists(a => nowMs - cur.get.timestampMs <= a))) {
         keepIds += cur.get.snapshotId
         cur = cur.get.parentId.flatMap(m.snapshot)
         n += 1
       }
     }
-    if (keepIds.size == m.snapshots.size) return this
+    if (keepIds.size == m.snapshots.size && expiredRefs.isEmpty) return this
     // squash: for each kept snapshot whose parent is expired, rebase it
     // onto a base snapshot holding the expired prefix's live file set
     val kept = m.snapshots.filter(s => keepIds.contains(s.snapshotId))
@@ -637,7 +659,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           addedDeleteFiles = liveDeletes, removedDeletePaths = Seq.empty)
       } else s
     }
-    Meta.write(root, m.copy(snapshots = rebased))
+    Meta.write(root, m.copy(snapshots = rebased, refs = liveRefs,
+      refRetention = m.refRetention -- expiredRefs))
     this
   }
 
@@ -937,10 +960,20 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
-  /** Named ref (branch/tag) to a snapshot (set_snapshot_ref). */
-  def setRef(name: String, snapshotId: Long): GraftTable = this.synchronized {
+  /** Named ref (branch/tag) to a snapshot (set_snapshot_ref), with an
+    * optional retention policy (snapshot.rs SnapshotRetention):
+    * maxRefAgeMs expires the ref itself at expireSnapshots time (main
+    * never expires); minSnapshotsToKeep/maxSnapshotAgeMs govern how
+    * much of a branch's ancestry expiration preserves; a tag keeps
+    * only its pinned snapshot (squashed self-contained). */
+  def setRef(name: String, snapshotId: Long,
+      retention: Option[Meta.RefRetention] = None): GraftTable = this.synchronized {
     val m = meta
-    Meta.write(root, m.copy(refs = m.refs + (name -> snapshotId)))
+    Meta.write(root, m.copy(refs = m.refs + (name -> snapshotId),
+      refRetention = retention match {
+        case Some(r) => m.refRetention + (name -> r)
+        case None => m.refRetention
+      }))
     this
   }
 

@@ -136,6 +136,17 @@ object Meta {
 
   case class PartitionField(sourceColumn: String, transform: String, name: String)
 
+  /** Per-ref retention policy (iceberg-rust-spec snapshot.rs
+    * SnapshotRetention): `maxRefAgeMs` expires the REF itself (never
+    * main); for branches, `minSnapshotsToKeep` / `maxSnapshotAgeMs`
+    * govern how much ancestry expireSnapshots preserves. A "tag" pins
+    * a single snapshot (ancestry squashes into it). */
+  case class RefRetention(
+      refType: String = "branch", // branch | tag
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None)
+
   case class TableMetadata(
       location: String,
       formatVersion: Int,
@@ -155,7 +166,9 @@ object Meta {
       lastVersion: Int,
       /** write clustering: range-partition + sort columns
         * (reference: iceberg-rust-spec/src/spec/sort.rs) */
-      sortOrder: Seq[String] = Seq.empty) {
+      sortOrder: Seq[String] = Seq.empty,
+      /** retention policies for refs that declared one */
+      refRetention: Map[String, RefRetention] = Map.empty) {
 
     def schema: StructType = schemas(currentSchemaId)
 
@@ -321,6 +334,16 @@ object Meta {
     m.sortOrder.foreach(so.add)
     val refs = root.putObject("refs")
     m.refs.foreach { case (k, v) => refs.put(k, v) }
+    if (m.refRetention.nonEmpty) {
+      val rr = root.putObject("ref_retention")
+      m.refRetention.foreach { case (name, r) =>
+        val n = rr.putObject(name)
+        n.put("type", r.refType)
+        r.maxRefAgeMs.foreach(n.put("max_ref_age_ms", _))
+        r.minSnapshotsToKeep.foreach(n.put("min_snapshots_to_keep", _))
+        r.maxSnapshotAgeMs.foreach(n.put("max_snapshot_age_ms", _))
+      }
+    }
     root.put("last_version", m.lastVersion)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -406,7 +429,17 @@ object Meta {
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
       lastVersion = root.get("last_version").asInt(),
       sortOrder = Option(root.get("sort_order")).map(
-        _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
+        _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+      refRetention = Option(root.get("ref_retention")).map(
+        _.properties().asScala.map { e =>
+          val n = e.getValue
+          e.getKey -> RefRetention(
+            refType = Option(n.get("type")).map(_.asText()).getOrElse("branch"),
+            maxRefAgeMs = Option(n.get("max_ref_age_ms")).map(_.asLong()),
+            minSnapshotsToKeep =
+              Option(n.get("min_snapshots_to_keep")).map(_.asInt()),
+            maxSnapshotAgeMs = Option(n.get("max_snapshot_age_ms")).map(_.asLong()))
+        }.toMap).getOrElse(Map.empty))
   }
 
   // ---- versioned store (file "catalog", reference: iceberg-file-catalog) --

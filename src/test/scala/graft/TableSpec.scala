@@ -283,6 +283,33 @@ class TableSpec extends AnyFunSuite {
     assert(viaConnector > 0.3, s"manifest answered imprecise max: $viaConnector")
   }
 
+  test("ref retention: tags pin one snapshot, aged refs expire, main survives") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.limit(100)) // s1
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(li.limit(200)) // s2
+    val s2 = t.meta.currentSnapshotId.get
+    t.append(li.limit(50)) // s3
+    t.setRef("rel-1.0", s1, Some(Meta.RefRetention(refType = "tag")))
+    t.setRef("stale", s2, Some(Meta.RefRetention(maxRefAgeMs = Some(1L))))
+    // "now" 10s in the future: the stale ref ages out (1ms policy),
+    // the tag has no age policy and survives
+    t.expireSnapshots(keepLast = 1, nowMs = System.currentTimeMillis() + 10000)
+    val m2 = t.meta
+    assert(!m2.refs.contains("stale"))
+    assert(!m2.refRetention.contains("stale"))
+    assert(m2.refs.contains("rel-1.0"))
+    // the tag reads exactly its pinned content after the squash
+    assert(t.scan(branch = Some("rel-1.0")).count() === 100)
+    // main keeps reading the full current content
+    assert(t.scan().count() === 350)
+    // only the tag's snapshot and main's tip survive
+    assert(m2.snapshots.map(_.snapshotId).toSet === Set(s1, m2.currentSnapshotId.get))
+    // retention round-trips the metadata JSON
+    assert(Meta.load(root).refRetention("rel-1.0").refType === "tag")
+  }
+
   test("delete-where rewrites only matching files") {
     val root = tmp()
     val t = GraftTable.create(spark, root, li.schema)
