@@ -213,7 +213,7 @@ object IcebergExport {
       tableUuid = UUID.randomUUID().toString,
       location = dest,
       lastSequenceNumber = maxSeq,
-      lastColumnId = ice.fields.map(_.id).maxOption.getOrElse(0),
+      lastColumnId = ice.maxId,
       currentSchemaId = 0,
       schemas = Seq(ice),
       defaultSpecId = m.defaultSpecId,

@@ -23,6 +23,23 @@ object IcebergMetadata {
     def toSpark: StructType = StructType(fields.map(f =>
       StructField(f.name, IcebergTypes.toSpark(f.tpe), nullable = !f.required)))
     def fieldId(name: String): Option[Int] = fields.find(_.name == name).map(_.id)
+
+    /** Highest field id anywhere in the schema, nested ids included
+      * (the spec's last-column-id must cover struct fields,
+      * element-ids, and key/value-ids). */
+    def maxId: Int = {
+      def nestedMax(n: JsonNode): Int = {
+        import scala.jdk.CollectionConverters._
+        val own = Seq("id", "element-id", "key-id", "value-id")
+          .flatMap(k => Option(n.get(k)).filter(_.isInt).map(_.asInt()))
+        (own ++ n.elements().asScala.map(nestedMax).toSeq
+          ++ n.properties().asScala.map(e => nestedMax(e.getValue)).toSeq)
+          .maxOption.getOrElse(0)
+      }
+      fields.map(f => math.max(f.id,
+        if (f.tpe.startsWith("{")) nestedMax(mapper.readTree(f.tpe)) else 0))
+        .maxOption.getOrElse(0)
+    }
   }
 
   case class IcePartitionField(sourceId: Int, fieldId: Int, name: String,
@@ -61,12 +78,19 @@ object IcebergMetadata {
     * them at create, and they're what the parquet FOOTERS record) are
     * reused verbatim — exported metadata must agree with the footers
     * or foreign id-based readers mis-resolve. Id-less schemas get
-    * sequential ids. */
-  def schemaFromSpark(schema: StructType, schemaId: Int = 0): IceSchema =
-    IceSchema(schemaId, schema.fields.zipWithIndex.map { case (f, i) =>
-      IceField(graft.table.Meta.fieldId(f).getOrElse(i + 1), f.name,
-        required = !f.nullable, IcebergTypes.toIceberg(f.dataType))
+    * sequential ids. Nested types (struct/list/map) allocate their
+    * inner field ids ABOVE every top-level id. */
+  def schemaFromSpark(schema: StructType, schemaId: Int = 0): IceSchema = {
+    val topIds = schema.fields.zipWithIndex.map { case (f, i) =>
+      graft.table.Meta.fieldId(f).getOrElse(i + 1)
+    }
+    var nextNested = topIds.maxOption.getOrElse(0)
+    val alloc = () => { nextNested += 1; nextNested }
+    IceSchema(schemaId, schema.fields.zip(topIds).map { case (f, id) =>
+      IceField(id, f.name, required = !f.nullable,
+        IcebergTypes.toIcebergNested(f.dataType, alloc))
     }.toSeq)
+  }
 
   // ---- JSON write ----------------------------------------------------
 
@@ -198,7 +222,10 @@ object IcebergMetadata {
     s.fields.foreach { f =>
       val fn = fs.addObject()
       fn.put("id", f.id); fn.put("name", f.name)
-      fn.put("required", f.required); fn.put("type", f.tpe)
+      fn.put("required", f.required)
+      // nested types are held as their JSON object form
+      if (f.tpe.startsWith("{")) fn.set[ObjectNode]("type", mapper.readTree(f.tpe))
+      else fn.put("type", f.tpe)
     }
     n
   }

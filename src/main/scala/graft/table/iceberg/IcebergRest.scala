@@ -391,7 +391,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             tableUuid = java.util.UUID.randomUUID().toString,
             location = root,
             lastSequenceNumber = 0L,
-            lastColumnId = schema.fields.map(_.id).maxOption.getOrElse(0),
+            lastColumnId = schema.maxId,
             currentSchemaId = schema.schemaId,
             schemas = Seq(schema),
             defaultSpecId = 0,

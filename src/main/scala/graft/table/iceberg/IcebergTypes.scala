@@ -15,6 +15,8 @@ import java.nio.charset.StandardCharsets
   */
 object IcebergTypes {
 
+  private val typeMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Iceberg primitive type name for a Spark type. */
   def toIceberg(t: DataType): String = t match {
     case BooleanType => "boolean"
@@ -28,27 +30,97 @@ object IcebergTypes {
     case TimestampNTZType => "timestamp"
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case nested @ (_: StructType | _: ArrayType | _: MapType) =>
+      throw new IllegalArgumentException(
+        s"nested type $nested needs toIcebergNested (field-id allocation)")
     case other =>
       throw new IllegalArgumentException(s"unsupported Iceberg type for $other")
   }
 
+  /** Iceberg type STRING for any Spark type: primitives render as the
+    * bare name, struct/list/map as the spec's JSON object form (the
+    * same mixed representation IceField.tpe holds on read). Nested
+    * field ids (struct fields, element-id, key-id/value-id) draw from
+    * `alloc` — the spec requires ids unique across the whole schema
+    * (iceberg-rust-spec types.rs). */
+  def toIcebergNested(t: DataType, alloc: () => Int): String = t match {
+    case s: StructType =>
+      val n = typeMapper.createObjectNode()
+      n.put("type", "struct")
+      val fs = n.putArray("fields")
+      s.fields.foreach { f =>
+        val id = alloc() // parent ids precede child ids (depth-first)
+        val fn = fs.addObject()
+        fn.put("id", id); fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        setType(fn, "type", toIcebergNested(f.dataType, alloc))
+      }
+      n.toString
+    case a: ArrayType =>
+      val n = typeMapper.createObjectNode()
+      n.put("type", "list")
+      n.put("element-id", alloc())
+      n.put("element-required", !a.containsNull)
+      setType(n, "element", toIcebergNested(a.elementType, alloc))
+      n.toString
+    case m: MapType =>
+      val n = typeMapper.createObjectNode()
+      n.put("type", "map")
+      n.put("key-id", alloc())
+      setType(n, "key", toIcebergNested(m.keyType, alloc))
+      n.put("value-id", alloc())
+      n.put("value-required", !m.valueContainsNull)
+      setType(n, "value", toIcebergNested(m.valueType, alloc))
+      n.toString
+    case p => toIceberg(p)
+  }
+
+  private def setType(n: com.fasterxml.jackson.databind.node.ObjectNode,
+      key: String, tpe: String): Unit =
+    if (tpe.startsWith("{")) n.set(key, typeMapper.readTree(tpe))
+    else n.put(key, tpe)
+
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
-  /** Spark type for an Iceberg primitive type name. */
-  def toSpark(t: String): DataType = t match {
-    case "boolean" => BooleanType
-    case "int" => IntegerType
-    case "long" => LongType
-    case "float" => FloatType
-    case "double" => DoubleType
-    case "string" | "uuid" => StringType
-    case "date" => DateType
-    case "timestamptz" => TimestampType
-    case "timestamp" => TimestampNTZType
-    case "binary" => BinaryType
-    case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
-    case other =>
-      throw new IllegalArgumentException(s"unsupported Iceberg type $other")
+  /** Spark type for an Iceberg type string — a primitive name or the
+    * JSON object form for struct/list/map. */
+  def toSpark(t: String): DataType =
+    if (t.startsWith("{")) toSparkNested(typeMapper.readTree(t))
+    else t match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" | "uuid" => StringType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case "binary" => BinaryType
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported Iceberg type $other")
+    }
+
+  private def toSparkNested(
+      n: com.fasterxml.jackson.databind.JsonNode): DataType = {
+    import scala.jdk.CollectionConverters._
+    def typeOf(f: com.fasterxml.jackson.databind.JsonNode): DataType =
+      if (f.isTextual) toSpark(f.asText()) else toSparkNested(f)
+    n.get("type").asText() match {
+      case "struct" => StructType(
+        n.get("fields").elements().asScala.map(f => StructField(
+          f.get("name").asText(), typeOf(f.get("type")),
+          nullable = !f.get("required").asBoolean())).toSeq)
+      case "list" => ArrayType(typeOf(n.get("element")),
+        containsNull = !Option(n.get("element-required"))
+          .exists(_.asBoolean()))
+      case "map" => MapType(typeOf(n.get("key")), typeOf(n.get("value")),
+        valueContainsNull = !Option(n.get("value-required"))
+          .exists(_.asBoolean()))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported nested type $other")
+    }
   }
 
   // ---- single-value binary serialization -----------------------------

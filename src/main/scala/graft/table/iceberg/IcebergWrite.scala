@@ -75,7 +75,7 @@ object IcebergWrite {
       tableUuid = UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = 0L,
-      lastColumnId = schema.fields.map(_.id).maxOption.getOrElse(0),
+      lastColumnId = schema.maxId,
       currentSchemaId = 0,
       schemas = Seq(schema),
       defaultSpecId = 0,

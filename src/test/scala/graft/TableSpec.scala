@@ -310,6 +310,32 @@ class TableSpec extends AnyFunSuite {
     assert(Meta.load(root).refRetention("rel-1.0").refType === "tag")
   }
 
+  test("nested types: struct/array/map columns round-trip table and connector") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = Seq(
+      (1L, ("a", 10), Seq(1.0, 2.0), Map("k1" -> 1L)),
+      (2L, ("b", 20), Seq(3.0), Map("k2" -> 2L, "k3" -> 3L)))
+      .toDF("id", "meta", "scores", "tags")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    val got = t.scan().selectExpr("id", "meta._2", "size(scores)", "size(tags)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got === Set((1L, 10, 2, 1), (2L, 20, 1, 2)))
+    // stats pruning on a TOP-LEVEL column still works alongside
+    val planned = t.plannedFiles(Seq(t.StatFilter("id", ">", "1")))
+    assert(planned.nonEmpty)
+    // connector read, with pruning of nested columns
+    val conn = spark.read.format("graft").load(root)
+      .select(col("id"), col("meta._1").as("tag"), explode(col("scores")))
+    assert(conn.count() === 3)
+    // schema evolution still works next to nested columns
+    t.addColumns(StructType(Seq(StructField("extra", StringType))))
+    assert(t.scan().filter(col("extra").isNull).count() === 2)
+  }
+
   test("delete-where rewrites only matching files") {
     val root = tmp()
     val t = GraftTable.create(spark, root, li.schema)
