@@ -137,6 +137,29 @@ object TableOps {
        FROM orders WHERE year(o_orderdate) = 1996
        GROUP BY 1 ORDER BY o_orderstatus"""
 
+  /** NESTED-type round-trip: per-order line items nested into an
+    * array-of-structs column, written through the table, un-nested on
+    * scan — the aggregate must equal the flat source (types.rs nested
+    * types as a first-class table column). */
+  val tfNestedRoundtrip: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val nested = li.groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_linenumber").as("ln"),
+        col("l_quantity").as("qty"))).as("lines"))
+    val t = GraftTable.create(s, scratch(), nested.schema)
+    t.append(nested)
+    t.scan()
+      .select(explode(col("lines")).as("l"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l.qty")).cast("decimal(38,10)"), 2)
+          .cast("decimal(18,2)").as("total_qty"))
+  }
+
+  val tfNestedRoundtripSql: String =
+    """SELECT count(*) AS n,
+       round(sum(l_quantity)::DECIMAL(38,10),2)::DECIMAL(18,2) AS total_qty
+       FROM lineitem"""
+
   /** bin-pack rewrite: 40 small files → few, rows identical
     * (rows-only; content hash asserted in TableSpec). */
   val tfCompaction: Q = (s, d) => {
@@ -451,6 +474,7 @@ object TableOps {
     "tf_files_pruned" -> tfFilesPruned,
     "tf_partition_scan" -> tfPartitionScan,
     "tf_spec_evolution" -> tfSpecEvolution,
+    "tf_nested_roundtrip" -> tfNestedRoundtrip,
     "tf_compaction" -> tfCompaction,
     "tf_branch_scan" -> tfBranchScan,
     "tf_schema_evolution" -> tfSchemaEvolution,
@@ -472,6 +496,7 @@ object TableOps {
     "tf_time_travel" -> tfTimeTravelSql,
     "tf_partition_scan" -> tfPartitionScanSql,
     "tf_spec_evolution" -> tfSpecEvolutionSql,
+    "tf_nested_roundtrip" -> tfNestedRoundtripSql,
     "tf_branch_scan" -> tfBranchScanSql,
     "tf_schema_evolution" -> tfSchemaEvolutionSql,
     "tf_merge_upsert" -> tfMergeUpsertSql,
