@@ -969,10 +969,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def setRef(name: String, snapshotId: Long,
       retention: Option[Meta.RefRetention] = None): GraftTable = this.synchronized {
     val m = meta
+    // set_snapshot_ref REPLACES the whole reference: re-pointing a ref
+    // without a policy clears any previous one, so a stale max-ref-age
+    // can never silently expire a ref its caller meant to keep
     Meta.write(root, m.copy(refs = m.refs + (name -> snapshotId),
       refRetention = retention match {
         case Some(r) => m.refRetention + (name -> r)
-        case None => m.refRetention
+        case None => m.refRetention - name
       }))
     this
   }

@@ -36,7 +36,11 @@ object IcebergExport {
   def export(spark: SparkSession, graftRoot: String, dest: String): Unit = {
     val m = Meta.load(graftRoot)
     val sparkSchema = m.schema
-    val ice = IcebergMetadata.schemaFromSpark(sparkSchema)
+    // nested inner ids allocate above the max id across EVERY schema
+    // version — an id retired by a dropped column (old footers still
+    // hold its bytes) must never be reassigned to an inner field
+    val ice = IcebergMetadata.schemaFromSpark(sparkSchema,
+      nestedIdsFrom = Some(Meta.maxFieldId(m.schemas.values) + 1))
     // the full spec LIST exports, with partition field ids unique
     // across specs and shared when two specs carry the same field
     // (iceberg-rust-spec table_metadata.rs partition_specs)

@@ -32,8 +32,9 @@ object IcebergMetadata {
         import scala.jdk.CollectionConverters._
         val own = Seq("id", "element-id", "key-id", "value-id")
           .flatMap(k => Option(n.get(k)).filter(_.isInt).map(_.asInt()))
-        (own ++ n.elements().asScala.map(nestedMax).toSeq
-          ++ n.properties().asScala.map(e => nestedMax(e.getValue)).toSeq)
+        // elements() already covers object values AND array entries —
+        // recursing into properties() too would double every level
+        (own ++ n.elements().asScala.map(nestedMax).toSeq)
           .maxOption.getOrElse(0)
       }
       fields.map(f => math.max(f.id,
@@ -79,12 +80,20 @@ object IcebergMetadata {
     * reused verbatim — exported metadata must agree with the footers
     * or foreign id-based readers mis-resolve. Id-less schemas get
     * sequential ids. Nested types (struct/list/map) allocate their
-    * inner field ids ABOVE every top-level id. */
-  def schemaFromSpark(schema: StructType, schemaId: Int = 0): IceSchema = {
+    * inner field ids above every top-level id, or above
+    * `nestedIdsFrom - 1` when the caller knows ids retired by DROPPED
+    * columns (whose bytes old footers still carry — an inner id must
+    * never collide with them). Nested inner ids are NOT stamped into
+    * parquet footers (Spark's writer only carries StructField-level
+    * metadata), so foreign readers resolve nested fields by the spec's
+    * name-mapping fallback — names, not positions. */
+  def schemaFromSpark(schema: StructType, schemaId: Int = 0,
+      nestedIdsFrom: Option[Int] = None): IceSchema = {
     val topIds = schema.fields.zipWithIndex.map { case (f, i) =>
       graft.table.Meta.fieldId(f).getOrElse(i + 1)
     }
-    var nextNested = topIds.maxOption.getOrElse(0)
+    var nextNested = math.max(topIds.maxOption.getOrElse(0),
+      nestedIdsFrom.map(_ - 1).getOrElse(0))
     val alloc = () => { nextNested += 1; nextNested }
     IceSchema(schemaId, schema.fields.zip(topIds).map { case (f, id) =>
       IceField(id, f.name, required = !f.nullable,

@@ -122,8 +122,9 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         case "add-schema" =>
           val sch = IcebergMetadata.schemaFromNode(u.get("schema"))
           acc.copy(schemas = acc.schemas :+ sch,
-            lastColumnId = math.max(acc.lastColumnId,
-              sch.fields.map(_.id).maxOption.getOrElse(0)))
+            // maxId covers NESTED field ids — a later add-column must
+            // not collide with a struct's inner ids
+            lastColumnId = math.max(acc.lastColumnId, sch.maxId))
         case "set-current-schema" =>
           val id = u.get("schema-id").asInt()
           // -1 = the schema added in this same commit

@@ -328,17 +328,21 @@ object IcebergWrite {
     val old = m.schema
     newCols.fields.foreach(f => require(!old.fields.exists(_.name == f.name),
       s"column ${f.name} already exists"))
-    val nextFieldId = m.lastColumnId + 1
-    val added = newCols.fields.zipWithIndex.map { case (f, i) =>
-      IcebergMetadata.IceField(nextFieldId + i, f.name, required = false,
-        IcebergTypes.toIceberg(f.dataType))
+    // nested columns allocate their inner ids from the same counter,
+    // always above last-column-id (ids are never reused)
+    var nextId = m.lastColumnId
+    val alloc = () => { nextId += 1; nextId }
+    val added = newCols.fields.map { f =>
+      val id = alloc()
+      IcebergMetadata.IceField(id, f.name, required = false,
+        IcebergTypes.toIcebergNested(f.dataType, alloc))
     }
     val newSchema = IcebergMetadata.IceSchema(
       m.schemas.map(_.schemaId).max + 1, old.fields ++ added)
     val next = m.copy(
       schemas = m.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,
-      lastColumnId = newSchema.fields.map(_.id).max)
+      lastColumnId = math.max(m.lastColumnId, newSchema.maxId))
     IcebergMetadata.writeNext(location, next)
   }
 
@@ -503,18 +507,12 @@ object IcebergWrite {
     }
   }
 
-  private[iceberg] def icebergSchemaJson(s: IcebergMetadata.IceSchema): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = mapper.createObjectNode()
-    n.put("type", "struct"); n.put("schema-id", s.schemaId)
-    val fs = n.putArray("fields")
-    s.fields.foreach { f =>
-      val fn = fs.addObject()
-      fn.put("id", f.id); fn.put("name", f.name)
-      fn.put("required", f.required); fn.put("type", f.tpe)
-    }
-    mapper.writeValueAsString(n)
-  }
+  /** Manifest 'schema' metadata — delegates to the one serializer
+    * that renders nested types as real JSON objects (a duplicate here
+    * once emitted them as quoted strings, which foreign manifest
+    * parsers reject). */
+  private[iceberg] def icebergSchemaJson(s: IcebergMetadata.IceSchema): String =
+    IcebergMetadata.schemaToNode(s).toString
 
   private[iceberg] def keyedBytes(dfSchema: org.apache.avro.Schema, field: String,
       m: Map[Int, Array[Byte]]): Any = {
