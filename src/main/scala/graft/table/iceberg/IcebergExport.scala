@@ -294,6 +294,7 @@ object IcebergExport {
       val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
     }.toOption
+    case _: DecimalType => scala.util.Try(new java.math.BigDecimal(s)).toOption
     case _ => None
   }
 }

@@ -148,7 +148,13 @@ class IcebergTable private (val location: String, val spark: SparkSession,
               case _ => op match {
                 // non-numeric (string identity / truncate prefix):
                 // applyLiteral computed the exact partition value, so
-                // equality compares directly; ranges stay unpruned
+                // equality compares directly; ranges stay unpruned.
+                // Decimals compare by VALUE ("1.50" == "1.5"), keeping
+                // the file on any parse failure (pruning stays sound)
+                case "=" if srcType.isInstanceOf[DecimalType] =>
+                  scala.util.Try(new java.math.BigDecimal(pv.toString)
+                    .compareTo(new java.math.BigDecimal(tv.toString)) == 0)
+                    .getOrElse(true)
                 case "=" => pv.toString == tv.toString
                 case _ => true
               }
@@ -163,6 +169,10 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
     case _: DoubleType | _: FloatType =>
       (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+    // decimal stat strings compare by VALUE — lexicographic order
+    // would make "9.5" > "10.2" and prune matching files
+    case _: DecimalType =>
+      (a, b) => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => (a, b) => a.compareTo(b)
   }
 

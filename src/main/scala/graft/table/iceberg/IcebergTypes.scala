@@ -144,6 +144,12 @@ object IcebergTypes {
     case (TimestampType, ts: java.sql.Timestamp) =>
       val i = ts.toInstant
       le(8).putLong(i.getEpochSecond * 1000000L + i.getNano / 1000L).array()
+    // decimal: big-endian two's-complement UNSCALED integer in the
+    // minimum number of bytes (spec Appendix D single-value form)
+    case (d: DecimalType, bd: java.math.BigDecimal) =>
+      bd.setScale(d.scale).unscaledValue().toByteArray
+    case (d: DecimalType, bd: BigDecimal) =>
+      bd.underlying().setScale(d.scale).unscaledValue().toByteArray
     case _ =>
       throw new IllegalArgumentException(s"cannot encode $v as $t")
   }
@@ -163,6 +169,8 @@ object IcebergTypes {
         Some(java.time.LocalDate.ofEpochDay(b.getInt.toLong).toString)
       case TimestampType | TimestampNTZType =>
         Some(graft.table.FooterStats.canonicalTimestampMicros(b.getLong))
+      case d: DecimalType => Some(new java.math.BigDecimal(
+        new java.math.BigInteger(bytes), d.scale).toPlainString)
       case _ => None
     }
   }

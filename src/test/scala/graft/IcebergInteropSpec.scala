@@ -527,6 +527,31 @@ class IcebergInteropSpec extends AnyFunSuite {
       .selectExpr("sum(meta._2)").collect()(0).getLong(0) === 30L)
   }
 
+  test("decimal single-value bounds: encode/decode round-trip, value-order pruning") {
+    import graft.table.iceberg.IcebergTypes
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(10, 2)
+    // spec form: big-endian unscaled integer, minimal bytes
+    assert(IcebergTypes.decodeToCanonical(d,
+      IcebergTypes.encode(d, new java.math.BigDecimal("12345.67")))
+      === Some("12345.67"))
+    // scale normalization + negatives (two's complement)
+    assert(IcebergTypes.decodeToCanonical(d,
+      IcebergTypes.encode(d, new java.math.BigDecimal("-0.5")))
+      === Some("-0.50"))
+    // a decimal-column REAL table round-trips through write and scan
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val df = Seq((1L, BigDecimal("10.50")), (2L, BigDecimal("9.75")))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast(d).as("price"))
+    val t = IcebergWrite.create(spark, loc, df)
+    assert(t.scan().count() === 2)
+    assert(t.scan().agg(sum(col("price")).cast("string"))
+      .collect()(0).getString(0) === "20.25")
+  }
+
   test("REST bearer auth gates every endpoint; pagination pages stably") {
     val spark0 = spark
     import spark0.implicits._
