@@ -489,6 +489,12 @@ class IcebergInteropSpec extends AnyFunSuite {
         Map.empty, remove = Seq("comment", "nope"))
       assert(rm === Seq("comment") && ms === Seq("nope"))
       assert(C.namespaceProperties(base, "db") === Map("owner" -> "etl"))
+      // a key in both updates AND removals is a 400, nothing changes
+      assert(intercept[Exception] {
+        C.updateNamespaceProperties(base, "db",
+          Map("owner" -> "x"), remove = Seq("owner"))
+      }.getMessage.contains("400"))
+      assert(C.namespaceProperties(base, "db") === Map("owner" -> "etl"))
       // the props dot-file never leaks into table listings
       assert(!C.listTables(base, "db").exists(_.startsWith(".")))
     } finally server.stop()

@@ -156,11 +156,12 @@ class StreamingSpec extends AnyFunSuite {
       s"a batch exceeded the 3-file cap: ${progress.map(_.numInputRows).toSeq}")
 
     // checkpoint resume: new snapshots drain from the checkpoint, still
-    // bounded (2 snapshots under a 1-file cap -> 2 batches)
+    // bounded — this leg caps by BYTES (each one-file snapshot is well
+    // over 1 byte, so the cap admits exactly one snapshot per batch)
     t.append((101L to 110L).map(i => (i, s"x$i")).toDF("k", "v").coalesce(1))
     t.append((111L to 120L).map(i => (i, s"y$i")).toDF("k", "v").coalesce(1))
     val q2 = spark.readStream.format("graft")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxBytesPerTrigger", "1")
       .load(root)
       .writeStream.outputMode("append")
       .format("parquet").option("path", out)
