@@ -34,6 +34,55 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decimal single-value codec round-trips random values exactly") {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.table.iceberg.IcebergTypes
+    (1 to 500).foreach { _ =>
+      val precision = 1 + rnd.nextInt(38)
+      val scale = rnd.nextInt(precision + 1)
+      val d = DecimalType(precision, scale)
+      // random unscaled value within precision
+      val digits = 1 + rnd.nextInt(precision)
+      val unscaled = new java.math.BigInteger(
+        (if (rnd.nextBoolean()) "-" else "") +
+          (1 to digits).map(_ => rnd.nextInt(10)).mkString.dropWhile(_ == '0')
+            .padTo(1, '0').mkString)
+      val v = new java.math.BigDecimal(unscaled, scale)
+      val back = IcebergTypes.decodeToCanonical(d, IcebergTypes.encode(d, v))
+      assert(back === Some(v.toPlainString), s"$d $v -> $back")
+      // value-order comparator property: encode/decode preserves order
+      val v2 = v.add(java.math.BigDecimal.valueOf(1L, scale))
+      val s1 = IcebergTypes.decodeToCanonical(d, IcebergTypes.encode(d, v)).get
+      val s2 = IcebergTypes.decodeToCanonical(d, IcebergTypes.encode(d, v2)).get
+      assert(new java.math.BigDecimal(s1).compareTo(new java.math.BigDecimal(s2)) < 0)
+    }
+  }
+
+  test("nested Iceberg type forms round-trip random Spark schemas") {
+    import org.apache.spark.sql.types._
+    import graft.table.iceberg.IcebergTypes
+    val primitives = Seq(BooleanType, IntegerType, LongType, FloatType,
+      DoubleType, StringType, DateType, TimestampType, BinaryType,
+      DecimalType(12, 3))
+    def randType(depth: Int): DataType =
+      if (depth == 0) primitives(rnd.nextInt(primitives.size))
+      else rnd.nextInt(4) match {
+        case 0 => StructType((1 to 1 + rnd.nextInt(3)).map(i =>
+          StructField(s"f$i", randType(depth - 1), nullable = rnd.nextBoolean())))
+        case 1 => ArrayType(randType(depth - 1), containsNull = rnd.nextBoolean())
+        case 2 => MapType(randType(0), randType(depth - 1),
+          valueContainsNull = rnd.nextBoolean())
+        case _ => primitives(rnd.nextInt(primitives.size))
+      }
+    (1 to 200).foreach { _ =>
+      val t = randType(1 + rnd.nextInt(3))
+      var next = 0
+      val alloc = () => { next += 1; next }
+      val back = IcebergTypes.toSpark(IcebergTypes.toIcebergNested(t, alloc))
+      assert(back === t, s"round-trip drifted: $t -> $back")
+    }
+  }
+
   test("murmur3 distributes: 1000 sequential keys fill most of 32 buckets") {
     val hit = (0 until 1000).map(i => IcebergHash.bucketLong(i.toLong, 32)).toSet
     assert(hit.size >= 28, s"only ${hit.size} buckets hit")
