@@ -30,9 +30,10 @@ object Multimodal {
 
   /** Output: extracted metadata + a fixed-size feature vector.
     * `byte_len` is the container size; `decoded_bytes` is the size of
-    * the DECODED content (pixel bytes / PCM data bytes / raw payload),
-    * which — unlike a compressed container length — is derivable from
-    * the decoded dimensions and so exactly oracle-checkable. */
+    * the DECODED content (pixel bytes / PCM data bytes / frame pixel
+    * bytes), which — unlike a compressed container length — is
+    * derivable from the decoded dimensions and so exactly
+    * oracle-checkable. */
   case class MediaMeta(
       media_id: Long,
       media_type: String,
