@@ -99,13 +99,16 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     while (it.hasNext && !stop) {
       val sn = it.next()
       // budget from the snapshot SUMMARY when present — resolving
-      // sn.files would re-read a spilled manifest on every poll
+      // sn.files would re-read a spilled manifest on every poll.
+      // Parent-less snapshots carry content for a fresh stream (see
+      // planInputPartitions), so they count toward the budget too.
+      val carries = sn.operation == "append" || sn.parentId.isEmpty
       val snFiles =
-        if (sn.operation != "append") 0L
+        if (!carries) 0L
         else sn.summary.get("added-files").flatMap(_.toLongOption)
           .getOrElse(sn.files.size.toLong)
       val snBytes =
-        if (sn.operation != "append") 0L
+        if (!carries) 0L
         else sn.summary.get("added-bytes").flatMap(_.toLongOption)
           .getOrElse(sn.files.map(_.fileSizeBytes).sum)
       if (admitted > 0 && (files + snFiles > maxFiles || bytes + snBytes > maxBytes))
@@ -133,21 +136,36 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     val e = end.asInstanceOf[SnapshotOffset].id
     if (e <= s) return Array.empty
     val m = Meta.load(root)
+    // a checkpointed snapshot that expireSnapshots squashed away can't
+    // anchor an exact resume: the surviving base folds the expired
+    // prefix into one file set, so replaying from here would duplicate
+    // already-emitted rows — fail loudly instead
+    if (s > 0 && m.snapshot(s).isEmpty) throw new IllegalStateException(
+      s"checkpointed snapshot $s was expired (snapshot squash); the " +
+        "stream cannot resume exactly — re-read the table as a batch " +
+        "source and start a fresh stream")
     // main-chain lineage only: branch commits and rollback orphans
     // share the snapshots list but must not leak into the stream
     val inRange = m.chainSnapshots(None)
       .filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
     // "rewrite" is reserved for pure bin-pack compaction (rows
     // preserved exactly) -> skip; delete-folding rewrites commit as
-    // "rewrite-fold" and fall through to the loud failure below, like
-    // every other op that mutates visible content in a way an
-    // append-only stream cannot represent
-    inRange.find(sn => sn.operation != "append" && sn.operation != "rewrite")
+    // "rewrite-fold" and fail loudly, like every other op that mutates
+    // visible content in a way an append-only stream cannot represent.
+    // A PARENT-LESS snapshot is the live set itself (a table's first
+    // snapshot, or an expire-squashed base): only a FRESH stream can
+    // have one in range (a resumed stream's expired checkpoint already
+    // failed above), and for a fresh stream emitting it is exactly
+    // right whatever op label it carries.
+    inRange.find(sn => sn.parentId.isDefined &&
+        sn.operation != "append" && sn.operation != "rewrite")
       .foreach(sn => throw new IllegalStateException(
         s"streaming read reached ${sn.operation} snapshot ${sn.snapshotId}; " +
           "append-only streams cannot represent replaced/deleted rows — " +
           "re-read the table as a batch source"))
-    val added = inRange.filter(_.operation == "append").flatMap(_.files)
+    val added = inRange
+      .filter(sn => sn.operation == "append" || sn.parentId.isEmpty)
+      .flatMap(_.files)
     if (added.isEmpty) return Array.empty
     val dataDir = graft.table.TableIO.path(root, "data")
     val targetBytes = 128L * 1024 * 1024

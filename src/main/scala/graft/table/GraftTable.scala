@@ -654,9 +654,19 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           .filterNot(f => removedDel.contains(f.path)) ++ s.addedDeleteFiles
         val parentLive = m.liveFilesWithSeq(s.parentId)
           .map { case (f, seq) => f.copy(dataSequence = Some(seq)) }
-        s.copy(parentId = None, addedFiles = s(parentLive),
+        val squashed = s(parentLive)
+        // the base now CARRIES the full live set — its summary must
+        // describe that, or the streaming admission control would
+        // budget a 10k-file base as its original tiny delta
+        s.copy(parentId = None, addedFiles = squashed,
           removedPaths = Seq.empty, manifestPath = None,
-          addedDeleteFiles = liveDeletes, removedDeletePaths = Seq.empty)
+          addedDeleteFiles = liveDeletes, removedDeletePaths = Seq.empty,
+          summary = s.summary ++ Map(
+            "added-files" -> squashed.size.toString,
+            "added-records" ->
+              squashed.map(_.recordCount).filter(_ >= 0).sum.toString,
+            "added-bytes" -> squashed.map(_.fileSizeBytes).sum.toString,
+            "squashed" -> "true"))
       } else s
     }
     Meta.write(root, m.copy(snapshots = rebased, refs = liveRefs,

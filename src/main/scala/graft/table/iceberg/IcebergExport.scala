@@ -111,11 +111,21 @@ object IcebergExport {
     val schemaJson = IcebergWrite.icebergSchemaJson(ice)
     val snapshotId = 1L
 
+    // Avro manifest schemas parse once PER SPEC, not per file — an
+    // export of thousands of files re-parsing the schema per entry
+    // would dominate the metadata-only publish
+    val manifestSchemaBySpec =
+      scala.collection.mutable.Map[Int, org.apache.avro.Schema]()
+    def manifestSchemaFor(sid: Int,
+        specFields: Seq[IcebergMetadata.IcePartitionField]): org.apache.avro.Schema =
+      manifestSchemaBySpec.getOrElseUpdate(sid, IcebergAvro.manifestSchema(
+        IcebergWrite.partitionRecordJson(specFields, ice)))
+
     def entry(uri: String, f: Meta.DataFile, seq: Long, sizeBytes: Long,
-        content: Int, specFields: Seq[IcebergMetadata.IcePartitionField])
+        content: Int, sid: Int,
+        specFields: Seq[IcebergMetadata.IcePartitionField])
         : org.apache.avro.generic.GenericRecord = {
-      val partRecordJson = IcebergWrite.partitionRecordJson(specFields, ice)
-      val e = IcebergAvro.record(IcebergAvro.manifestSchema(partRecordJson))
+      val e = IcebergAvro.record(manifestSchemaFor(sid, specFields))
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
       e.put("sequence_number", seq)
@@ -161,7 +171,7 @@ object IcebergExport {
     files.groupBy(_._1.specId).toSeq.sortBy(_._1).foreach { case (sid, group) =>
       val sf = specsById.getOrElse(sid, Seq.empty)
       val entries = group.map { case (f, seq) =>
-        entry(dataFileUri(f.path), f, seq, fileSize(dataDir, f), 0, sf)
+        entry(dataFileUri(f.path), f, seq, fileSize(dataDir, f), 0, sid, sf)
       }
       val p = new HPath(metaDir, s"manifest-exp-${UUID.randomUUID().toString.take(8)}.avro")
       val len = IcebergAvro.writeManifest(p,
@@ -177,9 +187,9 @@ object IcebergExport {
       val deleteEntries = deletes.map {
         case (d, seq) if d.content == 1 =>
           val (uri, size, s) = translatedPos(d.path)
-          entry(uri, d, s, size, 1, specFields)
+          entry(uri, d, s, size, 1, m.defaultSpecId, specFields)
         case (d, seq) =>
-          entry(dataFileUri(d.path), d, seq, fileSize(dataDir, d), 2, specFields)
+          entry(dataFileUri(d.path), d, seq, fileSize(dataDir, d), 2, m.defaultSpecId, specFields)
       }
       val p = new HPath(metaDir, s"manifest-exp-del-${UUID.randomUUID().toString.take(8)}.avro")
       val len = IcebergAvro.writeManifest(p,

@@ -89,9 +89,13 @@ object IcebergMetadata {
     * name-mapping fallback — names, not positions. */
   def schemaFromSpark(schema: StructType, schemaId: Int = 0,
       nestedIdsFrom: Option[Int] = None): IceSchema = {
-    val topIds = schema.fields.zipWithIndex.map { case (f, i) =>
-      graft.table.Meta.fieldId(f).getOrElse(i + 1)
-    }
+    // id-less fields in a MIXED schema (e.g. a computed column next to
+    // connector-read columns that carry ids) allocate above every
+    // explicit id — a positional i+1 could duplicate one
+    val explicit = schema.fields.flatMap(graft.table.Meta.fieldId)
+    var nextTop = explicit.maxOption.getOrElse(0)
+    val topIds = schema.fields.map(f =>
+      graft.table.Meta.fieldId(f).getOrElse { nextTop += 1; nextTop })
     var nextNested = math.max(topIds.maxOption.getOrElse(0),
       nestedIdsFrom.map(_ - 1).getOrElse(0))
     val alloc = () => { nextNested += 1; nextNested }

@@ -306,7 +306,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         val props = Option(body.get("properties")).map(p =>
           p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty[String, String])
-        if (props.nonEmpty) writeNsProps(ns, props)
+        if (props.nonEmpty) nsPropsLock.synchronized { writeNsProps(ns, props) }
         val n = mapper.createObjectNode()
         n.putArray("namespace").add(ns)
         val pn = n.putObject("properties")
@@ -487,18 +487,16 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
                 conflict match {
                   case Some(label) =>
                     // compensate: restore each committed table's prior
-                    // metadata as a NEW version on top. If a concurrent
-                    // commit slipped past our version, retry once on
-                    // the fresh base; surface any table we could not
-                    // restore rather than claiming a clean rollback.
+                    // metadata as a NEW version on top — but ONLY at
+                    // the exact version this transaction created. If a
+                    // concurrent commit already landed on top, ITS
+                    // client got a 200 and its changes must win;
+                    // blind-rolling back over it would be a lost
+                    // update. Surface the table as unrestored instead.
                     val unrestored = done.reverse.flatMap {
                       case (root, prior, committedV) =>
                         if (IcebergMetadata.commitAt(root, prior, committedV)) None
-                        else {
-                          val (_, cur) = IcebergMetadata.loadVersioned(root)
-                          if (IcebergMetadata.commitAt(root, prior, cur)) None
-                          else Some(root)
-                        }
+                        else Some(root)
                     }
                     val detail =
                       if (unrestored.isEmpty) "all tables rolled back"

@@ -203,6 +203,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(ks === (21L to 30L), s"pre-pin history leaked: $ks")
   }
 
+  test("expire squash: resumed streams fail loudly, fresh streams read the base") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft-src-squash")
+      .toString + "/t"
+    val df1 = (1L to 20L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1)
+    // consume snapshot 1, checkpointing the offset
+    val out = root + "-out"
+    val q1 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === 20L)
+    // more appends, then expire squashes everything into one base
+    t.append((21L to 30L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    t.append((31L to 40L).map(i => (i, s"c$i")).toDF("k", "v").coalesce(1))
+    t.expireSnapshots(keepLast = 1)
+    assert(t.meta.snapshots.size === 1)
+    // the checkpointed snapshot is gone: resuming must fail loudly,
+    // never duplicate or drop rows silently
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000)
+    }
+    assert(ex.getMessage.contains("squash") ||
+      Option(ex.getCause).exists(_.getMessage.contains("squash")))
+    // a FRESH stream reads the squashed base: the full live set, once
+    val out2 = root + "-out2"
+    val q3 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out2)
+      .option("checkpointLocation", root + "-ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination(120000)
+    val ks = spark.read.parquet(out2).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks === (1L to 40L), s"fresh stream over squashed base: $ks")
+  }
+
   test("streaming dedup: dropDuplicates within watermark matches batch distinct") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toFile
     dir.deleteOnExit()
