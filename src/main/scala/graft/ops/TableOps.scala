@@ -127,13 +127,13 @@ object TableOps {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")).cast("decimal(38,10)"), 2)
-          .cast("decimal(18,2)").as("total"))
+          .cast("double").as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
   val tfSpecEvolutionSql: String =
     """SELECT o_orderstatus, count(*) AS n,
-       round(sum(o_totalprice)::DECIMAL(38,10),2)::DECIMAL(18,2) AS total
+       round(sum(o_totalprice)::DECIMAL(38,10),2)::DOUBLE AS total
        FROM orders WHERE year(o_orderdate) = 1996
        GROUP BY 1 ORDER BY o_orderstatus"""
 
@@ -152,12 +152,12 @@ object TableOps {
       .select(explode(col("lines")).as("l"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("l.qty")).cast("decimal(38,10)"), 2)
-          .cast("decimal(18,2)").as("total_qty"))
+          .cast("double").as("total_qty"))
   }
 
   val tfNestedRoundtripSql: String =
     """SELECT count(*) AS n,
-       round(sum(l_quantity)::DECIMAL(38,10),2)::DECIMAL(18,2) AS total_qty
+       round(sum(l_quantity)::DECIMAL(38,10),2)::DOUBLE AS total_qty
        FROM lineitem"""
 
   /** bin-pack rewrite: 40 small files → few, rows identical
@@ -398,13 +398,13 @@ object TableOps {
       .filter(col("o_totalprice") > 50000.0)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).cast("decimal(18,2)").as("total"))
+        round(sum(col("o_totalprice")), 2).cast("double").as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
   val tfIcebergReadSql: String =
     """SELECT o_orderstatus, count(*) AS n,
-       round(sum(o_totalprice),2)::DECIMAL(18,2) AS total
+       round(sum(o_totalprice),2)::DOUBLE AS total
        FROM orders WHERE o_totalprice > 50000
        GROUP BY 1 ORDER BY o_orderstatus"""
 
@@ -452,13 +452,13 @@ object TableOps {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")).cast("decimal(38,10)"), 2)
-          .cast("decimal(18,2)").as("total"))
+          .cast("double").as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
   val tfExportRoundtripSql: String =
     """SELECT o_orderstatus, count(*) AS n,
-       round(sum(o_totalprice)::DECIMAL(38,10),2)::DECIMAL(18,2) AS total
+       round(sum(o_totalprice)::DECIMAL(38,10),2)::DOUBLE AS total
        FROM orders WHERE o_orderstatus <> 'P'
        GROUP BY 1 ORDER BY o_orderstatus"""
 

@@ -12,18 +12,32 @@ import pandas as pd
 # STRICT=1 → floats must match bit-exactly (mirrors the driver's hash
 # compare); default allows 1e-9 relative drift (row/schema-level check).
 STRICT = os.environ.get("STRICT", "0") == "1"
+# DRIVER=1 → reproduce the driver's normalization asymmetry: the driver
+# renders ORACLE-side decimals as floats ("…314.0") but Spark-side
+# decimal128 as exact decimals ("…314.00"), then string-hashes both.
+# A decimal-typed FINAL column therefore hash-mismatches on any value
+# with trailing zeros even when numerically identical (the round-6
+# tf_export_roundtrip / tf_nested_roundtrip reds). DRIVER implies STRICT.
+DRIVER = os.environ.get("DRIVER", "0") == "1"
+if DRIVER:
+    STRICT = True
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def normval(v):
+def normval(v, oracle_side=False):
     """Engine-neutral value form: int widths, decimal/float split,
-    date vs midnight-timestamp, and numpy scalars all collapse."""
+    date vs midnight-timestamp, and numpy scalars all collapse.
+    In DRIVER mode, oracle-side decimals are floated (str '…314.0')
+    while Spark-side decimals keep exact scale (str '…314.00') —
+    mirroring the driver's hash inputs."""
     import decimal, datetime
     import numpy as np
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
+        if DRIVER and oracle_side:
+            return float(v)
         return str(v)
     if isinstance(v, bool):
         return v
@@ -35,13 +49,18 @@ def normval(v):
         return pd.Timestamp(v).isoformat()
     return str(v)
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, oracle_side=False) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    rows = [[normval(v) for v in row] for row in df.itertuples(index=False)]
+    rows = [[normval(v, oracle_side) for v in row]
+            for row in df.itertuples(index=False)]
     rows.sort(key=lambda r: tuple(str(x) for x in r))
     return pd.DataFrame(rows, columns=list(df.columns), dtype=object)
 
 def values_close(a, b):
+    if DRIVER:
+        # driver hash-compare: stringified normalized values, no
+        # numeric tolerance and no cross-type reconciliation
+        return str(a) == str(b)
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
@@ -64,7 +83,7 @@ def main():
             exp = con.sql(sql).arrow().to_pandas()
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-            exp, got = canon(exp), canon(got)
+            exp, got = canon(exp, oracle_side=True), canon(got)
             if list(exp.columns) != list(got.columns):
                 print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
                 n_fail += 1
