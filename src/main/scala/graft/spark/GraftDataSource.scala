@@ -268,7 +268,6 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     graft.table.TableIO.mkdirs(staging)
-    SparkSession.active.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
     ReplaceRowAdapterFactory(
       GraftWriterFactory(staging.toString,
@@ -363,10 +362,12 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
-  // connector reads resolve columns by field id (see GraftTable):
-  // scan building runs before the reader factory snapshots SQLConf
+  // connector reads resolve columns by field id. The vectorized path
+  // takes the flag from GraftConnectorShim's per-relation hadoop conf,
+  // but the non-vectorized binding (nested types) consults SQLConf.get
+  // — the session conf — so the READ flag must be on session-wide (see
+  // the GraftTable constructor note; the WRITE flag stays scoped).
   SparkSession.active.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-  SparkSession.active.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
   private val table = Meta.load(root)
   private var pushed: Array[Filter] = Array.empty
@@ -1054,7 +1055,6 @@ class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     graft.table.TableIO.mkdirs(staging)
-    SparkSession.active.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
     GraftWriterFactory(staging.toString,
       GraftConnectorShim.prepareParquetWriteConf(SparkSession.active,

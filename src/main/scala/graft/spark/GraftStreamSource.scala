@@ -153,10 +153,20 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     // "rewrite-fold" and fail loudly, like every other op that mutates
     // visible content in a way an append-only stream cannot represent.
     // A PARENT-LESS snapshot is the live set itself (a table's first
-    // snapshot, or an expire-squashed base): only a FRESH stream can
-    // have one in range (a resumed stream's expired checkpoint already
-    // failed above), and for a fresh stream emitting it is exactly
-    // right whatever op label it carries.
+    // snapshot, or an expire-squashed base). For a FRESH stream
+    // emitting it is exactly right whatever op label it carries. For a
+    // RESUMED stream it means expire squashed the chain ABOVE the
+    // checkpoint (the checkpoint itself can survive via another ref's
+    // retention ancestry) and the base folds already-emitted rows into
+    // one file set — emitting it would duplicate them, so fail loudly
+    // like the expired-checkpoint case.
+    if (s > 0) inRange.find(sn => sn.parentId.isEmpty ||
+        sn.summary.get("squashed").contains("true"))
+      .foreach(sn => throw new IllegalStateException(
+        s"snapshot ${sn.snapshotId} above checkpoint $s is an " +
+          "expire-squashed base carrying the full live set; the stream " +
+          "cannot resume exactly — re-read the table as a batch source " +
+          "and start a fresh stream"))
     inRange.find(sn => sn.parentId.isDefined &&
         sn.operation != "append" && sn.operation != "rewrite")
       .foreach(sn => throw new IllegalStateException(

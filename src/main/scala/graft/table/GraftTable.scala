@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.IcebergTransforms
@@ -27,14 +27,32 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   // field-id-based column resolution: ids in the schema metadata are
   // written to parquet footers and matched on read, so renamed /
-  // re-added columns bind to the right bytes in every file era. The
-  // flags only change reads whose REQUESTED schema carries id
-  // metadata (graft's own schemas); plain parquet reads are
-  // unaffected. One sharp edge is deliberate: explicitly requesting
-  // an id-carrying schema over id-less foreign files fails loudly
-  // (ignoreMissing stays false) rather than null-filling.
-  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  // re-added columns bind to the right bytes in every file era.
+  //
+  // The WRITE flag is scoped per write (connector writes resolve it
+  // from GraftConnectorShim's snapshotted Configuration; the v1
+  // writeFiles path uses a set-restore window around its eager write)
+  // — the session-level write flag is never touched, so a user's own
+  // parquet writes in the same session are unaffected.
+  //
+  // The READ flag CANNOT be scoped on Spark 4.1's v1 file-source path:
+  // ParquetReadSupport's schema clip honors a per-relation option
+  // (merged into the task Configuration), but ParquetRowConverter's
+  // column binding consults SQLConf.get — the thread-local SESSION
+  // conf — so an option-only read silently null-fills renamed columns
+  // (verified empirically; the clip stage even throws for id-less
+  // files while the binding stage ignores the same option). Hence the
+  // session-level read flag below. It only changes reads whose
+  // REQUESTED schema carries id metadata (graft's own schemas); one
+  // sharp edge is deliberate: explicitly requesting an id-carrying
+  // schema (e.g. t.scan().schema) over id-less foreign files fails
+  // loudly (ignoreMissing stays false) rather than null-filling.
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  // belt-and-suspenders: the option keeps the clip stage id-aware even
+  // if a user unsets the session flag after construction
+  private def idRead: org.apache.spark.sql.DataFrameReader =
+    spark.read.option("spark.sql.parquet.fieldId.read.enabled", "true")
 
   def meta: Meta.TableMetadata = Meta.load(root)
 
@@ -124,23 +142,36 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           .sortWithinPartitions(sortCols: _*)
           .write
       else withParts.write
-    withMicrosTimestamps(writer.parquet(staging.toString))
+    // the v1 DataFrameWriter path resolves the field-id WRITE flag
+    // from SQLConf.get at job time (a per-writer option is ignored),
+    // so scope it with a set-restore window around this eager write
+    withMicrosTimestamps(withSessionConf(
+      "spark.sql.parquet.fieldId.write.enabled", "true") {
+      writer.parquet(staging.toString)
+    })
     ingestStaged(staging, schema, m.defaultSpecId)
   }
 
-  /** Run a write with INT64-micros parquet timestamps: Spark's INT96
-    * default carries no usable column statistics, which would disable
-    * timestamp pruning on every file this table writes. */
-  private def withMicrosTimestamps[A](body: => A): A = {
-    val key = "spark.sql.parquet.outputTimestampType"
+  /** Run an EAGER job with a session conf pinned, restoring the prior
+    * value after — the scoped alternative to leaving graft's write
+    * flags on the session permanently. Only sound around eager
+    * actions (the conf is read at job time, not DataFrame build). */
+  private def withSessionConf[A](key: String, value: String)(body: => A): A = {
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    spark.conf.set(key, value)
     try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Run a write with INT64-micros parquet timestamps: Spark's INT96
+    * default carries no usable column statistics, which would disable
+    * timestamp pruning on every file this table writes. */
+  private def withMicrosTimestamps[A](body: => A): A =
+    withSessionConf("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")(body)
 
   /** Collect footer stats for every parquet under `staging`, move the
     * files into the data dir (preserving partition subdirs), return
@@ -203,7 +234,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         val stagedPaths = TableIO.listFilesRecursive(staging)
           .filter(_._1.getName.endsWith(".parquet")).map(_._1.toString)
         val out = writeFiles(
-          spark.read.schema(m.schema).parquet(stagedPaths: _*), m.schema)
+          idRead.schema(m.schema).parquet(stagedPaths: _*), m.schema)
         TableIO.delete(staging, recursive = true)
         out
       }
@@ -233,7 +264,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         val out =
           if (stagedPaths.isEmpty) Seq.empty
           else writeFiles(
-            spark.read.schema(m.schema).parquet(stagedPaths: _*), m.schema)
+            idRead.schema(m.schema).parquet(stagedPaths: _*), m.schema)
         TableIO.delete(staging, recursive = true)
         out
       }
@@ -473,7 +504,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         posApplicable(seq).map(_.path).sorted) }
     classes.toSeq.map { case ((eqPaths, posPaths), group) =>
       val needPos = keepPos || posPaths.nonEmpty
-      val raw = spark.read.schema(schema)
+      val raw = idRead.schema(schema)
         .parquet(group.map(g => absolute(g._1)): _*)
       val base =
         if (!needPos) raw
@@ -562,7 +593,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val delta = m.liveFiles(None).filterNot(f => baseline.contains(f.path))
     if (delta.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(delta.map(absolute): _*)
+    else idRead.schema(m.schema).parquet(delta.map(absolute): _*)
   }
 
   // ---- maintenance ----------------------------------------------------

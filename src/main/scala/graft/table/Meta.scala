@@ -470,6 +470,11 @@ object Meta {
     case _: org.apache.spark.sql.types.DoubleType |
          _: org.apache.spark.sql.types.FloatType =>
       (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+    // decimal stat strings compare by VALUE — lexicographic order
+    // would make "9.5" > "10.2" and prune files containing matches
+    // (mirrors IcebergTable.comparator)
+    case _: org.apache.spark.sql.types.DecimalType =>
+      (a, b) => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => (a, b) => a.compareTo(b)
   }
 

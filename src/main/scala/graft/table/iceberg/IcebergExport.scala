@@ -236,6 +236,7 @@ object IcebergExport {
       lastPartitionId = math.max(999, nextPartFieldId - 1),
       properties = Map(
         "write.format.default" -> "parquet",
+        "schema.name-mapping.default" -> IcebergMetadata.nameMapping(ice),
         SourceVersionProp -> m.lastVersion.toString),
       currentSnapshotId = Some(snapshotId),
       snapshots = Seq(snap),

@@ -105,6 +105,54 @@ object IcebergMetadata {
     }.toSeq)
   }
 
+  /** `schema.name-mapping.default` JSON for a schema (Iceberg spec's
+    * name-mapping serialization). Nested inner field ids are NOT
+    * stamped into parquet footers (Spark's writer only carries
+    * StructField-level metadata), so strict foreign readers need this
+    * fallback to resolve inner struct/list/map fields by name instead
+    * of failing or null-filling (reference:
+    * iceberg-rust-spec name mapping / table_metadata properties). */
+  def nameMapping(schema: IceSchema): String = {
+    def addNested(t: JsonNode, entry: ObjectNode): Unit = {
+      if (t == null || !t.isObject) return
+      t.get("type").asText() match {
+        case "struct" =>
+          val fs = entry.putArray("fields")
+          t.get("fields").elements().asScala.foreach { f =>
+            val e = fs.addObject()
+            e.put("field-id", f.get("id").asInt())
+            e.putArray("names").add(f.get("name").asText())
+            addNested(f.get("type"), e)
+          }
+        case "list" =>
+          val fs = entry.putArray("fields")
+          val e = fs.addObject()
+          e.put("field-id", t.get("element-id").asInt())
+          e.putArray("names").add("element")
+          addNested(t.get("element"), e)
+        case "map" =>
+          val fs = entry.putArray("fields")
+          val k = fs.addObject()
+          k.put("field-id", t.get("key-id").asInt())
+          k.putArray("names").add("key")
+          addNested(t.get("key"), k)
+          val v = fs.addObject()
+          v.put("field-id", t.get("value-id").asInt())
+          v.putArray("names").add("value")
+          addNested(t.get("value"), v)
+        case _ =>
+      }
+    }
+    val arr = mapper.createArrayNode()
+    schema.fields.foreach { f =>
+      val e = arr.addObject()
+      e.put("field-id", f.id)
+      e.putArray("names").add(f.name)
+      if (f.tpe.startsWith("{")) addNested(mapper.readTree(f.tpe), e)
+    }
+    mapper.writeValueAsString(arr)
+  }
+
   // ---- JSON write ----------------------------------------------------
 
   def toJson(m: IceMetadata): String = {

@@ -416,21 +416,33 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         // whole load-validate-commit span is protected — a racer past
         // the load window gets 409, never a silent overwrite
         // (reference: update_table's CAS).
+        // Serialized through transactionLock: a commitTransaction that
+        // loses a CAS rolls already-committed tables BACK with a
+        // compensating commit — if a single-table commit could slip in
+        // between, the rollback CAS would lose and the tables stay
+        // permanently divergent. Holding the lock here makes the
+        // rollback CAS unlosable. (Readers are NOT serialized: a
+        // concurrent load can still observe a transaction's
+        // intermediate state before its rollback — the documented
+        // visibility window of this test catalog.)
         val root = tableRoot(ns, t)
         if (!IcebergTable.exists(root)) notFound(ex)
         else {
-          val body = mapper.readTree(ex.getRequestBody)
-          val (m, baseVersion) = IcebergMetadata.loadVersioned(root)
-          val reqFailure = checkRequirements(m, Option(body.get("requirements")))
-          if (reqFailure.nonEmpty)
-            reply(ex, 409, errBody(reqFailure.mkString("; "), 409))
-          else {
-            val next = applyUpdates(m, Option(body.get("updates")))
-            if (IcebergMetadata.commitAt(root, next, baseVersion))
-              reply(ex, 200, loadTableResult(root))
-            else reply(ex, 409,
-              errBody("commit conflict: base version superseded", 409))
-          }
+          transactionLock.lock()
+          try {
+            val body = mapper.readTree(ex.getRequestBody)
+            val (m, baseVersion) = IcebergMetadata.loadVersioned(root)
+            val reqFailure = checkRequirements(m, Option(body.get("requirements")))
+            if (reqFailure.nonEmpty)
+              reply(ex, 409, errBody(reqFailure.mkString("; "), 409))
+            else {
+              val next = applyUpdates(m, Option(body.get("updates")))
+              if (IcebergMetadata.commitAt(root, next, baseVersion))
+                reply(ex, 200, loadTableResult(root))
+              else reply(ex, 409,
+                errBody("commit conflict: base version superseded", 409))
+            }
+          } finally transactionLock.unlock()
         }
 
       case ("POST", Seq("transactions", "commit")) =>

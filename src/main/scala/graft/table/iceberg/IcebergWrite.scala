@@ -81,7 +81,9 @@ object IcebergWrite {
       defaultSpecId = 0,
       specs = Seq(IcebergMetadata.IceSpec(0, specFields)),
       lastPartitionId = 999 + specFields.size,
-      properties = Map("write.format.default" -> "parquet"),
+      properties = Map(
+        "write.format.default" -> "parquet",
+        "schema.name-mapping.default" -> IcebergMetadata.nameMapping(schema)),
       currentSnapshotId = None,
       snapshots = Seq.empty,
       refs = Map.empty)

@@ -54,8 +54,11 @@ object GraftConnectorShim {
     // no usable column statistics, which would disable timestamp
     // pruning on every file this table writes
     conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
-    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
-      sqlConf.parquetFieldIdWriteEnabled.toString)
+    // graft writes always carry field ids in the footers (schema
+    // evolution binds by id). Scoped to this write's conf — the
+    // session-level flag is deliberately NOT touched, so unrelated
+    // parquet writes in the same session keep their own behavior.
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
     conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
       sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
     new SerializableConfiguration(conf)
@@ -105,6 +108,14 @@ object GraftConnectorShim {
       sqlConf.parquetInferTimestampNTZEnabled)
     hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
       sqlConf.legacyParquetNanosAsLong)
+    // field-id-based column resolution for graft's own scans, scoped
+    // to this reader's broadcast conf (ParquetReadSupport and the
+    // schema converter resolve the flag from the task-side
+    // Configuration) — the session-level flag stays untouched. The
+    // flag only changes reads whose REQUESTED schema carries id
+    // metadata; ignoreMissingIds stays false so an id-carrying schema
+    // over id-less foreign files fails loudly rather than null-fills.
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, true)
     val broadcastConf: Broadcast[SerializableConfiguration] =
       classic.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     ParquetPartitionReaderFactory(

@@ -531,6 +531,27 @@ class IcebergInteropSpec extends AnyFunSuite {
     graft.table.iceberg.IcebergExport.export(spark, groot, dest)
     assert(IcebergTable.load(spark, dest).scan()
       .selectExpr("sum(meta._2)").collect()(0).getLong(0) === 30L)
+    // exported metadata carries a name-mapping covering NESTED ids:
+    // inner struct/list/map fields have no footer ids, so strict
+    // foreign readers resolve them through this property
+    val em = graft.table.iceberg.IcebergMetadata.load(dest)
+    val nm = em.properties.get("schema.name-mapping.default")
+    assert(nm.isDefined, "export must emit schema.name-mapping.default")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(nm.get)
+    def ids(n: com.fasterxml.jackson.databind.JsonNode): Set[Int] = {
+      import scala.jdk.CollectionConverters._
+      n.elements().asScala.flatMap { e =>
+        Set(e.get("field-id").asInt()) ++
+          Option(e.get("fields")).map(ids).getOrElse(Set.empty)
+      }.toSet
+    }
+    val mapped = ids(tree)
+    // every id in the schema (top-level AND nested) must be mapped
+    assert((1 to em.lastColumnId).forall(mapped.contains),
+      s"name mapping misses ids: ${(1 to em.lastColumnId).toSet -- mapped}")
+    // the list element and map key/value entries use spec names
+    assert(nm.get.contains("\"element\"") && nm.get.contains("\"key\"") &&
+      nm.get.contains("\"value\""))
   }
 
   test("decimal single-value bounds: encode/decode round-trip, value-order pruning") {

@@ -254,6 +254,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(ks === (1L to 40L), s"fresh stream over squashed base: $ks")
   }
 
+  test("expire squash above a tag-pinned checkpoint: resume fails loudly") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.{GraftTable, Meta}
+    val root = java.nio.file.Files.createTempDirectory("graft-src-squash2")
+      .toString + "/t"
+    val df1 = (1L to 20L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1)
+    val snap1 = t.meta.currentSnapshotId.get
+    // consume snapshot 1, checkpointing the offset
+    val out = root + "-out"
+    val q1 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === 20L)
+    // a TAG keeps the checkpointed snapshot alive through expire while
+    // the chain ABOVE it is squashed into a parent-less base carrying
+    // the full live set
+    t.setRef("pin", snap1, Some(Meta.RefRetention(refType = "tag")))
+    t.append((21L to 30L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    t.append((31L to 40L).map(i => (i, s"c$i")).toDF("k", "v").coalesce(1))
+    t.expireSnapshots(keepLast = 1)
+    val m = t.meta
+    assert(m.snapshot(snap1).isDefined, "tag must keep the checkpoint")
+    assert(m.currentSnapshotId.flatMap(m.snapshot).exists(_.parentId.isEmpty),
+      "main tip must be an expire-squashed base")
+    // the naive resume would emit the base WHOLESALE — 40 rows on top
+    // of the 20 already written. It must fail loudly instead.
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(6).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("squash"), s"expected squash failure, got: $msgs")
+    // and no duplicates were written
+    assert(spark.read.parquet(out).count() === 20L)
+  }
+
   test("streaming dedup: dropDuplicates within watermark matches batch distinct") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toFile
     dir.deleteOnExit()

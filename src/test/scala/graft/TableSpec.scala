@@ -572,4 +572,40 @@ class TableSpec extends AnyFunSuite {
     assert(mv.isFresh)
     assert(mv.read.agg(sum("n")).collect()(0).getLong(0) === 600)
   }
+
+  test("stat comparator orders decimals by value, not lexicographically") {
+    import org.apache.spark.sql.types.DecimalType
+    val cmp = Meta.comparator(DecimalType(10, 2))
+    assert(cmp("9.50", "10.20") < 0) // lexicographic would say 9.50 > 10.20
+    assert(cmp("10.20", "9.50") > 0)
+    assert(cmp("9.50", "9.5") === 0) // scale-insensitive equality
+    assert(cmp("-2.00", "1.00") < 0)
+  }
+
+  test("field-id write flag is scoped: graft writes ids even when the user disables it") {
+    val spark0 = spark
+    import spark0.implicits._
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val prior = spark.conf.getOption(key)
+    // the user turns the (default-true) flag OFF for their own writes
+    spark.conf.set(key, "false")
+    try {
+      val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      val root = tmp()
+      val t = GraftTable.create(spark, root, df.schema)
+      t.append(df)
+      // graft's write still stamped ids (scoped conf, not the session):
+      // a rename binds the old bytes by id, which only works with ids
+      // in the footers
+      t.renameColumn("v", "w")
+      assert(GraftTable.load(spark, root).scan().select("w")
+        .collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+      // and the user's session setting is untouched
+      assert(spark.conf.get(key) === "false",
+        "graft write overwrote the user's session write flag")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
