@@ -214,6 +214,51 @@ object Views {
     def read: DataFrame = storage.scan()
   }
 
+  // ---- REST-facing MV state (metadata-only, no SparkSession) ---------
+  // The catalog serves MV create/load/drop without running a query
+  // engine (reference: iceberg-rest-catalog/src/catalog.rs:387 —
+  // create_materialized_view creates the storage TABLE from a
+  // client-provided schema, then the view; freshness is derived from
+  // metadata alone, per materialized_view_metadata.rs refresh-state).
+
+  def mvStorageRoot(root: String): String = s"$root/storage"
+
+  def mvExists(root: String): Boolean =
+    viewExists(root) && Meta.exists(mvStorageRoot(root))
+
+  /** (recorded lineage, current source snapshots, refresh version id)
+    * — all from metadata files; fresh iff recorded == current. */
+  def mvState(root: String): (Map[String, Long], Map[String, Long], Long) = {
+    val sm = Meta.load(mvStorageRoot(root))
+    val recorded = sm.currentSnapshotId.flatMap(sm.snapshot)
+      .map(_.lineage).getOrElse(Map.empty[String, Long])
+    val current = loadView(root).sources.map { case (alias, troot) =>
+      alias -> (if (Meta.exists(troot))
+        Meta.load(troot).currentSnapshotId.getOrElse(0L) else 0L)
+    }
+    (recorded, current, sm.currentSnapshotId.getOrElse(-1L))
+  }
+
+  /** Create the MV storage table from a client-provided schema — the
+    * REST create path, where the engine (not the catalog) knows the
+    * view's output shape. Metadata-only, mirrors GraftTable.create. */
+  def createMaterializedStorage(root: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sroot = mvStorageRoot(root)
+    require(!Meta.exists(sroot), s"storage table already exists at $sroot")
+    Meta.write(sroot, Meta.TableMetadata(
+      location = sroot, formatVersion = 1,
+      schemas = Map(0 -> Meta.withFieldIds(schema, 1)), currentSchemaId = 0,
+      specs = Map(0 -> Seq.empty), defaultSpecId = 0,
+      properties = Map.empty, snapshots = Seq.empty,
+      currentSnapshotId = None, refs = Map.empty, lastVersion = 0,
+      sortOrder = Seq.empty))
+  }
+
+  /** Persist the optional incremental-fold SQL (REST create path). */
+  def writeFold(root: String, sql: String): Unit =
+    TableIO.writeString(foldPath(root), sql)
+
   private def foldPath(root: String) = TableIO.path(root, "fold.sql")
 
   private[table] def loadFold(root: String): Option[String] = {

@@ -220,6 +220,28 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
       val rn = reps.addObject()
       rn.put("type", "sql"); rn.put("dialect", r.dialect); rn.put("sql", r.sql)
     }
+    // materialized view: storage-table pointer + refresh-state
+    // (materialized_view_metadata.rs: refresh-version-id +
+    // source-table-states), plus the CURRENT source states so a client
+    // can see staleness without touching the sources itself
+    if (graft.table.Views.mvExists(root)) {
+      val (recorded, current, refreshVersion) = graft.table.Views.mvState(root)
+      val mat = n.putObject("materialization")
+      mat.put("storage-location", graft.table.Views.mvStorageRoot(root))
+      val rs = n.putObject("refresh-state")
+      rs.put("refresh-version-id", refreshVersion)
+      val sts = rs.putArray("source-table-states")
+      recorded.toSeq.sortBy(_._1).foreach { case (alias, snap) =>
+        val e = sts.addObject()
+        e.put("source", alias); e.put("snapshot-id", snap)
+      }
+      val cur = rs.putArray("current-source-states")
+      current.toSeq.sortBy(_._1).foreach { case (alias, snap) =>
+        val e = cur.addObject()
+        e.put("source", alias); e.put("snapshot-id", snap)
+      }
+      n.put("fresh", recorded == current)
+    }
     json(n)
   }
 
@@ -584,9 +606,24 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           reply(ex, 409, errBody("view or table exists", 409))
         else {
           val d = viewFromBody(name, body)
-          if (graft.table.Views.commitViewAt(root, d, 0))
+          if (graft.table.Views.commitViewAt(root, d, 0)) {
+            // create_materialized_view (reference catalog.rs:387):
+            // the request carries the storage-table schema — the
+            // catalog creates the storage TABLE alongside the view and
+            // never runs the query itself
+            Option(body.get("materialization")).foreach { mat =>
+              val schemaJson = Option(mat.get("storage-schema"))
+                .map(_.asText()).getOrElse(
+                  throw new BadRequest("materialization.storage-schema required"))
+              val schema = org.apache.spark.sql.types.DataType
+                .fromJson(schemaJson)
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              graft.table.Views.createMaterializedStorage(root, schema)
+              Option(mat.get("incremental-fold")).map(_.asText())
+                .foreach(graft.table.Views.writeFold(root, _))
+            }
             reply(ex, 200, viewResult(root))
-          else reply(ex, 409, errBody("view exists", 409))
+          } else reply(ex, 409, errBody("view exists", 409))
         }
 
       case ("GET", Seq("namespaces", ns, "views", v)) =>
@@ -908,6 +945,46 @@ object IcebergRestClient {
     Option(n.get("representations")).map(_.elements().asScala.map(rn =>
       rn.get("dialect").asText() -> rn.get("sql").asText()).toSeq)
       .getOrElse(Seq.empty)
+  }
+
+  /** Create a materialized view: view definition + storage-table
+    * schema in one request (the catalog creates the storage table;
+    * the ENGINE computes the schema and later refreshes — reference
+    * catalog.rs:387 create_materialized_view). */
+  def createMaterializedView(base: String, ns: String, name: String,
+      sql: String, sources: Map[String, String],
+      storageSchemaJson: String,
+      incrementalFold: Option[String] = None): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("name", name); n.put("sql", sql)
+    val s = n.putObject("sources")
+    sources.foreach { case (k, v) => s.put(k, v) }
+    val mat = n.putObject("materialization")
+    mat.put("storage-schema", storageSchemaJson)
+    incrementalFold.foreach(mat.put("incremental-fold", _))
+    val resp = post(s"$base/v1/namespaces/$ns/views", mapper.writeValueAsString(n))
+    require(resp.statusCode() == 200,
+      s"createMaterializedView -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** Materialized-view load: (fresh, storage location, refresh version
+    * id, recorded source states, current source states). Fails if the
+    * view has no materialization. */
+  def loadMaterializedView(base: String, ns: String, name: String)
+      : (Boolean, String, Long, Map[String, Long], Map[String, Long]) = {
+    import scala.jdk.CollectionConverters._
+    val n = get(s"$base/v1/namespaces/$ns/views/$name")
+    val mat = Option(n.get("materialization")).getOrElse(
+      throw new IllegalStateException(s"view $ns.$name is not materialized"))
+    val rs = n.get("refresh-state")
+    def states(key: String): Map[String, Long] =
+      rs.get(key).elements().asScala.map(e =>
+        e.get("source").asText() -> e.get("snapshot-id").asLong()).toMap
+    (n.get("fresh").asBoolean(),
+      mat.get("storage-location").asText(),
+      rs.get("refresh-version-id").asLong(),
+      states("source-table-states"),
+      states("current-source-states"))
   }
 
   /** Replace the view SQL against the base version the caller loaded;

@@ -386,6 +386,65 @@ class IcebergInteropSpec extends AnyFunSuite {
       month(col("l_shipdate")) === 1).count())
   }
 
+  test("REST materialized views: create with storage, staleness via lineage, refresh, drop") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    import graft.table.{GraftTable, Views}
+    val wh = Files.createTempDirectory("graft-rest-mv").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+      // a graft source table the MV aggregates
+      val srcRoot = s"$wh/db/src_t"
+      val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "n")
+      val t = GraftTable.create(spark, srcRoot, df.schema)
+      t.append(df)
+      // engine computes the view's output schema; catalog creates the
+      // storage table + view (reference create_materialized_view)
+      val mvSql = "SELECT k, sum(n) AS total FROM src_t GROUP BY k"
+      val schemaJson = spark.sql(
+        "SELECT k, sum(n) AS total FROM (SELECT 'x' AS k, 1L AS n) GROUP BY k")
+        .schema.json
+      C.createMaterializedView(base, "db", "mv_totals", mvSql,
+        Map("src_t" -> srcRoot), schemaJson)
+      // never refreshed: stale, recorded lineage empty
+      val (fresh0, storageLoc, rv0, rec0, cur0) =
+        C.loadMaterializedView(base, "db", "mv_totals")
+      assert(!fresh0 && rv0 === -1L && rec0.isEmpty)
+      assert(cur0("src_t") === t.meta.currentSnapshotId.get)
+      assert(storageLoc === s"$wh/db/mv_totals/storage")
+      // the MV is visible as a plain view too (same endpoint family)
+      assert(C.listViews(base, "db") === Seq("mv_totals"))
+      // ENGINE-side refresh through the same warehouse (the catalog
+      // never runs queries), then the catalog reports fresh
+      Views.loadMaterializedView(spark, s"$wh/db/mv_totals").refresh()
+      val (fresh1, _, rv1, rec1, cur1) =
+        C.loadMaterializedView(base, "db", "mv_totals")
+      assert(fresh1 && rv1 > 0 && rec1 === cur1)
+      // re-query the materialization through the catalog's pointer
+      val got = GraftTable.load(spark, storageLoc).scan()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === Set(("a", 3L), ("b", 3L)))
+      // source moves -> staleness flips via lineage, no refresh needed
+      t.append(Seq(("b", 10L)).toDF("k", "n"))
+      val (fresh2, _, _, rec2, cur2) =
+        C.loadMaterializedView(base, "db", "mv_totals")
+      assert(!fresh2 && rec2("src_t") < cur2("src_t"))
+      // refresh again catches up
+      Views.loadMaterializedView(spark, s"$wh/db/mv_totals").refresh()
+      assert(C.loadMaterializedView(base, "db", "mv_totals")._1)
+      assert(GraftTable.load(spark, storageLoc).scan()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("a", 3L), ("b", 13L)))
+      // drop removes view AND storage
+      C.dropView(base, "db", "mv_totals")
+      assert(C.listViews(base, "db") === Seq.empty)
+      assert(!graft.table.Meta.exists(s"$wh/db/mv_totals/storage"))
+    } finally server.stop()
+  }
+
   test("REST commitTransaction is atomic across tables; conflicts roll back; views rename") {
     val spark0 = spark
     import spark0.implicits._
