@@ -16,45 +16,26 @@ import scala.jdk.CollectionConverters._
   * SELECTs run on Catalyst with every catalog entry registered as a
   * temp view, so the full Spark SQL surface applies.
   */
-class GraftCatalog(val spark: SparkSession, val warehouse: String) {
-  private val mapper = new ObjectMapper()
-  private def catDir = TableIO.path(warehouse, "catalog")
-  private val VersionRe = """v(\d+)\.json""".r
+class GraftCatalog(val spark: SparkSession, val warehouse: String,
+    val store: CatalogStore) {
+
+  def this(spark: SparkSession, warehouse: String) =
+    this(spark, warehouse, new FileCatalogStore(warehouse))
 
   /** The registry is a versioned CAS chain, like the reference's SQL
     * catalog (iceberg-sql-catalog CAS on (name, version)): every
-    * mutation rebuilds from the freshest version and commits vN+1 via
-    * rename-without-replace — two catalog handles (or processes)
-    * registering concurrently both land, the loser retrying on the
-    * winner's state instead of overwriting it. */
-  private def currentVersion: Int =
-    TableIO.listDir(catDir).map(_.getPath.getName).collect {
-      case VersionRe(n) => n.toInt
-    }.maxOption.getOrElse(0)
-
-  private def entriesAt(v: Int): Map[String, String] =
-    if (v == 0) Map.empty
-    else {
-      val n = mapper.readTree(TableIO.readString(
-        new org.apache.hadoop.fs.Path(catDir, s"v$v.json")))
-      n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }
-
-  private def entries: Map[String, String] = entriesAt(currentVersion)
+    * mutation rebuilds from the freshest version and commits vN+1 —
+    * two catalog handles (or processes) registering concurrently both
+    * land, the loser retrying on the winner's state instead of
+    * overwriting it. The store decides HOW versions persist (files or
+    * JDBC rows, see [[CatalogStore]]); the retry loop is shared. */
+  private def entries: Map[String, String] = store.entries
 
   private def update(f: Map[String, String] => Map[String, String]): Unit = {
-    TableIO.mkdirs(catDir)
     var attempts = 0
     while (attempts < 50) {
-      val v = currentVersion
-      val next = f(entriesAt(v))
-      val n = mapper.createObjectNode()
-      next.foreach { case (k, kind) => n.put(k, kind) }
-      val tmp = new org.apache.hadoop.fs.Path(catDir,
-        s".v${v + 1}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      TableIO.writeString(tmp, mapper.writeValueAsString(n))
-      if (TableIO.renameNoReplace(tmp,
-          new org.apache.hadoop.fs.Path(catDir, s"v${v + 1}.json"))) return
+      val v = store.currentVersion
+      if (store.commitAt(f(store.entriesAt(v)), v)) return
       attempts += 1 // lost the race: retry on the winner's version
     }
     throw new IllegalStateException("catalog commit contention")
@@ -173,4 +154,13 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 object GraftCatalog {
   def apply(spark: SparkSession, warehouse: String): GraftCatalog =
     new GraftCatalog(spark, warehouse)
+
+  /** Catalog whose registry lives in an embedded Derby database under
+    * `<warehouse>/catalog-db` (reference: iceberg-sql-catalog — the
+    * DB-backed registry real deployments use). Table data still lives
+    * in the warehouse directory; only the name→kind registry and its
+    * CAS version move into SQL rows. */
+  def jdbc(spark: SparkSession, warehouse: String): GraftCatalog =
+    new GraftCatalog(spark, warehouse,
+      new JdbcCatalogStore(s"jdbc:derby:$warehouse/catalog-db;create=true"))
 }

@@ -40,6 +40,70 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat3.tableNames === Seq("t_left", "t_right"))
   }
 
+  // ---- the registry CONTRACT, over both stores (file + jdbc) --------
+  // (reference: iceberg-file-catalog vs iceberg-sql-catalog — same
+  // Catalog behavior over different persistence)
+  for ((storeKind, mkCat) <- Seq[(String, String => GraftCatalog)](
+      "file" -> (w => GraftCatalog(spark, w)),
+      "jdbc" -> (w => GraftCatalog.jdbc(spark, w)))) {
+
+    test(s"catalog[$storeKind]: create, insert into select, ctas-view, drop") {
+      val cat = mkCat(wh())
+      Tables.nation(spark, sf).createOrReplaceTempView("nation_src2")
+      cat.sql("create table natp as select * from nation_src2")
+      cat.sql("insert into natp select * from nation_src2")
+      assert(cat.sql("select count(*) as n from natp")
+        .collect()(0).getLong(0) === 50)
+      cat.sql("create view nat_small as select n_regionkey, count(*) as n " +
+        "from natp group by n_regionkey")
+      assert(cat.viewNames === Seq("nat_small"))
+      assert(cat.sql("select sum(n) as s from nat_small")
+        .collect()(0).getLong(0) === 50)
+      cat.sql("drop table natp")
+      cat.sql("drop view nat_small")
+      assert(cat.tableNames.isEmpty && cat.viewNames.isEmpty)
+    }
+
+    test(s"catalog[$storeKind]: concurrent CAS — losers retry, nothing overwritten") {
+      val spark0 = spark
+      import spark0.implicits._
+      val w = wh()
+      val df = Seq((1L, "x")).toDF("id", "v")
+      // 4 handles × 2 registrations racing on the registry version CAS
+      val names = (1 to 8).map(i => s"t_$i")
+      val threads = names.grouped(2).zipWithIndex.map { case (pair, _) =>
+        val cat = mkCat(w)
+        new Thread(() => pair.foreach(n => cat.createTable(n, df.schema)))
+      }.toSeq
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(mkCat(w).tableNames === names.sorted,
+        "every racing registration must land exactly once")
+    }
+  }
+
+  test("jdbc store: lost CAS returns false and commits nothing") {
+    val w = wh()
+    val store = new graft.table.JdbcCatalogStore(
+      s"jdbc:derby:$w/catalog-db;create=true")
+    assert(store.currentVersion === 0)
+    assert(store.commitAt(Map("a" -> "table"), 0))
+    assert(store.currentVersion === 1)
+    assert(store.entries === Map("a" -> "table"))
+    // a committer holding a STALE base loses and mutates nothing
+    assert(!store.commitAt(Map("b" -> "table"), 0))
+    assert(store.currentVersion === 1)
+    assert(store.entries === Map("a" -> "table"))
+    // same-base re-commit after the flip also loses (duplicate staging)
+    assert(!store.commitAt(Map("c" -> "table"), 0))
+    assert(store.commitAt(Map("a" -> "table", "b" -> "view"), 1))
+    assert(store.entriesAt(2) === Map("a" -> "table", "b" -> "view"))
+    // a second handle over the same database sees the committed state
+    val store2 = new graft.table.JdbcCatalogStore(
+      s"jdbc:derby:$w/catalog-db;create=true")
+    assert(store2.currentVersion === 2)
+    assert(store2.entries === Map("a" -> "table", "b" -> "view"))
+  }
+
   test("catalog: DELETE FROM and UPDATE route to table operations") {
     val cat = GraftCatalog(spark, wh())
     Tables.orders(spark, sf).createOrReplaceTempView("orders_dml")
