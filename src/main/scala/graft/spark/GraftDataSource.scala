@@ -112,7 +112,15 @@ class GraftSparkTable(root: String,
       .reduceOption(_ && _).getOrElse(lit(true))
     val touched = filters.flatMap(statFilterOf).toSeq
     val t = GraftTable.load(spark, root)
-    t.delete(cond, touched.map(f =>
+    // write.delete.mode=merge-on-read (Iceberg's table property):
+    // point deletes commit a position-delete FILE instead of
+    // rewriting every candidate data file — at 100 TB, CoW rewrite is
+    // the wrong default for small deletes, and this is how a user
+    // opts out per table (reference: table properties driving
+    // operation.rs delete modes)
+    if (t.meta.properties.get("write.delete.mode").contains("merge-on-read"))
+      t.deleteWhereMoRPositional(cond)
+    else t.delete(cond, touched.map(f =>
       t.StatFilter(f._1, f._2, f._3)))
   }
 

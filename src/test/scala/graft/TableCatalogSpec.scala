@@ -295,6 +295,46 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_wh.ddl.rn")
   }
 
+  test("write.delete.mode=merge-on-read: SQL DELETE commits a delete file, no rewrite") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ddl")
+    spark.sql("CREATE TABLE graft_wh.ddl.mord (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("mord_src")
+    spark.sql("INSERT INTO graft_wh.ddl.mord SELECT * FROM mord_src")
+    val t0 = graft.table.GraftTable.load(spark, s"$wh/ddl/mord")
+    val dataFilesBefore = t0.meta.liveFiles(None).map(_.path).toSet
+    spark.sql("DELETE FROM graft_wh.ddl.mord WHERE k <= 10")
+    val m = graft.table.GraftTable.load(spark, s"$wh/ddl/mord").meta
+    val snap = m.currentSnapshotId.flatMap(m.snapshot).get
+    // a delete-file snapshot: position-delete file added, NO data
+    // files rewritten or removed
+    assert(snap.operation === "delete-pos")
+    assert(snap.addedDeleteFiles.nonEmpty && snap.addedFiles.isEmpty &&
+      snap.removedPaths.isEmpty)
+    assert(m.liveFiles(None).map(_.path).toSet === dataFilesBefore,
+      "merge-on-read delete must not rewrite data files")
+    // scans apply the delete
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ddl.mord")
+      .collect()(0).getLong(0) === 90L)
+    assert(spark.sql("SELECT min(k) FROM graft_wh.ddl.mord")
+      .collect()(0).getLong(0) === 11L)
+    // without the property the same DELETE copy-on-writes (control)
+    spark.sql("CREATE TABLE graft_wh.ddl.cowd (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_wh.ddl.cowd SELECT * FROM mord_src")
+    spark.sql("DELETE FROM graft_wh.ddl.cowd WHERE k <= 10")
+    val mc = graft.table.GraftTable.load(spark, s"$wh/ddl/cowd").meta
+    val csnap = mc.currentSnapshotId.flatMap(mc.snapshot).get
+    assert(csnap.addedDeleteFiles.isEmpty, "CoW must stay the default")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ddl.cowd")
+      .collect()(0).getLong(0) === 90L)
+    spark.sql("DROP TABLE graft_wh.ddl.mord")
+    spark.sql("DROP TABLE graft_wh.ddl.cowd")
+  }
+
   test("SQL metadata tables: t.files / t.snapshots / t.history") {
     val spark0 = spark
     import spark0.implicits._
