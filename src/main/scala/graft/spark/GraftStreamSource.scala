@@ -11,8 +11,16 @@ import graft.table.Meta
   * data files ADDED by the snapshots committed since the last batch —
   * the incremental append scan (reference: DataFusion's Iceberg tables
   * stream new snapshots the same way; Iceberg calls this the
-  * incremental read). Offsets are snapshot ids (monotonic, max+1 at
-  * commit), so restart resumes exactly from the checkpointed snapshot.
+  * incremental read).
+  *
+  * OFFSETS are (snapshotId, filePos): filePos < 0 means the snapshot
+  * is fully consumed (serialized as the plain snapshot id, so legacy
+  * checkpoints resume unchanged); filePos >= 0 means the first
+  * filePos files of that snapshot's stable file list are consumed. A
+  * partial offset also carries a hash of the snapshot's file-path
+  * list: on resume the hash is re-checked, so a file list rewritten
+  * under the checkpoint (expire squash) fails loudly instead of
+  * replaying the wrong prefix.
   *
   * Only `append` snapshots contribute rows: `rewrite` (pure bin-pack
   * compaction) re-expresses EXISTING rows in new files and is skipped;
@@ -24,21 +32,38 @@ import graft.table.Meta
   * checkpoint.
   *
   * ADMISSION CONTROL (SupportsAdmissionControl): `maxFilesPerTrigger`
-  * / `maxBytesPerTrigger` read options clamp each micro-batch at
-  * snapshot granularity — a stream resuming after a long gap drains
-  * the backlog in bounded batches instead of planning one batch over
-  * everything (at 100 TB an unbounded catch-up batch is an
-  * OOM-or-nothing job). Trigger.AvailableNow is supported natively:
-  * the target offset pins at query start and the bounded batches run
+  * / `maxBytesPerTrigger` read options clamp each micro-batch at FILE
+  * granularity — one giant append snapshot (10k files) drains in
+  * bounded, checkpoint-resumable batches instead of an all-or-nothing
+  * job (at 100 TB an unbounded catch-up batch is an OOM-or-nothing
+  * job). Snapshots whose summary fits the remaining budget are
+  * admitted wholesale from the summary alone (no manifest read on the
+  * poll path); only the snapshot the budget lands IN has its file
+  * list resolved. Trigger.AvailableNow is supported natively: the
+  * target offset pins at query start and the bounded batches run
   * until they reach it. */
 class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     options: Map[String, String] = Map.empty)
   extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private case class SnapshotOffset(id: Long) extends Offset {
-    override def json(): String = id.toString
+  private case class StreamOffset(id: Long, filePos: Int, listHash: Long)
+      extends Offset {
+    // boundary offsets serialize as the bare snapshot id — the legacy
+    // format, so pre-existing checkpoints deserialize and resume
+    override def json(): String =
+      if (filePos < 0) id.toString else s"$id:$filePos:$listHash"
   }
+
+  private def complete(id: Long) = StreamOffset(id, -1, 0L)
+
+  /** Total order over offsets: a complete snapshot sorts after every
+    * partial position inside it. */
+  private def pos(o: StreamOffset): (Long, Long) =
+    (o.id, if (o.filePos < 0) Long.MaxValue else o.filePos.toLong)
+
+  private def filesHash(files: Seq[Meta.DataFile]): Long =
+    scala.util.hashing.MurmurHash3.orderedHash(files.map(_.path)).toLong
 
   private def opt(name: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
@@ -49,7 +74,7 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     * stream-from-snapshot option). Checkpointed streams ignore this
     * (Spark restores the offset from the checkpoint). */
   override def initialOffset(): Offset =
-    SnapshotOffset(opt("startingSnapshotId").map(_.toLong).getOrElse(0L))
+    complete(opt("startingSnapshotId").map(_.toLong).getOrElse(0L))
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = Seq(
@@ -79,46 +104,68 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[SnapshotOffset].id
+    val s = start.asInstanceOf[StreamOffset]
     val m = Meta.load(root)
     val tip = availableNowCap.getOrElse(m.currentSnapshotId.getOrElse(0L))
-    val pending = m.chainSnapshots(None)
-      .filter(sn => sn.snapshotId > s && sn.snapshotId <= tip)
-    if (pending.isEmpty) return SnapshotOffset(math.max(s, tip))
+    val chain = m.chainSnapshots(None)
+    val startPartial =
+      if (s.filePos >= 0) chain.find(_.snapshotId == s.id) else None
+    val pending = chain
+      .filter(sn => sn.snapshotId > s.id && sn.snapshotId <= tip)
+    if (startPartial.isEmpty && pending.isEmpty)
+      return complete(math.max(s.id, tip))
+
     val (maxFiles, maxBytes) = caps(limit)
-    // admit whole snapshots in order until the NEXT one would exceed
-    // the cap; always admit at least one so the stream progresses even
-    // when a single snapshot is larger than the cap. Non-append
-    // snapshots count no files (the plan phase handles them: skip for
-    // pure rewrites, loud failure otherwise).
     var files = 0L; var bytes = 0L
-    var end = s
-    var admitted = 0
+    var admittedAny = false
+    var end: StreamOffset = s
+
+    // admit a snapshot's files from index `from`; always admits at
+    // least one file overall so the stream progresses even when one
+    // file exceeds the byte cap. Returns false when it stopped
+    // mid-snapshot (budget exhausted).
+    def admitFiles(sn: Meta.Snapshot, from: Int): Boolean = {
+      val fs = sn.files
+      var i = from
+      while (i < fs.size) {
+        val f = fs(i)
+        if (admittedAny &&
+            (files + 1 > maxFiles || bytes + f.fileSizeBytes > maxBytes)) {
+          end = StreamOffset(sn.snapshotId, i, filesHash(fs))
+          return false
+        }
+        files += 1; bytes += f.fileSizeBytes; admittedAny = true
+        i += 1
+      }
+      end = complete(sn.snapshotId)
+      true
+    }
+
+    // first drain the partially-consumed start snapshot
+    startPartial.foreach { sn =>
+      if (!admitFiles(sn, s.filePos)) return end
+    }
     val it = pending.iterator
     var stop = false
     while (it.hasNext && !stop) {
       val sn = it.next()
-      // budget from the snapshot SUMMARY when present — resolving
-      // sn.files would re-read a spilled manifest on every poll.
-      // Parent-less snapshots carry content for a fresh stream (see
-      // planInputPartitions), so they count toward the budget too.
       val carries = sn.operation == "append" || sn.parentId.isEmpty
-      val snFiles =
-        if (!carries) 0L
-        else sn.summary.get("added-files").flatMap(_.toLongOption)
-          .getOrElse(sn.files.size.toLong)
-      val snBytes =
-        if (!carries) 0L
-        else sn.summary.get("added-bytes").flatMap(_.toLongOption)
-          .getOrElse(sn.files.map(_.fileSizeBytes).sum)
-      if (admitted > 0 && (files + snFiles > maxFiles || bytes + snBytes > maxBytes))
-        stop = true
+      if (!carries) end = complete(sn.snapshotId) // plan skips / fails loudly
       else {
-        files += snFiles; bytes += snBytes
-        end = sn.snapshotId; admitted += 1
+        // wholesale admit from the SUMMARY when the whole snapshot
+        // fits — no manifest resolution on the common poll path
+        val snFiles = sn.summary.get("added-files").flatMap(_.toLongOption)
+          .getOrElse(sn.files.size.toLong)
+        val snBytes = sn.summary.get("added-bytes").flatMap(_.toLongOption)
+          .getOrElse(sn.files.map(_.fileSizeBytes).sum)
+        if (files + snFiles <= maxFiles && bytes + snBytes <= maxBytes) {
+          files += snFiles; bytes += snBytes
+          admittedAny |= snFiles > 0
+          end = complete(sn.snapshotId)
+        } else stop = !admitFiles(sn, 0)
       }
     }
-    SnapshotOffset(end)
+    end
   }
 
   override def latestOffset(): Offset =
@@ -126,28 +173,45 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def reportLatestOffset(): Offset =
-    SnapshotOffset(Meta.load(root).currentSnapshotId.getOrElse(0L))
+    complete(Meta.load(root).currentSnapshotId.getOrElse(0L))
 
-  override def deserializeOffset(json: String): Offset =
-    SnapshotOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = json.split(":") match {
+    case Array(id) => complete(id.toLong)
+    case Array(id, p, h) => StreamOffset(id.toLong, p.toInt, h.toLong)
+    case _ => throw new IllegalArgumentException(s"bad stream offset: $json")
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotOffset].id
-    val e = end.asInstanceOf[SnapshotOffset].id
-    if (e <= s) return Array.empty
+    val s = start.asInstanceOf[StreamOffset]
+    val e = end.asInstanceOf[StreamOffset]
+    if (pos(e)._1 < pos(s)._1 ||
+        (pos(e)._1 == pos(s)._1 && pos(e)._2 <= pos(s)._2))
+      return Array.empty
     val m = Meta.load(root)
     // a checkpointed snapshot that expireSnapshots squashed away can't
     // anchor an exact resume: the surviving base folds the expired
     // prefix into one file set, so replaying from here would duplicate
     // already-emitted rows — fail loudly instead
-    if (s > 0 && m.snapshot(s).isEmpty) throw new IllegalStateException(
-      s"checkpointed snapshot $s was expired (snapshot squash); the " +
+    if (s.id > 0 && m.snapshot(s.id).isEmpty) throw new IllegalStateException(
+      s"checkpointed snapshot ${s.id} was expired (snapshot squash); the " +
         "stream cannot resume exactly — re-read the table as a batch " +
         "source and start a fresh stream")
+    // a PARTIAL checkpoint indexes into the snapshot's file list: if
+    // the list was rewritten underneath (expire squash folds the chain
+    // into the base), the consumed prefix no longer means the same
+    // files — fail loudly rather than replay the wrong ones
+    if (s.filePos >= 0) {
+      val sn = m.snapshot(s.id).getOrElse(throw new IllegalStateException(
+        s"checkpointed snapshot ${s.id} was expired; cannot resume"))
+      if (filesHash(sn.files) != s.listHash) throw new IllegalStateException(
+        s"snapshot ${s.id}'s file list changed since the checkpoint " +
+          "(expire squash rewrote it); the stream cannot resume exactly " +
+          "— re-read the table as a batch source and start a fresh stream")
+    }
     // main-chain lineage only: branch commits and rollback orphans
     // share the snapshots list but must not leak into the stream
-    val inRange = m.chainSnapshots(None)
-      .filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
+    val chain = m.chainSnapshots(None)
+    val inRange = chain.filter(sn => sn.snapshotId > s.id && sn.snapshotId <= e.id)
     // "rewrite" is reserved for pure bin-pack compaction (rows
     // preserved exactly) -> skip; delete-folding rewrites commit as
     // "rewrite-fold" and fail loudly, like every other op that mutates
@@ -159,11 +223,13 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     // checkpoint (the checkpoint itself can survive via another ref's
     // retention ancestry) and the base folds already-emitted rows into
     // one file set — emitting it would duplicate them, so fail loudly
-    // like the expired-checkpoint case.
-    if (s > 0) inRange.find(sn => sn.parentId.isEmpty ||
+    // like the expired-checkpoint case. (A partial offset INTO a
+    // parent-less base is fine — the hash check above proved the list
+    // is still the one the checkpoint indexed.)
+    if (s.id > 0) inRange.find(sn => sn.parentId.isEmpty ||
         sn.summary.get("squashed").contains("true"))
       .foreach(sn => throw new IllegalStateException(
-        s"snapshot ${sn.snapshotId} above checkpoint $s is an " +
+        s"snapshot ${sn.snapshotId} above checkpoint ${s.id} is an " +
           "expire-squashed base carrying the full live set; the stream " +
           "cannot resume exactly — re-read the table as a batch source " +
           "and start a fresh stream"))
@@ -173,9 +239,29 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
         s"streaming read reached ${sn.operation} snapshot ${sn.snapshotId}; " +
           "append-only streams cannot represent replaced/deleted rows — " +
           "re-read the table as a batch source"))
-    val added = inRange
-      .filter(sn => sn.operation == "append" || sn.parentId.isEmpty)
-      .flatMap(_.files)
+    def carries(sn: Meta.Snapshot): Boolean =
+      sn.operation == "append" || sn.parentId.isEmpty
+    // the batch covers (start, end]: the start snapshot's remaining
+    // files, whole snapshots strictly between, and the end snapshot's
+    // admitted prefix
+    val startTail: Seq[Meta.DataFile] =
+      if (s.filePos < 0) Seq.empty
+      else {
+        val fs = m.snapshot(s.id).map(_.files).getOrElse(Seq.empty)
+        val upto =
+          if (e.id != s.id) fs.size
+          else if (e.filePos < 0) fs.size
+          else e.filePos
+        fs.slice(s.filePos, upto)
+      }
+    val mids = inRange.filter(_.snapshotId < e.id)
+      .filter(carries).flatMap(_.files)
+    val endFiles: Seq[Meta.DataFile] =
+      if (e.id == s.id) Seq.empty
+      else inRange.find(_.snapshotId == e.id).filter(carries).toSeq.flatMap { sn =>
+        if (e.filePos < 0) sn.files else sn.files.take(e.filePos)
+      }
+    val added = startTail ++ mids ++ endFiles
     if (added.isEmpty) return Array.empty
     val dataDir = graft.table.TableIO.path(root, "data")
     val targetBytes = 128L * 1024 * 1024

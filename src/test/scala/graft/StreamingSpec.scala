@@ -254,6 +254,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(ks === (1L to 40L), s"fresh stream over squashed base: $ks")
   }
 
+  test("sub-snapshot admission: one 100-file snapshot drains in bounded, resumable batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.GraftTable
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val root = java.nio.file.Files.createTempDirectory("graft-subsnap")
+      .toString + "/t"
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df.repartition(100)) // ONE snapshot, 100 files
+    val m = t.meta
+    val snap = m.currentSnapshotId.flatMap(m.snapshot).get
+    assert(snap.files.size === 100)
+
+    // drive the MicroBatchStream protocol like the engine would, with
+    // a checkpoint round-trip (serialize/deserialize) at every step
+    val stream = new graft.spark.GraftMicroBatchStream(root, m.schema)
+    val limit = ReadLimit.maxFiles(10)
+    var offset = stream.initialOffset()
+    var batches = 0
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    var done = false
+    while (!done && batches < 50) {
+      val next = stream.latestOffset(offset, limit)
+      if (next.json() == offset.json()) done = true
+      else {
+        val parts = stream.planInputPartitions(offset, next)
+        seen ++= parts.toSeq.flatMap(p =>
+          p.asInstanceOf[FilePartition].files.toSeq.map(_.filePath.toString))
+        batches += 1
+        // checkpoint round-trip: the next batch starts from the
+        // DESERIALIZED offset, as a restarted query would
+        offset = stream.deserializeOffset(next.json())
+      }
+    }
+    assert(batches === 10, s"100 files at 10/trigger must take 10 batches, got $batches")
+    assert(seen.size === 100 && seen.distinct.size === 100,
+      "every file exactly once across batches")
+    val expected = snap.files.map(f =>
+      new org.apache.hadoop.fs.Path(
+        graft.table.TableIO.path(root, "data"), f.path).toString).toSet
+    assert(seen.toSet === expected)
+
+    // end-to-end: the same drain through a real query, exactly-once rows
+    val out = root + "-out"
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "10").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(spark.read.parquet(out).count() === 1000L)
+    assert(spark.read.parquet(out).select("k").distinct().count() === 1000L)
+    // a second append resumes from the checkpoint without replaying
+    t.append(Seq((2000L, "new")).toDF("k", "v").coalesce(1))
+    val q2 = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "10").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(180000)
+    assert(spark.read.parquet(out).count() === 1001L)
+  }
+
   test("expire squash above a tag-pinned checkpoint: resume fails loudly") {
     val spark0 = spark
     import spark0.implicits._
