@@ -200,17 +200,20 @@ object Multimodal {
 
   /** Documents-as-media: REAL payloads synthesized per row (PNG bytes
     * for image rows, WAV bytes for audio rows, animated-GIF bytes for
-    * video rows), then decoded back partition-locally — the decode
-    * step parses actual container headers and, for video, samples
-    * real frames. The plan is scan → mapPartitions (encode) →
-    * mapPartitions (decode) → sort for output determinism. */
+    * video rows), then decoded back — the decode step parses actual
+    * container headers and, for video, samples real frames. Encode
+    * and decode FUSE into one partition-local pass: the payload bytes
+    * live only on the task heap between the two steps, never crossing
+    * an encoder (serialization) boundary — the shape a real pipeline
+    * wants, where decode follows ingest inside the same task. The
+    * plan is scan → mapPartitions (encode+decode) → sort. */
   val mmBinaryMeta: Q = (s, d) => {
     import s.implicits._
-    val media = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id % 3) match {
+      .mapPartitions(_.map { case (id, _) =>
+        val row = (id % 3) match {
           case 1 => MediaRow(id, "image",
             MediaCodec.encodePng(16 + (id % 4).toInt * 8,
               12 + (id % 3).toInt * 8, id))
@@ -220,9 +223,8 @@ object Multimodal {
             MediaCodec.encodeGif(16 + (id % 4).toInt * 4,
               12 + (id % 3).toInt * 4, 2 + (id % 4).toInt, id))
         }
+        MediaCodec.decode(row)
       })
-    media
-      .mapPartitions(_.map(MediaCodec.decode))
       .toDF()
       .select(col("media_id"), col("media_type"), col("decoded_bytes"),
         col("width"), col("height"), col("n_frames"))
