@@ -80,19 +80,46 @@ class GraftSparkTable(root: String,
     pinnedSnapshot: Option[Long] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** SQL UPDATE / MERGE INTO (and DELETEs SupportsDelete can't take):
-    * group-based copy-on-write. The operation's scan records the
-    * candidate files it planned; the replacement write commits new
+  /** SQL UPDATE / MERGE INTO (and DELETEs SupportsDelete can't take).
+    * Default: group-based copy-on-write — the operation's scan records
+    * the candidate files it planned; the replacement write commits new
     * files and removes exactly those in one snapshot. Rows are never
     * filtered inside the scan (the condition lives in the replacement
     * projection), so non-matching rows of candidate files are copied
-    * forward intact. */
+    * forward intact.
+    *
+    * With `write.update.mode` / `write.merge.mode` /
+    * `write.delete.mode` = merge-on-read (Iceberg's table properties)
+    * the operation runs as a DELTA write instead (SupportsDelta):
+    * matched rows position-delete their old slots and only changed
+    * rows are written — write cost O(changed rows), no candidate-file
+    * rewrite, which is the right default for point updates at 100 TB. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(root, info.command())
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      val key = info.command() match {
+        case Command.DELETE => "write.delete.mode"
+        case Command.UPDATE => "write.update.mode"
+        case _ => "write.merge.mode"
+      }
+      val props = if (Meta.exists(root)) Meta.load(root).properties
+        else Map.empty[String, String]
+      if (props.get(key).contains("merge-on-read"))
+        new GraftDeltaOperation(root, info.command())
+      else new GraftRowLevelOperation(root, info.command())
+    }
+
+  /** Row-address metadata columns, the delta row id (Iceberg exposes
+    * the same pair as _file/_pos). Emitted by the scan on request via
+    * single-file partitions + raw stream-index counting. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftSparkTable.FileMetaCol, GraftSparkTable.PosMetaCol)
   private lazy val meta = Meta.load(root)
 
   /** SQL `DELETE FROM <catalog table> WHERE ...`: the analyzer pushes
@@ -181,6 +208,27 @@ object GraftSparkTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
 
+  val FileColName = "_file"
+  val PosColName = "_pos"
+
+  val FileMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FileColName
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "qualified URI of the row's data file"
+    }
+
+  val PosMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = PosColName
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position within the data file"
+    }
+
   /** sources.Filter -> Column, for the V2 SupportsDelete path. Only
     * filters with exact Column equivalents translate; anything else
     * returns None and the DELETE is rejected up front. */
@@ -232,6 +280,154 @@ class GraftRowLevelOperation(root: String,
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new GraftReplaceWrite(root, info.schema(), () => scanned.get().toSeq)
+    }
+}
+
+/** Delta row-level operation (SupportsDelta): merge-on-read UPDATE /
+  * MERGE / DELETE. The scan emits the row address (_file, _pos) per
+  * candidate row; the write position-deletes matched slots and
+  * appends only the changed rows — one snapshot, no candidate-file
+  * rewrite (reference: operation.rs delete-file commits; Iceberg's
+  * Spark delta writes use the same row-id pair). */
+class GraftDeltaOperation(root: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftSparkTable.FileColName),
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftSparkTable.PosColName))
+
+  // the writer implements update() natively (delete old slot + write
+  // the new row in the same task)
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  // no capture: nothing is replaced wholesale, so runtime filtering
+  // may freely narrow the candidate FILES (positions are file-local)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, None, None, None)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(root, info.schema())
+        }
+    }
+}
+
+/** Executors stage new data files (partition-routed like every graft
+  * write) and position-delete files; the driver commit lands both in
+  * one snapshot via commitStagedDelta. */
+class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val suffix = java.util.UUID.randomUUID().toString.take(8)
+  private val stagingData = graft.table.TableIO.path(root, s"stage-delta-$suffix")
+  private val stagingDel = graft.table.TableIO.path(root, s"stage-deltadel-$suffix")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    graft.table.TableIO.mkdirs(stagingData)
+    graft.table.TableIO.mkdirs(stagingDel)
+    val spark = SparkSession.active
+    val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
+    GraftDeltaWriterFactory(
+      stagingData.toString, stagingDel.toString,
+      GraftConnectorShim.prepareParquetWriteConf(spark,
+        GraftWriteSchemas.withTableFieldIds(root, rowSchema)),
+      GraftConnectorShim.prepareParquetWriteConf(spark,
+        GraftDeltaWriterFactory.DeleteSchema),
+      RowTransform.forSpec(spec, rowSchema))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    GraftTable.load(SparkSession.active, root)
+      .commitStagedDelta(stagingData, stagingDel)
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    graft.table.TableIO.delete(stagingData, recursive = true)
+    graft.table.TableIO.delete(stagingDel, recursive = true)
+  }
+}
+
+object GraftDeltaWriterFactory {
+  /** Iceberg's position-delete file schema. */
+  val DeleteSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+case class GraftDeltaWriterFactory(
+    dataStaging: String, delStaging: String,
+    dataConf: org.apache.spark.util.SerializableConfiguration,
+    delConf: org.apache.spark.util.SerializableConfiguration,
+    transforms: Seq[RowTransform])
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      // both writers open lazily: a delete-only task writes no data
+      // parquet, an insert-only task writes no delete parquet
+      private var insertWriter
+          : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = _
+      private var delWriter
+          : org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private val delRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+
+      override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (insertWriter == null)
+          insertWriter = GraftWriterFactory(dataStaging, dataConf, transforms)
+            .createWriter(partitionId, taskId)
+        insertWriter.write(row)
+      }
+
+      override def delete(meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (delWriter == null)
+          delWriter = GraftConnectorShim.newParquetTaskWriter(
+            s"$delStaging/del-$partitionId-$taskId.parquet",
+            delConf.value, partitionId, taskId)
+        // id fields follow rowId() order: (_file, _pos)
+        delRow.update(0, id.getUTF8String(0))
+        delRow.update(1, id.getLong(1))
+        delWriter.write(delRow)
+      }
+
+      override def update(meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow,
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        delete(meta, id)
+        insert(row)
+      }
+
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (delWriter != null) delWriter.close()
+        if (insertWriter != null) insertWriter.commit()
+        else GraftCommitMessage("delta: deletes only", 0L)
+      }
+
+      override def abort(): Unit = {
+        if (delWriter != null) delWriter.close()
+        if (insertWriter != null) insertWriter.abort()
+      }
+
+      override def close(): Unit = ()
     }
 }
 
@@ -453,7 +649,14 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
     // live schema has since dropped
     val names = required.fieldNames.toSet
     requiredSchema = StructType(snapshotSchema.fields.filter(f => names.contains(f.name)))
+    // _file/_pos metadata columns (the delta row id) are not data
+    // columns: the reader APPENDS them per row, so track them apart
+    rowIdCols = required.fields.filter(f =>
+      f.name == GraftSparkTable.FileColName ||
+        f.name == GraftSparkTable.PosColName).toSeq
   }
+
+  private var rowIdCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty
 
   private def parquetPushable(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
@@ -490,7 +693,8 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
       else StructType(snapshotSchema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new GraftScan(root, table, snapshotId, branch, withKeys,
-      pushed, pushed.flatMap(toStatFilter), capture, streamOptions)
+      pushed, pushed.flatMap(toStatFilter), capture, streamOptions,
+      rowIdCols)
   }
 }
 
@@ -499,7 +703,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     requiredSchema: StructType, pushedFilters: Array[Filter],
     statFilters: Array[(String, String, String)],
     capture: Option[GraftRowLevelOperation] = None,
-    streamOptions: Map[String, String] = Map.empty)
+    streamOptions: Map[String, String] = Map.empty,
+    rowIdCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -604,7 +809,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     }
   }
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    StructType(requiredSchema.fields ++ rowIdCols)
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(root=$root, prunedBy=${statFilters.length} stat filters)"
@@ -681,7 +887,40 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     // group-based row-level ops replace exactly the files this scan
     // planned (runtime group filtering has already narrowed the set)
     capture.foreach(_.scanned.updateAndGet(_ ++ files.map(_.path)))
-    if (spjEligible) {
+    if (rowIdCols.nonEmpty) {
+      // row-id scans (delta row-level ops): one file per partition so
+      // the reader's raw stream index IS the row position, the same
+      // trick the position-delete read path uses. Keyed (SPJ/bucket)
+      // partitioning is skipped — a delta op's scan feeds a write,
+      // not a join.
+      val dataDir = graft.table.TableIO.path(root, "data")
+      val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
+      val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
+      val fileOut = scala.collection.mutable.Map[Int, String]()
+      val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      files.groupBy(deleteSig).toSeq
+        .sortBy { case ((eq, pos), _) => (eq ++ pos).mkString(";") }
+        .foreach { case ((eqSig, posSig), group) =>
+          val specs =
+            if (eqSig.isEmpty) Seq.empty else buildDeleteSpecs(spark, eqSig)
+          val posSpec =
+            if (posSig.isEmpty) None else Some(buildPosSpec(spark, posSig))
+          group.foreach { f =>
+            val idx = out.length
+            out += toFilePartition(idx, Seq(f))
+            if (specs.nonEmpty) specsOut(idx) = specs
+            val uri = graft.table.TableIO.qualified(
+              new org.apache.hadoop.fs.Path(dataDir, f.path))
+            fileOut(idx) = uri
+            posSpec.foreach(spec => posOut(idx) =
+              (spec, new org.apache.hadoop.fs.Path(uri).toUri.getPath))
+          }
+        }
+      deleteSpecsByPartition = specsOut.toMap
+      posSpecsByPartition = posOut.toMap
+      rowIdFileByPartition = fileOut.toMap
+      out.toArray
+    } else if (spjEligible) {
       // one partition per partition-value tuple, keyed for SPJ
       val specNames = table.spec.map(_.name)
       val types = identityPartCols.map(c =>
@@ -772,6 +1011,10 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     * file path) for single-file partitions under position deletes. */
   @volatile private var posSpecsByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty
 
+  /** partition index → qualified data-file URI, for row-id scans
+    * (single-file partitions; the reader appends _file/_pos). */
+  @volatile private var rowIdFileByPartition: Map[Int, String] = Map.empty
+
   /** Position-delete files become an executor-readable spec like the
     * equality ones: schema (file_path string, pos long). */
   private def buildPosSpec(spark: SparkSession, sig: Seq[String]): PosDeleteSpec = {
@@ -831,16 +1074,75 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     // WHOLE: the pushed group-filter condition may only prune files,
     // never rows — non-matching rows are copied forward by the
     // replacement projection, so dropping them here would lose data
+    // ...and a row-id scan counts RAW stream indexes as positions, so
+    // the parquet reader must not skip row groups either
     val pushForDelegate =
-      if (capture.isDefined ||
+      if (capture.isDefined || rowIdCols.nonEmpty ||
           deletesWithSeq.exists(_._1.content == 1)) Array.empty[Filter]
       else pushedFilters
-    val delegate: PartitionReaderFactory = UnwrapKeyedFactory(
+    val parquetFactory: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
         spark, table.schema, requiredSchema, pushForDelegate))
+    // _file/_pos append BELOW the MoR filter: positions must count
+    // every raw row of the file, including rows a live delete hides
+    val delegate =
+      if (rowIdCols.isEmpty) parquetFactory
+      else RowIdAppendFactory(parquetFactory, rowIdFileByPartition,
+        rowIdCols.map(_.name))
     if (deletesWithSeq.isEmpty) delegate
     else MorReaderFactory(delegate, deleteSpecsByPartition, posSpecsByPartition)
   }
+}
+
+/** Appends the row-address metadata columns (_file, _pos) to each row
+  * of a SINGLE-FILE partition: the raw stream index is the row's
+  * position within the file. Wraps BELOW any MoR filtering so hidden
+  * rows still advance the position counter. */
+case class RowIdAppendFactory(
+    delegate: PartitionReaderFactory,
+    fileByPartition: Map[Int, String],
+    colOrder: Seq[String])
+  extends PartitionReaderFactory {
+
+  private def indexOf(p: InputPartition): Int = p match {
+    case f: org.apache.spark.sql.execution.datasources.FilePartition => f.index
+    case k: KeyedFilePartition => k.inner.index
+    case _ => -1
+  }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = delegate.createReader(partition)
+    val file = fileByPartition.getOrElse(indexOf(partition),
+      throw new IllegalStateException(
+        s"row-id scan partition ${indexOf(partition)} has no file binding"))
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private val fileUtf8 =
+        org.apache.spark.unsafe.types.UTF8String.fromString(file)
+      private val meta =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          colOrder.length)
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      private var pos = -1L
+      override def next(): Boolean = {
+        val has = inner.next()
+        if (has) pos += 1
+        has
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+        // column order follows the REQUESTED schema tail
+        colOrder.zipWithIndex.foreach { case (name, i) =>
+          meta.update(i,
+            if (name == GraftSparkTable.FileColName) fileUtf8 else pos)
+        }
+        joined(inner.get(), meta)
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
 }
 
 /** Key-grouped input partition for storage-partitioned joins: wraps a

@@ -523,8 +523,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           val posFiles = deletesWithSeq.map(_._1)
             .filter(d => posPaths.contains(d.path))
           val delDf = spark.read.parquet(posFiles.map(absolute): _*)
+          // scheme-insensitive path compare: position-delete files may
+          // record file:/x, file:///x, or /x depending on the writer
+          // (_metadata.file_path vs the connector's qualified URIs) —
+          // all render the same physical file
+          def normPath(c: Column) = regexp_replace(c, "^[a-z]+:/+", "/")
           afterEq.join(delDf,
-            afterEq("__file") === delDf("file_path") &&
+            normPath(afterEq("__file")) === normPath(delDf("file_path")) &&
               afterEq("__pos") === delDf("pos"),
             "left_anti")
         }
@@ -1075,6 +1080,41 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // ONE snapshot deletes the old slots and adds the new rows
     commit("update-mor", newFiles, Seq.empty, addedDeletes = added)
     this
+  }
+
+  /** Commit a DELTA write (the V2 SupportsDelta path: SQL UPDATE /
+    * MERGE / complex DELETE in merge-on-read mode): executor-staged
+    * new data files plus executor-staged position-delete files land
+    * in ONE snapshot — write cost O(changed rows), no candidate-file
+    * rewrite. Mirrors updateWhereMoR's commit shape: the delete's
+    * sequence pins BELOW this commit, reaching every pre-existing
+    * file but not the rows added here. */
+  private[graft] def commitStagedDelta(dataStaging: HPath,
+      delStaging: HPath): Unit = {
+    val m = meta
+    val newFiles =
+      if (TableIO.listFilesRecursive(dataStaging)
+          .exists(_._1.getName.endsWith(".parquet")))
+        ingestStaged(dataStaging, m.schema, m.defaultSpecId)
+      else { TableIO.delete(dataStaging, recursive = true); Seq.empty }
+    val dir = new HPath(dataDir, "deletes")
+    TableIO.mkdirs(dir)
+    val delFiles = TableIO.listFilesRecursive(delStaging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dir, s"pos-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        Meta.DataFile(
+          path = TableIO.relativize(dataDir, dest),
+          partitionValues = Map.empty,
+          recordCount = -1L, fileSizeBytes = sz,
+          stats = Map.empty, content = 1,
+          dataSequence = Some(
+            m.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L)))
+      }
+    TableIO.delete(delStaging, recursive = true)
+    if (newFiles.isEmpty && delFiles.isEmpty) return
+    commit("update-mor", newFiles, Seq.empty, addedDeletes = delFiles)
   }
 
   def updateProperties(entries: Map[String, String]): GraftTable = this.synchronized {

@@ -335,6 +335,105 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_wh.ddl.cowd")
   }
 
+  test("write.update.mode=merge-on-read: SQL UPDATE runs as a delta write") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ddl")
+    spark.sql("CREATE TABLE graft_wh.ddl.moru (k BIGINT, v STRING, amt DOUBLE) " +
+      "TBLPROPERTIES ('write.update.mode'='merge-on-read')")
+    (1L to 100L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("moru_src")
+    spark.sql("INSERT INTO graft_wh.ddl.moru SELECT * FROM moru_src")
+    val before = graft.table.GraftTable.load(spark, s"$wh/ddl/moru")
+      .meta.liveFiles(None).map(_.path).toSet
+    spark.sql("UPDATE graft_wh.ddl.moru SET amt = amt * 10 WHERE k <= 10")
+    val m = graft.table.GraftTable.load(spark, s"$wh/ddl/moru").meta
+    val snap = m.currentSnapshotId.flatMap(m.snapshot).get
+    // delta commit: position-delete file(s) + ONLY the changed rows as
+    // new data; the original files are all still live (no rewrite)
+    assert(snap.operation === "update-mor")
+    assert(snap.addedDeleteFiles.nonEmpty && snap.removedPaths.isEmpty)
+    assert(before.subsetOf(m.liveFiles(None).map(_.path).toSet),
+      "merge-on-read update must not rewrite the candidate files")
+    val changedRows = snap.addedFiles.map(_.recordCount).filter(_ >= 0).sum
+    assert(snap.addedFiles.nonEmpty && changedRows === 10,
+      s"only the 10 changed rows may be written, got $changedRows")
+    // scans see exactly the updated values, once
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ddl.moru")
+      .collect()(0).getLong(0) === 100L)
+    assert(spark.sql("SELECT sum(amt) FROM graft_wh.ddl.moru WHERE k <= 10")
+      .collect()(0).getDouble(0) === (1 to 10).map(_ * 10.0).sum)
+    assert(spark.sql("SELECT sum(amt) FROM graft_wh.ddl.moru WHERE k > 10")
+      .collect()(0).getDouble(0) === (11 to 100).map(_ * 1.0).sum)
+    // the driver-API scan agrees (V1 read path applies the same deletes)
+    val t = graft.table.GraftTable.load(spark, s"$wh/ddl/moru")
+    assert(t.scan().agg(org.apache.spark.sql.functions.sum("amt"))
+      .collect()(0).getDouble(0) ===
+      ((1 to 10).map(_ * 10.0).sum + (11 to 100).map(_ * 1.0).sum))
+    spark.sql("DROP TABLE graft_wh.ddl.moru")
+  }
+
+  test("write.merge.mode=merge-on-read: MERGE INTO runs as a delta write") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ddl")
+    spark.sql("CREATE TABLE graft_wh.ddl.morm (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    (1L to 50L).map(i => (i, s"old$i")).toDF("k", "v")
+      .createOrReplaceTempView("morm_src")
+    spark.sql("INSERT INTO graft_wh.ddl.morm SELECT * FROM morm_src")
+    val before = graft.table.GraftTable.load(spark, s"$wh/ddl/morm")
+      .meta.liveFiles(None).map(_.path).toSet
+    Seq((49L, "upd49"), (50L, "upd50"), (51L, "new51"))
+      .toDF("k", "v").createOrReplaceTempView("morm_delta")
+    spark.sql("""MERGE INTO graft_wh.ddl.morm t USING morm_delta s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val m = graft.table.GraftTable.load(spark, s"$wh/ddl/morm").meta
+    val snap = m.currentSnapshotId.flatMap(m.snapshot).get
+    assert(snap.operation === "update-mor")
+    assert(snap.addedDeleteFiles.nonEmpty && snap.removedPaths.isEmpty)
+    assert(before.subsetOf(m.liveFiles(None).map(_.path).toSet))
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ddl.morm")
+      .collect()(0).getLong(0) === 51L)
+    val got = spark.sql(
+      "SELECT v FROM graft_wh.ddl.morm WHERE k >= 49 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("upd49", "upd50", "new51"))
+    spark.sql("DROP TABLE graft_wh.ddl.morm")
+  }
+
+  test("write.delete.mode=merge-on-read: complex DELETE runs as a delta write") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.ddl")
+    spark.sql("CREATE TABLE graft_wh.ddl.morx (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    (1L to 60L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("morx_src")
+    spark.sql("INSERT INTO graft_wh.ddl.morx SELECT * FROM morx_src")
+    val before = graft.table.GraftTable.load(spark, s"$wh/ddl/morx")
+      .meta.liveFiles(None).map(_.path).toSet
+    // length(v) isn't a translatable source filter -> goes through the
+    // row-level operation, which in MoR mode is the DELTA path: a
+    // delete-file commit with NO new data files
+    spark.sql("DELETE FROM graft_wh.ddl.morx WHERE length(v) = 2 AND k % 2 = 0")
+    val m = graft.table.GraftTable.load(spark, s"$wh/ddl/morx").meta
+    val snap = m.currentSnapshotId.flatMap(m.snapshot).get
+    assert(snap.addedDeleteFiles.nonEmpty && snap.addedFiles.isEmpty &&
+      snap.removedPaths.isEmpty)
+    assert(m.liveFiles(None).map(_.path).toSet === before)
+    // deleted: k in 2,4,6,8 (len(v)=2 means k<=9, even)
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ddl.morx")
+      .collect()(0).getLong(0) === 56L)
+    assert(spark.sql("SELECT count(*) FROM graft_wh.ddl.morx " +
+      "WHERE k <= 9 AND k % 2 = 0").collect()(0).getLong(0) === 0L)
+    spark.sql("DROP TABLE graft_wh.ddl.morx")
+  }
+
   test("SQL metadata tables: t.files / t.snapshots / t.history") {
     val spark0 = spark
     import spark0.implicits._
