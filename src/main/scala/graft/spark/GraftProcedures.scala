@@ -1,0 +1,203 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.table.{GraftTable, Meta}
+
+/** SQL stored procedures for table maintenance — `CALL cat.system.X(...)`
+  * on Spark 4's ProcedureCatalog API. This is how every engine exposes
+  * the reference's maintenance transactions (expire_snapshots, orphan
+  * GC, compaction, rollback, branching — `table/transaction/operation
+  * .rs:38`) to SQL-only users: the operation itself still runs as the
+  * same distributed Spark job / metadata commit the Scala API uses;
+  * the procedure is only the front door plus a metadata-scale result
+  * row, so nothing here adds driver-side data movement at 100 TB. */
+object GraftProcedures {
+
+  /** One result set held as already-converted InternalRows —
+    * procedures return metadata-scale output (a count, a path list),
+    * so a LocalScan is the right vehicle: no job, no partitions. */
+  private case class ResultScan(resultSchema: StructType,
+      resultRows: Array[InternalRow]) extends LocalScan {
+    override def readSchema(): StructType = resultSchema
+    override def rows(): Array[InternalRow] = resultRows
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def row(values: Any*): InternalRow =
+    new GenericInternalRow(values.toArray)
+
+  private def result(schema: StructType, rows: Seq[InternalRow])
+      : java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(
+      ResultScan(schema, rows.toArray): Scan).iterator()
+
+  /** A graft maintenance procedure: fixed parameter list, fixed output
+    * schema, body over the resolved GraftTable. Binding is trivial —
+    * Spark aligns/coerces/defaults the CALL arguments against
+    * `parameters()`, so `bind` just returns the bound form. */
+  abstract class GraftProcedure(val procName: String,
+      description: String,
+      params: Array[ProcedureParameter],
+      outputSchema: StructType,
+      loadTable: String => GraftTable)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = loadTable(input.getUTF8String(0).toString)
+      result(outputSchema, body(table, input))
+    }
+    protected def body(t: GraftTable, input: InternalRow): Seq[InternalRow]
+  }
+
+  private val TableParam =
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier, e.g. 'db.t'").build()
+
+  def all(loadTable: String => GraftTable): Map[String, UnboundProcedure] = {
+    val procs = Seq[GraftProcedure](
+
+      new GraftProcedure("expire_snapshots",
+        "Expire history older than the newest keep_last snapshots " +
+          "(ref retention policies honored)",
+        Array(TableParam,
+          ProcedureParameter.in("keep_last", IntegerType)
+            .defaultValue("1").build()),
+        StructType(Seq(
+          StructField("snapshots_before", IntegerType),
+          StructField("snapshots_after", IntegerType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val before = t.meta.snapshots.size
+          t.expireSnapshots(keepLast = in.getInt(1))
+          Seq(row(before, t.meta.snapshots.size))
+        }
+      },
+
+      new GraftProcedure("vacuum",
+        "Delete unreferenced data/delete files older than older_than_ms",
+        Array(TableParam,
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue("3600000").build()),
+        StructType(Seq(StructField("removed_files", IntegerType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          Seq(row(t.vacuum(in.getLong(1)).size))
+      },
+
+      new GraftProcedure("remove_orphan_files",
+        "List (dry_run) or delete unreferenced files and abandoned " +
+          "staging dirs older than older_than_ms",
+        Array(TableParam,
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue("3600000").build(),
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(StructField("orphan_path", StringType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          t.removeOrphanFiles(in.getLong(1), in.getBoolean(2))
+            .map(p => row(utf8(p)))
+      },
+
+      new GraftProcedure("rewrite_data_files",
+        "Bin-pack small files per partition toward target_file_size_bytes " +
+          "(outstanding equality deletes fold in)",
+        Array(TableParam,
+          ProcedureParameter.in("target_file_size_bytes", LongType)
+            .defaultValue((128L * 1024 * 1024).toString).build()),
+        StructType(Seq(
+          StructField("rewritten_data_files", IntegerType),
+          StructField("added_data_files", IntegerType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val before = t.meta.liveFiles(None).map(_.path).toSet
+          t.compact(in.getLong(1))
+          val after = t.meta.liveFiles(None).map(_.path).toSet
+          Seq(row((before -- after).size, (after -- before).size))
+        }
+      },
+
+      new GraftProcedure("rewrite_delete_files",
+        "Fold outstanding merge-on-read delete files into the data files",
+        Array(TableParam),
+        StructType(Seq(StructField("removed_delete_files", IntegerType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val before = t.meta.liveDeleteFiles(None).size
+          t.applyDeletes()
+          Seq(row(before - t.meta.liveDeleteFiles(None).size))
+        }
+      },
+
+      new GraftProcedure("rollback_to_snapshot",
+        "Make an earlier snapshot current (reversible until expired)",
+        Array(TableParam,
+          ProcedureParameter.in("snapshot_id", LongType).build()),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val prev = t.meta.currentSnapshotId.getOrElse(-1L)
+          val target = in.getLong(1)
+          t.rollbackTo(target)
+          Seq(row(prev, target))
+        }
+      },
+
+      new GraftProcedure("create_branch",
+        "Create or repoint a branch at snapshot_id (NULL = current)",
+        Array(TableParam,
+          ProcedureParameter.in("branch", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
+        StructType(Seq(
+          StructField("branch", StringType),
+          StructField("snapshot_id", LongType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val snap =
+            if (in.isNullAt(2)) t.meta.currentSnapshotId.getOrElse(
+              throw new IllegalArgumentException("table has no snapshot"))
+            else in.getLong(2)
+          val branch = in.getUTF8String(1).toString
+          t.setRef(branch, snap, Some(Meta.RefRetention("branch")))
+          Seq(row(utf8(branch), snap))
+        }
+      },
+
+      new GraftProcedure("create_tag",
+        "Pin a tag to snapshot_id (NULL = current)",
+        Array(TableParam,
+          ProcedureParameter.in("tag", StringType).build(),
+          ProcedureParameter.in("snapshot_id", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
+        StructType(Seq(
+          StructField("tag", StringType),
+          StructField("snapshot_id", LongType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val snap =
+            if (in.isNullAt(2)) t.meta.currentSnapshotId.getOrElse(
+              throw new IllegalArgumentException("table has no snapshot"))
+            else in.getLong(2)
+          val tag = in.getUTF8String(1).toString
+          t.setRef(tag, snap, Some(Meta.RefRetention("tag")))
+          Seq(row(utf8(tag), snap))
+        }
+      }
+    )
+    procs.map(p => p.procName -> (p: UnboundProcedure)).toMap
+  }
+}

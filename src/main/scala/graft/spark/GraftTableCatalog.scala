@@ -113,9 +113,37 @@ case class GraftDatetimeFunction(fname: String)
 }
 
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // ---- ProcedureCatalog: CALL cat.system.expire_snapshots('db.t', 1)
+  // etc. — the reference's maintenance transactions as SQL procedures
+  private lazy val procedures: Map[String,
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    GraftProcedures.all { tableName =>
+      val root = (warehouse +: tableName.split('.').toSeq).mkString("/")
+      if (!Meta.exists(root))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Identifier.of(tableName.split('.').dropRight(1),
+            tableName.split('.').last))
+      GraftTable.load(SparkSession.active, root)
+    }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system"))
+    procedures.get(ident.name().toLowerCase(java.util.Locale.ROOT))
+      .filter(_ => ok)
+      .getOrElse(throw new RuntimeException(
+        s"no such procedure: ${ident.namespace().mkString(".")}.${ident.name()}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else procedures.keys.toArray.sorted
+      .map(n => Identifier.of(Array("system"), n))
 
   // ---- FunctionCatalog: expose the bucket transform so Spark can
   // align KeyGroupedPartitioning across tables (storage-partitioned

@@ -715,16 +715,50 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * may belong to an in-flight commit whose snapshot is not yet
     * visible (the reference's orphan GC uses the same age cutoff). */
   def vacuum(olderThanMs: Long = 3600000L): Seq[String] = this.synchronized {
+    val orphans = unreferencedDataFiles(olderThanMs)
+    orphans.foreach(TableIO.delete(_))
+    orphans.map(TableIO.relativize(dataDir, _))
+  }
+
+  private def unreferencedDataFiles(olderThanMs: Long): Seq[HPath] = {
     val m = meta
     val referenced = (m.snapshots.flatMap(_.files.map(_.path)) ++
       m.snapshots.flatMap(_.addedDeleteFiles.map(_.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val orphans = TableIO.listFilesRecursive(dataDir).filterNot {
-      case (p, _, mtime) =>
-        referenced.contains(TableIO.relativize(dataDir, p)) || mtime > cutoff
+    TableIO.listFilesRecursive(dataDir).collect {
+      case (p, _, mtime)
+          if !referenced.contains(TableIO.relativize(dataDir, p)) &&
+            mtime <= cutoff => p
     }
-    orphans.foreach { case (p, _, _) => TableIO.delete(p) }
-    orphans.map { case (p, _, _) => TableIO.relativize(dataDir, p) }
+  }
+
+  /** Orphan-file GC (the reference catalog's remove_orphan_files
+    * maintenance): everything `vacuum` removes PLUS abandoned
+    * `stage-*` directories left by crashed or failed commits at the
+    * table root. A staging dir counts as abandoned only when every
+    * file in it (or the dir itself, if empty) is older than
+    * `olderThanMs` — a fresh one may belong to an in-flight commit
+    * whose snapshot is not yet visible. `dryRun` lists without
+    * deleting. Returns table-root-relative paths. */
+  def removeOrphanFiles(olderThanMs: Long = 3600000L,
+      dryRun: Boolean = false): Seq[String] = this.synchronized {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val rootPath = TableIO.path(root)
+    val staleStaging = TableIO.listDir(rootPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("stage-"))
+      .filter { st =>
+        val entries = TableIO.listFilesRecursive(st.getPath)
+        if (entries.isEmpty) st.getModificationTime <= cutoff
+        else entries.forall(_._3 <= cutoff)
+      }
+      .map(_.getPath)
+    val dataOrphans = unreferencedDataFiles(olderThanMs)
+    if (!dryRun) {
+      staleStaging.foreach(TableIO.delete(_, recursive = true))
+      dataOrphans.foreach(TableIO.delete(_))
+    }
+    (staleStaging ++ dataOrphans).map(TableIO.relativize(rootPath, _))
   }
 
   /** Merge-on-read DELETE WHERE (Iceberg v2 equality deletes): the

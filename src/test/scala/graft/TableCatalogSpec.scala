@@ -723,4 +723,86 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(files.forall(f => f.partitionValues.contains("_p_ts_day") &&
       f.partitionValues.contains("_p_event_id_bucket")))
   }
+
+  test("CALL procedures: expire / vacuum / rewrite / rollback / branch / tag") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
+    spark.sql("CREATE TABLE graft_wh.proc.t (k BIGINT, v DOUBLE)")
+    (1 to 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft_wh.proc.t VALUES ($i, $i.5)")
+    }
+    val t = graft.table.GraftTable.load(spark, s"$wh/proc/t")
+    val snaps = t.meta.snapshots.map(_.snapshotId)
+    assert(snaps.size === 4)
+
+    // rollback_to_snapshot (positional args)
+    val rb = spark.sql(
+      s"CALL graft_wh.system.rollback_to_snapshot('proc.t', ${snaps(2)})")
+      .collect()(0)
+    assert(rb.getLong(0) === snaps(3) && rb.getLong(1) === snaps(2))
+    assert(spark.sql("SELECT count(*) FROM graft_wh.proc.t")
+      .collect()(0).getLong(0) === 3)
+
+    // create_branch / create_tag (named args, defaulted snapshot_id)
+    val br = spark.sql(
+      "CALL graft_wh.system.create_branch(table => 'proc.t', branch => 'dev')")
+      .collect()(0)
+    assert(br.getString(0) === "dev" && br.getLong(1) === snaps(2))
+    spark.sql(s"CALL graft_wh.system.create_tag('proc.t', 'v1', ${snaps(0)})")
+    assert(t.meta.refs("dev") === snaps(2) && t.meta.refs("v1") === snaps(0))
+
+    // rewrite_data_files bin-packs the 3 live single-row files into 1
+    val rw = spark.sql("CALL graft_wh.system.rewrite_data_files('proc.t')")
+      .collect()(0)
+    assert(rw.getInt(0) === 3 && rw.getInt(1) === 1)
+    assert(spark.sql("SELECT sum(k) FROM graft_wh.proc.t")
+      .collect()(0).getLong(0) === 6)
+
+    // expire_snapshots keeps refs' ancestry; then vacuum GCs old files
+    val ex = spark.sql(
+      "CALL graft_wh.system.expire_snapshots('proc.t', keep_last => 1)")
+      .collect()(0)
+    assert(ex.getInt(1) < ex.getInt(0))
+    val vac = spark.sql(
+      "CALL graft_wh.system.vacuum('proc.t', older_than_ms => 0)")
+      .collect()(0)
+    assert(vac.getInt(0) >= 1) // snapshot 4's file is unreferenced post-rollback
+    assert(spark.sql("SELECT count(*) FROM graft_wh.proc.t")
+      .collect()(0).getLong(0) === 3)
+    // the tag still reads its pinned snapshot after expire+vacuum
+    assert(spark.read.format("graft").option("branch", "v1")
+      .load(s"$wh/proc/t").count() === 1)
+  }
+
+  test("CALL remove_orphan_files sweeps stale staging dirs, honors dry_run") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc2")
+    spark.sql("CREATE TABLE graft_wh.proc2.t (k BIGINT)")
+    spark.sql("INSERT INTO graft_wh.proc2.t VALUES (1), (2)")
+    // simulate a crashed commit: an abandoned staging dir + a stray file
+    val root = java.nio.file.Paths.get(s"$wh/proc2/t")
+    val stale = root.resolve("stage-deadbeef")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(root.resolve("data").resolve("stray.parquet"),
+      Array[Byte](4, 5))
+    val dry = spark.sql(
+      "CALL graft_wh.system.remove_orphan_files('proc2.t', 0, true)")
+      .collect().map(_.getString(0)).sorted
+    assert(dry.toSeq === Seq("data/stray.parquet", "stage-deadbeef"))
+    assert(java.nio.file.Files.exists(stale)) // dry run deleted nothing
+    val real = spark.sql(
+      "CALL graft_wh.system.remove_orphan_files('proc2.t', older_than_ms => 0)")
+      .collect().map(_.getString(0)).sorted
+    assert(real.toSeq === Seq("data/stray.parquet", "stage-deadbeef"))
+    assert(!java.nio.file.Files.exists(stale))
+    assert(spark.sql("SELECT count(*) FROM graft_wh.proc2.t")
+      .collect()(0).getLong(0) === 2)
+    // listProcedures surfaces the system namespace
+    val names = spark.sessionState.catalogManager.catalog("graft_wh")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
+      .listProcedures(Array("system")).map(_.name()).toSeq
+    assert(names.contains("remove_orphan_files") && names.size === 8)
+  }
 }
