@@ -462,7 +462,68 @@ object TableOps {
        FROM orders WHERE o_orderstatus <> 'P'
        GROUP BY 1 ORDER BY o_orderstatus"""
 
+  /** Incremental batch read through the connector: three appends, the
+    * (s1, s2] range read back via start/end-snapshot-id options — IO
+    * proportional to the middle delta. The oracle recomputes exactly
+    * the middle append's rows from the source. */
+  val tfIncrementalScan: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val root = scratch()
+    val t = GraftTable.create(s, root, o.schema)
+    t.append(o.filter(year(col("o_orderdate")) < 1995))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(o.filter(year(col("o_orderdate")).between(1995, 1996)))
+    val s2 = t.meta.currentSnapshotId.get
+    t.append(o.filter(year(col("o_orderdate")) > 1996))
+    s.read.format("graft")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString).load(root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")).cast("decimal(38,10)"), 2)
+          .cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfIncrementalScanSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice)::DECIMAL(38,10),2)::DOUBLE AS total
+       FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
+  /** Changelog (CDC) read: appends then a copy-on-write delete; the
+    * per-commit net changes are re-aggregated by change type. The
+    * carryover rows the CoW rewrite copies verbatim must cancel, so
+    * the oracle is exact row populations from the source. */
+  val tfChangelogScan: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val root = scratch()
+    val t = GraftTable.create(s, root, c.schema)
+    t.append(c.filter(col("c_custkey") % 3 =!= 0))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(c.filter(col("c_custkey") % 3 === 0))
+    t.delete(col("c_mktsegment") === "BUILDING")
+    t.changesBetween(Some(s1))
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).cast("long").as("key_sum"))
+      .orderBy(col("change_type"))
+      .select(col("change_type"), col("n"), col("key_sum"))
+  }
+
+  val tfChangelogScanSql: String =
+    """SELECT * FROM (
+         SELECT 'insert' AS change_type, count(*) AS n,
+                CAST(sum(c_custkey) AS BIGINT) AS key_sum
+         FROM customer WHERE c_custkey % 3 = 0
+         UNION ALL
+         SELECT 'delete', count(*), CAST(sum(c_custkey) AS BIGINT)
+         FROM customer WHERE c_mktsegment = 'BUILDING')
+       ORDER BY change_type"""
+
   val queries: Map[String, Q] = Map(
+    "tf_incremental_scan" -> tfIncrementalScan,
+    "tf_changelog_scan" -> tfChangelogScan,
     "tf_export_roundtrip" -> tfExportRoundtrip,
     "tf_iceberg_read" -> tfIcebergRead,
     "tf_iceberg_partitioned" -> tfIcebergPartitioned,
@@ -484,6 +545,8 @@ object TableOps {
     "tf_mat_view_refresh" -> tfMatViewRefresh)
 
   val oracles: Map[String, String] = Map(
+    "tf_incremental_scan" -> tfIncrementalScanSql,
+    "tf_changelog_scan" -> tfChangelogScanSql,
     "tf_export_roundtrip" -> tfExportRoundtripSql,
     "tf_iceberg_read" -> tfIcebergReadSql,
     "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,

@@ -192,10 +192,16 @@ class GraftSparkTable(root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     import scala.jdk.CollectionConverters._
+    // incremental batch read: only rows appended in
+    // (start-snapshot-id, end-snapshot-id ?? current] — IO scales
+    // with the delta, not the table (appends-only ranges enforced)
+    val endSnapshot = Option(options.get("end-snapshot-id")).map(_.toLong)
     new GraftScanBuilder(root,
-      pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong)),
+      pinnedSnapshot.orElse(Option(options.get("snapshot")).map(_.toLong))
+        .orElse(endSnapshot),
       Option(options.get("branch")),
-      streamOptions = options.asCaseSensitiveMap().asScala.toMap)
+      streamOptions = options.asCaseSensitiveMap().asScala.toMap,
+      startSnapshot = Option(options.get("start-snapshot-id")).map(_.toLong))
   }
 
   override def newWriteBuilder(
@@ -561,7 +567,8 @@ object GraftScanBuilder {
 class GraftScanBuilder(root: String, snapshotId: Option[Long],
     branch: Option[String],
     capture: Option[GraftRowLevelOperation] = None,
-    streamOptions: Map[String, String] = Map.empty)
+    streamOptions: Map[String, String] = Map.empty,
+    startSnapshot: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -593,6 +600,9 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     val snapId = branch.flatMap(table.refs.get).orElse(snapshotId)
+    // an incremental range answers over the delta, not the live set —
+    // the manifest totals would be wrong
+    if (startSnapshot.isDefined) return false
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     if (table.liveDeleteFiles(snapId).nonEmpty) return false
     val files = table.liveFiles(snapId)
@@ -694,7 +704,7 @@ class GraftScanBuilder(root: String, snapshotId: Option[Long],
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new GraftScan(root, table, snapshotId, branch, withKeys,
       pushed, pushed.flatMap(toStatFilter), capture, streamOptions,
-      rowIdCols)
+      rowIdCols, startSnapshot)
   }
 }
 
@@ -704,7 +714,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     statFilters: Array[(String, String, String)],
     capture: Option[GraftRowLevelOperation] = None,
     streamOptions: Map[String, String] = Map.empty,
-    rowIdCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+    rowIdCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+    startSnapshot: Option[Long] = None)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -751,7 +762,10 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     * set per task; files under position deletes get single-file bins
     * (the reader tracks row indexes per file). */
   private def deleteSig(f: Meta.DataFile): (Seq[String], Seq[String]) = {
-    val seq = seqByPath.getOrElse(f.path, Long.MinValue)
+    // incremental files rewritten away later in range aren't in the
+    // live map; their carried dataSequence keeps delete scoping sound
+    val seq = seqByPath.getOrElse(f.path,
+      f.dataSequence.getOrElse(Long.MinValue))
     (deletesWithSeq.filter { case (d, ds) => d.content == 2 && ds > seq }
       .map(_._1.path).sorted,
       deletesWithSeq.filter { case (d, ds) => d.content == 1 && ds >= seq }
@@ -862,9 +876,12 @@ class GraftScan(root: String, table: Meta.TableMetadata,
 
   private def plannedDataFiles(spark: org.apache.spark.sql.SparkSession): Seq[Meta.DataFile] = {
     val t = GraftTable.load(spark, root)
-    t.plannedFiles(
-      (statFilters.toSeq ++ runtimeStatFilters).map(s => t.StatFilter(s._1, s._2, s._3)),
-      snapshotId, branch)
+    val filters = (statFilters.toSeq ++ runtimeStatFilters)
+      .map(s => t.StatFilter(s._1, s._2, s._3))
+    startSnapshot match {
+      case Some(s) => t.plannedAppendedFiles(filters, Some(s), snapId)
+      case None => t.plannedFiles(filters, snapshotId, branch)
+    }
   }
 
   private def toFilePartition(idx: Int, bin: Seq[Meta.DataFile])

@@ -407,11 +407,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         case _ => true
       }
     })
+    live.filter(fileAdmits(m, schema, filters))
+  }
+
+  /** Per-file admission under stat + partition-value pruning — shared
+    * by live planning and incremental (appended-range) planning. */
+  private def fileAdmits(m: Meta.TableMetadata,
+      schema: StructType, filters: Seq[StatFilter])(f: Meta.DataFile): Boolean = {
     // union over ALL specs: after evolution a filter column may be a
     // partition field only for SOME files' eras
     val partFields = m.specs.values.flatten.map(_.name).toSet
-    live.filter { f =>
-      filters.forall { flt =>
+    filters.forall { flt =>
         // partition-value pruning: exact value per file, compared
         // through the transform's output type (identity/truncate keep
         // the source column's type; the datetime/bucket transforms are
@@ -449,7 +455,86 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           case _ => true
         }
       }
+  }
+
+  /** Pruned planning over the appends in (start, end] — the
+    * incremental-scan file list. Manifest-group pruning does not
+    * apply: the range set is already proportional to the delta, not
+    * the table; per-file stat/partition pruning still does. */
+  def plannedAppendedFiles(filters0: Seq[StatFilter], start: Option[Long],
+      end: Option[Long] = None): Seq[Meta.DataFile] = {
+    val m = meta
+    val filters = filters0.filterNot(f => m.statsUnprunable.contains(f.column))
+    val schema = m.schemas(end.flatMap(m.snapshot).map(_.schemaId)
+      .getOrElse(m.currentSchemaId))
+    m.appendedFilesBetween(start, end).filter(fileAdmits(m, schema, filters))
+  }
+
+  /** Incremental batch read: only rows appended in (since, end]. */
+  def scanAppendedBetween(since: Option[Long],
+      end: Option[Long] = None): DataFrame = {
+    val m = meta
+    val schema = m.schemas(end.flatMap(m.snapshot).map(_.schemaId)
+      .getOrElse(m.currentSchemaId))
+    val delta = m.appendedFilesBetween(since, end)
+    if (delta.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else idRead.schema(schema).parquet(delta.map(absolute): _*)
+  }
+
+  /** Changelog between snapshots (the reference's incremental/CDC
+    * consumption shape; Spark-Iceberg exposes it as
+    * create_changelog_view): one row per changed row in (start, end]
+    * on the main chain, tagged `_change_type` ('insert' | 'delete')
+    * and `_commit_snapshot_id`, in commit order. Appends emit their
+    * added rows as inserts; row-preserving rewrites emit nothing;
+    * copy-on-write delete/overwrite/merge/rewrite-fold snapshots emit
+    * NET changes — removed-minus-added rows as deletes and
+    * added-minus-removed as inserts, so the carryover rows a CoW
+    * rewrite copies verbatim cancel out (a distributed exceptAll per
+    * snapshot, shuffling only that commit's touched files, never the
+    * table). Merge-on-read delta snapshots in range throw: fold them
+    * first (applyDeletes) — emitting a delete FILE as row changes
+    * would need its own diff semantics. */
+  def changesBetween(start: Option[Long],
+      end: Option[Long] = None): DataFrame = {
+    val m = meta
+    val schema = m.schemas(end.flatMap(m.snapshot).map(_.schemaId)
+      .getOrElse(m.currentSchemaId))
+    def readPaths(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else idRead.schema(schema).parquet(
+        paths.map(p => TableIO.qualified(new HPath(dataDir, p))): _*)
+    def tag(df: DataFrame, change: String, snap: Long): DataFrame =
+      df.withColumn("_change_type", lit(change))
+        .withColumn("_commit_snapshot_id", lit(snap))
+    val parts = m.rangeSnapshots(start, end).flatMap { s =>
+      if (s.summary.get("squashed").contains("true"))
+        throw new IllegalStateException(
+          s"snapshot ${s.snapshotId} is an expire-squashed base; " +
+            "changelog range invalid")
+      val dataAdded = s.files.filter(_.content == 0).map(_.path)
+      s.operation match {
+        case "append" =>
+          Seq(tag(readPaths(dataAdded), "insert", s.snapshotId))
+        case "rewrite" => Seq.empty
+        case "delete" | "overwrite" | "merge" | "rewrite-fold" =>
+          if (s.addedDeleteFiles.nonEmpty)
+            throw new IllegalStateException(
+              s"snapshot ${s.snapshotId} adds merge-on-read delete " +
+                "files; fold them in (applyDeletes) before a changelog read")
+          val removed = readPaths(s.removedPaths)
+          val added = readPaths(dataAdded)
+          Seq(tag(removed.exceptAll(added), "delete", s.snapshotId),
+            tag(added.exceptAll(removed), "insert", s.snapshotId))
+        case other => throw new IllegalStateException(
+          s"changelog read over unsupported operation '$other' " +
+            s"(snapshot ${s.snapshotId})")
+      }
     }
+    val empty = tag(readPaths(Seq.empty), "none", -1L).limit(0)
+    parts.foldLeft(empty)(_.unionAll(_))
   }
 
   private def comparator(t: DataType): (String, String) => Int =

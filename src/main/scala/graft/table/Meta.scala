@@ -207,6 +207,52 @@ object Meta {
     def chainSnapshots(snapshotId: Option[Long]): Seq[Snapshot] =
       chainTo(snapshotId)
 
+    /** Snapshots in (start, end] on end's lineage, oldest first — the
+      * incremental-consumer range. `start` must be an ancestor of
+      * `end`: if it was expired away (or sits on another branch), an
+      * incremental consumer would re-emit or lose rows, so this throws
+      * rather than guessing. */
+    def rangeSnapshots(start: Option[Long], end: Option[Long]): Seq[Snapshot] = {
+      val chain = chainTo(end)
+      start match {
+        case None => chain
+        case Some(s) =>
+          val idx = chain.indexWhere(_.snapshotId == s)
+          require(idx >= 0,
+            s"snapshot $s is not an ancestor of " +
+              s"${end.orElse(currentSnapshotId).getOrElse(-1L)} " +
+              "(expired, or on another branch)")
+          chain.drop(idx + 1)
+      }
+    }
+
+    /** Data files appended in (start, end]: the batch-incremental read
+      * set, IO proportional to the delta. Appends contribute their
+      * added data files (original files, even if a later in-range
+      * compaction rewrote them — their rows are consumed exactly
+      * once); row-preserving rewrites contribute nothing; any
+      * row-changing operation in range throws, because an
+      * appends-only consumer would silently lose or duplicate rows.
+      * Each file carries its commit's sequence number so pre-range
+      * merge-on-read deletes still scope correctly. */
+    def appendedFilesBetween(start: Option[Long],
+        end: Option[Long]): Seq[DataFile] =
+      rangeSnapshots(start, end).flatMap { s =>
+        if (s.summary.get("squashed").contains("true"))
+          throw new IllegalStateException(
+            s"snapshot ${s.snapshotId} is an expire-squashed base " +
+              "carrying the full live set; incremental range invalid")
+        s.operation match {
+          case "append" => s.files.filter(_.content == 0)
+            .map(f => f.copy(dataSequence =
+              f.dataSequence.orElse(Some(s.sequenceNumber))))
+          case "rewrite" => Seq.empty
+          case other => throw new IllegalStateException(
+            s"incremental read requires append-only history; " +
+              s"snapshot ${s.snapshotId} is '$other'")
+        }
+      }
+
     /** Live file set at a snapshot, replaying the append/remove chain. */
     def liveFiles(snapshotId: Option[Long]): Seq[DataFile] =
       chainTo(snapshotId).foldLeft(Seq.empty[DataFile])((live, s) => s(live))

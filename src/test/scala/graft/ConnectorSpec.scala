@@ -239,4 +239,43 @@ class ConnectorSpec extends AnyFunSuite {
     assert(spark.read.format("graft").option("branch", "dev")
       .load(root).count() === 150)
   }
+
+  test("incremental batch read: (start, end] appends only, pruned, safe") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema)
+    t.append(li.filter(col("l_orderkey") <= 1000))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(li.filter(col("l_orderkey") > 1000 && col("l_orderkey") <= 2000))
+    val s2 = t.meta.currentSnapshotId.get
+    t.append(li.filter(col("l_orderkey") > 2000))
+    // (s1, s2]: exactly the second append's rows
+    val mid = spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString).load(root)
+    val want = li.filter(col("l_orderkey") > 1000 && col("l_orderkey") <= 2000)
+    assert(mid.count() === want.count())
+    assert(mid.agg(sum("l_orderkey")).collect()(0).getLong(0) ===
+      want.agg(sum("l_orderkey")).collect()(0).getLong(0))
+    // open end = everything appended after s1
+    assert(spark.read.format("graft").option("start-snapshot-id", s1.toString)
+      .load(root).count() ===
+      want.count() + li.filter(col("l_orderkey") > 2000).count())
+    // filters still prune within the range
+    assert(spark.read.format("graft").option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString).load(root)
+      .filter(col("l_orderkey") > 1500).count() ===
+      li.filter(col("l_orderkey") > 1500 && col("l_orderkey") <= 2000).count())
+    // a row-changing snapshot in range must refuse, not lose rows
+    t.delete(col("l_orderkey") === 1500)
+    val ex = intercept[Exception] {
+      spark.read.format("graft").option("start-snapshot-id", s1.toString)
+        .load(root).count()
+    }
+    assert(ex.getMessage.contains("append-only"))
+    // a bounded range BEFORE the delete still reads fine
+    assert(spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString).load(root).count() === want.count())
+  }
 }

@@ -608,4 +608,44 @@ class TableSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("changesBetween: per-commit net changes, carryovers cancel") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1)
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(Seq((4L, "d"), (5L, "e")).toDF("k", "v"))
+    val s2 = t.meta.currentSnapshotId.get
+    // CoW delete rewrites the touched file: carryover rows (the
+    // file's surviving rows) must NOT appear as changes
+    t.delete(col("k") === 2L)
+    val s3 = t.meta.currentSnapshotId.get
+
+    val all = t.changesBetween(Some(s1)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(all.sorted.toSeq === Seq(
+      (2L, "b", "delete", s3),
+      (4L, "d", "insert", s2),
+      (5L, "e", "insert", s2)))
+    // full-history changelog replays the table
+    val replay = t.changesBetween(None).collect()
+    assert(replay.count(_.getString(2) == "insert") === 5)
+    assert(replay.count(_.getString(2) == "delete") === 1)
+    // bounded sub-range sees only its commits
+    assert(t.changesBetween(Some(s2), Some(s3)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((2L, "delete")))
+    // compaction is row-preserving: no changes emitted
+    t.compact()
+    assert(t.changesBetween(Some(s3)).count() === 0)
+    // MoR delta snapshots refuse until folded
+    t.deleteWhereMoR(col("k") === 4L, Seq("k"))
+    val ex = intercept[IllegalStateException](t.changesBetween(Some(s3)).count())
+    assert(ex.getMessage.contains("delete"))
+    // incremental append scan between snapshots
+    assert(t.scanAppendedBetween(Some(s1), Some(s2))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
+  }
 }
