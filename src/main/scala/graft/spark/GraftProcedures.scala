@@ -177,6 +177,39 @@ object GraftProcedures {
         }
       },
 
+      new GraftProcedure("cherrypick_snapshot",
+        "Apply an append snapshot (e.g. staged on an audit branch) " +
+          "onto main as a new commit — metadata-only",
+        Array(TableParam,
+          ProcedureParameter.in("snapshot_id", LongType).build()),
+        StructType(Seq(
+          StructField("source_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val src = in.getLong(1)
+          t.cherrypick(src)
+          Seq(row(src, t.meta.currentSnapshotId.getOrElse(-1L)))
+        }
+      },
+
+      new GraftProcedure("fast_forward",
+        "Fast-forward a branch to another ref's tip (the publish step " +
+          "of write-audit-publish); refuses divergent moves",
+        Array(TableParam,
+          ProcedureParameter.in("branch", StringType).build(),
+          ProcedureParameter.in("to", StringType).build()),
+        StructType(Seq(
+          StructField("previous_ref", LongType),
+          StructField("updated_ref", LongType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val (prev, now) = t.fastForward(
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+          Seq(row(prev, now))
+        }
+      },
+
       new GraftProcedure("create_tag",
         "Pin a tag to snapshot_id (NULL = current)",
         Array(TableParam,

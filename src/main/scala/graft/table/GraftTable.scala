@@ -1145,6 +1145,46 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Cherry-pick an append snapshot (typically staged on an audit
+    * branch) onto the main chain as a NEW commit referencing the same
+    * data files — metadata-only, no data movement (the write-audit-
+    * publish flow; Iceberg's cherrypick_snapshot). Only appends are
+    * pickable: a row-changing snapshot's removals are relative to ITS
+    * parent and replaying them on a diverged main would be wrong. */
+  def cherrypick(snapshotId: Long): GraftTable = this.synchronized {
+    val m = meta
+    val s = m.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    require(s.operation == "append",
+      s"only append snapshots can be cherry-picked; " +
+        s"$snapshotId is '${s.operation}'")
+    require(!m.chainSnapshots(None).exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId is already on the main chain")
+    commit("append", s.files, Seq.empty)
+    this
+  }
+
+  /** Fast-forward a branch to another ref's tip — the publish step of
+    * write-audit-publish. Requires the branch tip to be an ancestor
+    * of the target (or the branch to not exist yet): anything else is
+    * a divergent move that would silently drop commits. Returns
+    * (previous tip or -1, new tip). */
+  def fastForward(branch: String, to: String): (Long, Long) = this.synchronized {
+    val m = meta
+    val toId = m.refs.getOrElse(to,
+      throw new IllegalArgumentException(s"no ref '$to'"))
+    val fromId = m.refs.get(branch)
+    fromId.foreach { f =>
+      require(m.chainSnapshots(Some(toId)).exists(_.snapshotId == f),
+        s"'$branch' ($f) is not an ancestor of '$to' ($toId): not a fast-forward")
+    }
+    Meta.write(root, m.copy(
+      refs = m.refs + (branch -> toId),
+      currentSnapshotId =
+        if (branch == "main") Some(toId) else m.currentSnapshotId))
+    (fromId.getOrElse(-1L), toId)
+  }
+
   /** Roll the main branch back to an earlier snapshot: time travel
     * made current. The abandoned snapshots stay in history (expire
     * removes them), so rollback is itself reversible. */

@@ -803,6 +803,57 @@ class TableCatalogSpec extends AnyFunSuite {
     val names = spark.sessionState.catalogManager.catalog("graft_wh")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq
-    assert(names.contains("remove_orphan_files") && names.size === 8)
+    assert(names.contains("remove_orphan_files") && names.size === 10)
+  }
+
+  test("write-audit-publish: stage on a branch, audit, publish via CALL") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.wap")
+    spark.sql("CREATE TABLE graft_wh.wap.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft_wh.wap.t VALUES (1, 1.0)")
+    val root = s"$wh/wap/t"
+    val t = graft.table.GraftTable.load(spark, root)
+    val published = t.meta.currentSnapshotId.get
+    // stage two appends on an audit branch — main must not see them
+    spark.sql(s"CALL graft_wh.system.create_branch('wap.t', 'audit')")
+    val spark0 = spark
+    import spark0.implicits._
+    t.append(Seq((2L, 2.0)).toDF("k", "v"), branch = "audit")
+    t.append(Seq((3L, 3.0)).toDF("k", "v"), branch = "audit")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.wap.t")
+      .collect()(0).getLong(0) === 1)
+    // audit the staged rows through the branch read, then publish
+    assert(spark.read.format("graft").option("branch", "audit")
+      .load(root).count() === 3)
+    val ff = spark.sql(
+      "CALL graft_wh.system.fast_forward('wap.t', 'main', 'audit')").collect()(0)
+    assert(ff.getLong(0) === published)
+    assert(spark.sql("SELECT count(*) FROM graft_wh.wap.t")
+      .collect()(0).getLong(0) === 3)
+    // a diverged move refuses: main has advanced past the branch tip
+    spark.sql("INSERT INTO graft_wh.wap.t VALUES (4, 4.0)")
+    val ex = intercept[Exception](spark.sql(
+      "CALL graft_wh.system.fast_forward('wap.t', 'main', 'audit')").collect())
+    assert(ex.getMessage.contains("not a fast-forward") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("not a fast-forward"))
+
+    // cherry-pick: stage one append on a fresh branch off current main,
+    // publish just that commit as a new main snapshot
+    spark.sql("CALL graft_wh.system.create_branch('wap.t', 'fix')")
+    t.append(Seq((9L, 9.0)).toDF("k", "v"), branch = "fix")
+    val staged = t.meta.refs("fix")
+    val cp = spark.sql(
+      s"CALL graft_wh.system.cherrypick_snapshot('wap.t', $staged)").collect()(0)
+    assert(cp.getLong(0) === staged)
+    assert(spark.sql("SELECT sum(k) FROM graft_wh.wap.t")
+      .collect()(0).getLong(0) === 1 + 2 + 3 + 4 + 9)
+    // picking a non-append or an on-main snapshot refuses
+    val ex2 = intercept[Exception](spark.sql(
+      s"CALL graft_wh.system.cherrypick_snapshot('wap.t', ${cp.getLong(1)})")
+      .collect())
+    assert(ex2.getMessage.contains("already on the main chain") ||
+      ex2.getCause != null &&
+        ex2.getCause.getMessage.contains("already on the main chain"))
   }
 }
