@@ -731,11 +731,39 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     val files = plannedDataFiles(SparkSession.active)
     val bytes = files.map(_.fileSizeBytes).sum
     val rows = files.map(_.recordCount).filter(_ >= 0).sum
+    // analyze()-persisted NDV (plus per-file null counts when every
+    // planned file carries the column's stats) as V2 column stats —
+    // the CBO's join-reorder inputs. NDV is table-level: after
+    // pruning it's an upper bound, which is the safe direction.
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    requiredSchema.fieldNames.foreach { c =>
+      val ndv = table.properties.get(s"${GraftTable.NdvProp}$c").map(_.toLong)
+      val nulls =
+        if (files.nonEmpty && files.forall(_.stats.contains(c)))
+          Some(files.map(_.stats(c).nullCount).sum)
+        else None
+      if (ndv.isDefined || nulls.isDefined)
+        colStats.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def nullCount(): java.util.OptionalLong =
+              nulls.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          })
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

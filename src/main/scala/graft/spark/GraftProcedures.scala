@@ -177,6 +177,25 @@ object GraftProcedures {
         }
       },
 
+      new GraftProcedure("analyze_table",
+        "Compute approx per-column NDV (one distributed pass) and " +
+          "persist as table stats for the cost-based optimizer",
+        Array(TableParam,
+          ProcedureParameter.in("columns", StringType)
+            .defaultValue("''")
+            .comment("comma-separated; empty = all simple columns").build()),
+        StructType(Seq(
+          StructField("column", StringType),
+          StructField("ndv", LongType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          t.analyze(cols).toSeq.sortBy(_._1)
+            .map { case (c, n) => row(utf8(c), n) }
+        }
+      },
+
       new GraftProcedure("cherrypick_snapshot",
         "Apply an append snapshot (e.g. staged on an audit branch) " +
           "onto main as a new commit — metadata-only",

@@ -32,7 +32,7 @@ object SmokeProcedures {
       check("procedures listed",
         spark.sessionState.catalogManager.catalog("pwh")
           .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
-          .listProcedures(Array("system")).length, 10)
+          .listProcedures(Array("system")).length, 11)
       spark.sql(s"CALL pwh.system.create_tag('sm.t', 'pin', ${snaps(0)})")
       check("tag pinned", t.meta.refs.get("pin"), Some(snaps(0)))
       val rb = spark.sql(
@@ -53,6 +53,12 @@ object SmokeProcedures {
       check("tag still readable",
         spark.read.format("graft").option("branch", "pin")
           .load(s"$wh/sm/t").count(), 1L)
+      val an = spark.sql("CALL pwh.system.analyze_table('sm.t')")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      check("analyze_table NDV over live rows", an("k"), 2L)
+      check("NDV persisted as table stats",
+        graft.table.GraftTable.load(spark, s"$wh/sm/t")
+          .meta.properties.get("stats.ndv.k"), Some("2"))
     } finally spark.stop()
   }
 }

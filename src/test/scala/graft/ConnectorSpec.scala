@@ -278,4 +278,30 @@ class ConnectorSpec extends AnyFunSuite {
       .option("start-snapshot-id", s1.toString)
       .option("end-snapshot-id", s2.toString).load(root).count() === want.count())
   }
+
+  test("analyze() NDV lands in V2 columnStats for the CBO") {
+    val c = Tables.customer(spark, sf)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, c.schema)
+    t.append(c)
+    val ndv = t.analyze(Seq("c_custkey", "c_mktsegment"))
+    val exactSeg = c.select("c_mktsegment").distinct().count()
+    // approx_count_distinct is within a few percent at this scale
+    assert(math.abs(ndv("c_mktsegment") - exactSeg) <= exactSeg / 10 + 1)
+    // the scan reports the stats through the V2 Statistics surface
+    val scan = new graft.spark.GraftScanBuilder(root, None, None).build()
+    val stats = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    val byName = stats.columnStats().entrySet().iterator()
+    var found = Map.empty[String, Long]
+    while (byName.hasNext) {
+      val e = byName.next()
+      if (e.getValue.distinctCount().isPresent)
+        found += e.getKey.fieldNames()(0) -> e.getValue.distinctCount().getAsLong
+    }
+    assert(found("c_custkey") === ndv("c_custkey"))
+    assert(found("c_mktsegment") === ndv("c_mktsegment"))
+    assert(stats.numRows().getAsLong === c.count())
+  }
 }
