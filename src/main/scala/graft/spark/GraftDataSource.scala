@@ -350,7 +350,8 @@ class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
     GraftDeltaWriterFactory(
       stagingData.toString, stagingDel.toString,
       GraftConnectorShim.prepareParquetWriteConf(spark,
-        GraftWriteSchemas.withTableFieldIds(root, rowSchema)),
+        GraftWriteSchemas.withTableFieldIds(root, rowSchema),
+        GraftWriteSchemas.bloomOptions(root)),
       GraftConnectorShim.prepareParquetWriteConf(spark,
         GraftDeltaWriterFactory.DeleteSchema),
       RowTransform.forSpec(spec, rowSchema))
@@ -482,7 +483,8 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
     ReplaceRowAdapterFactory(
       GraftWriterFactory(staging.toString,
         GraftConnectorShim.prepareParquetWriteConf(SparkSession.active,
-          GraftWriteSchemas.withTableFieldIds(root, schema)),
+          GraftWriteSchemas.withTableFieldIds(root, schema),
+          GraftWriteSchemas.bloomOptions(root)),
         RowTransform.forSpec(spec, schema)),
       schema)
   }
@@ -535,6 +537,12 @@ object GraftWriteSchemas {
       t.fields.find(_.name == f.name)
         .map(tf => f.copy(metadata = tf.metadata)).getOrElse(f)))
   }
+
+  /** Bloom-filter write options for the V2 task writers, from the
+    * table's properties (no-op before the table exists). */
+  def bloomOptions(root: String): Map[String, String] =
+    if (!Meta.exists(root)) Map.empty
+    else GraftTable.bloomWriteOptions(Meta.load(root))
 }
 
 object GraftScanBuilder {
@@ -1413,7 +1421,8 @@ class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
     val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
     GraftWriterFactory(staging.toString,
       GraftConnectorShim.prepareParquetWriteConf(SparkSession.active,
-        GraftWriteSchemas.withTableFieldIds(root, schema)),
+        GraftWriteSchemas.withTableFieldIds(root, schema),
+        GraftWriteSchemas.bloomOptions(root)),
       RowTransform.forSpec(spec, schema))
   }
 

@@ -147,7 +147,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // so scope it with a set-restore window around this eager write
     withMicrosTimestamps(withSessionConf(
       "spark.sql.parquet.fieldId.write.enabled", "true") {
-      writer.parquet(staging.toString)
+      writer.options(GraftTable.bloomWriteOptions(m)).parquet(staging.toString)
     })
     ingestStaged(staging, schema, m.defaultSpecId)
   }
@@ -1338,6 +1338,30 @@ object GraftTable {
   val NdvProp = "stats.ndv."
   /** Snapshot the NDV estimates were computed at. */
   val AnalyzedSnapshotProp = "stats.analyzed-snapshot-id"
+
+  /** Parquet bloom-filter write options from table properties
+    * (Iceberg's property names): set
+    * `write.parquet.bloom-filter-enabled.column.<col>=true` to build
+    * a bloom filter on <col> in every written file; an optional
+    * `write.parquet.bloom-filter-fpp.column.<col>` tunes the false-
+    * positive rate, and an analyze()-computed NDV sizes the filter.
+    * At 100 TB this is the point-lookup path: equality predicates on
+    * high-cardinality, non-clustered columns (ids, hashes) skip row
+    * groups that min/max envelopes cannot. Applied by BOTH write
+    * paths — the driver-side DataFrameWriter and the V2 executor
+    * task writers. */
+  def bloomWriteOptions(m: Meta.TableMetadata): Map[String, String] = {
+    val pfx = "write.parquet.bloom-filter-enabled.column."
+    m.properties.toSeq.collect {
+      case (k, "true") if k.startsWith(pfx) =>
+        val c = k.stripPrefix(pfx)
+        Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
+          m.properties.get(s"$NdvProp$c")
+            .map(n => s"parquet.bloom.filter.expected.ndv#$c" -> n) ++
+          m.properties.get(s"write.parquet.bloom-filter-fpp.column.$c")
+            .map(f => s"parquet.bloom.filter.fpp#$c" -> f)
+    }.flatten.toMap
+  }
 
   /** Create a new table (schema + optional partition spec + optional
     * sort order for write clustering). */

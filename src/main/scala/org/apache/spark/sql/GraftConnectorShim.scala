@@ -38,9 +38,10 @@ object GraftConnectorShim {
     * prepareWrite does, serialized for shipping to write tasks. */
   def prepareParquetWriteConf(
       spark: org.apache.spark.sql.SparkSession,
-      schema: StructType): SerializableConfiguration = {
+      schema: StructType,
+      extra: Map[String, String] = Map.empty): SerializableConfiguration = {
     val classic = spark.asInstanceOf[SparkSession]
-    val conf = classic.sessionState.newHadoopConfWithOptions(Map.empty)
+    val conf = classic.sessionState.newHadoopConfWithOptions(extra)
     val sqlConf = classic.sessionState.conf
     conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
       classOf[parquet.ParquetWriteSupport].getName)

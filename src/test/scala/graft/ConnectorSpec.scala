@@ -279,6 +279,49 @@ class ConnectorSpec extends AnyFunSuite {
       .option("end-snapshot-id", s2.toString).load(root).count() === want.count())
   }
 
+  test("bloom-filter table property builds blooms on both write paths") {
+    def bloomCols(root: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val dir = new java.io.File(s"$root/data")
+      val parquets = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      assert(parquets.nonEmpty, s"no parquet files under $dir")
+      parquets.flatMap { f =>
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration()))
+        try in.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala
+          .filter(_.getBloomFilterOffset >= 0)
+          .map(_.getPath.toDotString)).toSet
+        finally in.close()
+      }.toSet
+    }
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1L to 500L).map(i => (i, s"u$i")).toDF("id", "name")
+    // driver write path (GraftTable.append)
+    val r1 = tmp()
+    GraftTable.create(spark, r1, df.schema, properties =
+      Map("write.parquet.bloom-filter-enabled.column.id" -> "true"))
+      .append(df)
+    assert(bloomCols(r1) === Set("id"))
+    // V2 executor write path (SQL INSERT through the catalog)
+    val wh = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    spark.conf.set("spark.sql.catalog.bw", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.bw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE bw.db")
+    spark.sql(
+      """CREATE TABLE bw.db.t (id BIGINT, name STRING) TBLPROPERTIES (
+         'write.parquet.bloom-filter-enabled.column.name'='true')""")
+    df.createOrReplaceTempView("bloom_src")
+    spark.sql("INSERT INTO bw.db.t SELECT * FROM bloom_src")
+    assert(bloomCols(s"$wh/db/t") === Set("name"))
+    // reads stay exact with the point predicate the bloom serves
+    assert(spark.read.format("graft").load(r1)
+      .filter(col("id") === 123L).count() === 1)
+  }
+
   test("analyze() NDV lands in V2 columnStats for the CBO") {
     val c = Tables.customer(spark, sf)
     val root = tmp()
