@@ -806,6 +806,19 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(names.contains("remove_orphan_files") && names.size === 11)
   }
 
+  test("incremental read options flow through spark.read.table") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.inc")
+    spark.sql("CREATE TABLE graft_wh.inc.t (k BIGINT)")
+    spark.sql("INSERT INTO graft_wh.inc.t VALUES (1), (2)")
+    val t = graft.table.GraftTable.load(spark, s"$wh/inc/t")
+    val s1 = t.meta.currentSnapshotId.get
+    spark.sql("INSERT INTO graft_wh.inc.t VALUES (3), (4), (5)")
+    val got = spark.read.option("start-snapshot-id", s1.toString)
+      .table("graft_wh.inc.t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(3L, 4L, 5L))
+  }
+
   test("write-audit-publish: stage on a branch, audit, publish via CALL") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.wap")
