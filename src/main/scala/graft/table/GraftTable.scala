@@ -102,7 +102,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * distributed footer-read job — metadata-only IO, no second pass
     * over the data (the reference reads the same footer statistics:
     * iceberg-rust/src/file_format/parquet.rs). */
-  private def writeFiles(df: DataFrame, schema: StructType): Seq[Meta.DataFile] = {
+  private def writeFiles(df: DataFrame, schema: StructType,
+      targetN: Option[Int] = None): Seq[Meta.DataFile] = {
     val m = meta
     val staging = TableIO.path(root, s"stage-${UUID.randomUUID().toString.take(8)}")
     val partNames = m.spec.map(_.name)
@@ -138,7 +139,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           else parted
         sorted.write.partitionBy(partNames: _*)
       } else if (sortCols.nonEmpty)
-        withParts.repartitionByRange(sortCols: _*)
+        // a compaction passes its bin-pack target through: range-
+        // clustering must not explode the rewrite back into
+        // shuffle-partition-count files
+        targetN.map(n => withParts.repartitionByRange(n, sortCols: _*))
+          .getOrElse(withParts.repartitionByRange(sortCols: _*))
           .sortWithinPartitions(sortCols: _*)
           .write
       else withParts.write
@@ -710,7 +715,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val df = readWithDeletes(allSmall.map(f => (f, seqByPath(f.path))),
       m.liveDeleteFilesWithSeq(None), m.schema)
       .repartition(targetN)
-    val files = writeFiles(df, m.schema)
+    val files = writeFiles(df, m.schema, Some(targetN))
     // a compaction with live deletes folds them into the rewritten
     // files (rows removed) -> "rewrite-fold"; only a delete-free
     // bin-pack is the row-preserving "rewrite" streams may skip

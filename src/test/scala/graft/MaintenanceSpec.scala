@@ -65,6 +65,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(planned.size < files.size)
   }
 
+  test("compaction on a sorted table honors the bin-pack target AND re-clusters") {
+    val li = Tables.lineitem(spark, sf)
+    val t = GraftTable.create(spark, tmp(), li.schema,
+      sortOrder = Seq("l_orderkey"))
+    // many small unclustered-ish appends
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try (0 until 4).foreach(i =>
+      t.append(li.filter(col("l_orderkey") % 4 === i)))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val before = t.plannedFiles(Seq.empty)
+    assert(before.size >= 4)
+    t.compact() // default 128 MB target: everything fits one bin
+    val after = t.plannedFiles(Seq.empty)
+    // the bin-pack target governs the file count — NOT the shuffle
+    // partition default the range-clustering shuffle would pick
+    assert(after.size === 1,
+      s"sorted compaction must respect targetN, got ${after.size} files")
+    assert(t.scan().count() === li.count())
+    // multi-bin case keeps files range-disjoint (clustering preserved)
+    val t2 = GraftTable.create(spark, tmp(), li.schema,
+      sortOrder = Seq("l_orderkey"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try (0 until 4).foreach(i =>
+      t2.append(li.filter(col("l_orderkey") % 4 === i)))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val smallTarget = t2.plannedFiles(Seq.empty).map(_.fileSizeBytes).sum / 3
+    t2.compact(smallTarget)
+    val files2 = t2.plannedFiles(Seq.empty)
+    assert(files2.size > 1 && files2.size < 8)
+    val ranges = files2.map(f =>
+      (f.stats("l_orderkey").min.toLong, f.stats("l_orderkey").max.toLong))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) =>
+        assert(max1 <= min2, s"compaction lost clustering: $ranges")
+      case _ =>
+    }
+    assert(t2.scan().count() === li.count())
+  }
+
   test("z-order clustering prunes on both dimensions") {
     val o = Tables.orders(spark, sf)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
