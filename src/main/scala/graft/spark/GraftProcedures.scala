@@ -111,18 +111,27 @@ object GraftProcedures {
       },
 
       new GraftProcedure("rewrite_data_files",
-        "Bin-pack small files per partition toward target_file_size_bytes " +
-          "(outstanding equality deletes fold in)",
+        "strategy 'binpack' (default): bin-pack small files per " +
+          "partition toward target_file_size_bytes; strategy 'sort': " +
+          "rewrite ALL live files through the table sort order, " +
+          "restoring range clustering. Outstanding deletes fold in.",
         Array(TableParam,
           ProcedureParameter.in("target_file_size_bytes", LongType)
-            .defaultValue((128L * 1024 * 1024).toString).build()),
+            .defaultValue((128L * 1024 * 1024).toString).build(),
+          ProcedureParameter.in("strategy", StringType)
+            .defaultValue("'binpack'").build()),
         StructType(Seq(
           StructField("rewritten_data_files", IntegerType),
           StructField("added_data_files", IntegerType))),
         loadTable) {
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
           val before = t.meta.liveFiles(None).map(_.path).toSet
-          t.compact(in.getLong(1))
+          in.getUTF8String(2).toString match {
+            case "binpack" => t.compact(in.getLong(1))
+            case "sort" => t.rewriteSort(in.getLong(1))
+            case other => throw new IllegalArgumentException(
+              s"unknown rewrite strategy '$other' (binpack | sort)")
+          }
           val after = t.meta.liveFiles(None).map(_.path).toSet
           Seq(row((before -- after).size, (after -- before).size))
         }

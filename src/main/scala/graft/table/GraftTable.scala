@@ -725,6 +725,32 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Sort-strategy rewrite (Iceberg's rewrite_data_files strategy =>
+    * 'sort'): rewrite ALL live data files — not just small ones —
+    * through the table's sort order, restoring range clustering that
+    * interleaved appends destroyed. setSortOrder only clusters FUTURE
+    * writes; this applies it to history so manifest min/max pruning
+    * bites again. Outstanding equality deletes fold in (rewrite-fold,
+    * as compact). */
+  def rewriteSort(targetFileBytes: Long = 128L * 1024 * 1024): GraftTable = {
+    val m = meta
+    require(m.sortOrder.nonEmpty,
+      "rewriteSort needs a table sort order (setSortOrder first)")
+    val live = m.liveFiles(None)
+    if (live.isEmpty) return this
+    val targetN = math.max(1,
+      math.ceil(live.map(_.fileSizeBytes).sum.toDouble / targetFileBytes).toInt)
+    val seqByPath = m.liveFilesWithSeq(None).map { case (f, q) => f.path -> q }.toMap
+    val df = readWithDeletes(live.map(f => (f, seqByPath(f.path))),
+      m.liveDeleteFilesWithSeq(None), m.schema)
+    val files = writeFiles(df, m.schema, Some(targetN))
+    val op = if (m.liveDeleteFilesWithSeq(None).nonEmpty) "rewrite-fold"
+             else "rewrite"
+    commit(op, files, live.map(_.path),
+      removedDeletes = m.liveDeleteFiles(None).map(_.path))
+    this
+  }
+
   /** Expire snapshots older than the newest `keepLast`, keeping every
     * snapshot a ref points to plus its ancestry. Expired snapshots are
     * squashed into a synthetic base so the live chain still replays. */

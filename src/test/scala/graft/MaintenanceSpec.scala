@@ -105,6 +105,48 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t2.scan().count() === li.count())
   }
 
+  test("sort-strategy rewrite restores clustering over interleaved history") {
+    val li = Tables.lineitem(spark, sf)
+    // table written WITHOUT clustering: interleaved modulo appends
+    val t = GraftTable.create(spark, tmp(), li.schema)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try (0 until 4).foreach(i =>
+      t.append(li.filter(col("l_orderkey") % 4 === i)))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    def overlaps(files: Seq[graft.table.Meta.DataFile]): Boolean = {
+      val rs = files.map(f =>
+        (f.stats("l_orderkey").min.toLong, f.stats("l_orderkey").max.toLong))
+        .sortBy(_._1)
+      rs.sliding(2).exists {
+        case Seq((_, max1), (min2, _)) => max1 > min2
+        case _ => false
+      }
+    }
+    assert(overlaps(t.plannedFiles(Seq.empty)),
+      "modulo appends should produce overlapping key ranges")
+    // adopt a sort order, then apply it to history with a target that
+    // forces multiple bins
+    t.setSortOrder(Seq("l_orderkey"))
+    val target = t.plannedFiles(Seq.empty).map(_.fileSizeBytes).sum / 3
+    t.rewriteSort(target)
+    val after = t.plannedFiles(Seq.empty)
+    assert(after.size > 1 && !overlaps(after),
+      s"sort rewrite must leave range-disjoint files")
+    assert(t.scan().count() === li.count())
+    // pruning bites again: a point predicate plans a strict subset
+    val mid = after.map(_.stats("l_orderkey").min.toLong).sorted
+      .apply(after.size / 2).toString
+    assert(t.plannedFiles(
+      Seq(t.StatFilter("l_orderkey", "=", mid))).size < after.size)
+    // MoR deletes fold in: delete file dropped, rows gone
+    val t2 = GraftTable.load(spark, t.root)
+    t2.deleteWhereMoR(col("l_linestatus") === "F", Seq("l_linestatus"))
+    assert(t2.meta.liveDeleteFiles(None).nonEmpty)
+    t2.rewriteSort(target)
+    assert(t2.meta.liveDeleteFiles(None).isEmpty)
+    assert(t2.scan().count() === li.filter(col("l_linestatus") =!= "F").count())
+  }
+
   test("z-order clustering prunes on both dimensions") {
     val o = Tables.orders(spark, sf)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
