@@ -498,9 +498,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * added-minus-removed as inserts, so the carryover rows a CoW
     * rewrite copies verbatim cancel out (a distributed exceptAll per
     * snapshot, shuffling only that commit's touched files, never the
-    * table). Merge-on-read delta snapshots in range throw: fold them
-    * first (applyDeletes) — emitting a delete FILE as row changes
-    * would need its own diff semantics. */
+    * table). A merge-on-read equality delete emits its hidden rows —
+    * parent scan semi-joined to the broadcast key set. Positional
+    * MoR deltas (delete-pos / update-mor) throw: fold them first
+    * (applyDeletes) — diffing file/offset deletes needs row-position
+    * reads this path doesn't do. */
   def changesBetween(start: Option[Long],
       end: Option[Long] = None): DataFrame = {
     val m = meta
@@ -533,6 +535,24 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           val added = readPaths(dataAdded)
           Seq(tag(removed.exceptAll(added), "delete", s.snapshotId),
             tag(added.exceptAll(removed), "insert", s.snapshotId))
+        case "delete-eq" =>
+          // an equality delete hides every parent-visible row matching
+          // its keys (later appends carry higher sequences, so parent
+          // visibility IS the scope): deleted rows = parent scan
+          // semi-joined to the (small, broadcastable) key set
+          val keyFiles = s.addedDeleteFiles.filter(_.content == 2)
+          val keyCols = keyFiles.flatMap(_.equalityColumns).distinct
+          val keySchema = StructType(
+            schema.fields.filter(f => keyCols.contains(f.name)))
+          val keys = idRead.schema(keySchema).parquet(
+            keyFiles.map(f =>
+              TableIO.qualified(new HPath(dataDir, f.path))): _*).distinct()
+          val parentRows = s.parentId match {
+            case Some(p) => scan(snapshotId = Some(p))
+            case None => readPaths(Seq.empty)
+          }
+          Seq(tag(parentRows.join(broadcast(keys), keyCols, "left_semi"),
+            "delete", s.snapshotId))
         case other => throw new IllegalStateException(
           s"changelog read over unsupported operation '$other' " +
             s"(snapshot ${s.snapshotId})")

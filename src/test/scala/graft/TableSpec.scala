@@ -640,10 +640,16 @@ class TableSpec extends AnyFunSuite {
     // compaction is row-preserving: no changes emitted
     t.compact()
     assert(t.changesBetween(Some(s3)).count() === 0)
-    // MoR delta snapshots refuse until folded
+    // a MoR equality delete emits exactly its hidden rows
     t.deleteWhereMoR(col("k") === 4L, Seq("k"))
-    val ex = intercept[IllegalStateException](t.changesBetween(Some(s3)).count())
-    assert(ex.getMessage.contains("delete"))
+    assert(t.changesBetween(Some(s3)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((4L, "delete")))
+    // positional MoR deltas refuse until folded
+    val sMor = t.meta.currentSnapshotId.get
+    t.updateWhereMoR(col("k") === 5L, Seq("v" -> lit("E")))
+    val ex = intercept[IllegalStateException](t.changesBetween(Some(sMor)).count())
+    assert(ex.getMessage.contains("update-mor") ||
+      ex.getMessage.contains("unsupported"))
     // incremental append scan between snapshots
     assert(t.scanAppendedBetween(Some(s1), Some(s2))
       .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
