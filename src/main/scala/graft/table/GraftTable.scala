@@ -498,11 +498,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * added-minus-removed as inserts, so the carryover rows a CoW
     * rewrite copies verbatim cancel out (a distributed exceptAll per
     * snapshot, shuffling only that commit's touched files, never the
-    * table). A merge-on-read equality delete emits its hidden rows —
-    * parent scan semi-joined to the broadcast key set. Positional
-    * MoR deltas (delete-pos / update-mor) throw: fold them first
-    * (applyDeletes) — diffing file/offset deletes needs row-position
-    * reads this path doesn't do. */
+    * table). Merge-on-read deltas emit their hidden rows: equality
+    * deletes via a parent-scan semi-join against the broadcast key
+    * set; positional deletes (delete-pos / update-mor) by re-scanning
+    * parent-visible rows with row positions and semi-joining the
+    * broadcast (file, pos) entries — update-mor's appended files are
+    * its inserts. */
   def changesBetween(start: Option[Long],
       end: Option[Long] = None): DataFrame = {
     val m = meta
@@ -526,7 +527,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         case "append" =>
           Seq(tag(readPaths(dataAdded), "insert", s.snapshotId))
         case "rewrite" => Seq.empty
-        case "delete" | "overwrite" | "merge" | "rewrite-fold" =>
+        case "delete" | "overwrite" | "merge" | "rewrite-fold" | "replace" =>
           if (s.addedDeleteFiles.nonEmpty)
             throw new IllegalStateException(
               s"snapshot ${s.snapshotId} adds merge-on-read delete " +
@@ -535,6 +536,24 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           val added = readPaths(dataAdded)
           Seq(tag(removed.exceptAll(added), "delete", s.snapshotId),
             tag(added.exceptAll(removed), "insert", s.snapshotId))
+        case "delete-pos" | "update-mor" =>
+          // positional MoR delta: the hidden rows are exact (file, pos)
+          // slots — re-derive them by scanning the PARENT-visible rows
+          // with their row positions and semi-joining the (small,
+          // broadcast) position-delete entries; update-mor's appended
+          // files are its inserts
+          val posFiles = s.addedDeleteFiles.filter(_.content == 1)
+          val posDf = spark.read.parquet(posFiles.map(absolute): _*)
+          val base = readWithDeletes(m.liveFilesWithSeq(s.parentId),
+            m.liveDeleteFilesWithSeq(s.parentId), schema, keepPos = true)
+          def normPath(c: Column) = regexp_replace(c, "^[a-z]+:/+", "/")
+          val hidden = base.join(broadcast(posDf),
+            normPath(base("__file")) === normPath(posDf("file_path")) &&
+              base("__pos") === posDf("pos"), "left_semi")
+            .drop("__file", "__pos")
+          Seq(tag(hidden, "delete", s.snapshotId)) ++
+            (if (dataAdded.isEmpty) Seq.empty
+             else Seq(tag(readPaths(dataAdded), "insert", s.snapshotId)))
         case "delete-eq" =>
           // an equality delete hides every parent-visible row matching
           // its keys (later appends carry higher sequences, so parent

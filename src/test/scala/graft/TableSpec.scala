@@ -644,12 +644,12 @@ class TableSpec extends AnyFunSuite {
     t.deleteWhereMoR(col("k") === 4L, Seq("k"))
     assert(t.changesBetween(Some(s3)).collect()
       .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((4L, "delete")))
-    // positional MoR deltas refuse until folded
+    // positional MoR update emits the replaced slot + the new row
     val sMor = t.meta.currentSnapshotId.get
     t.updateWhereMoR(col("k") === 5L, Seq("v" -> lit("E")))
-    val ex = intercept[IllegalStateException](t.changesBetween(Some(sMor)).count())
-    assert(ex.getMessage.contains("update-mor") ||
-      ex.getMessage.contains("unsupported"))
+    assert(t.changesBetween(Some(sMor)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      === Seq((5L, "E", "insert"), (5L, "e", "delete")))
     // incremental append scan between snapshots
     assert(t.scanAppendedBetween(Some(s1), Some(s2))
       .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
