@@ -205,6 +205,31 @@ object GraftProcedures {
         }
       },
 
+      new GraftProcedure("create_changelog_view",
+        "Register a session temp view of the per-commit changes in " +
+          "(start_snapshot_id, end_snapshot_id], rows tagged " +
+          "_change_type/_commit_snapshot_id (Iceberg's " +
+          "create_changelog_view shape)",
+        Array(TableParam,
+          ProcedureParameter.in("view_name", StringType).build(),
+          ProcedureParameter.in("start_snapshot_id", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build(),
+          ProcedureParameter.in("end_snapshot_id", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
+        StructType(Seq(
+          StructField("view_name", StringType),
+          StructField("change_count", LongType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val start = if (in.isNullAt(2)) None else Some(in.getLong(2))
+          val end = if (in.isNullAt(3)) None else Some(in.getLong(3))
+          val name = in.getUTF8String(1).toString
+          val df = t.changesBetween(start, end)
+          df.createOrReplaceTempView(name)
+          Seq(row(utf8(name), df.count()))
+        }
+      },
+
       new GraftProcedure("cherrypick_snapshot",
         "Apply an append snapshot (e.g. staged on an audit branch) " +
           "onto main as a new commit — metadata-only",

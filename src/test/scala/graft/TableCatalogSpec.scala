@@ -803,7 +803,7 @@ class TableCatalogSpec extends AnyFunSuite {
     val names = spark.sessionState.catalogManager.catalog("graft_wh")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq
-    assert(names.contains("remove_orphan_files") && names.size === 11)
+    assert(names.contains("remove_orphan_files") && names.size === 12)
   }
 
   test("incremental read options flow through spark.read.table") {
@@ -817,6 +817,26 @@ class TableCatalogSpec extends AnyFunSuite {
     val got = spark.read.option("start-snapshot-id", s1.toString)
       .table("graft_wh.inc.t").collect().map(_.getLong(0)).sorted.toSeq
     assert(got === Seq(3L, 4L, 5L))
+  }
+
+  test("CALL create_changelog_view: CDC consumable from pure SQL") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.cdc")
+    spark.sql("CREATE TABLE graft_wh.cdc.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_wh.cdc.t VALUES (1, 'a'), (2, 'b')")
+    val t = graft.table.GraftTable.load(spark, s"$wh/cdc/t")
+    val s1 = t.meta.currentSnapshotId.get
+    spark.sql("INSERT INTO graft_wh.cdc.t VALUES (3, 'c')")
+    spark.sql("DELETE FROM graft_wh.cdc.t WHERE k = 1")
+    val res = spark.sql(
+      s"""CALL graft_wh.system.create_changelog_view(
+            'cdc.t', 'cdc_changes', start_snapshot_id => $s1)""").collect()(0)
+    assert(res.getString(0) === "cdc_changes" && res.getLong(1) === 2L)
+    val rows = spark.sql(
+      """SELECT k, v, _change_type FROM cdc_changes
+         ORDER BY _commit_snapshot_id, k""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === Seq((3L, "c", "insert"), (1L, "a", "delete")))
   }
 
   test("write-audit-publish: stage on a branch, audit, publish via CALL") {
