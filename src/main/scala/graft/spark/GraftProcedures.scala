@@ -137,6 +137,16 @@ object GraftProcedures {
         }
       },
 
+      new GraftProcedure("rewrite_manifests",
+        "Re-spill fat single-file manifests into sorted multi-group " +
+          "form (metadata-only; group-granular planning)",
+        Array(TableParam),
+        StructType(Seq(StructField("rewritten_manifests", IntegerType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          Seq(row(t.rewriteManifests()))
+      },
+
       new GraftProcedure("rewrite_delete_files",
         "Fold outstanding merge-on-read delete files into the data files",
         Array(TableParam),

@@ -406,8 +406,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // — planning IO stays proportional to the MATCHING metadata, not
     // the table's full history (at 100 TB the manifest tier, not the
     // file tier, is what must be pruned first).
-    val live = m.liveFilesPruned(snapId, s => filters.forall { flt =>
-      (s.manifestStats.get(flt.column), schema.fields.find(_.name == flt.column)) match {
+    val live = m.liveFilesPruned(snapId, groupStats => filters.forall { flt =>
+      (groupStats.get(flt.column), schema.fields.find(_.name == flt.column)) match {
         case (Some(st), Some(field)) => boundsAdmit(st, field.dataType, flt)
         case _ => true
       }
@@ -764,6 +764,26 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Manifest rewrite (Iceberg's rewrite_manifests): re-spill
+    * single-file spilled manifests into the sorted MULTI-GROUP form,
+    * so planning prunes and loads metadata group by group instead of
+    * reading one fat manifest whole. Metadata-only — no data files
+    * move; new snapshots and expire-squashed bases already spill
+    * multi-group on write. Returns re-spilled snapshot count. */
+  def rewriteManifests(): Int = this.synchronized {
+    val m = meta
+    val fat = m.snapshots.filter(_.manifestPath.isDefined)
+    if (fat.isEmpty) return 0
+    val snaps = m.snapshots.map { s =>
+      if (s.manifestPath.isEmpty) s
+      else s.copy(addedFiles = s.files, manifestPath = None,
+        manifestStats = Map.empty)
+    }
+    // Meta.write re-spills any oversize inline list into sorted groups
+    Meta.write(root, m.copy(snapshots = snaps))
+    fat.size
+  }
+
   /** Sort-strategy rewrite (Iceberg's rewrite_data_files strategy =>
     * 'sort'): rewrite ALL live data files — not just small ones —
     * through the table's sort order, restoring range clustering that
@@ -851,6 +871,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         // budget a 10k-file base as its original tiny delta
         s.copy(parentId = None, addedFiles = squashed,
           removedPaths = Seq.empty, manifestPath = None,
+          manifestGroups = Seq.empty,
           addedDeleteFiles = liveDeletes, removedDeletePaths = Seq.empty,
           summary = s.summary ++ Map(
             "added-files" -> squashed.size.toString,

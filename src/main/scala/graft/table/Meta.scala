@@ -117,15 +117,30 @@ object Meta {
         * snapshot (applied at scan via anti-join until a rewrite
         * folds them in) */
       addedDeleteFiles: Seq[DataFile] = Seq.empty,
-      removedDeletePaths: Seq[String] = Seq.empty) {
+      removedDeletePaths: Seq[String] = Seq.empty,
+      /** multi-group spill (the Iceberg manifest-LIST tier): a huge
+        * snapshot (expire-squashed base, big batch append) splits into
+        * MANY manifest files, each with its own aggregate bounds —
+        * planning prunes and loads group by group, so metadata IO
+        * follows the matching slice, not the snapshot's full file
+        * count. Mutually exclusive with manifestPath. */
+      manifestGroups: Seq[ManifestGroup] = Seq.empty) {
 
-    /** Added files, resolving a spilled manifest lazily. */
-    lazy val files: Seq[DataFile] = manifestPath match {
-      case None => addedFiles
-      case Some(p) =>
-        mapper.readTree(TableIO.readString(TableIO.path(p)))
-          .elements().asScala.map(readFile).toSeq
-    }
+    /** Added files, resolving spilled manifests lazily. */
+    lazy val files: Seq[DataFile] =
+      if (manifestGroups.nonEmpty) manifestGroups.flatMap(readGroup)
+      else manifestPath match {
+        case None => addedFiles
+        case Some(p) =>
+          mapper.readTree(TableIO.readString(TableIO.path(p)))
+            .elements().asScala.map(readFile).toSeq
+      }
+
+    /** Load ONE spilled group's entries (manifest-granular planning
+      * reads only the groups whose bounds admit the predicate). */
+    def readGroup(g: ManifestGroup): Seq[DataFile] =
+      mapper.readTree(TableIO.readString(TableIO.path(g.path)))
+        .elements().asScala.map(readFile).toSeq
 
     /** Live files as of this snapshot, given the parent chain's state. */
     def apply(parentLive: Seq[DataFile]): Seq[DataFile] = {
@@ -133,6 +148,9 @@ object Meta {
       parentLive.filterNot(f => removed.contains(f.path)) ++ files
     }
   }
+
+  /** One spilled manifest file + its aggregate column bounds. */
+  case class ManifestGroup(path: String, stats: Map[String, ColStats])
 
   case class PartitionField(sourceColumn: String, transform: String, name: String)
 
@@ -264,11 +282,17 @@ object Meta {
       * when `keepGroup` is a proof that no file in the group can
       * match the scan's predicate. */
     def liveFilesPruned(snapshotId: Option[Long],
-        keepGroup: Snapshot => Boolean): Seq[DataFile] =
+        keepGroup: Map[String, ColStats] => Boolean): Seq[DataFile] =
       chainTo(snapshotId).foldLeft(Seq.empty[DataFile]) { (live, s) =>
         val removed = s.removedPaths.toSet
         val kept = live.filterNot(f => removed.contains(f.path))
-        if (s.manifestPath.isEmpty || keepGroup(s)) kept ++ s.files else kept
+        if (s.manifestGroups.nonEmpty)
+          // group-granular: only matching groups are even READ
+          kept ++ s.manifestGroups.filter(g => keepGroup(g.stats))
+            .flatMap(s.readGroup)
+        else if (s.manifestPath.isEmpty || keepGroup(s.manifestStats))
+          kept ++ s.files
+        else kept
       }
 
     /** Live equality-delete files at a snapshot (merge-on-read). */
@@ -362,6 +386,14 @@ object Meta {
       s.manifestPath.foreach(p => n.put("manifest_path", p))
       if (s.manifestStats.nonEmpty)
         n.set[ObjectNode]("manifest_stats", statsNode(s.manifestStats))
+      if (s.manifestGroups.nonEmpty) {
+        val mg = n.putArray("manifest_groups")
+        s.manifestGroups.foreach { g =>
+          val gn = mg.addObject()
+          gn.put("path", g.path)
+          gn.set[ObjectNode]("stats", statsNode(g.stats))
+        }
+      }
       if (s.addedDeleteFiles.nonEmpty) {
         val adf = n.putArray("added_delete_files")
         s.addedDeleteFiles.foreach(f => adf.add(fileNode(f)))
@@ -458,7 +490,11 @@ object Meta {
         addedDeleteFiles = Option(n.get("added_delete_files")).map(
           _.elements().asScala.map(readFile).toSeq).getOrElse(Seq.empty),
         removedDeletePaths = Option(n.get("removed_delete_paths")).map(
-          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
+          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+        manifestGroups = Option(n.get("manifest_groups")).map(
+          _.elements().asScala.map(gn => ManifestGroup(
+            gn.get("path").asText(), readStats(gn.get("stats")))).toSeq)
+          .getOrElse(Seq.empty))
     }.toSeq
     TableMetadata(
       location = root.get("location").asText(),
@@ -542,21 +578,55 @@ object Meta {
       }
     }.toMap
 
+  /** Order files so consecutive chunks get TIGHT aggregate bounds:
+    * by partition value string, then by the min stat of the leading
+    * sort-order column (falling back to the first stats-bearing
+    * schema column), compared through the column's type. */
+  private def spillSortKey(m: TableMetadata, schemaId: Int)
+      : (DataFile => (String, String), Ordering[(String, String)]) = {
+    val schema = m.schemas.getOrElse(schemaId, m.schema)
+    val candidate = (m.sortOrder.filter(e =>
+        !e.contains("(") && !e.contains(" ")) ++ schema.fields.map(_.name))
+      .find(c => schema.fields.exists(_.name == c))
+    val cmp = candidate.flatMap(c => schema.fields.find(_.name == c))
+      .map(f => comparator(f.dataType))
+      .getOrElse((a: String, b: String) => a.compareTo(b))
+    val key = (f: DataFile) => (
+      f.partitionValues.toSeq.sorted.map(kv => s"${kv._1}=${kv._2}")
+        .mkString("/"),
+      candidate.flatMap(c => f.stats.get(c)).map(_.min).getOrElse(""))
+    val ord: Ordering[(String, String)] = new Ordering[(String, String)] {
+      def compare(a: (String, String), b: (String, String)): Int = {
+        val p = a._1.compareTo(b._1)
+        if (p != 0) p
+        else scala.util.Try(cmp(a._2, b._2)).getOrElse(a._2.compareTo(b._2))
+      }
+    }
+    (key, ord)
+  }
+
   private def spillManifests(root: String, m: TableMetadata): TableMetadata = {
     val dir = new org.apache.hadoop.fs.Path(metadataDir(root), "manifests")
     val limit = m.properties.get("manifest.inline-limit").map(_.toInt)
       .getOrElse(InlineManifestLimit)
     val snaps = m.snapshots.map { s =>
-      if (s.addedFiles.size <= limit || s.manifestPath.isDefined) s
+      if (s.addedFiles.size <= limit || s.manifestPath.isDefined ||
+          s.manifestGroups.nonEmpty) s
       else {
         TableIO.mkdirs(dir)
-        val p = new org.apache.hadoop.fs.Path(dir, s"snap-${s.snapshotId}.json")
-        val arr = mapper.createArrayNode()
-        s.addedFiles.foreach(f => arr.add(fileNode(f)))
-        TableIO.writeString(p, mapper.writeValueAsString(arr))
-        s.copy(addedFiles = Seq.empty, manifestPath = Some(p.toString),
-          manifestStats = groupStats(s.addedFiles,
-            m.schemas.getOrElse(s.schemaId, m.schema)))
+        val schema = m.schemas.getOrElse(s.schemaId, m.schema)
+        val (key, ord) = spillSortKey(m, s.schemaId)
+        val sorted = s.addedFiles.sortBy(key)(ord)
+        val groups = sorted.grouped(limit).zipWithIndex.map {
+          case (chunk, i) =>
+            val p = new org.apache.hadoop.fs.Path(dir,
+              s"snap-${s.snapshotId}-g$i.json")
+            val arr = mapper.createArrayNode()
+            chunk.foreach(f => arr.add(fileNode(f)))
+            TableIO.writeString(p, mapper.writeValueAsString(arr))
+            ManifestGroup(p.toString, groupStats(chunk, schema))
+        }.toSeq
+        s.copy(addedFiles = Seq.empty, manifestGroups = groups)
       }
     }
     m.copy(snapshots = snaps)

@@ -32,7 +32,7 @@ object SmokeProcedures {
       check("procedures listed",
         spark.sessionState.catalogManager.catalog("pwh")
           .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
-          .listProcedures(Array("system")).length, 12)
+          .listProcedures(Array("system")).length, 13)
       spark.sql(s"CALL pwh.system.create_tag('sm.t', 'pin', ${snaps(0)})")
       check("tag pinned", t.meta.refs.get("pin"), Some(snaps(0)))
       val rb = spark.sql(

@@ -105,6 +105,61 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t2.scan().count() === li.count())
   }
 
+  test("multi-group manifest spill: group-granular pruning, round-trip, rewrite") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    // no table sort order: the write preserves the incoming 32
+    // range-disjoint partitions; the spill's own sort key (first
+    // stats-bearing column) must still produce tight groups
+    val t = GraftTable.create(spark, root, li.schema,
+      properties = Map("manifest.inline-limit" -> "8"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.append(li.repartitionByRange(32, col("l_orderkey")))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // one append of 32 range-disjoint files spills into 4 sorted groups
+    val m = graft.table.Meta.load(root)
+    val groups = m.snapshots.head.manifestGroups
+    assert(groups.size === 4, s"expected 4 groups, got ${groups.size}")
+    // groups carry tight, pairwise-disjoint l_orderkey bounds
+    val bounds = groups.map(g => (g.stats("l_orderkey").min.toLong,
+      g.stats("l_orderkey").max.toLong)).sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) =>
+        assert(max1 <= min2, s"overlapping group bounds: $bounds")
+      case _ =>
+    }
+    // a high-key predicate plans exactly the matching files and the
+    // result set is exact
+    val cut = bounds.last._1.toString
+    val planned = t.plannedFiles(Seq(t.StatFilter("l_orderkey", ">=", cut)))
+    assert(planned.size <= 8 && planned.nonEmpty)
+    assert(t.scan(Seq(t.StatFilter("l_orderkey", ">=", cut)))
+      .filter(col("l_orderkey") >= cut.toLong).count() ===
+      li.filter(col("l_orderkey") >= cut.toLong).count())
+    assert(t.scan().count() === li.count())
+
+    // legacy single-file manifest (pre-multi-group tables): simulate,
+    // then rewrite_manifests re-spills it into sorted groups
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val merged = mapper.createArrayNode()
+    groups.foreach { g =>
+      mapper.readTree(new java.io.File(g.path)).elements()
+        .forEachRemaining(n => merged.add(n))
+    }
+    val legacyPath = s"${root}/metadata/manifests/legacy.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(legacyPath),
+      mapper.writeValueAsString(merged).getBytes)
+    val legacySnap = m.snapshots.head.copy(
+      manifestPath = Some(legacyPath), manifestGroups = Seq.empty)
+    graft.table.Meta.write(root, m.copy(snapshots = Seq(legacySnap)))
+    val t2 = GraftTable.load(spark, root)
+    assert(t2.meta.snapshots.head.manifestPath.isDefined)
+    assert(t2.rewriteManifests() === 1)
+    val again = t2.meta.snapshots.head.manifestGroups
+    assert(again.size === 4 && t2.meta.snapshots.head.manifestPath.isEmpty)
+    assert(t2.scan().count() === li.count())
+  }
+
   test("sort-strategy rewrite restores clustering over interleaved history") {
     val li = Tables.lineitem(spark, sf)
     // table written WITHOUT clustering: interleaved modulo appends

@@ -803,7 +803,7 @@ class TableCatalogSpec extends AnyFunSuite {
     val names = spark.sessionState.catalogManager.catalog("graft_wh")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq
-    assert(names.contains("remove_orphan_files") && names.size === 12)
+    assert(names.contains("remove_orphan_files") && names.size === 13)
   }
 
   test("incremental read options flow through spark.read.table") {
