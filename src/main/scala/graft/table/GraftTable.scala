@@ -915,11 +915,26 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * file in it (or the dir itself, if empty) is older than
     * `olderThanMs` — a fresh one may belong to an in-flight commit
     * whose snapshot is not yet visible. `dryRun` lists without
-    * deleting. Returns table-root-relative paths. */
+    * deleting. Also sweeps spilled manifest files no snapshot
+    * references any more (left behind by rewrite_manifests /
+    * expire-squash). Returns table-root-relative paths. */
   def removeOrphanFiles(olderThanMs: Long = 3600000L,
       dryRun: Boolean = false): Seq[String] = this.synchronized {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val rootPath = TableIO.path(root)
+    val m = meta
+    // compare scheme-stripped paths: stored manifest refs are
+    // unqualified, the listing is file:-qualified
+    val liveManifests = m.snapshots.flatMap(s =>
+      s.manifestPath.toSeq ++ s.manifestGroups.map(_.path))
+      .map(TableIO.path(_).toUri.getPath).toSet
+    val manifestDir = new HPath(Meta.metadataDir(root), "manifests")
+    val staleManifests =
+      if (!TableIO.exists(manifestDir)) Seq.empty
+      else TableIO.listFilesRecursive(manifestDir).collect {
+        case (p, _, mtime)
+            if !liveManifests.contains(p.toUri.getPath) && mtime <= cutoff => p
+      }
     val staleStaging = TableIO.listDir(rootPath)
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("stage-"))
@@ -933,8 +948,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     if (!dryRun) {
       staleStaging.foreach(TableIO.delete(_, recursive = true))
       dataOrphans.foreach(TableIO.delete(_))
+      staleManifests.foreach(TableIO.delete(_))
     }
-    (staleStaging ++ dataOrphans).map(TableIO.relativize(rootPath, _))
+    (staleStaging ++ dataOrphans ++ staleManifests)
+      .map(TableIO.relativize(rootPath, _))
   }
 
   /** Merge-on-read DELETE WHERE (Iceberg v2 equality deletes): the

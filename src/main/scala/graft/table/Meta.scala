@@ -617,7 +617,8 @@ object Meta {
         val schema = m.schemas.getOrElse(s.schemaId, m.schema)
         val (key, ord) = spillSortKey(m, s.schemaId)
         val sorted = s.addedFiles.sortBy(key)(ord)
-        val groups = sorted.grouped(limit).zipWithIndex.map {
+        // limit 0 means "always spill" — group size still needs ≥1
+        val groups = sorted.grouped(math.max(limit, 1)).zipWithIndex.map {
           case (chunk, i) =>
             val p = new org.apache.hadoop.fs.Path(dir,
               s"snap-${s.snapshotId}-g$i.json")

@@ -158,6 +158,15 @@ class MaintenanceSpec extends AnyFunSuite {
     val again = t2.meta.snapshots.head.manifestGroups
     assert(again.size === 4 && t2.meta.snapshots.head.manifestPath.isEmpty)
     assert(t2.scan().count() === li.count())
+
+    // the de-referenced legacy manifest is orphan-GC'd; live group
+    // manifests survive the sweep
+    val swept = t2.removeOrphanFiles(0L)
+    assert(swept.exists(_.contains("legacy.json")), s"swept=$swept")
+    assert(!new java.io.File(legacyPath).exists())
+    assert(again.forall(g => new java.io.File(
+      new org.apache.hadoop.fs.Path(g.path).toUri.getPath).exists()))
+    assert(t2.scan().count() === li.count())
   }
 
   test("sort-strategy rewrite restores clustering over interleaved history") {

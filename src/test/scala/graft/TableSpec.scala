@@ -78,21 +78,27 @@ class TableSpec extends AnyFunSuite {
     t.append(li.filter(col("l_orderkey") > 1000L)
       .repartitionByRange(4, col("l_orderkey")))
     val m = t.meta
-    val spilled = m.snapshots.filter(_.manifestPath.isDefined)
+    val spilled = m.snapshots.filter(_.manifestGroups.nonEmpty)
     assert(spilled.size === 2)
-    assert(spilled.forall(_.manifestStats.get("l_orderkey").exists(st =>
-      st.min.nonEmpty && st.max.nonEmpty)))
-    // the predicate admits only the second group; the first group's
-    // manifest file is DELETED first, so resolving it would throw —
-    // surviving proves the group was pruned manifest-first
-    val firstManifest = spilled.minBy(_.snapshotId).manifestPath.get
+    assert(spilled.forall(_.manifestGroups.forall(
+      _.stats.get("l_orderkey").exists(st =>
+        st.min.nonEmpty && st.max.nonEmpty))))
+    // the predicate admits only the second snapshot; the first
+    // snapshot's group manifest files are DELETED first, so resolving
+    // any of them would throw — surviving proves the groups were
+    // pruned bounds-first
+    val firstGroups = spilled.minBy(_.snapshotId).manifestGroups
     val planned = {
-      val bak = java.nio.file.Paths.get(
-        firstManifest.stripPrefix("file:").replaceAll("^/+", "/"))
-      val saved = java.nio.file.Files.readAllBytes(bak)
-      java.nio.file.Files.delete(bak)
+      val baks = firstGroups.map { g =>
+        val p = java.nio.file.Paths.get(
+          g.path.stripPrefix("file:").replaceAll("^/+", "/"))
+        val saved = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.delete(p)
+        (p, saved)
+      }
       try t.plannedFiles(Seq(t.StatFilter("l_orderkey", ">", "1000")))
-      finally java.nio.file.Files.write(bak, saved)
+      finally baks.foreach { case (p, saved) =>
+        java.nio.file.Files.write(p, saved) }
     }
     assert(planned.nonEmpty)
     val lo = planned.flatMap(_.stats.get("l_orderkey")).map(_.min.toLong)
