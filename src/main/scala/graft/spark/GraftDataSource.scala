@@ -181,7 +181,7 @@ class GraftSparkTable(root: String,
     if (Meta.exists(root))
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.MICRO_BATCH_READ)
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   /** The table's partition transforms, in V2 terms (analyzer metadata;
@@ -207,7 +207,7 @@ class GraftSparkTable(root: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(root, info.schema())
+    new GraftWriteBuilder(root, info.schema(), info.queryId())
 }
 
 object GraftSparkTable {
@@ -1363,7 +1363,8 @@ case class MorReaderFactory(
 /** BatchWrite: executors stream InternalRows into per-task parquet
   * files under a staging dir; the driver commit ingests them (footer
   * stats job) and snapshots — append or truncate+overwrite. */
-class GraftWriteBuilder(root: String, schema: StructType)
+class GraftWriteBuilder(root: String, schema: StructType,
+    queryId: String = "")
   extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -1371,10 +1372,11 @@ class GraftWriteBuilder(root: String, schema: StructType)
     overwrite = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new GraftWrite(root, schema, overwrite)
+    new GraftWrite(root, schema, overwrite, queryId)
 }
 
-class GraftWrite(root: String, schema: StructType, overwrite: Boolean)
+class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
+    queryId: String = "")
   extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -1407,6 +1409,88 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean)
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBatchWrite(root, schema, overwrite)
+
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(root, schema, overwrite, queryId)
+}
+
+/** Structured Streaming sink (`df.writeStream.format("graft")`):
+  * each micro-batch stages per-epoch parquet on the executors and
+  * the driver commits ONE snapshot per epoch, stamped with the
+  * stable streaming query id + epoch id. Exactly-once across query
+  * restarts comes from the stamp: Spark replays the last epoch after
+  * recovery, and a replayed commit whose (query-id, epoch-id) is
+  * already in the snapshot history is dropped (Iceberg's streaming
+  * writer dedups the same way). Complete mode (truncate) overwrites
+  * the table per epoch. Crashed epochs leave only a `stage-stream-*`
+  * dir that remove_orphan_files sweeps. */
+class GraftStreamingWrite(root: String, schema: StructType,
+    truncate: Boolean, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import graft.table.TableIO
+
+  // per-RUN staging root: a crashed run's half-staged epoch can never
+  // leak into a later run's ingest (it becomes an orphan dir instead)
+  private val staging = TableIO.path(root,
+    s"stage-stream-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  private def epochDir(epochId: Long) =
+    new org.apache.hadoop.fs.Path(staging, s"epoch-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spec = if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
+    GraftStreamingWriterFactory(staging.toString,
+      GraftConnectorShim.prepareParquetWriteConf(SparkSession.active,
+        GraftWriteSchemas.withTableFieldIds(root, schema),
+        GraftWriteSchemas.bloomOptions(root)),
+      RowTransform.forSpec(spec, schema))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val t = GraftTable.load(SparkSession.active, root)
+    val replayed = t.meta.snapshots.exists(s =>
+      s.summary.get("streaming-query-id").contains(queryId) &&
+        s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+    val dir = epochDir(epochId)
+    val rows = messages.collect { case GraftCommitMessage(_, n) => n }.sum
+    // recovery replay of an already-committed epoch, or a rowless
+    // append batch (watermark-only tick): nothing to commit — but an
+    // EMPTY complete-mode result must still truncate
+    if (replayed || !TableIO.exists(dir) || (rows == 0 && !truncate)) {
+      TableIO.delete(staging, recursive = true)
+      return
+    }
+    t.commitStagedWrite(dir, truncate, summaryExtra = Map(
+      "streaming-query-id" -> queryId,
+      "streaming-epoch-id" -> epochId.toString))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    TableIO.delete(epochDir(epochId), recursive = true)
+}
+
+/** Executor side of the streaming sink: same writers as the batch
+  * path, rooted in the epoch's staging dir (partition-spec'd tables
+  * row-route exactly like batch writes). */
+case class GraftStreamingWriterFactory(staging: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    transforms: Seq[RowTransform] = Seq.empty)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val dir = s"$staging/epoch-$epochId"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(conf.value).mkdirs(hp)
+    if (transforms.isEmpty)
+      new GraftDataWriter(
+        s"$dir/part-$partitionId-$taskId.parquet", conf.value, partitionId, taskId)
+    else
+      new PartitionedGraftDataWriter(dir, conf.value, partitionId, taskId, transforms)
+  }
 }
 
 class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)

@@ -220,7 +220,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * populated (BatchWrite) and snapshot it. Partition-spec'd tables
     * route the staged rows back through the partitioning write path
     * (transform columns + partition dirs), then drop the stage. */
-  private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean): Unit = {
+  private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
+      summaryExtra: Map[String, String] = Map.empty): Unit = {
     val m = meta
     // executors already partition-routed the staged files (the V2
     // write's clustered distribution + per-row transforms), so a plain
@@ -245,8 +246,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       }
     if (overwrite)
       commit("overwrite", files, m.liveFiles(None).map(_.path),
-        removedDeletes = m.liveDeleteFiles(None).map(_.path))
-    else commit("append", files, Seq.empty)
+        removedDeletes = m.liveDeleteFiles(None).map(_.path),
+        summaryExtra = summaryExtra)
+    else commit("append", files, Seq.empty, summaryExtra = summaryExtra)
   }
 
   /** Commit a group replacement (the V2 row-level-operation path: SQL

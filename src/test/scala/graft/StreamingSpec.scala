@@ -80,6 +80,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(ks === (1L to 70L))
   }
 
+  test("graft table as a streaming sink: exactly-once epoch commits") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.GraftTable
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-stream")
+      .toString
+    val src = base + "/src"; val dst = base + "/dst"
+    val ckpt = base + "/ckpt"
+    val df1 = (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)
+    val s = GraftTable.create(spark, src, df1.schema)
+    s.append(df1)
+    GraftTable.create(spark, dst, df1.schema)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.outputMode("append").format("graft")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val d1 = GraftTable.load(spark, dst)
+    assert(d1.scan().count() === 40L)
+    val stamp1 = d1.meta.snapshots.last.summary
+    assert(stamp1.get("streaming-query-id").exists(_.nonEmpty))
+    assert(stamp1.get("streaming-epoch-id").contains("0"))
+
+    // a second snapshot arrives; the resumed query appends exactly it
+    s.append((41L to 70L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    run()
+    val d2 = GraftTable.load(spark, dst)
+    assert(d2.scan().select("k").as[Long].collect().sorted.toSeq ===
+      (1L to 70L))
+    // restarts share the stable query id (what makes replay dedup work)
+    assert(d2.meta.snapshots.last.summary.get("streaming-query-id") ===
+      stamp1.get("streaming-query-id"))
+
+    // recovery replay: drop the final commit marker so the restarted
+    // query re-executes the last epoch — the (query-id, epoch-id)
+    // snapshot stamp must drop the duplicate commit
+    val commits = new java.io.File(ckpt + "/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParentFile,
+      "." + commits.last.getName + ".crc")
+    commits.last.delete(); crc.delete()
+    val snapsBefore = GraftTable.load(spark, dst).meta.snapshots.size
+    run()
+    val d3 = GraftTable.load(spark, dst)
+    assert(d3.meta.snapshots.size === snapsBefore,
+      "replayed epoch committed a duplicate snapshot")
+    assert(d3.scan().count() === 70L)
+  }
+
+  test("streaming sink partition-routes rows on a spec'd table") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.{GraftTable, Meta}
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-part")
+      .toString
+    val src = base + "/src"; val dst = base + "/dst"
+    val df = (1L to 80L).map(i => (i, i % 4)).toDF("k", "cat")
+    val s = GraftTable.create(spark, src, df.schema)
+    s.append(df)
+    val d = GraftTable.create(spark, dst, df.schema,
+      spec = Seq(Meta.PartitionField("cat", "identity", "_p_cat")))
+
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.outputMode("append").format("graft")
+      .option("path", dst).option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    assert(d.scan().count() === 80L)
+    // rows were routed into partition dirs on the executors, so the
+    // files carry partition values and a cat predicate prunes files
+    val planned = d.plannedFiles(Seq(d.StatFilter("cat", "=", "2")))
+    assert(planned.nonEmpty &&
+      planned.forall(_.partitionValues.get("_p_cat").contains("2")))
+    assert(d.scan().filter(col("cat") === 2L).count() === 20L)
+  }
+
   test("streaming source fails loudly on replace snapshots, ignores branches") {
     val spark0 = spark
     import spark0.implicits._
