@@ -346,7 +346,8 @@ object GraftTableCatalog {
 object GraftMetadataSparkTable {
   import org.apache.spark.sql.types._
 
-  val Kinds: Set[String] = Set("files", "snapshots", "history", "partitions")
+  val Kinds: Set[String] =
+    Set("files", "snapshots", "history", "partitions", "refs", "manifests")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -375,6 +376,18 @@ object GraftMetadataSparkTable {
       StructField("file_count", LongType),
       StructField("record_count", LongType),
       StructField("total_bytes", LongType)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("snapshot_id", LongType),
+      StructField("max_ref_age_ms", LongType),
+      StructField("min_snapshots_to_keep", IntegerType),
+      StructField("max_snapshot_age_ms", LongType)))
+    case "manifests" => StructType(Seq(
+      StructField("snapshot_id", LongType),
+      StructField("path", StringType),
+      StructField("form", StringType), // inline | spilled | group
+      StructField("stat_columns", IntegerType)))
   }
 
   def rowsOf(root: String, kind: String): Seq[Seq[Any]] = {
@@ -390,7 +403,12 @@ object GraftMetadataSparkTable {
         m.snapshots.map(s => Seq(
           s.snapshotId, s.parentId.getOrElse(-1L), s.sequenceNumber,
           new java.sql.Timestamp(s.timestampMs), s.operation,
-          s.files.size, s.removedPaths.size))
+          // summary first: counting via s.files would resolve every
+          // spilled manifest group just to size a metadata row
+          s.summary.get("added-files").map(_.toInt)
+            .getOrElse(if (s.manifestPath.isEmpty && s.manifestGroups.isEmpty)
+              s.addedFiles.size else s.files.size),
+          s.removedPaths.size))
       case "history" =>
         val onChain = m.chainSnapshots(None).map(_.snapshotId).toSet
         m.snapshots.map(s => Seq(
@@ -405,6 +423,28 @@ object GraftMetadataSparkTable {
             part, specId, files.size.toLong,
             files.map(_.recordCount).sum, files.map(_.fileSizeBytes).sum)
           }
+      case "refs" =>
+        m.refs.toSeq.sortBy(_._1).map { case (name, snapId) =>
+          val r = m.refRetention.get(name)
+          Seq(name,
+            r.map(_.refType).getOrElse("branch"), snapId,
+            r.flatMap(_.maxRefAgeMs).map(Long.box).orNull,
+            r.flatMap(_.minSnapshotsToKeep).map(Int.box).orNull,
+            r.flatMap(_.maxSnapshotAgeMs).map(Long.box).orNull)
+        }
+      case "manifests" =>
+        m.snapshots.flatMap { s =>
+          if (s.manifestGroups.nonEmpty)
+            s.manifestGroups.map(g =>
+              Seq(s.snapshotId, g.path, "group", g.stats.size))
+          else s.manifestPath match {
+            case Some(p) => Seq(Seq(s.snapshotId, p, "spilled",
+              s.manifestStats.size))
+            case None =>
+              Seq(Seq(s.snapshotId, "(inline)", "inline",
+                s.addedFiles.flatMap(_.stats.keys).distinct.size))
+          }
+        }
     }
   }
 }

@@ -492,6 +492,20 @@ class TableCatalogSpec extends AnyFunSuite {
          ORDER BY partition""").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(parts === Array(("_p_tag=a", 2L), ("_p_tag=b", 1L)))
+
+    // refs: branches/tags with retention; manifests: the metadata tier
+    val tp = graft.table.GraftTable.load(spark, s"$wh/mt/p")
+    tp.setRef("rel", tp.meta.currentSnapshotId.get,
+      Some(graft.table.Meta.RefRetention(refType = "tag")))
+    val refs = spark.sql(
+      """SELECT name, type, snapshot_id FROM graft_wh.mt.p.refs
+         ORDER BY name""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.exists(r => r._1 == "rel" && r._2 == "tag" &&
+      r._3 == tp.meta.currentSnapshotId.get))
+    val mf = spark.sql(
+      "SELECT snapshot_id, form FROM graft_wh.mt.p.manifests").collect()
+    assert(mf.nonEmpty && mf.forall(_.getString(1) == "inline"))
     spark.sql("DROP TABLE graft_wh.mt.p")
   }
 
