@@ -1383,6 +1383,16 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
   private def spec: Seq[Meta.PartitionField] =
     if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
 
+  /** Plain-column sort-order entries, or empty when any entry is an
+    * expression (zorder) the V2 ordering can't express — those fall
+    * back to the driver-side re-cluster at commit. */
+  private def sortRefs: Seq[String] = {
+    val so = if (Meta.exists(root)) Meta.load(root).sortOrder else Seq.empty
+    if (so.nonEmpty && so.forall(e => !e.contains("(") && !e.contains(" ")))
+      so
+    else Seq.empty
+  }
+
   /** Cluster incoming rows by the partition transforms (resolved via
     * the catalog's FunctionCatalog), so each write task produces few
     * files per partition value — rows are partition-routed ON THE
@@ -1391,24 +1401,59 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    if (spec.isEmpty)
+    if (spec.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        spec.map { pf =>
+          // truncate has no catalog function to resolve against; cluster
+          // by the (finer) source column instead — still a valid routing
+          (if (pf.transform.startsWith("truncate["))
+            Expressions.identity(pf.sourceColumn)
+          else RowTransform.toV2(pf))
+            : org.apache.spark.sql.connector.expressions.Expression
+        }.toArray)
+    else if (sortRefs.nonEmpty)
+      // sorted, unpartitioned: a RANGE exchange on the sort key gives
+      // each write task a disjoint key slice — files come out
+      // range-clustered straight off the executors and the commit
+      // ingests them in place (no driver-side re-read/re-write)
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(
+        sortOrderExprs)
+    else
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      spec.map { pf =>
-        // truncate has no catalog function to resolve against; cluster
-        // by the (finer) source column instead — still a valid routing
+  }
+
+  private def sortOrderExprs
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, NullOrdering}
+    sortRefs.map(c => Expressions.sort(
+      Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression,
+      SortDirection.ASCENDING)).toArray
+  }
+
+  /** In-task ordering: partition transforms first (keeps one file
+    * open per partition value in a routed writer), then the sort
+    * columns for tight per-file bounds. */
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    if (sortRefs.isEmpty) Array.empty
+    else {
+      val partFirst = spec.map(pf => Expressions.sort(
         (if (pf.transform.startsWith("truncate["))
           Expressions.identity(pf.sourceColumn)
         else RowTransform.toV2(pf))
-          : org.apache.spark.sql.connector.expressions.Expression
-      }.toArray)
+          : org.apache.spark.sql.connector.expressions.Expression,
+        SortDirection.ASCENDING))
+      (partFirst ++ sortOrderExprs).toArray
+    }
   }
 
-  override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+  /** The executors applied the table's whole sort order, so the
+    * commit may ingest staged files as-is. */
+  private[spark] def presorted: Boolean = sortRefs.nonEmpty
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftBatchWrite(root, schema, overwrite)
+    new GraftBatchWrite(root, schema, overwrite, presorted)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new GraftStreamingWrite(root, schema, overwrite, queryId)
@@ -1493,7 +1538,8 @@ case class GraftStreamingWriterFactory(staging: String,
   }
 }
 
-class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
+class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean,
+    presorted: Boolean = false)
   extends org.apache.spark.sql.connector.write.BatchWrite {
   private val staging =
     graft.table.TableIO.path(root, s"stage-v2-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1513,7 +1559,7 @@ class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean)
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     GraftTable.load(SparkSession.active, root)
-      .commitStagedWrite(staging, overwrite)
+      .commitStagedWrite(staging, overwrite, presorted = presorted)
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =

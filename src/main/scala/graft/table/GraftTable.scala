@@ -221,7 +221,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * route the staged rows back through the partitioning write path
     * (transform columns + partition dirs), then drop the stage. */
   private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
-      summaryExtra: Map[String, String] = Map.empty): Unit = {
+      summaryExtra: Map[String, String] = Map.empty,
+      presorted: Boolean = false): Unit = {
     val m = meta
     // executors already partition-routed the staged files (the V2
     // write's clustered distribution + per-row transforms), so a plain
@@ -234,8 +235,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       .filter(_._1.getName.endsWith(".parquet"))
     val routed = m.spec.isEmpty ||
       staged.forall(f => TableIO.relativize(staging, f._1).contains("="))
+    // presorted: the V2 write declared the sort order as its required
+    // distribution+ordering, so the staged files are already
+    // range-clustered — re-reading them through writeFiles would just
+    // double the write IO
     val files =
-      if (m.sortOrder.isEmpty && routed) ingestStaged(staging, m.schema, m.defaultSpecId)
+      if ((m.sortOrder.isEmpty || presorted) && routed)
+        ingestStaged(staging, m.schema, m.defaultSpecId)
       else {
         val stagedPaths = TableIO.listFilesRecursive(staging)
           .filter(_._1.getName.endsWith(".parquet")).map(_._1.toString)

@@ -84,6 +84,41 @@ class ConnectorSpec extends AnyFunSuite {
     assert(sum1 === sum2)
   }
 
+  test("V2 append to a sort-ordered table range-clusters on the executors") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    GraftTable.create(spark, root, li.schema,
+      sortOrder = Seq("l_orderkey")).append(li.limit(10))
+    // the write declares the sort order as required distribution +
+    // ordering, so executors range-shuffle + sort and the commit
+    // ingests the staged files AS-IS — disjoint per-file key ranges
+    // prove the clustering happened executor-side, not via a
+    // driver-side re-write
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try li.write.format("graft").mode("overwrite").save(root)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    }
+    val t = GraftTable.load(spark, root)
+    val bounds = t.meta.liveFiles(None)
+      .flatMap(_.stats.get("l_orderkey").map(s => (s.min.toLong, s.max.toLong)))
+      .sortBy(_._1)
+    assert(bounds.size > 1, s"expected multiple files, got ${bounds.size}")
+    bounds.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) =>
+        assert(max1 <= min2, s"files overlap on the sort key: $bounds")
+      case _ =>
+    }
+    assert(t.scan().count() === li.count())
+    // pruning bites: a narrow key slice plans a strict file subset
+    val cut = bounds.last._1.toString
+    val planned = t.plannedFiles(Seq(t.StatFilter("l_orderkey", ">=", cut)))
+    assert(planned.size < bounds.size)
+  }
+
   test("connector applies merge-on-read deletes at scan") {
     val o = Tables.orders(spark, sf)
     val root = tmp()
