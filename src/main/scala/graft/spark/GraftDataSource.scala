@@ -445,32 +445,21 @@ class GraftReplaceWrite(root: String, schema: StructType,
   extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-  private def spec: Seq[Meta.PartitionField] =
-    if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
-
   override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    if (spec.isEmpty)
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      spec.map { pf =>
-        (if (pf.transform.startsWith("truncate["))
-          Expressions.identity(pf.sourceColumn)
-        else RowTransform.toV2(pf))
-          : org.apache.spark.sql.connector.expressions.Expression
-      }.toArray)
-  }
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    GraftWriteLayout.distribution(root)
 
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    GraftWriteLayout.ordering(root)
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftReplaceBatchWrite(root, schema, replaced)
+    new GraftReplaceBatchWrite(root, schema, replaced,
+      GraftWriteLayout.presorted(root))
 }
 
 class GraftReplaceBatchWrite(root: String, schema: StructType,
-    replaced: () => Seq[String])
+    replaced: () => Seq[String], presorted: Boolean = false)
   extends org.apache.spark.sql.connector.write.BatchWrite {
   private val staging = graft.table.TableIO.path(
     root, s"stage-rlo-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -492,7 +481,7 @@ class GraftReplaceBatchWrite(root: String, schema: StructType,
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     GraftTable.load(SparkSession.active, root)
-      .commitStagedReplace(staging, replaced())
+      .commitStagedReplace(staging, replaced(), presorted = presorted)
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
@@ -1375,82 +1364,84 @@ class GraftWriteBuilder(root: String, schema: StructType,
     new GraftWrite(root, schema, overwrite, queryId)
 }
 
-class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
-    queryId: String = "")
-  extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+/** Shared write-layout derivation: the table's partition spec and
+  * plain-column sort order expressed as a V2 distribution + ordering,
+  * so EVERY V2 write path (append/overwrite, replace, streaming)
+  * clusters rows on the executors and the commit ingests staged files
+  * in place — no driver-side re-read/re-write of the batch. */
+private[spark] object GraftWriteLayout {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  type V2Expr = org.apache.spark.sql.connector.expressions.Expression
+  type V2Sort = org.apache.spark.sql.connector.expressions.SortOrder
 
-  private def spec: Seq[Meta.PartitionField] =
+  def spec(root: String): Seq[Meta.PartitionField] =
     if (Meta.exists(root)) Meta.load(root).spec else Seq.empty
 
   /** Plain-column sort-order entries, or empty when any entry is an
     * expression (zorder) the V2 ordering can't express — those fall
     * back to the driver-side re-cluster at commit. */
-  private def sortRefs: Seq[String] = {
+  def sortRefs(root: String): Seq[String] = {
     val so = if (Meta.exists(root)) Meta.load(root).sortOrder else Seq.empty
     if (so.nonEmpty && so.forall(e => !e.contains("(") && !e.contains(" ")))
       so
     else Seq.empty
   }
 
-  /** Cluster incoming rows by the partition transforms (resolved via
-    * the catalog's FunctionCatalog), so each write task produces few
-    * files per partition value — rows are partition-routed ON THE
-    * EXECUTORS and the commit ingests files in place. Without this the
-    * commit re-read and re-shuffled everything (double write IO). */
-  override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    if (spec.nonEmpty)
-      org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        spec.map { pf =>
-          // truncate has no catalog function to resolve against; cluster
-          // by the (finer) source column instead — still a valid routing
-          (if (pf.transform.startsWith("truncate["))
-            Expressions.identity(pf.sourceColumn)
-          else RowTransform.toV2(pf))
-            : org.apache.spark.sql.connector.expressions.Expression
-        }.toArray)
-    else if (sortRefs.nonEmpty)
-      // sorted, unpartitioned: a RANGE exchange on the sort key gives
-      // each write task a disjoint key slice — files come out
-      // range-clustered straight off the executors and the commit
-      // ingests them in place (no driver-side re-read/re-write)
-      org.apache.spark.sql.connector.distributions.Distributions.ordered(
-        sortOrderExprs)
-    else
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-  }
+  // truncate has no catalog function to resolve against; cluster by
+  // the (finer) source column instead — still a valid routing
+  private def partExpr(pf: Meta.PartitionField): V2Expr =
+    if (pf.transform.startsWith("truncate["))
+      Expressions.identity(pf.sourceColumn)
+    else RowTransform.toV2(pf)
 
-  private def sortOrderExprs
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, NullOrdering}
-    sortRefs.map(c => Expressions.sort(
-      Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression,
-      SortDirection.ASCENDING)).toArray
+  private def sortExprs(refs: Seq[String]): Seq[V2Sort] =
+    refs.map(c => Expressions.sort(
+      Expressions.identity(c): V2Expr, SortDirection.ASCENDING))
+
+  /** Partitioned: cluster on the transforms so each task writes few
+    * files per partition value. Sorted, unpartitioned: RANGE exchange
+    * on the sort key gives each task a disjoint slice. */
+  def distribution(root: String): Distribution = {
+    val sp = spec(root)
+    if (sp.nonEmpty) Distributions.clustered(sp.map(partExpr).toArray)
+    else {
+      val so = sortRefs(root)
+      if (so.nonEmpty) Distributions.ordered(sortExprs(so).toArray)
+      else Distributions.unspecified()
+    }
   }
 
   /** In-task ordering: partition transforms first (keeps one file
     * open per partition value in a routed writer), then the sort
     * columns for tight per-file bounds. */
-  override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    if (sortRefs.isEmpty) Array.empty
-    else {
-      val partFirst = spec.map(pf => Expressions.sort(
-        (if (pf.transform.startsWith("truncate["))
-          Expressions.identity(pf.sourceColumn)
-        else RowTransform.toV2(pf))
-          : org.apache.spark.sql.connector.expressions.Expression,
-        SortDirection.ASCENDING))
-      (partFirst ++ sortOrderExprs).toArray
-    }
+  def ordering(root: String): Array[V2Sort] = {
+    val so = sortRefs(root)
+    if (so.isEmpty) Array.empty
+    else (spec(root).map(pf =>
+      Expressions.sort(partExpr(pf), SortDirection.ASCENDING)) ++
+      sortExprs(so)).toArray
   }
 
   /** The executors applied the table's whole sort order, so the
     * commit may ingest staged files as-is. */
-  private[spark] def presorted: Boolean = sortRefs.nonEmpty
+  def presorted(root: String): Boolean = sortRefs(root).nonEmpty
+}
+
+class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
+    queryId: String = "")
+  extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    GraftWriteLayout.distribution(root)
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    GraftWriteLayout.ordering(root)
+
+  private[spark] def presorted: Boolean = GraftWriteLayout.presorted(root)
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBatchWrite(root, schema, overwrite, presorted)
@@ -1510,7 +1501,10 @@ class GraftStreamingWrite(root: String, schema: StructType,
     }
     t.commitStagedWrite(dir, truncate, summaryExtra = Map(
       "streaming-query-id" -> queryId,
-      "streaming-epoch-id" -> epochId.toString))
+      "streaming-epoch-id" -> epochId.toString),
+      // micro-batch planning honors RequiresDistributionAndOrdering,
+      // so sorted-table epochs arrive range-clustered like batch writes
+      presorted = GraftWriteLayout.presorted(root))
   }
 
   override def abort(epochId: Long,

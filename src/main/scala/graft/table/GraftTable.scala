@@ -264,14 +264,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * files with a SMALLER sequence, and the replacement files commit
     * at a higher one, so old deletes can never hide rewritten rows. */
   private[graft] def commitStagedReplace(staging: HPath,
-      replaced: Seq[String]): Unit = {
+      replaced: Seq[String], presorted: Boolean = false): Unit = {
     val m = meta
     val staged = TableIO.listFilesRecursive(staging)
       .filter(_._1.getName.endsWith(".parquet"))
     val routed = m.spec.isEmpty ||
       staged.forall(f => TableIO.relativize(staging, f._1).contains("="))
     val files =
-      if (m.sortOrder.isEmpty && routed) ingestStaged(staging, m.schema, m.defaultSpecId)
+      if ((m.sortOrder.isEmpty || presorted) && routed)
+        ingestStaged(staging, m.schema, m.defaultSpecId)
       else {
         val stagedPaths = staged.map(_._1.toString)
         val out =

@@ -164,6 +164,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(d.scan().filter(col("cat") === 2L).count() === 20L)
   }
 
+  test("streaming sink epochs range-cluster into a sort-ordered table") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.GraftTable
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-sorted")
+      .toString
+    val src = base + "/src"; val dst = base + "/dst"
+    val df = (1L to 400L).map(i => ((i * 131) % 997, i)).toDF("key", "v")
+    val s = GraftTable.create(spark, src, df.schema)
+    s.append(df)
+    val d = GraftTable.create(spark, dst, df.schema,
+      sortOrder = Seq("key"))
+
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.outputMode("append").format("graft")
+        .option("path", dst).option("checkpointLocation", base + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    }
+    assert(d.scan().count() === 400L)
+    // micro-batch planning applied the write's required distribution
+    // and ordering: the epoch's files carry disjoint sort-key ranges
+    // even though the commit ingested them without a driver re-write
+    val bounds = d.meta.liveFiles(None)
+      .flatMap(_.stats.get("key").map(st => (st.min.toLong, st.max.toLong)))
+      .sortBy(_._1)
+    assert(bounds.size > 1, s"expected multiple files, got $bounds")
+    bounds.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) =>
+        assert(max1 <= min2, s"epoch files overlap on the sort key: $bounds")
+      case _ =>
+    }
+  }
+
   test("streaming source fails loudly on replace snapshots, ignores branches") {
     val spark0 = spark
     import spark0.implicits._

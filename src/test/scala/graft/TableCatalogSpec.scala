@@ -509,6 +509,44 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_wh.mt.p")
   }
 
+  test("SQL UPDATE keeps a sort-ordered table range-clustered") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.so")
+    val df = (1L to 400L).map(i => ((i * 131) % 997, i)).toDF("key", "v")
+    val t = graft.table.GraftTable.create(spark, s"$wh/so/t", df.schema,
+      sortOrder = Seq("key"))
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      df.write.format("graft").mode("append").save(s"$wh/so/t")
+      // CoW UPDATE: ReplaceData rewrites the candidate files through
+      // the ordered V2 write — replacements come back range-clustered
+      // off the executors and the commit ingests them in place
+      spark.sql("UPDATE graft_wh.so.t SET v = v + 1000000 WHERE key > 500")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    }
+    val rows = spark.sql(
+      "SELECT count(*) n, sum(CASE WHEN v > 1000000 THEN 1 ELSE 0 END) u " +
+        "FROM graft_wh.so.t").collect()(0)
+    assert(rows.getLong(0) === 400L)
+    assert(rows.getLong(1) === df.filter($"key" > 500).count())
+    val bounds = t.meta.liveFiles(None)
+      .flatMap(_.stats.get("key").map(st => (st.min.toLong, st.max.toLong)))
+      .sortBy(_._1)
+    assert(bounds.size > 1)
+    bounds.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) =>
+        assert(max1 <= min2, s"post-UPDATE files overlap: $bounds")
+      case _ =>
+    }
+    spark.sql("DROP TABLE graft_wh.so.t")
+  }
+
   test("ALTER COLUMN TYPE: safe promotions widen in place, unsafe refused") {
     val spark0 = spark
     import spark0.implicits._
