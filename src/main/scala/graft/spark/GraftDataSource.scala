@@ -791,11 +791,31 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     // live map; their carried dataSequence keeps delete scoping sound
     val seq = seqByPath.getOrElse(f.path,
       f.dataSequence.getOrElse(Long.MinValue))
-    (deletesWithSeq.filter { case (d, ds) => d.content == 2 && ds > seq }
+    (deletesWithSeq.filter { case (d, ds) =>
+      d.content == 2 && ds > seq && eqDeleteMayApply(d, f) }
       .map(_._1.path).sorted,
       deletesWithSeq.filter { case (d, ds) => d.content == 1 && ds >= seq }
         .map(_._1.path).sorted)
   }
+
+  /** Delete-manifest pruning (Iceberg's delete-file bounds check): an
+    * equality delete whose recorded key range is DISJOINT from the
+    * data file's range on any equality column cannot delete a row in
+    * that file — the file's task never ships or reads that delete. A
+    * delete carrying null keys always applies (nulls live outside the
+    * min/max); missing stats on either side apply conservatively. */
+  private def eqDeleteMayApply(d: Meta.DataFile, f: Meta.DataFile): Boolean =
+    d.equalityColumns.forall { c =>
+      (d.stats.get(c), f.stats.get(c),
+          table.schema.fields.find(_.name == c)) match {
+        case (Some(ds), Some(fs), Some(field)) if ds.nullCount == 0 &&
+            ds.min.nonEmpty && ds.max.nonEmpty &&
+            fs.min.nonEmpty && fs.max.nonEmpty =>
+          val cmp = Meta.comparator(field.dataType)
+          cmp(ds.min, fs.max) <= 0 && cmp(fs.min, ds.max) <= 0
+        case _ => true
+      }
+    }
 
   /** After partition-spec evolution, files from older eras don't carry
     * the default spec's values — key-grouped claims would be unsound

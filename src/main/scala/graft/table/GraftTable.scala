@@ -974,17 +974,26 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     withMicrosTimestamps(keys.write.parquet(staging.toString))
     val dir = new HPath(dataDir, "deletes")
     TableIO.mkdirs(dir)
-    val added = TableIO.listFilesRecursive(staging)
+    val staged = TableIO.listFilesRecursive(staging)
       .filter(_._1.getName.endsWith(".parquet"))
-      .map { case (src, sz, _) =>
-        val dest = new HPath(dir, s"eq-${UUID.randomUUID().toString.take(8)}.parquet")
-        TableIO.rename(src, dest)
-        Meta.DataFile(
-          path = TableIO.relativize(dataDir, dest),
-          partitionValues = Map.empty,
-          recordCount = -1L, fileSizeBytes = sz,
-          stats = Map.empty, equalityColumns = keyCols, content = 2)
-      }
+    // key-range footer stats on the delete file: scans skip the
+    // delete entirely for data files whose bounds can't contain any
+    // deleted key (Iceberg's delete-manifest pruning)
+    val prunableKeys = keyCols.filter(c =>
+      m.schema.fields.find(_.name == c).exists(f => isPrunable(f.dataType)))
+    val statsByPath = FooterStats.collect(spark,
+      staged.map(_._1.toString), prunableKeys.toSet)
+      .map(fs => fs.path -> fs.stats).toMap
+    val added = staged.map { case (src, sz, _) =>
+      val st = statsByPath.getOrElse(src.toString, Map.empty)
+      val dest = new HPath(dir, s"eq-${UUID.randomUUID().toString.take(8)}.parquet")
+      TableIO.rename(src, dest)
+      Meta.DataFile(
+        path = TableIO.relativize(dataDir, dest),
+        partitionValues = Map.empty,
+        recordCount = -1L, fileSizeBytes = sz,
+        stats = st, equalityColumns = keyCols, content = 2)
+    }
     TableIO.delete(staging, recursive = true)
     commit("delete-eq", Seq.empty, Seq.empty, addedDeletes = added)
     this

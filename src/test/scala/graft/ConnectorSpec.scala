@@ -133,6 +133,47 @@ class ConnectorSpec extends AnyFunSuite {
     assert(df.filter(col("o_orderstatus") === "F").count() === 0)
   }
 
+  test("equality-delete key bounds prune delete reads for disjoint files") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    // range-clustered files → disjoint per-file l_orderkey bounds
+    val t = GraftTable.create(spark, root, li.schema,
+      sortOrder = Seq("l_orderkey"))
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try t.append(li)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    }
+    val keys = li.select("l_orderkey").distinct()
+      .orderBy("l_orderkey").limit(50)
+      .collect().map(_.getLong(0))
+    t.deleteWhereMoR(col("l_orderkey") <= keys.max, Seq("l_orderkey"))
+
+    // the delete file recorded its key bounds
+    val del = t.meta.liveDeleteFiles(None).head
+    assert(del.stats.get("l_orderkey").exists(_.max.toLong <= keys.max))
+
+    // a scan over files disjoint from the deleted range must never
+    // open the delete file: remove it from disk and survive
+    val highCut = t.meta.liveFiles(None)
+      .flatMap(_.stats.get("l_orderkey")).map(_.min.toLong).max
+    val delPath = new java.io.File(s"$root/data/${del.path}")
+    val saved = java.nio.file.Files.readAllBytes(delPath.toPath)
+    java.nio.file.Files.delete(delPath.toPath)
+    val high =
+      try spark.read.format("graft").load(root)
+        .filter(col("l_orderkey") >= highCut).count()
+      finally java.nio.file.Files.write(delPath.toPath, saved)
+    assert(high === li.filter(col("l_orderkey") >= highCut).count())
+
+    // soundness: the full merge-on-read scan applies the delete
+    assert(spark.read.format("graft").load(root).count() ===
+      li.filter(col("l_orderkey") > keys.max).count())
+  }
+
   test("connector sequence-scopes deletes: later appends are not filtered") {
     val spark0 = spark
     import spark0.implicits._
