@@ -207,7 +207,8 @@ class GraftSparkTable(root: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(root, info.schema(), info.queryId())
+    new GraftWriteBuilder(root, info.schema(), info.queryId(),
+      Option(info.options.get("branch")).getOrElse("main"))
 }
 
 object GraftSparkTable {
@@ -1373,7 +1374,7 @@ case class MorReaderFactory(
   * files under a staging dir; the driver commit ingests them (footer
   * stats job) and snapshots — append or truncate+overwrite. */
 class GraftWriteBuilder(root: String, schema: StructType,
-    queryId: String = "")
+    queryId: String = "", branch: String = "main")
   extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -1381,7 +1382,7 @@ class GraftWriteBuilder(root: String, schema: StructType,
     overwrite = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new GraftWrite(root, schema, overwrite, queryId)
+    new GraftWrite(root, schema, overwrite, queryId, branch)
 }
 
 /** Shared write-layout derivation: the table's partition spec and
@@ -1449,7 +1450,7 @@ private[spark] object GraftWriteLayout {
 }
 
 class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
-    queryId: String = "")
+    queryId: String = "", branch: String = "main")
   extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -1464,10 +1465,10 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
   private[spark] def presorted: Boolean = GraftWriteLayout.presorted(root)
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftBatchWrite(root, schema, overwrite, presorted)
+    new GraftBatchWrite(root, schema, overwrite, presorted, branch)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new GraftStreamingWrite(root, schema, overwrite, queryId)
+    new GraftStreamingWrite(root, schema, overwrite, queryId, branch)
 }
 
 /** Structured Streaming sink (`df.writeStream.format("graft")`):
@@ -1481,7 +1482,7 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
   * the table per epoch. Crashed epochs leave only a `stage-stream-*`
   * dir that remove_orphan_files sweeps. */
 class GraftStreamingWrite(root: String, schema: StructType,
-    truncate: Boolean, queryId: String)
+    truncate: Boolean, queryId: String, branch: String = "main")
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import graft.table.TableIO
 
@@ -1524,7 +1525,7 @@ class GraftStreamingWrite(root: String, schema: StructType,
       "streaming-epoch-id" -> epochId.toString),
       // micro-batch planning honors RequiresDistributionAndOrdering,
       // so sorted-table epochs arrive range-clustered like batch writes
-      presorted = GraftWriteLayout.presorted(root))
+      presorted = GraftWriteLayout.presorted(root), branch = branch)
   }
 
   override def abort(epochId: Long,
@@ -1553,7 +1554,7 @@ case class GraftStreamingWriterFactory(staging: String,
 }
 
 class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean,
-    presorted: Boolean = false)
+    presorted: Boolean = false, branch: String = "main")
   extends org.apache.spark.sql.connector.write.BatchWrite {
   private val staging =
     graft.table.TableIO.path(root, s"stage-v2-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1573,7 +1574,8 @@ class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean,
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     GraftTable.load(SparkSession.active, root)
-      .commitStagedWrite(staging, overwrite, presorted = presorted)
+      .commitStagedWrite(staging, overwrite, presorted = presorted,
+        branch = branch)
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =

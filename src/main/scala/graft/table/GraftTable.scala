@@ -222,7 +222,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * (transform columns + partition dirs), then drop the stage. */
   private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
       summaryExtra: Map[String, String] = Map.empty,
-      presorted: Boolean = false): Unit = {
+      presorted: Boolean = false, branch: String = "main"): Unit = {
     val m = meta
     // executors already partition-routed the staged files (the V2
     // write's clustered distribution + per-row transforms), so a plain
@@ -250,11 +250,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         TableIO.delete(staging, recursive = true)
         out
       }
+    // an overwrite truncates the TARGET ref's live set — a branch
+    // overwrite must not list main's files as removed
+    val base = if (branch == "main") None else m.refs.get(branch)
     if (overwrite)
-      commit("overwrite", files, m.liveFiles(None).map(_.path),
-        removedDeletes = m.liveDeleteFiles(None).map(_.path),
-        summaryExtra = summaryExtra)
-    else commit("append", files, Seq.empty, summaryExtra = summaryExtra)
+      commit("overwrite", files, m.liveFiles(base).map(_.path),
+        removedDeletes = m.liveDeleteFiles(base).map(_.path),
+        summaryExtra = summaryExtra, branch = branch)
+    else commit("append", files, Seq.empty, summaryExtra = summaryExtra,
+      branch = branch)
   }
 
   /** Commit a group replacement (the V2 row-level-operation path: SQL

@@ -119,6 +119,46 @@ class ConnectorSpec extends AnyFunSuite {
     assert(planned.size < bounds.size)
   }
 
+  test("branch write option: batch and streaming commits land on the branch") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v")
+    GraftTable.create(spark, root, df.schema).append(df)
+
+    // write-audit-publish staging: the audit branch advances, main
+    // stays pinned
+    (41L to 60L).map(i => (i, s"b$i")).toDF("k", "v")
+      .write.format("graft").option("branch", "audit")
+      .mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() === 40L)
+    assert(spark.read.format("graft").option("branch", "audit")
+      .load(root).count() === 60L)
+
+    // a branch overwrite truncates the BRANCH, not main
+    (100L to 104L).map(i => (i, s"c$i")).toDF("k", "v")
+      .write.format("graft").option("branch", "audit")
+      .mode("overwrite").save(root)
+    assert(spark.read.format("graft").option("branch", "audit")
+      .load(root).count() === 5L)
+    assert(spark.read.format("graft").load(root).count() === 40L)
+
+    // streaming epochs can target a branch too
+    val srcRoot = tmp()
+    val s2 = GraftTable.create(spark, srcRoot, df.schema)
+    s2.append((200L to 219L).map(i => (i, s"d$i")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").load(srcRoot)
+      .writeStream.outputMode("append").format("graft")
+      .option("path", root).option("branch", "audit")
+      .option("checkpointLocation", root + "-bckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.format("graft").option("branch", "audit")
+      .load(root).count() === 25L)
+    assert(spark.read.format("graft").load(root).count() === 40L)
+  }
+
   test("connector applies merge-on-read deletes at scan") {
     val o = Tables.orders(spark, sf)
     val root = tmp()
