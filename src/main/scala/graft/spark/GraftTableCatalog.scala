@@ -213,12 +213,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF <id>`. */
+  /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF <id>` —
+    * or a branch/tag NAME, which pins that ref's current snapshot
+    * (Iceberg's VERSION AS OF 'branch'). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
     if (!Meta.exists(root))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new GraftSparkTable(root, pinnedSnapshot = Some(version.toLong))
+    val snapId = version.toLongOption.getOrElse(
+      Meta.load(root).refs.getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither a snapshot id nor a ref of $ident")))
+    new GraftSparkTable(root, pinnedSnapshot = Some(snapId))
   }
 
   /** SQL time travel by time: `... TIMESTAMP AS OF '2024-01-01 ...'`.

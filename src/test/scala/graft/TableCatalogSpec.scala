@@ -907,9 +907,13 @@ class TableCatalogSpec extends AnyFunSuite {
     t.append(Seq((3L, 3.0)).toDF("k", "v"), branch = "audit")
     assert(spark.sql("SELECT count(*) FROM graft_wh.wap.t")
       .collect()(0).getLong(0) === 1)
-    // audit the staged rows through the branch read, then publish
+    // audit the staged rows through the branch read — connector
+    // option or SQL VERSION AS OF with the ref NAME — then publish
     assert(spark.read.format("graft").option("branch", "audit")
       .load(root).count() === 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_wh.wap.t VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) === 3)
     val ff = spark.sql(
       "CALL graft_wh.system.fast_forward('wap.t', 'main', 'audit')").collect()(0)
     assert(ff.getLong(0) === published)
