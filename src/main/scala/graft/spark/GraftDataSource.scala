@@ -1140,12 +1140,21 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     // ...and a row-id scan counts RAW stream indexes as positions, so
     // the parquet reader must not skip row groups either
     val pushForDelegate =
-      if (capture.isDefined || rowIdCols.nonEmpty ||
-          deletesWithSeq.exists(_._1.content == 1)) Array.empty[Filter]
+      if (capture.isDefined || rowIdCols.nonEmpty) Array.empty[Filter]
       else pushedFilters
     val parquetFactory: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
         spark, table.schema, requiredSchema, pushForDelegate))
+    // ONLY the partitions bound to a position delete read raw (their
+    // stream index must equal the file row index, so the reader may
+    // skip nothing); eq-only and delete-free partitions keep the
+    // pushed filters — equality filtering matches row CONTENT, so
+    // row-group skipping stays sound for them
+    val rawFactory: PartitionReaderFactory =
+      if (pushForDelegate.nonEmpty && posSpecsByPartition.nonEmpty)
+        UnwrapKeyedFactory(GraftConnectorShim.parquetReaderFactory(
+          spark, table.schema, requiredSchema, Array.empty))
+      else parquetFactory
     // _file/_pos append BELOW the MoR filter: positions must count
     // every raw row of the file, including rows a live delete hides
     val delegate =
@@ -1153,7 +1162,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
       else RowIdAppendFactory(parquetFactory, rowIdFileByPartition,
         rowIdCols.map(_.name))
     if (deletesWithSeq.isEmpty) delegate
-    else MorReaderFactory(delegate, deleteSpecsByPartition, posSpecsByPartition)
+    else MorReaderFactory(delegate, deleteSpecsByPartition, posSpecsByPartition,
+      rawDelegate = if (rowIdCols.isEmpty) Some(rawFactory) else None)
   }
 }
 
@@ -1316,7 +1326,8 @@ object DeleteKeyCache {
 case class MorReaderFactory(
     delegate: PartitionReaderFactory,
     specsByPartition: Map[Int, Seq[DeleteFilesSpec]],
-    posByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty)
+    posByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty,
+    rawDelegate: Option[PartitionReaderFactory] = None)
   extends PartitionReaderFactory {
 
   private def indexOf(p: InputPartition): Int = p match {
@@ -1327,10 +1338,13 @@ case class MorReaderFactory(
 
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val inner = delegate.createReader(partition)
     val idx = indexOf(partition)
     val specs = specsByPartition.getOrElse(idx, Seq.empty)
     val pos = posByPartition.get(idx)
+    // position-deleted partitions must count every raw row — use the
+    // unpushed reader for them when one was built
+    val inner = (if (pos.isDefined) rawDelegate.getOrElse(delegate)
+      else delegate).createReader(partition)
     if (specs.isEmpty && pos.isEmpty) inner
     else new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
       private val groups = specs.map(s => (s, DeleteKeyCache.get(s)))

@@ -214,6 +214,25 @@ class ConnectorSpec extends AnyFunSuite {
       li.filter(col("l_orderkey") > keys.max).count())
   }
 
+  test("pos-deleted files read raw; clean files keep pushed filters") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val a = (1L to 50L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)
+    val b = (51L to 100L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1)
+    val t = GraftTable.create(spark, root, a.schema)
+    t.append(a); t.append(b)
+    t.deleteWhereMoRPositional(col("k") <= 5L)
+    // the filter spans a pos-deleted file (a) and a clean file (b):
+    // a's reader counts raw positions, b's reader keeps the pushed
+    // filter — both must agree with the logical answer
+    val got = spark.read.format("graft").load(root)
+      .filter(col("k") between (3L, 60L)).select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(got === (6L to 60L))
+    assert(spark.read.format("graft").load(root).count() === 95L)
+  }
+
   test("connector sequence-scopes deletes: later appends are not filtered") {
     val spark0 = spark
     import spark0.implicits._
