@@ -1436,14 +1436,30 @@ private[spark] object GraftWriteLayout {
 
   /** Partitioned: cluster on the transforms so each task writes few
     * files per partition value. Sorted, unpartitioned: RANGE exchange
-    * on the sort key gives each task a disjoint slice. */
+    * on the sort key gives each task a disjoint slice. The
+    * `write.distribution-mode` table property overrides (Iceberg's
+    * none | hash | range): `none` skips the exchange entirely — tasks
+    * still sort locally, for pre-clustered ingest where a shuffle
+    * would only move already-placed rows. */
   def distribution(root: String): Distribution = {
+    val mode =
+      if (Meta.exists(root))
+        Meta.load(root).properties.getOrElse("write.distribution-mode", "")
+      else ""
     val sp = spec(root)
-    if (sp.nonEmpty) Distributions.clustered(sp.map(partExpr).toArray)
-    else {
-      val so = sortRefs(root)
-      if (so.nonEmpty) Distributions.ordered(sortExprs(so).toArray)
-      else Distributions.unspecified()
+    mode match {
+      case "none" => Distributions.unspecified()
+      case "hash" if sp.nonEmpty =>
+        Distributions.clustered(sp.map(partExpr).toArray)
+      case "range" if sortRefs(root).nonEmpty =>
+        Distributions.ordered(sortExprs(sortRefs(root)).toArray)
+      case _ =>
+        if (sp.nonEmpty) Distributions.clustered(sp.map(partExpr).toArray)
+        else {
+          val so = sortRefs(root)
+          if (so.nonEmpty) Distributions.ordered(sortExprs(so).toArray)
+          else Distributions.unspecified()
+        }
     }
   }
 

@@ -119,6 +119,32 @@ class ConnectorSpec extends AnyFunSuite {
     assert(planned.size < bounds.size)
   }
 
+  test("write.distribution-mode=none skips the exchange, keeps local sort") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = (1L to 600L).map(i => ((i * 7) % 601, i)).toDF("key", "v")
+    GraftTable.create(spark, root, df.schema,
+      properties = Map("write.distribution-mode" -> "none"),
+      sortOrder = Seq("key")).append(df.limit(1))
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try df.repartition(6).write.format("graft").mode("overwrite").save(root)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    }
+    val t = GraftTable.load(spark, root)
+    // no exchange: one file per INPUT partition (6), not per shuffle
+    // partition (4)
+    assert(t.meta.liveFiles(None).size === 6)
+    assert(t.scan().count() === 600L)
+    // the local sort still ran: every file is internally ordered, so
+    // its stats are usable even though file ranges overlap
+    assert(t.meta.liveFiles(None).forall(_.stats.contains("key")))
+  }
+
   test("branch write option: batch and streaming commits land on the branch") {
     val spark0 = spark
     import spark0.implicits._
