@@ -31,6 +31,7 @@ object Registry {
     "minhash_bands" -> (args => MinHashBands(args(0),
       intArg(args(1), "minhash_bands"), intArg(args(2), "minhash_bands"))),
     "zorder2" -> (args => ZOrder2(args(0), args(1))),
+    "zorder" -> (args => ZOrderBytes(args)),
     "lsh_bucket_keys" -> (args => LshBucketKeys(args(0))))
 
   /** Register on a live session (temp functions). */

@@ -114,12 +114,17 @@ object GraftProcedures {
         "strategy 'binpack' (default): bin-pack small files per " +
           "partition toward target_file_size_bytes; strategy 'sort': " +
           "rewrite ALL live files through the table sort order, " +
-          "restoring range clustering. Outstanding deletes fold in.",
+          "restoring range clustering; strategy 'zorder': rewrite ALL " +
+          "live files clustered on the Morton interleave of " +
+          "sort_columns (comma-separated), without changing the " +
+          "table's sort order. Outstanding deletes fold in.",
         Array(TableParam,
           ProcedureParameter.in("target_file_size_bytes", LongType)
             .defaultValue((128L * 1024 * 1024).toString).build(),
           ProcedureParameter.in("strategy", StringType)
-            .defaultValue("'binpack'").build()),
+            .defaultValue("'binpack'").build(),
+          ProcedureParameter.in("sort_columns", StringType)
+            .defaultValue("''").build()),
         StructType(Seq(
           StructField("rewritten_data_files", IntegerType),
           StructField("added_data_files", IntegerType))),
@@ -129,8 +134,12 @@ object GraftProcedures {
           in.getUTF8String(2).toString match {
             case "binpack" => t.compact(in.getLong(1))
             case "sort" => t.rewriteSort(in.getLong(1))
+            case "zorder" =>
+              val cols = in.getUTF8String(3).toString.split(',')
+                .map(_.trim).filter(_.nonEmpty).toSeq
+              t.rewriteZOrder(cols, in.getLong(1))
             case other => throw new IllegalArgumentException(
-              s"unknown rewrite strategy '$other' (binpack | sort)")
+              s"unknown rewrite strategy '$other' (binpack | sort | zorder)")
           }
           val after = t.meta.liveFiles(None).map(_.path).toSet
           Seq(row((before -- after).size, (after -- before).size))

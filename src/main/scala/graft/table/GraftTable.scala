@@ -78,12 +78,20 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }
   }
 
-  private val ZOrderSpec = """zorder\((\w+),\s*(\w+)\)""".r
+  private val ZOrderSpec = """zorder\(([\w\s,]+)\)""".r
 
-  /** A sort-order entry is a column name or `zorder(a,b)`. */
+  private def zorderCols(spec: String): Seq[String] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** A sort-order entry is a column name or `zorder(a, b[, ...])`.
+    * The z-key interleaves each dimension's FULL 64-bit
+    * order-preserving normalization (BinaryType Morton key) — a
+    * 32-bit truncation would collapse either wide-ranging keys (top
+    * bits differ, low bits lost) or narrow-band keys (top bits equal)
+    * and silently stop clustering at scale. */
   private def sortColumn(entry: String): Column = entry match {
-    case ZOrderSpec(a, b) =>
-      graft.functions.ZOrderKeys.zorder(col(a).cast("int"), col(b).cast("int"))
+    case ZOrderSpec(cols) =>
+      graft.functions.ZOrderKeys.zorderBytes(zorderCols(cols).map(col): _*)
     case name => col(name)
   }
 
@@ -103,7 +111,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * over the data (the reference reads the same footer statistics:
     * iceberg-rust/src/file_format/parquet.rs). */
   private def writeFiles(df: DataFrame, schema: StructType,
-      targetN: Option[Int] = None): Seq[Meta.DataFile] = {
+      targetN: Option[Int] = None,
+      sortOverride: Option[Seq[String]] = None): Seq[Meta.DataFile] = {
     val m = meta
     val staging = TableIO.path(root, s"stage-${UUID.randomUUID().toString.take(8)}")
     val partNames = m.spec.map(_.name)
@@ -127,7 +136,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // min/max pruning bite (reference: spec/sort.rs). An entry of the
     // form zorder(a,b) clusters on the Morton interleave — narrow
     // per-file ranges in BOTH dimensions.
-    val sortCols = m.sortOrder.map(sortColumn)
+    val sortCols = sortOverride.getOrElse(m.sortOrder).map(sortColumn)
     val writer =
       if (m.spec.nonEmpty) {
         // shuffle once on the partition values so each partition's rows
@@ -823,6 +832,34 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Z-order rewrite (Iceberg's rewriteDataFiles().zOrder(cols)):
+    * rewrite ALL live files clustered on the full-width Morton
+    * interleave of `cols`, WITHOUT changing the table's declared sort
+    * order — a one-shot layout optimization so manifest min/max
+    * pruning bites on predicates over ANY of the clustered columns.
+    * Outstanding deletes fold in, as compact. */
+  def rewriteZOrder(cols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): GraftTable = {
+    val m = meta
+    require(cols.size >= 2, s"zorder needs >=2 columns, got $cols")
+    cols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"zorder column '$c' is not in the schema"))
+    val live = m.liveFiles(None)
+    if (live.isEmpty) return this
+    val targetN = math.max(1,
+      math.ceil(live.map(_.fileSizeBytes).sum.toDouble / targetFileBytes).toInt)
+    val seqByPath = m.liveFilesWithSeq(None).map { case (f, q) => f.path -> q }.toMap
+    val df = readWithDeletes(live.map(f => (f, seqByPath(f.path))),
+      m.liveDeleteFilesWithSeq(None), m.schema)
+    val files = writeFiles(df, m.schema, Some(targetN),
+      sortOverride = Some(Seq(s"zorder(${cols.mkString(", ")})")))
+    val op = if (m.liveDeleteFilesWithSeq(None).nonEmpty) "rewrite-fold"
+             else "rewrite"
+    commit(op, files, live.map(_.path),
+      removedDeletes = m.liveDeleteFiles(None).map(_.path))
+    this
+  }
+
   /** Expire snapshots older than the newest `keepLast`, keeping every
     * snapshot a ref points to plus its ancestry. Expired snapshots are
     * squashed into a synthetic base so the live chain still replays. */
@@ -1103,7 +1140,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // sort-order entries may be bare names OR zorder(a,b) — check the
     // referenced columns, not the entry strings
     val sortRefs = m.sortOrder.flatMap {
-      case ZOrderSpec(a, b) => Seq(a, b)
+      case ZOrderSpec(cols) => zorderCols(cols)
       case n => Seq(n)
     }
     require(!sortRefs.contains(name),
@@ -1196,7 +1233,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def setSortOrder(entries: Seq[String]): GraftTable = this.synchronized {
     val m = meta
     val refs = entries.flatMap {
-      case ZOrderSpec(a, b) => Seq(a, b)
+      case ZOrderSpec(cols) => zorderCols(cols)
       case n => Seq(n)
     }
     refs.foreach(c => require(m.schema.fieldNames.contains(c),

@@ -123,6 +123,56 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(a !== b)
   }
 
+  test("z-key normalizations are order-preserving at full width") {
+    import graft.functions.ZOrderKeys._
+    def unsignedLt(a: Long, b: Long) = java.lang.Long.compareUnsigned(a, b) < 0
+    val longs = (Seq(Long.MinValue, -3000000000L, -1L, 0L, 1L,
+      Int.MaxValue.toLong + 5, Long.MaxValue) ++
+      (1 to 500).map(_ => rnd.nextLong())).distinct.sorted
+    longs.sliding(2).foreach { case Seq(a, b) =>
+      assert(unsignedLt(normSignedLong(a), normSignedLong(b)), s"$a < $b")
+    }
+    val doubles = (Seq(Double.NegativeInfinity, -1e300, -1.5, -0.0, 0.0,
+      Double.MinPositiveValue, 2.5, 1e300, Double.PositiveInfinity) ++
+      (1 to 500).map(_ => rnd.nextGaussian() * 1e12)).distinct.sorted
+    doubles.sliding(2).foreach { case Seq(a, b) =>
+      if (a < b) // -0.0/0.0 dedup survives .distinct but compares equal
+        assert(unsignedLt(normDouble(a), normDouble(b)), s"$a < $b")
+    }
+    val strings = (1 to 300).map(_ => randString()).distinct.sorted
+    strings.sliding(2).foreach { case Seq(a, b) =>
+      val (na, nb) = (normPrefix(a.getBytes("UTF-8")),
+        normPrefix(b.getBytes("UTF-8")))
+      assert(unsignedLt(na, nb) || na == nb, s"$a <= $b") // 8-byte prefix ties
+    }
+  }
+
+  test("n-way interleave is order-preserving per dimension") {
+    import graft.functions.ZOrderKeys._
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      0
+    }
+    (2 to 4).foreach { n =>
+      val fixed = Array.fill(n)(rnd.nextLong())
+      (0 until n).foreach { dim =>
+        val samples = (1 to 200).map(_ => rnd.nextLong())
+          .sortWith(java.lang.Long.compareUnsigned(_, _) < 0)
+        val keys = samples.map { v =>
+          val vals = fixed.clone(); vals(dim) = v; interleave(vals)
+        }
+        keys.sliding(2).foreach { case Seq(a, b) =>
+          assert(cmp(a, b) <= 0, s"n=$n dim=$dim")
+        }
+      }
+    }
+  }
+
   test("minhash bands: subset similarity raises band agreement") {
     def bands(xs: Seq[String]) =
       (0 until 16).map(i => ArrayKernels.minhashBands(arr(xs), 64, 16).getInt(i))

@@ -239,6 +239,61 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("zorder clusters full-width long keys beyond the int range") {
+    // keys offset past 2^31 with a narrow spread: a 32-bit truncation
+    // (wrap OR top-bits-only) collapses every key to the same value
+    // and silently stops pruning — the binary z-key keeps all 64 bits
+    import spark.implicits._
+    val bx = 3000000000L // > Int.MaxValue
+    val by = 7000000000L
+    val df = (0 until 4096).map { i =>
+      (bx + (i % 64).toLong * 1000L, by + (i / 64).toLong * 1000L)
+    }.toDF("x", "y")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val t = try {
+      val t = GraftTable.create(spark, tmp(), df.schema,
+        sortOrder = Seq("zorder(x, y)"))
+      t.append(df.repartition(8))
+      t
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val total = t.filesDF.count()
+    assert(total > 1)
+    // prune on EACH dimension: a z-clustered layout gives narrow
+    // per-file ranges in both
+    val px = t.plannedFiles(
+      Seq(t.StatFilter("x", "<", (bx + 8000L).toString))).size
+    val py = t.plannedFiles(
+      Seq(t.StatFilter("y", "<", (by + 8000L).toString))).size
+    assert(px < total, s"x-pruning: planned $px of $total")
+    assert(py < total, s"y-pruning: planned $py of $total")
+    assert(t.scan().count() === 4096)
+  }
+
+  test("rewriteZOrder restores two-dimensional clustering in place") {
+    val o = Tables.orders(spark, sf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val t = try {
+      // table has NO sort order; appended pre-sorted by custkey only
+      val t = GraftTable.create(spark, tmp(), o.schema)
+      t.append(o.sort("o_custkey").coalesce(1))
+      t.rewriteZOrder(Seq("o_custkey", "o_orderkey"),
+        targetFileBytes = 8 * 1024)
+      t
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val total = t.filesDF.count()
+    assert(total > 1, s"rewrite should split into several files, got $total")
+    // sort order unchanged (zorder was a one-shot layout op)
+    assert(t.meta.sortOrder.isEmpty)
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val planned = t.plannedFiles(
+      Seq(t.StatFilter("o_orderkey", "<", (maxK / 8).toString))).size
+    assert(planned < total,
+      s"o_orderkey pruning after zorder rewrite: planned $planned of $total")
+    // row preservation, bit-for-bit
+    assert(t.scan().count() === o.count())
+    assert(t.scan().except(o).isEmpty && o.except(t.scan()).isEmpty)
+  }
+
   test("zorder kernel is order-preserving per dimension") {
     import graft.functions.ZOrderKeys
     // fixing one dimension, z-values must be monotonic in the other

@@ -776,6 +776,28 @@ class TableCatalogSpec extends AnyFunSuite {
       f.partitionValues.contains("_p_event_id_bucket")))
   }
 
+  test("CALL rewrite_data_files strategy zorder clusters named columns") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
+    spark.sql("CREATE TABLE graft_wh.proc.zt (a BIGINT, b BIGINT)")
+    spark.sql(
+      "INSERT INTO graft_wh.proc.zt " +
+        "SELECT id % 64 AS a, id DIV 64 AS b FROM range(4096)")
+    val rw = spark.sql(
+      "CALL graft_wh.system.rewrite_data_files(table => 'proc.zt', " +
+        "strategy => 'zorder', sort_columns => 'a, b', " +
+        "target_file_size_bytes => 1024)").collect()(0)
+    assert(rw.getInt(1) > 1, s"zorder rewrite should add several files: $rw")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.proc.zt")
+      .collect()(0).getLong(0) === 4096)
+    // unknown sort_columns fail fast
+    val err = intercept[Exception] {
+      spark.sql("CALL graft_wh.system.rewrite_data_files(" +
+        "table => 'proc.zt', strategy => 'zorder', sort_columns => 'nope, b')")
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("CALL procedures: expire / vacuum / rewrite / rollback / branch / tag") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
