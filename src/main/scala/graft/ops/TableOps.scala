@@ -137,6 +137,38 @@ object TableOps {
        FROM orders WHERE year(o_orderdate) = 1996
        GROUP BY 1 ORDER BY o_orderstatus"""
 
+  /** In-place import (Iceberg's add_files): foreign hive-partitioned
+    * id-less parquet becomes table files with NO copy — manifest
+    * entries with footer stats and a pinned per-file name mapping.
+    * The scan mixes imported and native files and fills the
+    * hive-stripped identity source back from the directory constants,
+    * so the aggregate over the mixed table must equal the flat
+    * source. */
+  val tfAddFiles: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val src = Files.createTempDirectory("graft-tf-import").toString + "/src"
+    o.filter(col("o_orderkey") % 2 === 0)
+      .write.partitionBy("o_orderstatus").parquet(src)
+    val written = s.read.parquet(src).schema // partition column last
+    val t = GraftTable.create(s, scratch(),
+      StructType(written.fields.map(_.copy(nullable = true))),
+      spec = Seq(Meta.PartitionField("o_orderstatus", "identity", "_p_st")))
+    t.append(o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(written.fieldNames.map(col).toIndexedSeq: _*))
+    t.addFiles(src)
+    t.scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")).cast("decimal(38,10)"), 2)
+          .cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfAddFilesSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice)::DECIMAL(38,10),2)::DOUBLE AS total
+       FROM orders GROUP BY 1 ORDER BY o_orderstatus"""
+
   /** NESTED-type round-trip: per-order line items nested into an
     * array-of-structs column, written through the table, un-nested on
     * scan — the aggregate must equal the flat source (types.rs nested
@@ -537,6 +569,7 @@ object TableOps {
     "tf_spec_evolution" -> tfSpecEvolution,
     "tf_nested_roundtrip" -> tfNestedRoundtrip,
     "tf_compaction" -> tfCompaction,
+    "tf_add_files" -> tfAddFiles,
     "tf_branch_scan" -> tfBranchScan,
     "tf_schema_evolution" -> tfSchemaEvolution,
     "tf_merge_upsert" -> tfMergeUpsert,
@@ -552,6 +585,7 @@ object TableOps {
     "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,
     "tf_delete_pos" -> tfDeletePosSql,
     "tf_compaction" -> tfCompactionSql,
+    "tf_add_files" -> tfAddFilesSql,
     "tf_files_pruned" -> tfFilesPrunedSql,
     "tf_metadata_tables" -> tfMetadataTablesSql,
     "tf_delete_mor" -> tfDeleteMorSql,

@@ -827,10 +827,16 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   // SPJ is declined while equality deletes are outstanding: the keyed
   // single-partition-per-value layout cannot also honor per-file
   // delete scoping bins
+  /** Any live imported (name-mapped) file forces the plain planning
+    * path: keyed SPJ/bucket partitions assume one uniform reader
+    * factory, and mapped files need their own renamed-schema one. */
+  private lazy val anyMapped: Boolean =
+    table.liveFilesWithSeq(snapId).exists(_._1.nameMapping.isDefined)
+
   private def spjEligible: Boolean =
     table.spec.nonEmpty && table.spec.forall(_.transform == "identity") &&
       identityPartCols.size == table.spec.size && deletesWithSeq.isEmpty &&
-      uniformSpec
+      uniformSpec && !anyMapped
 
   /** Single bucket[n] partition spec whose source column survives into
     * the output — the bucket-SPJ clustering (needs the catalog's
@@ -838,7 +844,7 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   private def bucketSpec: Option[(Meta.PartitionField, Int)] = table.spec match {
     case Seq(pf) if pf.transform.startsWith("bucket[") &&
         requiredSchema.fieldNames.contains(pf.sourceColumn) &&
-        deletesWithSeq.isEmpty && uniformSpec =>
+        deletesWithSeq.isEmpty && uniformSpec && !anyMapped =>
       Some((pf, pf.transform.stripPrefix("bucket[").stripSuffix("]").toInt))
     case _ => None
   }
@@ -960,10 +966,10 @@ class GraftScan(root: String, table: Meta.TableMetadata,
       val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
       val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
       val fileOut = scala.collection.mutable.Map[Int, String]()
+      val mapOut = scala.collection.mutable.Map[Int, ImportedGroup]()
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
-      files.groupBy(deleteSig).toSeq
-        .sortBy { case ((eq, pos), _) => (eq ++ pos).mkString(";") }
-        .foreach { case ((eqSig, posSig), group) =>
+      files.groupBy(planSig).toSeq.sortBy { case (k, _) => sigKey(k) }
+        .foreach { case ((eqSig, posSig, mapping, mSpecId, mPvs), group) =>
           val specs =
             if (eqSig.isEmpty) Seq.empty else buildDeleteSpecs(spark, eqSig)
           val posSpec =
@@ -972,6 +978,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
             val idx = out.length
             out += toFilePartition(idx, Seq(f))
             if (specs.nonEmpty) specsOut(idx) = specs
+            mapping.foreach(mp =>
+              mapOut(idx) = ImportedGroup(mp, mSpecId, mPvs))
             val uri = graft.table.TableIO.qualified(
               new org.apache.hadoop.fs.Path(dataDir, f.path))
             fileOut(idx) = uri
@@ -982,6 +990,7 @@ class GraftScan(root: String, table: Meta.TableMetadata,
       deleteSpecsByPartition = specsOut.toMap
       posSpecsByPartition = posOut.toMap
       rowIdFileByPartition = fileOut.toMap
+      mappingByPartition = mapOut.toMap
       out.toArray
     } else if (spjEligible) {
       // one partition per partition-value tuple, keyed for SPJ
@@ -1020,11 +1029,13 @@ class GraftScan(root: String, table: Meta.TableMetadata,
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
       val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
       val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
-      // bins never mix delete signatures: each task applies one
-      // uniform (sequence-scoped) delete set to all its files
-      files.groupBy(deleteSig).toSeq
-        .sortBy { case ((eq, pos), _) => (eq ++ pos).mkString(";") }
-        .foreach { case ((eqSig, posSig), group) =>
+      val mapOut = scala.collection.mutable.Map[Int, ImportedGroup]()
+      // bins never mix delete signatures OR name mappings (imported
+      // bins are also partition-value-uniform, so identity constants
+      // the hive layout stripped fill per bin): one task, one delete
+      // set, one schema shape
+      files.groupBy(planSig).toSeq.sortBy { case (k, _) => sigKey(k) }
+        .foreach { case ((eqSig, posSig, mapping, mSpecId, mPvs), group) =>
           val specs =
             if (eqSig.isEmpty) Seq.empty else buildDeleteSpecs(spark, eqSig)
           val posSpec =
@@ -1035,6 +1046,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
               val idx = out.length
               out += toFilePartition(idx, Seq(f))
               if (specs.nonEmpty) specsOut(idx) = specs
+              mapping.foreach(mp =>
+                mapOut(idx) = ImportedGroup(mp, mSpecId, mPvs))
               val dataDir = graft.table.TableIO.path(root, "data")
               val uri = graft.table.TableIO.qualified(
                 new org.apache.hadoop.fs.Path(dataDir, f.path))
@@ -1057,11 +1070,14 @@ class GraftScan(root: String, table: Meta.TableMetadata,
               val idx = out.length
               out += toFilePartition(idx, bin.toSeq)
               if (specs.nonEmpty) specsOut(idx) = specs
+              mapping.foreach(mp =>
+                mapOut(idx) = ImportedGroup(mp, mSpecId, mPvs))
             }
           }
         }
       deleteSpecsByPartition = specsOut.toMap
       posSpecsByPartition = posOut.toMap
+      mappingByPartition = mapOut.toMap
       out.toArray
     }
   }
@@ -1069,6 +1085,29 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   /** partition index → applicable delete groups, bound at planning
     * time (partition bins are delete-signature-uniform). */
   @volatile private var deleteSpecsByPartition: Map[Int, Seq[DeleteFilesSpec]] = Map.empty
+
+  /** partition index → import-group info, for partitions of
+    * add_files-imported (id-less) parquet — routed to a
+    * renamed-schema reader factory plus identity-constant fill. */
+  @volatile private var mappingByPartition: Map[Int, ImportedGroup] = Map.empty
+
+  /** bin-uniformity key: delete signature plus (for imported files)
+    * the name mapping, spec id and partition values — so every task
+    * reads one schema shape and fills one constant set. */
+  private def planSig(f: Meta.DataFile): (Seq[String], Seq[String],
+      Option[Map[String, String]], Int, Map[String, String]) = {
+    val (eq, pos) = deleteSig(f)
+    if (f.nameMapping.isDefined)
+      (eq, pos, f.nameMapping, f.specId, f.partitionValues)
+    else (eq, pos, None, 0, Map.empty)
+  }
+
+  /** deterministic ordering for planSig groups (Map.toString isn't). */
+  private def sigKey(k: (Seq[String], Seq[String],
+      Option[Map[String, String]], Int, Map[String, String])): String =
+    (k._1 ++ k._2).mkString(";") + "|" +
+      k._3.map(_.toSeq.sorted.mkString(",")).getOrElse("") + "|" +
+      k._4 + "|" + k._5.toSeq.sorted.mkString(",")
 
   /** partition index → (position-delete spec, this partition's data
     * file path) for single-file partitions under position deletes. */
@@ -1142,9 +1181,32 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     val pushForDelegate =
       if (capture.isDefined || rowIdCols.nonEmpty) Array.empty[Filter]
       else pushedFilters
-    val parquetFactory: PartitionReaderFactory = UnwrapKeyedFactory(
+    // partitions of imported (name-mapped) files read through a
+    // factory built over their pinned import-time schema — same
+    // positions and types, different names, no parquet-level filter
+    // pushdown (filters name live columns; all filters stay residual
+    // above the scan, so dropping the pushdown is only a perf choice).
+    // Identity sources the hive layout stripped from the pages fill
+    // back in as per-bin constants (an UnsafeProjection per task).
+    val mappedFactories: Map[Map[String, String], PartitionReaderFactory] =
+      mappingByPartition.values.map(_.mapping).toSet.map {
+        (mp: Map[String, String]) =>
+          mp -> (UnwrapKeyedFactory(GraftConnectorShim.parquetReaderFactory(
+            spark, Meta.importReadSchema(table.schema, mp),
+            Meta.importReadSchema(requiredSchema, mp),
+            Array.empty)): PartitionReaderFactory)
+      }.toMap
+    val routeByPartition: Map[Int, (PartitionReaderFactory, Seq[(Int, Any)])] =
+      mappingByPartition.map { case (i, g) =>
+        i -> (mappedFactories(g.mapping),
+          ImportedGroup.overrides(table, requiredSchema, g))
+      }
+    def routed(f: PartitionReaderFactory): PartitionReaderFactory =
+      if (routeByPartition.isEmpty) f
+      else NameMapRoutingFactory(f, routeByPartition, requiredSchema)
+    val parquetFactory: PartitionReaderFactory = routed(UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
-        spark, table.schema, requiredSchema, pushForDelegate))
+        spark, table.schema, requiredSchema, pushForDelegate)))
     // ONLY the partitions bound to a position delete read raw (their
     // stream index must equal the file row index, so the reader may
     // skip nothing); eq-only and delete-free partitions keep the
@@ -1152,8 +1214,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     // row-group skipping stays sound for them
     val rawFactory: PartitionReaderFactory =
       if (pushForDelegate.nonEmpty && posSpecsByPartition.nonEmpty)
-        UnwrapKeyedFactory(GraftConnectorShim.parquetReaderFactory(
-          spark, table.schema, requiredSchema, Array.empty))
+        routed(UnwrapKeyedFactory(GraftConnectorShim.parquetReaderFactory(
+          spark, table.schema, requiredSchema, Array.empty)))
       else parquetFactory
     // _file/_pos append BELOW the MoR filter: positions must count
     // every raw row of the file, including rows a live delete hides
@@ -1244,6 +1306,81 @@ case class UnwrapKeyedFactory(delegate: PartitionReaderFactory)
     delegate.createColumnarReader(unwrap(p))
   override def supportColumnarReads(p: InputPartition): Boolean =
     delegate.supportColumnarReads(unwrap(p))
+}
+
+/** One bin of add_files-imported files: the pinned name mapping plus
+  * the (bin-uniform) spec id and partition values its identity
+  * constants derive from. */
+case class ImportedGroup(mapping: Map[String, String], specId: Int,
+    partitionValues: Map[String, String])
+
+object ImportedGroup {
+  /** ordinal (in readSchema) → catalyst constant, for identity
+    * sources the imported files' pages don't carry (hive layout
+    * strips them into the directory names). */
+  def overrides(table: Meta.TableMetadata, readSchema: StructType,
+      g: ImportedGroup): Seq[(Int, Any)] =
+    readSchema.fields.zipWithIndex.toSeq.flatMap { case (f, i) =>
+      if (!Meta.fieldId(f).exists(id => !g.mapping.contains(id.toString)))
+        None
+      else table.specs.getOrElse(g.specId, Seq.empty)
+        .find(pf => pf.transform == "identity" && pf.sourceColumn == f.name)
+        .flatMap(pf => g.partitionValues.get(pf.name))
+        .map(v => i -> castValue(v, f.dataType))
+    }
+
+  def castValue(v: String, dt: org.apache.spark.sql.types.DataType): Any =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType), dt, Some("UTC")).eval(null)
+}
+
+/** Routes partitions of add_files-imported (name-mapped) files to the
+  * reader factory built over their pinned import-time schema, with
+  * per-bin identity-constant fill; everything else takes the default.
+  * The mapped output layout (positions, types) is identical to the
+  * default's, so consumers above can't tell the difference. Forces
+  * row-based reads for the WHOLE scan: Spark requires partition
+  * uniformity, and the fill projection is row-based. */
+case class NameMapRoutingFactory(default: PartitionReaderFactory,
+    byPartition: Map[Int, (PartitionReaderFactory, Seq[(Int, Any)])],
+    readSchema: StructType)
+  extends PartitionReaderFactory {
+  private def pick(p: InputPartition)
+      : Option[(PartitionReaderFactory, Seq[(Int, Any)])] = p match {
+    case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+      byPartition.get(fp.index)
+    case k: KeyedFilePartition => pick(k.inner)
+    case _ => None
+  }
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    pick(p) match {
+      case None => default.createReader(p)
+      case Some((f, Seq())) => f.createReader(p)
+      case Some((f, ovs)) =>
+        val inner = f.createReader(p)
+        val exprs = readSchema.fields.zipWithIndex.map { case (fd, i) =>
+          ovs.find(_._1 == i)
+            .map(o => org.apache.spark.sql.catalyst.expressions.Literal(
+              o._2, fd.dataType): org.apache.spark.sql.catalyst.expressions.Expression)
+            .getOrElse(org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, fd.dataType, nullable = true))
+        }.toIndexedSeq
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(exprs)
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          override def next(): Boolean = inner.next()
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            proj(inner.get())
+          override def close(): Unit = inner.close()
+        }
+    }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    pick(p).map(_._1).getOrElse(default).createColumnarReader(p)
+  override def supportColumnarReads(p: InputPartition): Boolean = false
 }
 
 /** One equality-delete group, executor-readable: where the key columns

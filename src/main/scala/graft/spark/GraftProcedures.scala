@@ -110,6 +110,24 @@ object GraftProcedures {
             .map(p => row(utf8(p)))
       },
 
+      new GraftProcedure("add_files",
+        "Import foreign parquet files under source_dir IN PLACE: no " +
+          "copy, no rewrite — manifest entries with footer stats and " +
+          "a pinned per-file name mapping (the files carry no field " +
+          "ids). Identity-partitioned tables derive partition values " +
+          "from Hive-style col=value directories.",
+        Array(TableParam,
+          ProcedureParameter.in("source_dir", StringType).build()),
+        StructType(Seq(
+          StructField("added_files_count", LongType),
+          StructField("added_rows_count", LongType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val added = t.addFiles(in.getUTF8String(1).toString)
+          Seq(row(added.size.toLong, added.map(_.recordCount).sum))
+        }
+      },
+
       new GraftProcedure("rewrite_data_files",
         "strategy 'binpack' (default): bin-pack small files per " +
           "partition toward target_file_size_bytes; strategy 'sort': " +

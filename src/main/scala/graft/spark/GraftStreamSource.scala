@@ -265,17 +265,32 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     if (added.isEmpty) return Array.empty
     val dataDir = graft.table.TableIO.path(root, "data")
     val targetBytes = 128L * 1024 * 1024
-    val bins = scala.collection.mutable.ArrayBuffer[Seq[Meta.DataFile]]()
-    var cur = scala.collection.mutable.ArrayBuffer[Meta.DataFile]()
-    var curBytes = 0L
-    added.foreach { f =>
-      if (curBytes + f.fileSizeBytes > targetBytes && cur.nonEmpty) {
-        bins += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
+    // bins never mix name mappings or (for imports) partition values:
+    // imported (id-less) files read through a renamed-schema factory
+    // with identity-constant fill, routed per partition
+    val bins = scala.collection.mutable.ArrayBuffer[
+      (Seq[Meta.DataFile], Option[ImportedGroup])]()
+    added.groupBy(f => f.nameMapping.map(mp =>
+        ImportedGroup(mp, f.specId, f.partitionValues))).toSeq
+      .sortBy(_._1.map(g => g.mapping.toSeq.sorted.mkString(",") + "|" +
+        g.specId + "|" + g.partitionValues.toSeq.sorted.mkString(","))
+        .getOrElse(""))
+      .foreach { case (group0, group) =>
+        var cur = scala.collection.mutable.ArrayBuffer[Meta.DataFile]()
+        var curBytes = 0L
+        group.foreach { f =>
+          if (curBytes + f.fileSizeBytes > targetBytes && cur.nonEmpty) {
+            bins += ((cur.toSeq, group0))
+            cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0L
+          }
+          cur += f; curBytes += f.fileSizeBytes
+        }
+        if (cur.nonEmpty) bins += ((cur.toSeq, group0))
       }
-      cur += f; curBytes += f.fileSizeBytes
-    }
-    if (cur.nonEmpty) bins += cur.toSeq
-    bins.zipWithIndex.map { case (bin, i) =>
+    mappingByPartition = bins.zipWithIndex.collect {
+      case ((_, Some(g)), i) => i -> g
+    }.toMap
+    bins.zipWithIndex.map { case ((bin, _), i) =>
       GraftConnectorShim.filePartition(i, bin.map { f =>
         val p = new org.apache.hadoop.fs.Path(dataDir, f.path)
         GraftConnectorShim.partitionedFile(p.toString, f.fileSizeBytes, 0L)
@@ -283,10 +298,33 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    UnwrapKeyedFactory(GraftConnectorShim.parquetReaderFactory(
-      SparkSession.active, Meta.load(root).schema, requiredSchema,
-      Array.empty))
+  /** partition index → import-group info for the CURRENT batch
+    * (createReaderFactory runs after planInputPartitions for each
+    * micro-batch, the same ordering the batch scan relies on). */
+  @volatile private var mappingByPartition: Map[Int, ImportedGroup] =
+    Map.empty
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val m = Meta.load(root)
+    val default = UnwrapKeyedFactory(GraftConnectorShim.parquetReaderFactory(
+      spark, m.schema, requiredSchema, Array.empty))
+    if (mappingByPartition.isEmpty) default
+    else {
+      val mapped = mappingByPartition.values.map(_.mapping).toSet.map {
+        (mp: Map[String, String]) =>
+          mp -> (UnwrapKeyedFactory(GraftConnectorShim.parquetReaderFactory(
+            spark, Meta.importReadSchema(m.schema, mp),
+            Meta.importReadSchema(requiredSchema, mp),
+            Array.empty)): PartitionReaderFactory)
+      }.toMap
+      NameMapRoutingFactory(default,
+        mappingByPartition.map { case (i, g) =>
+          i -> (mapped(g.mapping),
+            ImportedGroup.overrides(m, requiredSchema, g))
+        }, requiredSchema)
+    }
+  }
 
   override def commit(end: Offset): Unit = ()
 

@@ -24,7 +24,11 @@ import scala.jdk.CollectionConverters._
   */
 object FooterStats {
 
-  case class FileStats(path: String, records: Long, stats: Map[String, Meta.ColStats])
+  case class FileStats(path: String, records: Long,
+      stats: Map[String, Meta.ColStats],
+      /** the file's TOP-LEVEL parquet field names — lets an importer
+        * validate every file's schema in the same footer pass. */
+      columns: Seq[String] = Seq.empty)
 
   private val tsFormat = DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
@@ -102,7 +106,8 @@ object FooterStats {
         }
       }
       FileStats(path, records,
-        byCol.map { case (k, (mn, mx, n)) => k -> Meta.ColStats(mn, mx, n) }.toMap)
+        byCol.map { case (k, (mn, mx, n)) => k -> Meta.ColStats(mn, mx, n) }.toMap,
+        columns = schema.getFields.asScala.map(_.getName).toSeq)
     } finally reader.close()
   }
 

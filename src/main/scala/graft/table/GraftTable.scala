@@ -392,6 +392,82 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   private def absolute(f: Meta.DataFile): String =
     new HPath(dataDir, f.path).toString
 
+  /** One raw parquet read over a mixed file list: graft-written files
+    * read id-matched; imported (name-mapped) files read under their
+    * PINNED import-time names with ids stripped, then aliased back to
+    * the live schema — positions and types are identical, so the
+    * groups union cleanly. With `withPos` every group carries
+    * `__file`/`__pos` (added BEFORE the alias projection, while the
+    * `_metadata` hidden column is still resolvable). */
+  private def readDataRaw(files: Seq[Meta.DataFile], schema: StructType,
+      withPos: Boolean = false): DataFrame = {
+    if (files.isEmpty) {
+      val s = if (!withPos) schema
+        else StructType(schema.fields ++ Seq(
+          StructField("__file", StringType), StructField("__pos", LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    lazy val specsById = meta.specs
+    def identitySource(g: Meta.DataFile, name: String): Option[String] =
+      specsById.getOrElse(g.specId, Seq.empty)
+        .find(pf => pf.transform == "identity" && pf.sourceColumn == name)
+        .flatMap(pf => g.partitionValues.get(pf.name))
+    files.groupBy(_.nameMapping).toSeq
+      .sortBy(_._1.map(_.toSeq.sorted.mkString(",")).getOrElse(""))
+      .map { case (mapping, group) =>
+        val readSchema = mapping match {
+          case None => schema
+          case Some(mp) => Meta.importReadSchema(schema, mp)
+        }
+        val raw =
+          (if (mapping.isEmpty) idRead else spark.read)
+            .schema(readSchema).parquet(group.map(absolute): _*)
+        val withMeta =
+          if (!withPos) raw
+          else raw.withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+        mapping match {
+          case None => withMeta
+          case Some(mp) =>
+            // identity sources the hive layout stripped from the
+            // pages read back as their per-file dir constant — a
+            // broadcast (file → value) join, never a per-file plan
+            val fillCols = schema.fields.filter(f =>
+              Meta.fieldId(f).exists(id => !mp.contains(id.toString)) &&
+                group.exists(identitySource(_, f.name).isDefined)).toSeq
+            val base =
+              if (fillCols.isEmpty) withMeta
+              else {
+                val stripScheme = "^[a-z][a-z0-9+.-]*:/+"
+                val constSchema = StructType(
+                  StructField("__cfile", StringType) +:
+                    fillCols.map(f => StructField("__cv_" + f.name, StringType)))
+                val rows = group.map { g =>
+                  org.apache.spark.sql.Row.fromSeq(
+                    absolute(g).replaceFirst(stripScheme, "/") +:
+                      fillCols.map(f => identitySource(g, f.name).orNull))
+                }
+                val constDf = spark.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](
+                    scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+                  constSchema)
+                withMeta.withColumn("__cfile",
+                    regexp_replace(col("_metadata.file_path"), stripScheme, "/"))
+                  .join(broadcast(constDf), Seq("__cfile"), "left")
+              }
+            val back = schema.fields.zip(readSchema.fields).map {
+              case (live, imp) =>
+                if (fillCols.exists(_.name == live.name))
+                  coalesce(col(imp.name),
+                    col("__cv_" + live.name).cast(live.dataType)).as(live.name)
+                else col(imp.name).as(live.name)
+            } ++ (if (withPos) Seq(col("__file"), col("__pos")) else Seq.empty)
+            base.select(back.toIndexedSeq: _*)
+        }
+      }.reduce(_ unionAll _)
+  }
+
   /** Simple comparison predicates a manifest can prune on. */
   case class StatFilter(column: String, op: String, value: String)
 
@@ -503,10 +579,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val m = meta
     val schema = m.schemas(end.flatMap(m.snapshot).map(_.schemaId)
       .getOrElse(m.currentSchemaId))
-    val delta = m.appendedFilesBetween(since, end)
-    if (delta.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else idRead.schema(schema).parquet(delta.map(absolute): _*)
+    readDataRaw(m.appendedFilesBetween(since, end), schema)
   }
 
   /** Changelog between snapshots (the reference's incremental/CDC
@@ -531,11 +604,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val m = meta
     val schema = m.schemas(end.flatMap(m.snapshot).map(_.schemaId)
       .getOrElse(m.currentSchemaId))
+    // path → manifest entry across the whole history: a changelog may
+    // read files REMOVED in range (added by snapshots before it), and
+    // imported entries carry the name mapping their read needs
+    lazy val fileByPath: Map[String, Meta.DataFile] =
+      m.snapshots.flatMap(_.files).map(f => f.path -> f).toMap
     def readPaths(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else idRead.schema(schema).parquet(
-        paths.map(p => TableIO.qualified(new HPath(dataDir, p))): _*)
+      readDataRaw(paths.map(p => fileByPath.getOrElse(p,
+        Meta.DataFile(p, Map.empty, -1L, -1L, Map.empty))), schema)
     def tag(df: DataFrame, change: String, snap: Long): DataFrame =
       df.withColumn("_change_type", lit(change))
         .withColumn("_commit_snapshot_id", lit(snap))
@@ -655,12 +731,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         posApplicable(seq).map(_.path).sorted) }
     classes.toSeq.map { case ((eqPaths, posPaths), group) =>
       val needPos = keepPos || posPaths.nonEmpty
-      val raw = idRead.schema(schema)
-        .parquet(group.map(g => absolute(g._1)): _*)
-      val base =
-        if (!needPos) raw
-        else raw.withColumn("__file", col("_metadata.file_path"))
-          .withColumn("__pos", col("_metadata.row_index"))
+      val base = readDataRaw(group.map(_._1), schema, withPos = needPos)
       val eqFiles = deletesWithSeq.map(_._1)
         .filter(d => eqPaths.contains(d.path))
       val afterEq = eqFiles.groupBy(_.equalityColumns).foldLeft(base) {
@@ -747,12 +818,100 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val baseline = since.map(id => m.liveFiles(Some(id)).map(_.path).toSet)
       .getOrElse(Set.empty)
     val delta = m.liveFiles(None).filterNot(f => baseline.contains(f.path))
-    if (delta.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else idRead.schema(m.schema).parquet(delta.map(absolute): _*)
+    readDataRaw(delta, m.schema)
   }
 
   // ---- maintenance ----------------------------------------------------
+
+  /** Import foreign parquet files IN PLACE (Iceberg's add_files
+    * procedure shape): commit manifest entries pointing at the source
+    * files — no data copy, no rewrite, metadata plus one distributed
+    * footer-stats pass. The files carry no field ids, so each entry
+    * pins a name mapping (current field id → current name); reads
+    * resolve those files by the pinned names forever, so later
+    * RENAMEs keep working. For identity-partitioned tables the
+    * partition values come from Hive-style `col=value` directories
+    * under `sourceDir`. Maintenance never deletes imported files
+    * (vacuum sweeps only the table's own data dir); a compaction or
+    * sort/zorder rewrite naturally migrates their rows into
+    * graft-native id-stamped files. */
+  def addFiles(sourceDir: String): Seq[Meta.DataFile] = {
+    val m = meta
+    require(m.spec.forall(_.transform == "identity"),
+      "add_files needs an unpartitioned or identity-partitioned " +
+        s"table; spec transforms: ${m.spec.map(_.transform).mkString(",")}")
+    val src = new HPath(sourceDir)
+    val listed = TableIO.listFilesRecursive(src).filter { case (p, _, _) =>
+      p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    }
+    require(listed.nonEmpty, s"no parquet files under $sourceDir")
+    val paths = listed.map(_._1.toString)
+    val prunable =
+      m.schema.fields.filter(f => isPrunable(f.dataType)).map(_.name).toSet
+    val fileStats = FooterStats.collect(spark, paths, prunable)
+    val tableNames = m.schema.fieldNames.toSet
+    // type compatibility once via Spark's own footer-schema read;
+    // per-file NAME coverage from the distributed footer pass below
+    val sample = spark.read.parquet(paths.head).schema
+    sample.fields.filter(f => tableNames.contains(f.name)).foreach { f =>
+      val want = m.schema(f.name).dataType
+      require(f.dataType.catalogString == want.catalogString,
+        s"column '${f.name}' is ${f.dataType} in the source files but " +
+          s"$want in the table — add_files imports bytes in place and " +
+          "cannot convert; CTAS/INSERT instead")
+    }
+    val statsByPath = fileStats.map(fs => fs.path -> fs).toMap
+    val entries = listed.map { case (p, sz, _) =>
+      val abs = p.toString
+      val fs = statsByPath(abs)
+      require(fs.columns.exists(tableNames.contains),
+        s"$abs shares no columns with the table schema")
+      // per-file mapping covers only columns the file's pages CARRY —
+      // an absent column (e.g. a hive-layout partition source) has no
+      // entry, which is what tells the read paths to null-fill or
+      // constant-fill it
+      val present = fs.columns.toSet
+      val mapping = m.schema.fields
+        .filter(f => present.contains(f.name))
+        .flatMap(f => Meta.fieldId(f).map(id => id.toString -> f.name)).toMap
+      val partValues =
+        if (m.spec.isEmpty) Map.empty[String, String]
+        else {
+          val segs = TableIO.relativize(src, p).split("/").dropRight(1)
+            .map(_.split("=", 2)).collect {
+              case Array(k, v) => k -> PathCodec.unescape(v)
+            }.toMap
+          m.spec.map { pf =>
+            // hive dir first; else a column the pages carry with a
+            // CONSTANT value per file (footer min == max) qualifies
+            pf.name -> segs.get(pf.sourceColumn)
+              .orElse(fs.stats.get(pf.sourceColumn)
+                .filter(st => st.min == st.max).map(_.min))
+              .getOrElse(throw new IllegalArgumentException(
+                s"$abs lacks a '${pf.sourceColumn}=' partition " +
+                  "directory and its pages don't hold one constant " +
+                  "value for it"))
+          }.toMap
+        }
+      // a hive-stripped identity source has no footer stats; its dir
+      // value IS the exact per-file constant, so synthesize min=max —
+      // source-column filters then prune imported files like native
+      val synth = m.spec.flatMap { pf =>
+        if (pf.transform != "identity") None
+        else partValues.get(pf.name)
+          .filter(_ => !fs.stats.contains(pf.sourceColumn))
+          .map(v => pf.sourceColumn -> Meta.ColStats(v, v, 0L))
+      }.toMap
+      Meta.DataFile(path = abs, partitionValues = partValues,
+        recordCount = fs.records, fileSizeBytes = sz,
+        stats = fs.stats ++ synth,
+        specId = m.defaultSpecId, nameMapping = Some(mapping))
+    }
+    commit("append", entries, Seq.empty,
+      summaryExtra = Map("added-files-imported" -> entries.size.toString))
+    entries
+  }
 
   /** Bin-packing compaction (transaction/mod.rs:76 `rewrite`): group
     * live files below the size threshold into target-sized bins per

@@ -45,6 +45,35 @@ object Meta {
   def maxFieldId(schemas: Iterable[StructType]): Int =
     schemas.flatMap(_.fields).flatMap(fieldId).maxOption.getOrElse(0)
 
+  /** The schema to READ an imported (id-less) file with: each field
+    * renamed to its import-time name from the file's name mapping
+    * (fields added after import keep their live name and null-fill),
+    * all field-id metadata stripped so resolution is by NAME — the
+    * session-level fieldId.read flag only binds ids when the
+    * requested schema carries them. Positions and types are
+    * UNCHANGED, so rows read with this schema are layout-compatible
+    * with the live schema. */
+  def importReadSchema(schema: StructType,
+      mapping: Map[String, String]): StructType = {
+    def strip(t: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = t match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = strip(f.dataType),
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = strip(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = strip(m.keyType), valueType = strip(m.valueType))
+      case other => other
+    }
+    StructType(schema.fields.map { f =>
+      val name = fieldId(f).flatMap(id => mapping.get(id.toString))
+        .getOrElse(f.name)
+      f.copy(name = name, dataType = strip(f.dataType),
+        metadata = org.apache.spark.sql.types.Metadata.empty)
+    })
+  }
+
   /** Assign fresh sequential ids to any field lacking one. */
   def withFieldIds(schema: StructType, firstId: Int): StructType = {
     var next = firstId
@@ -87,7 +116,16 @@ object Meta {
         * spec evolution, files from different eras resolve their
         * partitionValues through their OWN spec (iceberg-rust-spec:
         * per-manifest partition-spec-id). */
-      specId: Int = 0)
+      specId: Int = 0,
+      /** set on files imported in place by add_files: field id (as a
+        * string key) → the column NAME in the foreign parquet file.
+        * The file has no field ids in its footer, so reads resolve it
+        * by these import-time names (Iceberg's
+        * schema.name-mapping.default, pinned per file) — later column
+        * renames keep working because the mapping, not the live
+        * schema, names the bytes. None = graft-written file with
+        * footer ids. */
+      nameMapping: Option[Map[String, String]] = None)
 
   case class Snapshot(
       snapshotId: Long,
@@ -348,6 +386,10 @@ object Meta {
     f.dataSequence.foreach(n.put("sequence", _))
     if (f.content != 0) n.put("content", f.content)
     if (f.specId != 0) n.put("spec_id", f.specId)
+    f.nameMapping.foreach { mp =>
+      val nm = n.putObject("name_mapping")
+      mp.toSeq.sortBy(_._1).foreach { case (k, v) => nm.put(k, v) }
+    }
     n
   }
 
@@ -447,7 +489,9 @@ object Meta {
     content = Option(n.get("content")).map(_.asInt()).getOrElse {
       if (Option(n.get("equality_columns")).exists(_.size() > 0)) 2 else 0
     },
-    specId = Option(n.get("spec_id")).map(_.asInt()).getOrElse(0))
+    specId = Option(n.get("spec_id")).map(_.asInt()).getOrElse(0),
+    nameMapping = Option(n.get("name_mapping")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap))
 
   def fromJson(json: String): TableMetadata = {
     val root = mapper.readTree(json)

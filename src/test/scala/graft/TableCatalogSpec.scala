@@ -776,6 +776,41 @@ class TableCatalogSpec extends AnyFunSuite {
       f.partitionValues.contains("_p_event_id_bucket")))
   }
 
+  test("CALL add_files imports in place; connector reads mixed files") {
+    wh
+    val o = Tables.orders(spark, sf)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-sql-import").toString + "/src"
+    o.filter(col("o_orderkey") % 2 === 0)
+      .write.partitionBy("o_orderstatus").parquet(src)
+    o.filter(col("o_orderkey") % 2 =!= 0).createOrReplaceTempView("odd_src")
+    val written = spark.read.parquet(src).schema
+    spark.sql("CREATE TABLE graft_wh.proc.imp (" +
+      written.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") +
+      ") PARTITIONED BY (o_orderstatus)")
+    spark.sql("INSERT INTO graft_wh.proc.imp " +
+      s"SELECT ${written.fieldNames.mkString(", ")} FROM odd_src")
+    val r = spark.sql(
+      s"CALL graft_wh.system.add_files(table => 'proc.imp', " +
+        s"source_dir => '$src')").collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    // mixed native + imported rows through the V2 connector
+    assert(spark.sql("SELECT count(*) FROM graft_wh.proc.imp")
+      .collect()(0).getLong(0) === o.count())
+    // identity constants filled from the hive dirs
+    assert(spark.sql("SELECT count(*) FROM graft_wh.proc.imp " +
+      "WHERE o_orderstatus IS NULL").collect()(0).getLong(0) === 0)
+    val wantF = o.filter(col("o_orderstatus") === "F").count()
+    assert(spark.sql("SELECT count(*) FROM graft_wh.proc.imp " +
+      "WHERE o_orderstatus = 'F'").collect()(0).getLong(0) === wantF)
+    // aggregate over an imported numeric column matches the source
+    val want = o.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val got = spark.sql("SELECT sum(o_totalprice) FROM graft_wh.proc.imp")
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-4)
+  }
+
   test("CALL rewrite_data_files strategy zorder clusters named columns") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
@@ -877,7 +912,7 @@ class TableCatalogSpec extends AnyFunSuite {
     val names = spark.sessionState.catalogManager.catalog("graft_wh")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq
-    assert(names.contains("remove_orphan_files") && names.size === 13)
+    assert(names.contains("remove_orphan_files") && names.size === 14)
   }
 
   test("incremental read options flow through spark.read.table") {

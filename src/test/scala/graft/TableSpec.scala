@@ -660,4 +660,69 @@ class TableSpec extends AnyFunSuite {
     assert(t.scanAppendedBetween(Some(s1), Some(s2))
       .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
   }
+
+  test("add_files imports foreign id-less parquet in place") {
+    val o = Tables.orders(spark, sf)
+    val src = Files.createTempDirectory("graft-import").toString + "/src"
+    val foreign = o.filter(col("o_orderkey") % 2 === 0)
+    foreign.write.parquet(src) // plain write: no field ids in footers
+    val native = o.filter(col("o_orderkey") % 2 =!= 0)
+    val t = GraftTable.create(spark, tmp(), o.schema)
+    t.append(native)
+    val added = t.addFiles(src)
+    assert(added.nonEmpty)
+    // entries point at the SOURCE files (no copy) and carry stats
+    assert(added.forall(_.path.contains(src)))
+    assert(added.forall(_.stats.nonEmpty))
+    assert(added.forall(_.nameMapping.exists(_.nonEmpty)))
+    // mixed native + imported scan is exact
+    assert(t.scan().count() === o.count())
+    assert(t.scan().except(o).isEmpty && o.except(t.scan()).isEmpty)
+    // manifest pruning works off the imported footer stats
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val all = t.plannedFiles(Seq.empty).size
+    val some = t.plannedFiles(
+      Seq(t.StatFilter("o_orderkey", ">", maxK.toString))).size
+    assert(some < all, s"planned $some of $all")
+    // RENAME after import: the pinned mapping keeps resolving the
+    // foreign bytes under the import-time column name
+    t.renameColumn("o_totalprice", "price")
+    val wantSum = o.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val gotSum = t.scan().agg(sum("price")).collect()(0).getDouble(0)
+    assert(math.abs(gotSum - wantSum) < 1e-4)
+    // equality MoR delete applies across imported files too
+    t.deleteWhereMoR(col("o_orderkey") === foreign
+      .agg(min("o_orderkey")).collect()(0).getLong(0), Seq("o_orderkey"))
+    assert(t.scan().count() === o.count() - 1)
+    // vacuum never touches the foreign source files
+    t.expireSnapshots(keepLast = 1)
+    t.vacuum(0L)
+    assert(t.scan().count() === o.count() - 1)
+    assert(foreign.count() === spark.read.parquet(src).count())
+  }
+
+  test("add_files derives identity partition values from hive dirs") {
+    val o = Tables.orders(spark, sf)
+    val src = Files.createTempDirectory("graft-import-part").toString + "/src"
+    o.write.partitionBy("o_orderstatus").parquet(src)
+    // partitionBy MOVES the column into the path; the table schema
+    // keeps it, so reads null-fill... import against the written shape
+    val written = spark.read.parquet(src)
+    val schema = StructType(written.schema.fields.map(_.copy(nullable = true)))
+    val t = GraftTable.create(spark, tmp(), schema,
+      spec = Seq(Meta.PartitionField("o_orderstatus", "identity", "_p_st")))
+    val added = t.addFiles(src)
+    assert(added.forall(_.partitionValues.contains("_p_st")))
+    // partition pruning by the derived values
+    val all = t.plannedFiles(Seq.empty).size
+    val fOnly = t.plannedFiles(Seq(t.StatFilter("o_orderstatus", "=", "F"))).size
+    assert(fOnly < all, s"planned $fOnly of $all")
+    // hive layout strips the partition column from the data pages;
+    // the read path fills the per-file dir constant back in
+    assert(t.scan().count() === o.count())
+    assert(t.scan().filter(col("o_orderstatus").isNull).count() === 0)
+    val cols = o.columns.sorted.map(col).toIndexedSeq
+    assert(t.scan().select(cols: _*).except(o.select(cols: _*)).isEmpty)
+    assert(o.select(cols: _*).except(t.scan().select(cols: _*)).isEmpty)
+  }
 }
