@@ -353,7 +353,8 @@ object GraftMetadataSparkTable {
   import org.apache.spark.sql.types._
 
   val Kinds: Set[String] =
-    Set("files", "snapshots", "history", "partitions", "refs", "manifests")
+    Set("files", "snapshots", "history", "partitions", "refs", "manifests",
+      "entries", "delete_files", "all_files", "metadata_log_entries")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -394,7 +395,42 @@ object GraftMetadataSparkTable {
       StructField("path", StringType),
       StructField("form", StringType), // inline | spilled | group
       StructField("stat_columns", IntegerType)))
+    case "entries" => StructType(Seq(
+      StructField("status", IntegerType), // 1 = added, 2 = deleted
+      StructField("snapshot_id", LongType),
+      StructField("sequence_number", LongType),
+      StructField("content", IntegerType),
+      StructField("path", StringType),
+      StructField("partition", StringType),
+      StructField("records", LongType),
+      StructField("bytes", LongType)))
+    case "delete_files" => StructType(Seq(
+      StructField("path", StringType),
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("content", IntegerType), // 1 = position, 2 = equality
+      StructField("records", LongType),
+      StructField("bytes", LongType),
+      StructField("equality_columns", StringType),
+      StructField("data_sequence", LongType)))
+    case "all_files" => StructType(Seq(
+      StructField("path", StringType),
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("content", IntegerType),
+      StructField("records", LongType),
+      StructField("bytes", LongType),
+      StructField("live", BooleanType)))
+    case "metadata_log_entries" => StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("file", StringType),
+      StructField("version", IntegerType),
+      StructField("latest_snapshot_id", LongType)))
   }
+
+  private def partString(f: Meta.DataFile): String =
+    f.partitionValues.toSeq.sorted.map(kv => s"${kv._1}=${kv._2}")
+      .mkString("/")
 
   def rowsOf(root: String, kind: String): Seq[Seq[Any]] = {
     val m = Meta.load(root)
@@ -450,6 +486,62 @@ object GraftMetadataSparkTable {
               Seq(Seq(s.snapshotId, "(inline)", "inline",
                 s.addedFiles.flatMap(_.stats.keys).distinct.size))
           }
+        }
+      case "entries" =>
+        // the Iceberg entries table: one row per manifest entry, both
+        // lifecycle edges. Removed entries carry only paths in the
+        // snapshot, so their shape resolves through the entry that
+        // ADDED them (path → file across the whole history).
+        lazy val byPath: Map[String, Meta.DataFile] =
+          m.snapshots.flatMap(s => s.files ++ s.addedDeleteFiles)
+            .map(f => f.path -> f).toMap
+        m.snapshots.flatMap { s =>
+          val added = (s.files ++ s.addedDeleteFiles).map(f => Seq(
+            1, s.snapshotId, f.dataSequence.getOrElse(s.sequenceNumber),
+            f.content, f.path, partString(f), f.recordCount,
+            f.fileSizeBytes))
+          val removed = (s.removedPaths ++ s.removedDeletePaths)
+            .map { p =>
+              val f = byPath.get(p)
+              Seq(2, s.snapshotId, s.sequenceNumber,
+                f.map(_.content).getOrElse(0), p,
+                f.map(partString).getOrElse(""),
+                f.map(_.recordCount).getOrElse(-1L),
+                f.map(_.fileSizeBytes).getOrElse(-1L))
+            }
+          added ++ removed
+        }
+      case "delete_files" =>
+        m.liveDeleteFilesWithSeq(None).map { case (f, seq) => Seq(
+          f.path, partString(f), f.specId, f.content, f.recordCount,
+          f.fileSizeBytes, f.equalityColumns.mkString(","), seq)
+        }
+      case "all_files" =>
+        // every file any snapshot ever added (the Iceberg all_files
+        // union across valid snapshots), flagged live/not-live
+        val live = (m.liveFiles(None) ++ m.liveDeleteFiles(None))
+          .map(_.path).toSet
+        m.snapshots.flatMap(s => s.files ++ s.addedDeleteFiles)
+          .groupBy(_.path).toSeq.sortBy(_._1)
+          .map { case (p, fs) =>
+            val f = fs.head
+            Seq(p, partString(f), f.specId, f.content, f.recordCount,
+              f.fileSizeBytes, live.contains(p))
+          }
+      case "metadata_log_entries" =>
+        val VersionFile = """v(\d+)\.metadata\.json""".r
+        val dir = Meta.metadataDir(root)
+        TableIO.listFilesRecursive(dir).flatMap {
+          case (p, _, mtime) => p.getName match {
+            case VersionFile(n) => Some((n.toInt, p, mtime))
+            case _ => None
+          }
+        }.sortBy(_._1).map { case (v, p, mtime) =>
+          val snap = scala.util.Try(
+            Meta.fromJson(TableIO.readString(p)).currentSnapshotId)
+            .toOption.flatten
+          Seq(new java.sql.Timestamp(mtime), p.toString, v,
+            snap.map(Long.box).orNull)
         }
     }
   }

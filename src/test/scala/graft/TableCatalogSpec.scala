@@ -776,6 +776,62 @@ class TableCatalogSpec extends AnyFunSuite {
       f.partitionValues.contains("_p_event_id_bucket")))
   }
 
+  test("SQL metadata tables: entries / delete_files / all_files / metadata_log") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.mt3")
+    spark.sql("CREATE TABLE graft_wh.mt3.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("mt3_src")
+    spark.sql("INSERT INTO graft_wh.mt3.t SELECT * FROM mt3_src")
+    spark.sql("INSERT INTO graft_wh.mt3.t SELECT k + 10, v FROM mt3_src")
+    spark.sql("DELETE FROM graft_wh.mt3.t WHERE k = 2")
+
+    // delete_files: the MoR delete landed as a delete file (content
+    // 1 = positional, 2 = equality), sequence-stamped
+    val dels = spark.sql(
+      "SELECT content, data_sequence FROM graft_wh.mt3.t.delete_files")
+      .collect()
+    assert(dels.nonEmpty)
+    assert(dels.forall(r => r.getInt(0) == 1 || r.getInt(0) == 2))
+    assert(dels.forall(_.getLong(1) > 0))
+
+    // entries: one row per manifest entry, additions visible
+    val adds = spark.sql(
+      "SELECT count(*) FROM graft_wh.mt3.t.entries WHERE status = 1")
+      .collect()(0).getLong(0)
+    assert(adds >= 3) // 2 data appends + ≥1 delete file
+
+    // compaction folds the delete and retires files: entries gains
+    // status=2 rows; all_files keeps the dead files flagged not-live
+    spark.sql("CALL graft_wh.system.rewrite_data_files(table => 'mt3.t')")
+    val removedEntries = spark.sql(
+      "SELECT count(*) FROM graft_wh.mt3.t.entries WHERE status = 2")
+      .collect()(0).getLong(0)
+    assert(removedEntries > 0)
+    val af = spark.sql(
+      "SELECT live, count(*) FROM graft_wh.mt3.t.all_files GROUP BY live")
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(af.getOrElse(true, 0L) > 0 && af.getOrElse(false, 0L) > 0)
+    // live all_files rows reconcile with the files table
+    val liveN = spark.sql("SELECT count(*) FROM graft_wh.mt3.t.files")
+      .collect()(0).getLong(0)
+    assert(af(true) === liveN)
+
+    // metadata_log_entries: one row per metadata version, increasing,
+    // the newest pointing at the current snapshot
+    val log = spark.sql(
+      """SELECT version, latest_snapshot_id FROM
+         graft_wh.mt3.t.metadata_log_entries ORDER BY version""").collect()
+    assert(log.length >= 4) // create + 2 inserts + delete + rewrite
+    assert(log.map(_.getInt(0)).toSeq === log.map(_.getInt(0)).sorted.toSeq)
+    val t = graft.table.GraftTable.load(spark, s"$wh/mt3/t")
+    assert(log.last.getLong(1) === t.meta.currentSnapshotId.get)
+    spark.sql("DROP TABLE graft_wh.mt3.t")
+  }
+
   test("CALL add_files imports in place; connector reads mixed files") {
     wh
     val o = Tables.orders(spark, sf)
