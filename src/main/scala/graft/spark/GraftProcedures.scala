@@ -64,8 +64,48 @@ object GraftProcedures {
     ProcedureParameter.in("table", StringType)
       .comment("table identifier, e.g. 'db.t'").build()
 
-  def all(loadTable: String => GraftTable): Map[String, UnboundProcedure] = {
+  def all(warehouse: String,
+      loadTable: String => GraftTable): Map[String, UnboundProcedure] = {
     val procs = Seq[GraftProcedure](
+
+      // register_table (catalog/mod.rs:95): adopt an EXISTING graft
+      // table living OUTSIDE the warehouse under a catalog name.
+      // Metadata-only — a pointer file at the conventional path; DROP
+      // deregisters without touching the external table.
+      new GraftProcedure("register_table",
+        "Register an existing graft table at an external location " +
+          "under a catalog name. Writes only a location pointer; the " +
+          "table's data and metadata stay where they are. DROP TABLE " +
+          "on a registered name removes only the registration.",
+        Array(TableParam,
+          ProcedureParameter.in("location", StringType)
+            .comment("existing table root directory").build()),
+        StructType(Seq(
+          StructField("registered", StringType),
+          StructField("current_snapshot_id", LongType))),
+        loadTable) {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val name = input.getUTF8String(0).toString
+          val loc = input.getUTF8String(1).toString
+          require(Meta.exists(loc),
+            s"no graft table metadata under $loc")
+          val conv = (warehouse +: name.split('.').toSeq).mkString("/")
+          require(!Meta.exists(conv) && !graft.table.TableIO.exists(
+            graft.table.TableIO.path(
+              conv + "/" + GraftTableCatalog.LocationPointer)),
+            s"table $name already exists")
+          graft.table.TableIO.mkdirs(graft.table.TableIO.path(conv))
+          graft.table.TableIO.writeString(graft.table.TableIO.path(
+            conv + "/" + GraftTableCatalog.LocationPointer), loc)
+          val snap = Meta.load(loc).currentSnapshotId.getOrElse(-1L)
+          result(outputSchema0, Seq(row(utf8(loc), snap)))
+        }
+        private val outputSchema0 = StructType(Seq(
+          StructField("registered", StringType),
+          StructField("current_snapshot_id", LongType)))
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          Seq.empty // unused: call() is overridden
+      },
 
       new GraftProcedure("expire_snapshots",
         "Expire history older than the newest keep_last snapshots " +

@@ -122,14 +122,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   // etc. — the reference's maintenance transactions as SQL procedures
   private lazy val procedures: Map[String,
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
-    GraftProcedures.all { tableName =>
-      val root = (warehouse +: tableName.split('.').toSeq).mkString("/")
+    GraftProcedures.all(warehouse, { tableName =>
+      val root = resolveRoot(
+        (warehouse +: tableName.split('.').toSeq).mkString("/"))
       if (!Meta.exists(root))
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
           Identifier.of(tableName.split('.').dropRight(1),
             tableName.split('.').last))
       GraftTable.load(SparkSession.active, root)
-    }
+    })
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -173,14 +174,27 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  private def tableRoot(ident: Identifier): String =
+  /** A table REGISTERED from an external location (register_table)
+    * holds only a pointer file at its conventional warehouse path;
+    * reads and maintenance follow the pointer, DROP deletes only the
+    * registration (reference: catalog/mod.rs:95 register_table). */
+  private def resolveRoot(conventional: String): String = {
+    val ptr = TableIO.path(conventional + "/" +
+      GraftTableCatalog.LocationPointer)
+    if (TableIO.exists(ptr)) TableIO.readString(ptr).trim else conventional
+  }
+
+  private def conventionalPath(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def tableRoot(ident: Identifier): String =
+    resolveRoot(conventionalPath(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
     if (!TableIO.isDirectory(dir)) Array.empty
     else TableIO.listDir(dir).map(_.getPath).iterator
-      .filter(p => Meta.exists(p.toString) ||
+      .filter(p => Meta.exists(resolveRoot(p.toString)) ||
         graft.table.iceberg.IcebergTable.exists(p.toString))
       .map(p => Identifier.of(namespace, p.getName))
       .toArray
@@ -204,7 +218,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
       if (ident.namespace().nonEmpty &&
           GraftMetadataSparkTable.Kinds.contains(kind)) {
-        val parentRoot = (warehouse +: ident.namespace().toSeq).mkString("/")
+        val parentRoot =
+          resolveRoot((warehouse +: ident.namespace().toSeq).mkString("/"))
         if (Meta.exists(parentRoot) &&
             scala.util.Try(Meta.load(parentRoot)).isSuccess)
           return new GraftMetadataSparkTable(parentRoot, kind)
@@ -295,14 +310,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val root = TableIO.path(tableRoot(ident))
-    if (!Meta.exists(root.toString)) false
-    else TableIO.delete(root, recursive = true)
+    val conv = TableIO.path(conventionalPath(ident))
+    // registered table: DROP removes only the registration pointer;
+    // the external table's data and metadata stay untouched
+    if (TableIO.exists(new org.apache.hadoop.fs.Path(conv,
+        GraftTableCatalog.LocationPointer)))
+      return TableIO.delete(conv, recursive = true)
+    if (!Meta.exists(conv.toString)) false
+    else TableIO.delete(conv, recursive = true)
   }
 
+  // conventional paths, NOT resolved roots: renaming a registered
+  // table moves its pointer, never the external data it names
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    TableIO.rename(TableIO.path(tableRoot(oldIdent)),
-      TableIO.path(tableRoot(newIdent)))
+    TableIO.rename(TableIO.path(conventionalPath(oldIdent)),
+      TableIO.path(conventionalPath(newIdent)))
 
   // ---- namespaces ----------------------------------------------------
 
@@ -342,6 +364,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftTableCatalog {
   val DatetimeFunctions: Seq[String] = Seq("years", "months", "days", "hours")
+
+  /** Pointer file a register_table registration leaves at the
+    * conventional warehouse path, naming the external table root. */
+  val LocationPointer = "location.text"
 }
 
 /** Read-only metadata tables in the Spark-Iceberg UX: the table's

@@ -776,6 +776,47 @@ class TableCatalogSpec extends AnyFunSuite {
       f.partitionValues.contains("_p_event_id_bucket")))
   }
 
+  test("CALL register_table adopts an external table; DROP deregisters") {
+    val spark0 = spark
+    import spark0.implicits._
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.reg")
+    // a graft table living OUTSIDE the warehouse
+    val ext = java.nio.file.Files
+      .createTempDirectory("graft-external").toString + "/t"
+    val t = graft.table.GraftTable.create(spark, ext,
+      Seq((1L, 1.0)).toDF("k", "v").schema)
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    val r = spark.sql(
+      s"CALL graft_wh.system.register_table(table => 'reg.t', " +
+        s"location => '$ext')").collect()(0)
+    assert(r.getString(0) === ext)
+    assert(r.getLong(1) === t.meta.currentSnapshotId.get)
+    // reads, writes and metadata tables resolve through the pointer
+    assert(spark.sql("SELECT count(*) FROM graft_wh.reg.t")
+      .collect()(0).getLong(0) === 2)
+    spark.sql("INSERT INTO graft_wh.reg.t VALUES (3, 3.0)")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.reg.t")
+      .collect()(0).getLong(0) === 3)
+    assert(spark.sql("SELECT count(*) FROM graft_wh.reg.t.snapshots")
+      .collect()(0).getLong(0) === 2)
+    // SHOW TABLES lists it; CALL procedures reach it
+    assert(spark.sql("SHOW TABLES IN graft_wh.reg").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("CALL graft_wh.system.expire_snapshots(table => 'reg.t', " +
+      "keep_last => 1)")
+    // double registration refused
+    assertThrows[Exception] {
+      spark.sql(s"CALL graft_wh.system.register_table(" +
+        s"table => 'reg.t', location => '$ext')").collect()
+    }
+    // DROP removes only the registration; the external table survives
+    spark.sql("DROP TABLE graft_wh.reg.t")
+    assert(!spark.sql("SHOW TABLES IN graft_wh.reg").collect()
+      .map(_.getString(1)).contains("t"))
+    assert(graft.table.GraftTable.load(spark, ext).scan().count() === 3)
+  }
+
   test("SQL metadata tables: entries / delete_files / all_files / metadata_log") {
     val spark0 = spark
     import spark0.implicits._
@@ -968,7 +1009,7 @@ class TableCatalogSpec extends AnyFunSuite {
     val names = spark.sessionState.catalogManager.catalog("graft_wh")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq
-    assert(names.contains("remove_orphan_files") && names.size === 14)
+    assert(names.contains("remove_orphan_files") && names.size === 15)
   }
 
   test("incremental read options flow through spark.read.table") {
