@@ -719,6 +719,34 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  // ---- scan planning metrics (Spark UI SQL tab) ----------------------
+  // At 100 TB the question "did pruning work" must be answerable from
+  // the UI, not a debugger: how many live files the snapshot had, how
+  // many survived stat/partition pruning, the bytes actually planned,
+  // and how many delete files the scan applies.
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    GraftScanMetrics.all
+
+  @volatile private var planningMetrics: Array[CustomTaskMetric] =
+    Array.empty
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    planningMetrics
+
+  private def recordPlanningMetrics(planned: Seq[Meta.DataFile]): Unit = {
+    val live = table.liveFiles(snapId).size
+    planningMetrics = Array(
+      GraftScanMetrics.task("liveDataFiles", live),
+      GraftScanMetrics.task("plannedDataFiles", planned.size),
+      GraftScanMetrics.task("prunedDataFiles",
+        math.max(0, live - planned.size)),
+      GraftScanMetrics.task("plannedBytes",
+        planned.map(_.fileSizeBytes).sum),
+      GraftScanMetrics.task("deleteFilesApplied", deletesWithSeq.size))
+  }
+
   /** Manifest-derived statistics (reference:
     * datafusion_iceberg/src/statistics.rs reports the same totals to
     * its planner): sizeInBytes/rowCount from the PRUNED file list, so
@@ -953,6 +981,7 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val files = plannedDataFiles(spark)
+    recordPlanningMetrics(files)
     // group-based row-level ops replace exactly the files this scan
     // planned (runtime group filtering has already narrowed the set)
     capture.foreach(_.scanned.updateAndGet(_ ++ files.map(_.path)))
@@ -1306,6 +1335,32 @@ case class UnwrapKeyedFactory(delegate: PartitionReaderFactory)
     delegate.createColumnarReader(unwrap(p))
   override def supportColumnarReads(p: InputPartition): Boolean =
     delegate.supportColumnarReads(unwrap(p))
+}
+
+/** DSv2 custom metrics the scan reports at planning time — pruning
+  * effectiveness and MoR overhead, surfaced in the Spark UI per scan
+  * node. All are driver metrics (planning facts), aggregated as sums. */
+object GraftScanMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+  private class Sum(metricName: String, desc: String)
+    extends CustomSumMetric {
+    override def name(): String = metricName
+    override def description(): String = desc
+  }
+
+  val all: Array[CustomMetric] = Array(
+    new Sum("liveDataFiles", "live data files in the scanned snapshot"),
+    new Sum("plannedDataFiles", "data files planned after pruning"),
+    new Sum("prunedDataFiles", "data files skipped by stats/partition pruning"),
+    new Sum("plannedBytes", "bytes planned for read"),
+    new Sum("deleteFilesApplied", "merge-on-read delete files applied"))
+
+  def task(metricName: String, v: Long): CustomTaskMetric =
+    new CustomTaskMetric {
+      override def name(): String = metricName
+      override def value(): Long = v
+    }
 }
 
 /** One bin of add_files-imported files: the pinned name mapping plus

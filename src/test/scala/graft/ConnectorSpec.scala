@@ -508,4 +508,37 @@ class ConnectorSpec extends AnyFunSuite {
     assert(found("c_mktsegment") === ndv("c_mktsegment"))
     assert(stats.numRows().getAsLong === c.count())
   }
+
+  test("scan reports planning metrics: live/planned/pruned files, deletes") {
+    val li = Tables.lineitem(spark, sf)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, li.schema,
+      sortOrder = Seq("l_orderkey"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.append(li)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(t.filesDF.count() > 1)
+    t.deleteWhereMoR(col("l_orderkey") === 1L, Seq("l_orderkey"))
+    val mid = li.agg(percentile_approx(col("l_orderkey"), lit(0.5), lit(100)))
+      .collect()(0).getLong(0)
+    val sb = new graft.spark.GraftScanBuilder(root, None, None)
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThan("l_orderkey", mid)))
+    val scan = sb.build()
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ===
+      Set("liveDataFiles", "plannedDataFiles", "prunedDataFiles",
+        "plannedBytes", "deleteFilesApplied"))
+    // metrics appear only after planning
+    assert(scan.reportDriverMetrics().isEmpty)
+    scan.toBatch.planInputPartitions()
+    val m = scan.reportDriverMetrics()
+      .map(tm => tm.name() -> tm.value()).toMap
+    assert(m("liveDataFiles") === t.meta.liveFiles(None).size.toLong)
+    assert(m("plannedDataFiles") > 0)
+    assert(m("prunedDataFiles") > 0) // the sort-clustered bottom half
+    assert(m("plannedDataFiles") + m("prunedDataFiles") ===
+      m("liveDataFiles"))
+    assert(m("plannedBytes") > 0)
+    assert(m("deleteFilesApplied") === 1)
+  }
 }
