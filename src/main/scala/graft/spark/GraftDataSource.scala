@@ -1361,6 +1361,11 @@ object GraftScanMetrics {
       override def name(): String = metricName
       override def value(): Long = v
     }
+
+  /** Write-side counterparts, reported per task by the V2 writers. */
+  val writeMetrics: Array[CustomMetric] = Array(
+    new Sum("rowsWritten", "rows written by this write"),
+    new Sum("filesWritten", "data files written by this write"))
 }
 
 /** One bin of add_files-imported files: the pinned name mapping plus
@@ -1686,6 +1691,10 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
 
   private[spark] def presorted: Boolean = GraftWriteLayout.presorted(root)
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftScanMetrics.writeMetrics
+
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBatchWrite(root, schema, overwrite, presorted, branch)
 
@@ -1846,6 +1855,11 @@ class PartitionedGraftDataWriter(staging: String,
     w.write(row); rows += 1
   }
 
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftScanMetrics.task("rowsWritten", rows),
+      GraftScanMetrics.task("filesWritten", writers.size.toLong))
+
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writers.values.foreach(_._1.close())
     GraftCommitMessage(s"$staging ${writers.size} files", rows)
@@ -1870,6 +1884,10 @@ class GraftDataWriter(path: String,
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     writer.write(row); rows += 1
   }
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftScanMetrics.task("rowsWritten", rows),
+      GraftScanMetrics.task("filesWritten", if (rows > 0) 1L else 0L))
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writer.close(); GraftCommitMessage(path, rows)
   }

@@ -541,4 +541,28 @@ class ConnectorSpec extends AnyFunSuite {
     assert(m("plannedBytes") > 0)
     assert(m("deleteFilesApplied") === 1)
   }
+
+  test("write reports rows/files task metrics") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+    val root = tmp()
+    GraftTable.create(spark, root, df.schema)
+    val write = new graft.spark.GraftWriteBuilder(root, df.schema).build()
+    assert(write.supportedCustomMetrics().map(_.name()).toSet ===
+      Set("rowsWritten", "filesWritten"))
+    val bw = write.toBatch
+    val factory = bw.createBatchWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      })
+    val w = factory.createWriter(0, 0L)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](7L, 7.5))
+    w.write(row); w.write(row)
+    val tm = w.currentMetricsValues().map(m => m.name() -> m.value()).toMap
+    assert(tm("rowsWritten") === 2L && tm("filesWritten") === 1L)
+    w.abort()
+    bw.abort(Array.empty)
+  }
 }
