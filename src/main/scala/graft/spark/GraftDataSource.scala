@@ -857,9 +857,15 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   // delete scoping bins
   /** Any live imported (name-mapped) file forces the plain planning
     * path: keyed SPJ/bucket partitions assume one uniform reader
-    * factory, and mapped files need their own renamed-schema one. */
+    * factory, and mapped files need their own renamed-schema one.
+    * Metadata-only: commit() stamps `added-files-imported` on every
+    * snapshot whose files carry a name mapping (incl. expire-squashed
+    * bases), so the chain summaries answer this without resolving any
+    * (possibly spilled) manifest. Conservative if imports were later
+    * compacted away — that only declines SPJ, never corrupts it. */
   private lazy val anyMapped: Boolean =
-    table.liveFilesWithSeq(snapId).exists(_._1.nameMapping.isDefined)
+    table.chainSnapshots(snapId)
+      .exists(_.summary.contains("added-files-imported"))
 
   private def spjEligible: Boolean =
     table.spec.nonEmpty && table.spec.forall(_.transform == "identity") &&

@@ -347,6 +347,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           // lets streaming admission control budget a batch without
           // resolving the snapshot's (possibly spilled) manifest
           "added-bytes" -> added.map(_.fileSizeBytes).sum.toString)
+          // derived, not caller-supplied, so every path that carries
+          // imported (name-mapped) files — add_files, cherrypick of an
+          // import snapshot — stamps the marker the scan's cheap
+          // "any mapped file live?" chain check relies on
+          ++ (if (added.exists(_.nameMapping.isDefined))
+            Map("added-files-imported" ->
+              added.count(_.nameMapping.isDefined).toString)
+          else Map.empty)
           ++ summaryExtra,
         addedDeleteFiles = addedDeletes,
         removedDeletePaths = removedDeletes)
@@ -908,8 +916,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         stats = fs.stats ++ synth,
         specId = m.defaultSpecId, nameMapping = Some(mapping))
     }
-    commit("append", entries, Seq.empty,
-      summaryExtra = Map("added-files-imported" -> entries.size.toString))
+    commit("append", entries, Seq.empty) // commit stamps the import marker
     entries
   }
 
@@ -1087,7 +1094,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
             "added-records" ->
               squashed.map(_.recordCount).filter(_ >= 0).sum.toString,
             "added-bytes" -> squashed.map(_.fileSizeBytes).sum.toString,
-            "squashed" -> "true"))
+            "squashed" -> "true")
+            // the base carries expired imports' files; keep the marker
+            ++ (if (squashed.exists(_.nameMapping.isDefined))
+              Map("added-files-imported" ->
+                squashed.count(_.nameMapping.isDefined).toString)
+            else Map.empty))
       } else s
     }
     Meta.write(root, m.copy(snapshots = rebased, refs = liveRefs,
