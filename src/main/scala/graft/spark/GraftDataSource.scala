@@ -1449,6 +1449,38 @@ case class NameMapRoutingFactory(default: PartitionReaderFactory,
   override def supportColumnarReads(p: InputPartition): Boolean = false
 }
 
+/** Appends one per-partition string constant as a trailing column —
+  * the position_deletes metadata table uses it to stamp each row with
+  * the delete file it came from. Row-based by construction. */
+case class AppendConstStringFactory(delegate: PartitionReaderFactory,
+    byPartition: Map[Int, String], innerSchema: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val idx = p match {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.index
+      case _ => -1
+    }
+    val const = byPartition.getOrElse(idx, "")
+    val inner = delegate.createReader(p)
+    val exprs = innerSchema.fields.zipWithIndex.map { case (f, i) =>
+      BoundReference(i, f.dataType, nullable = true): Expression
+    }.toIndexedSeq :+ (Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(const),
+      org.apache.spark.sql.types.StringType): Expression)
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+}
+
 /** One equality-delete group, executor-readable: where the key columns
   * sit in the read schema, plus the parquet reader factory + file
   * partition an executor uses to load the delete keys ITSELF. Keys

@@ -217,12 +217,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       // same name takes precedence (checked above).
       val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
       if (ident.namespace().nonEmpty &&
-          GraftMetadataSparkTable.Kinds.contains(kind)) {
+          (GraftMetadataSparkTable.Kinds.contains(kind) ||
+            kind == "position_deletes")) {
         val parentRoot =
           resolveRoot((warehouse +: ident.namespace().toSeq).mkString("/"))
         if (Meta.exists(parentRoot) &&
             scala.util.Try(Meta.load(parentRoot)).isSuccess)
-          return new GraftMetadataSparkTable(parentRoot, kind)
+          return if (kind == "position_deletes")
+            new GraftPositionDeletesTable(parentRoot)
+          else new GraftMetadataSparkTable(parentRoot, kind)
       }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
@@ -571,6 +574,56 @@ object GraftMetadataSparkTable {
         }
     }
   }
+}
+
+/** `cat.ns.t.position_deletes`: the CONTENT of live positional
+  * delete files — (file_path, pos, delete_file) — unlike the other
+  * metadata tables this is data-scale, so it reads DISTRIBUTED: one
+  * input partition per delete file, parquet pages decoded on the
+  * executors, delete rows never pass through the driver. */
+class GraftPositionDeletesTable(root: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  import org.apache.spark.sql.execution.datasources.GraftConnectorShim
+
+  private val posSchema = StructType(Seq(
+    StructField("file_path", StringType),
+    StructField("pos", LongType)))
+
+  override def name(): String = s"$root#position_deletes"
+  override def schema(): StructType =
+    StructType(posSchema.fields :+ StructField("delete_file", StringType))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = schema()
+        override def toBatch: Batch = this
+        @volatile private var fileByPartition = Map.empty[Int, String]
+        override def planInputPartitions(): Array[InputPartition] = {
+          val m = Meta.load(root)
+          val dataDir = TableIO.path(root, "data")
+          val files = m.liveDeleteFiles(None)
+            .filter(_.content == 1).sortBy(_.path)
+          fileByPartition =
+            files.zipWithIndex.map { case (f, i) => i -> f.path }.toMap
+          files.zipWithIndex.map { case (f, i) =>
+            GraftConnectorShim.filePartition(i, Seq(
+              GraftConnectorShim.partitionedFile(
+                TableIO.qualified(
+                  new org.apache.hadoop.fs.Path(dataDir, f.path)),
+                f.fileSizeBytes, 0L))): InputPartition
+          }.toArray
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          AppendConstStringFactory(
+            GraftConnectorShim.parquetReaderFactory(
+              SparkSession.active, posSchema, posSchema, Array.empty),
+            fileByPartition, posSchema)
+      }
+    }
 }
 
 class GraftMetadataSparkTable(root: String, kind: String)

@@ -861,6 +861,28 @@ class TableCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(af(true) === liveN)
 
+    // position_deletes: delete-file CONTENT, read distributed (one
+    // partition per delete file, rows stamped with their source file)
+    val t0 = graft.table.GraftTable.load(spark, s"$wh/mt3/t")
+    t0.deleteWhereMoRPositional(col("k") === 11L)
+    val pd = spark.sql(
+      """SELECT file_path, pos, delete_file FROM
+         graft_wh.mt3.t.position_deletes""").collect()
+    val posFiles = t0.meta.liveDeleteFiles(None).filter(_.content == 1)
+    assert(pd.nonEmpty && posFiles.nonEmpty)
+    assert(pd.forall(_.getString(0).endsWith(".parquet")))
+    assert(pd.forall(_.getLong(1) >= 0))
+    assert(pd.forall(_.getString(2).nonEmpty))
+    // every row's delete_file is a live positional delete file
+    assert(pd.map(_.getString(2)).toSet.subsetOf(
+      posFiles.map(_.path).toSet))
+    // the k=11 positional delete contributed exactly one row slot
+    val before = pd.length
+    t0.deleteWhereMoRPositional(col("k") === 12L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_wh.mt3.t.position_deletes")
+      .collect()(0).getLong(0) === before.toLong + 1)
+
     // metadata_log_entries: one row per metadata version, increasing,
     // the newest pointing at the current snapshot
     val log = spark.sql(
