@@ -282,8 +282,68 @@ object TextAnalysis {
        FROM cg c JOIN eg e USING (gram)
        GROUP BY 1 ORDER BY doc_id"""
 
+  /** Sequence packing (training-batch assembly): greedy next-fit
+    * packing of documents into fixed-token-budget training sequences.
+    * Documents route to one of 16 independent packing streams by
+    * murmur3(doc_id); each stream packs with a running token cursor
+    * (window cumsum) and a document lands in the sequence where its
+    * cumulative START falls. Per-stream windows parallelize across
+    * the cluster — at 100 TB raise the stream count so each window
+    * partition stays executor-sized; packing quality is per-stream
+    * and unaffected by the count. */
+  val pipelinePack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("tokens"),
+      graft.functions.IcebergTransforms.bucket(col("doc_id"), 16)
+        .as("stream"))
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("seq",
+        ((col("cum") - col("tokens")) / lit(budget)).cast("long"))
+      .groupBy(col("stream"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"))
+      .orderBy(col("stream"), col("seq"))
+  }
+
+  /** Same murmur3 key-hash CTE as pipeline_mix, then per-stream
+    * window cumsum packing — greedy next-fit, bit-exact. */
+  val pipelinePackSql: String =
+    """WITH key_hash AS (
+      SELECT doc_id, text,
+        (doc_id & 4294967295) AS w0, ((doc_id >> 32) & 4294967295) AS w1,
+        ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
+        ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
+        xor(0::BIGINT, p0b) AS h0a,
+        ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
+        ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
+        ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
+        xor(h0, p1b) AS h1a,
+        ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
+        xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
+        ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+        ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+      FROM documents),
+    toks AS (
+      SELECT doc_id, ((hu & 2147483647) % 16)::INT AS stream,
+        len(regexp_split_to_array(trim(text),'\s+'))::BIGINT AS tokens
+      FROM key_hash),
+    packed AS (
+      SELECT stream, doc_id, tokens,
+        sum(tokens) OVER (PARTITION BY stream ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks)
+    SELECT stream, ((cum - tokens) // 2048)::BIGINT AS seq,
+      count(*) AS n_docs, sum(tokens)::BIGINT AS sum_tokens
+    FROM packed GROUP BY 1, 2 ORDER BY stream, seq"""
+
   val queries: Map[String, Q] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_pack" -> pipelinePack,
     "ta_repetition" -> taRepetition,
     "pipeline_mix" -> pipelineMix,
     "ta_unigram_logprob" -> taUnigramLogprob,
@@ -363,6 +423,7 @@ ORDER BY f.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "pipeline_pack" -> pipelinePackSql,
     "ta_repetition" -> taRepetitionSql,
     "pipeline_mix" -> pipelineMixSql,
     "ta_fingerprint" -> taFingerprintSql,

@@ -82,6 +82,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
 
+  test("sequence packing conserves docs/tokens and respects the budget") {
+    val out = ops.TextAnalysis.pipelinePack(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    // conservation: every doc lands in exactly one sequence
+    assert(out.map(_.getLong(2)).sum === docs.count())
+    // greedy next-fit: a sequence exceeds the budget only by its LAST
+    // doc's overflow, so every sum is < budget + max single doc
+    val maxDoc = ops.TextAnalysis.taTokens(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("n_ws"))
+      .collect()(0).getInt(0)
+    assert(out.forall(_.getLong(3) < 2048L + maxDoc))
+    // every stream starts at sequence 0 (an oversized doc may skip
+    // indices — it consumes multiple budgets — but never duplicates)
+    out.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val seqs = rows.map(_.getLong(1)).sorted
+      assert(seqs.head === 0L && seqs.distinct.length === seqs.length)
+    }
+  }
+
   test("fingerprint is deterministic and collision-free on the corpus") {
     val fps = ops.TextAnalysis.taFingerprint(spark, sf).collect()
     assert(fps.map(_.getLong(1)).distinct.length === fps.length)
