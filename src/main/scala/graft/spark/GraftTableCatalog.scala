@@ -236,13 +236,29 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * (Iceberg's VERSION AS OF 'branch'). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
-    if (!Meta.exists(root))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val snapId = version.toLongOption.getOrElse(
-      Meta.load(root).refs.getOrElse(version,
-        throw new IllegalArgumentException(
-          s"'$version' is neither a snapshot id nor a ref of $ident")))
-    new GraftSparkTable(root, pinnedSnapshot = Some(snapId))
+    // graft and real Iceberg share the version-hint convention; the
+    // metadata dialect tells them apart (same check as loadTable(ident))
+    val graftMeta =
+      if (Meta.exists(root)) scala.util.Try(Meta.load(root)).toOption else None
+    graftMeta match {
+      case Some(meta) =>
+        val snapId = version.toLongOption.getOrElse(
+          meta.refs.getOrElse(version,
+            throw new IllegalArgumentException(
+              s"'$version' is neither a snapshot id nor a ref of $ident")))
+        new GraftSparkTable(root, pinnedSnapshot = Some(snapId))
+      // time travel works on FOREIGN Iceberg interop tables too:
+      // snapshot id or a ref (branch/tag) name from their metadata
+      case None if graft.table.iceberg.IcebergTable.exists(root) =>
+        val ice = graft.table.iceberg.IcebergMetadata.load(root)
+        val snapId = version.toLongOption.getOrElse(
+          ice.refs.getOrElse(version,
+            throw new IllegalArgumentException(
+              s"'$version' is neither a snapshot id nor a ref of $ident")))
+        new IcebergSparkTable(root, pinnedSnapshot = Some(snapId))
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
   }
 
   /** SQL time travel by time: `... TIMESTAMP AS OF '2024-01-01 ...'`.
@@ -250,15 +266,27 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * timestamp (micros since epoch, per the V2 contract). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val root = tableRoot(ident)
-    if (!Meta.exists(root))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val tsMs = timestampMicros / 1000L
-    val snap = Meta.load(root).snapshots
-      .filter(_.timestampMs <= tsMs)
-      .sortBy(_.timestampMs).lastOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"no snapshot of $ident at or before timestamp $tsMs"))
-    new GraftSparkTable(root, pinnedSnapshot = Some(snap.snapshotId))
+    val graftMeta =
+      if (Meta.exists(root)) scala.util.Try(Meta.load(root)).toOption else None
+    graftMeta match {
+      case Some(meta) =>
+        val snap = meta.snapshots
+          .filter(_.timestampMs <= tsMs)
+          .sortBy(_.timestampMs).lastOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"no snapshot of $ident at or before timestamp $tsMs"))
+        new GraftSparkTable(root, pinnedSnapshot = Some(snap.snapshotId))
+      case None if graft.table.iceberg.IcebergTable.exists(root) =>
+        val snap = graft.table.iceberg.IcebergMetadata.load(root).snapshots
+          .filter(_.timestampMs <= tsMs)
+          .sortBy(_.timestampMs).lastOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"no snapshot of $ident at or before timestamp $tsMs"))
+        new IcebergSparkTable(root, pinnedSnapshot = Some(snap.snapshotId))
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
   }
 
   private def toPartitionField(t: Transform): Meta.PartitionField = {

@@ -21,7 +21,8 @@ import graft.table.iceberg.{IcebergAvro, IcebergMetadata, IcebergTable}
   * applied executor-side through the same merge-on-read reader
   * machinery as graft's own connector.
   */
-class IcebergSparkTable(location: String) extends Table
+class IcebergSparkTable(location: String,
+    pinnedSnapshot: Option[Long] = None) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val ice = IcebergMetadata.load(location)
@@ -34,7 +35,7 @@ class IcebergSparkTable(location: String) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IcebergScanBuilder(location,
-      Option(options.get("snapshot")).map(_.toLong))
+      Option(options.get("snapshot")).map(_.toLong).orElse(pinnedSnapshot))
 
   /** INSERT INTO a table some other engine created (reference:
     * datafusion_iceberg/src/table.rs:216 insert_into). The V1 write

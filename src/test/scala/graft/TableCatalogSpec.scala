@@ -692,6 +692,16 @@ class TableCatalogSpec extends AnyFunSuite {
     val t2 = graft.table.iceberg.IcebergTable.load(spark, loc)
     assert(t2.meta.currentSnapshot.exists(_.operation == "overwrite"))
     assert(t2.timeTravel(before).count() === 52)
+    // SQL time travel works on the FOREIGN table: by snapshot id...
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_wh.ice.writable VERSION AS OF $before")
+      .collect()(0).getLong(0) === 52)
+    // ...and by timestamp (resolves the latest snapshot at or before)
+    val tsStr = new java.sql.Timestamp(
+      t2.meta.snapshot(before).get.timestampMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_wh.ice.writable TIMESTAMP AS OF '$tsStr'")
+      .collect()(0).getLong(0) === 52)
   }
 
   test("foreign Iceberg join: runtime filters prune files, results exact") {
