@@ -266,7 +266,70 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** URL canonicalization + dedup — the web-crawl half of exact dedup.
+    * Four deterministic raw-URL variants per canonical page (scheme /
+    * host case noise, `www.`, default `:443`/`:80` port, tail `utm_*`
+    * params, `#fragment`, trailing slash) are canonicalized with
+    * narrow string expressions, then hash-grouped with a keep-min-doc
+    * policy. Canonicalize-then-groupBy is ONE shuffle on the canonical
+    * key — the shape that holds at crawl scale; the oracle replays
+    * every normalization step bit-for-bit. */
+  val ddUrlDedup: Q = (s, d) => {
+    val g = floor(col("doc_id") / 4).cast("long")
+    val v = col("doc_id") % 4
+    val gs = g.cast("string")
+    val site = (g % 50).cast("string")
+    val raw =
+      when(v === 0, concat(lit("https://site"), site,
+        lit(".example.com/page/"), gs))
+      .when(v === 1, concat(lit("HTTP://WWW.SITE"), site,
+        lit(".EXAMPLE.com/page/"), gs, lit("/")))
+      .when(v === 2, concat(lit("https://site"), site,
+        lit(".example.com:443/page/"), gs,
+        lit("?utm_source=x&utm_campaign=y")))
+      .otherwise(concat(lit("http://site"), site,
+        lit(".example.com/page/"), gs, lit("#sec-1")))
+    // strip fragment -> strip tail utm params -> strip scheme
+    val rest = regexp_replace(regexp_replace(regexp_replace(raw,
+      "#.*", ""), "[?&]utm_[^&#]*", ""), "^[A-Za-z]+://", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(rest, "^[^/]+", 0)),
+      "^www\\.", ""), ":(443|80)$", "")
+    val path = regexp_replace(regexp_replace(rest, "^[^/]+", ""), "/+$", "")
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(host, path).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_doc"))
+      .orderBy(col("canon_url"))
+  }
+
+  val ddUrlDedupSql: String =
+    """WITH gen AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+    raw AS (
+      SELECT doc_id, CASE v
+        WHEN 0 THEN 'https://site' || (g % 50) || '.example.com/page/' || g
+        WHEN 1 THEN 'HTTP://WWW.SITE' || (g % 50) || '.EXAMPLE.com/page/' || g || '/'
+        WHEN 2 THEN 'https://site' || (g % 50) || '.example.com:443/page/' || g || '?utm_source=x&utm_campaign=y'
+        ELSE 'http://site' || (g % 50) || '.example.com/page/' || g || '#sec-1'
+      END AS u FROM gen),
+    stripped AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(u,
+          '#.*', ''), '[?&]utm_[^&#]*', '', 'g'), '^[A-Za-z]+://', '') AS rest
+      FROM raw),
+    parts AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(lower(regexp_extract(rest, '^[^/]+')),
+          '^www\.', ''), ':(443|80)$', '') AS host,
+        regexp_replace(regexp_replace(rest, '^[^/]+', ''), '/+$', '') AS path
+      FROM stripped)
+    SELECT host || path AS canon_url, count(*) AS n_variants,
+      min(doc_id) AS keep_doc
+    FROM parts GROUP BY 1 ORDER BY canon_url"""
+
   val queries: Map[String, Q] = Map(
+    "dd_url_dedup" -> ddUrlDedup,
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhashPairs,
     "dd_minhash_dedup" -> ddMinhashDedup,
@@ -423,6 +486,7 @@ ORDER BY doc_a, doc_b"""
       ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "dd_url_dedup" -> ddUrlDedupSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashPairsSql,
     "dd_minhash_dedup" -> ddMinhashDedupSql,

@@ -341,10 +341,69 @@ object TextAnalysis {
       count(*) AS n_docs, sum(tokens)::BIGINT AS sum_tokens
     FROM packed GROUP BY 1, 2 ORDER BY stream, seq"""
 
+  /** PII scrubbing (the C4/Dolma-style redaction pass): emails, US
+    * phone numbers, and IPv4 addresses replaced by typed placeholders,
+    * with per-document match counts for audit. The corpus text is
+    * clean word-soup, so the PII is synthesized deterministically
+    * from doc_id — the regex machinery does real work and the oracle
+    * replays the whole pass bit-for-bit (md5 of the scrubbed text).
+    * One narrow codegen'd projection per row: no shuffle, scales
+    * linearly with input splits at crawl size. */
+  val taPiiScrub: Q = (s, d) => {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val dirty = concat(
+      col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@corp.example.org"))
+        .otherwise(lit("")),
+      lit(" call 415-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        regexp_count(col("dirty"), lit(email)).as("n_email"),
+        regexp_count(col("dirty"), lit(phone)).as("n_phone"),
+        regexp_count(col("dirty"), lit(ip)).as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("clean"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        length(col("clean")).as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taPiiScrubSql: String =
+    """WITH dirty AS (
+      SELECT doc_id,
+        text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com' ||
+        CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.example.org' ELSE '' END ||
+        ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS s
+      FROM documents),
+    scrub AS (
+      SELECT doc_id,
+        len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(s, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        regexp_replace(regexp_replace(regexp_replace(s,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+      FROM dirty)
+    SELECT doc_id, n_email, n_phone, n_ip,
+      length(clean) AS clean_len, md5(clean) AS clean_md5
+    FROM scrub ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_pack" -> pipelinePack,
     "ta_repetition" -> taRepetition,
+    "ta_pii_scrub" -> taPiiScrub,
     "pipeline_mix" -> pipelineMix,
     "ta_unigram_logprob" -> taUnigramLogprob,
     "ta_tokens" -> taTokens,
@@ -425,6 +484,7 @@ ORDER BY f.doc_id"""
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "pipeline_pack" -> pipelinePackSql,
     "ta_repetition" -> taRepetitionSql,
+    "ta_pii_scrub" -> taPiiScrubSql,
     "pipeline_mix" -> pipelineMixSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_unigram_logprob" -> taUnigramLogprobSql,
