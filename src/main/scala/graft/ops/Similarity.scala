@@ -217,11 +217,120 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---- PQ (product quantization) -------------------------------------
+
+  private val PqM = 4   // subspaces
+  private val PqSub = Dim / PqM
+  private val PqK = 8   // codewords per subspace
+
+  /** PQ top-k: the memory-compressed exhaustive scan (the third classic
+    * ANN family next to LSH and IVF; at 100 TB you'd compose it with
+    * IVF's pruning as IVF-PQ). Codebooks are deterministic — per
+    * subspace, the mean subvector over `vec_id % K` groups — so the
+    * oracle rebuilds them exactly. Every vector is encoded to M codes
+    * via a broadcast codebook join (narrow, no shuffle per vector
+    * beyond the groupBy(vec_id, m) argmin); queries score candidates
+    * with ADC — M inner-product table lookups instead of a D-dim dot —
+    * then the reported top-k carries the exact cosine. Distances and
+    * ADC sums are rounded at 6 decimals BEFORE argmin/ranking with id
+    * tie-breaks, so cross-engine float-sum-order noise can't flip the
+    * comparison. */
+  val annPqTopk: Q = (s, d) => {
+    val v = vectors(s, d).select(col("vec_id"), col("emb"))
+    // codebook: mean subvector per (subspace m, codeword c)
+    val cb = broadcast(
+      v.select((col("vec_id") % PqK).cast("int").as("c"),
+          posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy((col("pos") / PqSub).cast("int").as("m"), col("c"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("m"), col("c"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+        .select(col("m"), col("c"),
+          transform(col("pairs"), p => p.getField("cx")).as("cw")))
+    val subs = v.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("emb"), m * PqSub + 1, PqSub)): _*)).as(Seq("m", "sx")))
+    // encode: nearest codeword per (vector, subspace); lexicographic
+    // struct-min = deterministic tie-break on code id
+    val enc = subs.join(cb, Seq("m"))
+      .select(col("vec_id"), col("m"), col("c"),
+        round(aggregate(zip_with(col("sx"), col("cw"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 6)
+          .as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.c").as("code"))
+    // ADC table: subspace inner products query × codeword (tiny)
+    val qip = subs.filter(col("vec_id") < 5).join(cb, Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("c").as("qc"),
+        aggregate(zip_with(col("sx"), col("cw"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("ip"))
+    val adc = enc.join(broadcast(qip),
+        col("qm") === col("m") && col("qc") === col("code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("ip")), 6).as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val ranked = adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    val qe = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+    ranked.join(broadcast(qe), Seq("q_id")).join(v, Seq("vec_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("adc"), 4).as("adc"),
+        round(graft.functions.ArrayKernels.cosineSim(col("emb"), col("qemb")), 4)
+          .as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annPqTopkSql: String =
+    """WITH
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sub AS (
+  SELECT vec_id, m::INT AS m, e[m*16+1 : m*16+16] AS sx
+  FROM emb, unnest(range(0, 4)) t(m)),
+cbcomp AS (
+  SELECT (vec_id % 8)::INT AS c, i, avg(e[i]) AS cx
+  FROM emb, unnest(range(1, 65)) t(i) GROUP BY 1, i),
+cb AS (
+  SELECT ((i-1) // 16)::INT AS m, c, list(cx ORDER BY i) AS cw
+  FROM cbcomp GROUP BY 1, c),
+dists AS (
+  SELECT s.vec_id, s.m, cb.c,
+    round(list_sum(list_transform(range(1, 17),
+      i -> (s.sx[i] - cb.cw[i]) * (s.sx[i] - cb.cw[i]))), 6) AS dist
+  FROM sub s JOIN cb USING (m)),
+enc AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM dists) t WHERE rn = 1),
+qip AS (
+  SELECT s.vec_id AS q_id, s.m, cb.c,
+    list_sum(list_transform(range(1, 17), i -> s.sx[i] * cb.cw[i])) AS ip
+  FROM sub s JOIN cb USING (m) WHERE s.vec_id < 5),
+adc AS (
+  SELECT q.q_id, e.vec_id, round(sum(q.ip), 6) AS adc
+  FROM enc e JOIN qip q ON q.m = e.m AND q.c = e.code
+  WHERE e.vec_id <> q.q_id GROUP BY q.q_id, e.vec_id),
+ranked AS (
+  SELECT q_id, vec_id, adc,
+    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+  FROM adc)
+SELECT r.q_id, r.rank, r.vec_id, round(r.adc, 4) AS adc,
+  round(list_cosine_similarity(qe.e, ve.e), 4) AS cos
+FROM ranked r
+JOIN emb qe ON qe.vec_id = r.q_id
+JOIN emb ve ON ve.vec_id = r.vec_id
+WHERE r.rank <= 10 ORDER BY q_id, rank"""
+
   val queries: Map[String, Q] = Map(
     "dd_embed_neardup" -> ddEmbedNeardup,
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
-    "ann_ivf_topk" -> annIvfTopk)
+    "ann_ivf_topk" -> annIvfTopk,
+    "ann_pq_topk" -> annPqTopk)
 
   /** Exact DuckDB replica of the LSH path: the hyperplanes are
     * deterministic (murmur3 of the flat index via the same pure-SQL
@@ -305,5 +414,6 @@ FROM rer WHERE rank <= 10 ORDER BY q_id, rank"""
     "dd_embed_neardup" -> ddEmbedNeardupSql,
     "ann_brute_topk" -> annBruteTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
-    "ann_ivf_topk" -> annIvfTopkSql)
+    "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_pq_topk" -> annPqTopkSql)
 }
