@@ -22,8 +22,18 @@ object IcebergAvro {
 
   // ---- models --------------------------------------------------------
 
+  /** Per-partition-field value summary of one manifest (spec field-ids
+    * 507-511/518): lets a planner exclude a whole manifest from the
+    * metadata walk without reading its entries — at 100 TB, planning
+    * a one-partition query reads ONE manifest instead of all of them.
+    * Bounds use the same single-value binary form as file stats.
+    * Reference: iceberg-rust-spec/src/spec/manifest_list.rs:74. */
+  case class FieldSummary(containsNull: Boolean,
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+
   case class ManifestFile(path: String, length: Long, specId: Int,
-      content: Int, sequenceNumber: Long, addedSnapshotId: Long)
+      content: Int, sequenceNumber: Long, addedSnapshotId: Long,
+      partitions: Option[Seq[FieldSummary]] = None)
 
   case class DataFileEntry(
       status: Int, // 0 existing, 1 added, 2 deleted
@@ -56,6 +66,30 @@ object IcebergAvro {
     if (r.getSchema.getField(name) == null) None
     else Option(r.get(name)).map(_.asInstanceOf[Long])
 
+  private def optBytes(v: Any): Option[Array[Byte]] = v match {
+    case null => None
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); Some(a)
+    case a: Array[Byte] => Some(a)
+    case _ => None
+  }
+
+  /** Parse the `partitions` field-summary list when the writer emitted
+    * one (other engines' manifest lists carry it; ours does too now).
+    * Absent or null -> None -> callers must not prune. */
+  private def readFieldSummaries(r: GenericRecord)
+      : Option[Seq[FieldSummary]] =
+    if (r.getSchema.getField("partitions") == null) None
+    else Option(r.get("partitions")).map { arr =>
+      arr.asInstanceOf[java.util.Collection[_]].asScala.toSeq.map { e =>
+        val s = e.asInstanceOf[GenericRecord]
+        FieldSummary(
+          containsNull = s.get("contains_null").asInstanceOf[Boolean],
+          lower = optBytes(s.get("lower_bound")),
+          upper = optBytes(s.get("upper_bound")))
+      }
+    }
+
   def readManifestList(p: HPath): Seq[ManifestFile] = {
     val reader = openReader(p)
     try reader.iterator().asScala.map { r =>
@@ -67,7 +101,8 @@ object IcebergAvro {
           if (r.getSchema.getField("content") == null) 0
           else r.get("content").asInstanceOf[Int],
         sequenceNumber = optLong(r, "sequence_number").getOrElse(0L),
-        addedSnapshotId = optLong(r, "added_snapshot_id").getOrElse(0L))
+        addedSnapshotId = optLong(r, "added_snapshot_id").getOrElse(0L),
+        partitions = readFieldSummaries(r))
     }.toSeq
     finally reader.close()
   }
@@ -163,8 +198,36 @@ object IcebergAvro {
       {"name":"deleted_files_count","type":"int","field-id":506},
       {"name":"added_rows_count","type":"long","field-id":512},
       {"name":"existing_rows_count","type":"long","field-id":513},
-      {"name":"deleted_rows_count","type":"long","field-id":514}
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","field-id":507,"default":null,"type":["null",
+        {"type":"array","items":{"type":"record","name":"r508","fields":[
+          {"name":"contains_null","type":"boolean","field-id":509},
+          {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+          {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+          {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+        ]}}]}
     ]}""")
+
+  /** Attach a field-summary list to a manifest-list record (null when
+    * the writer has nothing sound to claim). */
+  def putFieldSummaries(r: GenericData.Record,
+      sums: Option[Seq[FieldSummary]]): Unit = sums.foreach { ss =>
+    val arrSchema = {
+      val f = manifestListSchema.getField("partitions").schema()
+      f.getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+    }
+    val itemSchema = arrSchema.getElementType
+    val arr = new GenericData.Array[GenericRecord](ss.size, arrSchema)
+    ss.foreach { s =>
+      val e = new GenericData.Record(itemSchema)
+      e.put("contains_null", s.containsNull)
+      e.put("contains_nan", null)
+      e.put("lower_bound", s.lower.map(java.nio.ByteBuffer.wrap).orNull)
+      e.put("upper_bound", s.upper.map(java.nio.ByteBuffer.wrap).orNull)
+      arr.add(e)
+    }
+    r.put("partitions", arr)
+  }
 
   /** Manifest avro schema for a given partition-struct avro snippet. */
   private[iceberg] def manifestSchema(partitionRecord: String): Schema = parse(

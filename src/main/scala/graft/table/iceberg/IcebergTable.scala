@@ -69,13 +69,25 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     val schemaById = m.schemas.find(_.schemaId == snap.schemaId)
       .getOrElse(m.schema)
     val manifests = IcebergAvro.readManifestList(resolve(snap.manifestList))
-    // partition pruning resolves each entry through the spec its
+    def manifestSpec(id: Int): Seq[IcebergMetadata.IcePartitionField] =
+      m.specs.find(_.specId == id).map(_.fields).getOrElse(Seq.empty)
+    // MANIFEST-level pruning first: a manifest whose field summaries
+    // (manifest-list `partitions`, written by us and by foreign
+    // engines) exclude every filter is skipped without reading its
+    // entries — at scale, planning a one-partition query reads one
+    // manifest, not all of them. No summaries -> read (sound).
+    // partition pruning then resolves each entry through the spec its
     // MANIFEST was written under (partition_spec_id), so tables with
     // evolved specs prune every era of files correctly
-    val entries = manifests.filter(_.content == 0).flatMap(mf =>
-      IcebergAvro.readManifest(resolve(mf.path))
-        .filter(e => e.status != 2 && e.content == 0)
-        .map(e => (e, e.sequenceNumber.getOrElse(mf.sequenceNumber), mf.specId)))
+    val entries = manifests.filter(_.content == 0)
+      .filter(mf => mf.partitions.forall(sums =>
+        filters.forall { case (c, op, v) =>
+          manifestKeep(sums, manifestSpec(mf.specId), schemaById, c, op, v)
+        }))
+      .flatMap(mf =>
+        IcebergAvro.readManifest(resolve(mf.path))
+          .filter(e => e.status != 2 && e.content == 0)
+          .map(e => (e, e.sequenceNumber.getOrElse(mf.sequenceNumber), mf.specId)))
     val withStats = entries.map { case (e, seq, specId) =>
       val stats = schemaById.fields.flatMap { f =>
         val lower = e.lowerBounds.get(f.id)
@@ -158,6 +170,84 @@ class IcebergTable private (val location: String, val spark: SparkSession,
                 case "=" => pv.toString == tv.toString
                 case _ => true
               }
+            }
+          case _ => true
+        }
+      }
+  }
+
+  /** Decode a field-summary bound into the same JVM space the manifest
+    * partition values (and Transforms.applyLiteral results) live in.
+    * None = no sound comparison -> caller keeps the manifest. */
+  private def decodePartBound(resT: DataType, bytes: Array[Byte]): Option[Any] = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    resT match {
+      case IntegerType | DateType if bytes.length >= 4 => Some(b.getInt)
+      case LongType | TimestampType | TimestampNTZType if bytes.length >= 8 =>
+        Some(b.getLong)
+      case StringType =>
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      case d: DecimalType => scala.util.Try(new java.math.BigDecimal(
+        new java.math.BigInteger(bytes), d.scale)).toOption
+      case _ => None
+    }
+  }
+
+  /** Manifest-level twin of partitionKeep: compare the filter literal
+    * (mapped through the spec field's transform) against the
+    * manifest's [lower, upper] summary for that field. Equality prunes
+    * on any transform (bucket included: the bucket value either falls
+    * in the summary range or the manifest can't hold it); range ops
+    * only on order-preserving transforms. Missing summaries, bounds,
+    * or unmapped literals keep the manifest — pruning stays sound. */
+  private def manifestKeep(sums: Seq[IcebergAvro.FieldSummary],
+      spec: Seq[IcebergMetadata.IcePartitionField],
+      schema: IcebergMetadata.IceSchema,
+      c: String, op: String, value: String): Boolean = {
+    spec.zipWithIndex
+      .filter { case (pf, _) =>
+        schema.fields.find(_.id == pf.sourceId).exists(_.name == c) }
+      .forall { case (pf, i) =>
+        val srcType = IcebergTypes.toSpark(
+          schema.fields.find(_.id == pf.sourceId).get.tpe)
+        val resT = Transforms.resultType(pf.transform, srcType)
+        (sums.lift(i), Transforms.applyLiteral(pf.transform, srcType, value)) match {
+          case (Some(fs), Some(tv)) =>
+            (fs.lower.flatMap(decodePartBound(resT, _)),
+              fs.upper.flatMap(decodePartBound(resT, _))) match {
+              case (Some(lo), Some(hi)) =>
+                def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+                  case (x: java.lang.Integer, y: java.lang.Integer) =>
+                    Some(x.compareTo(y))
+                  case (x: java.lang.Long, y: java.lang.Long) =>
+                    Some(x.compareTo(y))
+                  case (x: java.lang.Integer, y: java.lang.Long) =>
+                    Some(java.lang.Long.compare(x.longValue(), y))
+                  case (x: java.lang.Long, y: java.lang.Integer) =>
+                    Some(java.lang.Long.compare(x, y.longValue()))
+                  // strings: unsigned UTF-8 byte order (the order the
+                  // writer used to take min/max)
+                  case (x: String, y: String) =>
+                    Some(java.util.Arrays.compareUnsigned(
+                      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                  case (x: java.math.BigDecimal, y: Any) => scala.util.Try(
+                    x.compareTo(new java.math.BigDecimal(y.toString))).toOption
+                  case _ => None
+                }
+                (cmp(lo, tv), cmp(hi, tv)) match {
+                  case (Some(cl), Some(ch)) => op match {
+                    case "=" => cl <= 0 && ch >= 0
+                    case ">" | ">=" if Transforms.monotonic(pf.transform) =>
+                      ch >= 0
+                    case "<" | "<=" if Transforms.monotonic(pf.transform) =>
+                      cl <= 0
+                    case _ => true
+                  }
+                  case _ => true
+                }
+              case _ => true
             }
           case _ => true
         }

@@ -247,7 +247,9 @@ object IcebergWrite {
       IcebergAvro.readManifestList(new HPath(s.manifestList))).getOrElse(Seq.empty)
     val mlSchema = IcebergAvro.manifestListSchema
     def mfRecord(path: String, len: Long, content: Int, sq: Long,
-        snapId: Long, added: Int, rows: Long): org.apache.avro.generic.GenericRecord = {
+        snapId: Long, added: Int, rows: Long,
+        sums: Option[Seq[IcebergAvro.FieldSummary]])
+        : org.apache.avro.generic.GenericRecord = {
       val r = IcebergAvro.record(mlSchema)
       r.put("manifest_path", path)
       r.put("manifest_length", len)
@@ -262,14 +264,16 @@ object IcebergWrite {
       r.put("added_rows_count", rows)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
+      IcebergAvro.putFieldSummaries(r, sums)
       r
     }
     val totalRows = entryAndRows.map(_._2).sum
     val newEntry = mfRecord(TableIO.qualified(manifestPath), manifestLen, 0,
-      seq, snapshotId, moved.size, totalRows)
+      seq, snapshotId, moved.size, totalRows,
+      fieldSummariesFor(spec, schema, moved.map(_._3)))
     val carried = prevManifests.map(mf => mfRecord(
       mf.path, mf.length, mf.content, mf.sequenceNumber,
-      mf.addedSnapshotId, 0, 0L))
+      mf.addedSnapshotId, 0, 0L, mf.partitions))
     val mlPath = new HPath(metaDir, s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
     IcebergAvro.writeManifestList(mlPath, newEntry +: carried, snapshotId, seq)
 
@@ -304,6 +308,7 @@ object IcebergWrite {
       r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
       r.put("added_rows_count", entries.map(_.recordCount).sum)
       r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
+      IcebergAvro.putFieldSummaries(r, mf.partitions)
       r: org.apache.avro.generic.GenericRecord
     }
     val mlPath = new HPath(TableIO.path(location, "metadata"),
@@ -414,7 +419,8 @@ object IcebergWrite {
       IcebergAvro.readManifestList(new HPath(s.manifestList))).getOrElse(Seq.empty)
     val mlSchema = IcebergAvro.manifestListSchema
     def mfRecord(path: String, len: Long, ct: Int, sq: Long,
-        snapId: Long): org.apache.avro.generic.GenericRecord = {
+        snapId: Long, sums: Option[Seq[IcebergAvro.FieldSummary]])
+        : org.apache.avro.generic.GenericRecord = {
       val r = IcebergAvro.record(mlSchema)
       r.put("manifest_path", path); r.put("manifest_length", len)
       r.put("partition_spec_id", m.defaultSpecId); r.put("content", ct)
@@ -424,12 +430,14 @@ object IcebergWrite {
       r.put("deleted_files_count", 0)
       r.put("added_rows_count", 0L); r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
+      IcebergAvro.putFieldSummaries(r, sums)
       r
     }
     val newEntry = mfRecord(TableIO.qualified(manifestPath), manifestLen, 1,
-      seq, snapshotId)
+      seq, snapshotId, None)
     val carried = prevManifests.map(mf => mfRecord(
-      mf.path, mf.length, mf.content, mf.sequenceNumber, mf.addedSnapshotId))
+      mf.path, mf.length, mf.content, mf.sequenceNumber, mf.addedSnapshotId,
+      mf.partitions))
     val mlPath = new HPath(metaDir,
       s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
     IcebergAvro.writeManifestList(mlPath, newEntry +: carried, snapshotId, seq)
@@ -494,6 +502,63 @@ object IcebergWrite {
   /** Partition-dir string -> the avro value for the partition struct
     * (Spark renders dir values as escaped display strings — dates as
     * yyyy-MM-dd, timestamps as 'yyyy-MM-dd HH:mm:ss[.S]'). */
+  /** Partition-value ordering for manifest field summaries. None =
+    * incomparable here -> the caller must not claim bounds. Strings
+    * order by UNSIGNED UTF-8 bytes (Iceberg sort order, so foreign
+    * planners prune consistently). */
+  private def pvCompare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) => Some(x.compareTo(y))
+    case (x: java.lang.Long, y: java.lang.Long) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Field summaries (manifest-list `partitions`, field-id 507) for
+    * one manifest's partition values: contains_null + single-value
+    * encoded lower/upper per spec field. Fields whose values this
+    * writer can't soundly order (float/double/ntz identity arrive as
+    * strings) get a null-bounds summary — never a wrong claim. */
+  private[iceberg] def fieldSummariesFor(
+      spec: Seq[IcebergMetadata.IcePartitionField],
+      schema: IcebergMetadata.IceSchema,
+      partVals: Seq[Seq[String]]): Option[Seq[IcebergAvro.FieldSummary]] = {
+    if (spec.isEmpty || partVals.isEmpty) return None
+    Some(spec.zipWithIndex.map { case (pf, i) =>
+      val srcT = IcebergTypes.toSpark(
+        schema.fields.find(_.id == pf.sourceId).get.tpe)
+      val resT = Transforms.resultType(pf.transform, srcT)
+      val typed = partVals.map { vs =>
+        val tv = typedPartitionValue(resT, vs(i))
+        (tv, resT) match { // decimals travel as strings; order by value
+          case (s: String, d: DecimalType) =>
+            scala.util.Try(new java.math.BigDecimal(s)).getOrElse(null)
+          case _ => tv
+        }
+      }
+      val nonNull = typed.filter(_ != null)
+      val hasNull = typed.size != nonNull.size
+      val bounds = nonNull.headOption.flatMap { h =>
+        nonNull.foldLeft(Option((h, h))) { case (acc, v) =>
+          acc.flatMap { case (mn, mx) =>
+            for (cl <- pvCompare(v, mn); ch <- pvCompare(v, mx))
+              yield (if (cl < 0) v else mn, if (ch > 0) v else mx)
+          }
+        }
+      }.flatMap { case (mn, mx) =>
+        (scala.util.Try(IcebergTypes.encode(resT, mn)).toOption,
+          scala.util.Try(IcebergTypes.encode(resT, mx)).toOption) match {
+          case (Some(lo), Some(hi)) => Some((lo, hi))
+          case _ => None
+        }
+      }
+      IcebergAvro.FieldSummary(hasNull, bounds.map(_._1), bounds.map(_._2))
+    })
+  }
+
   private[iceberg] def typedPartitionValue(t: DataType, v: String): Any = {
     if (v == null || v == "__HIVE_DEFAULT_PARTITION__") return null
     val s = graft.table.PathCodec.unescape(v)

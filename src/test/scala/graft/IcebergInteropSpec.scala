@@ -187,6 +187,59 @@ class IcebergInteropSpec extends AnyFunSuite {
       .filter(col("d") > lit("2024-02-01")).count() === 2)
   }
 
+  test("manifest field summaries: written, carried forward, and prune whole manifests") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val early = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-10")),
+      (2L, java.sql.Date.valueOf("2024-02-15"))).toDF("id", "d")
+    val late = Seq(
+      (3L, java.sql.Date.valueOf("2024-07-05")),
+      (4L, java.sql.Date.valueOf("2024-08-06"))).toDF("id", "d")
+    IcebergWrite.createWithSpec(spark, loc, early, Seq("d" -> "day"))
+    IcebergWrite.append(spark, loc, late)
+    val t = IcebergTable.load(spark, loc)
+    val mfs = IcebergAvro.readManifestList(
+      new org.apache.hadoop.fs.Path(t.meta.currentSnapshot.get.manifestList))
+    assert(mfs.size === 2)
+    // every manifest-list entry carries a bounds-bearing summary
+    // (field-id 507) for the single day-partition field
+    mfs.foreach { mf =>
+      val sums = mf.partitions.get
+      assert(sums.size === 1)
+      assert(sums.head.lower.isDefined && sums.head.upper.isDefined)
+      assert(!sums.head.containsNull)
+    }
+    // the carried-forward early manifest kept its ORIGINAL bounds
+    val earlyDays = Seq("2024-01-10", "2024-02-15")
+      .map(s => java.time.LocalDate.parse(s).toEpochDay.toInt)
+    val bounds = mfs.map { mf =>
+      val s = mf.partitions.get.head
+      def le(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      (le(s.lower.get), le(s.upper.get))
+    }
+    assert(bounds.contains((earlyDays.min, earlyDays.max)))
+    // planning a late-range query must SKIP the early manifest without
+    // opening it: delete its avro from disk — if pruning ever reads
+    // it, this throws; with summaries it plans and scans correctly
+    val earlyMf = mfs.find { mf =>
+      val s = mf.partitions.get.head
+      java.nio.ByteBuffer.wrap(s.upper.get)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt === earlyDays.max
+    }.get
+    val p = new org.apache.hadoop.fs.Path(earlyMf.path)
+    assert(TableIO.fs(p).delete(p, false))
+    val planned = t.plannedFiles(None, Seq(("d", ">", "2024-06-01")))
+    assert(planned.size === 2) // both late day-files, zero early ones
+    assert(t.scan(None, Seq(("d", ">", "2024-06-01")))
+      .filter(col("d") > lit("2024-06-01")).count() === 2)
+    // an unfiltered plan still needs that manifest -> fails loudly,
+    // proving the skip above came from summary pruning, not luck
+    intercept[Exception] { t.plannedFiles() }
+  }
+
   test("truncate + month transforms round-trip partition values") {
     val spark0 = spark
     import spark0.implicits._
