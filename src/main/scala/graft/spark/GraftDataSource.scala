@@ -35,15 +35,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val r = root(options)
     // a write to a not-yet-created table resolves the provider before
     // createRelation runs — report an empty schema instead of failing
-    if (Meta.exists(root(options))) Meta.load(root(options)).schema
+    if (Meta.exists(r)) Meta.load(r).schema
+    // a path holding REAL Iceberg metadata serves as an interop table
+    // (batch + incremental streaming), same routing as the catalog
+    else if (graft.table.iceberg.IcebergTable.exists(r))
+      graft.table.iceberg.IcebergMetadata.load(r).schema.toSpark
     else StructType(Nil)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new GraftSparkTable(properties.get("path"))
+      properties: JMap[String, String]): Table = {
+    val p = properties.get("path")
+    if (!Meta.exists(p) && graft.table.iceberg.IcebergTable.exists(p))
+      new IcebergSparkTable(p)
+    else new GraftSparkTable(p)
+  }
 
   /** Write path (V1 provider — Spark prefers it for `df.write` when
     * both interfaces are present): append/overwrite become table

@@ -31,11 +31,15 @@ class IcebergSparkTable(location: String,
   override def schema(): StructType = ice.schema.toSpark
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    import scala.jdk.CollectionConverters._
     new IcebergScanBuilder(location,
-      Option(options.get("snapshot")).map(_.toLong).orElse(pinnedSnapshot))
+      Option(options.get("snapshot")).map(_.toLong).orElse(pinnedSnapshot),
+      streamOptions = options.asCaseSensitiveMap().asScala.toMap)
+  }
 
   /** INSERT INTO a table some other engine created (reference:
     * datafusion_iceberg/src/table.rs:216 insert_into). The V1 write
@@ -68,7 +72,8 @@ class IcebergSparkTable(location: String,
     }
 }
 
-class IcebergScanBuilder(location: String, snapshotId: Option[Long])
+class IcebergScanBuilder(location: String, snapshotId: Option[Long],
+    streamOptions: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -134,7 +139,7 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long])
       else StructType(ice.schema.toSpark.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new IcebergScan(location, snapshotId, withKeys, pushed, statFilters,
-      t, deletes)
+      t, deletes, streamOptions)
   }
 }
 
@@ -142,7 +147,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     requiredSchema: StructType, pushedFilters: Array[Filter],
     statFilters: Seq[(String, String, String)],
     table: IcebergTable,
-    deletes: Seq[(IcebergAvro.DataFileEntry, Long)])
+    deletes: Seq[(IcebergAvro.DataFileEntry, Long)],
+    streamOptions: Map[String, String] = Map.empty)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -248,6 +254,12 @@ class IcebergScan(location: String, snapshotId: Option[Long],
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = s"IcebergScan($location)"
+
+  /** Incremental append stream over the foreign table's snapshot tail
+    * (readStream on a catalog Iceberg table or format("graft") path). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IcebergMicroBatchStream(location, requiredSchema, streamOptions)
 
   private def resolve(p: String): org.apache.hadoop.fs.Path =
     table.resolvePath(p) // remaps absolute paths across catalog renames

@@ -33,7 +33,8 @@ object IcebergAvro {
 
   case class ManifestFile(path: String, length: Long, specId: Int,
       content: Int, sequenceNumber: Long, addedSnapshotId: Long,
-      partitions: Option[Seq[FieldSummary]] = None)
+      partitions: Option[Seq[FieldSummary]] = None,
+      addedFilesCount: Option[Int] = None)
 
   case class DataFileEntry(
       status: Int, // 0 existing, 1 added, 2 deleted
@@ -102,7 +103,10 @@ object IcebergAvro {
           else r.get("content").asInstanceOf[Int],
         sequenceNumber = optLong(r, "sequence_number").getOrElse(0L),
         addedSnapshotId = optLong(r, "added_snapshot_id").getOrElse(0L),
-        partitions = readFieldSummaries(r))
+        partitions = readFieldSummaries(r),
+        addedFilesCount =
+          if (r.getSchema.getField("added_files_count") == null) None
+          else Option(r.get("added_files_count")).map(_.asInstanceOf[Int]))
     }.toSeq
     finally reader.close()
   }

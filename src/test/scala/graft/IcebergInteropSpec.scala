@@ -840,4 +840,97 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(stats("ts").min === "2024-01-15 10:30:00")
     assert(stats("ts").max === "2024-06-30 23:59:59")
   }
+
+  test("foreign Iceberg table as a streaming source: snapshot-tail ingest") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = tmp()
+    val df1 = (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)
+    IcebergWrite.create(spark, loc, df1)
+
+    val out = loc + "-out"; val ckpt = loc + "-ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(loc)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 40L)
+
+    // two more foreign appends; the resumed stream emits ONLY the tail
+    IcebergWrite.append(spark, loc,
+      (41L to 60L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    IcebergWrite.append(spark, loc,
+      (61L to 70L).map(i => (i, s"c$i")).toDF("k", "v").coalesce(1))
+    drain()
+    val ks = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks === (1L to 70L))
+  }
+
+  test("foreign stream admission control: one snapshot drains in bounded batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = tmp()
+    // one append snapshot carrying 8 files
+    IcebergWrite.create(spark, loc,
+      (1L to 80L).map(i => (i, s"a$i")).toDF("k", "v").repartition(8))
+    val out = loc + "-out"
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "2").load(loc)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", loc + "-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ks = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks === (1L to 80L))
+    // the 8-file snapshot split into >= 4 checkpoint-resumable batches
+    val commits = new java.io.File(loc + "-ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 4, s"expected >=4 bounded batches, got $commits")
+  }
+
+  test("foreign stream fails loudly on an overwrite snapshot") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = tmp()
+    val df1 = (1L to 20L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)
+    IcebergWrite.create(spark, loc, df1)
+    val out = loc + "-out"; val ckpt = loc + "-ckpt"
+    val q1 = spark.readStream.format("graft").load(loc)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === 20L)
+
+    IcebergWrite.overwrite(spark, loc,
+      (100L to 110L).map(i => (i, s"z$i")).toDF("k", "v").coalesce(1))
+    val q2 = spark.readStream.format("graft").load(loc)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("append-only streams cannot represent")))
+  }
 }
