@@ -24,14 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and floor-convert to micros
-    * (integer `div` — a double division would lose precision above
-    * 2^53). Matches DuckDB's truncating NANOS→micros read. */
+  /** Some testdata generations store events.ts as TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects; with nanosAsLong those
+    * read as long, and we floor-convert to micros (integer `div` — a
+    * double division would lose precision above 2^53), matching
+    * DuckDB's truncating NANOS→micros read. Other generations store
+    * plain micros, which need no conversion — branch on the read type. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is pinned UTC, so NTZ→LTZ keeps wall-clock values;
+        // LTZ is what watermarks/windows require (and what the NANOS
+        // path above always produced)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -434,6 +434,33 @@ object TableOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Foreign real-format Iceberg through the `format("graft")` DIRECT
+    * path (no catalog): both formats share the version-hint layout, so
+    * the provider sniffs the metadata dialect and routes real tables
+    * to the binary interop reader. Locks the routing seam — a regression
+    * here feeds real metadata.json into graft's own parser. The filter
+    * pushes into the interop scan (file stats prune first). */
+  val tfForeignScan: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val loc = scratch()
+    graft.table.iceberg.IcebergWrite.create(
+      s, loc, c.filter(col("c_custkey") % 3 === 0))
+    graft.table.iceberg.IcebergWrite.append(
+      s, loc, c.filter(col("c_custkey") % 3 =!= 0))
+    s.read.format("graft").load(loc)
+      .filter(col("c_acctbal") > 1000.0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val tfForeignScanSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+       round(sum(c_acctbal),2)::DOUBLE AS total
+       FROM customer WHERE c_acctbal > 1000
+       GROUP BY 1 ORDER BY c_mktsegment"""
+
   val tfIcebergReadSql: String =
     """SELECT o_orderstatus, count(*) AS n,
        round(sum(o_totalprice),2)::DOUBLE AS total
@@ -558,6 +585,7 @@ object TableOps {
     "tf_changelog_scan" -> tfChangelogScan,
     "tf_export_roundtrip" -> tfExportRoundtrip,
     "tf_iceberg_read" -> tfIcebergRead,
+    "tf_foreign_scan" -> tfForeignScan,
     "tf_iceberg_partitioned" -> tfIcebergPartitioned,
     "tf_delete_pos" -> tfDeletePos,
     "tf_metadata_tables" -> tfMetadataTables,
@@ -582,6 +610,7 @@ object TableOps {
     "tf_changelog_scan" -> tfChangelogScanSql,
     "tf_export_roundtrip" -> tfExportRoundtripSql,
     "tf_iceberg_read" -> tfIcebergReadSql,
+    "tf_foreign_scan" -> tfForeignScanSql,
     "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,
     "tf_delete_pos" -> tfDeletePosSql,
     "tf_compaction" -> tfCompactionSql,

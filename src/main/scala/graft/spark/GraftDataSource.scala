@@ -35,11 +35,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     p
   }
 
+  // graft and real Iceberg share the metadata/vN.metadata.json +
+  // version-hint convention, so `Meta.exists` is true for BOTH; the
+  // metadata dialect (snake_case vs the spec's kebab-case keys) tells
+  // them apart — same sniff as GraftTableCatalog.loadTable
+  private def isGraftTable(r: String): Boolean =
+    Meta.exists(r) && scala.util.Try(Meta.load(r)).isSuccess
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val r = root(options)
     // a write to a not-yet-created table resolves the provider before
     // createRelation runs — report an empty schema instead of failing
-    if (Meta.exists(r)) Meta.load(r).schema
+    if (isGraftTable(r)) Meta.load(r).schema
     // a path holding REAL Iceberg metadata serves as an interop table
     // (batch + incremental streaming), same routing as the catalog
     else if (graft.table.iceberg.IcebergTable.exists(r))
@@ -50,7 +57,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val p = properties.get("path")
-    if (!Meta.exists(p) && graft.table.iceberg.IcebergTable.exists(p))
+    if (!isGraftTable(p) && graft.table.iceberg.IcebergTable.exists(p))
       new IcebergSparkTable(p)
     else new GraftSparkTable(p)
   }
@@ -67,7 +74,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException("graft sink requires a path"))
     val spark = data.sparkSession
     val t =
-      if (Meta.exists(path)) GraftTable.load(spark, path)
+      if (isGraftTable(path)) GraftTable.load(spark, path)
+      else if (graft.table.iceberg.IcebergTable.exists(path))
+        throw new IllegalStateException(
+          s"$path holds a real-format Iceberg table; the graft writer " +
+            "cannot commit to it — use IcebergWrite for foreign tables")
       else GraftTable.create(spark, path, data.schema)
     mode match {
       case org.apache.spark.sql.SaveMode.Append => t.append(data)

@@ -612,18 +612,40 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val m = meta
     val schema = m.schemas(end.flatMap(m.snapshot).map(_.schemaId)
       .getOrElse(m.currentSchemaId))
-    // path → manifest entry across the whole history: a changelog may
-    // read files REMOVED in range (added by snapshots before it), and
-    // imported entries carry the name mapping their read needs
-    lazy val fileByPath: Map[String, Meta.DataFile] =
-      m.snapshots.flatMap(_.files).map(f => f.path -> f).toMap
+    val rangeSnaps = m.rangeSnapshots(start, end)
+    // path → manifest entry, resolved range-proportionally: a
+    // changelog may read files REMOVED in range (added by snapshots
+    // before it), and imported entries carry the name mapping their
+    // read needs. In-range adds come from the range snapshots' own
+    // manifests (which load anyway); pre-range entries are resolved by
+    // walking ancestors NEWEST-first from the range's base, stopping
+    // as soon as every removed path is found — metadata IO follows the
+    // add→remove distance of the touched files, never table age.
+    lazy val rangeEntries: Map[String, Meta.DataFile] =
+      rangeSnaps.flatMap(_.files).map(f => f.path -> f).toMap
+    lazy val preRangeEntries: Map[String, Meta.DataFile] = {
+      val cowOps = Set("delete", "overwrite", "merge", "rewrite-fold", "replace")
+      var need = rangeSnaps.filter(s => cowOps(s.operation))
+        .flatMap(_.removedPaths).toSet -- rangeEntries.keySet
+      val found = Map.newBuilder[String, Meta.DataFile]
+      var cur = rangeSnaps.headOption.flatMap(_.parentId).flatMap(m.snapshot)
+      while (cur.isDefined && need.nonEmpty) {
+        val s = cur.get
+        s.files.foreach { f =>
+          if (need.contains(f.path)) { found += f.path -> f; need -= f.path }
+        }
+        cur = s.parentId.flatMap(m.snapshot)
+      }
+      found.result()
+    }
     def readPaths(paths: Seq[String]): DataFrame =
-      readDataRaw(paths.map(p => fileByPath.getOrElse(p,
-        Meta.DataFile(p, Map.empty, -1L, -1L, Map.empty))), schema)
+      readDataRaw(paths.map(p => rangeEntries.getOrElse(p,
+        preRangeEntries.getOrElse(p,
+          Meta.DataFile(p, Map.empty, -1L, -1L, Map.empty)))), schema)
     def tag(df: DataFrame, change: String, snap: Long): DataFrame =
       df.withColumn("_change_type", lit(change))
         .withColumn("_commit_snapshot_id", lit(snap))
-    val parts = m.rangeSnapshots(start, end).flatMap { s =>
+    val parts = rangeSnaps.flatMap { s =>
       if (s.summary.get("squashed").contains("true"))
         throw new IllegalStateException(
           s"snapshot ${s.snapshotId} is an expire-squashed base; " +

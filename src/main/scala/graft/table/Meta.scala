@@ -127,6 +127,11 @@ object Meta {
         * footer ids. */
       nameMapping: Option[Map[String, String]] = None)
 
+  /** Process-wide count of spilled-manifest file reads — the metadata
+    * IO scan-metrics surface. Tests assert planning reads only the
+    * manifests a scan's range/predicate actually touches. */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   case class Snapshot(
       snapshotId: Long,
       parentId: Option[Long],
@@ -170,15 +175,18 @@ object Meta {
       else manifestPath match {
         case None => addedFiles
         case Some(p) =>
+          manifestReads.incrementAndGet()
           mapper.readTree(TableIO.readString(TableIO.path(p)))
             .elements().asScala.map(readFile).toSeq
       }
 
     /** Load ONE spilled group's entries (manifest-granular planning
       * reads only the groups whose bounds admit the predicate). */
-    def readGroup(g: ManifestGroup): Seq[DataFile] =
+    def readGroup(g: ManifestGroup): Seq[DataFile] =  {
+      manifestReads.incrementAndGet()
       mapper.readTree(TableIO.readString(TableIO.path(g.path)))
         .elements().asScala.map(readFile).toSeq
+    }
 
     /** Live files as of this snapshot, given the parent chain's state. */
     def apply(parentLive: Seq[DataFile]): Seq[DataFile] = {

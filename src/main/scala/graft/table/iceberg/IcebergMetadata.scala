@@ -52,6 +52,16 @@ object IcebergMetadata {
       operation: String, schemaId: Int,
       summary: Map[String, String] = Map.empty)
 
+  /** One field of a sort order (spec/sort.rs SortField): column by
+    * source id, a transform (identity for plain column sorts), and
+    * direction/null placement. */
+  case class IceSortField(sourceId: Int, transform: String,
+      direction: String, nullOrder: String)
+
+  /** A sort order (spec/sort.rs SortOrder). Order id 0 is reserved
+    * for "unsorted". */
+  case class IceSortOrder(orderId: Int, fields: Seq[IceSortField])
+
   case class IceMetadata(
       formatVersion: Int,
       tableUuid: String,
@@ -66,12 +76,18 @@ object IcebergMetadata {
       properties: Map[String, String],
       currentSnapshotId: Option[Long],
       snapshots: Seq[IceSnapshot],
-      refs: Map[String, Long]) {
+      refs: Map[String, Long],
+      sortOrders: Seq[IceSortOrder] = Seq.empty,
+      defaultSortOrderId: Int = 0) {
     def schema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
     def snapshot(id: Long): Option[IceSnapshot] =
       snapshots.find(_.snapshotId == id)
     def currentSnapshot: Option[IceSnapshot] =
       currentSnapshotId.flatMap(snapshot)
+    /** The fields of the default sort order; empty = unsorted. */
+    def defaultSortFields: Seq[IceSortField] =
+      sortOrders.find(_.orderId == defaultSortOrderId)
+        .map(_.fields).getOrElse(Seq.empty)
   }
 
   /** Spark schema -> Iceberg schema with sequential field ids. */
@@ -179,10 +195,23 @@ object IcebergMetadata {
       }
     }
     r.put("last-partition-id", m.lastPartitionId)
-    r.put("default-sort-order-id", 0)
+    r.put("default-sort-order-id", m.defaultSortOrderId)
     val so = r.putArray("sort-orders")
-    val son = so.addObject()
-    son.put("order-id", 0); son.putArray("fields")
+    // order 0 (unsorted) is always present per spec
+    if (!m.sortOrders.exists(_.orderId == 0)) {
+      val son = so.addObject()
+      son.put("order-id", 0); son.putArray("fields")
+    }
+    m.sortOrders.foreach { o =>
+      val on = so.addObject()
+      on.put("order-id", o.orderId)
+      val fs = on.putArray("fields")
+      o.fields.foreach { f =>
+        val fn = fs.addObject()
+        fn.put("source-id", f.sourceId); fn.put("transform", f.transform)
+        fn.put("direction", f.direction); fn.put("null-order", f.nullOrder)
+      }
+    }
     val props = r.putObject("properties")
     m.properties.foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(r.put("current-snapshot-id", _))
@@ -238,7 +267,25 @@ object IcebergMetadata {
       snapshots = snapshots,
       refs = Option(r.get("refs")).map(_.properties().asScala.map(e =>
         e.getKey -> e.getValue.get("snapshot-id").asLong()).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      sortOrders = arr(r.get("sort-orders")).map(sortOrderFromNode)
+        .filter(_.fields.nonEmpty),
+      defaultSortOrderId =
+        Option(r.get("default-sort-order-id")).map(_.asInt()).getOrElse(0))
+  }
+
+  /** Parse one sort order (the shape the commit protocol's
+    * add-sort-order update carries — commit.rs TableUpdate::AddSortOrder). */
+  def sortOrderFromNode(n: JsonNode): IceSortOrder = {
+    def arr(x: JsonNode): Seq[JsonNode] =
+      Option(x).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    IceSortOrder(
+      n.get("order-id").asInt(),
+      arr(n.get("fields")).map(f => IceSortField(
+        f.get("source-id").asInt(),
+        Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
+        Option(f.get("direction")).map(_.asText()).getOrElse("asc"),
+        Option(f.get("null-order")).map(_.asText()).getOrElse("nulls-first"))))
   }
 
   /** One snapshot <-> its metadata.json object (also the shape the

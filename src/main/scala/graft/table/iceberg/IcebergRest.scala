@@ -155,6 +155,30 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             "cannot remove the current snapshot")
           acc.copy(snapshots =
             acc.snapshots.filterNot(s => ids.contains(s.snapshotId)))
+        // sort-order evolution (commit.rs TableUpdate::AddSortOrder /
+        // SetDefaultSortOrder): writes after the commit cluster by the
+        // new default order
+        case "add-sort-order" =>
+          val o = IcebergMetadata.sortOrderFromNode(u.get("sort-order"))
+          require(!acc.sortOrders.exists(_.orderId == o.orderId) && o.orderId != 0,
+            s"sort order ${o.orderId} already exists")
+          acc.copy(sortOrders = acc.sortOrders :+ o)
+        case "set-default-sort-order" =>
+          val id = u.get("sort-order-id").asInt()
+          // -1 = the order added in this same commit
+          val resolved = if (id == -1) acc.sortOrders.last.orderId else id
+          require(resolved == 0 ||
+            acc.sortOrders.exists(_.orderId == resolved),
+            s"unknown sort order $resolved")
+          acc.copy(defaultSortOrderId = resolved)
+        // identity updates (commit.rs TableUpdate::AssignUuid /
+        // UpgradeFormatVersion)
+        case "assign-uuid" =>
+          acc.copy(tableUuid = u.get("uuid").asText())
+        case "upgrade-format-version" =>
+          val v = u.get("format-version").asInt()
+          require(v >= acc.formatVersion, "format version cannot downgrade")
+          acc.copy(formatVersion = v)
         case other =>
           throw new BadRequest(s"unsupported update $other")
       }
@@ -1149,6 +1173,45 @@ object IcebergRestClient {
       mapper.writeValueAsString(body))
     require(resp.statusCode() == 200,
       s"updateProperties -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** Evolve the table's sort order through the commit protocol
+    * (add-sort-order + set-default-sort-order, uuid-asserted —
+    * commit.rs TableUpdate::AddSortOrder/SetDefaultSortOrder). Fields
+    * are (column name, "asc"|"desc"); names resolve to source ids
+    * against the current schema. Writes after the commit cluster by
+    * the new order. */
+  def updateSortOrder(base: String, ns: String, table: String,
+      fields: Seq[(String, String)]): Unit = {
+    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val m = IcebergMetadata.fromJson(
+      mapper.writeValueAsString(res.get("metadata")))
+    val orderId = m.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-table-uuid"); r.put("uuid", m.tableUuid)
+    val ups = body.putArray("updates")
+    val add = ups.addObject()
+    add.put("action", "add-sort-order")
+    val so = add.putObject("sort-order")
+    so.put("order-id", orderId)
+    val fs = so.putArray("fields")
+    fields.foreach { case (name, dir) =>
+      val id = m.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name")).id
+      val fn = fs.addObject()
+      fn.put("source-id", id); fn.put("transform", "identity")
+      fn.put("direction", dir)
+      fn.put("null-order", if (dir == "desc") "nulls-last" else "nulls-first")
+    }
+    val set = ups.addObject()
+    set.put("action", "set-default-sort-order")
+    set.put("sort-order-id", -1)
+    val resp = post(s"$base/v1/namespaces/$ns/tables/$table",
+      mapper.writeValueAsString(body))
+    require(resp.statusCode() == 200,
+      s"updateSortOrder -> ${resp.statusCode()}: ${resp.body()}")
   }
 
   /** Append via the REST commit protocol: write data + manifests into

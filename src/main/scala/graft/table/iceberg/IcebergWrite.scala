@@ -135,8 +135,27 @@ object IcebergWrite {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
+    // the default sort order clusters every write (spec/sort.rs: the
+    // write-time order): range-repartition on the sort key so files
+    // hold DISJOINT key ranges — a reader's key predicate then prunes
+    // files by bounds — and sort within partitions for row-group skips
+    val sortCols = {
+      import org.apache.spark.sql.functions.col
+      m.defaultSortFields.flatMap { f =>
+        schema.fields.find(_.id == f.sourceId).map { fld =>
+          val c = Transforms.column(f.transform, col(fld.name),
+            sparkSchema.fields.find(_.name == fld.name).get.dataType)
+          if (f.direction == "desc") c.desc else c.asc
+        }
+      }
+    }
+    def clustered(d: DataFrame): DataFrame =
+      if (sortCols.isEmpty) d
+      else if (spec.isEmpty)
+        d.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else d.sortWithinPartitions(sortCols: _*)
     try { timed("write-parquet") {
-      if (spec.isEmpty) df.write.parquet(staging.toString)
+      if (spec.isEmpty) clustered(df).write.parquet(staging.toString)
       else {
         import org.apache.spark.sql.functions.col
         val withHelpers = spec.zip(specSrcCols).foldLeft(df) {
@@ -149,8 +168,7 @@ object IcebergWrite {
         // algorithm's task-side renames (parallel, executor-side) are
         // safe here — v1's sequential driver-side merge dominates a
         // fine-grained spec's many partition dirs.
-        withHelpers
-          .repartition(specHelpers.map(col): _*)
+        clustered(withHelpers.repartition(specHelpers.map(col): _*))
           .write.partitionBy(specHelpers: _*)
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .parquet(staging.toString)

@@ -933,4 +933,65 @@ class IcebergInteropSpec extends AnyFunSuite {
       causes(ex).exists(c => c.getMessage != null &&
         c.getMessage.contains("append-only streams cannot represent")))
   }
+
+  test("sort-order evolution over REST clusters subsequent writes") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val wh = Files.createTempDirectory("graft-rest-so").toString
+    val server = new IcebergRestServer(wh).start()
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.getOption(coalesceKey)
+    // keep the range shuffle's partition count observable (AQE would
+    // fold this tiny test write into one file)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+      val loc = s"$wh/db/t"
+      // interleaved keys: an unsorted write scatters every key range
+      val df = (1L to 4000L).map(i => ((i * 2654435761L) % 4000L, s"v$i"))
+        .toDF("k", "v").repartition(4)
+      IcebergWrite.create(spark, loc, df)
+
+      C.updateSortOrder(base, "db", "t", Seq("k" -> "asc"))
+      val m = IcebergMetadata.load(loc)
+      assert(m.defaultSortOrderId > 0)
+      assert(m.defaultSortFields.map(f => (f.direction, f.transform)) ===
+        Seq(("asc", "identity")))
+      // the order round-trips the metadata.json write/parse cycle
+      assert(IcebergMetadata.fromJson(IcebergMetadata.toJson(m))
+        .defaultSortFields === m.defaultSortFields)
+
+      // a post-evolution append range-clusters: its files hold
+      // pairwise-DISJOINT k ranges, so a key predicate prunes files
+      val df2 = (1L to 4000L).map(i => ((i * 40503L) % 4000L + 10000L, s"w$i"))
+        .toDF("k", "v").repartition(4)
+      IcebergWrite.append(spark, loc, df2)
+      val t = IcebergTable.load(spark, loc)
+      val newRanges = t.plannedFiles().map(_._2)
+        .filter(_("k").min.toLong >= 10000L)
+        .map(st => (st("k").min.toLong, st("k").max.toLong))
+        .sortBy(_._1)
+      assert(newRanges.size > 1, s"expected several clustered files, got $newRanges")
+      newRanges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+          s"overlapping sorted-write file bounds: $newRanges")
+        case _ =>
+      }
+      // pre-evolution files overlap (sanity that the data would scatter)
+      val oldRanges = t.plannedFiles().map(_._2)
+        .filter(_("k").min.toLong < 10000L)
+        .map(st => (st("k").min.toLong, st("k").max.toLong)).sortBy(_._1)
+      assert(oldRanges.exists { case (lo, hi) => hi - lo > 1000L })
+      // nothing lost
+      assert(t.scan().count() === 8000L)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
+      server.stop()
+    }
+  }
 }

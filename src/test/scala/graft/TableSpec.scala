@@ -661,6 +661,42 @@ class TableSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
   }
 
+  test("changelog metadata IO is range-proportional, not table-age") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df1 = Seq((0L, "z")).toDF("k", "v")
+    // inline-limit 0: every snapshot's manifest spills to a side file,
+    // so manifest reads are countable per snapshot
+    val t = GraftTable.create(spark, root, df1.schema,
+      properties = Map("manifest.inline-limit" -> "0"))
+    for (i <- 1L to 10L)
+      t.append(Seq((i, s"v$i")).toDF("k", "v").coalesce(1))
+    val chain = t.meta.chainSnapshots(None)
+    val sPrev = chain(chain.size - 2).snapshotId
+
+    // changelog over the LAST commit only: loads that commit's
+    // manifest group, none of the other nine (the old whole-history
+    // fileByPath forced every spilled group in the table)
+    val before = Meta.manifestReads.get()
+    val rows = t.changesBetween(Some(sPrev)).collect()
+    val delta = Meta.manifestReads.get() - before
+    assert(rows.length === 1 && rows.head.getLong(0) === 10L)
+    assert(delta <= 2, s"one-append changelog read $delta spilled manifests")
+
+    // CoW delete of the newest row (stat-pruned to its one file): the
+    // pre-range resolver walks ancestors newest-first and STOPS at the
+    // adding snapshot — the range-end's lineage is never fully replayed
+    t.delete(col("k") === 10L, Seq(t.StatFilter("k", "=", "10")))
+    val sDel = t.meta.currentSnapshotId.get
+    val before2 = Meta.manifestReads.get()
+    val ch = t.changesBetween(Some(t.meta.snapshot(sDel).get.parentId.get))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    val delta2 = Meta.manifestReads.get() - before2
+    assert(ch === Seq((10L, "delete")))
+    assert(delta2 <= 4, s"one-commit CoW changelog read $delta2 spilled manifests")
+  }
+
   test("add_files imports foreign id-less parquet in place") {
     val o = Tables.orders(spark, sf)
     val src = Files.createTempDirectory("graft-import").toString + "/src"
