@@ -1368,20 +1368,12 @@ case class UnwrapKeyedFactory(delegate: PartitionReaderFactory)
   * effectiveness and MoR overhead, surfaced in the Spark UI per scan
   * node. All are driver metrics (planning facts), aggregated as sums. */
 object GraftScanMetrics {
-  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-
-  private class Sum(metricName: String, desc: String)
-    extends CustomSumMetric {
-    override def name(): String = metricName
-    override def description(): String = desc
-  }
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 
   val all: Array[CustomMetric] = Array(
-    new Sum("liveDataFiles", "live data files in the scanned snapshot"),
-    new Sum("plannedDataFiles", "data files planned after pruning"),
-    new Sum("prunedDataFiles", "data files skipped by stats/partition pruning"),
-    new Sum("plannedBytes", "bytes planned for read"),
-    new Sum("deleteFilesApplied", "merge-on-read delete files applied"))
+    new LiveDataFilesMetric, new PlannedDataFilesMetric,
+    new PrunedDataFilesMetric, new PlannedBytesMetric,
+    new DeleteFilesAppliedMetric)
 
   def task(metricName: String, v: Long): CustomTaskMetric =
     new CustomTaskMetric {
@@ -1391,8 +1383,47 @@ object GraftScanMetrics {
 
   /** Write-side counterparts, reported per task by the V2 writers. */
   val writeMetrics: Array[CustomMetric] = Array(
-    new Sum("rowsWritten", "rows written by this write"),
-    new Sum("filesWritten", "data files written by this write"))
+    new RowsWrittenMetric, new FilesWrittenMetric)
+}
+
+// Spark re-instantiates CustomMetric classes REFLECTIVELY on the
+// driver when aggregating task metrics, so each must be a top-level
+// class with a zero-arg constructor — a parameterized shared class
+// throws SparkException at aggregation time and the UI metric is lost.
+private[spark] class LiveDataFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "liveDataFiles"
+  override def description(): String = "live data files in the scanned snapshot"
+}
+private[spark] class PlannedDataFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "plannedDataFiles"
+  override def description(): String = "data files planned after pruning"
+}
+private[spark] class PrunedDataFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "prunedDataFiles"
+  override def description(): String = "data files skipped by stats/partition pruning"
+}
+private[spark] class PlannedBytesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "plannedBytes"
+  override def description(): String = "bytes planned for read"
+}
+private[spark] class DeleteFilesAppliedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "deleteFilesApplied"
+  override def description(): String = "merge-on-read delete files applied"
+}
+private[spark] class RowsWrittenMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsWritten"
+  override def description(): String = "rows written by this write"
+}
+private[spark] class FilesWrittenMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesWritten"
+  override def description(): String = "data files written by this write"
 }
 
 /** One bin of add_files-imported files: the pinned name mapping plus

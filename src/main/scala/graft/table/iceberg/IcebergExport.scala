@@ -241,7 +241,21 @@ object IcebergExport {
       currentSnapshotId = Some(snapshotId),
       snapshots = Seq(snap),
       refs = Map("main" -> snapshotId))
-    IcebergMetadata.write(dest, 1, iceMeta)
+    // carry the table's sort order when it's expressible in the spec
+    // (plain column entries; z-order interleaving has no spec form)
+    val exportedOrder = {
+      val plain = m.sortOrder.filter(e => !e.contains("(") && !e.contains(" "))
+      if (plain.isEmpty || plain.size != m.sortOrder.size) None
+      else Some(IcebergMetadata.IceSortOrder(1, plain.flatMap(n =>
+        ice.fields.find(_.name == n).map(f => IcebergMetadata.IceSortField(
+          f.id, "identity", "asc", "nulls-first")))))
+    }
+    val withOrder = exportedOrder match {
+      case Some(o) if o.fields.nonEmpty =>
+        iceMeta.copy(sortOrders = Seq(o), defaultSortOrderId = 1)
+      case _ => iceMeta
+    }
+    IcebergMetadata.write(dest, 1, withOrder)
   }
 
   /** Re-export only when the graft table has committed a newer

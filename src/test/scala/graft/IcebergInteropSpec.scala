@@ -412,6 +412,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     t.append(li.filter(col("l_orderkey") % 2 === 0))
     t.setDefaultSpec(Seq(Meta.PartitionField("l_shipdate", "day", "_p_day")))
     t.append(li.filter(col("l_orderkey") % 2 =!= 0))
+    t.setSortOrder(Seq("l_orderkey"))
     val want = t.scan().count()
 
     val dest = s"$wh/exported"
@@ -421,6 +422,9 @@ class IcebergInteropSpec extends AnyFunSuite {
     val im = IcebergMetadata.load(dest)
     assert(im.specs.map(_.specId).sorted === Seq(0, 1))
     assert(im.defaultSpecId === 1)
+    // the sort order crosses the format boundary (id-resolved)
+    assert(im.defaultSortFields.map(_.sourceId) ===
+      Seq(im.schema.fields.find(_.name == "l_orderkey").get.id))
     val it = IcebergTable.load(spark, dest)
     assert(it.scan().count() === want)
     // partition pruning through the reader: a Jan-1996 predicate must
