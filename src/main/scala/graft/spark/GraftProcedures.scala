@@ -340,6 +340,31 @@ object GraftProcedures {
         }
       },
 
+      // sort-order evolution from SQL (spec/sort.rs; Spark-Iceberg's
+      // ALTER TABLE ... WRITE ORDERED BY has no stock-Spark parse, so
+      // the procedure form carries it): comma-separated columns, or
+      // 'zorder(a,b)' for interleaved clustering. Future writes
+      // cluster by the new order; rewrite_data_files re-clusters
+      // existing files.
+      new GraftProcedure("set_sort_order",
+        "Set the table sort order (comma-separated columns or zorder(...)); " +
+          "clusters future writes",
+        Array(TableParam,
+          ProcedureParameter.in("order", StringType).build()),
+        StructType(Seq(
+          StructField("sort_order", StringType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val raw = in.getUTF8String(1).toString.trim
+          val entries =
+            if (raw.toLowerCase(java.util.Locale.ROOT).startsWith("zorder"))
+              Seq(raw)
+            else raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          t.setSortOrder(entries)
+          Seq(row(utf8(entries.mkString(", "))))
+        }
+      },
+
       new GraftProcedure("create_tag",
         "Pin a tag to snapshot_id (NULL = current)",
         Array(TableParam,

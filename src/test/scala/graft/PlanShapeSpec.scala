@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: the properties that make these
+  * operators survive a 100× scale-up — filters reaching the parquet
+  * scan, unused columns pruned, dims broadcast instead of
+  * sort-merge-shuffled, candidate generation via equi-joins instead
+  * of cartesian products — asserted on the PHYSICAL plan, so a
+  * refactor that silently de-optimizes a plan fails here rather
+  * than in the next scale probe. */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def phys(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = phys("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed:\n$p")
+    // untouched columns must not appear in the read schema
+    assert(!p.contains("l_returnflag"), "column pruning lost l_returnflag")
+  }
+
+  test("q01: aggregation shuffles once (partial agg map-side)") {
+    val p = phys("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"expected exactly one hash shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("q03: dims broadcast, no sort-merge join, no cartesian") {
+    val p = phys("q03_join_agg_topn")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the customer predicate pushed below the join
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter not pushed into the customer scan")
+  }
+
+  test("q05: the multi-join chain stays fully broadcast") {
+    val p = phys("q05_multi_join")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("dd_minhash_pairs: candidates come from band-bucket equi-joins") {
+    val p = phys("dd_minhash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate join degenerated to an all-pairs product:\n$p")
+  }
+
+  test("ann_lsh_topk and ann_ivf_topk bucket instead of cross-joining") {
+    Seq("ann_lsh_topk", "ann_ivf_topk").foreach { k =>
+      val p = phys(k)
+      assert(!p.contains("CartesianProduct"),
+        s"$k plans a shuffled cartesian product:\n$p")
+    }
+  }
+
+  test("ev_sessionize: one shuffle on user_id feeds every window stage") {
+    val p = phys("ev_sessionize")
+    val userShuffles =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userShuffles === 1,
+      s"expected one user_id shuffle reused across windows, got $userShuffles")
+  }
+
+  test("format(graft): stat filters prune inside the V2 scan") {
+    val d = sf
+    val li = Tables.lineitem(spark, d)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planshape").toString + "/t"
+    val t = graft.table.GraftTable.create(spark, root, li.schema)
+    t.append(li.repartitionByRange(4, col("l_orderkey")))
+    val df = spark.read.format("graft").load(root)
+      .filter(col("l_orderkey") > 100L).select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftScan") && p.contains("stat filters"),
+      s"graft V2 scan missing from plan:\n$p")
+    assert(p.contains("prunedBy=1 stat filters"),
+      s"l_orderkey predicate did not reach the graft scan:\n$p")
+  }
+}

@@ -962,6 +962,37 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("CALL set_sort_order clusters future SQL writes") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
+    spark.sql("CREATE TABLE graft_wh.proc.so (k BIGINT, v STRING)")
+    val out = spark.sql(
+      "CALL graft_wh.system.set_sort_order(table => 'proc.so', order => 'k')")
+      .collect()(0)
+    assert(out.getString(0) === "k")
+    val t = graft.table.GraftTable.load(spark, s"$wh/proc/so")
+    assert(t.meta.sortOrder === Seq("k"))
+    // an INSERT after evolution range-clusters: files disjoint on k
+    spark.sql("INSERT INTO graft_wh.proc.so " +
+      "SELECT (id * 2654435761) % 4096 AS k, cast(id AS STRING) AS v " +
+      "FROM range(4096)")
+    val ranges = t.meta.currentSnapshotId.map(id =>
+      t.meta.snapshot(id).get.files.flatMap(_.stats.get("k"))
+        .map(st => (st.min.toLong, st.max.toLong)).sortBy(_._1))
+      .getOrElse(Seq.empty)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"sorted-write bounds overlap: $ranges")
+      case _ =>
+    }
+    // zorder entries parse as a single spec
+    spark.sql(
+      "CALL graft_wh.system.set_sort_order('proc.so', 'zorder(k, v)')")
+    assert(graft.table.GraftTable.load(spark, s"$wh/proc/so")
+      .meta.sortOrder === Seq("zorder(k, v)"))
+  }
+
   test("CALL procedures: expire / vacuum / rewrite / rollback / branch / tag") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
