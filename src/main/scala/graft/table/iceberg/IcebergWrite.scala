@@ -309,7 +309,31 @@ object IcebergWrite {
     * like an append, then publish a manifest list holding ONLY the new
     * snapshot's own manifests — readers of the new snapshot see just
     * the new content, older snapshots still time-travel. */
-  def overwrite(spark: SparkSession, location: String, df: DataFrame): Unit = {
+  def overwrite(spark: SparkSession, location: String, df: DataFrame): Unit =
+    replaceContent(spark, location, df, "overwrite")
+
+  /** Compaction on a REAL-format table (reference: the `rewrite`
+    * transaction, iceberg-rust table/transaction/mod.rs): fold the
+    * current content — merge-on-read delete files applied — into
+    * ~targetFileSizeBytes data files and commit a row-preserving
+    * 'replace' snapshot. The new manifest list carries ONLY the
+    * rewritten manifests, so outstanding delete files are absorbed;
+    * older snapshots still time-travel through their own manifest
+    * lists. Returns the rewritten file count. */
+  def rewrite(spark: SparkSession, location: String,
+      targetFileSizeBytes: Long = 128L << 20): Int = {
+    val t = IcebergTable.load(spark, location)
+    val totalBytes = t.plannedFiles().map(_._1.fileSizeBytes).sum
+    val n = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    // scan() materializes into the commit's private staging dir before
+    // any metadata moves, so read-own-table is safe
+    replaceContent(spark, location, t.scan().repartition(n), "replace")
+    n
+  }
+
+  private def replaceContent(spark: SparkSession, location: String,
+      df: DataFrame, operation: String): Unit = {
     val m = IcebergMetadata.load(location)
     val snap0 = prepareAppend(spark, m, df)
     val own = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
@@ -333,7 +357,7 @@ object IcebergWrite {
       s"snap-ow-${snap0.snapshotId}-${UUID.randomUUID().toString.take(8)}.avro")
     IcebergAvro.writeManifestList(mlPath, recs, snap0.snapshotId,
       snap0.sequenceNumber)
-    val snap = snap0.copy(operation = "overwrite",
+    val snap = snap0.copy(operation = operation,
       manifestList = TableIO.qualified(mlPath))
     IcebergMetadata.writeNext(location, m.copy(
       lastSequenceNumber = snap.sequenceNumber,

@@ -938,6 +938,40 @@ class IcebergInteropSpec extends AnyFunSuite {
         c.getMessage.contains("append-only streams cannot represent")))
   }
 
+  test("rewrite compacts a foreign table and folds MoR deletes in") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    // many small files across two snapshots + an equality delete
+    IcebergWrite.create(spark, loc,
+      (1L to 400L).map(i => (i, s"a$i")).toDF("k", "v").repartition(6))
+    IcebergWrite.append(spark, loc,
+      (401L to 800L).map(i => (i, s"b$i")).toDF("k", "v").repartition(6))
+    IcebergWrite.deleteEquality(spark, loc,
+      Seq(5L, 700L).toDF("k"), Seq("k"))
+    val t0 = IcebergTable.load(spark, loc)
+    val preSnap = t0.meta.currentSnapshotId.get
+    val want = t0.scan().count()
+    assert(want === 798L)
+    assert(t0.plannedFiles().size === 12)
+
+    val n = IcebergWrite.rewrite(spark, loc)
+    val t = IcebergTable.load(spark, loc)
+    // row-preserving: same content, far fewer files
+    assert(t.scan().count() === want)
+    assert(t.scan().agg(sum("k")).collect()(0).getLong(0) ===
+      (1L to 800L).sum - 5L - 700L)
+    assert(t.plannedFiles().size === n && n < 12)
+    // the replace snapshot absorbed the delete files: no delete
+    // manifests remain in the new manifest list
+    val ml = IcebergAvro.readManifestList(
+      new org.apache.hadoop.fs.Path(t.meta.currentSnapshot.get.manifestList))
+    assert(ml.forall(_.content === 0))
+    assert(t.meta.currentSnapshot.get.operation === "replace")
+    // older snapshots still time-travel (pre-rewrite content intact)
+    assert(t.timeTravel(preSnap).count() === want)
+  }
+
   test("sort-order evolution over REST clusters subsequent writes") {
     val spark0 = spark
     import spark0.implicits._
