@@ -54,18 +54,30 @@ object Dedup {
 
   /** LSH candidate pairs: docs agreeing on at least one full band.
     * One shuffle on the bucket key, then pairs generated within each
-    * bucket (a self-join would recompute the signatures for both
-    * sides). Giant buckets are dropped — they are non-discriminative
-    * band collisions and the standard LSH skew guard: cost stays
-    * bounded by candidate count, never N². */
+    * bucket. Size-routed like ddSimhash: small buckets pair in-memory
+    * (collect_list explode); oversized buckets — mass-duplication
+    * clusters, where the candidate count is genuinely quadratic
+    * because the near-dup structure is — pair through a distributed
+    * equi-self-join rather than being dropped. (A drop here silently
+    * loses recall exactly in the web-crawl case LSH dedup exists for;
+    * cost stays bounded by candidate count, never N².) */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val buckets = bandedSignatures(s, d)
+    val keyed = bandedSignatures(s, d)
+    val sized = keyed.withColumn("n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+    val small = sized.filter(col("n").between(2, 64))
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 64))
-    buckets
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+    val bigSide = sized.filter(col("n") > 64)
+      .select(col("band"), col("bh"), col("doc_id"))
+    val big = bigSide
+      .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(bigSide.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+        Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b"))
+    small.select(col("doc_a"), col("doc_b")).unionAll(big)
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
@@ -233,16 +245,34 @@ object Dedup {
           shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
       }: _*)).as("x"))
       .select(col("doc_id"), col("sh"), col("x.c").as("c"), col("x.v").as("v"))
-    // bucket-grouped pair generation: one shuffle on the chunk key,
-    // fingerprints computed once, giant buckets skew-capped
-    keyed.groupBy(col("c"), col("v"))
+    // bucket-grouped pair generation, size-routed: hamming<=3 implies
+    // >=1 of the 4 chunks collides (pigeonhole), so chunk bucketing is
+    // LOSSLESS — and pair generation must not silently change that.
+    // Small buckets pair in-memory (collect_list explode, one shuffle);
+    // oversized buckets — mass near-dup clusters, where the pair count
+    // is genuinely quadratic because the ANSWER is — pair through a
+    // distributed equi-self-join instead of being dropped (the old
+    // skew cap traded recall for memory; the join path needs neither)
+    val sized = keyed.withColumn("n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("c"), col("v"))))
+    val small = sized.filter(col("n").between(2, 64))
+      .groupBy(col("c"), col("v"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
-      .filter(size(col("ds")).between(2, 64))
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    val bigSide = sized.filter(col("n") > 64)
+      .select(col("c"), col("v"), col("doc_id"), col("sh"))
+    val big = bigSide
+      .select(col("c"), col("v"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(bigSide.select(col("c"), col("v"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("c", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    small.unionAll(big)
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -398,8 +398,12 @@ object TableOps {
     import s.implicits._
     val li = Tables.lineitem(s, d)
     val t = GraftTable.create(s, scratch(), li.schema)
-    t.append(li.filter(col("l_linenumber") <= 3))
-    t.append(li.filter(col("l_linenumber") > 3))
+    // coalesce(1): one file per append regardless of the INPUT's
+    // partition count, so n_files is scale-invariant (at sf1 the raw
+    // read plans several splits and an uncoalesced append writes one
+    // file per task)
+    t.append(li.filter(col("l_linenumber") <= 3).coalesce(1))
+    t.append(li.filter(col("l_linenumber") > 3).coalesce(1))
     val files = t.filesDF.agg(count(lit(1)).as("n_files"),
       sum(col("records")).as("n_records")).collect()(0)
     val snaps = t.snapshotsDF.count()
@@ -407,8 +411,8 @@ object TableOps {
       .toDF("n_files", "n_records", "n_snapshots", "n_rows")
   }
 
-  /** Single-partition local input → one file per append; record sums
-    * must equal the table rows exactly. */
+  /** Coalesced single-partition appends → one file per append; record
+    * sums must equal the table rows exactly. */
   val tfMetadataTablesSql: String =
     """SELECT 2::BIGINT AS n_files, count(*) AS n_records,
        2::BIGINT AS n_snapshots, count(*) AS n_rows FROM lineitem"""

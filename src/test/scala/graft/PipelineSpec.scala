@@ -41,6 +41,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(a ^ c) < 20, "one-word edit should stay close")
   }
 
+  test("pair generation survives mass-duplication buckets past the in-memory cap") {
+    // 80 copies of one text: every chunk/band bucket holds all 80 docs
+    // (> the 64-doc in-memory tier), so pairs must route through the
+    // distributed join tier — the old skew cap silently dropped them,
+    // which is a recall hole exactly in the web-crawl case dedup
+    // exists for (surfaced by the sf1 scale probe, round 8)
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-massdup").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 80L).map(i => (i, base)) ++
+      Seq((900L, "completely unrelated text about distributed query engines"),
+        (901L, "another standalone document with its own words entirely")))
+      .map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val sim = ops.Dedup.ddSimhash(spark, dir)
+      .filter(col("doc_a") <= 80L && col("doc_b") <= 80L).count()
+    assert(sim === 80L * 79L / 2,
+      s"simhash lost mass-dup pairs: $sim of ${80 * 79 / 2}")
+    val mh = ops.Dedup.ddMinhashPairs(spark, dir)
+      .filter(col("doc_a") <= 80L && col("doc_b") <= 80L).count()
+    assert(mh === 80L * 79L / 2,
+      s"minhash lost mass-dup pairs: $mh of ${80 * 79 / 2}")
+  }
+
   test("connected components finds transitive clusters the one-pass policy misses") {
     val spark0 = spark
     import spark0.implicits._
