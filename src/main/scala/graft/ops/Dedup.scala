@@ -62,19 +62,29 @@ object Dedup {
     * loses recall exactly in the web-crawl case LSH dedup exists for;
     * cost stays bounded by candidate count, never N².) */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val keyed = bandedSignatures(s, d)
-    val sized = keyed.withColumn("n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-    val small = sized.filter(col("n").between(2, 64))
+    // ONE shuffle + hash agg over the signatures (the expensive
+    // signature compute lives in the map stage, written once to the
+    // shuffle files and reused by both routes below); routing happens
+    // AFTER aggregation on the collected size. Small buckets pair
+    // in-memory; oversized buckets — mass near-dup clusters, rare but
+    // genuinely quadratic in the ANSWER — re-explode to rows and pair
+    // through an equi-self-join instead of being dropped (the old
+    // skew cap silently lost recall exactly in the web-crawl case).
+    // The per-bucket array is bounded by the near-dup cluster size;
+    // exact copies are removed by the dd_exact pre-pass in a real
+    // pipeline, which keeps that bound to genuine VARIANT counts.
+    val buckets = bandedSignatures(s, d)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val small = buckets.filter(size(col("ids")) <= 64)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-    val bigSide = sized.filter(col("n") > 64)
-      .select(col("band"), col("bh"), col("doc_id"))
-    val big = bigSide
+    val bigRows = buckets.filter(size(col("ids")) > 64)
+      .select(col("band"), col("bh"), explode(col("ids")).as("doc_id"))
+    val big = bigRows
       .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      .join(bigSide.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+      .join(bigRows.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
         Seq("band", "bh"))
       .select(col("doc_a"), col("doc_b"))
     small.select(col("doc_a"), col("doc_b")).unionAll(big)
@@ -253,18 +263,19 @@ object Dedup {
     // is genuinely quadratic because the ANSWER is — pair through a
     // distributed equi-self-join instead of being dropped (the old
     // skew cap traded recall for memory; the join path needs neither)
-    val sized = keyed.withColumn("n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("c"), col("v"))))
-    val small = sized.filter(col("n").between(2, 64))
-      .groupBy(col("c"), col("v"))
+    val buckets = keyed.groupBy(col("c"), col("v"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val small = buckets.filter(size(col("ds")) <= 64)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-    val bigSide = sized.filter(col("n") > 64)
-      .select(col("c"), col("v"), col("doc_id"), col("sh"))
+    val bigSide = buckets.filter(size(col("ds")) > 64)
+      .select(col("c"), col("v"), explode(col("ds")).as("x"))
+      .select(col("c"), col("v"),
+        col("x.doc_id").as("doc_id"), col("x.sh").as("sh"))
     val big = bigSide
       .select(col("c"), col("v"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(bigSide.select(col("c"), col("v"),
