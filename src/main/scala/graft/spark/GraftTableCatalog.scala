@@ -334,6 +334,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         t.updateColumnType(u.fieldNames()(0), u.newDataType())
       case p: TableChange.SetProperty =>
         t.updateProperties(Map(p.property() -> p.value()))
+      case p: TableChange.RemoveProperty =>
+        t.removeProperties(Seq(p.property()))
       case other =>
         throw new UnsupportedOperationException(s"unsupported change $other")
     }

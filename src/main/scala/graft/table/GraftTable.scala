@@ -1671,6 +1671,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Remove table properties (the reference's update_properties handles
+    * both sets and removals in one transaction op). */
+  def removeProperties(keys: Seq[String]): GraftTable = this.synchronized {
+    val m = meta
+    Meta.write(root, m.copy(properties = m.properties -- keys))
+    this
+  }
+
   // ---- metadata tables ------------------------------------------------
 
   /** `files` metadata table: one row per live data file. */

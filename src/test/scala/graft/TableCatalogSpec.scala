@@ -962,6 +962,21 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("SET / UNSET TBLPROPERTIES round-trip through ALTER TABLE") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
+    spark.sql("CREATE TABLE graft_wh.proc.props (k BIGINT)")
+    spark.sql("ALTER TABLE graft_wh.proc.props " +
+      "SET TBLPROPERTIES ('team'='graft', 'retention'='7d')")
+    val t = graft.table.GraftTable.load(spark, s"$wh/proc/props")
+    assert(t.meta.properties.get("team").contains("graft"))
+    assert(t.meta.properties.get("retention").contains("7d"))
+    spark.sql("ALTER TABLE graft_wh.proc.props UNSET TBLPROPERTIES ('retention')")
+    val t2 = graft.table.GraftTable.load(spark, s"$wh/proc/props")
+    assert(!t2.meta.properties.contains("retention"))
+    assert(t2.meta.properties.get("team").contains("graft"))
+  }
+
   test("CALL set_sort_order clusters future SQL writes") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proc")
