@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.GraftTable
+
+/** Model-based randomized check of the table layer: a seeded random
+  * sequence of table operations runs against BOTH the real GraftTable
+  * and a trivial in-memory model (a Map of live rows). After every op
+  * the distributed scan must equal the model exactly, and a random
+  * historical snapshot must time-travel to the model's recorded past
+  * state. Catches snapshot-chain / delete-scoping / compaction
+  * interactions no hand-written scenario enumerates. */
+class ModelCheckSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def runSequence(seed: Long, nOps: Int): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(seed)
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-model-$seed").toString + "/t"
+    val schema = Seq((0L, 0L, "x")).toDF("k", "grp", "v").schema
+    val t = GraftTable.create(spark, root, schema)
+
+    var model = Map.empty[Long, (Long, String)] // k -> (grp, v)
+    var nextK = 1L
+    // snapshot id -> model state at that commit
+    var history = List.empty[(Long, Map[Long, (Long, String)])]
+    def record(): Unit =
+      t.meta.currentSnapshotId.foreach(id => history ::= (id, model))
+
+    def check(tag: String): Unit = {
+      val got = t.scan().select("k", "grp", "v").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got === model, s"seed=$seed op=$tag diverged from model")
+    }
+
+    for (i <- 1 to nOps) {
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // append a small batch
+          val rows = (1 to (1 + rnd.nextInt(20))).map { _ =>
+            val k = nextK; nextK += 1
+            (k, rnd.nextInt(5).toLong, s"v$k")
+          }
+          t.append(rows.toDF("k", "grp", "v").coalesce(1 + rnd.nextInt(2)))
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+          record()
+        case 4 => // copy-on-write delete of one group
+          val g = rnd.nextInt(5).toLong
+          t.delete(col("grp") === g)
+          model = model.filterNot(_._2._1 == g)
+          record()
+        case 5 if model.nonEmpty => // MoR equality delete of sampled keys
+          val ks = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextInt(4) == 0).take(10)
+          if (ks.nonEmpty) {
+            t.deleteWhereMoR(col("k").isin(ks: _*), Seq("k"))
+            model --= ks
+            record()
+          }
+        case 6 => // compaction: row-preserving
+          t.compact(targetFileBytes = 1L << 20)
+        case 7 if model.nonEmpty => // MoR positional update of one key
+          val k = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          t.updateWhereMoR(col("k") === k, Seq("v" -> lit(s"u$i")))
+          model += k -> (model(k)._1, s"u$i")
+          record()
+        case 8 if history.size > 3 => // rollback to a random past commit
+          val (sid, past) = history(rnd.nextInt(history.size))
+          t.rollbackTo(sid)
+          model = past
+          // rolled-back history: drop states newer than the target
+          history = history.dropWhile(_._1 != sid)
+          record()
+        case _ => // expire old snapshots (keep refs sound), GC files
+          t.expireSnapshots(keepLast = 3)
+          t.vacuum(0L)
+          // expired ids can no longer be time-travel targets
+          val live = t.meta.snapshots.map(_.snapshotId).toSet
+          history = history.filter(h => live.contains(h._1))
+      }
+      check(s"#$i")
+      // spot-check time travel against a recorded past state
+      if (history.size > 2 && rnd.nextInt(3) == 0) {
+        val (sid, past) = history(rnd.nextInt(history.size))
+        val got = t.timeTravel(sid).select("k", "grp", "v").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+        assert(got === past, s"seed=$seed time-travel to $sid diverged")
+      }
+    }
+  }
+
+  test("random op sequences agree with the in-memory model (seed 11)") {
+    runSequence(11L, 30)
+  }
+  test("random op sequences agree with the in-memory model (seed 42)") {
+    runSequence(42L, 30)
+  }
+  test("random op sequences agree with the in-memory model (seed 1337)") {
+    runSequence(1337L, 30)
+  }
+}
