@@ -91,6 +91,64 @@ class ModelCheckSpec extends AnyFunSuite {
     }
   }
 
+  /** Same idea over the REAL-format interop writer/reader: random
+    * create/append/overwrite/equality-delete/rewrite sequences, scan
+    * checked against the model after every commit, random snapshots
+    * time-traveled against recorded past states. */
+  private def runForeignSequence(seed: Long, nOps: Int): Unit = {
+    import graft.table.iceberg.{IcebergWrite, IcebergTable}
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(seed)
+    val loc = java.nio.file.Files
+      .createTempDirectory(s"graft-fmodel-$seed").toString + "/t"
+    var model = Map.empty[Long, String]
+    var nextK = 1L
+    var history = List.empty[(Long, Map[Long, String])]
+    def batch(n: Int): Seq[(Long, String)] =
+      (1 to n).map { _ => val k = nextK; nextK += 1; (k, s"v$k") }
+    val first = batch(5)
+    IcebergWrite.create(spark, loc,
+      first.toDF("k", "v").coalesce(1))
+    model ++= first
+    def t = IcebergTable.load(spark, loc)
+    def record(): Unit =
+      t.meta.currentSnapshotId.foreach(id => history ::= (id, model))
+    record()
+
+    for (i <- 1 to nOps) {
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 | 3 =>
+          val rows = batch(1 + rnd.nextInt(15))
+          IcebergWrite.append(spark, loc,
+            rows.toDF("k", "v").coalesce(1 + rnd.nextInt(2)))
+          model ++= rows
+        case 4 if model.nonEmpty => // equality delete of sampled keys
+          val ks = model.keys.toSeq.sorted.filter(_ => rnd.nextInt(3) == 0).take(8)
+          if (ks.nonEmpty) {
+            IcebergWrite.deleteEquality(spark, loc, ks.toDF("k"), Seq("k"))
+            model --= ks
+          }
+        case 5 => // overwrite with a fresh batch
+          val rows = batch(3 + rnd.nextInt(5))
+          IcebergWrite.overwrite(spark, loc, rows.toDF("k", "v").coalesce(1))
+          model = rows.toMap
+        case _ => // compaction: row-preserving, folds deletes
+          IcebergWrite.rewrite(spark, loc, targetFileSizeBytes = 1L << 20)
+      }
+      record()
+      val got = t.scan().select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === model, s"seed=$seed foreign op#$i diverged")
+      if (history.size > 2 && rnd.nextInt(3) == 0) {
+        val (sid, past) = history(rnd.nextInt(history.size))
+        val tt = t.timeTravel(sid).select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(tt === past, s"seed=$seed foreign time-travel to $sid diverged")
+      }
+    }
+  }
+
   test("random op sequences agree with the in-memory model (seed 11)") {
     runSequence(11L, 30)
   }
@@ -99,5 +157,11 @@ class ModelCheckSpec extends AnyFunSuite {
   }
   test("random op sequences agree with the in-memory model (seed 1337)") {
     runSequence(1337L, 30)
+  }
+  test("foreign-format random op sequences agree with the model (seed 7)") {
+    runForeignSequence(7L, 20)
+  }
+  test("foreign-format random op sequences agree with the model (seed 99)") {
+    runForeignSequence(99L, 20)
   }
 }
