@@ -46,4 +46,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Spread a few-partition local read across the executor cores
+    * before CPU-bound per-row work (hashing, cosine kernels). A no-op
+    * when input splits already provide parallelism — so at cluster
+    * scale, where a 100 TB corpus arrives as thousands of splits, NO
+    * full-table shuffle is added; locally, where a table is one small
+    * file, the tiny shuffle is the equalizer. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, want / 2)) df
+    else df.repartition(want)
+  }
 }

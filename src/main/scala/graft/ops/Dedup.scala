@@ -29,13 +29,11 @@ object Dedup {
 
   /** (doc_id, shingle-set array) — stays un-exploded; the kernels
     * consume whole arrays. Repartitioned first: the corpus arrives as
-    * few large files, and per-row hashing is CPU-bound — without the
-    * shuffle a single core does all the work (on a cluster the same
-    * spread comes from input splits; the tiny shuffle is the local
-    * equalizer). */
+    * few large files, and per-row hashing is CPU-bound — `spread`
+    * equalizes locally and is a no-op once input splits already
+    * parallelize (no added shuffle at cluster scale). */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh_arr"))
 
   private val NumHashes = 64
@@ -246,8 +244,7 @@ object Dedup {
     * (pigeonhole: hamming <= 3 over 4 chunks guarantees a shared
     * chunk), exact hamming filter after the equi-join. */
   val ddSimhash: Q = (s, d) => {
-    val fp = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val fp = Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), TextHash.simhash(col("text")).as("sh"))
     val keyed = fp.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>

@@ -29,11 +29,11 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Repartitioned on read: the corpus arrives as one file locally and
-    * the cosine kernels are CPU-bound — spread before computing. */
+  /** Spread on read (no-op when input splits already parallelize):
+    * the corpus arrives as one file locally and the cosine kernels
+    * are CPU-bound. */
   private def vectors(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, Tables.embeddings(s, d))
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         col("label"))
 
