@@ -118,7 +118,8 @@ object IcebergWrite {
     }
 
   def prepareAppend(spark: SparkSession,
-      m: IcebergMetadata.IceMetadata, df: DataFrame): IcebergMetadata.IceSnapshot = {
+      m: IcebergMetadata.IceMetadata, df: DataFrame,
+      numPartitions: Option[Int] = None): IcebergMetadata.IceSnapshot = {
     val location = m.location
     val schema = m.schema
     val sparkSchema = schema.toSpark
@@ -149,10 +150,15 @@ object IcebergWrite {
         }
       }
     }
+    // an explicit target count (compaction) must survive the sort-order
+    // range shuffle — repartitionByRange without it would reset to
+    // spark.sql.shuffle.partitions and re-fragment the table
     def clustered(d: DataFrame): DataFrame =
       if (sortCols.isEmpty) d
       else if (spec.isEmpty)
-        d.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+        numPartitions.fold(d.repartitionByRange(sortCols: _*))(n =>
+            d.repartitionByRange(n, sortCols: _*))
+          .sortWithinPartitions(sortCols: _*)
       else d.sortWithinPartitions(sortCols: _*)
     try { timed("write-parquet") {
       if (spec.isEmpty) clustered(df).write.parquet(staging.toString)
@@ -319,7 +325,8 @@ object IcebergWrite {
     * 'replace' snapshot. The new manifest list carries ONLY the
     * rewritten manifests, so outstanding delete files are absorbed;
     * older snapshots still time-travel through their own manifest
-    * lists. Returns the rewritten file count. */
+    * lists. Returns the committed rewritten file count (derived from
+    * the new snapshot's manifests, not the pre-computed target). */
   def rewrite(spark: SparkSession, location: String,
       targetFileSizeBytes: Long = 128L << 20): Int = {
     val t = IcebergTable.load(spark, location)
@@ -327,19 +334,23 @@ object IcebergWrite {
     val n = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
     // scan() materializes into the commit's private staging dir before
-    // any metadata moves, so read-own-table is safe
-    replaceContent(spark, location, t.scan().repartition(n), "replace")
-    n
+    // any metadata moves, so read-own-table is safe; numPartitions
+    // carries n through the sort-order range shuffle (see clustered)
+    replaceContent(spark, location, t.scan().repartition(n), "replace",
+      numPartitions = Some(n))
   }
 
   private def replaceContent(spark: SparkSession, location: String,
-      df: DataFrame, operation: String): Unit = {
+      df: DataFrame, operation: String,
+      numPartitions: Option[Int] = None): Int = {
     val m = IcebergMetadata.load(location)
-    val snap0 = prepareAppend(spark, m, df)
+    val snap0 = prepareAppend(spark, m, df, numPartitions)
     val own = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
       .filter(_.addedSnapshotId == snap0.snapshotId)
+    var committedFiles = 0
     val recs = own.map { mf =>
       val entries = IcebergAvro.readManifest(new HPath(mf.path))
+      committedFiles += entries.size
       val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
       r.put("manifest_path", mf.path); r.put("manifest_length", mf.length)
       r.put("partition_spec_id", m.defaultSpecId); r.put("content", mf.content)
@@ -364,6 +375,7 @@ object IcebergWrite {
       currentSnapshotId = Some(snap.snapshotId),
       snapshots = m.snapshots :+ snap,
       refs = m.refs + ("main" -> snap.snapshotId)))
+    committedFiles
   }
 
   /** Schema evolution (reference: transaction add_schema): register a

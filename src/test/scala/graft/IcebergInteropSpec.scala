@@ -972,6 +972,54 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.timeTravel(preSnap).count() === want)
   }
 
+  test("rewrite on a sorted table keeps the target file count") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 400L).map(i => ((i * 2654435761L) % 4000L, s"a$i"))
+        .toDF("k", "v").repartition(6))
+    IcebergWrite.append(spark, loc,
+      (401L to 800L).map(i => ((i * 40503L) % 4000L, s"b$i"))
+        .toDF("k", "v").repartition(6))
+    // make the table sorted-by-k AFTER the scattered writes, so the
+    // rewrite below must range-cluster while honoring its target count
+    val m0 = IcebergMetadata.load(loc)
+    val kId = m0.schema.fields.find(_.name == "k").get.id
+    IcebergMetadata.writeNext(loc, m0.copy(
+      sortOrders = m0.sortOrders :+ IcebergMetadata.IceSortOrder(1,
+        Seq(IcebergMetadata.IceSortField(kId, "identity", "asc", "nulls-first"))),
+      defaultSortOrderId = 1))
+
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.getOption(coalesceKey)
+    // AQE coalescing would fold this tiny write into one file and mask
+    // a discarded target count (the bug emitted shuffle.partitions files)
+    spark.conf.set(coalesceKey, "false")
+    val n = try {
+      val total = IcebergTable.load(spark, loc)
+        .plannedFiles().map(_._1.fileSizeBytes).sum
+      IcebergWrite.rewrite(spark, loc, targetFileSizeBytes = total / 3)
+    } finally prior match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    val t = IcebergTable.load(spark, loc)
+    // the committed layout matches the returned count and is nowhere
+    // near spark.sql.shuffle.partitions (the anti-compaction failure)
+    assert(t.plannedFiles().size === n)
+    assert(n >= 2 && n <= 6, s"expected a small compacted layout, got $n")
+    assert(t.scan().count() === 800L)
+    // and the files are genuinely range-clustered: disjoint k bounds
+    val ranges = t.plannedFiles().map(_._2)
+      .map(st => (st("k").min.toLong, st("k").max.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"overlapping rewritten file bounds: $ranges")
+      case _ =>
+    }
+  }
+
   test("sort-order evolution over REST clusters subsequent writes") {
     val spark0 = spark
     import spark0.implicits._
