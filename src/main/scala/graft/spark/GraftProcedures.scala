@@ -39,25 +39,42 @@ object GraftProcedures {
     java.util.Collections.singletonList(
       ResultScan(schema, rows.toArray): Scan).iterator()
 
-  /** A graft maintenance procedure: fixed parameter list, fixed output
-    * schema, body over the resolved GraftTable. Binding is trivial —
+  /** A maintenance procedure: fixed parameter list, fixed output
+    * schema, body over the resolved table. Binding is trivial —
     * Spark aligns/coerces/defaults the CALL arguments against
-    * `parameters()`, so `bind` just returns the bound form. */
+    * `parameters()`, so `bind` just returns the bound form.
+    *
+    * Resolution yields either a graft table (`Right`) or the location
+    * of an adopted REAL-format Iceberg table (`Left`) — the catalog
+    * lists both, and register_table / add_files invite foreign tables
+    * in, so maintenance must reach them too (the reference applies
+    * the same transaction surface to its tables,
+    * table/transaction/mod.rs:33-97). Procedures that support foreign
+    * tables override `foreignBody`; the rest fail with a clear
+    * message instead of a metadata parse error. */
   abstract class GraftProcedure(val procName: String,
       description: String,
       params: Array[ProcedureParameter],
       outputSchema: StructType,
-      loadTable: String => GraftTable)
+      resolve: String => Either[String, GraftTable])
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] = params
     override def isDeterministic: Boolean = false
-    override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val table = loadTable(input.getUTF8String(0).toString)
-      result(outputSchema, body(table, input))
-    }
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      resolve(input.getUTF8String(0).toString) match {
+        case Right(t) => result(outputSchema, body(t, input))
+        case Left(loc) => result(outputSchema, foreignBody(loc, input))
+      }
     protected def body(t: GraftTable, input: InternalRow): Seq[InternalRow]
+    protected def foreignBody(location: String,
+        input: InternalRow): Seq[InternalRow] =
+      throw new UnsupportedOperationException(
+        s"CALL $procName: $location holds a real-format Iceberg table, " +
+          "which this procedure does not support (supported on foreign " +
+          "tables: expire_snapshots, vacuum, remove_orphan_files, " +
+          "rewrite_data_files, rewrite_delete_files, rollback_to_snapshot)")
   }
 
   private val TableParam =
@@ -65,7 +82,10 @@ object GraftProcedures {
       .comment("table identifier, e.g. 'db.t'").build()
 
   def all(warehouse: String,
-      loadTable: String => GraftTable): Map[String, UnboundProcedure] = {
+      loadTable: String => Either[String, GraftTable])
+      : Map[String, UnboundProcedure] = {
+    import graft.table.iceberg.{IcebergMaintenance, IcebergMetadata,
+      IcebergTable, IcebergWrite}
     val procs = Seq[GraftProcedure](
 
       // register_table (catalog/mod.rs:95): adopt an EXISTING graft
@@ -87,8 +107,11 @@ object GraftProcedures {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val name = input.getUTF8String(0).toString
           val loc = input.getUTF8String(1).toString
-          require(Meta.exists(loc),
-            s"no graft table metadata under $loc")
+          // graft AND real-format tables both register: the catalog's
+          // loadTable follows the pointer and routes by dialect
+          val graftDialect = scala.util.Try(Meta.load(loc)).isSuccess
+          require(graftDialect || IcebergTable.exists(loc),
+            s"no table metadata under $loc")
           val conv = (warehouse +: name.split('.').toSeq).mkString("/")
           require(!Meta.exists(conv) && !graft.table.TableIO.exists(
             graft.table.TableIO.path(
@@ -97,7 +120,9 @@ object GraftProcedures {
           graft.table.TableIO.mkdirs(graft.table.TableIO.path(conv))
           graft.table.TableIO.writeString(graft.table.TableIO.path(
             conv + "/" + GraftTableCatalog.LocationPointer), loc)
-          val snap = Meta.load(loc).currentSnapshotId.getOrElse(-1L)
+          val snap =
+            if (graftDialect) Meta.load(loc).currentSnapshotId.getOrElse(-1L)
+            else IcebergMetadata.load(loc).currentSnapshotId.getOrElse(-1L)
           result(outputSchema0, Seq(row(utf8(loc), snap)))
         }
         private val outputSchema0 = StructType(Seq(
@@ -122,6 +147,11 @@ object GraftProcedures {
           t.expireSnapshots(keepLast = in.getInt(1))
           Seq(row(before, t.meta.snapshots.size))
         }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val (before, after) =
+            IcebergMaintenance.expireSnapshots(loc, in.getInt(1))
+          Seq(row(before, after))
+        }
       },
 
       new GraftProcedure("vacuum",
@@ -133,6 +163,9 @@ object GraftProcedures {
         loadTable) {
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
           Seq(row(t.vacuum(in.getLong(1)).size))
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] =
+          Seq(row(IcebergMaintenance.vacuum(
+            SparkSession.active, loc, in.getLong(1)).size))
       },
 
       new GraftProcedure("remove_orphan_files",
@@ -147,6 +180,10 @@ object GraftProcedures {
         loadTable) {
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
           t.removeOrphanFiles(in.getLong(1), in.getBoolean(2))
+            .map(p => row(utf8(p)))
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] =
+          IcebergMaintenance.removeOrphanFiles(
+            SparkSession.active, loc, in.getLong(1), in.getBoolean(2))
             .map(p => row(utf8(p)))
       },
 
@@ -202,6 +239,22 @@ object GraftProcedures {
           val after = t.meta.liveFiles(None).map(_.path).toSet
           Seq(row((before -- after).size, (after -- before).size))
         }
+        // foreign tables: IcebergWrite.rewrite folds the current
+        // content (MoR deletes applied) into target-sized files; a
+        // default table sort order range-clusters the rewrite, so
+        // 'sort' and 'binpack' share the one full-rewrite path
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          in.getUTF8String(2).toString match {
+            case "binpack" | "sort" =>
+            case other => throw new IllegalArgumentException(
+              s"rewrite strategy '$other' is not supported on " +
+                "real-format Iceberg tables (binpack | sort)")
+          }
+          val s = SparkSession.active
+          val before = IcebergTable.load(s, loc).plannedFiles().size
+          val added = IcebergWrite.rewrite(s, loc, in.getLong(1))
+          Seq(row(before, added))
+        }
       },
 
       new GraftProcedure("rewrite_manifests",
@@ -224,6 +277,13 @@ object GraftProcedures {
           t.applyDeletes()
           Seq(row(before - t.meta.liveDeleteFiles(None).size))
         }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val s = SparkSession.active
+          val before = IcebergTable.load(s, loc).deleteEntries().size
+          if (before > 0) IcebergWrite.rewrite(s, loc)
+          val after = IcebergTable.load(s, loc).deleteEntries().size
+          Seq(row(before - after))
+        }
       },
 
       new GraftProcedure("rollback_to_snapshot",
@@ -238,6 +298,17 @@ object GraftProcedures {
           val prev = t.meta.currentSnapshotId.getOrElse(-1L)
           val target = in.getLong(1)
           t.rollbackTo(target)
+          Seq(row(prev, target))
+        }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val m = IcebergMetadata.load(loc)
+          val prev = m.currentSnapshotId.getOrElse(-1L)
+          val target = in.getLong(1)
+          require(m.snapshot(target).isDefined,
+            s"no snapshot $target in table at $loc")
+          IcebergMetadata.writeNext(loc, m.copy(
+            currentSnapshotId = Some(target),
+            refs = m.refs + ("main" -> target)))
           Seq(row(prev, target))
         }
       },

@@ -125,11 +125,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     GraftProcedures.all(warehouse, { tableName =>
       val root = resolveRoot(
         (warehouse +: tableName.split('.').toSeq).mkString("/"))
-      if (!Meta.exists(root))
+      // same dialect routing as loadTable: graft metadata parses →
+      // graft table; otherwise a real-format metadata dir is an
+      // ADOPTED foreign table and maintenance routes to the
+      // IcebergMaintenance / IcebergWrite machinery
+      if (Meta.exists(root) && scala.util.Try(Meta.load(root)).isSuccess)
+        Right(GraftTable.load(SparkSession.active, root))
+      else if (graft.table.iceberg.IcebergTable.exists(root))
+        Left(root)
+      else
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
           Identifier.of(tableName.split('.').dropRight(1),
             tableName.split('.').last))
-      GraftTable.load(SparkSession.active, root)
     })
 
   override def loadProcedure(ident: Identifier)

@@ -601,7 +601,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * added-minus-removed as inserts, so the carryover rows a CoW
     * rewrite copies verbatim cancel out (a distributed exceptAll per
     * snapshot, shuffling only that commit's touched files, never the
-    * table). Merge-on-read deltas emit their hidden rows: equality
+    * table). When the parent held outstanding MoR delete files, the
+    * removed side is the parent-VISIBLE rows of the removed files —
+    * rows an earlier delta already hid don't re-emit; and a
+    * mixed-mode commit (CoW rewrite + new delete files in one
+    * snapshot, as foreign writers produce) folds its own delete
+    * files in: they trim the added side by sequence rules and emit
+    * the rows they hide in files that stay live as deletes.
+    * Merge-on-read deltas emit their hidden rows: equality
     * deletes via a parent-scan semi-join against the broadcast key
     * set; positional deletes (delete-pos / update-mor) by re-scanning
     * parent-visible rows with row positions and semi-joining the
@@ -656,14 +663,72 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           Seq(tag(readPaths(dataAdded), "insert", s.snapshotId))
         case "rewrite" => Seq.empty
         case "delete" | "overwrite" | "merge" | "rewrite-fold" | "replace" =>
-          if (s.addedDeleteFiles.nonEmpty)
-            throw new IllegalStateException(
-              s"snapshot ${s.snapshotId} adds merge-on-read delete " +
-                "files; fold them in (applyDeletes) before a changelog read")
-          val removed = readPaths(s.removedPaths)
-          val added = readPaths(dataAdded)
-          Seq(tag(removed.exceptAll(added), "delete", s.snapshotId),
+          val parentDeletes = m.liveDeleteFilesWithSeq(s.parentId)
+          // the removed side is the PARENT-VISIBLE rows of the removed
+          // files: rows the parent's MoR delete files already hid were
+          // deleted by THAT commit's changelog slice — re-reading them
+          // raw here would emit their deletion twice (and make a
+          // rewrite-fold look row-destroying when it is row-preserving)
+          val removed =
+            if (parentDeletes.isEmpty) readPaths(s.removedPaths)
+            else {
+              val removedSet = s.removedPaths.toSet
+              readWithDeletes(
+                m.liveFilesWithSeq(s.parentId)
+                  .filter { case (f, _) => removedSet.contains(f.path) },
+                parentDeletes, schema)
+            }
+          // a mixed-mode commit (foreign writers) may ALSO add MoR
+          // delete files: apply the commit's OWN deletes to its added
+          // files (sequence rules decide applicability), so a row both
+          // added and hidden in one commit nets out of the changelog
+          val ownDeletes = s.addedDeleteFiles.map(f =>
+            (f, f.dataSequence.getOrElse(s.sequenceNumber)))
+          val addedEntries = s.files.filter(_.content == 0)
+            .map(f => (f, f.dataSequence.getOrElse(s.sequenceNumber)))
+          val added =
+            if (ownDeletes.isEmpty) readPaths(dataAdded)
+            else readWithDeletes(addedEntries, ownDeletes, schema)
+          val cow = Seq(
+            tag(removed.exceptAll(added), "delete", s.snapshotId),
             tag(added.exceptAll(removed), "insert", s.snapshotId))
+          if (ownDeletes.isEmpty) cow
+          else {
+            // ... and the own delete files hide parent-visible rows in
+            // files that STAY live (rewritten files net out above):
+            // those hidden rows are this commit's extra deletes
+            val removedSet = s.removedPaths.toSet
+            val stayLive = m.liveFilesWithSeq(s.parentId)
+              .filterNot { case (f, _) => removedSet.contains(f.path) }
+            val posFiles = s.addedDeleteFiles.filter(_.content == 1)
+            val posPart =
+              if (posFiles.isEmpty) Seq.empty
+              else {
+                val posDf = spark.read.parquet(posFiles.map(absolute): _*)
+                val base = readWithDeletes(stayLive, parentDeletes,
+                  schema, keepPos = true)
+                def np(c: Column) = regexp_replace(c, "^[a-z]+:/+", "/")
+                Seq(base.join(broadcast(posDf),
+                  np(base("__file")) === np(posDf("file_path")) &&
+                    base("__pos") === posDf("pos"), "left_semi")
+                  .drop("__file", "__pos"))
+              }
+            val keyFiles = s.addedDeleteFiles.filter(_.content == 2)
+            val eqPart =
+              if (keyFiles.isEmpty) Seq.empty
+              else {
+                val keyCols = keyFiles.flatMap(_.equalityColumns).distinct
+                val keySchema = StructType(
+                  schema.fields.filter(f => keyCols.contains(f.name)))
+                val keys = idRead.schema(keySchema).parquet(
+                  keyFiles.map(f =>
+                    TableIO.qualified(new HPath(dataDir, f.path))): _*)
+                  .distinct()
+                Seq(readWithDeletes(stayLive, parentDeletes, schema)
+                  .join(broadcast(keys), keyCols, "left_semi"))
+              }
+            cow ++ (posPart ++ eqPart).map(tag(_, "delete", s.snapshotId))
+          }
         case "delete-pos" | "update-mor" =>
           // positional MoR delta: the hidden rows are exact (file, pos)
           // slots — re-derive them by scanning the PARENT-visible rows

@@ -1,0 +1,126 @@
+package graft.table.iceberg
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+import graft.table.TableIO
+
+/** Maintenance over REAL-format Iceberg tables — the same transaction
+  * surface the reference applies to its own tables
+  * (iceberg-rust/src/table/transaction/mod.rs:33-97), here exposed so
+  * CALL procedures work on ADOPTED tables (register_table / add_files
+  * bring them in; `IcebergWrite.rewrite` already covers compaction).
+  *
+  * Everything here is metadata-scale: manifest lists and manifests are
+  * read on the driver (hundreds of avro records per snapshot), never
+  * data files — the shape that stays cheap at 100 TB table size.
+  */
+object IcebergMaintenance {
+
+  /** Expire history down to the newest `keepLast` snapshots of every
+    * ref's ancestry (each ref tip always survives). Real-format
+    * snapshots are self-contained — each carries its own manifest
+    * list — so expiry is pure metadata filtering, no squash. A kept
+    * snapshot whose parent expired drops the dangling pointer.
+    * Returns (snapshots before, snapshots after). */
+  def expireSnapshots(location: String, keepLast: Int): (Int, Int) = {
+    val m = IcebergMetadata.load(location)
+    val before = m.snapshots.size
+    val keep = scala.collection.mutable.Set[Long]()
+    val tips = (m.refs.values.toSeq ++ m.currentSnapshotId.toSeq).distinct
+    tips.foreach { tip =>
+      var cur = m.snapshot(tip)
+      var n = 0
+      while (cur.isDefined && n < math.max(1, keepLast)) {
+        keep += cur.get.snapshotId
+        cur = cur.get.parentId.flatMap(m.snapshot)
+        n += 1
+      }
+    }
+    if (keep.size < before) {
+      val kept = m.snapshots.filter(s => keep.contains(s.snapshotId)).map(s =>
+        if (s.parentId.exists(p => !keep.contains(p))) s.copy(parentId = None)
+        else s)
+      IcebergMetadata.writeNext(location, m.copy(snapshots = kept))
+    }
+    (before, math.min(keep.size, before))
+  }
+
+  /** Every data/delete-file path any remaining snapshot references,
+    * scheme-stripped for comparison against directory listings. */
+  private def referencedDataPaths(t: IcebergTable): Set[String] =
+    manifestsOf(t).flatMap { mf =>
+      IcebergAvro.readManifest(t.resolvePath(mf.path))
+        .map(e => t.resolvePath(e.filePath).toUri.getPath)
+    }.toSet
+
+  private def manifestLists(t: IcebergTable): Seq[HPath] =
+    t.meta.snapshots.map(s => t.resolvePath(s.manifestList))
+
+  private def manifestsOf(t: IcebergTable): Seq[IcebergAvro.ManifestFile] =
+    manifestLists(t).flatMap(IcebergAvro.readManifestList)
+
+  /** Delete data-dir files no snapshot references (post-expire GC).
+    * Only files older than `olderThanMs` go: a fresh file may belong
+    * to an in-flight commit whose snapshot is not yet visible (the
+    * same age cutoff graft's own vacuum uses). Returns data-dir-
+    * relative removed paths. */
+  def vacuum(spark: SparkSession, location: String,
+      olderThanMs: Long): Seq[String] = {
+    val orphans = unreferencedDataFiles(spark, location, olderThanMs)
+    orphans.foreach(TableIO.delete(_))
+    val dataDir = TableIO.path(location, "data")
+    orphans.map(TableIO.relativize(dataDir, _))
+  }
+
+  private def unreferencedDataFiles(spark: SparkSession, location: String,
+      olderThanMs: Long): Seq[HPath] = {
+    val t = IcebergTable.load(spark, location)
+    val referenced = referencedDataPaths(t)
+    val dataDir = TableIO.path(location, "data")
+    if (!TableIO.exists(dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    TableIO.listFilesRecursive(dataDir).collect {
+      case (p, _, mtime)
+          if !referenced.contains(p.toUri.getPath) && mtime <= cutoff => p
+    }
+  }
+
+  /** Orphan-file GC: everything `vacuum` removes PLUS abandoned
+    * `stage-*` dirs left by crashed commits at the table root and
+    * manifest / manifest-list avro files in metadata/ that no
+    * remaining snapshot references (left behind by expire). metadata
+    * .json version files are never touched — history of the metadata
+    * log stays readable. Returns table-root-relative paths. */
+  def removeOrphanFiles(spark: SparkSession, location: String,
+      olderThanMs: Long, dryRun: Boolean): Seq[String] = {
+    val t = IcebergTable.load(spark, location)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val rootPath = TableIO.path(location)
+    val liveAvro = (manifestLists(t) ++
+      manifestsOf(t).map(mf => t.resolvePath(mf.path)))
+      .map(_.toUri.getPath).toSet
+    val metaDir = TableIO.path(location, "metadata")
+    val staleAvro = TableIO.listFilesRecursive(metaDir).collect {
+      case (p, _, mtime)
+          if p.getName.endsWith(".avro") &&
+            !liveAvro.contains(p.toUri.getPath) && mtime <= cutoff => p
+    }
+    val staleStaging = TableIO.listDir(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("stage-"))
+      .filter { st =>
+        val entries = TableIO.listFilesRecursive(st.getPath)
+        if (entries.isEmpty) st.getModificationTime <= cutoff
+        else entries.forall(_._3 <= cutoff)
+      }
+      .map(_.getPath)
+    val dataOrphans = unreferencedDataFiles(spark, location, olderThanMs)
+    if (!dryRun) {
+      staleStaging.foreach(TableIO.delete(_, recursive = true))
+      dataOrphans.foreach(TableIO.delete(_))
+      staleAvro.foreach(TableIO.delete(_))
+    }
+    (staleStaging ++ dataOrphans ++ staleAvro)
+      .map(TableIO.relativize(rootPath, _))
+  }
+}

@@ -94,6 +94,38 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         case "assert-table-uuid" =>
           if (r.get("uuid").asText() == m.tableUuid) None
           else Some("table uuid mismatch")
+        // the remaining TableRequirement asserts (commit.rs:145-185):
+        // a strict client's optimistic-concurrency guards — validate
+        // against the live metadata instead of erroring on the type
+        case "assert-create" =>
+          // requirements are checked against a LOADED table, so a
+          // commit that asserted create-ness has already lost its race
+          Some("table already exists (assert-create)")
+        case "assert-last-assigned-field-id" =>
+          val want = r.get("last-assigned-field-id").asInt()
+          if (want == m.lastColumnId) None
+          else Some(s"last assigned field id moved: " +
+            s"expected $want, is ${m.lastColumnId}")
+        case "assert-current-schema-id" =>
+          val want = r.get("current-schema-id").asInt()
+          if (want == m.currentSchemaId) None
+          else Some(s"current schema moved: " +
+            s"expected $want, is ${m.currentSchemaId}")
+        case "assert-default-spec-id" =>
+          val want = r.get("default-spec-id").asInt()
+          if (want == m.defaultSpecId) None
+          else Some(s"default spec moved: " +
+            s"expected $want, is ${m.defaultSpecId}")
+        case "assert-last-assigned-partition-id" =>
+          val want = r.get("last-assigned-partition-id").asInt()
+          if (want == m.lastPartitionId) None
+          else Some(s"last assigned partition id moved: " +
+            s"expected $want, is ${m.lastPartitionId}")
+        case "assert-default-sort-order-id" =>
+          val want = r.get("default-sort-order-id").asInt()
+          if (want == m.defaultSortOrderId) None
+          else Some(s"default sort order moved: " +
+            s"expected $want, is ${m.defaultSortOrderId}")
         case other => throw new BadRequest(s"unsupported requirement $other")
       }
     }
@@ -119,6 +151,17 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           acc.copy(refs = acc.refs + (ref -> id),
             currentSnapshotId =
               if (ref == "main") Some(id) else acc.currentSnapshotId)
+        // branch/tag deletion over REST (commit.rs:115-118
+        // TableUpdate::RemoveSnapshotRef) — the cleanup step after the
+        // write-audit-publish flow; snapshots stay until expire
+        case "remove-snapshot-ref" =>
+          val ref = u.get("ref-name").asText()
+          acc.copy(refs = acc.refs - ref,
+            currentSnapshotId =
+              if (ref == "main") None else acc.currentSnapshotId)
+        // commit.rs:119-123 TableUpdate::SetLocation
+        case "set-location" =>
+          acc.copy(location = u.get("location").asText())
         case "add-schema" =>
           val sch = IcebergMetadata.schemaFromNode(u.get("schema"))
           acc.copy(schemas = acc.schemas :+ sch,
@@ -160,9 +203,16 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         // new default order
         case "add-sort-order" =>
           val o = IcebergMetadata.sortOrderFromNode(u.get("sort-order"))
-          require(!acc.sortOrders.exists(_.orderId == o.orderId) && o.orderId != 0,
-            s"sort order ${o.orderId} already exists")
-          acc.copy(sortOrders = acc.sortOrders :+ o)
+          if (o.orderId == 0)
+            throw new BadRequest("sort order id 0 is reserved for 'unsorted'")
+          acc.sortOrders.find(_.orderId == o.orderId) match {
+            // re-adding the identical order is a no-op (the reference
+            // commit path treats replays idempotently)
+            case Some(existing) if existing == o => acc
+            case Some(_) => throw new BadRequest(
+              s"a different sort order ${o.orderId} already exists")
+            case None => acc.copy(sortOrders = acc.sortOrders :+ o)
+          }
         case "set-default-sort-order" =>
           val id = u.get("sort-order-id").asInt()
           // -1 = the order added in this same commit
@@ -1109,6 +1159,42 @@ object IcebergRestClient {
     r
   }
 
+  /** A TableRequirement asserting one int-valued metadata field, e.g.
+    * requireInt("assert-current-schema-id", "current-schema-id", 0). */
+  def requireInt(tpe: String, field: String, value: Int)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val r = mapper.createObjectNode()
+    r.put("type", tpe); r.put(field, value)
+    r
+  }
+
+  /** An add-sort-order update with explicit order id and
+    * (source-id, direction) fields — for commit-protocol tests and
+    * strict clients that manage order ids themselves. */
+  def addSortOrderUpdate(orderId: Int, fields: Seq[(Int, String)])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val u = mapper.createObjectNode()
+    u.put("action", "add-sort-order")
+    val so = u.putObject("sort-order")
+    so.put("order-id", orderId)
+    val fs = so.putArray("fields")
+    fields.foreach { case (id, dir) =>
+      val fn = fs.addObject()
+      fn.put("source-id", id); fn.put("transform", "identity")
+      fn.put("direction", dir)
+      fn.put("null-order", if (dir == "desc") "nulls-last" else "nulls-first")
+    }
+    u
+  }
+
+  /** A set-location update (commit.rs TableUpdate::SetLocation). */
+  def setLocationUpdate(location: String)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val u = mapper.createObjectNode()
+    u.put("action", "set-location"); u.put("location", location)
+    u
+  }
+
   def setPropertiesUpdate(set: Map[String, String])
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val u = mapper.createObjectNode()
@@ -1212,6 +1298,49 @@ object IcebergRestClient {
       mapper.writeValueAsString(body))
     require(resp.statusCode() == 200,
       s"updateSortOrder -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** Create or repoint a branch/tag through the commit protocol
+    * (set-snapshot-ref), CAS-guarded on the ref's current position:
+    * `expected` is where the caller believes the ref points (None =
+    * absent). Returns the HTTP status — 200 committed, 409 lost race. */
+  def setSnapshotRef(base: String, ns: String, table: String,
+      refName: String, snapshotId: Long, expected: Option[Long],
+      refType: String = "branch"): Int = {
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-ref-snapshot-id"); r.put("ref", refName)
+    expected match {
+      case Some(id) => r.put("snapshot-id", id)
+      case None => r.putNull("snapshot-id")
+    }
+    val ups = body.putArray("updates")
+    val u = ups.addObject()
+    u.put("action", "set-snapshot-ref"); u.put("ref-name", refName)
+    u.put("type", refType); u.put("snapshot-id", snapshotId)
+    post(s"$base/v1/namespaces/$ns/tables/$table",
+      mapper.writeValueAsString(body)).statusCode()
+  }
+
+  /** Drop a branch/tag through the commit protocol (remove-snapshot-ref,
+    * commit.rs:115-118) — the cleanup step after write-audit-publish.
+    * CAS-guarded like setSnapshotRef. Returns the HTTP status. */
+  def removeSnapshotRef(base: String, ns: String, table: String,
+      refName: String, expected: Option[Long]): Int = {
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-ref-snapshot-id"); r.put("ref", refName)
+    expected match {
+      case Some(id) => r.put("snapshot-id", id)
+      case None => r.putNull("snapshot-id")
+    }
+    val ups = body.putArray("updates")
+    val u = ups.addObject()
+    u.put("action", "remove-snapshot-ref"); u.put("ref-name", refName)
+    post(s"$base/v1/namespaces/$ns/tables/$table",
+      mapper.writeValueAsString(body)).statusCode()
   }
 
   /** Append via the REST commit protocol: write data + manifests into

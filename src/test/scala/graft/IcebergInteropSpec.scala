@@ -972,6 +972,116 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.timeTravel(preSnap).count() === want)
   }
 
+  test("CALL maintenance procedures reach an adopted real-format table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 400L).map(i => (i, s"a$i")).toDF("k", "v").repartition(4))
+    IcebergWrite.append(spark, loc,
+      (401L to 800L).map(i => (i, s"b$i")).toDF("k", "v").repartition(2))
+    IcebergWrite.deleteEquality(spark, loc, Seq(5L, 700L).toDF("k"), Seq("k"))
+
+    val wh2 = Files.createTempDirectory("graft-icewh").toString
+    spark.conf.set("spark.sql.catalog.ice_wh", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_wh.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_wh.m")
+    spark.sql(s"CALL ice_wh.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // reads route through the pointer to the real-format reader
+    assert(spark.sql("SELECT count(*) FROM ice_wh.m.t")
+      .collect()(0).getLong(0) === 798L)
+
+    // fold the outstanding equality delete into the data files
+    val folded = spark.sql(
+      "CALL ice_wh.system.rewrite_delete_files(table => 'm.t')").collect()
+    assert(folded(0).getInt(0) === 1)
+    val afterFold = IcebergTable.load(spark, loc)
+    assert(afterFold.deleteEntries().isEmpty)
+    assert(afterFold.scan().count() === 798L)
+    val keptSnap = afterFold.meta.currentSnapshotId.get
+    val nSnaps = afterFold.meta.snapshots.size
+    assert(nSnaps === 4) // create, append, delete, replace
+
+    // expire everything but the replace tip; retained still time-travels
+    val exp = spark.sql("CALL ice_wh.system.expire_snapshots(" +
+      "table => 'm.t', keep_last => 1)").collect()
+    assert(exp(0).getInt(0) === 4 && exp(0).getInt(1) === 1)
+    val expired = IcebergTable.load(spark, loc)
+    assert(expired.meta.snapshots.map(_.snapshotId) === Seq(keptSnap))
+    assert(expired.timeTravel(keptSnap).count() === 798L)
+
+    // vacuum deletes the files only expired snapshots referenced:
+    // 6 pre-rewrite data files + 1 delete file
+    val removed = spark.sql("CALL ice_wh.system.vacuum(" +
+      "table => 'm.t', older_than_ms => 0)").collect()
+    assert(removed(0).getInt(0) === 7)
+    // a real-format reader still opens the table and sees every row
+    val after = IcebergTable.load(spark, loc)
+    assert(after.scan().count() === 798L)
+    assert(after.scan().agg(sum("k")).collect()(0).getLong(0) ===
+      (1L to 800L).sum - 5L - 700L)
+    // the expired snapshots' manifest lists + manifests are now
+    // orphaned avro files: dry_run lists them, a real run sweeps them
+    val dry = spark.sql("CALL ice_wh.system.remove_orphan_files(" +
+      "table => 'm.t', older_than_ms => 0, dry_run => true)")
+      .collect().map(_.getString(0))
+    assert(dry.nonEmpty && dry.forall(p =>
+      p.startsWith("metadata/") && p.endsWith(".avro")))
+    spark.sql("CALL ice_wh.system.remove_orphan_files(" +
+      "table => 'm.t', older_than_ms => 0, dry_run => false)").collect()
+    assert(spark.sql("CALL ice_wh.system.remove_orphan_files(" +
+      "table => 'm.t', older_than_ms => 0, dry_run => true)")
+      .collect().isEmpty)
+    // and the swept table still reads end to end
+    assert(IcebergTable.load(spark, loc).scan().count() === 798L)
+
+    // a graft-only procedure refuses with a clear message, not a
+    // metadata parse error
+    val ex = intercept[Exception] {
+      spark.sql("CALL ice_wh.system.create_branch(" +
+        "table => 'm.t', branch => 'dev')").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("real-format Iceberg table")))
+  }
+
+  test("CALL rewrite_data_files compacts an adopted real-format table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 600L).map(i => (i, s"a$i")).toDF("k", "v").repartition(6))
+    val wh2 = Files.createTempDirectory("graft-icewh2").toString
+    spark.conf.set("spark.sql.catalog.ice_wh2", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_wh2.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_wh2.m")
+    spark.sql(s"CALL ice_wh2.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val rw = spark.sql(
+      "CALL ice_wh2.system.rewrite_data_files(table => 'm.t')").collect()
+    assert(rw(0).getInt(0) === 6 && rw(0).getInt(1) === 1)
+    val t = IcebergTable.load(spark, loc)
+    assert(t.plannedFiles().size === 1)
+    assert(t.scan().count() === 600L)
+    // rollback works on foreign tables too (pure metadata)
+    val preSnap = t.meta.snapshots.map(_.snapshotId).min
+    spark.sql(s"CALL ice_wh2.system.rollback_to_snapshot(" +
+      s"table => 'm.t', snapshot_id => $preSnap)").collect()
+    assert(IcebergTable.load(spark, loc).plannedFiles().size === 6)
+    // zorder has no foreign path: clear refusal
+    val ex = intercept[Exception] {
+      spark.sql("CALL ice_wh2.system.rewrite_data_files(" +
+        "table => 'm.t', strategy => 'zorder', sort_columns => 'k')").collect()
+    }
+    def causes(t2: Throwable): Seq[Throwable] =
+      if (t2 == null) Seq.empty else t2 +: causes(t2.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not supported on")))
+  }
+
   test("rewrite on a sorted table keeps the target file count") {
     val spark0 = spark
     import spark0.implicits._
@@ -1018,6 +1128,115 @@ class IcebergInteropSpec extends AnyFunSuite {
         s"overlapping rewritten file bounds: $ranges")
       case _ =>
     }
+  }
+
+  test("branch lifecycle over REST: set ref, repoint, remove, CAS races") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val wh = Files.createTempDirectory("graft-rest-ref").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+      val loc = s"$wh/db/t"
+      IcebergWrite.create(spark, loc,
+        (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+      val snap1 = IcebergMetadata.load(loc).currentSnapshotId.get
+
+      // stage an audit branch at the current snapshot
+      assert(C.setSnapshotRef(base, "db", "t", "audit", snap1, None) === 200)
+      assert(IcebergMetadata.load(loc).refs.get("audit") === Some(snap1))
+      // a second create-if-absent loses: the ref exists now
+      assert(C.setSnapshotRef(base, "db", "t", "audit", snap1, None) === 409)
+
+      // new commit; repoint the branch CAS-guarded
+      IcebergWrite.append(spark, loc,
+        (11L to 20L).map(i => (i, s"w$i")).toDF("k", "v"))
+      val snap2 = IcebergMetadata.load(loc).currentSnapshotId.get
+      assert(C.setSnapshotRef(base, "db", "t", "audit", snap2,
+        Some(snap1)) === 200)
+
+      // the WAP cleanup: a STALE remove 409s, the correct one lands
+      assert(C.removeSnapshotRef(base, "db", "t", "audit",
+        Some(snap1)) === 409)
+      assert(IcebergMetadata.load(loc).refs.contains("audit"))
+      assert(C.removeSnapshotRef(base, "db", "t", "audit",
+        Some(snap2)) === 200)
+      val m = IcebergMetadata.load(loc)
+      assert(!m.refs.contains("audit"))
+      // only the REF is gone: snapshots and main survive
+      assert(m.snapshots.map(_.snapshotId).toSet === Set(snap1, snap2))
+      assert(m.refs.get("main") === Some(snap2))
+      assert(IcebergTable.load(spark, loc).scan().count() === 20L)
+    } finally server.stop()
+  }
+
+  test("REST requirement asserts validate against live metadata") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val wh = Files.createTempDirectory("graft-rest-req").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+      val loc = s"$wh/db/t"
+      IcebergWrite.create(spark, loc,
+        (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+      val m = IcebergMetadata.load(loc)
+      // a strict client's full guard set, all matching -> commit lands
+      val guards = Seq(
+        C.requireInt("assert-last-assigned-field-id",
+          "last-assigned-field-id", m.lastColumnId),
+        C.requireInt("assert-current-schema-id",
+          "current-schema-id", m.currentSchemaId),
+        C.requireInt("assert-default-spec-id",
+          "default-spec-id", m.defaultSpecId),
+        C.requireInt("assert-last-assigned-partition-id",
+          "last-assigned-partition-id", m.lastPartitionId),
+        C.requireInt("assert-default-sort-order-id",
+          "default-sort-order-id", m.defaultSortOrderId))
+      assert(C.commitTransaction(base, Seq(C.TableChange("db", "t",
+        guards, Seq(C.setPropertiesUpdate(Map("audited" -> "true")))))) === 204)
+      assert(IcebergMetadata.load(loc).properties("audited") === "true")
+
+      // one mismatched guard -> 409, nothing applied
+      assert(C.commitTransaction(base, Seq(C.TableChange("db", "t",
+        Seq(C.requireInt("assert-current-schema-id",
+          "current-schema-id", m.currentSchemaId + 7)),
+        Seq(C.setPropertiesUpdate(Map("audited" -> "false")))))) === 409)
+      assert(IcebergMetadata.load(loc).properties("audited") === "true")
+
+      // assert-create always loses against an existing table
+      assert(C.commitTransaction(base, Seq(C.TableChange("db", "t",
+        Seq(C.requireInt("assert-create", "ignored", 0)),
+        Seq(C.setPropertiesUpdate(Map("x" -> "y")))))) === 409)
+
+      // set-location round-trips through the commit protocol
+      assert(C.commitTransaction(base, Seq(C.TableChange("db", "t",
+        Seq(C.requireUuid(m.tableUuid)),
+        Seq(C.setLocationUpdate(loc + "-moved"))))) === 204)
+      assert(IcebergMetadata.load(loc).location === loc + "-moved")
+
+      // add-sort-order: a replay of the identical order is an
+      // idempotent no-op; a CONFLICTING order or the reserved id 0
+      // are clean 400s, not opaque server errors
+      val kId = m.schema.fields.find(_.name == "k").get.id
+      val vId = m.schema.fields.find(_.name == "v").get.id
+      def soChange(u: com.fasterxml.jackson.databind.node.ObjectNode) =
+        Seq(C.TableChange("db", "t", Seq.empty, Seq(u)))
+      assert(C.commitTransaction(base,
+        soChange(C.addSortOrderUpdate(1, Seq(kId -> "asc")))) === 204)
+      assert(C.commitTransaction(base,
+        soChange(C.addSortOrderUpdate(1, Seq(kId -> "asc")))) === 204)
+      val after = IcebergMetadata.load(loc)
+      assert(after.sortOrders.count(_.orderId == 1) === 1)
+      assert(C.commitTransaction(base,
+        soChange(C.addSortOrderUpdate(1, Seq(vId -> "desc")))) === 400)
+      assert(C.commitTransaction(base,
+        soChange(C.addSortOrderUpdate(0, Seq(kId -> "asc")))) === 400)
+    } finally server.stop()
   }
 
   test("sort-order evolution over REST clusters subsequent writes") {

@@ -661,6 +661,77 @@ class TableSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
   }
 
+  test("changelog over interleaved MoR and CoW history nets out") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df1 = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1.coalesce(1)) // one file: the CoW below rewrites it
+    t.deleteWhereMoR(col("k") <= 5L, Seq("k"))
+    val sMor = t.meta.currentSnapshotId.get
+    // CoW delete rewrites the file that still HOLDS the MoR-hidden
+    // rows: they must not re-emit as a second deletion
+    t.delete(col("k") > 90L)
+    val sCow = t.meta.currentSnapshotId.get
+    // folding is row-preserving for visible rows: emits nothing
+    t.applyDeletes()
+    val sFold = t.meta.currentSnapshotId.get
+
+    val ch = t.changesBetween(None).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(ch.count(_._3 == "insert") === 100)
+    val dels = ch.filter(_._3 == "delete")
+    assert(dels.map(x => (x._1, x._4)).sorted.toSeq ===
+      ((1L to 5L).map(k => (k, sMor)) ++ (91L to 100L).map(k => (k, sCow))))
+    assert(!ch.exists(_._4 == sFold), "rewrite-fold emitted changes")
+    // exceptAll oracle: replaying the changelog rebuilds the table
+    val replayed = ch.filter(_._3 == "insert").map(x => (x._1, x._2))
+      .diff(dels.map(x => (x._1, x._2)).toSeq)
+    assert(replayed.sorted.toSeq === t.scan().collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+  }
+
+  test("changelog over a mixed CoW+MoR commit folds its delete files") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df1 = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, root, df1.schema)
+    t.append(df1.coalesce(1))
+    val snapIds = t.meta.snapshots.map(_.snapshotId)
+    t.delete(col("k") > 8L)
+    t.deleteWhereMoR(col("k") <= 2L, Seq("k"))
+    // merge the CoW delete and the MoR delete into ONE snapshot — the
+    // shape a foreign mixed-mode writer commits (rewrite + new delete
+    // files together), which graft's own API never produces
+    val m0 = GraftTable.load(spark, root).meta
+    val Seq(s1, s2, s3) = m0.snapshots
+    val mixed = s2.copy(addedDeleteFiles = s3.addedDeleteFiles.map(f =>
+      f.copy(dataSequence = Some(s3.sequenceNumber))))
+    graft.table.Meta.write(root, m0.copy(
+      snapshots = Seq(s1, mixed),
+      currentSnapshotId = Some(mixed.snapshotId),
+      refs = m0.refs.map { case (n, id) =>
+        n -> (if (id == s3.snapshotId) mixed.snapshotId else id) }))
+
+    val t2 = GraftTable.load(spark, root)
+    // visible state: 3..8 (CoW dropped 9,10; own eq delete hides 1,2)
+    assert(t2.scan().select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === (3L to 8L))
+    val ch = t2.changesBetween(None).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(ch.filter(_._3 == "insert").map(_._1).sorted.toSeq === (1L to 10L))
+    assert(ch.filter(_._3 == "delete").map(x => (x._1, x._4)).sorted.toSeq
+      === Seq(1L, 2L, 9L, 10L).map(k => (k, mixed.snapshotId)))
+    // exceptAll oracle
+    val replayed = ch.filter(_._3 == "insert").map(x => (x._1, x._2))
+      .diff(ch.filter(_._3 == "delete").map(x => (x._1, x._2)).toSeq)
+    assert(replayed.sorted.toSeq === t2.scan().collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    assert(snapIds.size === 1)
+  }
+
   test("changelog metadata IO is range-proportional, not table-age") {
     val spark0 = spark
     import spark0.implicits._
