@@ -55,7 +55,21 @@ object Tables {
     * file, the tiny shuffle is the equalizer. */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val want = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, want / 2)) df
-    else df.repartition(want)
+    val threshold = math.max(2, want / 2)
+    val files = df.inputFiles
+    if (files.length >= threshold) return df
+    // few files can still split into many input partitions: estimate
+    // splits from bytes (metadata-scale — at most `threshold` status
+    // calls). This deliberately avoids the old `df.rdd` probe, which
+    // forced an eager physical plan -> RDD conversion per call and
+    // read the pre-AQE partitioning.
+    val maxBytes = math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    val splits = files.iterator.map { f =>
+      val len =
+        try graft.table.TableIO.size(new org.apache.hadoop.fs.Path(f))
+        catch { case _: Exception => 0L }
+      math.max(1L, (len + maxBytes - 1) / maxBytes)
+    }.sum
+    if (splits >= threshold) df else df.repartition(want)
   }
 }

@@ -39,6 +39,50 @@ object Dedup {
   private val NumHashes = 64
   private val NumBands = 16
 
+  /** Hard cap on the join tier's bucket size. A non-discriminative
+    * bucket (empty/boilerplate texts sharing a band hash, or a corpus
+    * where the dd_exact pre-pass wasn't run) costs O(B²) in the
+    * self-join: past ~10^5 docs ONE bucket means >10^10 comparisons —
+    * a hung job, not a slow one. Buckets past the cap are dropped
+    * from pair generation, and the drop is OBSERVABLE, never silent:
+    * an `observe` metric (dropped_buckets / dropped_docs) lands on
+    * Spark's SQL metrics bus and logs at WARN on completion.
+    * Tunable per session via `graft.dedup.maxBucketSize`. */
+  private def bucketCap(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.maxBucketSize").map(_.toInt)
+      .getOrElse(100000)
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+  private val dropLoggerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Attach the drop meter to a bucketed frame and register the
+    * one-time WARN logger for non-zero drops. */
+  private def meterDrops(s: SparkSession, buckets: DataFrame,
+      sizeCol: Column, cap: Int): DataFrame = {
+    if (dropLoggerOn.compareAndSet(false, true))
+      s.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("dd_drops_") && !row.isNullAt(0) &&
+                  row.getLong(0) > 0)
+                log.warn(s"dedup bucket cap: dropped ${row.getLong(0)} " +
+                  s"oversized LSH buckets (${row.getLong(1)} docs) past " +
+                  "graft.dedup.maxBucketSize — recall degraded observably")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    buckets.observe(s"dd_drops_${obsId.incrementAndGet()}",
+      sum(when(sizeCol > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+      sum(when(sizeCol > cap, sizeCol.cast("long")).otherwise(0L))
+        .as("dropped_docs"))
+  }
+
   /** MinHash LSH keys: the codegen'd MinHashBands kernel computes all
     * 64 min-hashes and folds them into 16 band keys in one pass per
     * document — no explode, no 64-column aggregation, no shuffle. */
@@ -71,14 +115,16 @@ object Dedup {
     // The per-bucket array is bounded by the near-dup cluster size;
     // exact copies are removed by the dd_exact pre-pass in a real
     // pipeline, which keeps that bound to genuine VARIANT counts.
-    val buckets = bandedSignatures(s, d)
+    val cap = bucketCap(s)
+    val buckets = meterDrops(s, bandedSignatures(s, d)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2), size(col("ids")), cap)
     val small = buckets.filter(size(col("ids")) <= 64)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-    val bigRows = buckets.filter(size(col("ids")) > 64)
+    val bigRows = buckets
+      .filter(size(col("ids")) > 64 && size(col("ids")) <= cap)
       .select(col("band"), col("bh"), explode(col("ids")).as("doc_id"))
     val big = bigRows
       .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
@@ -260,16 +306,18 @@ object Dedup {
     // is genuinely quadratic because the ANSWER is — pair through a
     // distributed equi-self-join instead of being dropped (the old
     // skew cap traded recall for memory; the join path needs neither)
-    val buckets = keyed.groupBy(col("c"), col("v"))
+    val cap = bucketCap(s)
+    val buckets = meterDrops(s, keyed.groupBy(col("c"), col("v"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2), size(col("ds")), cap)
     val small = buckets.filter(size(col("ds")) <= 64)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-    val bigSide = buckets.filter(size(col("ds")) > 64)
+    val bigSide = buckets
+      .filter(size(col("ds")) > 64 && size(col("ds")) <= cap)
       .select(col("c"), col("v"), explode(col("ds")).as("x"))
       .select(col("c"), col("v"),
         col("x.doc_id").as("doc_id"), col("x.sh").as("sh"))

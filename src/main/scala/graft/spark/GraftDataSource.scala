@@ -37,10 +37,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   // graft and real Iceberg share the metadata/vN.metadata.json +
   // version-hint convention, so `Meta.exists` is true for BOTH; the
-  // metadata dialect (snake_case vs the spec's kebab-case keys) tells
-  // them apart — same sniff as GraftTableCatalog.loadTable
+  // dialect is sniffed STRUCTURALLY (snake_case vs the spec's
+  // kebab-case keys) — a graft table with corrupt metadata throws its
+  // real parse error instead of silently rerouting to the binary
+  // real-format reader. Same routing as GraftTableCatalog.loadTable.
   private def isGraftTable(r: String): Boolean =
-    Meta.exists(r) && scala.util.Try(Meta.load(r)).isSuccess
+    Meta.exists(r) && Meta.isGraftDialect(r)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val r = root(options)

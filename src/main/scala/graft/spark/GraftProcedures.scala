@@ -109,7 +109,7 @@ object GraftProcedures {
           val loc = input.getUTF8String(1).toString
           // graft AND real-format tables both register: the catalog's
           // loadTable follows the pointer and routes by dialect
-          val graftDialect = scala.util.Try(Meta.load(loc)).isSuccess
+          val graftDialect = Meta.exists(loc) && Meta.isGraftDialect(loc)
           require(graftDialect || IcebergTable.exists(loc),
             s"no table metadata under $loc")
           val conv = (warehouse +: name.split('.').toSeq).mkString("/")

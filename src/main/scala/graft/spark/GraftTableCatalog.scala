@@ -129,7 +129,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       // graft table; otherwise a real-format metadata dir is an
       // ADOPTED foreign table and maintenance routes to the
       // IcebergMaintenance / IcebergWrite machinery
-      if (Meta.exists(root) && scala.util.Try(Meta.load(root)).isSuccess)
+      if (Meta.exists(root) && Meta.isGraftDialect(root))
         Right(GraftTable.load(SparkSession.active, root))
       else if (graft.table.iceberg.IcebergTable.exists(root))
         Left(root)
@@ -211,7 +211,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     // graft and real Iceberg share the metadata/vN.metadata.json +
     // version-hint convention; the metadata dialect tells them apart
-    if (Meta.exists(root) && scala.util.Try(Meta.load(root)).isSuccess)
+    if (Meta.exists(root) && Meta.isGraftDialect(root))
       new GraftSparkTable(root)
     // a directory holding REAL Iceberg metadata serves as a read-only
     // interop table: standard SQL over any engine's Iceberg output
@@ -228,8 +228,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             kind == "position_deletes")) {
         val parentRoot =
           resolveRoot((warehouse +: ident.namespace().toSeq).mkString("/"))
-        if (Meta.exists(parentRoot) &&
-            scala.util.Try(Meta.load(parentRoot)).isSuccess)
+        if (Meta.exists(parentRoot) && Meta.isGraftDialect(parentRoot))
           return if (kind == "position_deletes")
             new GraftPositionDeletesTable(parentRoot)
           else new GraftMetadataSparkTable(parentRoot, kind)
@@ -246,7 +245,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // graft and real Iceberg share the version-hint convention; the
     // metadata dialect tells them apart (same check as loadTable(ident))
     val graftMeta =
-      if (Meta.exists(root)) scala.util.Try(Meta.load(root)).toOption else None
+      if (Meta.exists(root) && Meta.isGraftDialect(root))
+        Some(Meta.load(root)) else None
     graftMeta match {
       case Some(meta) =>
         val snapId = version.toLongOption.getOrElse(
@@ -275,7 +275,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     val tsMs = timestampMicros / 1000L
     val graftMeta =
-      if (Meta.exists(root)) scala.util.Try(Meta.load(root)).toOption else None
+      if (Meta.exists(root) && Meta.isGraftDialect(root))
+        Some(Meta.load(root)) else None
     graftMeta match {
       case Some(meta) =>
         val snap = meta.snapshots

@@ -741,4 +741,30 @@ object Meta {
     TableIO.exists(new org.apache.hadoop.fs.Path(dir, "version-hint.text")) ||
       (TableIO.exists(dir) && currentVersion(dir).isDefined)
   }
+
+  /** The metadata dialect at `root`: Some("graft") for graft's
+    * snake_case metadata, Some("iceberg") for the spec's kebab-case
+    * real format, None when no metadata version exists. The two
+    * formats share the metadata/vN.metadata.json + version-hint
+    * convention, so existence alone cannot tell them apart — and a
+    * full parse attempt must not either: corrupt GRAFT metadata has
+    * to surface its own parse error, not silently reroute the table
+    * to the real-format reader. Structurally unrecognizable metadata
+    * therefore THROWS instead of answering. */
+  def dialect(root: String): Option[String] = {
+    val dir = metadataDir(root)
+    currentVersion(dir).map { v =>
+      val n = mapper.readTree(TableIO.readString(
+        new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json")))
+      if (n.has("format-version")) "iceberg"
+      else if (n.has("format_version")) "graft"
+      else throw new IllegalStateException(
+        s"metadata v$v under $root matches neither the graft nor the " +
+          "Iceberg dialect (corrupt table?)")
+    }
+  }
+
+  /** True when `root` holds graft-dialect metadata (see `dialect`). */
+  def isGraftDialect(root: String): Boolean =
+    dialect(root).contains("graft")
 }

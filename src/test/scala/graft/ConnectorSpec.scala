@@ -29,6 +29,30 @@ class ConnectorSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("corrupt graft metadata throws its own error, not a reroute") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    Seq((1L, "a")).toDF("k", "v").write.format("graft").save(root)
+    // clobber the current metadata with structurally-unrecognizable
+    // JSON: the dialect sniff must THROW, not silently reroute the
+    // table to the binary real-format Iceberg reader
+    val dir = graft.table.Meta.metadataDir(root)
+    val v = graft.table.TableIO.readString(
+      new org.apache.hadoop.fs.Path(dir, "version-hint.text")).trim
+    val mf = new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json")
+    graft.table.TableIO.writeString(mf, """{"zzz": 1}""")
+    val ex = intercept[Exception] {
+      spark.read.format("graft").load(root).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("matches neither")), s"got: ${ex.getMessage}")
+    assert(!causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("real-format Iceberg table")))
+  }
+
   test("filters prune files at planning time and prune columns") {
     val li = Tables.lineitem(spark, sf)
     val root = tmp()

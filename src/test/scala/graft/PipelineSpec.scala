@@ -69,6 +69,39 @@ class PipelineSpec extends AnyFunSuite {
       s"minhash lost mass-dup pairs: $mh of ${80 * 79 / 2}")
   }
 
+  test("pathological buckets past the hard cap drop observably, not hang") {
+    // same mass-dup corpus, but with the join-tier hard cap set BELOW
+    // the bucket size: the oversized buckets must be dropped (bounded
+    // cost) while discriminative small buckets still pair — degraded
+    // recall, never silent N² or a hang
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-capdrop").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 80L).map(i => (i, base)) ++
+      Seq((900L, "twin document about spark native analytics engines"),
+        (901L, "twin document about spark native analytics engines")))
+      .map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    spark.conf.set("graft.dedup.maxBucketSize", "70")
+    try {
+      val mh = ops.Dedup.ddMinhashPairs(spark, dir)
+      // the 80-doc buckets (above cap) are gone...
+      assert(mh.filter(col("doc_a") <= 80L && col("doc_b") <= 80L)
+        .count() === 0L)
+      // ...but the small twin bucket still pairs
+      assert(mh.filter(col("doc_a") === 900L && col("doc_b") === 901L)
+        .count() === 1L)
+      val sim = ops.Dedup.ddSimhash(spark, dir)
+      assert(sim.filter(col("doc_a") <= 80L && col("doc_b") <= 80L)
+        .count() === 0L)
+      assert(sim.filter(col("doc_a") === 900L && col("doc_b") === 901L)
+        .count() === 1L)
+    } finally spark.conf.unset("graft.dedup.maxBucketSize")
+  }
+
   test("connected components finds transitive clusters the one-pass policy misses") {
     val spark0 = spark
     import spark0.implicits._

@@ -73,6 +73,55 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected one user_id shuffle reused across windows, got $userShuffles")
   }
 
+  test("q24: hot keys broadcast-split and salt-fanned, no cartesian") {
+    val p = phys("q24_salted_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-key semi/anti split is not broadcast:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the salt fan-out on the hot build side vanished:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("spread: wide sources pass through, narrow ones fan out") {
+    val li = Tables.lineitem(spark, sf)
+    val wide = java.nio.file.Files
+      .createTempDirectory("planshape-wide").toString + "/w"
+    li.repartition(8).write.parquet(wide)
+    val w = spark.read.parquet(wide)
+    // referential no-op: at cluster scale a many-split source gains
+    // NO repartition node (and no eager RDD materialization probes it)
+    assert(Tables.spread(spark, w) eq w)
+    // a single small local file genuinely fans out
+    val narrow = Tables.spread(spark, li)
+    assert(narrow ne li)
+    assert(narrow.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"),
+      "single-file source did not repartition")
+  }
+
+  test("V2 partitioned INSERT plans at most one write shuffle") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("planshape-wh").toString
+    spark.conf.set("spark.sql.catalog.ps_wh", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ps_wh.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ps_wh.p")
+    spark.sql(
+      """CREATE TABLE ps_wh.p.ev (event_id BIGINT, ts TIMESTAMP, v DOUBLE)
+         PARTITIONED BY (days(ts), bucket(8, event_id))""")
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value").as("v"))
+      .createOrReplaceTempView("ps_src")
+    val qe = spark.sql("INSERT INTO ps_wh.p.ev SELECT * FROM ps_src")
+      .queryExecution
+    val p = qe.executedPlan.toString
+    // AQE prints the initial plan too — count executed shuffle stages
+    val ex = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(ex === 1, s"partitioned V2 write shuffled $ex times:\n$p")
+    assert(p.contains("AppendData"), s"not a V2 append plan:\n$p")
+    assert(spark.sql("SELECT count(*) FROM ps_wh.p.ev")
+      .collect()(0).getLong(0) > 0)
+  }
+
   test("format(graft): stat filters prune inside the V2 scan") {
     val d = sf
     val li = Tables.lineitem(spark, d)
