@@ -32,7 +32,7 @@ object Dedup {
     * few large files, and per-row hashing is CPU-bound — `spread`
     * equalizes locally and is a no-op once input splits already
     * parallelize (no added shuffle at cluster scale). */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh_arr"))
 

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <destDir> [copies]
   */
 object ScaleUp {
+  /** Key shift between copies: a round constant safely above every
+    * source key (copy i's keys live in [i*Shift, (i+1)*Shift)). */
+  val Shift = 10000000L
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/tmp/sfscale/sf1")
@@ -26,9 +30,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dest, copies)
+    spark.stop()
+  }
 
-    // key shift: a round constant safely above every source key
-    val S = 10000000L
+  /** The generator proper, reusable from a live session (the sf1
+    * invariant suite builds its fixture through this). */
+  def run(spark: SparkSession, src: String, dest: String,
+      copies: Int): Unit = {
+    val S = Shift
 
     def replicate(name: String, keyCols: Seq[String],
         salt: Option[String] = None): Unit = {
@@ -63,6 +73,5 @@ object ScaleUp {
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), salt = Some("text"))
     replicate("embeddings", Seq("vec_id"))
-    spark.stop()
   }
 }
