@@ -465,6 +465,45 @@ object TableOps {
        FROM customer WHERE c_acctbal > 1000
        GROUP BY 1 ORDER BY c_mktsegment"""
 
+  /** Changelog over a REAL-format table (IcebergTable.changesBetween
+    * — the adopted-table twin of tf_changelog_scan): after the start
+    * snapshot, an append commits inserts, an equality delete commits
+    * its hidden rows as deletes, and the compaction rewrite emits
+    * NOTHING (row-preserving for visible rows). The per-commit deltas
+    * are derived structurally from the manifest lists, so any
+    * engine's commits changelog the same way. */
+  val tfForeignChangelog: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val root = scratch()
+    graft.table.iceberg.IcebergWrite.create(
+      s, root, c.filter(col("c_custkey") % 3 =!= 0))
+    val s1 = graft.table.iceberg.IcebergMetadata.load(root)
+      .currentSnapshotId.get
+    graft.table.iceberg.IcebergWrite.append(
+      s, root, c.filter(col("c_custkey") % 3 === 0))
+    graft.table.iceberg.IcebergWrite.deleteEquality(s, root,
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")),
+      Seq("c_custkey"))
+    graft.table.iceberg.IcebergWrite.rewrite(s, root)
+    graft.table.iceberg.IcebergTable.load(s, root)
+      .changesBetween(Some(s1))
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).cast("long").as("key_sum"))
+      .orderBy(col("change_type"))
+      .select(col("change_type"), col("n"), col("key_sum"))
+  }
+
+  val tfForeignChangelogSql: String =
+    """SELECT * FROM (
+         SELECT 'insert' AS change_type, count(*) AS n,
+                CAST(sum(c_custkey) AS BIGINT) AS key_sum
+         FROM customer WHERE c_custkey % 3 = 0
+         UNION ALL
+         SELECT 'delete', count(*), CAST(sum(c_custkey) AS BIGINT)
+         FROM customer WHERE c_mktsegment = 'BUILDING')
+       ORDER BY change_type"""
+
   val tfIcebergReadSql: String =
     """SELECT o_orderstatus, count(*) AS n,
        round(sum(o_totalprice),2)::DOUBLE AS total
@@ -590,6 +629,7 @@ object TableOps {
     "tf_export_roundtrip" -> tfExportRoundtrip,
     "tf_iceberg_read" -> tfIcebergRead,
     "tf_foreign_scan" -> tfForeignScan,
+    "tf_foreign_changelog" -> tfForeignChangelog,
     "tf_iceberg_partitioned" -> tfIcebergPartitioned,
     "tf_delete_pos" -> tfDeletePos,
     "tf_metadata_tables" -> tfMetadataTables,
@@ -615,6 +655,7 @@ object TableOps {
     "tf_export_roundtrip" -> tfExportRoundtripSql,
     "tf_iceberg_read" -> tfIcebergReadSql,
     "tf_foreign_scan" -> tfForeignScanSql,
+    "tf_foreign_changelog" -> tfForeignChangelogSql,
     "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,
     "tf_delete_pos" -> tfDeletePosSql,
     "tf_compaction" -> tfCompactionSql,

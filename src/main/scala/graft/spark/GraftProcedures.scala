@@ -74,7 +74,9 @@ object GraftProcedures {
         s"CALL $procName: $location holds a real-format Iceberg table, " +
           "which this procedure does not support (supported on foreign " +
           "tables: expire_snapshots, vacuum, remove_orphan_files, " +
-          "rewrite_data_files, rewrite_delete_files, rollback_to_snapshot)")
+          "rewrite_data_files, rewrite_delete_files, rollback_to_snapshot, " +
+          "create_branch, create_tag, fast_forward, set_sort_order, " +
+          "create_changelog_view)")
   }
 
   private val TableParam =
@@ -332,6 +334,16 @@ object GraftProcedures {
           t.setRef(branch, snap, Some(Meta.RefRetention("branch")))
           Seq(row(utf8(branch), snap))
         }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val m = IcebergMetadata.load(loc)
+          val snap =
+            if (in.isNullAt(2)) m.currentSnapshotId.getOrElse(
+              throw new IllegalArgumentException("table has no snapshot"))
+            else in.getLong(2)
+          val branch = in.getUTF8String(1).toString
+          IcebergMaintenance.setRef(loc, branch, snap)
+          Seq(row(utf8(branch), snap))
+        }
       },
 
       new GraftProcedure("analyze_table",
@@ -376,6 +388,15 @@ object GraftProcedures {
           df.createOrReplaceTempView(name)
           Seq(row(utf8(name), df.count()))
         }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val start = if (in.isNullAt(2)) None else Some(in.getLong(2))
+          val end = if (in.isNullAt(3)) None else Some(in.getLong(3))
+          val name = in.getUTF8String(1).toString
+          val df = IcebergTable.load(SparkSession.active, loc)
+            .changesBetween(start, end)
+          df.createOrReplaceTempView(name)
+          Seq(row(utf8(name), df.count()))
+        }
       },
 
       new GraftProcedure("cherrypick_snapshot",
@@ -409,6 +430,11 @@ object GraftProcedures {
             in.getUTF8String(1).toString, in.getUTF8String(2).toString)
           Seq(row(prev, now))
         }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val (prev, now) = IcebergMaintenance.fastForward(loc,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+          Seq(row(prev, now))
+        }
       },
 
       // sort-order evolution from SQL (spec/sort.rs; Spark-Iceberg's
@@ -434,6 +460,27 @@ object GraftProcedures {
           t.setSortOrder(entries)
           Seq(row(utf8(entries.mkString(", "))))
         }
+        // foreign tables: the same sort-order evolution the REST
+        // client commits, as a local metadata edit — IcebergWrite's
+        // append/rewrite paths cluster by it (zorder has no spec form)
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val raw = in.getUTF8String(1).toString.trim
+          require(!raw.toLowerCase(java.util.Locale.ROOT).startsWith("zorder"),
+            "zorder sort orders have no real-format Iceberg spec form")
+          val cols = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val m = IcebergMetadata.load(loc)
+          val fields = cols.map { c =>
+            val f = m.schema.fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(s"no column $c"))
+            IcebergMetadata.IceSortField(f.id, "identity", "asc", "nulls-first")
+          }
+          val orderId = m.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1
+          IcebergMetadata.writeNext(loc, m.copy(
+            sortOrders = m.sortOrders :+
+              IcebergMetadata.IceSortOrder(orderId, fields),
+            defaultSortOrderId = orderId))
+          Seq(row(utf8(cols.mkString(", "))))
+        }
       },
 
       new GraftProcedure("create_tag",
@@ -453,6 +500,16 @@ object GraftProcedures {
             else in.getLong(2)
           val tag = in.getUTF8String(1).toString
           t.setRef(tag, snap, Some(Meta.RefRetention("tag")))
+          Seq(row(utf8(tag), snap))
+        }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val m = IcebergMetadata.load(loc)
+          val snap =
+            if (in.isNullAt(2)) m.currentSnapshotId.getOrElse(
+              throw new IllegalArgumentException("table has no snapshot"))
+            else in.getLong(2)
+          val tag = in.getUTF8String(1).toString
+          IcebergMaintenance.setRef(loc, tag, snap)
           Seq(row(utf8(tag), snap))
         }
       }

@@ -46,6 +46,49 @@ object IcebergMaintenance {
     (before, math.min(keep.size, before))
   }
 
+  /** Create or repoint a branch/tag: a refs entry onto an existing
+    * snapshot (the same update the REST set-snapshot-ref commit
+    * applies, locally). */
+  def setRef(location: String, name: String, snapshotId: Long): Unit = {
+    val m = IcebergMetadata.load(location)
+    require(m.snapshot(snapshotId).isDefined,
+      s"no snapshot $snapshotId in table at $location")
+    IcebergMetadata.writeNext(location, m.copy(
+      refs = m.refs + (name -> snapshotId),
+      currentSnapshotId =
+        if (name == "main") Some(snapshotId) else m.currentSnapshotId))
+  }
+
+  /** Fast-forward `branch` to `to`'s tip — the publish step of
+    * write-audit-publish. Refuses divergent moves: the target must be
+    * a descendant of the branch's current position (ancestry via
+    * parent pointers). Returns (previous, updated) snapshot ids. */
+  def fastForward(location: String, branch: String,
+      to: String): (Long, Long) = {
+    val m = IcebergMetadata.load(location)
+    val toId = m.refs.getOrElse(to,
+      throw new IllegalArgumentException(s"no ref '$to' in $location"))
+    val fromId = m.refs.getOrElse(branch, {
+      // creating the branch at the target is a valid fast-forward
+      setRef(location, branch, toId)
+      return (-1L, toId)
+    })
+    var cur = m.snapshot(toId)
+    var isAncestor = false
+    while (cur.isDefined && !isAncestor) {
+      if (cur.get.snapshotId == fromId) isAncestor = true
+      else cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    require(isAncestor,
+      s"cannot fast-forward $branch ($fromId) to $to ($toId): " +
+        "not a descendant (divergent histories)")
+    IcebergMetadata.writeNext(location, m.copy(
+      refs = m.refs + (branch -> toId),
+      currentSnapshotId =
+        if (branch == "main") Some(toId) else m.currentSnapshotId))
+    (fromId, toId)
+  }
+
   /** Every data/delete-file path any remaining snapshot references,
     * scheme-stripped for comparison against directory listings. */
   private def referencedDataPaths(t: IcebergTable): Set[String] =

@@ -288,25 +288,41 @@ class IcebergTable private (val location: String, val spark: SparkSession,
 
   def scan(snapshotId: Option[Long] = None,
       filters: Seq[(String, String, String)] = Seq.empty): DataFrame = {
-    import org.apache.spark.sql.functions._
     val m = meta
     val snap = snapshotId.flatMap(m.snapshot).orElse(m.currentSnapshot)
     val iceSchema = snap.map(s => m.schemas.find(_.schemaId == s.schemaId)
       .getOrElse(m.schema)).getOrElse(m.schema)
-    val schemaOf = iceSchema.toSpark
     val files = plannedFiles(snapshotId, filters)
-    if (files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf)
-    val deletes = deleteEntries(snapshotId)
-    if (deletes.isEmpty)
-      return spark.read.schema(schemaOf)
-        .parquet(files.map(f => resolve(f._1.filePath).toString): _*)
+    readVisible(iceSchema, files.map { case (e, _, seq) => (e, seq) },
+      deleteEntries(snapshotId))
+  }
 
-    // sequence scoping (Iceberg v2): equality deletes apply to data
-    // files with seq < theirs, positional with seq <= theirs. Files
-    // sharing an applicable-delete set read together.
-    val dataWithSeq = files.map { case (e, _, seq) => (e, seq) }
+  /** The VISIBLE rows of `dataWithSeq` under `deletes` — the v2 read
+    * path factored so scans AND the changelog share one
+    * sequence-scoping implementation. With `keepPos` the output keeps
+    * `__file`/`__pos` provenance columns (for position-delete joins).
+    *
+    * Sequence scoping (Iceberg v2): equality deletes apply to data
+    * files with seq < theirs, positional with seq <= theirs. Files
+    * sharing an applicable-delete set read together. */
+  private[iceberg] def readVisible(iceSchema: IcebergMetadata.IceSchema,
+      dataWithSeq: Seq[(IcebergAvro.DataFileEntry, Long)],
+      deletes: Seq[(IcebergAvro.DataFileEntry, Long)],
+      keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val schemaOf = iceSchema.toSpark
+    val outSchema =
+      if (!keepPos) schemaOf
+      else org.apache.spark.sql.types.StructType(schemaOf.fields ++ Seq(
+        StructField("__file", StringType), StructField("__pos", LongType)))
+    if (dataWithSeq.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (deletes.isEmpty && !keepPos)
+      return spark.read.schema(schemaOf)
+        .parquet(dataWithSeq.map(f => resolve(f._1.filePath).toString): _*)
+
     val classes = dataWithSeq.groupBy { case (_, seq) =>
       (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
         .map(_._1.filePath).sorted,
@@ -314,7 +330,7 @@ class IcebergTable private (val location: String, val spark: SparkSession,
           .map(_._1.filePath).sorted)
     }
     classes.toSeq.map { case ((eqPaths, posPaths), group) =>
-      val needPos = posPaths.nonEmpty
+      val needPos = posPaths.nonEmpty || keepPos
       val raw = spark.read.schema(schemaOf)
         .parquet(group.map(g => resolve(g._1.filePath).toString): _*)
       val base =
@@ -332,7 +348,7 @@ class IcebergTable private (val location: String, val spark: SparkSession,
           df.join(delDf, eqCols, "left_anti")
       }
       val result =
-        if (!needPos) afterEq
+        if (posPaths.isEmpty) afterEq
         else {
           val posFiles = deletes.map(_._1).filter(d => posPaths.contains(d.filePath))
           val delDf = spark.read
@@ -340,10 +356,124 @@ class IcebergTable private (val location: String, val spark: SparkSession,
           afterEq.join(delDf,
             normPath(afterEq("__file")) === normPath(delDf("file_path")) &&
               afterEq("__pos") === delDf("pos"),
-            "left_anti").drop("__file", "__pos")
+            "left_anti")
         }
-      result
+      if (needPos && !keepPos) result.drop("__file", "__pos") else result
     }.reduce(_ unionByName _)
+  }
+
+  /** Changelog over the real format — GraftTable.changesBetween parity
+    * for ADOPTED tables: one row per changed row in (start, end] on
+    * the main ancestry, tagged `_change_type` ('insert' | 'delete')
+    * and `_commit_snapshot_id`. Because every real-format snapshot's
+    * manifest list is self-contained, the per-commit delta is derived
+    * STRUCTURALLY (live-set diff against the parent, new delete files
+    * by path diff) rather than from operation strings — any writer's
+    * commits changelog correctly. 'replace' snapshots (compaction /
+    * delete-fold rewrites) are row-preserving for visible rows and
+    * emit nothing. CoW commits emit net changes with the removed side
+    * read PARENT-VISIBLE (rows earlier MoR deltas hid don't re-emit);
+    * new delete files emit the rows they hide in files that stay
+    * live, and trim the added side of a mixed commit. */
+  def changesBetween(start: Option[Long],
+      end: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = meta
+    val endId = end.orElse(m.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException("table has no snapshot"))
+    var chain = List.empty[IcebergMetadata.IceSnapshot]
+    var cur = m.snapshot(endId)
+    while (cur.isDefined && !start.contains(cur.get.snapshotId)) {
+      chain = cur.get :: chain
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    require(start.isEmpty || cur.exists(s => start.contains(s.snapshotId)),
+      s"start snapshot ${start.getOrElse(-1L)} is not an ancestor of $endId")
+
+    def liveAt(id: Option[Long]) = id match {
+      case None => Seq.empty[(IcebergAvro.DataFileEntry, Long)]
+      case some => plannedFiles(some).map { case (e, _, seq) => (e, seq) }
+    }
+    def tag(df: DataFrame, change: String, snap: Long): DataFrame =
+      df.withColumn("_change_type", lit(change))
+        .withColumn("_commit_snapshot_id", lit(snap))
+
+    val endSchema = m.schemas.find(_.schemaId ==
+      m.snapshot(endId).get.schemaId).getOrElse(m.schema)
+    val parts = chain.flatMap { s =>
+      if (s.operation == "replace") Seq.empty
+      else {
+        val parentLive = liveAt(s.parentId)
+        val sLive = liveAt(Some(s.snapshotId))
+        val pPaths = parentLive.map(_._1.filePath).toSet
+        val sPaths = sLive.map(_._1.filePath).toSet
+        val added = sLive.filterNot { case (e, _) => pPaths.contains(e.filePath) }
+        val removed = parentLive.filterNot { case (e, _) => sPaths.contains(e.filePath) }
+        val parentDeletes = s.parentId.map(p => deleteEntries(Some(p)))
+          .getOrElse(Seq.empty)
+        val pDelPaths = parentDeletes.map(_._1.filePath).toSet
+        val newDeletes = deleteEntries(Some(s.snapshotId))
+          .filterNot { case (e, _) => pDelPaths.contains(e.filePath) }
+
+        val addedVisible = readVisible(endSchema, added, newDeletes)
+        val removedVisible = readVisible(endSchema, removed, parentDeletes)
+        val cow =
+          if (removed.isEmpty)
+            Seq(tag(addedVisible, "insert", s.snapshotId))
+              .filter(_ => added.nonEmpty)
+          else Seq(
+            tag(removedVisible.exceptAll(addedVisible), "delete", s.snapshotId),
+            tag(addedVisible.exceptAll(removedVisible), "insert", s.snapshotId))
+        val stayLive = parentLive.filter { case (e, _) => sPaths.contains(e.filePath) }
+        val hidden = hiddenBy(endSchema, stayLive, parentDeletes, newDeletes)
+        cow ++ hidden.map(tag(_, "delete", s.snapshotId))
+      }
+    }
+    val empty = tag(readVisible(endSchema, Seq.empty, Seq.empty),
+      "none", -1L).limit(0)
+    parts.foldLeft(empty)(_ unionAll _)
+  }
+
+  /** Rows of `stayLive` (parent-visible under `parentDeletes`) that a
+    * commit's NEW delete files hide — the MoR delta's delete side.
+    * Sequence rules bound applicability per delete file. */
+  private def hiddenBy(iceSchema: IcebergMetadata.IceSchema,
+      stayLive: Seq[(IcebergAvro.DataFileEntry, Long)],
+      parentDeletes: Seq[(IcebergAvro.DataFileEntry, Long)],
+      newDeletes: Seq[(IcebergAvro.DataFileEntry, Long)]): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if (newDeletes.isEmpty || stayLive.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[DataFrame]
+    newDeletes.filter(_._1.content == 2)
+      .groupBy { case (d, ds) => (d.equalityIds, ds) }
+      .foreach { case ((eqIds, ds), dfiles) =>
+        val applicable = stayLive.filter { case (_, seq) => ds > seq }
+        if (applicable.nonEmpty) {
+          val eqCols = eqIds.flatMap(id =>
+            iceSchema.fields.find(_.id == id).map(_.name))
+          val keys = spark.read
+            .parquet(dfiles.map(d => resolve(d._1.filePath).toString): _*)
+            .select(eqCols.map(col): _*).distinct()
+          out += readVisible(iceSchema, applicable, parentDeletes)
+            .join(broadcast(keys), eqCols, "left_semi")
+        }
+      }
+    newDeletes.filter(_._1.content == 1)
+      .groupBy(_._2)
+      .foreach { case (ds, dfiles) =>
+        val applicable = stayLive.filter { case (_, seq) => ds >= seq }
+        if (applicable.nonEmpty) {
+          val posDf = spark.read
+            .parquet(dfiles.map(d => resolve(d._1.filePath).toString): _*)
+          val base = readVisible(iceSchema, applicable, parentDeletes,
+            keepPos = true)
+          out += base.join(broadcast(posDf),
+            normPath(base("__file")) === normPath(posDf("file_path")) &&
+              base("__pos") === posDf("pos"), "left_semi")
+            .drop("__file", "__pos")
+        }
+      }
+    out.result()
   }
 
   def timeTravel(snapshotId: Long): DataFrame = scan(Some(snapshotId))

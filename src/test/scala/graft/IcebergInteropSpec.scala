@@ -1036,11 +1036,23 @@ class IcebergInteropSpec extends AnyFunSuite {
     // and the swept table still reads end to end
     assert(IcebergTable.load(spark, loc).scan().count() === 798L)
 
+    // branch/tag/fast-forward work on foreign tables (metadata refs)
+    spark.sql("CALL ice_wh.system.create_branch(" +
+      "table => 'm.t', branch => 'dev')").collect()
+    spark.sql(s"CALL ice_wh.system.create_tag(" +
+      s"table => 'm.t', tag => 'v1', snapshot_id => $keptSnap)").collect()
+    val mRefs = IcebergMetadata.load(loc).refs
+    assert(mRefs.get("dev") === Some(keptSnap) &&
+      mRefs.get("v1") === Some(keptSnap))
+    spark.sql("CALL ice_wh.system.fast_forward(" +
+      "table => 'm.t', branch => 'audit2', to => 'main')").collect()
+    assert(IcebergMetadata.load(loc).refs.get("audit2") === Some(keptSnap))
+
     // a graft-only procedure refuses with a clear message, not a
     // metadata parse error
     val ex = intercept[Exception] {
-      spark.sql("CALL ice_wh.system.create_branch(" +
-        "table => 'm.t', branch => 'dev')").collect()
+      spark.sql(s"CALL ice_wh.system.cherrypick_snapshot(" +
+        s"table => 'm.t', snapshot_id => $keptSnap)").collect()
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
@@ -1071,6 +1083,13 @@ class IcebergInteropSpec extends AnyFunSuite {
     spark.sql(s"CALL ice_wh2.system.rollback_to_snapshot(" +
       s"table => 'm.t', snapshot_id => $preSnap)").collect()
     assert(IcebergTable.load(spark, loc).plannedFiles().size === 6)
+    // sort-order evolution lands as real-format metadata the write
+    // paths cluster by
+    spark.sql("CALL ice_wh2.system.set_sort_order(" +
+      "table => 'm.t', order => 'k')").collect()
+    val mSo = IcebergMetadata.load(loc)
+    assert(mSo.defaultSortOrderId > 0 &&
+      mSo.defaultSortFields.map(_.direction) === Seq("asc"))
     // zorder has no foreign path: clear refusal
     val ex = intercept[Exception] {
       spark.sql("CALL ice_wh2.system.rewrite_data_files(" +
@@ -1080,6 +1099,71 @@ class IcebergInteropSpec extends AnyFunSuite {
       if (t2 == null) Seq.empty else t2 +: causes(t2.getCause)
     assert(causes(ex).exists(c => c.getMessage != null &&
       c.getMessage.contains("not supported on")))
+  }
+
+  test("changelog over an adopted real-format table emits net changes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 10L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    val s1 = IcebergMetadata.load(loc).currentSnapshotId.get
+    IcebergWrite.append(spark, loc,
+      (11L to 20L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    val s2 = IcebergMetadata.load(loc).currentSnapshotId.get
+    IcebergWrite.deleteEquality(spark, loc, Seq(5L, 15L).toDF("k"), Seq("k"))
+    val s3 = IcebergMetadata.load(loc).currentSnapshotId.get
+    IcebergWrite.rewrite(spark, loc) // replace: row-preserving, silent
+    val s4 = IcebergMetadata.load(loc).currentSnapshotId.get
+    // positional delete of slot 0 of the rewritten file
+    val rewritten = IcebergTable.load(spark, loc).plannedFiles().head._1.filePath
+    IcebergWrite.deletePositional(spark, loc,
+      Seq((rewritten, 0L)).toDF("file_path", "pos"))
+    val s5 = IcebergMetadata.load(loc).currentSnapshotId.get
+    // CoW overwrite replaces the whole content
+    IcebergWrite.overwrite(spark, loc,
+      (100L to 104L).map(i => (i, s"c$i")).toDF("k", "v").coalesce(1))
+
+    val t = IcebergTable.load(spark, loc)
+    val ch = t.changesBetween(None).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // per-commit slices
+    assert(ch.count(x => x._3 == "insert" && x._4 == s1) === 10)
+    assert(ch.count(x => x._3 == "insert" && x._4 == s2) === 10)
+    assert(ch.filter(x => x._4 == s3).map(x => (x._1, x._3)).sorted.toSeq
+      === Seq((5L, "delete"), (15L, "delete")))
+    assert(!ch.exists(_._4 == s4), "the replace rewrite emitted changes")
+    assert(ch.filter(_._4 == s5).map(_._3).toSeq === Seq("delete"))
+    // exceptAll oracle: replaying the changelog rebuilds the table
+    val replayed = ch.filter(_._3 == "insert").map(x => (x._1, x._2))
+      .diff(ch.filter(_._3 == "delete").map(x => (x._1, x._2)).toSeq)
+    assert(replayed.sorted.toSeq === t.scan().collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+
+    // bounded sub-range sees only its commits
+    assert(t.changesBetween(Some(s2), Some(s4)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+      === Seq((5L, "delete"), (15L, "delete")))
+    // a non-ancestor start refuses
+    val ex = intercept[IllegalArgumentException] {
+      t.changesBetween(Some(999999L)).collect()
+    }
+    assert(ex.getMessage.contains("not an ancestor"))
+
+    // ... and the same surface through CALL create_changelog_view on
+    // a REGISTERED foreign table
+    val wh3 = Files.createTempDirectory("graft-icewh3").toString
+    spark.conf.set("spark.sql.catalog.ice_wh3", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_wh3.warehouse", wh3)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_wh3.m")
+    spark.sql(s"CALL ice_wh3.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val res = spark.sql("CALL ice_wh3.system.create_changelog_view(" +
+      "table => 'm.t', view_name => 'foreign_changes')").collect()
+    assert(res(0).getLong(1) === ch.length.toLong)
+    assert(spark.sql(
+      "SELECT count(*) FROM foreign_changes WHERE _change_type = 'delete'")
+      .collect()(0).getLong(0) === ch.count(_._3 == "delete").toLong)
   }
 
   test("rewrite on a sorted table keeps the target file count") {
