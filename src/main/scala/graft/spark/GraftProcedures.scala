@@ -76,7 +76,8 @@ object GraftProcedures {
           "tables: expire_snapshots, vacuum, remove_orphan_files, " +
           "rewrite_data_files, rewrite_delete_files, rollback_to_snapshot, " +
           "create_branch, create_tag, fast_forward, set_sort_order, " +
-          "create_changelog_view)")
+          "create_changelog_view, add_files, analyze_table, " +
+          "cherrypick_snapshot)")
   }
 
   private val TableParam =
@@ -204,6 +205,11 @@ object GraftProcedures {
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
           val added = t.addFiles(in.getUTF8String(1).toString)
           Seq(row(added.size.toLong, added.map(_.recordCount).sum))
+        }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val (n, rows) =
+            IcebergWrite.addFiles(loc, in.getUTF8String(1).toString)
+          Seq(row(n.toLong, rows))
         }
       },
 
@@ -363,6 +369,26 @@ object GraftProcedures {
           t.analyze(cols).toSeq.sortBy(_._1)
             .map { case (c, n) => row(utf8(c), n) }
         }
+        // foreign tables: the same one-pass approx-NDV over the
+        // real-format scan (results returned, not persisted — the
+        // real format has no graft stats slot; Puffin is out of scope)
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          import org.apache.spark.sql.functions.{approx_count_distinct, col}
+          val s = SparkSession.active
+          val t = graft.table.iceberg.IcebergTable.load(s, loc)
+          val asked = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val cols =
+            if (asked.nonEmpty) asked
+            else t.schema.fields.filter(_.dataType match {
+              case _: ArrayType | _: MapType | _: StructType => false
+              case _ => true
+            }).map(_.name).toSeq
+          val agg = t.scan()
+            .select(cols.map(c => approx_count_distinct(col(c)).as(c)): _*)
+            .collect()(0)
+          cols.sorted.map(c => row(utf8(c), agg.getAs[Long](c)))
+        }
       },
 
       new GraftProcedure("create_changelog_view",
@@ -412,6 +438,10 @@ object GraftProcedures {
           val src = in.getLong(1)
           t.cherrypick(src)
           Seq(row(src, t.meta.currentSnapshotId.getOrElse(-1L)))
+        }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val src = in.getLong(1)
+          Seq(row(src, IcebergMaintenance.cherrypick(loc, src)))
         }
       },
 

@@ -89,6 +89,63 @@ object IcebergMaintenance {
     (fromId, toId)
   }
 
+  /** Cherry-pick an APPEND snapshot (e.g. staged then rolled back, or
+    * parked on a branch) onto the current main as a new commit —
+    * metadata-only: the new manifest list carries the current
+    * snapshot's manifests plus the source's own added manifests,
+    * re-sequenced under the new commit. Non-append sources refuse
+    * (their removed-file semantics don't transplant). */
+  def cherrypick(location: String, srcSnapshotId: Long): Long = {
+    val m = IcebergMetadata.load(location)
+    val src = m.snapshot(srcSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot $srcSnapshotId in table at $location"))
+    require(src.operation == "append",
+      s"cherrypick supports append snapshots; $srcSnapshotId is " +
+        s"'${src.operation}'")
+    val srcOwn = IcebergAvro.readManifestList(TableIO.path(src.manifestList))
+      .filter(_.addedSnapshotId == srcSnapshotId)
+    val current = m.currentSnapshot.map(s =>
+      IcebergAvro.readManifestList(TableIO.path(s.manifestList)))
+      .getOrElse(Seq.empty)
+    val snapshotId = m.snapshots.map(_.snapshotId).max + 1
+    val seq = m.lastSequenceNumber + 1
+    def rec(mf: IcebergAvro.ManifestFile, sq: Long, snapId: Long)
+        : org.apache.avro.generic.GenericRecord = {
+      val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
+      r.put("manifest_path", mf.path); r.put("manifest_length", mf.length)
+      r.put("partition_spec_id", mf.specId); r.put("content", mf.content)
+      r.put("sequence_number", sq); r.put("min_sequence_number", sq)
+      r.put("added_snapshot_id", snapId)
+      r.put("added_files_count", mf.addedFilesCount.getOrElse(0))
+      r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 0L)
+      r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
+      IcebergAvro.putFieldSummaries(r, mf.partitions)
+      r
+    }
+    val recs = srcOwn.map(mf => rec(mf, seq, snapshotId)) ++
+      current.map(mf => rec(mf, mf.sequenceNumber, mf.addedSnapshotId))
+    val mlPath = new HPath(TableIO.path(location, "metadata"),
+      s"snap-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+    IcebergAvro.writeManifestList(mlPath, recs, snapshotId, seq)
+    val snap = IcebergMetadata.IceSnapshot(
+      snapshotId = snapshotId,
+      parentId = m.currentSnapshotId,
+      sequenceNumber = seq,
+      timestampMs = System.currentTimeMillis(),
+      manifestList = TableIO.qualified(mlPath),
+      operation = "append",
+      schemaId = m.currentSchemaId,
+      summary = Map("cherry-picked-from" -> srcSnapshotId.toString))
+    IcebergMetadata.writeNext(location, m.copy(
+      lastSequenceNumber = seq,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = m.snapshots :+ snap,
+      refs = m.refs + ("main" -> snapshotId)))
+    snapshotId
+  }
+
   /** Every data/delete-file path any remaining snapshot references,
     * scheme-stripped for comparison against directory listings. */
   private def referencedDataPaths(t: IcebergTable): Set[String] =

@@ -223,6 +223,21 @@ object IcebergWrite {
           .collect().toMap
       })
 
+    appendManifest(m, moved, statsByPath)
+  }
+
+  /** Steps 2+3 of an append commit: write the manifest + manifest
+    * list for `moved` files (with their footer stats and partition
+    * values) over metadata `m`, returning the uncommitted snapshot.
+    * Shared by the dataframe append path and the in-place add_files
+    * import (which brings EXISTING files, no staging write). */
+  private[iceberg] def appendManifest(m: IcebergMetadata.IceMetadata,
+      moved: Seq[(HPath, Long, Seq[String])],
+      statsByPath: Map[String, FileStats]): IcebergMetadata.IceSnapshot = {
+    val location = m.location
+    val schema = m.schema
+    val spec = m.specs.find(_.specId == m.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
     val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = m.lastSequenceNumber + 1
 
@@ -309,6 +324,41 @@ object IcebergWrite {
       manifestList = TableIO.qualified(mlPath),
       operation = "append",
       schemaId = m.currentSchemaId)
+  }
+
+  /** In-place import of foreign id-less parquet under `sourceDir`
+    * into a REAL-format table (Iceberg add_files): no copy, no
+    * rewrite — manifest entries carry footer stats (resolved by NAME;
+    * imported footers have no field ids), and the commit records the
+    * spec's `schema.name-mapping.default` property so id-based
+    * foreign readers resolve the id-less footers by name.
+    * Unpartitioned tables only. Returns (files, rows) imported. */
+  def addFiles(location: String, sourceDir: String): (Int, Long) = {
+    val m = IcebergMetadata.load(location)
+    require(m.specs.find(_.specId == m.defaultSpecId).forall(_.fields.isEmpty),
+      "add_files into a PARTITIONED real-format table is not supported")
+    val files = TableIO.listFilesRecursive(TableIO.path(sourceDir))
+      .filter(_._1.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $sourceDir")
+    val sparkSchema = m.schema.toSpark
+    val statsByPath = files.map { case (p, _, _) =>
+      p.toString -> footerBounds(p, sparkSchema, m.schema)
+    }.toMap
+    val snap0 = appendManifest(m,
+      files.map { case (p, sz, _) => (p, sz, Seq.empty[String]) }, statsByPath)
+    val snap = snap0.copy(summary = snap0.summary +
+      ("added-files-imported" -> files.size.toString))
+    val mapping = m.schema.fields
+      .map(f => s"""{"field-id":${f.id},"names":["${f.name}"]}""")
+      .mkString("[", ",", "]")
+    IcebergMetadata.writeNext(location, m.copy(
+      lastSequenceNumber = snap.sequenceNumber,
+      currentSnapshotId = Some(snap.snapshotId),
+      snapshots = m.snapshots :+ snap,
+      refs = m.refs + ("main" -> snap.snapshotId),
+      properties = m.properties +
+        ("schema.name-mapping.default" -> mapping)))
+    (files.size, files.map(f => statsByPath(f._1.toString)._1).sum)
   }
 
   /** Replace all table content (INSERT OVERWRITE): write the new data

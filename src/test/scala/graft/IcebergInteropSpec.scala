@@ -1048,11 +1048,24 @@ class IcebergInteropSpec extends AnyFunSuite {
       "table => 'm.t', branch => 'audit2', to => 'main')").collect()
     assert(IcebergMetadata.load(loc).refs.get("audit2") === Some(keptSnap))
 
+    // cherrypick: stage an append, roll main back, re-apply it
+    IcebergWrite.append(spark, loc,
+      Seq((9001L, "x"), (9002L, "y")).toDF("k", "v"))
+    val staged = IcebergMetadata.load(loc).currentSnapshotId.get
+    spark.sql(s"CALL ice_wh.system.rollback_to_snapshot(" +
+      s"table => 'm.t', snapshot_id => $keptSnap)").collect()
+    assert(IcebergTable.load(spark, loc).scan().count() === 798L)
+    spark.sql(s"CALL ice_wh.system.cherrypick_snapshot(" +
+      s"table => 'm.t', snapshot_id => $staged)").collect()
+    val afterPick = IcebergTable.load(spark, loc)
+    assert(afterPick.scan().count() === 800L)
+    assert(afterPick.scan().filter(col("k") > 9000L).count() === 2L)
+
     // a graft-only procedure refuses with a clear message, not a
     // metadata parse error
     val ex = intercept[Exception] {
-      spark.sql(s"CALL ice_wh.system.cherrypick_snapshot(" +
-        s"table => 'm.t', snapshot_id => $keptSnap)").collect()
+      spark.sql("CALL ice_wh.system.rewrite_manifests(table => 'm.t')")
+        .collect()
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
@@ -1099,6 +1112,47 @@ class IcebergInteropSpec extends AnyFunSuite {
       if (t2 == null) Seq.empty else t2 +: causes(t2.getCause)
     assert(causes(ex).exists(c => c.getMessage != null &&
       c.getMessage.contains("not supported on")))
+  }
+
+  test("CALL add_files and analyze_table on an adopted real-format table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 100L).map(i => (i, s"a${i % 7}")).toDF("k", "v"))
+    // foreign id-less parquet written by a plain Spark job
+    val src = Files.createTempDirectory("graft-import").toString + "/files"
+    (101L to 160L).map(i => (i, s"b${i % 7}")).toDF("k", "v")
+      .repartition(3).write.parquet(src)
+
+    val wh4 = Files.createTempDirectory("graft-icewh4").toString
+    spark.conf.set("spark.sql.catalog.ice_wh4", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_wh4.warehouse", wh4)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_wh4.m")
+    spark.sql(s"CALL ice_wh4.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val added = spark.sql(s"CALL ice_wh4.system.add_files(" +
+      s"table => 'm.t', source_dir => '$src')").collect()
+    assert(added(0).getLong(0) === 3L && added(0).getLong(1) === 60L)
+
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().count() === 160L)
+    assert(t.scan().agg(sum("k")).collect()(0).getLong(0) === (1L to 160L).sum)
+    // footer stats made it into the manifests: a key predicate prunes
+    // the imported files (k >= 101 lives only there)
+    assert(t.plannedFiles(filters = Seq(("k", ">", "100"))).size === 3)
+    // the name mapping for id-less footers is recorded per the spec
+    assert(IcebergMetadata.load(loc)
+      .properties("schema.name-mapping.default").contains("\"field-id\":1"))
+    // the import commits as an ordinary append: the changelog sees it
+    val ch = t.changesBetween(None).collect()
+    assert(ch.count(_.getString(2) == "insert") === 160)
+
+    val ndv = spark.sql("CALL ice_wh4.system.analyze_table(table => 'm.t')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ndv.keySet === Set("k", "v"))
+    assert(ndv("k") > 140L && ndv("k") < 180L) // approx NDV of 160
+    assert(ndv("v") === 14L) // a0..a6 ++ b0..b6
   }
 
   test("changelog over an adopted real-format table emits net changes") {
