@@ -309,14 +309,9 @@ object GraftProcedures {
           Seq(row(prev, target))
         }
         override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
-          val m = IcebergMetadata.load(loc)
-          val prev = m.currentSnapshotId.getOrElse(-1L)
+          val prev = IcebergMetadata.load(loc).currentSnapshotId.getOrElse(-1L)
           val target = in.getLong(1)
-          require(m.snapshot(target).isDefined,
-            s"no snapshot $target in table at $loc")
-          IcebergMetadata.writeNext(loc, m.copy(
-            currentSnapshotId = Some(target),
-            refs = m.refs + ("main" -> target)))
+          IcebergMaintenance.rollbackTo(loc, target)
           Seq(row(prev, target))
         }
       },

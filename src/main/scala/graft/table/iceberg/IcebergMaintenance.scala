@@ -46,6 +46,17 @@ object IcebergMaintenance {
     (before, math.min(keep.size, before))
   }
 
+  /** Make an earlier snapshot current again (reversible until the
+    * abandoned commits expire) — pure metadata. */
+  def rollbackTo(location: String, snapshotId: Long): Unit = {
+    val m = IcebergMetadata.load(location)
+    require(m.snapshot(snapshotId).isDefined,
+      s"no snapshot $snapshotId in table at $location")
+    IcebergMetadata.writeNext(location, m.copy(
+      currentSnapshotId = Some(snapshotId),
+      refs = m.refs + ("main" -> snapshotId)))
+  }
+
   /** Create or repoint a branch/tag: a refs entry onto an existing
     * snapshot (the same update the REST set-snapshot-ref commit
     * applies, locally). */

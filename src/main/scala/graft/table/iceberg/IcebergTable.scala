@@ -403,6 +403,13 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     val parts = chain.flatMap { s =>
       if (s.operation == "replace") Seq.empty
       else {
+        // an EXPIRED parent must refuse: plannedFiles falls back to
+        // the current snapshot for unknown ids, which would silently
+        // corrupt this commit's delta
+        s.parentId.foreach(p => if (m.snapshot(p).isEmpty)
+          throw new IllegalStateException(
+            s"snapshot ${s.snapshotId}'s parent $p has been expired; " +
+              "changelog range invalid"))
         val parentLive = liveAt(s.parentId)
         val sLive = liveAt(Some(s.snapshotId))
         val pPaths = parentLive.map(_._1.filePath).toSet

@@ -92,11 +92,14 @@ class ModelCheckSpec extends AnyFunSuite {
   }
 
   /** Same idea over the REAL-format interop writer/reader: random
-    * create/append/overwrite/equality-delete/rewrite sequences, scan
-    * checked against the model after every commit, random snapshots
-    * time-traveled against recorded past states. */
+    * create/append/overwrite/equality-delete/positional-delete/
+    * rewrite/rollback/expire+vacuum sequences, scan checked against
+    * the model after every commit, random snapshots time-traveled
+    * against recorded past states, and the CHANGELOG replayed from
+    * random recorded states (base + inserts - deletes must rebuild
+    * the current model exactly). */
   private def runForeignSequence(seed: Long, nOps: Int): Unit = {
-    import graft.table.iceberg.{IcebergWrite, IcebergTable}
+    import graft.table.iceberg.{IcebergMaintenance, IcebergTable, IcebergWrite}
     val spark0 = spark
     import spark0.implicits._
     val rnd = new scala.util.Random(seed)
@@ -117,26 +120,54 @@ class ModelCheckSpec extends AnyFunSuite {
     record()
 
     for (i <- 1 to nOps) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(12) match {
         case 0 | 1 | 2 | 3 =>
           val rows = batch(1 + rnd.nextInt(15))
           IcebergWrite.append(spark, loc,
             rows.toDF("k", "v").coalesce(1 + rnd.nextInt(2)))
           model ++= rows
+          record()
         case 4 if model.nonEmpty => // equality delete of sampled keys
           val ks = model.keys.toSeq.sorted.filter(_ => rnd.nextInt(3) == 0).take(8)
           if (ks.nonEmpty) {
             IcebergWrite.deleteEquality(spark, loc, ks.toDF("k"), Seq("k"))
             model --= ks
+            record()
           }
         case 5 => // overwrite with a fresh batch
           val rows = batch(3 + rnd.nextInt(5))
           IcebergWrite.overwrite(spark, loc, rows.toDF("k", "v").coalesce(1))
           model = rows.toMap
+          record()
+        case 6 if model.nonEmpty => // positional delete of one live row
+          val table = t
+          val phys = spark.read.parquet(table.plannedFiles()
+              .map(f => table.resolvePath(f._1.filePath).toString): _*)
+            .withColumn("fp", col("_metadata.file_path"))
+            .withColumn("pos", col("_metadata.row_index"))
+            .select("k", "fp", "pos").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .filter(r => model.contains(r._1)).sortBy(_._1)
+          if (phys.nonEmpty) {
+            val (k, fp, pos) = phys(rnd.nextInt(phys.size))
+            IcebergWrite.deletePositional(spark, loc,
+              Seq((fp, pos)).toDF("file_path", "pos"))
+            model -= k
+            record()
+          }
+        case 7 if history.size > 3 => // rollback to a random past commit
+          val (sid, past) = history(rnd.nextInt(history.size))
+          IcebergMaintenance.rollbackTo(loc, sid)
+          model = past
+          history = history.dropWhile(_._1 != sid)
+        case 8 => // expire + GC: retained history must stay readable
+          IcebergMaintenance.expireSnapshots(loc, keepLast = 3)
+          IcebergMaintenance.vacuum(spark, loc, 0L)
+          val live = t.meta.snapshots.map(_.snapshotId).toSet
+          history = history.filter(h => live.contains(h._1))
         case _ => // compaction: row-preserving, folds deletes
           IcebergWrite.rewrite(spark, loc, targetFileSizeBytes = 1L << 20)
       }
-      record()
       val got = t.scan().select("k", "v").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got === model, s"seed=$seed foreign op#$i diverged")
@@ -145,6 +176,22 @@ class ModelCheckSpec extends AnyFunSuite {
         val tt = t.timeTravel(sid).select("k", "v").collect()
           .map(r => r.getLong(0) -> r.getString(1)).toMap
         assert(tt === past, s"seed=$seed foreign time-travel to $sid diverged")
+      }
+      // changelog replay from a random recorded state: base + inserts
+      // - deletes must rebuild the CURRENT model (rows are unique, so
+      // set equality is exact); expire keeps tip ancestry contiguous,
+      // so any live history entry is a valid range start
+      if (history.size > 2 && rnd.nextInt(3) == 0) {
+        val (sid, base) = history(rnd.nextInt(history.size))
+        val ch = t.changesBetween(Some(sid)).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val ins = ch.filter(_._3 == "insert").map(x => (x._1, x._2))
+        val del = ch.filter(_._3 == "delete").map(x => (x._1, x._2))
+        val replayed = (base.toSeq ++ ins).diff(del)
+        assert(replayed.size === replayed.toMap.size,
+          s"seed=$seed changelog replay from $sid emitted duplicates")
+        assert(replayed.toMap === model,
+          s"seed=$seed changelog replay from $sid diverged")
       }
     }
   }
@@ -163,5 +210,8 @@ class ModelCheckSpec extends AnyFunSuite {
   }
   test("foreign-format random op sequences agree with the model (seed 99)") {
     runForeignSequence(99L, 20)
+  }
+  test("foreign-format random op sequences agree with the model (seed 2024, deep)") {
+    runForeignSequence(2024L, 35)
   }
 }
