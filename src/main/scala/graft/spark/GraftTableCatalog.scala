@@ -253,6 +253,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           meta.refs.getOrElse(version,
             throw new IllegalArgumentException(
               s"'$version' is neither a snapshot id nor a ref of $ident")))
+        require(meta.snapshot(snapId).isDefined,
+          s"no snapshot $snapId of $ident (expired?)")
         new GraftSparkTable(root, pinnedSnapshot = Some(snapId))
       // time travel works on FOREIGN Iceberg interop tables too:
       // snapshot id or a ref (branch/tag) name from their metadata
@@ -262,6 +264,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           ice.refs.getOrElse(version,
             throw new IllegalArgumentException(
               s"'$version' is neither a snapshot id nor a ref of $ident")))
+        require(ice.snapshot(snapId).isDefined,
+          s"no snapshot $snapId of $ident (expired?)")
         new IcebergSparkTable(root, pinnedSnapshot = Some(snapId))
       case None =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)

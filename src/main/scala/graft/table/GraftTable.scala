@@ -890,7 +890,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
-  def timeTravel(snapshotId: Long): DataFrame = scan(snapshotId = Some(snapshotId))
+  def timeTravel(snapshotId: Long): DataFrame = {
+    // strict: an unknown/expired id must refuse — the chain walk would
+    // otherwise silently return an EMPTY table
+    require(meta.snapshot(snapshotId).isDefined,
+      s"no snapshot $snapshotId in table at $root (expired?)")
+    scan(snapshotId = Some(snapshotId))
+  }
 
   /** True iff every snapshot after `since` on the main chain is a pure
     * append — the precondition for incremental consumers. */

@@ -483,7 +483,13 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     out.result()
   }
 
-  def timeTravel(snapshotId: Long): DataFrame = scan(Some(snapshotId))
+  def timeTravel(snapshotId: Long): DataFrame = {
+    // strict: an unknown/expired id must refuse — scan's internal
+    // fallback would otherwise silently serve the CURRENT snapshot
+    require(meta.snapshot(snapshotId).isDefined,
+      s"no snapshot $snapshotId in table at $location (expired?)")
+    scan(Some(snapshotId))
+  }
 }
 
 object IcebergTable {

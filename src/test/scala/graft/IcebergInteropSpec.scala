@@ -30,6 +30,25 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.meta.snapshots.size === 2)
   }
 
+  test("time travel to an unknown snapshot refuses instead of serving current") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      IcebergTable.load(spark, loc).timeTravel(424242L).count()
+    }
+    assert(ex.getMessage.contains("no snapshot 424242"))
+    val root2 = Files.createTempDirectory("graft-tt").toString + "/t"
+    val gt = graft.table.GraftTable.create(spark, root2,
+      Seq((1L, "a")).toDF("k", "v").schema)
+    gt.append(Seq((1L, "a")).toDF("k", "v"))
+    val ex2 = intercept[IllegalArgumentException] {
+      gt.timeTravel(424242L).count()
+    }
+    assert(ex2.getMessage.contains("no snapshot 424242"))
+  }
+
   test("metadata.json parses back with schemas, snapshots, refs") {
     val o = Tables.orders(spark, sf).limit(100)
     val loc = tmp()
