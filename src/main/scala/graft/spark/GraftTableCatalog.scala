@@ -232,6 +232,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           return if (kind == "position_deletes")
             new GraftPositionDeletesTable(parentRoot)
           else new GraftMetadataSparkTable(parentRoot, kind)
+        // adopted real-format tables serve the same metadata views
+        // (rendered from their manifest lists; schemas identical)
+        if (kind != "position_deletes" &&
+            graft.table.iceberg.IcebergTable.exists(parentRoot))
+          return new GraftMetadataSparkTable(parentRoot, kind,
+            IcebergMetadataRows.rowsOf)
       }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
@@ -668,7 +674,12 @@ class GraftPositionDeletesTable(root: String) extends Table with SupportsRead {
     }
 }
 
-class GraftMetadataSparkTable(root: String, kind: String)
+/** Metadata tables for both dialects: the default `rowsFn` renders
+  * graft metadata; the catalog passes `IcebergMetadataRows.rowsOf`
+  * for adopted real-format tables (same schemas either way). */
+class GraftMetadataSparkTable(root: String, kind: String,
+    rowsFn: (String, String) => Seq[Seq[Any]] =
+      GraftMetadataSparkTable.rowsOf)
   extends Table with SupportsRead {
   import org.apache.spark.sql.connector.read._
 
@@ -683,8 +694,7 @@ class GraftMetadataSparkTable(root: String, kind: String)
         override def readSchema(): StructType = schema()
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
-          Array(MetadataRowsPartition(
-            GraftMetadataSparkTable.rowsOf(root, kind)))
+          Array(MetadataRowsPartition(rowsFn(root, kind)))
         override def createReaderFactory(): PartitionReaderFactory =
           MetadataRowsReaderFactory(schema())
       }

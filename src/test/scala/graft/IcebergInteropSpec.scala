@@ -1174,6 +1174,59 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(ndv("v") === 14L) // a0..a6 ++ b0..b6
   }
 
+  test("metadata tables serve adopted real-format tables through SQL") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v").repartition(2))
+    IcebergWrite.append(spark, loc,
+      (41L to 60L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    IcebergWrite.deleteEquality(spark, loc, Seq(5L).toDF("k"), Seq("k"))
+    val wh5 = Files.createTempDirectory("graft-icewh5").toString
+    spark.conf.set("spark.sql.catalog.ice_wh5", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_wh5.warehouse", wh5)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_wh5.m")
+    spark.sql(s"CALL ice_wh5.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    // files: the table's live data files + 1 equality-delete file
+    val nData = IcebergTable.load(spark, loc).plannedFiles().size
+    val files = spark.sql("SELECT * FROM ice_wh5.m.t.files").collect()
+    assert(files.count(_.getInt(3) == 0) === nData)
+    assert(files.count(_.getInt(3) == 2) === 1)
+    assert(files.forall(_.getLong(5) > 0L))
+    // snapshots: create, append, delete in commit order; the two
+    // appends added every live data file between them
+    val snaps = spark.sql(
+      "SELECT operation, added_files FROM ice_wh5.m.t.snapshots " +
+      "ORDER BY committed_at, snapshot_id").collect()
+    assert(snaps.map(_.getString(0)).toSeq === Seq("append", "append", "delete"))
+    assert(snaps.take(2).map(_.getInt(1)).sum === nData)
+    assert(snaps(2).getInt(1) === 1) // the delete file
+    // history: all three on the current ancestry
+    assert(spark.sql("SELECT * FROM ice_wh5.m.t.history " +
+      "WHERE is_current_ancestor").count() === 3L)
+    // refs + delete_files + manifests render
+    assert(spark.sql("SELECT * FROM ice_wh5.m.t.refs " +
+      "WHERE name = 'main'").count() === 1L)
+    val dels = spark.sql("SELECT equality_columns FROM " +
+      "ice_wh5.m.t.delete_files").collect()
+    assert(dels.length === 1 && dels(0).getString(0) === "k")
+    assert(spark.sql("SELECT * FROM ice_wh5.m.t.manifests").count() >= 3L)
+    val log = spark.sql("SELECT version, latest_snapshot_id FROM " +
+      "ice_wh5.m.t.metadata_log_entries ORDER BY version").collect()
+    assert(log.length >= 3)
+    assert(log.last.getLong(1) ===
+      IcebergMetadata.load(loc).currentSnapshotId.get)
+    // entries + all_files agree on the live data population
+    assert(spark.sql("SELECT * FROM ice_wh5.m.t.all_files WHERE live")
+      .count() === nData.toLong + 1L)
+    assert(spark.sql(
+      "SELECT sum(records) FROM ice_wh5.m.t.entries " +
+      "WHERE status = 1 AND content = 0").collect()(0).getLong(0) === 60L)
+  }
+
   test("changelog over an adopted real-format table emits net changes") {
     val spark0 = spark
     import spark0.implicits._
