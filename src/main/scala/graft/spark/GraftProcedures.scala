@@ -493,17 +493,18 @@ object GraftProcedures {
           require(!raw.toLowerCase(java.util.Locale.ROOT).startsWith("zorder"),
             "zorder sort orders have no real-format Iceberg spec form")
           val cols = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          val m = IcebergMetadata.load(loc)
-          val fields = cols.map { c =>
-            val f = m.schema.fields.find(_.name == c).getOrElse(
-              throw new IllegalArgumentException(s"no column $c"))
-            IcebergMetadata.IceSortField(f.id, "identity", "asc", "nulls-first")
+          IcebergMetadata.commitRetry(loc) { m =>
+            val fields = cols.map { c =>
+              val f = m.schema.fields.find(_.name == c).getOrElse(
+                throw new IllegalArgumentException(s"no column $c"))
+              IcebergMetadata.IceSortField(f.id, "identity", "asc", "nulls-first")
+            }
+            val orderId = m.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1
+            m.copy(
+              sortOrders = m.sortOrders :+
+                IcebergMetadata.IceSortOrder(orderId, fields),
+              defaultSortOrderId = orderId)
           }
-          val orderId = m.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1
-          IcebergMetadata.writeNext(loc, m.copy(
-            sortOrders = m.sortOrders :+
-              IcebergMetadata.IceSortOrder(orderId, fields),
-            defaultSortOrderId = orderId))
           Seq(row(utf8(cols.mkString(", "))))
         }
       },

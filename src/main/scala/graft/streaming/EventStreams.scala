@@ -59,13 +59,12 @@ object EventStreams {
       // stamp the id on the create's snapshot too
       graft.table.iceberg.IcebergWrite.create(batch.sparkSession, location,
         batch)
-      val m = graft.table.iceberg.IcebergMetadata.load(location)
-      val stamped = m.snapshots.map(s =>
-        if (m.currentSnapshotId.contains(s.snapshotId))
-          s.copy(summary = s.summary + (BatchIdKey -> batchId.toString))
-        else s)
-      graft.table.iceberg.IcebergMetadata.writeNext(location,
-        m.copy(snapshots = stamped))
+      graft.table.iceberg.IcebergMetadata.commitRetry(location) { m =>
+        m.copy(snapshots = m.snapshots.map(s =>
+          if (m.currentSnapshotId.contains(s.snapshotId))
+            s.copy(summary = s.summary + (BatchIdKey -> batchId.toString))
+          else s))
+      }
       true
     } else {
       val m = graft.table.iceberg.IcebergMetadata.load(location)

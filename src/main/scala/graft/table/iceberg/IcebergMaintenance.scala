@@ -24,50 +24,57 @@ object IcebergMaintenance {
     * snapshot whose parent expired drops the dangling pointer.
     * Returns (snapshots before, snapshots after). */
   def expireSnapshots(location: String, keepLast: Int): (Int, Int) = {
-    val m = IcebergMetadata.load(location)
-    val before = m.snapshots.size
-    val keep = scala.collection.mutable.Set[Long]()
-    val tips = (m.refs.values.toSeq ++ m.currentSnapshotId.toSeq).distinct
-    tips.foreach { tip =>
-      var cur = m.snapshot(tip)
-      var n = 0
-      while (cur.isDefined && n < math.max(1, keepLast)) {
-        keep += cur.get.snapshotId
-        cur = cur.get.parentId.flatMap(m.snapshot)
-        n += 1
+    var before = 0
+    var after = 0
+    IcebergMetadata.commitRetry(location) { m =>
+      before = m.snapshots.size
+      val keep = scala.collection.mutable.Set[Long]()
+      val tips = (m.refs.values.toSeq ++ m.currentSnapshotId.toSeq).distinct
+      tips.foreach { tip =>
+        var cur = m.snapshot(tip)
+        var n = 0
+        while (cur.isDefined && n < math.max(1, keepLast)) {
+          keep += cur.get.snapshotId
+          cur = cur.get.parentId.flatMap(m.snapshot)
+          n += 1
+        }
       }
+      after = math.min(keep.size, before)
+      if (keep.size >= before) m // nothing to expire: no-op commit
+      else m.copy(snapshots =
+        m.snapshots.filter(s => keep.contains(s.snapshotId)).map(s =>
+          if (s.parentId.exists(p => !keep.contains(p))) s.copy(parentId = None)
+          else s))
     }
-    if (keep.size < before) {
-      val kept = m.snapshots.filter(s => keep.contains(s.snapshotId)).map(s =>
-        if (s.parentId.exists(p => !keep.contains(p))) s.copy(parentId = None)
-        else s)
-      IcebergMetadata.writeNext(location, m.copy(snapshots = kept))
-    }
-    (before, math.min(keep.size, before))
+    (before, after)
   }
 
   /** Make an earlier snapshot current again (reversible until the
     * abandoned commits expire) — pure metadata. */
   def rollbackTo(location: String, snapshotId: Long): Unit = {
-    val m = IcebergMetadata.load(location)
-    require(m.snapshot(snapshotId).isDefined,
-      s"no snapshot $snapshotId in table at $location")
-    IcebergMetadata.writeNext(location, m.copy(
-      currentSnapshotId = Some(snapshotId),
-      refs = m.refs + ("main" -> snapshotId)))
+    IcebergMetadata.commitRetry(location) { m =>
+      require(m.snapshot(snapshotId).isDefined,
+        s"no snapshot $snapshotId in table at $location")
+      m.copy(
+        currentSnapshotId = Some(snapshotId),
+        refs = m.refs + ("main" -> snapshotId))
+    }
+    ()
   }
 
   /** Create or repoint a branch/tag: a refs entry onto an existing
     * snapshot (the same update the REST set-snapshot-ref commit
     * applies, locally). */
   def setRef(location: String, name: String, snapshotId: Long): Unit = {
-    val m = IcebergMetadata.load(location)
-    require(m.snapshot(snapshotId).isDefined,
-      s"no snapshot $snapshotId in table at $location")
-    IcebergMetadata.writeNext(location, m.copy(
-      refs = m.refs + (name -> snapshotId),
-      currentSnapshotId =
-        if (name == "main") Some(snapshotId) else m.currentSnapshotId))
+    IcebergMetadata.commitRetry(location) { m =>
+      require(m.snapshot(snapshotId).isDefined,
+        s"no snapshot $snapshotId in table at $location")
+      m.copy(
+        refs = m.refs + (name -> snapshotId),
+        currentSnapshotId =
+          if (name == "main") Some(snapshotId) else m.currentSnapshotId)
+    }
+    ()
   }
 
   /** Fast-forward `branch` to `to`'s tip — the publish step of
@@ -76,28 +83,32 @@ object IcebergMaintenance {
     * parent pointers). Returns (previous, updated) snapshot ids. */
   def fastForward(location: String, branch: String,
       to: String): (Long, Long) = {
-    val m = IcebergMetadata.load(location)
-    val toId = m.refs.getOrElse(to,
-      throw new IllegalArgumentException(s"no ref '$to' in $location"))
-    val fromId = m.refs.getOrElse(branch, {
-      // creating the branch at the target is a valid fast-forward
-      setRef(location, branch, toId)
-      return (-1L, toId)
-    })
-    var cur = m.snapshot(toId)
-    var isAncestor = false
-    while (cur.isDefined && !isAncestor) {
-      if (cur.get.snapshotId == fromId) isAncestor = true
-      else cur = cur.get.parentId.flatMap(m.snapshot)
+    var result = (-1L, -1L)
+    IcebergMetadata.commitRetry(location) { m =>
+      val toId = m.refs.getOrElse(to,
+        throw new IllegalArgumentException(s"no ref '$to' in $location"))
+      m.refs.get(branch) match {
+        case None =>
+          // creating the branch at the target is a valid fast-forward
+          result = (-1L, toId)
+          m.copy(refs = m.refs + (branch -> toId))
+        case Some(fromId) =>
+          var cur = m.snapshot(toId)
+          var isAncestor = false
+          while (cur.isDefined && !isAncestor) {
+            if (cur.get.snapshotId == fromId) isAncestor = true
+            else cur = cur.get.parentId.flatMap(m.snapshot)
+          }
+          require(isAncestor,
+            s"cannot fast-forward $branch ($fromId) to $to ($toId): " +
+              "not a descendant (divergent histories)")
+          result = (fromId, toId)
+          m.copy(refs = m.refs + (branch -> toId),
+            currentSnapshotId =
+              if (branch == "main") Some(toId) else m.currentSnapshotId)
+      }
     }
-    require(isAncestor,
-      s"cannot fast-forward $branch ($fromId) to $to ($toId): " +
-        "not a descendant (divergent histories)")
-    IcebergMetadata.writeNext(location, m.copy(
-      refs = m.refs + (branch -> toId),
-      currentSnapshotId =
-        if (branch == "main") Some(toId) else m.currentSnapshotId))
-    (fromId, toId)
+    result
   }
 
   /** Cherry-pick an APPEND snapshot (e.g. staged then rolled back, or
@@ -107,7 +118,8 @@ object IcebergMaintenance {
     * re-sequenced under the new commit. Non-append sources refuse
     * (their removed-file semantics don't transplant). */
   def cherrypick(location: String, srcSnapshotId: Long): Long = {
-    val m = IcebergMetadata.load(location)
+    var picked = -1L
+    IcebergMetadata.commitRetry(location) { m =>
     val src = m.snapshot(srcSnapshotId).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot $srcSnapshotId in table at $location"))
@@ -149,12 +161,14 @@ object IcebergMaintenance {
       operation = "append",
       schemaId = m.currentSchemaId,
       summary = Map("cherry-picked-from" -> srcSnapshotId.toString))
-    IcebergMetadata.writeNext(location, m.copy(
+    picked = snapshotId
+    m.copy(
       lastSequenceNumber = seq,
       currentSnapshotId = Some(snapshotId),
       snapshots = m.snapshots :+ snap,
-      refs = m.refs + ("main" -> snapshotId)))
-    snapshotId
+      refs = m.refs + ("main" -> snapshotId))
+    }
+    picked
   }
 
   /** Every data/delete-file path any remaining snapshot references,

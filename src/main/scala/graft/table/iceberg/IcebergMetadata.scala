@@ -403,6 +403,26 @@ object IcebergMetadata {
   def writeNext(location: String, m: IceMetadata): Unit =
     write(location, lastVersion(location) + 1, m)
 
+  /** Load-mutate-CAS with bounded retries: `mutate` re-runs against a
+    * FRESH load after every lost race, so concurrent metadata commits
+    * serialize without lost updates (the reference's optimistic
+    * concurrency, applied to the LOCAL commit path — REST commits pin
+    * their base the same way server-side). Returns the committed
+    * metadata. */
+  def commitRetry(location: String)(mutate: IceMetadata => IceMetadata)
+      : IceMetadata = {
+    var attempts = 0
+    while (true) {
+      val (m, v) = loadVersioned(location)
+      val next = mutate(m)
+      if (commitAt(location, next, v)) return next
+      attempts += 1
+      require(attempts < 50,
+        s"lost $attempts metadata commit races at $location")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The current metadata plus the version it came from — the base a
     * CAS commit must pin so the WHOLE load-validate-commit span is
     * protected, not just the final rename. */
@@ -428,12 +448,19 @@ object IcebergMetadata {
       new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json"))
     if (ok) {
       // hint is advisory and may lag; write via tmp+rename so readers
-      // never see a truncated half-write
+      // never see a truncated half-write. A CONCURRENT committer's
+      // hint update may collide on the overwrite-rename — ignore it:
+      // readers take max(hint, listed versions), so whichever racer's
+      // hint lands is good enough
       val hintTmp = new org.apache.hadoop.fs.Path(dir,
         s".hint-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      TableIO.writeString(hintTmp, v.toString)
-      TableIO.renameOverwrite(hintTmp,
-        new org.apache.hadoop.fs.Path(dir, "version-hint.text"))
+      try {
+        TableIO.writeString(hintTmp, v.toString)
+        TableIO.renameOverwrite(hintTmp,
+          new org.apache.hadoop.fs.Path(dir, "version-hint.text"))
+      } catch {
+        case _: java.io.IOException => TableIO.delete(hintTmp)
+      }
     }
     ok
   }

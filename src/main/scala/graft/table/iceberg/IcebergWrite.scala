@@ -97,18 +97,26 @@ object IcebergWrite {
     * in the snapshot summary (streaming sinks stamp batch ids). */
   def append(spark: SparkSession, location: String, df: DataFrame,
       summary: Map[String, String] = Map.empty): Unit = {
-    val m = IcebergMetadata.load(location)
-    val snap = prepareAppend(spark, m, df).copy(summary = summary)
-    IcebergMetadata.writeNext(location, m.copy(
-      lastSequenceNumber = snap.sequenceNumber,
-      currentSnapshotId = Some(snap.snapshotId),
-      snapshots = m.snapshots :+ snap,
-      refs = m.refs + ("main" -> snap.snapshotId)))
+    // data staging is base-independent (files land under data/ once);
+    // only the cheap manifest assembly REBASES on a lost commit race,
+    // so concurrent local appends serialize without lost snapshots
+    val base = IcebergMetadata.load(location)
+    val (moved, stats) = stageData(spark, base, df, None)
+    IcebergMetadata.commitRetry(location) { m =>
+      val snap = appendManifest(m, moved, stats).copy(summary = summary)
+      m.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snap.snapshotId))
+    }
+    ()
   }
 
   /** Write the data files + manifest + manifest list for an append
     * over metadata `m` and return the snapshot — WITHOUT committing
-    * metadata. Local commits writeNext; REST commits POST this
+    * metadata. Local commits CAS through commitRetry (rebasing the
+    * manifest assembly on lost races); REST commits POST this
     * snapshot through the commit protocol instead. */
   private val profile = java.lang.Boolean.getBoolean("graft.iceberg.profile")
   @inline private def timed[T](label: String)(f: => T): T =
@@ -120,6 +128,18 @@ object IcebergWrite {
   def prepareAppend(spark: SparkSession,
       m: IcebergMetadata.IceMetadata, df: DataFrame,
       numPartitions: Option[Int] = None): IcebergMetadata.IceSnapshot = {
+    val (moved, stats) = stageData(spark, m, df, numPartitions)
+    appendManifest(m, moved, stats)
+  }
+
+  /** Step 1 of an append: write `df` into staging, move the files into
+    * data/, and collect their footer stats. Base-independent — commit
+    * retries reuse the staged files and only re-run the manifest
+    * assembly. */
+  private def stageData(spark: SparkSession,
+      m: IcebergMetadata.IceMetadata, df: DataFrame,
+      numPartitions: Option[Int])
+      : (Seq[(HPath, Long, Seq[String])], Map[String, FileStats]) = {
     val location = m.location
     val schema = m.schema
     val sparkSchema = schema.toSpark
@@ -222,8 +242,7 @@ object IcebergWrite {
           .map(ps => ps -> footerBounds(new HPath(ps), sparkSchema, schema))
           .collect().toMap
       })
-
-    appendManifest(m, moved, statsByPath)
+    (moved, statsByPath)
   }
 
   /** Steps 2+3 of an append commit: write the manifest + manifest
@@ -344,20 +363,22 @@ object IcebergWrite {
     val statsByPath = files.map { case (p, _, _) =>
       p.toString -> footerBounds(p, sparkSchema, m.schema)
     }.toMap
-    val snap0 = appendManifest(m,
-      files.map { case (p, sz, _) => (p, sz, Seq.empty[String]) }, statsByPath)
-    val snap = snap0.copy(summary = snap0.summary +
-      ("added-files-imported" -> files.size.toString))
     val mapping = m.schema.fields
       .map(f => s"""{"field-id":${f.id},"names":["${f.name}"]}""")
       .mkString("[", ",", "]")
-    IcebergMetadata.writeNext(location, m.copy(
-      lastSequenceNumber = snap.sequenceNumber,
-      currentSnapshotId = Some(snap.snapshotId),
-      snapshots = m.snapshots :+ snap,
-      refs = m.refs + ("main" -> snap.snapshotId),
-      properties = m.properties +
-        ("schema.name-mapping.default" -> mapping)))
+    IcebergMetadata.commitRetry(location) { cur =>
+      val snap0 = appendManifest(cur,
+        files.map { case (p, sz, _) => (p, sz, Seq.empty[String]) }, statsByPath)
+      val snap = snap0.copy(summary = snap0.summary +
+        ("added-files-imported" -> files.size.toString))
+      cur.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshots = cur.snapshots :+ snap,
+        refs = cur.refs + ("main" -> snap.snapshotId),
+        properties = cur.properties +
+          ("schema.name-mapping.default" -> mapping))
+    }
     (files.size, files.map(f => statsByPath(f._1.toString)._1).sum)
   }
 
@@ -393,38 +414,52 @@ object IcebergWrite {
   private def replaceContent(spark: SparkSession, location: String,
       df: DataFrame, operation: String,
       numPartitions: Option[Int] = None): Int = {
-    val m = IcebergMetadata.load(location)
-    val snap0 = prepareAppend(spark, m, df, numPartitions)
-    val own = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
-      .filter(_.addedSnapshotId == snap0.snapshotId)
+    val base = IcebergMetadata.load(location)
+    val (moved, stats) = stageData(spark, base, df, numPartitions)
     var committedFiles = 0
-    val recs = own.map { mf =>
-      val entries = IcebergAvro.readManifest(new HPath(mf.path))
-      committedFiles += entries.size
-      val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
-      r.put("manifest_path", mf.path); r.put("manifest_length", mf.length)
-      r.put("partition_spec_id", m.defaultSpecId); r.put("content", mf.content)
-      r.put("sequence_number", mf.sequenceNumber)
-      r.put("min_sequence_number", mf.sequenceNumber)
-      r.put("added_snapshot_id", mf.addedSnapshotId)
-      r.put("added_files_count", entries.size)
-      r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
-      r.put("added_rows_count", entries.map(_.recordCount).sum)
-      r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
-      IcebergAvro.putFieldSummaries(r, mf.partitions)
-      r: org.apache.avro.generic.GenericRecord
+    IcebergMetadata.commitRetry(location) { m =>
+      // the replacement content was derived from `base` (rewrite scans
+      // the table; overwrite/merge compute against it): committing it
+      // over a table that has since moved would DROP the interleaved
+      // commit — refuse, like the reference's rewrite validation
+      if (m.currentSnapshotId != base.currentSnapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $location changed (snapshot " +
+            s"${base.currentSnapshotId.getOrElse(-1L)} -> " +
+            s"${m.currentSnapshotId.getOrElse(-1L)}) while a " +
+            s"$operation was computing its content; retry the operation")
+      val snap0 = appendManifest(m, moved, stats)
+      val own = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
+        .filter(_.addedSnapshotId == snap0.snapshotId)
+      committedFiles = 0
+      val recs = own.map { mf =>
+        val entries = IcebergAvro.readManifest(new HPath(mf.path))
+        committedFiles += entries.size
+        val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
+        r.put("manifest_path", mf.path); r.put("manifest_length", mf.length)
+        r.put("partition_spec_id", m.defaultSpecId); r.put("content", mf.content)
+        r.put("sequence_number", mf.sequenceNumber)
+        r.put("min_sequence_number", mf.sequenceNumber)
+        r.put("added_snapshot_id", mf.addedSnapshotId)
+        r.put("added_files_count", entries.size)
+        r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
+        r.put("added_rows_count", entries.map(_.recordCount).sum)
+        r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
+        IcebergAvro.putFieldSummaries(r, mf.partitions)
+        r: org.apache.avro.generic.GenericRecord
+      }
+      val mlPath = new HPath(TableIO.path(location, "metadata"),
+        s"snap-ow-${snap0.snapshotId}-${UUID.randomUUID().toString.take(8)}.avro")
+      IcebergAvro.writeManifestList(mlPath, recs, snap0.snapshotId,
+        snap0.sequenceNumber)
+      val snap = snap0.copy(operation = operation,
+        manifestList = TableIO.qualified(mlPath))
+      m.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snap.snapshotId))
     }
-    val mlPath = new HPath(TableIO.path(location, "metadata"),
-      s"snap-ow-${snap0.snapshotId}-${UUID.randomUUID().toString.take(8)}.avro")
-    IcebergAvro.writeManifestList(mlPath, recs, snap0.snapshotId,
-      snap0.sequenceNumber)
-    val snap = snap0.copy(operation = operation,
-      manifestList = TableIO.qualified(mlPath))
-    IcebergMetadata.writeNext(location, m.copy(
-      lastSequenceNumber = snap.sequenceNumber,
-      currentSnapshotId = Some(snap.snapshotId),
-      snapshots = m.snapshots :+ snap,
-      refs = m.refs + ("main" -> snap.snapshotId)))
     committedFiles
   }
 
@@ -435,7 +470,7 @@ object IcebergWrite {
     * of the current schema null-fill older files. */
   def addColumns(location: String,
       newCols: org.apache.spark.sql.types.StructType): Unit = {
-    val m = IcebergMetadata.load(location)
+    IcebergMetadata.commitRetry(location) { m =>
     val old = m.schema
     newCols.fields.foreach(f => require(!old.fields.exists(_.name == f.name),
       s"column ${f.name} already exists"))
@@ -450,11 +485,12 @@ object IcebergWrite {
     }
     val newSchema = IcebergMetadata.IceSchema(
       m.schemas.map(_.schemaId).max + 1, old.fields ++ added)
-    val next = m.copy(
+    m.copy(
       schemas = m.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,
       lastColumnId = math.max(m.lastColumnId, newSchema.maxId))
-    IcebergMetadata.writeNext(location, next)
+    }
+    ()
   }
 
   /** Commit a DELETE snapshot in the real format: a delete parquet
@@ -464,8 +500,6 @@ object IcebergWrite {
     * iceberg-rust/src/table/transaction writes the same layering). */
   private def commitDelete(spark: SparkSession, location: String,
       deleteDf: DataFrame, content: Int, eqCols: Seq[String]): Unit = {
-    val m = IcebergMetadata.load(location)
-    val schema = m.schema
     val deleteRows = deleteDf.count() // spec: record_count is required
     val staging = TableIO.path(location, s"stage-${UUID.randomUUID().toString.take(8)}")
     deleteDf.coalesce(1).write.parquet(staging.toString)
@@ -482,6 +516,11 @@ object IcebergWrite {
       }
     TableIO.delete(staging, recursive = true)
 
+    // the delete file is additive, so the manifest assembly below
+    // REBASES cleanly on a lost commit race (commitRetry re-runs it
+    // against the fresh metadata)
+    IcebergMetadata.commitRetry(location) { m =>
+    val schema = m.schema
     val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = m.lastSequenceNumber + 1
     val eqIds = eqCols.flatMap(schema.fieldId)
@@ -551,12 +590,13 @@ object IcebergWrite {
       sequenceNumber = seq, timestampMs = System.currentTimeMillis(),
       manifestList = TableIO.qualified(mlPath),
       operation = "delete", schemaId = m.currentSchemaId)
-    val next = m.copy(
+    m.copy(
       lastSequenceNumber = seq,
       currentSnapshotId = Some(snapshotId),
       snapshots = m.snapshots :+ snap,
       refs = m.refs + ("main" -> snapshotId))
-    IcebergMetadata.writeNext(location, next)
+    }
+    ()
   }
 
   /** Equality DELETE: the distinct key tuples become an equality

@@ -30,6 +30,49 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.meta.snapshots.size === 2)
   }
 
+  test("concurrent local appends never lose a snapshot (CAS commits)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, Seq((0L, "z")).toDF("k", "v"))
+    val threads = 4
+    val perThread = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            for (i <- 0 until perThread) {
+              val base = t * 1000 + i * 10
+              IcebergWrite.append(spark, loc,
+                ((base + 1) to (base + 3)).map(j => (j.toLong, s"t$t-$i"))
+                  .toDF("k", "v").coalesce(1))
+            }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // the old non-CAS commit lost whole snapshots under this race
+    // (two writers listing the same version clobbered one another)
+    val t = IcebergTable.load(spark, loc)
+    assert(t.meta.snapshots.size === 1 + threads * perThread)
+    assert(t.scan().count() === (1 + threads * perThread * 3).toLong)
+    // every thread's every batch fully present
+    val got = t.scan().select("v").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    for (th <- 0 until threads; i <- 0 until perThread)
+      assert(got.getOrElse(s"t$th-$i", 0) === 3, s"lost batch t$th-$i")
+    // the snapshot chain is a single line: every parent is the
+    // previous commit (CAS serialized the writers)
+    val byId = t.meta.snapshots.map(s => s.snapshotId -> s).toMap
+    t.meta.snapshots.sortBy(_.snapshotId).sliding(2).foreach {
+      case Seq(a, b) => assert(b.parentId.contains(a.snapshotId),
+        s"snapshot ${b.snapshotId} does not chain to ${a.snapshotId}")
+      case _ =>
+    }
+    assert(byId.size === t.meta.snapshots.size)
+  }
+
   test("time travel to an unknown snapshot refuses instead of serving current") {
     val spark0 = spark
     import spark0.implicits._
