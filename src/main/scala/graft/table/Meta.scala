@@ -699,12 +699,19 @@ object Meta {
       throw new CommitConflict(next.lastVersion)
     // the hint is advisory (readers fall back to a dir listing), but
     // write it via temp+rename so a concurrent reader never sees a
-    // truncated half-write
+    // truncated half-write. A RACING commit's hint rename may collide
+    // with ours — ignore it: the version file above already committed,
+    // and readers take max(hint, listing), so a lost hint update must
+    // not fail an otherwise-landed commit
     val hintTmp = new org.apache.hadoop.fs.Path(dir,
       s".hint-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    TableIO.writeString(hintTmp, next.lastVersion.toString)
-    TableIO.renameOverwrite(hintTmp,
-      new org.apache.hadoop.fs.Path(dir, "version-hint.text"))
+    try {
+      TableIO.writeString(hintTmp, next.lastVersion.toString)
+      TableIO.renameOverwrite(hintTmp,
+        new org.apache.hadoop.fs.Path(dir, "version-hint.text"))
+    } catch {
+      case _: java.io.IOException => TableIO.delete(hintTmp)
+    }
     next
   }
 
