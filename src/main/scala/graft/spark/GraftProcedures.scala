@@ -72,12 +72,8 @@ object GraftProcedures {
         input: InternalRow): Seq[InternalRow] =
       throw new UnsupportedOperationException(
         s"CALL $procName: $location holds a real-format Iceberg table, " +
-          "which this procedure does not support (supported on foreign " +
-          "tables: expire_snapshots, vacuum, remove_orphan_files, " +
-          "rewrite_data_files, rewrite_delete_files, rollback_to_snapshot, " +
-          "create_branch, create_tag, fast_forward, set_sort_order, " +
-          "create_changelog_view, add_files, analyze_table, " +
-          "cherrypick_snapshot)")
+          "which this procedure does not support (every other " +
+          "maintenance procedure runs on adopted real-format tables)")
   }
 
   private val TableParam =
