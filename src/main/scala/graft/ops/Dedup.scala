@@ -414,8 +414,71 @@ object Dedup {
       min(doc_id) AS keep_doc
     FROM parts GROUP BY 1 ORDER BY canon_url"""
 
+  // ---- exact substring-window dedup ----------------------------------
+
+  private val SubW = 64 // window length (chars)
+  private val SubS = 32 // stride
+
+  /** Exact substring dedup — the "same 64-char span appears in more
+    * than one document" check (the distributed analog of suffix-array
+    * substring dedup on training corpora; overlapping stride-32
+    * windows guarantee any shared run of >= 96 chars shares at least
+    * one aligned window). Per doc: windows at stride S, de-duplicated
+    * per doc, grouped corpus-wide; a window held by >= 2 distinct docs
+    * is a duplicated span. Output: per affected doc, how many of its
+    * windows are duplicated elsewhere and whether a keep-first policy
+    * would drop it (some shared window's first holder is an earlier
+    * doc).
+    *
+    * Scale: one shuffle on the window key. Windows are 64 bytes; at
+    * crawl scale you'd map each window through the 8-byte rolling
+    * hash (TextHash) before the shuffle and carry hash keys — the
+    * grouping shape is identical, so the string-keyed form is the
+    * oracle-checkable contract. Per-doc window count is len/S (a few
+    * hundred for web docs), so the exploded frame is ~2x the corpus
+    * in bytes, partitioned evenly by the hash shuffle. */
+  val ddSubstring: Q = (s, d) => {
+    val wins = Tables.spread(s, Tables.documents(s, d))
+      .filter(length(col("text")) >= SubW)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0),
+            ((length(col("text")) - SubW) / SubS).cast("int")),
+          i => col("text").substr(i * SubS + 1, lit(SubW))))).as("w"))
+    val shared = wins.groupBy(col("w"))
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("nd") >= 2)
+      .select(col("w"), col("first_doc"))
+    wins.join(shared, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        max(when(col("first_doc") < col("doc_id"), 1).otherwise(0))
+          .as("drop_first_policy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bit-exact replica: same windows (list_transform + substr), same
+    * per-doc distinct, same >=2-distinct-docs shared set. */
+  val ddSubstringSql: String =
+    """WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE len(text) >= 64),
+      wins AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(0, ((len(text) - 64) // 32) + 1),
+          i -> substr(text, (i*32 + 1)::INT, 64)))) AS w
+        FROM docs),
+      shared AS (
+        SELECT w, min(doc_id) AS first_doc
+        FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2)
+      SELECT doc_id, count(*) AS n_dup_windows,
+        max(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS drop_first_policy
+      FROM wins JOIN shared USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "dd_url_dedup" -> ddUrlDedup,
+    "dd_substring" -> ddSubstring,
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhashPairs,
     "dd_minhash_dedup" -> ddMinhashDedup,
@@ -573,6 +636,7 @@ ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
     "dd_url_dedup" -> ddUrlDedupSql,
+    "dd_substring" -> ddSubstringSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashPairsSql,
     "dd_minhash_dedup" -> ddMinhashDedupSql,

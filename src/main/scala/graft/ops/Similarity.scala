@@ -325,7 +325,85 @@ JOIN emb qe ON qe.vec_id = r.q_id
 JOIN emb ve ON ve.vec_id = r.vec_id
 WHERE r.rank <= 10 ORDER BY q_id, rank"""
 
+  // ---- semantic dedup (SemDeDup) -------------------------------------
+
+  private val SemTau = 0.4
+
+  /** Semantic dedup — the SemDeDup recipe (cluster the embedding
+    * space, then near-dup only WITHIN clusters): assign every vector
+    * to its nearest coarse centroid, compare pairs inside each
+    * cluster, and drop any vector that has an earlier near-duplicate
+    * (cosine >= tau) in its cluster. Output is the per-vector verdict.
+    *
+    * Scale: the all-pairs comparison is confined to a cluster — the
+    * shuffle key is the cluster id and pair cost is sum over clusters
+    * of |c|^2, not N^2; production caps |c| by splitting hot clusters
+    * (more centroids), exactly like IVF list balancing. Centroids are
+    * deterministic (label-seeded means, the ann_ivf codebook), the
+    * argmax assignment rounds to 6 dp with a cluster-id tie-break, so
+    * the oracle replays assignment and verdicts bit-for-bit. */
+  val ddSemantic: Q = (s, d) => {
+    val v = vectors(s, d).select(col("vec_id"), col("emb"))
+    val cents = broadcast(centroids(vectors(s, d))
+      .select(col("cluster"), col("cemb")))
+    // deterministic nearest-centroid: lexicographic min over
+    // (-rounded_sim, cluster) == highest sim, lowest cluster on ties
+    val assigned = v.join(cents)
+      .select(col("vec_id"), col("emb"), col("cluster"),
+        round(graft.functions.ArrayKernels.cosineSim(col("emb"), col("cemb")), 6)
+          .as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("csim")).as("neg"), col("cluster"), col("emb")))
+        .as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.emb").as("emb"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("ia"),
+      col("emb").as("ea"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("ib"),
+      col("emb").as("eb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .filter(round(graft.functions.ArrayKernels.cosineSim(col("ea"), col("eb")), 6)
+        >= SemTau)
+      .select(col("ib").as("vec_id")).distinct()
+      .withColumn("kept", lit(false))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact replica: ann_ivf's centroid CTE, rounded-argmax assignment
+    * with the same tie-break, within-cluster pair scan, keep-earliest
+    * verdict. */
+  val ddSemanticSql: String =
+    """WITH
+emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+comp AS (
+  SELECT label AS cluster, i, avg(e[i]) AS cx
+  FROM emb, unnest(range(1, 65)) t(i)
+  GROUP BY label, i),
+cents AS (SELECT cluster, list(cx ORDER BY i) AS cemb FROM comp GROUP BY cluster),
+assigned AS (
+  SELECT vec_id, cluster, e FROM (
+    SELECT v.vec_id, c.cluster, v.e,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY round(list_cosine_similarity(v.e, c.cemb), 6) DESC,
+                 c.cluster) AS rn
+    FROM emb v, cents c) t
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id"""
+
   val queries: Map[String, Q] = Map(
+    "dd_semantic" -> ddSemantic,
     "dd_embed_neardup" -> ddEmbedNeardup,
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
@@ -411,6 +489,7 @@ SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cos
 FROM rer WHERE rank <= 10 ORDER BY q_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    "dd_semantic" -> ddSemanticSql,
     "dd_embed_neardup" -> ddEmbedNeardupSql,
     "ann_brute_topk" -> annBruteTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,

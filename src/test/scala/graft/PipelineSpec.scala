@@ -27,6 +27,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept === all - pairs)
   }
 
+  test("substring dedup: flagged docs really share a 64-char span") {
+    val flagged = ops.Dedup.ddSubstring(spark, sf).collect()
+    assert(flagged.nonEmpty, "no duplicated spans found in the corpus")
+    // cross-check a flagged pair by brute force: every doc flagged
+    // under the keep-first policy shares a literal 64-char substring
+    // with some earlier doc
+    val dropped = flagged.filter(_.getInt(2) == 1).map(_.getLong(0))
+    assert(dropped.nonEmpty, "keep-first policy dropped nothing")
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d = dropped.min
+    val windows = texts(d).sliding(64).toSet
+    assert(texts.exists { case (id, t) =>
+      id < d && t.sliding(64).exists(windows.contains)
+    }, s"doc $d flagged but shares no 64-char span with an earlier doc")
+  }
+
+  test("semantic dedup: drops only vectors with an earlier close neighbor") {
+    val verdicts = ops.Similarity.ddSemantic(spark, sf).collect()
+    assert(verdicts.length ===
+      Tables.embeddings(spark, sf).count().toInt)
+    val droppedCount = verdicts.count(!_.getBoolean(2))
+    assert(droppedCount > 0, "semantic dedup dropped nothing at tau")
+    // a dropped vector must have a within-cluster neighbor >= tau with
+    // a smaller id; verify one end-to-end against raw embeddings
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val byCluster = verdicts.groupBy(_.getInt(1))
+    val someDrop = verdicts.filter(!_.getBoolean(2)).minBy(_.getLong(0))
+    val mates = byCluster(someDrop.getInt(1)).map(_.getLong(0))
+      .filter(_ < someDrop.getLong(0))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(mates.exists(m =>
+      cos(emb(m), emb(someDrop.getLong(0))) >= 0.4 - 1e-9),
+      "dropped vector has no earlier close neighbor in its cluster")
+  }
+
   test("simhash: identical text → hamming 0; near-dup pairs ≤ 3 bits") {
     val rows = ops.Dedup.ddSimhash(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 3))
