@@ -149,8 +149,64 @@ object Events {
        WHERE (a.day - f.cohort_day) IN (0, 1, 3, 7)
        GROUP BY 1, 2 ORDER BY cohort_day, offset_days"""
 
+  /** Approximate daily uniques via the KMV distinct sketch
+    * (functions.KmvDistinct): bounded 64-value state per group, exact
+    * below 64 distinct hashes, (k-1)·2³²/h_k above — reported next to
+    * the exact count so the error is visible. The sketch is the scale
+    * path: a 100 TB daily-uniques rollup ships 512 bytes per
+    * (partition, day) through partial aggregation instead of the
+    * distinct user sets countDistinct shuffles. Deterministic murmur3
+    * hashing makes the estimate itself oracle-checkable — the SQL twin
+    * rebuilds the k-th smallest hash and the same estimator. */
+  val evKmvUniques: Q = (s, d) => {
+    val kmv = udaf(graft.functions.KmvDistinct)
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_uniques"),
+        round(kmv(col("user_id")), 4).as("kmv_uniques"))
+      .orderBy(col("day"))
+  }
+
+  /** Pure-SQL twin: murmur3 of the 8-byte user_id (same replica as the
+    * pt_bucket / pipeline_mix oracles), distinct hashes per day, k-th
+    * smallest, same estimator arithmetic. */
+  val evKmvUniquesSql: String =
+    """WITH uu AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+    key_hash AS (
+      SELECT day, user_id,
+        (user_id & 4294967295) AS w0, ((user_id >> 32) & 4294967295) AS w1,
+        ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
+        ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
+        xor(0::BIGINT, p0b) AS h0a,
+        ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
+        ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
+        ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
+        xor(h0, p1b) AS h1a,
+        ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
+        xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
+        ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+        ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+      FROM uu),
+    ranked AS (
+      SELECT day, hu,
+        row_number() OVER (PARTITION BY day ORDER BY hu) AS rn,
+        count(*) OVER (PARTITION BY day) AS nd
+      FROM (SELECT DISTINCT day, hu FROM key_hash) t),
+    sk AS (
+      SELECT day, max(nd) AS nd, max(CASE WHEN rn = 64 THEN hu END) AS h64
+      FROM ranked GROUP BY day),
+    ex AS (
+      SELECT ts::DATE AS day, count(DISTINCT user_id) AS exact_uniques
+      FROM events GROUP BY 1)
+    SELECT ex.day, ex.exact_uniques,
+      round(CASE WHEN sk.nd < 64 THEN sk.nd::DOUBLE
+            ELSE 63 * 4294967296.0 / sk.h64 END, 4) AS kmv_uniques
+    FROM ex JOIN sk USING (day)
+    ORDER BY day"""
+
   val queries: Map[String, Q] = Map(
     "ev_retention" -> evRetention,
+    "ev_kmv_uniques" -> evKmvUniques,
     "ev_funnel" -> evFunnel,
     "ev_window_agg" -> evWindowAgg,
     "ev_sessionize" -> evSessionize,
@@ -158,6 +214,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "ev_retention" -> evRetentionSql,
+    "ev_kmv_uniques" -> evKmvUniquesSql,
     "ev_funnel" -> evFunnelSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_sessionize" -> evSessionizeSql,

@@ -91,6 +91,31 @@ class KernelPropertySpec extends AnyFunSuite {
   private def arr(xs: Seq[String]) =
     new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
 
+  test("KMV sketch: order/partition-insensitive, exact below k, bounded error above") {
+    import graft.functions.KmvDistinct
+    def sketch(keys: Seq[Long]): Array[Long] =
+      keys.foldLeft(KmvDistinct.zero)(KmvDistinct.reduce)
+    // exact regime: < k distinct keys → finish returns the exact count
+    val small = (1 to 40).map(_ => rnd.nextLong()).distinct
+    assert(KmvDistinct.finish(sketch(small)) === small.size.toDouble)
+    // duplicates never inflate the state
+    assert(KmvDistinct.finish(sketch(small ++ small)) === small.size.toDouble)
+    // estimator regime: the k smallest of a set are order-insensitive,
+    // so any partitioning + merge order gives the identical sketch
+    val big = (1 to 5000).map(_ => rnd.nextLong()).distinct
+    val whole = sketch(big)
+    val shuffled = rnd.shuffle(big)
+    val parts = shuffled.grouped(617).map(sketch).toList
+    val merged = parts.reduce(KmvDistinct.merge)
+    val mergedRev = parts.reverse.reduce(KmvDistinct.merge)
+    assert(whole.toSeq === merged.toSeq)
+    assert(whole.toSeq === mergedRev.toSeq)
+    // k=64 → stderr ~1/sqrt(62) ≈ 12.7%; assert within 5 sigma
+    val est = KmvDistinct.finish(whole)
+    assert(math.abs(est - big.size) / big.size < 0.64,
+      s"estimate $est too far from ${big.size}")
+  }
+
   test("jaccard is bounded, reflexive, and symmetric") {
     (1 to 200).foreach { _ =>
       val a = Seq.fill(rnd.nextInt(20) + 1)(randString())
