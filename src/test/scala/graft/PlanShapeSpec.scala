@@ -65,6 +65,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_substring: window-key equi-joins only, never a text product") {
+    val p = phys("dd_substring")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup degenerated to an all-pairs product:\n$p")
+    // only the two needed columns reach the scan
+    assert(p.contains("ReadSchema") && !p.contains("source"),
+      "column pruning lost: 'source' column read but unused")
+  }
+
+  test("dd_semantic: centroids broadcast, pairs confined to cluster equi-join") {
+    val p = phys("dd_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairing planned as a cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"centroid table is not broadcast:\n$p")
+  }
+
+  test("ev_kmv_uniques: sketch aggregates partially (map-side combine)") {
+    val p = phys("ev_kmv_uniques")
+    // the typed Aggregator must run as a two-phase ObjectHashAggregate
+    // (or sort-based fallback) — a single-phase plan would shuffle raw
+    // events per day instead of 512-byte sketches
+    val partial = "partial".r.findAllIn(p.toLowerCase).length
+    assert(partial >= 1, s"no partial aggregation phase in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ev_sessionize: one shuffle on user_id feeds every window stage") {
     val p = phys("ev_sessionize")
     val userShuffles =

@@ -41,6 +41,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.subsetOf(batch), "stream emitted a window batch disagrees with")
   }
 
+  test("streaming KMV sketch merges across micro-batches to the batch estimate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-stream").toFile
+    dir.deleteOnExit()
+    // 4 input files + maxFilesPerTrigger=1 → the sketch state must
+    // merge across micro-batches, not just within one
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir + "/in")
+    val kmv = udaf(graft.functions.KmvDistinct)
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/in")
+    val q = stream
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(kmv(col("user_id")), 4).as("kmv_uniques"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("kmv_out").collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    val batch = ops.Events.evKmvUniques(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    assert(got === batch,
+      "incrementally-merged sketch disagrees with the batch sketch")
+  }
+
   test("graft table as a streaming source: snapshots arrive as micro-batches") {
     val spark0 = spark
     import spark0.implicits._
