@@ -231,7 +231,61 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  val queries: Map[String, Q] = Map("mm_binary_meta" -> mmBinaryMeta)
+  /** Image dedup by decoded content: re-hosted identical images in a
+    * crawl (here: PNGs whose pixels repeat whenever the synthesis
+    * parameters repeat) are found by hashing the DECODED raster —
+    * container bytes can differ (re-encodes, metadata) while the
+    * pixels don't, so the key is the raster, not the file. Plan:
+    * partition-local encode+decode+md5(raster) (no shuffle), then ONE
+    * shuffle on the 16-byte content key — at crawl scale the wire
+    * carries (key, id), never pixels. The oracle never sees the hash:
+    * it regroups by the synthesis parameters that provably determine
+    * the raster — including the seed|1 fold in the pixel LCG, which
+    * makes even/odd seed pairs byte-identical — so a Spark run only
+    * matches if content-hash grouping equals true pixel-equality
+    * grouping. */
+  val mmImageDedup: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 1)
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 4).toInt * 8
+        val h = 12 + (id % 5).toInt * 4
+        val png = MediaCodec.encodePng(w, h, id % 24)
+        val img = ImageIO.read(new ByteArrayInputStream(png))
+        val bb = ByteBuffer.allocate(8 + img.getWidth * img.getHeight * 4)
+        bb.putInt(img.getWidth).putInt(img.getHeight)
+        var i = 0
+        while (i < img.getWidth * img.getHeight) {
+          bb.putInt(img.getRGB(i % img.getWidth, i / img.getWidth))
+          i += 1
+        }
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(bb.array())
+        (id, digest.map("%02x".format(_)).mkString)
+      })
+      .toDF("doc_id", "content_key")
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(col("keep_id"), col("n_copies"), col("id_sum"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** The raster is a pure function of (w, h, seed|1): regrouping by
+    * those parameters must equal grouping by decoded-pixel hash. */
+  val mmImageDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id % 3 = 1
+    GROUP BY doc_id % 4, doc_id % 5, (doc_id % 24) | 1
+    ORDER BY keep_id"""
+
+  val queries: Map[String, Q] = Map(
+    "mm_binary_meta" -> mmBinaryMeta,
+    "mm_image_dedup" -> mmImageDedup)
 
   /** DuckDB replica of the decode outputs: every synthesis parameter
     * (dimensions, sample counts, frame counts) is deterministic in
@@ -259,5 +313,7 @@ object Multimodal {
     ELSE 2 + doc_id % 4 END)::INT AS n_frames
 FROM documents ORDER BY media_id"""
 
-  val oracles: Map[String, String] = Map("mm_binary_meta" -> mmBinaryMetaSql)
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_image_dedup" -> mmImageDedupSql)
 }
