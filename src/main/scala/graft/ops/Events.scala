@@ -204,7 +204,99 @@ object Events {
     FROM ex JOIN sk USING (day)
     ORDER BY day"""
 
+  /** Count-Min-sketch heavy hitters: estimate per-user event counts
+    * through a 4x4096 CMS and report every user the SKETCH calls heavy
+    * (estimate >= 1.15x the mean per-user count — an all-integer,
+    * scale-free threshold), with the exact count alongside so the
+    * overestimate is visible. The sketch rows are universal-hash
+    * cells over the codegen'd murmur3 of the key — cell = ((a*h + b)
+    * mod 2^31-1) mod 256 — so the whole structure is deterministic and
+    * the DuckDB twin rebuilds it bit-for-bit. The build is the scale
+    * path: counting (row, cell) pairs partial-aggregates each partition
+    * down to <= 16384 cells before anything shuffles, so a 100 TB stream
+    * ships a few KB per partition — no per-key shuffle, and sketches
+    * merge by cell-wise addition (the partial agg IS the merge).
+    * Estimates probe the broadcast sketch; the relative threshold keeps
+    * the definition scale-free. Exact counts are computed here only to
+    * exhibit the error bound. */
+  val evCmsHeavy: Q = (s, d) => {
+    val p = 2147483647L
+    val w = 4096L
+    val rowsAB = Seq((1103515245L, 12345L), (214013L, 2531011L),
+      (48271L, 0L), (16807L, 12820163L))
+    val ev = Tables.events(s, d).select(col("user_id"))
+      .withColumn("hu", graft.functions.IcebergTransforms
+        .bucket(col("user_id"), 2147483647).cast("long"))
+    val cellCols = rowsAB.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i.toLong).as("r"),
+        (((lit(a) * col("hu") + lit(b)) % lit(p)) % lit(w)).as("cell"))
+    }
+    val sketch = ev
+      .select(explode(array(cellCols: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val users = ev.groupBy(col("user_id"), col("hu"))
+      .agg(count(lit(1)).as("exact_n"))
+    val total = Tables.events(s, d).agg(
+      count(lit(1)).as("total"),
+      countDistinct(col("user_id")).as("n_users"))
+    users
+      .select(col("user_id"), col("exact_n"),
+        explode(array(cellCols: _*)).as("rc"))
+      .select(col("user_id"), col("exact_n"),
+        col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_n"))
+      .crossJoin(broadcast(total))
+      .filter(col("cms_n") * col("n_users") * 100 >= col("total") * 115)
+      .select(col("user_id"), col("exact_n"), col("cms_n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Pure-SQL twin: per-user counts, the murmur3 key-hash replica (the
+    * ev_kmv pattern), the same four affine cell maps, sketch cells as
+    * sums of colliding users' counts, min-over-rows estimate, same
+    * relative threshold. */
+  val evCmsHeavySql: String =
+    """WITH uc AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+    key_hash AS (
+      SELECT user_id, exact_n,
+        (user_id & 4294967295) AS w0, ((user_id >> 32) & 4294967295) AS w1,
+        ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
+        ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
+        xor(0::BIGINT, p0b) AS h0a,
+        ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
+        ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
+        ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
+        xor(h0, p1b) AS h1a,
+        ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
+        xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
+        ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
+        ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+      FROM uc),
+    hh AS (SELECT user_id, exact_n,
+        ((hu & 2147483647) % 2147483647) AS h31 FROM key_hash),
+    cells AS (
+      SELECT user_id, exact_n, t.r,
+        ((t.a * h31 + t.b) % 2147483647) % 4096 AS cell
+      FROM hh CROSS JOIN (VALUES
+        (0, 1103515245, 12345), (1, 214013, 2531011),
+        (2, 48271, 0), (3, 16807, 12820163)) t(r, a, b)),
+    sketch AS (
+      SELECT r, cell, sum(exact_n)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+    est AS (
+      SELECT c.user_id, c.exact_n, min(s.cnt)::BIGINT AS cms_n
+      FROM cells c JOIN sketch s USING (r, cell) GROUP BY 1, 2),
+    tot AS (SELECT count(*) AS total,
+        count(DISTINCT user_id) AS n_users FROM events)
+    SELECT user_id, exact_n, cms_n
+    FROM est CROSS JOIN tot
+    WHERE cms_n * n_users * 100 >= total * 115
+    ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "ev_cms_heavy" -> evCmsHeavy,
     "ev_retention" -> evRetention,
     "ev_kmv_uniques" -> evKmvUniques,
     "ev_funnel" -> evFunnel,
@@ -213,6 +305,7 @@ object Events {
     "ev_dedup_latest" -> evDedupLatest)
 
   val oracles: Map[String, String] = Map(
+    "ev_cms_heavy" -> evCmsHeavySql,
     "ev_retention" -> evRetentionSql,
     "ev_kmv_uniques" -> evKmvUniquesSql,
     "ev_funnel" -> evFunnelSql,

@@ -399,7 +399,90 @@ object TextAnalysis {
       length(clean) AS clean_len, md5(clean) AS clean_md5
     FROM scrub ORDER BY doc_id"""
 
+  /** BM25 ranked retrieval: score every document against a fixed
+    * query-term set and return the global top 20. The per-doc side is
+    * ONE narrow projection — term frequencies come from
+    * `size(filter(ws, _ === term))` inside codegen, so no explode and
+    * nothing document-sized ever shuffles. Corpus statistics (N, avgdl,
+    * per-term document frequencies) reduce to a SINGLE row via partial
+    * aggregation and broadcast back with a crossJoin — at 100 TB the
+    * wire carries one stats row plus the top-k heap, not postings.
+    * avgdl stays bit-exact across engines (integer-valued doubles sum
+    * exactly), so the only cross-engine float seam is ln(), absorbed by
+    * 6-decimal rounding (the ann_pq precedent). Ties break on doc_id
+    * so the LIMIT boundary is deterministic. */
+  val bm25Terms: Seq[String] = Seq("table", "hash", "merge", "window")
+
+  val taBm25: Q = (s, d) => {
+    // Constants appear as the same decimal literals the oracle parses
+    // (2.2 = k1+1, 0.25 = 1-b): computing k1+1.0 here can land one ulp
+    // away from the SQL literal and leak through the 6-decimal round.
+    val withTf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .select(
+        (col("doc_id") +: size(col("ws")).cast("double").as("dl") +:
+          bm25Terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("ws"), w => w === lit(t)))
+              .cast("double").as(s"tf$i")
+          }): _*)
+    val statCols = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      bm25Terms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0))
+          .cast("double").as(s"df$i")
+      }
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val score = bm25Terms.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)))
+      idf * (col(s"tf$i") * lit(2.2)) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val nHit = bm25Terms.indices
+      .map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nHit.as("n_hit"), round(score, 6).as("bm25"))
+      .filter(col("n_hit") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val taBm25Sql: String = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, w -> w = '$t'))::DOUBLE AS tf$i"
+    }.mkString(",\n        ")
+    val dfCols = bm25Terms.indices.map { i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i"
+    }.mkString(",\n        ")
+    val score = bm25Terms.indices.map { i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / " +
+        s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    }.mkString(" + ")
+    val nHit = bm25Terms.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH dw AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+        FROM documents),
+      tf AS (
+        SELECT doc_id, len(ws)::DOUBLE AS dl,
+        $tfCols
+        FROM dw),
+      st AS (
+        SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        $dfCols
+        FROM tf)
+      SELECT doc_id, ($nHit)::INT AS n_hit,
+        round($score, 6) AS bm25
+      FROM tf CROSS JOIN st
+      WHERE $nHit > 0
+      ORDER BY bm25 DESC, doc_id LIMIT 20"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "ta_bm25" -> taBm25,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_pack" -> pipelinePack,
     "ta_repetition" -> taRepetition,
@@ -481,6 +564,7 @@ FROM full_h f LEFT JOIN minh m ON f.doc_id = m.doc_id
 ORDER BY f.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "ta_bm25" -> taBm25Sql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "pipeline_pack" -> pipelinePackSql,
     "ta_repetition" -> taRepetitionSql,

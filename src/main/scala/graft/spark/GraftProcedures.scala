@@ -269,6 +269,13 @@ object GraftProcedures {
         loadTable) {
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
           Seq(row(t.rewriteManifests()))
+        // real-format tables: consolidate the current snapshot's data
+        // manifests (metadata-only 'replace' commit; delete manifests
+        // carried); report how many source manifests were replaced
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val (before, after) = IcebergWrite.rewriteManifests(loc)
+          Seq(row(if (after < before) before else 0))
+        }
       },
 
       new GraftProcedure("rewrite_delete_files",

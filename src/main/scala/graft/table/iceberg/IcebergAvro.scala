@@ -268,6 +268,30 @@ object IcebergAvro {
     bytes.length.toLong
   }
 
+  /** Read a manifest as raw avro: embedded writer schema, file
+    * metadata (schema / partition-spec / content keys), and untouched
+    * records. Used by manifest consolidation, which must round-trip
+    * OTHER engines' entries losslessly — fields our DataFileEntry
+    * model doesn't carry (value_counts, split_offsets, ...) survive
+    * because the records are never re-projected. */
+  def readManifestRaw(p: HPath)
+      : (Schema, Map[String, String], Seq[GenericRecord]) = {
+    val reader = openReader(p)
+    try {
+      val schema = reader.getSchema
+      val meta = reader.getMetaKeys.asScala
+        .filterNot(_.startsWith("avro."))
+        .map(k => k -> reader.getMetaString(k)).toMap
+      (schema, meta, reader.iterator().asScala.toSeq)
+    } finally reader.close()
+  }
+
+  /** Write a manifest from raw records under a caller-supplied writer
+    * schema + file metadata (the readManifestRaw counterpart). */
+  def writeManifestRaw(p: HPath, schema: Schema,
+      meta: Map[String, String], records: Seq[GenericRecord]): Long =
+    writeAvro(p, schema, records, meta)
+
   def writeManifest(p: HPath, partitionRecord: String,
       entries: Seq[GenericRecord], schemaJson: String, specJson: String,
       content: String = "data"): Long =

@@ -411,6 +411,149 @@ object IcebergWrite {
       numPartitions = Some(n))
   }
 
+  /** Iceberg's rewrite_manifests on a REAL-format table, metadata-only:
+    * consolidate the current snapshot's data manifests into one
+    * manifest per (spec, writer-schema) group and commit a
+    * row-preserving 'replace' snapshot whose manifest list carries the
+    * consolidated manifests plus the untouched delete manifests. At
+    * 100 TB a table that grew by thousands of small appends pays a
+    * per-manifest open on every plan; consolidation makes planning IO
+    * proportional to content, not commit history. Entries round-trip as
+    * RAW avro records (readManifestRaw), so other engines' optional
+    * stats columns survive; inherited snapshot_id / sequence_number
+    * are materialized from the source manifest before the entries move
+    * into a manifest with a different sequence number, exactly as the
+    * spec's inheritance rules require. Returns (source data manifests,
+    * consolidated data manifests). */
+  def rewriteManifests(location: String): (Int, Int) = {
+    // cheap pre-check outside the commit loop: nothing to consolidate
+    // -> no new metadata version at all
+    val pre = IcebergMetadata.load(location)
+    val preCount = pre.currentSnapshot.map(s =>
+      IcebergAvro.readManifestList(new HPath(s.manifestList))
+        .count(_.content == 0)).getOrElse(0)
+    if (preCount <= 1) return (preCount, preCount)
+    var result = (0, 0)
+    IcebergMetadata.commitRetry(location) { m =>
+      val snap = m.currentSnapshot.getOrElse(
+        throw new IllegalArgumentException(
+          s"table at $location has no current snapshot"))
+      val mfs = IcebergAvro.readManifestList(new HPath(snap.manifestList))
+      val dataMfs = mfs.filter(_.content == 0)
+      val deleteMfs = mfs.filterNot(_.content == 0)
+      if (dataMfs.size <= 1) { result = (dataMfs.size, dataMfs.size); m }
+      else {
+        val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+        val seq = m.lastSequenceNumber + 1
+        // group by identical writer schema (same spec AND same engine's
+        // entry shape) so records concatenate losslessly
+        val loaded = dataMfs.map(mf =>
+          (mf, IcebergAvro.readManifestRaw(new HPath(mf.path))))
+        val groups = loaded.groupBy { case (mf, (schema, _, _)) =>
+          (mf.specId, schema.toString)
+        }.toSeq.sortBy(_._1._1)
+        val metaDir = TableIO.path(location, "metadata")
+        TableIO.mkdirs(metaDir)
+        val mlSchema = IcebergAvro.manifestListSchema
+        val newRecs = groups.map { case ((specId, _), group) =>
+          val (schema, fileMeta, _) = group.head._2
+          var minSeq = Long.MaxValue
+          var rows = 0L
+          val entries = group.flatMap { case (mf, (_, _, records)) =>
+            records.flatMap { r =>
+              val status = r.get("status").asInstanceOf[Int]
+              if (status == 2) None // deleted entries fall out of history
+              else {
+                // v1 manifests carry no sequence-number fields; only
+                // materialize inheritance where the writer schema can
+                def hasField(n: String) = r.getSchema.getField(n) != null
+                val entrySeq = Option(r.get("sequence_number"))
+                  .map(_.asInstanceOf[Long]).getOrElse(mf.sequenceNumber)
+                r.put("status", 0) // existing
+                if (hasField("snapshot_id") && r.get("snapshot_id") == null)
+                  r.put("snapshot_id", mf.addedSnapshotId)
+                if (hasField("sequence_number"))
+                  r.put("sequence_number", entrySeq)
+                if (hasField("file_sequence_number") &&
+                    r.get("file_sequence_number") == null)
+                  r.put("file_sequence_number", mf.sequenceNumber)
+                minSeq = math.min(minSeq, entrySeq)
+                rows += r.get("data_file").asInstanceOf[
+                  org.apache.avro.generic.GenericRecord]
+                  .get("record_count").asInstanceOf[Long]
+                Some(r: org.apache.avro.generic.GenericRecord)
+              }
+            }
+          }
+          val p = new HPath(metaDir,
+            s"manifest-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+          val len = IcebergAvro.writeManifestRaw(p, schema, fileMeta, entries)
+          val r = IcebergAvro.record(mlSchema)
+          r.put("manifest_path", TableIO.qualified(p))
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", specId)
+          r.put("content", 0)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number",
+            if (minSeq == Long.MaxValue) seq else minSeq)
+          r.put("added_snapshot_id", snapshotId)
+          r.put("added_files_count", 0)
+          r.put("existing_files_count", entries.size)
+          r.put("deleted_files_count", 0)
+          r.put("added_rows_count", 0L)
+          r.put("existing_rows_count", rows)
+          r.put("deleted_rows_count", 0L)
+          // summaries merge type-aware or not at all: a single source
+          // manifest carries its summaries through; merged groups emit
+          // none, and planning falls back to per-entry bounds
+          IcebergAvro.putFieldSummaries(r,
+            if (group.size == 1) group.head._1.partitions else None)
+          r: org.apache.avro.generic.GenericRecord
+        }
+        val carried = deleteMfs.map { mf =>
+          val r = IcebergAvro.record(mlSchema)
+          r.put("manifest_path", mf.path)
+          r.put("manifest_length", mf.length)
+          r.put("partition_spec_id", mf.specId)
+          r.put("content", mf.content)
+          r.put("sequence_number", mf.sequenceNumber)
+          r.put("min_sequence_number", mf.sequenceNumber)
+          r.put("added_snapshot_id", mf.addedSnapshotId)
+          r.put("added_files_count", mf.addedFilesCount.getOrElse(0))
+          r.put("existing_files_count", 0)
+          r.put("deleted_files_count", 0)
+          r.put("added_rows_count", 0L)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          IcebergAvro.putFieldSummaries(r, mf.partitions)
+          r: org.apache.avro.generic.GenericRecord
+        }
+        val mlPath = new HPath(metaDir,
+          s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+        IcebergAvro.writeManifestList(mlPath, newRecs ++ carried,
+          snapshotId, seq)
+        val newSnap = IcebergMetadata.IceSnapshot(
+          snapshotId = snapshotId,
+          parentId = m.currentSnapshotId,
+          sequenceNumber = seq,
+          timestampMs = System.currentTimeMillis(),
+          manifestList = TableIO.qualified(mlPath),
+          operation = "replace",
+          schemaId = m.currentSchemaId,
+          summary = Map(
+            "manifests-replaced" -> dataMfs.size.toString,
+            "manifests-created" -> newRecs.size.toString))
+        result = (dataMfs.size, newRecs.size)
+        m.copy(
+          lastSequenceNumber = seq,
+          currentSnapshotId = Some(newSnap.snapshotId),
+          snapshots = m.snapshots :+ newSnap,
+          refs = m.refs + ("main" -> newSnap.snapshotId))
+      }
+    }
+    result
+  }
+
   private def replaceContent(spark: SparkSession, location: String,
       df: DataFrame, operation: String,
       numPartitions: Option[Int] = None): Int = {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.table.TableIO
 import graft.table.iceberg.{IcebergAvro, IcebergMetadata, IcebergTable, IcebergWrite}
+import org.apache.hadoop.fs.{Path => HPath}
 import java.nio.file.Files
 
 /** Binary Iceberg v2 interop: metadata.json + avro manifest lists +
@@ -1123,16 +1124,30 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(afterPick.scan().count() === 800L)
     assert(afterPick.scan().filter(col("k") > 9000L).count() === 2L)
 
-    // a graft-only procedure refuses with a clear message, not a
-    // metadata parse error
-    val ex = intercept[Exception] {
-      spark.sql("CALL ice_wh.system.rewrite_manifests(table => 'm.t')")
-        .collect()
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(ex).exists(c => c.getMessage != null &&
-      c.getMessage.contains("real-format Iceberg table")))
+    // rewrite_manifests consolidates the append-per-commit manifest
+    // pileup into one data manifest per spec, metadata-only: same
+    // rows, same data files, older snapshots still time-travel
+    val filesBefore = IcebergTable.load(spark, loc).plannedFiles()
+      .map(_._1.filePath).toSet
+    val mfsBefore = IcebergAvro.readManifestList(new HPath(
+      IcebergMetadata.load(loc).currentSnapshot.get.manifestList))
+      .count(_.content == 0)
+    assert(mfsBefore > 1) // the history above appended several times
+    val rewritten = spark.sql(
+      "CALL ice_wh.system.rewrite_manifests(table => 'm.t')").collect()
+    assert(rewritten.head.getInt(0) === mfsBefore)
+    val mAfterRm = IcebergMetadata.load(loc)
+    val mfsAfter = IcebergAvro.readManifestList(new HPath(
+      mAfterRm.currentSnapshot.get.manifestList)).filter(_.content == 0)
+    assert(mfsAfter.size === 1)
+    val tAfterRm = IcebergTable.load(spark, loc)
+    assert(tAfterRm.scan().count() === 800L)
+    assert(tAfterRm.plannedFiles().map(_._1.filePath).toSet === filesBefore)
+    // the pre-consolidation snapshot still reads through its own list
+    assert(tAfterRm.scan(Some(staged)).count() === 800L)
+    // and a second call is a no-op (already one manifest)
+    assert(spark.sql("CALL ice_wh.system.rewrite_manifests(table => 'm.t')")
+      .collect().head.getInt(0) === 0)
   }
 
   test("CALL rewrite_data_files compacts an adopted real-format table") {
