@@ -285,6 +285,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware representative selection: within each near-dup
+    * cluster keep the BEST document — longest text, ties to the
+    * smallest id — instead of the smallest id. This is the policy
+    * refinement real pipelines run (drop the truncated mirror, keep
+    * the full article): same cluster machinery as dd_minhash_cluster,
+    * then one argmax per cluster via max_by over a (n_chars, -id)
+    * struct — no window shuffle, partial-aggregated like any agg.
+    * Ties are deterministic on both sides (the oracle's row_number
+    * orders n_chars DESC, doc_id ASC — exactly the struct ordering). */
+  val ddMinhashKeepbest: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val comp = connectedComponents(minhashPairs(s, d))
+    val best = comp
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("keep_id"),
+        count(lit(1)).as("cluster_size"),
+        max(col("n_chars")).as("keep_chars"))
+    docs.join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("keep_id"), lit(1L).as("cluster_size"),
+        col("n_chars").as("keep_chars"))
+      .unionByName(best.select(col("keep_id"), col("cluster_size"),
+        col("keep_chars")))
+      .orderBy(col("keep_id"))
+  }
+
   /** SimHash near-dups: 64-bit fingerprints via the codegen'd SimHash64
     * expression, candidate generation by 16-bit chunk agreement
     * (pigeonhole: hamming <= 3 over 4 chunks guarantees a shared
@@ -483,6 +511,7 @@ object Dedup {
     "dd_minhash_pairs" -> ddMinhashPairs,
     "dd_minhash_dedup" -> ddMinhashDedup,
     "dd_minhash_cluster" -> ddMinhashCluster,
+    "dd_minhash_keepbest" -> ddMinhashKeepbest,
     "dd_simhash" -> ddSimhash,
     "dd_ngram_jaccard" -> ddNgramJaccard)
 
@@ -634,6 +663,35 @@ ORDER BY doc_a, doc_b"""
       SELECT doc_id, cluster_size FROM surv
       ORDER BY doc_id"""
 
+  /** Oracle for keep-best: same recursive closure, then the
+    * best-by-(n_chars DESC, doc_id ASC) row per cluster. */
+  val ddMinhashKeepbestSql: String =
+    s"""WITH RECURSIVE $truePairsCte,
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+      clustered AS (
+        SELECT c.doc_id, c.cluster, d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)),
+      ranked AS (
+        SELECT cluster, doc_id, n_chars,
+          count(*) OVER (PARTITION BY cluster) AS cluster_size,
+          row_number() OVER (PARTITION BY cluster
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM clustered)
+      SELECT doc_id AS keep_id, 1::BIGINT AS cluster_size,
+        n_chars AS keep_chars
+      FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+      UNION ALL
+      SELECT doc_id AS keep_id, cluster_size::BIGINT AS cluster_size,
+        n_chars AS keep_chars
+      FROM ranked WHERE rn = 1
+      ORDER BY keep_id"""
+
   val oracles: Map[String, String] = Map(
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_substring" -> ddSubstringSql,
@@ -641,6 +699,7 @@ ORDER BY doc_a, doc_b"""
     "dd_minhash_pairs" -> ddMinhashPairsSql,
     "dd_minhash_dedup" -> ddMinhashDedupSql,
     "dd_minhash_cluster" -> ddMinhashClusterSql,
+    "dd_minhash_keepbest" -> ddMinhashKeepbestSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql)
 }

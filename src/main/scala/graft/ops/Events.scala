@@ -219,23 +219,35 @@ object Events {
     * Estimates probe the broadcast sketch; the relative threshold keeps
     * the definition scale-free. Exact counts are computed here only to
     * exhibit the error bound. */
-  val evCmsHeavy: Q = (s, d) => {
+  /** The CMS hash structure, shared with the streaming twin
+    * (StreamingSpec): an array of (row, cell) structs — four
+    * universal-hash cells over the codegen'd murmur3 of the key. */
+  private[graft] def cmsCells(key: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
     val p = 2147483647L
     val w = 4096L
-    val rowsAB = Seq((1103515245L, 12345L), (214013L, 2531011L),
-      (48271L, 0L), (16807L, 12820163L))
-    val ev = Tables.events(s, d).select(col("user_id"))
-      .withColumn("hu", graft.functions.IcebergTransforms
-        .bucket(col("user_id"), 2147483647).cast("long"))
-    val cellCols = rowsAB.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i.toLong).as("r"),
-        (((lit(a) * col("hu") + lit(b)) % lit(p)) % lit(w)).as("cell"))
+    val hu = graft.functions.IcebergTransforms
+      .bucket(key, 2147483647).cast("long")
+    Seq((1103515245L, 12345L), (214013L, 2531011L),
+      (48271L, 0L), (16807L, 12820163L)).zipWithIndex.map {
+      case ((a, b), i) =>
+        struct(lit(i.toLong).as("r"),
+          (((lit(a) * hu + lit(b)) % lit(p)) % lit(w)).as("cell"))
     }
-    val sketch = ev
-      .select(explode(array(cellCols: _*)).as("rc"))
-      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
-      .agg(count(lit(1)).as("cnt"))
-    val users = ev.groupBy(col("user_id"), col("hu"))
+  }
+
+  /** The sketch build alone (streaming-twin surface): (row, cell)
+    * counts, partial-aggregated map-side. */
+  private[graft] def cmsSketch(ev: DataFrame): DataFrame = ev
+    .select(explode(array(cmsCells(col("user_id")): _*)).as("rc"))
+    .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+    .agg(count(lit(1)).as("cnt"))
+
+  val evCmsHeavy: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val cellCols = cmsCells(col("user_id"))
+    val sketch = cmsSketch(ev)
+    val users = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("exact_n"))
     val total = Tables.events(s, d).agg(
       count(lit(1)).as("total"),

@@ -274,6 +274,58 @@ object Multimodal {
       .orderBy(col("keep_id"))
   }
 
+  /** Audio dedup by decoded content — the WAV analog of
+    * mm_image_dedup: identical recordings re-hosted in different
+    * containers are found by hashing the PCM SAMPLE STREAM, located by
+    * walking the RIFF chunk list (not by hashing container bytes,
+    * which metadata chunks would perturb). Same plan shape:
+    * partition-local encode+parse+md5 (no shuffle), then ONE shuffle
+    * on the 16-byte content key. The oracle regroups by the synthesis
+    * parameters that provably determine the samples — (n%6 length
+    * variants, (seed%16)|1 with the even/odd LCG fold) — so a pass
+    * proves sample-hash grouping equals true content-equality
+    * grouping. */
+  val mmAudioDedup: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 2)
+      .mapPartitions(_.map { id =>
+        val wav = MediaCodec.encodeWav(800 + (id % 6).toInt * 80, id % 16)
+        val bb = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
+        require(new String(wav, 0, 4) == "RIFF" &&
+          new String(wav, 8, 4) == "WAVE", s"doc $id: not RIFF/WAVE")
+        bb.position(12)
+        var dataOff = -1
+        var dataLen = -1
+        while (dataOff < 0) {
+          val tag = new String(wav, bb.position(), 4)
+          bb.position(bb.position() + 4)
+          val len = bb.getInt
+          if (tag == "data") { dataOff = bb.position(); dataLen = len }
+          else bb.position(bb.position() + len)
+        }
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        digest.update(wav, dataOff, dataLen)
+        (id, digest.digest().map("%02x".format(_)).mkString)
+      })
+      .toDF("doc_id", "content_key")
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(col("keep_id"), col("n_copies"), col("id_sum"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** The sample stream is a pure function of (n-samples, seed|1). */
+  val mmAudioDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id % 3 = 2
+    GROUP BY doc_id % 6, (doc_id % 16) | 1
+    ORDER BY keep_id"""
+
   /** The raster is a pure function of (w, h, seed|1): regrouping by
     * those parameters must equal grouping by decoded-pixel hash. */
   val mmImageDedupSql: String =
@@ -285,7 +337,8 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
-    "mm_image_dedup" -> mmImageDedup)
+    "mm_image_dedup" -> mmImageDedup,
+    "mm_audio_dedup" -> mmAudioDedup)
 
   /** DuckDB replica of the decode outputs: every synthesis parameter
     * (dimensions, sample counts, frame counts) is deterministic in
@@ -315,5 +368,6 @@ FROM documents ORDER BY media_id"""
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
-    "mm_image_dedup" -> mmImageDedupSql)
+    "mm_image_dedup" -> mmImageDedupSql,
+    "mm_audio_dedup" -> mmAudioDedupSql)
 }

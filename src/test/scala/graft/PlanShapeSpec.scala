@@ -93,6 +93,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ta_bm25: no explode, corpus stats broadcast, scan reads 2 cols") {
+    val p = phys("ta_bm25")
+    // tf comes from size(filter(...)) inside the projection — an
+    // Explode/Generate node would mean document-sized rows shuffle
+    assert(!p.contains("Generate"), s"bm25 tf path explodes:\n$p")
+    // the one-row stats side joins broadcast, never shuffled
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"stats row not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // only doc_id + text leave the parquet scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"bm25 reads more than doc_id/text:\n$p")
+  }
+
+  test("ev_cms_heavy: sketch builds via partial agg, probes broadcast") {
+    val p = phys("ev_cms_heavy")
+    // the (row, cell) count must partial-aggregate map-side: each
+    // partition collapses to <= 16k cells before the shuffle
+    assert("partial".r.findAllIn(p.toLowerCase).nonEmpty,
+      s"no partial aggregation phase in:\n$p")
+    // estimates probe the tiny sketch as a broadcast join
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("ev_sessionize: one shuffle on user_id feeds every window stage") {
     val p = phys("ev_sessionize")
     val userShuffles =

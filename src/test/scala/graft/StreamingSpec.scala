@@ -68,6 +68,32 @@ class StreamingSpec extends AnyFunSuite {
       "incrementally-merged sketch disagrees with the batch sketch")
   }
 
+  test("streaming CMS sketch accumulates across micro-batches to the batch sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream").toFile
+    dir.deleteOnExit()
+    // 4 input files + maxFilesPerTrigger=1 → cell counts must
+    // accumulate across micro-batches (cell-wise addition IS the
+    // sketch merge); complete mode re-emits the whole sketch
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/in")
+    val q = ops.Events.cmsSketch(stream.select(col("user_id")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("cms_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = ops.Events.cmsSketch(
+      Tables.events(spark, sf).select(col("user_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    assert(got === batch,
+      "incrementally-accumulated CMS disagrees with the batch sketch")
+  }
+
   test("graft table as a streaming source: snapshots arrive as micro-batches") {
     val spark0 = spark
     import spark0.implicits._
