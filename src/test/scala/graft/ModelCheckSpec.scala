@@ -165,6 +165,11 @@ class ModelCheckSpec extends AnyFunSuite {
           IcebergMaintenance.vacuum(spark, loc, 0L)
           val live = t.meta.snapshots.map(_.snapshotId).toSet
           history = history.filter(h => live.contains(h._1))
+        case 9 => // manifest consolidation: metadata-only, model
+          // unchanged; the 'replace' commit must be invisible to
+          // scans, time travel, and changelog replay alike
+          IcebergWrite.rewriteManifests(loc)
+          record()
         case _ => // compaction: row-preserving, folds deletes
           IcebergWrite.rewrite(spark, loc, targetFileSizeBytes = 1L << 20)
       }
