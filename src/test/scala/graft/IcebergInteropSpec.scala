@@ -1350,6 +1350,57 @@ class IcebergInteropSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === ch.count(_._3 == "delete").toLong)
   }
 
+  test("appends race manifest consolidation without losing rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, Seq((0L, "z")).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val appenders = (0 until 2).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            for (i <- 0 until 5) {
+              val base = t * 1000 + i * 10
+              IcebergWrite.append(spark, loc,
+                Seq((base + 1L, s"t$t-$i"), (base + 2L, s"t$t-$i"))
+                  .toDF("k", "v").coalesce(1))
+            }
+        })
+      }
+      val consolidator =
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            for (_ <- 0 until 5) {
+              // CAS-retried: a racing append between the manifest-list
+              // read and the commit re-runs the consolidation against
+              // fresh metadata rather than dropping the new files
+              IcebergWrite.rewriteManifests(loc)
+              Thread.sleep(50)
+            }
+        })
+      (appenders :+ consolidator).foreach(_.get())
+    } finally pool.shutdown()
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().count() === (1 + 2 * 5 * 2).toLong)
+    // every appended batch survived every interleaved consolidation
+    val got = t.scan().select("v").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    for (th <- 0 until 2; i <- 0 until 5)
+      assert(got.getOrElse(s"t$th-$i", 0) === 2, s"lost batch t$th-$i")
+    // single parent chain (CAS serialized appends and replaces)
+    t.meta.snapshots.sortBy(_.snapshotId).sliding(2).foreach {
+      case Seq(a, b) => assert(b.parentId.contains(a.snapshotId))
+      case _ =>
+    }
+    // and a final consolidation lands the steady state: one data manifest
+    IcebergWrite.rewriteManifests(loc)
+    val mfs = IcebergAvro.readManifestList(new HPath(
+      IcebergMetadata.load(loc).currentSnapshot.get.manifestList))
+    assert(mfs.count(_.content == 0) === 1)
+    assert(IcebergTable.load(spark, loc).scan().count() === 21L)
+  }
+
   test("rewrite on a sorted table keeps the target file count") {
     val spark0 = spark
     import spark0.implicits._
