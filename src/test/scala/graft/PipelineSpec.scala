@@ -144,6 +144,37 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.maxBucketSize")
   }
 
+  test("CMS estimates are one-sided and the sketch merges by cell addition") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    // skewed stream: key k appears ~k times (triangular frequencies)
+    val stream = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k))
+      .map(k => (rnd.nextInt(), k)).sortBy(_._1).map(_._2)
+    val df = stream.toDF("user_id")
+    val sketch = ops.Events.cmsSketch(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // point estimate = min over the 4 rows' cells; NEVER undercounts
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, n) =>
+      val cells = ops.Events.cmsCells(lit(k))
+      val est = Seq(df.select(cells: _*).limit(1).collect()).flatten.head
+      val cellKeys = (0 until 4).map { i =>
+        val s = est.getStruct(i); (s.getLong(0), s.getLong(1))
+      }
+      val cms = cellKeys.map(sketch.getOrElse(_, 0L)).min
+      assert(cms >= n, s"CMS undercounted key $k: $cms < $n")
+    }
+    // mergeability: sketch(first half) + sketch(second half) cell-wise
+    // equals sketch(whole) — the property partial aggregation relies on
+    val (h1, h2) = stream.splitAt(stream.size / 2)
+    def sk(xs: Seq[Long]) = ops.Events.cmsSketch(xs.toDF("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (sk(h1).toSeq ++ sk(h2).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged === sketch, "cell-wise merge differs from the one-pass sketch")
+  }
+
   test("connected components finds transitive clusters the one-pass policy misses") {
     val spark0 = spark
     import spark0.implicits._
