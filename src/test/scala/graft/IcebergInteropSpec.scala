@@ -1350,6 +1350,81 @@ class IcebergInteropSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === ch.count(_._3 == "delete").toLong)
   }
 
+  test("consolidation preserves foreign manifest columns it does not model") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    IcebergWrite.append(spark, loc, Seq((3L, "c")).toDF("k", "v"))
+    // simulate another engine's manifest: extend one manifest's entry
+    // schema with an optional stats field our DataFileEntry model does
+    // not carry (value_counts, spec field-id 109/119) and stamp values
+    val m0 = IcebergMetadata.load(loc)
+    val mfs0 = IcebergAvro.readManifestList(new HPath(
+      m0.currentSnapshot.get.manifestList)).filter(_.content == 0)
+    assert(mfs0.size === 2)
+    val target = new HPath(mfs0.head.path)
+    val (schema, fileMeta, records) = IcebergAvro.readManifestRaw(target)
+    val extended = {
+      import org.apache.avro.Schema
+      import scala.jdk.CollectionConverters._
+      val df0 = schema.getField("data_file").schema()
+      val dfExt = Schema.createRecord(df0.getName, null, null, false)
+      val extra = new Schema.Field("value_counts",
+        Schema.createUnion(Schema.create(Schema.Type.NULL),
+          Schema.create(Schema.Type.STRING)),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+      dfExt.setFields((df0.getFields.asScala.map(f =>
+        new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
+        .toSeq :+ extra).asJava)
+      val top = Schema.createRecord(schema.getName, null, null, false)
+      top.setFields(schema.getFields.asScala.map { f =>
+        if (f.name() == "data_file")
+          new Schema.Field("data_file", dfExt, f.doc(), f.defaultVal())
+        else new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
+      }.toSeq.asJava)
+      top
+    }
+    val stamped = records.map { r =>
+      val e = new org.apache.avro.generic.GenericData.Record(extended)
+      e.put("status", r.get("status"))
+      e.put("snapshot_id", r.get("snapshot_id"))
+      e.put("sequence_number", r.get("sequence_number"))
+      e.put("file_sequence_number", r.get("file_sequence_number"))
+      val d0 = r.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val d = new org.apache.avro.generic.GenericData.Record(
+        extended.getField("data_file").schema())
+      d0.getSchema.getFields.forEach(f => d.put(f.name(), d0.get(f.name())))
+      d.put("value_counts", "foreign-engine-stat")
+      e.put("data_file", d)
+      e: org.apache.avro.generic.GenericRecord
+    }
+    IcebergAvro.writeManifestRaw(target, extended, fileMeta, stamped)
+
+    val (before, after) = IcebergWrite.rewriteManifests(loc)
+    assert(before === 2)
+    // schemas differ, so the foreign-shaped manifest consolidates into
+    // its own group — and the unmodeled column rides through untouched
+    assert(after === 2)
+    val mfsAfter = IcebergAvro.readManifestList(new HPath(
+      IcebergMetadata.load(loc).currentSnapshot.get.manifestList))
+      .filter(_.content == 0)
+    val carried = mfsAfter.map(mf =>
+      IcebergAvro.readManifestRaw(new HPath(mf.path))).flatMap(_._3)
+      .flatMap { r =>
+        val d = r.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        if (d.getSchema.getField("value_counts") != null)
+          Option(d.get("value_counts")).map(String.valueOf)
+        else None
+      }
+    assert(carried === Seq("foreign-engine-stat"),
+      s"unmodeled stats column lost in consolidation: $carried")
+    // and the table still reads
+    assert(IcebergTable.load(spark, loc).scan().count() === 3L)
+  }
+
   test("appends race manifest consolidation without losing rows") {
     val spark0 = spark
     import spark0.implicits._
