@@ -171,21 +171,10 @@ object Events {
     * pt_bucket / pipeline_mix oracles), distinct hashes per day, k-th
     * smallest, same estimator arithmetic. */
   val evKmvUniquesSql: String =
-    """WITH uu AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+    s"""WITH uu AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
     key_hash AS (
       SELECT day, user_id,
-        (user_id & 4294967295) AS w0, ((user_id >> 32) & 4294967295) AS w1,
-        ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
-        ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
-        xor(0::BIGINT, p0b) AS h0a,
-        ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
-        ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
-        ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
-        xor(h0, p1b) AS h1a,
-        ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
-        xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
-        ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
-        ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+        ${OracleSql.murmurLongCols("user_id")}
       FROM uu),
     ranked AS (
       SELECT day, hu,
@@ -210,7 +199,7 @@ object Events {
     * scale-free threshold), with the exact count alongside so the
     * overestimate is visible. The sketch rows are universal-hash
     * cells over the codegen'd murmur3 of the key — cell = ((a*h + b)
-    * mod 2^31-1) mod 256 — so the whole structure is deterministic and
+    * mod 2^31-1) mod 4096 — so the whole structure is deterministic and
     * the DuckDB twin rebuilds it bit-for-bit. The build is the scale
     * path: counting (row, cell) pairs partial-aggregates each partition
     * down to <= 16384 cells before anything shuffles, so a 100 TB stream
@@ -271,21 +260,10 @@ object Events {
     * sums of colliding users' counts, min-over-rows estimate, same
     * relative threshold. */
   val evCmsHeavySql: String =
-    """WITH uc AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+    s"""WITH uc AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
     key_hash AS (
       SELECT user_id, exact_n,
-        (user_id & 4294967295) AS w0, ((user_id >> 32) & 4294967295) AS w1,
-        ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
-        ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
-        xor(0::BIGINT, p0b) AS h0a,
-        ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
-        ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
-        ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
-        xor(h0, p1b) AS h1a,
-        ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
-        xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
-        ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
-        ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+        ${OracleSql.murmurLongCols("user_id")}
       FROM uc),
     hh AS (SELECT user_id, exact_n,
         ((hu & 2147483647) % 2147483647) AS h31 FROM key_hash),

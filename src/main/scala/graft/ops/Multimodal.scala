@@ -298,13 +298,19 @@ object Multimodal {
         bb.position(12)
         var dataOff = -1
         var dataLen = -1
-        while (dataOff < 0) {
+        // chunk walk with the RIFF rules a wild file needs: lengths
+        // must be sane, odd-length chunks pad to even, and a missing
+        // data chunk fails with the doc id instead of running off
+        while (dataOff < 0 && bb.remaining() >= 8) {
           val tag = new String(wav, bb.position(), 4)
           bb.position(bb.position() + 4)
           val len = bb.getInt
+          require(len >= 0 && len <= bb.remaining(),
+            s"doc $id: corrupt RIFF chunk '$tag' length $len")
           if (tag == "data") { dataOff = bb.position(); dataLen = len }
-          else bb.position(bb.position() + len)
+          else bb.position(bb.position() + len + (len & 1))
         }
+        require(dataOff >= 0, s"doc $id: RIFF file has no data chunk")
         val digest = java.security.MessageDigest.getInstance("MD5")
         digest.update(wav, dataOff, dataLen)
         (id, digest.digest().map("%02x".format(_)).mkString)

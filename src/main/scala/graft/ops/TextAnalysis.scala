@@ -198,20 +198,9 @@ object TextAnalysis {
   /** Pure-SQL murmur3 of the 8-byte doc_id (the pt_bucket key-hash
     * pattern) -> bucket over 100 -> per-language quota filter. */
   val pipelineMixSql: String =
-    """WITH key_hash AS (
+    s"""WITH key_hash AS (
       SELECT doc_id, lang,
-        (doc_id & 4294967295) AS w0, ((doc_id >> 32) & 4294967295) AS w1,
-        ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
-        ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
-        xor(0::BIGINT, p0b) AS h0a,
-        ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
-        ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
-        ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
-        xor(h0, p1b) AS h1a,
-        ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
-        xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
-        ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
-        ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+        ${OracleSql.murmurLongCols("doc_id")}
       FROM documents)
     SELECT doc_id, lang, ((hu & 2147483647) % 100)::INT AS slot
     FROM key_hash
@@ -313,24 +302,13 @@ object TextAnalysis {
   /** Same murmur3 key-hash CTE as pipeline_mix, then per-stream
     * window cumsum packing — greedy next-fit, bit-exact. */
   val pipelinePackSql: String =
-    """WITH key_hash AS (
+    s"""WITH key_hash AS (
       SELECT doc_id, text,
-        (doc_id & 4294967295) AS w0, ((doc_id >> 32) & 4294967295) AS w1,
-        ((w0)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p0a,
-        ((((((p0a) << 15) | ((p0a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p0b,
-        xor(0::BIGINT, p0b) AS h0a,
-        ((((((h0a) << 13) | ((h0a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h0,
-        ((w1)::HUGEINT * 3432918353 % 4294967296)::BIGINT AS p1a,
-        ((((((p1a) << 15) | ((p1a) >> 17)) & 4294967295))::HUGEINT * 461845907 % 4294967296)::BIGINT AS p1b,
-        xor(h0, p1b) AS h1a,
-        ((((((h1a) << 13) | ((h1a) >> 19)) & 4294967295) * 5 + 3864292196) % 4294967296) AS h1b,
-        xor(h1b, 8) AS f0, xor(f0, f0 >> 16) AS f1,
-        ((f1)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS f2, xor(f2, f2 >> 13) AS f3,
-        ((f3)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS f4, xor(f4, f4 >> 16) AS hu
+        ${OracleSql.murmurLongCols("doc_id")}
       FROM documents),
     toks AS (
       SELECT doc_id, ((hu & 2147483647) % 16)::INT AS stream,
-        len(regexp_split_to_array(trim(text),'\s+'))::BIGINT AS tokens
+        len(regexp_split_to_array(trim(text),'\\s+'))::BIGINT AS tokens
       FROM key_hash),
     packed AS (
       SELECT stream, doc_id, tokens,

@@ -268,6 +268,15 @@ object IcebergAvro {
     bytes.length.toLong
   }
 
+  /** Read a manifest LIST as raw avro records (keyed by callers on
+    * manifest_path): consolidation carries foreign manifests' file
+    * counts / row counts / sequence bounds through verbatim instead of
+    * zeroing them. */
+  def readManifestListRaw(p: HPath): Seq[GenericRecord] = {
+    val reader = openReader(p)
+    try reader.iterator().asScala.toSeq finally reader.close()
+  }
+
   /** Read a manifest as raw avro: embedded writer schema, file
     * metadata (schema / partition-spec / content keys), and untouched
     * records. Used by manifest consolidation, which must round-trip

@@ -415,6 +415,10 @@ object IcebergMetadata {
     while (true) {
       val (m, v) = loadVersioned(location)
       val next = mutate(m)
+      // identity result = the mutation decided there is nothing to do
+      // (e.g. a consolidation that cannot merge anything): don't write
+      // an identical new metadata version
+      if (next eq m) return m
       if (commitAt(location, next, v)) return next
       attempts += 1
       require(attempts < 50,

@@ -445,13 +445,24 @@ object IcebergWrite {
       else {
         val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
         val seq = m.lastSequenceNumber + 1
-        // group by identical writer schema (same spec AND same engine's
-        // entry shape) so records concatenate losslessly
+        // group by identical writer schema AND embedded file metadata
+        // (same spec, same engine entry shape, same table-schema JSON)
+        // so records concatenate losslessly and the stamped metadata is
+        // correct for every member; the full string key also makes the
+        // group order — and therefore group.head — deterministic
         val loaded = dataMfs.map(mf =>
           (mf, IcebergAvro.readManifestRaw(new HPath(mf.path))))
-        val groups = loaded.groupBy { case (mf, (schema, _, _)) =>
-          (mf.specId, schema.toString)
-        }.toSeq.sortBy(_._1._1)
+        val groups = loaded.groupBy { case (mf, (schema, fileMeta, _)) =>
+          (mf.specId, schema.toString + " " +
+            fileMeta.toSeq.sorted.mkString(" "))
+        }.toSeq.sortBy(_._1)
+        if (groups.size == dataMfs.size) {
+          // every group is a singleton: nothing can merge, so commit
+          // nothing (the commitRetry identity short-circuit) instead
+          // of stacking replace snapshots that change no layout
+          result = (dataMfs.size, dataMfs.size)
+          m
+        } else {
         val metaDir = TableIO.path(location, "metadata")
         TableIO.mkdirs(metaDir)
         val mlSchema = IcebergAvro.manifestListSchema
@@ -510,21 +521,49 @@ object IcebergWrite {
             if (group.size == 1) group.head._1.partitions else None)
           r: org.apache.avro.generic.GenericRecord
         }
+        // carry delete manifests with their SOURCE list-entry fields
+        // (counts, row totals, min sequence) copied verbatim — a real
+        // Iceberg reader treats added=0/existing=0 manifests as empty
+        // and would stop applying the deletes if we zeroed them
+        val rawByPath = IcebergAvro
+          .readManifestListRaw(new HPath(snap.manifestList))
+          .map(r => String.valueOf(r.get("manifest_path")) -> r).toMap
         val carried = deleteMfs.map { mf =>
+          val src = rawByPath.get(mf.path)
+          def field(n: String): Option[Any] = src.flatMap(s =>
+            if (s.getSchema.getField(n) == null) None
+            else Option(s.get(n)))
+          def asLong(v: Any): Long = v match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case _ => 0L
+          }
+          def asInt(v: Any): Int = v match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case _ => 0
+          }
           val r = IcebergAvro.record(mlSchema)
           r.put("manifest_path", mf.path)
           r.put("manifest_length", mf.length)
           r.put("partition_spec_id", mf.specId)
           r.put("content", mf.content)
           r.put("sequence_number", mf.sequenceNumber)
-          r.put("min_sequence_number", mf.sequenceNumber)
+          r.put("min_sequence_number", field("min_sequence_number")
+            .map(asLong).getOrElse(mf.sequenceNumber))
           r.put("added_snapshot_id", mf.addedSnapshotId)
-          r.put("added_files_count", mf.addedFilesCount.getOrElse(0))
-          r.put("existing_files_count", 0)
-          r.put("deleted_files_count", 0)
-          r.put("added_rows_count", 0L)
-          r.put("existing_rows_count", 0L)
-          r.put("deleted_rows_count", 0L)
+          r.put("added_files_count", field("added_files_count")
+            .map(asInt).getOrElse(mf.addedFilesCount.getOrElse(0)))
+          r.put("existing_files_count",
+            field("existing_files_count").map(asInt).getOrElse(0))
+          r.put("deleted_files_count",
+            field("deleted_files_count").map(asInt).getOrElse(0))
+          r.put("added_rows_count",
+            field("added_rows_count").map(asLong).getOrElse(0L))
+          r.put("existing_rows_count",
+            field("existing_rows_count").map(asLong).getOrElse(0L))
+          r.put("deleted_rows_count",
+            field("deleted_rows_count").map(asLong).getOrElse(0L))
           IcebergAvro.putFieldSummaries(r, mf.partitions)
           r: org.apache.avro.generic.GenericRecord
         }
@@ -549,6 +588,7 @@ object IcebergWrite {
           currentSnapshotId = Some(newSnap.snapshotId),
           snapshots = m.snapshots :+ newSnap,
           refs = m.refs + ("main" -> newSnap.snapshotId))
+        }
       }
     }
     result

@@ -1356,16 +1356,17 @@ class IcebergInteropSpec extends AnyFunSuite {
     val loc = tmp()
     IcebergWrite.create(spark, loc, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     IcebergWrite.append(spark, loc, Seq((3L, "c")).toDF("k", "v"))
-    // simulate another engine's manifest: extend one manifest's entry
+    IcebergWrite.append(spark, loc, Seq((4L, "d")).toDF("k", "v"))
+    // simulate another engine's manifests: extend TWO manifests' entry
     // schema with an optional stats field our DataFileEntry model does
-    // not carry (value_counts, spec field-id 109/119) and stamp values
+    // not carry (value_counts) and stamp values — identical extended
+    // schemas, so consolidation must MERGE them (not group-skip) and
+    // the unmodeled column must ride through the merged write
     val m0 = IcebergMetadata.load(loc)
     val mfs0 = IcebergAvro.readManifestList(new HPath(
       m0.currentSnapshot.get.manifestList)).filter(_.content == 0)
-    assert(mfs0.size === 2)
-    val target = new HPath(mfs0.head.path)
-    val (schema, fileMeta, records) = IcebergAvro.readManifestRaw(target)
-    val extended = {
+    assert(mfs0.size === 3)
+    def extendSchema(schema: org.apache.avro.Schema): org.apache.avro.Schema = {
       import org.apache.avro.Schema
       import scala.jdk.CollectionConverters._
       val df0 = schema.getField("data_file").schema()
@@ -1385,31 +1386,40 @@ class IcebergInteropSpec extends AnyFunSuite {
       }.toSeq.asJava)
       top
     }
-    val stamped = records.map { r =>
-      val e = new org.apache.avro.generic.GenericData.Record(extended)
-      e.put("status", r.get("status"))
-      e.put("snapshot_id", r.get("snapshot_id"))
-      e.put("sequence_number", r.get("sequence_number"))
-      e.put("file_sequence_number", r.get("file_sequence_number"))
-      val d0 = r.get("data_file")
-        .asInstanceOf[org.apache.avro.generic.GenericRecord]
-      val d = new org.apache.avro.generic.GenericData.Record(
-        extended.getField("data_file").schema())
-      d0.getSchema.getFields.forEach(f => d.put(f.name(), d0.get(f.name())))
-      d.put("value_counts", "foreign-engine-stat")
-      e.put("data_file", d)
-      e: org.apache.avro.generic.GenericRecord
+    var stampedEntries = 0
+    def stampForeign(target: HPath): Unit = {
+      val (schema, fileMeta, records) = IcebergAvro.readManifestRaw(target)
+      val extended = extendSchema(schema)
+      val stamped = records.map { r =>
+        val e = new org.apache.avro.generic.GenericData.Record(extended)
+        e.put("status", r.get("status"))
+        e.put("snapshot_id", r.get("snapshot_id"))
+        e.put("sequence_number", r.get("sequence_number"))
+        e.put("file_sequence_number", r.get("file_sequence_number"))
+        val d0 = r.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val d = new org.apache.avro.generic.GenericData.Record(
+          extended.getField("data_file").schema())
+        d0.getSchema.getFields.forEach(f => d.put(f.name(), d0.get(f.name())))
+        d.put("value_counts", "foreign-engine-stat")
+        e.put("data_file", d)
+        e: org.apache.avro.generic.GenericRecord
+      }
+      stampedEntries += stamped.size
+      IcebergAvro.writeManifestRaw(target, extended, fileMeta, stamped)
     }
-    IcebergAvro.writeManifestRaw(target, extended, fileMeta, stamped)
+    stampForeign(new HPath(mfs0(0).path))
+    stampForeign(new HPath(mfs0(1).path))
 
     val (before, after) = IcebergWrite.rewriteManifests(loc)
-    assert(before === 2)
-    // schemas differ, so the foreign-shaped manifest consolidates into
-    // its own group — and the unmodeled column rides through untouched
+    assert(before === 3)
+    // the two foreign-shaped manifests share a writer schema and MERGE;
+    // the native-shape one stays its own group
     assert(after === 2)
     val mfsAfter = IcebergAvro.readManifestList(new HPath(
       IcebergMetadata.load(loc).currentSnapshot.get.manifestList))
       .filter(_.content == 0)
+    assert(mfsAfter.size === 2)
     val carried = mfsAfter.map(mf =>
       IcebergAvro.readManifestRaw(new HPath(mf.path))).flatMap(_._3)
       .flatMap { r =>
@@ -1419,10 +1429,11 @@ class IcebergInteropSpec extends AnyFunSuite {
           Option(d.get("value_counts")).map(String.valueOf)
         else None
       }
-    assert(carried === Seq("foreign-engine-stat"),
-      s"unmodeled stats column lost in consolidation: $carried")
+    assert(carried.size === stampedEntries &&
+      carried.forall(_ == "foreign-engine-stat"),
+      s"unmodeled stats column lost in the merge: $carried")
     // and the table still reads
-    assert(IcebergTable.load(spark, loc).scan().count() === 3L)
+    assert(IcebergTable.load(spark, loc).scan().count() === 4L)
   }
 
   test("appends race manifest consolidation without losing rows") {

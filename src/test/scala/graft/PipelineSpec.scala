@@ -158,7 +158,7 @@ class PipelineSpec extends AnyFunSuite {
     val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
     exact.foreach { case (k, n) =>
       val cells = ops.Events.cmsCells(lit(k))
-      val est = Seq(df.select(cells: _*).limit(1).collect()).flatten.head
+      val est = df.select(cells: _*).limit(1).collect().head
       val cellKeys = (0 until 4).map { i =>
         val s = est.getStruct(i); (s.getLong(0), s.getLong(1))
       }
