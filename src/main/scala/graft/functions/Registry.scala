@@ -25,6 +25,7 @@ object Registry {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "iceberg_bucket" -> (args => IcebergBucket(args(0), intArg(args(1), "iceberg_bucket"))),
     "simhash64" -> (args => SimHash64(args(0))),
+    "nfc_normalize" -> (args => NfcNormalize(args(0))),
     "doc_fingerprint" -> (args => DocFingerprint(args(0))),
     "cosine_sim" -> (args => CosineSim(args(0), args(1))),
     "jaccard_sim" -> (args => JaccardSim(args(0), args(1))),

@@ -65,8 +65,48 @@ object TextHash {
     (full.toLong << 32) | (minH.toLong & 0xffffffffL)
   }
 
+  /** Unicode NFC canonical composition — the pre-tokenization
+    * normalization every text pipeline runs so visually-identical
+    * strings (e + combining acute vs precomposed é) hash and dedup
+    * identically. Static so codegen can call it directly. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; ASCII and
+    // already-composed text never allocates
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer
+      .normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def simhash(c: Column): Column = GraftShim.column(SimHash64(GraftShim.expression(c)))
   def docFingerprint(c: Column): Column = GraftShim.column(DocFingerprint(GraftShim.expression(c)))
+  def nfcNormalize(c: Column): Column = GraftShim.column(NfcNormalize(GraftShim.expression(c)))
+}
+
+/** NFC normalization as a codegen'd Catalyst expression: stays inside
+  * whole-stage codegen (one static call per row, no UDF serialization
+  * seam), so the cleanup pass fuses with the rest of the projection. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.nfc(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash$$.MODULE$$.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {

@@ -459,7 +459,60 @@ object TextAnalysis {
       ORDER BY bm25 DESC, doc_id LIMIT 20"""
   }
 
+  /** Text normalization — the pre-tokenization cleanup every pipeline
+    * runs so visually-identical strings hash and dedup identically:
+    * Unicode NFC composition (the codegen'd NfcNormalize expression —
+    * no UDF seam), control-char strip, whitespace collapse, trim.
+    * The ASCII corpus is dirtied deterministically per doc (combining
+    * marks that NFC must compose, a control char, ragged whitespace —
+    * the ta_pii_scrub recipe) so the normalizer does real work, and
+    * `composed` counts the compositions so the oracle catches a no-op
+    * NFC. One codegen'd projection, no shuffle; DuckDB's utf8proc NFC
+    * replays it md5-bit-exact. */
+  val taNormalize: Q = (s, d) => {
+    val dirty = concat(
+      col("text"),
+      lit(" naïve éclair"),
+      when(col("doc_id") % 2 === 0, lit("")).otherwise(lit("")),
+      lit("\t  fin"),
+      when(col("doc_id") % 3 === 0, lit(" ô")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"), length(col("dirty")).as("dirty_len"),
+        graft.functions.TextHash.nfcNormalize(col("dirty")).as("nfc"))
+      .select(col("doc_id"),
+        (col("dirty_len") - length(col("nfc"))).as("composed"),
+        trim(regexp_replace(regexp_replace(col("nfc"),
+          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+          "\\s+", " ")).as("clean"))
+      .select(col("doc_id"), col("composed"),
+        length(col("clean")).as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: same dirty synthesis via chr(), utf8proc
+    * nfc_normalize, same control-class strip and collapse. */
+  val taNormalizeSql: String =
+    """WITH dirty AS (
+      SELECT doc_id,
+        text || ' nai' || chr(776) || 've e' || chr(769) || 'clair' ||
+        CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END ||
+        chr(9) || '  fin' ||
+        CASE WHEN doc_id % 3 = 0 THEN ' o' || chr(770) ELSE '' END AS s
+      FROM documents),
+    n AS (SELECT doc_id, length(s) AS dirty_len,
+        nfc_normalize(s) AS nfc FROM dirty),
+    c AS (SELECT doc_id, (dirty_len - length(nfc)) AS composed,
+      trim(regexp_replace(regexp_replace(nfc,
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        '\s+', ' ', 'g')) AS clean FROM n)
+    SELECT doc_id, composed, length(clean) AS clean_len,
+      md5(clean) AS clean_md5
+    FROM c ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "ta_normalize" -> taNormalize,
     "ta_bm25" -> taBm25,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_pack" -> pipelinePack,
@@ -542,6 +595,7 @@ FROM full_h f LEFT JOIN minh m ON f.doc_id = m.doc_id
 ORDER BY f.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "ta_normalize" -> taNormalizeSql,
     "ta_bm25" -> taBm25Sql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "pipeline_pack" -> pipelinePackSql,
