@@ -324,6 +324,63 @@ object Multimodal {
       .orderBy(col("keep_id"))
   }
 
+  /** Video dedup by decoded frame content — completing the modality
+    * triple: every frame of the animated GIF is decoded and its RGB
+    * raster hashed in sequence, so re-containered but frame-identical
+    * clips group together while a single differing frame splits them.
+    * GIF palettization is deterministic for identical input pixels, so
+    * equal synthesis parameters yield byte-equal decoded rasters.
+    * Same plan: partition-local decode+hash, ONE shuffle on the
+    * content key. */
+  val mmVideoDedup: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .mapPartitions(_.map { id =>
+        val gif = MediaCodec.encodeGif(
+          16 + (id % 4).toInt * 4, 12 + (id % 5).toInt * 2,
+          2 + ((id % 7) % 3).toInt, id % 12)
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(gif))
+        val reader = ImageIO.getImageReaders(iis).next()
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            val bb = ByteBuffer.allocate(8 + img.getWidth * img.getHeight * 4)
+            bb.putInt(img.getWidth).putInt(img.getHeight)
+            var i = 0
+            while (i < img.getWidth * img.getHeight) {
+              bb.putInt(img.getRGB(i % img.getWidth, i / img.getWidth))
+              i += 1
+            }
+            digest.update(bb.array())
+            f += 1
+          }
+        } finally { reader.dispose(); iis.close() }
+        (id, digest.digest().map("%02x".format(_)).mkString)
+      })
+      .toDF("doc_id", "content_key")
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(col("keep_id"), col("n_copies"), col("id_sum"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** The frame sequence is a pure function of (w, h, n-frames,
+    * seed|1). */
+  val mmVideoDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY doc_id % 4, doc_id % 5, (doc_id % 7) % 3, (doc_id % 12) | 1
+    ORDER BY keep_id"""
+
   /** The sample stream is a pure function of (n-samples, seed|1). */
   val mmAudioDedupSql: String =
     """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
@@ -344,7 +401,8 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_image_dedup" -> mmImageDedup,
-    "mm_audio_dedup" -> mmAudioDedup)
+    "mm_audio_dedup" -> mmAudioDedup,
+    "mm_video_dedup" -> mmVideoDedup)
 
   /** DuckDB replica of the decode outputs: every synthesis parameter
     * (dimensions, sample counts, frame counts) is deterministic in
@@ -375,5 +433,6 @@ FROM documents ORDER BY media_id"""
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_image_dedup" -> mmImageDedupSql,
-    "mm_audio_dedup" -> mmAudioDedupSql)
+    "mm_audio_dedup" -> mmAudioDedupSql,
+    "mm_video_dedup" -> mmVideoDedupSql)
 }
