@@ -504,7 +504,114 @@ object Dedup {
       FROM wins JOIN shared USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Incremental Bloom-filter dedup — the approximate-membership
+    * primitive an INGESTION pipeline needs: flag new documents that
+    * share a 64-char window with the EXISTING corpus without ever
+    * joining the corpus itself. The historical side collapses to a
+    * Bloom filter over its window hashes (here the bit set is the
+    * bounded distinct-position table, broadcast to the probes; a
+    * production build packs the same positions into Long bitmaps —
+    * identical semantics, fewer bytes); at 100 TB the new day's docs
+    * probe a megabyte-scale filter instead of shuffling against
+    * history. Positions are the CMS universal-hash family over a
+    * 60-bit md5 prefix, so the whole filter is deterministic and the
+    * oracle rebuilds it bit-for-bit; the `true_hit` column (exact
+    * window sharing) is emitted alongside so false positives are
+    * visible, and Bloom's one-sided guarantee (bloom_hit >= true_hit)
+    * is oracle-checked per doc. */
+  val ddBloomIncr: Q = (s, d) => {
+    val P = 2147483647L
+    val M = 16777216L
+    val ab = Seq((1103515245L, 12345L), (214013L, 2531011L),
+      (48271L, 0L), (16807L, 12820163L))
+    def winsOf(df: DataFrame) = df
+      .filter(length(col("text")) >= SubW)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0),
+            ((length(col("text")) - SubW) / SubS).cast("int")),
+          i => col("text").substr(i * SubS + 1, lit(SubW))))).as("w"))
+    val docs = Tables.documents(s, d)
+      .withColumn("grp", substring(col("source"), 4, 9).cast("int"))
+    val oldWins = winsOf(docs.filter(col("grp") < 10))
+    val newWins = winsOf(docs.filter(col("grp") >= 10))
+    def positions(df: DataFrame) = {
+      val h31 = conv(substring(md5(col("w")), 1, 15), 16, 10)
+        .cast("long") % lit(P)
+      df.select(col("doc_id") +: col("w") +:
+        ab.zipWithIndex.map { case ((a, b), i) =>
+          (((lit(a) * h31 + lit(b)) % lit(P)) % lit(M)).as(s"p$i")
+        }: _*)
+    }
+    val bits = positions(oldWins)
+      .select(explode(array((0 until 4).map(i => col(s"p$i")): _*)).as("pos"))
+      .distinct()
+    val bloomDocs = positions(newWins)
+      .select(col("doc_id"), col("w"),
+        posexplode(array((0 until 4).map(i => col(s"p$i")): _*)))
+      .toDF("doc_id", "w", "i", "pos")
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(countDistinct(col("i")).as("nhit"))
+      .filter(col("nhit") === 4)
+      .select(col("doc_id")).distinct()
+      .withColumn("bloom_hit", lit(1))
+    val trueDocs = newWins
+      .join(oldWins.select(col("w")).distinct(), Seq("w"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("true_hit", lit(1))
+    newWins.select(col("doc_id")).distinct()
+      .join(bloomDocs, Seq("doc_id"), "left")
+      .join(trueDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bloom_hit"), lit(0)).as("bloom_hit"),
+        coalesce(col("true_hit"), lit(0)).as("true_hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bit-exact replica: same windows, same md5-prefix hash, same four
+    * affine position maps, membership = all four positions set. */
+  val ddBloomIncrSql: String =
+    """WITH docs AS (
+      SELECT doc_id, substr(source, 4)::INT AS grp, text
+      FROM documents WHERE len(text) >= 64),
+    wins AS (
+      SELECT doc_id, grp, unnest(list_distinct(list_transform(
+        range(0, ((len(text) - 64) // 32) + 1),
+        i -> substr(text, (i*32 + 1)::INT, 64)))) AS w
+      FROM docs),
+    hashed AS (
+      SELECT doc_id, grp, w,
+        (('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647) AS h31
+      FROM wins),
+    pos AS (
+      SELECT doc_id, grp, w, t.i,
+        ((t.a * h31 + t.b) % 2147483647) % 16777216 AS pos
+      FROM hashed CROSS JOIN (VALUES
+        (0, 1103515245, 12345), (1, 214013, 2531011),
+        (2, 48271, 0), (3, 16807, 12820163)) t(i, a, b)),
+    bits AS (SELECT DISTINCT pos FROM pos WHERE grp < 10),
+    bloom AS (
+      SELECT doc_id FROM (
+        SELECT p.doc_id, p.w, count(DISTINCT p.i) AS nhit
+        FROM pos p JOIN bits USING (pos)
+        WHERE p.grp >= 10
+        GROUP BY p.doc_id, p.w) x
+      WHERE nhit = 4 GROUP BY doc_id),
+    truth AS (
+      SELECT DISTINCT n.doc_id
+      FROM wins n
+      WHERE n.grp >= 10 AND n.w IN (SELECT w FROM wins WHERE grp < 10))
+    SELECT d.doc_id,
+      CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS bloom_hit,
+      CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS true_hit
+    FROM (SELECT DISTINCT doc_id FROM wins WHERE grp >= 10) d
+    LEFT JOIN bloom b USING (doc_id)
+    LEFT JOIN truth t USING (doc_id)
+    ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "dd_bloom_incr" -> ddBloomIncr,
     "dd_url_dedup" -> ddUrlDedup,
     "dd_substring" -> ddSubstring,
     "dd_exact" -> ddExact,
@@ -695,6 +802,7 @@ ORDER BY doc_a, doc_b"""
   val oracles: Map[String, String] = Map(
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_substring" -> ddSubstringSql,
+    "dd_bloom_incr" -> ddBloomIncrSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashPairsSql,
     "dd_minhash_dedup" -> ddMinhashDedupSql,
