@@ -118,6 +118,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("dd_bloom_incr: history probes through a broadcast filter, no corpus join") {
+    val p = phys("dd_bloom_incr")
+    // the membership probe must be a broadcast hash join against the
+    // bounded position table — a sort-merge join here means the new
+    // docs shuffled against corpus history, the thing Bloom exists
+    // to avoid
+    assert(p.contains("BroadcastHashJoin"), s"bit table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ev_sessionize: one shuffle on user_id feeds every window stage") {
     val p = phys("ev_sessionize")
     val userShuffles =
