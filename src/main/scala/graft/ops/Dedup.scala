@@ -504,6 +504,74 @@ object Dedup {
       FROM wins JOIN shared USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  private val ParaW = 12 // words per paragraph unit
+
+  /** Duplicate-paragraph REMOVAL — the Dolma/CCNet rewrite pass that
+    * complements whole-document dedup: boilerplate paragraphs repeated
+    * across the corpus (nav bars, license blocks, quoted headers) are
+    * dropped from every document except the first one holding them,
+    * and the document survives with its unique content. Paragraph
+    * units here are fixed 12-word segments (the corpus has no newline
+    * structure; a crawl pipeline splits on '\n\n' — the dedup shape is
+    * identical). An instance (doc, pos) is kept iff it is the
+    * lexicographically-first instance of its paragraph text corpus-wide
+    * (earlier doc, or same doc earlier position). Output per doc:
+    * paragraph counts and the md5 of the rewritten text, so the gate
+    * checks the actual REWRITE, not just the verdicts.
+    *
+    * Scale: explode to ~1x corpus bytes, ONE shuffle on the paragraph
+    * key for the global keep-first argmin (partial-aggregated min
+    * struct), one groupBy(doc) to reassemble — no windows, no N².
+    * At crawl scale the paragraph text maps through a 128-bit hash
+    * before the shuffle (the dd_substring note applies verbatim). */
+  val ddParagraph: Q = (s, d) => {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val paras = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("ws")) - 1) / ParaW).cast("int")),
+          j => concat_ws(" ", slice(col("ws"), j * ParaW + 1, lit(ParaW)))))
+          .as(Seq("pos", "para")))
+    val first = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    paras.join(first, Seq("para"))
+      .select(col("doc_id"), col("pos"), col("para"),
+        (col("first.doc_id") === col("doc_id") &&
+          col("first.pos") === col("pos")).as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("para"))))),
+            p => p.getField("para"))).cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bit-exact replica: same 12-word segments, keep-first by
+    * (doc_id, pos) rank, same space-joined rewrite md5 (empty string
+    * when every paragraph was a duplicate). */
+  val ddParagraphSql: String =
+    """WITH docs AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+      paras AS (
+        SELECT doc_id, j AS pos,
+          array_to_string(ws[j*12+1 : j*12+12], ' ') AS para
+        FROM docs, unnest(range(0, ((len(ws)-1) // 12) + 1)) t(j)),
+      marked AS (
+        SELECT doc_id, pos, para,
+          row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS keep
+        FROM paras)
+      SELECT doc_id, count(*) AS n_paras,
+        count(*) FILTER (WHERE keep) AS n_kept,
+        md5(coalesce(
+          string_agg(para, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5
+      FROM marked GROUP BY doc_id ORDER BY doc_id"""
+
   /** Incremental Bloom-filter dedup — the approximate-membership
     * primitive an INGESTION pipeline needs: flag new documents that
     * share a 64-char window with the EXISTING corpus without ever
@@ -614,6 +682,7 @@ object Dedup {
     "dd_bloom_incr" -> ddBloomIncr,
     "dd_url_dedup" -> ddUrlDedup,
     "dd_substring" -> ddSubstring,
+    "dd_paragraph" -> ddParagraph,
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhashPairs,
     "dd_minhash_dedup" -> ddMinhashDedup,
@@ -802,6 +871,7 @@ ORDER BY doc_a, doc_b"""
   val oracles: Map[String, String] = Map(
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_substring" -> ddSubstringSql,
+    "dd_paragraph" -> ddParagraphSql,
     "dd_bloom_incr" -> ddBloomIncrSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashPairsSql,

@@ -325,6 +325,102 @@ JOIN emb qe ON qe.vec_id = r.q_id
 JOIN emb ve ON ve.vec_id = r.vec_id
 WHERE r.rank <= 10 ORDER BY q_id, rank"""
 
+  // ---- SQ (scalar quantization) --------------------------------------
+
+  private val SqLevels = 256
+
+  /** SQ8 top-k — the fourth classic ANN compression next to LSH / IVF
+    * / PQ: every dimension is quantized independently to an 8-bit code
+    * against per-dimension corpus [min, max] ranges, shrinking the
+    * scanned payload 8× (64 doubles → 64 bytes; FAISS's
+    * ScalarQuantizer). Queries stay exact and score candidates against
+    * the DEQUANTIZED vectors (asymmetric distance, like PQ's ADC);
+    * the reported top-k carries the exact cosine alongside.
+    *
+    * Scale: the range table is one posexplode → groupBy(dim) pass
+    * (dimension-bounded), broadcast as a single row; encoding and
+    * scoring are narrow per-row projections — the scan is embarrassingly
+    * parallel and at 100 TB it is the 8×-smaller column you scan, with
+    * IVF's bucketing composable on top exactly as with PQ. Scores are
+    * rounded at 6 decimals before ranking with id tie-breaks so
+    * cross-engine float-sum-order noise can't flip the order; ranges,
+    * codes and dequantization are exact double arithmetic the oracle
+    * replays bit-for-bit. */
+  val annSqTopk: Q = (s, d) => {
+    val v = vectors(s, d).select(col("vec_id"), col("emb"))
+    // per-dimension [min, max] over the corpus, rebuilt as two arrays
+    val st = broadcast(
+      v.select(posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+          .as("pr"))
+        .select(transform(col("pr"), p => p.getField("mn")).as("mns"),
+          transform(col("pr"), p => p.getField("mx")).as("mxs")))
+    // encode to 8-bit codes, dequantize to the cell midpoint
+    val rec = v.crossJoin(st).select(col("vec_id"), {
+      val sc = zip_with(col("emb"), col("mns"), (x, mn) => x - mn)
+      val rng = zip_with(col("mxs"), col("mns"), (mx, mn) => mx - mn)
+      val codes = zip_with(sc, rng, (a, r) =>
+        when(r === 0, lit(0)).otherwise(
+          least(lit(SqLevels - 1), greatest(lit(0),
+            floor(a / r * SqLevels).cast("int")))))
+      val half = zip_with(codes, rng, (c, r) =>
+        (c + lit(0.5)) * r / lit(SqLevels.toDouble))
+      zip_with(half, col("mns"), (h, mn) => h + mn).as("recon")
+    })
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sq").desc, col("vec_id"))
+    val ranked = rec.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qe"), col("recon")), 6).as("sq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    val qe = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+    ranked.join(broadcast(qe), Seq("q_id")).join(v, Seq("vec_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("sq"), 4).as("sq"),
+        round(graft.functions.ArrayKernels.cosineSim(col("emb"), col("qemb")), 4)
+          .as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact replica: per-dimension min/max, same floor-quantize /
+    * midpoint-dequantize arithmetic in the same operation order, same
+    * 6-decimal pre-rank rounding. */
+  val annSqTopkSql: String =
+    """WITH
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+st AS (
+  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+  FROM emb, unnest(range(1, 65)) t(i) GROUP BY i),
+stl AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+rec AS (
+  SELECT vec_id, list_transform(range(1, 65), i ->
+    (CASE WHEN mxs[i] - mns[i] = 0 THEN 0
+      ELSE least(255, greatest(0,
+        floor((e[i] - mns[i]) / (mxs[i] - mns[i]) * 256)::INT)) END
+     + 0.5) * (mxs[i] - mns[i]) / 256.0 + mns[i]) AS r
+  FROM emb, stl),
+sq AS (
+  SELECT q.vec_id AS q_id, v.vec_id,
+    round(list_sum(list_transform(range(1, 65), i -> q.e[i] * v.r[i])), 6) AS sq
+  FROM emb q JOIN rec v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < 5),
+ranked AS (
+  SELECT q_id, vec_id, sq,
+    row_number() OVER (PARTITION BY q_id ORDER BY sq DESC, vec_id) AS rank
+  FROM sq)
+SELECT r.q_id, r.rank, r.vec_id, round(r.sq, 4) AS sq,
+  round(list_cosine_similarity(qe.e, ve.e), 4) AS cos
+FROM ranked r
+JOIN emb qe ON qe.vec_id = r.q_id
+JOIN emb ve ON ve.vec_id = r.vec_id
+WHERE r.rank <= 10 ORDER BY q_id, rank"""
+
   // ---- semantic dedup (SemDeDup) -------------------------------------
 
   private val SemTau = 0.4
@@ -408,7 +504,8 @@ ORDER BY a.vec_id"""
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
-    "ann_pq_topk" -> annPqTopk)
+    "ann_pq_topk" -> annPqTopk,
+    "ann_sq_topk" -> annSqTopk)
 
   /** Exact DuckDB replica of the LSH path: the hyperplanes are
     * deterministic (murmur3 of the flat index via the same pure-SQL
@@ -494,5 +591,6 @@ FROM rer WHERE rank <= 10 ORDER BY q_id, rank"""
     "ann_brute_topk" -> annBruteTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
-    "ann_pq_topk" -> annPqTopkSql)
+    "ann_pq_topk" -> annPqTopkSql,
+    "ann_sq_topk" -> annSqTopkSql)
 }

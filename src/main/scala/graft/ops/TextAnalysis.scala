@@ -177,6 +177,79 @@ object TextAnalysis {
        FROM words JOIN freq USING (w) CROSS JOIN tot
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** CCNet-style perplexity bucketing: split the corpus into
+    * head / middle / tail thirds by language-model score — here the
+    * same corpus-unigram mean log-prob ta_unigram_logprob computes
+    * (higher = more fluent = head). The classic recipe keeps "head"
+    * for training and samples the rest.
+    *
+    * Scale design: the cutoffs are the N/3 and 2N/3 order statistics.
+    * Computing them never materializes N scores anywhere: scores are
+    * already rounded to a 1e-6 grid, so they collapse to a
+    * VALUE-HISTOGRAM (groupBy score → count) and the weighted exact
+    * `percentile(score, frac, cnt)` runs over distinct values, not
+    * rows. The percentile fractions (k-1)/(N-1) land exactly on data
+    * points, so no interpolation happens and the cutoff equals the
+    * k-th smallest grid value bit-for-bit — the DuckDB oracle computes
+    * the same order statistic by explicit rank. Bucket assignment is
+    * then a broadcast of two scalars — no global sort, no window. */
+  val taPplBucket: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = words.agg(count(lit(1)).as("t"))
+    val scored = words
+      .join(freq, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("c").cast("double") / col("t"))), 6).as("logprob"))
+    // parquet row-count read, no data pass (the embedNeardup gate shape)
+    val n = Tables.documents(s, d).count()
+    val k1 = n / 3
+    val k2 = 2 * n / 3
+    val f1 = (k1 - 1).toDouble / (n - 1)
+    val f2 = (k2 - 1).toDouble / (n - 1)
+    val hist = scored.groupBy(col("logprob")).agg(count(lit(1)).as("cnt"))
+    val cuts = hist.agg(
+      round(expr(s"percentile(logprob, ${f1}d, cnt)"), 6).as("c1"),
+      round(expr(s"percentile(logprob, ${f2}d, cnt)"), 6).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("logprob"),
+        when(col("logprob") >= col("c2"), lit("head"))
+          .when(col("logprob") >= col("c1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact replica: same unigram scores, cutoffs as the explicit
+    * N/3-th and 2N/3-th smallest scores by rank (the interpolation-free
+    * order statistic the engine's exact-landing percentile computes). */
+  val taPplBucketSql: String =
+    """WITH words AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),'\s+')) AS w
+         FROM documents),
+       freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+       tot AS (SELECT count(*) AS t FROM words),
+       scored AS (
+         SELECT doc_id, round(avg(ln(c::double / t)), 6) AS logprob
+         FROM words JOIN freq USING (w) CROSS JOIN tot
+         GROUP BY doc_id),
+       ranked AS (
+         SELECT logprob, row_number() OVER (ORDER BY logprob) AS rn,
+           count(*) OVER () AS n
+         FROM scored),
+       cuts AS (
+         SELECT max(CASE WHEN rn = n // 3 THEN logprob END) AS c1,
+                max(CASE WHEN rn = (2 * n) // 3 THEN logprob END) AS c2
+         FROM ranked)
+       SELECT doc_id, logprob,
+         CASE WHEN logprob >= c2 THEN 'head'
+              WHEN logprob >= c1 THEN 'middle'
+              ELSE 'tail' END AS bucket
+       FROM scored CROSS JOIN cuts
+       ORDER BY doc_id"""
+
   /** Deterministic hash-based stratified sampling (data mixing): each
     * language keeps the documents whose murmur3(doc_id) bucket over
     * 100 slots falls under its quota — the dominant source (en) is
@@ -519,6 +592,7 @@ object TextAnalysis {
     "ta_repetition" -> taRepetition,
     "ta_pii_scrub" -> taPiiScrub,
     "pipeline_mix" -> pipelineMix,
+    "ta_ppl_bucket" -> taPplBucket,
     "ta_unigram_logprob" -> taUnigramLogprob,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
@@ -602,6 +676,7 @@ ORDER BY f.doc_id"""
     "ta_repetition" -> taRepetitionSql,
     "ta_pii_scrub" -> taPiiScrubSql,
     "pipeline_mix" -> pipelineMixSql,
+    "ta_ppl_bucket" -> taPplBucketSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_unigram_logprob" -> taUnigramLogprobSql,
     "ta_tokens" -> taTokensSql,
