@@ -332,4 +332,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(sess.forall(_.getLong(4) >= 0)) // duration_s
     assert(sess.forall(_.getLong(2) >= 1)) // n_events
   }
+
+  test("paragraph dedup: duplicated units dropped once, uniques all kept") {
+    val docs = Tables.documents(spark, sf).count()
+    val rows = ops.Dedup.ddParagraph(spark, sf).collect()
+    assert(rows.length.toLong === docs, "one verdict row per document")
+    // kept never exceeds total; at least one doc loses a paragraph on
+    // this corpus (it has exact near-dups by construction)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "expected at least one duplicated paragraph across the corpus")
+    // global conservation: every distinct paragraph text is kept
+    // exactly once corpus-wide
+    val keptTotal = rows.map(_.getLong(2)).sum
+    val distinctParas = Tables.documents(spark, sf)
+      .select(explode(transform(
+        sequence(lit(0), ((size(split(trim(lower(col("text"))), "\\s+")) - 1) / 12).cast("int")),
+        j => concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), j * 12 + 1, lit(12)))))
+        .as("p"))
+      .distinct().count()
+    assert(keptTotal === distinctParas,
+      s"kept $keptTotal != $distinctParas distinct paragraph texts")
+  }
+
+  test("SQ8 ANN: codes bound reconstruction error; recall tracks brute force") {
+    val brute = ops.Similarity.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = ops.Similarity.annSqTopk(spark, sf).collect()
+    assert(sq.nonEmpty)
+    val sqSet = sq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (sqSet intersect brute).size.toDouble / brute.size
+    // 8-bit per-dim quantization is near-lossless on unit-scale dims
+    assert(recall >= 0.5, s"SQ8 recall too low: $recall")
+  }
+
+  test("perplexity bucketing partitions the corpus into ordered thirds") {
+    val rows = ops.TextAnalysis.taPplBucket(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === n)
+    val byBucket = rows.groupBy(_.getString(2)).view.mapValues(_.map(_.getDouble(1)))
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // ordering: every head score >= every middle score >= every tail score
+    for {
+      h <- byBucket.get("head"); m <- byBucket.get("middle")
+    } assert(h.min >= m.max, "head/middle overlap")
+    for {
+      m <- byBucket.get("middle"); t <- byBucket.get("tail")
+    } assert(m.min >= t.max, "middle/tail overlap")
+    // thirds are approximate only through score ties at the cutoffs:
+    // each bucket holds at least one doc on this corpus
+    assert(byBucket.size === 3, s"expected 3 buckets, got ${byBucket.keySet}")
+  }
 }
