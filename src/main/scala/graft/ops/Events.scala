@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -68,6 +68,86 @@ object Events {
                > 1800 THEN 1 ELSE 0 END AS is_new
            FROM events) g) s
        GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** Interval-overlap join — the range-join operator analytics engines
+    * special-case (DuckDB's IEJoin, Spark's storage for it is a
+    * BroadcastNestedLoop/cartesian unless rewritten): user sessions
+    * [s_start, s_end] joined to deterministic campaign windows
+    * [c_start, c_end] on temporal overlap, rolled up per campaign.
+    *
+    * Scale design: a raw `a.start <= b.end AND b.start <= a.end` join
+    * plans as a nested-loop cartesian — a scale-killer. Instead both
+    * interval sets are decomposed into the DAY BUCKETS they touch
+    * (bounded fan-out: sessions are minutes-to-hours, campaigns 24 h,
+    * so <= 2-3 buckets each), equi-joined on the bucket key — ONE
+    * hash shuffle, candidate pairs only — deduped, then the exact
+    * overlap predicate filters residual false bucket-mates. This is
+    * the standard distributed range-join rewrite; the bucket width
+    * tunes fan-out vs selectivity. PlanShapeSpec locks the no-
+    * cartesian property. */
+  val evIntervalJoin: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, d)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)))
+      .withColumn("is_new",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val campaigns = s.range(0, 20).toDF("campaign_id")
+      .select(col("campaign_id"),
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,36*campaign_id,0,0)")
+          .as("c_start"))
+      .withColumn("c_end", expr("c_start + interval '24' hour"))
+    def dayBuckets(a: Column, b: Column): Column =
+      explode(sequence(a.cast("date"), b.cast("date"), expr("interval '1' day")))
+    val sb = sessions.withColumn("bucket",
+      dayBuckets(col("s_start"), col("s_end")))
+    val cb = campaigns.withColumn("bucket",
+      dayBuckets(col("c_start"), col("c_end")))
+    sb.join(cb, Seq("bucket"))
+      .dropDuplicates("user_id", "session_id", "campaign_id")
+      .filter(col("s_start") <= col("c_end") && col("c_start") <= col("s_end"))
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("campaign_id"))
+  }
+
+  /** Oracle: the same sessions, campaigns from range arithmetic, and a
+    * DIRECT inequality overlap join (DuckDB's IEJoin machinery) — an
+    * independent join strategy validating the bucket rewrite end to
+    * end. */
+  val evIntervalJoinSql: String =
+    """WITH sess AS (
+         SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+         FROM (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM (
+             SELECT user_id, event_id, ts,
+               CASE WHEN date_diff('second',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                 IS NULL THEN 1
+               WHEN date_diff('second',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                 > 1800 THEN 1 ELSE 0 END AS is_new
+             FROM events) g) s
+         GROUP BY user_id, session_id),
+       camp AS (
+         SELECT c AS campaign_id,
+           TIMESTAMP '2024-01-01 00:00:00' + to_hours(36*c) AS c_start,
+           TIMESTAMP '2024-01-01 00:00:00' + to_hours(36*c + 24) AS c_end
+         FROM range(0, 20) t(c))
+       SELECT campaign_id, count(*) AS n_sessions,
+         count(DISTINCT user_id) AS n_users
+       FROM sess JOIN camp
+         ON s_start <= c_end AND c_start <= s_end
+       GROUP BY campaign_id ORDER BY campaign_id"""
 
   /** Latest-event-per-key dedup: keep the newest event per
     * (user, type) — the mutable-state "upsert view" of a stream. */
@@ -292,6 +372,7 @@ object Events {
     "ev_funnel" -> evFunnel,
     "ev_window_agg" -> evWindowAgg,
     "ev_sessionize" -> evSessionize,
+    "ev_interval_join" -> evIntervalJoin,
     "ev_dedup_latest" -> evDedupLatest)
 
   val oracles: Map[String, String] = Map(
@@ -301,5 +382,6 @@ object Events {
     "ev_funnel" -> evFunnelSql,
     "ev_window_agg" -> evWindowAggSql,
     "ev_sessionize" -> evSessionizeSql,
+    "ev_interval_join" -> evIntervalJoinSql,
     "ev_dedup_latest" -> evDedupLatestSql)
 }

@@ -129,6 +129,27 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ev_interval_join: bucket equi-join, never a range nested-loop") {
+    val p = phys("ev_interval_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must rewrite to a bucket equi-join:\n$p")
+  }
+
+  test("ann_sq_topk: range table broadcast, scan stays a projection") {
+    val p = phys("ann_sq_topk")
+    assert(!p.contains("CartesianProduct"), s"SQ scan went cartesian:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"per-dimension ranges / queries should broadcast:\n$p")
+  }
+
+  test("dd_paragraph: keep-first argmin partial-aggregates on the para key") {
+    val p = phys("dd_paragraph")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"keep-first min-struct must map-side combine:\n$p")
+  }
+
   test("ev_sessionize: one shuffle on user_id feeds every window stage") {
     val p = phys("ev_sessionize")
     val userShuffles =
