@@ -26,7 +26,17 @@ object Views {
 
   case class ViewDef(name: String, sql: String, sources: Map[String, String],
       version: Int,
-      representations: Seq[ViewRepresentation] = Seq.empty) {
+      representations: Seq[ViewRepresentation] = Seq.empty,
+      uuid: String = "",
+      properties: Map[String, String] = Map.empty) {
+    /** Stable identity for spec asserts (commit.rs AssertViewUuid):
+      * files written before uuid support resolve to a deterministic
+      * name-derived uuid, so existing views stay assertable. */
+    def viewUuid: String =
+      if (uuid.nonEmpty) uuid
+      else java.util.UUID.nameUUIDFromBytes(
+        ("graft-view:" + name).getBytes("UTF-8")).toString
+
     /** Effective representations: `sql` is the canonical "spark"
       * dialect; files written before multi-dialect support read as
       * that single representation. */
@@ -42,7 +52,8 @@ object Views {
 
   def createView(root: String, name: String, sql: String,
       sources: Map[String, String]): ViewDef = {
-    val d = ViewDef(name, sql, sources, 1)
+    val d = ViewDef(name, sql, sources, 1,
+      uuid = java.util.UUID.randomUUID().toString)
     writeView(root, d)
     d
   }
@@ -58,6 +69,11 @@ object Views {
         val rn = reps.addObject()
         rn.put("type", "sql"); rn.put("dialect", r.dialect); rn.put("sql", r.sql)
       }
+    }
+    if (d.uuid.nonEmpty) n.put("uuid", d.uuid)
+    if (d.properties.nonEmpty) {
+      val p = n.putObject("properties")
+      d.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
     }
     n
   }
@@ -92,7 +108,10 @@ object Views {
     ).toSeq).getOrElse(Seq.empty)
     (ViewDef(n.get("name").asText(), n.get("sql").asText(),
       n.get("sources").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
-      n.get("version").asInt(), reps), v)
+      n.get("version").asInt(), reps,
+      uuid = Option(n.get("uuid")).map(_.asText()).getOrElse(""),
+      properties = Option(n.get("properties")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)), v)
   }
 
   def viewExists(root: String): Boolean =

@@ -281,12 +281,118 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     graft.table.Views.ViewDef(name, sql, sources, 1, reps)
   }
 
+  /** The spec's CommitViewRequest (commit.rs:190-252): validate
+    * ViewRequirements against the live definition, fold ViewUpdates,
+    * CAS onto the next view version. A strict spec client (the
+    * reference's update_view) commits through this path; the simpler
+    * replace_view body stays supported alongside. */
+  private final case class ViewCommitHalt(code: Int, msg: String)
+    extends RuntimeException(msg)
+
+  private def commitViewSpec(ex: HttpExchange, root: String,
+      body: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    import scala.jdk.CollectionConverters._
+    def halt(code: Int, msg: String): Nothing = throw ViewCommitHalt(code, msg)
+    val (cur, curVersion) = graft.table.Views.loadViewVersioned(root)
+    try {
+      // requirements (commit.rs:242-252): assert-view-uuid is the only
+      // spec view requirement; a failed assert is a 409 commit conflict
+      val reqs = Option(body.get("requirements"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      reqs.foreach { r =>
+        r.get("type").asText() match {
+          case "assert-view-uuid" =>
+            val want = r.get("uuid").asText()
+            if (want != cur.viewUuid)
+              halt(409, s"requirement failed: view uuid changed: " +
+                s"expected $want, found ${cur.viewUuid}")
+          case other => halt(400, s"unknown view requirement: $other")
+        }
+      }
+      // fold updates (commit.rs:190-240 ViewUpdate)
+      var next = cur
+      var pendingVersion: Option[(Int, Seq[graft.table.Views.ViewRepresentation])] = None
+      var versionSet = false
+      body.get("updates").elements().asScala.foreach { u =>
+        u.get("action").asText() match {
+          case "assign-uuid" =>
+            val id = u.get("uuid").asText()
+            // not safe to re-assign an existing uuid (commit.rs:194)
+            if (cur.uuid.nonEmpty && cur.uuid != id)
+              halt(400, "assign-uuid: view already has a uuid")
+            next = next.copy(uuid = id)
+          case "upgrade-format-version" =>
+            val fv = u.get("format-version").asInt()
+            if (fv != 1)
+              halt(400, s"unsupported view format-version $fv (only 1)")
+          case "add-schema" =>
+            // accepted: graft derives a view's output schema from its
+            // SQL at query time, so the schema is re-derivable state
+            ()
+          case "set-location" =>
+            halt(400, "set-location unsupported: graft views are " +
+              "identity-addressed under the warehouse")
+          case "set-properties" =>
+            val ups = u.get("updates").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+            next = next.copy(properties = next.properties ++ ups)
+          case "remove-properties" =>
+            val rem = u.get("removals").elements().asScala.map(_.asText()).toSet
+            next = next.copy(properties = next.properties -- rem)
+          case "add-view-version" =>
+            val vv = u.get("view-version")
+            val vid = Option(vv.get("version-id")).map(_.asInt()).getOrElse(-1)
+            val reps = Option(vv.get("representations"))
+              .map(_.elements().asScala.map(rn =>
+                graft.table.Views.ViewRepresentation(
+                  rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
+              .getOrElse(Seq.empty)
+            if (reps.isEmpty)
+              halt(400, "add-view-version requires at least one representation")
+            pendingVersion = Some((vid, reps))
+          case "set-current-view-version" =>
+            val want = u.get("view-version-id").asInt()
+            pendingVersion match {
+              // -1 = "the version just added" (the standard client flow)
+              case Some((vid, _)) if want == -1 || want == vid =>
+                versionSet = true
+              case Some((vid, _)) =>
+                halt(400, s"set-current-view-version: $want does not " +
+                  s"match the added version $vid")
+              case None =>
+                halt(400, "set-current-view-version without " +
+                  "add-view-version in this commit")
+            }
+          case other => halt(400, s"unknown view update: $other")
+        }
+      }
+      pendingVersion.foreach { case (_, reps) =>
+        if (!versionSet)
+          halt(400, "add-view-version requires set-current-view-version")
+        val sparkSql = reps.find(_.dialect == "spark").map(_.sql)
+          .getOrElse(reps.head.sql)
+        next = next.copy(sql = sparkSql, representations = reps)
+      }
+      if (graft.table.Views.commitViewAt(root, next, curVersion))
+        reply(ex, 200, viewResult(root))
+      else reply(ex, 409,
+        errBody("view commit conflict: base version superseded", 409))
+    } catch {
+      case ViewCommitHalt(code, msg) => reply(ex, code, errBody(msg, code))
+    }
+  }
+
   /** LoadViewResult-ish shape: current definition + its version. */
   private def viewResult(root: String): Array[Byte] = {
     val (d, version) = graft.table.Views.loadViewVersioned(root)
     val n = mapper.createObjectNode()
     n.put("name", d.name); n.put("sql", d.sql)
     n.put("current-version", version)
+    n.put("view-uuid", d.viewUuid)
+    if (d.properties.nonEmpty) {
+      val p = n.putObject("properties")
+      d.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    }
     val s = n.putObject("sources")
     d.sources.foreach { case (k, v) => s.put(k, v) }
     val reps = n.putArray("representations")
@@ -719,25 +825,31 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         }
 
       case ("POST", Seq("namespaces", ns, "views", v)) =>
-        // replace_view: the body carries the new SQL plus the base
-        // version the client loaded; the versioned-file CAS turns a
-        // lost race into 409 (reference: replace_view :926)
+        // Two body shapes: the spec's CommitViewRequest
+        // (requirements + updates, commit.rs:190-252 ViewUpdate /
+        // ViewRequirement) for strict clients, and the simpler
+        // replace_view form (sql + base-version). Both CAS onto the
+        // next view version; a lost race is 409.
         val root = tableRoot(ns, v)
         if (!graft.table.Views.viewExists(root)) notFound(ex)
         else {
           val body = mapper.readTree(ex.getRequestBody)
-          val base = Option(body.get("base-version")).map(_.asInt())
-            .getOrElse(throw new BadRequest("base-version required"))
-          val (cur, curVersion) = graft.table.Views.loadViewVersioned(root)
-          if (base != curVersion)
-            reply(ex, 409, errBody(
-              s"view moved: base $base, current $curVersion", 409))
+          if (body.has("updates")) commitViewSpec(ex, root, body)
           else {
-            val d = viewFromBody(v, body).copy(name = cur.name)
-            if (graft.table.Views.commitViewAt(root, d, base))
-              reply(ex, 200, viewResult(root))
-            else reply(ex, 409,
-              errBody("view commit conflict: base version superseded", 409))
+            val base = Option(body.get("base-version")).map(_.asInt())
+              .getOrElse(throw new BadRequest(
+                "base-version required (or a spec updates/requirements body)"))
+            val (cur, curVersion) = graft.table.Views.loadViewVersioned(root)
+            if (base != curVersion)
+              reply(ex, 409, errBody(
+                s"view moved: base $base, current $curVersion", 409))
+            else {
+              val d = viewFromBody(v, body).copy(name = cur.name)
+              if (graft.table.Views.commitViewAt(root, d, base))
+                reply(ex, 200, viewResult(root))
+              else reply(ex, 409,
+                errBody("view commit conflict: base version superseded", 409))
+            }
           }
         }
 
@@ -1081,6 +1193,68 @@ object IcebergRestClient {
     }
     post(s"$base/v1/namespaces/$ns/views/$name",
       mapper.writeValueAsString(n)).statusCode()
+  }
+
+  /** The spec's CommitViewRequest (the reference client's update_view
+    * shape): assert-view-uuid + add-view-version/set-current-view-
+    * version(-1) + property updates. Returns the HTTP status. */
+  def commitView(base: String, ns: String, name: String,
+      assertUuid: Option[String] = None,
+      representations: Seq[(String, String)] = Seq.empty,
+      setProperties: Map[String, String] = Map.empty,
+      removeProperties: Seq[String] = Seq.empty,
+      versionId: Int = -1,
+      extraUpdates: Seq[com.fasterxml.jackson.databind.node.ObjectNode] =
+        Seq.empty): Int = {
+    val n = mapper.createObjectNode()
+    val reqs = n.putArray("requirements")
+    assertUuid.foreach { u =>
+      val r = reqs.addObject()
+      r.put("type", "assert-view-uuid"); r.put("uuid", u)
+    }
+    val ups = n.putArray("updates")
+    if (representations.nonEmpty) {
+      val add = ups.addObject()
+      add.put("action", "add-view-version")
+      val vv = add.putObject("view-version")
+      vv.put("version-id", 1)
+      val reps = vv.putArray("representations")
+      representations.foreach { case (d, q) =>
+        val rn = reps.addObject()
+        rn.put("type", "sql"); rn.put("dialect", d); rn.put("sql", q)
+      }
+      val cur = ups.addObject()
+      cur.put("action", "set-current-view-version")
+      cur.put("view-version-id", versionId)
+    }
+    if (setProperties.nonEmpty) {
+      val sp = ups.addObject()
+      sp.put("action", "set-properties")
+      val o = sp.putObject("updates")
+      setProperties.foreach { case (k, v) => o.put(k, v) }
+    }
+    if (removeProperties.nonEmpty) {
+      val rp = ups.addObject()
+      rp.put("action", "remove-properties")
+      val a = rp.putArray("removals")
+      removeProperties.foreach(a.add)
+    }
+    extraUpdates.foreach(ups.add)
+    post(s"$base/v1/namespaces/$ns/views/$name",
+      mapper.writeValueAsString(n)).statusCode()
+  }
+
+  /** view-uuid from LoadViewResult. */
+  def loadViewUuid(base: String, ns: String, name: String): String =
+    get(s"$base/v1/namespaces/$ns/views/$name").get("view-uuid").asText()
+
+  /** view properties from LoadViewResult (empty map when none). */
+  def loadViewProperties(base: String, ns: String,
+      name: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val n = get(s"$base/v1/namespaces/$ns/views/$name")
+    Option(n.get("properties")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
   }
 
   /** client_credentials grant: exchange id+secret for the catalog's

@@ -506,6 +506,61 @@ class IcebergInteropSpec extends AnyFunSuite {
       month(col("l_shipdate")) === 1).count())
   }
 
+  test("REST spec CommitViewRequest: assert-view-uuid, add-view-version, properties") {
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val wh = Files.createTempDirectory("graft-rest-vc").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+      C.createView(base, "db", "v_spec", "SELECT 1 AS one")
+      val uuid = C.loadViewUuid(base, "db", "v_spec")
+      assert(uuid.nonEmpty)
+
+      // strict-client commit: assert uuid, add a version, set current(-1)
+      assert(C.commitView(base, "db", "v_spec",
+        assertUuid = Some(uuid),
+        representations = Seq(
+          "spark" -> "SELECT 2 AS one",
+          "duckdb" -> "SELECT 2 AS one -- duckdb")) === 200)
+      val (sql, _, ver) = C.loadView(base, "db", "v_spec")
+      assert(sql.contains("SELECT 2") && ver === 2)
+      assert(C.loadViewRepresentations(base, "db", "v_spec").toMap
+        .contains("duckdb"))
+      // uuid is identity: survives version commits
+      assert(C.loadViewUuid(base, "db", "v_spec") === uuid)
+
+      // property lifecycle through spec updates
+      assert(C.commitView(base, "db", "v_spec", assertUuid = Some(uuid),
+        setProperties = Map("comment" -> "spec view", "owner" -> "ci")) === 200)
+      assert(C.loadViewProperties(base, "db", "v_spec") ===
+        Map("comment" -> "spec view", "owner" -> "ci"))
+      assert(C.commitView(base, "db", "v_spec",
+        removeProperties = Seq("owner")) === 200)
+      assert(C.loadViewProperties(base, "db", "v_spec") ===
+        Map("comment" -> "spec view"))
+
+      // failed requirement: wrong uuid -> 409, nothing committed
+      assert(C.commitView(base, "db", "v_spec",
+        assertUuid = Some("00000000-0000-0000-0000-000000000000"),
+        representations = Seq("spark" -> "SELECT 3")) === 409)
+      assert(C.loadView(base, "db", "v_spec")._1.contains("SELECT 2"))
+
+      // malformed flows refuse with 400, not silent acceptance
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val badCur = mapper.createObjectNode()
+      badCur.put("action", "set-current-view-version")
+      badCur.put("view-version-id", 7)
+      assert(C.commitView(base, "db", "v_spec",
+        extraUpdates = Seq(badCur)) === 400)
+      val badLoc = mapper.createObjectNode()
+      badLoc.put("action", "set-location")
+      badLoc.put("location", "/elsewhere")
+      assert(C.commitView(base, "db", "v_spec",
+        extraUpdates = Seq(badLoc)) === 400)
+    } finally server.stop()
+  }
+
   test("REST materialized views: create with storage, staleness via lineage, refresh, drop") {
     val spark0 = spark
     import spark0.implicits._
