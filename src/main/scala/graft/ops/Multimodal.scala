@@ -61,6 +61,26 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Near-duplicate PNG: the same LCG raster with every `stride`-th
+      * pixel XOR-perturbed — a re-encode with slight pixel noise, the
+      * input shape perceptual hashing exists for. */
+    def encodePngVariant(width: Int, height: Int, seed: Long,
+        xorMask: Int, stride: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var x = seed | 1L
+      var i = 0
+      while (i < width * height) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        val base = (x >>> 40).toInt & 0xffffff
+        img.setRGB(i % width, i / width,
+          if (i % stride == 0) base ^ xorMask else base)
+        i += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** Deterministic real WAV (RIFF/PCM16 mono 8kHz). */
     def encodeWav(nSamples: Int, seed: Long): Array[Byte] = {
       val dataLen = nSamples * 2
@@ -398,9 +418,138 @@ object Multimodal {
     GROUP BY doc_id % 4, doc_id % 5, (doc_id % 24) | 1
     ORDER BY keep_id"""
 
+  /** Perceptual image NEAR-dup — the approximate twin of
+    * mm_image_dedup's exact raster hash: re-encodes with slight pixel
+    * noise (the crawl reality: thumbnails, recompressions, watermark
+    * dots) defeat exact content hashing, so each decoded raster maps
+    * to a 64-bit block-mean perceptual hash (8×8 luminance grid, bit
+    * = block mean above the global mean — the classic aHash/pHash
+    * family, integer-exact by cross-multiplication) and near-dups are
+    * pairs within hamming <= 3. Every document carries an image here:
+    * even ids the base raster, odd ids a variant with every 191st
+    * pixel XOR-perturbed — visually identical, byte-wise different.
+    *
+    * Scale: decode+hash is partition-local (the only thing that ever
+    * crosses the wire is (id, 8-byte hash)); candidate pairs come
+    * from the dd_simhash pigeonhole — 16-bit chunk agreement is
+    * LOSSLESS for hamming <= 3 over 4 chunks — so pair generation is
+    * an equi-join on (chunk, value), never N² over rasters. The
+    * oracle replays the pixel LCG arithmetically (PNG is lossless),
+    * recomputes every block sum and hash bit in pure SQL, and scans
+    * ALL pairs exhaustively — if chunk bucketing ever dropped a true
+    * near-dup pair, the gate fails. */
+  val mmImagePhash: Q = (s, d) => {
+    import s.implicits._
+    val hashed = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 2
+        val w = 16 + (g % 4).toInt * 8
+        val h = 16 + (g % 3).toInt * 8
+        val png =
+          if (id % 2 == 0) MediaCodec.encodePng(w, h, g)
+          else MediaCodec.encodePngVariant(w, h, g, 0x0f0f, 191)
+        val img = ImageIO.read(new ByteArrayInputStream(png))
+        val bw = w / 8
+        val bh = h / 8
+        val sums = new Array[Long](64)
+        var i = 0
+        while (i < w * h) {
+          val p = img.getRGB(i % w, i / w)
+          val lum = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)
+          sums(((i / w) / bh) * 8 + ((i % w) / bw)) += lum
+          i += 1
+        }
+        val total = sums.sum
+        var hash = 0L
+        var b = 0
+        // equal-count blocks (8 | w and 8 | h), so S*64 > total is the
+        // exact integer form of "block mean above global mean"
+        while (b < 64) { if (sums(b) * 64 > total) hash |= (1L << b); b += 1 }
+        (id, hash)
+      }).toDF("doc_id", "ph")
+    val keyed = hashed.select(col("doc_id"), col("ph"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("ph"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("ph"), col("x.c").as("c"), col("x.v").as("v"))
+    val a = keyed.select(col("c"), col("v"), col("doc_id").as("doc_a"),
+      col("ph").as("pa"))
+    val b = keyed.select(col("c"), col("v"), col("doc_id").as("doc_b"),
+      col("ph").as("pb"))
+    a.join(b, Seq("c", "v")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Pure-SQL replica: the pixel LCG replayed per image group by a
+    * recursive CTE in HUGEINT mod-2^64 arithmetic (PNG is lossless, so
+    * the decoded raster IS the generated one), block sums and hash
+    * bits recomputed integer-exactly for both the base and the
+    * XOR-perturbed variant, hashes held as two 32-bit halves, and an
+    * EXHAUSTIVE all-pairs hamming scan. */
+  val mmImagePhashSql: String =
+    """WITH RECURSIVE
+par AS (
+  SELECT g, 16 + (g % 4) * 8 AS w, 16 + (g % 3) * 8 AS h
+  FROM (SELECT DISTINCT doc_id // 2 AS g FROM documents)),
+pix AS (
+  SELECT g, w, h, 0::BIGINT AS i,
+    ((g | 1)::HUGEINT % 18446744073709551616) AS x, 0::HUGEINT AS px
+  FROM par
+  UNION ALL
+  SELECT g, w, h, i + 1, xn, (xn // 1099511627776) % 16777216
+  FROM (SELECT g, w, h, i,
+      ((x * 6364136223846793005 + 1442695040888963407)
+        % 18446744073709551616) AS xn
+    FROM pix WHERE i < w * h) t),
+lums AS (
+  SELECT g, w, h, i - 1 AS idx, px::BIGINT AS p
+  FROM pix WHERE i >= 1),
+cells AS (
+  SELECT g,
+    ((idx // w) // (h // 8)) * 8 + ((idx % w) // (w // 8)) AS cell,
+    sum(299 * ((p // 65536) % 256) + 587 * ((p // 256) % 256)
+      + 114 * (p % 256)) AS s0,
+    sum(299 * (((CASE WHEN idx % 191 = 0 THEN xor(p, 3855) ELSE p END)
+        // 65536) % 256)
+      + 587 * (((CASE WHEN idx % 191 = 0 THEN xor(p, 3855) ELSE p END)
+        // 256) % 256)
+      + 114 * ((CASE WHEN idx % 191 = 0 THEN xor(p, 3855) ELSE p END)
+        % 256)) AS s1
+  FROM lums GROUP BY g, cell),
+tot AS (SELECT g, sum(s0) AS t0, sum(s1) AS t1 FROM cells GROUP BY g),
+hashes AS (
+  SELECT c.g,
+    sum(CASE WHEN s0 * 64 > t0 AND cell < 32
+      THEN (1::BIGINT << cell) ELSE 0 END) AS lo0,
+    sum(CASE WHEN s0 * 64 > t0 AND cell >= 32
+      THEN (1::BIGINT << (cell - 32)) ELSE 0 END) AS hi0,
+    sum(CASE WHEN s1 * 64 > t1 AND cell < 32
+      THEN (1::BIGINT << cell) ELSE 0 END) AS lo1,
+    sum(CASE WHEN s1 * 64 > t1 AND cell >= 32
+      THEN (1::BIGINT << (cell - 32)) ELSE 0 END) AS hi1
+  FROM cells c JOIN tot USING (g) GROUP BY c.g),
+dh AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id % 2 = 0 THEN h.lo0 ELSE h.lo1 END AS lo,
+    CASE WHEN d.doc_id % 2 = 0 THEN h.hi0 ELSE h.hi1 END AS hi
+  FROM documents d JOIN hashes h ON h.g = d.doc_id // 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+ORDER BY doc_a, doc_b"""
+
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_image_dedup" -> mmImageDedup,
+    "mm_image_phash" -> mmImagePhash,
     "mm_audio_dedup" -> mmAudioDedup,
     "mm_video_dedup" -> mmVideoDedup)
 
@@ -433,6 +582,7 @@ FROM documents ORDER BY media_id"""
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_image_dedup" -> mmImageDedupSql,
+    "mm_image_phash" -> mmImagePhashSql,
     "mm_audio_dedup" -> mmAudioDedupSql,
     "mm_video_dedup" -> mmVideoDedupSql)
 }

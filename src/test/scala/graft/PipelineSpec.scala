@@ -333,6 +333,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(sess.forall(_.getLong(2) >= 1)) // n_events
   }
 
+  test("perceptual hash pairs the perturbed re-encode with its base image") {
+    val docs = Tables.documents(spark, sf).count()
+    val pairs = ops.Multimodal.mmImagePhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    // every found pair is a planted (base, variant) partner pair —
+    // byte-different PNGs, perceptually identical rasters
+    assert(pairs.forall { case (a, b, h) => b == a + 1 && a % 2 == 0 && h <= 3 },
+      s"unexpected cross-group near-dup: ${pairs.find(p => p._2 != p._1 + 1)}")
+    // and the perturbation never pushes a pair past the threshold
+    assert(pairs.length.toLong === docs / 2,
+      s"expected ${docs / 2} planted pairs, found ${pairs.length}")
+  }
+
   test("paragraph dedup: duplicated units dropped once, uniques all kept") {
     val docs = Tables.documents(spark, sf).count()
     val rows = ops.Dedup.ddParagraph(spark, sf).collect()
