@@ -844,7 +844,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
               reply(ex, 409, errBody(
                 s"view moved: base $base, current $curVersion", 409))
             else {
-              val d = viewFromBody(v, body).copy(name = cur.name)
+              // replace_view swaps the DEFINITION; identity (uuid) and
+              // properties ride along (the model check caught the
+              // fresh-ViewDef form silently wiping both)
+              val d = viewFromBody(v, body).copy(name = cur.name,
+                uuid = cur.uuid, properties = cur.properties)
               if (graft.table.Views.commitViewAt(root, d, base))
                 reply(ex, 200, viewResult(root))
               else reply(ex, 409,

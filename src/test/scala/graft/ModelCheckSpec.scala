@@ -201,6 +201,94 @@ class ModelCheckSpec extends AnyFunSuite {
     }
   }
 
+  /** Model check of the REST view-commit protocol: a seeded random
+    * sequence of legacy replace_view calls, spec CommitViewRequests
+    * (version adds, property set/remove), and DELIBERATE failures
+    * (stale base, wrong uuid, malformed update) runs against a live
+    * server; after every op the loaded view — sql, representations,
+    * properties, uuid, version — must equal an in-memory model, and
+    * every rejected commit must leave the model state untouched. */
+  private def runViewSequence(seed: Long, nOps: Int): Unit = {
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val rnd = new scala.util.Random(seed)
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft-view-model-$seed").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+      C.createView(base, "db", "v", "SELECT 0 AS c")
+      val uuid = C.loadViewUuid(base, "db", "v")
+
+      var mSql = "SELECT 0 AS c"
+      var mReps = Map("spark" -> "SELECT 0 AS c")
+      var mProps = Map.empty[String, String]
+      var mVersion = 1
+
+      def check(tag: String): Unit = {
+        val (sql, _, ver) = C.loadView(base, "db", "v")
+        assert(sql === mSql, s"seed=$seed op=$tag sql diverged")
+        assert(ver === mVersion, s"seed=$seed op=$tag version diverged")
+        assert(C.loadViewRepresentations(base, "db", "v").toMap === mReps,
+          s"seed=$seed op=$tag representations diverged")
+        assert(C.loadViewProperties(base, "db", "v") === mProps,
+          s"seed=$seed op=$tag properties diverged")
+        assert(C.loadViewUuid(base, "db", "v") === uuid,
+          s"seed=$seed op=$tag uuid changed")
+      }
+
+      for (i <- 1 to nOps) {
+        rnd.nextInt(8) match {
+          case 0 | 1 => // legacy replace with the current base
+            val sql = s"SELECT $i AS c"
+            assert(C.replaceView(base, "db", "v", sql,
+              baseVersion = mVersion) === 200)
+            mSql = sql; mReps = Map("spark" -> sql); mVersion += 1
+          case 2 => // spec commit: new version with 1-2 dialects
+            val sql = s"SELECT $i AS c /* spec */"
+            val reps = Seq("spark" -> sql) ++
+              (if (rnd.nextBoolean()) Seq("duckdb" -> s"$sql -- duckdb")
+               else Seq.empty)
+            assert(C.commitView(base, "db", "v",
+              assertUuid = Some(uuid), representations = reps) === 200)
+            mSql = sql; mReps = reps.toMap; mVersion += 1
+          case 3 => // spec commit: set a property
+            val k = s"p${rnd.nextInt(4)}"
+            assert(C.commitView(base, "db", "v",
+              setProperties = Map(k -> s"val$i")) === 200)
+            mProps += k -> s"val$i"; mVersion += 1
+          case 4 => // spec commit: remove a (maybe absent) property
+            val k = s"p${rnd.nextInt(5)}"
+            assert(C.commitView(base, "db", "v",
+              removeProperties = Seq(k)) === 200)
+            mProps -= k; mVersion += 1
+          case 5 if mVersion > 1 => // stale legacy base -> 409, no change
+            assert(C.replaceView(base, "db", "v", "SELECT -1",
+              baseVersion = mVersion - 1) === 409)
+          case 6 => // wrong uuid assert -> 409, no change
+            assert(C.commitView(base, "db", "v",
+              assertUuid = Some("00000000-0000-0000-0000-000000000001"),
+              representations = Seq("spark" -> "SELECT -2")) === 409)
+          case _ => // malformed: set-current without an add -> 400
+            val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            val bad = m.createObjectNode()
+            bad.put("action", "set-current-view-version")
+            bad.put("view-version-id", 5)
+            assert(C.commitView(base, "db", "v",
+              extraUpdates = Seq(bad)) === 400)
+        }
+        check(s"#$i")
+      }
+    } finally server.stop()
+  }
+
+  test("view-protocol random sequences agree with the model (seed 5)") {
+    runViewSequence(5L, 25)
+  }
+  test("view-protocol random sequences agree with the model (seed 77)") {
+    runViewSequence(77L, 25)
+  }
+
   test("random op sequences agree with the in-memory model (seed 11)") {
     runSequence(11L, 30)
   }
