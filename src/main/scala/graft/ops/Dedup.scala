@@ -504,6 +504,68 @@ object Dedup {
       FROM wins JOIN shared USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Overlap-coefficient (containment) set-similarity join — the
+    * asymmetric dedup Jaccard misses: a short document wholly embedded
+    * in a longer one (quoted article, excerpt page) has low Jaccard
+    * but overlap |A∩B| / min(|A|,|B|) near 1. Candidate generation is
+    * rare-token prefix filtering (the PPJoin-family technique): only
+    * pairs sharing a shingle with document frequency in [2, 20] are
+    * compared — Σ df² over rare shingles bounds the join, and common
+    * boilerplate shingles can never explode it. The candidate rule is
+    * part of the operator's CONTRACT (the oracle replays it exactly),
+    * which is how production set-similarity joins are actually
+    * specified. One shuffle on the shingle key, one on the pair. */
+  val ddContainment: Q = (s, d) => {
+    val sh = docShingles(s, d)
+    val ex = sh.select(col("doc_id"), explode(col("sh_arr")).as("w"))
+    val rare = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 20)
+      .select(col("w"))
+    val keyed = ex.join(rare, Seq("w"))
+    val cands = keyed.select(col("w"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("w"), col("doc_id").as("doc_b")), Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("arr_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("arr_a"), col("arr_b"))).cast("double") /
+          least(size(col("arr_a")), size(col("arr_b")))).as("ov_raw"))
+      .filter(col("ov_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("ov_raw"), 4).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact replica: same shingles, same [2,20]-df rare-token candidate
+    * rule, same overlap coefficient and threshold. */
+  val ddContainmentSql: String =
+    """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(ws) >= 3
+            THEN list_distinct(list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+            ELSE [trim(lower(text))] END AS sh_arr
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents)),
+      ex AS (SELECT doc_id, unnest(sh_arr) AS w FROM sh),
+      rare AS (SELECT w FROM ex GROUP BY w HAVING count(*) BETWEEN 2 AND 20),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN rare r ON r.w = a.w
+        JOIN ex b ON b.w = a.w AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(sa.sh_arr, sb.sh_arr))::DOUBLE
+            / least(len(sa.sh_arr), len(sb.sh_arr)) AS ov
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, round(ov, 4) AS overlap
+      FROM scored WHERE ov >= 0.8 ORDER BY doc_a, doc_b"""
+
   private val ParaW = 12 // words per paragraph unit
 
   /** Duplicate-paragraph REMOVAL — the Dolma/CCNet rewrite pass that
@@ -683,6 +745,7 @@ object Dedup {
     "dd_url_dedup" -> ddUrlDedup,
     "dd_substring" -> ddSubstring,
     "dd_paragraph" -> ddParagraph,
+    "dd_containment" -> ddContainment,
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhashPairs,
     "dd_minhash_dedup" -> ddMinhashDedup,
@@ -872,6 +935,7 @@ ORDER BY doc_a, doc_b"""
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_substring" -> ddSubstringSql,
     "dd_paragraph" -> ddParagraphSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_bloom_incr" -> ddBloomIncrSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashPairsSql,
