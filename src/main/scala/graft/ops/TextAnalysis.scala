@@ -250,6 +250,99 @@ object TextAnalysis {
        FROM scored CROSS JOIN cuts
        ORDER BY doc_id"""
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-domain-like it is under hashed-bigram
+    * unigram models of the TARGET domain (here: the non-English slice)
+    * vs the RAW corpus — log w(d) = Σ over d's bigram instances of
+    * ln(p_target(f)/p_raw(f)) with Laplace smoothing over the 8192
+    * hash buckets. Real pipelines then resample by these weights; the
+    * weight computation is the distributed part.
+    *
+    * Scale design: feature counting is one conditional-agg groupBy
+    * over hashed features (8192 buckets, bounded); the bucket ratio
+    * table collapses to a SINGLE broadcast row holding a dense
+    * array<double>, and per-doc scoring is a narrow projection — the
+    * bigram fold runs INSIDE the row (left-to-right, deterministic),
+    * so no per-doc float sum ever crosses a shuffle and the only
+    * cross-engine seam is ln() on bit-identical ratios (each ratio is
+    * one division of exact integer products). md5-prefix feature
+    * hashing is the dd_bloom_incr primitive — replayed exactly in
+    * SQL. */
+  val taDsirWeight: Q = (s, d) => {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val B = 8192
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(size(ws) >= 2,
+          zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+    val feat = (b: Column) =>
+      conv(substring(md5(b), 1, 15), 16, 10).cast("long") % B
+    val feats = docs
+      .select(explode(col("bigrams")).as("b"), col("lang"))
+      .select(feat(col("b")).as("f"), col("lang"))
+    val stats = feats.groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") =!= "en", 1)).as("ct"))
+    val tots = feats.agg(count(lit(1)).as("tr"),
+      count(when(col("lang") =!= "en", 1)).as("tt"))
+    // dense per-bucket ratio array on ONE row:
+    // p_t/p_r = (ct+1)(tr+B) / ((cr+1)(tt+B)) — one exact division
+    val dense = s.range(0, B).toDF("f")
+      .join(stats, Seq("f"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("f"),
+        (((coalesce(col("ct"), lit(0L)) + 1) * (col("tr") + B)).cast("double") /
+          ((coalesce(col("cr"), lit(0L)) + 1) * (col("tt") + B))).as("ratio"))
+      .agg(array_sort(collect_list(struct(col("f"), col("ratio")))).as("pr"))
+      .select(transform(col("pr"), p => p.getField("ratio")).as("ratios"))
+    docs.crossJoin(broadcast(dense))
+      .select(col("doc_id"), size(col("bigrams")).as("n_bigrams"),
+        round(aggregate(transform(col("bigrams"), b =>
+          log(element_at(col("ratios"),
+            (feat(b) + 1).cast("int")))),
+          lit(0.0), (acc, x) => acc + x), 6).as("logweight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact replica: same bigrams, same md5-prefix bucket hash, dense
+    * ratio list built by rank order, same in-row left-to-right fold. */
+  val taDsirWeightSql: String =
+    """WITH docs AS (
+        SELECT doc_id, lang,
+          CASE WHEN len(ws) >= 2
+            THEN list_transform(range(1, len(ws)),
+              i -> ws[i] || ' ' || ws[i+1])
+            ELSE []::VARCHAR[] END AS bigrams
+        FROM (SELECT doc_id, lang,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents)),
+      feats AS (
+        SELECT (('0x' || substr(md5(b), 1, 15))::BIGINT % 8192) AS f, lang
+        FROM (SELECT unnest(bigrams) AS b, lang FROM docs)),
+      stats AS (
+        SELECT f, count(*) AS cr,
+          count(*) FILTER (WHERE lang <> 'en') AS ct
+        FROM feats GROUP BY f),
+      tots AS (
+        SELECT count(*) AS tr,
+          count(*) FILTER (WHERE lang <> 'en') AS tt
+        FROM feats),
+      dense AS (
+        SELECT list(((coalesce(ct, 0) + 1) * (tr + 8192))::DOUBLE
+            / ((coalesce(cr, 0) + 1) * (tt + 8192)) ORDER BY fr.f) AS ratios
+        FROM range(0, 8192) fr(f)
+        LEFT JOIN stats ON stats.f = fr.f
+        CROSS JOIN tots)
+      SELECT doc_id, len(bigrams)::INT AS n_bigrams,
+        round(list_sum(list_transform(bigrams, b ->
+          ln(ratios[((('0x' || substr(md5(b), 1, 15))::BIGINT % 8192) + 1)::INT])
+        )), 6) AS logweight
+      FROM docs CROSS JOIN dense
+      ORDER BY doc_id"""
+
   /** Deterministic hash-based stratified sampling (data mixing): each
     * language keeps the documents whose murmur3(doc_id) bucket over
     * 100 slots falls under its quota — the dominant source (en) is
@@ -593,6 +686,7 @@ object TextAnalysis {
     "ta_pii_scrub" -> taPiiScrub,
     "pipeline_mix" -> pipelineMix,
     "ta_ppl_bucket" -> taPplBucket,
+    "ta_dsir_weight" -> taDsirWeight,
     "ta_unigram_logprob" -> taUnigramLogprob,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
@@ -677,6 +771,7 @@ ORDER BY f.doc_id"""
     "ta_pii_scrub" -> taPiiScrubSql,
     "pipeline_mix" -> pipelineMixSql,
     "ta_ppl_bucket" -> taPplBucketSql,
+    "ta_dsir_weight" -> taDsirWeightSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_unigram_logprob" -> taUnigramLogprobSql,
     "ta_tokens" -> taTokensSql,
