@@ -333,6 +333,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(sess.forall(_.getLong(2) >= 1)) // n_events
   }
 
+  test("containment join: overlaps in range, planted dups found") {
+    val rows = ops.Dedup.ddContainment(spark, sf).collect()
+    assert(rows.nonEmpty, "no containment pairs on a near-dup corpus")
+    assert(rows.forall { r =>
+      val ov = r.getDouble(2); ov >= 0.8 && ov <= 1.0
+    })
+  }
+
+  test("DSIR weights rank the target domain above the raw majority") {
+    val rows = ops.TextAnalysis.taDsirWeight(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val target = langs.filter(_._2 != "en").map(l => rows(l._1))
+    val raw = langs.filter(_._2 == "en").map(l => rows(l._1))
+    assert(target.nonEmpty && raw.nonEmpty)
+    // the importance weight exists to separate the domains: the mean
+    // target-domain log-weight must exceed the raw-majority mean
+    assert(target.sum / target.size > raw.sum / raw.size,
+      "target-domain docs should score higher importance")
+  }
+
   test("perceptual hash pairs the perturbed re-encode with its base image") {
     val docs = Tables.documents(spark, sf).count()
     val pairs = ops.Multimodal.mmImagePhash(spark, sf).collect()
