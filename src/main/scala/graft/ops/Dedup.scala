@@ -671,34 +671,42 @@ object Dedup {
     * window sharing) is emitted alongside so false positives are
     * visible, and Bloom's one-sided guarantee (bloom_hit >= true_hit)
     * is oracle-checked per doc. */
-  val ddBloomIncr: Q = (s, d) => {
-    val P = 2147483647L
-    val M = 16777216L
-    val ab = Seq((1103515245L, 12345L), (214013L, 2531011L),
-      (48271L, 0L), (16807L, 12820163L))
-    def winsOf(df: DataFrame) = df
-      .filter(length(col("text")) >= SubW)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0),
-            ((length(col("text")) - SubW) / SubS).cast("int")),
-          i => col("text").substr(i * SubS + 1, lit(SubW))))).as("w"))
-    val docs = Tables.documents(s, d)
-      .withColumn("grp", substring(col("source"), 4, 9).cast("int"))
-    val oldWins = winsOf(docs.filter(col("grp") < 10))
-    val newWins = winsOf(docs.filter(col("grp") >= 10))
-    def positions(df: DataFrame) = {
-      val h31 = conv(substring(md5(col("w")), 1, 15), 16, 10)
-        .cast("long") % lit(P)
-      df.select(col("doc_id") +: col("w") +:
-        ab.zipWithIndex.map { case ((a, b), i) =>
-          (((lit(a) * h31 + lit(b)) % lit(P)) % lit(M)).as(s"p$i")
-        }: _*)
-    }
-    val bits = positions(oldWins)
+  private val BloomP = 2147483647L
+  private val BloomM = 16777216L
+  private val BloomAb = Seq((1103515245L, 12345L), (214013L, 2531011L),
+    (48271L, 0L), (16807L, 12820163L))
+
+  /** Distinct 64-char stride-32 windows per doc (the dd_substring
+    * window family). */
+  private[graft] def bloomWins(df: DataFrame): DataFrame = df
+    .filter(length(col("text")) >= SubW)
+    .select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0),
+          ((length(col("text")) - SubW) / SubS).cast("int")),
+        i => col("text").substr(i * SubS + 1, lit(SubW))))).as("w"))
+
+  private def bloomPositions(df: DataFrame): DataFrame = {
+    val h31 = conv(substring(md5(col("w")), 1, 15), 16, 10)
+      .cast("long") % lit(BloomP)
+    df.select(col("doc_id") +: col("w") +:
+      BloomAb.zipWithIndex.map { case ((a, b), i) =>
+        (((lit(a) * h31 + lit(b)) % lit(BloomP)) % lit(BloomM)).as(s"p$i")
+      }: _*)
+  }
+
+  /** The history side collapsed to its set Bloom positions. */
+  private[graft] def bloomBits(oldDocs: DataFrame): DataFrame =
+    bloomPositions(bloomWins(oldDocs))
       .select(explode(array((0 until 4).map(i => col(s"p$i")): _*)).as("pos"))
       .distinct()
-    val bloomDocs = positions(newWins)
+
+  /** Docs (from `newDocs`) the broadcast filter flags: some window has
+    * all four positions set. This is the per-arrival probe an
+    * ingestion stream runs — `bits` stays fixed while batches flow. */
+  private[graft] def bloomProbe(newDocs: DataFrame,
+      bits: DataFrame): DataFrame =
+    bloomPositions(bloomWins(newDocs))
       .select(col("doc_id"), col("w"),
         posexplode(array((0 until 4).map(i => col(s"p$i")): _*)))
       .toDF("doc_id", "w", "i", "pos")
@@ -708,6 +716,15 @@ object Dedup {
       .filter(col("nhit") === 4)
       .select(col("doc_id")).distinct()
       .withColumn("bloom_hit", lit(1))
+
+  val ddBloomIncr: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("grp", substring(col("source"), 4, 9).cast("int"))
+    val oldDocs = docs.filter(col("grp") < 10)
+    val newWins = bloomWins(docs.filter(col("grp") >= 10))
+    val oldWins = bloomWins(oldDocs)
+    val bits = bloomBits(oldDocs)
+    val bloomDocs = bloomProbe(docs.filter(col("grp") >= 10), bits)
     val trueDocs = newWins
       .join(oldWins.select(col("w")).distinct(), Seq("w"), "left_semi")
       .select(col("doc_id")).distinct()

@@ -94,6 +94,48 @@ class StreamingSpec extends AnyFunSuite {
       "incrementally-accumulated CMS disagrees with the batch sketch")
   }
 
+  test("streaming Bloom ingestion: per-batch probes equal the batch dedup") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-stream").toFile
+    dir.deleteOnExit()
+    val docs = Tables.documents(spark, sf)
+      .withColumn("grp", substring(col("source"), 4, 9).cast("int"))
+    // history builds the filter ONCE; new docs arrive over 4
+    // micro-batches and probe the same broadcast bits — the ingestion
+    // shape the operator exists for
+    val bits = ops.Dedup.bloomBits(docs.filter(col("grp") < 10))
+      .localCheckpoint()
+    docs.filter(col("grp") >= 10).select("doc_id", "text")
+      .repartition(4).write.mode("overwrite").parquet(dir + "/in")
+
+    val flagged = scala.collection.mutable.Set[Long]()
+    val seen = scala.collection.mutable.Set[Long]()
+    val stream = spark.readStream
+      .schema(docs.select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen ++= batch.select("doc_id").as[Long].collect()
+        flagged ++= ops.Dedup.bloomProbe(batch, bits)
+          .select("doc_id").as[Long].collect()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val batchOut = ops.Dedup.ddBloomIncr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the operator only emits docs long enough to carry a window, so
+    // the stream covers a superset of the batch output's doc set
+    assert(seen.nonEmpty && batchOut.keySet.subsetOf(seen),
+      "stream did not cover the new-doc set")
+    // per-batch probe flags must equal the batch operator's bloom_hit
+    assert(flagged === batchOut.filter(_._2 == 1).keySet,
+      "incremental Bloom probes disagree with the batch dedup")
+  }
+
   test("graft table as a streaming source: snapshots arrive as micro-batches") {
     val spark0 = spark
     import spark0.implicits._
