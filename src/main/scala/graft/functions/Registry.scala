@@ -43,13 +43,17 @@ object Registry {
     }
 }
 
-/** Session-extension registration (injectFunction). */
+/** Session-extension registration: SQL functions (injectFunction) and
+  * the automatic range-join rewrite (injectOptimizerRule) — interval
+  * overlap joins become bucket equi-joins instead of nested loops. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+  }
 }

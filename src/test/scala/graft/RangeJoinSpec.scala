@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The automatic range-join rewrite (graft.plans.RangeJoinRewrite):
+  * pure interval-overlap joins must leave the nested-loop plan class
+  * and match the naive join's results exactly — including duplicate
+  * row multiplicity and null-interval drops. */
+class RangeJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def withRule[A](f: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.RangeJoinRewrite(spark)
+    try f finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def fixtures = {
+    val spark0 = spark
+    import spark0.implicits._
+    // sessions across three days, including a DUPLICATE row (id 2) and
+    // a null interval (id 5) — multiplicity and null semantics must
+    // survive the rewrite
+    val a = Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      (2L, "2024-01-01 23:30:00", "2024-01-02 00:30:00"),
+      (2L, "2024-01-01 23:30:00", "2024-01-02 00:30:00"),
+      (3L, "2024-01-03 05:00:00", "2024-01-03 06:00:00"),
+      (4L, "2024-01-02 12:00:00", "2024-01-02 12:10:00"),
+      (5L, null, null))
+      .toDF("a_id", "s", "e")
+      .select(col("a_id"), col("s").cast("timestamp").as("a_start"),
+        col("e").cast("timestamp").as("a_end"))
+    val b = Seq(
+      (10L, "2024-01-01 10:30:00", "2024-01-01 12:00:00"),
+      (11L, "2024-01-01 22:00:00", "2024-01-02 01:00:00"),
+      (12L, "2024-01-02 11:00:00", "2024-01-02 13:00:00"),
+      (13L, "2024-01-04 00:00:00", "2024-01-04 01:00:00"))
+      .toDF("b_id", "s", "e")
+      .select(col("b_id"), col("s").cast("timestamp").as("b_start"),
+        col("e").cast("timestamp").as("b_end"))
+    (a, b)
+  }
+
+  test("overlap joins rewrite to bucket equi-joins with identical results") {
+    val (a, b) = fixtures
+    val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
+    val naive = a.join(b, cond).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (rewritten, plan) = withRule {
+      val df = a.join(b, cond).select("a_id", "b_id")
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(naive.nonEmpty)
+    assert(rewritten.toSeq === naive.toSeq,
+      "rewritten range join diverged from the naive join")
+    // duplicate left row must appear twice in both
+    assert(rewritten.count(_._1 == 2L) === naive.count(_._1 == 2L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule did not remove the nested-loop plan:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected bucket explode in the rewritten plan:\n$plan")
+  }
+
+  test("joins with an equality conjunct are left alone") {
+    val (a, b) = fixtures
+    val cond = col("a_id") === col("b_id") &&
+      col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
+    val plan = withRule {
+      a.join(b, cond).queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Generate"),
+      s"equality join must not bucket-explode:\n$plan")
+  }
+
+  test("the conf flag disables the rewrite") {
+    val (a, b) = fixtures
+    val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    try {
+      val plan = withRule {
+        a.join(b, cond).queryExecution.executedPlan.toString
+      }
+      assert(!plan.contains("Generate"), "disabled rule still fired")
+    } finally spark.conf.unset("spark.graft.rangeJoin.enabled")
+  }
+}
