@@ -121,13 +121,66 @@ SELECT ((k.hu & 2147483647) % 16)::INT AS key_bucket, pb.prio_bucket, count(*) A
 FROM key_hash k JOIN prio_buckets pb ON k.o_orderpriority = pb.s
 GROUP BY 1, 2 ORDER BY key_bucket, prio_bucket"""
 
+  /** Z-order (Morton) clustering key — the multi-dimensional sort
+    * order the table layer clusters by (ZOrderKeys.zOrder2, a codegen'd
+    * bit-twiddling kernel): each signed dimension sign-flips to
+    * unsigned space, drops its LSB, and interleaves bit-by-bit so
+    * sorting by z walks the Morton curve — every data file then holds
+    * a narrow range in BOTH dimensions and min/max pruning bites on
+    * either predicate. The key's VALUE is oracled here bit-for-bit:
+    * DuckDB rebuilds the interleave from first principles (a per-bit
+    * sum, not the twiddling masks — an independent formulation), plus
+    * a locality aggregate per coarse z-prefix showing both-dimension
+    * ranges narrow together. */
+  val ptZorder: Q = (s, d) => {
+    val z = graft.functions.ZOrderKeys.zorder(
+      col("p_partkey").cast("int"), col("p_size").cast("int"))
+    val zz = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size"), z.as("z"))
+    // 16 span-relative buckets (all-integer arithmetic): contiguous
+    // z ranges — each must show a narrow range in BOTH dimensions
+    val span = zz.agg(min(col("z")).as("mn"), max(col("z")).as("mx"))
+    zz.crossJoin(broadcast(span))
+      .groupBy(((col("z") - col("mn")) * 16 / (col("mx") - col("mn") + 1))
+        .cast("long").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p_partkey")).as("min_key"), max(col("p_partkey")).as("max_key"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"),
+        min(col("z")).as("min_z"))
+      .orderBy(col("zbucket"))
+  }
+
+  /** Independent replica: per-bit interleave sum over 31 bits of the
+    * sign-flipped, LSB-dropped dimensions. */
+  val ptZorderSql: String =
+    """WITH u AS (
+        SELECT p_partkey, p_size,
+          ((p_partkey + 2147483648) % 4294967296) // 2 AS ua,
+          ((p_size + 2147483648) % 4294967296) // 2 AS ub
+        FROM part),
+      zz AS (
+        SELECT p_partkey, p_size,
+          list_sum(list_transform(range(0, 31), i ->
+            (((ua >> i) & 1) << (2*i)) + (((ub >> i) & 1) << (2*i+1))
+          ))::BIGINT AS z
+        FROM u)
+      SELECT ((z - mn) * 16 // (mx - mn + 1))::BIGINT AS zbucket,
+        count(*) AS n,
+        min(p_partkey) AS min_key, max(p_partkey) AS max_key,
+        min(p_size) AS min_size, max(p_size) AS max_size,
+        min(z) AS min_z
+      FROM zz CROSS JOIN (SELECT min(z) AS mn, max(z) AS mx FROM zz) s
+      GROUP BY 1 ORDER BY zbucket"""
+
   val queries: Map[String, Q] = Map(
     "pt_truncate" -> ptTruncate,
     "pt_datetime" -> ptDatetime,
+    "pt_zorder" -> ptZorder,
     "pt_bucket" -> ptBucket)
 
   val oracles: Map[String, String] = Map(
     "pt_truncate" -> ptTruncateSql,
     "pt_datetime" -> ptDatetimeSql,
+    "pt_zorder" -> ptZorderSql,
     "pt_bucket" -> ptBucketSql)
 }
