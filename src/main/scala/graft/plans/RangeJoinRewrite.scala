@@ -62,16 +62,28 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           else if (refs.subsetOf(right.outputSet)) Some(false)
           else None
         }
-        // X: leftExpr <= rightExpr gives (a.start, b.end);
-        // Y: rightExpr <= leftExpr gives (b.start, a.end)
+        // X: leftExpr <=/< rightExpr gives (a.start, b.end);
+        // Y: rightExpr <=/< leftExpr gives (b.start, a.end).
+        // Strict bounds are fine: the bucket-coverage proof only needs
+        // the NON-strict consequence of each conjunct, and the exact
+        // original predicate rides along as the final filter.
+        object Lower {
+          def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+            case LessThanOrEqual(a, b) => Some((a, b))
+            case LessThan(a, b) => Some((a, b))
+            case GreaterThanOrEqual(a, b) => Some((b, a))
+            case GreaterThan(a, b) => Some((b, a))
+            case _ => None
+          }
+        }
         val lowerLeft = conjuncts.collectFirst {
-          case LessThanOrEqual(e1, e2)
+          case Lower(e1, e2)
               if e1.dataType == TimestampType && e2.dataType == TimestampType &&
                 sideOf(e1).contains(true) && sideOf(e2).contains(false) =>
             (e1, e2)
         }
         val lowerRight = conjuncts.collectFirst {
-          case LessThanOrEqual(e1, e2)
+          case Lower(e1, e2)
               if e1.dataType == TimestampType && e2.dataType == TimestampType &&
                 sideOf(e1).contains(false) && sideOf(e2).contains(true) =>
             (e1, e2)

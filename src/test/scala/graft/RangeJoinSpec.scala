@@ -66,6 +66,24 @@ class RangeJoinSpec extends AnyFunSuite {
       s"expected bucket explode in the rewritten plan:\n$plan")
   }
 
+  test("strict and flipped comparisons rewrite too, results exact") {
+    val (a, b) = fixtures
+    // b_end > a_start AND a_end >= b_start — flipped operand order and
+    // one strict bound
+    val cond = col("b_end") > col("a_start") && col("a_end") >= col("b_start")
+    val naive = a.join(b, cond).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (rewritten, plan) = withRule {
+      val df = a.join(b, cond).select("a_id", "b_id")
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(rewritten.toSeq === naive.toSeq)
+    assert(plan.contains("Generate") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"strict/flipped overlap did not rewrite:\n$plan")
+  }
+
   test("joins with an equality conjunct are left alone") {
     val (a, b) = fixtures
     val cond = col("a_id") === col("b_id") &&
