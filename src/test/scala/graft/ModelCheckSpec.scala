@@ -282,6 +282,108 @@ class ModelCheckSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  /** Model check of the REST TABLE commit protocol's metadata plane:
+    * random property updates, branch/tag ref CAS moves and removals,
+    * sort-order evolution, and deliberate failures (stale ref CAS,
+    * wrong-uuid transaction) against a real-format table served over
+    * HTTP; after every op the table's metadata must equal the model,
+    * and every rejected commit must leave it untouched. */
+  private def runTableRestSequence(seed: Long, nOps: Int): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergRestServer,
+      IcebergRestClient => C, IcebergWrite}
+    val rnd = new scala.util.Random(seed)
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft-trest-model-$seed").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      C.createNamespace(base, "db")
+      val loc = s"$wh/db/t"
+      IcebergWrite.create(spark, loc,
+        (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+      IcebergWrite.append(spark, loc,
+        (11L to 20L).map(i => (i, s"w$i")).toDF("k", "v"))
+      val snaps = IcebergMetadata.load(loc).snapshots.map(_.snapshotId)
+      assert(snaps.size === 2)
+
+      var mProps = Map.empty[String, String]
+      var mRefs = Map.empty[String, Long]
+      var mDefaultOrder =
+        IcebergMetadata.load(loc).defaultSortOrderId
+      var nextOrderId = IcebergMetadata.load(loc).sortOrders
+        .map(_.orderId).maxOption.getOrElse(0) + 1
+      val propKeys = (0 until 4).map(i => s"p$i")
+      val refNames = (0 until 3).map(i => s"br$i")
+
+      def check(tag: String): Unit = {
+        val m = IcebergMetadata.load(loc)
+        assert(m.properties.filter(kv => propKeys.contains(kv._1)) === mProps,
+          s"seed=$seed op=$tag properties diverged")
+        assert(m.refs.filter(kv => refNames.contains(kv._1)) === mRefs,
+          s"seed=$seed op=$tag refs diverged")
+        assert(m.defaultSortOrderId === mDefaultOrder,
+          s"seed=$seed op=$tag default sort order diverged")
+      }
+
+      for (i <- 1 to nOps) {
+        rnd.nextInt(8) match {
+          case 0 => // set a property
+            val k = propKeys(rnd.nextInt(propKeys.size))
+            C.updateProperties(base, "db", "t", Map(k -> s"val$i"))
+            mProps += k -> s"val$i"
+          case 1 => // remove a (maybe absent) property
+            val k = propKeys(rnd.nextInt(propKeys.size))
+            C.updateProperties(base, "db", "t", Map.empty, Seq(k))
+            mProps -= k
+          case 2 => // create or CAS-repoint a ref
+            val name = refNames(rnd.nextInt(refNames.size))
+            val target = snaps(rnd.nextInt(snaps.size))
+            val cas = mRefs.get(name)
+            if (cas.contains(target)) () // no-op move: skip
+            else {
+              assert(C.setSnapshotRef(base, "db", "t", name, target,
+                cas) === 200, s"seed=$seed op#$i ref move refused")
+              mRefs += name -> target
+            }
+          case 3 if mRefs.nonEmpty => // stale ref CAS -> 409, no change
+            val (name, cur) = mRefs.toSeq.sorted.apply(rnd.nextInt(mRefs.size))
+            val wrongCas = snaps.find(_ != cur)
+            assert(C.setSnapshotRef(base, "db", "t", name,
+              snaps(rnd.nextInt(snaps.size)), wrongCas) === 409)
+          case 4 if mRefs.nonEmpty => // remove a ref with correct CAS
+            val (name, cur) = mRefs.toSeq.sorted.apply(rnd.nextInt(mRefs.size))
+            assert(C.removeSnapshotRef(base, "db", "t", name,
+              Some(cur)) === 200)
+            mRefs -= name
+          case 5 if mRefs.nonEmpty => // stale remove -> 409, no change
+            val (name, cur) = mRefs.toSeq.sorted.apply(rnd.nextInt(mRefs.size))
+            val wrongCas = snaps.find(_ != cur)
+            assert(C.removeSnapshotRef(base, "db", "t", name,
+              wrongCas) === 409)
+          case 6 => // sort-order evolution: a fresh order becomes default
+            val dir = if (rnd.nextBoolean()) "asc" else "desc"
+            C.updateSortOrder(base, "db", "t", Seq("k" -> dir))
+            mDefaultOrder = nextOrderId
+            nextOrderId += 1
+          case _ => // wrong-uuid transaction -> 409, rolled back
+            assert(C.commitTransaction(base, Seq(C.TableChange("db", "t",
+              Seq(C.requireUuid("00000000-0000-0000-0000-00000000beef")),
+              Seq(C.setPropertiesUpdate(Map("p0" -> "never")))))) === 409)
+        }
+        check(s"#$i")
+      }
+    } finally server.stop()
+  }
+
+  test("table REST-protocol random sequences agree with the model (seed 3)") {
+    runTableRestSequence(3L, 25)
+  }
+  test("table REST-protocol random sequences agree with the model (seed 88)") {
+    runTableRestSequence(88L, 25)
+  }
+
   test("view-protocol random sequences agree with the model (seed 5)") {
     runViewSequence(5L, 25)
   }
