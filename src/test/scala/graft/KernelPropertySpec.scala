@@ -198,6 +198,53 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sortedOverlap equals the naive set overlap on random arrays") {
+    (1 to 300).foreach { _ =>
+      val a = (1 to rnd.nextInt(60))
+        .map(_ => rnd.nextInt(100).toLong).distinct.sorted
+      val b = (1 to rnd.nextInt(60))
+        .map(_ => rnd.nextInt(100).toLong).distinct.sorted
+      val got = ArrayKernels.sortedOverlap(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      val mn = math.min(a.size, b.size)
+      val expected =
+        if (mn == 0) 1.0
+        else a.toSet.intersect(b.toSet).size.toDouble / mn
+      assert(got === expected, s"a=$a b=$b")
+    }
+  }
+
+  test("zOrder2 de-interleaves back to its (LSB-dropped) inputs") {
+    def unspread(z: Long): Long = {
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+      x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+      (x | (x >> 16)) & 0xffffffffL
+    }
+    val samples = Seq(0, 1, -1, Int.MaxValue, Int.MinValue) ++
+      (1 to 1000).map(_ => rnd.nextInt())
+    for (a <- samples.take(40); b <- samples.take(40)) {
+      val z = graft.functions.ZOrderKeys.zOrder2(a, b)
+      assert(z >= 0, s"z key must keep the sign bit clear: a=$a b=$b")
+      val ua = ((a ^ Int.MinValue).toLong & 0xffffffffL) >>> 1
+      val ub = ((b ^ Int.MinValue).toLong & 0xffffffffL) >>> 1
+      assert(unspread(z) === ua && unspread(z >> 1) === ub,
+        s"interleave not bijective at a=$a b=$b")
+    }
+  }
+
+  test("zOrder2 keys agree iff both LSB-dropped dimensions agree") {
+    (1 to 500).foreach { _ =>
+      val (a1, b1) = (rnd.nextInt(), rnd.nextInt())
+      val (a2, b2) = (rnd.nextInt(), rnd.nextInt())
+      val eq = ((a1 ^ a2) & ~1) == 0 && ((b1 ^ b2) & ~1) == 0
+      assert((graft.functions.ZOrderKeys.zOrder2(a1, b1) ==
+        graft.functions.ZOrderKeys.zOrder2(a2, b2)) === eq)
+    }
+  }
+
   test("minhash bands: subset similarity raises band agreement") {
     def bands(xs: Seq[String]) =
       (0 until 16).map(i => ArrayKernels.minhashBands(arr(xs), 64, 16).getInt(i))
