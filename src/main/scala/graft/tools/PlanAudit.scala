@@ -18,7 +18,9 @@ object PlanAudit {
     val targets = Seq(
       "q02_filter_project", "q01_pricing_summary", "q03_join_agg_topn",
       "q05_multi_join", "q09_window_topn", "dd_minhash_pairs",
-      "dd_embed_neardup", "ev_sessionize")
+      "dd_embed_neardup", "ev_sessionize",
+      "dd_containment", "ev_interval_join", "ann_sq_topk",
+      "ta_dsir_weight", "mm_image_phash", "ta_ppl_bucket")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       val df = graft.SparkEntry.queries(name)(spark, d)
