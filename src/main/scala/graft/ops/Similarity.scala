@@ -421,6 +421,55 @@ JOIN emb qe ON qe.vec_id = r.q_id
 JOIN emb ve ON ve.vec_id = r.vec_id
 WHERE r.rank <= 10 ORDER BY q_id, rank"""
 
+  // ---- semantic decontamination --------------------------------------
+
+  /** Semantic test-set decontamination — the embedding analog of
+    * pipeline_decontaminate's n-gram check (paraphrased leakage that
+    * shares no 5-gram still lands next to the eval item in embedding
+    * space): flag every corpus vector whose cosine to ANY eval-set
+    * vector reaches tau, reporting the max similarity and the nearest
+    * eval item. The eval set is bounded and broadcast (like the
+    * n-gram check's gram set), so the scan is one narrow pass over
+    * the corpus — no shuffle, no N²; at 100 TB the same pass rides
+    * the LSH/IVF bucketing if the eval set ever outgrows broadcast. */
+  val pipelineSemanticDecon: Q = (s, d) => {
+    val v = vectors(s, d).select(col("vec_id"), col("emb"))
+    val evals = v.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("eval_id"), col("emb").as("ee"))
+    val corpus = v.filter(col("vec_id") >= 20)
+    corpus.join(broadcast(evals))
+      .select(col("vec_id"), col("eval_id"),
+        round(graft.functions.ArrayKernels.cosineSim(col("emb"), col("ee")), 6)
+          .as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("eval_id"), struct(col("cos"), -col("eval_id")))
+        .as("nearest_eval"),
+        max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("nearest_eval"), col("max_cos"),
+        (col("max_cos") >= 0.5).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact replica: same rounded cosines, same argmax tie-break
+    * (highest cos, lowest eval id), same threshold. */
+  val pipelineSemanticDeconSql: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      scored AS (
+        SELECT c.vec_id, q.vec_id AS eval_id,
+          round(list_cosine_similarity(c.e, q.e), 6) AS cos
+        FROM emb c JOIN emb q ON q.vec_id < 20
+        WHERE c.vec_id >= 20),
+      agged AS (
+        SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos FROM (
+          SELECT vec_id, eval_id, cos,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, eval_id) AS rn
+          FROM scored) t
+        WHERE rn = 1)
+      SELECT vec_id, nearest_eval, max_cos,
+        max_cos >= 0.5 AS contaminated
+      FROM agged ORDER BY vec_id"""
+
   // ---- semantic dedup (SemDeDup) -------------------------------------
 
   private val SemTau = 0.4
@@ -499,6 +548,7 @@ FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 ORDER BY a.vec_id"""
 
   val queries: Map[String, Q] = Map(
+    "pipeline_semantic_decon" -> pipelineSemanticDecon,
     "dd_semantic" -> ddSemantic,
     "dd_embed_neardup" -> ddEmbedNeardup,
     "ann_brute_topk" -> annBruteTopk,
@@ -586,6 +636,7 @@ SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cos
 FROM rer WHERE rank <= 10 ORDER BY q_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    "pipeline_semantic_decon" -> pipelineSemanticDeconSql,
     "dd_semantic" -> ddSemanticSql,
     "dd_embed_neardup" -> ddEmbedNeardupSql,
     "ann_brute_topk" -> annBruteTopkSql,
