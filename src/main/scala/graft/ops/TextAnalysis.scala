@@ -250,6 +250,59 @@ object TextAnalysis {
        FROM scored CROSS JOIN cuts
        ORDER BY doc_id"""
 
+  /** Classifier-based quality filtering — the GPT-3/LLaMA-style
+    * complement to rule-based ta_quality: a (fixed, deterministic)
+    * logistic model over cheap text features scores every document
+    * and the pipeline keeps those the classifier accepts. The
+    * features reuse the exact arithmetic forms of the rule operators
+    * (ratios of integer counts — bit-identical across engines), the
+    * linear combination is evaluated in one fixed association order,
+    * and the KEEP verdict compares z >= 0 directly — the sigmoid is
+    * only display, so the exp() float seam can never flip a verdict.
+    * One narrow projection per doc, fully inside codegen, no shuffle. */
+  val pipelineClassifier: Q = (s, d) => {
+    val w = words(col("text"))
+    val len = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / len
+    val nWords = size(w).cast("double")
+    val stopR = size(filter(transform(w, x => lower(x)),
+      x => x.isin(stopwords.map(lit(_)): _*))).cast("double") / nWords
+    val dup = (size(w) - size(array_distinct(transform(w, x => lower(x)))))
+      .cast("double") / nWords
+    val inRange = when(length(col("text")) >= 200 &&
+      length(col("text")) <= 5000, 1.0).otherwise(0.0)
+    val z = lit(-2.0) + alpha * 3.0 + stopR * 4.0 + inRange - dup * 2.0
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        (z >= 0).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelineClassifierSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH f AS (
+        SELECT doc_id,
+          length(regexp_replace(text,'[^A-Za-z]','','g'))
+            / length(text)::double AS alpha,
+          len(list_filter(list_transform(ws, w -> lower(w)),
+            w -> w IN ($stops)))::double / len(ws) AS stopr,
+          (len(ws) - len(list_distinct(list_transform(ws, w -> lower(w)))))::double
+            / len(ws) AS dup,
+          CASE WHEN length(text) BETWEEN 200 AND 5000
+            THEN 1.0 ELSE 0.0 END AS inrange
+        FROM (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)),
+      scored AS (
+        SELECT doc_id,
+          -2.0 + alpha * 3.0 + stopr * 4.0 + inrange - dup * 2.0 AS z
+        FROM f)
+      SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        z >= 0 AS kept
+      FROM scored ORDER BY doc_id"""
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how target-domain-like it is under hashed-bigram
@@ -687,6 +740,7 @@ object TextAnalysis {
     "pipeline_mix" -> pipelineMix,
     "ta_ppl_bucket" -> taPplBucket,
     "ta_dsir_weight" -> taDsirWeight,
+    "pipeline_classifier" -> pipelineClassifier,
     "ta_unigram_logprob" -> taUnigramLogprob,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
@@ -772,6 +826,7 @@ ORDER BY f.doc_id"""
     "pipeline_mix" -> pipelineMixSql,
     "ta_ppl_bucket" -> taPplBucketSql,
     "ta_dsir_weight" -> taDsirWeightSql,
+    "pipeline_classifier" -> pipelineClassifierSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_unigram_logprob" -> taUnigramLogprobSql,
     "ta_tokens" -> taTokensSql,
