@@ -516,21 +516,16 @@ object Dedup {
     * which is how production set-similarity joins are actually
     * specified. One shuffle on the shingle key, one on the pair. */
   val ddContainment: Q = (s, d) => {
-    // the shingle frame feeds FOUR plan branches (both sides of the
-    // candidate self-join and both verify joins); localCheckpoint
-    // computes the regex shingling once and shares the materialized
-    // partitions instead of re-deriving 4x corpus-wide string work —
-    // at cluster scale this is the cached build side every
-    // set-similarity join engine keeps
-    // every shingle maps through the 60-bit md5-prefix hash ONCE, up
+    // Every shingle maps through the 60-bit md5-prefix hash ONCE, up
     // front — the inverted index, df counts, candidate join AND the
     // verify arrays all carry 8-byte keys instead of 25-byte strings
     // (the verify join ships an array per candidate pair, so element
     // width is the dominant wire cost); the hash is part of the
-    // contract and the oracle replays it. localCheckpoint: this frame
-    // feeds four plan branches — materialize the corpus-wide regex +
-    // hash work once (the cached build side every set-similarity join
-    // engine keeps).
+    // contract and the oracle replays it. The frame feeds four plan
+    // branches (both candidate-join sides, both verify joins), so
+    // localCheckpoint materializes the corpus-wide regex + hash work
+    // once — the cached build side every set-similarity join engine
+    // keeps.
     val sh = docShingles(s, d)
       .select(col("doc_id"), array_sort(array_distinct(
         transform(col("sh_arr"), w =>
@@ -558,7 +553,7 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact replica: same shingles, same [2,20]-df rare-token candidate
+  /** Exact replica: same shingles, same [2,10]-df rare-token candidate
     * rule, same overlap coefficient and threshold. */
   val ddContainmentSql: String =
     """WITH sh AS (

@@ -46,20 +46,11 @@ object Multimodal {
 
   object MediaCodec {
 
-    /** Deterministic real PNG: pixels from an LCG over the seed. */
-    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
-      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-      var x = seed | 1L
-      var i = 0
-      while (i < width * height) {
-        x = x * 6364136223846793005L + 1442695040888963407L
-        img.setRGB(i % width, i / width, (x >>> 40).toInt & 0xffffff)
-        i += 1
-      }
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    /** Deterministic real PNG: pixels from an LCG over the seed
+      * (the zero-mask case of encodePngVariant — ONE copy of the LCG
+      * loop keeps the SQL oracle replays in sync). */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] =
+      encodePngVariant(width, height, seed, 0, 1)
 
     /** Near-duplicate PNG: the same LCG raster with every `stride`-th
       * pixel XOR-perturbed — a re-encode with slight pixel noise, the

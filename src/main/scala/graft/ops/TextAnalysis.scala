@@ -206,6 +206,8 @@ object TextAnalysis {
       .agg(round(avg(log(col("c").cast("double") / col("t"))), 6).as("logprob"))
     // parquet row-count read, no data pass (the embedNeardup gate shape)
     val n = Tables.documents(s, d).count()
+    require(n >= 3,
+      s"ta_ppl_bucket needs >= 3 documents to cut thirds, got $n")
     val k1 = n / 3
     val k2 = 2 * n / 3
     val f1 = (k1 - 1).toDouble / (n - 1)
@@ -390,9 +392,9 @@ object TextAnalysis {
         LEFT JOIN stats ON stats.f = fr.f
         CROSS JOIN tots)
       SELECT doc_id, len(bigrams)::INT AS n_bigrams,
-        round(list_sum(list_transform(bigrams, b ->
+        round(coalesce(list_sum(list_transform(bigrams, b ->
           ln(ratios[((('0x' || substr(md5(b), 1, 15))::BIGINT % 8192) + 1)::INT])
-        )), 6) AS logweight
+        )), 0.0), 6) AS logweight
       FROM docs CROSS JOIN dense
       ORDER BY doc_id"""
 

@@ -96,13 +96,27 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             nullable = false)()
           val br = AttributeReference("__graft_rj_br", LongType,
             nullable = false)()
+          // Fan-out guard: a row's bucket count is its interval's day
+          // span. An unbounded span (a 10-year validity window) would
+          // silently explode a 1M-row side into billions of rows —
+          // fail LOUDLY at that row instead, with the cap and the
+          // opt-out named, rather than degrade into an OOM.
+          val maxDays = session.conf
+            .get("spark.graft.rangeJoin.maxDaysPerRow", "3700").toLong
           def buckets(s: Expression, e: Expression): Expression = {
             val (ds, de) = (dayOf(s), dayOf(e))
+            val lo = Least(Seq(ds, de))
+            val hi = Greatest(Seq(ds, de))
             // Sequence is TimeZoneAware: without a zone it reads as
             // unresolved and fails optimizer plan validation
-            Sequence(Least(Seq(ds, de)), Greatest(Seq(ds, de)),
-              Some(Literal(1L)),
+            val seq = Sequence(lo, hi, Some(Literal(1L)),
               Some(session.sessionState.conf.sessionLocalTimeZone))
+            If(GreaterThan(Subtract(hi, lo), Literal(maxDays)),
+              Cast(RaiseError(Literal(
+                s"range-join rewrite: interval spans more than $maxDays " +
+                  "days per row; raise spark.graft.rangeJoin.maxDaysPerRow " +
+                  "or disable spark.graft.rangeJoin.enabled")), seq.dataType),
+              seq)
           }
           val genL = Generate(Explode(buckets(aStart, aEnd)), Nil,
             outer = false, qualifier = None, generatorOutput = Seq(bl),

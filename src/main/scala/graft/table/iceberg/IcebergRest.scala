@@ -350,6 +350,9 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             if (reps.isEmpty)
               halt(400, "add-view-version requires at least one representation")
             pendingVersion = Some((vid, reps))
+            // a NEW pending version needs its own set-current: an
+            // earlier set-current must not leak onto a later add
+            versionSet = false
           case "set-current-view-version" =>
             val want = u.get("view-version-id").asInt()
             pendingVersion match {

@@ -95,6 +95,31 @@ class RangeJoinSpec extends AnyFunSuite {
       s"equality join must not bucket-explode:\n$plan")
   }
 
+  test("unbounded interval spans fail loudly instead of exploding") {
+    val spark0 = spark
+    import spark0.implicits._
+    val wide = Seq((1L, "2000-01-01 00:00:00", "2024-02-01 00:00:00"))
+      .toDF("a_id", "s", "e")
+      .select(col("a_id"), col("s").cast("timestamp").as("a_start"),
+        col("e").cast("timestamp").as("a_end"))
+    val (_, b) = fixtures
+    val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
+    val err = intercept[Exception] {
+      withRule { wide.join(b, cond).collect() }
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("maxDaysPerRow")),
+      s"expected the span-cap error, got: $err")
+    // raising the cap lets the same join through
+    spark.conf.set("spark.graft.rangeJoin.maxDaysPerRow", "20000")
+    try {
+      val n = withRule { wide.join(b, cond).count() }
+      assert(n === b.count(), "every campaign overlaps the 24-year window")
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxDaysPerRow")
+  }
+
   test("the conf flag disables the rewrite") {
     val (a, b) = fixtures
     val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
