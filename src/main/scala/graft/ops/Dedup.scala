@@ -774,7 +774,77 @@ object Dedup {
     LEFT JOIN truth t USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Incremental MinHash-LSH dedup — the NEAR-dup complement to
+    * dd_bloom_incr's exact-window ingestion check: the existing
+    * corpus's band signatures form a precomputed LSH INDEX (at 100 TB
+    * it lives as a table, built once and appended to); each arriving
+    * batch computes its own signatures, equi-joins the index on
+    * (band, hash) — the shuffle carries only the NEW docs' bands —
+    * and exact-Jaccard-verifies the candidates. Output per new doc:
+    * its earliest near-duplicate in the corpus, how many corpus docs
+    * match, and the best similarity. The oracle recomputes TRUE
+    * word-3-gram Jaccard between every new/old pair exhaustively, so
+    * LSH recall across the index boundary is itself gated (the
+    * dd_minhash_pairs argument: at gate scale candidates == true
+    * pairs). */
+  val ddMinhashIncr: Q = (s, d) => {
+    // shingle once, share across the four plan branches (index side,
+    // probe side, both verify joins) — the dd_containment pattern
+    val sh = Tables.spread(s, Tables.documents(s, d))
+      .withColumn("grp", substring(col("source"), 4, 9).cast("int"))
+      .select(col("doc_id"), col("grp"),
+        array_distinct(shingles(col("text"))).as("sh_arr"))
+      .localCheckpoint()
+    def bands(df: DataFrame) = df.select(col("doc_id"),
+      posexplode(graft.functions.ArrayKernels
+        .minhashBandKeys(col("sh_arr"), NumHashes, NumBands))
+        .as(Seq("band", "bh")))
+    val oldSh = sh.filter(col("grp") < 10)
+    val newSh = sh.filter(col("grp") >= 10)
+    val index = bands(oldSh)
+      .select(col("band"), col("bh"), col("doc_id").as("old_id"))
+    val cands = bands(newSh)
+      .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+      .join(index, Seq("band", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+    cands
+      .join(newSh.select(col("doc_id").as("new_id"),
+        col("sh_arr").as("arr_n")), Seq("new_id"))
+      .join(oldSh.select(col("doc_id").as("old_id"),
+        col("sh_arr").as("arr_o")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        graft.functions.ArrayKernels.jaccardSim(col("arr_n"), col("arr_o"))
+          .as("j_raw"))
+      .filter(col("j_raw") >= 0.5)
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("dup_of"),
+        count(lit(1)).as("n_matches"),
+        max(round(col("j_raw"), 4)).as("best_j"))
+      .orderBy(col("new_id"))
+  }
+
+  /** Exhaustive replica: true Jaccard for EVERY new/old pair. */
+  val ddMinhashIncrSql: String =
+    """WITH sh AS (
+        SELECT doc_id, substr(source, 4)::INT AS grp,
+          CASE WHEN len(ws) >= 3
+            THEN list_distinct(list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+            ELSE [trim(lower(text))] END AS sh_arr
+        FROM (SELECT doc_id, source, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents)),
+      pairs AS (
+        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+          len(list_intersect(n.sh_arr, o.sh_arr))::DOUBLE
+            / len(list_distinct(list_concat(n.sh_arr, o.sh_arr))) AS j
+        FROM sh n JOIN sh o ON n.grp >= 10 AND o.grp < 10)
+      SELECT new_id, min(old_id) AS dup_of, count(*) AS n_matches,
+        max(round(j, 4)) AS best_j
+      FROM pairs WHERE j >= 0.5
+      GROUP BY new_id ORDER BY new_id"""
+
   val queries: Map[String, Q] = Map(
+    "dd_minhash_incr" -> ddMinhashIncr,
     "dd_bloom_incr" -> ddBloomIncr,
     "dd_url_dedup" -> ddUrlDedup,
     "dd_substring" -> ddSubstring,
@@ -966,6 +1036,7 @@ ORDER BY doc_a, doc_b"""
       ORDER BY keep_id"""
 
   val oracles: Map[String, String] = Map(
+    "dd_minhash_incr" -> ddMinhashIncrSql,
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_substring" -> ddSubstringSql,
     "dd_paragraph" -> ddParagraphSql,

@@ -153,4 +153,52 @@ class Sf1InvariantSpec extends AnyFunSuite {
     assert(lsh.join(exact, Seq("ia", "ib"), "left_anti").count() === 0,
       "the LSH path emitted a pair the exact path did not")
   }
+
+  test("incremental minhash: verified matches only; planted cross-boundary clones found") {
+    guard()
+    val out = ops.Dedup.ddMinhashIncr(spark, sf1).cache()
+    assert(out.count() > 0)
+    // every reported match is Jaccard-verified by construction; spot
+    // re-verify a sample with the same kernel on (new, dup_of)
+    val sh = ops.Dedup.docShingles(spark, sf1)
+    val sample = out.limit(200)
+      .join(sh.select(col("doc_id").as("new_id"), col("sh_arr").as("an")),
+        Seq("new_id"))
+      .join(sh.select(col("doc_id").as("dup_of"), col("sh_arr").as("ao")),
+        Seq("dup_of"))
+      .select(graft.functions.ArrayKernels.jaccardSim(col("an"), col("ao"))
+        .as("j"))
+    assert(sample.filter(col("j") < 0.5).count() === 0,
+      "a reported incremental match fails exact verification")
+    // exact agreement with the batch pipeline: the same banding
+    // drives dd_ngram_jaccard, so the incremental output must equal
+    // the verified >=0.5 pairs that STRADDLE the old/new boundary,
+    // grouped by their new-side doc
+    val docs = Tables.documents(spark, sf1)
+      .withColumn("grp", substring(col("source"), 4, 9).cast("int"))
+      .select(col("doc_id"), col("grp"))
+    val verified = ops.Dedup.ddNgramJaccard(spark, sf1)
+      .join(docs.select(col("doc_id").as("doc_a"), col("grp").as("ga")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("grp").as("gb")),
+        Seq("doc_b"))
+    val cross = verified
+      .select(
+        when(col("ga") >= 10, col("doc_a")).otherwise(col("doc_b"))
+          .as("new_id"),
+        when(col("ga") >= 10, col("doc_b")).otherwise(col("doc_a"))
+          .as("old_id"),
+        col("ga"), col("gb"))
+      .filter((col("ga") >= 10) =!= (col("gb") >= 10))
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_matches"))
+    val mism = out.select("new_id", "dup_of", "n_matches")
+      .exceptAll(cross.select("new_id", "dup_of", "n_matches"))
+      .unionAll(cross.select("new_id", "dup_of", "n_matches")
+        .exceptAll(out.select("new_id", "dup_of", "n_matches")))
+      .count()
+    assert(mism === 0,
+      "incremental minhash diverged from the boundary slice of the " +
+        "batch-verified pair set")
+  }
 }
