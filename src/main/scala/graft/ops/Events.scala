@@ -97,11 +97,18 @@ object Events {
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    // campaign bounds anchor on EPOCH SECONDS (2024-01-01T00:00:00Z =
+    // 1704067200), not a timestamp literal: Spark parses naked
+    // timestamp literals in the session timezone, so the boundaries
+    // would shift under any non-UTC session while the oracle compares
+    // naive micros — epoch arithmetic is timezone-independent
     val campaigns = s.range(0, 20).toDF("campaign_id")
       .select(col("campaign_id"),
-        expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,36*campaign_id,0,0)")
+        timestamp_seconds(lit(1704067200L) + col("campaign_id") * 129600L)
           .as("c_start"))
-      .withColumn("c_end", expr("c_start + interval '24' hour"))
+      .withColumn("c_end",
+        timestamp_seconds(
+          lit(1704067200L) + col("campaign_id") * 129600L + 86400L))
     def dayBuckets(a: Column, b: Column): Column =
       explode(sequence(a.cast("date"), b.cast("date"), expr("interval '1' day")))
     val sb = sessions.withColumn("bucket",

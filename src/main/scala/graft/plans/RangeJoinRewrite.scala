@@ -1,11 +1,31 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampType}
+
+/** Idempotency marker for the range-join rewrite's fallback branches:
+  * a non-foldable always-true leaf. A plain `Literal(true)` conjunct
+  * would be erased by ConstantFolding/BooleanSimplification — which
+  * run in the SAME fixed-point batch as injected optimizer rules — and
+  * the rewrite would fire again on its own fallback joins forever.
+  * This expression survives every builtin simplification (unknown,
+  * non-foldable) and costs one constant per row at execution. */
+case class RangeJoinNoRewrite() extends LeafExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: InternalRow): Any = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    ExprCode.forNonNullValue(
+      org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .literal("true", BooleanType))
+}
 
 /** Automatic range-join rewrite (the Catalyst rule form of the
   * ev_interval_join pattern): an inner join whose condition is a pure
@@ -23,6 +43,20 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * day(b.start)), which provably lies in both sides' bucket ranges —
   * so no dedup pass is needed and duplicate input rows keep their
   * multiplicity.
+  *
+  * Fan-out control: a row's bucket count is its interval's day span,
+  * so an unbounded span (an SCD-2 sentinel 9999-12-31 validity end)
+  * would explode one row into millions. Rows spanning more than
+  * spark.graft.rangeJoin.maxDaysPerRow (default 3700) are therefore
+  * NOT exploded: they route through a residual non-exploded join
+  * branch (the original nested-loop shape, fine because such rows are
+  * rare by construction — sentinel/dimension rows), unioned with the
+  * bucket join of the capped rows. Pair coverage is a disjoint
+  * partition — (okL×okR) via buckets, (bigL×allR) and (okL×bigR)
+  * residual — so multiplicity is exact. The residual branches re-scan
+  * their inputs with a highly selective span filter; pipelines that
+  * would rather fail loudly than pay that set
+  * spark.graft.rangeJoin.overflow=error.
   *
   * Fires only on timestamp-typed pure range conditions (any equality
   * conjunct means the join already has a hash key — and makes the
@@ -55,6 +89,7 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           case EqualTo(_, _) | EqualNullSafe(_, _) => true
           case _ => false
         }
+        val isFallback = conjuncts.exists(_.isInstanceOf[RangeJoinNoRewrite])
         def sideOf(e: Expression): Option[Boolean] = {
           val refs = e.references
           if (refs.isEmpty) None
@@ -88,7 +123,7 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                 sideOf(e1).contains(false) && sideOf(e2).contains(true) =>
             (e1, e2)
         }
-        if (hasEquality || lowerLeft.isEmpty || lowerRight.isEmpty) j
+        if (hasEquality || isFallback || lowerLeft.isEmpty || lowerRight.isEmpty) j
         else {
           val (aStart, bEnd) = lowerLeft.get
           val (bStart, aEnd) = lowerRight.get
@@ -96,39 +131,69 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             nullable = false)()
           val br = AttributeReference("__graft_rj_br", LongType,
             nullable = false)()
-          // Fan-out guard: a row's bucket count is its interval's day
-          // span. An unbounded span (a 10-year validity window) would
-          // silently explode a 1M-row side into billions of rows —
-          // fail LOUDLY at that row instead, with the cap and the
-          // opt-out named, rather than degrade into an OOM.
           val maxDays = session.conf
             .get("spark.graft.rangeJoin.maxDaysPerRow", "3700").toLong
-          def buckets(s: Expression, e: Expression): Expression = {
+          val strictOverflow = session.conf
+            .get("spark.graft.rangeJoin.overflow", "union") == "error"
+          def loHi(s: Expression, e: Expression): (Expression, Expression) = {
             val (ds, de) = (dayOf(s), dayOf(e))
-            val lo = Least(Seq(ds, de))
-            val hi = Greatest(Seq(ds, de))
+            (Least(Seq(ds, de)), Greatest(Seq(ds, de)))
+          }
+          def span(s: Expression, e: Expression): Expression = {
+            val (lo, hi) = loHi(s, e); Subtract(hi, lo)
+          }
+          // span comparisons are null for null intervals, so BOTH the
+          // ok- and big-filters drop such rows — sound, because a null
+          // bound can never satisfy the overlap condition either way
+          def spanOk(s: Expression, e: Expression): Expression =
+            LessThanOrEqual(span(s, e), Literal(maxDays))
+          def spanBig(s: Expression, e: Expression): Expression =
+            GreaterThan(span(s, e), Literal(maxDays))
+          def buckets(s: Expression, e: Expression): Expression = {
+            val (lo, hi) = loHi(s, e)
             // Sequence is TimeZoneAware: without a zone it reads as
             // unresolved and fails optimizer plan validation
             val seq = Sequence(lo, hi, Some(Literal(1L)),
               Some(session.sessionState.conf.sessionLocalTimeZone))
-            If(GreaterThan(Subtract(hi, lo), Literal(maxDays)),
+            if (!strictOverflow) seq
+            else If(GreaterThan(Subtract(hi, lo), Literal(maxDays)),
               Cast(RaiseError(Literal(
                 s"range-join rewrite: interval spans more than $maxDays " +
-                  "days per row; raise spark.graft.rangeJoin.maxDaysPerRow " +
+                  "days per row; raise spark.graft.rangeJoin.maxDaysPerRow, " +
+                  "set spark.graft.rangeJoin.overflow=union, " +
                   "or disable spark.graft.rangeJoin.enabled")), seq.dataType),
               seq)
           }
-          val genL = Generate(Explode(buckets(aStart, aEnd)), Nil,
-            outer = false, qualifier = None, generatorOutput = Seq(bl),
-            child = left)
-          val genR = Generate(Explode(buckets(bStart, bEnd)), Nil,
-            outer = false, qualifier = None, generatorOutput = Seq(br),
-            child = right)
+          def gen(child: LogicalPlan, s: Expression, e: Expression,
+              out: AttributeReference): LogicalPlan =
+            Generate(Explode(buckets(s, e)), Nil, outer = false,
+              qualifier = None, generatorOutput = Seq(out), child = child)
           val canonical = EqualTo(bl,
             Greatest(Seq(dayOf(aStart), dayOf(bStart))))
           val newCond = And(And(EqualTo(bl, br), canonical), cond)
-          Project(j.output,
-            Join(genL, genR, Inner, Some(newCond), hint))
+          if (strictOverflow) {
+            // legacy strict mode: every row explodes (the guard inside
+            // buckets() raises on overflow), single-branch plan
+            Project(j.output,
+              Join(gen(left, aStart, aEnd, bl), gen(right, bStart, bEnd, br),
+                Inner, Some(newCond), hint))
+          } else {
+            val bucketJoin = Project(j.output,
+              Join(gen(Filter(spanOk(aStart, aEnd), left), aStart, aEnd, bl),
+                gen(Filter(spanOk(bStart, bEnd), right), bStart, bEnd, br),
+                Inner, Some(newCond), hint))
+            val residualCond = And(RangeJoinNoRewrite(), cond)
+            // bigL joins ALL of right; okL joins bigR — together with
+            // okL×okR above this partitions the pair space exactly once
+            val bigLeft = Project(j.output,
+              Join(Filter(spanBig(aStart, aEnd), left), right,
+                Inner, Some(residualCond), hint))
+            val bigRight = Project(j.output,
+              Join(Filter(spanOk(aStart, aEnd), left),
+                Filter(spanBig(bStart, bEnd), right),
+                Inner, Some(residualCond), hint))
+            Union(Seq(bucketJoin, bigLeft, bigRight))
+          }
         }
     }
   }

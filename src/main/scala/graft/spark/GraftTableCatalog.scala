@@ -213,8 +213,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // version-hint convention; the metadata dialect tells them apart
     if (Meta.exists(root) && Meta.isGraftDialect(root))
       new GraftSparkTable(root)
-    // a directory holding REAL Iceberg metadata serves as a read-only
-    // interop table: standard SQL over any engine's Iceberg output
+    // a directory holding REAL Iceberg metadata serves as a full
+    // interop table: standard SQL over any engine's Iceberg output —
+    // reads (manifest-pruned MoR scans), INSERT INTO / OVERWRITE
+    // (IcebergWrite commits real snapshots), and row-level
+    // DELETE / UPDATE / MERGE (merge-on-read delta writes)
     else if (graft.table.iceberg.IcebergTable.exists(root))
       new IcebergSparkTable(root)
     else {

@@ -453,8 +453,8 @@ object IcebergWrite {
         val loaded = dataMfs.map(mf =>
           (mf, IcebergAvro.readManifestRaw(new HPath(mf.path))))
         val groups = loaded.groupBy { case (mf, (schema, fileMeta, _)) =>
-          (mf.specId, schema.toString + " " +
-            fileMeta.toSeq.sorted.mkString(" "))
+          (mf.specId, schema.toString + "\u0000" +
+            fileMeta.toSeq.sorted.mkString("\u0000"))
         }.toSeq.sortBy(_._1)
         if (groups.size == dataMfs.size) {
           // every group is a singleton: nothing can merge, so commit

@@ -59,11 +59,15 @@ class RangeJoinSpec extends AnyFunSuite {
       "rewritten range join diverged from the naive join")
     // duplicate left row must appear twice in both
     assert(rewritten.count(_._1 == 2L) === naive.count(_._1 == 2L))
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      s"rule did not remove the nested-loop plan:\n$plan")
-    assert(plan.contains("Generate"),
-      s"expected bucket explode in the rewritten plan:\n$plan")
+    // the scale property: capped rows flow through a HASH join on the
+    // bucket key, and any nested-loop residual branch sits behind the
+    // selective span filter (> maxDaysPerRow), so it sees only
+    // sentinel-scale input — never the bulk
+    assert(plan.contains("Generate") && plan.contains("__graft_rj_bl"),
+      s"expected bucket explode + equi-join in the rewritten plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("> 3700"),
+      s"nested-loop branch without a span filter:\n$plan")
   }
 
   test("strict and flipped comparisons rewrite too, results exact") {
@@ -79,8 +83,7 @@ class RangeJoinSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString)
     }
     assert(rewritten.toSeq === naive.toSeq)
-    assert(plan.contains("Generate") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
+    assert(plan.contains("Generate") && plan.contains("__graft_rj_bl"),
       s"strict/flipped overlap did not rewrite:\n$plan")
   }
 
@@ -95,7 +98,41 @@ class RangeJoinSpec extends AnyFunSuite {
       s"equality join must not bucket-explode:\n$plan")
   }
 
-  test("unbounded interval spans fail loudly instead of exploding") {
+  test("over-cap spans route through the residual branch, never explode") {
+    val spark0 = spark
+    import spark0.implicits._
+    // an SCD-2 shape: two sentinel validity windows (open-ended rows
+    // whose day span is far beyond the cap) mixed with normal rows —
+    // plus a DUPLICATE sentinel, so residual-branch multiplicity shows
+    val wide = Seq(
+      (1L, "2000-01-01 00:00:00", "9999-12-31 00:00:00"),
+      (1L, "2000-01-01 00:00:00", "9999-12-31 00:00:00"),
+      (2L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      (3L, "2024-03-01 00:00:00", "2024-03-02 00:00:00"))
+      .toDF("a_id", "s", "e")
+      .select(col("a_id"), col("s").cast("timestamp").as("a_start"),
+        col("e").cast("timestamp").as("a_end"))
+    val (_, b) = fixtures
+    val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
+    val naive = wide.join(b, cond).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (rewritten, plan) = withRule {
+      val df = wide.join(b, cond).select("a_id", "b_id")
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(rewritten.toSeq === naive.toSeq,
+      "residual-branch union diverged from the naive join")
+    // the sentinel rows must appear with multiplicity 2 per campaign
+    assert(rewritten.count(_._1 == 1L) === 2 * b.count())
+    // the capped rows still go through the bucket equi-join branch
+    assert(plan.contains("Generate"),
+      s"expected the bucket branch in the union plan:\n$plan")
+    assert(plan.contains("Union"),
+      s"expected the residual union:\n$plan")
+  }
+
+  test("overflow=error restores the loud span-cap failure") {
     val spark0 = spark
     import spark0.implicits._
     val wide = Seq((1L, "2000-01-01 00:00:00", "2024-02-01 00:00:00"))
@@ -104,20 +141,23 @@ class RangeJoinSpec extends AnyFunSuite {
         col("e").cast("timestamp").as("a_end"))
     val (_, b) = fixtures
     val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
-    val err = intercept[Exception] {
-      withRule { wide.join(b, cond).collect() }
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(err).exists(_.contains("maxDaysPerRow")),
-      s"expected the span-cap error, got: $err")
-    // raising the cap lets the same join through
-    spark.conf.set("spark.graft.rangeJoin.maxDaysPerRow", "20000")
+    spark.conf.set("spark.graft.rangeJoin.overflow", "error")
     try {
-      val n = withRule { wide.join(b, cond).count() }
-      assert(n === b.count(), "every campaign overlaps the 24-year window")
-    } finally spark.conf.unset("spark.graft.rangeJoin.maxDaysPerRow")
+      val err = intercept[Exception] {
+        withRule { wide.join(b, cond).collect() }
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("maxDaysPerRow")),
+        s"expected the span-cap error, got: $err")
+      // raising the cap lets the same join through
+      spark.conf.set("spark.graft.rangeJoin.maxDaysPerRow", "20000")
+      try {
+        val n = withRule { wide.join(b, cond).count() }
+        assert(n === b.count(), "every campaign overlaps the 24-year window")
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxDaysPerRow")
+    } finally spark.conf.unset("spark.graft.rangeJoin.overflow")
   }
 
   test("the conf flag disables the rewrite") {
