@@ -24,11 +24,23 @@ object Views {
     * update_representation). */
   case class ViewRepresentation(dialect: String, sql: String)
 
+  /** One entry of the spec's view-version registry (view_metadata.rs
+    * ViewVersion): a version id plus its representations. The REST
+    * CommitViewRequest may add versions WITHOUT making them current
+    * and later set-current any registered id — so the registry must
+    * outlive the mirror `sql`/`representations` fields (which always
+    * reflect the CURRENT version, for every non-REST consumer). */
+  case class ViewVersionDef(versionId: Int,
+      representations: Seq[ViewRepresentation])
+
   case class ViewDef(name: String, sql: String, sources: Map[String, String],
       version: Int,
       representations: Seq[ViewRepresentation] = Seq.empty,
       uuid: String = "",
-      properties: Map[String, String] = Map.empty) {
+      properties: Map[String, String] = Map.empty,
+      location: String = "",
+      versions: Seq[ViewVersionDef] = Seq.empty,
+      currentVersionId: Int = 0) {
     /** Stable identity for spec asserts (commit.rs AssertViewUuid):
       * files written before uuid support resolve to a deterministic
       * name-derived uuid, so existing views stay assertable. */
@@ -75,6 +87,21 @@ object Views {
       val p = n.putObject("properties")
       d.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
     }
+    if (d.location.nonEmpty) n.put("location", d.location)
+    if (d.versions.nonEmpty) {
+      n.put("current-version-id", d.currentVersionId)
+      val vs = n.putArray("view-versions")
+      d.versions.foreach { v =>
+        val vn = vs.addObject()
+        vn.put("version-id", v.versionId)
+        val reps = vn.putArray("representations")
+        v.representations.foreach { r =>
+          val rn = reps.addObject()
+          rn.put("type", "sql"); rn.put("dialect", r.dialect)
+          rn.put("sql", r.sql)
+        }
+      }
+    }
     n
   }
 
@@ -106,12 +133,24 @@ object Views {
     val reps = Option(n.get("representations")).map(_.elements().asScala.map(rn =>
       ViewRepresentation(rn.get("dialect").asText(), rn.get("sql").asText())
     ).toSeq).getOrElse(Seq.empty)
+    val versions = Option(n.get("view-versions"))
+      .map(_.elements().asScala.map { vn =>
+        ViewVersionDef(vn.get("version-id").asInt(),
+          Option(vn.get("representations"))
+            .map(_.elements().asScala.map(rn => ViewRepresentation(
+              rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
+            .getOrElse(Seq.empty))
+      }.toSeq).getOrElse(Seq.empty)
     (ViewDef(n.get("name").asText(), n.get("sql").asText(),
       n.get("sources").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
       n.get("version").asInt(), reps,
       uuid = Option(n.get("uuid")).map(_.asText()).getOrElse(""),
       properties = Option(n.get("properties")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)), v)
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      location = Option(n.get("location")).map(_.asText()).getOrElse(""),
+      versions = versions,
+      currentVersionId = Option(n.get("current-version-id"))
+        .map(_.asInt()).getOrElse(0)), v)
   }
 
   def viewExists(root: String): Boolean =

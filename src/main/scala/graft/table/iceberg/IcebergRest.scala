@@ -292,7 +292,13 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   private def commitViewSpec(ex: HttpExchange, root: String,
       body: com.fasterxml.jackson.databind.JsonNode): Unit = {
     import scala.jdk.CollectionConverters._
+    import com.fasterxml.jackson.databind.JsonNode
     def halt(code: Int, msg: String): Nothing = throw ViewCommitHalt(code, msg)
+    // a structurally malformed update (missing action/uuid/...) is a
+    // client error: 400 with the missing field named, never an NPE/500
+    def field(n: JsonNode, name: String, ctx: String): JsonNode =
+      Option(n).flatMap(x => Option(x.get(name))).getOrElse(
+        halt(400, s"malformed $ctx: missing '$name'"))
     val (cur, curVersion) = graft.table.Views.loadViewVersioned(root)
     try {
       // requirements (commit.rs:242-252): assert-view-uuid is the only
@@ -300,29 +306,43 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
       val reqs = Option(body.get("requirements"))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
       reqs.foreach { r =>
-        r.get("type").asText() match {
+        field(r, "type", "view requirement").asText() match {
           case "assert-view-uuid" =>
-            val want = r.get("uuid").asText()
+            val want = field(r, "uuid", "assert-view-uuid").asText()
             if (want != cur.viewUuid)
               halt(409, s"requirement failed: view uuid changed: " +
                 s"expected $want, found ${cur.viewUuid}")
           case other => halt(400, s"unknown view requirement: $other")
         }
       }
-      // fold updates (commit.rs:190-240 ViewUpdate)
-      var next = cur
-      var pendingVersion: Option[(Int, Seq[graft.table.Views.ViewRepresentation])] = None
-      var versionSet = false
-      body.get("updates").elements().asScala.foreach { u =>
-        u.get("action").asText() match {
+      // fold updates (commit.rs:190-240 ViewUpdate). The version
+      // registry seeds from the pre-commit definition, so set-current
+      // can target any version known BEFORE this commit too.
+      var next =
+        if (cur.versions.nonEmpty) cur
+        else {
+          val seedId = math.max(1, cur.currentVersionId)
+          cur.copy(
+            versions = Seq(graft.table.Views.ViewVersionDef(
+              seedId, cur.allRepresentations)),
+            currentVersionId = seedId)
+        }
+      // ids added by THIS commit, in order (-1 targets the last one)
+      var addedIds: Seq[Int] = Seq.empty
+      field(body, "updates", "CommitViewRequest").elements().asScala
+          .foreach { u =>
+        field(u, "action", "view update").asText() match {
           case "assign-uuid" =>
-            val id = u.get("uuid").asText()
-            // not safe to re-assign an existing uuid (commit.rs:194)
-            if (cur.uuid.nonEmpty && cur.uuid != id)
+            val id = field(u, "uuid", "assign-uuid").asText()
+            // not safe to re-assign an existing uuid (commit.rs:194) —
+            // validated against the FOLDED state, so a second
+            // assign-uuid in the same request cannot re-assign either
+            if (next.uuid.nonEmpty && next.uuid != id)
               halt(400, "assign-uuid: view already has a uuid")
             next = next.copy(uuid = id)
           case "upgrade-format-version" =>
-            val fv = u.get("format-version").asInt()
+            val fv = field(u, "format-version", "upgrade-format-version")
+              .asInt()
             if (fv != 1)
               halt(400, s"unsupported view format-version $fv (only 1)")
           case "add-schema" =>
@@ -330,51 +350,61 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             // SQL at query time, so the schema is re-derivable state
             ()
           case "set-location" =>
-            halt(400, "set-location unsupported: graft views are " +
-              "identity-addressed under the warehouse")
+            // commit.rs:385 ViewUpdate::SetLocation: accepted and
+            // persisted as declared metadata. Storage stays under the
+            // warehouse (identity-addressed), like a catalog that owns
+            // its layout; the declared location round-trips to clients
+            next = next.copy(
+              location = field(u, "location", "set-location").asText())
           case "set-properties" =>
-            val ups = u.get("updates").properties().asScala
-              .map(e => e.getKey -> e.getValue.asText()).toMap
+            val ups = field(u, "updates", "set-properties").properties()
+              .asScala.map(e => e.getKey -> e.getValue.asText()).toMap
             next = next.copy(properties = next.properties ++ ups)
           case "remove-properties" =>
-            val rem = u.get("removals").elements().asScala.map(_.asText()).toSet
+            val rem = field(u, "removals", "remove-properties").elements()
+              .asScala.map(_.asText()).toSet
             next = next.copy(properties = next.properties -- rem)
           case "add-view-version" =>
-            val vv = u.get("view-version")
+            val vv = field(u, "view-version", "add-view-version")
             val vid = Option(vv.get("version-id")).map(_.asInt()).getOrElse(-1)
             val reps = Option(vv.get("representations"))
               .map(_.elements().asScala.map(rn =>
                 graft.table.Views.ViewRepresentation(
-                  rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
+                  field(rn, "dialect", "representation").asText(),
+                  field(rn, "sql", "representation").asText())).toSeq)
               .getOrElse(Seq.empty)
             if (reps.isEmpty)
               halt(400, "add-view-version requires at least one representation")
-            pendingVersion = Some((vid, reps))
-            // a NEW pending version needs its own set-current: an
-            // earlier set-current must not leak onto a later add
-            versionSet = false
+            // the client's proposed id is kept when free; a taken or
+            // unset id allocates the next free one (the spec lets the
+            // server reassign ids on add)
+            val taken = next.versions.map(_.versionId).toSet
+            val id = if (vid > 0 && !taken.contains(vid)) vid
+              else taken.max + 1
+            next = next.copy(versions = next.versions :+
+              graft.table.Views.ViewVersionDef(id, reps))
+            addedIds = addedIds :+ id
+          // add-view-version WITHOUT set-current is legal (the version
+          // is registered but not current, commit.rs ViewUpdate), and
+          // set-current may target ANY registered version id
           case "set-current-view-version" =>
-            val want = u.get("view-version-id").asInt()
-            pendingVersion match {
-              // -1 = "the version just added" (the standard client flow)
-              case Some((vid, _)) if want == -1 || want == vid =>
-                versionSet = true
-              case Some((vid, _)) =>
-                halt(400, s"set-current-view-version: $want does not " +
-                  s"match the added version $vid")
-              case None =>
-                halt(400, "set-current-view-version without " +
-                  "add-view-version in this commit")
-            }
+            val want = field(u, "view-version-id",
+              "set-current-view-version").asInt()
+            val target =
+              if (want == -1) addedIds.lastOption.getOrElse(
+                halt(400, "set-current-view-version -1 without " +
+                  "add-view-version in this commit"))
+              else want
+            val chosen = next.versions.find(_.versionId == target)
+              .getOrElse(halt(400,
+                s"set-current-view-version: unknown version $target"))
+            val sparkSql = chosen.representations
+              .find(_.dialect == "spark").map(_.sql)
+              .getOrElse(chosen.representations.head.sql)
+            next = next.copy(currentVersionId = target,
+              sql = sparkSql, representations = chosen.representations)
           case other => halt(400, s"unknown view update: $other")
         }
-      }
-      pendingVersion.foreach { case (_, reps) =>
-        if (!versionSet)
-          halt(400, "add-view-version requires set-current-view-version")
-        val sparkSql = reps.find(_.dialect == "spark").map(_.sql)
-          .getOrElse(reps.head.sql)
-        next = next.copy(sql = sparkSql, representations = reps)
       }
       if (graft.table.Views.commitViewAt(root, next, curVersion))
         reply(ex, 200, viewResult(root))
@@ -392,6 +422,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     n.put("name", d.name); n.put("sql", d.sql)
     n.put("current-version", version)
     n.put("view-uuid", d.viewUuid)
+    if (d.location.nonEmpty) n.put("location", d.location)
     if (d.properties.nonEmpty) {
       val p = n.putObject("properties")
       d.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
@@ -847,11 +878,24 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
               reply(ex, 409, errBody(
                 s"view moved: base $base, current $curVersion", 409))
             else {
-              // replace_view swaps the DEFINITION; identity (uuid) and
-              // properties ride along (the model check caught the
-              // fresh-ViewDef form silently wiping both)
-              val d = viewFromBody(v, body).copy(name = cur.name,
-                uuid = cur.uuid, properties = cur.properties)
+              // replace_view swaps the DEFINITION; identity (uuid),
+              // properties and location ride along (the model check
+              // caught the fresh-ViewDef form silently wiping both).
+              // If a spec client built a version registry, the swap
+              // registers there too — a later set-current must see
+              // a registry consistent with the live definition
+              val d0 = viewFromBody(v, body).copy(name = cur.name,
+                uuid = cur.uuid, properties = cur.properties,
+                location = cur.location)
+              val d =
+                if (cur.versions.isEmpty) d0
+                else {
+                  val nid = cur.versions.map(_.versionId).max + 1
+                  d0.copy(versions = cur.versions :+
+                    graft.table.Views.ViewVersionDef(
+                      nid, d0.allRepresentations),
+                    currentVersionId = nid)
+                }
               if (graft.table.Views.commitViewAt(root, d, base))
                 reply(ex, 200, viewResult(root))
               else reply(ex, 409,
@@ -1254,6 +1298,11 @@ object IcebergRestClient {
   /** view-uuid from LoadViewResult. */
   def loadViewUuid(base: String, ns: String, name: String): String =
     get(s"$base/v1/namespaces/$ns/views/$name").get("view-uuid").asText()
+
+  /** declared view location from LoadViewResult ("" when unset). */
+  def loadViewLocation(base: String, ns: String, name: String): String =
+    Option(get(s"$base/v1/namespaces/$ns/views/$name").get("location"))
+      .map(_.asText()).getOrElse("")
 
   /** view properties from LoadViewResult (empty map when none). */
   def loadViewProperties(base: String, ns: String,

@@ -550,14 +550,64 @@ class IcebergInteropSpec extends AnyFunSuite {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val badCur = mapper.createObjectNode()
       badCur.put("action", "set-current-view-version")
-      badCur.put("view-version-id", 7)
+      badCur.put("view-version-id", 7777) // never-registered id
       assert(C.commitView(base, "db", "v_spec",
         extraUpdates = Seq(badCur)) === 400)
-      val badLoc = mapper.createObjectNode()
-      badLoc.put("action", "set-location")
-      badLoc.put("location", "/elsewhere")
+      // missing required fields 400 (not a 500): no action / no uuid
+      val noAction = mapper.createObjectNode()
+      noAction.put("uuid", uuid)
       assert(C.commitView(base, "db", "v_spec",
-        extraUpdates = Seq(badLoc)) === 400)
+        extraUpdates = Seq(noAction)) === 400)
+      val noUuid = mapper.createObjectNode()
+      noUuid.put("action", "assign-uuid")
+      assert(C.commitView(base, "db", "v_spec",
+        extraUpdates = Seq(noUuid)) === 400)
+      // re-assigning an already-assigned uuid 400s — even when the
+      // first assignment happened earlier in the SAME request (the
+      // guard validates against the folded state, commit.rs AssignUUID)
+      val as1 = mapper.createObjectNode()
+      as1.put("action", "assign-uuid"); as1.put("uuid", uuid)
+      val as2 = mapper.createObjectNode()
+      as2.put("action", "assign-uuid")
+      as2.put("uuid", "11111111-2222-3333-4444-555555555555")
+      assert(C.commitView(base, "db", "v_spec",
+        extraUpdates = Seq(as1, as2)) === 400)
+      assert(C.loadViewUuid(base, "db", "v_spec") === uuid)
+
+      // set-location is accepted and persists (commit.rs:385
+      // ViewUpdate::SetLocation); a strict relocating client round-trips
+      val setLoc = mapper.createObjectNode()
+      setLoc.put("action", "set-location")
+      setLoc.put("location", "/elsewhere/v_spec")
+      assert(C.commitView(base, "db", "v_spec",
+        extraUpdates = Seq(setLoc)) === 200)
+      assert(C.loadViewLocation(base, "db", "v_spec") === "/elsewhere/v_spec")
+      // ...and survives unrelated commits
+      assert(C.commitView(base, "db", "v_spec",
+        setProperties = Map("touch" -> "1")) === 200)
+      assert(C.loadViewLocation(base, "db", "v_spec") === "/elsewhere/v_spec")
+
+      // add-view-version WITHOUT set-current: version registered,
+      // current definition unchanged (commit.rs ViewUpdate — legal)
+      val addOnly = mapper.createObjectNode()
+      addOnly.put("action", "add-view-version")
+      val vv = addOnly.putObject("view-version")
+      vv.put("version-id", 42)
+      val reps42 = vv.putArray("representations")
+      val rn42 = reps42.addObject()
+      rn42.put("type", "sql"); rn42.put("dialect", "spark")
+      rn42.put("sql", "SELECT 42 AS one")
+      assert(C.commitView(base, "db", "v_spec",
+        extraUpdates = Seq(addOnly)) === 200)
+      assert(C.loadView(base, "db", "v_spec")._1.contains("SELECT 2"),
+        "add-view-version alone must not switch the current version")
+      // a LATER commit may set-current to that registered id
+      val curTo42 = mapper.createObjectNode()
+      curTo42.put("action", "set-current-view-version")
+      curTo42.put("view-version-id", 42)
+      assert(C.commitView(base, "db", "v_spec",
+        extraUpdates = Seq(curTo42)) === 200)
+      assert(C.loadView(base, "db", "v_spec")._1.contains("SELECT 42"))
     } finally server.stop()
   }
 

@@ -269,11 +269,13 @@ class ModelCheckSpec extends AnyFunSuite {
             assert(C.commitView(base, "db", "v",
               assertUuid = Some("00000000-0000-0000-0000-000000000001"),
               representations = Seq("spark" -> "SELECT -2")) === 409)
-          case _ => // malformed: set-current without an add -> 400
+          case _ => // malformed: set-current to a NEVER-registered id
+            // -> 400 (small ids may legitimately exist in the version
+            // registry after a few adds, so probe far outside it)
             val m = new com.fasterxml.jackson.databind.ObjectMapper()
             val bad = m.createObjectNode()
             bad.put("action", "set-current-view-version")
-            bad.put("view-version-id", 5)
+            bad.put("view-version-id", 99999)
             assert(C.commitView(base, "db", "v",
               extraUpdates = Seq(bad)) === 400)
         }
