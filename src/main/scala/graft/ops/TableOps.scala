@@ -494,6 +494,78 @@ object TableOps {
       .select(col("change_type"), col("n"), col("key_sum"))
   }
 
+  /** Row-level SQL on an ADOPTED real-format table: register a table
+    * another engine could have written, run catalog SQL DELETE +
+    * UPDATE against it (merge-on-read delta — a v2 position-delete
+    * manifest plus only the changed rows, ONE snapshot each), then
+    * read the final state back through the BINARY interop reader, a
+    * walk any Iceberg engine could do. Locks the full V2 row-level
+    * seam: row-id scan → delta write → commitDelta → MoR fold
+    * (reference: datafusion_iceberg delete semantics + the v2 delete
+    * commits of iceberg-rust/src/table/transaction). */
+  val tfForeignRowlevel: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val loc = scratch()
+    graft.table.iceberg.IcebergWrite.create(s, loc, o)
+    // catalog names are session-cached by NAME, so each run gets a
+    // fresh one (bench reps would otherwise reuse a stale warehouse)
+    val cat = s"ice_rl_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-rlwh").toString)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    s.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    s.sql(s"DELETE FROM $cat.m.t WHERE o_orderstatus = 'F'")
+    s.sql(s"UPDATE $cat.m.t SET o_totalprice = o_totalprice * 2 " +
+      "WHERE o_orderpriority = '1-URGENT'")
+    graft.table.iceberg.IcebergTable.load(s, loc).scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfForeignRowlevelSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN o_totalprice * 2 ELSE o_totalprice END),2)::DOUBLE AS total
+       FROM orders WHERE o_orderstatus <> 'F'
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
+  /** SQL INSERT INTO an ADOPTED real-format table through the
+    * catalog: the V1 write bridge routes the planned DataFrame into
+    * the interop append (distributed parquet write + real avro
+    * manifests + CAS'd metadata commit), and the final content reads
+    * back through the binary interop reader (reference:
+    * datafusion_iceberg/src/table.rs:216 insert_into). */
+  val tfForeignInsert: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val loc = scratch()
+    graft.table.iceberg.IcebergWrite.create(
+      s, loc, c.filter(col("c_custkey") % 2 === 0))
+    val cat = s"ice_ins_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-inswh").toString)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    s.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    c.filter(col("c_custkey") % 2 =!= 0)
+      .createOrReplaceTempView("tf_foreign_insert_src")
+    s.sql(s"INSERT INTO $cat.m.t SELECT * FROM tf_foreign_insert_src")
+    graft.table.iceberg.IcebergTable.load(s, loc).scan()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val tfForeignInsertSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+       round(sum(c_acctbal),2)::DOUBLE AS total
+       FROM customer GROUP BY 1 ORDER BY c_mktsegment"""
+
   val tfForeignChangelogSql: String =
     """SELECT * FROM (
          SELECT 'insert' AS change_type, count(*) AS n,
@@ -630,6 +702,8 @@ object TableOps {
     "tf_iceberg_read" -> tfIcebergRead,
     "tf_foreign_scan" -> tfForeignScan,
     "tf_foreign_changelog" -> tfForeignChangelog,
+    "tf_foreign_rowlevel" -> tfForeignRowlevel,
+    "tf_foreign_insert" -> tfForeignInsert,
     "tf_iceberg_partitioned" -> tfIcebergPartitioned,
     "tf_delete_pos" -> tfDeletePos,
     "tf_metadata_tables" -> tfMetadataTables,
@@ -656,6 +730,8 @@ object TableOps {
     "tf_iceberg_read" -> tfIcebergReadSql,
     "tf_foreign_scan" -> tfForeignScanSql,
     "tf_foreign_changelog" -> tfForeignChangelogSql,
+    "tf_foreign_rowlevel" -> tfForeignRowlevelSql,
+    "tf_foreign_insert" -> tfForeignInsertSql,
     "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,
     "tf_delete_pos" -> tfDeletePosSql,
     "tf_compaction" -> tfCompactionSql,

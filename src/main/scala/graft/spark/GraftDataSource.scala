@@ -378,7 +378,10 @@ class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
         GraftWriteSchemas.bloomOptions(root)),
       GraftConnectorShim.prepareParquetWriteConf(spark,
         GraftDeltaWriterFactory.DeleteSchema),
-      RowTransform.forSpec(spec, rowSchema))
+      // a delete-only delta (SQL DELETE) carries an EMPTY row schema —
+      // no rows are written, so no transforms must compile against it
+      if (rowSchema.isEmpty) Seq.empty
+      else RowTransform.forSpec(spec, rowSchema))
   }
 
   override def commit(

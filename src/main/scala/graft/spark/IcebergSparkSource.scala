@@ -24,7 +24,9 @@ import graft.table.iceberg.{IcebergAvro, IcebergMetadata, IcebergTable}
 class IcebergSparkTable(location: String,
     pinnedSnapshot: Option[Long] = None) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private lazy val ice = IcebergMetadata.load(location)
 
   override def name(): String = s"iceberg.`$location`"
@@ -33,6 +35,28 @@ class IcebergSparkTable(location: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ)
+
+  /** Row-address metadata columns (_file, _pos) — the delta row id,
+    * same pair Iceberg's own Spark integration exposes. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftSparkTable.FileMetaCol, GraftSparkTable.PosMetaCol)
+
+  /** SQL DELETE / UPDATE / MERGE on an adopted real-format table runs
+    * merge-on-read ALWAYS: matched rows position-delete their old
+    * slots (a v2 delete manifest any Iceberg reader folds) and only
+    * changed rows are written — one real snapshot, write cost
+    * O(changed rows), no candidate-file rewrite. That is the right
+    * default at 100 TB for point mutations; readers who want the
+    * files re-folded call the compaction procedure
+    * (CALL rewrite_data_files), which absorbs the delete files
+    * (reference: v2 delete commits of
+    * iceberg-rust/src/table/transaction + datafusion_iceberg's
+    * delete semantics). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new IcebergDeltaOperation(location, info.command())
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     import scala.jdk.CollectionConverters._
@@ -91,7 +115,14 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long],
     val names = required.fieldNames.toSet
     requiredSchema = StructType(
       ice.schema.toSpark.fields.filter(f => names.contains(f.name)))
+    // _file/_pos metadata columns (the delta row id) are not data
+    // columns: the reader APPENDS them per row, so track them apart
+    rowIdCols = required.fields.filter(f =>
+      f.name == GraftSparkTable.FileColName ||
+        f.name == GraftSparkTable.PosColName).toSeq
   }
+
+  private var rowIdCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty
 
   /** The manifest-prunable subset of the pushed filters, rendered in
     * canonical stat-string form (same translation as GraftScan). */
@@ -139,7 +170,7 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long],
       else StructType(ice.schema.toSpark.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new IcebergScan(location, snapshotId, withKeys, pushed, statFilters,
-      t, deletes, streamOptions)
+      t, deletes, streamOptions, rowIdCols)
   }
 }
 
@@ -148,7 +179,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     statFilters: Seq[(String, String, String)],
     table: IcebergTable,
     deletes: Seq[(IcebergAvro.DataFileEntry, Long)],
-    streamOptions: Map[String, String] = Map.empty)
+    streamOptions: Map[String, String] = Map.empty,
+    rowIdCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -216,14 +248,15 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     ice.schema.fields.find(_.id == pf.sourceId).map(_.name).getOrElse("")
 
   private def spjEligible: Boolean =
-    spec.nonEmpty && spec.forall(_.transform == "identity") &&
+    rowIdCols.isEmpty &&
+      spec.nonEmpty && spec.forall(_.transform == "identity") &&
       spec.forall(pf => requiredSchema.fieldNames.contains(srcName(pf))) &&
       deletes.isEmpty
 
   private def bucketSpec
       : Option[(graft.table.iceberg.IcebergMetadata.IcePartitionField, Int)] =
     spec match {
-      case Seq(pf) if pf.transform.startsWith("bucket[") &&
+      case Seq(pf) if rowIdCols.isEmpty && pf.transform.startsWith("bucket[") &&
           requiredSchema.fieldNames.contains(srcName(pf)) && deletes.isEmpty =>
         Some((pf, pf.transform.stripPrefix("bucket[").stripSuffix("]").toInt))
       case _ => None
@@ -251,7 +284,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     }
   }
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    StructType(requiredSchema.fields ++ rowIdCols)
   override def toBatch: Batch = this
   override def description(): String = s"IcebergScan($location)"
 
@@ -276,6 +310,10 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     case other => other // Integer (int/date), Long (long/timestamp)
   }
 
+  /** partition index → qualified data-file URI, for row-id scans
+    * (single-file partitions; the reader appends _file/_pos). */
+  @volatile private var rowIdFileByPartition: Map[Int, String] = Map.empty
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = sparkSession
     val files = table.plannedFiles(snapshotId, allStatFilters)
@@ -285,6 +323,44 @@ class IcebergScan(location: String, snapshotId: Option[Long],
         GraftConnectorShim.partitionedFile(
           TableIO.qualified(resolve(e.filePath)), e.fileSizeBytes, 0L)
       })
+    if (rowIdCols.nonEmpty) {
+      // row-id scans (delta row-level ops): one file per partition so
+      // the reader's raw stream index IS the row position — the same
+      // trick the position-delete read path uses. Keyed (SPJ/bucket)
+      // partitioning is skipped: a delta op's scan feeds a write, not
+      // a join. Live MoR deletes still apply (below the row-id append,
+      // so positions count every raw row of the file).
+      val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
+      val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
+      val fileOut = scala.collection.mutable.Map[Int, String]()
+      val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      def sig2(seq: Long): (Seq[String], Seq[String]) =
+        (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
+          .map(_._1.filePath).sorted,
+          deletes.filter { case (d, ds) => d.content == 1 && ds >= seq }
+            .map(_._1.filePath).sorted)
+      files.groupBy { case (_, _, seq) => sig2(seq) }.toSeq
+        .sortBy { case ((eq, pos), _) => (eq ++ pos).mkString(";") }
+        .foreach { case ((eqSig, posSig), group) =>
+          val specs =
+            if (eqSig.isEmpty) Seq.empty else buildEqSpecs(spark, eqSig)
+          val posSpec =
+            if (posSig.isEmpty) None else Some(buildPosSpec(spark, posSig))
+          group.foreach { case (e, _, _) =>
+            val idx = out.length
+            out += toPartition(idx, Seq(e))
+            if (specs.nonEmpty) specsOut(idx) = specs
+            val uri = TableIO.qualified(resolve(e.filePath))
+            fileOut(idx) = uri
+            posSpec.foreach(spec => posOut(idx) =
+              (spec, resolve(e.filePath).toUri.getPath))
+          }
+        }
+      deleteSpecsByPartition = specsOut.toMap
+      posSpecsByPartition = posOut.toMap
+      rowIdFileByPartition = fileOut.toMap
+      return out.toArray
+    }
     if (spjEligible || bucketSpec.isDefined) {
       // one keyed partition per partition-value tuple (SPJ layout)
       val names = if (spjEligible) spec.map(_.name) else Seq(bucketSpec.get._1.name)
@@ -388,13 +464,127 @@ class IcebergScan(location: String, snapshotId: Option[Long],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = sparkSession
+    // a row-id scan counts RAW stream indexes as positions, so the
+    // parquet reader must skip nothing (filters stay residual above);
+    // same rule when position deletes are live
     val pushForDelegate =
-      if (deletes.exists(_._1.content == 1)) Array.empty[Filter]
+      if (rowIdCols.nonEmpty || deletes.exists(_._1.content == 1))
+        Array.empty[Filter]
       else pushedFilters
-    val delegate: PartitionReaderFactory = UnwrapKeyedFactory(
+    val parquetFactory: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
         spark, ice.schema.toSpark, requiredSchema, pushForDelegate))
+    // _file/_pos append BELOW the MoR filter: positions must count
+    // every raw row of the file, including rows a live delete hides
+    val delegate =
+      if (rowIdCols.isEmpty) parquetFactory
+      else RowIdAppendFactory(parquetFactory, rowIdFileByPartition,
+        rowIdCols.map(_.name))
     if (deletes.isEmpty) delegate
     else MorReaderFactory(delegate, deleteSpecsByPartition, posSpecsByPartition)
+  }
+}
+
+/** Delta row-level operation on an ADOPTED real-format Iceberg table
+  * (SupportsDelta): merge-on-read UPDATE / MERGE / DELETE. The scan
+  * emits the row address (_file, _pos) per candidate row; the write
+  * position-deletes matched slots and appends only the changed rows —
+  * ONE real Iceberg snapshot (data manifest + v2 delete manifest) any
+  * other engine folds on read (reference: the v2 delete-file commits
+  * of iceberg-rust/src/table/transaction). */
+class IcebergDeltaOperation(location: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftSparkTable.FileColName),
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftSparkTable.PosColName))
+
+  // the writer implements update() natively (delete old slot + write
+  // the new row in the same task)
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  // no capture: nothing is replaced wholesale, so runtime filtering
+  // may freely narrow the candidate FILES (positions are file-local)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IcebergScanBuilder(location, None)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new IcebergDeltaBatchWrite(location, info.schema())
+        }
+    }
+}
+
+/** Executors stage new data files (partition-routed through the
+  * table's Iceberg transforms, executor-side) and position-delete
+  * files; the driver commit lands both in one real-format snapshot
+  * via IcebergWrite.commitDelta. */
+class IcebergDeltaBatchWrite(location: String, rowSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val suffix = java.util.UUID.randomUUID().toString.take(8)
+  private val stagingData = TableIO.path(location, s"stage-delta-$suffix")
+  private val stagingDel = TableIO.path(location, s"stage-deltadel-$suffix")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    TableIO.mkdirs(stagingData)
+    TableIO.mkdirs(stagingDel)
+    val spark = SparkSession.active
+    val ice = IcebergMetadata.load(location)
+    val spec = ice.specs.find(_.specId == ice.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    // data parquet carries the table's Iceberg FIELD IDS in its
+    // footers (id-based readers need no name mapping for delta files)
+    val withIds = StructType(rowSchema.fields.map { f =>
+      ice.schema.fieldId(f.name) match {
+        case Some(id) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong)
+            .build())
+        case None => f
+      }
+    })
+    // the same executor-side transform evaluation graft writes use:
+    // the Iceberg spec's (source, transform, name) triples map 1:1
+    val metaSpec = spec.map { pf =>
+      val src = ice.schema.fields.find(_.id == pf.sourceId)
+        .map(_.name).getOrElse(throw new IllegalStateException(
+          s"partition source id ${pf.sourceId} not in schema"))
+      graft.table.Meta.PartitionField(src, pf.transform, pf.name)
+    }
+    GraftDeltaWriterFactory(
+      stagingData.toString, stagingDel.toString,
+      GraftConnectorShim.prepareParquetWriteConf(spark, withIds),
+      GraftConnectorShim.prepareParquetWriteConf(spark,
+        GraftDeltaWriterFactory.DeleteSchema),
+      // a delete-only delta (SQL DELETE) carries an EMPTY row schema —
+      // no rows are written, so no transforms must compile against it
+      if (rowSchema.isEmpty) Seq.empty
+      else RowTransform.forSpec(metaSpec, rowSchema))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    graft.table.iceberg.IcebergWrite.commitDelta(
+      SparkSession.active, location, stagingData, stagingDel)
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    TableIO.delete(stagingData, recursive = true)
+    TableIO.delete(stagingDel, recursive = true)
   }
 }

@@ -782,6 +782,247 @@ object IcebergWrite {
     ()
   }
 
+  /** Commit a DELTA write on a REAL-format table (the V2 SupportsDelta
+    * path: SQL UPDATE / MERGE / DELETE on an adopted Iceberg table):
+    * executor-staged new data files plus executor-staged position-
+    * delete files land in ONE snapshot — a data manifest, a delete
+    * manifest (content 1), and a manifest list carrying the previous
+    * manifests forward. Write cost O(changed rows), no candidate-file
+    * rewrite — the right default at 100 TB (reference: the v2 delete
+    * semantics of iceberg-rust/src/table/transaction; position deletes
+    * at sequence N apply to data files with sequence <= N, so the
+    * deletes reach every pre-existing file but the rows appended here
+    * are never self-deleted — their paths aren't referenced).
+    *
+    * Data staging layout matches the executor writers: partitioned
+    * specs write `<field-name>=<value>` dirs (RowTransform.eval), and
+    * the manifest entries carry the typed partition structs parsed
+    * from them. Both staged sets are base-independent, so the commit
+    * rebases cleanly through commitRetry on a lost CAS race. */
+  def commitDelta(spark: SparkSession, location: String,
+      dataStaging: HPath, delStaging: HPath): Unit = {
+    val base = IcebergMetadata.load(location)
+    val spec = base.specs.find(_.specId == base.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    val sparkSchema = base.schema.toSpark
+    val dataDir = TableIO.path(location, "data")
+    TableIO.mkdirs(dataDir)
+
+    val stagedData = TableIO.listFilesRecursive(dataStaging)
+      .filter(_._1.getName.endsWith(".parquet"))
+    val moved = parallelOnDriver(stagedData) { case (src, sz, _) =>
+      val rel = TableIO.relativize(dataStaging, src)
+      val dest = new HPath(dataDir,
+        s"${UUID.randomUUID().toString.take(8)}-${src.getName}")
+      TableIO.rename(src, dest)
+      val dirVals = rel.split("/").dropRight(1)
+        .map(_.split("=", 2)).map(a => a(0).stripPrefix("_p_") -> a(1)).toMap
+      (dest, sz, spec.map(pf => dirVals.getOrElse(pf.name, null)))
+    }
+    TableIO.delete(dataStaging, recursive = true)
+    val statsByPath: Map[String, FileStats] =
+      moved.map { case (p, _, _) =>
+        p.toString -> footerBounds(p, sparkSchema, base.schema)
+      }.toMap
+
+    // delete files: record_count is required by the spec — read it
+    // from each footer (driver-side, delete files are small)
+    val movedDel = TableIO.listFilesRecursive(delStaging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dataDir,
+          s"pos-delete-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(dest, new Configuration()))
+        val rows = try reader.getFooter.getBlocks.asScala
+          .map(_.getRowCount).sum finally reader.close()
+        (dest, sz, rows)
+      }
+    TableIO.delete(delStaging, recursive = true)
+    if (moved.isEmpty && movedDel.isEmpty) return
+
+    IcebergMetadata.commitRetry(location) { m =>
+      val schema = m.schema
+      val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val seq = m.lastSequenceNumber + 1
+      val metaDir = TableIO.path(location, "metadata")
+      TableIO.mkdirs(metaDir)
+      val mlSchema = IcebergAvro.manifestListSchema
+      def mfRecord(path: String, len: Long, content: Int, sq: Long,
+          minSq: Long, snapId: Long, added: Int, rows: Long,
+          sums: Option[Seq[IcebergAvro.FieldSummary]])
+          : org.apache.avro.generic.GenericRecord = {
+        val r = IcebergAvro.record(mlSchema)
+        r.put("manifest_path", path)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", m.defaultSpecId)
+        r.put("content", content)
+        r.put("sequence_number", sq)
+        r.put("min_sequence_number", minSq)
+        r.put("added_snapshot_id", snapId)
+        r.put("added_files_count", added)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", rows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        IcebergAvro.putFieldSummaries(r, sums)
+        r
+      }
+
+      // 1. data manifest (same entry shape as appendManifest)
+      val schemaJson = icebergSchemaJson(schema)
+      val partRecordJson = partitionRecordJson(spec, schema)
+      val specJson = partitionSpecJson(spec, m.defaultSpecId)
+      val dataEntry: Option[org.apache.avro.generic.GenericRecord] =
+        if (moved.isEmpty) None
+        else {
+          var rows = 0L
+          val entries = moved.map { case (p, sz, partVals) =>
+            val (records, lower, upper, nulls) = statsByPath(p.toString)
+            rows += records
+            val e = IcebergAvro.record(IcebergAvro.manifestSchema(partRecordJson))
+            e.put("status", 1)
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", null)
+            e.put("file_sequence_number", null)
+            val dfSchema = e.getSchema.getField("data_file").schema()
+            val d = new GenericData.Record(dfSchema)
+            d.put("content", 0)
+            d.put("file_path", TableIO.qualified(p))
+            d.put("file_format", "PARQUET")
+            val partRec =
+              new GenericData.Record(dfSchema.getField("partition").schema())
+            spec.zip(partVals).foreach { case (pf, v) =>
+              val srcT = IcebergTypes.toSpark(
+                schema.fields.find(_.id == pf.sourceId).get.tpe)
+              partRec.put(pf.name,
+                typedPartitionValue(Transforms.resultType(pf.transform, srcT), v))
+            }
+            d.put("partition", partRec)
+            d.put("record_count", records)
+            d.put("file_size_in_bytes", sz)
+            d.put("null_value_counts",
+              keyedLongs(dfSchema, "null_value_counts", nulls))
+            d.put("lower_bounds", keyedBytes(dfSchema, "lower_bounds", lower))
+            d.put("upper_bounds", keyedBytes(dfSchema, "upper_bounds", upper))
+            d.put("equality_ids", null)
+            e.put("data_file", d)
+            e: org.apache.avro.generic.GenericRecord
+          }
+          val mp = new HPath(metaDir,
+            s"manifest-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+          val len = IcebergAvro.writeManifest(
+            mp, partRecordJson, entries, schemaJson, specJson)
+          Some(mfRecord(TableIO.qualified(mp), len, 0, seq, seq, snapshotId,
+            moved.size, rows,
+            fieldSummariesFor(spec, schema, moved.map(_._3))))
+        }
+
+      // 2. position-delete manifest (content "deletes", entry content 1)
+      val delEntry: Option[org.apache.avro.generic.GenericRecord] =
+        if (movedDel.isEmpty) None
+        else {
+          val entries = movedDel.map { case (p, sz, rows) =>
+            val e = IcebergAvro.record(IcebergAvro.manifestSchema(emptyPartition))
+            e.put("status", 1)
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", null)
+            e.put("file_sequence_number", null)
+            val dfSchema = e.getSchema.getField("data_file").schema()
+            val d = new GenericData.Record(dfSchema)
+            d.put("content", 1)
+            d.put("file_path", TableIO.qualified(p))
+            d.put("file_format", "PARQUET")
+            d.put("partition",
+              new GenericData.Record(dfSchema.getField("partition").schema()))
+            d.put("record_count", rows)
+            d.put("file_size_in_bytes", sz)
+            d.put("null_value_counts", null)
+            d.put("lower_bounds", null)
+            d.put("upper_bounds", null)
+            d.put("equality_ids", null)
+            e.put("data_file", d)
+            e: org.apache.avro.generic.GenericRecord
+          }
+          val mp = new HPath(metaDir,
+            s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+          val len = IcebergAvro.writeManifest(mp, emptyPartition, entries,
+            schemaJson, """{"spec-id":0,"fields":[]}""", content = "deletes")
+          Some(mfRecord(TableIO.qualified(mp), len, 1, seq, seq, snapshotId,
+            0, 0L, None))
+        }
+
+      // 3. one manifest list: both new manifests + everything carried.
+      // Carried entries keep their SOURCE list-entry counts verbatim
+      // (a real Iceberg reader skips added=0/existing=0 manifests as
+      // empty — same rule rewriteManifests honors for delete manifests)
+      val rawByPath = m.currentSnapshot.map(s =>
+        IcebergAvro.readManifestListRaw(new HPath(s.manifestList))
+          .map(r => String.valueOf(r.get("manifest_path")) -> r).toMap)
+        .getOrElse(Map.empty)
+      val prevManifests = m.currentSnapshot.map(s =>
+        IcebergAvro.readManifestList(new HPath(s.manifestList)))
+        .getOrElse(Seq.empty)
+      val carried = prevManifests.map { mf =>
+        val src = rawByPath.get(mf.path)
+        def fieldOf(n: String): Option[Any] = src.flatMap(s =>
+          if (s.getSchema.getField(n) == null) None else Option(s.get(n)))
+        def asLong(v: Any): Long = v match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case _ => 0L
+        }
+        def asInt(v: Any): Int = v match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case _ => 0
+        }
+        val r = mfRecord(
+          mf.path, mf.length, mf.content, mf.sequenceNumber,
+          fieldOf("min_sequence_number").map(asLong)
+            .getOrElse(mf.sequenceNumber),
+          mf.addedSnapshotId,
+          fieldOf("added_files_count").map(asInt)
+            .getOrElse(mf.addedFilesCount.getOrElse(0)),
+          fieldOf("added_rows_count").map(asLong).getOrElse(0L),
+          mf.partitions)
+        r.put("partition_spec_id", mf.specId)
+        r.put("existing_files_count",
+          fieldOf("existing_files_count").map(asInt).getOrElse(0))
+        r.put("deleted_files_count",
+          fieldOf("deleted_files_count").map(asInt).getOrElse(0))
+        r.put("existing_rows_count",
+          fieldOf("existing_rows_count").map(asLong).getOrElse(0L))
+        r.put("deleted_rows_count",
+          fieldOf("deleted_rows_count").map(asLong).getOrElse(0L))
+        r
+      }
+      val mlPath = new HPath(metaDir,
+        s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+      IcebergAvro.writeManifestList(mlPath,
+        (dataEntry.toSeq ++ delEntry.toSeq) ++ carried, snapshotId, seq)
+      val snap = IcebergMetadata.IceSnapshot(
+        snapshotId = snapshotId,
+        parentId = m.currentSnapshotId,
+        sequenceNumber = seq,
+        timestampMs = System.currentTimeMillis(),
+        manifestList = TableIO.qualified(mlPath),
+        operation = if (moved.isEmpty) "delete" else "overwrite",
+        schemaId = m.currentSchemaId,
+        summary = Map(
+          "added-files" -> moved.size.toString,
+          "added-delete-files" -> movedDel.size.toString))
+      m.copy(
+        lastSequenceNumber = seq,
+        currentSnapshotId = Some(snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snapshotId))
+    }
+    ()
+  }
+
   /** Equality DELETE: the distinct key tuples become an equality
     * delete file scoped (by sequence) to all earlier data. */
   def deleteEquality(spark: SparkSession, location: String,

@@ -1455,6 +1455,150 @@ class IcebergInteropSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === ch.count(_._3 == "delete").toLong)
   }
 
+  test("SQL DELETE / UPDATE / MERGE on an adopted real-format table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 100L).map(i => (i, s"a$i", i * 10L)).toDF("k", "v", "amt")
+        .repartition(3))
+    IcebergWrite.append(spark, loc,
+      (101L to 200L).map(i => (i, s"b$i", i * 10L)).toDF("k", "v", "amt")
+        .repartition(2))
+    val wh = Files.createTempDirectory("graft-icerl").toString
+    spark.conf.set("spark.sql.catalog.ice_rl", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_rl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_rl.m")
+    spark.sql(s"CALL ice_rl.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    // --- DELETE: merge-on-read position deletes, one real snapshot
+    spark.sql("DELETE FROM ice_rl.m.t WHERE k % 10 = 0")
+    assert(spark.sql("SELECT count(*) FROM ice_rl.m.t")
+      .collect()(0).getLong(0) === 180L)
+    val t1 = IcebergTable.load(spark, loc)
+    // the binary interop reader (a walk any engine could do) folds the
+    // delete manifest: same count, the hidden keys gone
+    assert(t1.scan().count() === 180L)
+    assert(t1.scan().filter(col("k") % 10 === 0).count() === 0L)
+    val sDel = t1.meta.currentSnapshotId.get
+    assert(t1.meta.currentSnapshot.get.operation === "delete")
+    val mlDel = IcebergAvro.readManifestList(
+      new HPath(t1.meta.currentSnapshot.get.manifestList))
+    assert(mlDel.exists(_.content === 1),
+      "DELETE must commit a v2 delete manifest")
+    assert(mlDel.count(_.content === 0) === 2,
+      "the previous data manifests (one per append snapshot) carry forward")
+    // the changelog emits exactly the hidden rows
+    val chDel = t1.changesBetween(None).collect()
+      .filter(r => r.getAs[Long]("_commit_snapshot_id") == sDel)
+    assert(chDel.length === 20 &&
+      chDel.forall(r => r.getAs[String]("_change_type") == "delete" &&
+        r.getAs[Long]("k") % 10 == 0))
+
+    // --- UPDATE: position-delete old slots + new rows, ONE snapshot
+    spark.sql("UPDATE ice_rl.m.t SET v = 'upd', amt = amt + 1 WHERE k <= 5")
+    assert(spark.sql("SELECT count(*) FROM ice_rl.m.t")
+      .collect()(0).getLong(0) === 180L)
+    assert(spark.sql(
+      "SELECT count(*) FROM ice_rl.m.t WHERE k <= 5 AND v = 'upd'")
+      .collect()(0).getLong(0) === 5L)
+    val t2 = IcebergTable.load(spark, loc)
+    // IcebergTable.meta reloads per access: compare CAPTURED counts
+    assert(t2.meta.snapshots.size === 4,
+      "UPDATE must land as one snapshot (create+append+delete+update)")
+    assert(t2.meta.currentSnapshot.get.operation === "overwrite")
+    val mlUpd = IcebergAvro.readManifestList(
+      new HPath(t2.meta.currentSnapshot.get.manifestList))
+    val own = mlUpd.filter(_.addedSnapshotId == t2.meta.currentSnapshotId.get)
+    assert(own.exists(_.content === 0) && own.exists(_.content === 1),
+      "UPDATE snapshot must add a data manifest AND a delete manifest")
+    // interop reader sees the updated values
+    assert(t2.scan().filter(col("k") <= 5)
+      .agg(sum("amt")).collect()(0).getLong(0) ===
+      (1L to 5L).map(_ * 10L + 1L).sum)
+    assert(t2.scan().count() === 180L)
+
+    // --- MERGE: matched rows update, unmatched insert — one snapshot
+    Seq((7L, 777L), (300L, 3000L), (301L, 3010L)).toDF("k", "namt")
+      .createOrReplaceTempView("rl_merge_src")
+    spark.sql("""MERGE INTO ice_rl.m.t t USING rl_merge_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET amt = s.namt
+      WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, 'ins', s.namt)""")
+    assert(spark.sql("SELECT count(*) FROM ice_rl.m.t")
+      .collect()(0).getLong(0) === 182L)
+    assert(spark.sql("SELECT amt FROM ice_rl.m.t WHERE k = 7")
+      .collect()(0).getLong(0) === 777L)
+    assert(spark.sql(
+      "SELECT count(*) FROM ice_rl.m.t WHERE v = 'ins'")
+      .collect()(0).getLong(0) === 2L)
+    val t3 = IcebergTable.load(spark, loc)
+    assert(t3.scan().count() === 182L)
+    assert(t3.meta.snapshots.size === 5,
+      "MERGE must land as one snapshot")
+
+    // --- full metadata walk another engine could do: every snapshot
+    // chains, the version-hint resolves, all manifests open
+    val m = IcebergMetadata.load(loc)
+    assert(m.currentSnapshotId === m.refs.get("main"))
+    m.snapshots.foreach { s =>
+      IcebergAvro.readManifestList(new HPath(s.manifestList)).foreach { mf =>
+        assert(IcebergAvro.readManifest(new HPath(mf.path)).nonEmpty)
+      }
+    }
+    // a concurrent appender interleaving with row-level commits keeps
+    // every snapshot (the CAS'd commitRetry path)
+    IcebergWrite.append(spark, loc,
+      Seq((400L, "z", 4000L)).toDF("k", "v", "amt"))
+    assert(IcebergTable.load(spark, loc).scan().count() === 183L)
+  }
+
+  test("row-level SQL routes new rows through transforms on a partitioned adopted table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    // identity-partitioned on a string dim — the delta writer must
+    // route replacement rows into partition dirs and the manifests
+    // must carry the typed partition structs
+    IcebergWrite.createWithSpec(spark, loc,
+      (1L to 60L).map(i => (i, s"d${i % 3}", i * 10L)).toDF("k", "d", "amt"),
+      Seq("d" -> "identity"))
+    val wh = Files.createTempDirectory("graft-icerlp").toString
+    spark.conf.set("spark.sql.catalog.ice_rlp", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_rlp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_rlp.m")
+    spark.sql(s"CALL ice_rlp.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    spark.sql("UPDATE ice_rlp.m.t SET amt = amt * 100 WHERE k % 20 = 0")
+    assert(spark.sql("SELECT count(*) FROM ice_rlp.m.t")
+      .collect()(0).getLong(0) === 60L)
+    assert(spark.sql("SELECT sum(amt) FROM ice_rlp.m.t WHERE k % 20 = 0")
+      .collect()(0).getLong(0) === Seq(20L, 40L, 60L).map(_ * 1000L).sum)
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().count() === 60L)
+    // the UPDATE's own data manifest carries typed partition values
+    val snap = t.meta.currentSnapshot.get
+    val ml = IcebergAvro.readManifestList(new HPath(snap.manifestList))
+    val ownData = ml.filter(mf =>
+      mf.addedSnapshotId == t.meta.currentSnapshotId.get && mf.content == 0)
+    assert(ownData.nonEmpty)
+    val entries = ownData.flatMap(mf =>
+      IcebergAvro.readManifest(new HPath(mf.path)))
+    assert(entries.nonEmpty && entries.forall(e =>
+      e.partition.get("d").exists(v => v != null &&
+        String.valueOf(v).startsWith("d"))),
+      s"partition structs missing: ${entries.map(_.partition)}")
+    // partition pruning still bites after the row-level commit
+    val pruned = t.plannedFiles(None, Seq(("d", "=", "d0")))
+    assert(pruned.size < t.plannedFiles().size)
+    // DELETE on the partitioned table folds through the same reader
+    spark.sql("DELETE FROM ice_rlp.m.t WHERE d = 'd1'")
+    assert(spark.sql("SELECT count(*) FROM ice_rlp.m.t")
+      .collect()(0).getLong(0) === 40L)
+    assert(IcebergTable.load(spark, loc).scan().count() === 40L)
+  }
+
   test("consolidation preserves foreign manifest columns it does not model") {
     val spark0 = spark
     import spark0.implicits._
