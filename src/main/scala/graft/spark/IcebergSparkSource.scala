@@ -43,20 +43,35 @@ class IcebergSparkTable(location: String,
     Array(GraftSparkTable.FileMetaCol, GraftSparkTable.PosMetaCol)
 
   /** SQL DELETE / UPDATE / MERGE on an adopted real-format table runs
-    * merge-on-read ALWAYS: matched rows position-delete their old
+    * merge-on-read by DEFAULT: matched rows position-delete their old
     * slots (a v2 delete manifest any Iceberg reader folds) and only
     * changed rows are written — one real snapshot, write cost
     * O(changed rows), no candidate-file rewrite. That is the right
     * default at 100 TB for point mutations; readers who want the
     * files re-folded call the compaction procedure
-    * (CALL rewrite_data_files), which absorbs the delete files
-    * (reference: v2 delete commits of
-    * iceberg-rust/src/table/transaction + datafusion_iceberg's
-    * delete semantics). */
+    * (CALL rewrite_data_files), which absorbs the delete files.
+    * Iceberg's `write.delete.mode` / `write.update.mode` /
+    * `write.merge.mode` = copy-on-write table properties opt a table
+    * into group-based CoW instead: the operation's scan records the
+    * candidate files it planned and the replacement write swaps
+    * exactly that group in one 'overwrite' snapshot (reference: v2
+    * delete commits of iceberg-rust/src/table/transaction +
+    * datafusion_iceberg's delete semantics). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new IcebergDeltaOperation(location, info.command())
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      val key = info.command() match {
+        case Command.DELETE => "write.delete.mode"
+        case Command.UPDATE => "write.update.mode"
+        case _ => "write.merge.mode"
+      }
+      if (IcebergMetadata.load(location).properties.get(key)
+          .contains("copy-on-write"))
+        new IcebergRowLevelOperation(location, info.command())
+      else new IcebergDeltaOperation(location, info.command())
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     import scala.jdk.CollectionConverters._
@@ -97,7 +112,8 @@ class IcebergSparkTable(location: String,
 }
 
 class IcebergScanBuilder(location: String, snapshotId: Option[Long],
-    streamOptions: Map[String, String] = Map.empty)
+    streamOptions: Map[String, String] = Map.empty,
+    capture: Option[IcebergRowLevelOperation] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -170,7 +186,7 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long],
       else StructType(ice.schema.toSpark.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new IcebergScan(location, snapshotId, withKeys, pushed, statFilters,
-      t, deletes, streamOptions, rowIdCols)
+      t, deletes, streamOptions, rowIdCols, capture)
   }
 }
 
@@ -180,7 +196,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     table: IcebergTable,
     deletes: Seq[(IcebergAvro.DataFileEntry, Long)],
     streamOptions: Map[String, String] = Map.empty,
-    rowIdCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+    rowIdCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+    capture: Option[IcebergRowLevelOperation] = None)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -317,6 +334,10 @@ class IcebergScan(location: String, snapshotId: Option[Long],
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = sparkSession
     val files = table.plannedFiles(snapshotId, allStatFilters)
+    // group-based row-level ops replace exactly the files this scan
+    // planned (runtime group filtering has already narrowed the set);
+    // paths recorded in MANIFEST form so the commit matches entries
+    capture.foreach(_.scanned.updateAndGet(_ ++ files.map(_._1.filePath)))
     def toPartition(idx: Int, bin: Seq[IcebergAvro.DataFileEntry])
         : org.apache.spark.sql.execution.datasources.FilePartition =
       GraftConnectorShim.filePartition(idx, bin.map { e =>
@@ -466,9 +487,13 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     val spark = sparkSession
     // a row-id scan counts RAW stream indexes as positions, so the
     // parquet reader must skip nothing (filters stay residual above);
-    // same rule when position deletes are live
+    // same rule when position deletes are live — and a row-level
+    // operation's scan must read candidate files WHOLE: non-matching
+    // rows are copied forward by the replacement projection, so
+    // dropping them here would lose data
     val pushForDelegate =
-      if (rowIdCols.nonEmpty || deletes.exists(_._1.content == 1))
+      if (rowIdCols.nonEmpty || capture.isDefined ||
+          deletes.exists(_._1.content == 1))
         Array.empty[Filter]
       else pushedFilters
     val parquetFactory: PartitionReaderFactory = UnwrapKeyedFactory(
@@ -587,4 +612,92 @@ class IcebergDeltaBatchWrite(location: String, rowSchema: StructType)
     TableIO.delete(stagingData, recursive = true)
     TableIO.delete(stagingDel, recursive = true)
   }
+}
+
+/** Group-based copy-on-write row-level operation on an ADOPTED
+  * real-format table (write.<op>.mode=copy-on-write): the scan side
+  * records the candidate files it planned, the write side swaps
+  * exactly that group atomically — rewritten manifests drop the
+  * replaced entries, the replacement files commit as one 'overwrite'
+  * snapshot (reference: the CoW delete semantics of
+  * datafusion_iceberg; Iceberg v2 overwrite snapshots). */
+class IcebergRowLevelOperation(location: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** Union across (re)plannings: the runtime group-filter subquery
+    * plans a SUBSET of the main scan's files, and AQE may re-plan —
+    * accumulating keeps the replaced set a superset of every file
+    * whose rows fed the replacement write. */
+  private[spark] val scanned =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IcebergScanBuilder(location, None, capture = Some(this))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new IcebergReplaceBatchWrite(location, info.schema(),
+              () => scanned.get())
+        }
+    }
+}
+
+/** ReplaceData write on a real-format table: executors stage the
+  * replacement rows (partition-routed through the Iceberg
+  * transforms), the driver commit swaps the scanned group via
+  * IcebergWrite.commitReplaceFiles. */
+class IcebergReplaceBatchWrite(location: String, rowSchema: StructType,
+    replaced: () => Set[String])
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val staging = TableIO.path(location,
+    s"stage-rlo-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    TableIO.mkdirs(staging)
+    val spark = SparkSession.active
+    val ice = IcebergMetadata.load(location)
+    val spec = ice.specs.find(_.specId == ice.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    val withIds = StructType(rowSchema.fields.map { f =>
+      ice.schema.fieldId(f.name) match {
+        case Some(id) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong)
+            .build())
+        case None => f
+      }
+    })
+    val metaSpec = spec.map { pf =>
+      val src = ice.schema.fields.find(_.id == pf.sourceId)
+        .map(_.name).getOrElse(throw new IllegalStateException(
+          s"partition source id ${pf.sourceId} not in schema"))
+      graft.table.Meta.PartitionField(src, pf.transform, pf.name)
+    }
+    ReplaceRowAdapterFactory(
+      GraftWriterFactory(staging.toString,
+        GraftConnectorShim.prepareParquetWriteConf(spark, withIds),
+        if (rowSchema.isEmpty) Seq.empty
+        else RowTransform.forSpec(metaSpec, rowSchema)),
+      rowSchema)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    graft.table.iceberg.IcebergWrite.commitReplaceFiles(
+      SparkSession.active, location, staging, replaced())
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    TableIO.delete(staging, recursive = true)
 }

@@ -1023,6 +1023,259 @@ object IcebergWrite {
     ()
   }
 
+  /** Commit a copy-on-write ROW-LEVEL operation on a REAL-format
+    * table (SQL UPDATE / MERGE / DELETE under
+    * write.<op>.mode=copy-on-write): executor-staged replacement
+    * files swap exactly the candidate files the operation's scan
+    * planned, in ONE snapshot. Existing data manifests containing
+    * removed paths are rewritten with those entries dropped (raw
+    * round-trip preserves foreign stats columns; inherited
+    * snapshot_id/sequence_number materialized before entries move to
+    * a manifest with a different sequence, per the spec's
+    * inheritance rules); untouched manifests and delete manifests
+    * carry forward verbatim. Like `replaceContent`, the commit
+    * refuses if the table moved under it — the replacement content
+    * was computed against `base` and committing it over a newer
+    * snapshot would drop the interleaved commit. */
+  def commitReplaceFiles(spark: SparkSession, location: String,
+      staging: HPath, removedPaths: Set[String]): Unit = {
+    val base = IcebergMetadata.load(location)
+    val spec = base.specs.find(_.specId == base.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    val sparkSchema = base.schema.toSpark
+    val dataDir = TableIO.path(location, "data")
+    TableIO.mkdirs(dataDir)
+    val stagedData = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+    val moved = parallelOnDriver(stagedData) { case (src, sz, _) =>
+      val rel = TableIO.relativize(staging, src)
+      val dest = new HPath(dataDir,
+        s"${UUID.randomUUID().toString.take(8)}-${src.getName}")
+      TableIO.rename(src, dest)
+      val dirVals = rel.split("/").dropRight(1)
+        .map(_.split("=", 2)).map(a => a(0).stripPrefix("_p_") -> a(1)).toMap
+      (dest, sz, spec.map(pf => dirVals.getOrElse(pf.name, null)))
+    }
+    TableIO.delete(staging, recursive = true)
+    val statsByPath: Map[String, FileStats] =
+      moved.map { case (p, _, _) =>
+        p.toString -> footerBounds(p, sparkSchema, base.schema)
+      }.toMap
+    if (moved.isEmpty && removedPaths.isEmpty) return
+
+    IcebergMetadata.commitRetry(location) { m =>
+      if (m.currentSnapshotId != base.currentSnapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $location changed (snapshot " +
+            s"${base.currentSnapshotId.getOrElse(-1L)} -> " +
+            s"${m.currentSnapshotId.getOrElse(-1L)}) while a row-level " +
+            "operation was computing its replacement; retry the operation")
+      val schema = m.schema
+      val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val seq = m.lastSequenceNumber + 1
+      val metaDir = TableIO.path(location, "metadata")
+      TableIO.mkdirs(metaDir)
+      val mlSchema = IcebergAvro.manifestListSchema
+
+      // 1. the replacement data manifest (same entry shape as append)
+      val schemaJson = icebergSchemaJson(schema)
+      val partRecordJson = partitionRecordJson(spec, schema)
+      val specJson = partitionSpecJson(spec, m.defaultSpecId)
+      val dataEntry: Option[org.apache.avro.generic.GenericRecord] =
+        if (moved.isEmpty) None
+        else {
+          var rows = 0L
+          val entries = moved.map { case (p, sz, partVals) =>
+            val (records, lower, upper, nulls) = statsByPath(p.toString)
+            rows += records
+            val e = IcebergAvro.record(IcebergAvro.manifestSchema(partRecordJson))
+            e.put("status", 1)
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", null)
+            e.put("file_sequence_number", null)
+            val dfSchema = e.getSchema.getField("data_file").schema()
+            val dd = new GenericData.Record(dfSchema)
+            dd.put("content", 0)
+            dd.put("file_path", TableIO.qualified(p))
+            dd.put("file_format", "PARQUET")
+            val partRec =
+              new GenericData.Record(dfSchema.getField("partition").schema())
+            spec.zip(partVals).foreach { case (pf, v) =>
+              val srcT = IcebergTypes.toSpark(
+                schema.fields.find(_.id == pf.sourceId).get.tpe)
+              partRec.put(pf.name,
+                typedPartitionValue(Transforms.resultType(pf.transform, srcT), v))
+            }
+            dd.put("partition", partRec)
+            dd.put("record_count", records)
+            dd.put("file_size_in_bytes", sz)
+            dd.put("null_value_counts",
+              keyedLongs(dfSchema, "null_value_counts", nulls))
+            dd.put("lower_bounds", keyedBytes(dfSchema, "lower_bounds", lower))
+            dd.put("upper_bounds", keyedBytes(dfSchema, "upper_bounds", upper))
+            dd.put("equality_ids", null)
+            e.put("data_file", dd)
+            e: org.apache.avro.generic.GenericRecord
+          }
+          val mp = new HPath(metaDir,
+            s"manifest-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+          val len = IcebergAvro.writeManifest(
+            mp, partRecordJson, entries, schemaJson, specJson)
+          val r = IcebergAvro.record(mlSchema)
+          r.put("manifest_path", TableIO.qualified(mp))
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", m.defaultSpecId)
+          r.put("content", 0)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snapshotId)
+          r.put("added_files_count", moved.size)
+          r.put("existing_files_count", 0)
+          r.put("deleted_files_count", 0)
+          r.put("added_rows_count", rows)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          IcebergAvro.putFieldSummaries(r,
+            fieldSummariesFor(spec, schema, moved.map(_._3)))
+          Some(r)
+        }
+
+      // 2. previous manifests: rewrite the ones holding removed paths
+      val prevManifests = m.currentSnapshot.map(s =>
+        IcebergAvro.readManifestList(new HPath(s.manifestList)))
+        .getOrElse(Seq.empty)
+      val rawByPath = m.currentSnapshot.map(s =>
+        IcebergAvro.readManifestListRaw(new HPath(s.manifestList))
+          .map(r => String.valueOf(r.get("manifest_path")) -> r).toMap)
+        .getOrElse(Map.empty)
+      def copyCarried(mf: IcebergAvro.ManifestFile)
+          : org.apache.avro.generic.GenericRecord = {
+        val src = rawByPath.get(mf.path)
+        def fieldOf(n: String): Option[Any] = src.flatMap(s =>
+          if (s.getSchema.getField(n) == null) None else Option(s.get(n)))
+        def asLong(v: Any): Long = v match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case _ => 0L
+        }
+        def asInt(v: Any): Int = v match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case _ => 0
+        }
+        val r = IcebergAvro.record(mlSchema)
+        r.put("manifest_path", mf.path)
+        r.put("manifest_length", mf.length)
+        r.put("partition_spec_id", mf.specId)
+        r.put("content", mf.content)
+        r.put("sequence_number", mf.sequenceNumber)
+        r.put("min_sequence_number", fieldOf("min_sequence_number")
+          .map(asLong).getOrElse(mf.sequenceNumber))
+        r.put("added_snapshot_id", mf.addedSnapshotId)
+        r.put("added_files_count", fieldOf("added_files_count")
+          .map(asInt).getOrElse(mf.addedFilesCount.getOrElse(0)))
+        r.put("existing_files_count",
+          fieldOf("existing_files_count").map(asInt).getOrElse(0))
+        r.put("deleted_files_count",
+          fieldOf("deleted_files_count").map(asInt).getOrElse(0))
+        r.put("added_rows_count",
+          fieldOf("added_rows_count").map(asLong).getOrElse(0L))
+        r.put("existing_rows_count",
+          fieldOf("existing_rows_count").map(asLong).getOrElse(0L))
+        r.put("deleted_rows_count",
+          fieldOf("deleted_rows_count").map(asLong).getOrElse(0L))
+        IcebergAvro.putFieldSummaries(r, mf.partitions)
+        r
+      }
+      val carriedOrRewritten = prevManifests.map { mf =>
+        if (mf.content != 0) copyCarried(mf)
+        else {
+          val entries = IcebergAvro.readManifest(new HPath(mf.path))
+          if (!entries.exists(e => removedPaths.contains(e.filePath)))
+            copyCarried(mf)
+          else {
+            val (wSchema, fileMeta, raw) =
+              IcebergAvro.readManifestRaw(new HPath(mf.path))
+            var minSeq = Long.MaxValue
+            var rows = 0L
+            var kept = 0
+            val keptRecs = raw.flatMap { r =>
+              val status = r.get("status").asInstanceOf[Int]
+              val df = r.get("data_file").asInstanceOf[
+                org.apache.avro.generic.GenericRecord]
+              val path = String.valueOf(df.get("file_path"))
+              if (status == 2 || removedPaths.contains(path)) None
+              else {
+                def hasField(n: String) = r.getSchema.getField(n) != null
+                val entrySeq = Option(r.get("sequence_number"))
+                  .map(_.asInstanceOf[Long]).getOrElse(mf.sequenceNumber)
+                r.put("status", 0) // existing
+                if (hasField("snapshot_id") && r.get("snapshot_id") == null)
+                  r.put("snapshot_id", mf.addedSnapshotId)
+                if (hasField("sequence_number"))
+                  r.put("sequence_number", entrySeq)
+                if (hasField("file_sequence_number") &&
+                    r.get("file_sequence_number") == null)
+                  r.put("file_sequence_number", mf.sequenceNumber)
+                minSeq = math.min(minSeq, entrySeq)
+                rows += df.get("record_count").asInstanceOf[Long]
+                kept += 1
+                Some(r: org.apache.avro.generic.GenericRecord)
+              }
+            }
+            if (keptRecs.isEmpty) null // whole manifest replaced: drop it
+            else {
+              val p = new HPath(metaDir,
+                s"manifest-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+              val len = IcebergAvro.writeManifestRaw(p, wSchema, fileMeta, keptRecs)
+              val r = IcebergAvro.record(mlSchema)
+              r.put("manifest_path", TableIO.qualified(p))
+              r.put("manifest_length", len)
+              r.put("partition_spec_id", mf.specId)
+              r.put("content", 0)
+              r.put("sequence_number", seq)
+              r.put("min_sequence_number",
+                if (minSeq == Long.MaxValue) seq else minSeq)
+              r.put("added_snapshot_id", snapshotId)
+              r.put("added_files_count", 0)
+              r.put("existing_files_count", kept)
+              r.put("deleted_files_count", 0)
+              r.put("added_rows_count", 0L)
+              r.put("existing_rows_count", rows)
+              r.put("deleted_rows_count", 0L)
+              // summaries of the SOURCE manifest stay sound for a
+              // subset of its entries (bounds only widen)
+              IcebergAvro.putFieldSummaries(r, mf.partitions)
+              r
+            }
+          }
+        }
+      }.filter(_ != null)
+
+      val mlPath = new HPath(metaDir,
+        s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+      IcebergAvro.writeManifestList(mlPath,
+        dataEntry.toSeq ++ carriedOrRewritten, snapshotId, seq)
+      val snap = IcebergMetadata.IceSnapshot(
+        snapshotId = snapshotId,
+        parentId = m.currentSnapshotId,
+        sequenceNumber = seq,
+        timestampMs = System.currentTimeMillis(),
+        manifestList = TableIO.qualified(mlPath),
+        operation = "overwrite",
+        schemaId = m.currentSchemaId,
+        summary = Map(
+          "added-files" -> moved.size.toString,
+          "removed-files" -> removedPaths.size.toString))
+      m.copy(
+        lastSequenceNumber = seq,
+        currentSnapshotId = Some(snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snapshotId))
+    }
+    ()
+  }
+
   /** Equality DELETE: the distinct key tuples become an equality
     * delete file scoped (by sequence) to all earlier data. */
   def deleteEquality(spark: SparkSession, location: String,

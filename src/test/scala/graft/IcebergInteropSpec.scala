@@ -1599,6 +1599,69 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(IcebergTable.load(spark, loc).scan().count() === 40L)
   }
 
+  test("copy-on-write row-level SQL swaps exactly the candidate files on an adopted table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    // files hold disjoint key ranges, so the UPDATE's candidate set is
+    // a strict subset — the CoW swap must leave the others untouched
+    IcebergWrite.create(spark, loc,
+      (1L to 300L).map(i => (i, s"a$i", i * 10L)).toDF("k", "v", "amt")
+        .repartitionByRange(6, col("k")))
+    // opt into Iceberg's CoW mode via the table property
+    IcebergMetadata.commitRetry(loc)(m => m.copy(properties =
+      m.properties + ("write.update.mode" -> "copy-on-write")
+        + ("write.delete.mode" -> "copy-on-write")))
+    val wh = Files.createTempDirectory("graft-icecow").toString
+    spark.conf.set("spark.sql.catalog.ice_cow", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_cow.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_cow.m")
+    spark.sql(s"CALL ice_cow.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    val before = IcebergTable.load(spark, loc).plannedFiles()
+      .map(_._1.filePath).toSet
+    assert(before.size === 6)
+
+    spark.sql("UPDATE ice_cow.m.t SET amt = amt + 1 WHERE k <= 50")
+    val t1 = IcebergTable.load(spark, loc)
+    val after = t1.plannedFiles().map(_._1.filePath).toSet
+    // no delete manifests: CoW rewrote the candidates instead
+    assert(t1.deleteEntries().isEmpty,
+      "copy-on-write must not commit delete files")
+    assert(t1.meta.currentSnapshot.get.operation === "overwrite")
+    // untouched files survive by identity; candidates were swapped
+    val kept = before.intersect(after)
+    assert(kept.nonEmpty && kept.size < before.size,
+      s"expected a partial swap, kept=${kept.size} of ${before.size}")
+    // content exact through the binary interop reader
+    assert(t1.scan().count() === 300L)
+    assert(t1.scan().filter(col("k") <= 50)
+      .agg(sum("amt")).collect()(0).getLong(0) ===
+      (1L to 50L).map(_ * 10L + 1L).sum)
+    assert(t1.scan().filter(col("k") > 50)
+      .agg(sum("amt")).collect()(0).getLong(0) ===
+      (51L to 300L).map(_ * 10L).sum)
+
+    // CoW DELETE drops whole rows by rewriting candidates, no deletes
+    spark.sql("DELETE FROM ice_cow.m.t WHERE k > 280")
+    val t2 = IcebergTable.load(spark, loc)
+    assert(t2.deleteEntries().isEmpty)
+    assert(t2.scan().count() === 280L)
+    assert(spark.sql("SELECT count(*) FROM ice_cow.m.t")
+      .collect()(0).getLong(0) === 280L)
+    // time travel still serves the pre-CoW content
+    val firstSnap = t2.meta.snapshots.head.snapshotId
+    assert(t2.timeTravel(firstSnap).count() === 300L)
+    // changelog over the CoW commits emits NET changes only
+    val ch = t2.changesBetween(None).collect()
+    val updSnap = t2.meta.snapshots.find(_.operation == "overwrite").get
+    val updChanges = ch.filter(r =>
+      r.getAs[Long]("_commit_snapshot_id") == updSnap.snapshotId)
+    assert(updChanges.forall(r => r.getAs[Long]("k") <= 50),
+      "carryover rows of rewritten files must cancel in the changelog")
+  }
+
   test("consolidation preserves foreign manifest columns it does not model") {
     val spark0 = spark
     import spark0.implicits._
