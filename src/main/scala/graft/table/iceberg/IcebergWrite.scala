@@ -45,6 +45,24 @@ object IcebergWrite {
     }
   }
 
+  /** Footer stats for many files: sequential for a handful (job
+    * latency would exceed the work), a Spark job above that — at
+    * commit time only the small encoded stat maps cross back to the
+    * driver, never file contents. Shared by every commit path that
+    * ingests staged files (append, delta, replace). */
+  private def collectFooterStats(spark: SparkSession, paths: Seq[HPath],
+      sparkSchema: StructType,
+      ice: IcebergMetadata.IceSchema): Map[String, FileStats] =
+    if (paths.size <= 8)
+      paths.map(p => p.toString -> footerBounds(p, sparkSchema, ice)).toMap
+    else {
+      val ps = paths.map(_.toString)
+      val slices = math.min(ps.size, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(ps, slices)
+        .map(x => x -> footerBounds(new HPath(x), sparkSchema, ice))
+        .collect().toMap
+    }
+
   /** Create an Iceberg table at `location` with `df` as snapshot 1.
     * `partitionCols` become identity partition fields: data files land
     * in partition dirs and manifests carry typed partition structs
@@ -231,17 +249,7 @@ object IcebergWrite {
     // never file contents. Sequentially for tiny appends, where job
     // latency would exceed the work.
     val statsByPath: Map[String, FileStats] = timed("footer-stats")(
-      if (moved.size <= 8)
-        moved.map { case (p, _, _) =>
-          p.toString -> footerBounds(p, sparkSchema, schema)
-        }.toMap
-      else {
-        val paths = moved.map(_._1.toString)
-        val slices = math.min(paths.size, spark.sparkContext.defaultParallelism)
-        spark.sparkContext.parallelize(paths, slices)
-          .map(ps => ps -> footerBounds(new HPath(ps), sparkSchema, schema))
-          .collect().toMap
-      })
+      collectFooterStats(spark, moved.map(_._1), sparkSchema, schema))
     (moved, statsByPath)
   }
 
@@ -821,9 +829,7 @@ object IcebergWrite {
     }
     TableIO.delete(dataStaging, recursive = true)
     val statsByPath: Map[String, FileStats] =
-      moved.map { case (p, _, _) =>
-        p.toString -> footerBounds(p, sparkSchema, base.schema)
-      }.toMap
+      collectFooterStats(spark, moved.map(_._1), sparkSchema, base.schema)
 
     // delete files: record_count is required by the spec — read it
     // from each footer (driver-side, delete files are small)
@@ -1058,9 +1064,7 @@ object IcebergWrite {
     }
     TableIO.delete(staging, recursive = true)
     val statsByPath: Map[String, FileStats] =
-      moved.map { case (p, _, _) =>
-        p.toString -> footerBounds(p, sparkSchema, base.schema)
-      }.toMap
+      collectFooterStats(spark, moved.map(_._1), sparkSchema, base.schema)
     if (moved.isEmpty && removedPaths.isEmpty) return
 
     IcebergMetadata.commitRetry(location) { m =>
