@@ -26,8 +26,105 @@ class IcebergSparkTable(location: String,
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private lazy val ice = IcebergMetadata.load(location)
+
+  /** Pure-equality DELETE conditions commit METADATA-ONLY: the key
+    * tuples become a v2 EQUALITY delete file (sequence-scoped to all
+    * earlier data) — no table scan, no data write, O(keys) commit
+    * cost. At 100 TB this is the difference between deleting a user's
+    * rows in milliseconds and scanning the corpus. Spark routes here
+    * through OptimizeMetadataOnlyDeleteFromTable when canDeleteWhere
+    * accepts; everything else falls back to the row-level operation
+    * (delta MoR by default, CoW by table property).
+    *
+    * Supported shapes — exactly those whose SQL semantics equal an
+    * equality-delete tuple set: col = lit, col IN (lits...), AND of
+    * equalities on DISTINCT columns (one multi-column tuple), OR of
+    * supported shapes over the SAME column set (tuple union). NULL
+    * literals are rejected: col = NULL matches no rows in SQL while a
+    * null tuple value would alter delete-file semantics. */
+  private def eqTuples(filters: Array[Filter])
+      : Option[(Seq[String], Seq[Seq[Any]])] = {
+    def one(f: Filter): Option[(Seq[String], Seq[Seq[Any]])] = f match {
+      case EqualTo(c, v) if v != null => Some((Seq(c), Seq(Seq(v))))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        Some((Seq(c), vs.toSeq.map(v => Seq(v))))
+      case And(l, r) =>
+        for {
+          (lc, lt) <- one(l); (rc, rt) <- one(r)
+          // conjunction = cross product of the tuple sets; distinct
+          // column sets only (a=1 AND a=2 is empty, not expressible)
+          if lc.intersect(rc).isEmpty
+        } yield (lc ++ rc, for (a <- lt; b <- rt) yield a ++ b)
+      case Or(l, r) =>
+        for {
+          (lc, lt) <- one(l); (rc, rt) <- one(r)
+          if lc == rc
+        } yield (lc, (lt ++ rt).distinct)
+      case _ => None
+    }
+    // top-level filters AND together like And(): cross-product the
+    // tuple sets, distinct column sets only
+    if (filters.isEmpty) None
+    else filters.toSeq.map(one)
+      .foldLeft(Option((Seq.empty[String], Seq(Seq.empty[Any])))) {
+        case (Some((ac, at)), Some((bc, bt)))
+            if ac.intersect(bc).isEmpty =>
+          Some((ac ++ bc, for (x <- at; y <- bt) yield x ++ y))
+        case _ => None
+      }
+  }
+
+  /** Filter literal -> the external value createDataFrame expects for
+    * the column's Spark type; None rejects the metadata path. */
+  private def coerce(t: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (t, v) match {
+      case (LongType, x: java.lang.Long) => Some(x)
+      case (LongType, x: java.lang.Integer) => Some(Long.box(x.longValue()))
+      case (IntegerType, x: java.lang.Integer) => Some(x)
+      case (ShortType, x: java.lang.Short) => Some(x)
+      case (DoubleType, x: java.lang.Double) => Some(x)
+      case (FloatType, x: java.lang.Float) => Some(x)
+      case (BooleanType, x: java.lang.Boolean) => Some(x)
+      case (StringType, x: String) => Some(x)
+      case (StringType, x: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(x.toString)
+      case (DateType, x: java.sql.Date) => Some(x)
+      case (DateType, x: java.time.LocalDate) => Some(java.sql.Date.valueOf(x))
+      case (TimestampType, x: java.sql.Timestamp) => Some(x)
+      case (TimestampType, x: java.time.Instant) =>
+        Some(java.sql.Timestamp.from(x))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    eqTuples(filters).exists { case (cols, tuples) =>
+      cols.forall(c => ice.schema.fieldId(c).isDefined) &&
+        tuples.forall(t => t.zip(cols).forall { case (v, c) =>
+          val ft = ice.schema.toSpark.fields.find(_.name == c).get.dataType
+          coerce(ft, v).isDefined
+        }) &&
+        // bounded: the tuple set becomes one driver-written file
+        tuples.size <= 100000
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (cols, tuples) = eqTuples(filters).getOrElse(
+      throw new IllegalStateException("deleteWhere on untranslatable filters"))
+    val spark = SparkSession.active
+    val fields = cols.map(c =>
+      ice.schema.toSpark.fields.find(_.name == c).get)
+    val rows = tuples.map(t => org.apache.spark.sql.Row(
+      t.zip(fields).map { case (v, f) => coerce(f.dataType, v).get }: _*))
+    import scala.jdk.CollectionConverters._
+    val keys = spark.createDataFrame(rows.asJava, StructType(fields.toArray))
+    graft.table.iceberg.IcebergWrite.deleteEquality(spark, location, keys, cols)
+  }
 
   override def name(): String = s"iceberg.`$location`"
   override def schema(): StructType = ice.schema.toSpark

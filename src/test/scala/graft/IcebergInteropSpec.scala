@@ -1662,6 +1662,59 @@ class IcebergInteropSpec extends AnyFunSuite {
       "carryover rows of rewritten files must cancel in the changelog")
   }
 
+  test("pure-equality SQL DELETE on an adopted table commits metadata-only") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 200L).map(i => (i, s"d${i % 4}", i * 10L)).toDF("k", "d", "amt")
+        .repartition(4))
+    val wh = Files.createTempDirectory("graft-iceeq").toString
+    spark.conf.set("spark.sql.catalog.ice_eq", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_eq.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_eq.m")
+    spark.sql(s"CALL ice_eq.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val dataFilesBefore = IcebergTable.load(spark, loc)
+      .plannedFiles().map(_._1.filePath).toSet
+
+    // IN-list: one EQUALITY delete file, no data scan, no data write
+    spark.sql("DELETE FROM ice_eq.m.t WHERE k IN (5, 50, 500)")
+    val t1 = IcebergTable.load(spark, loc)
+    val dels1 = t1.deleteEntries()
+    assert(dels1.map(_._1).count(_.content == 2) === 1,
+      "IN-list DELETE must commit one equality delete file")
+    assert(t1.plannedFiles().map(_._1.filePath).toSet === dataFilesBefore,
+      "metadata-only delete must not touch data files")
+    assert(t1.meta.currentSnapshot.get.operation === "delete")
+    assert(t1.scan().count() === 198L) // 5 and 50 exist, 500 does not
+    assert(spark.sql("SELECT count(*) FROM ice_eq.m.t")
+      .collect()(0).getLong(0) === 198L)
+
+    // multi-column AND = a single multi-column tuple
+    spark.sql("DELETE FROM ice_eq.m.t WHERE k = 8 AND d = 'd0'")
+    val t2 = IcebergTable.load(spark, loc)
+    assert(t2.scan().count() === 197L)
+    assert(t2.deleteEntries().map(_._1).count(_.content == 2) === 2)
+    // ...and a non-matching tuple deletes nothing (8 is d0, not d1)
+    spark.sql("DELETE FROM ice_eq.m.t WHERE k = 12 AND d = 'd1'")
+    assert(IcebergTable.load(spark, loc).scan().count() === 197L)
+
+    // rows appended AFTER an equality delete keep their keys visible
+    // (the delete is sequence-scoped to earlier data)
+    spark.sql("INSERT INTO ice_eq.m.t VALUES (5, 'd1', 51)")
+    assert(spark.sql("SELECT count(*) FROM ice_eq.m.t WHERE k = 5")
+      .collect()(0).getLong(0) === 1L)
+
+    // an untranslatable condition still deletes through the row-level
+    // path (position deletes), results exact
+    spark.sql("DELETE FROM ice_eq.m.t WHERE k % 7 = 0 AND amt > 100")
+    val want = (1L to 200L).filterNot(Set(5L, 50L, 8L))
+      .count(k => !(k % 7 == 0 && k * 10 > 100)) + 1 // +1 re-inserted k=5
+    assert(spark.sql("SELECT count(*) FROM ice_eq.m.t")
+      .collect()(0).getLong(0) === want.toLong)
+  }
+
   test("consolidation preserves foreign manifest columns it does not model") {
     val spark0 = spark
     import spark0.implicits._
