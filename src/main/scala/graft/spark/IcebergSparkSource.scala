@@ -55,8 +55,10 @@ class IcebergSparkTable(location: String,
         for {
           (lc, lt) <- one(l); (rc, rt) <- one(r)
           // conjunction = cross product of the tuple sets; distinct
-          // column sets only (a=1 AND a=2 is empty, not expressible)
-          if lc.intersect(rc).isEmpty
+          // column sets only (a=1 AND a=2 is empty, not expressible).
+          // The product is capped BEFORE materializing — IN(10k) AND
+          // IN(10k) must reject, not build 100M tuples on the driver
+          if lc.intersect(rc).isEmpty && lt.size.toLong * rt.size <= MaxTuples
         } yield (lc ++ rc, for (a <- lt; b <- rt) yield a ++ b)
       case Or(l, r) =>
         for {
@@ -71,11 +73,16 @@ class IcebergSparkTable(location: String,
     else filters.toSeq.map(one)
       .foldLeft(Option((Seq.empty[String], Seq(Seq.empty[Any])))) {
         case (Some((ac, at)), Some((bc, bt)))
-            if ac.intersect(bc).isEmpty =>
+            if ac.intersect(bc).isEmpty &&
+              at.size.toLong * bt.size <= MaxTuples =>
           Some((ac ++ bc, for (x <- at; y <- bt) yield x ++ y))
         case _ => None
       }
   }
+
+  /** Tuple-set bound for the metadata delete path: the set becomes
+    * one driver-written delete file, so it must stay small. */
+  private val MaxTuples = 100000L
 
   /** Filter literal -> the external value createDataFrame expects for
     * the column's Spark type; None rejects the metadata path. */
@@ -110,7 +117,7 @@ class IcebergSparkTable(location: String,
           coerce(ft, v).isDefined
         }) &&
         // bounded: the tuple set becomes one driver-written file
-        tuples.size <= 100000
+        tuples.size <= MaxTuples
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
