@@ -118,9 +118,19 @@ class ModelCheckSpec extends AnyFunSuite {
     def record(): Unit =
       t.meta.currentSnapshotId.foreach(id => history ::= (id, model))
     record()
+    // catalog SQL front-end over the same table, for the row-level ops
+    // (unique catalog name: instances are session-cached by name)
+    val catName = s"fmc_${seed}_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      java.nio.file.Files.createTempDirectory(s"graft-fmwh-$seed").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catName.m")
+    spark.sql(s"CALL $catName.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val sqlT = s"$catName.m.t"
 
     for (i <- 1 to nOps) {
-      rnd.nextInt(12) match {
+      rnd.nextInt(15) match {
         case 0 | 1 | 2 | 3 =>
           val rows = batch(1 + rnd.nextInt(15))
           IcebergWrite.append(spark, loc,
@@ -141,13 +151,20 @@ class ModelCheckSpec extends AnyFunSuite {
           record()
         case 6 if model.nonEmpty => // positional delete of one live row
           val table = t
-          val phys = spark.read.parquet(table.plannedFiles()
+          val physAll = spark.read.parquet(table.plannedFiles()
               .map(f => table.resolvePath(f._1.filePath).toString): _*)
             .withColumn("fp", col("_metadata.file_path"))
             .withColumn("pos", col("_metadata.row_index"))
             .select("k", "fp", "pos").collect()
             .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-            .filter(r => model.contains(r._1)).sortBy(_._1)
+            .filter(r => model.contains(r._1))
+          // SQL-updated keys leave their OLD version physically present
+          // (hidden by a position delete) until a rewrite folds it —
+          // only keys with exactly ONE physical row are unambiguous
+          // positional-delete targets
+          val phys = physAll.groupBy(_._1).collect {
+            case (_, rs) if rs.length == 1 => rs.head
+          }.toSeq.sortBy(_._1)
           if (phys.nonEmpty) {
             val (k, fp, pos) = phys(rnd.nextInt(phys.size))
             IcebergWrite.deletePositional(spark, loc,
@@ -170,8 +187,29 @@ class ModelCheckSpec extends AnyFunSuite {
           // scans, time travel, and changelog replay alike
           IcebergWrite.rewriteManifests(loc)
           record()
-        case _ => // compaction: row-preserving, folds deletes
+        case 10 | 11 => // compaction: row-preserving, folds deletes
           IcebergWrite.rewrite(spark, loc, targetFileSizeBytes = 1L << 20)
+        case 12 if model.nonEmpty => // SQL metadata-only equality DELETE
+          val ks = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextInt(4) == 0).take(6)
+          if (ks.nonEmpty) {
+            spark.sql(s"DELETE FROM $sqlT WHERE k IN (${ks.mkString(",")})")
+            model --= ks
+            record()
+          }
+        case 13 if model.nonEmpty => // SQL delta UPDATE of one row (MoR)
+          val k = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          spark.sql(s"UPDATE $sqlT SET v = 'u$i' WHERE k = $k")
+          model += k -> s"u$i"
+          record()
+        case _ if model.nonEmpty => // SQL delta DELETE (untranslatable
+          // condition forces the row-level position-delete path)
+          val r = rnd.nextInt(5)
+          spark.sql(s"DELETE FROM $sqlT WHERE k % 5 = $r AND length(v) >= 1")
+          model = model.filter { case (k, v) =>
+            !(k % 5 == r && v.length >= 1) }
+          record()
+        case _ => ()
       }
       val got = t.scan().select("k", "v").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
