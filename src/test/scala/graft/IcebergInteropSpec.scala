@@ -1715,6 +1715,57 @@ class IcebergInteropSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === want.toLong)
   }
 
+  test("concurrent SQL INSERT and delta DELETE on an adopted table keep every snapshot") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2))
+    val wh = Files.createTempDirectory("graft-icecc").toString
+    spark.conf.set("spark.sql.catalog.ice_cc", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_cc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_cc.m")
+    spark.sql(s"CALL ice_cc.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    // 4 inserts race 4 delta deletes (length() keeps the condition off
+    // the metadata path, so each delete runs scan -> position-delete
+    // commit); the CAS'd commitRetry must serialize them without a
+    // lost snapshot in either direction
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ins = new Thread(() => try {
+      (1 to 4).foreach { i =>
+        spark.sql(s"INSERT INTO ice_cc.m.t VALUES (${1000 + i}, 'ins$i')")
+      }
+    } catch { case t: Throwable => errors.add(t) })
+    val del = new Thread(() => try {
+      (0 until 4).foreach { i =>
+        val lo = i * 50 + 1; val hi = i * 50 + 10
+        spark.sql(s"DELETE FROM ice_cc.m.t WHERE k >= $lo AND k <= $hi " +
+          "AND length(v) >= 1")
+      }
+    } catch { case t: Throwable => errors.add(t) })
+    ins.start(); del.start(); ins.join(120000); del.join(120000)
+    assert(errors.isEmpty, s"concurrent commit failed: ${errors.peek()}")
+
+    val m = IcebergMetadata.load(loc)
+    // create + 4 appends + 4 deletes, no snapshot lost to a race
+    assert(m.snapshots.size === 9, s"expected 9 snapshots, got " +
+      s"${m.snapshots.map(s => (s.snapshotId, s.operation))}")
+    // single parent chain from the tip back to the create
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = m.currentSnapshotId
+    var chain = 0
+    while (cur.isDefined) { chain += 1; cur = byId(cur.get).parentId }
+    assert(chain === 9, "parent chain must cover every commit")
+    // content: 200 - 40 deleted + 4 inserted; deletes hid the right keys
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().count() === 164L)
+    assert(spark.sql("SELECT count(*) FROM ice_cc.m.t WHERE k > 1000")
+      .collect()(0).getLong(0) === 4L)
+    assert(t.scan().filter(col("k") % 50 === 5).count() === 0L)
+  }
+
   test("consolidation preserves foreign manifest columns it does not model") {
     val spark0 = spark
     import spark0.implicits._
