@@ -397,12 +397,19 @@ class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
 }
 
 object GraftDeltaWriterFactory {
-  /** Iceberg's position-delete file schema. */
+  /** Iceberg's position-delete file schema, with the spec's RESERVED
+    * field ids in the metadata so the footers carry them
+    * (2147483546 / 2147483545 — id-based readers resolve delete
+    * files without a name mapping). */
   val DeleteSchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("file_path",
-      org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StringType, nullable = false,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 2147483546L).build()),
     org.apache.spark.sql.types.StructField("pos",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+      org.apache.spark.sql.types.LongType, nullable = false,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 2147483545L).build())))
 }
 
 case class GraftDeltaWriterFactory(

@@ -23,10 +23,26 @@ import java.nio.charset.StandardCharsets
   */
 object TableIO {
 
+  /** Cached per active session: newHadoopConf() CLONES the session
+    * conf (XML-resource scale work) and TableIO calls it per file op —
+    * a partitioned commit renames hundreds of files, so the clone was
+    * a visible per-file tax. Caveat: spark.hadoop.* keys changed
+    * MID-session are not picked up until the session changes — they
+    * are builder-time configuration in every graft entry point. */
+  @volatile private var cachedConf: (AnyRef, Configuration) = null
+
   def conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        val c = cachedConf
+        if (c != null && (c._1 eq s)) c._2
+        else {
+          val nc = s.sessionState.newHadoopConf()
+          cachedConf = (s, nc)
+          nc
+        }
+      case None => new Configuration()
+    }
 
   def path(s: String): HPath = new HPath(s)
   def path(parent: String, child: String): HPath = new HPath(parent, child)

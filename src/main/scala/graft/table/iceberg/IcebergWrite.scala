@@ -23,6 +23,13 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergWrite {
 
+  /** One Hadoop Configuration per JVM for footer reads: constructing
+    * a Configuration parses the default XML resources (~ms), which
+    * dominated footer-stat collection when allocated per FILE — a
+    * partitioned commit opens hundreds of footers. Read-mostly use is
+    * safe to share across tasks. */
+  @transient private lazy val footerConf = new Configuration()
+
   /** (record count, lower bounds, upper bounds, null counts) keyed by
     * Iceberg field id, values in single-value binary encoding. */
   private type FileStats =
@@ -169,7 +176,26 @@ object IcebergWrite {
 
     // 1. data files — partitioned tables route through helper columns
     // carrying the TRANSFORM value (data files KEEP all columns; only
-    // the `_p_` helper is stripped by partitionBy)
+    // the `_p_` helper is stripped by partitionBy).
+    // Every column is re-aliased with its Iceberg FIELD ID in the
+    // schema metadata, so footers carry the ids (the spec's data-file
+    // requirement; id-based readers resolve without the name mapping).
+    // This also keeps ONE table's footers uniform with the delta
+    // write path, whose task writers already stamp ids — a mixed
+    // table made schema-inferring readers fail nondeterministically
+    // depending on which file they sampled.
+    val dfWithIds = {
+      import org.apache.spark.sql.functions.col
+      df.select(df.schema.fields.map { f =>
+        schema.fieldId(f.name) match {
+          case Some(id) => col(f.name).as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("parquet.field.id", id.toLong).build())
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    }
     val staging = TableIO.path(location, s"stage-${UUID.randomUUID().toString.take(8)}")
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
@@ -199,10 +225,10 @@ object IcebergWrite {
           .sortWithinPartitions(sortCols: _*)
       else d.sortWithinPartitions(sortCols: _*)
     try { timed("write-parquet") {
-      if (spec.isEmpty) clustered(df).write.parquet(staging.toString)
+      if (spec.isEmpty) clustered(dfWithIds).write.parquet(staging.toString)
       else {
         import org.apache.spark.sql.functions.col
-        val withHelpers = spec.zip(specSrcCols).foldLeft(df) {
+        val withHelpers = spec.zip(specSrcCols).foldLeft(dfWithIds) {
           case (acc, (pf, src)) => acc.withColumn(s"_p_${pf.name}",
             Transforms.column(pf.transform, col(src),
               sparkSchema.fields.find(_.name == src).get.dataType))
@@ -693,7 +719,28 @@ object IcebergWrite {
       deleteDf: DataFrame, content: Int, eqCols: Seq[String]): Unit = {
     val deleteRows = deleteDf.count() // spec: record_count is required
     val staging = TableIO.path(location, s"stage-${UUID.randomUUID().toString.take(8)}")
-    deleteDf.coalesce(1).write.parquet(staging.toString)
+    // footers carry field ids: the spec's RESERVED ids for positional
+    // delete columns (file_path 2147483546, pos 2147483545), the
+    // table's ids for equality key columns
+    val tableSchema = IcebergMetadata.load(location).schema
+    val withIds = {
+      import org.apache.spark.sql.functions.col
+      deleteDf.select(deleteDf.schema.fields.map { f =>
+        val id: Option[Long] = f.name match {
+          case "file_path" if content == 1 => Some(2147483546L)
+          case "pos" if content == 1 => Some(2147483545L)
+          case n => tableSchema.fieldId(n).map(_.toLong)
+        }
+        id match {
+          case Some(i) => col(f.name).as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong("parquet.field.id", i)
+              .build())
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    }
+    withIds.coalesce(1).write.parquet(staging.toString)
     val dataDir = TableIO.path(location, "data")
     TableIO.mkdirs(dataDir)
     val kind = if (content == 1) "pos" else "eq"
@@ -840,7 +887,7 @@ object IcebergWrite {
           s"pos-delete-${UUID.randomUUID().toString.take(8)}.parquet")
         TableIO.rename(src, dest)
         val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(dest, new Configuration()))
+          HadoopInputFile.fromPath(dest, footerConf))
         val rows = try reader.getFooter.getBlocks.asScala
           .map(_.getRowCount).sum finally reader.close()
         (dest, sz, rows)
@@ -1440,7 +1487,7 @@ object IcebergWrite {
       ice: IcebergMetadata.IceSchema)
       : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(p, new Configuration()))
+      HadoopInputFile.fromPath(p, footerConf))
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala
