@@ -277,10 +277,9 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long],
     // merge-on-read: equality-delete key columns must be read even
     // when pruned away. Load the table + delete manifests ONCE and
     // hand them to the scan — metadata walks are driver round-trips
-    // on object storage.
-    // pinned metadata: one read serves planning end to end
-    val t = IcebergTable.fromMetadataAt(SparkSession.active, location,
-      graft.table.iceberg.IcebergMetadata.load(location))
+    // on object storage. The builder's own metadata load is reused
+    // (one read serves planning end to end, not one per phase).
+    val t = IcebergTable.fromMetadataAt(SparkSession.active, location, ice)
     val deletes = t.deleteEntries(snapshotId)
     val eqIds = deletes.map(_._1)
       .filter(_.content == 2).flatMap(_.equalityIds).distinct
