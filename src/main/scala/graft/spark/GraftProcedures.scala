@@ -297,6 +297,28 @@ object GraftProcedures {
         }
       },
 
+      new GraftProcedure("rewrite_position_deletes",
+        "Consolidate merge-on-read POSITION delete files into one " +
+          "(distinct slots, dangling rows dropped) — metadata+delete-" +
+          "scale, data files untouched; equality deletes unaffected",
+        Array(TableParam),
+        StructType(Seq(
+          StructField("rewritten_delete_files", IntegerType),
+          StructField("added_delete_files", IntegerType))),
+        loadTable) {
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val (before, after) = t.rewritePositionDeletes()
+          Seq(row(if (after < before) before else 0,
+            if (after < before) after else 0))
+        }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val (before, after) = IcebergWrite.rewritePositionDeletes(
+            SparkSession.active, loc)
+          Seq(row(if (after < before) before else 0,
+            if (after < before) after else 0))
+        }
+      },
+
       new GraftProcedure("rollback_to_snapshot",
         "Make an earlier snapshot current (reversible until expired)",
         Array(TableParam,

@@ -1320,6 +1320,71 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Consolidate the table's POSITION delete files into one (the
+    * graft-dialect twin of Iceberg's rewrite_position_deletes):
+    * merge-on-read deltas accumulate one small delete file per
+    * statement and every scan pays one open per file. Rows union
+    * DISTINCT, dangling rows (data file no longer live) drop, and the
+    * result commits as a row-preserving metadata+delete-scale snapshot
+    * — data files untouched; re-sequencing at the tip is sound for
+    * positional deletes (explicit slots, paths never reused), so
+    * equality delete files stay as they are. Returns
+    * (source position-delete files, consolidated files). */
+  def rewritePositionDeletes(): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val m = meta
+    val posFiles = m.liveDeleteFiles(None).filter(_.content == 1)
+    if (posFiles.size <= 1) return (posFiles.size, posFiles.size)
+    val dDir = dataDir
+    val livePaths = m.liveFiles(None).map(f =>
+      TableIO.qualified(new HPath(dDir, f.path))).map(p =>
+      new HPath(p).toUri.getPath).toSet
+    val posSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val liveB = spark.sparkContext.broadcast(livePaths)
+    import spark.implicits._
+    val rows = spark.read.schema(posSchema)
+      .parquet(posFiles.map(f =>
+        TableIO.qualified(new HPath(dDir, f.path))): _*)
+      .distinct()
+      .as[(String, Long)]
+      .filter(r => liveB.value.contains(new HPath(r._1).toUri.getPath))
+      .toDF("file_path", "pos")
+    val delDir = new HPath(dDir, "deletes")
+    TableIO.mkdirs(delDir)
+    val staging = new HPath(root,
+      s"stage-posrw-${java.util.UUID.randomUUID().toString.take(8)}")
+    rows.coalesce(1).write.parquet(staging.toString)
+    val moved = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(delDir,
+          s"pos-rw-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        Meta.DataFile(
+          path = TableIO.relativize(dDir, dest),
+          partitionValues = Map.empty,
+          recordCount = -1L, fileSizeBytes = sz,
+          stats = Map.empty, content = 1,
+          dataSequence = Some(
+            meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L)))
+      }
+    TableIO.delete(staging, recursive = true)
+    // committed as "rewrite": the VISIBLE row set is unchanged (the
+    // consolidated file hides exactly what the replaced ones did), so
+    // the changelog emits nothing and row-preserving consumers (the
+    // streaming source) may skip it — same contract as compaction
+    commit("rewrite", Seq.empty, Seq.empty,
+      addedDeletes = moved, removedDeletes = posFiles.map(_.path),
+      summaryExtra = Map(
+        "position-delete-files-replaced" -> posFiles.size.toString,
+        "position-delete-files-created" -> moved.size.toString))
+    (posFiles.size, moved.size)
+  }
+
   /** Copy-on-write DELETE WHERE: only files whose stats can contain
     * matches are rewritten; untouched files carry over. */
   def delete(predicate: Column, touched: Seq[StatFilter] = Seq.empty): GraftTable = {

@@ -1018,40 +1018,8 @@ object IcebergWrite {
       val prevManifests = m.currentSnapshot.map(s =>
         IcebergAvro.readManifestList(new HPath(s.manifestList)))
         .getOrElse(Seq.empty)
-      val carried = prevManifests.map { mf =>
-        val src = rawByPath.get(mf.path)
-        def fieldOf(n: String): Option[Any] = src.flatMap(s =>
-          if (s.getSchema.getField(n) == null) None else Option(s.get(n)))
-        def asLong(v: Any): Long = v match {
-          case l: java.lang.Long => l.longValue()
-          case i: java.lang.Integer => i.longValue()
-          case _ => 0L
-        }
-        def asInt(v: Any): Int = v match {
-          case i: java.lang.Integer => i.intValue()
-          case l: java.lang.Long => l.intValue()
-          case _ => 0
-        }
-        val r = mfRecord(
-          mf.path, mf.length, mf.content, mf.sequenceNumber,
-          fieldOf("min_sequence_number").map(asLong)
-            .getOrElse(mf.sequenceNumber),
-          mf.addedSnapshotId,
-          fieldOf("added_files_count").map(asInt)
-            .getOrElse(mf.addedFilesCount.getOrElse(0)),
-          fieldOf("added_rows_count").map(asLong).getOrElse(0L),
-          mf.partitions)
-        r.put("partition_spec_id", mf.specId)
-        r.put("existing_files_count",
-          fieldOf("existing_files_count").map(asInt).getOrElse(0))
-        r.put("deleted_files_count",
-          fieldOf("deleted_files_count").map(asInt).getOrElse(0))
-        r.put("existing_rows_count",
-          fieldOf("existing_rows_count").map(asLong).getOrElse(0L))
-        r.put("deleted_rows_count",
-          fieldOf("deleted_rows_count").map(asLong).getOrElse(0L))
-        r
-      }
+      val carried = prevManifests.map(mf =>
+        copiedListEntry(mf, rawByPath.get(mf.path)))
       val mlPath = new HPath(metaDir,
         s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
       IcebergAvro.writeManifestList(mlPath,
@@ -1199,51 +1167,12 @@ object IcebergWrite {
         IcebergAvro.readManifestListRaw(new HPath(s.manifestList))
           .map(r => String.valueOf(r.get("manifest_path")) -> r).toMap)
         .getOrElse(Map.empty)
-      def copyCarried(mf: IcebergAvro.ManifestFile)
-          : org.apache.avro.generic.GenericRecord = {
-        val src = rawByPath.get(mf.path)
-        def fieldOf(n: String): Option[Any] = src.flatMap(s =>
-          if (s.getSchema.getField(n) == null) None else Option(s.get(n)))
-        def asLong(v: Any): Long = v match {
-          case l: java.lang.Long => l.longValue()
-          case i: java.lang.Integer => i.longValue()
-          case _ => 0L
-        }
-        def asInt(v: Any): Int = v match {
-          case i: java.lang.Integer => i.intValue()
-          case l: java.lang.Long => l.intValue()
-          case _ => 0
-        }
-        val r = IcebergAvro.record(mlSchema)
-        r.put("manifest_path", mf.path)
-        r.put("manifest_length", mf.length)
-        r.put("partition_spec_id", mf.specId)
-        r.put("content", mf.content)
-        r.put("sequence_number", mf.sequenceNumber)
-        r.put("min_sequence_number", fieldOf("min_sequence_number")
-          .map(asLong).getOrElse(mf.sequenceNumber))
-        r.put("added_snapshot_id", mf.addedSnapshotId)
-        r.put("added_files_count", fieldOf("added_files_count")
-          .map(asInt).getOrElse(mf.addedFilesCount.getOrElse(0)))
-        r.put("existing_files_count",
-          fieldOf("existing_files_count").map(asInt).getOrElse(0))
-        r.put("deleted_files_count",
-          fieldOf("deleted_files_count").map(asInt).getOrElse(0))
-        r.put("added_rows_count",
-          fieldOf("added_rows_count").map(asLong).getOrElse(0L))
-        r.put("existing_rows_count",
-          fieldOf("existing_rows_count").map(asLong).getOrElse(0L))
-        r.put("deleted_rows_count",
-          fieldOf("deleted_rows_count").map(asLong).getOrElse(0L))
-        IcebergAvro.putFieldSummaries(r, mf.partitions)
-        r
-      }
       val carriedOrRewritten = prevManifests.map { mf =>
-        if (mf.content != 0) copyCarried(mf)
+        if (mf.content != 0) copiedListEntry(mf, rawByPath.get(mf.path))
         else {
           val entries = IcebergAvro.readManifest(new HPath(mf.path))
           if (!entries.exists(e => removedPaths.contains(e.filePath)))
-            copyCarried(mf)
+            copiedListEntry(mf, rawByPath.get(mf.path))
           else {
             val (wSchema, fileMeta, raw) =
               IcebergAvro.readManifestRaw(new HPath(mf.path))
@@ -1325,6 +1254,279 @@ object IcebergWrite {
         refs = m.refs + ("main" -> snapshotId))
     }
     ()
+  }
+
+  /** Copy one manifest-list entry onto OUR list schema, preserving
+    * the SOURCE entry's counts/sequences verbatim (a real Iceberg
+    * reader skips added=0/existing=0 manifests as empty; foreign
+    * records may carry a different writer schema, so they are copied
+    * field-by-field rather than round-tripped raw). */
+  private def copiedListEntry(mf: IcebergAvro.ManifestFile,
+      src: Option[org.apache.avro.generic.GenericRecord])
+      : org.apache.avro.generic.GenericRecord = {
+    def fieldOf(n: String): Option[Any] = src.flatMap(s =>
+      if (s.getSchema.getField(n) == null) None else Option(s.get(n)))
+    def asLong(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case _ => 0L
+    }
+    def asInt(v: Any): Int = v match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case _ => 0
+    }
+    val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
+    r.put("manifest_path", mf.path)
+    r.put("manifest_length", mf.length)
+    r.put("partition_spec_id", mf.specId)
+    r.put("content", mf.content)
+    r.put("sequence_number", mf.sequenceNumber)
+    r.put("min_sequence_number", fieldOf("min_sequence_number")
+      .map(asLong).getOrElse(mf.sequenceNumber))
+    r.put("added_snapshot_id", mf.addedSnapshotId)
+    r.put("added_files_count", fieldOf("added_files_count")
+      .map(asInt).getOrElse(mf.addedFilesCount.getOrElse(0)))
+    r.put("existing_files_count",
+      fieldOf("existing_files_count").map(asInt).getOrElse(0))
+    r.put("deleted_files_count",
+      fieldOf("deleted_files_count").map(asInt).getOrElse(0))
+    r.put("added_rows_count",
+      fieldOf("added_rows_count").map(asLong).getOrElse(0L))
+    r.put("existing_rows_count",
+      fieldOf("existing_rows_count").map(asLong).getOrElse(0L))
+    r.put("deleted_rows_count",
+      fieldOf("deleted_rows_count").map(asLong).getOrElse(0L))
+    IcebergAvro.putFieldSummaries(r, mf.partitions)
+    r
+  }
+
+  /** Consolidate a REAL-format table's POSITION delete files into one
+    * (Iceberg's rewrite_position_deletes): merge-on-read row-level SQL
+    * accumulates one small delete file per statement, and every scan
+    * pays one open per file. The live position-delete rows union
+    * DISTINCT (a slot deleted twice collapses), rows referencing data
+    * files no longer live drop (dangling deletes), and the result
+    * commits as a row-preserving 'replace' snapshot whose manifest
+    * list carries the data + equality-delete manifests forward and
+    * replaces every position-delete entry with the consolidated file.
+    * Re-sequencing at the tip is SOUND for position deletes — they
+    * name explicit (path, pos) slots, and paths are never reused — it
+    * would be unsound for equality deletes, which therefore stay
+    * untouched (entry sequence numbers materialized when a mixed
+    * manifest is rewritten without its position entries). Returns
+    * (source position-delete files, consolidated files). */
+  def rewritePositionDeletes(spark: SparkSession,
+      location: String): (Int, Int) = {
+    val base = IcebergMetadata.load(location)
+    val t = IcebergTable.fromMetadataAt(spark, location, base)
+    val posEntries = t.deleteEntries().map(_._1).filter(_.content == 1)
+    if (posEntries.size <= 1) return (posEntries.size, posEntries.size)
+    val livePaths = t.plannedFiles()
+      .map(f => t.resolvePath(f._1.filePath).toUri.getPath).toSet
+
+    // distributed distinct + dangling-row drop; the consolidated
+    // file(s) land in staging first, commit moves them in
+    val posSchema = StructType(Seq(
+      StructField("file_path", org.apache.spark.sql.types.StringType,
+        nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val liveB = spark.sparkContext.broadcast(livePaths)
+    import spark.implicits._
+    val rows = spark.read.schema(posSchema)
+      .parquet(posEntries.map(e => t.resolvePath(e.filePath).toString): _*)
+      .distinct()
+      .as[(String, Long)]
+      .filter(r => liveB.value.contains(new HPath(r._1).toUri.getPath))
+      .toDF("file_path", "pos")
+    val withIds = {
+      import org.apache.spark.sql.functions.col
+      rows.select(
+        col("file_path").as("file_path",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 2147483546L).build()),
+        col("pos").as("pos",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 2147483545L).build()))
+    }
+    val staging = TableIO.path(location,
+      s"stage-posrw-${UUID.randomUUID().toString.take(8)}")
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try withIds.coalesce(1).write.parquet(staging.toString)
+    finally tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val dataDir = TableIO.path(location, "data")
+    val moved = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dataDir,
+          s"pos-delete-rw-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(dest, footerConf))
+        val n = try reader.getFooter.getBlocks.asScala
+          .map(_.getRowCount).sum finally reader.close()
+        (dest, sz, n)
+      }
+    TableIO.delete(staging, recursive = true)
+
+    IcebergMetadata.commitRetry(location) { m =>
+      // the consolidated rows were derived from `base`: committing
+      // them over a moved table would resurrect rows a newer delete
+      // hid — refuse, like the compaction path
+      if (m.currentSnapshotId != base.currentSnapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $location changed while position deletes were " +
+            "being consolidated; retry the operation")
+      val snap0 = m.currentSnapshot.getOrElse(
+        throw new IllegalStateException("no current snapshot"))
+      val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val seq = m.lastSequenceNumber + 1
+      val metaDir = TableIO.path(location, "metadata")
+      val mlSchema = IcebergAvro.manifestListSchema
+      val schemaJson = icebergSchemaJson(m.schema)
+
+      // 1. the consolidated position-delete manifest
+      val entries = moved.map { case (p, sz, n) =>
+        val e = IcebergAvro.record(IcebergAvro.manifestSchema(emptyPartition))
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", null)
+        e.put("file_sequence_number", null)
+        val dfSchema = e.getSchema.getField("data_file").schema()
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", 1)
+        d.put("file_path", TableIO.qualified(p))
+        d.put("file_format", "PARQUET")
+        d.put("partition",
+          new GenericData.Record(dfSchema.getField("partition").schema()))
+        d.put("record_count", n)
+        d.put("file_size_in_bytes", sz)
+        d.put("null_value_counts", null)
+        d.put("lower_bounds", null)
+        d.put("upper_bounds", null)
+        d.put("equality_ids", null)
+        e.put("data_file", d)
+        e: org.apache.avro.generic.GenericRecord
+      }
+      val mp = new HPath(metaDir,
+        s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+      val len = IcebergAvro.writeManifest(mp, emptyPartition, entries,
+        schemaJson, """{"spec-id":0,"fields":[]}""", content = "deletes")
+      val newDelEntry = {
+        val r = IcebergAvro.record(mlSchema)
+        r.put("manifest_path", TableIO.qualified(mp))
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", m.defaultSpecId)
+        r.put("content", 1)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", snapshotId)
+        r.put("added_files_count", moved.size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", moved.map(_._3).sum)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        IcebergAvro.putFieldSummaries(r, None)
+        r: org.apache.avro.generic.GenericRecord
+      }
+
+      // 2. carried manifests: data + pure-equality delete manifests go
+      // verbatim (raw list-entry fields preserved); mixed delete
+      // manifests rewrite WITHOUT their position entries (inherited
+      // sequence fields materialized); position-only manifests drop
+      val prev = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
+      val rawByPath = IcebergAvro
+        .readManifestListRaw(new HPath(snap0.manifestList))
+        .map(r => String.valueOf(r.get("manifest_path")) -> r).toMap
+      val carried = prev.flatMap { mf =>
+        if (mf.content == 0)
+          Seq(copiedListEntry(mf, rawByPath.get(mf.path)))
+        else {
+          val hasPos = IcebergAvro.readManifest(new HPath(mf.path))
+            .exists(_.content == 1)
+          if (!hasPos) Seq(copiedListEntry(mf, rawByPath.get(mf.path)))
+          else {
+            val (wSchema, fileMeta, raw) =
+              IcebergAvro.readManifestRaw(new HPath(mf.path))
+            var minSeq = Long.MaxValue
+            var rows = 0L
+            val kept = raw.flatMap { r =>
+              val df = r.get("data_file").asInstanceOf[
+                org.apache.avro.generic.GenericRecord]
+              val content = df.get("content").asInstanceOf[Int]
+              val status = r.get("status").asInstanceOf[Int]
+              if (content == 1 || status == 2) None
+              else {
+                def hasField(n: String) = r.getSchema.getField(n) != null
+                val entrySeq = Option(r.get("sequence_number"))
+                  .map(_.asInstanceOf[Long]).getOrElse(mf.sequenceNumber)
+                r.put("status", 0)
+                if (hasField("snapshot_id") && r.get("snapshot_id") == null)
+                  r.put("snapshot_id", mf.addedSnapshotId)
+                if (hasField("sequence_number"))
+                  r.put("sequence_number", entrySeq)
+                if (hasField("file_sequence_number") &&
+                    r.get("file_sequence_number") == null)
+                  r.put("file_sequence_number", mf.sequenceNumber)
+                minSeq = math.min(minSeq, entrySeq)
+                rows += df.get("record_count").asInstanceOf[Long]
+                Some(r: org.apache.avro.generic.GenericRecord)
+              }
+            }
+            if (kept.isEmpty) Seq.empty
+            else {
+              val p2 = new HPath(metaDir,
+                s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+              val l2 = IcebergAvro.writeManifestRaw(p2, wSchema, fileMeta, kept)
+              val r = IcebergAvro.record(mlSchema)
+              r.put("manifest_path", TableIO.qualified(p2))
+              r.put("manifest_length", l2)
+              r.put("partition_spec_id", mf.specId)
+              r.put("content", 1)
+              r.put("sequence_number", seq)
+              r.put("min_sequence_number",
+                if (minSeq == Long.MaxValue) seq else minSeq)
+              r.put("added_snapshot_id", snapshotId)
+              r.put("added_files_count", 0)
+              r.put("existing_files_count", kept.size)
+              r.put("deleted_files_count", 0)
+              r.put("added_rows_count", 0L)
+              r.put("existing_rows_count", rows)
+              r.put("deleted_rows_count", 0L)
+              IcebergAvro.putFieldSummaries(r, mf.partitions)
+              Seq(r: org.apache.avro.generic.GenericRecord)
+            }
+          }
+        }
+      }
+      val mlPath = new HPath(metaDir,
+        s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+      IcebergAvro.writeManifestList(mlPath, newDelEntry +: carried,
+        snapshotId, seq)
+      val snap = IcebergMetadata.IceSnapshot(
+        snapshotId = snapshotId,
+        parentId = m.currentSnapshotId,
+        sequenceNumber = seq,
+        timestampMs = System.currentTimeMillis(),
+        manifestList = TableIO.qualified(mlPath),
+        operation = "replace",
+        schemaId = m.currentSchemaId,
+        summary = Map(
+          "position-delete-files-replaced" -> posEntries.size.toString,
+          "position-delete-files-created" -> moved.size.toString))
+      m.copy(
+        lastSequenceNumber = seq,
+        currentSnapshotId = Some(snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snapshotId))
+    }
+    (posEntries.size, moved.size)
   }
 
   /** Equality DELETE: the distinct key tuples become an equality

@@ -1766,6 +1766,67 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t.scan().filter(col("k") % 50 === 5).count() === 0L)
   }
 
+  test("rewrite_position_deletes consolidates MoR delete files on an adopted table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 120L).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "amt")
+        .repartition(3))
+    val wh = Files.createTempDirectory("graft-iceprw").toString
+    spark.conf.set("spark.sql.catalog.ice_prw", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_prw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_prw.m")
+    spark.sql(s"CALL ice_prw.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // three delta statements -> three position-delete files; plus one
+    // EQUALITY delete, which consolidation must leave alone
+    spark.sql("DELETE FROM ice_prw.m.t WHERE k % 10 = 1 AND length(v) >= 1")
+    spark.sql("UPDATE ice_prw.m.t SET amt = amt + 1 WHERE k % 10 = 2")
+    spark.sql("DELETE FROM ice_prw.m.t WHERE k % 10 = 3 AND length(v) >= 1")
+    spark.sql("DELETE FROM ice_prw.m.t WHERE k IN (44, 55)") // equality
+    val t0 = IcebergTable.load(spark, loc)
+    val pos0 = t0.deleteEntries().map(_._1).filter(_.content == 1)
+    val eq0 = t0.deleteEntries().map(_._1).filter(_.content == 2)
+    // one delete parquet PER WRITE TASK per statement (3 single-file
+    // scan partitions x 3 statements) — the accumulation this
+    // procedure exists to fold
+    assert(pos0.size >= 3 && eq0.size === 1)
+    val want = t0.scan().select("k", "amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dataBefore = t0.plannedFiles().map(_._1.filePath).toSet
+
+    val res = spark.sql(
+      "CALL ice_prw.system.rewrite_position_deletes(table => 'm.t')")
+      .collect()
+    assert(res(0).getInt(0) === pos0.size && res(0).getInt(1) === 1)
+    val t1 = IcebergTable.load(spark, loc)
+    val pos1 = t1.deleteEntries().map(_._1).filter(_.content == 1)
+    val eq1 = t1.deleteEntries().map(_._1).filter(_.content == 2)
+    assert(pos1.size === 1, "three position-delete files fold into one")
+    assert(eq1.map(_.filePath) === eq0.map(_.filePath),
+      "equality delete files must be untouched")
+    assert(t1.plannedFiles().map(_._1.filePath).toSet === dataBefore,
+      "data files must be untouched (metadata+delete-scale only)")
+    assert(t1.meta.currentSnapshot.get.operation === "replace")
+    // content identical through BOTH readers
+    assert(t1.scan().select("k", "amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === want.toSeq)
+    assert(spark.sql("SELECT count(*) FROM ice_prw.m.t")
+      .collect()(0).getLong(0) === want.length.toLong)
+    // the changelog is silent for the row-preserving replace
+    val ch = t1.changesBetween(None).collect()
+    assert(!ch.exists(r => r.getAs[Long]("_commit_snapshot_id") ==
+      t1.meta.currentSnapshotId.get))
+    // idempotent: a second call is a no-op (no new snapshot)
+    val snaps = t1.meta.snapshots.size
+    val res2 = spark.sql(
+      "CALL ice_prw.system.rewrite_position_deletes(table => 'm.t')")
+      .collect()
+    assert(res2(0).getInt(0) === 0)
+    assert(IcebergTable.load(spark, loc).meta.snapshots.size === snaps)
+  }
+
   test("consolidation preserves foreign manifest columns it does not model") {
     val spark0 = spark
     import spark0.implicits._

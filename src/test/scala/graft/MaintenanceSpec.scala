@@ -322,6 +322,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan().count() === 300)
   }
 
+  test("rewritePositionDeletes consolidates graft MoR delete files") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-posrw").toString + "/t"
+    val df = (1L to 120L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, root, df.schema)
+    t.append(df.repartition(3))
+    // three positional MoR statements -> three delete files
+    t.deleteWhereMoRPositional(col("k") % 10 === 1)
+    t.updateWhereMoR(col("k") % 10 === 2, Seq("v" -> lit("u")))
+    t.deleteWhereMoRPositional(col("k") % 10 === 3)
+    val pos0 = t.meta.liveDeleteFiles(None).filter(_.content == 1)
+    assert(pos0.size >= 3)
+    val want = t.scan().select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val dataBefore = t.meta.liveFiles(None).map(_.path).toSet
+
+    val (before, after) = t.rewritePositionDeletes()
+    assert(before === pos0.size && after === 1)
+    val m = t.meta
+    assert(m.liveDeleteFiles(None).count(_.content == 1) === 1)
+    assert(m.liveFiles(None).map(_.path).toSet === dataBefore,
+      "data files must be untouched")
+    assert(t.scan().select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq === want.toSeq)
+    // row-preserving: the changelog stays silent for this commit
+    val snap = m.currentSnapshotId.get
+    val ch = t.changesBetween(None).collect()
+    assert(!ch.exists(_.getAs[Long]("_commit_snapshot_id") == snap))
+    // idempotent
+    assert(t.rewritePositionDeletes() === (1, 1))
+    assert(t.meta.currentSnapshotId.get === snap)
+    // vacuum reclaims the replaced delete files
+    t.expireSnapshots(keepLast = 1)
+    t.vacuum(0L)
+    assert(t.scan().count() === want.length.toLong)
+  }
+
   test("SQL registry exposes the custom expressions") {
     graft.functions.Registry.register(spark)
     Tables.orders(spark, sf).createOrReplaceTempView("orders_reg")
