@@ -236,10 +236,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             new GraftPositionDeletesTable(parentRoot)
           else new GraftMetadataSparkTable(parentRoot, kind)
         // adopted real-format tables serve the same metadata views
-        // (rendered from their manifest lists; schemas identical)
-        if (kind != "position_deletes" &&
-            graft.table.iceberg.IcebergTable.exists(parentRoot))
-          return new GraftMetadataSparkTable(parentRoot, kind,
+        // (rendered from their manifest lists; schemas identical) —
+        // including the data-scale position_deletes content table
+        if (graft.table.iceberg.IcebergTable.exists(parentRoot))
+          return if (kind == "position_deletes")
+            new GraftPositionDeletesTable(parentRoot,
+              GraftPositionDeletesTable.icebergFiles)
+          else new GraftMetadataSparkTable(parentRoot, kind,
             IcebergMetadataRows.rowsOf)
       }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
@@ -631,8 +634,36 @@ object GraftMetadataSparkTable {
   * delete files — (file_path, pos, delete_file) — unlike the other
   * metadata tables this is data-scale, so it reads DISTRIBUTED: one
   * input partition per delete file, parquet pages decoded on the
-  * executors, delete rows never pass through the driver. */
-class GraftPositionDeletesTable(root: String) extends Table with SupportsRead {
+  * executors, delete rows never pass through the driver. The default
+  * file lister serves the graft dialect; the catalog passes
+  * `GraftPositionDeletesTable.icebergFiles` for ADOPTED real-format
+  * tables (same schema, delete files listed from the manifest tree). */
+object GraftPositionDeletesTable {
+  /** (qualified delete-file URI, size bytes, display name). */
+  type DeleteFileRef = (String, Long, String)
+
+  def graftFiles(root: String): Seq[DeleteFileRef] = {
+    val m = graft.table.Meta.load(root)
+    val dataDir = TableIO.path(root, "data")
+    m.liveDeleteFiles(None).filter(_.content == 1).sortBy(_.path).map(f =>
+      (TableIO.qualified(new org.apache.hadoop.fs.Path(dataDir, f.path)),
+        f.fileSizeBytes, f.path))
+  }
+
+  def icebergFiles(root: String): Seq[DeleteFileRef] = {
+    val t = graft.table.iceberg.IcebergTable.load(
+      SparkSession.active, root)
+    t.deleteEntries().map(_._1).filter(_.content == 1)
+      .sortBy(_.filePath).map(e =>
+        (TableIO.qualified(t.resolvePath(e.filePath)),
+          e.fileSizeBytes, e.filePath))
+  }
+}
+
+class GraftPositionDeletesTable(root: String,
+    filesFn: String => Seq[GraftPositionDeletesTable.DeleteFileRef] =
+      GraftPositionDeletesTable.graftFiles)
+  extends Table with SupportsRead {
   import org.apache.spark.sql.connector.read._
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
   import org.apache.spark.sql.execution.datasources.GraftConnectorShim
@@ -654,18 +685,13 @@ class GraftPositionDeletesTable(root: String) extends Table with SupportsRead {
         override def toBatch: Batch = this
         @volatile private var fileByPartition = Map.empty[Int, String]
         override def planInputPartitions(): Array[InputPartition] = {
-          val m = Meta.load(root)
-          val dataDir = TableIO.path(root, "data")
-          val files = m.liveDeleteFiles(None)
-            .filter(_.content == 1).sortBy(_.path)
+          val files = filesFn(root)
           fileByPartition =
-            files.zipWithIndex.map { case (f, i) => i -> f.path }.toMap
-          files.zipWithIndex.map { case (f, i) =>
+            files.zipWithIndex.map { case (f, i) => i -> f._3 }.toMap
+          files.zipWithIndex.map { case ((uri, sz, _), i) =>
             GraftConnectorShim.filePartition(i, Seq(
-              GraftConnectorShim.partitionedFile(
-                TableIO.qualified(
-                  new org.apache.hadoop.fs.Path(dataDir, f.path)),
-                f.fileSizeBytes, 0L))): InputPartition
+              GraftConnectorShim.partitionedFile(uri, sz, 0L)))
+              : InputPartition
           }.toArray
         }
         override def createReaderFactory(): PartitionReaderFactory =

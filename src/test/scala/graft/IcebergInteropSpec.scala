@@ -1827,6 +1827,33 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(IcebergTable.load(spark, loc).meta.snapshots.size === snaps)
   }
 
+  test("position_deletes metadata table serves adopted real-format tables") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 60L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2))
+    val wh = Files.createTempDirectory("graft-icepdm").toString
+    spark.conf.set("spark.sql.catalog.ice_pdm", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_pdm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_pdm.m")
+    spark.sql(s"CALL ice_pdm.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    spark.sql("DELETE FROM ice_pdm.m.t WHERE k % 5 = 0 AND length(v) >= 1")
+    // the content table: one row per hidden slot, stamped with its
+    // source delete file; distributed single-file-partition read
+    val rows = spark.sql(
+      "SELECT file_path, pos, delete_file FROM ice_pdm.m.t.position_deletes")
+      .collect()
+    assert(rows.length === 12, s"expected 12 hidden slots, got ${rows.length}")
+    assert(rows.forall(_.getString(2).nonEmpty))
+    assert(rows.map(_.getString(0)).toSet.size === 2,
+      "slots span both data files")
+    // row count matches what the MoR scan hides
+    assert(spark.sql("SELECT count(*) FROM ice_pdm.m.t")
+      .collect()(0).getLong(0) === 48L)
+  }
+
   test("consolidation preserves foreign manifest columns it does not model") {
     val spark0 = spark
     import spark0.implicits._
