@@ -128,7 +128,8 @@ object IcebergWrite {
     val base = IcebergMetadata.load(location)
     val (moved, stats) = stageData(spark, base, df, None)
     IcebergMetadata.commitRetry(location) { m =>
-      val snap = appendManifest(m, moved, stats).copy(summary = summary)
+      val snap0 = appendManifest(m, moved, stats)
+      val snap = snap0.copy(summary = snap0.summary ++ summary)
       m.copy(
         lastSequenceNumber = snap.sequenceNumber,
         currentSnapshotId = Some(snap.snapshotId),
@@ -376,7 +377,14 @@ object IcebergWrite {
       timestampMs = System.currentTimeMillis(),
       manifestList = TableIO.qualified(mlPath),
       operation = "append",
-      schemaId = m.currentSchemaId)
+      schemaId = m.currentSchemaId,
+      // the spec's standard summary metrics (snapshot.rs Summary) —
+      // monitoring and UIs read these without opening manifests
+      summary = Map(
+        "added-data-files" -> moved.size.toString,
+        "added-files" -> moved.size.toString,
+        "added-records" -> totalRows.toString,
+        "added-files-size" -> moved.map(_._2).sum.toString))
   }
 
   /** In-place import of foreign id-less parquet under `sourceDir`
@@ -827,7 +835,11 @@ object IcebergWrite {
       snapshotId = snapshotId, parentId = m.currentSnapshotId,
       sequenceNumber = seq, timestampMs = System.currentTimeMillis(),
       manifestList = TableIO.qualified(mlPath),
-      operation = "delete", schemaId = m.currentSchemaId)
+      operation = "delete", schemaId = m.currentSchemaId,
+      summary = Map(
+        "added-delete-files" -> moved.size.toString,
+        (if (content == 1) "added-position-deletes"
+         else "added-equality-deletes") -> deleteRows.toString))
     m.copy(
       lastSequenceNumber = seq,
       currentSnapshotId = Some(snapshotId),
@@ -1033,8 +1045,13 @@ object IcebergWrite {
         operation = if (moved.isEmpty) "delete" else "overwrite",
         schemaId = m.currentSchemaId,
         summary = Map(
+          "added-data-files" -> moved.size.toString,
           "added-files" -> moved.size.toString,
-          "added-delete-files" -> movedDel.size.toString))
+          "added-records" ->
+            moved.map(x => statsByPath(x._1.toString)._1).sum.toString,
+          "added-files-size" -> moved.map(_._2).sum.toString,
+          "added-delete-files" -> movedDel.size.toString,
+          "added-position-deletes" -> movedDel.map(_._3).sum.toString))
       m.copy(
         lastSequenceNumber = seq,
         currentSnapshotId = Some(snapshotId),
@@ -1245,7 +1262,12 @@ object IcebergWrite {
         operation = "overwrite",
         schemaId = m.currentSchemaId,
         summary = Map(
+          "added-data-files" -> moved.size.toString,
           "added-files" -> moved.size.toString,
+          "added-records" ->
+            moved.map(x => statsByPath(x._1.toString)._1).sum.toString,
+          "added-files-size" -> moved.map(_._2).sum.toString,
+          "deleted-data-files" -> removedPaths.size.toString,
           "removed-files" -> removedPaths.size.toString))
       m.copy(
         lastSequenceNumber = seq,
