@@ -345,6 +345,30 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
+    // ADOPTED real-format tables: ALTER routes to the interop
+    // machinery — ADD COLUMN registers an evolved schema (new ids,
+    // old snapshots keep their shape, scans null-fill older files;
+    // reference: transaction add_schema) and SET/UNSET TBLPROPERTIES
+    // commit property updates (update_properties) — this is also how
+    // a user opts an adopted table into copy-on-write row-level mode
+    if (!(Meta.exists(root) && Meta.isGraftDialect(root)) &&
+        graft.table.iceberg.IcebergTable.exists(root)) {
+      changes.foreach {
+        case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+          graft.table.iceberg.IcebergWrite.addColumns(root,
+            StructType(Seq(org.apache.spark.sql.types.StructField(
+              a.fieldNames()(0), a.dataType()))))
+        case p: TableChange.SetProperty =>
+          graft.table.iceberg.IcebergMetadata.commitRetry(root)(m =>
+            m.copy(properties = m.properties + (p.property() -> p.value())))
+        case p: TableChange.RemoveProperty =>
+          graft.table.iceberg.IcebergMetadata.commitRetry(root)(m =>
+            m.copy(properties = m.properties - p.property()))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported change on a real-format Iceberg table: $other")
+      }
+      return new IcebergSparkTable(root)
+    }
     val t = GraftTable.load(SparkSession.active, root)
     changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>

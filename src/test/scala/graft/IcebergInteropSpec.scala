@@ -1854,6 +1854,48 @@ class IcebergInteropSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 48L)
   }
 
+  test("ALTER TABLE on an adopted table: add column, set properties") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    val wh = Files.createTempDirectory("graft-icealt").toString
+    spark.conf.set("spark.sql.catalog.ice_alt", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_alt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_alt.m")
+    spark.sql(s"CALL ice_alt.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    // SET TBLPROPERTIES flips the row-level mode to copy-on-write
+    spark.sql("ALTER TABLE ice_alt.m.t SET TBLPROPERTIES(" +
+      "'write.update.mode'='copy-on-write')")
+    assert(IcebergMetadata.load(loc).properties
+      .get("write.update.mode").contains("copy-on-write"))
+    spark.sql("UPDATE ice_alt.m.t SET v = 'upd' WHERE k <= 5")
+    val t1 = IcebergTable.load(spark, loc)
+    assert(t1.deleteEntries().isEmpty,
+      "after the property flip, UPDATE must run copy-on-write")
+    assert(spark.sql(
+      "SELECT count(*) FROM ice_alt.m.t WHERE v = 'upd'")
+      .collect()(0).getLong(0) === 5L)
+    spark.sql("ALTER TABLE ice_alt.m.t UNSET TBLPROPERTIES(" +
+      "'write.update.mode')")
+    assert(!IcebergMetadata.load(loc).properties.contains("write.update.mode"))
+
+    // ADD COLUMN: evolved schema, old files null-fill, inserts carry it
+    spark.sql("ALTER TABLE ice_alt.m.t ADD COLUMN score BIGINT")
+    assert(spark.sql("SELECT count(*) FROM ice_alt.m.t WHERE score IS NULL")
+      .collect()(0).getLong(0) === 40L)
+    spark.sql("INSERT INTO ice_alt.m.t VALUES (100, 'n', 7)")
+    assert(spark.sql("SELECT score FROM ice_alt.m.t WHERE k = 100")
+      .collect()(0).getLong(0) === 7L)
+    // the binary interop reader agrees on the evolved shape
+    val t2 = IcebergTable.load(spark, loc)
+    assert(t2.scan().schema.fieldNames.contains("score"))
+    assert(t2.scan().filter(col("score").isNotNull).count() === 1L)
+  }
+
   test("consolidation preserves foreign manifest columns it does not model") {
     val spark0 = spark
     import spark0.implicits._
