@@ -516,7 +516,12 @@ object TableOps {
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
     s.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
       s"location => '$loc')")
-    s.sql(s"DELETE FROM $cat.m.t WHERE o_orderstatus = 'F'")
+    // length() keeps the condition off the metadata-only equality
+    // path, so the DELETE exercises the MoR position-delete delta this
+    // key documents (the pure-equality fast path has its own seam in
+    // the interop suite)
+    s.sql(s"DELETE FROM $cat.m.t WHERE o_orderstatus = 'F' " +
+      "AND length(o_orderstatus) >= 1")
     s.sql(s"UPDATE $cat.m.t SET o_totalprice = o_totalprice * 2 " +
       "WHERE o_orderpriority = '1-URGENT'")
     graft.table.iceberg.IcebergTable.load(s, loc).scan()

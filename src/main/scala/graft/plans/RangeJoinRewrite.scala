@@ -10,13 +10,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampType}
 
 /** Idempotency marker for the range-join rewrite's fallback branches:
-  * a non-foldable always-true leaf. A plain `Literal(true)` conjunct
-  * would be erased by ConstantFolding/BooleanSimplification — which
-  * run in the SAME fixed-point batch as injected optimizer rules — and
-  * the rewrite would fire again on its own fallback joins forever.
-  * This expression survives every builtin simplification (unknown,
-  * non-foldable) and costs one constant per row at execution. */
-case class RangeJoinNoRewrite() extends LeafExpression {
+  * a non-foldable always-true conjunct. A plain `Literal(true)` would
+  * be erased by ConstantFolding/BooleanSimplification — which run in
+  * the SAME fixed-point batch as injected optimizer rules — and the
+  * rewrite would fire again on its own fallback joins forever. The
+  * marker also deliberately REFERENCES one expression from EACH join
+  * side: a reference-free conjunct would be pushed out of the join
+  * condition by PushDownPredicates (same batch again), un-marking the
+  * join — under the production injectOptimizerRule registration that
+  * re-fired the rewrite every fixed-point iteration and grew the plan
+  * until the driver OOM'd. Referencing both sides pins it inside the
+  * join condition; evaluation ignores the children and returns true
+  * (one constant per row). */
+case class RangeJoinNoRewrite(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def foldable: Boolean = false
@@ -25,6 +32,9 @@ case class RangeJoinNoRewrite() extends LeafExpression {
     ExprCode.forNonNullValue(
       org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
         .literal("true", BooleanType))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Automatic range-join rewrite (the Catalyst rule form of the
@@ -182,7 +192,7 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
               Join(gen(Filter(spanOk(aStart, aEnd), left), aStart, aEnd, bl),
                 gen(Filter(spanOk(bStart, bEnd), right), bStart, bEnd, br),
                 Inner, Some(newCond), hint))
-            val residualCond = And(RangeJoinNoRewrite(), cond)
+            val residualCond = And(RangeJoinNoRewrite(aStart, bStart), cond)
             // bigL joins ALL of right; okL joins bigR — together with
             // okL×okR above this partitions the pair space exactly once
             val bigLeft = Project(j.output,

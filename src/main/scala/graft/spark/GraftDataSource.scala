@@ -292,10 +292,11 @@ class GraftRowLevelOperation(root: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
-  /** Union across (re)plannings: the runtime group-filter subquery
-    * plans a SUBSET of the main scan's files, and AQE may re-plan —
-    * accumulating keeps the replaced set a superset of every file
-    * whose rows fed the replacement write. */
+  /** Union across (re)plannings: the op's scans DECLINE runtime
+    * filtering (filterAttributes), so every planning — supportsColumnar,
+    * AQE, the group-filter subquery's own scan — sees the same
+    * statically-pruned candidate set, and the union equals exactly the
+    * files whose rows feed the replacement write. */
   private[spark] val scanned =
     new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 
@@ -1022,7 +1023,8 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     val files = plannedDataFiles(spark)
     recordPlanningMetrics(files)
     // group-based row-level ops replace exactly the files this scan
-    // planned (runtime group filtering has already narrowed the set)
+    // planned (runtime filtering is declined under capture, so every
+    // planning sees the same statically-pruned set)
     capture.foreach(_.scanned.updateAndGet(_ ++ files.map(_.path)))
     if (rowIdCols.nonEmpty) {
       // row-id scans (delta row-level ops): one file per partition so

@@ -355,6 +355,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         graft.table.iceberg.IcebergTable.exists(root)) {
       changes.foreach {
         case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+          // a REQUIRED new column is unsatisfiable for existing rows
+          // (older files null-fill it) — refuse rather than silently
+          // registering it as optional, like Iceberg's add-column rule
+          if (!a.isNullable)
+            throw new UnsupportedOperationException(
+              s"cannot add NOT NULL column ${a.fieldNames()(0)}: " +
+                "existing rows have no value for it; add it nullable")
           graft.table.iceberg.IcebergWrite.addColumns(root,
             StructType(Seq(org.apache.spark.sql.types.StructField(
               a.fieldNames()(0), a.dataType()))))

@@ -326,9 +326,19 @@ class IcebergScan(location: String, snapshotId: Option[Long],
 
   // ---- runtime filtering (dynamic file pruning from join keys) -------
 
+  /** A row-level operation's replaced group must equal EXACTLY the
+    * files every one of its scans planned: runtime narrowing of just
+    * the main scan would desynchronize the captured set from the
+    * rows the replacement write actually read (files removed whose
+    * surviving rows were never rewritten — data loss), so CoW scans
+    * decline runtime filtering, like the graft dialect. Row-id scans
+    * (the delta path) decline too: their single-file partition maps
+    * and position counting must not be re-planned out from under the
+    * already-created reader factory. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    requiredSchema.fieldNames.map(
+    if (capture.isDefined || rowIdCols.nonEmpty) Array.empty
+    else requiredSchema.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   @volatile private var runtimeStatFilters: Seq[(String, String, String)] = Seq.empty
@@ -339,6 +349,7 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     * Numeric/string keys only — other literal types render differently
     * from the canonical stat strings and pruning must stay sound. */
   override def filter(filters: Array[Filter]): Unit = {
+    if (capture.isDefined || rowIdCols.nonEmpty) return // see filterAttributes
     def safe(v: Any): Boolean = v.isInstanceOf[Number] || v.isInstanceOf[String]
     runtimeStatFilters = filters.toSeq.flatMap {
       case In(c, values) if values.nonEmpty &&

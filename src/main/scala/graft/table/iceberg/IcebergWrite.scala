@@ -765,7 +765,8 @@ object IcebergWrite {
     // the delete file is additive, so the manifest assembly below
     // REBASES cleanly on a lost commit race (commitRetry re-runs it
     // against the fresh metadata)
-    IcebergMetadata.commitRetry(location) { m =>
+    IcebergMetadata.commitRetry(location) { m0 =>
+    val (m, delSpecId) = unpartitionedSpecId(m0)
     val schema = m.schema
     val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = m.lastSequenceNumber + 1
@@ -801,18 +802,20 @@ object IcebergWrite {
     val manifestPath = new HPath(metaDir,
       s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
     val manifestLen = IcebergAvro.writeManifest(manifestPath, emptyPartition,
-      entries, icebergSchemaJson(schema), """{"spec-id":0,"fields":[]}""",
+      entries, icebergSchemaJson(schema),
+      s"""{"spec-id":$delSpecId,"fields":[]}""",
       content = "deletes")
 
     val prevManifests = m.currentSnapshot.map(s =>
       IcebergAvro.readManifestList(new HPath(s.manifestList))).getOrElse(Seq.empty)
     val mlSchema = IcebergAvro.manifestListSchema
     def mfRecord(path: String, len: Long, ct: Int, sq: Long,
-        snapId: Long, sums: Option[Seq[IcebergAvro.FieldSummary]])
+        snapId: Long, specId: Int,
+        sums: Option[Seq[IcebergAvro.FieldSummary]])
         : org.apache.avro.generic.GenericRecord = {
       val r = IcebergAvro.record(mlSchema)
       r.put("manifest_path", path); r.put("manifest_length", len)
-      r.put("partition_spec_id", m.defaultSpecId); r.put("content", ct)
+      r.put("partition_spec_id", specId); r.put("content", ct)
       r.put("sequence_number", sq); r.put("min_sequence_number", sq)
       r.put("added_snapshot_id", snapId)
       r.put("added_files_count", 0); r.put("existing_files_count", 0)
@@ -823,10 +826,12 @@ object IcebergWrite {
       r
     }
     val newEntry = mfRecord(TableIO.qualified(manifestPath), manifestLen, 1,
-      seq, snapshotId, None)
+      seq, snapshotId, delSpecId, None)
+    // carried entries keep their OWN spec ids (a mix of data and
+    // delete manifests across spec eras)
     val carried = prevManifests.map(mf => mfRecord(
       mf.path, mf.length, mf.content, mf.sequenceNumber, mf.addedSnapshotId,
-      mf.partitions))
+      mf.specId, mf.partitions))
     val mlPath = new HPath(metaDir,
       s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
     IcebergAvro.writeManifestList(mlPath, newEntry +: carried, snapshotId, seq)
@@ -907,7 +912,37 @@ object IcebergWrite {
     TableIO.delete(delStaging, recursive = true)
     if (moved.isEmpty && movedDel.isEmpty) return
 
-    IcebergMetadata.commitRetry(location) { m =>
+    // the data files the position deletes reference, for the
+    // validateDataFilesExist guard below (read once, outside the
+    // retry loop; distinct FILE paths only — never the delete rows)
+    val referenced: Set[String] =
+      if (movedDel.isEmpty) Set.empty
+      else spark.read
+        .schema(StructType(Seq(StructField("file_path",
+          org.apache.spark.sql.types.StringType))))
+        .parquet(movedDel.map(_._1.toString): _*)
+        .distinct().collect()
+        .map(r => new HPath(r.getString(0)).toUri.getPath).toSet
+
+    IcebergMetadata.commitRetry(location) { m0 =>
+      val (m, delSpecId) = unpartitionedSpecId(m0)
+      // write-skew guard (the reference's validateDataFilesExist): a
+      // concurrent rewrite/CoW commit may have replaced the files
+      // these position deletes reference — committing over it would
+      // leave the deletes pointing at dead paths and every "deleted"
+      // row visible again. Refuse instead; the caller retries the
+      // whole operation against the new content.
+      if (referenced.nonEmpty) {
+        val t = IcebergTable.fromMetadataAt(spark, location, m)
+        val live = t.plannedFiles()
+          .map(f => t.resolvePath(f._1.filePath).toUri.getPath).toSet
+        val missing = referenced -- live
+        if (missing.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"delta commit aborted: ${missing.size} data file(s) its " +
+              "position deletes reference were rewritten or removed by " +
+              "a concurrent commit; retry the operation")
+      }
       val schema = m.schema
       val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       val seq = m.lastSequenceNumber + 1
@@ -1014,9 +1049,12 @@ object IcebergWrite {
           val mp = new HPath(metaDir,
             s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
           val len = IcebergAvro.writeManifest(mp, emptyPartition, entries,
-            schemaJson, """{"spec-id":0,"fields":[]}""", content = "deletes")
-          Some(mfRecord(TableIO.qualified(mp), len, 1, seq, seq, snapshotId,
-            0, 0L, None))
+            schemaJson, s"""{"spec-id":$delSpecId,"fields":[]}""",
+            content = "deletes")
+          val r = mfRecord(TableIO.qualified(mp), len, 1, seq, seq, snapshotId,
+            0, 0L, None)
+          r.put("partition_spec_id", delSpecId)
+          Some(r)
         }
 
       // 3. one manifest list: both new manifests + everything carried.
@@ -1396,7 +1434,8 @@ object IcebergWrite {
       }
     TableIO.delete(staging, recursive = true)
 
-    IcebergMetadata.commitRetry(location) { m =>
+    IcebergMetadata.commitRetry(location) { m0 =>
+      val (m, delSpecId) = unpartitionedSpecId(m0)
       // the consolidated rows were derived from `base`: committing
       // them over a moved table would resurrect rows a newer delete
       // hid — refuse, like the compaction path
@@ -1438,12 +1477,13 @@ object IcebergWrite {
       val mp = new HPath(metaDir,
         s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
       val len = IcebergAvro.writeManifest(mp, emptyPartition, entries,
-        schemaJson, """{"spec-id":0,"fields":[]}""", content = "deletes")
+        schemaJson, s"""{"spec-id":$delSpecId,"fields":[]}""",
+        content = "deletes")
       val newDelEntry = {
         val r = IcebergAvro.record(mlSchema)
         r.put("manifest_path", TableIO.qualified(mp))
         r.put("manifest_length", len)
-        r.put("partition_spec_id", m.defaultSpecId)
+        r.put("partition_spec_id", delSpecId)
         r.put("content", 1)
         r.put("sequence_number", seq)
         r.put("min_sequence_number", seq)
@@ -1568,6 +1608,20 @@ object IcebergWrite {
 
   private[iceberg] val emptyPartition =
     """{"type":"record","name":"r102","fields":[]}"""
+
+  /** The id of an UNPARTITIONED spec, registering one when the table
+    * has none: delete files written with EMPTY partition structs must
+    * reference a spec whose fields are empty — stamping the default
+    * (possibly partitioned) spec id would make foreign readers decode
+    * the delete manifest against the wrong partition type. */
+  private def unpartitionedSpecId(
+      m: IcebergMetadata.IceMetadata): (IcebergMetadata.IceMetadata, Int) =
+    m.specs.find(_.fields.isEmpty) match {
+      case Some(sp) => (m, sp.specId)
+      case None =>
+        val id = m.specs.map(_.specId).maxOption.getOrElse(-1) + 1
+        (m.copy(specs = m.specs :+ IcebergMetadata.IceSpec(id, Seq.empty)), id)
+    }
 
   /** Avro record schema for the partition struct of a spec (nullable
     * fields with the spec's field-ids). */

@@ -1896,6 +1896,83 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t2.scan().filter(col("score").isNotNull).count() === 1L)
   }
 
+  test("CoW keeps files whose bounds matched but no row did (group-filter sync)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    // three files with disjoint bounds; the DELETE's IN-list contains
+    // one key inside file-1 and one key inside file-3's BOUNDS that no
+    // row carries — so static stat pruning keeps files 1 and 3 while
+    // the runtime group filter (built from the matched rows) would
+    // narrow the scan to file 1 alone. The replaced set must stay in
+    // sync with what the replacement write actually read: file 3's
+    // rows must survive intact.
+    val part1 = (1L to 10L).map(i => (i, s"v$i"))
+    val part3 = ((490L to 494L) ++ (496L to 510L)).map(i => (i, s"v$i"))
+    IcebergWrite.create(spark, loc, part1.toDF("k", "v").coalesce(1))
+    IcebergWrite.append(spark, loc,
+      (100L to 200L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    IcebergWrite.append(spark, loc, part3.toDF("k", "v").coalesce(1))
+    IcebergMetadata.commitRetry(loc)(m => m.copy(properties =
+      m.properties + ("write.delete.mode" -> "copy-on-write")))
+    val wh = Files.createTempDirectory("graft-icegf").toString
+    spark.conf.set("spark.sql.catalog.ice_gf", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_gf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_gf.m")
+    spark.sql(s"CALL ice_gf.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    // length() keeps the condition off the metadata-delete path, so
+    // the statement runs the group-based CoW operation; 495 is inside
+    // file 3's [490, 510] bounds but absent from its rows
+    spark.sql("DELETE FROM ice_gf.m.t " +
+      "WHERE k IN (5, 495) AND length(v) >= 1")
+    val t = IcebergTable.load(spark, loc)
+    assert(t.deleteEntries().isEmpty, "CoW must not write delete files")
+    assert(t.scan().count() === (10 - 1) + 101 + 20L)
+    assert(t.scan().filter(col("k") >= 490 && col("k") <= 510).count() === 20L,
+      "the no-match candidate file's rows must survive the swap")
+    assert(t.scan().filter(col("k") === 5).count() === 0L)
+    assert(spark.sql("SELECT count(*) FROM ice_gf.m.t")
+      .collect()(0).getLong(0) === 130L)
+  }
+
+  test("a delta commit refuses when its referenced data files were rewritten") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    val target = IcebergTable.load(spark, loc).plannedFiles().head._1.filePath
+    def stageDelta(): (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = {
+      val ds = TableIO.path(loc, s"stage-t-${System.nanoTime()}")
+      val del = TableIO.path(loc, s"stage-td-${System.nanoTime()}")
+      TableIO.mkdirs(ds)
+      Seq((target, 0L)).toDF("file_path", "pos")
+        .coalesce(1).write.parquet(del.toString)
+      (ds, del)
+    }
+    // the happy path commits (references still live)
+    val (ds1, del1) = stageDelta()
+    graft.table.iceberg.IcebergWrite.commitDelta(spark, loc, ds1, del1)
+    assert(IcebergTable.load(spark, loc).scan().count() === 49L)
+
+    // a compaction replaces every data file; a delta staged against
+    // the OLD files must refuse instead of committing dead references
+    // (the write-skew the reference's validateDataFilesExist prevents)
+    val (ds2, del2) = stageDelta()
+    IcebergWrite.rewrite(spark, loc)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      graft.table.iceberg.IcebergWrite.commitDelta(spark, loc, ds2, del2)
+    }
+    assert(ex.getMessage.contains("position deletes reference"))
+    // nothing committed: content and delete set unchanged
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().count() === 49L)
+    assert(t.deleteEntries().isEmpty, "rewrite folded the old delete; " +
+      "the refused delta must not add one")
+  }
+
   test("consolidation preserves foreign manifest columns it does not model") {
     val spark0 = spark
     import spark0.implicits._

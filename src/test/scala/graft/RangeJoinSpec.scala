@@ -160,6 +160,40 @@ class RangeJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rangeJoin.overflow")
   }
 
+  test("the rewrite converges inside the production fixed-point batch") {
+    // Production registration (GraftExtensions.injectOptimizerRule)
+    // places the rule in the SAME fixed-point batch as
+    // PushDownPredicates / ConstantFolding / BooleanSimplification.
+    // A marker those rules can strip un-marks the residual joins and
+    // the rewrite re-fires every iteration, growing the plan until
+    // the driver dies — so run exactly that mixed batch to a fixed
+    // point and require quick convergence with the markers intact.
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.catalyst.optimizer.{BooleanSimplification, ConstantFolding, PushDownPredicates}
+    import org.apache.spark.sql.catalyst.rules.RuleExecutor
+    val (a, b) = fixtures
+    val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
+    val analyzed = a.join(b, cond).select("a_id", "b_id")
+      .queryExecution.analyzed
+    object MixedBatch extends RuleExecutor[LogicalPlan] {
+      override val batches = Batch("production-mix", FixedPoint(100),
+        PushDownPredicates, ConstantFolding, BooleanSimplification,
+        graft.plans.RangeJoinRewrite(spark)) :: Nil
+    }
+    val optimized = MixedBatch.execute(analyzed) // diverged pre-fix
+    val markers = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.exists(
+            _.isInstanceOf[graft.plans.RangeJoinNoRewrite])) => j
+    }
+    assert(markers.size === 2,
+      s"expected the two residual joins to keep their markers:\n$optimized")
+    // and the union shape survived (one bucket join + two residuals)
+    val joins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size === 3, s"expected 3 joins after one rewrite:\n$optimized")
+  }
+
   test("the conf flag disables the rewrite") {
     val (a, b) = fixtures
     val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
