@@ -1033,10 +1033,10 @@ class GraftScan(root: String, table: Meta.TableMetadata,
       // partitioning is skipped — a delta op's scan feeds a write,
       // not a join.
       val dataDir = graft.table.TableIO.path(root, "data")
-      val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
-      val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
-      val fileOut = scala.collection.mutable.Map[Int, String]()
-      val mapOut = scala.collection.mutable.Map[Int, ImportedGroup]()
+      val specsOut = scala.collection.mutable.Map[String, Seq[DeleteFilesSpec]]()
+      val posOut = scala.collection.mutable.Map[String, (PosDeleteSpec, String)]()
+      val fileOut = scala.collection.mutable.Map[String, String]()
+      val mapOut = scala.collection.mutable.Map[String, ImportedGroup]()
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
       files.groupBy(planSig).toSeq.sortBy { case (k, _) => sigKey(k) }
         .foreach { case ((eqSig, posSig, mapping, mSpecId, mPvs), group) =>
@@ -1045,16 +1045,15 @@ class GraftScan(root: String, table: Meta.TableMetadata,
           val posSpec =
             if (posSig.isEmpty) None else Some(buildPosSpec(spark, posSig))
           group.foreach { f =>
-            val idx = out.length
-            out += toFilePartition(idx, Seq(f))
-            if (specs.nonEmpty) specsOut(idx) = specs
-            mapping.foreach(mp =>
-              mapOut(idx) = ImportedGroup(mp, mSpecId, mPvs))
+            out += toFilePartition(out.length, Seq(f))
             val uri = graft.table.TableIO.qualified(
               new org.apache.hadoop.fs.Path(dataDir, f.path))
-            fileOut(idx) = uri
-            posSpec.foreach(spec => posOut(idx) =
-              (spec, new org.apache.hadoop.fs.Path(uri).toUri.getPath))
+            val bind = PartitionBindKey.ofPath(uri)
+            if (specs.nonEmpty) specsOut(bind) = specs
+            mapping.foreach(mp =>
+              mapOut(bind) = ImportedGroup(mp, mSpecId, mPvs))
+            fileOut(bind) = uri
+            posSpec.foreach(spec => posOut(bind) = (spec, bind))
           }
         }
       deleteSpecsByPartition = specsOut.toMap
@@ -1097,9 +1096,12 @@ class GraftScan(root: String, table: Meta.TableMetadata,
     } else {
       val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
-      val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
-      val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
-      val mapOut = scala.collection.mutable.Map[Int, ImportedGroup]()
+      val specsOut = scala.collection.mutable.Map[String, Seq[DeleteFilesSpec]]()
+      val posOut = scala.collection.mutable.Map[String, (PosDeleteSpec, String)]()
+      val mapOut = scala.collection.mutable.Map[String, ImportedGroup]()
+      def bindOf(f: Meta.DataFile): String = PartitionBindKey.ofPath(
+        graft.table.TableIO.qualified(new org.apache.hadoop.fs.Path(
+          graft.table.TableIO.path(root, "data"), f.path)))
       // bins never mix delete signatures OR name mappings (imported
       // bins are also partition-value-uniform, so identity constants
       // the hive layout stripped fill per bin): one task, one delete
@@ -1113,16 +1115,12 @@ class GraftScan(root: String, table: Meta.TableMetadata,
           if (posSig.nonEmpty) {
             // single-file bins: the reader counts row indexes per file
             group.foreach { f =>
-              val idx = out.length
-              out += toFilePartition(idx, Seq(f))
-              if (specs.nonEmpty) specsOut(idx) = specs
+              out += toFilePartition(out.length, Seq(f))
+              val bind = bindOf(f)
+              if (specs.nonEmpty) specsOut(bind) = specs
               mapping.foreach(mp =>
-                mapOut(idx) = ImportedGroup(mp, mSpecId, mPvs))
-              val dataDir = graft.table.TableIO.path(root, "data")
-              val uri = graft.table.TableIO.qualified(
-                new org.apache.hadoop.fs.Path(dataDir, f.path))
-              posOut(idx) = (posSpec.get,
-                new org.apache.hadoop.fs.Path(uri).toUri.getPath)
+                mapOut(bind) = ImportedGroup(mp, mSpecId, mPvs))
+              posOut(bind) = (posSpec.get, bind)
             }
           } else {
             // bin-pack files into tasks toward maxPartitionBytes
@@ -1137,11 +1135,11 @@ class GraftScan(root: String, table: Meta.TableMetadata,
             }
             if (cur.nonEmpty) bins += cur
             bins.foreach { bin =>
-              val idx = out.length
-              out += toFilePartition(idx, bin.toSeq)
-              if (specs.nonEmpty) specsOut(idx) = specs
+              out += toFilePartition(out.length, bin.toSeq)
+              val bind = bindOf(bin.head)
+              if (specs.nonEmpty) specsOut(bind) = specs
               mapping.foreach(mp =>
-                mapOut(idx) = ImportedGroup(mp, mSpecId, mPvs))
+                mapOut(bind) = ImportedGroup(mp, mSpecId, mPvs))
             }
           }
         }
@@ -1154,12 +1152,12 @@ class GraftScan(root: String, table: Meta.TableMetadata,
 
   /** partition index → applicable delete groups, bound at planning
     * time (partition bins are delete-signature-uniform). */
-  @volatile private var deleteSpecsByPartition: Map[Int, Seq[DeleteFilesSpec]] = Map.empty
+  @volatile private var deleteSpecsByPartition: Map[String, Seq[DeleteFilesSpec]] = Map.empty
 
   /** partition index → import-group info, for partitions of
     * add_files-imported (id-less) parquet — routed to a
     * renamed-schema reader factory plus identity-constant fill. */
-  @volatile private var mappingByPartition: Map[Int, ImportedGroup] = Map.empty
+  @volatile private var mappingByPartition: Map[String, ImportedGroup] = Map.empty
 
   /** bin-uniformity key: delete signature plus (for imported files)
     * the name mapping, spec id and partition values — so every task
@@ -1181,11 +1179,11 @@ class GraftScan(root: String, table: Meta.TableMetadata,
 
   /** partition index → (position-delete spec, this partition's data
     * file path) for single-file partitions under position deletes. */
-  @volatile private var posSpecsByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty
+  @volatile private var posSpecsByPartition: Map[String, (PosDeleteSpec, String)] = Map.empty
 
   /** partition index → qualified data-file URI, for row-id scans
     * (single-file partitions; the reader appends _file/_pos). */
-  @volatile private var rowIdFileByPartition: Map[Int, String] = Map.empty
+  @volatile private var rowIdFileByPartition: Map[String, String] = Map.empty
 
   /** Position-delete files become an executor-readable spec like the
     * equality ones: schema (file_path string, pos long). */
@@ -1266,7 +1264,7 @@ class GraftScan(root: String, table: Meta.TableMetadata,
             Meta.importReadSchema(requiredSchema, mp),
             Array.empty)): PartitionReaderFactory)
       }.toMap
-    val routeByPartition: Map[Int, (PartitionReaderFactory, Seq[(Int, Any)])] =
+    val routeByPartition: Map[String, (PartitionReaderFactory, Seq[(Int, Any)])] =
       mappingByPartition.map { case (i, g) =>
         i -> (mappedFactories(g.mapping),
           ImportedGroup.overrides(table, requiredSchema, g))
@@ -1299,28 +1297,43 @@ class GraftScan(root: String, table: Meta.TableMetadata,
   }
 }
 
+/** Stable per-partition binding key: the FIRST file's normalized URI
+  * path. Partition INDEXES are not stable — Spark may plan a scan
+  * once for supportsColumnar/outputPartitioning and AGAIN after
+  * runtime filtering re-indexes the surviving subset, while the
+  * reader factory keeps the first planning's bindings — so delete
+  * specs, name-mapping routes, and row-id files bind by FILE
+  * identity instead. Sound because every file lands in exactly one
+  * partition per planning (single-file and bin-packed alike). */
+object PartitionBindKey {
+  def ofPath(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+  def of(p: InputPartition): String = p match {
+    case f: org.apache.spark.sql.execution.datasources.FilePartition
+        if f.files.nonEmpty =>
+      f.files.head.filePath.toPath.toUri.getPath
+    case k: KeyedFilePartition => of(k.inner)
+    case _ => ""
+  }
+}
+
 /** Appends the row-address metadata columns (_file, _pos) to each row
   * of a SINGLE-FILE partition: the raw stream index is the row's
   * position within the file. Wraps BELOW any MoR filtering so hidden
   * rows still advance the position counter. */
 case class RowIdAppendFactory(
     delegate: PartitionReaderFactory,
-    fileByPartition: Map[Int, String],
+    fileByPartition: Map[String, String],
     colOrder: Seq[String])
   extends PartitionReaderFactory {
-
-  private def indexOf(p: InputPartition): Int = p match {
-    case f: org.apache.spark.sql.execution.datasources.FilePartition => f.index
-    case k: KeyedFilePartition => k.inner.index
-    case _ => -1
-  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val inner = delegate.createReader(partition)
-    val file = fileByPartition.getOrElse(indexOf(partition),
+    val file = fileByPartition.getOrElse(PartitionBindKey.of(partition),
       throw new IllegalStateException(
-        s"row-id scan partition ${indexOf(partition)} has no file binding"))
+        s"row-id scan partition ${PartitionBindKey.of(partition)} " +
+          "has no file binding"))
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
       private val fileUtf8 =
         org.apache.spark.unsafe.types.UTF8String.fromString(file)
@@ -1476,16 +1489,12 @@ object ImportedGroup {
   * row-based reads for the WHOLE scan: Spark requires partition
   * uniformity, and the fill projection is row-based. */
 case class NameMapRoutingFactory(default: PartitionReaderFactory,
-    byPartition: Map[Int, (PartitionReaderFactory, Seq[(Int, Any)])],
+    byPartition: Map[String, (PartitionReaderFactory, Seq[(Int, Any)])],
     readSchema: StructType)
   extends PartitionReaderFactory {
   private def pick(p: InputPartition)
-      : Option[(PartitionReaderFactory, Seq[(Int, Any)])] = p match {
-    case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-      byPartition.get(fp.index)
-    case k: KeyedFilePartition => pick(k.inner)
-    case _ => None
-  }
+      : Option[(PartitionReaderFactory, Seq[(Int, Any)])] =
+    byPartition.get(PartitionBindKey.of(p))
   override def createReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     pick(p) match {
@@ -1626,22 +1635,16 @@ object DeleteKeyCache {
   * not filtered by it). */
 case class MorReaderFactory(
     delegate: PartitionReaderFactory,
-    specsByPartition: Map[Int, Seq[DeleteFilesSpec]],
-    posByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty,
+    specsByPartition: Map[String, Seq[DeleteFilesSpec]],
+    posByPartition: Map[String, (PosDeleteSpec, String)] = Map.empty,
     rawDelegate: Option[PartitionReaderFactory] = None)
   extends PartitionReaderFactory {
 
-  private def indexOf(p: InputPartition): Int = p match {
-    case f: org.apache.spark.sql.execution.datasources.FilePartition => f.index
-    case k: KeyedFilePartition => k.inner.index
-    case _ => -1
-  }
-
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val idx = indexOf(partition)
-    val specs = specsByPartition.getOrElse(idx, Seq.empty)
-    val pos = posByPartition.get(idx)
+    val bind = PartitionBindKey.of(partition)
+    val specs = specsByPartition.getOrElse(bind, Seq.empty)
+    val pos = posByPartition.get(bind)
     // position-deleted partitions must count every raw row — use the
     // unpushed reader for them when one was built
     val inner = (if (pos.isDefined) rawDelegate.getOrElse(delegate)

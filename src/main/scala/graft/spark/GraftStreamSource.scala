@@ -288,7 +288,9 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
         if (cur.nonEmpty) bins += ((cur.toSeq, group0))
       }
     mappingByPartition = bins.zipWithIndex.collect {
-      case ((_, Some(g)), i) => i -> g
+      case ((bin, Some(g)), _) if bin.nonEmpty =>
+        PartitionBindKey.ofPath(new org.apache.hadoop.fs.Path(
+          dataDir, bin.head.path).toString) -> g
     }.toMap
     bins.zipWithIndex.map { case ((bin, _), i) =>
       GraftConnectorShim.filePartition(i, bin.map { f =>
@@ -298,10 +300,9 @@ class GraftMicroBatchStream(root: String, requiredSchema: StructType,
     }.toArray
   }
 
-  /** partition index → import-group info for the CURRENT batch
-    * (createReaderFactory runs after planInputPartitions for each
-    * micro-batch, the same ordering the batch scan relies on). */
-  @volatile private var mappingByPartition: Map[Int, ImportedGroup] =
+  /** first-file binding key → import-group info for the CURRENT batch
+    * (same stable file-identity binding the batch scan uses). */
+  @volatile private var mappingByPartition: Map[String, ImportedGroup] =
     Map.empty
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -429,8 +429,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
   private def resolve(p: String): org.apache.hadoop.fs.Path =
     table.resolvePath(p) // remaps absolute paths across catalog renames
 
-  @volatile private var deleteSpecsByPartition: Map[Int, Seq[DeleteFilesSpec]] = Map.empty
-  @volatile private var posSpecsByPartition: Map[Int, (PosDeleteSpec, String)] = Map.empty
+  @volatile private var deleteSpecsByPartition: Map[String, Seq[DeleteFilesSpec]] = Map.empty
+  @volatile private var posSpecsByPartition: Map[String, (PosDeleteSpec, String)] = Map.empty
 
   /** Avro partition value → catalyst value for the SPJ key row. */
   private def catalystKey(v: Any): Any = v match {
@@ -443,7 +443,7 @@ class IcebergScan(location: String, snapshotId: Option[Long],
 
   /** partition index → qualified data-file URI, for row-id scans
     * (single-file partitions; the reader appends _file/_pos). */
-  @volatile private var rowIdFileByPartition: Map[Int, String] = Map.empty
+  @volatile private var rowIdFileByPartition: Map[String, String] = Map.empty
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = sparkSession
@@ -465,9 +465,9 @@ class IcebergScan(location: String, snapshotId: Option[Long],
       // partitioning is skipped: a delta op's scan feeds a write, not
       // a join. Live MoR deletes still apply (below the row-id append,
       // so positions count every raw row of the file).
-      val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
-      val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
-      val fileOut = scala.collection.mutable.Map[Int, String]()
+      val specsOut = scala.collection.mutable.Map[String, Seq[DeleteFilesSpec]]()
+      val posOut = scala.collection.mutable.Map[String, (PosDeleteSpec, String)]()
+      val fileOut = scala.collection.mutable.Map[String, String]()
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
       def sig2(seq: Long): (Seq[String], Seq[String]) =
         (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
@@ -482,13 +482,12 @@ class IcebergScan(location: String, snapshotId: Option[Long],
           val posSpec =
             if (posSig.isEmpty) None else Some(buildPosSpec(spark, posSig))
           group.foreach { case (e, _, _) =>
-            val idx = out.length
-            out += toPartition(idx, Seq(e))
-            if (specs.nonEmpty) specsOut(idx) = specs
+            out += toPartition(out.length, Seq(e))
             val uri = TableIO.qualified(resolve(e.filePath))
-            fileOut(idx) = uri
-            posSpec.foreach(spec => posOut(idx) =
-              (spec, resolve(e.filePath).toUri.getPath))
+            val bind = PartitionBindKey.ofPath(uri)
+            if (specs.nonEmpty) specsOut(bind) = specs
+            fileOut(bind) = uri
+            posSpec.foreach(spec => posOut(bind) = (spec, bind))
           }
         }
       deleteSpecsByPartition = specsOut.toMap
@@ -515,8 +514,10 @@ class IcebergScan(location: String, snapshotId: Option[Long],
         deletes.filter { case (d, ds) => d.content == 1 && ds >= seq }
           .map(_._1.filePath).sorted)
     val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
-    val specsOut = scala.collection.mutable.Map[Int, Seq[DeleteFilesSpec]]()
-    val posOut = scala.collection.mutable.Map[Int, (PosDeleteSpec, String)]()
+    val specsOut = scala.collection.mutable.Map[String, Seq[DeleteFilesSpec]]()
+    val posOut = scala.collection.mutable.Map[String, (PosDeleteSpec, String)]()
+    def bindOf(e: IcebergAvro.DataFileEntry): String =
+      PartitionBindKey.ofPath(TableIO.qualified(resolve(e.filePath)))
 
     files.groupBy { case (_, _, seq) => sig(seq) }.toSeq
       .sortBy { case ((eq, pos), _) => (eq ++ pos).mkString(";") }
@@ -528,11 +529,10 @@ class IcebergScan(location: String, snapshotId: Option[Long],
           if (posSig.isEmpty) None else Some(buildPosSpec(spark, posSig))
         if (posSig.nonEmpty) {
           group.foreach { case (e, _, _) =>
-            val idx = out.length
-            out += toPartition(idx, Seq(e))
-            if (specs.nonEmpty) specsOut(idx) = specs
-            posOut(idx) = (posSpec.get,
-              resolve(e.filePath).toUri.getPath)
+            out += toPartition(out.length, Seq(e))
+            val bind = bindOf(e)
+            if (specs.nonEmpty) specsOut(bind) = specs
+            posOut(bind) = (posSpec.get, bind)
           }
         } else {
           val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[IcebergAvro.DataFileEntry]]()
@@ -546,9 +546,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
           }
           if (cur.nonEmpty) bins += cur
           bins.foreach { bin =>
-            val idx = out.length
-            out += toPartition(idx, bin.toSeq)
-            if (specs.nonEmpty) specsOut(idx) = specs
+            out += toPartition(out.length, bin.toSeq)
+            if (specs.nonEmpty) specsOut(bindOf(bin.head)) = specs
           }
         }
       }
