@@ -1592,6 +1592,21 @@ class IcebergInteropSpec extends AnyFunSuite {
     // partition pruning still bites after the row-level commit
     val pruned = t.plannedFiles(None, Seq(("d", "=", "d0")))
     assert(pruned.size < t.plannedFiles().size)
+    // the delta's delete manifest references a REAL unpartitioned spec
+    // (registered on demand): stamping the partitioned default spec id
+    // on an empty partition struct would make foreign readers decode
+    // the manifest against the wrong partition type
+    val meta1 = IcebergMetadata.load(loc)
+    val unpart = meta1.specs.filter(_.fields.isEmpty)
+    assert(unpart.size === 1, s"expected one unpartitioned spec, " +
+      s"got ${meta1.specs.map(sp => (sp.specId, sp.fields.size))}")
+    val delMfs = IcebergAvro.readManifestList(
+      new HPath(meta1.currentSnapshot.get.manifestList))
+      .filter(_.content == 1)
+    assert(delMfs.nonEmpty &&
+      delMfs.forall(_.specId == unpart.head.specId),
+      s"delete manifests must carry the unpartitioned spec id, " +
+        s"got ${delMfs.map(_.specId)} want ${unpart.head.specId}")
     // DELETE on the partitioned table folds through the same reader
     spark.sql("DELETE FROM ice_rlp.m.t WHERE d = 'd1'")
     assert(spark.sql("SELECT count(*) FROM ice_rlp.m.t")
