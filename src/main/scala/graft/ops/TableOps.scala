@@ -571,6 +571,65 @@ object TableOps {
        round(sum(c_acctbal),2)::DOUBLE AS total
        FROM customer GROUP BY 1 ORDER BY c_mktsegment"""
 
+  /** MERGE INTO an ADOPTED real-format table through the SupportsDelta
+    * path, exercising ALL THREE branches in one statement — a matched
+    * DELETE, a matched UPDATE (referencing both sides), and a
+    * NOT-MATCHED INSERT — committed as ONE merge-on-read delta
+    * snapshot (position-delete manifest + only the changed/new rows),
+    * then read back through the binary interop reader (reference:
+    * datafusion_iceberg/src/table.rs DML parity + the delta commits of
+    * iceberg-rust/src/table/transaction/operation.rs). The r10
+    * tf_foreign_rowlevel key locked DELETE + UPDATE; this one locks
+    * the full MERGE matrix the SupportsDelta writer claims. */
+  val tfForeignMerge: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val loc = scratch()
+    graft.table.iceberg.IcebergWrite.create(
+      s, loc, o.filter(col("o_orderkey") % 3 =!= 0))
+    val cat = s"ice_mg_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-mgwh").toString)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    s.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("tf_foreign_merge_src")
+    s.sql(
+      s"""MERGE INTO $cat.m.t t USING tf_foreign_merge_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_orderpriority = '1-URGENT' THEN DELETE
+          WHEN MATCHED THEN
+            UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice
+          WHEN NOT MATCHED THEN INSERT *""")
+    graft.table.iceberg.IcebergTable.load(s, loc).scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfForeignMergeSql: String =
+    """WITH tgt AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 3 <> 0),
+       src AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0),
+       fin AS (
+         SELECT t.o_orderstatus,
+                CASE WHEN s.o_orderkey IS NULL THEN t.o_totalprice
+                     ELSE t.o_totalprice + s.o_totalprice END AS o_totalprice
+         FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+         WHERE s.o_orderkey IS NULL OR s.o_orderpriority <> '1-URGENT'
+         UNION ALL
+         SELECT s.o_orderstatus, s.o_totalprice
+         FROM src s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+         WHERE t.o_orderkey IS NULL)
+       SELECT o_orderstatus, count(*) AS n,
+              round(sum(o_totalprice),2)::DOUBLE AS total
+       FROM fin GROUP BY 1 ORDER BY o_orderstatus"""
+
   val tfForeignChangelogSql: String =
     """SELECT * FROM (
          SELECT 'insert' AS change_type, count(*) AS n,
@@ -709,6 +768,7 @@ object TableOps {
     "tf_foreign_changelog" -> tfForeignChangelog,
     "tf_foreign_rowlevel" -> tfForeignRowlevel,
     "tf_foreign_insert" -> tfForeignInsert,
+    "tf_foreign_merge" -> tfForeignMerge,
     "tf_iceberg_partitioned" -> tfIcebergPartitioned,
     "tf_delete_pos" -> tfDeletePos,
     "tf_metadata_tables" -> tfMetadataTables,
@@ -737,6 +797,7 @@ object TableOps {
     "tf_foreign_changelog" -> tfForeignChangelogSql,
     "tf_foreign_rowlevel" -> tfForeignRowlevelSql,
     "tf_foreign_insert" -> tfForeignInsertSql,
+    "tf_foreign_merge" -> tfForeignMergeSql,
     "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,
     "tf_delete_pos" -> tfDeletePosSql,
     "tf_compaction" -> tfCompactionSql,
