@@ -365,6 +365,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           graft.table.iceberg.IcebergWrite.addColumns(root,
             StructType(Seq(org.apache.spark.sql.types.StructField(
               a.fieldNames()(0), a.dataType()))))
+        case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+          graft.table.iceberg.IcebergWrite.dropColumn(root, d.fieldNames()(0))
+        case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+          graft.table.iceberg.IcebergWrite.renameColumn(
+            root, r.fieldNames()(0), r.newName())
+        case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+          graft.table.iceberg.IcebergWrite.updateColumnType(
+            root, u.fieldNames()(0), u.newDataType())
         case p: TableChange.SetProperty =>
           graft.table.iceberg.IcebergMetadata.commitRetry(root)(m =>
             m.copy(properties = m.properties + (p.property() -> p.value())))

@@ -571,8 +571,10 @@ class IcebergScan(location: String, snapshotId: Option[Long],
       DeleteFilesSpec(
         keyIndexes = keySchema.fields.map(f => requiredSchema.fieldIndex(f.name)),
         keyTypes = keySchema.fields.map(_.dataType),
+        // delete files written before a rename carry the old key name
+        // (right id) — id-carrying schema keeps the key resolving
         factory = GraftConnectorShim.parquetReaderFactory(
-          spark, keySchema, keySchema, Array.empty),
+          spark, withFieldIds(keySchema), withFieldIds(keySchema), Array.empty),
         part = part,
         cacheKey = "ice-eq:" + dfiles.map(_.filePath).sorted.mkString(";"))
     }
@@ -596,6 +598,21 @@ class IcebergScan(location: String, snapshotId: Option[Long],
       cacheKey = "ice-pos:" + sig.sorted.mkString(";"))
   }
 
+  /** Attach each column's Iceberg field id to the delegate's requested
+    * schema: the shim's parquet reader resolves id-carrying columns by
+    * ID (rename-safe — files written under an old name keep reading;
+    * widened types up-cast). Skipped for exported-from-legacy tables
+    * whose footers carry no ids. */
+  private def withFieldIds(s: StructType): StructType =
+    if (!ice.idResolution) s
+    else StructType(s.fields.map(f => ice.schema.fieldId(f.name) match {
+      case Some(id) => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(graft.table.Meta.FieldIdKey, id.toLong).build())
+      case None => f
+    }))
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = sparkSession
     // a row-id scan counts RAW stream indexes as positions, so the
@@ -611,7 +628,8 @@ class IcebergScan(location: String, snapshotId: Option[Long],
       else pushedFilters
     val parquetFactory: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
-        spark, ice.schema.toSpark, requiredSchema, pushForDelegate))
+        spark, withFieldIds(ice.schema.toSpark), withFieldIds(requiredSchema),
+        pushForDelegate))
     // _file/_pos append BELOW the MoR filter: positions must count
     // every raw row of the file, including rows a live delete hides
     val delegate =

@@ -237,7 +237,12 @@ object IcebergExport {
       properties = Map(
         "write.format.default" -> "parquet",
         "schema.name-mapping.default" -> IcebergMetadata.nameMapping(ice),
-        SourceVersionProp -> m.lastVersion.toString),
+        SourceVersionProp -> m.lastVersion.toString) ++
+        // a legacy id-less source's parquet footers carry no field ids:
+        // mark the export so interop readers resolve columns by NAME
+        // (and refuse RENAME COLUMN) instead of failing id resolution
+        (if (Meta.hasFieldIds(m.schema)) Map.empty
+         else Map(IcebergMetadata.NameBasedFilesProp -> "true")),
       currentSnapshotId = Some(snapshotId),
       snapshots = Seq(snap),
       refs = Map("main" -> snapshotId))

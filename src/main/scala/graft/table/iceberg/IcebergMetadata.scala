@@ -22,6 +22,18 @@ object IcebergMetadata {
   case class IceSchema(schemaId: Int, fields: Seq[IceField]) {
     def toSpark: StructType = StructType(fields.map(f =>
       StructField(f.name, IcebergTypes.toSpark(f.tpe), nullable = !f.required)))
+    /** Like toSpark, but each TOP-LEVEL field carries its Iceberg field
+      * id as `parquet.field.id` metadata — handing this schema to a
+      * parquet read (with fieldId.read enabled) resolves columns by ID,
+      * which is what keeps files written before a RENAME COLUMN
+      * readable under the current names (identity is the field id,
+      * the name is a label — iceberg-rust-spec schema.rs). Kept
+      * separate from toSpark because StructField equality includes
+      * metadata and callers compare schemas. */
+    def toSparkWithIds: StructType = StructType(fields.map(f =>
+      StructField(f.name, IcebergTypes.toSpark(f.tpe), nullable = !f.required,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(graft.table.Meta.FieldIdKey, f.id.toLong).build())))
     def fieldId(name: String): Option[Int] = fields.find(_.name == name).map(_.id)
 
     /** Highest field id anywhere in the schema, nested ids included
@@ -88,7 +100,22 @@ object IcebergMetadata {
     def defaultSortFields: Seq[IceSortField] =
       sortOrders.find(_.orderId == defaultSortOrderId)
         .map(_.fields).getOrElse(Seq.empty)
+    /** Whether this table's data files can be resolved by FIELD ID
+      * (footers carry ids — true for every graft interop write and
+      * every mainstream Iceberg writer). False only when the table was
+      * exported from a legacy id-less graft table whose parquet
+      * footers predate id stamping: those files resolve by NAME, so
+      * id-based reads would fail loudly and RENAME COLUMN is
+      * unsupported (same rule as the graft dialect's hasFieldIds
+      * gate). */
+    def idResolution: Boolean =
+      !properties.contains(IcebergMetadata.NameBasedFilesProp)
   }
+
+  /** Set by IcebergExport when the SOURCE graft table's data files
+    * carry no parquet footer field ids — readers of the exported
+    * table must resolve columns by name. */
+  val NameBasedFilesProp = "graft.name-based-files"
 
   /** Spark schema -> Iceberg schema with sequential field ids. */
   /** Field ids carried in the Spark schema's metadata (graft stamps

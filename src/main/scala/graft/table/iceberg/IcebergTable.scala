@@ -23,6 +23,12 @@ class IcebergTable private (val location: String, val spark: SparkSession,
   def meta: IcebergMetadata.IceMetadata =
     pinned.getOrElse(IcebergMetadata.load(location))
 
+  // files written before a RENAME COLUMN resolve by FIELD ID in the
+  // parquet reads below (same session flag GraftTable sets): the flag
+  // only binds when a read's REQUESTED schema carries id metadata,
+  // which readVisible attaches iff the table is id-resolvable
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   def schema: StructType = meta.schema.toSpark
 
   private def norm(s: String): String = s.replaceFirst("^[a-z]+:/+", "/")
@@ -290,8 +296,14 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       filters: Seq[(String, String, String)] = Seq.empty): DataFrame = {
     val m = meta
     val snap = snapshotId.flatMap(m.snapshot).orElse(m.currentSnapshot)
-    val iceSchema = snap.map(s => m.schemas.find(_.schemaId == s.schemaId)
-      .getOrElse(m.schema)).getOrElse(m.schema)
+    // a CURRENT read uses the CURRENT schema (schema evolution commits
+    // no snapshot, so the latest snapshot's pinned schema-id may
+    // predate a rename/drop/promotion); TIME TRAVEL keeps the
+    // snapshot's own schema — the shape the table had then
+    val iceSchema =
+      if (snapshotId.isEmpty) m.schema
+      else snap.map(s => m.schemas.find(_.schemaId == s.schemaId)
+        .getOrElse(m.schema)).getOrElse(m.schema)
     val files = plannedFiles(snapshotId, filters)
     readVisible(iceSchema, files.map { case (e, _, seq) => (e, seq) },
       deleteEntries(snapshotId))
@@ -311,7 +323,12 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       keepPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
-    val schemaOf = iceSchema.toSpark
+    // id-carrying requested schema -> parquet columns resolve by field
+    // id (rename-safe, promotion-widening); name-based only for
+    // exported-from-legacy tables whose footers predate ids
+    val idRes = meta.idResolution
+    val schemaOf =
+      if (idRes) iceSchema.toSparkWithIds else iceSchema.toSpark
     val outSchema =
       if (!keepPos) schemaOf
       else org.apache.spark.sql.types.StructType(schemaOf.fields ++ Seq(
@@ -340,11 +357,23 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       val eqFiles = deletes.map(_._1).filter(d => eqPaths.contains(d.filePath))
       val afterEq = eqFiles.groupBy(_.equalityIds).foldLeft(base) {
         case (df, (eqIds, dfiles)) =>
-          val eqCols = eqIds.flatMap(id =>
-            iceSchema.fields.find(_.id == id).map(_.name))
-          val delDf = spark.read
-            .parquet(dfiles.map(d => resolve(d.filePath).toString): _*)
-            .select(eqCols.map(col): _*)
+          val eqFields = eqIds.flatMap(id => iceSchema.fields.find(_.id == id))
+          val eqCols = eqFields.map(_.name)
+          // delete files written before a rename carry the OLD column
+          // name (right id): an id-carrying explicit schema keeps the
+          // key resolving, and widens pre-promotion key types exactly
+          val delDf =
+            if (idRes) spark.read.schema(
+                org.apache.spark.sql.types.StructType(eqFields.map(f =>
+                  StructField(f.name, IcebergTypes.toSpark(f.tpe),
+                    nullable = true,
+                    new org.apache.spark.sql.types.MetadataBuilder()
+                      .putLong(graft.table.Meta.FieldIdKey, f.id.toLong)
+                      .build()))))
+              .parquet(dfiles.map(d => resolve(d.filePath).toString): _*)
+            else spark.read
+              .parquet(dfiles.map(d => resolve(d.filePath).toString): _*)
+              .select(eqCols.map(col): _*)
           df.join(delDf, eqCols, "left_anti")
       }
       val result =

@@ -161,8 +161,17 @@ object IcebergTypes {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     t match {
       case IntegerType => Some(b.getInt.toString)
+      // 4-byte bounds under a LONG (or 4-byte under DOUBLE) column:
+      // the manifest predates an int->long / float->double promotion.
+      // Widening the raw bits is EXACT (unlike re-parsing a rendered
+      // string), so pruning under the widened comparator stays sound —
+      // the same buffer-length dispatch Iceberg's own Conversions does
+      // for promoted types.
+      case LongType if bytes.length == 4 => Some(b.getInt.toLong.toString)
       case LongType => Some(b.getLong.toString)
       case FloatType => Some(b.getFloat.toString)
+      case DoubleType if bytes.length == 4 =>
+        Some(b.getFloat.toDouble.toString)
       case DoubleType => Some(b.getDouble.toString)
       case StringType => Some(new String(bytes, StandardCharsets.UTF_8))
       case DateType =>

@@ -419,7 +419,12 @@ object IcebergWrite {
         snapshots = cur.snapshots :+ snap,
         refs = cur.refs + ("main" -> snap.snapshotId),
         properties = cur.properties +
-          ("schema.name-mapping.default" -> mapping))
+          ("schema.name-mapping.default" -> mapping) +
+          // imported footers carry no field ids: every read of this
+          // table must resolve columns by NAME from here on (and
+          // RENAME COLUMN is refused) — id resolution would fail
+          // loudly on the imported files
+          (IcebergMetadata.NameBasedFilesProp -> "true"))
     }
     (files.size, files.map(f => statsByPath(f._1.toString)._1).sum)
   }
@@ -714,6 +719,123 @@ object IcebergWrite {
       schemas = m.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,
       lastColumnId = math.max(m.lastColumnId, newSchema.maxId))
+    }
+    ()
+  }
+
+  /** Schema evolution: RENAME a column on a real-format table
+    * (iceberg-rust-spec schema.rs — identity is the field id, the
+    * name is a label). The field keeps its id; every data, delete,
+    * and delta file ever written keeps resolving by id, so no file is
+    * touched. Refused on exported-from-legacy tables whose footers
+    * carry no ids (readers there resolve by name). */
+  def renameColumn(location: String, name: String, newName: String): Unit = {
+    IcebergMetadata.commitRetry(location) { m =>
+      require(m.idResolution,
+        "rename needs field-id column identity; this table's data " +
+          "files predate footer ids (recreate it, or add-then-backfill)")
+      val old = m.schema
+      require(old.fields.exists(_.name == name), s"no column $name")
+      require(!old.fields.exists(_.name == newName),
+        s"column $newName already exists")
+      val newSchema = IcebergMetadata.IceSchema(
+        m.schemas.map(_.schemaId).max + 1,
+        old.fields.map(f => if (f.name == name) f.copy(name = newName) else f))
+      m.copy(schemas = m.schemas :+ newSchema,
+        currentSchemaId = newSchema.schemaId)
+    }
+    ()
+  }
+
+  /** Schema evolution: DROP a column on a real-format table. The id
+    * is retired, never reused (lastColumnId is monotone); old files
+    * keep its bytes, current-schema reads simply stop requesting the
+    * id. Refused while the column is load-bearing: a partition source
+    * of the DEFAULT spec (future writes must compute its transform;
+    * historic specs are fine — pruning keeps files it can't map), a
+    * default-sort-order key (write clustering), or an equality-delete
+    * key of a LIVE delete file (the MoR fold must read it — the
+    * metadata-scale manifest walk below is the same check the
+    * reference's schema update runs). */
+  def dropColumn(location: String, name: String): Unit = {
+    IcebergMetadata.commitRetry(location) { m =>
+      val old = m.schema
+      val field = old.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+      require(!m.specs.find(_.specId == m.defaultSpecId)
+          .exists(_.fields.exists(_.sourceId == field.id)),
+        s"cannot drop $name: it is a partition source of the default " +
+          "spec; evolve the spec first")
+      require(!m.defaultSortFields.exists(_.sourceId == field.id),
+        s"cannot drop $name: it is a default sort-order key; set a " +
+          "different sort order first")
+      val liveEqIds: Set[Int] = m.currentSnapshot.toSeq.flatMap { snap =>
+        IcebergAvro.readManifestList(new HPath(snap.manifestList))
+          .filter(_.content == 1).flatMap(mf =>
+            IcebergAvro.readManifest(new HPath(mf.path))
+              .filter(e => e.status != 2 && e.content == 2)
+              .flatMap(_.equalityIds))
+      }.toSet
+      require(!liveEqIds.contains(field.id),
+        s"cannot drop $name: a live equality delete file keys on it; " +
+          "rewrite the deletes first (CALL rewrite_delete_files)")
+      val newSchema = IcebergMetadata.IceSchema(
+        m.schemas.map(_.schemaId).max + 1,
+        old.fields.filterNot(_.id == field.id))
+      m.copy(schemas = m.schemas :+ newSchema,
+        currentSchemaId = newSchema.schemaId)
+    }
+    ()
+  }
+
+  /** Schema evolution: WIDEN a column's type — exactly the safe
+    * promotions the spec allows (iceberg-rust-spec schema.rs:
+    * int->long, float->double, decimal precision growth at fixed
+    * scale). Files are untouched: the parquet reader up-casts the old
+    * physical type into the widened slot at read, and manifest bounds
+    * written under the narrow type decode by buffer length
+    * (IcebergTypes.decodeToCanonical), which widens the raw bits
+    * EXACTLY — so stats pruning stays sound. float->double is refused
+    * when the column is a partition source: identity/truncate
+    * partition values compare by rendered string, and a float-era
+    * rendering re-parsed as double could wrongly prune (integral and
+    * decimal promotions compare in value space and are safe; bucket
+    * hashes int and long identically by spec design). */
+  def updateColumnType(location: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    IcebergMetadata.commitRetry(location) { m =>
+      val old = m.schema
+      val field = old.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+      val from = IcebergTypes.toSpark(field.tpe)
+      def promotable(a: DataType, b: DataType): Boolean = (a, b) match {
+        case (x, y) if x == y => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (d1: DecimalType, d2: DecimalType) =>
+          d1.scale == d2.scale && d2.precision >= d1.precision
+        case _ => false
+      }
+      require(promotable(from, newType),
+        s"cannot change $name: ${from.simpleString} -> " +
+          s"${newType.simpleString} is not a safe promotion " +
+          "(int->long, float->double, decimal precision growth)")
+      if (from == newType) m // identity: commitRetry writes nothing
+      else {
+        require(!(from == FloatType &&
+            m.specs.exists(_.fields.exists(_.sourceId == field.id))),
+          s"cannot widen float partition source $name: float-era " +
+            "partition values don't compare exactly under double")
+        val newSchema = IcebergMetadata.IceSchema(
+          m.schemas.map(_.schemaId).max + 1,
+          old.fields.map(f =>
+            if (f.id == field.id)
+              f.copy(tpe = IcebergTypes.toIceberg(newType))
+            else f))
+        m.copy(schemas = m.schemas :+ newSchema,
+          currentSchemaId = newSchema.schemaId)
+      }
     }
     ()
   }

@@ -2342,4 +2342,160 @@ class IcebergInteropSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("schema evolution on an adopted table: rename / promote / drop") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    // int k (promotable), float amt (promotable, NOT a partition
+    // source), decimal d (precision growth), string gone (droppable)
+    val mk = (r: Range, tag: String) => r.map(i =>
+      (i, s"$tag$i", i * 1.5f, BigDecimal(i).setScale(2), s"g$i"))
+      .toDF("k", "v", "amt", "d", "gone")
+      .select(col("k").cast("int").as("k"), col("v"),
+        col("amt"), col("d").cast("decimal(6,2)").as("d"), col("gone"))
+    IcebergWrite.create(spark, loc, mk(1 to 100, "a").repartition(2))
+    val s1 = IcebergTable.load(spark, loc).meta.currentSnapshotId.get
+    IcebergWrite.append(spark, loc, mk(101 to 200, "b").repartition(2))
+    // an EQUALITY delete keyed on v, written under the ORIGINAL name:
+    // after the rename below, the old delete parquet still carries
+    // column "v" — the id-carrying key schema must keep it applying
+    IcebergWrite.deleteEquality(spark, loc,
+      Seq("a5", "b105").toDF("v"), Seq("v"))
+    assert(IcebergTable.load(spark, loc).scan().count() === 198L)
+
+    val wh = Files.createTempDirectory("graft-iceevo").toString
+    spark.conf.set("spark.sql.catalog.ice_evo", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_evo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_evo.m")
+    spark.sql(s"CALL ice_evo.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    val idOfK = IcebergMetadata.load(loc).schema.fieldId("k").get
+    val idOfV = IcebergMetadata.load(loc).schema.fieldId("v").get
+
+    // --- RENAME: identity is the field id, the name is a label
+    spark.sql("ALTER TABLE ice_evo.m.t RENAME COLUMN k TO id")
+    spark.sql("ALTER TABLE ice_evo.m.t RENAME COLUMN v TO label")
+    // --- PROMOTE: int->long, float->double, decimal(6,2)->(12,2)
+    spark.sql("ALTER TABLE ice_evo.m.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE ice_evo.m.t ALTER COLUMN amt TYPE DOUBLE")
+    spark.sql("ALTER TABLE ice_evo.m.t ALTER COLUMN d TYPE DECIMAL(12,2)")
+    // --- DROP: id retired, never reused
+    spark.sql("ALTER TABLE ice_evo.m.t DROP COLUMN gone")
+
+    val m2 = IcebergMetadata.load(loc)
+    // ids survive the rename; the dropped field's id is gone from the
+    // CURRENT schema but lastColumnId still covers it (never reused)
+    assert(m2.schema.fieldId("id").get === idOfK)
+    assert(m2.schema.fieldId("label").get === idOfV)
+    assert(m2.schema.fieldId("gone").isEmpty)
+    assert(m2.schema.fields.map(_.name).toSet ===
+      Set("id", "label", "amt", "d"))
+    assert(m2.lastColumnId >= 5)
+    // every historical schema is still registered (old snapshots pin
+    // their schema-id), and the current one reflects the promotions
+    assert(m2.schemas.size >= 5)
+    assert(m2.schema.fields.find(_.name == "id").get.tpe === "long")
+    assert(m2.schema.fields.find(_.name == "amt").get.tpe === "double")
+    assert(m2.schema.fields.find(_.name == "d").get.tpe === "decimal(12, 2)")
+
+    // --- catalog SQL reads: old files (written as int/float/dec(6,2)
+    // under old names) read under the NEW names and WIDENED types,
+    // with the pre-rename equality delete still applying
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n, sum(id) AS sk, round(sum(amt),2) AS sa " +
+        "FROM ice_evo.m.t").collect()(0)
+    assert(viaSql.getLong(0) === 198L)
+    val expSk = (1L to 200L).sum - 5L - 105L
+    assert(viaSql.getLong(1) === expSk)
+    assert(viaSql.getDouble(2) === (1 to 200).map(_ * 1.5d).sum - 7.5 - 157.5)
+
+    // --- binary interop reader agrees (the walk any engine could do)
+    val t2 = IcebergTable.load(spark, loc)
+    assert(t2.scan().count() === 198L)
+    assert(t2.scan().schema.fieldNames.toSet === Set("id", "label", "amt", "d"))
+    assert(t2.scan().filter(col("label") === "a5").count() === 0L)
+
+    // --- old snapshots keep their OWN shape: names, types, dropped
+    // column all as written (schema-id pinned per snapshot)
+    val old = t2.scan(Some(s1))
+    assert(old.schema.fieldNames.toSet === Set("k", "v", "amt", "d", "gone"))
+    assert(old.schema("k").dataType.typeName === "integer")
+    assert(old.count() === 100L)
+
+    // --- stats pruning through a promoted column stays sound: the
+    // bounds in old manifests are 4-byte ints, decoded by length —
+    // file pruning must not lose matching rows
+    assert(t2.scan(None, Seq(("id", ">=", "150")))
+      .filter(col("id") >= 150).count() ===
+      t2.scan().filter(col("id") >= 150).count())
+
+    // --- writes AFTER evolution: new rows under the new schema mix
+    // with old-era files
+    spark.sql("INSERT INTO ice_evo.m.t VALUES (201, 'c201', 301.5, 201.00)")
+    assert(spark.sql("SELECT count(*) FROM ice_evo.m.t")
+      .collect()(0).getLong(0) === 199L)
+    // row-level DELETE keyed on the RENAMED column (old files matched
+    // through id resolution)
+    spark.sql("DELETE FROM ice_evo.m.t WHERE id = 7 AND length(label) >= 1")
+    assert(spark.sql("SELECT count(*) FROM ice_evo.m.t")
+      .collect()(0).getLong(0) === 198L)
+    assert(IcebergTable.load(spark, loc).scan()
+      .filter(col("id") === 7).count() === 0L)
+
+    // --- guards: unsafe promotion, collision, eq-delete-keyed drop
+    // narrowing is refused — by Spark's analyzer when it catches it,
+    // and by the interop guard for cases the analyzer lets through
+    val exPromo = intercept[Exception] {
+      spark.sql("ALTER TABLE ice_evo.m.t ALTER COLUMN id TYPE INT") }
+    assert(exPromo.getMessage.toLowerCase.contains("promotion") ||
+      exPromo.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    val exPromo2 = intercept[Exception] {
+      graft.table.iceberg.IcebergWrite.updateColumnType(loc, "id",
+        org.apache.spark.sql.types.IntegerType) }
+    assert(exPromo2.getMessage.toLowerCase.contains("promotion"))
+    val exCol = intercept[Exception] {
+      spark.sql("ALTER TABLE ice_evo.m.t RENAME COLUMN amt TO label") }
+    assert(exCol.getMessage.contains("exists") ||
+      exCol.getMessage.contains("label"))
+    val exDrop = intercept[Exception] {
+      spark.sql("ALTER TABLE ice_evo.m.t DROP COLUMN label") }
+    assert(exDrop.getMessage.contains("equality"))
+  }
+
+  test("promoting a bucket partition source keeps transform pruning") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    val df = (1 to 400).map(i => (i, s"v$i")).toDF("k", "v")
+      .select(col("k").cast("int").as("k"), col("v"))
+    IcebergWrite.createWithSpec(spark, loc, df.repartition(4),
+      Seq("k" -> "bucket[8]"))
+    IcebergWrite.updateColumnType(loc, "k",
+      org.apache.spark.sql.types.LongType)
+    val t = IcebergTable.load(spark, loc)
+    // bucket hashes int and long identically by spec design, so
+    // equality pruning through the transform still plans the right
+    // files — and the result is exact
+    assert(t.scan(None, Seq(("k", "=", "123")))
+      .filter(col("k") === 123L).count() === 1L)
+    assert(t.scan().count() === 400L)
+    // a partitioned-source FLOAT widening is refused (rendered-string
+    // partition compare would be unsound under double). Graft's own
+    // writer can't create a float partition source, so model a
+    // FOREIGN-written table by registering the spec at metadata level
+    val loc2 = tmp()
+    val df2 = (1 to 10).map(i => (i * 1.5f, s"v$i")).toDF("f", "v")
+    IcebergWrite.create(spark, loc2, df2)
+    val fid = IcebergMetadata.load(loc2).schema.fieldId("f").get
+    IcebergMetadata.commitRetry(loc2)(m => m.copy(specs = m.specs :+
+      IcebergMetadata.IceSpec(99, Seq(IcebergMetadata.IcePartitionField(
+        fid, 1001, "f_part", "identity")))))
+    val ex = intercept[Exception] {
+      IcebergWrite.updateColumnType(loc2, "f",
+        org.apache.spark.sql.types.DoubleType) }
+    assert(ex.getMessage.contains("float"))
+  }
+
 }
