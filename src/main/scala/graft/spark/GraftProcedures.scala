@@ -279,21 +279,44 @@ object GraftProcedures {
       },
 
       new GraftProcedure("rewrite_delete_files",
-        "Fold outstanding merge-on-read delete files into the data files",
-        Array(TableParam),
+        "mode 'fold' (default): fold outstanding merge-on-read delete " +
+          "files into the data files; mode 'convert': materialize " +
+          "EQUALITY deletes as position-delete slots and drop the " +
+          "equality files — data files untouched, scans stop paying " +
+          "the per-row key-set probe",
+        Array(TableParam,
+          ProcedureParameter.in("mode", StringType)
+            .defaultValue("'fold'").build()),
         StructType(Seq(StructField("removed_delete_files", IntegerType))),
         loadTable) {
-        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
-          val before = t.meta.liveDeleteFiles(None).size
-          t.applyDeletes()
-          Seq(row(before - t.meta.liveDeleteFiles(None).size))
+        private def mode(in: InternalRow): String = {
+          val m = in.getUTF8String(1).toString
+          require(m == "fold" || m == "convert",
+            s"rewrite_delete_files: unknown mode '$m' (fold | convert)")
+          m
         }
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          mode(in) match {
+            case "convert" =>
+              val (converted, _) = t.convertEqualityDeletes()
+              Seq(row(converted))
+            case _ =>
+              val before = t.meta.liveDeleteFiles(None).size
+              t.applyDeletes()
+              Seq(row(before - t.meta.liveDeleteFiles(None).size))
+          }
         override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
           val s = SparkSession.active
-          val before = IcebergTable.load(s, loc).deleteEntries().size
-          if (before > 0) IcebergWrite.rewrite(s, loc)
-          val after = IcebergTable.load(s, loc).deleteEntries().size
-          Seq(row(before - after))
+          mode(in) match {
+            case "convert" =>
+              val (converted, _) = IcebergWrite.convertEqualityDeletes(s, loc)
+              Seq(row(converted))
+            case _ =>
+              val before = IcebergTable.load(s, loc).deleteEntries().size
+              if (before > 0) IcebergWrite.rewrite(s, loc)
+              val after = IcebergTable.load(s, loc).deleteEntries().size
+              Seq(row(before - after))
+          }
         }
       },
 

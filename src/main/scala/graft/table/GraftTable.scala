@@ -771,7 +771,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       }
     }
     val empty = tag(readPaths(Seq.empty), "none", -1L).limit(0)
-    parts.foldLeft(empty)(_.unionAll(_))
+    // by NAME, not position: the delete-eq slice's USING semi-join
+    // moves the key columns first, so a positional union would bind
+    // (and cast) columns into the wrong slots whenever an equality
+    // key is not already the leading column
+    parts.foldLeft(empty)(_ unionByName _)
   }
 
   private def comparator(t: DataType): (String, String) => Int =
@@ -1383,6 +1387,96 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         "position-delete-files-replaced" -> posFiles.size.toString,
         "position-delete-files-created" -> moved.size.toString))
     (posFiles.size, moved.size)
+  }
+
+  /** Convert outstanding EQUALITY delete files into POSITION deletes
+    * (the sound form of Iceberg's rewrite over the delete tier —
+    * reference: the rewrite transaction family, iceberg-rust
+    * table/transaction/mod.rs): every row an equality delete hides is
+    * a key match in a data file with a STRICTLY SMALLER sequence, so
+    * one join per key-column group materializes exactly those
+    * (file, pos) slots. The slots commit at the tip sequence — sound
+    * for position deletes (explicit slots, paths never reused) — and
+    * the equality files drop, so long-lived equality deletes stop
+    * taxing every scan with a key-set probe. Visible rows are
+    * UNCHANGED; the 'rewrite' commit is changelog-silent. Data files
+    * untouched; cost is one scan of the delete-applicable data era.
+    * Returns (equality files converted, position files created). */
+  def convertEqualityDeletes(): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val m = meta
+    val eqFiles = m.liveDeleteFilesWithSeq(None).filter(_._1.content == 2)
+    if (eqFiles.isEmpty) return (0, 0)
+    val dDir = dataDir
+    val dataFiles = m.liveFilesWithSeq(None)
+    val spark0 = spark
+    import spark0.implicits._
+    val normC = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^[a-z]+:/+", "/")
+    val slotDfs = eqFiles.groupBy(_._1.equalityColumns).toSeq
+      .flatMap { case (eqCols, files) =>
+        val maxSeq = files.map(_._2).max
+        val appl = dataFiles.filter(_._2 < maxSeq).map { case (f, seq) =>
+          (TableIO.qualified(new HPath(dDir, f.path)), seq) }
+        if (appl.isEmpty) None
+        else {
+          // id-carrying key schema: files written before a rename (of
+          // a non-key column) still resolve; key columns themselves
+          // are rename-protected (requireUnreferenced)
+          val keySchema = StructType(
+            m.schema.fields.filter(f => eqCols.contains(f.name)))
+          val seqDf = appl.toDF("__qual", "__seq")
+          val data = spark.read.schema(keySchema)
+            .parquet(appl.map(_._1): _*)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(broadcast(seqDf), normC(col("__file")) === normC(col("__qual")))
+          val keys = files.map { case (f, seqE) =>
+            spark.read.schema(keySchema)
+              .parquet(TableIO.qualified(new HPath(dDir, f.path)))
+              .withColumn("__seqE", lit(seqE))
+          }.reduce(_ unionByName _)
+          // null-safe key equality (a null delete key hides null rows,
+          // same contract as the executor key-set probe) + strict
+          // sequence scoping
+          val cond = eqCols.map(c => data(c) <=> keys(c)).reduce(_ && _) &&
+            data("__seq") < keys("__seqE")
+          Some(data.join(keys, cond, "left_semi")
+            .select(col("__file").as("file_path"), col("__pos").as("pos")))
+        }
+      }
+    val moved =
+      if (slotDfs.isEmpty) Seq.empty
+      else {
+        val slots = slotDfs.reduce(_ unionByName _).distinct()
+        val delDir = new HPath(dDir, "deletes")
+        TableIO.mkdirs(delDir)
+        val staging = new HPath(root,
+          s"stage-eqrw-${java.util.UUID.randomUUID().toString.take(8)}")
+        slots.coalesce(1).write.parquet(staging.toString)
+        val out = TableIO.listFilesRecursive(staging)
+          .filter(_._1.getName.endsWith(".parquet"))
+          .map { case (src, sz, _) =>
+            val dest = new HPath(delDir,
+              s"eq-rw-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+            TableIO.rename(src, dest)
+            Meta.DataFile(
+              path = TableIO.relativize(dDir, dest),
+              partitionValues = Map.empty,
+              recordCount = -1L, fileSizeBytes = sz,
+              stats = Map.empty, content = 1,
+              dataSequence = Some(
+                meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L)))
+          }
+        TableIO.delete(staging, recursive = true)
+        out
+      }
+    commit("rewrite", Seq.empty, Seq.empty,
+      addedDeletes = moved, removedDeletes = eqFiles.map(_._1.path),
+      summaryExtra = Map(
+        "equality-delete-files-converted" -> eqFiles.size.toString,
+        "position-delete-files-created" -> moved.size.toString))
+    (eqFiles.size, moved.size)
   }
 
   /** Copy-on-write DELETE WHERE: only files whose stats can contain

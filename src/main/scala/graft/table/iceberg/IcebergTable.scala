@@ -467,7 +467,11 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     }
     val empty = tag(readVisible(endSchema, Seq.empty, Seq.empty),
       "none", -1L).limit(0)
-    parts.foldLeft(empty)(_ unionAll _)
+    // by NAME, not position: hiddenBy's equality semi-join (USING
+    // form) moves the key columns first, so a positional union would
+    // bind (and cast) columns into the wrong slots whenever an
+    // equality key is not already the leading column
+    parts.foldLeft(empty)(_ unionByName _)
   }
 
   /** Rows of `stayLive` (parent-visible under `parentDeletes`) that a

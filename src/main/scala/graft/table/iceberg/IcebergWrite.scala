@@ -1624,71 +1624,8 @@ object IcebergWrite {
       // verbatim (raw list-entry fields preserved); mixed delete
       // manifests rewrite WITHOUT their position entries (inherited
       // sequence fields materialized); position-only manifests drop
-      val prev = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
-      val rawByPath = IcebergAvro
-        .readManifestListRaw(new HPath(snap0.manifestList))
-        .map(r => String.valueOf(r.get("manifest_path")) -> r).toMap
-      val carried = prev.flatMap { mf =>
-        if (mf.content == 0)
-          Seq(copiedListEntry(mf, rawByPath.get(mf.path)))
-        else {
-          val hasPos = IcebergAvro.readManifest(new HPath(mf.path))
-            .exists(_.content == 1)
-          if (!hasPos) Seq(copiedListEntry(mf, rawByPath.get(mf.path)))
-          else {
-            val (wSchema, fileMeta, raw) =
-              IcebergAvro.readManifestRaw(new HPath(mf.path))
-            var minSeq = Long.MaxValue
-            var rows = 0L
-            val kept = raw.flatMap { r =>
-              val df = r.get("data_file").asInstanceOf[
-                org.apache.avro.generic.GenericRecord]
-              val content = df.get("content").asInstanceOf[Int]
-              val status = r.get("status").asInstanceOf[Int]
-              if (content == 1 || status == 2) None
-              else {
-                def hasField(n: String) = r.getSchema.getField(n) != null
-                val entrySeq = Option(r.get("sequence_number"))
-                  .map(_.asInstanceOf[Long]).getOrElse(mf.sequenceNumber)
-                r.put("status", 0)
-                if (hasField("snapshot_id") && r.get("snapshot_id") == null)
-                  r.put("snapshot_id", mf.addedSnapshotId)
-                if (hasField("sequence_number"))
-                  r.put("sequence_number", entrySeq)
-                if (hasField("file_sequence_number") &&
-                    r.get("file_sequence_number") == null)
-                  r.put("file_sequence_number", mf.sequenceNumber)
-                minSeq = math.min(minSeq, entrySeq)
-                rows += df.get("record_count").asInstanceOf[Long]
-                Some(r: org.apache.avro.generic.GenericRecord)
-              }
-            }
-            if (kept.isEmpty) Seq.empty
-            else {
-              val p2 = new HPath(metaDir,
-                s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
-              val l2 = IcebergAvro.writeManifestRaw(p2, wSchema, fileMeta, kept)
-              val r = IcebergAvro.record(mlSchema)
-              r.put("manifest_path", TableIO.qualified(p2))
-              r.put("manifest_length", l2)
-              r.put("partition_spec_id", mf.specId)
-              r.put("content", 1)
-              r.put("sequence_number", seq)
-              r.put("min_sequence_number",
-                if (minSeq == Long.MaxValue) seq else minSeq)
-              r.put("added_snapshot_id", snapshotId)
-              r.put("added_files_count", 0)
-              r.put("existing_files_count", kept.size)
-              r.put("deleted_files_count", 0)
-              r.put("added_rows_count", 0L)
-              r.put("existing_rows_count", rows)
-              r.put("deleted_rows_count", 0L)
-              IcebergAvro.putFieldSummaries(r, mf.partitions)
-              Seq(r: org.apache.avro.generic.GenericRecord)
-            }
-          }
-        }
-      }
+      val carried = carriedWithoutDeleteContent(
+        snap0, 1, snapshotId, seq, metaDir, mlSchema)
       val mlPath = new HPath(metaDir,
         s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
       IcebergAvro.writeManifestList(mlPath, newDelEntry +: carried,
@@ -1711,6 +1648,283 @@ object IcebergWrite {
         refs = m.refs + ("main" -> snapshotId))
     }
     (posEntries.size, moved.size)
+  }
+
+  /** Manifest-list entries carrying `snap0`'s manifests forward with
+    * delete entries of content `dropContent` removed: data manifests
+    * verbatim (raw list-entry fields preserved), delete manifests
+    * holding none of the dropped content verbatim, mixed ones
+    * rewritten without the dropped entries (inherited sequence fields
+    * materialized), entirely-dropped manifests omitted. Shared by
+    * rewritePositionDeletes (drops content 1, the consolidated file
+    * replaces it) and convertEqualityDeletes (drops content 2, the
+    * materialized position slots replace it). */
+  private def carriedWithoutDeleteContent(
+      snap0: IcebergMetadata.IceSnapshot, dropContent: Int,
+      snapshotId: Long, seq: Long, metaDir: HPath,
+      mlSchema: org.apache.avro.Schema)
+      : Seq[org.apache.avro.generic.GenericRecord] = {
+    val prev = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
+    val rawByPath = IcebergAvro
+      .readManifestListRaw(new HPath(snap0.manifestList))
+      .map(r => String.valueOf(r.get("manifest_path")) -> r).toMap
+    prev.flatMap { mf =>
+      if (mf.content == 0)
+        Seq(copiedListEntry(mf, rawByPath.get(mf.path)))
+      else {
+        val hasDropped = IcebergAvro.readManifest(new HPath(mf.path))
+          .exists(_.content == dropContent)
+        if (!hasDropped) Seq(copiedListEntry(mf, rawByPath.get(mf.path)))
+        else {
+          val (wSchema, fileMeta, raw) =
+            IcebergAvro.readManifestRaw(new HPath(mf.path))
+          var minSeq = Long.MaxValue
+          var rows = 0L
+          val kept = raw.flatMap { r =>
+            val df = r.get("data_file").asInstanceOf[
+              org.apache.avro.generic.GenericRecord]
+            val content = df.get("content").asInstanceOf[Int]
+            val status = r.get("status").asInstanceOf[Int]
+            if (content == dropContent || status == 2) None
+            else {
+              def hasField(n: String) = r.getSchema.getField(n) != null
+              val entrySeq = Option(r.get("sequence_number"))
+                .map(_.asInstanceOf[Long]).getOrElse(mf.sequenceNumber)
+              r.put("status", 0)
+              if (hasField("snapshot_id") && r.get("snapshot_id") == null)
+                r.put("snapshot_id", mf.addedSnapshotId)
+              if (hasField("sequence_number"))
+                r.put("sequence_number", entrySeq)
+              if (hasField("file_sequence_number") &&
+                  r.get("file_sequence_number") == null)
+                r.put("file_sequence_number", mf.sequenceNumber)
+              minSeq = math.min(minSeq, entrySeq)
+              rows += df.get("record_count").asInstanceOf[Long]
+              Some(r: org.apache.avro.generic.GenericRecord)
+            }
+          }
+          if (kept.isEmpty) Seq.empty
+          else {
+            val p2 = new HPath(metaDir,
+              s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+            val l2 = IcebergAvro.writeManifestRaw(p2, wSchema, fileMeta, kept)
+            val r = IcebergAvro.record(mlSchema)
+            r.put("manifest_path", TableIO.qualified(p2))
+            r.put("manifest_length", l2)
+            r.put("partition_spec_id", mf.specId)
+            r.put("content", 1)
+            r.put("sequence_number", seq)
+            r.put("min_sequence_number",
+              if (minSeq == Long.MaxValue) seq else minSeq)
+            r.put("added_snapshot_id", snapshotId)
+            r.put("added_files_count", 0)
+            r.put("existing_files_count", kept.size)
+            r.put("deleted_files_count", 0)
+            r.put("added_rows_count", 0L)
+            r.put("existing_rows_count", rows)
+            r.put("deleted_rows_count", 0L)
+            IcebergAvro.putFieldSummaries(r, mf.partitions)
+            Seq(r: org.apache.avro.generic.GenericRecord)
+          }
+        }
+      }
+    }
+  }
+
+  /** Convert outstanding EQUALITY delete files on a REAL-format table
+    * into POSITION deletes (the sound form of the reference's rewrite
+    * over the delete tier — iceberg-rust table/transaction/mod.rs):
+    * every row an equality delete hides is a key match in a data file
+    * with a STRICTLY SMALLER sequence, so one join per key-id group
+    * materializes exactly those (file, pos) slots. The slots commit
+    * at the tip sequence — sound for position deletes (explicit
+    * slots, paths never reused) — and the equality entries drop from
+    * the manifest tree, so long-lived equality deletes stop taxing
+    * every scan with a key-set probe. Visible rows UNCHANGED; the
+    * 'replace' snapshot is changelog-silent; data files untouched.
+    * Returns (equality files converted, position files created). */
+  def convertEqualityDeletes(spark: SparkSession,
+      location: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    val base = IcebergMetadata.load(location)
+    val t = IcebergTable.fromMetadataAt(spark, location, base)
+    val eqEntries = t.deleteEntries().filter(_._1.content == 2)
+    if (eqEntries.isEmpty) return (0, 0)
+    val dataWithSeq = t.plannedFiles().map { case (e, _, seq) => (e, seq) }
+    val idRes = base.idResolution
+    def keySchema(eqIds: Seq[Int]): StructType = StructType(
+      eqIds.flatMap(id => base.schema.fields.find(_.id == id)).map(f =>
+        StructField(f.name, IcebergTypes.toSpark(f.tpe), nullable = true,
+          if (idRes) new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(graft.table.Meta.FieldIdKey, f.id.toLong).build()
+          else org.apache.spark.sql.types.Metadata.empty)))
+    val normC = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^[a-z]+:/+", "/")
+    import spark.implicits._
+    val slotDfs = eqEntries.groupBy(_._1.equalityIds).toSeq
+      .flatMap { case (eqIds, files) =>
+        val maxSeq = files.map(_._2).max
+        val appl = dataWithSeq.filter(_._2 < maxSeq).map { case (e, seq) =>
+          (TableIO.qualified(t.resolvePath(e.filePath)), seq) }
+        if (appl.isEmpty) None
+        else {
+          val ks = keySchema(eqIds)
+          val eqCols = ks.fieldNames.toSeq
+          val seqDf = appl.toDF("__qual", "__seq")
+          val data = spark.read.schema(ks)
+            .parquet(appl.map(_._1): _*)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(broadcast(seqDf),
+              normC(col("__file")) === normC(col("__qual")))
+          // delete files written before a rename carry the old key
+          // name (right id): the id-carrying schema keeps resolving
+          val keys = files.map { case (e, seqE) =>
+            spark.read.schema(ks)
+              .parquet(TableIO.qualified(t.resolvePath(e.filePath)))
+              .withColumn("__seqE", lit(seqE))
+          }.reduce(_ unionByName _)
+          // null-safe key equality (a null delete key hides null
+          // rows) + strict sequence scoping, Iceberg v2 semantics
+          val cond = eqCols.map(c => data(c) <=> keys(c)).reduce(_ && _) &&
+            data("__seq") < keys("__seqE")
+          Some(data.join(keys, cond, "left_semi")
+            .select(col("__file").as("file_path"), col("__pos").as("pos")))
+        }
+      }
+    val moved =
+      if (slotDfs.isEmpty) Seq.empty
+      else {
+        val slots = slotDfs.reduce(_ unionByName _).distinct()
+        val withIds = slots.select(
+          col("file_path").as("file_path",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", 2147483546L).build()),
+          col("pos").as("pos",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", 2147483545L).build()))
+        val staging = TableIO.path(location,
+          s"stage-eqrw-${UUID.randomUUID().toString.take(8)}")
+        val tsKey = "spark.sql.parquet.outputTimestampType"
+        val tsPrev = spark.conf.getOption(tsKey)
+        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+        try withIds.coalesce(1).write.parquet(staging.toString)
+        finally tsPrev match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
+        val dataDir = TableIO.path(location, "data")
+        val out = TableIO.listFilesRecursive(staging)
+          .filter(_._1.getName.endsWith(".parquet"))
+          .map { case (src, sz, _) =>
+            val dest = new HPath(dataDir,
+              s"pos-delete-eqrw-${UUID.randomUUID().toString.take(8)}.parquet")
+            TableIO.rename(src, dest)
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(dest, footerConf))
+            val n = try reader.getFooter.getBlocks.asScala
+              .map(_.getRowCount).sum finally reader.close()
+            (dest, sz, n)
+          }
+        TableIO.delete(staging, recursive = true)
+        out
+      }
+
+    IcebergMetadata.commitRetry(location) { m0 =>
+      val (m, delSpecId) = unpartitionedSpecId(m0)
+      // the slots were derived from `base`: committing over a moved
+      // table could miss a newer equality delete — refuse, like the
+      // position consolidation and compaction paths
+      if (m.currentSnapshotId != base.currentSnapshotId)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $location changed while equality deletes were " +
+            "being converted; retry the operation")
+      val snap0 = m.currentSnapshot.getOrElse(
+        throw new IllegalStateException("no current snapshot"))
+      val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+      val seq = m.lastSequenceNumber + 1
+      val metaDir = TableIO.path(location, "metadata")
+      val mlSchema = IcebergAvro.manifestListSchema
+      val schemaJson = icebergSchemaJson(m.schema)
+
+      // 1. the materialized position-delete manifest (may be empty
+      // when the equality deletes hid nothing — the entries still
+      // drop below)
+      val newEntries = moved.map { case (p, sz, n) =>
+        val e = IcebergAvro.record(IcebergAvro.manifestSchema(emptyPartition))
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", null)
+        e.put("file_sequence_number", null)
+        val dfSchema = e.getSchema.getField("data_file").schema()
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", 1)
+        d.put("file_path", TableIO.qualified(p))
+        d.put("file_format", "PARQUET")
+        d.put("partition",
+          new GenericData.Record(dfSchema.getField("partition").schema()))
+        d.put("record_count", n)
+        d.put("file_size_in_bytes", sz)
+        d.put("null_value_counts", null)
+        d.put("lower_bounds", null)
+        d.put("upper_bounds", null)
+        d.put("equality_ids", null)
+        e.put("data_file", d)
+        e: org.apache.avro.generic.GenericRecord
+      }
+      val newDelEntry =
+        if (newEntries.isEmpty) Seq.empty
+        else {
+          val mp = new HPath(metaDir,
+            s"manifest-del-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+          val len = IcebergAvro.writeManifest(mp, emptyPartition, newEntries,
+            schemaJson, s"""{"spec-id":$delSpecId,"fields":[]}""",
+            content = "deletes")
+          val r = IcebergAvro.record(mlSchema)
+          r.put("manifest_path", TableIO.qualified(mp))
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", delSpecId)
+          r.put("content", 1)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snapshotId)
+          r.put("added_files_count", moved.size)
+          r.put("existing_files_count", 0)
+          r.put("deleted_files_count", 0)
+          r.put("added_rows_count", moved.map(_._3).sum)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          IcebergAvro.putFieldSummaries(r, None)
+          Seq(r: org.apache.avro.generic.GenericRecord)
+        }
+
+      // 2. carried manifests: data + pure-position delete manifests
+      // verbatim; mixed delete manifests rewrite WITHOUT their
+      // equality entries; equality-only manifests drop
+      val carried = carriedWithoutDeleteContent(
+        snap0, 2, snapshotId, seq, metaDir, mlSchema)
+      val mlPath = new HPath(metaDir,
+        s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
+      IcebergAvro.writeManifestList(mlPath, newDelEntry ++ carried,
+        snapshotId, seq)
+      val snap = IcebergMetadata.IceSnapshot(
+        snapshotId = snapshotId,
+        parentId = m.currentSnapshotId,
+        sequenceNumber = seq,
+        timestampMs = System.currentTimeMillis(),
+        manifestList = TableIO.qualified(mlPath),
+        operation = "replace",
+        schemaId = m.currentSchemaId,
+        summary = Map(
+          "equality-delete-files-converted" -> eqEntries.size.toString,
+          "position-delete-files-created" -> moved.size.toString))
+      m.copy(
+        lastSequenceNumber = seq,
+        currentSnapshotId = Some(snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snapshotId))
+    }
+    (eqEntries.size, moved.size)
   }
 
   /** Equality DELETE: the distinct key tuples become an equality

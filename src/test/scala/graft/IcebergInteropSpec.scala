@@ -2498,4 +2498,69 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("float"))
   }
 
+
+  test("rewrite_delete_files mode 'convert' on an adopted table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 120L).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "amt")
+        .repartition(3))
+    val wh = Files.createTempDirectory("graft-iceeqrw").toString
+    spark.conf.set("spark.sql.catalog.ice_eqrw", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_eqrw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_eqrw.m")
+    spark.sql(s"CALL ice_eqrw.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // two metadata-only EQUALITY deletes (different key shapes), one
+    // POSITION delete, then a re-insert of a deleted key — the later
+    // sequence must survive conversion (strict eq scoping)
+    spark.sql("DELETE FROM ice_eqrw.m.t WHERE k IN (44, 55)")
+    spark.sql("DELETE FROM ice_eqrw.m.t WHERE v = 'v77'")
+    spark.sql("DELETE FROM ice_eqrw.m.t WHERE k % 10 = 3 AND length(v) >= 1")
+    spark.sql("INSERT INTO ice_eqrw.m.t VALUES (44, 'v44-again', 440)")
+    val t0 = IcebergTable.load(spark, loc)
+    val eq0 = t0.deleteEntries().map(_._1).filter(_.content == 2)
+    val pos0 = t0.deleteEntries().map(_._1).filter(_.content == 1)
+    assert(eq0.size === 2 && pos0.nonEmpty)
+    val want = t0.scan().select("k", "amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(want.contains((44L, 440L)))
+    val dataBefore = t0.plannedFiles().map(_._1.filePath).toSet
+
+    val res = spark.sql(
+      "CALL ice_eqrw.system.rewrite_delete_files(table => 'm.t', " +
+        "mode => 'convert')").collect()
+    assert(res(0).getInt(0) === 2)
+    val t1 = IcebergTable.load(spark, loc)
+    assert(t1.deleteEntries().map(_._1).count(_.content == 2) === 0,
+      "equality delete files must be gone")
+    assert(t1.deleteEntries().map(_._1).count(_.content == 1) ===
+      pos0.size + 1, "one materialized position file added")
+    assert(t1.plannedFiles().map(_._1.filePath).toSet === dataBefore,
+      "data files must be untouched")
+    assert(t1.meta.currentSnapshot.get.operation === "replace")
+    // content identical through BOTH readers
+    assert(t1.scan().select("k", "amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === want.toSeq)
+    assert(spark.sql("SELECT count(*) FROM ice_eqrw.m.t")
+      .collect()(0).getLong(0) === want.length.toLong)
+    // changelog silent for the row-preserving replace
+    val ch = t1.changesBetween(None).collect()
+    assert(!ch.exists(r => r.getAs[Long]("_commit_snapshot_id") ==
+      t1.meta.currentSnapshotId.get))
+    // idempotent: nothing left to convert, no new snapshot
+    val snaps = t1.meta.snapshots.size
+    val res2 = spark.sql(
+      "CALL ice_eqrw.system.rewrite_delete_files(table => 'm.t', " +
+        "mode => 'convert')").collect()
+    assert(res2(0).getInt(0) === 0)
+    assert(IcebergTable.load(spark, loc).meta.snapshots.size === snaps)
+    // position consolidation now folds EVERYTHING into one file
+    spark.sql("CALL ice_eqrw.system.rewrite_position_deletes(table => 'm.t')")
+    val t2 = IcebergTable.load(spark, loc)
+    assert(t2.deleteEntries().size === 1)
+    assert(t2.scan().select("k", "amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === want.toSeq)
+  }
 }

@@ -379,4 +379,73 @@ class MaintenanceSpec extends AnyFunSuite {
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS c").collect()
     assert(math.abs(c(0).getDouble(0) - 0.7071067811865475) < 1e-12)
   }
+
+  test("convertEqualityDeletes materializes equality deletes as position slots") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eqrw").toString + "/t"
+    val df = (1L to 120L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, root, df.schema)
+    t.append(df.repartition(3))
+    // two equality deletes with DIFFERENT key column sets
+    t.deleteWhereMoR(col("k") % 10 === 1, Seq("k"))
+    t.deleteWhereMoR(col("v") === "v42", Seq("v"))
+    // rows appended AFTER the deletes — matching keys in a LATER
+    // sequence must survive (strict eq-delete scoping), both before
+    // and after the conversion
+    t.append(Seq((1L, "late1"), (301L, "v42")).toDF("k", "v"))
+    val eq0 = t.meta.liveDeleteFiles(None).filter(_.content == 2)
+    assert(eq0.size === 2)
+    val want = t.scan().select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(want.contains((1L, "late1")) && want.contains((301L, "v42")))
+    assert(!want.exists(_._2 == "v42") || want.count(_._2 == "v42") == 1)
+    val dataBefore = t.meta.liveFiles(None).map(_.path).toSet
+
+    val (converted, created) = t.convertEqualityDeletes()
+    assert(converted === 2 && created === 1)
+    val m = t.meta
+    assert(m.liveDeleteFiles(None).count(_.content == 2) === 0,
+      "equality delete files must be gone")
+    assert(m.liveDeleteFiles(None).count(_.content == 1) === 1)
+    assert(m.liveFiles(None).map(_.path).toSet === dataBefore,
+      "data files must be untouched")
+    assert(t.scan().select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq === want.toSeq)
+    // row-preserving: changelog silent for the conversion commit
+    val snap = m.currentSnapshotId.get
+    val ch = t.changesBetween(None).collect()
+    assert(!ch.exists(_.getAs[Long]("_commit_snapshot_id") == snap))
+    // ... and the earlier delete-eq slice binds columns correctly even
+    // though its key ("v") is not the leading column (regression: the
+    // changelog union is by NAME — a positional union cast v into k)
+    assert(ch.exists(r => r.getAs[Long]("k") == 42L &&
+      r.getAs[String]("v") == "v42" &&
+      r.getAs[String]("_change_type") == "delete"))
+    // idempotent: nothing left to convert
+    assert(t.convertEqualityDeletes() === (0, 0))
+    assert(t.meta.currentSnapshotId.get === snap)
+    // ... and via CALL rewrite_delete_files(mode => 'convert') —
+    // graft-dialect branch of the procedure
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-eqrw2").toString
+    spark.conf.set("spark.sql.catalog.eqrw_cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.eqrw_cat.warehouse", root2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS eqrw_cat.m")
+    spark.sql("CREATE TABLE eqrw_cat.m.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO eqrw_cat.m.t SELECT id, concat('v', id) FROM range(50)")
+    val gt = graft.table.GraftTable.load(spark,
+      root2 + "/m/t")
+    gt.deleteWhereMoR(col("k") < 5, Seq("k"))
+    val res = spark.sql(
+      "CALL eqrw_cat.system.rewrite_delete_files(table => 'm.t', " +
+        "mode => 'convert')").collect()
+    assert(res(0).getInt(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM eqrw_cat.m.t")
+      .collect()(0).getLong(0) === 45L)
+    assert(graft.table.GraftTable.load(spark, root2 + "/m/t")
+      .meta.liveDeleteFiles(None).count(_.content == 2) === 0)
+  }
 }
