@@ -303,10 +303,22 @@ object IcebergAvro {
 
   def writeManifest(p: HPath, partitionRecord: String,
       entries: Seq[GenericRecord], schemaJson: String, specJson: String,
-      content: String = "data"): Long =
+      content: String = "data"): Long = {
+    // the spec REQUIRES partition-spec-id in the manifest's key-value
+    // metadata (and schema-id when known) — strict readers resolve
+    // the partition type from it; derived from the JSON the caller
+    // already carries so every write path conforms
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val specId = Option(om.readTree(specJson).get("spec-id"))
+      .map(_.asInt().toString)
+    val schemaId = Option(om.readTree(schemaJson).get("schema-id"))
+      .map(_.asInt().toString)
     writeAvro(p, manifestSchema(partitionRecord), entries,
       Map("schema" -> schemaJson, "partition-spec" -> specJson,
-        "format-version" -> "2", "content" -> content))
+        "format-version" -> "2", "content" -> content) ++
+        specId.map("partition-spec-id" -> _) ++
+        schemaId.map("schema-id" -> _))
+  }
 
   def writeManifestList(p: HPath, manifests: Seq[GenericRecord],
       snapshotId: Long, seq: Long): Long =

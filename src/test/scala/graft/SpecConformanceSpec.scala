@@ -1,0 +1,338 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.table.iceberg.{IcebergTable, IcebergWrite}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DatumReader
+import org.apache.hadoop.fs.{Path => HPath}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Bytes-level conformance of graft-WRITTEN real-format tables against
+  * the PUBLISHED Iceberg v2 spec — the strongest in-sandbox stand-in
+  * for a third-party reader (no independent Iceberg implementation is
+  * installable here): the walk below never touches graft's own
+  * metadata/manifest readers. It parses metadata.json with raw
+  * Jackson, opens manifests and manifest lists with plain Avro
+  * GenericDatumReader (embedded writer schema only), reads parquet
+  * footers with parquet-mr directly, and asserts names, REQUIRED
+  * fields, avro field-id attributes, file metadata keys, and
+  * cross-file consistency against constants hand-copied from the
+  * spec's manifest / manifest-list / single-value-serialization
+  * tables. Anything a strict spec-driven reader resolves by — field
+  * ids, partition-spec-id metadata, sequence numbers, record counts,
+  * reserved delete-column ids — is checked from the bytes. */
+class SpecConformanceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val om = new ObjectMapper()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-conf").toString + "/t"
+
+  // spec: manifest_file schema field ids (manifest list entries)
+  private val ManifestListIds = Map(
+    "manifest_path" -> 500, "manifest_length" -> 501,
+    "partition_spec_id" -> 502, "content" -> 517,
+    "sequence_number" -> 515, "min_sequence_number" -> 516,
+    "added_snapshot_id" -> 503, "added_files_count" -> 504,
+    "existing_files_count" -> 505, "deleted_files_count" -> 506,
+    "added_rows_count" -> 512, "existing_rows_count" -> 513,
+    "deleted_rows_count" -> 514, "partitions" -> 507)
+
+  // spec: manifest_entry schema field ids
+  private val EntryIds = Map(
+    "status" -> 0, "snapshot_id" -> 1, "sequence_number" -> 3,
+    "file_sequence_number" -> 4, "data_file" -> 2)
+
+  // spec: data_file struct field ids (required subset every writer
+  // must emit; optional stat maps checked when present)
+  private val DataFileIds = Map(
+    "content" -> 134, "file_path" -> 100, "file_format" -> 101,
+    "partition" -> 102, "record_count" -> 103,
+    "file_size_in_bytes" -> 104)
+  private val DataFileOptionalIds = Map(
+    "column_sizes" -> 108, "value_counts" -> 109,
+    "null_value_counts" -> 110, "nan_value_counts" -> 137,
+    "lower_bounds" -> 125, "upper_bounds" -> 128,
+    "key_metadata" -> 131, "split_offsets" -> 132,
+    "equality_ids" -> 135, "sort_order_id" -> 140)
+
+  // spec: reserved field ids of position-delete file columns
+  private val PosDeletePathId = 2147483546L
+  private val PosDeletePosId = 2147483545L
+
+  private def fieldId(f: org.apache.avro.Schema.Field): Option[Int] =
+    Option(f.getObjectProp("field-id")).map(_.toString.toInt)
+
+  private def openAvro(path: String): (org.apache.avro.Schema,
+      Map[String, String], Seq[GenericRecord]) = {
+    val in = new org.apache.avro.file.SeekableFileInput(
+      new java.io.File(new java.net.URI(path).getPath match {
+        case "" => path
+        case p => p
+      }))
+    val dr: DatumReader[GenericRecord] = new GenericDatumReader[GenericRecord]()
+    val r = new DataFileReader[GenericRecord](in, dr)
+    try {
+      val meta = r.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+        .map(k => k -> r.getMetaString(k)).toMap
+      (r.getSchema, meta, r.iterator().asScala.toList)
+    } finally r.close()
+  }
+
+  private def localPath(uri: String): String = {
+    val u = new java.net.URI(uri)
+    if (u.getScheme == null) uri else u.getPath
+  }
+
+  private def parquetFooter(path: String)
+      : (Long, Map[String, Option[Int]]) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(localPath(path)), conf))
+    try {
+      val md = rd.getFooter.getFileMetaData.getSchema
+      val rows = rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      val ids = md.getFields.asScala.map(f =>
+        f.getName -> Option(f.getId).map(_.intValue())).toMap
+      (rows, ids)
+    } finally rd.close()
+  }
+
+  /** The independent walk: validate one table's full metadata tree
+    * from the bytes, returning (live data rows by manifest counts,
+    * live data file count). */
+  private def walkAndValidate(loc: String): (Long, Int) = {
+    // --- metadata.json: resolved via version-hint, parsed raw -------
+    val hint = Files.readString(
+      Paths.get(loc, "metadata", "version-hint.text")).trim.toInt
+    val mj = om.readTree(Files.readString(
+      Paths.get(loc, "metadata", s"v$hint.metadata.json")))
+    for (k <- Seq("format-version", "table-uuid", "location",
+        "last-sequence-number", "last-column-id", "current-schema-id",
+        "schemas", "default-spec-id", "partition-specs",
+        "last-partition-id", "snapshots", "refs"))
+      assert(mj.has(k), s"metadata.json missing required key $k")
+    assert(mj.get("format-version").asInt === 2)
+    val schemas = mj.get("schemas").elements().asScala.toList
+    val curSchemaId = mj.get("current-schema-id").asInt
+    val curSchema = schemas.find(_.get("schema-id").asInt == curSchemaId)
+      .getOrElse(fail("current-schema-id not in schemas"))
+    assert(curSchema.get("type").asText === "struct")
+    val idsInSchema: Map[Int, JsonNode] = curSchema.get("fields")
+      .elements().asScala.map(f => f.get("id").asInt -> f).toMap
+    idsInSchema.values.foreach { f =>
+      for (k <- Seq("id", "name", "required", "type"))
+        assert(f.has(k), s"schema field missing $k")
+    }
+    assert(mj.get("last-column-id").asInt >=
+      schemas.flatMap(_.get("fields").elements().asScala)
+        .map(_.get("id").asInt).max)
+    val specsById = mj.get("partition-specs").elements().asScala
+      .map(s => s.get("spec-id").asInt -> s).toMap
+    assert(specsById.contains(mj.get("default-spec-id").asInt))
+    specsById.values.flatMap(_.get("fields").elements().asScala).foreach {
+      pf =>
+        for (k <- Seq("source-id", "field-id", "name", "transform"))
+          assert(pf.has(k), s"partition field missing $k")
+        assert(pf.get("field-id").asInt >= 1000,
+          "partition field ids live in the 1000+ range")
+    }
+    val snaps = mj.get("snapshots").elements().asScala.toList
+    val curSnapId = mj.get("current-snapshot-id").asLong
+    val curSnap = snaps.find(_.get("snapshot-id").asLong == curSnapId)
+      .getOrElse(fail("current-snapshot-id not in snapshots"))
+    assert(mj.get("refs").get("main").get("snapshot-id").asLong === curSnapId)
+    snaps.foreach { s =>
+      for (k <- Seq("snapshot-id", "timestamp-ms", "manifest-list",
+          "summary", "sequence-number"))
+        assert(s.has(k), s"snapshot missing $k")
+      assert(s.get("summary").has("operation"))
+    }
+    assert(mj.get("last-sequence-number").asLong >=
+      snaps.map(_.get("sequence-number").asLong).max)
+
+    // --- manifest list: plain avro, spec field ids ------------------
+    val (mlSchema, _, mlRecs) =
+      openAvro(curSnap.get("manifest-list").asText)
+    ManifestListIds.foreach { case (name, id) =>
+      val f = mlSchema.getField(name)
+      assert(f != null, s"manifest list schema missing $name")
+      assert(fieldId(f).contains(id),
+        s"manifest list $name carries field-id ${fieldId(f)}, spec says $id")
+    }
+    var liveRows = 0L
+    var liveFiles = 0
+    mlRecs.foreach { mf =>
+      val mPath = mf.get("manifest_path").toString
+      val mLen = mf.get("manifest_length").asInstanceOf[Long]
+      assert(Files.size(Paths.get(localPath(mPath))) === mLen,
+        "manifest_length must equal the actual file size")
+      val content = mf.get("content").asInstanceOf[Int]
+      assert(content == 0 || content == 1)
+      val specId = mf.get("partition_spec_id").asInstanceOf[Int]
+      assert(specsById.contains(specId),
+        s"manifest references unknown spec $specId")
+      assert(mf.get("sequence_number").asInstanceOf[Long] <=
+        mj.get("last-sequence-number").asLong)
+      assert(mf.get("min_sequence_number").asInstanceOf[Long] <=
+        mf.get("sequence_number").asInstanceOf[Long])
+
+      // --- each manifest: entry schema ids + required file metadata
+      val (mSchema, mMeta, mEntries) = openAvro(mPath)
+      for (k <- Seq("schema", "partition-spec", "partition-spec-id",
+          "format-version", "content"))
+        assert(mMeta.contains(k),
+          s"manifest avro metadata missing required key $k")
+      assert(mMeta("format-version") === "2")
+      assert(mMeta("content") === (if (content == 0) "data" else "deletes"))
+      assert(mMeta("partition-spec-id").toInt === specId,
+        "partition-spec-id metadata must match the list entry's spec")
+      val embSpec = om.readTree(mMeta("partition-spec"))
+      assert(embSpec.get("spec-id").asInt === specId)
+      assert(om.readTree(mMeta("schema")).get("type").asText === "struct")
+      EntryIds.foreach { case (name, id) =>
+        val f = mSchema.getField(name)
+        assert(f != null, s"manifest entry schema missing $name")
+        assert(fieldId(f).contains(id),
+          s"entry $name carries ${fieldId(f)}, spec says $id")
+      }
+      val dfSchema = {
+        val s = mSchema.getField("data_file").schema()
+        if (s.getType == org.apache.avro.Schema.Type.UNION)
+          s.getTypes.asScala.find(
+            _.getType != org.apache.avro.Schema.Type.NULL).get
+        else s
+      }
+      (DataFileIds ++ DataFileOptionalIds.filter { case (n, _) =>
+        dfSchema.getField(n) != null }).foreach { case (name, id) =>
+        val f = dfSchema.getField(name)
+        assert(f != null, s"data_file schema missing required $name")
+        assert(fieldId(f).contains(id),
+          s"data_file $name carries ${fieldId(f)}, spec says $id")
+      }
+
+      mEntries.foreach { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        assert(Set(0, 1, 2).contains(status))
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        val fPath = d.get("file_path").toString
+        assert(d.get("file_format").toString.equalsIgnoreCase("parquet"))
+        val rc = d.get("record_count").asInstanceOf[Long]
+        val fsz = d.get("file_size_in_bytes").asInstanceOf[Long]
+        if (status != 2) {
+          assert(Files.size(Paths.get(localPath(fPath))) === fsz,
+            "file_size_in_bytes must equal the actual file size")
+          // parquet footers open independently, row counts agree, and
+          // TOP-LEVEL field ids match the table schema (reserved ids
+          // for position-delete columns)
+          val (rows, colIds) = parquetFooter(fPath)
+          assert(rows === rc,
+            s"record_count $rc != parquet footer rows $rows for $fPath")
+          val fc = d.get("content").asInstanceOf[Int]
+          if (content == 0) {
+            assert(fc === 0)
+            liveRows += rc; liveFiles += 1
+            colIds.foreach { case (cn, cid) =>
+              cid.foreach(i => assert(idsInSchema.contains(i) ||
+                schemas.exists(_.get("fields").elements().asScala
+                  .exists(_.get("id").asInt == i)),
+                s"data column $cn carries unknown field id $i"))
+            }
+          } else {
+            assert(fc === 1 || fc === 2)
+            if (fc == 1) {
+              assert(colIds.get("file_path").flatten
+                .contains(PosDeletePathId.toInt),
+                "position-delete file_path must carry reserved id 2147483546")
+              assert(colIds.get("pos").flatten
+                .contains(PosDeletePosId.toInt),
+                "position-delete pos must carry reserved id 2147483545")
+            } else {
+              val eqIds = Option(d.get("equality_ids"))
+                .map(_.asInstanceOf[java.util.Collection[Any]].asScala
+                  .map(_.toString.toInt).toSet)
+                .getOrElse(Set.empty)
+              assert(eqIds.nonEmpty,
+                "equality delete entries must carry equality_ids")
+              eqIds.foreach(i => assert(idsInSchema.contains(i),
+                s"equality id $i not in current schema"))
+            }
+          }
+        }
+      }
+    }
+    (liveRows, liveFiles)
+  }
+
+  test("direct-written table with transform partitions + deletes conforms") {
+    val spark0 = spark
+    import spark0.implicits._
+    val o = Tables.orders(spark, sf)
+    val loc = tmp()
+    IcebergWrite.createWithSpec(spark, loc, o,
+      Seq("o_orderdate" -> "month", "o_custkey" -> "bucket[4]"))
+    IcebergWrite.append(spark, loc, o.limit(500))
+    IcebergWrite.deleteEquality(spark, loc,
+      Seq("1-URGENT").toDF("o_orderpriority"), Seq("o_orderpriority"))
+    val t = IcebergTable.load(spark, loc)
+    val posTarget = t.plannedFiles().head._1.filePath
+    IcebergWrite.deletePositional(spark, loc,
+      Seq((posTarget, 0L), (posTarget, 2L)).toDF("file_path", "pos"))
+
+    val (liveRows, liveFiles) = walkAndValidate(loc)
+    assert(liveFiles > 0)
+    // the byte-level walk's row accounting matches a raw count of the
+    // live data parquet (deletes are logical, data files untouched)
+    assert(liveRows === o.count() + 500)
+    // ... and graft's own MoR scan agrees with the spec'd delete
+    // semantics the walk validated structurally: hidden = urgent rows
+    // (eq delete) UNION slots {0,2} of the targeted file (pos delete)
+    // — a slot that is ALSO urgent must not be double-counted
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").count() +
+      o.limit(500).filter(col("o_orderpriority") === "1-URGENT").count()
+    val overlap = spark.read.parquet(localPath(posTarget))
+      .withColumn("__i", col("_metadata.row_index"))
+      .filter(col("__i").isin(0L, 2L) &&
+        col("o_orderpriority") === "1-URGENT").count()
+    assert(t.scan().count() === liveRows - urgent - 2 + overlap)
+  }
+
+  test("catalog SQL DML (delta write path) produces conformant bytes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1 to 300).map(i => (i, s"v$i", i * 2.0)).toDF("k", "v", "w")
+        .repartition(3))
+    val cat = s"conf_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-confwh").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    spark.sql(s"INSERT INTO $cat.m.t VALUES (301, 'x', 1.5)")
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k % 7 = 0 AND length(v) >= 1")
+    spark.sql(s"UPDATE $cat.m.t SET w = w + 1 WHERE k % 11 = 0")
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k IN (5, 6)") // equality
+    // schema evolution must keep the tree conformant
+    spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN v TO label")
+    spark.sql(s"ALTER TABLE $cat.m.t ALTER COLUMN k TYPE BIGINT")
+
+    val (liveRows, _) = walkAndValidate(loc)
+    // physical rows = 300 created + 1 inserted + the delta UPDATE's
+    // appended row versions (old slots position-deleted, not rewritten)
+    val updated = (1L to 300L).count(k => k % 11 == 0 && k % 7 != 0)
+    assert(liveRows === 301L + updated)
+    val expected = (1L to 301L)
+      .filterNot(_ % 7 == 0).filterNot(Set(5L, 6L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+      .collect()(0).getLong(0) === expected.size.toLong)
+  }
+}
