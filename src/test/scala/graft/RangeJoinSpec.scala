@@ -205,4 +205,60 @@ class RangeJoinSpec extends AnyFunSuite {
       assert(!plan.contains("Generate"), "disabled rule still fired")
     } finally spark.conf.unset("spark.graft.rangeJoin.enabled")
   }
+
+  test("property fuzz: random intervals match the naive join exactly") {
+    // the residual-branch union partitions the pair space as
+    // (okL x okR) + (bigL x allR) + (okL x bigR); a randomized
+    // bag-equality check against the un-rewritten join keeps that
+    // partition argument honest across nulls, zero-length intervals,
+    // reversed bounds, duplicates, and sentinel spans straddling the
+    // cap (maxDaysPerRow pinned LOW so every branch fires)
+    val spark0 = spark
+    import spark0.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mkSide(rnd: scala.util.Random, n: Int, idBase: Long) = {
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, java.sql.Timestamp)]()
+      var id = idBase
+      while (rows.size < n) {
+        id += 1
+        val startOff = rnd.nextInt(20 * 86400).toLong * 1000L
+        val span = rnd.nextInt(10) match {
+          case 0 => 0L                                  // zero-length
+          case 1 | 2 => rnd.nextInt(86400).toLong * 1000L // intra-day
+          case 3 | 4 | 5 => rnd.nextInt(4 * 86400).toLong * 1000L // under cap
+          case 6 | 7 => (5 + rnd.nextInt(10)).toLong * 86400000L  // straddles cap=5
+          case _ => (30 + rnd.nextInt(300)).toLong * 86400000L    // sentinel
+        }
+        val s = new java.sql.Timestamp(base + startOff)
+        val e = new java.sql.Timestamp(base + startOff + span)
+        val row = rnd.nextInt(20) match {
+          case 0 => (id, null.asInstanceOf[java.sql.Timestamp], e) // null start
+          case 1 => (id, s, null.asInstanceOf[java.sql.Timestamp]) // null end
+          case 2 => (id, e, s)                                     // reversed
+          case _ => (id, s, e)
+        }
+        rows += row
+        if (rnd.nextInt(7) == 0) rows += row // duplicate, multiplicity
+      }
+      rows.toSeq
+    }
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val a = mkSide(rnd, 60, 0L).toDF("a_id", "a_start", "a_end")
+      val b = mkSide(rnd, 50, 1000L).toDF("b_id", "b_start", "b_end")
+      val cond = col("a_start") <= col("b_end") && col("b_start") <= col("a_end")
+      val naive = a.join(b, cond).select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      spark.conf.set("spark.graft.rangeJoin.maxDaysPerRow", "5")
+      val rewritten = try withRule {
+        a.join(b, cond).select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxDaysPerRow")
+      assert(rewritten.toSeq === naive.toSeq,
+        s"seed $seed: rewrite diverged from the naive join " +
+          s"(naive ${naive.length} pairs, rewritten ${rewritten.length})")
+      assert(naive.nonEmpty, s"seed $seed generated a vacuous case")
+    }
+  }
+
 }
