@@ -320,6 +320,55 @@ object GraftProcedures {
         }
       },
 
+      new GraftProcedure("update_by_key",
+        "Key-routed point UPDATE (the GDPR/user-record rewrite): ONE " +
+          "snapshot = an equality delete of just the key values + data " +
+          "files holding only the modified rows — commit IO O(matches), " +
+          "candidate files never rewritten. key_values is a SQL literal " +
+          "list (e.g. \"1, 2, 3\" or \"'a','b'\"), assignments a SQL " +
+          "SET list (e.g. \"w = w * 2, v = 'x'\")",
+        Array(TableParam,
+          ProcedureParameter.in("key_column", StringType).build(),
+          ProcedureParameter.in("key_values", StringType).build(),
+          ProcedureParameter.in("assignments", StringType).build()),
+        StructType(Seq(StructField("updated_rows", LongType))),
+        loadTable) {
+        private def parseSets(s: String): Seq[(String, org.apache.spark.sql.Column)] =
+          GraftProcedures.splitTopLevel(s).map { a =>
+            val i = a.indexOf('=')
+            require(i > 0, s"malformed assignment '$a' (want col = expr)")
+            a.take(i).trim ->
+              org.apache.spark.sql.functions.expr(a.drop(i + 1))
+          }
+        private def keysDf(s: SparkSession, dt: org.apache.spark.sql.types.DataType,
+            keyCol: String, vals: String): org.apache.spark.sql.DataFrame =
+          s.sql(s"SELECT CAST(v AS ${dt.sql}) AS `$keyCol` " +
+            s"FROM (SELECT explode(array($vals)) AS v)")
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
+          val s = SparkSession.active
+          val keyCol = in.getUTF8String(1).toString
+          val dt = t.meta.schema.fields.find(_.name == keyCol)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $keyCol")).dataType
+          val n = t.updateByKey(
+            keysDf(s, dt, keyCol, in.getUTF8String(2).toString),
+            Seq(keyCol), parseSets(in.getUTF8String(3).toString))
+          Seq(row(n))
+        }
+        override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
+          val s = SparkSession.active
+          val keyCol = in.getUTF8String(1).toString
+          val ice = graft.table.iceberg.IcebergMetadata.load(loc)
+          val dt = ice.schema.toSpark.fields.find(_.name == keyCol)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $keyCol")).dataType
+          val n = IcebergWrite.updateByKey(s, loc,
+            keysDf(s, dt, keyCol, in.getUTF8String(2).toString),
+            Seq(keyCol), parseSets(in.getUTF8String(3).toString))
+          Seq(row(n))
+        }
+      },
+
       new GraftProcedure("rewrite_position_deletes",
         "Consolidate merge-on-read POSITION delete files into one " +
           "(distinct slots, dangling rows dropped) — metadata+delete-" +
@@ -589,5 +638,32 @@ object GraftProcedures {
       }
     )
     procs.map(p => p.procName -> (p: UnboundProcedure)).toMap
+  }
+
+  /** Split a SQL assignment list on TOP-LEVEL commas only — commas
+    * inside string literals or parenthesized expressions belong to
+    * the assignment ("v = concat(a, b), w = 'x,y'" is two). */
+  private[spark] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
   }
 }

@@ -860,6 +860,96 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }.reduce(_ unionByName _)
   }
 
+  /** Key-routed point UPDATE (the GDPR/user-record rewrite; graft
+    * twin of IcebergWrite.updateByKey): commit IO O(matched rows) end
+    * to end. The fetch scan prunes files by the key bounds and pushes
+    * the key filter down; the commit lands ONE snapshot holding an
+    * EQUALITY delete file of just the key tuples (hides old row
+    * versions — strictly-earlier sequences only, so the new rows
+    * survive) plus data files holding only the fetched-then-modified
+    * rows. Candidate files are never rewritten or position-scanned.
+    * Returns the matched row count (0 = nothing committed). */
+  def updateByKey(keys: DataFrame, eqCols: Seq[String],
+      sets: Seq[(String, Column)]): Long = {
+    val m = meta
+    eqCols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"no column $c"))
+    sets.foreach { case (c, _) =>
+      require(m.schema.fieldNames.contains(c), s"no column $c") }
+    val keyDf = keys.select(eqCols.map(col): _*).distinct()
+    val keyRows = keyDf.collect() // point keys are bounded by contract
+    if (keyRows.isEmpty) return 0L
+    val filters: Seq[StatFilter] = eqCols.zipWithIndex.flatMap {
+      case (c, i) =>
+        val dt = m.schema.fields.find(_.name == c).get.dataType
+        val vals = keyRows.map(_.get(i)).filter(_ != null)
+        if (vals.length < keyRows.length || vals.isEmpty) Seq.empty
+        else dt match {
+          case ShortType | IntegerType | LongType =>
+            val ls = vals.map(_.toString.toLong)
+            Seq(StatFilter(c, ">=", ls.min.toString),
+              StatFilter(c, "<=", ls.max.toString))
+          case StringType =>
+            val ss = vals.map(_.toString)
+            Seq(StatFilter(c, ">=", ss.min), StatFilter(c, "<=", ss.max))
+          case _ => Seq.empty
+        }
+    }
+    val matched = scan(filters)
+      .join(org.apache.spark.sql.functions.broadcast(keyDf),
+        eqCols.toSeq, "left_semi")
+    val modified = sets.foldLeft(matched) { case (df, (c, e)) =>
+        df.withColumn(c,
+          e.cast(m.schema.fields.find(_.name == c).get.dataType))
+      }.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val files = writeFiles(modified, m.schema)
+    val matchedRows = files.map(_.recordCount).filter(_ > 0).sum
+    if (matchedRows == 0L) { // no-op update: leave no trace
+      files.foreach(f => TableIO.delete(new HPath(dataDir, f.path)))
+      return 0L
+    }
+    // the equality delete file: just the key tuples (same shape
+    // deleteWhereMoR writes, but from the given keys — no scan). The
+    // caller's frame carries no field-id metadata, so stamp the
+    // table's ids on: id-resolving readers (the MoR key probe after a
+    // rename) expect them in the footer
+    val keyDfWithIds = keyDf.select(eqCols.map { c =>
+      val f = m.schema.fields.find(_.name == c).get
+      col(c).as(c, f.metadata)
+    }: _*)
+    val staging = TableIO.path(root,
+      s"stage-${UUID.randomUUID().toString.take(8)}")
+    withMicrosTimestamps(
+      keyDfWithIds.coalesce(1).write.parquet(staging.toString))
+    val dir = new HPath(dataDir, "deletes")
+    TableIO.mkdirs(dir)
+    val prunableKeys = eqCols.filter(c =>
+      m.schema.fields.find(_.name == c).exists(f => isPrunable(f.dataType)))
+    val staged = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+    val statsByPath = FooterStats.collect(spark,
+      staged.map(_._1.toString), prunableKeys.toSet)
+      .map(fs => fs.path -> fs.stats).toMap
+    val added = staged.map { case (src, sz, _) =>
+      val st = statsByPath.getOrElse(src.toString, Map.empty)
+      val dest = new HPath(dir,
+        s"eq-${UUID.randomUUID().toString.take(8)}.parquet")
+      TableIO.rename(src, dest)
+      Meta.DataFile(
+        path = TableIO.relativize(dataDir, dest),
+        partitionValues = Map.empty,
+        recordCount = -1L, fileSizeBytes = sz,
+        stats = st, equalityColumns = eqCols, content = 2)
+    }
+    TableIO.delete(staging, recursive = true)
+    // ONE snapshot: new row versions + the delete hiding the old ones
+    // ('merge' — the changelog's mixed-commit branch nets rows both
+    // added and hidden in the same commit)
+    commit("merge", files, Seq.empty, addedDeletes = added,
+      summaryExtra = Map("updated-rows" -> matchedRows.toString))
+    matchedRows
+  }
+
   /** Merge-on-read positional DELETE (Iceberg v2 position deletes):
     * record (data file, row index) of the matching rows as a small
     * delete file; scans drop those exact row slots via anti-join on

@@ -994,7 +994,11 @@ object IcebergWrite {
     * from them. Both staged sets are base-independent, so the commit
     * rebases cleanly through commitRetry on a lost CAS race. */
   def commitDelta(spark: SparkSession, location: String,
-      dataStaging: HPath, delStaging: HPath): Unit = {
+      dataStaging: HPath, delStaging: HPath,
+      delContent: Int = 1, eqCols: Seq[String] = Seq.empty): Unit = {
+    require(delContent == 1 || delContent == 2)
+    require((delContent == 2) == eqCols.nonEmpty,
+      "equality delete staging needs its key columns (and only then)")
     val base = IcebergMetadata.load(location)
     val spec = base.specs.find(_.specId == base.defaultSpecId)
       .map(_.fields).getOrElse(Seq.empty)
@@ -1022,8 +1026,9 @@ object IcebergWrite {
     val movedDel = TableIO.listFilesRecursive(delStaging)
       .filter(_._1.getName.endsWith(".parquet"))
       .map { case (src, sz, _) =>
+        val kind = if (delContent == 1) "pos" else "eq"
         val dest = new HPath(dataDir,
-          s"pos-delete-${UUID.randomUUID().toString.take(8)}.parquet")
+          s"$kind-delete-${UUID.randomUUID().toString.take(8)}.parquet")
         TableIO.rename(src, dest)
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(dest, footerConf))
@@ -1038,7 +1043,7 @@ object IcebergWrite {
     // validateDataFilesExist guard below (read once, outside the
     // retry loop; distinct FILE paths only — never the delete rows)
     val referenced: Set[String] =
-      if (movedDel.isEmpty) Set.empty
+      if (movedDel.isEmpty || delContent == 2) Set.empty
       else spark.read
         .schema(StructType(Seq(StructField("file_path",
           org.apache.spark.sql.types.StringType))))
@@ -1046,6 +1051,22 @@ object IcebergWrite {
         .distinct().collect()
         .map(r => new HPath(r.getString(0)).toUri.getPath).toSet
 
+    commitDeltaSnapshot(spark, location, moved, statsByPath, movedDel,
+      referenced, delContent, eqCols, spec)
+  }
+
+  /** The delta commit proper: land already-moved data files + delete
+    * files in ONE snapshot (data manifest + v2 delete manifest +
+    * manifest list carrying everything forward), CAS'd. Shared by the
+    * SupportsDelta write path (position deletes) and the key-routed
+    * UPDATE (equality deletes, `delContent` 2). */
+  private def commitDeltaSnapshot(spark: SparkSession, location: String,
+      moved: Seq[(HPath, Long, Seq[String])],
+      statsByPath: Map[String, FileStats],
+      movedDel: Seq[(HPath, Long, Long)],
+      referenced: Set[String], delContent: Int,
+      eqCols: Seq[String],
+      spec: Seq[IcebergMetadata.IcePartitionField]): Unit = {
     IcebergMetadata.commitRetry(location) { m0 =>
       val (m, delSpecId) = unpartitionedSpecId(m0)
       // write-skew guard (the reference's validateDataFilesExist): a
@@ -1093,7 +1114,10 @@ object IcebergWrite {
         r
       }
 
-      // 1. data manifest (same entry shape as appendManifest)
+      // 1. data manifest (same entry shape as appendManifest). The
+      // partition values in `moved` are positional per the CALLER's
+      // spec (the one that parsed the staging dirs), so that spec —
+      // not a retry-fresh one — types the manifest's partition struct.
       val schemaJson = icebergSchemaJson(schema)
       val partRecordJson = partitionRecordJson(spec, schema)
       val specJson = partitionSpecJson(spec, m.defaultSpecId)
@@ -1142,7 +1166,9 @@ object IcebergWrite {
             fieldSummariesFor(spec, schema, moved.map(_._3))))
         }
 
-      // 2. position-delete manifest (content "deletes", entry content 1)
+      // 2. delete manifest (content "deletes"; entry content 1 for
+      // position deletes, 2 for equality — the keyed-UPDATE path)
+      val eqIds = eqCols.flatMap(schema.fieldId)
       val delEntry: Option[org.apache.avro.generic.GenericRecord] =
         if (movedDel.isEmpty) None
         else {
@@ -1154,7 +1180,7 @@ object IcebergWrite {
             e.put("file_sequence_number", null)
             val dfSchema = e.getSchema.getField("data_file").schema()
             val d = new GenericData.Record(dfSchema)
-            d.put("content", 1)
+            d.put("content", delContent)
             d.put("file_path", TableIO.qualified(p))
             d.put("file_format", "PARQUET")
             d.put("partition",
@@ -1164,7 +1190,13 @@ object IcebergWrite {
             d.put("null_value_counts", null)
             d.put("lower_bounds", null)
             d.put("upper_bounds", null)
-            d.put("equality_ids", null)
+            if (eqIds.nonEmpty) {
+              val arrSchema =
+                dfSchema.getField("equality_ids").schema().getTypes.get(1)
+              val arr = new GenericData.Array[Any](eqIds.size, arrSchema)
+              eqIds.foreach(id => arr.add(id))
+              d.put("equality_ids", arr)
+            } else d.put("equality_ids", null)
             e.put("data_file", d)
             e: org.apache.avro.generic.GenericRecord
           }
@@ -1925,6 +1957,105 @@ object IcebergWrite {
         refs = m.refs + ("main" -> snapshotId))
     }
     (eqEntries.size, moved.size)
+  }
+
+  /** Key-routed point UPDATE (the GDPR/user-record rewrite; the
+    * metadata-only-equality-DELETE analog for updates): commit IO is
+    * O(matched rows) end to end. The fetch scan prunes manifests by
+    * the key bounds and pushes the key filter into parquet; the
+    * commit lands ONE snapshot holding an EQUALITY delete file of
+    * just the key tuples (hides old row versions — strictly-earlier
+    * sequences only, so the new rows survive) plus data files holding
+    * only the fetched-then-modified rows, partition-routed through
+    * the table's transforms like any append. Candidate data files are
+    * never rewritten and never position-scanned. Returns the matched
+    * row count (0 = nothing committed). */
+  def updateByKey(spark: SparkSession, location: String,
+      keys: DataFrame, eqCols: Seq[String],
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(eqCols.nonEmpty, "updateByKey needs at least one key column")
+    val base = IcebergMetadata.load(location)
+    val sparkSchema = base.schema.toSpark
+    eqCols.foreach(c => require(base.schema.fieldId(c).isDefined,
+      s"no column $c"))
+    sets.foreach { case (c, _) =>
+      require(sparkSchema.fieldNames.contains(c), s"no column $c") }
+    val t = IcebergTable.fromMetadataAt(spark, location, base)
+    val keyDf = keys.select(eqCols.map(col): _*).distinct()
+    // point keys are bounded by contract (an IN-list, a user-id set):
+    // their min/max per column become manifest stat filters, so the
+    // fetch plans only files whose bounds can hold a key
+    val keyRows = keyDf.collect()
+    if (keyRows.isEmpty) return 0L
+    val filters: Seq[(String, String, String)] =
+      eqCols.zipWithIndex.flatMap { case (c, i) =>
+        val dt = sparkSchema.fields.find(_.name == c).get.dataType
+        val vals = keyRows.map(_.get(i)).filter(_ != null)
+        if (vals.length < keyRows.length || vals.isEmpty) Seq.empty
+        else dt match {
+          case org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            val ls = vals.map(_.toString.toLong)
+            Seq((c, ">=", ls.min.toString), (c, "<=", ls.max.toString))
+          case org.apache.spark.sql.types.StringType =>
+            val ss = vals.map(_.toString)
+            Seq((c, ">=", ss.min), (c, "<=", ss.max))
+          case _ => Seq.empty // other types keep pruning conservative
+        }
+      }
+    val matched = t.scan(filters = filters)
+      .join(broadcast(keyDf), eqCols.toSeq, "left_semi")
+    val modified = sets.foldLeft(matched) { case (df, (c, e)) =>
+        df.withColumn(c,
+          e.cast(sparkSchema.fields.find(_.name == c).get.dataType))
+      }.select(sparkSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // stage the replacement rows exactly like an append (transform
+    // partition routing, footer ids, sort clustering, footer stats)
+    val (moved, stats) = stageData(spark, base, modified, None)
+    val matchedRows = moved.map(f => stats(f._1.toString)._1).sum
+    if (matchedRows == 0L) { // no-op update: leave no trace
+      moved.foreach(f => TableIO.delete(f._1))
+      return 0L
+    }
+    // the equality delete file: just the key tuples, table field ids
+    // in the footer
+    val withIds = keyDf.select(eqCols.map { c =>
+      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id",
+          base.schema.fieldId(c).get.toLong).build())
+    }: _*)
+    val delStaging = TableIO.path(location,
+      s"stage-upddel-${UUID.randomUUID().toString.take(8)}")
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try withIds.coalesce(1).write.parquet(delStaging.toString)
+    finally tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val dataDir = TableIO.path(location, "data")
+    TableIO.mkdirs(dataDir)
+    val movedDel = TableIO.listFilesRecursive(delStaging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dataDir,
+          s"eq-delete-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(dest, footerConf))
+        val rows = try reader.getFooter.getBlocks.asScala
+          .map(_.getRowCount).sum finally reader.close()
+        (dest, sz, rows)
+      }
+    TableIO.delete(delStaging, recursive = true)
+    commitDeltaSnapshot(spark, location, moved, stats, movedDel,
+      Set.empty, 2, eqCols,
+      base.specs.find(_.specId == base.defaultSpecId)
+        .map(_.fields).getOrElse(Seq.empty))
+    matchedRows
   }
 
   /** Equality DELETE: the distinct key tuples become an equality

@@ -2563,4 +2563,74 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(t2.scan().select("k", "amt").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === want.toSeq)
   }
+
+  test("update_by_key commits O(matches): one eq delete + only modified rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 300L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "v", "w")
+        .repartition(3))
+    val wh = Files.createTempDirectory("graft-iceupd").toString
+    spark.conf.set("spark.sql.catalog.ice_upd", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_upd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_upd.m")
+    spark.sql(s"CALL ice_upd.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val t0 = IcebergTable.load(spark, loc)
+    val dataBefore = t0.plannedFiles().map(_._1.filePath).toSet
+    val snapsBefore = t0.meta.snapshots.size
+
+    val res = spark.sql(
+      "CALL ice_upd.system.update_by_key(table => 'm.t', " +
+        "key_column => 'k', key_values => '7, 8, 9', " +
+        "assignments => \"w = w * 10, v = concat(v, '!')\")").collect()
+    assert(res(0).getLong(0) === 3L)
+
+    val t1 = IcebergTable.load(spark, loc)
+    // commit IO proportional to MATCHES: exactly one new snapshot,
+    // the new data footprint is 3 rows, candidate files untouched
+    assert(t1.meta.snapshots.size === snapsBefore + 1)
+    val newData = t1.plannedFiles().map(_._1)
+      .filterNot(e => dataBefore.contains(e.filePath))
+    assert(newData.map(_.recordCount).sum === 3L,
+      "only the modified rows may be written")
+    assert(t1.plannedFiles().map(_._1.filePath).toSet
+      .intersect(dataBefore) === dataBefore,
+      "candidate data files must never be rewritten")
+    val eqDel = t1.deleteEntries().map(_._1).filter(_.content == 2)
+    assert(eqDel.size === 1 && eqDel.head.recordCount === 3L,
+      "one equality delete file holding just the key tuples")
+    // semantics through BOTH readers
+    assert(spark.sql("SELECT count(*) FROM ice_upd.m.t")
+      .collect()(0).getLong(0) === 300L)
+    val updated = spark.sql(
+      "SELECT k, v, w FROM ice_upd.m.t WHERE k IN (7, 8, 9) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(updated.toSeq === Seq((7L, "v7!", 70.0), (8L, "v8!", 80.0),
+      (9L, "v9!", 90.0)))
+    assert(t1.scan().filter(col("k") === 8L).select("w")
+      .collect()(0).getDouble(0) === 80.0)
+    // a second keyed update of one of the SAME keys layers correctly
+    // (the newer rows carry a higher sequence, so the newer delete
+    // hides the round-1 versions, not round-2's)
+    val res2 = spark.sql(
+      "CALL ice_upd.system.update_by_key(table => 'm.t', " +
+        "key_column => 'k', key_values => '8', " +
+        "assignments => \"w = w + 0.5\")").collect()
+    assert(res2(0).getLong(0) === 1L)
+    assert(spark.sql("SELECT w FROM ice_upd.m.t WHERE k = 8")
+      .collect()(0).getDouble(0) === 80.5)
+    assert(spark.sql("SELECT count(*) FROM ice_upd.m.t")
+      .collect()(0).getLong(0) === 300L)
+    // no-match update commits NOTHING
+    val snaps2 = IcebergTable.load(spark, loc).meta.snapshots.size
+    val res3 = spark.sql(
+      "CALL ice_upd.system.update_by_key(table => 'm.t', " +
+        "key_column => 'k', key_values => '9999', " +
+        "assignments => \"w = 0\")").collect()
+    assert(res3(0).getLong(0) === 0L)
+    assert(IcebergTable.load(spark, loc).meta.snapshots.size === snaps2)
+  }
+
 }

@@ -448,4 +448,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(graft.table.GraftTable.load(spark, root2 + "/m/t")
       .meta.liveDeleteFiles(None).count(_.content == 2) === 0)
   }
+
+  test("updateByKey (graft dialect) commits O(matches) in one snapshot") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-updk").toString + "/t"
+    val df = (1L to 200L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "v", "w")
+    val t = graft.table.GraftTable.create(spark, root, df.schema)
+    t.append(df.repartition(4))
+    val filesBefore = t.meta.liveFiles(None).map(_.path).toSet
+    val snapsBefore = t.meta.snapshots.size
+
+    val n = t.updateByKey(Seq(5L, 6L).toDF("k"), Seq("k"),
+      Seq("w" -> (col("w") * 100)))
+    assert(n === 2L)
+    val m = t.meta
+    assert(m.snapshots.size === snapsBefore + 1, "exactly one commit")
+    val newFiles = m.liveFiles(None).filter(f =>
+      f.content == 0 && !filesBefore.contains(f.path))
+    assert(newFiles.map(_.recordCount).sum === 2L,
+      "only the modified rows may be written")
+    assert(m.liveFiles(None).filter(_.content == 0).map(_.path).toSet
+      .intersect(filesBefore) === filesBefore,
+      "candidate data files must never be rewritten")
+    assert(m.liveDeleteFiles(None).count(_.content == 2) === 1)
+    assert(t.scan().count() === 200L)
+    assert(t.scan().filter(col("k") === 5L).select("w")
+      .collect()(0).getDouble(0) === 500.0)
+    assert(t.scan().filter(col("k") === 7L).select("w")
+      .collect()(0).getDouble(0) === 7.0)
+    // changelog nets the update into delete+insert of the touched keys
+    val ch = t.changesBetween(Some(m.snapshots.sortBy(_.snapshotId)
+      .apply(snapsBefore - 1).snapshotId)).collect()
+    assert(ch.count(_.getAs[String]("_change_type") == "insert") === 2)
+    assert(ch.count(_.getAs[String]("_change_type") == "delete") === 2)
+    // no-match: zero rows, zero commits
+    assert(t.updateByKey(Seq(9999L).toDF("k"), Seq("k"),
+      Seq("w" -> lit(0.0))) === 0L)
+    assert(t.meta.snapshots.size === snapsBefore + 1)
+  }
+
 }

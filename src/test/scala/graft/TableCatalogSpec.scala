@@ -1087,7 +1087,8 @@ class TableCatalogSpec extends AnyFunSuite {
     val names = spark.sessionState.catalogManager.catalog("graft_wh")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq
-    assert(names.contains("remove_orphan_files") && names.size === 17)
+    assert(names.contains("remove_orphan_files") &&
+      names.contains("update_by_key") && names.size === 18)
   }
 
   test("incremental read options flow through spark.read.table") {
