@@ -609,6 +609,87 @@ object TableOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Key-routed point UPDATE through CALL update_by_key (the
+    * GDPR/user-record rewrite): ONE snapshot = an equality delete of
+    * just the key values + data files holding only the modified rows
+    * — commit IO O(matches), candidate files never rewritten. Final
+    * state read back through the binary interop reader; DuckDB
+    * recomputes the update from raw inputs. */
+  val tfUpdateByKey: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val loc = scratch()
+    graft.table.iceberg.IcebergWrite.create(s, loc, c)
+    val cat = s"ice_ub_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-ubwh").toString)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    s.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    s.sql(s"CALL $cat.system.update_by_key(table => 'm.t', " +
+      "key_column => 'c_custkey', key_values => '1, 7, 21, 42', " +
+      "assignments => \"c_acctbal = c_acctbal + 1000, " +
+      "c_name = 'gdpr-scrubbed'\")")
+    graft.table.iceberg.IcebergTable.load(s, loc).scan()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).cast("double").as("total"),
+        sum(when(col("c_name") === "gdpr-scrubbed", 1).otherwise(0))
+          .cast("long").as("scrubbed"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val tfUpdateByKeySql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+       round(sum(CASE WHEN c_custkey IN (1,7,21,42)
+                 THEN c_acctbal + 1000 ELSE c_acctbal END),2)::DOUBLE AS total,
+       CAST(sum(CASE WHEN c_custkey IN (1,7,21,42) THEN 1 ELSE 0 END)
+            AS BIGINT) AS scrubbed
+       FROM customer GROUP BY 1 ORDER BY c_mktsegment"""
+
+  /** Equality→position delete conversion through CALL
+    * rewrite_delete_files(mode => 'convert'): the equality files'
+    * hidden rows materialize as explicit (file, pos) slots and the
+    * equality files drop — visible rows must be UNCHANGED, which the
+    * oracle checks end to end by recomputing the deletes from raw
+    * inputs. */
+  val tfEqConvert: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val loc = scratch()
+    graft.table.iceberg.IcebergWrite.create(s, loc, o)
+    val cat = s"ice_cv_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-cvwh").toString)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    s.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // two metadata-only equality deletes with different key shapes
+    s.sql(s"DELETE FROM $cat.m.t WHERE o_orderpriority = '1-URGENT'")
+    s.sql(s"DELETE FROM $cat.m.t WHERE o_orderkey IN (7, 32, 129)")
+    s.sql(s"CALL $cat.system.rewrite_delete_files(table => 'm.t', " +
+      "mode => 'convert')")
+    val t = graft.table.iceberg.IcebergTable.load(s, loc)
+    // the converted table must hold ZERO equality delete files — a
+    // structural guarantee folded into the oracled output
+    val eqLeft = t.deleteEntries().map(_._1).count(_.content == 2).toLong
+    t.scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).cast("double").as("total"))
+      .withColumn("eq_files_left", lit(eqLeft))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tfEqConvertSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice),2)::DOUBLE AS total,
+       CAST(0 AS BIGINT) AS eq_files_left
+       FROM orders
+       WHERE o_orderpriority <> '1-URGENT'
+         AND o_orderkey NOT IN (7, 32, 129)
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
   val tfForeignMergeSql: String =
     """WITH tgt AS (
          SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
@@ -769,6 +850,8 @@ object TableOps {
     "tf_foreign_rowlevel" -> tfForeignRowlevel,
     "tf_foreign_insert" -> tfForeignInsert,
     "tf_foreign_merge" -> tfForeignMerge,
+    "tf_update_by_key" -> tfUpdateByKey,
+    "tf_eq_convert" -> tfEqConvert,
     "tf_iceberg_partitioned" -> tfIcebergPartitioned,
     "tf_delete_pos" -> tfDeletePos,
     "tf_metadata_tables" -> tfMetadataTables,
@@ -798,6 +881,8 @@ object TableOps {
     "tf_foreign_rowlevel" -> tfForeignRowlevelSql,
     "tf_foreign_insert" -> tfForeignInsertSql,
     "tf_foreign_merge" -> tfForeignMergeSql,
+    "tf_update_by_key" -> tfUpdateByKeySql,
+    "tf_eq_convert" -> tfEqConvertSql,
     "tf_iceberg_partitioned" -> tfIcebergPartitionedSql,
     "tf_delete_pos" -> tfDeletePosSql,
     "tf_compaction" -> tfCompactionSql,
