@@ -643,7 +643,7 @@ object GraftProcedures {
   /** Split a SQL assignment list on TOP-LEVEL commas only — commas
     * inside string literals or parenthesized expressions belong to
     * the assignment ("v = concat(a, b), w = 'x,y'" is two). */
-  private[spark] def splitTopLevel(s: String): Seq[String] = {
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
@@ -653,7 +653,9 @@ object GraftProcedures {
       val c = s.charAt(i)
       if (quote != 0) {
         cur += c
-        if (c == quote) quote = 0
+        if (c == '\\' && i + 1 < s.length) { // escaped char in literal
+          cur += s.charAt(i + 1); i += 1
+        } else if (c == quote) quote = 0
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
         case '(' | '[' => depth += 1; cur += c

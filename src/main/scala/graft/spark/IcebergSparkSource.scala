@@ -604,7 +604,7 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     * widened types up-cast). Skipped for exported-from-legacy tables
     * whose footers carry no ids. */
   private def withFieldIds(s: StructType): StructType =
-    if (!ice.idResolution) s
+    if (!table.fileIdResolution) s
     else StructType(s.fields.map(f => ice.schema.fieldId(f.name) match {
       case Some(id) => f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()

@@ -317,10 +317,22 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       addedDeletes: Seq[Meta.DataFile] = Seq.empty,
       removedDeletes: Seq[String] = Seq.empty,
       summaryExtra: Map[String, String] = Map.empty,
-      requireLive: Seq[String] = Seq.empty): Meta.TableMetadata = this.synchronized {
+      requireLive: Seq[String] = Seq.empty,
+      requireSnapshot: Option[Option[Long]] = None): Meta.TableMetadata = this.synchronized {
     var attempts = 0
     while (true) {
       val m = meta
+      // optimistic-concurrency pin: operations whose staged output was
+      // DERIVED from a specific base (keyed update, eq-delete
+      // conversion) must refuse if any other commit landed first —
+      // rebasing would re-insert stale rows over a concurrent delete
+      requireSnapshot.foreach { want =>
+        if (m.refs.get(branch).orElse(m.currentSnapshotId) != want)
+          throw new java.util.ConcurrentModificationException(
+            s"$op commit aborted: the table changed while this " +
+              "operation was computing its output; re-run it on the " +
+              "new base")
+      }
       if (requireLive.nonEmpty) {
         val live = m.liveFiles(m.refs.get(branch).orElse(m.currentSnapshotId))
           .map(_.path).toSet
@@ -836,7 +848,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       val afterEq = eqFiles.groupBy(_.equalityColumns).foldLeft(base) {
         case (df, (eqCols, dfiles)) =>
           val delDf = spark.read.parquet(dfiles.map(absolute): _*)
-          df.join(delDf, eqCols, "left_anti")
+          // NULL-SAFE key equality: a null delete key hides null-keyed
+          // rows, matching the executor key-set probe — a USING
+          // anti-join would leave them visible
+          df.join(delDf,
+            eqCols.map(c => df(c) <=> delDf(c)).reduce(_ && _),
+            "left_anti")
       }
       val afterPos =
         if (posPaths.isEmpty) afterEq
@@ -879,6 +896,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val keyDf = keys.select(eqCols.map(col): _*).distinct()
     val keyRows = keyDf.collect() // point keys are bounded by contract
     if (keyRows.isEmpty) return 0L
+    // a null key is undefined for a point update: SQL equality never
+    // matches it, but an equality-delete tuple WOULD hide null-keyed
+    // rows (null-safe probe semantics) with no replacement written
+    require(keyRows.forall(r => !r.anyNull),
+      "updateByKey: null key values are not supported (an equality " +
+        "delete would hide null-keyed rows without rewriting them)")
     val filters: Seq[StatFilter] = eqCols.zipWithIndex.flatMap {
       case (c, i) =>
         val dt = m.schema.fields.find(_.name == c).get.dataType
@@ -898,10 +921,18 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val matched = scan(filters)
       .join(org.apache.spark.sql.functions.broadcast(keyDf),
         eqCols.toSeq, "left_semi")
-    val modified = sets.foldLeft(matched) { case (df, (c, e)) =>
-        df.withColumn(c,
-          e.cast(m.schema.fields.find(_.name == c).get.dataType))
-      }.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // SQL UPDATE semantics: every RHS evaluates against the OLD row,
+    // so all assignments go through ONE projection (sequential
+    // withColumn would let "a = b, b = a" see a's new value)
+    require(sets.map(_._1).distinct.size == sets.size,
+      "updateByKey: duplicate assignment targets")
+    val setMap = sets.toMap
+    val modified = matched.select(m.schema.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
     val files = writeFiles(modified, m.schema)
     val matchedRows = files.map(_.recordCount).filter(_ > 0).sum
     if (matchedRows == 0L) { // no-op update: leave no trace
@@ -945,8 +976,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // ONE snapshot: new row versions + the delete hiding the old ones
     // ('merge' — the changelog's mixed-commit branch nets rows both
     // added and hidden in the same commit)
+    // pinned to the fetch base: a concurrent delete/update of these
+    // keys must not be silently overwritten by stale re-inserts
     commit("merge", files, Seq.empty, addedDeletes = added,
-      summaryExtra = Map("updated-rows" -> matchedRows.toString))
+      summaryExtra = Map("updated-rows" -> matchedRows.toString),
+      requireSnapshot = Some(m.currentSnapshotId))
     matchedRows
   }
 
@@ -1499,46 +1533,21 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     if (eqFiles.isEmpty) return (0, 0)
     val dDir = dataDir
     val dataFiles = m.liveFilesWithSeq(None)
-    val spark0 = spark
-    import spark0.implicits._
-    val normC = (c: org.apache.spark.sql.Column) =>
-      regexp_replace(c, "^[a-z]+:/+", "/")
-    val slotDfs = eqFiles.groupBy(_._1.equalityColumns).toSeq
-      .flatMap { case (eqCols, files) =>
-        val maxSeq = files.map(_._2).max
-        val appl = dataFiles.filter(_._2 < maxSeq).map { case (f, seq) =>
-          (TableIO.qualified(new HPath(dDir, f.path)), seq) }
-        if (appl.isEmpty) None
-        else {
+    val slotsOpt = EqualitySlots.derive(spark,
+      eqFiles.groupBy(_._1.equalityColumns).toSeq.map { case (eqCols, files) =>
+        EqualitySlots.Group(
           // id-carrying key schema: files written before a rename (of
           // a non-key column) still resolve; key columns themselves
           // are rename-protected (requireUnreferenced)
-          val keySchema = StructType(
-            m.schema.fields.filter(f => eqCols.contains(f.name)))
-          val seqDf = appl.toDF("__qual", "__seq")
-          val data = spark.read.schema(keySchema)
-            .parquet(appl.map(_._1): _*)
-            .withColumn("__file", col("_metadata.file_path"))
-            .withColumn("__pos", col("_metadata.row_index"))
-            .join(broadcast(seqDf), normC(col("__file")) === normC(col("__qual")))
-          val keys = files.map { case (f, seqE) =>
-            spark.read.schema(keySchema)
-              .parquet(TableIO.qualified(new HPath(dDir, f.path)))
-              .withColumn("__seqE", lit(seqE))
-          }.reduce(_ unionByName _)
-          // null-safe key equality (a null delete key hides null rows,
-          // same contract as the executor key-set probe) + strict
-          // sequence scoping
-          val cond = eqCols.map(c => data(c) <=> keys(c)).reduce(_ && _) &&
-            data("__seq") < keys("__seqE")
-          Some(data.join(keys, cond, "left_semi")
-            .select(col("__file").as("file_path"), col("__pos").as("pos")))
-        }
-      }
-    val moved =
-      if (slotDfs.isEmpty) Seq.empty
-      else {
-        val slots = slotDfs.reduce(_ unionByName _).distinct()
+          StructType(m.schema.fields.filter(f => eqCols.contains(f.name))),
+          files.map { case (f, seqE) =>
+            (TableIO.qualified(new HPath(dDir, f.path)), seqE) },
+          dataFiles.map { case (f, seq) =>
+            (TableIO.qualified(new HPath(dDir, f.path)), seq) })
+      })
+    val moved = slotsOpt match {
+      case None => Seq.empty
+      case Some(slots) =>
         val delDir = new HPath(dDir, "deletes")
         TableIO.mkdirs(delDir)
         val staging = new HPath(root,
@@ -1561,11 +1570,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         TableIO.delete(staging, recursive = true)
         out
       }
+    // pinned to the derivation base, like the interop twin: the slots
+    // were computed against this content
     commit("rewrite", Seq.empty, Seq.empty,
       addedDeletes = moved, removedDeletes = eqFiles.map(_._1.path),
       summaryExtra = Map(
         "equality-delete-files-converted" -> eqFiles.size.toString,
-        "position-delete-files-created" -> moved.size.toString))
+        "position-delete-files-created" -> moved.size.toString),
+      requireSnapshot = Some(m.currentSnapshotId))
     (eqFiles.size, moved.size)
   }
 

@@ -31,6 +31,36 @@ class IcebergTable private (val location: String, val spark: SparkSession,
 
   def schema: StructType = meta.schema.toSpark
 
+  /** Whether the table's data-file footers actually carry field ids —
+    * sniffed from ONE live file's parquet footer and cached per
+    * location (metadata-scale IO, once per JVM). Tables exported from
+    * id-less legacy sources BEFORE the NameBasedFilesProp marker
+    * existed have no property; reading them with an id-carrying
+    * requested schema would fail loudly, so the read path asks the
+    * bytes. An empty table answers true (future writes stamp ids). */
+  private[iceberg] def dataFilesCarryIds: Boolean =
+    IcebergTable.footerIdCache.computeIfAbsent(location, _ => {
+      val first = scala.util.Try(plannedFiles()).toOption
+        .flatMap(_.headOption)
+      first.forall { case (e, _, _) =>
+        scala.util.Try {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              resolve(e.filePath), conf))
+          try rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .exists(_.getId != null)
+          finally rd.close()
+        }.getOrElse(true) // unreadable footer: fail later, loudly
+      }
+    })
+
+  /** Resolve columns by FIELD ID on this table's reads? The metadata
+    * marker (add_files imports, legacy exports) wins; otherwise the
+    * footer sniff decides. */
+  private[graft] def fileIdResolution: Boolean =
+    meta.idResolution && dataFilesCarryIds
+
   private def norm(s: String): String = s.replaceFirst("^[a-z]+:/+", "/")
 
   /** When the table was RENAMED through a catalog, the directory moved
@@ -326,7 +356,7 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     // id-carrying requested schema -> parquet columns resolve by field
     // id (rename-safe, promotion-widening); name-based only for
     // exported-from-legacy tables whose footers predate ids
-    val idRes = meta.idResolution
+    val idRes = fileIdResolution
     val schemaOf =
       if (idRes) iceSchema.toSparkWithIds else iceSchema.toSpark
     val outSchema =
@@ -374,7 +404,14 @@ class IcebergTable private (val location: String, val spark: SparkSession,
             else spark.read
               .parquet(dfiles.map(d => resolve(d.filePath).toString): _*)
               .select(eqCols.map(col): _*)
-          df.join(delDf, eqCols, "left_anti")
+          // NULL-SAFE key equality: an equality-delete tuple with a
+          // null key hides null-keyed rows (the executor key-set
+          // probe's semantics, Vector equality) — a USING anti-join
+          // would leave them visible and the two readers would
+          // disagree
+          df.join(delDf,
+            eqCols.map(c => df(c) <=> delDf(c)).reduce(_ && _),
+            "left_anti")
       }
       val result =
         if (posPaths.isEmpty) afterEq
@@ -526,6 +563,14 @@ class IcebergTable private (val location: String, val spark: SparkSession,
 }
 
 object IcebergTable {
+  /** Per-location cache for the footer-id sniff (dataFilesCarryIds):
+    * once a table's files carry ids they keep carrying them (every
+    * writer stamps them), and the add_files import path marks itself
+    * with NameBasedFilesProp, which is checked FIRST and overrides
+    * this cache. */
+  private[iceberg] val footerIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def load(spark: SparkSession, location: String): IcebergTable =
     new IcebergTable(location, spark)
 

@@ -144,6 +144,20 @@ object IcebergWrite {
     * metadata. Local commits CAS through commitRetry (rebasing the
     * manifest assembly on lost races); REST commits POST this
     * snapshot through the commit protocol instead. */
+  /** Run `body` with parquet writes forced to TIMESTAMP_MICROS (INT96
+    * has no usable stats and foreign readers reject it), restoring the
+    * session conf after — the single copy of a guard four write paths
+    * share. */
+  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private val profile = java.lang.Boolean.getBoolean("graft.iceberg.profile")
   @inline private def timed[T](label: String)(f: => T): T =
     if (!profile) f else {
@@ -198,9 +212,6 @@ object IcebergWrite {
       }.toIndexedSeq: _*)
     }
     val staging = TableIO.path(location, s"stage-${UUID.randomUUID().toString.take(8)}")
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
     // the default sort order clusters every write (spec/sort.rs: the
     // write-time order): range-repartition on the sort key so files
     // hold DISJOINT key ranges — a reader's key predicate then prunes
@@ -225,7 +236,7 @@ object IcebergWrite {
             d.repartitionByRange(n, sortCols: _*))
           .sortWithinPartitions(sortCols: _*)
       else d.sortWithinPartitions(sortCols: _*)
-    try { timed("write-parquet") {
+    withMicrosTimestamps(spark) { timed("write-parquet") {
       if (spec.isEmpty) clustered(dfWithIds).write.parquet(staging.toString)
       else {
         import org.apache.spark.sql.functions.col
@@ -244,10 +255,7 @@ object IcebergWrite {
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .parquet(staging.toString)
       }
-    } } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    } }
     val dataDir = TableIO.path(location, "data")
     TableIO.mkdirs(dataDir)
     // files FLATTEN into data/ — Iceberg carries partition values in
@@ -398,6 +406,16 @@ object IcebergWrite {
     val m = IcebergMetadata.load(location)
     require(m.specs.find(_.specId == m.defaultSpecId).forall(_.fields.isEmpty),
       "add_files into a PARTITIONED real-format table is not supported")
+    // importing id-less files flips the WHOLE table to name-based
+    // reads (NameBasedFilesProp below); if a column was ever RENAMED,
+    // files written before the rename carry the old name and would
+    // silently null-fill under the current one — refuse instead
+    val everRenamed = m.schemas.flatMap(_.fields.map(f => f.id -> f.name))
+      .groupBy(_._1).exists(_._2.map(_._2).distinct.size > 1)
+    require(!everRenamed,
+      "add_files into a table with renamed columns is not supported: " +
+        "imported id-less footers force name-based reads, which would " +
+        "mis-resolve files written before the rename")
     val files = TableIO.listFilesRecursive(TableIO.path(sourceDir))
       .filter(_._1.getName.endsWith(".parquet"))
     require(files.nonEmpty, s"no parquet files under $sourceDir")
@@ -731,7 +749,10 @@ object IcebergWrite {
     * carry no ids (readers there resolve by name). */
   def renameColumn(location: String, name: String, newName: String): Unit = {
     IcebergMetadata.commitRetry(location) { m =>
-      require(m.idResolution,
+      require(m.idResolution &&
+          scala.util.Try(IcebergTable.load(
+            SparkSession.active, location).dataFilesCarryIds)
+            .getOrElse(true),
         "rename needs field-id column identity; this table's data " +
           "files predate footer ids (recreate it, or add-then-backfill)")
       val old = m.schema
@@ -1066,8 +1087,15 @@ object IcebergWrite {
       movedDel: Seq[(HPath, Long, Long)],
       referenced: Set[String], delContent: Int,
       eqCols: Seq[String],
-      spec: Seq[IcebergMetadata.IcePartitionField]): Unit = {
+      spec: Seq[IcebergMetadata.IcePartitionField],
+      expectedBase: Option[Option[Long]] = None): Unit = {
     IcebergMetadata.commitRetry(location) { m0 =>
+      expectedBase.foreach { want =>
+        if (m0.currentSnapshotId != want)
+          throw new java.util.ConcurrentModificationException(
+            s"table at $location changed while the keyed update was " +
+              "being computed; retry the operation")
+      }
       val (m, delSpecId) = unpartitionedSpecId(m0)
       // write-skew guard (the reference's validateDataFilesExist): a
       // concurrent rewrite/CoW commit may have replaced the files
@@ -1243,7 +1271,9 @@ object IcebergWrite {
             moved.map(x => statsByPath(x._1.toString)._1).sum.toString,
           "added-files-size" -> moved.map(_._2).sum.toString,
           "added-delete-files" -> movedDel.size.toString,
-          "added-position-deletes" -> movedDel.map(_._3).sum.toString))
+          (if (delContent == 1) "added-position-deletes"
+           else "added-equality-deletes") ->
+            movedDel.map(_._3).sum.toString))
       m.copy(
         lastSequenceNumber = seq,
         currentSnapshotId = Some(snapshotId),
@@ -1565,14 +1595,8 @@ object IcebergWrite {
     }
     val staging = TableIO.path(location,
       s"stage-posrw-${UUID.randomUUID().toString.take(8)}")
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsPrev = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try withIds.coalesce(1).write.parquet(staging.toString)
-    finally tsPrev match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
-    }
+    withMicrosTimestamps(spark)(
+      withIds.coalesce(1).write.parquet(staging.toString))
     val dataDir = TableIO.path(location, "data")
     val moved = TableIO.listFilesRecursive(staging)
       .filter(_._1.getName.endsWith(".parquet"))
@@ -1790,44 +1814,20 @@ object IcebergWrite {
           if (idRes) new org.apache.spark.sql.types.MetadataBuilder()
             .putLong(graft.table.Meta.FieldIdKey, f.id.toLong).build()
           else org.apache.spark.sql.types.Metadata.empty)))
-    val normC = (c: org.apache.spark.sql.Column) =>
-      regexp_replace(c, "^[a-z]+:/+", "/")
-    import spark.implicits._
-    val slotDfs = eqEntries.groupBy(_._1.equalityIds).toSeq
-      .flatMap { case (eqIds, files) =>
-        val maxSeq = files.map(_._2).max
-        val appl = dataWithSeq.filter(_._2 < maxSeq).map { case (e, seq) =>
-          (TableIO.qualified(t.resolvePath(e.filePath)), seq) }
-        if (appl.isEmpty) None
-        else {
-          val ks = keySchema(eqIds)
-          val eqCols = ks.fieldNames.toSeq
-          val seqDf = appl.toDF("__qual", "__seq")
-          val data = spark.read.schema(ks)
-            .parquet(appl.map(_._1): _*)
-            .withColumn("__file", col("_metadata.file_path"))
-            .withColumn("__pos", col("_metadata.row_index"))
-            .join(broadcast(seqDf),
-              normC(col("__file")) === normC(col("__qual")))
+    val slotsOpt = graft.table.EqualitySlots.derive(spark,
+      eqEntries.groupBy(_._1.equalityIds).toSeq.map { case (eqIds, files) =>
+        graft.table.EqualitySlots.Group(
           // delete files written before a rename carry the old key
           // name (right id): the id-carrying schema keeps resolving
-          val keys = files.map { case (e, seqE) =>
-            spark.read.schema(ks)
-              .parquet(TableIO.qualified(t.resolvePath(e.filePath)))
-              .withColumn("__seqE", lit(seqE))
-          }.reduce(_ unionByName _)
-          // null-safe key equality (a null delete key hides null
-          // rows) + strict sequence scoping, Iceberg v2 semantics
-          val cond = eqCols.map(c => data(c) <=> keys(c)).reduce(_ && _) &&
-            data("__seq") < keys("__seqE")
-          Some(data.join(keys, cond, "left_semi")
-            .select(col("__file").as("file_path"), col("__pos").as("pos")))
-        }
-      }
-    val moved =
-      if (slotDfs.isEmpty) Seq.empty
-      else {
-        val slots = slotDfs.reduce(_ unionByName _).distinct()
+          keySchema(eqIds),
+          files.map { case (e, seqE) =>
+            (TableIO.qualified(t.resolvePath(e.filePath)), seqE) },
+          dataWithSeq.map { case (e, seq) =>
+            (TableIO.qualified(t.resolvePath(e.filePath)), seq) })
+      })
+    val moved = slotsOpt match {
+      case None => Seq.empty
+      case Some(slots) =>
         val withIds = slots.select(
           col("file_path").as("file_path",
             new org.apache.spark.sql.types.MetadataBuilder()
@@ -1837,14 +1837,8 @@ object IcebergWrite {
               .putLong("parquet.field.id", 2147483545L).build()))
         val staging = TableIO.path(location,
           s"stage-eqrw-${UUID.randomUUID().toString.take(8)}")
-        val tsKey = "spark.sql.parquet.outputTimestampType"
-        val tsPrev = spark.conf.getOption(tsKey)
-        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-        try withIds.coalesce(1).write.parquet(staging.toString)
-        finally tsPrev match {
-          case Some(v) => spark.conf.set(tsKey, v)
-          case None => spark.conf.unset(tsKey)
-        }
+        withMicrosTimestamps(spark)(
+          withIds.coalesce(1).write.parquet(staging.toString))
         val dataDir = TableIO.path(location, "data")
         val out = TableIO.listFilesRecursive(staging)
           .filter(_._1.getName.endsWith(".parquet"))
@@ -1988,6 +1982,13 @@ object IcebergWrite {
     // fetch plans only files whose bounds can hold a key
     val keyRows = keyDf.collect()
     if (keyRows.isEmpty) return 0L
+    // a null key is undefined for a point update: SQL equality never
+    // matches it, but an equality-delete tuple WOULD hide null-keyed
+    // rows (null-safe probe semantics) with no replacement written —
+    // refuse loudly instead of silently deleting
+    require(keyRows.forall(r => !r.anyNull),
+      "updateByKey: null key values are not supported (an equality " +
+        "delete would hide null-keyed rows without rewriting them)")
     val filters: Seq[(String, String, String)] =
       eqCols.zipWithIndex.flatMap { case (c, i) =>
         val dt = sparkSchema.fields.find(_.name == c).get.dataType
@@ -2007,10 +2008,18 @@ object IcebergWrite {
       }
     val matched = t.scan(filters = filters)
       .join(broadcast(keyDf), eqCols.toSeq, "left_semi")
-    val modified = sets.foldLeft(matched) { case (df, (c, e)) =>
-        df.withColumn(c,
-          e.cast(sparkSchema.fields.find(_.name == c).get.dataType))
-      }.select(sparkSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // SQL UPDATE semantics: every RHS evaluates against the OLD row,
+    // so all assignments go through ONE projection (sequential
+    // withColumn would let "a = b, b = a" see a's new value)
+    require(sets.map(_._1).distinct.size == sets.size,
+      "updateByKey: duplicate assignment targets")
+    val setMap = sets.toMap
+    val modified = matched.select(sparkSchema.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
     // stage the replacement rows exactly like an append (transform
     // partition routing, footer ids, sort clustering, footer stats)
     val (moved, stats) = stageData(spark, base, modified, None)
@@ -2028,14 +2037,8 @@ object IcebergWrite {
     }: _*)
     val delStaging = TableIO.path(location,
       s"stage-upddel-${UUID.randomUUID().toString.take(8)}")
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsPrev = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try withIds.coalesce(1).write.parquet(delStaging.toString)
-    finally tsPrev match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
-    }
+    withMicrosTimestamps(spark)(
+      withIds.coalesce(1).write.parquet(delStaging.toString))
     val dataDir = TableIO.path(location, "data")
     TableIO.mkdirs(dataDir)
     val movedDel = TableIO.listFilesRecursive(delStaging)
@@ -2054,7 +2057,12 @@ object IcebergWrite {
     commitDeltaSnapshot(spark, location, moved, stats, movedDel,
       Set.empty, 2, eqCols,
       base.specs.find(_.specId == base.defaultSpecId)
-        .map(_.fields).getOrElse(Seq.empty))
+        .map(_.fields).getOrElse(Seq.empty),
+      // the fetched rows were derived from `base`: a concurrent
+      // commit (a DELETE of one of these keys, another keyed update)
+      // would be silently overwritten by re-inserting stale rows at a
+      // higher sequence — refuse and let the caller retry instead
+      expectedBase = Some(base.currentSnapshotId))
     matchedRows
   }
 

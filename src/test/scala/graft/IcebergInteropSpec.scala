@@ -2633,4 +2633,85 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(IcebergTable.load(spark, loc).meta.snapshots.size === snaps2)
   }
 
+
+  test("updateByKey guards: null keys refused, assignments see the OLD row") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("k", "a", "b"))
+    // null key: an equality-delete tuple would hide null-keyed rows
+    // without rewriting them — must refuse loudly
+    val exNull = intercept[Exception] {
+      IcebergWrite.updateByKey(spark, loc,
+        Seq(Some(1L), None).toDF("k"), Seq("k"),
+        Seq("a" -> org.apache.spark.sql.functions.lit(0L)))
+    }
+    assert(exNull.getMessage.contains("null key"))
+    // swap semantics: every RHS evaluates against the OLD row
+    val n = IcebergWrite.updateByKey(spark, loc,
+      Seq(1L).toDF("k"), Seq("k"),
+      Seq("a" -> org.apache.spark.sql.functions.col("b"),
+        "b" -> org.apache.spark.sql.functions.col("a")))
+    assert(n === 1L)
+    val r = IcebergTable.load(spark, loc).scan()
+      .filter(col("k") === 1L).select("a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((100L, 10L)),
+      "a = b, b = a must SWAP (old-row semantics), not copy b twice")
+    // summary labels the delete kind correctly
+    val sum = IcebergTable.load(spark, loc).meta.currentSnapshot.get.summary
+    assert(sum.get("added-equality-deletes").contains("1"))
+    assert(!sum.contains("added-position-deletes"))
+  }
+
+  test("null equality-delete keys hide null rows in BOTH readers") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      Seq((1L, Some("x")), (2L, None), (3L, None), (4L, Some("y")))
+        .toDF("k", "v"))
+    // an equality delete file with a NULL key value (valid per spec):
+    // null-safe probe semantics hide the null-keyed rows
+    IcebergWrite.deleteEquality(spark, loc,
+      Seq(Option.empty[String], Some("x")).toDF("v"), Seq("v"))
+    val t = IcebergTable.load(spark, loc)
+    // driver reader (anti-join) and SQL reader (executor probe) agree
+    assert(t.scan().select("k").collect().map(_.getLong(0)).sorted
+      === Array(4L))
+    val cat = s"ice_nk_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-nkwh").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    assert(spark.sql(s"SELECT k FROM $cat.m.t").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(4L))
+    // ... and conversion preserves exactly that visible set
+    spark.sql(s"CALL $cat.system.rewrite_delete_files(table => 'm.t', " +
+      "mode => 'convert')")
+    val t2 = IcebergTable.load(spark, loc)
+    assert(t2.deleteEntries().map(_._1).count(_.content == 2) === 0)
+    assert(t2.scan().select("k").collect().map(_.getLong(0)).sorted
+      === Array(4L))
+  }
+
+  test("add_files refuses tables with renamed columns") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    IcebergWrite.renameColumn(loc, "v", "label")
+    val src = Files.createTempDirectory("graft-afrn").toString
+    Seq((2L, "b")).toDF("k", "label").write.mode("overwrite").parquet(src)
+    val ex = intercept[Exception] {
+      IcebergWrite.addFiles(loc, src)
+    }
+    assert(ex.getMessage.contains("renamed"))
+    // pre-rename data still resolves by id after the refusal
+    assert(IcebergTable.load(spark, loc).scan().select("label")
+      .collect()(0).getString(0) === "a")
+  }
+
 }

@@ -490,4 +490,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.meta.snapshots.size === snapsBefore + 1)
   }
 
+
+  test("update_by_key assignment parsing: escaped quotes and nested commas") {
+    val split = graft.spark.GraftProcedures.splitTopLevel _
+    assert(split("a = 1, b = 2") === Seq("a = 1", "b = 2"))
+    assert(split("v = concat(a, b), w = 1") ===
+      Seq("v = concat(a, b)", "w = 1"))
+    assert(split("w = 'x,y', z = 2") === Seq("w = 'x,y'", "z = 2"))
+    // backslash-escaped quote inside a literal must not close it
+    assert(split("v = 'a\\',b', w = 1") === Seq("v = 'a\\',b'", "w = 1"))
+    assert(split("m = map('k,1', 2), n = array(1, 2)") ===
+      Seq("m = map('k,1', 2)", "n = array(1, 2)"))
+  }
+
+  test("updateByKey (graft) refuses null keys, swaps with old-row semantics") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-updg").toString + "/t"
+    val df = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("k", "a", "b")
+    val t = graft.table.GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    val ex = intercept[Exception] {
+      t.updateByKey(Seq(Some(1L), None).toDF("k"), Seq("k"),
+        Seq("a" -> lit(0L)))
+    }
+    assert(ex.getMessage.contains("null key"))
+    assert(t.updateByKey(Seq(1L).toDF("k"), Seq("k"),
+      Seq("a" -> col("b"), "b" -> col("a"))) === 1L)
+    val r = t.scan().filter(col("k") === 1L).select("a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((100L, 10L)))
+  }
+
 }
