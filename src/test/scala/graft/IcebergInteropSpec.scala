@@ -2545,10 +2545,18 @@ class IcebergInteropSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === want.toSeq)
     assert(spark.sql("SELECT count(*) FROM ice_eqrw.m.t")
       .collect()(0).getLong(0) === want.length.toLong)
-    // changelog silent for the row-preserving replace
+    // changelog silent for the row-preserving replace — and the
+    // earlier delete-eq slices bind columns correctly even though one
+    // key ("v") is not the leading column (regression: the slice
+    // union is by NAME; positional union cast v into k)
     val ch = t1.changesBetween(None).collect()
     assert(!ch.exists(r => r.getAs[Long]("_commit_snapshot_id") ==
       t1.meta.currentSnapshotId.get))
+    assert(ch.exists(r => r.getAs[Long]("k") == 55L &&
+      r.getAs[String]("_change_type") == "delete"))
+    assert(ch.exists(r => r.getAs[Long]("k") == 77L &&
+      r.getAs[String]("v") == "v77" &&
+      r.getAs[String]("_change_type") == "delete"))
     // idempotent: nothing left to convert, no new snapshot
     val snaps = t1.meta.snapshots.size
     val res2 = spark.sql(
