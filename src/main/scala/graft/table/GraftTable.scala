@@ -918,7 +918,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           case _ => Seq.empty
         }
     }
-    val matched = scan(filters)
+    // single-column bounded key sets ALSO push an isin predicate into
+    // the parquet scan (row-group stats + bloom skipping)
+    val scanned = scan(filters)
+    val matched = (if (eqCols.size == 1 && keyRows.length <= 1000)
+        scanned.filter(col(eqCols.head)
+          .isin(keyRows.map(_.get(0)).toIndexedSeq: _*))
+      else scanned)
       .join(org.apache.spark.sql.functions.broadcast(keyDf),
         eqCols.toSeq, "left_semi")
     // SQL UPDATE semantics: every RHS evaluates against the OLD row,

@@ -2006,7 +2006,14 @@ object IcebergWrite {
           case _ => Seq.empty // other types keep pruning conservative
         }
       }
-    val matched = t.scan(filters = filters)
+    // single-column bounded key sets ALSO push an isin predicate into
+    // the parquet scan (row-group stats + bloom skipping) — the semi
+    // join alone is applied above the scan, after row groups decode
+    val scanned = t.scan(filters = filters)
+    val matched = (if (eqCols.size == 1 && keyRows.length <= 1000)
+        scanned.filter(col(eqCols.head)
+          .isin(keyRows.map(_.get(0)).toIndexedSeq: _*))
+      else scanned)
       .join(broadcast(keyDf), eqCols.toSeq, "left_semi")
     // SQL UPDATE semantics: every RHS evaluates against the OLD row,
     // so all assignments go through ONE projection (sequential
