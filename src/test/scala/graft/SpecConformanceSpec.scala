@@ -267,6 +267,39 @@ class SpecConformanceSpec extends AnyFunSuite {
         }
       }
     }
+    // position-delete ROW contents: every (file_path, pos) slot must
+    // name a live data file and a position inside its row count —
+    // dangling or out-of-range slots would silently change fold
+    // results in strict readers
+    val dataRows: Map[String, Long] = mlRecs.filter(
+      _.get("content").asInstanceOf[Int] == 0).flatMap { mf =>
+        openAvro(mf.get("manifest_path").toString)._3
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            localPath(d.get("file_path").toString) ->
+              d.get("record_count").asInstanceOf[Long]
+          }
+      }.toMap
+    mlRecs.filter(_.get("content").asInstanceOf[Int] == 1).foreach { mf =>
+      openAvro(mf.get("manifest_path").toString)._3
+        .filter(e => e.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord])
+        .filter(_.get("content").asInstanceOf[Int] == 1)
+        .foreach { d =>
+          val rows = SparkTestSession.spark.read
+            .parquet(localPath(d.get("file_path").toString))
+            .select("file_path", "pos").collect()
+          rows.foreach { r =>
+            val ref = localPath(r.getString(0))
+            assert(dataRows.contains(ref),
+              s"position delete references unknown data file $ref")
+            assert(r.getLong(1) >= 0 && r.getLong(1) < dataRows(ref),
+              s"position ${r.getLong(1)} out of range for $ref " +
+                s"(rows ${dataRows(ref)})")
+          }
+        }
+    }
     (liveRows, liveFiles)
   }
 
