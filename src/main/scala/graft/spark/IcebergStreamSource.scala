@@ -330,8 +330,21 @@ class IcebergMicroBatchStream(location: String, requiredSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     val ice = loadMeta()
+    // field-id resolution, same as the batch scan: a stream replaying
+    // from an early snapshot reads files written BEFORE a rename, and
+    // name-based resolution would silently null-fill their columns
+    def withIds(s: StructType): StructType =
+      if (!IcebergTable.load(spark, location).fileIdResolution) s
+      else StructType(s.fields.map(f => ice.schema.fieldId(f.name) match {
+        case Some(id) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(graft.table.Meta.FieldIdKey, id.toLong).build())
+        case None => f
+      }))
     UnwrapKeyedFactory(GraftConnectorShim.parquetReaderFactory(
-      spark, ice.schema.toSpark, requiredSchema, Array.empty))
+      spark, withIds(ice.schema.toSpark), withIds(requiredSchema),
+      Array.empty))
   }
 
   override def commit(end: Offset): Unit = ()

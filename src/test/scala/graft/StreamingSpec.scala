@@ -654,4 +654,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.length + users === batchSessions.length,
       s"closed=${sessions.length} users=$users batch=${batchSessions.length}")
   }
+
+  test("iceberg stream replay resolves pre-rename files by field id") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-icern-stream").toString + "/t"
+    // era 1 written under the OLD column name, then a rename, then era
+    // 2 under the new name: a stream replaying from the start must
+    // resolve BOTH eras (name-based resolution would null-fill era 1)
+    graft.table.iceberg.IcebergWrite.create(spark, loc,
+      (1L to 30L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    graft.table.iceberg.IcebergWrite.renameColumn(loc, "v", "label")
+    graft.table.iceberg.IcebergWrite.append(spark, loc,
+      (31L to 50L).map(i => (i, s"b$i")).toDF("k", "label").coalesce(1))
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ice_rn_replay")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ice_rn_replay")
+    assert(got.count() === 50L)
+    assert(got.filter(org.apache.spark.sql.functions.col("label").isNull)
+      .count() === 0L, "pre-rename files must resolve by field id")
+    assert(got.filter(org.apache.spark.sql.functions.col("k") === 5L)
+      .select("label").collect()(0).getString(0) === "a5")
+  }
+
 }
