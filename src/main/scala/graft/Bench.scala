@@ -81,7 +81,11 @@ object Bench {
         "\"" + k + "\":{\"median\":" + v + ",\"reps\":[" +
           ts.mkString(",") + "],\"spread\":" + f"$spread%.3f" + "}"
       }.mkString("{", ",", "}")
-      val w = new java.io.PrintWriter("bench_full.json")
+      // A key-filtered run must not clobber the committed full-battery
+      // record (that happened once: a 2-key probe overwrote the 122-key
+      // file); partial results go to a sidecar instead.
+      val sidecar = if (keep.isDefined) "bench_partial.json" else "bench_full.json"
+      val w = new java.io.PrintWriter(sidecar)
       try w.println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median-of-$reps","queries":$full,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
