@@ -449,4 +449,236 @@ class ModelCheckSpec extends AnyFunSuite {
   test("foreign-format random op sequences agree with the model (seed 2024, deep)") {
     runForeignSequence(2024L, 35)
   }
+
+  /** Model check of SCHEMA EVOLUTION interleaved with DML on an
+    * adopted real-format table: random renames (including the key
+    * column), adds, drops, safe type promotions, inserts, equality /
+    * delta deletes, and point updates, all through catalog SQL.
+    * Column identity in the model is the FIELD ID — names and types
+    * are evolving labels, exactly the spec's rule
+    * (iceberg-rust-spec schema.rs). After every op the full
+    * SELECT * must equal the model under the CURRENT labels; time
+    * travel must reproduce recorded past states under their PINNED
+    * labels; drops of live equality-delete keys must be refused.
+    * The directed evolution tests cover each transition once; this
+    * covers their ORDERINGS (rename->delete-under-old-name->promote->
+    * drop->insert sequences no hand-written scenario enumerates). */
+  private def runEvolutionSequence(seed: Long, nOps: Int): Unit = {
+    import graft.table.iceberg.{IcebergMetadata, IcebergTable, IcebergWrite}
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(seed)
+    val loc = java.nio.file.Files
+      .createTempDirectory(s"graft-evomodel-$seed").toString + "/t"
+
+    // column state: identity is the field id; name/type are labels.
+    // tpe: int | long | string | float | double | dec (scale 2)
+    case class ColSt(id: Int, name: String, tpe: String, prec: Int = 6)
+
+    // bootstrap: k int (key), v string, f float, d decimal(6,2)
+    IcebergWrite.create(spark, loc,
+      Seq((0, "boot", 0f, BigDecimal(0))).toDF("k", "v", "f", "d")
+        .select(col("k").cast("int").as("k"), col("v"),
+          col("f").cast("float").as("f"),
+          col("d").cast("decimal(6,2)").as("d"))
+        .limit(0).coalesce(1))
+    val m0 = IcebergMetadata.load(loc).schema
+    val kId = m0.fieldId("k").get
+    val vId = m0.fieldId("v").get
+    var cols = Vector(
+      ColSt(kId, "k", "int"), ColSt(vId, "v", "string"),
+      ColSt(m0.fieldId("f").get, "f", "float"),
+      ColSt(m0.fieldId("d").get, "d", "dec"))
+    var rows = Map.empty[Long, Map[Int, Any]] // key -> field id -> value
+    var nextK = 1L
+    var promoted = Set.empty[Int]
+    // (snapshot id, labels then, rows then)
+    var history = List.empty[(Long, Vector[ColSt], Map[Long, Map[Int, Any]])]
+
+    val catName = s"evo_${seed}_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      java.nio.file.Files.createTempDirectory(s"graft-evowh-$seed").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catName.m")
+    spark.sql(s"CALL $catName.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val sqlT = s"$catName.m.t"
+
+    def keyName = cols.find(_.id == kId).get.name
+    // value domain keeps every float exact under double widening
+    // (multiples of 0.25) and every decimal inside (6,2)
+    def genVal(c: ColSt, k: Long): Any = c.tpe match {
+      case "int" | "long" => if (c.id == kId) k else k * 31 + c.id
+      case "string" => s"s${k}_${c.id}"
+      case "float" | "double" => (k % 997) * 0.25d
+      case "dec" => new java.math.BigDecimal(k % 1000).setScale(2)
+    }
+    def sqlLit(c: ColSt, v: Any): String = c.tpe match {
+      case "int" | "long" => v.toString
+      case "string" => s"'$v'"
+      case "float" => s"CAST($v AS FLOAT)"
+      case "double" => s"CAST($v AS DOUBLE)"
+      case "dec" =>
+        s"CAST('${v.asInstanceOf[java.math.BigDecimal].toPlainString}' " +
+          s"AS DECIMAL(${c.prec},2))"
+    }
+    def norm(v: Any): Any = v match {
+      case null => null
+      case b: java.math.BigDecimal => b.stripTrailingZeros.toPlainString
+      case b: scala.math.BigDecimal =>
+        b.underlying.stripTrailingZeros.toPlainString
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case n: java.lang.Number => n.longValue
+      case s => s
+    }
+    def record(): Unit =
+      IcebergTable.load(spark, loc).meta.currentSnapshotId
+        .foreach(id => history ::= ((id, cols, rows)))
+    def compare(df: org.apache.spark.sql.DataFrame, pcols: Vector[ColSt],
+        prows: Map[Long, Map[Int, Any]], tag: String): Unit = {
+      assert(df.schema.fieldNames.toVector === pcols.map(_.name),
+        s"seed=$seed $tag schema labels diverged")
+      val kn = pcols.find(_.id == kId).get.name
+      val got = df.collect().map { r =>
+        val key = r.getAs[Any](kn).asInstanceOf[Number].longValue
+        key -> pcols.map(c => c.id -> norm(r.getAs[Any](c.name))).toMap
+      }.toMap
+      val want = prows.map { case (k, m) =>
+        k -> pcols.map(c => c.id -> norm(m.getOrElse(c.id, null))).toMap }
+      assert(got === want, s"seed=$seed $tag diverged from model")
+    }
+    def check(tag: String): Unit =
+      compare(spark.sql(s"SELECT * FROM $sqlT"), cols, rows, tag)
+    def insert(n: Int): Unit = {
+      val ks = (1 to n).map { _ => val k = nextK; nextK += 1; k }
+      val values = ks.map(k =>
+        cols.map(c => sqlLit(c, genVal(c, k))).mkString("(", ",", ")"))
+        .mkString(",")
+      spark.sql(s"INSERT INTO $sqlT VALUES $values")
+      rows ++= ks.map(k => k -> cols.map(c => c.id -> genVal(c, k)).toMap)
+      record()
+    }
+    insert(6)
+
+    for (i <- 1 to nOps) {
+      rnd.nextInt(14) match {
+        case 0 | 1 | 2 => insert(1 + rnd.nextInt(6))
+        case 3 => // rename a random column (key included): id identity
+          val c = cols(rnd.nextInt(cols.size))
+          val nn = s"c${i}n"
+          spark.sql(s"ALTER TABLE $sqlT RENAME COLUMN ${c.name} TO $nn")
+          cols = cols.map(x => if (x.id == c.id) x.copy(name = nn) else x)
+        case 4 => // add a nullable column; old rows null-fill
+          val nn = s"a$i"
+          spark.sql(s"ALTER TABLE $sqlT ADD COLUMN $nn BIGINT")
+          val id = IcebergMetadata.load(loc).schema.fieldId(nn).get
+          cols :+= ColSt(id, nn, "long")
+        case 5 if cols.size > 1 => // drop attempt: succeeds unless the
+          // column is a LIVE equality-delete key (then refused, table
+          // untouched) — the model compare is the oracle either way
+          val nonKey = cols.filterNot(_.id == kId)
+          val c = nonKey(rnd.nextInt(nonKey.size))
+          val r = scala.util.Try(
+            spark.sql(s"ALTER TABLE $sqlT DROP COLUMN ${c.name}"))
+          if (r.isSuccess) cols = cols.filterNot(_.id == c.id)
+        case 6 => // safe promotion: int->long / float->double /
+          // decimal precision growth, each id at most once
+          val cands = cols.filter(c => !promoted.contains(c.id) &&
+            (c.tpe == "int" || c.tpe == "float" || c.tpe == "dec"))
+          if (cands.nonEmpty) {
+            val c = cands(rnd.nextInt(cands.size))
+            val (sqlType, nt, np) = c.tpe match {
+              case "int" => ("BIGINT", "long", c.prec)
+              case "float" => ("DOUBLE", "double", c.prec)
+              case _ => (s"DECIMAL(12,2)", "dec", 12)
+            }
+            spark.sql(
+              s"ALTER TABLE $sqlT ALTER COLUMN ${c.name} TYPE $sqlType")
+            promoted += c.id
+            cols = cols.map(x =>
+              if (x.id == c.id) x.copy(tpe = nt, prec = np) else x)
+          }
+        case 7 if rows.nonEmpty => // pure-equality DELETE by key ->
+          // metadata-only eq-delete file; the key column is then a
+          // live eq-delete key, so dropping it MUST be refused
+          val ks = rows.keys.toSeq.sorted
+            .filter(_ => rnd.nextInt(3) == 0).take(5)
+          if (ks.nonEmpty) {
+            spark.sql(
+              s"DELETE FROM $sqlT WHERE $keyName IN (${ks.mkString(",")})")
+            rows --= ks
+            record()
+            val refused = scala.util.Try(
+              spark.sql(s"ALTER TABLE $sqlT DROP COLUMN $keyName"))
+            assert(refused.isFailure,
+              s"seed=$seed op#$i dropped a live equality-delete key")
+            assert(cols.exists(_.id == kId))
+          }
+        case 8 if rows.nonEmpty && cols.exists(_.id == vId) =>
+          // equality DELETE keyed on the STRING column's value —
+          // possibly under a name the delete-era files never saw
+          val vName = cols.find(_.id == vId).get.name
+          val k0 = rows.keys.toSeq.sorted.apply(rnd.nextInt(rows.size))
+          rows(k0).get(vId) match {
+            case Some(value: String) =>
+              spark.sql(s"DELETE FROM $sqlT WHERE $vName = '$value'")
+              rows = rows.filterNot(_._2.get(vId).contains(value))
+              record()
+              val refused = scala.util.Try(
+                spark.sql(s"ALTER TABLE $sqlT DROP COLUMN $vName"))
+              assert(refused.isFailure,
+                s"seed=$seed op#$i dropped a live equality-delete key")
+            case _ => () // this key's v was never set (added later)
+          }
+        case 9 if rows.nonEmpty => // point UPDATE through the delta
+          // path, against the CURRENT label of a random column
+          val k = rows.keys.toSeq.sorted.apply(rnd.nextInt(rows.size))
+          val nonKey = cols.filterNot(_.id == kId)
+          val c = nonKey(rnd.nextInt(nonKey.size))
+          val nv: Any = c.tpe match {
+            case "int" | "long" => Long.box(100000L + i)
+            case "string" => s"u$i"
+            case "float" | "double" => Double.box(i * 0.25d)
+            case "dec" => new java.math.BigDecimal(i % 1000).setScale(2)
+          }
+          spark.sql(s"UPDATE $sqlT SET ${c.name} = ${sqlLit(c, nv)} " +
+            s"WHERE $keyName = $k")
+          rows += k -> (rows(k) + (c.id -> nv))
+          record()
+        case 10 => // compaction folds outstanding deletes; rows keep
+          IcebergWrite.rewrite(spark, loc, targetFileSizeBytes = 1L << 20)
+          record()
+        case 11 => // equality->position conversion: content-invisible
+          spark.sql(s"CALL $catName.system.rewrite_delete_files(" +
+            s"table => 'm.t', mode => 'convert')")
+          record()
+        case 12 if history.size > 2 => // time travel reproduces a past
+          // state under its PINNED labels (names AND types of its era)
+          val (sid, pcols, prows) = history(rnd.nextInt(history.size))
+          compare(IcebergTable.load(spark, loc).scan(Some(sid)),
+            pcols, prows, s"op#$i time-travel to $sid")
+        case _ => // rename the KEY column: later keyed deletes/updates
+          // must keep matching files written under the old label
+          val nn = s"k${i}n"
+          spark.sql(s"ALTER TABLE $sqlT RENAME COLUMN $keyName TO $nn")
+          cols = cols.map(x => if (x.id == kId) x.copy(name = nn) else x)
+      }
+      check(s"op#$i")
+    }
+    // end-of-sequence: the binary interop reader (the walk any engine
+    // could do, no catalog involved) agrees with the model
+    compare(IcebergTable.load(spark, loc).scan(), cols, rows, "interop-final")
+  }
+
+  test("evolution random sequences agree with the model (seed 19)") {
+    runEvolutionSequence(19L, 22)
+  }
+  test("evolution random sequences agree with the model (seed 301)") {
+    runEvolutionSequence(301L, 22)
+  }
+  test("evolution random sequences agree with the model (seed 777, deep)") {
+    runEvolutionSequence(777L, 34)
+  }
+
 }
