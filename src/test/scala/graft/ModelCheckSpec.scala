@@ -462,47 +462,66 @@ class ModelCheckSpec extends AnyFunSuite {
     * labels; drops of live equality-delete keys must be refused.
     * The directed evolution tests cover each transition once; this
     * covers their ORDERINGS (rename->delete-under-old-name->promote->
-    * drop->insert sequences no hand-written scenario enumerates). */
-  private def runEvolutionSequence(seed: Long, nOps: Int): Unit = {
+    * drop->insert sequences no hand-written scenario enumerates).
+    * graftDialect=true runs the same sequence on a catalog-CREATED
+    * graft-dialect table instead of an adopted real-format one —
+    * same SQL surface, different metadata plane; the one semantic
+    * asymmetry the fuzz encodes is that the graft dialect also
+    * refuses RENAME of a live equality-delete key (its delete files
+    * reference key columns by name). */
+  private def runEvolutionSequence(seed: Long, nOps: Int,
+      graftDialect: Boolean = false): Unit = {
     import graft.table.iceberg.{IcebergMetadata, IcebergTable, IcebergWrite}
     val spark0 = spark
     import spark0.implicits._
     val rnd = new scala.util.Random(seed)
-    val loc = java.nio.file.Files
-      .createTempDirectory(s"graft-evomodel-$seed").toString + "/t"
 
     // column state: identity is the field id; name/type are labels.
     // tpe: int | long | string | float | double | dec (scale 2)
     case class ColSt(id: Int, name: String, tpe: String, prec: Int = 6)
 
+    val catName = s"evo_${seed}_${java.util.UUID.randomUUID().toString.take(6)}"
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft-evowh-$seed").toString
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catName.m")
+    val sqlT = s"$catName.m.t"
+
     // bootstrap: k int (key), v string, f float, d decimal(6,2)
-    IcebergWrite.create(spark, loc,
-      Seq((0, "boot", 0f, BigDecimal(0))).toDF("k", "v", "f", "d")
-        .select(col("k").cast("int").as("k"), col("v"),
-          col("f").cast("float").as("f"),
-          col("d").cast("decimal(6,2)").as("d"))
-        .limit(0).coalesce(1))
-    val m0 = IcebergMetadata.load(loc).schema
-    val kId = m0.fieldId("k").get
-    val vId = m0.fieldId("v").get
+    val loc =
+      if (graftDialect) {
+        spark.sql(s"CREATE TABLE $sqlT " +
+          "(k INT, v STRING, f FLOAT, d DECIMAL(6,2))")
+        s"$wh/m/t"
+      } else {
+        val l = java.nio.file.Files
+          .createTempDirectory(s"graft-evomodel-$seed").toString + "/t"
+        IcebergWrite.create(spark, l,
+          Seq((0, "boot", 0f, BigDecimal(0))).toDF("k", "v", "f", "d")
+            .select(col("k").cast("int").as("k"), col("v"),
+              col("f").cast("float").as("f"),
+              col("d").cast("decimal(6,2)").as("d"))
+            .limit(0).coalesce(1))
+        spark.sql(s"CALL $catName.system.register_table(table => 'm.t', " +
+          s"location => '$l')")
+        l
+      }
+    def fid(name: String): Int =
+      if (graftDialect)
+        GraftTable.load(spark, loc).meta.schema.fields
+          .find(_.name == name).flatMap(graft.table.Meta.fieldId).get
+      else IcebergMetadata.load(loc).schema.fieldId(name).get
+    val kId = fid("k")
+    val vId = fid("v")
     var cols = Vector(
       ColSt(kId, "k", "int"), ColSt(vId, "v", "string"),
-      ColSt(m0.fieldId("f").get, "f", "float"),
-      ColSt(m0.fieldId("d").get, "d", "dec"))
+      ColSt(fid("f"), "f", "float"), ColSt(fid("d"), "d", "dec"))
     var rows = Map.empty[Long, Map[Int, Any]] // key -> field id -> value
     var nextK = 1L
     var promoted = Set.empty[Int]
     // (snapshot id, labels then, rows then)
     var history = List.empty[(Long, Vector[ColSt], Map[Long, Map[Int, Any]])]
-
-    val catName = s"evo_${seed}_${java.util.UUID.randomUUID().toString.take(6)}"
-    spark.conf.set(s"spark.sql.catalog.$catName", "graft.spark.GraftTableCatalog")
-    spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
-      java.nio.file.Files.createTempDirectory(s"graft-evowh-$seed").toString)
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catName.m")
-    spark.sql(s"CALL $catName.system.register_table(table => 'm.t', " +
-      s"location => '$loc')")
-    val sqlT = s"$catName.m.t"
 
     def keyName = cols.find(_.id == kId).get.name
     // value domain keeps every float exact under double widening
@@ -532,8 +551,14 @@ class ModelCheckSpec extends AnyFunSuite {
       case n: java.lang.Number => n.longValue
       case s => s
     }
+    def curSnapId: Option[Long] =
+      if (graftDialect) GraftTable.load(spark, loc).meta.currentSnapshotId
+      else IcebergTable.load(spark, loc).meta.currentSnapshotId
     def record(): Unit =
-      IcebergTable.load(spark, loc).meta.currentSnapshotId
+      // first record per snapshot wins: a snapshot pins the schema-id
+      // current AT COMMIT; a later no-op procedure (nothing to rewrite
+      // or convert) must not re-bind the same id to newer labels
+      curSnapId.filterNot(id => history.headOption.exists(_._1 == id))
         .foreach(id => history ::= ((id, cols, rows)))
     def compare(df: org.apache.spark.sql.DataFrame, pcols: Vector[ColSt],
         prows: Map[Long, Map[Int, Any]], tag: String): Unit = {
@@ -564,16 +589,22 @@ class ModelCheckSpec extends AnyFunSuite {
     for (i <- 1 to nOps) {
       rnd.nextInt(14) match {
         case 0 | 1 | 2 => insert(1 + rnd.nextInt(6))
-        case 3 => // rename a random column (key included): id identity
+        case 3 => // rename a random column (key included): id identity.
+          // The graft dialect alone may refuse while a live equality
+          // delete keys the column (its delete files bind by name);
+          // the adopted dialect must ALWAYS succeed
           val c = cols(rnd.nextInt(cols.size))
           val nn = s"c${i}n"
-          spark.sql(s"ALTER TABLE $sqlT RENAME COLUMN ${c.name} TO $nn")
-          cols = cols.map(x => if (x.id == c.id) x.copy(name = nn) else x)
+          val r = scala.util.Try(
+            spark.sql(s"ALTER TABLE $sqlT RENAME COLUMN ${c.name} TO $nn"))
+          if (r.isSuccess)
+            cols = cols.map(x => if (x.id == c.id) x.copy(name = nn) else x)
+          else assert(graftDialect,
+            s"seed=$seed op#$i adopted-dialect rename refused: ${r.failed.get}")
         case 4 => // add a nullable column; old rows null-fill
           val nn = s"a$i"
           spark.sql(s"ALTER TABLE $sqlT ADD COLUMN $nn BIGINT")
-          val id = IcebergMetadata.load(loc).schema.fieldId(nn).get
-          cols :+= ColSt(id, nn, "long")
+          cols :+= ColSt(fid(nn), nn, "long")
         case 5 if cols.size > 1 => // drop attempt: succeeds unless the
           // column is a LIVE equality-delete key (then refused, table
           // untouched) — the model compare is the oracle either way
@@ -599,13 +630,20 @@ class ModelCheckSpec extends AnyFunSuite {
             cols = cols.map(x =>
               if (x.id == c.id) x.copy(tpe = nt, prec = np) else x)
           }
-        case 7 if rows.nonEmpty => // pure-equality DELETE by key ->
-          // metadata-only eq-delete file; the key column is then a
-          // live eq-delete key, so dropping it MUST be refused
+        case 7 if rows.nonEmpty => // keyed DELETE. Adopted dialect:
+          // pure-equality SQL DELETE -> metadata-only eq-delete file,
+          // so dropping the key MUST then be refused. Graft dialect:
+          // SQL DELETE is copy-on-write by default (no delete file),
+          // so the eq-delete is driven through the table layer — and
+          // BOTH drop and rename of the key must then be refused (its
+          // delete files bind key columns by name)
           val ks = rows.keys.toSeq.sorted
             .filter(_ => rnd.nextInt(3) == 0).take(5)
           if (ks.nonEmpty) {
-            spark.sql(
+            if (graftDialect)
+              GraftTable.load(spark, loc).deleteWhereMoR(
+                col(keyName).isin(ks: _*), Seq(keyName))
+            else spark.sql(
               s"DELETE FROM $sqlT WHERE $keyName IN (${ks.mkString(",")})")
             rows --= ks
             record()
@@ -613,6 +651,12 @@ class ModelCheckSpec extends AnyFunSuite {
               spark.sql(s"ALTER TABLE $sqlT DROP COLUMN $keyName"))
             assert(refused.isFailure,
               s"seed=$seed op#$i dropped a live equality-delete key")
+            if (graftDialect) {
+              val rn = scala.util.Try(spark.sql(
+                s"ALTER TABLE $sqlT RENAME COLUMN $keyName TO zz$i"))
+              assert(rn.isFailure, s"seed=$seed op#$i graft dialect " +
+                "renamed a live equality-delete key")
+            }
             assert(cols.exists(_.id == kId))
           }
         case 8 if rows.nonEmpty && cols.exists(_.id == vId) =>
@@ -622,7 +666,10 @@ class ModelCheckSpec extends AnyFunSuite {
           val k0 = rows.keys.toSeq.sorted.apply(rnd.nextInt(rows.size))
           rows(k0).get(vId) match {
             case Some(value: String) =>
-              spark.sql(s"DELETE FROM $sqlT WHERE $vName = '$value'")
+              if (graftDialect)
+                GraftTable.load(spark, loc).deleteWhereMoR(
+                  col(vName) === value, Seq(vName))
+              else spark.sql(s"DELETE FROM $sqlT WHERE $vName = '$value'")
               rows = rows.filterNot(_._2.get(vId).contains(value))
               record()
               val refused = scala.util.Try(
@@ -647,7 +694,8 @@ class ModelCheckSpec extends AnyFunSuite {
           rows += k -> (rows(k) + (c.id -> nv))
           record()
         case 10 => // compaction folds outstanding deletes; rows keep
-          IcebergWrite.rewrite(spark, loc, targetFileSizeBytes = 1L << 20)
+          spark.sql(s"CALL $catName.system.rewrite_data_files(" +
+            s"table => 'm.t', target_file_size_bytes => 1048576)")
           record()
         case 11 => // equality->position conversion: content-invisible
           spark.sql(s"CALL $catName.system.rewrite_delete_files(" +
@@ -656,19 +704,30 @@ class ModelCheckSpec extends AnyFunSuite {
         case 12 if history.size > 2 => // time travel reproduces a past
           // state under its PINNED labels (names AND types of its era)
           val (sid, pcols, prows) = history(rnd.nextInt(history.size))
-          compare(IcebergTable.load(spark, loc).scan(Some(sid)),
-            pcols, prows, s"op#$i time-travel to $sid")
+          val tt =
+            if (graftDialect) GraftTable.load(spark, loc).timeTravel(sid)
+            else IcebergTable.load(spark, loc).scan(Some(sid))
+          compare(tt, pcols, prows, s"op#$i time-travel to $sid")
         case _ => // rename the KEY column: later keyed deletes/updates
           // must keep matching files written under the old label
           val nn = s"k${i}n"
-          spark.sql(s"ALTER TABLE $sqlT RENAME COLUMN $keyName TO $nn")
-          cols = cols.map(x => if (x.id == kId) x.copy(name = nn) else x)
+          val kn = keyName
+          val r = scala.util.Try(
+            spark.sql(s"ALTER TABLE $sqlT RENAME COLUMN $kn TO $nn"))
+          if (r.isSuccess)
+            cols = cols.map(x => if (x.id == kId) x.copy(name = nn) else x)
+          else assert(graftDialect,
+            s"seed=$seed op#$i adopted-dialect rename refused: ${r.failed.get}")
       }
       check(s"op#$i")
     }
-    // end-of-sequence: the binary interop reader (the walk any engine
-    // could do, no catalog involved) agrees with the model
-    compare(IcebergTable.load(spark, loc).scan(), cols, rows, "interop-final")
+    // end-of-sequence: the catalog-independent reader (the binary
+    // interop walk for adopted tables, the table layer for graft)
+    // agrees with the model
+    val fin =
+      if (graftDialect) GraftTable.load(spark, loc).scan()
+      else IcebergTable.load(spark, loc).scan()
+    compare(fin, cols, rows, "interop-final")
   }
 
   test("evolution random sequences agree with the model (seed 19)") {
@@ -680,5 +739,12 @@ class ModelCheckSpec extends AnyFunSuite {
   test("evolution random sequences agree with the model (seed 777, deep)") {
     runEvolutionSequence(777L, 34)
   }
+  test("graft-dialect evolution sequences agree with the model (seed 23)") {
+    runEvolutionSequence(23L, 22, graftDialect = true)
+  }
+  test("graft-dialect evolution sequences agree with the model (seed 606)") {
+    runEvolutionSequence(606L, 30, graftDialect = true)
+  }
+
 
 }
