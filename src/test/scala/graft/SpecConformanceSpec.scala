@@ -368,4 +368,48 @@ class SpecConformanceSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
       .collect()(0).getLong(0) === expected.size.toLong)
   }
+
+  test("heavily evolved table (adds, drops, converts) stays conformant") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1 to 300).map(i => (i, s"v$i", s"g$i")).toDF("k", "v", "gone")
+        .repartition(2))
+    val cat = s"confe_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-confewh").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // equality delete committed under the ORIGINAL key name, THEN the
+    // key renamed: the delete file's column label goes stale but its
+    // equality id stays current — exactly what the walk's
+    // eq-id-in-current-schema assert must still accept
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k IN (1, 2, 3)")
+    spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN k TO id")
+    walkAndValidate(loc)
+    // widen the schema and write under BOTH eras
+    spark.sql(s"ALTER TABLE $cat.m.t ADD COLUMN score BIGINT")
+    spark.sql(s"INSERT INTO $cat.m.t VALUES (301, 'x', 'gx', 9)")
+    spark.sql(s"UPDATE $cat.m.t SET score = 5 WHERE id = 10")
+    // eq->pos conversion drops the (stale-labeled) equality file;
+    // the replacement slots must still pass the walk's
+    // position-in-range and live-file-reference row checks
+    spark.sql(s"CALL $cat.system.rewrite_delete_files(" +
+      s"table => 'm.t', mode => 'convert')")
+    // retire a column and promote the renamed key: three schemas of
+    // three eras now coexist in one metadata tree
+    spark.sql(s"ALTER TABLE $cat.m.t DROP COLUMN gone")
+    spark.sql(s"ALTER TABLE $cat.m.t ALTER COLUMN id TYPE BIGINT")
+
+    val (liveRows, _) = walkAndValidate(loc)
+    // 300 created + 1 inserted + 1 delta-update row version
+    assert(liveRows === 302L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+      .collect()(0).getLong(0) === 298L) // 300 - 3 deleted + 1 insert
+    assert(spark.sql(
+      s"SELECT sum(score) FROM $cat.m.t").collect()(0).getLong(0) === 14L)
+  }
 }
