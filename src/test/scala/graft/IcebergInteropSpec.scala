@@ -2464,6 +2464,105 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(exDrop.getMessage.contains("equality"))
   }
 
+  test("equality delete keyed under the narrow type survives promotion") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+        .select(col("k").cast("int").as("k"), col("v")).repartition(2))
+    val cat = s"evotw_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-evotw").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // the delete parquet stores INT32 key values...
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k IN (5, 17)")
+    // ...and the schema then widens: the MoR fold must promote the
+    // delete file's int values into the long key space, in BOTH the
+    // catalog reader and the binary interop reader
+    spark.sql(s"ALTER TABLE $cat.m.t ALTER COLUMN k TYPE BIGINT")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+      .collect()(0).getLong(0) === 98L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t WHERE k IN (5, 17)")
+      .collect()(0).getLong(0) === 0L)
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().count() === 98L)
+    assert(t.scan().filter(col("k").isin(5L, 17L)).count() === 0L)
+    // post-promotion writes live in the widened space: a key beyond
+    // int range inserts and equality-deletes cleanly
+    spark.sql(s"INSERT INTO $cat.m.t VALUES (3000000000, 'big')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+      .collect()(0).getLong(0) === 99L)
+    spark.sql(s"DELETE FROM $cat.m.t WHERE k IN (3000000000)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+      .collect()(0).getLong(0) === 98L)
+  }
+
+  test("schema evolution races DML commits without losing either") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1 to 200).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "w")
+        .select(col("k").cast("int").as("k"), col("v"), col("w"))
+        .repartition(2))
+    val cat = s"evorace_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-evoracewh").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+
+    // evolution commits (metadata-version CAS, no snapshots) race DML
+    // commits (snapshot CAS): neither side may lose an update. The
+    // DML thread touches only k and w, never the columns in flight.
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val evo = new Thread(() => try {
+      for (stmt <- Seq(
+          s"ALTER TABLE $cat.m.t RENAME COLUMN v TO v1",
+          s"ALTER TABLE $cat.m.t ADD COLUMN a1 BIGINT",
+          s"ALTER TABLE $cat.m.t ALTER COLUMN k TYPE BIGINT",
+          s"ALTER TABLE $cat.m.t RENAME COLUMN v1 TO v2",
+          s"ALTER TABLE $cat.m.t ADD COLUMN a2 STRING",
+          s"ALTER TABLE $cat.m.t DROP COLUMN a1"))
+        spark.sql(stmt)
+    } catch { case t: Throwable => errors.add(t) })
+    val dml = new Thread(() => try {
+      for (i <- 0 until 4) {
+        spark.sql(s"DELETE FROM $cat.m.t " +
+          s"WHERE k IN (${i * 40 + 1}, ${i * 40 + 2})") // equality
+        spark.sql(
+          s"UPDATE $cat.m.t SET w = w + 1 WHERE k = ${i * 40 + 10}")
+      }
+    } catch { case t: Throwable => errors.add(t) })
+    evo.start(); dml.start(); evo.join(180000); dml.join(180000)
+    assert(errors.isEmpty, s"racing commit failed: ${errors.peek()}")
+
+    val m = IcebergMetadata.load(loc)
+    // create + 4 eq deletes + 4 updates; evolution adds NO snapshots
+    assert(m.snapshots.size === 9,
+      s"expected 9 snapshots, got ${m.snapshots.map(_.operation)}")
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = m.currentSnapshotId; var chain = 0
+    while (cur.isDefined) { chain += 1; cur = byId(cur.get).parentId }
+    assert(chain === 9, "parent chain must cover every DML commit")
+    // every evolution commit survived the races too
+    assert(m.schema.fields.map(_.name).toSet === Set("k", "v2", "w", "a2"))
+    assert(m.schema.fields.find(_.name == "k").get.tpe === "long")
+    // content: 200 - 8 eq-deleted; each updated key bumped exactly once
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+      .collect()(0).getLong(0) === 192L)
+    val ws = spark.sql(s"SELECT k, w FROM $cat.m.t " +
+      s"WHERE k % 40 = 10 AND k <= 160").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ws === (0 until 4).map(i => (i * 40 + 10).toLong ->
+      ((i * 40 + 10) * 10L + 1L)).toMap)
+  }
+
   test("promoting a bucket partition source keeps transform pruning") {
     val spark0 = spark
     import spark0.implicits._
