@@ -2501,6 +2501,68 @@ class IcebergInteropSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 98L)
   }
 
+  test("changelog across a rename reads every era under end-era labels") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    val s1 = IcebergTable.load(spark, loc).meta.currentSnapshotId.get
+    IcebergWrite.renameColumn(loc, "v", "label")
+    IcebergWrite.append(spark, loc,
+      (31L to 40L).map(i => (i, s"w$i")).toDF("k", "label").coalesce(1))
+    IcebergWrite.deleteEquality(spark, loc, Seq(5L).toDF("k"), Seq("k"))
+
+    val ch = IcebergTable.load(spark, loc).changesBetween(Some(s1))
+    // the changelog binds to the END era's labels...
+    assert(ch.schema.fieldNames.contains("label") &&
+      !ch.schema.fieldNames.contains("v"))
+    val rows = ch.select("k", "label", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // ...and the delete of an era-1 row carries that row's VALUE read
+    // from a pre-rename file (name-based binding would null it)
+    assert(rows.toSet.contains((5L, "v5", "delete")))
+    assert(rows.filter(_._3 == "insert").map(_._1).sorted.toSeq ===
+      (31L to 40L))
+    assert(rows.forall(_._2 != null))
+  }
+
+  test("update_by_key matches old-era files under renamed labels") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 100L).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "w")
+        .repartition(2))
+    val cat = s"ubkr_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-ubkrwh").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // every data file predates BOTH renames: the keyed fetch (isin
+    // pushdown + semi join) and the assignment expression must bind
+    // to the old-era columns through field-id resolution
+    spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN k TO id")
+    spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN w TO amt")
+    val updated = spark.sql(s"CALL $cat.system.update_by_key(" +
+      s"table => 'm.t', key_column => 'id', key_values => '7, 9', " +
+      s"assignments => 'amt = amt * 2')").collect()(0).getLong(0)
+    assert(updated === 2L)
+    assert(spark.sql(s"SELECT sum(amt) FROM $cat.m.t")
+      .collect()(0).getLong(0) === (1L to 100L).map(_ * 10L).sum + 70L + 90L)
+    assert(spark.sql(s"SELECT amt FROM $cat.m.t WHERE id = 7")
+      .collect()(0).getLong(0) === 140L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+      .collect()(0).getLong(0) === 100L)
+    // the interop reader agrees (the delete side of the commit is an
+    // equality delete whose key column is the RENAMED id)
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().filter(col("id") === 9L).select("amt")
+      .collect()(0).getLong(0) === 180L)
+  }
+
   test("schema evolution races DML commits without losing either") {
     val spark0 = spark
     import spark0.implicits._

@@ -683,4 +683,38 @@ class StreamingSpec extends AnyFunSuite {
       .select("label").collect()(0).getString(0) === "a5")
   }
 
+  test("iceberg stream replay null-fills pre-add files for added columns") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-iceadd-stream").toString + "/t"
+    // era 1 lacks the column entirely; a replay from the start must
+    // null-fill era 1 (the added field id is absent from its footers)
+    // while reading real values from era 2
+    graft.table.iceberg.IcebergWrite.create(spark, loc,
+      (1L to 25L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    graft.table.iceberg.IcebergWrite.addColumns(loc,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType))))
+    graft.table.iceberg.IcebergWrite.append(spark, loc,
+      (26L to 40L).map(i => (i, s"b$i", i * 2L)).toDF("k", "v", "score")
+        .coalesce(1))
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ice_add_replay")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ice_add_replay")
+    assert(got.count() === 40L)
+    assert(got.filter(col("k") <= 25L && col("score").isNotNull)
+      .count() === 0L, "pre-add files must null-fill the added column")
+    assert(got.filter(col("k") > 25L)
+      .filter(col("score") =!= col("k") * 2L).count() === 0L)
+    assert(got.filter(col("v").isNull).count() === 0L)
+  }
+
 }
