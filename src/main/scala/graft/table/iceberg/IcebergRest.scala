@@ -1530,6 +1530,33 @@ object IcebergRestClient {
       s"updateSortOrder -> ${resp.statusCode()}: ${resp.body()}")
   }
 
+  /** Evolve the table schema through the commit protocol (add-schema
+    * + set-current-schema -1, uuid-asserted — commit.rs
+    * TableUpdate::AddSchema/SetCurrentSchema). The caller supplies
+    * the FULL next schema under the field-id contract: renames keep
+    * ids, adds allocate fresh ids above last-column-id. */
+  def updateSchema(base: String, ns: String, table: String,
+      schema: IcebergMetadata.IceSchema): Unit = {
+    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val uuid = res.get("metadata").get("table-uuid").asText()
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-table-uuid"); r.put("uuid", uuid)
+    val ups = body.putArray("updates")
+    val add = ups.addObject()
+    add.put("action", "add-schema")
+    add.set[com.fasterxml.jackson.databind.node.ObjectNode](
+      "schema", IcebergMetadata.schemaToNode(schema))
+    val set = ups.addObject()
+    set.put("action", "set-current-schema")
+    set.put("schema-id", -1)
+    val resp = post(s"$base/v1/namespaces/$ns/tables/$table",
+      mapper.writeValueAsString(body))
+    require(resp.statusCode() == 200,
+      s"updateSchema -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
   /** Create or repoint a branch/tag through the commit protocol
     * (set-snapshot-ref), CAS-guarded on the ref's current position:
     * `expected` is where the caller believes the ref points (None =

@@ -354,6 +354,9 @@ class ModelCheckSpec extends AnyFunSuite {
         IcebergMetadata.load(loc).defaultSortOrderId
       var nextOrderId = IcebergMetadata.load(loc).sortOrders
         .map(_.orderId).maxOption.getOrElse(0) + 1
+      // schema plane: field ids are identity, names evolve over REST
+      var mFields = IcebergMetadata.load(loc).schema.fields
+      var mSchemaId = IcebergMetadata.load(loc).currentSchemaId
       val propKeys = (0 until 4).map(i => s"p$i")
       val refNames = (0 until 3).map(i => s"br$i")
 
@@ -365,10 +368,14 @@ class ModelCheckSpec extends AnyFunSuite {
           s"seed=$seed op=$tag refs diverged")
         assert(m.defaultSortOrderId === mDefaultOrder,
           s"seed=$seed op=$tag default sort order diverged")
+        assert(m.currentSchemaId === mSchemaId,
+          s"seed=$seed op=$tag current-schema-id diverged")
+        assert(m.schema.fields === mFields,
+          s"seed=$seed op=$tag schema fields diverged")
       }
 
       for (i <- 1 to nOps) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // set a property
             val k = propKeys(rnd.nextInt(propKeys.size))
             C.updateProperties(base, "db", "t", Map(k -> s"val$i"))
@@ -402,11 +409,23 @@ class ModelCheckSpec extends AnyFunSuite {
             val wrongCas = snaps.find(_ != cur)
             assert(C.removeSnapshotRef(base, "db", "t", name,
               wrongCas) === 409)
-          case 6 => // sort-order evolution: a fresh order becomes default
+          case 6 => // sort-order evolution: a fresh order becomes
+            // default (the key column under its CURRENT label — the
+            // schema plane may have renamed it)
             val dir = if (rnd.nextBoolean()) "asc" else "desc"
-            C.updateSortOrder(base, "db", "t", Seq("k" -> dir))
+            C.updateSortOrder(base, "db", "t",
+              Seq(mFields.head.name -> dir))
             mDefaultOrder = nextOrderId
             nextOrderId += 1
+          case 7 => // schema evolution over the commit protocol:
+            // add-schema + set-current-schema(-1) renames a random
+            // field; ids are identity, the label changes
+            val idx = rnd.nextInt(mFields.size)
+            mFields = mFields.zipWithIndex.map { case (f, j) =>
+              if (j == idx) f.copy(name = s"r${i}_${f.id}") else f }
+            mSchemaId += 1
+            C.updateSchema(base, "db", "t", IcebergMetadata.IceSchema(
+              mSchemaId, mFields))
           case _ => // wrong-uuid transaction -> 409, rolled back
             assert(C.commitTransaction(base, Seq(C.TableChange("db", "t",
               Seq(C.requireUuid("00000000-0000-0000-0000-00000000beef")),
