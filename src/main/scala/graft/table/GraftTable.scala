@@ -874,7 +874,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       if (keepPos) afterPos
       else if (needPos) afterPos.drop("__file", "__pos")
       else afterPos
-    }.reduce(_ unionByName _)
+    }.map(df =>
+      // id-carrying schemas: barrier nested columns so SchemaPruning
+      // cannot rebuild the read schema without parquet.field.id (a
+      // pruned leaf under a renamed struct would null-fill)
+      if (Meta.hasFieldIds(schema))
+        graft.functions.PruneBarrier.protectNested(df)
+      else df
+    ).reduce(_ unionByName _)
   }
 
   /** Key-routed point UPDATE (the GDPR/user-record rewrite; graft

@@ -366,9 +366,14 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     if (dataWithSeq.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // nested columns of id-resolved reads go through a prune barrier:
+    // SchemaPruning's rebuilt read schema drops parquet.field.id, so a
+    // pruned leaf under a renamed struct column would null-fill
+    def guard(df: DataFrame): DataFrame =
+      if (idRes) graft.functions.PruneBarrier.protectNested(df) else df
     if (deletes.isEmpty && !keepPos)
-      return spark.read.schema(schemaOf)
-        .parquet(dataWithSeq.map(f => resolve(f._1.filePath).toString): _*)
+      return guard(spark.read.schema(schemaOf)
+        .parquet(dataWithSeq.map(f => resolve(f._1.filePath).toString): _*))
 
     val classes = dataWithSeq.groupBy { case (_, seq) =>
       (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
@@ -425,7 +430,7 @@ class IcebergTable private (val location: String, val spark: SparkSession,
             "left_anti")
         }
       if (needPos && !keepPos) result.drop("__file", "__pos") else result
-    }.reduce(_ unionByName _)
+    }.map(guard).reduce(_ unionByName _)
   }
 
   /** Changelog over the real format — GraftTable.changesBetween parity

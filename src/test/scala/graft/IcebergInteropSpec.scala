@@ -2563,6 +2563,88 @@ class IcebergInteropSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 180L)
   }
 
+  test("MERGE INTO after renames binds all three branches by field id") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 50L).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "amt")
+        .repartition(2))
+    val cat = s"mrn_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-mrnwh").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // every data file predates the renames; the merge's ON clause,
+    // branch conditions, assignments, and the delta commit's
+    // position-delete scan all run under the NEW labels
+    spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN k TO id")
+    spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN amt TO total")
+    Seq((5L, "del", 0L), (7L, "upd", 100L),
+      (60L, "new60", 600L), (61L, "new61", 610L))
+      .toDF("id", "v", "total").createOrReplaceTempView("mrn_src")
+    spark.sql(
+      s"""MERGE INTO $cat.m.t t USING mrn_src s
+          ON t.id = s.id
+          WHEN MATCHED AND s.v = 'del' THEN DELETE
+          WHEN MATCHED THEN
+            UPDATE SET total = t.total + s.total, v = s.v
+          WHEN NOT MATCHED THEN
+            INSERT (id, v, total) VALUES (s.id, s.v, s.total)""")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
+      .collect()(0).getLong(0) === 51L) // 50 - 1 deleted + 2 inserted
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.t WHERE id = 5")
+      .collect()(0).getLong(0) === 0L)
+    val r7 = spark.sql(s"SELECT v, total FROM $cat.m.t WHERE id = 7")
+      .collect()(0)
+    assert(r7.getString(0) === "upd" && r7.getLong(1) === 170L)
+    // interop reader folds the same delta commit
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().count() === 51L)
+    assert(t.scan().filter(col("id") === 60L).select("total")
+      .collect()(0).getLong(0) === 600L)
+  }
+
+  test("struct-typed ADD COLUMN allocates nested field ids and reads back") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    val cat = s"nst_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-nstwh").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val lastIdBefore = IcebergMetadata.load(loc).lastColumnId
+    spark.sql(
+      s"ALTER TABLE $cat.m.t ADD COLUMN meta STRUCT<a: BIGINT, b: STRING>")
+    // the struct AND its leaves consume ids above the old counter —
+    // the spec's no-reuse rule covers nested fields too
+    val m = IcebergMetadata.load(loc)
+    assert(m.lastColumnId >= lastIdBefore + 3,
+      s"struct + 2 leaves must allocate 3 ids, lastColumnId=${m.lastColumnId}")
+    spark.sql(s"INSERT INTO $cat.m.t VALUES " +
+      "(21, 'x', named_struct('a', 7L, 'b', 'inner'))")
+    // old rows null-fill the struct; the new row's leaves project
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.m.t WHERE meta IS NOT NULL")
+      .collect()(0).getLong(0) === 1L)
+    assert(spark.sql(s"SELECT meta.a, meta.b FROM $cat.m.t WHERE k = 21")
+      .collect()(0).toSeq === Seq(7L, "inner"))
+    // rename of the struct COLUMN keeps the leaves resolving
+    spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN meta TO info")
+    assert(spark.sql(s"SELECT info.b FROM $cat.m.t WHERE k = 21")
+      .collect()(0).getString(0) === "inner")
+    val t = IcebergTable.load(spark, loc)
+    assert(t.scan().filter(col("k") === 21L).select("info.a")
+      .collect()(0).getLong(0) === 7L)
+  }
+
   test("schema evolution races DML commits without losing either") {
     val spark0 = spark
     import spark0.implicits._

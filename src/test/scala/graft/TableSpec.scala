@@ -615,6 +615,29 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("nested leaf select resolves after a struct column rename") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val df = Seq((1L, (7L, "x")), (2L, (8L, "y"))).toDF("k", "meta")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    // files carry the OLD top-level name; a leaf select after the
+    // rename goes through nested-schema pruning, which rebuilds the
+    // read schema WITHOUT parquet.field.id — the PruneBarrier in the
+    // scan is what keeps the struct resolving by id
+    t.renameColumn("meta", "info")
+    val got = GraftTable.load(spark, root).scan()
+      .select(col("k"), col("info._1").as("a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 7L), (2L, 8L)))
+    // whole-struct read agrees
+    assert(GraftTable.load(spark, root).scan()
+      .filter(col("k") === 2L).select("info")
+      .collect()(0).getStruct(0).getString(1) === "y")
+  }
+
   test("changesBetween: per-commit net changes, carryovers cancel") {
     val spark0 = spark
     import spark0.implicits._
