@@ -550,6 +550,7 @@ class ModelCheckSpec extends AnyFunSuite {
       case "string" => s"s${k}_${c.id}"
       case "float" | "double" => (k % 997) * 0.25d
       case "dec" => new java.math.BigDecimal(k % 1000).setScale(2)
+      case "struct" => (k * 31 + c.id, s"n${k}_${c.id}")
     }
     def sqlLit(c: ColSt, v: Any): String = c.tpe match {
       case "int" | "long" => v.toString
@@ -559,9 +560,14 @@ class ModelCheckSpec extends AnyFunSuite {
       case "dec" =>
         s"CAST('${v.asInstanceOf[java.math.BigDecimal].toPlainString}' " +
           s"AS DECIMAL(${c.prec},2))"
+      case "struct" =>
+        val (a, b) = v.asInstanceOf[(Long, String)]
+        s"named_struct('a', CAST($a AS BIGINT), 'b', '$b')"
     }
     def norm(v: Any): Any = v match {
       case null => null
+      case r: org.apache.spark.sql.Row => (norm(r.get(0)), norm(r.get(1)))
+      case (a, b) => (norm(a), norm(b))
       case b: java.math.BigDecimal => b.stripTrailingZeros.toPlainString
       case b: scala.math.BigDecimal =>
         b.underlying.stripTrailingZeros.toPlainString
@@ -620,10 +626,18 @@ class ModelCheckSpec extends AnyFunSuite {
             cols = cols.map(x => if (x.id == c.id) x.copy(name = nn) else x)
           else assert(graftDialect,
             s"seed=$seed op#$i adopted-dialect rename refused: ${r.failed.get}")
-        case 4 => // add a nullable column; old rows null-fill
+        case 4 => // add a nullable column (sometimes a STRUCT, whose
+          // leaves exercise nested field-id allocation and the
+          // prune-barrier read path); old rows null-fill
           val nn = s"a$i"
-          spark.sql(s"ALTER TABLE $sqlT ADD COLUMN $nn BIGINT")
-          cols :+= ColSt(fid(nn), nn, "long")
+          if (rnd.nextBoolean()) {
+            spark.sql(s"ALTER TABLE $sqlT ADD COLUMN $nn BIGINT")
+            cols :+= ColSt(fid(nn), nn, "long")
+          } else {
+            spark.sql(s"ALTER TABLE $sqlT ADD COLUMN $nn " +
+              "STRUCT<a: BIGINT, b: STRING>")
+            cols :+= ColSt(fid(nn), nn, "struct")
+          }
         case 5 if cols.size > 1 => // drop attempt: succeeds unless the
           // column is a LIVE equality-delete key (then refused, table
           // untouched) — the model compare is the oracle either way
@@ -707,6 +721,7 @@ class ModelCheckSpec extends AnyFunSuite {
             case "string" => s"u$i"
             case "float" | "double" => Double.box(i * 0.25d)
             case "dec" => new java.math.BigDecimal(i % 1000).setScale(2)
+            case "struct" => (100000L + i, s"u$i")
           }
           spark.sql(s"UPDATE $sqlT SET ${c.name} = ${sqlLit(c, nv)} " +
             s"WHERE $keyName = $k")
@@ -764,6 +779,7 @@ class ModelCheckSpec extends AnyFunSuite {
   test("graft-dialect evolution sequences agree with the model (seed 606)") {
     runEvolutionSequence(606L, 30, graftDialect = true)
   }
+
 
 
 }
