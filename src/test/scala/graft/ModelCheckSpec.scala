@@ -782,4 +782,158 @@ class ModelCheckSpec extends AnyFunSuite {
 
 
 
+
+  /** Pruning-soundness property check on an adopted real-format table
+    * with transform partitions (month + bucket + truncate), schema
+    * evolution mid-history (renames + float->double and decimal
+    * precision promotions, so old manifests carry NARROW bounds under
+    * the widened comparators), nulls, negatives, and merge-on-read
+    * equality deletes. Invariant: for random (column, op, literal)
+    * filters, the manifest-pruned scan filtered by the equivalent
+    * Spark predicate is row-for-row identical to the unpruned scan
+    * filtered the same way — pruning may keep extra files, but must
+    * never lose a matching row through any of its three tiers
+    * (manifest-list field summaries, file stats, partition values
+    * through transforms). */
+  private def runPruneSoundness(seed: Long, trials: Int): Unit = {
+    import graft.table.iceberg.{IcebergTable, IcebergWrite}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spark0 = spark
+    val rnd = new scala.util.Random(seed)
+    val loc = java.nio.file.Files
+      .createTempDirectory(s"graft-prsound-$seed").toString + "/t"
+
+    val schema0 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DateType, nullable = false),
+      StructField("amt", DecimalType(9, 2)),
+      StructField("w", FloatType),
+      StructField("g", LongType)))
+    def mk(n: Int): org.apache.spark.sql.DataFrame = {
+      val rows = (1 to n).map { _ =>
+        val k = (rnd.nextLong() % 10000L)
+        val sv = if (rnd.nextInt(8) == 0) null else s"s${rnd.nextInt(400)}"
+        val d = java.sql.Date.valueOf(java.time.LocalDate.of(
+          1965 + rnd.nextInt(70), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28)))
+        val amt = if (rnd.nextInt(10) == 0) null
+          else new java.math.BigDecimal(rnd.nextInt(2000000) - 1000000)
+            .movePointLeft(2)
+        val w: java.lang.Float =
+          if (rnd.nextInt(9) == 0) null
+          else Float.box((rnd.nextInt(4001) - 2000) * 0.25f)
+        val g: java.lang.Long =
+          if (rnd.nextInt(3) == 0) null else Long.box(rnd.nextInt(100).toLong)
+        Row(k, sv, d, amt, w, g)
+      }
+      spark0.createDataFrame(rows.asJava, schema0)
+    }
+    IcebergWrite.createWithSpec(spark, loc, mk(150).repartition(3),
+      Seq("d" -> "month", "k" -> "bucket[4]", "s" -> "truncate[2]"))
+    IcebergWrite.append(spark, loc, mk(150).repartition(2))
+    // evolution mid-history: the eras BELOW keep narrow bounds and
+    // old labels in their manifests
+    IcebergWrite.renameColumn(loc, "k", "id")
+    IcebergWrite.renameColumn(loc, "d", "day")
+    IcebergWrite.updateColumnType(loc, "w", DoubleType)
+    IcebergWrite.updateColumnType(loc, "amt", DecimalType(15, 2))
+    val schema1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("day", DateType, nullable = false),
+      StructField("amt", DecimalType(15, 2)),
+      StructField("w", DoubleType),
+      StructField("g", LongType)))
+    val era3 = {
+      val df = mk(150)
+      spark0.createDataFrame(df.rdd.map(r => Row(r.get(0), r.get(1),
+        r.get(2), Option(r.getDecimal(3)).map(_.setScale(2)).orNull,
+        Option(r.getAs[java.lang.Float](4))
+          .map(f => Double.box(f.toDouble)).orNull, r.get(5))), schema1)
+    }
+    IcebergWrite.append(spark, loc, era3.repartition(2))
+    // MoR equality deletes interleave with pruning
+    val t0 = IcebergTable.load(spark, loc)
+    val someIds = t0.scan().select("id").limit(7).collect().map(_.getLong(0))
+    IcebergWrite.deleteEquality(spark, loc,
+      spark0.createDataFrame(someIds.map(Row(_)).toSeq.asJava,
+        StructType(Seq(StructField("id", LongType)))), Seq("id"))
+
+    val t = IcebergTable.load(spark, loc)
+    val totalFiles = t.plannedFiles().size
+    var prunedAtLeastOnce = false
+    val cols = Seq(
+      ("id", "long"), ("s", "string"), ("day", "date"),
+      ("amt", "dec"), ("w", "double"), ("g", "long"))
+    val pool = t.scan().collect()
+    def litFor(c: String, tpe: String): String = {
+      val fromData = rnd.nextInt(2) == 0 && pool.nonEmpty
+      def sample: Option[Any] = {
+        val r = pool(rnd.nextInt(pool.length))
+        Option(r.getAs[Any](c))
+      }
+      tpe match {
+        case "long" =>
+          (if (fromData) sample.map(_.toString) else None)
+            .getOrElse((rnd.nextLong() % 12000L).toString)
+        case "string" =>
+          (if (fromData) sample.map(_.toString) else None)
+            .getOrElse(Seq("", "a", "s1", "s99", "zzz")(rnd.nextInt(5)))
+        case "date" =>
+          (if (fromData) sample.map(_.toString) else None)
+            .getOrElse(java.time.LocalDate.of(1960 + rnd.nextInt(90),
+              1 + rnd.nextInt(12), 1 + rnd.nextInt(28)).toString)
+        case "dec" =>
+          (if (fromData) sample.map(
+              _.asInstanceOf[java.math.BigDecimal].toPlainString)
+            else None)
+            .getOrElse(new java.math.BigDecimal(
+              rnd.nextInt(2400000) - 1200000).movePointLeft(2).toPlainString)
+        case _ =>
+          (if (fromData) sample.map(_.toString) else None)
+            .getOrElse(((rnd.nextInt(4801) - 2400) * 0.25d).toString)
+      }
+    }
+    def sqlCond(c: String, tpe: String, op: String, lit: String): String =
+      tpe match {
+        case "string" => s"`$c` $op '$lit'"
+        case "date" => s"`$c` $op DATE'$lit'"
+        case "dec" => s"`$c` $op CAST('$lit' AS DECIMAL(15,2))"
+        case _ => s"`$c` $op CAST('$lit' AS ${
+          if (tpe == "long") "BIGINT" else "DOUBLE"})"
+      }
+    for (trial <- 1 to trials) {
+      val (c, tpe) = cols(rnd.nextInt(cols.size))
+      val op = Seq("=", ">", ">=", "<", "<=")(rnd.nextInt(5))
+      val lit = litFor(c, tpe)
+      val cond = sqlCond(c, tpe, op, lit)
+      val prunedFiles = t.plannedFiles(None, Seq((c, op, lit))).size
+      if (prunedFiles < totalFiles) prunedAtLeastOnce = true
+      val a = t.scan(None, Seq((c, op, lit)))
+        .filter(org.apache.spark.sql.functions.expr(cond))
+      val b = t.scan().filter(org.apache.spark.sql.functions.expr(cond))
+      val (na, nb) = (a.count(), b.count())
+      assert(na === nb,
+        s"seed=$seed trial#$trial [$cond] pruned=$na unpruned=$nb " +
+          s"(files $prunedFiles/$totalFiles) — pruning lost rows")
+      val ha = a.selectExpr("sum(hash(id, s, day, amt, w, g)) AS h")
+        .collect()(0)
+      val hb = b.selectExpr("sum(hash(id, s, day, amt, w, g)) AS h")
+        .collect()(0)
+      assert(ha === hb, s"seed=$seed trial#$trial [$cond] content hash " +
+        "diverged between pruned and unpruned scans")
+    }
+    assert(prunedAtLeastOnce,
+      s"seed=$seed vacuous run: no trial pruned any file")
+  }
+
+  test("pruning never loses rows under random filters (seed 17)") {
+    runPruneSoundness(17L, 30)
+  }
+  test("pruning never loses rows under random filters (seed 271)") {
+    runPruneSoundness(271L, 30)
+  }
+
 }
