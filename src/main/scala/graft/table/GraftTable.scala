@@ -61,14 +61,31 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   // ---- write path -----------------------------------------------------
 
   /** Transform column for a partition field, derived from the spec. */
-  private def transformCol(pf: Meta.PartitionField): Column = {
+  private def transformCol(pf: Meta.PartitionField,
+      schema: StructType): Column = {
     val c = col(pf.sourceColumn)
+    val srcType = schema.fields.find(_.name == pf.sourceColumn)
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"partition source column '${pf.sourceColumn}' not in schema"))
     pf.transform match {
       case "identity" => c
       case t if t.startsWith("bucket[") =>
         IcebergTransforms.bucket(c, t.stripPrefix("bucket[").stripSuffix("]").toInt)
       case t if t.startsWith("truncate[") =>
-        IcebergTransforms.truncateInt(c, t.stripPrefix("truncate[").stripSuffix("]").toInt)
+        // dispatch on the SOURCE type, like the interop writer
+        // (table/iceberg/Transforms.scala): truncate[W] on a string is
+        // its first W characters; applying the integral floor-to-width
+        // form to a string column fails the write (or, on a decimal,
+        // would silently disagree with the spec's unscaled-value rule)
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        srcType match {
+          case _: StringType => IcebergTransforms.truncateString(c, w)
+          case _: IntegerType | _: LongType | _: ShortType =>
+            IcebergTransforms.truncateInt(c, w)
+          case other => throw new IllegalArgumentException(
+            s"truncate[$w] on ${other.simpleString} column " +
+              s"'${pf.sourceColumn}' is not supported (int/long/string)")
+        }
       case "year" => IcebergTransforms.yearsFromEpoch(c)
       case "month" => IcebergTransforms.monthsFromEpoch(c)
       case "day" => IcebergTransforms.daysFromEpoch(c)
@@ -130,7 +147,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           .map(f => col(c).as(c, f.metadata)).getOrElse(col(c))
       }: _*)
     val withParts = m.spec.foldLeft(withIds)((acc, pf) =>
-      acc.withColumn(pf.name, transformCol(pf)))
+      acc.withColumn(pf.name, transformCol(pf, schema)))
     // sort order = write clustering: range-partition + in-partition sort
     // gives files disjoint key ranges, which is what makes the manifest
     // min/max pruning bite (reference: spec/sort.rs). An entry of the

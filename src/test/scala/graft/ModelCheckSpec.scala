@@ -936,4 +936,147 @@ class ModelCheckSpec extends AnyFunSuite {
     runPruneSoundness(271L, 30)
   }
 
+
+  /** Graft-dialect twin of the pruning-soundness check: transform
+    * partitions via Meta.PartitionField, renames of NON-partition
+    * columns (the graft dialect refuses renaming a partition source —
+    * specs bind source columns by name), float->double promotion
+    * (which retires the column from stats pruning via
+    * StatsUnprunableProp rather than widening the comparator — the
+    * fuzz verifies that path stays sound too), decimal growth, nulls,
+    * negatives, and MoR equality deletes. */
+  private def runGraftPruneSoundness(seed: Long, trials: Int): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.table.Meta
+    import scala.jdk.CollectionConverters._
+    val spark0 = spark
+    val rnd = new scala.util.Random(seed)
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-gprsound-$seed").toString + "/t"
+
+    val schema0 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DateType, nullable = false),
+      StructField("amt", DecimalType(9, 2)),
+      StructField("w", FloatType),
+      StructField("g", LongType)))
+    def mk(n: Int): org.apache.spark.sql.DataFrame = {
+      val rows = (1 to n).map { _ =>
+        val k = (rnd.nextLong() % 10000L)
+        val sv = if (rnd.nextInt(8) == 0) null else s"s${rnd.nextInt(400)}"
+        val d = java.sql.Date.valueOf(java.time.LocalDate.of(
+          1965 + rnd.nextInt(70), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28)))
+        val amt = if (rnd.nextInt(10) == 0) null
+          else new java.math.BigDecimal(rnd.nextInt(2000000) - 1000000)
+            .movePointLeft(2)
+        val w: java.lang.Float =
+          if (rnd.nextInt(9) == 0) null
+          else Float.box((rnd.nextInt(4001) - 2000) * 0.25f)
+        val g: java.lang.Long =
+          if (rnd.nextInt(3) == 0) null else Long.box(rnd.nextInt(100).toLong)
+        Row(k, sv, d, amt, w, g)
+      }
+      spark0.createDataFrame(rows.asJava, schema0)
+    }
+    val t = GraftTable.create(spark, root, schema0, spec = Seq(
+      Meta.PartitionField("d", "month", "_p_m"),
+      Meta.PartitionField("k", "bucket[4]", "_p_b"),
+      Meta.PartitionField("s", "truncate[2]", "_p_t")))
+    t.append(mk(150).repartition(3))
+    t.append(mk(150).repartition(2))
+    // evolution mid-history (non-partition columns only: the dialect
+    // refuses renaming a partition source)
+    t.renameColumn("amt", "total")
+    t.renameColumn("g", "grade")
+    t.updateColumnType("w", DoubleType)     // stats-retired, not widened
+    t.updateColumnType("total", DecimalType(15, 2))
+    val schema1 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DateType, nullable = false),
+      StructField("total", DecimalType(15, 2)),
+      StructField("w", DoubleType),
+      StructField("grade", LongType)))
+    val era3 = {
+      val df = mk(150)
+      spark0.createDataFrame(df.rdd.map(r => Row(r.get(0), r.get(1),
+        r.get(2), Option(r.getDecimal(3)).map(_.setScale(2)).orNull,
+        Option(r.getAs[java.lang.Float](4))
+          .map(f => Double.box(f.toDouble)).orNull, r.get(5))), schema1)
+    }
+    t.append(era3.repartition(2))
+    val someKs = t.scan().select("k").limit(7).collect().map(_.getLong(0))
+    t.deleteWhereMoR(col("k").isin(someKs.toIndexedSeq: _*), Seq("k"))
+
+    val t2 = GraftTable.load(spark, root)
+    val totalFiles = t2.meta.liveFiles(None).size
+    var prunedAtLeastOnce = false
+    val colsU = Seq(
+      ("k", "long"), ("s", "string"), ("d", "date"),
+      ("total", "dec"), ("w", "double"), ("grade", "long"))
+    val pool = t2.scan().collect()
+    def litFor(c: String, tpe: String): String = {
+      val fromData = rnd.nextInt(2) == 0 && pool.nonEmpty
+      def sample: Option[Any] = {
+        val r = pool(rnd.nextInt(pool.length))
+        Option(r.getAs[Any](c))
+      }
+      tpe match {
+        case "long" => (if (fromData) sample.map(_.toString) else None)
+          .getOrElse((rnd.nextLong() % 12000L).toString)
+        case "string" => (if (fromData) sample.map(_.toString) else None)
+          .getOrElse(Seq("", "a", "s1", "s99", "zzz")(rnd.nextInt(5)))
+        case "date" => (if (fromData) sample.map(_.toString) else None)
+          .getOrElse(java.time.LocalDate.of(1960 + rnd.nextInt(90),
+            1 + rnd.nextInt(12), 1 + rnd.nextInt(28)).toString)
+        case "dec" => (if (fromData) sample.map(
+            _.asInstanceOf[java.math.BigDecimal].toPlainString) else None)
+          .getOrElse(new java.math.BigDecimal(
+            rnd.nextInt(2400000) - 1200000).movePointLeft(2).toPlainString)
+        case _ => (if (fromData) sample.map(_.toString) else None)
+          .getOrElse(((rnd.nextInt(4801) - 2400) * 0.25d).toString)
+      }
+    }
+    def sqlCond(c: String, tpe: String, op: String, lit: String): String =
+      tpe match {
+        case "string" => s"`$c` $op '$lit'"
+        case "date" => s"`$c` $op DATE'$lit'"
+        case "dec" => s"`$c` $op CAST('$lit' AS DECIMAL(15,2))"
+        case _ => s"`$c` $op CAST('$lit' AS ${
+          if (tpe == "long") "BIGINT" else "DOUBLE"})"
+      }
+    for (trial <- 1 to trials) {
+      val (c, tpe) = colsU(rnd.nextInt(colsU.size))
+      val op = Seq("=", ">", ">=", "<", "<=")(rnd.nextInt(5))
+      val lit = litFor(c, tpe)
+      val cond = sqlCond(c, tpe, op, lit)
+      val sf = Seq(t2.StatFilter(c, op, lit))
+      val prunedFiles = t2.plannedFiles(sf).size
+      if (prunedFiles < totalFiles) prunedAtLeastOnce = true
+      val a = t2.scan(sf).filter(org.apache.spark.sql.functions.expr(cond))
+      val b = t2.scan().filter(org.apache.spark.sql.functions.expr(cond))
+      val (na, nb) = (a.count(), b.count())
+      assert(na === nb,
+        s"seed=$seed trial#$trial [$cond] pruned=$na unpruned=$nb " +
+          s"(files $prunedFiles/$totalFiles) — pruning lost rows")
+      val ha = a.selectExpr("sum(hash(k, s, d, total, w, grade)) AS h")
+        .collect()(0)
+      val hb = b.selectExpr("sum(hash(k, s, d, total, w, grade)) AS h")
+        .collect()(0)
+      assert(ha === hb, s"seed=$seed trial#$trial [$cond] content hash " +
+        "diverged between pruned and unpruned scans")
+    }
+    assert(prunedAtLeastOnce,
+      s"seed=$seed vacuous run: no trial pruned any file")
+  }
+
+  test("graft pruning never loses rows under random filters (seed 29)") {
+    runGraftPruneSoundness(29L, 30)
+  }
+  test("graft pruning never loses rows under random filters (seed 431)") {
+    runGraftPruneSoundness(431L, 30)
+  }
+
 }
