@@ -59,8 +59,11 @@ class ModelCheckSpec extends AnyFunSuite {
             model --= ks
             record()
           }
-        case 6 => // compaction: row-preserving
-          t.compact(targetFileBytes = 1L << 20)
+        case 6 => // clustering rewrites: row-preserving (binpack
+          // compaction, or a z-order rewrite that re-lays every live
+          // file on the Morton interleave — deletes fold in either way)
+          if (rnd.nextBoolean()) t.compact(targetFileBytes = 1L << 20)
+          else t.rewriteZOrder(Seq("k", "grp"), targetFileBytes = 1L << 20)
         case 7 if model.nonEmpty => // MoR positional update of one key
           val k = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
           t.updateWhereMoR(col("k") === k, Seq("v" -> lit(s"u$i")))
