@@ -134,7 +134,13 @@ class IcebergSparkTable(location: String,
   }
 
   override def name(): String = s"iceberg.`$location`"
-  override def schema(): StructType = ice.schema.toSpark
+  /** A time-travel pin serves the SNAPSHOT's schema (names AND types
+    * of its era; a since-dropped column still shows) — same rule as
+    * the graft dialect and the binary interop reader. */
+  override def schema(): StructType =
+    pinnedSnapshot.flatMap(ice.snapshot)
+      .flatMap(sn => ice.schemas.find(_.schemaId == sn.schemaId))
+      .getOrElse(ice.schema).toSpark
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -222,8 +228,13 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long],
     with SupportsPushDownRequiredColumns {
 
   private val ice = IcebergMetadata.load(location)
+  // a time-travel scan plans against the PINNED snapshot's schema:
+  // era labels, era types, since-dropped columns included
+  private val schemaAt = snapshotId.flatMap(ice.snapshot)
+    .flatMap(sn => ice.schemas.find(_.schemaId == sn.schemaId))
+    .getOrElse(ice.schema)
   private var pushed: Array[Filter] = Array.empty
-  private var requiredSchema: StructType = ice.schema.toSpark
+  private var requiredSchema: StructType = schemaAt.toSpark
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -234,7 +245,7 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long],
   override def pruneColumns(required: StructType): Unit = {
     val names = required.fieldNames.toSet
     requiredSchema = StructType(
-      ice.schema.toSpark.fields.filter(f => names.contains(f.name)))
+      schemaAt.toSpark.fields.filter(f => names.contains(f.name)))
     // _file/_pos metadata columns (the delta row id) are not data
     // columns: the reader APPENDS them per row, so track them apart
     rowIdCols = required.fields.filter(f =>
@@ -283,10 +294,10 @@ class IcebergScanBuilder(location: String, snapshotId: Option[Long],
     val deletes = t.deleteEntries(snapshotId)
     val eqIds = deletes.map(_._1)
       .filter(_.content == 2).flatMap(_.equalityIds).distinct
-    val eqCols = eqIds.flatMap(id => ice.schema.fields.find(_.id == id).map(_.name))
+    val eqCols = eqIds.flatMap(id => schemaAt.fields.find(_.id == id).map(_.name))
     val withKeys =
       if (eqCols.forall(requiredSchema.fieldNames.contains)) requiredSchema
-      else StructType(ice.schema.toSpark.fields.filter(f =>
+      else StructType(schemaAt.toSpark.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name) || eqCols.contains(f.name)))
     new IcebergScan(location, snapshotId, withKeys, pushed, statFilters,
       t, deletes, streamOptions, rowIdCols, capture)
@@ -308,6 +319,11 @@ class IcebergScan(location: String, snapshotId: Option[Long],
 
   private def sparkSession = SparkSession.active
   private lazy val ice = table.meta
+  // era schema of the pinned snapshot (current schema otherwise):
+  // name<->id resolution must use the SAME labels the builder planned
+  private lazy val schemaAt = snapshotId.flatMap(ice.snapshot)
+    .flatMap(sn => ice.schemas.find(_.schemaId == sn.schemaId))
+    .getOrElse(ice.schema)
 
   /** Manifest-derived sizes from the PRUNED file list — foreign tables
     * get the same statistics-driven broadcast decisions as graft's own
@@ -376,7 +392,7 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     .map(_.fields).getOrElse(Seq.empty)
 
   private def srcName(pf: graft.table.iceberg.IcebergMetadata.IcePartitionField): String =
-    ice.schema.fields.find(_.id == pf.sourceId).map(_.name).getOrElse("")
+    schemaAt.fields.find(_.id == pf.sourceId).map(_.name).getOrElse("")
 
   private def spjEligible: Boolean =
     rowIdCols.isEmpty &&
@@ -561,7 +577,7 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     val byPath = deletes.map(_._1).map(e => e.filePath -> e).toMap
     sig.map(byPath).groupBy(_.equalityIds).toSeq.map { case (eqIds, dfiles) =>
       val eqCols = eqIds.flatMap(id =>
-        ice.schema.fields.find(_.id == id).map(_.name))
+        schemaAt.fields.find(_.id == id).map(_.name))
       val keySchema = StructType(requiredSchema.fields
         .filter(f => eqCols.contains(f.name)))
       val part = GraftConnectorShim.filePartition(0, dfiles.map { e =>
@@ -605,7 +621,7 @@ class IcebergScan(location: String, snapshotId: Option[Long],
     * whose footers carry no ids. */
   private def withFieldIds(s: StructType): StructType =
     if (!table.fileIdResolution) s
-    else StructType(s.fields.map(f => ice.schema.fieldId(f.name) match {
+    else StructType(s.fields.map(f => schemaAt.fieldId(f.name) match {
       case Some(id) => f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
@@ -628,7 +644,7 @@ class IcebergScan(location: String, snapshotId: Option[Long],
       else pushedFilters
     val parquetFactory: PartitionReaderFactory = UnwrapKeyedFactory(
       GraftConnectorShim.parquetReaderFactory(
-        spark, withFieldIds(ice.schema.toSpark), withFieldIds(requiredSchema),
+        spark, withFieldIds(schemaAt.toSpark), withFieldIds(requiredSchema),
         pushForDelegate))
     // _file/_pos append BELOW the MoR filter: positions must count
     // every raw row of the file, including rows a live delete hides

@@ -2563,6 +2563,40 @@ class IcebergInteropSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 180L)
   }
 
+  test("catalog VERSION AS OF pins the snapshot's era schema") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      (1L to 20L).map(i => (i, s"v$i", s"g$i")).toDF("k", "v", "gone")
+        .coalesce(1))
+    val s1 = IcebergTable.load(spark, loc).meta.currentSnapshotId.get
+    val cat = s"vaof_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      Files.createTempDirectory("graft-vaofwh").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CALL $cat.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    spark.sql(s"ALTER TABLE $cat.m.t RENAME COLUMN k TO id")
+    spark.sql(s"ALTER TABLE $cat.m.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.m.t DROP COLUMN gone")
+    spark.sql(s"INSERT INTO $cat.m.t VALUES (21, 'x')")
+    // current read: new labels, dropped column absent
+    assert(spark.sql(s"SELECT * FROM $cat.m.t").schema.fieldNames.toSeq ===
+      Seq("id", "v"))
+    // VERSION AS OF the pre-evolution snapshot: era labels, era types,
+    // the since-dropped column present WITH its values — the same
+    // pinned-schema rule as the graft dialect and the interop reader
+    val old = spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF $s1")
+    assert(old.schema.fieldNames.toSeq === Seq("k", "v", "gone"))
+    assert(old.schema("k").dataType.typeName === "long" ||
+      old.schema("k").dataType.typeName === "integer")
+    assert(old.count() === 20L)
+    assert(old.filter(col("k") === 5L).select("gone")
+      .collect()(0).getString(0) === "g5")
+  }
+
   test("MERGE INTO after renames binds all three branches by field id") {
     val spark0 = spark
     import spark0.implicits._

@@ -739,10 +739,14 @@ class ModelCheckSpec extends AnyFunSuite {
             s"table => 'm.t', mode => 'convert')")
           record()
         case 12 if history.size > 2 => // time travel reproduces a past
-          // state under its PINNED labels (names AND types of its era)
+          // state under its PINNED labels (names AND types of its
+          // era) — through the table layer AND through catalog SQL
+          // VERSION AS OF (both must pin identically)
           val (sid, pcols, prows) = history(rnd.nextInt(history.size))
           val tt =
-            if (graftDialect) GraftTable.load(spark, loc).timeTravel(sid)
+            if (rnd.nextBoolean())
+              spark.sql(s"SELECT * FROM $sqlT VERSION AS OF $sid")
+            else if (graftDialect) GraftTable.load(spark, loc).timeTravel(sid)
             else IcebergTable.load(spark, loc).scan(Some(sid))
           compare(tt, pcols, prows, s"op#$i time-travel to $sid")
         case _ => // rename the KEY column: later keyed deletes/updates
@@ -1081,5 +1085,6 @@ class ModelCheckSpec extends AnyFunSuite {
   test("graft pruning never loses rows under random filters (seed 431)") {
     runGraftPruneSoundness(431L, 30)
   }
+
 
 }
