@@ -681,6 +681,36 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     def tag(df: DataFrame, change: String, snap: Long): DataFrame =
       df.withColumn("_change_type", lit(change))
         .withColumn("_commit_snapshot_id", lit(snap))
+    // Equality-delete key files record their key labels at DELETE
+    // time; the changelog emits under `schema`'s labels. Map each key
+    // by FIELD ID to its label in `schema`; a key whose column was
+    // since DROPPED keeps its id-carrying era field — the join schema
+    // widens by it and the extra column drops after the semi-join.
+    def eqKeyPlan(keyFiles: Seq[Meta.DataFile])
+        : (Seq[String], StructType, StructType) = {
+      val keyFields = keyFiles.flatMap(f =>
+        f.equalityColumns.zipWithIndex.map { case (c, i) =>
+          f.equalityIds.lift(i).flatMap(id =>
+            schema.fields.find(x => Meta.fieldId(x).contains(id)))
+            .orElse(schema.fields.find(_.name == c))
+            .getOrElse {
+              // dropped since: recover the era field (with its id) from
+              // the historical schemas so the parquet read resolves it
+              m.schemas.values.flatMap(_.fields)
+                .find(x => f.equalityIds.lift(i).exists(
+                  Meta.fieldId(x).contains) ||
+                  (f.equalityIds.isEmpty && x.name == c))
+                .getOrElse(throw new IllegalStateException(
+                  s"equality key '$c' resolves in no schema era"))
+            }
+        }).distinctBy(_.name)
+      val keyCols = keyFields.map(_.name)
+      val joinSchema = StructType(schema.fields ++ keyFields.filterNot(
+        f => schema.fieldNames.contains(f.name)))
+      (keyCols, StructType(keyFields.toArray), joinSchema)
+    }
+    def backToSchema(df: DataFrame): DataFrame =
+      df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val parts = rangeSnaps.flatMap { s =>
       if (s.summary.get("squashed").contains("true"))
         throw new IllegalStateException(
@@ -746,15 +776,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
             val eqPart =
               if (keyFiles.isEmpty) Seq.empty
               else {
-                val keyCols = keyFiles.flatMap(_.equalityColumns).distinct
-                val keySchema = StructType(
-                  schema.fields.filter(f => keyCols.contains(f.name)))
+                val (keyCols, keySchema, joinSchema) = eqKeyPlan(keyFiles)
                 val keys = idRead.schema(keySchema).parquet(
                   keyFiles.map(f =>
                     TableIO.qualified(new HPath(dataDir, f.path))): _*)
                   .distinct()
-                Seq(readWithDeletes(stayLive, parentDeletes, schema)
-                  .join(broadcast(keys), keyCols, "left_semi"))
+                Seq(backToSchema(
+                  readWithDeletes(stayLive, parentDeletes, joinSchema)
+                    .join(broadcast(keys), keyCols, "left_semi")))
               }
             cow ++ (posPart ++ eqPart).map(tag(_, "delete", s.snapshotId))
           }
@@ -782,17 +811,20 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           // visibility IS the scope): deleted rows = parent scan
           // semi-joined to the (small, broadcastable) key set
           val keyFiles = s.addedDeleteFiles.filter(_.content == 2)
-          val keyCols = keyFiles.flatMap(_.equalityColumns).distinct
-          val keySchema = StructType(
-            schema.fields.filter(f => keyCols.contains(f.name)))
+          val (keyCols, keySchema, joinSchema) = eqKeyPlan(keyFiles)
           val keys = idRead.schema(keySchema).parquet(
             keyFiles.map(f =>
               TableIO.qualified(new HPath(dataDir, f.path))): _*).distinct()
+          // parent-visible rows READ UNDER THE CHANGELOG'S LABELS —
+          // scan(Some(p)) would pin the parent's era schema and the
+          // slices would not union (rename between p and the end)
           val parentRows = s.parentId match {
-            case Some(p) => scan(snapshotId = Some(p))
+            case Some(p) => readWithDeletes(m.liveFilesWithSeq(Some(p)),
+              m.liveDeleteFilesWithSeq(Some(p)), joinSchema)
             case None => readPaths(Seq.empty)
           }
-          Seq(tag(parentRows.join(broadcast(keys), keyCols, "left_semi"),
+          Seq(tag(backToSchema(
+            parentRows.join(broadcast(keys), keyCols, "left_semi")),
             "delete", s.snapshotId))
         case other => throw new IllegalStateException(
           s"changelog read over unsupported operation '$other' " +
@@ -862,14 +894,26 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       val base = readDataRaw(group.map(_._1), schema, withPos = needPos)
       val eqFiles = deletesWithSeq.map(_._1)
         .filter(d => eqPaths.contains(d.path))
-      val afterEq = eqFiles.groupBy(_.equalityColumns).foldLeft(base) {
-        case (df, (eqCols, dfiles)) =>
+      val afterEq = eqFiles
+        .groupBy(f => (f.equalityColumns, f.equalityIds)).foldLeft(base) {
+        case (df, ((eqCols, eqIds), dfiles)) =>
           val delDf = spark.read.parquet(dfiles.map(absolute): _*)
+          // df-side key columns resolve by FIELD ID when recorded: a
+          // changelog replays deletes whose key labels were renamed
+          // after the delete was folded (renames are refused only
+          // while the delete is LIVE), so the recorded label may be
+          // stale against the read schema. The delete FILE's own
+          // column keeps its delete-era label (delDf side).
+          val dfSide = eqCols.zipWithIndex.map { case (c, i) =>
+            eqIds.lift(i).flatMap(id => schema.fields.find(f =>
+              Meta.fieldId(f).contains(id)).map(_.name)).getOrElse(c)
+          }
           // NULL-SAFE key equality: a null delete key hides null-keyed
           // rows, matching the executor key-set probe — a USING
           // anti-join would leave them visible
           df.join(delDf,
-            eqCols.map(c => df(c) <=> delDf(c)).reduce(_ && _),
+            dfSide.zip(eqCols).map { case (a, b) =>
+              df(a) <=> delDf(b) }.reduce(_ && _),
             "left_anti")
       }
       val afterPos =
@@ -1000,7 +1044,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         path = TableIO.relativize(dataDir, dest),
         partitionValues = Map.empty,
         recordCount = -1L, fileSizeBytes = sz,
-        stats = st, equalityColumns = eqCols, content = 2)
+        stats = st, equalityColumns = eqCols.toSeq,
+        equalityIds = eqCols.toSeq.flatMap(c =>
+          m.schema.fields.find(_.name == c).flatMap(Meta.fieldId)),
+        content = 2)
     }
     TableIO.delete(staging, recursive = true)
     // ONE snapshot: new row versions + the delete hiding the old ones
@@ -1455,7 +1502,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         path = TableIO.relativize(dataDir, dest),
         partitionValues = Map.empty,
         recordCount = -1L, fileSizeBytes = sz,
-        stats = st, equalityColumns = keyCols, content = 2)
+        stats = st, equalityColumns = keyCols,
+        equalityIds = keyCols.flatMap(c =>
+          m.schema.fields.find(_.name == c).flatMap(Meta.fieldId)),
+        content = 2)
     }
     TableIO.delete(staging, recursive = true)
     commit("delete-eq", Seq.empty, Seq.empty, addedDeletes = added)

@@ -102,6 +102,12 @@ object Meta {
       /** set only on equality-delete files: the key columns whose
         * values this file deletes (Iceberg v2 equality deletes) */
       equalityColumns: Seq[String] = Seq.empty,
+      /** the key columns' FIELD IDS (Iceberg's equality_ids): the
+        * durable identity of the keys — equalityColumns records the
+        * labels at DELETE time, which a later rename (legal once the
+        * delete is folded) leaves stale. Empty on metadata written
+        * before the field existed (readers fall back to the names). */
+      equalityIds: Seq[Int] = Seq.empty,
       /** data sequence number carried across rewrites (Iceberg v2:
         * equality deletes apply only to data files with a SMALLER
         * data sequence number — spec/snapshot.rs sequence ordering).
@@ -391,6 +397,10 @@ object Meta {
       val eq = n.putArray("equality_columns")
       f.equalityColumns.foreach(eq.add)
     }
+    if (f.equalityIds.nonEmpty) {
+      val eqi = n.putArray("equality_ids")
+      f.equalityIds.foreach(eqi.add)
+    }
     f.dataSequence.foreach(n.put("sequence", _))
     if (f.content != 0) n.put("content", f.content)
     if (f.specId != 0) n.put("spec_id", f.specId)
@@ -493,6 +503,8 @@ object Meta {
     stats = readStats(n.get("stats")),
     equalityColumns = Option(n.get("equality_columns")).map(
       _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+    equalityIds = Option(n.get("equality_ids")).map(
+      _.elements().asScala.map(_.asInt()).toSeq).getOrElse(Seq.empty),
     dataSequence = Option(n.get("sequence")).map(_.asLong()),
     content = Option(n.get("content")).map(_.asInt()).getOrElse {
       if (Option(n.get("equality_columns")).exists(_.size() > 0)) 2 else 0

@@ -469,8 +469,14 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       df.withColumn("_change_type", lit(change))
         .withColumn("_commit_snapshot_id", lit(snap))
 
-    val endSchema = m.schemas.find(_.schemaId ==
-      m.snapshot(endId).get.schemaId).getOrElse(m.schema)
+    // the same rule as scan(): an open-ended changelog (end = None =
+    // "up to now") binds the CURRENT schema — evolution since the
+    // last snapshot is part of "now" (the graft dialect already did
+    // this); an explicit end pins that snapshot's era schema
+    val endSchema =
+      if (end.isEmpty) m.schema
+      else m.schemas.find(_.schemaId ==
+        m.snapshot(endId).get.schemaId).getOrElse(m.schema)
     val parts = chain.flatMap { s =>
       if (s.operation == "replace") Seq.empty
       else {
@@ -531,11 +537,23 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       .foreach { case ((eqIds, ds), dfiles) =>
         val applicable = stayLive.filter { case (_, seq) => ds > seq }
         if (applicable.nonEmpty) {
-          val eqCols = eqIds.flatMap(id =>
-            iceSchema.fields.find(_.id == id).map(_.name))
-          val keys = spark.read
-            .parquet(dfiles.map(d => resolve(d._1.filePath).toString): _*)
-            .select(eqCols.map(col): _*).distinct()
+          val eqFields = eqIds.flatMap(id => iceSchema.fields.find(_.id == id))
+          val eqCols = eqFields.map(_.name)
+          // delete files committed before a rename carry the old key
+          // label (right id): an id-carrying explicit schema keeps the
+          // keys resolving under the changelog's labels — the same
+          // rule as readVisible's delete application
+          val keys = (if (fileIdResolution)
+              spark.read.schema(org.apache.spark.sql.types.StructType(
+                eqFields.map(f => org.apache.spark.sql.types.StructField(
+                  f.name, IcebergTypes.toSpark(f.tpe), nullable = true,
+                  new org.apache.spark.sql.types.MetadataBuilder()
+                    .putLong(graft.table.Meta.FieldIdKey, f.id.toLong)
+                    .build()))))
+                .parquet(dfiles.map(d => resolve(d._1.filePath).toString): _*)
+            else spark.read
+              .parquet(dfiles.map(d => resolve(d._1.filePath).toString): _*)
+              .select(eqCols.map(col): _*)).distinct()
           out += readVisible(iceSchema, applicable, parentDeletes)
             .join(broadcast(keys), eqCols, "left_semi")
         }

@@ -761,6 +761,39 @@ class ModelCheckSpec extends AnyFunSuite {
             s"seed=$seed op#$i adopted-dialect rename refused: ${r.failed.get}")
       }
       check(s"op#$i")
+      // changelog replay across EVOLVED eras: base state at a random
+      // recorded snapshot + inserts - deletes (all under the END era's
+      // labels, era values resolved by field id) must rebuild the
+      // CURRENT model. Skipped when a recorded base predates the
+      // retained chain (this fuzz never expires, so all are valid).
+      if (history.size > 2 && rnd.nextInt(3) == 0) {
+        val (sid0, _, rows0) = history(rnd.nextInt(history.size))
+        val ch =
+          if (graftDialect) GraftTable.load(spark, loc).changesBetween(Some(sid0))
+          else IcebergTable.load(spark, loc).changesBetween(Some(sid0))
+        val kn = keyName
+        def rowVals(r: org.apache.spark.sql.Row): (Long, Map[Int, Any]) = {
+          val key = r.getAs[Any](kn).asInstanceOf[Number].longValue
+          key -> cols.flatMap(c =>
+            if (ch.schema.fieldNames.contains(c.name))
+              Some(c.id -> norm(r.getAs[Any](c.name)))
+            else None).toMap
+        }
+        val changes = ch.collect()
+        val ins = changes.filter(_.getAs[String]("_change_type") == "insert")
+          .map(rowVals).toSeq
+        val del = changes.filter(_.getAs[String]("_change_type") == "delete")
+          .map(rowVals).toSeq
+        val base = rows0.toSeq.map { case (k, m) =>
+          k -> cols.map(c => c.id -> norm(m.getOrElse(c.id, null))).toMap }
+        val want = rows.map { case (k, m) =>
+          k -> cols.map(c => c.id -> norm(m.getOrElse(c.id, null))).toMap }
+        val replayed = (base ++ ins).diff(del)
+        assert(replayed.size === replayed.toMap.size,
+          s"seed=$seed replay from $sid0 emitted duplicate keys")
+        assert(replayed.toMap === want,
+          s"seed=$seed changelog replay from $sid0 diverged after op#$i")
+      }
     }
     // end-of-sequence: the catalog-independent reader (the binary
     // interop walk for adopted tables, the table layer for graft)
@@ -1085,6 +1118,7 @@ class ModelCheckSpec extends AnyFunSuite {
   test("graft pruning never loses rows under random filters (seed 431)") {
     runGraftPruneSoundness(431L, 30)
   }
+
 
 
 }
