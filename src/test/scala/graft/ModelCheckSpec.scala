@@ -908,6 +908,16 @@ class ModelCheckSpec extends AnyFunSuite {
       ("id", "long"), ("s", "string"), ("day", "date"),
       ("amt", "dec"), ("w", "double"), ("g", "long"))
     val pool = t.scan().collect()
+    // catalog leg: the same predicates through SQL WHERE exercise the
+    // V2 pushdown translation (Spark filters -> canonical stat
+    // filters) and the connector's own pruning tiers
+    val catName = s"prs_${seed}_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      java.nio.file.Files.createTempDirectory(s"graft-prswh-$seed").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catName.m")
+    spark.sql(s"CALL $catName.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
     def litFor(c: String, tpe: String): String = {
       val fromData = rnd.nextInt(2) == 0 && pool.nonEmpty
       def sample: Option[Any] = {
@@ -964,6 +974,12 @@ class ModelCheckSpec extends AnyFunSuite {
         .collect()(0)
       assert(ha === hb, s"seed=$seed trial#$trial [$cond] content hash " +
         "diverged between pruned and unpruned scans")
+      val viaSql = spark.sql(
+        s"SELECT count(*), sum(hash(id, s, day, amt, w, g)) " +
+          s"FROM $catName.m.t WHERE $cond").collect()(0)
+      assert(viaSql.getLong(0) === nb && viaSql.get(1) === hb.get(0),
+        s"seed=$seed trial#$trial [$cond] catalog SQL diverged " +
+          s"(${viaSql.getLong(0)} rows vs $nb)")
     }
     assert(prunedAtLeastOnce,
       s"seed=$seed vacuous run: no trial pruned any file")
@@ -1057,6 +1073,15 @@ class ModelCheckSpec extends AnyFunSuite {
       ("k", "long"), ("s", "string"), ("d", "date"),
       ("total", "dec"), ("w", "double"), ("grade", "long"))
     val pool = t2.scan().collect()
+    // catalog leg: the same predicates through SQL WHERE exercise the
+    // V2 pushdown translation and the connector's pruning tiers
+    val catName = s"gprs_${seed}_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      java.nio.file.Files.createTempDirectory(s"graft-gprswh-$seed").toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catName.m")
+    spark.sql(s"CALL $catName.system.register_table(table => 'm.t', " +
+      s"location => '$root')")
     def litFor(c: String, tpe: String): String = {
       val fromData = rnd.nextInt(2) == 0 && pool.nonEmpty
       def sample: Option[Any] = {
@@ -1107,6 +1132,12 @@ class ModelCheckSpec extends AnyFunSuite {
         .collect()(0)
       assert(ha === hb, s"seed=$seed trial#$trial [$cond] content hash " +
         "diverged between pruned and unpruned scans")
+      val viaSql = spark.sql(
+        s"SELECT count(*), sum(hash(k, s, d, total, w, grade)) " +
+          s"FROM $catName.m.t WHERE $cond").collect()(0)
+      assert(viaSql.getLong(0) === nb && viaSql.get(1) === hb.get(0),
+        s"seed=$seed trial#$trial [$cond] catalog SQL diverged " +
+          s"(${viaSql.getLong(0)} rows vs $nb)")
     }
     assert(prunedAtLeastOnce,
       s"seed=$seed vacuous run: no trial pruned any file")
