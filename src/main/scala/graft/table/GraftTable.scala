@@ -882,6 +882,21 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
     }
+    // an equality delete may key on a column DROPPED from `schema`
+    // (legal once the delete folded; changelog replays still apply it
+    // at its own era): recover the key field by id from the
+    // historical schemas and WIDEN the read — losing the key column
+    // would fail the anti-join (or, if keys vanished, stop hiding)
+    val schemaIds = schema.fields.flatMap(Meta.fieldId).toSet
+    val missingEq: Seq[StructField] = deletesWithSeq.map(_._1)
+      .filter(_.content == 2).flatMap(_.equalityIds).distinct
+      .filterNot(schemaIds.contains)
+      .flatMap(id => meta.schemas.values.flatMap(_.fields)
+        .find(f => Meta.fieldId(f).contains(id)))
+      .distinctBy(_.name)
+    val readSchema =
+      if (missingEq.isEmpty) schema
+      else StructType(schema.fields ++ missingEq)
     def eqApplicable(seq: Long) = deletesWithSeq
       .filter { case (d, ds) => d.content == 2 && ds > seq }.map(_._1)
     def posApplicable(seq: Long) = deletesWithSeq
@@ -891,7 +906,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         posApplicable(seq).map(_.path).sorted) }
     classes.toSeq.map { case ((eqPaths, posPaths), group) =>
       val needPos = keepPos || posPaths.nonEmpty
-      val base = readDataRaw(group.map(_._1), schema, withPos = needPos)
+      val base = readDataRaw(group.map(_._1), readSchema, withPos = needPos)
       val eqFiles = deletesWithSeq.map(_._1)
         .filter(d => eqPaths.contains(d.path))
       val afterEq = eqFiles
@@ -905,7 +920,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           // stale against the read schema. The delete FILE's own
           // column keeps its delete-era label (delDf side).
           val dfSide = eqCols.zipWithIndex.map { case (c, i) =>
-            eqIds.lift(i).flatMap(id => schema.fields.find(f =>
+            eqIds.lift(i).flatMap(id => readSchema.fields.find(f =>
               Meta.fieldId(f).contains(id)).map(_.name)).getOrElse(c)
           }
           // NULL-SAFE key equality: a null delete key hides null-keyed
@@ -935,14 +950,20 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       if (keepPos) afterPos
       else if (needPos) afterPos.drop("__file", "__pos")
       else afterPos
-    }.map(df =>
+    }.map { df0 =>
+      // widened reads drop their extra key columns from the output
+      val df =
+        if (missingEq.isEmpty) df0
+        else df0.select((schema.fieldNames ++
+          (if (keepPos) Seq("__file", "__pos").filter(
+            df0.columns.contains) else Nil)).map(col).toIndexedSeq: _*)
       // id-carrying schemas: barrier nested columns so SchemaPruning
       // cannot rebuild the read schema without parquet.field.id (a
       // pruned leaf under a renamed struct would null-fill)
       if (Meta.hasFieldIds(schema))
         graft.functions.PruneBarrier.protectNested(df)
       else df
-    ).reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
   }
 
   /** Key-routed point UPDATE (the GDPR/user-record rewrite; graft

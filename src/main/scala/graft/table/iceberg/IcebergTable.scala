@@ -357,12 +357,27 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     // id (rename-safe, promotion-widening); name-based only for
     // exported-from-legacy tables whose footers predate ids
     val idRes = fileIdResolution
+    // an equality delete may key on a column DROPPED from iceSchema's
+    // era (legal once the delete is folded; history replays still see
+    // the delete live at its own snapshots). Losing the key would
+    // degenerate the anti-join and over-delete, so the READ schema
+    // widens by the missing key fields (recovered by id from the
+    // historical schemas) and the extra columns drop from the output.
+    val missingEq: Seq[IcebergMetadata.IceField] =
+      deletes.filter(_._1.content == 2).flatMap(_._1.equalityIds).distinct
+        .filterNot(id => iceSchema.fields.exists(_.id == id))
+        .flatMap(id => meta.schemas.flatMap(_.fields).find(_.id == id))
+    val readIce =
+      if (missingEq.isEmpty) iceSchema
+      else iceSchema.copy(fields = iceSchema.fields ++ missingEq)
     val schemaOf =
-      if (idRes) iceSchema.toSparkWithIds else iceSchema.toSpark
-    val outSchema =
-      if (!keepPos) schemaOf
-      else org.apache.spark.sql.types.StructType(schemaOf.fields ++ Seq(
+      if (idRes) readIce.toSparkWithIds else readIce.toSpark
+    val outSchema = {
+      val base = if (idRes) iceSchema.toSparkWithIds else iceSchema.toSpark
+      if (!keepPos) base
+      else org.apache.spark.sql.types.StructType(base.fields ++ Seq(
         StructField("__file", StringType), StructField("__pos", LongType)))
+    }
     if (dataWithSeq.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
@@ -371,6 +386,10 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     // pruned leaf under a renamed struct column would null-fill
     def guard(df: DataFrame): DataFrame =
       if (idRes) graft.functions.PruneBarrier.protectNested(df) else df
+    def unwiden(df: DataFrame): DataFrame =
+      if (missingEq.isEmpty) df
+      else df.select((iceSchema.fields.map(_.name) ++
+        (if (keepPos) Seq("__file", "__pos") else Nil)).map(col).toIndexedSeq: _*)
     if (deletes.isEmpty && !keepPos)
       return guard(spark.read.schema(schemaOf)
         .parquet(dataWithSeq.map(f => resolve(f._1.filePath).toString): _*))
@@ -392,7 +411,10 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       val eqFiles = deletes.map(_._1).filter(d => eqPaths.contains(d.filePath))
       val afterEq = eqFiles.groupBy(_.equalityIds).foldLeft(base) {
         case (df, (eqIds, dfiles)) =>
-          val eqFields = eqIds.flatMap(id => iceSchema.fields.find(_.id == id))
+          val eqFields = eqIds.flatMap(id => readIce.fields.find(_.id == id))
+          require(eqFields.size == eqIds.size,
+            s"equality ids ${eqIds.filterNot(id =>
+              readIce.fields.exists(_.id == id))} resolve in no schema era")
           val eqCols = eqFields.map(_.name)
           // delete files written before a rename carry the OLD column
           // name (right id): an id-carrying explicit schema keeps the
@@ -430,7 +452,7 @@ class IcebergTable private (val location: String, val spark: SparkSession,
             "left_anti")
         }
       if (needPos && !keepPos) result.drop("__file", "__pos") else result
-    }.map(guard).reduce(_ unionByName _)
+    }.map(df => guard(unwiden(df))).reduce(_ unionByName _)
   }
 
   /** Changelog over the real format — GraftTable.changesBetween parity
@@ -537,7 +559,21 @@ class IcebergTable private (val location: String, val spark: SparkSession,
       .foreach { case ((eqIds, ds), dfiles) =>
         val applicable = stayLive.filter { case (_, seq) => ds > seq }
         if (applicable.nonEmpty) {
-          val eqFields = eqIds.flatMap(id => iceSchema.fields.find(_.id == id))
+          // keys resolve against iceSchema by id; a key whose column
+          // was DROPPED since (legal once the delete folded) recovers
+          // its era field from the historical schemas — losing it
+          // would degenerate the semi-join below into match-all
+          val eqFields = eqIds.flatMap(id =>
+            iceSchema.fields.find(_.id == id).orElse(
+              meta.schemas.flatMap(_.fields).find(_.id == id)))
+          require(eqFields.size == eqIds.size,
+            s"equality ids ${eqIds.filterNot(id =>
+              eqFields.exists(_.id == id))} resolve in no schema era")
+          val missing = eqFields.filterNot(f =>
+            iceSchema.fields.exists(_.id == f.id))
+          val readIceW =
+            if (missing.isEmpty) iceSchema
+            else iceSchema.copy(fields = iceSchema.fields ++ missing)
           val eqCols = eqFields.map(_.name)
           // delete files committed before a rename carry the old key
           // label (right id): an id-carrying explicit schema keeps the
@@ -554,8 +590,9 @@ class IcebergTable private (val location: String, val spark: SparkSession,
             else spark.read
               .parquet(dfiles.map(d => resolve(d._1.filePath).toString): _*)
               .select(eqCols.map(col): _*)).distinct()
-          out += readVisible(iceSchema, applicable, parentDeletes)
+          out += readVisible(readIceW, applicable, parentDeletes)
             .join(broadcast(keys), eqCols, "left_semi")
+            .select(iceSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
         }
       }
     newDeletes.filter(_._1.content == 1)

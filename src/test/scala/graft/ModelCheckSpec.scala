@@ -730,10 +730,25 @@ class ModelCheckSpec extends AnyFunSuite {
             s"WHERE $keyName = $k")
           rows += k -> (rows(k) + (c.id -> nv))
           record()
-        case 10 => // compaction folds outstanding deletes; rows keep
-          spark.sql(s"CALL $catName.system.rewrite_data_files(" +
-            s"table => 'm.t', target_file_size_bytes => 1048576)")
-          record()
+        case 10 => // maintenance: compaction folds outstanding deletes
+          // (rows keep), or expire+vacuum — retained history must stay
+          // readable and expired ids leave the time-travel pool
+          if (rnd.nextInt(3) == 0) {
+            spark.sql(s"CALL $catName.system.expire_snapshots(" +
+              s"table => 'm.t', keep_last => 3)")
+            spark.sql(s"CALL $catName.system.vacuum(" +
+              s"table => 'm.t', older_than_ms => 0)")
+            val live =
+              (if (graftDialect) GraftTable.load(spark, loc).meta.snapshots
+                  .map(_.snapshotId)
+               else IcebergTable.load(spark, loc).meta.snapshots
+                  .map(_.snapshotId)).toSet
+            history = history.filter(h => live.contains(h._1))
+          } else {
+            spark.sql(s"CALL $catName.system.rewrite_data_files(" +
+              s"table => 'm.t', target_file_size_bytes => 1048576)")
+            record()
+          }
         case 11 => // equality->position conversion: content-invisible
           spark.sql(s"CALL $catName.system.rewrite_delete_files(" +
             s"table => 'm.t', mode => 'convert')")
