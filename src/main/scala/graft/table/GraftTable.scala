@@ -327,6 +327,23 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * rename-without-replace in Meta.write is the CAS — a losing writer
     * gets CommitConflict and retries on the new base (appends always
     * merge; the file delta itself never changes). */
+  /** The optimistic-pin base for operations that derive staged output
+    * from the current 'main' state (keyed update, eq-delete
+    * conversion): the SAME expression the commit-time pin check reads,
+    * so a 'main' ref entry never makes a valid commit fail with a
+    * spurious ConcurrentModificationException. The derivation scans
+    * currentSnapshotId; if a 'main' ref somehow diverged from it the
+    * derivation base would be ambiguous — refuse loudly up front. */
+  private def mainPin(m: Meta.TableMetadata): Option[Long] = {
+    val pin = m.refs.get("main").orElse(m.currentSnapshotId)
+    require(pin == m.currentSnapshotId,
+      s"ref 'main' (${m.refs.get("main")}) diverges from " +
+        s"currentSnapshotId (${m.currentSnapshotId}); this operation " +
+        "derives its output from the current snapshot and cannot pin " +
+        "a divergent branch head")
+    pin
+  }
+
   private def commit(op: String, added: Seq[Meta.DataFile],
       removed: Seq[String], schemaId: Option[Int] = None,
       lineage: Map[String, Long] = Map.empty,
@@ -781,9 +798,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
                   keyFiles.map(f =>
                     TableIO.qualified(new HPath(dataDir, f.path))): _*)
                   .distinct()
-                Seq(backToSchema(
-                  readWithDeletes(stayLive, parentDeletes, joinSchema)
-                    .join(broadcast(keys), keyCols, "left_semi")))
+                // NULL-SAFE key match (<=>), same rule as the scan's
+                // delete application: a null-keyed delete tuple hides
+                // null-keyed rows, so the changelog must report them
+                val live = readWithDeletes(stayLive, parentDeletes, joinSchema)
+                Seq(backToSchema(live.join(broadcast(keys),
+                  keyCols.map(c => live(c) <=> keys(c)).reduce(_ && _),
+                  "left_semi")))
               }
             cow ++ (posPart ++ eqPart).map(tag(_, "delete", s.snapshotId))
           }
@@ -823,8 +844,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
               m.liveDeleteFilesWithSeq(Some(p)), joinSchema)
             case None => readPaths(Seq.empty)
           }
+          // NULL-SAFE key match (<=>) — same rule as the scan's
+          // delete application; see the merge branch above
           Seq(tag(backToSchema(
-            parentRows.join(broadcast(keys), keyCols, "left_semi")),
+            parentRows.join(broadcast(keys),
+              keyCols.map(c => parentRows(c) <=> keys(c)).reduce(_ && _),
+              "left_semi")),
             "delete", s.snapshotId))
         case other => throw new IllegalStateException(
           s"changelog read over unsupported operation '$other' " +
@@ -832,10 +857,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       }
     }
     val empty = tag(readPaths(Seq.empty), "none", -1L).limit(0)
-    // by NAME, not position: the delete-eq slice's USING semi-join
-    // moves the key columns first, so a positional union would bind
-    // (and cast) columns into the wrong slots whenever an equality
-    // key is not already the leading column
+    // by NAME, not position: slice projections may order columns
+    // differently (backToSchema re-selects, but readPaths does not),
+    // so a positional union could bind (and cast) columns into the
+    // wrong slots
     parts.foldLeft(empty)(_ unionByName _)
   }
 
@@ -1078,7 +1103,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // keys must not be silently overwritten by stale re-inserts
     commit("merge", files, Seq.empty, addedDeletes = added,
       summaryExtra = Map("updated-rows" -> matchedRows.toString),
-      requireSnapshot = Some(m.currentSnapshotId))
+      requireSnapshot = Some(mainPin(m)))
     matchedRows
   }
 
@@ -1678,7 +1703,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       summaryExtra = Map(
         "equality-delete-files-converted" -> eqFiles.size.toString,
         "position-delete-files-created" -> moved.size.toString),
-      requireSnapshot = Some(m.currentSnapshotId))
+      requireSnapshot = Some(mainPin(m)))
     (eqFiles.size, moved.size)
   }
 

@@ -537,10 +537,9 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     }
     val empty = tag(readVisible(endSchema, Seq.empty, Seq.empty),
       "none", -1L).limit(0)
-    // by NAME, not position: hiddenBy's equality semi-join (USING
-    // form) moves the key columns first, so a positional union would
-    // bind (and cast) columns into the wrong slots whenever an
-    // equality key is not already the leading column
+    // by NAME, not position: slices re-select under the end schema
+    // but readers may order columns differently, so a positional
+    // union could bind (and cast) columns into the wrong slots
     parts.foldLeft(empty)(_ unionByName _)
   }
 
@@ -590,8 +589,14 @@ class IcebergTable private (val location: String, val spark: SparkSession,
             else spark.read
               .parquet(dfiles.map(d => resolve(d._1.filePath).toString): _*)
               .select(eqCols.map(col): _*)).distinct()
-          out += readVisible(readIceW, applicable, parentDeletes)
-            .join(broadcast(keys), eqCols, "left_semi")
+          // NULL-SAFE key match (<=>), the same rule readVisible's
+          // delete application uses: a null-keyed delete tuple hides
+          // null-keyed rows, so the changelog must report them as
+          // deletes or it stops reconciling with the snapshot diff
+          val live = readVisible(readIceW, applicable, parentDeletes)
+          out += live.join(broadcast(keys),
+              eqCols.map(c => live(c) <=> keys(c)).reduce(_ && _),
+              "left_semi")
             .select(iceSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
         }
       }

@@ -891,7 +891,11 @@ object IcebergWrite {
         }
       }.toIndexedSeq: _*)
     }
-    withIds.coalesce(1).write.parquet(staging.toString)
+    // TIMESTAMP_MICROS like every other delete-file writer: a
+    // timestamp-typed equality key written as INT96 has no usable
+    // stats and foreign readers reject it
+    withMicrosTimestamps(spark)(
+      withIds.coalesce(1).write.parquet(staging.toString))
     val dataDir = TableIO.path(location, "data")
     TableIO.mkdirs(dataDir)
     val kind = if (content == 1) "pos" else "eq"
@@ -1808,12 +1812,27 @@ object IcebergWrite {
     if (eqEntries.isEmpty) return (0, 0)
     val dataWithSeq = t.plannedFiles().map { case (e, _, seq) => (e, seq) }
     val idRes = base.idResolution
-    def keySchema(eqIds: Seq[Int]): StructType = StructType(
-      eqIds.flatMap(id => base.schema.fields.find(_.id == id)).map(f =>
+    // keys resolve against the CURRENT schema by id, falling back to
+    // the historical eras (readVisible's missingEq rule): on adopted
+    // tables a foreign writer may have dropped a column a live
+    // equality delete keys on. Silently dropping an unresolvable id
+    // would widen the slot join to fewer key columns and materialize
+    // position deletes for rows the equality delete never hid —
+    // refuse loudly instead.
+    def keySchema(eqIds: Seq[Int]): StructType = {
+      val eqFields = eqIds.flatMap(id =>
+        base.schema.fields.find(_.id == id).orElse(
+          base.schemas.flatMap(_.fields).find(_.id == id)))
+      require(eqFields.size == eqIds.size,
+        s"equality ids ${eqIds.filterNot(id =>
+          eqFields.exists(_.id == id))} resolve in no schema era; " +
+          "converting would over-delete — aborting")
+      StructType(eqFields.map(f =>
         StructField(f.name, IcebergTypes.toSpark(f.tpe), nullable = true,
           if (idRes) new org.apache.spark.sql.types.MetadataBuilder()
             .putLong(graft.table.Meta.FieldIdKey, f.id.toLong).build()
           else org.apache.spark.sql.types.Metadata.empty)))
+    }
     val slotsOpt = graft.table.EqualitySlots.derive(spark,
       eqEntries.groupBy(_._1.equalityIds).toSeq.map { case (eqIds, files) =>
         graft.table.EqualitySlots.Group(

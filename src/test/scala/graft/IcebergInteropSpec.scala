@@ -2982,6 +2982,32 @@ class IcebergInteropSpec extends AnyFunSuite {
       === Array(4L))
   }
 
+  test("changelog reconciles a NULL-keyed equality delete with the " +
+      "snapshot diff (null-safe delete slice)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc,
+      Seq((1L, Some("x")), (2L, Option.empty[String]),
+        (3L, Option.empty[String]), (4L, Some("y"))).toDF("k", "v")
+        .coalesce(1))
+    val t0 = IcebergTable.load(spark, loc)
+    val s1 = t0.meta.currentSnapshotId.get
+    IcebergWrite.deleteEquality(spark, loc,
+      Seq(Option.empty[String], Some("x")).toDF("v"), Seq("v"))
+    val t = IcebergTable.load(spark, loc)
+    // the scan hides 1 (x) AND 2,3 (null-keyed, null-safe probe)
+    assert(t.scan().select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(4L))
+    // the changelog must report the SAME rows as deletes — a
+    // name-based USING semi-join would silently drop the null-keyed
+    // ones and the changelog would stop reconciling
+    val ch = t.changesBetween(Some(s1)).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(ch.sorted.toSeq === Seq(
+      (1L, "delete"), (2L, "delete"), (3L, "delete")))
+  }
+
   test("add_files refuses tables with renamed columns") {
     val spark0 = spark
     import spark0.implicits._

@@ -523,4 +523,63 @@ class MaintenanceSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) === ((100L, 10L)))
   }
 
+  test("convert recovers an eq key DROPPED from the current schema " +
+      "(adopted table) and aborts on an unresolvable id") {
+    import graft.table.iceberg.{IcebergMetadata, IcebergTable, IcebergWrite}
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = Files.createTempDirectory("graft-eqdrop").toString + "/t"
+    IcebergWrite.create(spark, loc,
+      (1L to 50L).map(i => (i, s"v${i % 7}", i * 10L)).toDF("k", "v", "w")
+        .repartition(2))
+    // equality delete keyed on v while v is still current
+    IcebergWrite.deleteEquality(spark, loc,
+      Seq("v1", "v3").toDF("v"), Seq("v"))
+    val visBefore = IcebergTable.load(spark, loc).scan()
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(visBefore.length < 50)
+    // a FOREIGN writer drops v (graft's own dropColumn refuses while
+    // a live equality delete keys on it): new schema era without v
+    val m0 = IcebergMetadata.load(loc)
+    val vId = m0.schema.fields.find(_.name == "v").get.id
+    val dropped = IcebergMetadata.IceSchema(
+      m0.schemas.map(_.schemaId).max + 1,
+      m0.schema.fields.filterNot(_.id == vId))
+    IcebergMetadata.writeNext(loc, m0.copy(
+      schemas = m0.schemas :+ dropped,
+      currentSchemaId = dropped.schemaId))
+    // the scan still hides the deleted rows (missingEq recovery)
+    assert(IcebergTable.load(spark, loc).scan()
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === visBefore.toSeq)
+    // conversion must resolve the key from the HISTORICAL era —
+    // dropping it silently would position-delete rows the equality
+    // delete never hid
+    val (conv, created) = IcebergWrite.convertEqualityDeletes(spark, loc)
+    assert(conv === 1 && created === 1)
+    val after = IcebergTable.load(spark, loc)
+    assert(after.deleteEntries().count(_._1.content == 2) === 0)
+    assert(after.scan().select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === visBefore.toSeq, "visible rows must be UNCHANGED by conversion")
+    // unresolvable id in EVERY era -> loud abort, no commit
+    val loc2 = Files.createTempDirectory("graft-eqdrop2").toString + "/t"
+    IcebergWrite.create(spark, loc2,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    IcebergWrite.deleteEquality(spark, loc2, Seq("v3").toDF("v"), Seq("v"))
+    val m2 = IcebergMetadata.load(loc2)
+    val vId2 = m2.schema.fields.find(_.name == "v").get.id
+    // corrupt-adoption shape: every era loses the keyed field
+    IcebergMetadata.writeNext(loc2, m2.copy(
+      schemas = m2.schemas.map(s =>
+        s.copy(fields = s.fields.filterNot(_.id == vId2))),
+      currentSchemaId = m2.currentSchemaId))
+    val snaps = IcebergMetadata.load(loc2).snapshots.size
+    val ex = intercept[IllegalArgumentException] {
+      IcebergWrite.convertEqualityDeletes(spark, loc2)
+    }
+    assert(ex.getMessage.contains("no schema era"))
+    assert(IcebergMetadata.load(loc2).snapshots.size === snaps,
+      "aborted conversion must not commit")
+  }
+
 }

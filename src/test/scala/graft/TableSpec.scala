@@ -855,4 +855,27 @@ class TableSpec extends AnyFunSuite {
     assert(t.scan().select(cols: _*).except(o.select(cols: _*)).isEmpty)
     assert(o.select(cols: _*).except(t.scan().select(cols: _*)).isEmpty)
   }
+
+  test("changelog reconciles a NULL-keyed equality delete with the " +
+      "snapshot diff (null-safe delete slice)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val df = Seq((1L, Some("x")), (2L, Option.empty[String]),
+      (3L, Option.empty[String]), (4L, Some("y"))).toDF("k", "v")
+    val t = GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    val s1 = t.meta.currentSnapshotId.get
+    // the delete predicate matches a null-keyed row, so the equality
+    // delete file carries a NULL key tuple (valid per spec)
+    t.deleteWhereMoR(col("v").isNull || col("v") === "x", Seq("v"))
+    assert(t.scan().select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(4L))
+    // the changelog must report the SAME rows as deletes (null-safe
+    // key match) or it stops reconciling with the snapshot diff
+    val ch = t.changesBetween(Some(s1)).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(ch.sorted.toSeq === Seq(
+      (1L, "delete"), (2L, "delete"), (3L, "delete")))
+  }
 }
