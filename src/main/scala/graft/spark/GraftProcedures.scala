@@ -108,6 +108,9 @@ object GraftProcedures {
           val loc = input.getUTF8String(1).toString
           // graft AND real-format tables both register: the catalog's
           // loadTable follows the pointer and routes by dialect
+          require(warehouse != null,
+            "register_table needs a filesystem warehouse; a REST-mode " +
+              "catalog's registrations belong to the server")
           val graftDialect = Meta.exists(loc) && Meta.isGraftDialect(loc)
           require(graftDialect || IcebergTable.exists(loc),
             s"no table metadata under $loc")

@@ -115,16 +115,58 @@ case class GraftDatetimeFunction(fname: String)
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  import graft.table.iceberg.{IcebergRestClient, IcebergRestCommit}
+
   private var catalogName: String = _
   private var warehouse: String = _
+  private var restBase: Option[String] = None
+
+  /** REST namespaces are single-level (the server's layout). */
+  private def restNs(namespace: Array[String]): String = {
+    require(namespace.length == 1,
+      s"REST catalog namespaces are single-level; got " +
+        namespace.mkString("."))
+    namespace(0)
+  }
+
+  /** Resolve a REST table to its storage root AND register the commit
+    * route: from here on, every metadata commit under that root rides
+    * the update-table protocol. None for a multi-level namespace (the
+    * caller may be probing a metadata-table name like cat.ns.t.files). */
+  private def restRootOf(ident: Identifier): Option[String] =
+    restBase.filter(_ => ident.namespace().length == 1).flatMap { base =>
+      val ns = restNs(ident.namespace())
+      IcebergRestClient.tableRootOf(base, ns, ident.name()).map { root =>
+        IcebergRestCommit.register(root,
+          IcebergRestCommit.Route(base, ns, ident.name()))
+        root
+      }
+    }
 
   // ---- ProcedureCatalog: CALL cat.system.expire_snapshots('db.t', 1)
   // etc. — the reference's maintenance transactions as SQL procedures
   private lazy val procedures: Map[String,
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
     GraftProcedures.all(warehouse, { tableName =>
-      val root = resolveRoot(
-        (warehouse +: tableName.split('.').toSeq).mkString("/"))
+      val parts = tableName.split('.').toSeq
+      def missing = new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(
+          Identifier.of(parts.dropRight(1).toArray, parts.last))
+      val root = restBase match {
+        // REST mode: resolve through the protocol and register the
+        // commit route — maintenance commits (expire, compaction,
+        // update_by_key, …) then ride the update-table protocol too
+        case Some(base) =>
+          require(parts.length == 2,
+            s"REST table names are ns.table; got $tableName")
+          IcebergRestClient.tableRootOf(base, parts(0), parts(1)).map { r =>
+            IcebergRestCommit.register(r,
+              IcebergRestCommit.Route(base, parts(0), parts(1)))
+            r
+          }.getOrElse(throw missing)
+        case None =>
+          resolveRoot((warehouse +: parts).mkString("/"))
+      }
       // same dialect routing as loadTable: graft metadata parses →
       // graft table; otherwise a real-format metadata dir is an
       // ADOPTED foreign table and maintenance routes to the
@@ -133,10 +175,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         Right(GraftTable.load(SparkSession.active, root))
       else if (graft.table.iceberg.IcebergTable.exists(root))
         Left(root)
-      else
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-          Identifier.of(tableName.split('.').dropRight(1),
-            tableName.split('.').last))
+      else throw missing
     })
 
   override def loadProcedure(ident: Identifier)
@@ -175,8 +214,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = options.get("warehouse")
-    require(warehouse != null,
-      s"spark.sql.catalog.$name.warehouse must be set")
+    // REST mode (the reference's standard multi-engine deployment:
+    // RestCatalog as the SQL layer's Catalog —
+    // iceberg-rest-catalog/src/catalog.rs:61 via
+    // datafusion_iceberg/src/catalog/catalog.rs:34): point `uri` at an
+    // Iceberg REST catalog server; namespaces/tables resolve over
+    // HTTP and every metadata commit rides the update-table protocol
+    // (the engine still writes data/manifest files to shared storage
+    // directly). `warehouse` is not needed — locations come from the
+    // server's metadata-location.
+    restBase = Option(options.get("uri")).map(_.stripSuffix("/"))
+    require(warehouse != null || restBase.isDefined,
+      s"spark.sql.catalog.$name.warehouse or .uri must be set")
   }
 
   override def name(): String = catalogName
@@ -195,19 +244,51 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
   private def tableRoot(ident: Identifier): String =
-    resolveRoot(conventionalPath(ident))
+    if (restBase.isDefined)
+      restRootOf(ident).getOrElse(throw new org.apache.spark.sql.catalyst
+        .analysis.NoSuchTableException(ident))
+    else resolveRoot(conventionalPath(ident))
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
-    if (!TableIO.isDirectory(dir)) Array.empty
-    else TableIO.listDir(dir).map(_.getPath).iterator
-      .filter(p => Meta.exists(resolveRoot(p.toString)) ||
-        graft.table.iceberg.IcebergTable.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getName))
-      .toArray
-  }
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    restBase match {
+      case Some(base) =>
+        IcebergRestClient.listTables(base, restNs(namespace))
+          .map(t => Identifier.of(namespace, t)).toArray
+      case None =>
+        val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
+        if (!TableIO.isDirectory(dir)) Array.empty
+        else TableIO.listDir(dir).map(_.getPath).iterator
+          .filter(p => Meta.exists(resolveRoot(p.toString)) ||
+            graft.table.iceberg.IcebergTable.exists(p.toString))
+          .map(p => Identifier.of(namespace, p.getName))
+          .toArray
+    }
 
   override def loadTable(ident: Identifier): Table = {
+    if (restBase.isDefined) {
+      restRootOf(ident) match {
+        case Some(r) => return new IcebergSparkTable(r)
+        case None =>
+          // metadata tables over REST: cat.ns.t.files etc. — resolve
+          // the PARENT through the protocol, render from its manifests
+          val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+          if (ident.namespace().length == 2 &&
+              (GraftMetadataSparkTable.Kinds.contains(kind) ||
+                kind == "position_deletes")) {
+            val parent = Identifier.of(
+              ident.namespace().take(1), ident.namespace()(1))
+            restRootOf(parent).foreach { parentRoot =>
+              return if (kind == "position_deletes")
+                new GraftPositionDeletesTable(parentRoot,
+                  GraftPositionDeletesTable.icebergFiles)
+              else new GraftMetadataSparkTable(parentRoot, kind,
+                IcebergMetadataRows.rowsOf)
+            }
+          }
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException(ident)
+      }
+    }
     val root = tableRoot(ident)
     // graft and real Iceberg share the metadata/vN.metadata.json +
     // version-hint convention; the metadata dialect tells them apart
@@ -332,8 +413,45 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** A Spark V2 transform as the Iceberg transform string the REST
+    * create request carries (spec/partition.rs transform names). */
+  private def toIceTransform(t: Transform): (String, String) = {
+    val c = t.references()(0).fieldNames().mkString(".")
+    def intArg: Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(
+      s"${t.name()} needs an integer argument"))
+    t.name() match {
+      case "identity" => (c, "identity")
+      case "bucket" => (c, s"bucket[$intArg]")
+      case "truncate" => (c, s"truncate[$intArg]")
+      case "years" => (c, "year")
+      case "months" => (c, "month")
+      case "days" => (c, "day")
+      case "hours" => (c, "hour")
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported transform $other")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    restBase match {
+      case Some(base) =>
+        // CREATE TABLE over the protocol: the SERVER owns the metadata
+        // file and chooses the location; loading back registers the
+        // commit route for the writes that follow
+        val ns = restNs(ident.namespace())
+        if (IcebergRestClient.tableExists(base, ns, ident.name()))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(ident)
+        IcebergRestClient.createTable(base, ns, ident.name(), schema,
+          partitions.toSeq.map(toIceTransform),
+          properties.asScala.toMap - "owner" - "provider")
+        return loadTable(ident)
+      case None =>
+    }
     val root = tableRoot(ident)
     if (Meta.exists(root))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -406,6 +524,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    restBase.foreach { base =>
+      val ns = restNs(ident.namespace())
+      return IcebergRestClient.tableRootOf(base, ns, ident.name()) match {
+        case Some(root) =>
+          IcebergRestClient.dropTable(base, ns, ident.name())
+          IcebergRestCommit.deregister(root)
+          true
+        case None => false
+      }
+    }
     val conv = TableIO.path(conventionalPath(ident))
     // registered table: DROP removes only the registration pointer;
     // the external table's data and metadata stay untouched
@@ -419,23 +547,43 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   // conventional paths, NOT resolved roots: renaming a registered
   // table moves its pointer, never the external data it names
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    TableIO.rename(TableIO.path(conventionalPath(oldIdent)),
-      TableIO.path(conventionalPath(newIdent)))
+    restBase match {
+      case Some(base) =>
+        val ns = restNs(oldIdent.namespace())
+        IcebergRestClient.tableRootOf(base, ns, oldIdent.name())
+          .foreach(IcebergRestCommit.deregister)
+        IcebergRestClient.renameTable(base, ns, oldIdent.name(),
+          newIdent.name(), toNs = restNs(newIdent.namespace()))
+      case None =>
+        TableIO.rename(TableIO.path(conventionalPath(oldIdent)),
+          TableIO.path(conventionalPath(newIdent)))
+    }
 
   // ---- namespaces ----------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val dir = TableIO.path(warehouse)
-    if (!TableIO.isDirectory(dir)) Array.empty
-    else TableIO.listDir(dir).iterator.map(_.getPath)
-      .filter(p => TableIO.isDirectory(p) && !Meta.exists(p.toString))
-      .map(p => Array(p.getName)).toArray
+  override def listNamespaces(): Array[Array[String]] = restBase match {
+    case Some(base) =>
+      IcebergRestClient.listNamespaces(base).map(Array(_)).toArray
+    case None =>
+      val dir = TableIO.path(warehouse)
+      if (!TableIO.isDirectory(dir)) Array.empty
+      else TableIO.listDir(dir).iterator.map(_.getPath)
+        .filter(p => TableIO.isDirectory(p) && !Meta.exists(p.toString))
+        .map(p => Array(p.getName)).toArray
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    restBase.foreach { base =>
+      return try
+        IcebergRestClient.namespaceProperties(base, restNs(namespace)).asJava
+      catch { case _: Exception =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchNamespaceException(namespace.toSeq)
+      }
+    }
     val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
     if (!TableIO.isDirectory(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
@@ -444,18 +592,26 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: JMap[String, String]): Unit =
-    TableIO.mkdirs(TableIO.path((warehouse +: namespace.toSeq).mkString("/")))
+      metadata: JMap[String, String]): Unit = restBase match {
+    case Some(base) =>
+      IcebergRestClient.createNamespace(base, restNs(namespace))
+    case None =>
+      TableIO.mkdirs(TableIO.path((warehouse +: namespace.toSeq).mkString("/")))
+  }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
-    if (!TableIO.isDirectory(dir)) false
-    else TableIO.delete(dir, recursive = true)
-  }
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    restBase match {
+      case Some(base) =>
+        IcebergRestClient.dropNamespace(base, restNs(namespace))
+      case None =>
+        val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
+        if (!TableIO.isDirectory(dir)) false
+        else TableIO.delete(dir, recursive = true)
+    }
 }
 
 object GraftTableCatalog {

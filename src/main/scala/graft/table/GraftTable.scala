@@ -1008,7 +1008,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     sets.foreach { case (c, _) =>
       require(m.schema.fieldNames.contains(c), s"no column $c") }
     val keyDf = keys.select(eqCols.map(col): _*).distinct()
-    val keyRows = keyDf.collect() // point keys are bounded by contract
+    // the bounded-key-set contract is ENFORCED: limit(cap+1) keeps an
+    // oversized set off the driver; bulk updates belong in MERGE INTO
+    val cap = graft.table.iceberg.IcebergWrite.updateMaxKeys(spark)
+    val keyRows = keyDf.limit(cap + 1).collect()
+    require(keyRows.length <= cap,
+      s"updateByKey: key set exceeds graft.update.maxKeys=$cap; " +
+        "point updates are for bounded key sets — use MERGE INTO for " +
+        "bulk updates, or raise the cap")
     if (keyRows.isEmpty) return 0L
     // a null key is undefined for a point update: SQL equality never
     // matches it, but an equality-delete tuple WOULD hide null-keyed

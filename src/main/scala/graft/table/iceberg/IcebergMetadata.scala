@@ -438,6 +438,16 @@ object IcebergMetadata {
     * metadata. */
   def commitRetry(location: String)(mutate: IceMetadata => IceMetadata)
       : IceMetadata = {
+    // a location a REST-mode catalog loaded is CATALOG-MANAGED: its
+    // metadata commits ride the update-table protocol (the server
+    // writes metadata.json; this engine only writes data/manifest
+    // files) — the reference's RestCatalog commit shape. Because every
+    // write/evolution/maintenance path funnels through commitRetry,
+    // this one hook routes ALL of them.
+    IcebergRestCommit.lookup(location) match {
+      case Some(route) => return IcebergRestCommit.commitRetry(route)(mutate)
+      case None =>
+    }
     var attempts = 0
     while (true) {
       val (m, v) = loadVersioned(location)

@@ -623,6 +623,17 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           reply(ex, 409, errBody("table exists", 409))
         else {
           val schema = IcebergMetadata.schemaFromNode(body.get("schema"))
+          // optional partition-spec (CreateTableRequest.partition_spec,
+          // catalog_api_api.rs create_table): transforms computed on
+          // write like any partitioned create
+          val spec = Option(body.get("partition-spec"))
+            .filterNot(_.isNull)
+            .map(IcebergMetadata.specFromNode)
+            .getOrElse(IcebergMetadata.IceSpec(0, Seq.empty))
+          val props = Option(body.get("properties")).map(p =>
+            p.properties().asScala.map(e =>
+              e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty[String, String])
           val m0 = IcebergMetadata.IceMetadata(
             formatVersion = 2,
             tableUuid = java.util.UUID.randomUUID().toString,
@@ -631,10 +642,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             lastColumnId = schema.maxId,
             currentSchemaId = schema.schemaId,
             schemas = Seq(schema),
-            defaultSpecId = 0,
-            specs = Seq(IcebergMetadata.IceSpec(0, Seq.empty)),
-            lastPartitionId = 999,
-            properties = Map.empty,
+            defaultSpecId = spec.specId,
+            specs = Seq(spec),
+            lastPartitionId = math.max(999,
+              spec.fields.map(_.fieldId).maxOption.getOrElse(0)),
+            properties = props,
             currentSnapshotId = None,
             snapshots = Seq.empty,
             refs = Map.empty)
@@ -981,6 +993,18 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           reply(ex, 204, Array.empty)
         }
 
+      // dropNamespace (catalog_api_api.rs drop_namespace): 409 when
+      // non-empty, per the spec's NamespaceNotEmpty error
+      case ("DELETE", Seq("namespaces", ns)) =>
+        if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
+        else if (TableIO.listDir(nsRoot(ns)).exists(st =>
+            IcebergTable.exists(st.getPath.toString)))
+          reply(ex, 409, errBody(s"namespace $ns is not empty", 409))
+        else {
+          TableIO.delete(nsRoot(ns), recursive = true)
+          reply(ex, 204, Array.empty)
+        }
+
       case _ => notFound(ex)
     }
   } catch {
@@ -1022,6 +1046,14 @@ object IcebergRestClient {
     require(resp.statusCode() == 200, s"GET $uri -> ${resp.statusCode()}")
     mapper.readTree(resp.body())
   }
+
+  /** Raw GET for protocol plumbing (IcebergRestCommit's base load). */
+  private[iceberg] def getJson(uri: String)
+      : com.fasterxml.jackson.databind.JsonNode = get(uri)
+
+  /** Raw POST for protocol plumbing (IcebergRestCommit's commit). */
+  private[iceberg] def postJson(uri: String, body: String)
+      : java.net.http.HttpResponse[String] = post(uri, body)
 
   def listNamespaces(base: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -1078,6 +1110,25 @@ object IcebergRestClient {
     require(resp.statusCode() == 204, s"dropTable -> ${resp.statusCode()}")
   }
 
+  /** The table's root directory, resolved from the served
+    * metadata-location (its parent's parent — metadata/vN.json lives
+    * one level under the root); None when the table does not exist.
+    * The root anchors the engine's direct data/manifest IO on shared
+    * storage while metadata commits stay on the protocol. */
+  def tableRootOf(base: String, ns: String, table: String): Option[String] = {
+    val resp = http.send(
+      rb(s"$base/v1/namespaces/$ns/tables/$table").GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 404) None
+    else {
+      require(resp.statusCode() == 200,
+        s"loadTable $ns.$table -> ${resp.statusCode()}")
+      val mLoc = new org.apache.hadoop.fs.Path(
+        mapper.readTree(resp.body()).get("metadata-location").asText())
+      Some(mLoc.getParent.getParent.toUri.getPath)
+    }
+  }
+
   /** Open a table from the REST response's inline metadata: scans plan
     * from the returned tree, no direct metadata-dir reads. */
   def loadTable(spark: org.apache.spark.sql.SparkSession,
@@ -1099,15 +1150,47 @@ object IcebergRestClient {
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
 
-  /** Create an empty table over the protocol. */
+  /** Create an empty table over the protocol, optionally partitioned:
+    * `partitions` are (sourceColumn, transform) pairs (identity /
+    * bucket[N] / truncate[W] / year / month / day / hour), resolved to
+    * field ids against the schema being created — the
+    * CreateTableRequest shape with partition-spec. */
   def createTable(base: String, ns: String, name: String,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Seq[(String, String)] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit = {
+    val ice = IcebergMetadata.schemaFromSpark(schema)
     val n = mapper.createObjectNode()
     n.put("name", name)
-    n.set("schema",
-      IcebergMetadata.schemaToNode(IcebergMetadata.schemaFromSpark(schema)))
+    n.set("schema", IcebergMetadata.schemaToNode(ice))
+    if (partitions.nonEmpty) {
+      val spec = n.putObject("partition-spec")
+      spec.put("spec-id", 0)
+      val fs = spec.putArray("fields")
+      partitions.zipWithIndex.foreach { case ((c, transform), i) =>
+        val srcId = ice.fieldId(c).getOrElse(throw new IllegalArgumentException(
+          s"no column $c to partition by"))
+        val f = fs.addObject()
+        f.put("name", Transforms.fieldName(c, transform))
+        f.put("transform", transform)
+        f.put("source-id", srcId)
+        f.put("field-id", 1000 + i)
+      }
+    }
+    if (properties.nonEmpty) {
+      val p = n.putObject("properties")
+      properties.foreach { case (k, v) => p.put(k, v) }
+    }
     val resp = post(s"$base/v1/namespaces/$ns/tables", mapper.writeValueAsString(n))
     require(resp.statusCode() == 200, s"createTable -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** Drop a namespace (409 from the server when non-empty). */
+  def dropNamespace(base: String, ns: String): Boolean = {
+    val code = delete(s"$base/v1/namespaces/$ns")
+    require(code == 204 || code == 404,
+      s"dropNamespace -> $code (non-empty?)")
+    code == 204
   }
 
   private def delete(uri: String): Int =

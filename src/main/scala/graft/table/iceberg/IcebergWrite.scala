@@ -148,6 +148,13 @@ object IcebergWrite {
     * has no usable stats and foreign readers reject it), restoring the
     * session conf after — the single copy of a guard four write paths
     * share. */
+  /** Hard cap on updateByKey's driver-collected key set (both
+    * dialects): the point-update contract, enforceable via
+    * `graft.update.maxKeys`. */
+  private[table] def updateMaxKeys(spark: SparkSession): Int =
+    spark.conf.getOption("graft.update.maxKeys").map(_.toInt)
+      .getOrElse(100000)
+
   private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
@@ -1998,8 +2005,16 @@ object IcebergWrite {
     val keyDf = keys.select(eqCols.map(col): _*).distinct()
     // point keys are bounded by contract (an IN-list, a user-id set):
     // their min/max per column become manifest stat filters, so the
-    // fetch plans only files whose bounds can hold a key
-    val keyRows = keyDf.collect()
+    // fetch plans only files whose bounds can hold a key. The contract
+    // is ENFORCED: limit(cap+1) keeps an oversized key set from ever
+    // reaching the driver, and the clear error beats a silent OOM
+    // (route bulk updates through MERGE INTO instead).
+    val cap = updateMaxKeys(spark)
+    val keyRows = keyDf.limit(cap + 1).collect()
+    require(keyRows.length <= cap,
+      s"updateByKey: key set exceeds graft.update.maxKeys=$cap; " +
+        "point updates are for bounded key sets — use MERGE INTO for " +
+        "bulk updates, or raise the cap")
     if (keyRows.isEmpty) return 0L
     // a null key is undefined for a point update: SQL equality never
     // matches it, but an equality-delete tuple WOULD hide null-keyed

@@ -523,6 +523,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) === ((100L, 10L)))
   }
 
+  test("updateByKey enforces the bounded-key-set contract on both dialects") {
+    import graft.table.iceberg.{IcebergTable, IcebergWrite}
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), df.schema)
+    t.append(df)
+    val loc = Files.createTempDirectory("graft-cap").toString + "/t"
+    IcebergWrite.create(spark, loc, df)
+    spark.conf.set("graft.update.maxKeys", "5")
+    try {
+      val bigKeys = (1L to 6L).toDF("k")
+      val exG = intercept[IllegalArgumentException] {
+        t.updateByKey(bigKeys, Seq("k"), Seq("v" -> lit("x")))
+      }
+      assert(exG.getMessage.contains("graft.update.maxKeys"))
+      val exI = intercept[IllegalArgumentException] {
+        IcebergWrite.updateByKey(spark, loc, bigKeys, Seq("k"),
+          Seq("v" -> lit("x")))
+      }
+      assert(exI.getMessage.contains("graft.update.maxKeys"))
+      // within the cap still works on both
+      assert(t.updateByKey((1L to 5L).toDF("k"), Seq("k"),
+        Seq("v" -> lit("y"))) === 5L)
+      assert(IcebergWrite.updateByKey(spark, loc, (1L to 5L).toDF("k"),
+        Seq("k"), Seq("v" -> lit("y"))) === 5L)
+      assert(IcebergTable.load(spark, loc).scan()
+        .filter(col("v") === "y").count() === 5L)
+    } finally spark.conf.unset("graft.update.maxKeys")
+  }
+
   test("convert recovers an eq key DROPPED from the current schema " +
       "(adopted table) and aborts on an unresolvable id") {
     import graft.table.iceberg.{IcebergMetadata, IcebergTable, IcebergWrite}
