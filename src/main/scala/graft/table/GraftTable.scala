@@ -474,9 +474,16 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           case None => schema
           case Some(mp) => Meta.importReadSchema(schema, mp)
         }
-        val raw =
-          (if (mapping.isEmpty) idRead else spark.read)
-            .schema(readSchema).parquet(group.map(absolute): _*)
+        val raw = mapping match {
+          // id-resolved reads route through the id-preserving format:
+          // nested leaves stay PRUNED and still resolve by field id
+          // (SchemaPruning drops parquet.field.id; the format
+          // re-stamps it on the rebuilt schema)
+          case None => IdRead.parquet(spark, readSchema,
+            group.map(absolute))
+          case Some(_) =>
+            spark.read.schema(readSchema).parquet(group.map(absolute): _*)
+        }
         val withMeta =
           if (!withPos) raw
           else raw.withColumn("__file", col("_metadata.file_path"))
@@ -977,17 +984,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       else afterPos
     }.map { df0 =>
       // widened reads drop their extra key columns from the output
-      val df =
-        if (missingEq.isEmpty) df0
-        else df0.select((schema.fieldNames ++
-          (if (keepPos) Seq("__file", "__pos").filter(
-            df0.columns.contains) else Nil)).map(col).toIndexedSeq: _*)
-      // id-carrying schemas: barrier nested columns so SchemaPruning
-      // cannot rebuild the read schema without parquet.field.id (a
-      // pruned leaf under a renamed struct would null-fill)
-      if (Meta.hasFieldIds(schema))
-        graft.functions.PruneBarrier.protectNested(df)
-      else df
+      if (missingEq.isEmpty) df0
+      else df0.select((schema.fieldNames ++
+        (if (keepPos) Seq("__file", "__pos").filter(
+          df0.columns.contains) else Nil)).map(col).toIndexedSeq: _*)
     }.reduce(_ unionByName _)
   }
 

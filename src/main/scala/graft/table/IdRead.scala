@@ -1,0 +1,37 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.execution.datasources.parquet.GraftParquetFileFormat
+
+/** Driver-path parquet reads under an id-carrying requested schema.
+  *
+  * Scalar-only schemas use the stock parquet source (no pruning
+  * hazard, maximal scan reuse). Schemas with NESTED types route
+  * through GraftParquetFileFormat, which re-stamps `parquet.field.id`
+  * onto the schema SchemaPruning rebuilds — so a leaf select under a
+  * renamed struct column still resolves by id AND still reads a
+  * pruned schema (the former PruneBarrier approach kept ids by
+  * disabling nested pruning entirely; this keeps both). */
+object IdRead {
+
+  private def isNested(t: DataType): Boolean = t match {
+    case _: StructType | _: ArrayType | _: MapType => true
+    case _ => false
+  }
+
+  def hasNested(schema: StructType): Boolean =
+    schema.fields.exists(f => isNested(f.dataType))
+
+  /** Read `paths` under `schema` (id-stamped), id-safe through
+    * nested-schema pruning. The per-read option keeps the clip stage
+    * id-aware even if a user unsets the session flag. */
+  def parquet(spark: SparkSession, schema: StructType,
+      paths: Seq[String]): DataFrame = {
+    val r = spark.read.option("spark.sql.parquet.fieldId.read.enabled", "true")
+    if (!hasNested(schema)) r.schema(schema).parquet(paths: _*)
+    else r.format(GraftParquetFileFormat.Format)
+      .option(GraftParquetFileFormat.IdSchemaOption, schema.json)
+      .schema(schema).load(paths: _*)
+  }
+}

@@ -381,18 +381,20 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     if (dataWithSeq.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    // nested columns of id-resolved reads go through a prune barrier:
-    // SchemaPruning's rebuilt read schema drops parquet.field.id, so a
-    // pruned leaf under a renamed struct column would null-fill
-    def guard(df: DataFrame): DataFrame =
-      if (idRes) graft.functions.PruneBarrier.protectNested(df) else df
+    // id-resolved reads with nested columns route through the
+    // id-preserving parquet format: SchemaPruning's rebuilt read
+    // schema drops parquet.field.id, and the format re-stamps it, so
+    // a pruned leaf under a renamed struct column resolves by id AND
+    // the scan still reads only the pruned leaves
+    def readData(paths: Seq[String]): DataFrame =
+      if (idRes) graft.table.IdRead.parquet(spark, schemaOf, paths)
+      else spark.read.schema(schemaOf).parquet(paths: _*)
     def unwiden(df: DataFrame): DataFrame =
       if (missingEq.isEmpty) df
       else df.select((iceSchema.fields.map(_.name) ++
         (if (keepPos) Seq("__file", "__pos") else Nil)).map(col).toIndexedSeq: _*)
     if (deletes.isEmpty && !keepPos)
-      return guard(spark.read.schema(schemaOf)
-        .parquet(dataWithSeq.map(f => resolve(f._1.filePath).toString): _*))
+      return readData(dataWithSeq.map(f => resolve(f._1.filePath).toString))
 
     val classes = dataWithSeq.groupBy { case (_, seq) =>
       (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
@@ -402,8 +404,7 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     }
     classes.toSeq.map { case ((eqPaths, posPaths), group) =>
       val needPos = posPaths.nonEmpty || keepPos
-      val raw = spark.read.schema(schemaOf)
-        .parquet(group.map(g => resolve(g._1.filePath).toString): _*)
+      val raw = readData(group.map(g => resolve(g._1.filePath).toString))
       val base =
         if (!needPos) raw
         else raw.withColumn("__file", col("_metadata.file_path"))
@@ -452,7 +453,7 @@ class IcebergTable private (val location: String, val spark: SparkSession,
             "left_anti")
         }
       if (needPos && !keepPos) result.drop("__file", "__pos") else result
-    }.map(df => guard(unwiden(df))).reduce(_ unionByName _)
+    }.map(df => unwiden(df)).reduce(_ unionByName _)
   }
 
   /** Changelog over the real format — GraftTable.changesBetween parity

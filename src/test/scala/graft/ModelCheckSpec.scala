@@ -439,6 +439,121 @@ class ModelCheckSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  /** Model check of Spark SQL DML INTERLEAVED with evolution commits
+    * over one REST catalog — the multi-engine shape: this engine's
+    * SQL DML rides the update-table protocol while a SECOND client
+    * (raw protocol calls) renames columns and moves properties
+    * between its commits. After every op the visible rows (under the
+    * CURRENT labels), the schema labels, and the properties must
+    * equal the model; renamed columns must keep resolving files
+    * written under old labels by field id. */
+  private def runRestSqlDmlEvolutionSequence(seed: Long, nOps: Int): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergRestServer,
+      IcebergRestClient => C}
+    val rnd = new scala.util.Random(seed)
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft-restdml-$seed").toString
+    val server = new IcebergRestServer(wh).start()
+    val cat = s"rdml${seed}_${java.util.UUID.randomUUID().toString.take(4)}"
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.spark.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", base)
+      C.createNamespace(base, "db")
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, a STRING, b BIGINT)")
+      val loc = s"$wh/db/t"
+
+      // model: rows by key + the CURRENT labels of the two payload
+      // columns (ids are identity; labels evolve on both channels)
+      var mRows = Map.empty[Long, (String, Long)]
+      var aLabel = "a"
+      var bLabel = "b"
+      var mProps = Map.empty[String, String]
+      var nextKey = 1L
+
+      def check(tag: String): Unit = {
+        val got = spark.sql(
+          s"SELECT k, $aLabel, $bLabel FROM $cat.db.t ORDER BY k")
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        assert(got.toMap === mRows && got.length === mRows.size,
+          s"seed=$seed op=$tag rows diverged: got=${got.toSeq} want=$mRows")
+        val m = IcebergMetadata.load(loc)
+        assert(m.schema.fields.map(_.name).toSeq === Seq("k", aLabel, bLabel),
+          s"seed=$seed op=$tag schema labels diverged")
+        assert(m.properties.view.filterKeys(_.startsWith("fz")).toMap
+          === mProps, s"seed=$seed op=$tag properties diverged")
+      }
+
+      for (i <- 1 to nOps) {
+        rnd.nextInt(8) match {
+          case 0 | 1 => // SQL INSERT (rides the commit protocol)
+            val k = nextKey; nextKey += 1
+            spark.sql(s"INSERT INTO $cat.db.t VALUES ($k, 'v$k', ${k * 10})")
+            mRows += k -> ((s"v$k", k * 10))
+          case 2 if mRows.nonEmpty => // SQL UPDATE under CURRENT labels
+            val k = mRows.keys.toSeq.sorted.apply(rnd.nextInt(mRows.size))
+            spark.sql(
+              s"UPDATE $cat.db.t SET $bLabel = ${i * 1000} WHERE k = $k")
+            mRows += k -> ((mRows(k)._1, i * 1000L))
+          case 3 if mRows.nonEmpty => // SQL DELETE
+            val k = mRows.keys.toSeq.sorted.apply(rnd.nextInt(mRows.size))
+            spark.sql(s"DELETE FROM $cat.db.t WHERE k = $k")
+            mRows -= k
+          case 4 => // SQL rename of a payload column (evolution via
+            // the catalog: add-schema + set-current-schema over REST)
+            val newA = s"a$i"
+            spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN $aLabel TO $newA")
+            aLabel = newA
+          case 5 => // SECOND CLIENT renames b through the raw
+            // protocol between this engine's commits
+            val m = IcebergMetadata.load(loc)
+            val newB = s"b$i"
+            val renamed = IcebergMetadata.IceSchema(
+              m.schemas.map(_.schemaId).max + 1,
+              m.schema.fields.map(f =>
+                if (f.name == bLabel) f.copy(name = newB) else f))
+            C.updateSchema(base, "db", "t", renamed)
+            bLabel = newB
+          case 6 => // second client moves a property
+            val k = s"fz${rnd.nextInt(3)}"
+            C.updateProperties(base, "db", "t", Map(k -> s"v$i"))
+            mProps += k -> s"v$i"
+          case _ => // MERGE INTO: upsert one existing + one new key
+            val k = nextKey; nextKey += 1
+            val existing = mRows.keys.toSeq.sorted.headOption
+            val src = s"SELECT $k AS k, 'm$k' AS $aLabel, " +
+              s"CAST(${k * 7} AS BIGINT) AS $bLabel" +
+              existing.map(e =>
+                s" UNION ALL SELECT $e, 'M$i', CAST($i AS BIGINT)")
+                .getOrElse("")
+            spark.sql(
+              s"""MERGE INTO $cat.db.t t USING ($src) s ON t.k = s.k
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+            mRows += k -> ((s"m$k", k * 7))
+            existing.foreach(e => mRows += e -> ((s"M$i", i.toLong)))
+        }
+        check(s"#$i")
+      }
+    } finally {
+      server.stop()
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.uri")
+    }
+  }
+
+  test("SQL DML interleaved with two-client evolution over REST " +
+      "agrees with the model (seed 19)") {
+    runRestSqlDmlEvolutionSequence(19L, 22)
+  }
+  test("SQL DML interleaved with two-client evolution over REST " +
+      "agrees with the model (seed 101)") {
+    runRestSqlDmlEvolutionSequence(101L, 22)
+  }
+
   test("table REST-protocol random sequences agree with the model (seed 3)") {
     runTableRestSequence(3L, 25)
   }

@@ -237,4 +237,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("prunedBy=1 stat filters"),
       s"l_orderkey predicate did not reach the graft scan:\n$p")
   }
+
+  test("nested leaf select is PRUNED and id-resolved on driver-path " +
+      "scans (both dialects)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // wide struct: pruning matters — reading it whole would drag the
+    // payload leaf through the scan
+    val df = Seq((1L, (7L, "x", "payload-a")), (2L, (8L, "y", "payload-b")))
+      .toDF("k", "meta")
+    def leafPlan(scan: org.apache.spark.sql.DataFrame): String =
+      scan.select(col("k"), col("info._1").as("a"))
+        .queryExecution.executedPlan.toString
+    // graft dialect
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-prune").toString + "/t"
+    val t = graft.table.GraftTable.create(spark, root, df.schema)
+    t.append(df)
+    t.renameColumn("meta", "info") // files keep the OLD top-level name
+    val pG = leafPlan(graft.table.GraftTable.load(spark, root).scan())
+    assert(pG.contains("ReadSchema"), s"no scan in:\n$pG")
+    assert(!pG.contains("_3"),
+      s"nested pruning lost: the untouched payload leaf _3 is read:\n$pG")
+    assert(graft.table.GraftTable.load(spark, root).scan()
+      .select(col("k"), col("info._1").as("a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 7L), (2L, 8L)),
+      "pruned id-resolved leaf must still bind by field id")
+    // interop dialect
+    import graft.table.iceberg.{IcebergTable, IcebergWrite}
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-prune-ice").toString + "/t"
+    IcebergWrite.create(spark, loc, df)
+    IcebergWrite.renameColumn(loc, "meta", "info")
+    val pI = leafPlan(IcebergTable.load(spark, loc).scan())
+    assert(!pI.contains("_3"),
+      s"nested pruning lost on the interop scan:\n$pI")
+    assert(IcebergTable.load(spark, loc).scan()
+      .select(col("k"), col("info._1").as("a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 7L), (2L, 8L)))
+  }
 }
