@@ -43,7 +43,19 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results: Seq[(String, Double, Seq[Double])] =
+    // contamination defense (the round-11 driver record was box-noise
+    // at 2.2x and unlabeled): loadavg is sampled per key, and a key
+    // whose rep spread exceeds SpreadRetry earns up to two extra reps
+    // — the median absorbs the outlier, and keys still noisy after
+    // retries are counted in the record so a contaminated run labels
+    // itself instead of reading as a regression.
+    val SpreadRetry = 0.5
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadavg: Double = osBean.getSystemLoadAverage
+    val loadStart = loadavg
+    def spreadOf(v: Double, ts: Seq[Double]): Double =
+      if (v <= 0) 0.0 else (ts.max - ts.min) / v
+    val results: Seq[(String, Double, Seq[Double], Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => keep.forall(_.contains(kv._1))).map { case (name, fn) =>
           def once(): Double = {
@@ -52,10 +64,17 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           once() // per-key warmup, untimed in the report
-          val times = (1 to reps).map(_ => once())
-          (name, median(times), times)
+          var times = (1 to reps).map(_ => once())
+          var retries = 0
+          while (spreadOf(median(times), times) > SpreadRetry && retries < 2) {
+            times = times :+ once()
+            retries += 1
+          }
+          (name, median(times), times, loadavg)
         }
     val total = results.map(_._2).sum
+    val noisy = results.count { case (_, v, ts, _) =>
+      spreadOf(v, ts) > SpreadRetry }
     // Full-precision timings go to a sidecar file; stdout carries ONE
     // compact JSON line. The line must stay well under 2000 bytes: the
     // harness keeps only the final 2000 bytes of output (plus sbt's
@@ -69,24 +88,24 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     def fmt(v: Double): String = f"$v%.2f"
     val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
-    val qsCompact = slowest.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qsCompact = slowest.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val nOmitted = results.size - slowest.size
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median-of-$reps","n_queries":${results.size},"queries_omitted":$nOmitted,"queries":$qsCompact,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median-of-$reps","n_queries":${results.size},"queries_omitted":$nOmitted,"noisy_keys":$noisy,"loadavg_start":${f"$loadStart%.1f"},"queries":$qsCompact,"sf":$sfNum}"""
     try {
-      val full = results.map { case (k, v, ts) =>
-        val spread =
-          if (v <= 0) 0.0 else (ts.max - ts.min) / v
+      val full = results.map { case (k, v, ts, la) =>
+        val spread = spreadOf(v, ts)
         "\"" + k + "\":{\"median\":" + v + ",\"reps\":[" +
-          ts.mkString(",") + "],\"spread\":" + f"$spread%.3f" + "}"
+          ts.mkString(",") + "],\"spread\":" + f"$spread%.3f" +
+          ",\"loadavg\":" + f"$la%.1f" + "}"
       }.mkString("{", ",", "}")
       // A key-filtered run must not clobber the committed full-battery
       // record (that happened once: a 2-key probe overwrote the 122-key
       // file); partial results go to a sidecar instead.
       val sidecar = if (keep.isDefined) "bench_partial.json" else "bench_full.json"
       val w = new java.io.PrintWriter(sidecar)
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median-of-$reps","queries":$full,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median-of-$reps","noisy_keys":$noisy,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$full,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(line)
