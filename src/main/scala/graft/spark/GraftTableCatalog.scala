@@ -226,6 +226,24 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     restBase = Option(options.get("uri")).map(_.stripSuffix("/"))
     require(warehouse != null || restBase.isDefined,
       s"spark.sql.catalog.$name.warehouse or .uri must be set")
+    // REST auth, the reference client's configuration shape
+    // (configuration.rs bearer_access_token / oauth client
+    // credentials): `token` installs a static bearer for THIS server;
+    // `credential` ("id:secret") exchanges via /v1/oauth/tokens.
+    // Tokens are scoped per server base — two catalogs with two
+    // servers and two tokens coexist in one session.
+    restBase.foreach { base =>
+      Option(options.get("token"))
+        .foreach(t => IcebergRestClient.setTokenFor(base, t))
+      Option(options.get("credential")).foreach { cred =>
+        val (id, secret) = cred.split(":", 2) match {
+          case Array(i, s) => (i, s)
+          case _ => throw new IllegalArgumentException(
+            s"spark.sql.catalog.$name.credential must be 'clientId:secret'")
+        }
+        IcebergRestClient.authenticateFor(base, id, secret)
+      }
+    }
   }
 
   override def name(): String = catalogName

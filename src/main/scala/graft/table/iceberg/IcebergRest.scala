@@ -1034,9 +1034,27 @@ object IcebergRestClient {
     * (configuration.rs bearer_access_token). */
   @volatile var bearerToken: Option[String] = None
 
+  /** Per-catalog credentials keyed by server base URI: two catalogs
+    * registered in one session may talk to two servers with two
+    * tokens, so a single global token cannot serve both. Longest
+    * matching base wins; the global bearerToken is the fallback. */
+  private val tokensByBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def setTokenFor(base: String, token: String): Unit =
+    tokensByBase.put(base.stripSuffix("/"), token)
+
+  private def tokenFor(uri: String): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    tokensByBase.asScala
+      .filter { case (b, _) => uri.startsWith(b + "/") || uri == b }
+      .toSeq.sortBy(-_._1.length).headOption.map(_._2)
+      .orElse(bearerToken)
+  }
+
   private def rb(uri: String): java.net.http.HttpRequest.Builder = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
-    bearerToken.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+    tokenFor(uri).fold(b)(t => b.header("Authorization", s"Bearer $t"))
   }
 
   private def get(uri: String): com.fasterxml.jackson.databind.JsonNode = {
@@ -1396,9 +1414,7 @@ object IcebergRestClient {
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
   }
 
-  /** client_credentials grant: exchange id+secret for the catalog's
-    * bearer token and install it on this client. */
-  def authenticate(base: String, clientId: String,
+  private def exchangeCredentials(base: String, clientId: String,
       clientSecret: String): String = {
     val form = s"grant_type=client_credentials&client_id=" +
       java.net.URLEncoder.encode(clientId, "UTF-8") +
@@ -1410,8 +1426,24 @@ object IcebergRestClient {
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
       s"authenticate -> ${resp.statusCode()}: ${resp.body()}")
-    val token = mapper.readTree(resp.body()).get("access_token").asText()
+    mapper.readTree(resp.body()).get("access_token").asText()
+  }
+
+  /** client_credentials grant: exchange id+secret for the catalog's
+    * bearer token and install it on this client. */
+  def authenticate(base: String, clientId: String,
+      clientSecret: String): String = {
+    val token = exchangeCredentials(base, clientId, clientSecret)
     bearerToken = Some(token)
+    token
+  }
+
+  /** client_credentials grant scoped to ONE server base — the
+    * catalog-level `credential` option's exchange. */
+  def authenticateFor(base: String, clientId: String,
+      clientSecret: String): String = {
+    val token = exchangeCredentials(base, clientId, clientSecret)
+    setTokenFor(base, token)
     token
   }
 

@@ -205,6 +205,50 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       "every concurrent insert must land as its own snapshot")
   }
 
+  test("catalog-level auth: token and credential options scope to " +
+      "their server; unauthenticated SQL is refused") {
+    val spark0 = spark
+    import spark0.implicits._
+    val wh2 = Files.createTempDirectory("graft-restauth").toString
+    val server2 = new IcebergRestServer(wh2,
+      bearerToken = Some("tok-xyz"),
+      oauthClients = Map("svc" -> "s3cret")).start()
+    val base2 = s"http://127.0.0.1:${server2.port}"
+    try {
+      // static bearer via the `token` catalog option
+      val catT = s"rtok_${java.util.UUID.randomUUID().toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$catT", "graft.spark.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catT.uri", base2)
+      spark.conf.set(s"spark.sql.catalog.$catT.token", "tok-xyz")
+      spark.sql(s"CREATE NAMESPACE $catT.db")
+      spark.sql(s"CREATE TABLE $catT.db.t (k BIGINT)")
+      Seq(1L, 2L).toDF("k").createOrReplaceTempView("rest_auth_src")
+      spark.sql(s"INSERT INTO $catT.db.t SELECT * FROM rest_auth_src")
+      assert(spark.sql(s"SELECT * FROM $catT.db.t").count() === 2)
+      // oauth client_credentials via the `credential` option: the
+      // exchange runs at initialize and the minted token sticks to
+      // THIS base only
+      val catC = s"rcred_${java.util.UUID.randomUUID().toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$catC", "graft.spark.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catC.uri", base2)
+      spark.conf.set(s"spark.sql.catalog.$catC.credential", "svc:s3cret")
+      assert(spark.sql(s"SELECT * FROM $catC.db.t").count() === 2)
+      spark.sql(s"INSERT INTO $catC.db.t SELECT * FROM rest_auth_src")
+      assert(spark.sql(s"SELECT * FROM $catC.db.t").count() === 4)
+      // the per-base token does NOT leak to the suite's main server
+      // (env catalog keeps working against its unauthenticated base)
+      assert(spark.sql(s"SHOW NAMESPACES IN $cat").count() >= 0)
+      // bad credential refused at initialize (the oauth exchange 401s)
+      val catB = s"rbad_${java.util.UUID.randomUUID().toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$catB", "graft.spark.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catB.uri", base2)
+      spark.conf.set(s"spark.sql.catalog.$catB.credential", "svc:wrong")
+      intercept[Exception] {
+        spark.sql(s"SHOW NAMESPACES IN $catB").collect()
+      }
+    } finally server2.stop()
+  }
+
   test("DROP TABLE and namespace lifecycle over REST") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lc")
     spark.sql(s"CREATE TABLE $cat.lc.t (k BIGINT)")
