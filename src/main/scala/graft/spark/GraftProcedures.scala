@@ -81,7 +81,8 @@ object GraftProcedures {
       .comment("table identifier, e.g. 'db.t'").build()
 
   def all(warehouse: String,
-      loadTable: String => Either[String, GraftTable])
+      loadTable: String => Either[String, GraftTable],
+      restRegister: Option[(String, String) => Unit] = None)
       : Map[String, UnboundProcedure] = {
     import graft.table.iceberg.{IcebergMaintenance, IcebergMetadata,
       IcebergTable, IcebergWrite}
@@ -108,12 +109,27 @@ object GraftProcedures {
           val loc = input.getUTF8String(1).toString
           // graft AND real-format tables both register: the catalog's
           // loadTable follows the pointer and routes by dialect
-          require(warehouse != null,
-            "register_table needs a filesystem warehouse; a REST-mode " +
-              "catalog's registrations belong to the server")
           val graftDialect = Meta.exists(loc) && Meta.isGraftDialect(loc)
           require(graftDialect || IcebergTable.exists(loc),
             s"no table metadata under $loc")
+          // REST mode: the registration belongs to the SERVER — the
+          // spec's POST /namespaces/{ns}/register imports the current
+          // metadata file; data stays at the original location
+          restRegister.foreach { reg =>
+            require(!graftDialect,
+              "register_table over REST serves real-format tables " +
+                "(the protocol imports a metadata.json)")
+            reg(name, loc)
+            val snap = IcebergMetadata.load(loc)
+              .currentSnapshotId.getOrElse(-1L)
+            return result(StructType(Seq(
+              StructField("registered", StringType),
+              StructField("current_snapshot_id", LongType))),
+              Seq(row(utf8(loc), snap)))
+          }
+          require(warehouse != null,
+            "register_table needs a filesystem warehouse or a REST " +
+              "catalog server")
           val conv = (warehouse +: name.split('.').toSeq).mkString("/")
           require(!Meta.exists(conv) && !graft.table.TableIO.exists(
             graft.table.TableIO.path(

@@ -176,6 +176,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       else if (graft.table.iceberg.IcebergTable.exists(root))
         Left(root)
       else throw missing
+    }, restRegister = restBase.map { base => (tableName, loc) =>
+      val parts = tableName.split('.')
+      require(parts.length == 2,
+        s"REST table names are ns.table; got $tableName")
+      IcebergRestClient.registerTable(base, parts(0), parts(1),
+        graft.table.iceberg.IcebergMetadata
+          .currentMetadataFile(loc).toString)
     })
 
   override def loadProcedure(ident: Identifier)

@@ -249,6 +249,80 @@ class RestCatalogSqlSpec extends AnyFunSuite {
     } finally server2.stop()
   }
 
+  test("CALL register_table over REST adopts an external table; DML works") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.IcebergWrite
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rg")
+    // a real-format table living OUTSIDE the server's warehouse
+    val ext = Files.createTempDirectory("graft-rest-ext").toString + "/t"
+    IcebergWrite.create(spark, ext,
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    val res = spark.sql(s"CALL $cat.system.register_table(" +
+      s"table => 'rg.ext', location => '$ext')").collect()(0)
+    assert(res.getString(0) === ext)
+    // reads resolve the ORIGINAL data files; DML commits ride REST
+    assert(spark.sql(s"SELECT * FROM $cat.rg.ext").count() === 30)
+    spark.sql(s"DELETE FROM $cat.rg.ext WHERE k <= 5")
+    assert(spark.sql(s"SELECT * FROM $cat.rg.ext").count() === 25)
+    Seq((100L, "new")).toDF("k", "v").createOrReplaceTempView("rest_rg_src")
+    spark.sql(s"INSERT INTO $cat.rg.ext SELECT * FROM rest_rg_src")
+    assert(spark.sql(s"SELECT * FROM $cat.rg.ext").count() === 26)
+    // the original table's own metadata is untouched by catalog DML
+    // (the registration IMPORTED it; the original lineage still reads)
+    assert(graft.table.iceberg.IcebergTable.load(spark, ext)
+      .scan().count() === 30)
+    // graft-dialect tables refuse REST registration with a clear error
+    val gr = Files.createTempDirectory("graft-rest-gd").toString + "/t"
+    val gt = graft.table.GraftTable.create(spark, gr,
+      Seq((1L, "a")).toDF("k", "v").schema)
+    gt.append(Seq((1L, "a")).toDF("k", "v"))
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.register_table(" +
+        s"table => 'rg.gd', location => '$gr')").collect()
+    }
+    assert(ex.getMessage.contains("real-format"))
+  }
+
+  test("bucket SPJ holds through the REST catalog: co-bucketed join " +
+      "without a shuffle") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.spj")
+    spark.sql(s"""CREATE TABLE $cat.spj.a (id BIGINT, va STRING)
+        PARTITIONED BY (bucket(4, id))""")
+    spark.sql(s"""CREATE TABLE $cat.spj.b (id BIGINT, vb STRING)
+        PARTITIONED BY (bucket(4, id))""")
+    (1L to 400L).map(i => (i, s"a$i")).toDF("id", "va")
+      .createOrReplaceTempView("rest_spj_a")
+    (1L to 400L by 2).map(i => (i, s"b$i")).toDF("id", "vb")
+      .createOrReplaceTempView("rest_spj_b")
+    spark.sql(s"INSERT INTO $cat.spj.a SELECT * FROM rest_spj_a")
+    spark.sql(s"INSERT INTO $cat.spj.b SELECT * FROM rest_spj_b")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table(s"$cat.spj.a")
+        .join(spark.table(s"$cat.spj.b"), "id")
+      val plan = joined.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected a shuffled join operator:\n$plan")
+      val exchangesBelowJoin = joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchangesBelowJoin.isEmpty,
+        s"REST-catalog bucket SPJ must not shuffle either side:\n$plan")
+      assert(joined.count() === 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("DROP TABLE and namespace lifecycle over REST") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lc")
     spark.sql(s"CREATE TABLE $cat.lc.t (k BIGINT)")
