@@ -140,13 +140,30 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       "mode => 'convert')")
     assert(IcebergTable.load(spark, s"$wh/mt/t").deleteEntries()
       .count(_._1.content == 2) === 0)
+    // branch + tag + rollback: ref moves ride REST (set-snapshot-ref)
+    val snapNow = IcebergMetadata.load(s"$wh/mt/t").currentSnapshotId.get
+    spark.sql(s"CALL $cat.system.create_branch(table => 'mt.t', " +
+      "branch => 'audit')")
+    spark.sql(s"CALL $cat.system.create_tag(table => 'mt.t', " +
+      s"tag => 'v1', snapshot_id => ${snapNow}L)")
+    val refs = IcebergMetadata.load(s"$wh/mt/t").refs
+    assert(refs.get("audit").contains(snapNow) && refs.get("v1").contains(snapNow))
+    assert(spark.sql(s"SELECT * FROM $cat.mt.t VERSION AS OF 'audit'")
+      .count() === 4)
     // compact + expire: remove-snapshots rides REST
     spark.sql(s"CALL $cat.system.rewrite_data_files(table => 'mt.t')")
+    val rolledFrom = IcebergMetadata.load(s"$wh/mt/t").currentSnapshotId.get
+    spark.sql(s"CALL $cat.system.rollback_to_snapshot(table => 'mt.t', " +
+      s"snapshot_id => ${snapNow}L)")
+    assert(IcebergMetadata.load(s"$wh/mt/t").currentSnapshotId
+      .contains(snapNow), "rollback must move main over REST")
+    assert(rolledFrom !== snapNow)
     val before = IcebergMetadata.load(s"$wh/mt/t").snapshots.size
     spark.sql(s"CALL $cat.system.expire_snapshots(table => 'mt.t', " +
       "keep_last => 1)")
     val after = IcebergMetadata.load(s"$wh/mt/t")
-    assert(after.snapshots.size === 1 && before > 1)
+    assert(after.snapshots.size <= 2 && before > 2,
+      s"expire over REST must drop history: $before -> ${after.snapshots.size}")
     assert(spark.sql(s"SELECT * FROM $cat.mt.t").count() === 4)
   }
 
