@@ -111,15 +111,63 @@ object CatalogOps {
        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY 1 ORDER BY l_returnflag"""
 
+  /** Spark SQL fronting a LIVE Iceberg REST catalog server — the
+    * reference's standard multi-engine deployment (iceberg-rest-
+    * catalog/src/catalog.rs:61 RestCatalog as a Catalog,
+    * datafusion_iceberg/src/catalog/catalog.rs:34 exposing it to
+    * SQL): CREATE/INSERT/DELETE/UPDATE all commit through the
+    * update-table protocol (requirements + updates, server-side
+    * CAS); data files write to shared storage directly. The result
+    * materializes eagerly so the in-query server can stop. */
+  val tfRestSql: Q = (s, d) => {
+    val wh = scratch()
+    val server = new graft.table.iceberg.IcebergRestServer(wh).start()
+    try {
+      val cat = s"restq_${java.util.UUID.randomUUID().toString.take(6)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.uri",
+        s"http://127.0.0.1:${server.port}")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      Tables.supplier(s, d).createOrReplaceTempView("supp_rest_src")
+      s.sql(s"CREATE TABLE $cat.db.supp " +
+        "(s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)")
+      s.sql(s"INSERT INTO $cat.db.supp SELECT s_suppkey, s_nationkey, " +
+        "s_acctbal FROM supp_rest_src")
+      s.sql(s"DELETE FROM $cat.db.supp WHERE s_acctbal < 0")
+      s.sql(s"UPDATE $cat.db.supp SET s_acctbal = s_acctbal * 2 " +
+        "WHERE s_nationkey = 3")
+      val out = s.sql(s"SELECT s_nationkey, count(*) AS n, " +
+        s"round(sum(s_acctbal), 2) AS bal FROM $cat.db.supp " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")
+      val rows = out.collect().toSeq
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.uri")
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally server.stop()
+  }
+
+  val tfRestSqlSql: String =
+    """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+       FROM (SELECT s_nationkey,
+                    CASE WHEN s_nationkey = 3 THEN s_acctbal * 2
+                         ELSE s_acctbal END AS s_acctbal
+             FROM supplier WHERE s_acctbal >= 0)
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   val queries: Map[String, Q] = Map(
     "tf_insert_select" -> tfInsertSelect,
     "tf_ctas_view" -> tfCtasView,
     "tf_mv_incremental" -> tfMvIncremental,
-    "tf_connector_scan" -> tfConnectorScan)
+    "tf_connector_scan" -> tfConnectorScan,
+    "tf_rest_sql" -> tfRestSql)
 
   val oracles: Map[String, String] = Map(
     "tf_insert_select" -> tfInsertSelectSql,
     "tf_ctas_view" -> tfCtasViewSql,
     "tf_mv_incremental" -> tfMvIncrementalSql,
-    "tf_connector_scan" -> tfConnectorScanSql)
+    "tf_connector_scan" -> tfConnectorScanSql,
+    "tf_rest_sql" -> tfRestSqlSql)
 }

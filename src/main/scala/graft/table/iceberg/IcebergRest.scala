@@ -1016,12 +1016,24 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   def start(): IcebergRestServer = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     server.createContext("/v1", handle(_))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // daemon threads + explicit shutdown on stop: a leaked pool would
+    // keep a forked JVM (Verify/Bench runMain) alive after main exits
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-rest-server")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
     server.start()
     this
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 }
 
 /** Client side: discover and open tables over the REST protocol. */
