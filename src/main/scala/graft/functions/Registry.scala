@@ -43,9 +43,12 @@ object Registry {
     }
 }
 
-/** Session-extension registration: SQL functions (injectFunction) and
+/** Session-extension registration: SQL functions (injectFunction),
   * the automatic range-join rewrite (injectOptimizerRule) — interval
-  * overlap joins become bucket equi-joins instead of nested loops. */
+  * overlap joins become bucket equi-joins instead of nested loops —
+  * and the V2 view SQL surface (injectParser rewrites view DDL aimed
+  * at graft catalogs; injectResolutionRule inlines view reads), since
+  * Spark 4.1 ships the ViewCatalog SPI with no built-in wiring. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.functions.foreach { case (name, builder) =>
@@ -55,5 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+    ext.injectParser((session, delegate) =>
+      new graft.spark.GraftSqlParser(session, delegate))
+    ext.injectResolutionRule(session => graft.spark.GraftViewRead(session))
   }
 }

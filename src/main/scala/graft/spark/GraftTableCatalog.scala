@@ -114,19 +114,20 @@ case class GraftDatetimeFunction(fname: String)
 
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with GraftViewSupport {
   import graft.table.iceberg.{IcebergRestClient, IcebergRestCommit}
 
   private var catalogName: String = _
-  private var warehouse: String = _
-  private var restBase: Option[String] = None
+  private[spark] var warehouse: String = _
+  private[spark] var restBase: Option[String] = None
 
-  /** REST namespaces are single-level (the server's layout). */
-  private def restNs(namespace: Array[String]): String = {
-    require(namespace.length == 1,
-      s"REST catalog namespaces are single-level; got " +
-        namespace.mkString("."))
-    namespace(0)
+  /** REST namespaces on the wire: multi-level namespaces join with the
+    * spec's unit separator (%1F in URLs) — the reference's Namespace is
+    * a Vec<String> (iceberg-rust-spec/src/spec/namespace.rs:14). */
+  private[spark] def restNs(namespace: Array[String]): String = {
+    require(namespace.nonEmpty, "empty namespace")
+    namespace.mkString("")
   }
 
   /** Resolve a REST table to its storage root AND register the commit
@@ -291,21 +292,47 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     if (restBase.isDefined) {
+      val base = restBase.get
       restRootOf(ident) match {
         case Some(r) => return new IcebergSparkTable(r)
         case None =>
+          // a MATERIALIZED view's identifier serves its storage table
+          // (reads cost O(materialization)); plain views resolve via
+          // the GraftViewRead rule instead, never through loadTable
+          if (ident.namespace().length >= 1) {
+            IcebergRestClient.loadViewDef(base, restNs(ident.namespace()),
+                ident.name()) match {
+              case Some((_, _, true)) =>
+                val (_, storage, _, _, _) = IcebergRestClient
+                  .loadMaterializedView(base, restNs(ident.namespace()),
+                    ident.name())
+                return new GraftSparkTable(storage)
+              case _ =>
+            }
+          }
           // metadata tables over REST: cat.ns.t.files etc. — resolve
           // the PARENT through the protocol, render from its manifests
           val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
           if (ident.namespace().length == 2 &&
               (GraftMetadataSparkTable.Kinds.contains(kind) ||
-                kind == "position_deletes")) {
+                kind == "position_deletes" || kind == "refresh_state")) {
             val parent = Identifier.of(
               ident.namespace().take(1), ident.namespace()(1))
+            if (kind == "refresh_state") {
+              val ns = restNs(parent.namespace())
+              if (IcebergRestClient.viewExists(base, ns, parent.name())) {
+                val (_, _, ver, recorded, current) = IcebergRestClient
+                  .loadMaterializedView(base, ns, parent.name())
+                return GraftMvRefreshState.table(recorded, current, ver)
+              }
+            }
             restRootOf(parent).foreach { parentRoot =>
               return if (kind == "position_deletes")
                 new GraftPositionDeletesTable(parentRoot,
                   GraftPositionDeletesTable.icebergFiles)
+              else if (kind == "refresh_state")
+                throw new org.apache.spark.sql.catalyst.analysis
+                  .NoSuchTableException(ident)
               else new GraftMetadataSparkTable(parentRoot, kind,
                 IcebergMetadataRows.rowsOf)
             }
@@ -326,12 +353,29 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // DELETE / UPDATE / MERGE (merge-on-read delta writes)
     else if (graft.table.iceberg.IcebergTable.exists(root))
       new IcebergSparkTable(root)
+    // a MATERIALIZED view's identifier serves its storage table;
+    // plain views resolve via the GraftViewRead rule instead
+    else if (graft.table.Views.mvExists(root))
+      new GraftSparkTable(graft.table.Views.mvStorageRoot(root))
     else {
       // metadata tables (Spark-Iceberg UX): `SELECT * FROM cat.ns.t.files
       // / .snapshots / .history` — the trailing name selects the
       // metadata view over the table at cat.ns.t. A REAL table of the
       // same name takes precedence (checked above).
       val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+      if (ident.namespace().nonEmpty && kind == "refresh_state") {
+        // MV staleness as a metadata table (the .refs-style UX):
+        // cat.ns.mv.refresh_state — one row per source with the
+        // lineage recorded at last refresh vs the source's current
+        // snapshot (reference: materialized_view_metadata.rs
+        // refresh-state / source-table-states)
+        val mvRoot =
+          resolveRoot((warehouse +: ident.namespace().toSeq).mkString("/"))
+        if (graft.table.Views.mvExists(mvRoot)) {
+          val (recorded, current, ver) = graft.table.Views.mvState(mvRoot)
+          return GraftMvRefreshState.table(recorded, current, ver)
+        }
+      }
       if (ident.namespace().nonEmpty &&
           (GraftMetadataSparkTable.Kinds.contains(kind) ||
             kind == "position_deletes")) {
@@ -478,7 +522,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case None =>
     }
     val root = tableRoot(ident)
-    if (Meta.exists(root))
+    if (Meta.exists(root) || graft.table.Views.viewExists(root))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     GraftTable.create(SparkSession.active, root, schema,
       spec = partitions.toSeq.map(toPartitionField),
@@ -637,6 +681,50 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         if (!TableIO.isDirectory(dir)) false
         else TableIO.delete(dir, recursive = true)
     }
+}
+
+/** MV staleness rendered as a metadata table (`cat.ns.mv.refresh_state`)
+  * — one row per source: the snapshot recorded by the last refresh vs
+  * the source's current snapshot, stale flag, and the storage table's
+  * refresh version (reference: materialized_view_metadata.rs
+  * refresh-state / source-table-states). Metadata-scale. */
+object GraftMvRefreshState {
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("source", StringType),
+    StructField("recorded_snapshot_id", LongType),
+    StructField("current_snapshot_id", LongType),
+    StructField("stale", BooleanType),
+    StructField("refresh_version_id", LongType)))
+
+  def table(recorded: Map[String, Long], current: Map[String, Long],
+      refreshVersion: Long): Table = {
+    val rows: Seq[Seq[Any]] =
+      (recorded.keySet ++ current.keySet).toSeq.sorted.map { src =>
+        val r = recorded.getOrElse(src, -1L)
+        val c = current.getOrElse(src, -1L)
+        Seq[Any](src, r, c, r != c, refreshVersion)
+      }
+    new Table with SupportsRead {
+      import org.apache.spark.sql.connector.read._
+      override def name(): String = "refresh_state"
+      override def schema(): StructType = GraftMvRefreshState.schema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : ScanBuilder = new ScanBuilder {
+        override def build(): Scan = new Scan with Batch {
+          override def readSchema(): StructType = GraftMvRefreshState.schema
+          override def toBatch: Batch = this
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(MetadataRowsPartition(rows))
+          override def createReaderFactory(): PartitionReaderFactory =
+            MetadataRowsReaderFactory(GraftMvRefreshState.schema)
+        }
+      }
+    }
+  }
 }
 
 object GraftTableCatalog {

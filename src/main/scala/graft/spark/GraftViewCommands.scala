@@ -1,0 +1,367 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+import scala.jdk.CollectionConverters._
+
+/** SQL wiring for V2 views (reference: datafusion's SQL planner
+  * serving CREATE/DROP VIEW through its Catalog —
+  * datafusion_iceberg/src/table.rs:1147). Spark 4.1 defines the
+  * ViewCatalog SPI but ships no analyzer/planner support: its
+  * ResolveSessionCatalog throws missingCatalogViewsAbilityError the
+  * moment it sees a view command on a non-session catalog — BEFORE
+  * any injected resolution rule can run (injected rules sit after it
+  * in the same fixed-point batch). So view DDL is intercepted one
+  * level earlier, at the PARSER: GraftSqlParser rewrites view
+  * commands whose identifier lands in a GraftTableCatalog into
+  * runnable commands against the ViewCatalog SPI, and leaves every
+  * other statement to the delegate parser untouched. View READS
+  * (`SELECT ... FROM cat.db.v`) are inlined by the GraftViewRead
+  * resolution rule — nothing throws on an UnresolvedRelation, so a
+  * rule is safe there. */
+object GraftViewCommands {
+
+  /** Resolve name parts to (graft catalog, identifier) — None when the
+    * target isn't a GraftTableCatalog (leave the plan to Spark). */
+  def resolveGraft(session: SparkSession, parts: Seq[String])
+      : Option[(GraftTableCatalog, Identifier)] = {
+    if (parts.isEmpty) return None
+    val cm = session.sessionState.catalogManager
+    val (plugin, ident) =
+      if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+        (cm.catalog(parts.head),
+          Identifier.of(parts.tail.init.toArray, parts.last))
+      else
+        (cm.currentCatalog,
+          Identifier.of(cm.currentNamespace ++ parts.init, parts.last))
+    plugin match {
+      case g: GraftTableCatalog => Some((g, ident))
+      case _ => None
+    }
+  }
+
+  /** True when the name refers to a session temp view — those always
+    * win over catalog views, like Spark's own resolution order. */
+  def isTempView(session: SparkSession, parts: Seq[String]): Boolean =
+    session.sessionState.catalog.isTempView(parts)
+
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Canonical stored SQL: user column aliases fold into the text so
+    * the read path replays one self-contained statement. */
+  def aliasedSql(queryText: String, outNames: Seq[String],
+      aliases: Seq[String]): String = {
+    require(outNames.distinct.size == outNames.size,
+      "CREATE VIEW with a column list requires distinct query output " +
+        s"names; got ${outNames.mkString(", ")}")
+    val sel = outNames.zip(aliases)
+      .map { case (o, a) => s"${q(o)} AS ${q(a)}" }.mkString(", ")
+    s"SELECT $sel FROM ($queryText) AS graft_view_body"
+  }
+}
+
+/** Delegating parser that rewrites view DDL aimed at graft catalogs.
+  * Everything else — including every non-view statement and every
+  * view statement on the session catalog or a temp view — parses
+  * through the delegate unchanged. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  import GraftViewCommands._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: CreateView => c.child match {
+      case UnresolvedIdentifier(parts, _) =>
+        resolveGraft(session, parts) match {
+          case Some((cat, ident)) =>
+            CreateGraftViewCommand(cat, ident,
+              c.originalText.getOrElse(throw new IllegalArgumentException(
+                "CREATE VIEW without original SQL text")),
+              c.userSpecifiedColumns, c.comment, c.properties,
+              c.allowExisting, c.replace)
+          case None => c
+        }
+      case _ => c
+    }
+    case d @ DropView(UnresolvedIdentifier(parts, _), ifExists)
+        if !isTempView(session, parts) =>
+      resolveGraft(session, parts) match {
+        case Some((cat, ident)) => DropGraftViewCommand(cat, ident, ifExists)
+        case None => d
+      }
+    case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
+      val target =
+        if (parts.nonEmpty) resolveGraftNamespace(parts)
+        else session.sessionState.catalogManager.currentCatalog match {
+          case g: GraftTableCatalog =>
+            Some((g,
+              session.sessionState.catalogManager.currentNamespace.toSeq))
+          case _ => None
+        }
+      target match {
+        case Some((cat, ns)) => ShowGraftViewsCommand(cat, ns, pattern, output)
+        case None => s
+      }
+    case a @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText, _)
+        if !isTempView(session, parts) =>
+      resolveGraft(session, parts) match {
+        case Some((cat, ident)) =>
+          AlterGraftViewAsCommand(cat, ident, originalText)
+        case None => a
+      }
+    case p @ SetViewProperties(UnresolvedView(parts, _, _, _), props)
+        if !isTempView(session, parts) =>
+      resolveGraft(session, parts) match {
+        case Some((cat, ident)) =>
+          AlterGraftViewPropsCommand(cat, ident, props, Seq.empty)
+        case None => p
+      }
+    case p @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys, _)
+        if !isTempView(session, parts) =>
+      resolveGraft(session, parts) match {
+        case Some((cat, ident)) =>
+          AlterGraftViewPropsCommand(cat, ident, Map.empty, keys)
+        case None => p
+      }
+    case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
+        if !isTempView(session, parts) =>
+      resolveGraft(session, parts) match {
+        case Some((cat, ident)) =>
+          val newIdent = resolveGraft(session, newName) match {
+            case Some((cat2, ni)) =>
+              require(cat2 eq cat,
+                "RENAME cannot move a view across catalogs")
+              ni
+            case None => Identifier.of(ident.namespace(), newName.last)
+          }
+          RenameGraftViewCommand(cat, ident, newIdent)
+        case None => r
+      }
+    case other => other
+  }
+
+  private def resolveGraftNamespace(parts: Seq[String])
+      : Option[(GraftTableCatalog, Seq[String])] = {
+    val cm = session.sessionState.catalogManager
+    val (plugin, ns) =
+      if (cm.isCatalogRegistered(parts.head))
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    plugin match {
+      case g: GraftTableCatalog => Some((g, ns))
+      case _ => None
+    }
+  }
+
+  // ---- pure delegation ------------------------------------------------
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+case class CreateGraftViewCommand(catalog: GraftTableCatalog,
+    ident: Identifier, queryText: String,
+    userColumns: Seq[(String, Option[String])], comment: Option[String],
+    properties: Map[String, String], allowExisting: Boolean,
+    replace: Boolean) extends LeafRunnableCommand {
+  import GraftViewCommands._
+  import org.apache.spark.sql.connector.catalog.{ViewCatalog, ViewInfo}
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val analyzed = session.sessionState
+      .executePlan(session.sessionState.sqlParser.parseQuery(queryText))
+      .analyzed
+    val outNames = analyzed.schema.fieldNames.toSeq
+    val (sql, schema, aliases, comments) =
+      if (userColumns.isEmpty)
+        (queryText, analyzed.schema, Array.empty[String], Array.empty[String])
+      else {
+        require(userColumns.length == outNames.length,
+          s"view column list has ${userColumns.length} names but the " +
+            s"query produces ${outNames.length} columns")
+        val renamed = StructType(analyzed.schema.fields
+          .zip(userColumns).map { case (f, (a, _)) => f.copy(name = a) })
+        (aliasedSql(queryText, outNames, userColumns.map(_._1)), renamed,
+          userColumns.map(_._1).toArray,
+          userColumns.map(_._2.orNull).toArray)
+      }
+    val cm = session.sessionState.catalogManager
+    val props = properties ++
+      comment.map(ViewCatalog.PROP_COMMENT -> _) +
+      (GraftViewSupport.OriginalTextKey -> queryText)
+    val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
+      cm.currentNamespace, schema, outNames.toArray, aliases, comments,
+      props.asJava)
+    if (replace) catalog.replaceView(info, true)
+    else if (catalog.viewExists(ident)) {
+      if (!allowExisting) throw new ViewAlreadyExistsException(ident)
+    } else catalog.createView(info)
+    Seq.empty
+  }
+}
+
+case class DropGraftViewCommand(catalog: GraftTableCatalog,
+    ident: Identifier, ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!catalog.dropView(ident) && !ifExists)
+      throw new NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+case class ShowGraftViewsCommand(catalog: GraftTableCatalog,
+    namespace: Seq[String], pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val names = catalog.listViews(namespace: _*).map(_.name()).toSeq
+    val kept = pattern match {
+      case Some(p) =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(names, p)
+      case None => names
+    }
+    kept.sorted.map(n => Row(namespace.mkString("."), n, false))
+  }
+}
+
+case class AlterGraftViewAsCommand(catalog: GraftTableCatalog,
+    ident: Identifier, queryText: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.connector.catalog.ViewInfo
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cur, _, _) = catalog.loadViewState(ident)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val analyzed = session.sessionState
+      .executePlan(session.sessionState.sqlParser.parseQuery(queryText))
+      .analyzed
+    val cm = session.sessionState.catalogManager
+    val userProps = cur.properties -- GraftViewSupport.InternalKeys
+    val info = new ViewInfo(ident, queryText, cm.currentCatalog.name(),
+      cm.currentNamespace, analyzed.schema,
+      analyzed.schema.fieldNames, Array.empty, Array.empty,
+      (userProps + (GraftViewSupport.OriginalTextKey -> queryText)).asJava)
+    catalog.replaceView(info, false)
+    Seq.empty
+  }
+}
+
+case class AlterGraftViewPropsCommand(catalog: GraftTableCatalog,
+    ident: Identifier, set: Map[String, String], remove: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.connector.catalog.ViewChange
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val internal = (set.keySet ++ remove)
+      .intersect(GraftViewSupport.InternalKeys)
+    require(internal.isEmpty,
+      s"reserved view properties: ${internal.mkString(", ")}")
+    val changes: Seq[ViewChange] =
+      set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+        remove.map(ViewChange.removeProperty)
+    catalog.alterView(ident, changes: _*)
+    Seq.empty
+  }
+}
+
+case class RenameGraftViewCommand(catalog: GraftTableCatalog,
+    from: Identifier, to: Identifier) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    catalog.renameView(from, to)
+    Seq.empty
+  }
+}
+
+/** Inlines reads of graft catalog views: an UnresolvedRelation whose
+  * identifier is a (non-materialized) view in a GraftTableCatalog
+  * becomes the parsed view SQL, with relations inside the body
+  * qualified against the view's stored context (current catalog +
+  * namespace at creation) and nested graft views expanded recursively
+  * up to a fixed depth. Materialized views are NOT inlined — their
+  * identifier falls through to loadTable, which serves the storage
+  * table (reads cost O(materialization), the point of an MV). */
+case class GraftViewRead(session: SparkSession) extends Rule[LogicalPlan] {
+  import GraftViewCommands._
+
+  private val MaxDepth = 10
+
+  // subquery-expression plans need no special casing here: the
+  // analyzer's ResolveSubquery re-runs the whole Resolution batch
+  // (including this rule) on each inner plan
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u @ UnresolvedRelation(parts, _, false) =>
+        expand(parts, 0).getOrElse(u)
+    }
+
+  private def expand(parts: Seq[String], depth: Int): Option[LogicalPlan] = {
+    if (isTempView(session, parts)) return None
+    for {
+      (cat, ident) <- resolveGraft(session, parts)
+      (d, _, materialized) <- cat.loadViewState(ident) if !materialized
+    } yield {
+      if (depth >= MaxDepth)
+        throw new IllegalStateException(
+          s"view nesting deeper than $MaxDepth at ${parts.mkString(".")}" +
+            " (recursive view definitions?)")
+      val sql = d.sqlFor("spark").getOrElse(d.sql)
+      val parsed = session.sessionState.sqlParser.parseQuery(sql)
+      val ctxCat = d.properties.get(GraftViewSupport.CurrentCatalogKey)
+      val ctxNs = d.properties.get(GraftViewSupport.CurrentNamespaceKey)
+        .map(GraftViewSupport.decodeList).getOrElse(Seq.empty)
+      // the view body is freshly parsed (not yet analyzed), so the
+      // plain transform family applies; WithSubqueries reaches
+      // relations inside EXISTS/IN/scalar subquery expressions too
+      val qualified = parsed.transformUpWithSubqueries {
+        case ur @ UnresolvedRelation(nparts, _, false) =>
+          val full = qualify(nparts, ctxCat, ctxNs)
+          expand(full, depth + 1)
+            .getOrElse(
+              if (full == nparts) ur
+              else ur.copy(multipartIdentifier = full))
+      }
+      SubqueryAlias(parts.last, qualified)
+    }
+  }
+
+  /** Qualify a relation inside a view body against the view's stored
+    * creation context, mirroring how Spark resolves the same name in
+    * a session-catalog view. Temp views and already-catalog-qualified
+    * names stay as written. */
+  private def qualify(parts: Seq[String], ctxCat: Option[String],
+      ctxNs: Seq[String]): Seq[String] = {
+    val cm = session.sessionState.catalogManager
+    if (ctxCat.isEmpty) parts
+    else if (parts.length > 1 && cm.isCatalogRegistered(parts.head)) parts
+    else if (isTempView(session, parts)) parts
+    else if (parts.length == 1) ctxCat.get +: ctxNs :+ parts.head
+    else ctxCat.get +: parts
+  }
+}

@@ -199,14 +199,32 @@ object Views {
 
   /** Execute a view: register each source table's current scan as a
     * temp view, run the SQL. The plan is fully declarative — Catalyst
-    * sees straight through to the parquet scans. */
+    * sees straight through to the parquet scans.
+    *
+    * A DOTTED alias (e.g. `cat.db.t`) marks a source the SQL already
+    * references through a session catalog — no temp view is (or can
+    * be) registered for it; the alias exists purely to carry refresh
+    * lineage. That is the shape plugin-created MVs use. */
   def queryView(spark: SparkSession, root: String): DataFrame = {
     val d = loadView(root)
     d.sources.foreach { case (alias, tableRoot) =>
-      GraftTable.load(spark, tableRoot).scan().createOrReplaceTempView(alias)
+      if (!alias.contains('.'))
+        GraftTable.load(spark, tableRoot).scan().createOrReplaceTempView(alias)
     }
     spark.sql(d.sqlFor("spark").getOrElse(d.sql))
   }
+
+  /** Current snapshot of a source table root, whichever dialect lives
+    * there: graft metadata, real Iceberg metadata (REST-served
+    * sources), or 0 for an empty/missing root — so MV freshness works
+    * over both table formats. */
+  private[graft] def sourceSnapshotOf(troot: String): Long =
+    if (Meta.exists(troot) && Meta.isGraftDialect(troot))
+      Meta.load(troot).currentSnapshotId.getOrElse(0L)
+    else if (graft.table.iceberg.IcebergTable.exists(troot))
+      graft.table.iceberg.IcebergMetadata.load(troot)
+        .currentSnapshotId.getOrElse(0L)
+    else 0L
 
   // ---- materialized view ---------------------------------------------
 
@@ -216,8 +234,7 @@ object Views {
 
     private def currentSourceSnapshots: Map[String, Long] =
       view.sources.map { case (alias, tableRoot) =>
-        alias -> GraftTable.load(spark, tableRoot)
-          .meta.currentSnapshotId.getOrElse(0L)
+        alias -> sourceSnapshotOf(tableRoot)
       }
 
     /** Lineage recorded by the last refresh (empty → never refreshed). */
@@ -249,10 +266,15 @@ object Views {
       val d = view
       val foldSql = loadFold(root)
       val lineage = recordedLineage
+      // dotted aliases can't scope the SQL to a delta temp view, and
+      // only graft-dialect sources expose scanAppendedSince — anything
+      // else falls back to full refresh
       val incrementalOk = foldSql.nonEmpty && lineage.nonEmpty &&
         d.sources.forall { case (alias, tableRoot) =>
-          GraftTable.load(spark, tableRoot)
-            .appendsOnlySince(lineage.get(alias))
+          !alias.contains('.') &&
+            Meta.exists(tableRoot) && Meta.isGraftDialect(tableRoot) &&
+            GraftTable.load(spark, tableRoot)
+              .appendsOnlySince(lineage.get(alias))
         }
       if (!incrementalOk) { refresh(); return false }
       d.sources.foreach { case (alias, tableRoot) =>
@@ -291,8 +313,7 @@ object Views {
     val recorded = sm.currentSnapshotId.flatMap(sm.snapshot)
       .map(_.lineage).getOrElse(Map.empty[String, Long])
     val current = loadView(root).sources.map { case (alias, troot) =>
-      alias -> (if (Meta.exists(troot))
-        Meta.load(troot).currentSnapshotId.getOrElse(0L) else 0L)
+      alias -> sourceSnapshotOf(troot)
     }
     (recorded, current, sm.currentSnapshotId.getOrElse(-1L))
   }

@@ -278,7 +278,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
       rn => graft.table.Views.ViewRepresentation(
         rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
       .getOrElse(Seq.empty)
-    graft.table.Views.ViewDef(name, sql, sources, 1, reps)
+    // optional properties (CreateViewRequest.properties — engines park
+    // view context like default-catalog/default-namespace here)
+    val props = Option(body.get("properties")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    graft.table.Views.ViewDef(name, sql, sources, 1, reps, properties = props)
   }
 
   /** The spec's CommitViewRequest (commit.rs:190-252): validate
@@ -892,12 +896,18 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             else {
               // replace_view swaps the DEFINITION; identity (uuid),
               // properties and location ride along (the model check
-              // caught the fresh-ViewDef form silently wiping both).
+              // caught the fresh-ViewDef form silently wiping both) —
+              // unless the replace body carries its OWN properties, in
+              // which case they win (an engine replacing a view may
+              // re-stamp its context properties alongside the SQL).
               // If a spec client built a version registry, the swap
               // registers there too — a later set-current must see
               // a registry consistent with the live definition
-              val d0 = viewFromBody(v, body).copy(name = cur.name,
-                uuid = cur.uuid, properties = cur.properties,
+              val parsed = viewFromBody(v, body)
+              val d0 = parsed.copy(name = cur.name,
+                uuid = cur.uuid,
+                properties = if (body.has("properties")) parsed.properties
+                  else cur.properties,
                 location = cur.location)
               val d =
                 if (cur.versions.isEmpty) d0
@@ -1266,14 +1276,67 @@ object IcebergRestClient {
   }
 
   def createView(base: String, ns: String, name: String, sql: String,
-      sources: Map[String, String] = Map.empty): Unit = {
+      sources: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty): Unit = {
+    val code = createViewStatus(base, ns, name, sql, sources, properties)
+    require(code == 200, s"createView -> $code")
+  }
+
+  /** createView returning the HTTP status (409 = already exists) so a
+    * catalog front-end can map conflicts to its own exception type. */
+  def createViewStatus(base: String, ns: String, name: String, sql: String,
+      sources: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty): Int = {
     val n = mapper.createObjectNode()
     n.put("name", name); n.put("sql", sql)
     val s = n.putObject("sources")
     sources.foreach { case (k, v) => s.put(k, v) }
-    val resp = post(s"$base/v1/namespaces/$ns/views", mapper.writeValueAsString(n))
+    if (properties.nonEmpty) {
+      val p = n.putObject("properties")
+      properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    post(s"$base/v1/namespaces/$ns/views", mapper.writeValueAsString(n))
+      .statusCode()
+  }
+
+  def viewExists(base: String, ns: String, name: String): Boolean = {
+    val resp = http.send(
+      rb(s"$base/v1/namespaces/$ns/views/$name")
+        .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+      java.net.http.HttpResponse.BodyHandlers.discarding())
+    resp.statusCode() == 204
+  }
+
+  /** Full view definition from LoadViewResult, in the shape the view
+    * machinery uses locally — (def, current version, materialized?).
+    * None when the view does not exist. */
+  def loadViewDef(base: String, ns: String, name: String)
+      : Option[(graft.table.Views.ViewDef, Int, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    val resp = http.send(
+      rb(s"$base/v1/namespaces/$ns/views/$name").GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 404) return None
     require(resp.statusCode() == 200,
-      s"createView -> ${resp.statusCode()}: ${resp.body()}")
+      s"loadView $ns.$name -> ${resp.statusCode()}")
+    val n = mapper.readTree(resp.body())
+    val reps = Option(n.get("representations")).map(_.elements().asScala.map(rn =>
+      graft.table.Views.ViewRepresentation(
+        rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
+      .getOrElse(Seq.empty)
+    val props = Option(n.get("properties")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    val srcs = Option(n.get("sources")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    Some((graft.table.Views.ViewDef(
+      Option(n.get("name")).map(_.asText()).getOrElse(name),
+      n.get("sql").asText(), srcs,
+      n.get("current-version").asInt(), reps,
+      uuid = Option(n.get("view-uuid")).map(_.asText()).getOrElse(""),
+      properties = props,
+      location = Option(n.get("location")).map(_.asText()).getOrElse("")),
+      n.get("current-version").asInt(),
+      n.has("materialization")))
   }
 
   /** (sql, sources, current version). */
@@ -1343,11 +1406,16 @@ object IcebergRestClient {
     * canonical one (Iceberg view-spec representation evolution). */
   def replaceView(base: String, ns: String, name: String, sql: String,
       baseVersion: Int, sources: Map[String, String] = Map.empty,
-      representations: Seq[(String, String)] = Seq.empty): Int = {
+      representations: Seq[(String, String)] = Seq.empty,
+      properties: Option[Map[String, String]] = None): Int = {
     val n = mapper.createObjectNode()
     n.put("sql", sql); n.put("base-version", baseVersion)
     val s = n.putObject("sources")
     sources.foreach { case (k, v) => s.put(k, v) }
+    properties.foreach { ps =>
+      val p = n.putObject("properties")
+      ps.foreach { case (k, v) => p.put(k, v) }
+    }
     if (representations.nonEmpty) {
       val reps = n.putArray("representations")
       representations.foreach { case (d, q) =>

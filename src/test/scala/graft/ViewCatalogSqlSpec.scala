@@ -1,0 +1,232 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.table.iceberg.{IcebergRestClient, IcebergRestServer}
+
+/** Spark SQL views through the V2 catalog plugin — the reference's
+  * catalog-served views (iceberg-rust/src/view, datafusion_iceberg/
+  * src/table.rs:1147 test_datafusion_view_scan) on Spark's ViewCatalog
+  * SPI, wired by GraftExtensions (Spark 4.1 ships the SPI with no
+  * analyzer support). Warehouse mode + REST mode. */
+class ViewCatalogSqlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val whCat: (String, String) = {
+    val wh = Files.createTempDirectory("graft-viewsql").toString
+    val cat = s"vsql_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val spark0 = spark
+    import spark0.implicits._
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("view_src")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, grp STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM view_src")
+    (cat, wh)
+  }
+  private def cat: String = whCat._1
+  private def wh: String = whCat._2
+
+  test("CREATE VIEW / SELECT / SHOW / DROP through the plugin (warehouse)") {
+    spark.sql(s"""CREATE VIEW $cat.db.v_agg AS
+      SELECT grp, count(*) AS n, sum(v) AS total
+      FROM $cat.db.t GROUP BY grp""")
+    val got = spark.sql(s"SELECT * FROM $cat.db.v_agg ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("a", 2L, 30.0), ("b", 2L, 70.0)))
+    // view rides fresh table state, not a materialization
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (5, 'b', 5.0)")
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.db.v_agg").collect()
+      .head.getLong(0) === 5L)
+    // SHOW VIEWS lists it; DROP removes it
+    val shown = spark.sql(s"SHOW VIEWS IN $cat.db").collect()
+      .map(_.getString(1))
+    assert(shown.contains("v_agg"))
+    spark.sql(s"DROP VIEW $cat.db.v_agg")
+    assert(!spark.sql(s"SHOW VIEWS IN $cat.db").collect()
+      .map(_.getString(1)).contains("v_agg"))
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.v_agg").collect())
+    // IF EXISTS swallows, plain DROP throws
+    spark.sql(s"DROP VIEW IF EXISTS $cat.db.v_agg")
+    intercept[Exception](spark.sql(s"DROP VIEW $cat.db.v_agg"))
+  }
+
+  test("CREATE OR REPLACE and ALTER VIEW AS swap the definition") {
+    spark.sql(s"CREATE VIEW $cat.db.v_r AS SELECT id FROM $cat.db.t")
+    assert(spark.sql(s"SELECT * FROM $cat.db.v_r").columns.toSeq === Seq("id"))
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.db.v_r AS " +
+      s"SELECT id, grp FROM $cat.db.t")
+    assert(spark.sql(s"SELECT * FROM $cat.db.v_r").columns.toSeq ===
+      Seq("id", "grp"))
+    spark.sql(s"ALTER VIEW $cat.db.v_r AS SELECT grp FROM $cat.db.t")
+    assert(spark.sql(s"SELECT * FROM $cat.db.v_r").columns.toSeq ===
+      Seq("grp"))
+    spark.sql(s"DROP VIEW $cat.db.v_r")
+  }
+
+  test("view column list renames outputs; properties round-trip") {
+    spark.sql(s"""CREATE VIEW $cat.db.v_cols (k, total)
+      TBLPROPERTIES ('owner'='graft-test')
+      AS SELECT grp, sum(v) FROM $cat.db.t GROUP BY grp""")
+    val df = spark.sql(s"SELECT * FROM $cat.db.v_cols ORDER BY k")
+    assert(df.columns.toSeq === Seq("k", "total"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    // ALTER VIEW SET/UNSET TBLPROPERTIES ride the ViewCatalog SPI
+    spark.sql(s"ALTER VIEW $cat.db.v_cols SET TBLPROPERTIES ('x'='1')")
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.spark.GraftTableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "v_cols")
+    assert(c.loadView(ident).properties().get("x") === "1")
+    assert(c.loadView(ident).properties().get("owner") === "graft-test")
+    spark.sql(s"ALTER VIEW $cat.db.v_cols UNSET TBLPROPERTIES ('x')")
+    assert(!c.loadView(ident).properties().containsKey("x"))
+    // rename, then read under the new name
+    spark.sql(s"ALTER VIEW $cat.db.v_cols RENAME TO $cat.db.v_cols2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v_cols2").collect()
+      .head.getLong(0) === 2L)
+    spark.sql(s"DROP VIEW $cat.db.v_cols2")
+  }
+
+  test("views nest: a view over a view inlines both") {
+    spark.sql(s"CREATE VIEW $cat.db.v_base AS " +
+      s"SELECT grp, v FROM $cat.db.t WHERE v > 15")
+    spark.sql(s"CREATE VIEW $cat.db.v_top AS " +
+      s"SELECT grp, sum(v) AS s FROM $cat.db.v_base GROUP BY grp")
+    // t holds (10,20,30,40) + the 5.0 row test 1 appended; v>15 keeps
+    // (20) for a and (30,40) for b
+    val got = spark.sql(s"SELECT * FROM $cat.db.v_top ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(("a", 20.0), ("b", 70.0)))
+    spark.sql(s"DROP VIEW $cat.db.v_top")
+    spark.sql(s"DROP VIEW $cat.db.v_base")
+  }
+
+  test("unqualified names in a view body resolve against the stored " +
+      "creation context") {
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    try {
+      spark.sql(s"USE $cat.db")
+      spark.sql("CREATE VIEW v_ctx AS SELECT grp, count(*) AS n " +
+        "FROM t GROUP BY grp")
+      spark.sql(s"USE spark_catalog")
+      // read from OUTSIDE the creation context: the stored
+      // current-catalog/namespace qualify the bare `t`
+      val got = spark.sql(s"SELECT * FROM $cat.db.v_ctx ORDER BY grp")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.length === 2)
+    } finally {
+      spark.sql(s"USE $prevCat")
+      spark.sql(s"DROP VIEW IF EXISTS $cat.db.v_ctx")
+    }
+  }
+
+  test("a view cannot shadow a table; a table cannot shadow a view") {
+    intercept[Exception](
+      spark.sql(s"CREATE VIEW $cat.db.t AS SELECT 1 AS x"))
+    spark.sql(s"CREATE VIEW $cat.db.v_shadow AS SELECT 1 AS x")
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.db.v_shadow (y BIGINT)"))
+    spark.sql(s"DROP VIEW $cat.db.v_shadow")
+  }
+
+  test("temp views keep precedence over catalog views for unqualified " +
+      "names and DROP") {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(99L).toDF("only_temp").createOrReplaceTempView("v_prec")
+    spark.sql(s"CREATE VIEW $cat.db.v_prec AS SELECT id FROM $cat.db.t")
+    // DROP VIEW on the bare name must hit the TEMP view
+    spark.sql("DROP VIEW v_prec")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v_prec").collect()
+      .head.getLong(0) === 5L)
+    spark.sql(s"DROP VIEW $cat.db.v_prec")
+  }
+
+  test("materialized view: identifier serves the storage table and " +
+      "refresh_state surfaces staleness") {
+    val mvRoot = s"$wh/db/mv_daily"
+    val mv = graft.table.Views.createMaterializedView(spark, mvRoot,
+      "mv_daily",
+      s"SELECT grp, count(*) AS n FROM $cat.db.t GROUP BY grp",
+      Map(s"$cat.db.t" -> s"$wh/db/t"))
+    mv.refresh()
+    // SELECT from the MV identifier reads the MATERIALIZATION
+    val got = spark.sql(s"SELECT * FROM $cat.db.mv_daily ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a", 2L), ("b", 3L)))
+    // staleness is visible as a metadata table
+    val fresh = spark.sql(s"SELECT * FROM $cat.db.mv_daily.refresh_state")
+      .collect()
+    assert(fresh.forall(!_.getBoolean(3)), "just refreshed => not stale")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (6, 'c', 6.0)")
+    val stale = spark.sql(s"SELECT * FROM $cat.db.mv_daily.refresh_state")
+      .collect()
+    assert(stale.exists(_.getBoolean(3)), "source moved => stale")
+    // the MV read itself still serves the LAST materialization
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.db.mv_daily").collect()
+      .head.getLong(0) === 5L)
+    mv.refresh()
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.db.mv_daily").collect()
+      .head.getLong(0) === 6L)
+  }
+
+  // ---- REST mode ------------------------------------------------------
+
+  private lazy val restEnv: (IcebergRestServer, String, String) = {
+    val rwh = Files.createTempDirectory("graft-viewrest").toString
+    val server = new IcebergRestServer(rwh).start()
+    val rcat = s"vrest_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$rcat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$rcat.uri",
+      s"http://127.0.0.1:${server.port}")
+    spark.sql(s"CREATE NAMESPACE $rcat.db")
+    spark.sql(s"CREATE TABLE $rcat.db.s (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $rcat.db.s VALUES (1, 1.5), (2, 2.5), (1, 3.0)")
+    (server, rcat, rwh)
+  }
+  private def rcat: String = restEnv._2
+
+  test("CREATE / SELECT / replace / SHOW / DROP VIEW over a live REST " +
+      "server") {
+    spark.sql(s"""CREATE VIEW $rcat.db.v AS
+      SELECT k, sum(v) AS s FROM $rcat.db.s GROUP BY k""")
+    // the definition lives on the SERVER
+    assert(IcebergRestClient.listViews(
+      s"http://127.0.0.1:${restEnv._1.port}", "db").contains("v"))
+    val got = spark.sql(s"SELECT * FROM $rcat.db.v ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((1L, 4.5), (2L, 2.5)))
+    spark.sql(s"CREATE OR REPLACE VIEW $rcat.db.v AS " +
+      s"SELECT count(*) AS n FROM $rcat.db.s")
+    assert(spark.sql(s"SELECT * FROM $rcat.db.v").collect()
+      .head.getLong(0) === 3L)
+    assert(spark.sql(s"SHOW VIEWS IN $rcat.db").collect()
+      .map(_.getString(1)).contains("v"))
+    spark.sql(s"DROP VIEW $rcat.db.v")
+    assert(!IcebergRestClient.viewExists(
+      s"http://127.0.0.1:${restEnv._1.port}", "db", "v"))
+  }
+
+  test("concurrent view replace over REST: exactly one CAS winner") {
+    val base = s"http://127.0.0.1:${restEnv._1.port}"
+    spark.sql(s"CREATE VIEW $rcat.db.vrace AS SELECT 1 AS one")
+    val (_, _, baseVersion) = IcebergRestClient.loadView(base, "db", "vrace")
+    // two replacers race from the SAME base version: the server's
+    // view CAS admits exactly one; the loser sees 409
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    val futs = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        override def call(): Int = IcebergRestClient.replaceView(
+          base, "db", "vrace", s"SELECT $i AS one", baseVersion)
+      })
+    }
+    val codes = futs.map(_.get()).toList
+    pool.shutdown()
+    assert(codes.sorted === List(200, 409))
+    spark.sql(s"DROP VIEW $rcat.db.vrace")
+  }
+}
