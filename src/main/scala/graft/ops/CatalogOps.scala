@@ -122,8 +122,8 @@ object CatalogOps {
   val tfRestSql: Q = (s, d) => {
     val wh = scratch()
     val server = new graft.table.iceberg.IcebergRestServer(wh).start()
+    val cat = s"restq_${java.util.UUID.randomUUID().toString.take(6)}"
     try {
-      val cat = s"restq_${java.util.UUID.randomUUID().toString.take(6)}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.uri",
         s"http://127.0.0.1:${server.port}")
@@ -140,13 +140,20 @@ object CatalogOps {
         s"round(sum(s_acctbal), 2) AS bal FROM $cat.db.supp " +
         "GROUP BY s_nationkey ORDER BY s_nationkey")
       val rows = out.collect().toSeq
-      s.conf.unset(s"spark.sql.catalog.$cat")
-      s.conf.unset(s"spark.sql.catalog.$cat.uri")
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         out.schema)
-    } finally server.stop()
+    } finally {
+      // unset in finally: a throw mid-sequence must not leak a
+      // catalog registration (and its commit routes) pointing at a
+      // dead server for the rest of the session
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(
+        s"http://127.0.0.1:${server.port}")
+      server.stop()
+    }
   }
 
   val tfRestSqlSql: String =
@@ -157,17 +164,117 @@ object CatalogOps {
              FROM supplier WHERE s_acctbal >= 0)
        GROUP BY s_nationkey ORDER BY s_nationkey"""
 
+  /** `CREATE VIEW cat.db.v AS ...` through the Spark V2 catalog
+    * plugin (the reference's catalog-served views — iceberg-rust/src/
+    * view + datafusion_iceberg/src/table.rs:1147
+    * test_datafusion_view_scan): warehouse-mode GraftTableCatalog,
+    * ViewCatalog SPI wired by GraftExtensions. Exercises create,
+    * replace with a column list, and a read that inlines the view
+    * over the V2 table scan. Requires the session to carry
+    * spark.sql.extensions=graft.functions.GraftExtensions (Verify /
+    * Bench / tests all do). */
+  val tfCatalogView: Q = (s, d) => {
+    val wh = scratch()
+    val cat = s"wview_${java.util.UUID.randomUUID().toString.take(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      Tables.orders(s, d).createOrReplaceTempView("ord_view_src")
+      s.sql(s"CREATE TABLE $cat.db.ord (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      s.sql(s"INSERT INTO $cat.db.ord SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus, o_totalprice FROM ord_view_src")
+      s.sql(s"CREATE VIEW $cat.db.big_orders AS SELECT o_orderstatus, " +
+        s"o_totalprice FROM $cat.db.ord WHERE o_totalprice > 100000")
+      // replace with a column list: the stored canonical SQL carries
+      // the aliases, so the read below needs no rename logic
+      s.sql(s"CREATE OR REPLACE VIEW $cat.db.big_orders (status, price) " +
+        s"AS SELECT o_orderstatus, o_totalprice FROM $cat.db.ord " +
+        "WHERE o_totalprice > 150000")
+      val out = s.sql(s"SELECT status, count(*) AS n, " +
+        s"round(sum(price), 2) AS total FROM $cat.db.big_orders " +
+        "GROUP BY status ORDER BY status")
+      // materialize before unregistering the scratch catalog
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  val tfCatalogViewSql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders WHERE o_totalprice > 150000
+       GROUP BY 1 ORDER BY status"""
+
+  /** Materialized views as catalog objects through the plugin
+    * (reference: datafusion_iceberg/src/materialized_view.rs full
+    * refresh): CALL create_mat_view + refresh_mat_view on the
+    * ProcedureCatalog, staleness via the <mv>.refresh_state metadata
+    * table, reads through the MV identifier (storage table). */
+  val tfCatalogMv: Q = (s, d) => {
+    val wh = scratch()
+    val cat = s"wmv_${java.util.UUID.randomUUID().toString.take(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      Tables.events(s, d).createOrReplaceTempView("ev_mv_src")
+      s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
+        "event_type STRING, value DOUBLE)")
+      s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, event_type, value " +
+        "FROM ev_mv_src WHERE event_id % 4 != 0")
+      s.sql(s"CALL $cat.system.create_mat_view('db.by_type', " +
+        s"'SELECT event_type, count(*) AS n, sum(value) AS total " +
+        s"FROM $cat.db.ev GROUP BY event_type', 'db.ev')")
+      s.sql(s"CALL $cat.system.refresh_mat_view('db.by_type', 'full')")
+      // source moves -> refresh_state flags staleness; the MV read
+      // still serves the LAST materialization until the next refresh
+      s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, event_type, value " +
+        "FROM ev_mv_src WHERE event_id % 4 = 0")
+      val stale = s.sql(
+        s"SELECT count(*) FROM $cat.db.by_type.refresh_state WHERE stale")
+        .collect().head.getLong(0)
+      require(stale > 0, "refresh_state must flag the moved source")
+      s.sql(s"CALL $cat.system.refresh_mat_view('db.by_type', 'full')")
+      val out = s.sql(s"SELECT event_type, n, round(total, 2) AS total " +
+        s"FROM $cat.db.by_type ORDER BY event_type")
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  val tfCatalogMvSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+       FROM events GROUP BY 1 ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "tf_insert_select" -> tfInsertSelect,
     "tf_ctas_view" -> tfCtasView,
     "tf_mv_incremental" -> tfMvIncremental,
     "tf_connector_scan" -> tfConnectorScan,
-    "tf_rest_sql" -> tfRestSql)
+    "tf_rest_sql" -> tfRestSql,
+    "tf_catalog_view" -> tfCatalogView,
+    "tf_catalog_mv" -> tfCatalogMv)
 
   val oracles: Map[String, String] = Map(
     "tf_insert_select" -> tfInsertSelectSql,
     "tf_ctas_view" -> tfCtasViewSql,
     "tf_mv_incremental" -> tfMvIncrementalSql,
     "tf_connector_scan" -> tfConnectorScanSql,
-    "tf_rest_sql" -> tfRestSqlSql)
+    "tf_rest_sql" -> tfRestSqlSql,
+    "tf_catalog_view" -> tfCatalogViewSql,
+    "tf_catalog_mv" -> tfCatalogMvSql)
 }

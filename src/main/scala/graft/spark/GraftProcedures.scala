@@ -82,7 +82,8 @@ object GraftProcedures {
 
   def all(warehouse: String,
       loadTable: String => Either[String, GraftTable],
-      restRegister: Option[(String, String) => Unit] = None)
+      restRegister: Option[(String, String) => Unit] = None,
+      restBase: Option[String] = None)
       : Map[String, UnboundProcedure] = {
     import graft.table.iceberg.{IcebergMaintenance, IcebergMetadata,
       IcebergTable, IcebergWrite}
@@ -654,6 +655,138 @@ object GraftProcedures {
           IcebergMaintenance.setRef(loc, tag, snap)
           Seq(row(utf8(tag), snap))
         }
+      },
+
+      // ---- materialized views as catalog objects (reference:
+      // datafusion_iceberg/src/materialized_view.rs full refresh,
+      // iceberg-rest-catalog create_materialized_view). Spark has no
+      // CREATE MATERIALIZED VIEW syntax, so the lifecycle rides the
+      // ProcedureCatalog: create_mat_view + refresh_mat_view; reads go
+      // through the MV identifier (loadTable serves the storage
+      // table) and staleness through <mv>.refresh_state.
+      new GraftProcedure("create_mat_view",
+        "Create a materialized view: stores the view SQL + an empty " +
+          "storage table shaped like the query output. `sources` is a " +
+          "comma-separated list of the catalog tables the SQL reads " +
+          "(refresh lineage anchors). Optional incremental_fold SQL " +
+          "over `mv_delta_union` enables incremental refresh for " +
+          "temp-view-aliased sources.",
+        Array(
+          ProcedureParameter.in("view", StringType)
+            .comment("view identifier, e.g. 'db.mv'").build(),
+          ProcedureParameter.in("sql", StringType).build(),
+          ProcedureParameter.in("sources", StringType)
+            .comment("comma-separated source tables, e.g. 'db.t1,db.t2'")
+            .build(),
+          ProcedureParameter.in("incremental_fold", StringType)
+            .defaultValue("''").build()),
+        StructType(Seq(
+          StructField("view", StringType),
+          StructField("storage_location", StringType))),
+        loadTable) {
+        private val out = StructType(Seq(
+          StructField("view", StringType),
+          StructField("storage_location", StringType)))
+        override def call(in: InternalRow): java.util.Iterator[Scan] = {
+          val viewName = in.getUTF8String(0).toString
+          val sql = in.getUTF8String(1).toString
+          val srcNames = in.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val fold = Option(in.getUTF8String(3)).map(_.toString)
+            .filter(_.nonEmpty)
+          val spark = SparkSession.active
+          val parts = viewName.split('.').toSeq
+          require(parts.length == 2,
+            s"view identifier must be ns.name; got $viewName")
+          def rootOfTable(tn: String): String = {
+            val tp = tn.split('.').toSeq
+            require(tp.length == 2,
+              s"source table must be ns.name; got $tn")
+            restBase match {
+              case Some(base) =>
+                graft.table.iceberg.IcebergRestClient
+                  .tableRootOf(base, tp(0), tp(1))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"no source table $tn"))
+              case None => (warehouse +: tp).mkString("/")
+            }
+          }
+          val sources = srcNames.map(tn => tn -> rootOfTable(tn)).toMap
+          require(sources.nonEmpty, "at least one source table required")
+          // the ENGINE computes the storage schema (analysis only, no
+          // execution) — the catalog never runs the query itself
+          val schema = spark.sql(sql).schema
+          restBase match {
+            case Some(base) =>
+              graft.table.iceberg.IcebergRestClient.createMaterializedView(
+                base, parts(0), parts(1), sql, sources, schema.json, fold)
+              val (_, storage, _, _, _) = graft.table.iceberg
+                .IcebergRestClient.loadMaterializedView(base, parts(0), parts(1))
+              result(out, Seq(row(utf8(viewName), utf8(storage))))
+            case None =>
+              val root = (warehouse +: parts).mkString("/")
+              require(!graft.table.Views.viewExists(root) &&
+                !Meta.exists(root),
+                s"view or table $viewName already exists")
+              graft.table.Views.createView(root, parts(1), sql, sources)
+              fold.foreach(graft.table.Views.writeFold(root, _))
+              graft.table.Views.createMaterializedStorage(root, schema)
+              result(out, Seq(row(utf8(viewName),
+                utf8(graft.table.Views.mvStorageRoot(root)))))
+          }
+        }
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          Seq.empty // unused: call() is overridden
+      },
+
+      new GraftProcedure("refresh_mat_view",
+        "Refresh a materialized view: mode 'full' recomputes and " +
+          "overwrites storage; 'auto'/'incremental' folds only " +
+          "appended source data when valid (falls back to full). " +
+          "Stamps refresh lineage — <mv>.refresh_state turns fresh.",
+        Array(
+          ProcedureParameter.in("view", StringType)
+            .comment("view identifier, e.g. 'db.mv'").build(),
+          ProcedureParameter.in("mode", StringType)
+            .defaultValue("'auto'").build()),
+        StructType(Seq(
+          StructField("mode", StringType),
+          StructField("row_count", LongType))),
+        loadTable) {
+        private val out = StructType(Seq(
+          StructField("mode", StringType),
+          StructField("row_count", LongType)))
+        override def call(in: InternalRow): java.util.Iterator[Scan] = {
+          val viewName = in.getUTF8String(0).toString
+          val mode = in.getUTF8String(1).toString
+          val spark = SparkSession.active
+          val parts = viewName.split('.').toSeq
+          require(parts.length == 2,
+            s"view identifier must be ns.name; got $viewName")
+          val root = restBase match {
+            case Some(base) =>
+              // the server names the storage table; its parent is the
+              // view root on shared storage (refresh WRITES data, so
+              // like data files it goes direct — only the definition
+              // lives behind the protocol)
+              val (_, storage, _, _, _) = graft.table.iceberg
+                .IcebergRestClient.loadMaterializedView(base, parts(0), parts(1))
+              storage.stripSuffix("/storage")
+            case None => (warehouse +: parts).mkString("/")
+          }
+          val mv = graft.table.Views.loadMaterializedView(spark, root)
+          val incremental = mode match {
+            case "full" => mv.refresh(); false
+            case "auto" | "incremental" => mv.refreshIncremental()
+            case other => throw new IllegalArgumentException(
+              s"unknown refresh mode '$other' (full | auto | incremental)")
+          }
+          result(out, Seq(row(
+            utf8(if (incremental) "incremental" else "full"),
+            mv.read.count())))
+        }
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          Seq.empty // unused: call() is overridden
       }
     )
     procs.map(p => p.procName -> (p: UnboundProcedure)).toMap

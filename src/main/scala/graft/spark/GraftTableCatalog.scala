@@ -127,7 +127,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * a Vec<String> (iceberg-rust-spec/src/spec/namespace.rs:14). */
   private[spark] def restNs(namespace: Array[String]): String = {
     require(namespace.nonEmpty, "empty namespace")
-    namespace.mkString("")
+    namespace.mkString("\u001F")
   }
 
   /** Resolve a REST table to its storage root AND register the commit
@@ -177,7 +177,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       else if (graft.table.iceberg.IcebergTable.exists(root))
         Left(root)
       else throw missing
-    }, restRegister = restBase.map { base => (tableName, loc) =>
+    }, restBase = restBase, restRegister = restBase.map { base => (tableName, loc) =>
       val parts = tableName.split('.')
       require(parts.length == 2,
         s"REST table names are ns.table; got $tableName")

@@ -303,6 +303,19 @@ object Views {
 
   def mvStorageRoot(root: String): String = s"$root/storage"
 
+  /** A view-output schema may INHERIT parquet.field.id metadata from
+    * the scanned source columns (id-resolved reads stamp it), while
+    * computed columns have none — feeding that mix to withFieldIds
+    * keeps the inherited ids and assigns fresh ones around them,
+    * colliding (two columns with id 2 → unreadable in id mode). The
+    * storage table is a NEW table: strip inherited ids so every
+    * column gets a fresh one. */
+  private def freshIdSchema(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields.map(f => f.copy(
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(Meta.FieldIdKey).build())))
+
   def mvExists(root: String): Boolean =
     viewExists(root) && Meta.exists(mvStorageRoot(root))
 
@@ -327,7 +340,8 @@ object Views {
     require(!Meta.exists(sroot), s"storage table already exists at $sroot")
     Meta.write(sroot, Meta.TableMetadata(
       location = sroot, formatVersion = 1,
-      schemas = Map(0 -> Meta.withFieldIds(schema, 1)), currentSchemaId = 0,
+      schemas = Map(0 -> Meta.withFieldIds(freshIdSchema(schema), 1)),
+      currentSchemaId = 0,
       specs = Map(0 -> Seq.empty), defaultSpecId = 0,
       properties = Map.empty, snapshots = Seq.empty,
       currentSnapshotId = None, refs = Map.empty, lastVersion = 0,
@@ -354,7 +368,7 @@ object Views {
       incrementalFold: Option[String] = None): MaterializedView = {
     createView(root, name, sql, sources)
     incrementalFold.foreach(f => TableIO.writeString(foldPath(root), f))
-    val schema = queryView(spark, root).schema
+    val schema = freshIdSchema(queryView(spark, root).schema)
     GraftTable.create(spark, s"$root/storage", schema)
     new MaterializedView(root, spark)
   }

@@ -1074,6 +1074,16 @@ object IcebergRestClient {
       .orElse(bearerToken)
   }
 
+  /** Namespace path segment on the wire: multi-level namespaces join
+    * with the spec's %1F unit separator (catalog_api_api.rs threads
+    * the same encoding); '%' itself escapes first so decode is
+    * unambiguous. URI-illegal control chars never reach URI.create. */
+  private def encNs(ns: String): String =
+    ns.replace("%", "%25").replace("\u001F", "%1F")
+
+  private def nsUrl(base: String, ns: String): String =
+    s"$base/v1/namespaces/${encNs(ns)}"
+
   private def rb(uri: String): java.net.http.HttpRequest.Builder = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
     tokenFor(uri).fold(b)(t => b.header("Authorization", s"Bearer $t"))
@@ -1103,7 +1113,7 @@ object IcebergRestClient {
 
   def listTables(base: String, ns: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    get(s"$base/v1/namespaces/$ns/tables").get("identifiers").elements()
+    get(s"${nsUrl(base, ns)}/tables").get("identifiers").elements()
       .asScala.map(_.get("name").asText()).toSeq
   }
 
@@ -1117,7 +1127,7 @@ object IcebergRestClient {
     var done = false
     while (!done) {
       val q = s"pageSize=$pageSize" + token.map(t => s"&pageToken=$t").getOrElse("")
-      val n = get(s"$base/v1/namespaces/$ns/tables?$q")
+      val n = get(s"${nsUrl(base, ns)}/tables?$q")
       out ++= n.get("identifiers").elements().asScala.map(_.get("name").asText())
       token = Option(n.get("next-page-token")).map(_.asText())
       done = token.isEmpty
@@ -1136,7 +1146,7 @@ object IcebergRestClient {
 
   def tableExists(base: String, ns: String, table: String): Boolean = {
     val resp = http.send(
-      rb(s"$base/v1/namespaces/$ns/tables/$table")
+      rb(s"${nsUrl(base, ns)}/tables/$table")
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
       java.net.http.HttpResponse.BodyHandlers.discarding())
     resp.statusCode() == 204
@@ -1144,7 +1154,7 @@ object IcebergRestClient {
 
   def dropTable(base: String, ns: String, table: String): Unit = {
     val resp = http.send(
-      rb(s"$base/v1/namespaces/$ns/tables/$table")
+      rb(s"${nsUrl(base, ns)}/tables/$table")
         .DELETE().build(),
       java.net.http.HttpResponse.BodyHandlers.discarding())
     require(resp.statusCode() == 204, s"dropTable -> ${resp.statusCode()}")
@@ -1157,7 +1167,7 @@ object IcebergRestClient {
     * storage while metadata commits stay on the protocol. */
   def tableRootOf(base: String, ns: String, table: String): Option[String] = {
     val resp = http.send(
-      rb(s"$base/v1/namespaces/$ns/tables/$table").GET().build(),
+      rb(s"${nsUrl(base, ns)}/tables/$table").GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() == 404) None
     else {
@@ -1173,7 +1183,7 @@ object IcebergRestClient {
     * from the returned tree, no direct metadata-dir reads. */
   def loadTable(spark: org.apache.spark.sql.SparkSession,
       base: String, ns: String, table: String): IcebergTable = {
-    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val res = get(s"${nsUrl(base, ns)}/tables/$table")
     val m = IcebergMetadata.fromJson(
       mapper.writeValueAsString(res.get("metadata")))
     // anchor at the served metadata file's table dir, not the recorded
@@ -1221,13 +1231,13 @@ object IcebergRestClient {
       val p = n.putObject("properties")
       properties.foreach { case (k, v) => p.put(k, v) }
     }
-    val resp = post(s"$base/v1/namespaces/$ns/tables", mapper.writeValueAsString(n))
+    val resp = post(s"${nsUrl(base, ns)}/tables", mapper.writeValueAsString(n))
     require(resp.statusCode() == 200, s"createTable -> ${resp.statusCode()}: ${resp.body()}")
   }
 
   /** Drop a namespace (409 from the server when non-empty). */
   def dropNamespace(base: String, ns: String): Boolean = {
-    val code = delete(s"$base/v1/namespaces/$ns")
+    val code = delete(s"${nsUrl(base, ns)}")
     require(code == 204 || code == 404,
       s"dropNamespace -> $code (non-empty?)")
     code == 204
@@ -1242,7 +1252,7 @@ object IcebergRestClient {
   /** loadNamespaceMetadata: the namespace's properties. */
   def namespaceProperties(base: String, ns: String): Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    get(s"$base/v1/namespaces/$ns").get("properties").properties().asScala
+    get(s"${nsUrl(base, ns)}").get("properties").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
@@ -1256,7 +1266,7 @@ object IcebergRestClient {
     set.foreach { case (k, v) => u.put(k, v) }
     val rm = n.putArray("removals")
     remove.foreach(rm.add)
-    val resp = post(s"$base/v1/namespaces/$ns/properties",
+    val resp = post(s"${nsUrl(base, ns)}/properties",
       mapper.writeValueAsString(n))
     require(resp.statusCode() == 200,
       s"updateNamespaceProperties -> ${resp.statusCode()}: ${resp.body()}")
@@ -1271,7 +1281,7 @@ object IcebergRestClient {
 
   def listViews(base: String, ns: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    get(s"$base/v1/namespaces/$ns/views").get("identifiers").elements()
+    get(s"${nsUrl(base, ns)}/views").get("identifiers").elements()
       .asScala.map(_.get("name").asText()).toSeq
   }
 
@@ -1295,13 +1305,13 @@ object IcebergRestClient {
       val p = n.putObject("properties")
       properties.foreach { case (k, v) => p.put(k, v) }
     }
-    post(s"$base/v1/namespaces/$ns/views", mapper.writeValueAsString(n))
+    post(s"${nsUrl(base, ns)}/views", mapper.writeValueAsString(n))
       .statusCode()
   }
 
   def viewExists(base: String, ns: String, name: String): Boolean = {
     val resp = http.send(
-      rb(s"$base/v1/namespaces/$ns/views/$name")
+      rb(s"${nsUrl(base, ns)}/views/$name")
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
       java.net.http.HttpResponse.BodyHandlers.discarding())
     resp.statusCode() == 204
@@ -1314,7 +1324,7 @@ object IcebergRestClient {
       : Option[(graft.table.Views.ViewDef, Int, Boolean)] = {
     import scala.jdk.CollectionConverters._
     val resp = http.send(
-      rb(s"$base/v1/namespaces/$ns/views/$name").GET().build(),
+      rb(s"${nsUrl(base, ns)}/views/$name").GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() == 404) return None
     require(resp.statusCode() == 200,
@@ -1343,7 +1353,7 @@ object IcebergRestClient {
   def loadView(base: String, ns: String, name: String)
       : (String, Map[String, String], Int) = {
     import scala.jdk.CollectionConverters._
-    val n = get(s"$base/v1/namespaces/$ns/views/$name")
+    val n = get(s"${nsUrl(base, ns)}/views/$name")
     (n.get("sql").asText(),
       n.get("sources").properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap,
@@ -1354,7 +1364,7 @@ object IcebergRestClient {
   def loadViewRepresentations(base: String, ns: String, name: String)
       : Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
-    val n = get(s"$base/v1/namespaces/$ns/views/$name")
+    val n = get(s"${nsUrl(base, ns)}/views/$name")
     Option(n.get("representations")).map(_.elements().asScala.map(rn =>
       rn.get("dialect").asText() -> rn.get("sql").asText()).toSeq)
       .getOrElse(Seq.empty)
@@ -1375,7 +1385,7 @@ object IcebergRestClient {
     val mat = n.putObject("materialization")
     mat.put("storage-schema", storageSchemaJson)
     incrementalFold.foreach(mat.put("incremental-fold", _))
-    val resp = post(s"$base/v1/namespaces/$ns/views", mapper.writeValueAsString(n))
+    val resp = post(s"${nsUrl(base, ns)}/views", mapper.writeValueAsString(n))
     require(resp.statusCode() == 200,
       s"createMaterializedView -> ${resp.statusCode()}: ${resp.body()}")
   }
@@ -1386,7 +1396,7 @@ object IcebergRestClient {
   def loadMaterializedView(base: String, ns: String, name: String)
       : (Boolean, String, Long, Map[String, Long], Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
-    val n = get(s"$base/v1/namespaces/$ns/views/$name")
+    val n = get(s"${nsUrl(base, ns)}/views/$name")
     val mat = Option(n.get("materialization")).getOrElse(
       throw new IllegalStateException(s"view $ns.$name is not materialized"))
     val rs = n.get("refresh-state")
@@ -1423,7 +1433,7 @@ object IcebergRestClient {
         rn.put("type", "sql"); rn.put("dialect", d); rn.put("sql", q)
       }
     }
-    post(s"$base/v1/namespaces/$ns/views/$name",
+    post(s"${nsUrl(base, ns)}/views/$name",
       mapper.writeValueAsString(n)).statusCode()
   }
 
@@ -1472,24 +1482,24 @@ object IcebergRestClient {
       removeProperties.foreach(a.add)
     }
     extraUpdates.foreach(ups.add)
-    post(s"$base/v1/namespaces/$ns/views/$name",
+    post(s"${nsUrl(base, ns)}/views/$name",
       mapper.writeValueAsString(n)).statusCode()
   }
 
   /** view-uuid from LoadViewResult. */
   def loadViewUuid(base: String, ns: String, name: String): String =
-    get(s"$base/v1/namespaces/$ns/views/$name").get("view-uuid").asText()
+    get(s"${nsUrl(base, ns)}/views/$name").get("view-uuid").asText()
 
   /** declared view location from LoadViewResult ("" when unset). */
   def loadViewLocation(base: String, ns: String, name: String): String =
-    Option(get(s"$base/v1/namespaces/$ns/views/$name").get("location"))
+    Option(get(s"${nsUrl(base, ns)}/views/$name").get("location"))
       .map(_.asText()).getOrElse("")
 
   /** view properties from LoadViewResult (empty map when none). */
   def loadViewProperties(base: String, ns: String,
       name: String): Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    val n = get(s"$base/v1/namespaces/$ns/views/$name")
+    val n = get(s"${nsUrl(base, ns)}/views/$name")
     Option(n.get("properties")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
   }
@@ -1530,13 +1540,13 @@ object IcebergRestClient {
   /** POST a metrics report for a table (reference: report_metrics). */
   def reportMetrics(base: String, ns: String, table: String,
       reportJson: String): Unit = {
-    val resp = post(s"$base/v1/namespaces/$ns/tables/$table/metrics", reportJson)
+    val resp = post(s"${nsUrl(base, ns)}/tables/$table/metrics", reportJson)
     require(resp.statusCode() == 204,
       s"reportMetrics -> ${resp.statusCode()}")
   }
 
   def dropView(base: String, ns: String, name: String): Unit =
-    require(delete(s"$base/v1/namespaces/$ns/views/$name") == 204, "dropView failed")
+    require(delete(s"${nsUrl(base, ns)}/views/$name") == 204, "dropView failed")
 
   // ---- rename / register / properties ---------------------------------
 
@@ -1575,7 +1585,7 @@ object IcebergRestClient {
 
   /** Current table uuid (for building assert-table-uuid requirements). */
   def tableUuid(base: String, ns: String, table: String): String =
-    get(s"$base/v1/namespaces/$ns/tables/$table")
+    get(s"${nsUrl(base, ns)}/tables/$table")
       .get("metadata").get("table-uuid").asText()
 
   def requireUuid(uuid: String): com.fasterxml.jackson.databind.node.ObjectNode = {
@@ -1651,7 +1661,7 @@ object IcebergRestClient {
       metadataLocation: String): Unit = {
     val n = mapper.createObjectNode()
     n.put("name", name); n.put("metadata-location", metadataLocation)
-    val resp = post(s"$base/v1/namespaces/$ns/register",
+    val resp = post(s"${nsUrl(base, ns)}/register",
       mapper.writeValueAsString(n))
     require(resp.statusCode() == 200,
       s"registerTable -> ${resp.statusCode()}: ${resp.body()}")
@@ -1661,7 +1671,7 @@ object IcebergRestClient {
     * (set-properties / remove-properties updates, uuid-asserted). */
   def updateProperties(base: String, ns: String, table: String,
       set: Map[String, String], remove: Seq[String] = Seq.empty): Unit = {
-    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val res = get(s"${nsUrl(base, ns)}/tables/$table")
     val uuid = res.get("metadata").get("table-uuid").asText()
     val body = mapper.createObjectNode()
     val reqs = body.putArray("requirements")
@@ -1680,7 +1690,7 @@ object IcebergRestClient {
       val arr = u.putArray("removals")
       remove.foreach(arr.add)
     }
-    val resp = post(s"$base/v1/namespaces/$ns/tables/$table",
+    val resp = post(s"${nsUrl(base, ns)}/tables/$table",
       mapper.writeValueAsString(body))
     require(resp.statusCode() == 200,
       s"updateProperties -> ${resp.statusCode()}: ${resp.body()}")
@@ -1694,7 +1704,7 @@ object IcebergRestClient {
     * the new order. */
   def updateSortOrder(base: String, ns: String, table: String,
       fields: Seq[(String, String)]): Unit = {
-    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val res = get(s"${nsUrl(base, ns)}/tables/$table")
     val m = IcebergMetadata.fromJson(
       mapper.writeValueAsString(res.get("metadata")))
     val orderId = m.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1
@@ -1719,7 +1729,7 @@ object IcebergRestClient {
     val set = ups.addObject()
     set.put("action", "set-default-sort-order")
     set.put("sort-order-id", -1)
-    val resp = post(s"$base/v1/namespaces/$ns/tables/$table",
+    val resp = post(s"${nsUrl(base, ns)}/tables/$table",
       mapper.writeValueAsString(body))
     require(resp.statusCode() == 200,
       s"updateSortOrder -> ${resp.statusCode()}: ${resp.body()}")
@@ -1732,7 +1742,7 @@ object IcebergRestClient {
     * ids, adds allocate fresh ids above last-column-id. */
   def updateSchema(base: String, ns: String, table: String,
       schema: IcebergMetadata.IceSchema): Unit = {
-    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val res = get(s"${nsUrl(base, ns)}/tables/$table")
     val uuid = res.get("metadata").get("table-uuid").asText()
     val body = mapper.createObjectNode()
     val reqs = body.putArray("requirements")
@@ -1746,7 +1756,7 @@ object IcebergRestClient {
     val set = ups.addObject()
     set.put("action", "set-current-schema")
     set.put("schema-id", -1)
-    val resp = post(s"$base/v1/namespaces/$ns/tables/$table",
+    val resp = post(s"${nsUrl(base, ns)}/tables/$table",
       mapper.writeValueAsString(body))
     require(resp.statusCode() == 200,
       s"updateSchema -> ${resp.statusCode()}: ${resp.body()}")
@@ -1771,7 +1781,7 @@ object IcebergRestClient {
     val u = ups.addObject()
     u.put("action", "set-snapshot-ref"); u.put("ref-name", refName)
     u.put("type", refType); u.put("snapshot-id", snapshotId)
-    post(s"$base/v1/namespaces/$ns/tables/$table",
+    post(s"${nsUrl(base, ns)}/tables/$table",
       mapper.writeValueAsString(body)).statusCode()
   }
 
@@ -1791,7 +1801,7 @@ object IcebergRestClient {
     val ups = body.putArray("updates")
     val u = ups.addObject()
     u.put("action", "remove-snapshot-ref"); u.put("ref-name", refName)
-    post(s"$base/v1/namespaces/$ns/tables/$table",
+    post(s"${nsUrl(base, ns)}/tables/$table",
       mapper.writeValueAsString(body)).statusCode()
   }
 
@@ -1803,7 +1813,7 @@ object IcebergRestClient {
   def appendViaRest(spark: org.apache.spark.sql.SparkSession,
       base: String, ns: String, table: String,
       df: org.apache.spark.sql.DataFrame): Unit = {
-    val res = get(s"$base/v1/namespaces/$ns/tables/$table")
+    val res = get(s"${nsUrl(base, ns)}/tables/$table")
     val m = IcebergMetadata.fromJson(
       mapper.writeValueAsString(res.get("metadata")))
     val snap = IcebergWrite.prepareAppend(spark, m, df)
@@ -1822,7 +1832,7 @@ object IcebergRestClient {
     val ref = ups.addObject()
     ref.put("action", "set-snapshot-ref"); ref.put("ref-name", "main")
     ref.put("type", "branch"); ref.put("snapshot-id", snap.snapshotId)
-    val resp = post(s"$base/v1/namespaces/$ns/tables/$table",
+    val resp = post(s"${nsUrl(base, ns)}/tables/$table",
       mapper.writeValueAsString(body))
     require(resp.statusCode() == 200,
       s"commit -> ${resp.statusCode()}: ${resp.body()}")

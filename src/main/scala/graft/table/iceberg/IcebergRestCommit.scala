@@ -55,6 +55,15 @@ object IcebergRestCommit {
 
   def deregister(location: String): Unit = routes.remove(norm(location))
 
+  /** Drop every route pointing at a server base — the teardown hook
+    * for short-lived test/bench servers, so a later direct commit to
+    * a reused location is never re-routed to a dead server. */
+  def deregisterBase(base: String): Unit = {
+    val b = base.stripSuffix("/")
+    routes.entrySet().removeIf(e => e.getValue.base == b)
+    ()
+  }
+
   def lookup(location: String): Option[Route] =
     Option(routes.get(norm(location)))
 

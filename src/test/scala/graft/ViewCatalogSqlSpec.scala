@@ -173,6 +173,29 @@ class ViewCatalogSqlSpec extends AnyFunSuite {
       .head.getLong(0) === 6L)
   }
 
+  test("CALL create_mat_view / refresh_mat_view lifecycle (warehouse)") {
+    spark.sql(s"CALL $cat.system.create_mat_view('db.mv_proc', " +
+      s"'SELECT grp, sum(v) AS s FROM $cat.db.t GROUP BY grp', 'db.t')")
+    val r1 = spark.sql(
+      s"CALL $cat.system.refresh_mat_view('db.mv_proc', 'full')").collect()
+    assert(r1.head.getString(0) === "full")
+    val expected = spark.sql(
+      s"SELECT grp, sum(v) AS s FROM $cat.db.t GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = spark.sql(s"SELECT * FROM $cat.db.mv_proc ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    // fresh after refresh; stale after a source append
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mv_proc.refresh_state " +
+      "WHERE stale").collect().head.getLong(0) === 0L)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (100, 'z', 1.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mv_proc.refresh_state " +
+      "WHERE stale").collect().head.getLong(0) > 0L)
+    spark.sql(s"CALL $cat.system.refresh_mat_view('db.mv_proc', 'full')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mv_proc").collect()
+      .head.getLong(0) === expected.size + 1L)
+  }
+
   // ---- REST mode ------------------------------------------------------
 
   private lazy val restEnv: (IcebergRestServer, String, String) = {
@@ -208,6 +231,30 @@ class ViewCatalogSqlSpec extends AnyFunSuite {
     spark.sql(s"DROP VIEW $rcat.db.v")
     assert(!IcebergRestClient.viewExists(
       s"http://127.0.0.1:${restEnv._1.port}", "db", "v"))
+  }
+
+  test("CALL create_mat_view / refresh_mat_view over a live REST server") {
+    spark.sql(s"CALL $rcat.system.create_mat_view('db.mv_rest', " +
+      s"'SELECT k, count(*) AS n FROM $rcat.db.s GROUP BY k', 'db.s')")
+    // the view DEFINITION lives on the server, materialization flagged
+    val base = s"http://127.0.0.1:${restEnv._1.port}"
+    val (_, _, materialized) =
+      IcebergRestClient.loadViewDef(base, "db", "mv_rest").get
+    assert(materialized)
+    spark.sql(s"CALL $rcat.system.refresh_mat_view('db.mv_rest', 'full')")
+    val got = spark.sql(s"SELECT * FROM $rcat.db.mv_rest ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (2L, 1L)))
+    // staleness over REST rides refresh_state too (REST sources are
+    // real-format Iceberg tables — dialect-aware snapshot probe)
+    assert(spark.sql(s"SELECT count(*) FROM $rcat.db.mv_rest.refresh_state" +
+      " WHERE stale").collect().head.getLong(0) === 0L)
+    spark.sql(s"INSERT INTO $rcat.db.s VALUES (3, 9.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $rcat.db.mv_rest.refresh_state" +
+      " WHERE stale").collect().head.getLong(0) > 0L)
+    spark.sql(s"CALL $rcat.system.refresh_mat_view('db.mv_rest', 'full')")
+    assert(spark.sql(s"SELECT sum(n) FROM $rcat.db.mv_rest").collect()
+      .head.getLong(0) === 4L)
   }
 
   test("concurrent view replace over REST: exactly one CAS winner") {
