@@ -56,26 +56,37 @@ object Bench {
     val loadStart = loadavg
     def spreadOf(v: Double, ts: Seq[Double]): Double =
       if (v <= 0) 0.0 else (ts.max - ts.min) / v
-    val results: Seq[(String, Double, Seq[Double], Double)] =
+    // a key that THROWS must never bench as a fast success: the throw
+    // is recorded per key and counted in the stdout line (errs), so a
+    // regression that breaks a query reads as broken, not as fast
+    val results: Seq[(String, Double, Seq[Double], Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => keep.forall(_.contains(kv._1))).map { case (name, fn) =>
-          def once(): Double = {
+          def once(): (Double, Boolean) = {
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-            (System.nanoTime() - t0) / 1e9
+            val ok =
+              try { fn(spark, sfDir).count(); true }
+              catch { case _: Throwable => false }
+            ((System.nanoTime() - t0) / 1e9, ok)
           }
           once() // per-key warmup, untimed in the report
-          var times = (1 to reps).map(_ => once())
+          var runs = (1 to reps).map(_ => once())
           var retries = 0
-          while (spreadOf(median(times), times) > SpreadRetry && retries < 2) {
-            times = times :+ once()
+          // noise retries only make sense for keys that RUN; a
+          // failing key would just fail again
+          while (runs.forall(_._2) &&
+              spreadOf(median(runs.map(_._1)), runs.map(_._1)) > SpreadRetry &&
+              retries < 2) {
+            runs = runs :+ once()
             retries += 1
           }
-          (name, median(times), times, loadavg)
+          val times = runs.map(_._1)
+          (name, median(times), times, loadavg, runs.exists(!_._2))
         }
     val total = results.map(_._2).sum
-    val noisy = results.count { case (_, v, ts, _) =>
+    val noisy = results.count { case (_, v, ts, _, _) =>
       spreadOf(v, ts) > SpreadRetry }
+    val errs = results.count(_._5)
     // Full-precision timings go to a sidecar file; stdout carries ONE
     // compact JSON line. The line must stay well under 2000 bytes: the
     // harness keeps only the final 2000 bytes of output (plus sbt's
@@ -89,24 +100,32 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     def fmt(v: Double): String = f"$v%.2f"
     val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
-    val qsCompact = slowest.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qsCompact = slowest.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val nOmitted = results.size - slowest.size
+    // the contamination defense appends up to two extra reps per
+    // noisy key, so the stat is a median of a RANGE of sample counts
+    val repCounts = results.map(_._3.size)
+    val stat =
+      if (results.isEmpty || repCounts.min == repCounts.max)
+        s"median-of-$reps"
+      else s"median-of-${repCounts.min}..${repCounts.max}"
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median-of-$reps","n_queries":${results.size},"queries_omitted":$nOmitted,"noisy_keys":$noisy,"loadavg_start":${f"$loadStart%.1f"},"queries":$qsCompact,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"$stat","n_queries":${results.size},"queries_omitted":$nOmitted,"noisy_keys":$noisy,"errs":$errs,"loadavg_start":${f"$loadStart%.1f"},"queries":$qsCompact,"sf":$sfNum}"""
     try {
-      val full = results.map { case (k, v, ts, la) =>
+      val full = results.map { case (k, v, ts, la, err) =>
         val spread = spreadOf(v, ts)
         "\"" + k + "\":{\"median\":" + v + ",\"reps\":[" +
           ts.mkString(",") + "],\"spread\":" + f"$spread%.3f" +
-          ",\"loadavg\":" + f"$la%.1f" + "}"
+          ",\"loadavg\":" + f"$la%.1f" +
+          (if (err) ",\"err\":true" else "") + "}"
       }.mkString("{", ",", "}")
       // A key-filtered run must not clobber the committed full-battery
       // record (that happened once: a 2-key probe overwrote the 122-key
       // file); partial results go to a sidecar instead.
       val sidecar = if (keep.isDefined) "bench_partial.json" else "bench_full.json"
       val w = new java.io.PrintWriter(sidecar)
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median-of-$reps","noisy_keys":$noisy,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$full,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"$stat","noisy_keys":$noisy,"errs":$errs,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$full,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(line)

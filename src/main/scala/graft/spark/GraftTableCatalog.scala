@@ -132,10 +132,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   /** Resolve a REST table to its storage root AND register the commit
     * route: from here on, every metadata commit under that root rides
-    * the update-table protocol. None for a multi-level namespace (the
-    * caller may be probing a metadata-table name like cat.ns.t.files). */
+    * the update-table protocol. Namespaces may be multi-level (levels
+    * join with the spec separator on the wire). */
   private def restRootOf(ident: Identifier): Option[String] =
-    restBase.filter(_ => ident.namespace().length == 1).flatMap { base =>
+    restBase.filter(_ => ident.namespace().nonEmpty).flatMap { base =>
       val ns = restNs(ident.namespace())
       IcebergRestClient.tableRootOf(base, ns, ident.name()).map { root =>
         IcebergRestCommit.register(root,
@@ -312,12 +312,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           }
           // metadata tables over REST: cat.ns.t.files etc. — resolve
           // the PARENT through the protocol, render from its manifests
+          // (namespace may itself be multi-level: cat.a.b.t.files)
           val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
-          if (ident.namespace().length == 2 &&
+          if (ident.namespace().length >= 2 &&
               (GraftMetadataSparkTable.Kinds.contains(kind) ||
                 kind == "position_deletes" || kind == "refresh_state")) {
             val parent = Identifier.of(
-              ident.namespace().take(1), ident.namespace()(1))
+              ident.namespace().init, ident.namespace().last)
             if (kind == "refresh_state") {
               val ns = restNs(parent.namespace())
               if (IcebergRestClient.viewExists(base, ns, parent.name())) {
@@ -632,7 +633,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def listNamespaces(): Array[Array[String]] = restBase match {
     case Some(base) =>
-      IcebergRestClient.listNamespaces(base).map(Array(_)).toArray
+      IcebergRestClient.listNamespaces(base)
+        .map(_.split('\u001F').toArray[String]).toArray
     case None =>
       val dir = TableIO.path(warehouse)
       if (!TableIO.isDirectory(dir)) Array.empty
@@ -642,35 +644,77 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces() else Array.empty
+    if (namespace.isEmpty) listNamespaces()
+    else restBase match {
+      // multi-level children under a parent (spec list_namespaces
+      // with `parent`; reference Namespace is Vec<String> —
+      // namespace.rs:14)
+      case Some(base) =>
+        IcebergRestClient.listNamespacesUnder(base,
+            Some(restNs(namespace)))
+          .map(_.split('\u001F').toArray[String]).toArray
+      case None => Array.empty
+    }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     restBase.foreach { base =>
-      return try
-        IcebergRestClient.namespaceProperties(base, restNs(namespace)).asJava
-      catch { case _: Exception =>
-        throw new org.apache.spark.sql.catalyst.analysis
-          .NoSuchNamespaceException(namespace.toSeq)
-      }
+      // only a server-confirmed 404 reads as "namespace missing" —
+      // an auth failure or unreachable server surfaces as itself
+      return IcebergRestClient.namespacePropertiesOpt(base, restNs(namespace))
+        .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchNamespaceException(namespace.toSeq)).asJava
     }
     val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
     if (!TableIO.isDirectory(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         namespace.toSeq)
-    java.util.Collections.emptyMap()
+    graft.table.NsProps.read(dir.toString).asJava
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: JMap[String, String]): Unit = restBase match {
-    case Some(base) =>
-      IcebergRestClient.createNamespace(base, restNs(namespace))
-    case None =>
-      TableIO.mkdirs(TableIO.path((warehouse +: namespace.toSeq).mkString("/")))
+      metadata: JMap[String, String]): Unit = {
+    // Spark stamps reserved entries (owner) the stores don't persist
+    val props = metadata.asScala.toMap - "owner"
+    restBase match {
+      case Some(base) =>
+        IcebergRestClient.createNamespace(base, restNs(namespace), props)
+      case None =>
+        val dir = (warehouse +: namespace.toSeq).mkString("/")
+        TableIO.mkdirs(TableIO.path(dir))
+        if (props.nonEmpty) graft.table.NsProps.lock.synchronized {
+          graft.table.NsProps.write(dir, props)
+        }
+    }
   }
 
+  /** ALTER NAMESPACE ... SET/UNSET PROPERTIES — REST mode rides the
+    * protocol's update_properties (updated/removed/missing response);
+    * warehouse mode edits the shared .nsprops.json convention. */
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("alterNamespace")
+      changes: NamespaceChange*): Unit = {
+    val (sets, removes) = changes.foldLeft(
+        (Map.empty[String, String], Seq.empty[String])) {
+      case ((s, r), c: NamespaceChange.SetProperty) =>
+        (s + (c.property() -> c.value()), r)
+      case ((s, r), c: NamespaceChange.RemoveProperty) =>
+        (s, r :+ c.property())
+      case (_, other) =>
+        throw new UnsupportedOperationException(s"namespace change $other")
+    }
+    restBase match {
+      case Some(base) =>
+        IcebergRestClient.updateNamespaceProperties(base, restNs(namespace),
+          sets, removes)
+        ()
+      case None =>
+        val dir = (warehouse +: namespace.toSeq).mkString("/")
+        if (!TableIO.isDirectory(TableIO.path(dir)))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchNamespaceException(namespace.toSeq)
+        graft.table.NsProps.update(dir, sets, removes)
+        ()
+    }
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     restBase match {

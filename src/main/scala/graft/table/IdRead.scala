@@ -24,11 +24,15 @@ object IdRead {
     schema.fields.exists(f => isNested(f.dataType))
 
   /** Read `paths` under `schema` (id-stamped), id-safe through
-    * nested-schema pruning. The per-read option keeps the clip stage
-    * id-aware even if a user unsets the session flag. */
+    * nested-schema pruning. Id-resolution correctness rests on the
+    * SESSION flag spark.sql.parquet.fieldId.read.enabled, stamped at
+    * table load (GraftTable / IcebergTable) — a per-read option
+    * cannot carry it because ParquetFileFormat rebuilds that
+    * hadoopConf key from the session conf at execution time, and the
+    * read is lazy (execution may happen long after this call). */
   def parquet(spark: SparkSession, schema: StructType,
       paths: Seq[String]): DataFrame = {
-    val r = spark.read.option("spark.sql.parquet.fieldId.read.enabled", "true")
+    val r = spark.read
     if (!hasNested(schema)) r.schema(schema).parquet(paths: _*)
     else r.format(GraftParquetFileFormat.Format)
       .option(GraftParquetFileFormat.IdSchemaOption, schema.json)

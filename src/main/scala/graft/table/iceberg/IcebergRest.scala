@@ -30,6 +30,13 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     oauthClients: Map[String, String] = Map.empty) {
   require(oauthClients.isEmpty || bearerToken.isDefined,
     "oauthClients without a bearerToken would mint empty access tokens")
+
+  /** The CURRENTLY accepted bearer token — rotatable at runtime, so
+    * tests can expire a client's token mid-sequence and exercise the
+    * refresh-on-401 path (real deployments rotate tokens too). The
+    * token endpoint always grants the current value. */
+  @volatile private var activeToken: Option[String] = bearerToken
+  def rotateToken(t: String): Unit = { activeToken = Some(t) }
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
@@ -235,35 +242,32 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     }
   }
 
-  private def nsRoot(ns: String) = TableIO.path(s"$warehouse/$ns")
-  private def tableRoot(ns: String, t: String) = s"$warehouse/$ns/$t"
+  /** Namespaces are Vec<String> in the spec (iceberg-rust-spec/src/
+    * spec/namespace.rs:14); on the wire the levels join with the %1F
+    * unit separator, on disk they nest as directories. */
+  private def nsDirPath(ns: String): String = ns.replace('\u001F', '/')
+  private def nsRoot(ns: String) = TableIO.path(s"$warehouse/${nsDirPath(ns)}")
+  private def tableRoot(ns: String, t: String) =
+    s"$warehouse/${nsDirPath(ns)}/$t"
 
-  /** Namespace properties live in a dot-file inside the namespace dir
-    * (dot-names are excluded from every listing). Read-modify-write
-    * cycles serialize on nsPropsLock (the server runs a thread pool),
-    * and the write lands via temp+rename so a crash never leaves a
-    * truncated file. */
-  private[iceberg] val nsPropsLock = new Object
+  /** Namespace identifier as the spec's levels array. */
+  private def nsLevels(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      ns: String): Unit = ns.split('\u001F').foreach(arr.add)
 
-  private def nsPropsPath(ns: String) =
-    new org.apache.hadoop.fs.Path(nsRoot(ns), ".nsprops.json")
-
-  private def readNsProps(ns: String): Map[String, String] =
-    if (!TableIO.exists(nsPropsPath(ns))) Map.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      mapper.readTree(TableIO.readString(nsPropsPath(ns)))
-        .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }
-
-  private def writeNsProps(ns: String, props: Map[String, String]): Unit = {
-    val n = mapper.createObjectNode()
-    props.foreach { case (k, v) => n.put(k, v) }
-    val tmp = new org.apache.hadoop.fs.Path(nsRoot(ns),
-      s".nsprops-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    TableIO.writeString(tmp, mapper.writeValueAsString(n))
-    TableIO.renameOverwrite(tmp, nsPropsPath(ns))
+  /** The joined namespace from a request body's levels array. */
+  private def nsFromBody(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    import scala.jdk.CollectionConverters._
+    n.elements().asScala.map(_.asText()).mkString("\u001F")
   }
+
+  // Namespace properties: one on-disk convention shared with the
+  // warehouse-mode catalog (graft.table.NsProps) — both front-ends
+  // over the same warehouse agree.
+  private def readNsProps(ns: String): Map[String, String] =
+    graft.table.NsProps.read(nsRoot(ns).toString)
+
+  private def writeNsProps(ns: String, props: Map[String, String]): Unit =
+    graft.table.NsProps.write(nsRoot(ns).toString, props)
 
   /** View definition from a create/replace request body. */
   private def viewFromBody(name: String,
@@ -482,6 +486,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   }
 
   /** form/query "k=v&k2=v2" → decoded map (token bodies, pagination). */
+  /** `parent` arrives percent-decoded twice over (URI.getQuery +
+    * parseParams' URLDecoder) — by then the %1F separators are the
+    * literal control char, which is exactly the internal join. */
+  private def decodeNsParam(s: String): String = s
+
   private def parseParams(raw: String): Map[String, String] =
     raw.split("&").filter(_.contains("=")).map { kv =>
       val a = kv.split("=", 2)
@@ -496,7 +505,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     // matches on — two different path normalizations would disagree
     val isTokenEndpoint =
       method == "POST" && parts == Seq("oauth", "tokens")
-    if (!isTokenEndpoint && bearerToken.exists(t =>
+    if (!isTokenEndpoint && activeToken.exists(t =>
         Option(ex.getRequestHeaders.getFirst("Authorization"))
           .forall(_ != s"Bearer $t"))) {
       reply(ex, 401, errBody("unauthorized", 401)); return
@@ -516,7 +525,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         if (!ok) reply(ex, 401, errBody("invalid_client", 401))
         else {
           val n = mapper.createObjectNode()
-          n.put("access_token", bearerToken.getOrElse(""))
+          n.put("access_token", activeToken.getOrElse(""))
           n.put("token_type", "bearer")
           reply(ex, 200, json(n))
         }
@@ -527,28 +536,47 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         reply(ex, 200, json(n))
 
       case ("GET", Seq("namespaces")) =>
-        val names = TableIO.listDir(TableIO.path(warehouse))
-          .filter(st => st.isDirectory &&
-            !IcebergTable.exists(st.getPath.toString))
-          .map(_.getPath.getName)
-          .filterNot(_.startsWith("."))
-        val (page, next) = paginate(ex, names)
-        val n = mapper.createObjectNode()
-        val arr = n.putArray("namespaces")
-        page.foreach(nm => arr.addArray().add(nm))
-        next.foreach(t => n.put("next-page-token", t))
-        reply(ex, 200, json(n))
+        // list_namespaces with optional multi-level `parent`
+        // (catalog_api_api.rs list_namespaces threads parent the same
+        // way): children one level below the parent, as levels arrays
+        val params = parseParams(
+          Option(ex.getRequestURI.getQuery).getOrElse(""))
+        val parent = params.get("parent").map(decodeNsParam)
+        val dir = parent.map(nsRoot).getOrElse(TableIO.path(warehouse))
+        if (parent.isDefined && !TableIO.isDirectory(dir)) notFound(ex)
+        else {
+          val names = TableIO.listDir(dir)
+            .filter(st => st.isDirectory &&
+              !IcebergTable.exists(st.getPath.toString) &&
+              scala.util.Try(graft.table.Meta.load(st.getPath.toString))
+                .isFailure &&
+              !graft.table.Views.viewExists(st.getPath.toString))
+            .map(_.getPath.getName)
+            .filterNot(_.startsWith("."))
+          val (page, next) = paginate(ex, names)
+          val n = mapper.createObjectNode()
+          val arr = n.putArray("namespaces")
+          page.foreach { nm =>
+            val levels = arr.addArray()
+            parent.foreach(p => nsLevels(levels, p))
+            levels.add(nm)
+          }
+          next.foreach(t => n.put("next-page-token", t))
+          reply(ex, 200, json(n))
+        }
 
       case ("POST", Seq("namespaces")) =>
         val body = mapper.readTree(ex.getRequestBody)
-        val ns = body.get("namespace").elements().next().asText()
+        val ns = nsFromBody(body.get("namespace"))
         TableIO.mkdirs(nsRoot(ns))
         val props = Option(body.get("properties")).map(p =>
           p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty[String, String])
-        if (props.nonEmpty) nsPropsLock.synchronized { writeNsProps(ns, props) }
+        if (props.nonEmpty) graft.table.NsProps.lock.synchronized {
+          writeNsProps(ns, props)
+        }
         val n = mapper.createObjectNode()
-        n.putArray("namespace").add(ns)
+        nsLevels(n.putArray("namespace"), ns)
         val pn = n.putObject("properties")
         props.foreach { case (k, v) => pn.put(k, v) }
         reply(ex, 200, json(n))
@@ -559,7 +587,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
         else {
           val n = mapper.createObjectNode()
-          n.putArray("namespace").add(ns)
+          nsLevels(n.putArray("namespace"), ns)
           val pn = n.putObject("properties")
           readNsProps(ns).foreach { case (k, v) => pn.put(k, v) }
           reply(ex, 200, json(n))
@@ -583,11 +611,8 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           val overlap = updates.keySet.intersect(removals.toSet)
           if (overlap.nonEmpty) throw new BadRequest(
             s"keys in both updates and removals: ${overlap.mkString(",")}")
-          val (removed, missing) = nsPropsLock.synchronized {
-            val cur = readNsProps(ns)
-            writeNsProps(ns, cur -- removals ++ updates)
-            (removals.filter(cur.contains), removals.filterNot(cur.contains))
-          }
+          val (removed, missing) = graft.table.NsProps.update(
+            nsRoot(ns).toString, updates, removals)
           val n = mapper.createObjectNode()
           val up = n.putArray("updated"); updates.keys.toSeq.sorted.foreach(up.add)
           val rm = n.putArray("removed"); removed.foreach(rm.add)
@@ -607,7 +632,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           val arr = n.putArray("identifiers")
           page.foreach { nm =>
             val id = arr.addObject()
-            id.putArray("namespace").add(ns)
+            nsLevels(id.putArray("namespace"), ns)
             id.put("name", nm)
           }
           next.foreach(t => n.put("next-page-token", t))
@@ -711,7 +736,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           val changes = Option(body.get("table-changes")).toSeq
             .flatMap(_.elements().asScala).map { ch =>
               val id = ch.get("identifier")
-              val ns = id.get("namespace").elements().next().asText()
+              val ns = nsFromBody(id.get("namespace"))
               val name = id.get("name").asText()
               (tableRoot(ns, name), s"$ns.$name", ch)
             }
@@ -812,7 +837,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           val arr = n.putArray("identifiers")
           page.foreach { nm =>
             val id = arr.addObject()
-            id.putArray("namespace").add(ns)
+            nsLevels(id.putArray("namespace"), ns)
             id.put("name", nm)
           }
           next.foreach(t => n.put("next-page-token", t))
@@ -933,7 +958,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         val body = mapper.readTree(ex.getRequestBody)
         def ident(k: String): (String, String) = {
           val n = body.get(k)
-          (n.get("namespace").elements().next().asText(), n.get("name").asText())
+          (nsFromBody(n.get("namespace")), n.get("name").asText())
         }
         val (sns, sname) = ident("source")
         val (dns, dname) = ident("destination")
@@ -954,7 +979,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         val body = mapper.readTree(ex.getRequestBody)
         def ident(k: String): (String, String) = {
           val n = body.get(k)
-          (n.get("namespace").elements().next().asText(), n.get("name").asText())
+          (nsFromBody(n.get("namespace")), n.get("name").asText())
         }
         val (sns, sname) = ident("source")
         val (dns, dname) = ident("destination")
@@ -1004,11 +1029,12 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         }
 
       // dropNamespace (catalog_api_api.rs drop_namespace): 409 when
-      // non-empty, per the spec's NamespaceNotEmpty error
+      // non-empty — tables, views, OR child namespaces all count, per
+      // the spec's NamespaceNotEmpty error
       case ("DELETE", Seq("namespaces", ns)) =>
         if (!TableIO.isDirectory(nsRoot(ns))) notFound(ex)
         else if (TableIO.listDir(nsRoot(ns)).exists(st =>
-            IcebergTable.exists(st.getPath.toString)))
+            st.isDirectory && !st.getPath.getName.startsWith(".")))
           reply(ex, 409, errBody(s"namespace $ns is not empty", 409))
         else {
           TableIO.delete(nsRoot(ns), recursive = true)
@@ -1078,7 +1104,7 @@ object IcebergRestClient {
     * with the spec's %1F unit separator (catalog_api_api.rs threads
     * the same encoding); '%' itself escapes first so decode is
     * unambiguous. URI-illegal control chars never reach URI.create. */
-  private def encNs(ns: String): String =
+  private[iceberg] def encNs(ns: String): String =
     ns.replace("%", "%25").replace("\u001F", "%1F")
 
   private def nsUrl(base: String, ns: String): String =
@@ -1089,8 +1115,43 @@ object IcebergRestClient {
     tokenFor(uri).fold(b)(t => b.header("Authorization", s"Bearer $t"))
   }
 
+  /** client_credentials pairs remembered per base so an EXPIRED token
+    * can be re-exchanged mid-session (reference deployments rotate
+    * bearer tokens; the client must not die on the first 401 after a
+    * rotation). */
+  private val credsByBase =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def refreshFor(uri: String): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    credsByBase.asScala
+      .filter { case (b, _) => uri.startsWith(b + "/") || uri == b }
+      .toSeq.sortBy(-_._1.length).headOption
+      .map { case (b, (id, secret)) => authenticateFor(b, id, secret) }
+  }
+
+  /** Every request goes through here: on a 401 with a stored
+    * credential for the base, re-run the client_credentials exchange
+    * ONCE and retry with the fresh token; otherwise the 401 surfaces
+    * to the caller. The token endpoint itself bypasses this (its 401
+    * is the answer, and retrying through itself would recurse). */
+  private def sendAuth[T](req: java.net.http.HttpRequest,
+      handler: java.net.http.HttpResponse.BodyHandler[T])
+      : java.net.http.HttpResponse[T] = {
+    val resp = http.send(req, handler)
+    if (resp.statusCode() != 401) resp
+    else refreshFor(req.uri().toString) match {
+      case Some(tok) =>
+        val retry = java.net.http.HttpRequest.newBuilder(req,
+          (n: String, _: String) => !n.equalsIgnoreCase("Authorization"))
+          .header("Authorization", s"Bearer $tok").build()
+        http.send(retry, handler)
+      case None => resp
+    }
+  }
+
   private def get(uri: String): com.fasterxml.jackson.databind.JsonNode = {
-    val resp = http.send(
+    val resp = sendAuth(
       rb(uri).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200, s"GET $uri -> ${resp.statusCode()}")
@@ -1105,10 +1166,20 @@ object IcebergRestClient {
   private[iceberg] def postJson(uri: String, body: String)
       : java.net.http.HttpResponse[String] = post(uri, body)
 
-  def listNamespaces(base: String): Seq[String] = {
+  /** Top-level namespaces (no parent), joined multi-level form. */
+  def listNamespaces(base: String): Seq[String] =
+    listNamespacesUnder(base, None)
+
+  /** list_namespaces with an optional multi-level parent: returns the
+    * children's FULL namespace paths (levels joined with \u001F). */
+  def listNamespacesUnder(base: String, parent: Option[String])
+      : Seq[String] = {
     import scala.jdk.CollectionConverters._
-    get(s"$base/v1/namespaces").get("namespaces").elements().asScala
-      .map(_.elements().next().asText()).toSeq
+    val q = parent.map(p => "?parent=" +
+      p.split('\u001F').map(java.net.URLEncoder.encode(_, "UTF-8"))
+        .mkString("%1F")).getOrElse("")
+    get(s"$base/v1/namespaces" + q).get("namespaces").elements().asScala
+      .map(_.elements().asScala.map(_.asText()).mkString("\u001F")).toSeq
   }
 
   def listTables(base: String, ns: String): Seq[String] = {
@@ -1135,17 +1206,21 @@ object IcebergRestClient {
     out.toSeq
   }
 
-  def createNamespace(base: String, ns: String): Unit = {
-    val body = s"""{"namespace":["$ns"]}"""
-    val resp = http.send(
-      rb(s"$base/v1/namespaces")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
+  def createNamespace(base: String, ns: String,
+      properties: Map[String, String] = Map.empty): Unit = {
+    val n = mapper.createObjectNode()
+    val levels = n.putArray("namespace")
+    ns.split('\u001F').foreach(levels.add)
+    if (properties.nonEmpty) {
+      val p = n.putObject("properties")
+      properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    val resp = post(s"$base/v1/namespaces", mapper.writeValueAsString(n))
     require(resp.statusCode() == 200, s"createNamespace -> ${resp.statusCode()}")
   }
 
   def tableExists(base: String, ns: String, table: String): Boolean = {
-    val resp = http.send(
+    val resp = sendAuth(
       rb(s"${nsUrl(base, ns)}/tables/$table")
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
       java.net.http.HttpResponse.BodyHandlers.discarding())
@@ -1153,7 +1228,7 @@ object IcebergRestClient {
   }
 
   def dropTable(base: String, ns: String, table: String): Unit = {
-    val resp = http.send(
+    val resp = sendAuth(
       rb(s"${nsUrl(base, ns)}/tables/$table")
         .DELETE().build(),
       java.net.http.HttpResponse.BodyHandlers.discarding())
@@ -1166,7 +1241,7 @@ object IcebergRestClient {
     * The root anchors the engine's direct data/manifest IO on shared
     * storage while metadata commits stay on the protocol. */
   def tableRootOf(base: String, ns: String, table: String): Option[String] = {
-    val resp = http.send(
+    val resp = sendAuth(
       rb(s"${nsUrl(base, ns)}/tables/$table").GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() == 404) None
@@ -1175,8 +1250,19 @@ object IcebergRestClient {
         s"loadTable $ns.$table -> ${resp.statusCode()}")
       val mLoc = new org.apache.hadoop.fs.Path(
         mapper.readTree(resp.body()).get("metadata-location").asText())
-      Some(mLoc.getParent.getParent.toUri.getPath)
+      Some(rootDirOf(mLoc))
     }
+  }
+
+  /** Table root from a served metadata-location (its parent's
+    * parent). Default-filesystem locations resolve to a bare path
+    * (the engine's local convention); any OTHER scheme keeps its
+    * qualified URI so s3a://, hdfs://-served tables route IO to the
+    * right store instead of silently resolving locally. */
+  private def rootDirOf(mLoc: org.apache.hadoop.fs.Path): String = {
+    val root = mLoc.getParent.getParent
+    val scheme = Option(root.toUri.getScheme)
+    if (scheme.forall(_ == "file")) root.toUri.getPath else root.toString
   }
 
   /** Open a table from the REST response's inline metadata: scans plan
@@ -1189,12 +1275,11 @@ object IcebergRestClient {
     // anchor at the served metadata file's table dir, not the recorded
     // location — they differ after a catalog rename
     val mLoc = new org.apache.hadoop.fs.Path(res.get("metadata-location").asText())
-    val root = mLoc.getParent.getParent.toUri.getPath
-    IcebergTable.fromMetadataAt(spark, root, m)
+    IcebergTable.fromMetadataAt(spark, rootDirOf(mLoc), m)
   }
 
   private def post(uri: String, body: String): java.net.http.HttpResponse[String] =
-    http.send(
+    sendAuth(
       rb(uri)
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
@@ -1244,16 +1329,34 @@ object IcebergRestClient {
   }
 
   private def delete(uri: String): Int =
-    http.send(
+    sendAuth(
       rb(uri)
         .DELETE().build(),
       java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
 
   /** loadNamespaceMetadata: the namespace's properties. */
-  def namespaceProperties(base: String, ns: String): Map[String, String] = {
+  def namespaceProperties(base: String, ns: String): Map[String, String] =
+    namespacePropertiesOpt(base, ns).getOrElse(
+      throw new IllegalArgumentException(s"no namespace $ns"))
+
+  /** None on 404 (namespace missing); any OTHER failure — auth,
+    * transport, server error — throws, so callers can distinguish
+    * "namespace doesn't exist" from "can't reach the catalog". */
+  def namespacePropertiesOpt(base: String, ns: String)
+      : Option[Map[String, String]] = {
     import scala.jdk.CollectionConverters._
-    get(s"${nsUrl(base, ns)}").get("properties").properties().asScala
-      .map(e => e.getKey -> e.getValue.asText()).toMap
+    val resp = sendAuth(
+      rb(nsUrl(base, ns)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 404) None
+    else {
+      require(resp.statusCode() == 200,
+        s"loadNamespaceMetadata $ns -> ${resp.statusCode()}: ${resp.body()}")
+      Some(Option(mapper.readTree(resp.body()).get("properties"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty))
+    }
   }
 
   /** updateProperties on a namespace; returns (updated, removed, missing). */
@@ -1310,7 +1413,7 @@ object IcebergRestClient {
   }
 
   def viewExists(base: String, ns: String, name: String): Boolean = {
-    val resp = http.send(
+    val resp = sendAuth(
       rb(s"${nsUrl(base, ns)}/views/$name")
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
       java.net.http.HttpResponse.BodyHandlers.discarding())
@@ -1323,7 +1426,7 @@ object IcebergRestClient {
   def loadViewDef(base: String, ns: String, name: String)
       : Option[(graft.table.Views.ViewDef, Int, Boolean)] = {
     import scala.jdk.CollectionConverters._
-    val resp = http.send(
+    val resp = sendAuth(
       rb(s"${nsUrl(base, ns)}/views/$name").GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() == 404) return None
@@ -1529,11 +1632,15 @@ object IcebergRestClient {
   }
 
   /** client_credentials grant scoped to ONE server base — the
-    * catalog-level `credential` option's exchange. */
+    * catalog-level `credential` option's exchange. The pair is
+    * remembered so a later 401 (token rotated/expired server-side)
+    * transparently re-exchanges and retries once. */
   def authenticateFor(base: String, clientId: String,
       clientSecret: String): String = {
-    val token = exchangeCredentials(base, clientId, clientSecret)
-    setTokenFor(base, token)
+    val b = base.stripSuffix("/")
+    val token = exchangeCredentials(b, clientId, clientSecret)
+    credsByBase.put(b, (clientId, clientSecret))
+    setTokenFor(b, token)
     token
   }
 
@@ -1554,9 +1661,12 @@ object IcebergRestClient {
       toNs: String = null): Unit = {
     val n = mapper.createObjectNode()
     val s = n.putObject("source")
-    s.putArray("namespace").add(ns); s.put("name", from)
+    val sArr = s.putArray("namespace")
+    ns.split('\u001F').foreach(sArr.add)
+    s.put("name", from)
     val d = n.putObject("destination")
-    d.putArray("namespace").add(if (toNs == null) ns else toNs)
+    val dArr = d.putArray("namespace")
+    (if (toNs == null) ns else toNs).split('\u001F').foreach(dArr.add)
     d.put("name", to)
     val resp = post(s"$base/v1/tables/rename", mapper.writeValueAsString(n))
     require(resp.statusCode() == 204,
@@ -1567,9 +1677,12 @@ object IcebergRestClient {
       toNs: String = null): Unit = {
     val n = mapper.createObjectNode()
     val s = n.putObject("source")
-    s.putArray("namespace").add(ns); s.put("name", from)
+    val sArr = s.putArray("namespace")
+    ns.split('\u001F').foreach(sArr.add)
+    s.put("name", from)
     val d = n.putObject("destination")
-    d.putArray("namespace").add(if (toNs == null) ns else toNs)
+    val dArr = d.putArray("namespace")
+    (if (toNs == null) ns else toNs).split('\u001F').foreach(dArr.add)
     d.put("name", to)
     val resp = post(s"$base/v1/views/rename", mapper.writeValueAsString(n))
     require(resp.statusCode() == 204,

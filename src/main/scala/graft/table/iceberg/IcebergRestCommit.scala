@@ -41,11 +41,18 @@ object IcebergRestCommit {
   private val routes =
     new java.util.concurrent.ConcurrentHashMap[String, Route]()
 
+  /** Registry key: scheme://authority/path, with a missing scheme
+    * reading as the local default ("file") on BOTH register and
+    * lookup — so file:/wh/t and /wh/t still match, while two
+    * warehouses with identical paths on different filesystems
+    * (file:/// vs hdfs://nn/) can never collide in the registry. */
   private def norm(location: String): String = {
-    val p = new org.apache.hadoop.fs.Path(location)
-    val u = p.toUri
-    (if (u.getPath == null || u.getPath.isEmpty) location else u.getPath)
-      .stripSuffix("/")
+    val u = new org.apache.hadoop.fs.Path(location).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    val path = (if (u.getPath == null || u.getPath.isEmpty) location
+      else u.getPath).stripSuffix("/")
+    s"$scheme://$auth$path"
   }
 
   /** Mark `location` as catalog-managed: subsequent metadata commits
@@ -78,7 +85,8 @@ object IcebergRestCommit {
     var attempts = 0
     while (true) {
       val uri =
-        s"${route.base}/v1/namespaces/${route.ns}/tables/${route.table}"
+        s"${route.base}/v1/namespaces/" +
+          s"${IcebergRestClient.encNs(route.ns)}/tables/${route.table}"
       val served = IcebergRestClient.getJson(uri)
       val base = IcebergMetadata.fromJson(
         mapper.writeValueAsString(served.get("metadata")))

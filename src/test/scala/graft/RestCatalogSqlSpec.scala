@@ -266,6 +266,74 @@ class RestCatalogSqlSpec extends AnyFunSuite {
     } finally server2.stop()
   }
 
+  test("OAuth refresh on 401: a token rotated mid-sequence " +
+      "re-exchanges via the stored credential and the request retries") {
+    val wh2 = Files.createTempDirectory("graft-oauthrot").toString
+    val server2 = new IcebergRestServer(wh2,
+      bearerToken = Some("rot-t1"),
+      oauthClients = Map("svc" -> "s3cret")).start()
+    val base2 = s"http://127.0.0.1:${server2.port}"
+    try {
+      val catR = s"rrot_${java.util.UUID.randomUUID().toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$catR", "graft.spark.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catR.uri", base2)
+      spark.conf.set(s"spark.sql.catalog.$catR.credential", "svc:s3cret")
+      spark.sql(s"CREATE NAMESPACE $catR.db")
+      spark.sql(s"CREATE TABLE $catR.db.t (k BIGINT)")
+      spark.sql(s"INSERT INTO $catR.db.t VALUES (1), (2)")
+      // the server rotates its accepted token: the client's held
+      // rot-t1 is now invalid — the next request 401s, the client
+      // re-runs the client_credentials exchange ONCE (minting rot-t2)
+      // and retries; SQL never sees the 401
+      server2.rotateToken("rot-t2")
+      spark.sql(s"INSERT INTO $catR.db.t VALUES (3)")
+      assert(spark.sql(s"SELECT count(*) FROM $catR.db.t").collect()
+        .head.getLong(0) === 3L)
+      spark.conf.unset(s"spark.sql.catalog.$catR")
+      spark.conf.unset(s"spark.sql.catalog.$catR.uri")
+      spark.conf.unset(s"spark.sql.catalog.$catR.credential")
+    } finally server2.stop()
+    // a base with NO stored credential must still surface the 401 —
+    // refresh only happens when a client_credentials pair is known
+    val wh3 = Files.createTempDirectory("graft-oauthstat").toString
+    val server3 = new IcebergRestServer(wh3,
+      bearerToken = Some("stat-t1")).start()
+    try {
+      val base3 = s"http://127.0.0.1:${server3.port}"
+      val catS = s"rrots_${java.util.UUID.randomUUID().toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$catS", "graft.spark.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catS.uri", base3)
+      spark.conf.set(s"spark.sql.catalog.$catS.token", "stat-t1")
+      spark.sql(s"CREATE NAMESPACE $catS.db")
+      server3.rotateToken("stat-t2")
+      intercept[Exception](
+        spark.sql(s"SHOW NAMESPACES IN $catS").collect())
+      spark.conf.unset(s"spark.sql.catalog.$catS")
+      spark.conf.unset(s"spark.sql.catalog.$catS.uri")
+      spark.conf.unset(s"spark.sql.catalog.$catS.token")
+    } finally server3.stop()
+  }
+
+  test("commit-route registry keys by full URI: identical paths on " +
+      "two filesystems never collide") {
+    import graft.table.iceberg.IcebergRestCommit
+    val r1 = IcebergRestCommit.Route("http://a", "ns", "t1")
+    val r2 = IcebergRestCommit.Route("http://b", "ns", "t2")
+    IcebergRestCommit.register("hdfs://nn/wh/t", r1)
+    IcebergRestCommit.register("file:/wh/t", r2)
+    assert(IcebergRestCommit.lookup("hdfs://nn/wh/t").contains(r1))
+    assert(IcebergRestCommit.lookup("file:/wh/t").contains(r2))
+    // a bare path reads as the local default filesystem, like before
+    assert(IcebergRestCommit.lookup("/wh/t").contains(r2))
+    assert(IcebergRestCommit.lookup("/wh/t") !== Some(r1))
+    // base-scoped teardown removes exactly that server's routes
+    IcebergRestCommit.deregisterBase("http://a")
+    assert(IcebergRestCommit.lookup("hdfs://nn/wh/t").isEmpty)
+    assert(IcebergRestCommit.lookup("file:/wh/t").contains(r2))
+    IcebergRestCommit.deregister("file:/wh/t")
+    assert(IcebergRestCommit.lookup("/wh/t").isEmpty)
+  }
+
   test("CALL register_table over REST adopts an external table; DML works") {
     val spark0 = spark
     import spark0.implicits._

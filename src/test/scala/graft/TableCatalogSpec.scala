@@ -1088,7 +1088,9 @@ class TableCatalogSpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq
     assert(names.contains("remove_orphan_files") &&
-      names.contains("update_by_key") && names.size === 18)
+      names.contains("update_by_key") &&
+      names.contains("create_mat_view") &&
+      names.contains("refresh_mat_view") && names.size === 20)
   }
 
   test("incremental read options flow through spark.read.table") {
