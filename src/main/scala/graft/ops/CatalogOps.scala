@@ -192,8 +192,12 @@ object CatalogOps {
       s.sql(s"CREATE OR REPLACE VIEW $cat.db.big_orders (status, price) " +
         s"AS SELECT o_orderstatus, o_totalprice FROM $cat.db.ord " +
         "WHERE o_totalprice > 150000")
+      // exact decimal summation: a double sum over ~1.5M prices
+      // associates differently between engines at sf1 (last-cent
+      // drift); both sides sum DECIMAL(18,2) and cast the final
       val out = s.sql(s"SELECT status, count(*) AS n, " +
-        s"round(sum(price), 2) AS total FROM $cat.db.big_orders " +
+        "CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) " +
+        s"AS total FROM $cat.db.big_orders " +
         "GROUP BY status ORDER BY status")
       // materialize before unregistering the scratch catalog
       val rows = out.collect().toSeq
@@ -209,7 +213,8 @@ object CatalogOps {
 
   val tfCatalogViewSql: String =
     """SELECT o_orderstatus AS status, count(*) AS n,
-              round(sum(o_totalprice), 2) AS total
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total
        FROM orders WHERE o_totalprice > 150000
        GROUP BY 1 ORDER BY status"""
 

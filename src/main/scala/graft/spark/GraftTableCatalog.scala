@@ -653,7 +653,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         IcebergRestClient.listNamespacesUnder(base,
             Some(restNs(namespace)))
           .map(_.split('\u001F').toArray[String]).toArray
-      case None => Array.empty
+      case None =>
+        // warehouse mode nests namespaces as directories too: a child
+        // is any subdirectory that is not a table or a view
+        val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
+        if (!TableIO.isDirectory(dir)) Array.empty
+        else TableIO.listDir(dir).iterator.map(_.getPath)
+          .filter(p => TableIO.isDirectory(p) &&
+            !p.getName.startsWith(".") &&
+            !Meta.exists(resolveRoot(p.toString)) &&
+            !graft.table.iceberg.IcebergTable.exists(p.toString) &&
+            !graft.table.Views.viewExists(p.toString))
+          .map(p => namespace :+ p.getName).toArray
     }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {

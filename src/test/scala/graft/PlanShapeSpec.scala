@@ -278,4 +278,31 @@ class PlanShapeSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       === Seq((1L, 7L), (2L, 8L)))
   }
+
+  test("view reads inline fully: outer filters push into the base " +
+      "table's V2 scan, no opaque view boundary") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("planshape-view").toString
+    val cat = s"psv_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, grp STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1,'a',1.0), (2,'b',2.0)")
+    spark.sql(s"CREATE VIEW $cat.db.v AS SELECT k, grp, v FROM $cat.db.t")
+    // a filter applied OUTSIDE the view must reach the scan: the
+    // inlined plan is fully declarative, so Catalyst pushes the
+    // predicate through the former view boundary into the graft V2
+    // scan, where it becomes a stat filter pruning manifests
+    val df = spark.sql(s"SELECT k FROM $cat.db.v WHERE k = 2")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftScan"), s"no graft V2 scan under the view:\n$p")
+    assert(p.contains("prunedBy=") && !p.contains("prunedBy=0 stat"),
+      s"outer filter did not reach the scan as a stat filter:\n$p")
+    // and the read schema pruned to the selected column
+    assert(!p.contains("grp"), s"column pruning lost through the view:\n$p")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    spark.conf.unset(s"spark.sql.catalog.$cat")
+    spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+  }
 }
