@@ -35,13 +35,17 @@ object GraftViewCommands {
       : Option[(GraftTableCatalog, Identifier)] = {
     if (parts.isEmpty) return None
     val cm = session.sessionState.catalogManager
-    val (plugin, ident) =
-      if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
-        (cm.catalog(parts.head),
-          Identifier.of(parts.tail.init.toArray, parts.last))
-      else
-        (cm.currentCatalog,
-          Identifier.of(cm.currentNamespace ++ parts.init, parts.last))
+    // Spark's name resolution: a single-part name is relative to the
+    // current namespace; a multi-part name is ABSOLUTE within its
+    // catalog (explicit head catalog, else the current one)
+    val (plugin, ident) = parts match {
+      case Seq(single) =>
+        (cm.currentCatalog, Identifier.of(cm.currentNamespace, single))
+      case head +: rest if cm.isCatalogRegistered(head) =>
+        (cm.catalog(head), Identifier.of(rest.init.toArray, rest.last))
+      case _ =>
+        (cm.currentCatalog, Identifier.of(parts.init.toArray, parts.last))
+    }
     plugin match {
       case g: GraftTableCatalog => Some((g, ident))
       case _ => None

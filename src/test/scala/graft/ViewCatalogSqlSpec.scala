@@ -123,6 +123,24 @@ class ViewCatalogSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("a multi-part view name is absolute within the catalog, not " +
+      "relative to the current namespace") {
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db2")
+    try {
+      spark.sql(s"USE $cat.db")
+      // db2.v must land in db2 even while USE-ing db
+      spark.sql(s"CREATE VIEW db2.v_abs AS SELECT 7 AS seven")
+      assert(spark.sql(s"SHOW VIEWS IN $cat.db2").collect()
+        .map(_.getString(1)).contains("v_abs"))
+      assert(!spark.sql(s"SHOW VIEWS IN $cat.db").collect()
+        .map(_.getString(1)).contains("v_abs"))
+      assert(spark.sql(s"SELECT * FROM db2.v_abs").collect()
+        .head.getInt(0) === 7)
+      spark.sql("DROP VIEW db2.v_abs")
+    } finally spark.sql(s"USE $prevCat")
+  }
+
   test("a view cannot shadow a table; a table cannot shadow a view") {
     intercept[Exception](
       spark.sql(s"CREATE VIEW $cat.db.t AS SELECT 1 AS x"))
