@@ -108,15 +108,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case Some((cat, ident)) => DropGraftViewCommand(cat, ident, ifExists)
         case None => d
       }
-    case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
-      val target =
-        if (parts.nonEmpty) resolveGraftNamespace(parts)
-        else session.sessionState.catalogManager.currentCatalog match {
-          case g: GraftTableCatalog =>
-            Some((g,
-              session.sessionState.catalogManager.currentNamespace.toSeq))
-          case _ => None
-        }
+    case s @ ShowViews(child, pattern, output) =>
+      // bare `SHOW VIEWS` parses to CurrentNamespace, `SHOW VIEWS IN
+      // ns` to UnresolvedNamespace — both resolve here so neither
+      // shape reaches ResolveSessionCatalog's v2-catalog throw
+      val target = child match {
+        case UnresolvedNamespace(parts, _) if parts.nonEmpty =>
+          resolveGraftNamespace(parts)
+        case UnresolvedNamespace(_, _) |
+            org.apache.spark.sql.catalyst.analysis.CurrentNamespace =>
+          session.sessionState.catalogManager.currentCatalog match {
+            case g: GraftTableCatalog =>
+              Some((g,
+                session.sessionState.catalogManager.currentNamespace.toSeq))
+            case _ => None
+          }
+        case _ => None
+      }
       target match {
         case Some((cat, ns)) => ShowGraftViewsCommand(cat, ns, pattern, output)
         case None => s
@@ -141,6 +149,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case Some((cat, ident)) =>
           AlterGraftViewPropsCommand(cat, ident, Map.empty, keys)
         case None => p
+      }
+    case d @ DescribeRelation(UnresolvedTableOrView(parts, _, _),
+        partitionSpec, isExtended, output)
+        if partitionSpec.isEmpty && !isTempView(session, parts) =>
+      resolveGraft(session, parts) match {
+        // only rewrite when the identifier IS a view — DESCRIBE on
+        // tables keeps Spark's native path
+        case Some((cat, ident)) if cat.viewExists(ident) =>
+          DescribeGraftViewCommand(cat, ident, isExtended, output)
+        case _ => d
       }
     case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
         if !isTempView(session, parts) =>
@@ -300,6 +318,33 @@ case class RenameGraftViewCommand(catalog: GraftTableCatalog,
   override def run(session: SparkSession): Seq[Row] = {
     catalog.renameView(from, to)
     Seq.empty
+  }
+}
+
+/** DESCRIBE [EXTENDED] on a catalog view: columns from the stored
+  * schema; EXTENDED appends the view text, catalog context, and
+  * user properties (the session-catalog DESCRIBE VIEW shape). */
+case class DescribeGraftViewCommand(catalog: GraftTableCatalog,
+    ident: Identifier, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident)
+    val cols = v.schema().fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, f.getComment().orNull))
+    if (!isExtended) cols
+    else {
+      val props = v.properties()
+      cols ++ Seq(
+        Row("", "", ""),
+        Row("# View Information", "", ""),
+        Row("Name", ident.toString, ""),
+        Row("Text", v.query(), ""),
+        Row("Default Catalog", Option(v.currentCatalog()).getOrElse(""), ""),
+        Row("Default Namespace", v.currentNamespace().mkString("."), ""),
+        Row("Properties",
+          props.asScala.toSeq.sortBy(_._1)
+            .map { case (k, x) => s"$k=$x" }.mkString("[", ", ", "]"), ""))
+    }
   }
 }
 

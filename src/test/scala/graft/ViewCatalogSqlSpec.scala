@@ -123,6 +123,19 @@ class ViewCatalogSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE [EXTENDED] renders a catalog view's schema and text") {
+    spark.sql(s"CREATE VIEW $cat.db.v_desc AS " +
+      s"SELECT grp, count(*) AS n FROM $cat.db.t GROUP BY grp")
+    val plain = spark.sql(s"DESCRIBE $cat.db.v_desc").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(plain.toSeq.take(2) === Seq(("grp", "string"), ("n", "bigint")))
+    val ext = spark.sql(s"DESCRIBE EXTENDED $cat.db.v_desc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext.getOrElse("Text", "").contains("GROUP BY grp"))
+    assert(ext.contains("Default Catalog"))
+    spark.sql(s"DROP VIEW $cat.db.v_desc")
+  }
+
   test("a multi-part view name is absolute within the catalog, not " +
       "relative to the current namespace") {
     val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
