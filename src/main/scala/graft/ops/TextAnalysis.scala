@@ -732,9 +732,118 @@ object TextAnalysis {
       md5(clean) AS clean_md5
     FROM c ORDER BY doc_id"""
 
+  /** The Gopher-style rule battery (beyond the duplicate-word rule
+    * ta_repetition already carries): word-count bounds, mean word
+    * length bounds, symbol ratio, single-word dominance, and
+    * alpha-word fraction, composed into one pass/fail flag — the
+    * document-format filters a pretraining pipeline runs before any
+    * model-based scoring. All ratios are exact integer permyriads
+    * (x*10000 with integer division), so the oracle comparison is
+    * bit-exact with no floating seam. Pure projection: no shuffle,
+    * embarrassingly parallel at 100 TB. */
+  val taGopher: Q = (s, d) => {
+    val w = words(col("text"))
+    val lw = transform(w, x => lower(x))
+    val n = size(w)
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val meanLenPm = (sumLen * 10000L / n).cast("long")
+    val symbols = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+    val symbolPm = (symbols.cast("long") * 10000L / length(col("text")))
+      .cast("long")
+    val topCount = array_max(transform(array_distinct(lw),
+      x => size(filter(lw, y => y === x))))
+    val topPm = (topCount.cast("long") * 10000L / n).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]")))
+    val alphaPm = (alphaWords.cast("long") * 10000L / n).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), n.as("n_words"), meanLenPm.as("mean_len_pm"),
+        symbolPm.as("symbol_pm"), topPm.as("top_word_pm"),
+        alphaPm.as("alpha_word_pm"))
+      .withColumn("passes",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_len_pm") >= 30000 && col("mean_len_pm") <= 100000 &&
+          col("symbol_pm") <= 1000 && col("top_word_pm") <= 2000 &&
+          col("alpha_word_pm") >= 8000)
+      .orderBy(col("doc_id"))
+  }
+
+  val taGopherSql: String =
+    """WITH t AS (
+      SELECT doc_id, text,
+        regexp_split_to_array(trim(text), '\s+') AS w,
+        regexp_split_to_array(lower(trim(text)), '\s+') AS lw
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(w)::BIGINT AS n_words,
+        (list_sum(list_transform(w, x -> length(x)))::BIGINT * 10000)
+          // len(w) AS mean_len_pm,
+        (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::BIGINT
+          * 10000) // length(text) AS symbol_pm,
+        (list_max(list_transform(list_distinct(lw),
+           x -> len(list_filter(lw, y -> y = x))))::BIGINT * 10000)
+          // len(w) AS top_word_pm,
+        (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+          * 10000) // len(w) AS alpha_word_pm
+      FROM t)
+    SELECT doc_id, n_words, mean_len_pm, symbol_pm, top_word_pm,
+      alpha_word_pm,
+      (n_words >= 50 AND n_words <= 100000 AND
+       mean_len_pm >= 30000 AND mean_len_pm <= 100000 AND
+       symbol_pm <= 1000 AND top_word_pm <= 2000 AND
+       alpha_word_pm >= 8000) AS passes
+    FROM m ORDER BY doc_id"""
+
+  /** Deterministic domain re-weighting (the training-mix epoch
+    * multiplier): each source's weight (2+3m)/4 for m = source
+    * number mod 4 — i.e. 0.5x, 1.25x, 2x, 2.75x — materializes as
+    * floor(w) full copies plus one extra copy for the doc_ids whose
+    * murmur3 bucket falls under the fractional part. Down-weighted
+    * rows (reps=0) drop. Same codegen'd murmur3 as pipeline_mix, so
+    * the replication is stable across reruns, retries, and cluster
+    * sizes, and no shuffle happens at all — explode is map-side. */
+  val pipelineUpsample: Q = (s, d) => {
+    val m = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
+    val w4 = lit(2) + m * lit(3) // weight*4, exact integer
+    val whole = floor(w4 / lit(4)).cast("int")
+    val frac100 = (w4 * lit(25)) % 100
+    val slot = graft.functions.IcebergTransforms.bucket(col("doc_id"), 100)
+    Tables.documents(s, d)
+      .withColumn("slot", slot)
+      .withColumn("reps",
+        whole + when(col("slot") < frac100, lit(1)).otherwise(lit(0)))
+      .filter(col("reps") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("reps"))).as("copy"))
+      .select(col("doc_id"), col("source"), col("copy").cast("int").as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  val pipelineUpsampleSql: String =
+    s"""WITH key_hash AS (
+      SELECT doc_id, source,
+        ${OracleSql.murmurLongCols("doc_id")}
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+        ((hu & 2147483647) % 100)::INT AS slot,
+        (2 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) * 3)
+          AS w4
+      FROM key_hash),
+    reps AS (
+      SELECT doc_id, source,
+        (w4 // 4) + (CASE WHEN slot < (w4 * 25) % 100 THEN 1 ELSE 0 END)
+          AS n
+      FROM r)
+    SELECT doc_id, source, unnest(range(1, n + 1))::INT AS copy
+    FROM reps
+    WHERE n > 0 ORDER BY doc_id, copy"""
+
   val queries: Map[String, Q] = Map(
     "ta_normalize" -> taNormalize,
     "ta_bm25" -> taBm25,
+    "ta_gopher" -> taGopher,
+    "pipeline_upsample" -> pipelineUpsample,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_pack" -> pipelinePack,
     "ta_repetition" -> taRepetition,
@@ -821,6 +930,8 @@ ORDER BY f.doc_id"""
   val oracles: Map[String, String] = Map(
     "ta_normalize" -> taNormalizeSql,
     "ta_bm25" -> taBm25Sql,
+    "ta_gopher" -> taGopherSql,
+    "pipeline_upsample" -> pipelineUpsampleSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "pipeline_pack" -> pipelinePackSql,
     "ta_repetition" -> taRepetitionSql,

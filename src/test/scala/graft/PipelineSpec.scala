@@ -419,4 +419,51 @@ class PipelineSpec extends AnyFunSuite {
     // each bucket holds at least one doc on this corpus
     assert(byBucket.size === 3, s"expected 3 buckets, got ${byBucket.keySet}")
   }
+
+  test("gopher rules: permyriads exact, pass flag consistent with parts") {
+    val rows = ops.TextAnalysis.taGopher(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, sym, top, alpha, passes) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))
+      assert(mean >= 0 && mean <= 100000 * 10, s"mean_len_pm $mean")
+      assert(sym >= 0 && sym <= 10000 && top >= 0 && top <= 10000 &&
+        alpha >= 0 && alpha <= 10000)
+      val expect = n >= 50 && n <= 100000 && mean >= 30000 &&
+        mean <= 100000 && sym <= 1000 && top <= 2000 && alpha >= 8000
+      assert(passes === expect, s"pass flag disagrees for doc ${r.getLong(0)}")
+    }
+    // the battery discriminates on this corpus: both outcomes occur
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+  }
+
+  test("upsample: per-source multiplicities hit the exact deterministic " +
+      "weights and replication is stable across runs") {
+    val df1 = ops.TextAnalysis.pipelineUpsample(spark, sf)
+    val rows = df1.collect()
+    val src = Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    src.foreach { case (source, nIn) =>
+      val m = "([0-9]+)".r.findFirstIn(source).get.toInt % 4
+      val w = (2 + 3 * m) / 4.0
+      val nOut = out.getOrElse(source, 0L)
+      // deterministic hash split: out/in within one unit of the exact
+      // expected multiplicity bounds floor(w)*n .. ceil(w)*n
+      assert(nOut >= math.floor(w) * nIn && nOut <= math.ceil(w) * nIn,
+        s"$source: $nIn -> $nOut with weight $w")
+      if (m == 2) assert(nOut === 2 * nIn, "integral weight must be exact")
+    }
+    // per-doc copies are 1..reps with no gaps
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val copies = rs.map(_.getInt(2)).sorted
+      assert(copies.toSeq === (1 to copies.length))
+    }
+    // rerun: identical multiset (hash-deterministic, not random)
+    val again = ops.TextAnalysis.pipelineUpsample(spark, sf).collect()
+    assert(again.map(r => (r.getLong(0), r.getInt(2))).sorted.toSeq ===
+      rows.map(r => (r.getLong(0), r.getInt(2))).sorted.toSeq)
+  }
 }
