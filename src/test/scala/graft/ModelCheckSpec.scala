@@ -554,6 +554,109 @@ class ModelCheckSpec extends AnyFunSuite {
     runRestSqlDmlEvolutionSequence(101L, 22)
   }
 
+  /** Namespace plane over REST (round 13): random multi-level
+    * create / drop / set-props / remove-props / load sequences against
+    * the live server, mirrored in an in-memory model — namespaces as
+    * level-vectors (namespace.rs:14), properties via the protocol's
+    * update_properties, existence via loadNamespaceMetadata's
+    * 404-vs-error contract. */
+  private def runNamespaceSequence(seed: Long, nOps: Int): Unit = {
+    import graft.table.iceberg.{IcebergRestServer, IcebergRestClient => C}
+    val rnd = new scala.util.Random(seed)
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft-ns-model-$seed").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      val Sep = ''
+      // candidate namespaces: two roots, two children each
+      val all = Seq("na", "nb", s"na${Sep}c0", s"na${Sep}c1",
+        s"nb${Sep}c0", s"nb${Sep}c1")
+      def parentOf(ns: String): Option[String] = {
+        val i = ns.lastIndexOf(Sep)
+        if (i < 0) None else Some(ns.substring(0, i))
+      }
+      var model = Map.empty[String, Map[String, String]] // ns -> props
+      def check(tag: String): Unit = {
+        // existence + properties per candidate
+        all.foreach { ns =>
+          val got = C.namespacePropertiesOpt(base, ns)
+          assert(got.isDefined === model.contains(ns),
+            s"seed=$seed op=$tag existence diverged for $ns")
+          got.foreach(p => assert(p === model(ns),
+            s"seed=$seed op=$tag properties diverged for $ns"))
+        }
+        // listings: top level and per-parent children
+        assert(C.listNamespaces(base).toSet ===
+          model.keySet.filter(!_.contains(Sep)),
+          s"seed=$seed op=$tag top-level listing diverged")
+        Seq("na", "nb").filter(model.contains).foreach { p =>
+          assert(C.listNamespacesUnder(base, Some(p)).toSet ===
+            model.keySet.filter(ns => parentOf(ns).contains(p)),
+            s"seed=$seed op=$tag children of $p diverged")
+        }
+      }
+      for (i <- 1 to nOps) {
+        val ns = all(rnd.nextInt(all.size))
+        rnd.nextInt(4) match {
+          case 0 => // create (idempotent mkdirs on the server;
+            // a non-empty props map REPLACES the props file)
+            val props = if (rnd.nextBoolean())
+              Map(s"k${rnd.nextInt(3)}" -> s"v$i") else Map.empty[String, String]
+            C.createNamespace(base, ns, props)
+            // creating a child implicitly creates the parent dir
+            parentOf(ns).foreach { p =>
+              if (!model.contains(p)) model += p -> Map.empty
+            }
+            model += ns -> (if (props.nonEmpty) props
+                            else model.getOrElse(ns, Map.empty))
+          case 1 => // drop: 409 (client throws) when children exist,
+            // 204/404 (true/false) otherwise — the spec's
+            // NamespaceNotEmpty contract
+            val hasChild = model.keySet.exists(o =>
+              parentOf(o).contains(ns))
+            if (model.contains(ns) && hasChild) {
+              val e = intercept[IllegalArgumentException](
+                C.dropNamespace(base, ns))
+              assert(e.getMessage.contains("409"),
+                s"seed=$seed op=$i drop($ns) non-empty should 409")
+            } else {
+              val dropped = C.dropNamespace(base, ns)
+              assert(dropped === model.contains(ns),
+                s"seed=$seed op=$i drop($ns) result diverged")
+              if (dropped) model -= ns
+            }
+          case 2 if model.contains(ns) => // set + remove properties
+            // (disjoint key sets — overlap is a server-side 400)
+            val sk = rnd.nextInt(3)
+            val set = Map(s"k$sk" -> s"s$i")
+            val rem = Seq(s"k${(sk + 1 + rnd.nextInt(2)) % 3}")
+            val (updated, removed, missing) =
+              C.updateNamespaceProperties(base, ns, set, rem)
+            val cur = model(ns)
+            assert(updated.toSet === set.keySet,
+              s"seed=$seed op=$i update($ns) updated diverged")
+            assert(removed.toSet === rem.toSet.intersect(cur.keySet),
+              s"seed=$seed op=$i update($ns) removed diverged")
+            assert(missing.toSet === (rem.toSet -- cur.keySet),
+              s"seed=$seed op=$i update($ns) missing diverged")
+            model += ns -> (cur -- rem ++ set)
+          case _ => // load a maybe-missing namespace: 404 contract
+            assert(C.namespacePropertiesOpt(base, ns).isDefined ===
+              model.contains(ns))
+        }
+        check(s"op$i")
+      }
+    } finally server.stop()
+  }
+
+  test("namespace-protocol random sequences agree with the model (seed 9)") {
+    runNamespaceSequence(9L, 40)
+  }
+  test("namespace-protocol random sequences agree with the model (seed 61)") {
+    runNamespaceSequence(61L, 40)
+  }
+
   test("table REST-protocol random sequences agree with the model (seed 3)") {
     runTableRestSequence(3L, 25)
   }
