@@ -1,0 +1,162 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable,
+  SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo,
+  PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.GraftConnectorShim
+import org.apache.spark.sql.types.StructType
+
+import graft.table.{GraftTable, Meta, TableIO}
+
+/** Atomic CTAS / RTAS — the staged-table halves of Spark's
+  * StagingTableCatalog (reference: the REST create-table protocol's
+  * stage-create flag, iceberg-rust/src/catalog/create.rs:59, which
+  * exists for exactly this two-phase create-then-publish shape).
+  *
+  * CREATE TABLE AS SELECT builds the whole table at a dot-hidden
+  * staging directory inside the namespace — invisible to listings and
+  * name resolution — and `commitStagedChanges` renames it onto the
+  * final path: the rename IS the publish, so a failed or aborted CTAS
+  * leaves no half-written table and a concurrent creator loses cleanly.
+  *
+  * REPLACE TABLE [AS SELECT] keeps the table's identity and history:
+  * the staged output lands under the live root unreferenced, and ONE
+  * metadata commit (GraftTable.replaceTable) installs the new schema,
+  * spec, properties, and a "replace" snapshot — readers see the old
+  * table or the new one, never a mix, and pre-replace snapshots stay
+  * time-travelable until expire_snapshots. */
+class GraftStagedCreateTable(stagingRoot: String, finalPath: String,
+    ident: Identifier, orReplace: Boolean)
+  extends GraftSparkTable(stagingRoot) with StagedTable {
+
+  override def name(): String = ident.toString
+
+  override def commitStagedChanges(): Unit = {
+    val src = TableIO.path(stagingRoot)
+    val dst = TableIO.path(finalPath)
+    val taken = Meta.exists(finalPath) ||
+      graft.table.iceberg.IcebergTable.exists(finalPath) ||
+      graft.table.Views.viewExists(finalPath)
+    if (taken) {
+      if (!orReplace) {
+        TableIO.delete(src, recursive = true)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      }
+      // CREATE OR REPLACE racing a table that appeared after staging:
+      // replace semantics — the existing object gives way
+      TableIO.delete(dst, recursive = true)
+    }
+    try TableIO.rename(src, dst)
+    catch {
+      case _: java.io.IOException =>
+        // the filesystem is the arbiter: a same-name creator that
+        // landed between the check and the rename wins the name
+        TableIO.delete(src, recursive = true)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    TableIO.delete(TableIO.path(stagingRoot), recursive = true)
+}
+
+/** Staged REPLACE on an existing graft table: Spark writes the new
+  * rows through this handle into a stage dir under the LIVE root
+  * (written with the NEW schema's field ids — allocated above every
+  * retired id, so they land in the parquet footers exactly as the
+  * post-replace schema resolves them); the inner BatchWrite commit
+  * only finishes staging, and `commitStagedChanges` swaps the whole
+  * table state in one metadata commit. */
+class GraftStagedReplaceTable(root: String, ident: Identifier,
+    schemaWithIds: StructType, spec: Seq[Meta.PartitionField],
+    props: Map[String, String], baseMaxFieldId: Int)
+  extends Table with StagedTable with SupportsWrite {
+
+  private val staging = TableIO.path(root,
+    s"stage-rtas-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = schemaWithIds
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // a replace IS a truncate of the old content; the swap itself
+      // happens in commitStagedChanges
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write
+        with RequiresDistributionAndOrdering {
+        // cluster on the NEW spec so each task writes few files per
+        // partition value (same layout contract as GraftWriteLayout,
+        // which reads the live meta and so can't serve a not-yet-
+        // committed spec)
+        override def requiredDistribution(): Distribution =
+          if (spec.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(spec.map(pf =>
+            if (pf.transform.startsWith("truncate["))
+              Expressions.identity(pf.sourceColumn)
+                : org.apache.spark.sql.connector.expressions.Expression
+            else RowTransform.toV2(pf)).toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+              : org.apache.spark.sql.connector.write.DataWriterFactory = {
+            TableIO.mkdirs(staging)
+            GraftWriterFactory(staging.toString,
+              GraftConnectorShim.prepareParquetWriteConf(
+                SparkSession.active, schemaWithIds),
+              RowTransform.forSpec(spec, schemaWithIds))
+          }
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            () // staging only — the swap is commitStagedChanges
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            TableIO.delete(staging, recursive = true)
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    GraftTable.load(SparkSession.active, root)
+      .replaceTable(staging, schemaWithIds, spec, props, baseMaxFieldId)
+
+  override def abortStagedChanges(): Unit =
+    TableIO.delete(staging, recursive = true)
+}
+
+/** REST-mode bridge: the table was already created through the
+  * protocol at stage time (the server owns metadata and location), so
+  * commit has nothing left to publish and abort drops the table back
+  * through the protocol — the same visibility window as the
+  * non-atomic exec this bridges, expressed through the staged API. */
+class GraftStagedRestTable(inner: Table, ident: Identifier,
+    dropOnAbort: () => Unit)
+  extends Table with StagedTable with SupportsWrite {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = inner.schema()
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    inner.partitioning()
+  override def properties(): java.util.Map[String, String] =
+    inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    inner.capabilities()
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = dropOnAbort()
+}

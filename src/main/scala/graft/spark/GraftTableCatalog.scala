@@ -113,6 +113,7 @@ case class GraftDatetimeFunction(fname: String)
 }
 
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with GraftViewSupport {
@@ -284,8 +285,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         val dir = TableIO.path((warehouse +: namespace.toSeq).mkString("/"))
         if (!TableIO.isDirectory(dir)) Array.empty
         else TableIO.listDir(dir).map(_.getPath).iterator
-          .filter(p => Meta.exists(resolveRoot(p.toString)) ||
-            graft.table.iceberg.IcebergTable.exists(p.toString))
+          // dot-names are staged CTAS dirs and props files — never tables
+          .filter(p => !p.getName.startsWith(".") &&
+            (Meta.exists(resolveRoot(p.toString)) ||
+              graft.table.iceberg.IcebergTable.exists(p.toString)))
           .map(p => Identifier.of(namespace, p.getName))
           .toArray
     }
@@ -531,6 +534,109 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(root)
   }
 
+  // ---- staged CTAS / RTAS (StagingTableCatalog) ------------------------
+  // Spark routes CREATE/REPLACE TABLE [AS SELECT] through these when the
+  // catalog stages — the atomic execs, instead of the drop-then-create
+  // non-atomic fallbacks. Semantics per mode live on the staged classes.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = restBase match {
+    case Some(base) =>
+      // protocol bridge: create through the server now; the staged
+      // handle only carries the atomic-exec call shape (true protocol
+      // stage-create is the create.rs:59 flag — the upgrade point)
+      new GraftStagedRestTable(
+        createTable(ident, schema, partitions, properties), ident,
+        () => { dropTable(ident); () })
+    case None =>
+      val root = tableRoot(ident)
+      if (Meta.exists(root) || graft.table.iceberg.IcebergTable.exists(root) ||
+          graft.table.Views.viewExists(root))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      stagedCreate(ident, schema, partitions, properties, orReplace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = restBase match {
+    case Some(base) =>
+      val ns = restNs(ident.namespace())
+      if (!IcebergRestClient.tableExists(base, ns, ident.name()))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident)
+      dropTable(ident)
+      new GraftStagedRestTable(
+        createTable(ident, schema, partitions, properties), ident,
+        () => { dropTable(ident); () })
+    case None =>
+      val root = tableRoot(ident)
+      if (!Meta.exists(root) &&
+          !graft.table.iceberg.IcebergTable.exists(root))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident)
+      stagedReplace(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = restBase match {
+    case Some(base) =>
+      val ns = restNs(ident.namespace())
+      if (IcebergRestClient.tableExists(base, ns, ident.name()))
+        dropTable(ident)
+      new GraftStagedRestTable(
+        createTable(ident, schema, partitions, properties), ident,
+        () => { dropTable(ident); () })
+    case None =>
+      val root = resolveRoot(conventionalPath(ident))
+      if (Meta.exists(root) && Meta.isGraftDialect(root))
+        stagedReplace(ident, schema, partitions, properties)
+      else if (graft.table.iceberg.IcebergTable.exists(root))
+        throw new UnsupportedOperationException(
+          "staged REPLACE targets graft-dialect tables; DROP the " +
+            "adopted real-format table first, then CREATE")
+      else
+        stagedCreate(ident, schema, partitions, properties, orReplace = true)
+  }
+
+  private def stagedCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      orReplace: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    // dot-hidden sibling inside the namespace dir: same filesystem and
+    // parent as the final path (one rename publishes), excluded from
+    // every listing by the dot-name convention
+    val stagingRoot = ((warehouse +: ident.namespace().toSeq) :+
+      s".stage-${ident.name()}-${java.util.UUID.randomUUID().toString.take(8)}")
+      .mkString("/")
+    GraftTable.create(SparkSession.active, stagingRoot, schema,
+      spec = partitions.toSeq.map(toPartitionField),
+      properties = properties.asScala.toMap - "owner" - "provider")
+    new GraftStagedCreateTable(stagingRoot, conventionalPath(ident), ident,
+      orReplace)
+  }
+
+  private def stagedReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = tableRoot(ident)
+    if (!(Meta.exists(root) && Meta.isGraftDialect(root)))
+      throw new UnsupportedOperationException(
+        "staged REPLACE targets graft-dialect tables; DROP the " +
+          "adopted real-format table first, then CREATE")
+    val m = Meta.load(root)
+    // ids for the replacement schema allocate above every id any
+    // schema version ever used — the staged parquet carries them, and
+    // the commit refuses if a concurrent DDL moved the watermark
+    val base = Meta.maxFieldId(m.schemas.values)
+    new GraftStagedReplaceTable(root, ident,
+      Meta.withFieldIds(schema, base + 1),
+      partitions.toSeq.map(toPartitionField),
+      properties.asScala.toMap - "owner" - "provider", base)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
     // ADOPTED real-format tables: ALTER routes to the interop
@@ -639,7 +745,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       val dir = TableIO.path(warehouse)
       if (!TableIO.isDirectory(dir)) Array.empty
       else TableIO.listDir(dir).iterator.map(_.getPath)
-        .filter(p => TableIO.isDirectory(p) && !Meta.exists(p.toString))
+        .filter(p => TableIO.isDirectory(p) && !Meta.exists(p.toString) &&
+          !p.getName.startsWith("."))
         .map(p => Array(p.getName)).toArray
   }
 

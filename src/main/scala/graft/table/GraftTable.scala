@@ -441,6 +441,79 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     this
   }
 
+  /** Atomic REPLACE TABLE [AS SELECT] commit (the staged-catalog
+    * path): ONE Meta.write installs the new schema, the new default
+    * spec, the replaced properties, and a "replace" snapshot whose
+    * files are the staged output — a reader sees the old table or the
+    * new one, never a mix, and old snapshots stay time-travelable
+    * until expire_snapshots (reference: the REST protocol's staged
+    * create/replace, iceberg-rust/src/catalog/create.rs:59).
+    *
+    * `newSchema` arrives with its field ids ALREADY assigned (the
+    * staged parquet footers carry them), allocated above
+    * `baseMaxFieldId`; if any concurrent commit allocated ids past
+    * that base, this replace is refused rather than risking an id
+    * collision with a column it never saw. */
+  private[graft] def replaceTable(staging: HPath, newSchema: StructType,
+      newSpec: Seq[Meta.PartitionField], newProps: Map[String, String],
+      baseMaxFieldId: Int): Unit = this.synchronized {
+    newSpec.foreach(pf => require(!newSchema.fieldNames.contains(pf.name),
+      s"partition field name '${pf.name}' collides with a schema column"))
+    // ingest ONCE, outside the CAS loop: the staged files move into
+    // the data dir unreferenced (invisible until the commit lands);
+    // a lost race re-stamps their spec id, never re-reads them
+    val staged =
+      if (TableIO.isDirectory(staging))
+        ingestStaged(staging, newSchema, specId = -1)
+      else Seq.empty
+    var attempts = 0
+    while (true) {
+      val m = meta
+      if (Meta.maxFieldId(m.schemas.values) != baseMaxFieldId)
+        throw new java.util.ConcurrentModificationException(
+          "replace aborted: a concurrent commit changed the table's " +
+            "schema while this REPLACE was writing; re-run it")
+      val newSchemaId = m.schemas.keys.max + 1
+      val newSpecId = m.specs.keys.maxOption.getOrElse(-1) + 1
+      val files = staged.map(_.copy(specId = newSpecId))
+      val snap = Meta.Snapshot(
+        snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1,
+        parentId = m.currentSnapshotId,
+        sequenceNumber =
+          m.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
+        timestampMs = System.currentTimeMillis(),
+        operation = "replace",
+        addedFiles = files,
+        removedPaths = m.liveFiles(None).map(_.path),
+        schemaId = newSchemaId,
+        lineage = Map.empty,
+        summary = Map("added-files" -> files.size.toString,
+          "removed-files" -> m.liveFiles(None).size.toString,
+          "added-records" ->
+            files.map(_.recordCount).filter(_ >= 0).sum.toString,
+          "added-bytes" -> files.map(_.fileSizeBytes).sum.toString),
+        addedDeleteFiles = Seq.empty,
+        removedDeletePaths = m.liveDeleteFiles(None).map(_.path))
+      try {
+        Meta.write(root, m.copy(
+          schemas = m.schemas + (newSchemaId -> newSchema),
+          currentSchemaId = newSchemaId,
+          specs = m.specs + (newSpecId -> newSpec),
+          defaultSpecId = newSpecId,
+          properties = newProps,
+          sortOrder = Seq.empty,
+          snapshots = m.snapshots :+ snap,
+          currentSnapshotId = Some(snap.snapshotId),
+          // other branches keep pointing at pre-replace snapshots,
+          // which stay valid history; main moves to the replacement
+          refs = m.refs + ("main" -> snap.snapshotId)))
+        return
+      } catch {
+        case _: Meta.CommitConflict if attempts < 50 => attempts += 1
+      }
+    }
+  }
+
   // ---- read path ------------------------------------------------------
 
   private def absolute(f: Meta.DataFile): String =

@@ -1,0 +1,187 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Atomic CTAS / RTAS through the catalog plugin (StagingTableCatalog):
+  * the staged execs publish with one rename (create) or one metadata
+  * commit (replace), so a failed statement leaves no trace and a
+  * replaced table keeps its history. */
+class StagedCatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft-staged").toString
+    spark.conf.set("spark.sql.catalog.stg", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.stg.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stg.db")
+    dir
+  }
+
+  private def tableNames(ns: String = "db"): Set[String] =
+    spark.sql(s"SHOW TABLES IN stg.$ns").collect()
+      .map(_.getString(1)).toSet
+
+  private def dotDirs(ns: String = "db"): Seq[String] = {
+    val d = new java.io.File(s"$wh/$ns")
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.map(_.getName).filter(_.startsWith(".stage-"))
+  }
+
+  test("CTAS lands atomically and leaves no staging residue") {
+    wh
+    spark.sql(
+      """CREATE TABLE stg.db.ctas AS
+         SELECT id, id * 2 AS dbl FROM range(100)""")
+    assert(spark.table("stg.db.ctas").count() === 100)
+    assert(tableNames().contains("ctas"))
+    assert(dotDirs() === Seq.empty, "staging dir leaked past commit")
+    // the committed table is a plain graft table at the conventional path
+    assert(graft.table.Meta.exists(s"$wh/db/ctas"))
+  }
+
+  test("a failing CTAS leaves neither table nor staging dir") {
+    wh
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE stg.db.ctas_fail AS
+           SELECT assert_true(id < 5) AS chk, id FROM range(10)""")
+    }
+    assert(e != null)
+    assert(!tableNames().contains("ctas_fail"))
+    assert(dotDirs() === Seq.empty, "aborted CTAS leaked its staging dir")
+    intercept[Exception](spark.table("stg.db.ctas_fail").collect())
+  }
+
+  test("CTAS onto an existing name fails and leaves the original intact") {
+    wh
+    spark.sql("CREATE TABLE stg.db.taken AS SELECT id FROM range(7)")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE stg.db.taken AS SELECT id FROM range(99)")
+    }
+    assert(spark.table("stg.db.taken").count() === 7)
+    assert(dotDirs() === Seq.empty)
+  }
+
+  test("RTAS swaps schema+data in one commit and keeps history") {
+    wh
+    spark.sql(
+      """CREATE TABLE stg.db.rt AS
+         SELECT id AS k, CAST(id AS STRING) AS s FROM range(10)""")
+    val v1 = spark.sql("SELECT snapshot_id FROM stg.db.rt.snapshots")
+      .collect().map(_.getLong(0)).max
+    spark.sql(
+      """CREATE OR REPLACE TABLE stg.db.rt AS
+         SELECT id * 10 AS v, id % 3 AS grp FROM range(30)""")
+    // new schema + new data
+    val out = spark.table("stg.db.rt")
+    assert(out.columns.toSeq === Seq("v", "grp"))
+    assert(out.count() === 30)
+    // pre-replace snapshot still time-travels with the OLD schema
+    val old = spark.sql(s"SELECT * FROM stg.db.rt VERSION AS OF $v1")
+    assert(old.columns.toSeq === Seq("k", "s"))
+    assert(old.count() === 10)
+    // one table dir, one identity, no staging residue
+    assert(dotDirs() === Seq.empty)
+    val m = graft.table.Meta.load(s"$wh/db/rt")
+    assert(m.snapshots.map(_.operation).contains("replace"))
+    // replacement schema allocated fresh field ids above the retired ones
+    val oldIds = m.schemas(0).fields.flatMap(graft.table.Meta.fieldId)
+    val newIds = m.schema.fields.flatMap(graft.table.Meta.fieldId)
+    assert(newIds.min > oldIds.max,
+      s"replacement ids $newIds overlap retired ids $oldIds")
+  }
+
+  test("REPLACE TABLE without AS SELECT resets to an empty new shape") {
+    wh
+    spark.sql("CREATE TABLE stg.db.rp AS SELECT id FROM range(5)")
+    spark.sql("REPLACE TABLE stg.db.rp (a INT, b STRING)")
+    val t = spark.table("stg.db.rp")
+    assert(t.columns.toSeq === Seq("a", "b"))
+    assert(t.count() === 0)
+    // old content still reachable through history
+    val m = graft.table.Meta.load(s"$wh/db/rp")
+    val pre = m.snapshots.map(_.snapshotId).min
+    assert(spark.sql(s"SELECT * FROM stg.db.rp VERSION AS OF $pre")
+      .count() === 5)
+  }
+
+  test("a failing RTAS leaves the original table untouched") {
+    wh
+    spark.sql("CREATE TABLE stg.db.rfail AS SELECT id, id+1 AS n FROM range(20)")
+    intercept[Exception] {
+      spark.sql(
+        """CREATE OR REPLACE TABLE stg.db.rfail AS
+           SELECT assert_true(id < 3) AS chk, id FROM range(10)""")
+    }
+    val t = spark.table("stg.db.rfail")
+    assert(t.columns.toSeq === Seq("id", "n"))
+    assert(t.count() === 20)
+    // no stage-rtas residue under the live root
+    val residue = new java.io.File(s"$wh/db/rfail").listFiles()
+      .map(_.getName).filter(_.startsWith("stage-rtas-"))
+    assert(residue.isEmpty, s"aborted RTAS leaked: ${residue.toSeq}")
+  }
+
+  test("RTAS with a partition spec routes files through the new spec") {
+    wh
+    spark.sql("CREATE TABLE stg.db.rpart AS SELECT id FROM range(4)")
+    spark.sql(
+      """CREATE OR REPLACE TABLE stg.db.rpart
+         PARTITIONED BY (bucket(4, k)) AS
+         SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(100)""")
+    val m = graft.table.Meta.load(s"$wh/db/rpart")
+    assert(m.spec.map(_.transform) === Seq("bucket[4]"))
+    val live = m.liveFiles(None)
+    assert(live.nonEmpty)
+    assert(live.forall(_.partitionValues.keySet.exists(_.contains("bucket"))),
+      s"files not routed: ${live.take(3).map(_.partitionValues)}")
+    assert(spark.table("stg.db.rpart").count() === 100)
+  }
+
+  test("staging dirs are invisible to listings while a CTAS is in flight") {
+    wh
+    // stage directly through the catalog API (mid-flight state)
+    val cat = spark.sessionState.catalogManager.catalog("stg")
+      .asInstanceOf[graft.spark.GraftTableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "midflight")
+    val staged = cat.stageCreate(ident,
+      new org.apache.spark.sql.types.StructType()
+        .add("x", org.apache.spark.sql.types.LongType),
+      Array.empty, new java.util.HashMap[String, String]())
+    try {
+      assert(!tableNames().contains("midflight"))
+      assert(!spark.sql("SHOW NAMESPACES IN stg.db").collect()
+        .exists(_.getString(0).contains("stage")))
+      intercept[Exception](spark.table("stg.db.midflight").collect())
+    } finally staged.abortStagedChanges()
+    assert(dotDirs() === Seq.empty)
+  }
+
+  test("REST mode: CTAS and CREATE OR REPLACE ride the staged bridge") {
+    val rwh = Files.createTempDirectory("graft-staged-rest").toString
+    val server = new graft.table.iceberg.IcebergRestServer(rwh).start()
+    try {
+      spark.conf.set("spark.sql.catalog.stgr", "graft.spark.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.stgr.uri",
+        s"http://127.0.0.1:${server.port}")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS stgr.db")
+      spark.sql(
+        "CREATE TABLE stgr.db.c AS SELECT id, id % 5 AS m FROM range(50)")
+      assert(spark.table("stgr.db.c").count() === 50)
+      spark.sql(
+        """CREATE OR REPLACE TABLE stgr.db.c AS
+           SELECT id AS only FROM range(8)""")
+      val out = spark.table("stgr.db.c")
+      assert(out.columns.toSeq === Seq("only"))
+      assert(out.count() === 8)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.stgr")
+      spark.conf.unset("spark.sql.catalog.stgr.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(
+        s"http://127.0.0.1:${server.port}")
+      server.stop()
+    }
+  }
+}
