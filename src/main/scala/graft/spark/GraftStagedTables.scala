@@ -135,6 +135,58 @@ class GraftStagedReplaceTable(root: String, ident: Identifier,
     TableIO.delete(staging, recursive = true)
 }
 
+/** Staged REPLACE on a REAL-format Iceberg table (adopted warehouse
+  * tables and every REST-catalog table): the V1Write bridge hands the
+  * planned DataFrame to IcebergWrite.replaceTable, which stages the
+  * new content invisibly and publishes schema + spec + properties +
+  * 'replace' snapshot in ONE metadata commit — and over a REST
+  * catalog that commit rides the update-table protocol, so the swap
+  * is CAS'd server-side too. A REPLACE TABLE without AS SELECT never
+  * writes; commitStagedChanges then runs the same commit with empty
+  * content. */
+class IcebergStagedReplaceTable(location: String, ident: Identifier,
+    newSchema: StructType, partitions: Seq[(String, String)],
+    props: Map[String, String])
+  extends Table with StagedTable with SupportsWrite {
+
+  @volatile private var replaced = false
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = newSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              graft.table.iceberg.IcebergWrite.replaceTable(
+                data.sparkSession, location, data, partitions, props)
+              replaced = true
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit =
+    if (!replaced) {
+      val spark = SparkSession.active
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      graft.table.iceberg.IcebergWrite.replaceTable(
+        spark, location, empty, partitions, props)
+    }
+
+  // nothing published: replaceTable's staging lives under the table
+  // root and unreferenced files are remove_orphan_files territory
+  override def abortStagedChanges(): Unit = ()
+}
+
 /** REST-mode bridge: the table was already created through the
   * protocol at stage time (the server owns metadata and location), so
   * commit has nothing left to publish and abort drops the table back

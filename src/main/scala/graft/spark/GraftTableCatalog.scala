@@ -562,14 +562,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: JMap[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = restBase match {
     case Some(base) =>
-      val ns = restNs(ident.namespace())
-      if (!IcebergRestClient.tableExists(base, ns, ident.name()))
+      // the replace commit rides the update-table protocol through the
+      // registered route (restRootOf), so the server CAS arbitrates it
+      val root = restRootOf(ident).getOrElse(
         throw new org.apache.spark.sql.catalyst.analysis
-          .NoSuchTableException(ident)
-      dropTable(ident)
-      new GraftStagedRestTable(
-        createTable(ident, schema, partitions, properties), ident,
-        () => { dropTable(ident); () })
+          .NoSuchTableException(ident))
+      new IcebergStagedReplaceTable(root, ident, schema,
+        partitions.toSeq.map(toIceTransform),
+        properties.asScala.toMap - "owner" - "provider")
     case None =>
       val root = tableRoot(ident)
       if (!Meta.exists(root) &&
@@ -583,20 +583,24 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: JMap[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = restBase match {
     case Some(base) =>
-      val ns = restNs(ident.namespace())
-      if (IcebergRestClient.tableExists(base, ns, ident.name()))
-        dropTable(ident)
-      new GraftStagedRestTable(
-        createTable(ident, schema, partitions, properties), ident,
-        () => { dropTable(ident); () })
+      restRootOf(ident) match {
+        case Some(root) =>
+          new IcebergStagedReplaceTable(root, ident, schema,
+            partitions.toSeq.map(toIceTransform),
+            properties.asScala.toMap - "owner" - "provider")
+        case None =>
+          new GraftStagedRestTable(
+            createTable(ident, schema, partitions, properties), ident,
+            () => { dropTable(ident); () })
+      }
     case None =>
       val root = resolveRoot(conventionalPath(ident))
       if (Meta.exists(root) && Meta.isGraftDialect(root))
         stagedReplace(ident, schema, partitions, properties)
       else if (graft.table.iceberg.IcebergTable.exists(root))
-        throw new UnsupportedOperationException(
-          "staged REPLACE targets graft-dialect tables; DROP the " +
-            "adopted real-format table first, then CREATE")
+        new IcebergStagedReplaceTable(root, ident, schema,
+          partitions.toSeq.map(toIceTransform),
+          properties.asScala.toMap - "owner" - "provider")
       else
         stagedCreate(ident, schema, partitions, properties, orReplace = true)
   }
@@ -622,17 +626,19 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: JMap[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val root = tableRoot(ident)
+    // ADOPTED real-format tables replace through the interop writer
+    // (one commitRetry metadata commit, history retained)
     if (!(Meta.exists(root) && Meta.isGraftDialect(root)))
-      throw new UnsupportedOperationException(
-        "staged REPLACE targets graft-dialect tables; DROP the " +
-          "adopted real-format table first, then CREATE")
+      return new IcebergStagedReplaceTable(root, ident, schema,
+        partitions.toSeq.map(toIceTransform),
+        properties.asScala.toMap - "owner" - "provider")
     val m = Meta.load(root)
     // ids for the replacement schema allocate above every id any
     // schema version ever used — the staged parquet carries them, and
     // the commit refuses if a concurrent DDL moved the watermark
     val base = Meta.maxFieldId(m.schemas.values)
     new GraftStagedReplaceTable(root, ident,
-      Meta.withFieldIds(schema, base + 1),
+      Meta.withFieldIds(Meta.stripFieldIds(schema), base + 1),
       partitions.toSeq.map(toPartitionField),
       properties.asScala.toMap - "owner" - "provider", base)
   }

@@ -74,6 +74,38 @@ object Meta {
     })
   }
 
+  /** Drop every field-id annotation, at any nesting depth — the
+    * REPLACE TABLE path must assign FRESH ids even when the query's
+    * output schema carries ids inherited from a table read (a
+    * projection propagates column metadata), or a replaced table's
+    * new columns could silently reuse ids its history already
+    * retired. */
+  def stripFieldIds(schema: StructType): StructType = {
+    def stripType(t: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = t match {
+      case s: StructType => StructType(s.fields.map(stripField))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = stripType(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = stripType(m.keyType),
+          valueType = stripType(m.valueType))
+      case other => other
+    }
+    def stripField(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.types.StructField = {
+      val md =
+        if (!f.metadata.contains(FieldIdKey)) f.metadata
+        else {
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          b.remove(FieldIdKey)
+          b.build()
+        }
+      f.copy(dataType = stripType(f.dataType), metadata = md)
+    }
+    StructType(schema.fields.map(stripField))
+  }
+
   /** Assign fresh sequential ids to any field lacking one. */
   def withFieldIds(schema: StructType, firstId: Int): StructType = {
     var next = firstId

@@ -666,6 +666,111 @@ object IcebergWrite {
     result
   }
 
+  /** A manifest list holding ONLY `snap0`'s own manifests — the
+    * publish step every whole-content replacement shares (overwrite,
+    * compaction, REPLACE TABLE): readers of the new snapshot see just
+    * the new content, older snapshots still time-travel through their
+    * own manifest lists. Returns the snapshot rewritten to point at
+    * the solo list plus its data-file count. */
+  private def soloManifestList(m: IcebergMetadata.IceMetadata,
+      snap0: IcebergMetadata.IceSnapshot, operation: String)
+      : (IcebergMetadata.IceSnapshot, Int) = {
+    val location = m.location
+    var committedFiles = 0
+    val own = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
+      .filter(_.addedSnapshotId == snap0.snapshotId)
+    val recs = own.map { mf =>
+      val entries = IcebergAvro.readManifest(new HPath(mf.path))
+      committedFiles += entries.size
+      val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
+      r.put("manifest_path", mf.path); r.put("manifest_length", mf.length)
+      r.put("partition_spec_id", m.defaultSpecId); r.put("content", mf.content)
+      r.put("sequence_number", mf.sequenceNumber)
+      r.put("min_sequence_number", mf.sequenceNumber)
+      r.put("added_snapshot_id", mf.addedSnapshotId)
+      r.put("added_files_count", entries.size)
+      r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
+      r.put("added_rows_count", entries.map(_.recordCount).sum)
+      r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
+      IcebergAvro.putFieldSummaries(r, mf.partitions)
+      r: org.apache.avro.generic.GenericRecord
+    }
+    val mlPath = new HPath(TableIO.path(location, "metadata"),
+      s"snap-ow-${snap0.snapshotId}-${UUID.randomUUID().toString.take(8)}.avro")
+    IcebergAvro.writeManifestList(mlPath, recs, snap0.snapshotId,
+      snap0.sequenceNumber)
+    (snap0.copy(operation = operation,
+      manifestList = TableIO.qualified(mlPath)), committedFiles)
+  }
+
+  /** Atomic REPLACE TABLE [AS SELECT] on a REAL-format table (the
+    * staged-catalog path; reference: create.rs:59 stage_create — the
+    * protocol's two-phase create exists for exactly this shape): ONE
+    * metadata commit installs a new schema with ids allocated above
+    * `lastColumnId` (a retired id is never reused), a new default
+    * spec, the REPLACED properties, and a 'replace' snapshot whose
+    * manifest list carries only the new content — readers see the old
+    * table or the new one, never a mix, and pre-replace snapshots
+    * stay time-travelable until expire_snapshots. Over a REST catalog
+    * the commit rides the update-table protocol (commitRetry routes
+    * it), so the swap is CAS'd server-side too. */
+  def replaceTable(spark: SparkSession, location: String, df: DataFrame,
+      partitions: Seq[(String, String)],
+      props: Map[String, String]): Unit = {
+    val base = IcebergMetadata.load(location)
+    val newSchemaId = base.schemas.map(_.schemaId).max + 1
+    // fresh ids: strip anything the query's output schema inherited
+    // from a table read, then allocate above the watermark
+    val stamped = graft.table.Meta.withFieldIds(
+      graft.table.Meta.stripFieldIds(df.schema), base.lastColumnId + 1)
+    val schema = IcebergMetadata.schemaFromSpark(stamped, newSchemaId,
+      nestedIdsFrom = Some(base.lastColumnId + df.schema.size + 1))
+    val specFields = partitions.zipWithIndex.map { case ((c, t), i) =>
+      val srcId = schema.fieldId(c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c to partition by"))
+      IcebergMetadata.IcePartitionField(srcId,
+        math.max(base.lastPartitionId, 999) + 1 + i,
+        Transforms.fieldName(c, t), t)
+    }
+    val newSpecId = base.specs.map(_.specId).max + 1
+    def install(m: IcebergMetadata.IceMetadata): IcebergMetadata.IceMetadata =
+      m.copy(
+        lastColumnId = schema.maxId,
+        currentSchemaId = newSchemaId,
+        schemas = m.schemas :+ schema,
+        defaultSpecId = newSpecId,
+        specs = m.specs :+ IcebergMetadata.IceSpec(newSpecId, specFields),
+        lastPartitionId = math.max(m.lastPartitionId, 999) + specFields.size,
+        properties = props +
+          ("write.format.default" -> "parquet") +
+          ("schema.name-mapping.default" -> IcebergMetadata.nameMapping(schema)),
+        // the replacement defines no sort order; orderId 0 (unsorted)
+        // is re-added by the metadata writer
+        sortOrders = Seq.empty,
+        defaultSortOrderId = 0)
+    // the staged data is written under the NEW schema/spec (ids in the
+    // footers, routing by the new transforms) but stays unreferenced
+    // until the commit below lands
+    val (moved, stats) = stageData(spark, install(base), df, None)
+    IcebergMetadata.commitRetry(location) { m =>
+      if (m.currentSnapshotId != base.currentSnapshotId ||
+          m.lastColumnId != base.lastColumnId ||
+          m.schemas.size != base.schemas.size)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $location changed while REPLACE TABLE was " +
+            "writing its content; re-run the statement")
+      val mNew = install(m)
+      val snap0 = appendManifest(mNew, moved, stats)
+      val (snap, _) = soloManifestList(mNew, snap0, "replace")
+      mNew.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshots = mNew.snapshots :+ snap,
+        refs = mNew.refs + ("main" -> snap.snapshotId))
+    }
+    ()
+  }
+
   private def replaceContent(spark: SparkSession, location: String,
       df: DataFrame, operation: String,
       numPartitions: Option[Int] = None): Int = {
@@ -684,31 +789,8 @@ object IcebergWrite {
             s"${m.currentSnapshotId.getOrElse(-1L)}) while a " +
             s"$operation was computing its content; retry the operation")
       val snap0 = appendManifest(m, moved, stats)
-      val own = IcebergAvro.readManifestList(new HPath(snap0.manifestList))
-        .filter(_.addedSnapshotId == snap0.snapshotId)
-      committedFiles = 0
-      val recs = own.map { mf =>
-        val entries = IcebergAvro.readManifest(new HPath(mf.path))
-        committedFiles += entries.size
-        val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
-        r.put("manifest_path", mf.path); r.put("manifest_length", mf.length)
-        r.put("partition_spec_id", m.defaultSpecId); r.put("content", mf.content)
-        r.put("sequence_number", mf.sequenceNumber)
-        r.put("min_sequence_number", mf.sequenceNumber)
-        r.put("added_snapshot_id", mf.addedSnapshotId)
-        r.put("added_files_count", entries.size)
-        r.put("existing_files_count", 0); r.put("deleted_files_count", 0)
-        r.put("added_rows_count", entries.map(_.recordCount).sum)
-        r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
-        IcebergAvro.putFieldSummaries(r, mf.partitions)
-        r: org.apache.avro.generic.GenericRecord
-      }
-      val mlPath = new HPath(TableIO.path(location, "metadata"),
-        s"snap-ow-${snap0.snapshotId}-${UUID.randomUUID().toString.take(8)}.avro")
-      IcebergAvro.writeManifestList(mlPath, recs, snap0.snapshotId,
-        snap0.sequenceNumber)
-      val snap = snap0.copy(operation = operation,
-        manifestList = TableIO.qualified(mlPath))
+      val (snap, nFiles) = soloManifestList(m, snap0, operation)
+      committedFiles = nFiles
       m.copy(
         lastSequenceNumber = snap.sequenceNumber,
         currentSnapshotId = Some(snap.snapshotId),

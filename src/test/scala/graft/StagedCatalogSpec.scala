@@ -159,6 +159,90 @@ class StagedCatalogSpec extends AnyFunSuite {
     assert(dotDirs() === Seq.empty)
   }
 
+  test("RTAS on an adopted real-format table keeps format and history") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = s"$wh/db/ice_rt"
+    graft.table.iceberg.IcebergWrite.create(spark, loc,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val pre = graft.table.iceberg.IcebergMetadata.load(loc)
+    val preSnap = pre.currentSnapshotId.get
+    spark.sql(
+      """CREATE OR REPLACE TABLE stg.db.ice_rt AS
+         SELECT id * 100 AS cents, CAST(id AS STRING) AS tag
+         FROM range(12)""")
+    // still a real-format table, same identity, one more snapshot
+    val post = graft.table.iceberg.IcebergMetadata.load(loc)
+    assert(post.tableUuid === pre.tableUuid)
+    assert(post.snapshots.exists(_.operation == "replace"))
+    val out = spark.table("stg.db.ice_rt")
+    assert(out.columns.toSeq === Seq("cents", "tag"))
+    assert(out.count() === 12)
+    // ids allocated above the watermark; old snapshot still travels
+    assert(post.schema.fields.map(_.id).min > pre.lastColumnId)
+    val old = spark.sql(s"SELECT * FROM stg.db.ice_rt VERSION AS OF $preSnap")
+    assert(old.columns.toSeq === Seq("k", "v"))
+    assert(old.count() === 3)
+  }
+
+  test("REST mode: RTAS is one protocol commit, history kept") {
+    val rwh = Files.createTempDirectory("graft-staged-rest-rt").toString
+    val server = new graft.table.iceberg.IcebergRestServer(rwh).start()
+    try {
+      spark.conf.set("spark.sql.catalog.stgrt", "graft.spark.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.stgrt.uri",
+        s"http://127.0.0.1:${server.port}")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS stgrt.db")
+      spark.sql(
+        "CREATE TABLE stgrt.db.r AS SELECT id, id % 5 AS m FROM range(40)")
+      val loc = graft.table.iceberg.IcebergRestClient
+        .tableRootOf(s"http://127.0.0.1:${server.port}", "db", "r").get
+      val pre = graft.table.iceberg.IcebergMetadata.load(loc)
+      spark.sql(
+        """CREATE OR REPLACE TABLE stgrt.db.r AS
+           SELECT id AS only FROM range(6)""")
+      val out = spark.table("stgrt.db.r")
+      assert(out.columns.toSeq === Seq("only"))
+      assert(out.count() === 6)
+      // same table identity through the protocol commit, not a
+      // drop+create: uuid unchanged, replace snapshot appended
+      val post = graft.table.iceberg.IcebergMetadata.load(loc)
+      assert(post.tableUuid === pre.tableUuid)
+      assert(post.snapshots.exists(_.operation == "replace"))
+      assert(post.schema.fields.map(_.id).min > pre.lastColumnId)
+      // a failing RTAS leaves the replaced table fully intact
+      intercept[Exception] {
+        spark.sql(
+          """CREATE OR REPLACE TABLE stgrt.db.r AS
+             SELECT assert_true(id < 2) AS chk FROM range(9)""")
+      }
+      assert(spark.table("stgrt.db.r").count() === 6)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.stgrt")
+      spark.conf.unset("spark.sql.catalog.stgrt.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(
+        s"http://127.0.0.1:${server.port}")
+      server.stop()
+    }
+  }
+
+  test("RTAS sourced from a table read still allocates fresh ids") {
+    wh
+    spark.sql("CREATE TABLE stg.db.src_ids AS SELECT id AS a, id*2 AS b FROM range(9)")
+    // self-referential replace: the projection carries the old ids'
+    // metadata; the staged replace must strip and re-allocate
+    spark.sql(
+      """CREATE OR REPLACE TABLE stg.db.src_ids AS
+         SELECT a, b, a + b AS c FROM stg.db.src_ids""")
+    val m = graft.table.Meta.load(s"$wh/db/src_ids")
+    val oldIds = m.schemas(0).fields.flatMap(graft.table.Meta.fieldId)
+    val newIds = m.schema.fields.flatMap(graft.table.Meta.fieldId)
+    assert(newIds.min > oldIds.max,
+      s"ids $newIds reused retired ids $oldIds")
+    assert(spark.table("stg.db.src_ids").count() === 9)
+  }
+
   test("REST mode: CTAS and CREATE OR REPLACE ride the staged bridge") {
     val rwh = Files.createTempDirectory("graft-staged-rest").toString
     val server = new graft.table.iceberg.IcebergRestServer(rwh).start()
