@@ -265,7 +265,66 @@ object CatalogOps {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
        FROM events GROUP BY 1 ORDER BY event_type"""
 
+  /** Atomic CTAS + RTAS through the plugin (StagingTableCatalog; the
+    * staged execs — reference: the REST protocol's stage-create flag,
+    * iceberg-rust/src/catalog/create.rs:59): CREATE TABLE AS SELECT
+    * publishes with one rename, CREATE OR REPLACE swaps schema +
+    * partition spec + data in ONE metadata commit while the
+    * pre-replace snapshot stays time-travelable. The in-query
+    * requires lock the staged semantics (replace op recorded, old
+    * schema still served by VERSION AS OF); the returned aggregate is
+    * the oracle-checked read of the replaced table. */
+  val tfRtas: Q = (s, d) => {
+    val wh = scratch()
+    val cat = s"wrtas_${java.util.UUID.randomUUID().toString.take(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      Tables.part(s, d).createOrReplaceTempView("part_rtas_src")
+      s.sql(s"CREATE TABLE $cat.db.p AS SELECT p_partkey, p_brand, " +
+        "p_retailprice FROM part_rtas_src WHERE p_size > 25")
+      val pre = s.sql(s"SELECT snapshot_id FROM $cat.db.p.snapshots")
+        .collect().map(_.getLong(0)).max
+      val preCount = s.table(s"$cat.db.p").count()
+      // the replace: new column set, new partition spec, new content —
+      // atomically, keeping the table's identity and history
+      s.sql(s"CREATE OR REPLACE TABLE $cat.db.p " +
+        "PARTITIONED BY (bucket(8, p_partkey)) AS " +
+        "SELECT p_partkey, p_brand, p_retailprice AS price " +
+        "FROM part_rtas_src WHERE p_size <= 25")
+      val m = graft.table.Meta.load(s"$wh/db/p")
+      require(m.snapshots.exists(_.operation == "replace"),
+        "RTAS must commit a 'replace' snapshot")
+      require(m.spec.map(_.transform) == Seq("bucket[8]"),
+        s"RTAS must install the new spec, got ${m.spec}")
+      val old = s.sql(s"SELECT * FROM $cat.db.p VERSION AS OF $pre")
+      require(old.columns.toSeq == Seq("p_partkey", "p_brand",
+        "p_retailprice") && old.count() == preCount,
+        "pre-replace snapshot must keep its schema and content")
+      val out = s.sql(s"SELECT p_brand, count(*) AS n, " +
+        "CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) " +
+        s"AS total FROM $cat.db.p GROUP BY p_brand ORDER BY p_brand")
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  val tfRtasSql: String =
+    """SELECT p_brand, count(*) AS n,
+              CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total
+       FROM part WHERE p_size <= 25
+       GROUP BY 1 ORDER BY p_brand"""
+
   val queries: Map[String, Q] = Map(
+    "tf_rtas" -> tfRtas,
     "tf_insert_select" -> tfInsertSelect,
     "tf_ctas_view" -> tfCtasView,
     "tf_mv_incremental" -> tfMvIncremental,
@@ -275,6 +334,7 @@ object CatalogOps {
     "tf_catalog_mv" -> tfCatalogMv)
 
   val oracles: Map[String, String] = Map(
+    "tf_rtas" -> tfRtasSql,
     "tf_insert_select" -> tfInsertSelectSql,
     "tf_ctas_view" -> tfCtasViewSql,
     "tf_mv_incremental" -> tfMvIncrementalSql,
