@@ -187,28 +187,31 @@ class IcebergStagedReplaceTable(location: String, ident: Identifier,
   override def abortStagedChanges(): Unit = ()
 }
 
-/** REST-mode bridge: the table was already created through the
-  * protocol at stage time (the server owns metadata and location), so
-  * commit has nothing left to publish and abort drops the table back
-  * through the protocol — the same visibility window as the
-  * non-atomic exec this bridges, expressed through the staged API. */
-class GraftStagedRestTable(inner: Table, ident: Identifier,
-    dropOnAbort: () => Unit)
-  extends Table with StagedTable with SupportsWrite {
+/** REST staged create (the protocol's stage-create flag,
+  * CreateTableRequest.stage_create — create.rs:59): the server built
+  * the table's metadata at a dot-hidden staged location, so the table
+  * does not exist in the catalog while Spark writes — local commits
+  * land at the staged location (no commit route is registered for
+  * it). commitStagedChanges publishes the staged table's WHOLE state
+  * as one assert-create protocol commit: the server applies the
+  * update list onto the shared empty skeleton and its v1 metadata CAS
+  * arbitrates racing creators. Abort deletes the staged dir — nothing
+  * was ever visible. */
+class IcebergStagedCreateTable(stagedRoot: String, ident: Identifier,
+    base: String, ns: String)
+  extends IcebergSparkTable(stagedRoot) with StagedTable {
 
   override def name(): String = ident.toString
-  override def schema(): StructType = inner.schema()
-  override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    inner.partitioning()
-  override def properties(): java.util.Map[String, String] =
-    inner.properties()
-  override def capabilities(): java.util.Set[TableCapability] =
-    inner.capabilities()
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+  override def commitStagedChanges(): Unit =
+    if (!graft.table.iceberg.IcebergRestClient.commitStagedCreate(
+        base, ns, ident.name(), stagedRoot)) {
+      TableIO.delete(TableIO.path(stagedRoot), recursive = true)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    }
 
-  override def commitStagedChanges(): Unit = ()
-  override def abortStagedChanges(): Unit = dropOnAbort()
+  override def abortStagedChanges(): Unit =
+    TableIO.delete(TableIO.path(stagedRoot), recursive = true)
 }
+

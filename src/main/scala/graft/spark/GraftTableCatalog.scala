@@ -543,12 +543,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: JMap[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = restBase match {
     case Some(base) =>
-      // protocol bridge: create through the server now; the staged
-      // handle only carries the atomic-exec call shape (true protocol
-      // stage-create is the create.rs:59 flag — the upgrade point)
-      new GraftStagedRestTable(
-        createTable(ident, schema, partitions, properties), ident,
-        () => { dropTable(ident); () })
+      // the protocol's two-phase create (stage-create flag,
+      // create.rs:59): the table does not exist until the
+      // assert-create commit publishes it
+      val ns = restNs(ident.namespace())
+      if (IcebergRestClient.tableExists(base, ns, ident.name()))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      new IcebergStagedCreateTable(
+        IcebergRestClient.createTableStaged(base, ns, ident.name(), schema,
+          partitions.toSeq.map(toIceTransform),
+          properties.asScala.toMap - "owner" - "provider"),
+        ident, base, ns)
     case None =>
       val root = tableRoot(ident)
       if (Meta.exists(root) || graft.table.iceberg.IcebergTable.exists(root) ||
@@ -589,9 +595,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             partitions.toSeq.map(toIceTransform),
             properties.asScala.toMap - "owner" - "provider")
         case None =>
-          new GraftStagedRestTable(
-            createTable(ident, schema, partitions, properties), ident,
-            () => { dropTable(ident); () })
+          val ns = restNs(ident.namespace())
+          new IcebergStagedCreateTable(
+            IcebergRestClient.createTableStaged(base, ns, ident.name(),
+              schema, partitions.toSeq.map(toIceTransform),
+              properties.asScala.toMap - "owner" - "provider"),
+            ident, base, ns)
       }
     case None =>
       val root = resolveRoot(conventionalPath(ident))

@@ -117,6 +117,34 @@ object IcebergMetadata {
     * table must resolve columns by name. */
   val NameBasedFilesProp = "graft.name-based-files"
 
+  /** The empty base a staged-create commit applies its updates onto —
+    * shared by the REST server's assert-create publish and the client
+    * that diffs its staged metadata against it, so the update list is
+    * complete exactly when the two skeletons agree. Every populated
+    * field arrives as an update (assign-uuid, add-schema,
+    * set-current-schema, add-spec, set-default-spec, set-location,
+    * set-properties, add-snapshot, set-snapshot-ref). */
+  def emptySkeleton(location: String): IceMetadata = IceMetadata(
+    formatVersion = 2,
+    tableUuid = "",
+    location = location,
+    lastSequenceNumber = 0L,
+    lastColumnId = 0,
+    currentSchemaId = -1,
+    schemas = Seq.empty,
+    defaultSpecId = -1,
+    specs = Seq.empty,
+    lastPartitionId = 999,
+    properties = Map.empty,
+    currentSnapshotId = None,
+    snapshots = Seq.empty,
+    refs = Map.empty,
+    // the unsorted order 0 is implicit in every written metadata file
+    // (the writer re-adds it), so the skeleton carries it too — a
+    // staged diff must not re-add the reserved order
+    sortOrders = Seq(IceSortOrder(0, Seq.empty)),
+    defaultSortOrderId = 0)
+
   /** Spark schema -> Iceberg schema with sequential field ids. */
   /** Field ids carried in the Spark schema's metadata (graft stamps
     * them at create, and they're what the parquet FOOTERS record) are

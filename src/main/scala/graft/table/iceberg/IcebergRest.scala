@@ -663,10 +663,22 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             p.properties().asScala.map(e =>
               e.getKey -> e.getValue.asText()).toMap)
             .getOrElse(Map.empty[String, String])
+          // stage-create (CreateTableRequest.stage_create,
+          // iceberg-rust/src/catalog/create.rs:59): the metadata is
+          // built at a dot-hidden STAGED location — the table does not
+          // exist until a commit with an assert-create requirement
+          // publishes it (the two-phase create behind atomic CTAS)
+          val stageCreate = Option(body.get("stage-create"))
+            .exists(_.asBoolean(false))
+          val loc =
+            if (!stageCreate) root
+            else new org.apache.hadoop.fs.Path(nsRoot(ns),
+              s".stage-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+              .toString
           val m0 = IcebergMetadata.IceMetadata(
             formatVersion = 2,
             tableUuid = java.util.UUID.randomUUID().toString,
-            location = root,
+            location = loc,
             lastSequenceNumber = 0L,
             lastColumnId = schema.maxId,
             currentSchemaId = schema.schemaId,
@@ -679,8 +691,8 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             currentSnapshotId = None,
             snapshots = Seq.empty,
             refs = Map.empty)
-          if (IcebergMetadata.commitAt(root, m0, 0))
-            reply(ex, 200, loadTableResult(root))
+          if (IcebergMetadata.commitAt(loc, m0, 0))
+            reply(ex, 200, loadTableResult(loc))
           else reply(ex, 409, errBody("table exists", 409))
         }
 
@@ -703,7 +715,36 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         // intermediate state before its rollback — the documented
         // visibility window of this test catalog.)
         val root = tableRoot(ns, t)
-        if (!IcebergTable.exists(root)) notFound(ex)
+        if (!IcebergTable.exists(root)) {
+          // the staged-create PUBLISH (the spec's commit with an
+          // assert-create requirement): the table's whole state
+          // arrives as updates applied onto an empty base; the v1
+          // metadata CAS arbitrates racing creators
+          val body = mapper.readTree(ex.getRequestBody)
+          val reqs = Option(body.get("requirements")).toSeq
+            .flatMap(_.elements().asScala.map(_.get("type").asText()).toSeq)
+          if (!reqs.contains("assert-create")) notFound(ex)
+          else if (reqs.exists(_ != "assert-create"))
+            reply(ex, 400, errBody(
+              "a create commit can only assert create-ness", 400))
+          else if (!TableIO.isDirectory(nsRoot(ns)))
+            reply(ex, 404, errBody(s"namespace $ns does not exist", 404))
+          else {
+            transactionLock.lock()
+            try {
+              val next = applyUpdates(
+                IcebergMetadata.emptySkeleton(root),
+                Option(body.get("updates")))
+              if (next.schemas.isEmpty || next.tableUuid.isEmpty)
+                reply(ex, 400, errBody(
+                  "create commit is missing add-schema/assign-uuid", 400))
+              else if (IcebergMetadata.commitAt(root, next, 0))
+                reply(ex, 200, loadTableResult(root))
+              else reply(ex, 409,
+                errBody("table exists (lost the create race)", 409))
+            } finally transactionLock.unlock()
+          }
+        }
         else {
           transactionLock.lock()
           try {
@@ -1290,14 +1331,16 @@ object IcebergRestClient {
     * bucket[N] / truncate[W] / year / month / day / hour), resolved to
     * field ids against the schema being created — the
     * CreateTableRequest shape with partition-spec. */
-  def createTable(base: String, ns: String, name: String,
+  private def createTableBody(name: String,
       schema: org.apache.spark.sql.types.StructType,
-      partitions: Seq[(String, String)] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Unit = {
+      partitions: Seq[(String, String)],
+      properties: Map[String, String],
+      stageCreate: Boolean): String = {
     val ice = IcebergMetadata.schemaFromSpark(schema)
     val n = mapper.createObjectNode()
     n.put("name", name)
     n.set("schema", IcebergMetadata.schemaToNode(ice))
+    if (stageCreate) n.put("stage-create", true)
     if (partitions.nonEmpty) {
       val spec = n.putObject("partition-spec")
       spec.put("spec-id", 0)
@@ -1316,8 +1359,60 @@ object IcebergRestClient {
       val p = n.putObject("properties")
       properties.foreach { case (k, v) => p.put(k, v) }
     }
-    val resp = post(s"${nsUrl(base, ns)}/tables", mapper.writeValueAsString(n))
+    mapper.writeValueAsString(n)
+  }
+
+  def createTable(base: String, ns: String, name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Seq[(String, String)] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit = {
+    val resp = post(s"${nsUrl(base, ns)}/tables",
+      createTableBody(name, schema, partitions, properties, stageCreate = false))
     require(resp.statusCode() == 200, s"createTable -> ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  /** Staged create (CreateTableRequest.stage_create — create.rs:59):
+    * the server builds the metadata at a hidden staged location and
+    * the table does NOT exist until commitStagedCreate publishes it.
+    * Returns the staged table root for direct writes. */
+  def createTableStaged(base: String, ns: String, name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Seq[(String, String)] = Seq.empty,
+      properties: Map[String, String] = Map.empty): String = {
+    val resp = post(s"${nsUrl(base, ns)}/tables",
+      createTableBody(name, schema, partitions, properties, stageCreate = true))
+    require(resp.statusCode() == 200,
+      s"createTableStaged -> ${resp.statusCode()}: ${resp.body()}")
+    val mLoc = new org.apache.hadoop.fs.Path(
+      mapper.readTree(resp.body()).get("metadata-location").asText())
+    rootDirOf(mLoc)
+  }
+
+  /** The staged-create PUBLISH: one commit carrying the staged table's
+    * whole state as updates (diffed against the shared empty skeleton)
+    * under an assert-create requirement — the server's v1 metadata CAS
+    * arbitrates racing creators; a lost race is 409 → false. */
+  def commitStagedCreate(base: String, ns: String, name: String,
+      stagedRoot: String): Boolean = {
+    val cur = IcebergMetadata.load(stagedRoot)
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    reqs.addObject().put("type", "assert-create")
+    // skeleton location "" ≠ the staged location, so the diff always
+    // carries set-location(stagedRoot) — the server anchors the
+    // published table's metadata at its own root and the location
+    // keeps pointing at the staged data (same shape as a renamed
+    // table: absolute manifest paths stay valid)
+    body.set("updates", IcebergRestCommit.updates(
+      IcebergMetadata.emptySkeleton(""), cur))
+    val resp = post(s"${nsUrl(base, ns)}/tables/$name",
+      mapper.writeValueAsString(body))
+    if (resp.statusCode() == 409) false
+    else {
+      require(resp.statusCode() == 200,
+        s"commitStagedCreate -> ${resp.statusCode()}: ${resp.body()}")
+      true
+    }
   }
 
   /** Drop a namespace (409 from the server when non-empty). */

@@ -243,28 +243,59 @@ class StagedCatalogSpec extends AnyFunSuite {
     assert(spark.table("stg.db.src_ids").count() === 9)
   }
 
-  test("REST mode: CTAS and CREATE OR REPLACE ride the staged bridge") {
+  test("REST mode: CTAS rides the protocol's stage-create") {
     val rwh = Files.createTempDirectory("graft-staged-rest").toString
     val server = new graft.table.iceberg.IcebergRestServer(rwh).start()
+    val base = s"http://127.0.0.1:${server.port}"
     try {
       spark.conf.set("spark.sql.catalog.stgr", "graft.spark.GraftTableCatalog")
-      spark.conf.set("spark.sql.catalog.stgr.uri",
-        s"http://127.0.0.1:${server.port}")
+      spark.conf.set("spark.sql.catalog.stgr.uri", base)
       spark.sql("CREATE NAMESPACE IF NOT EXISTS stgr.db")
       spark.sql(
         "CREATE TABLE stgr.db.c AS SELECT id, id % 5 AS m FROM range(50)")
       assert(spark.table("stgr.db.c").count() === 50)
+      // the published table serves through the protocol; one snapshot
+      // (the staged write) arrived with the create commit
+      import graft.table.iceberg.{IcebergRestClient => C}
+      assert(C.tableExists(base, "db", "c"))
       spark.sql(
         """CREATE OR REPLACE TABLE stgr.db.c AS
            SELECT id AS only FROM range(8)""")
       val out = spark.table("stgr.db.c")
       assert(out.columns.toSeq === Seq("only"))
       assert(out.count() === 8)
+      // a failing CTAS never creates the table: the staged metadata
+      // lives at a hidden location and the assert-create commit never
+      // fires
+      intercept[Exception] {
+        spark.sql(
+          """CREATE TABLE stgr.db.cfail AS
+             SELECT assert_true(id < 3) AS chk FROM range(9)""")
+      }
+      assert(!C.tableExists(base, "db", "cfail"))
+      assert(!spark.sql("SHOW TABLES IN stgr.db").collect()
+        .map(_.getString(1)).contains("cfail"))
+      // mid-flight invisibility through the raw protocol: a staged
+      // create does not list or load until its publish commit
+      val stagedRoot = C.createTableStaged(base, "db", "mid",
+        new org.apache.spark.sql.types.StructType()
+          .add("x", org.apache.spark.sql.types.LongType))
+      // two creators stage the same name concurrently; exactly one
+      // publish wins the v1 CAS
+      val staged2 = C.createTableStaged(base, "db", "mid",
+        new org.apache.spark.sql.types.StructType()
+          .add("y", org.apache.spark.sql.types.LongType))
+      assert(!C.tableExists(base, "db", "mid"))
+      assert(!C.listTables(base, "db").contains("mid"))
+      assert(C.commitStagedCreate(base, "db", "mid", stagedRoot))
+      assert(C.tableExists(base, "db", "mid"))
+      assert(!C.commitStagedCreate(base, "db", "mid", staged2))
+      // the winner's shape serves
+      assert(spark.table("stgr.db.mid").columns.toSeq === Seq("x"))
     } finally {
       spark.conf.unset("spark.sql.catalog.stgr")
       spark.conf.unset("spark.sql.catalog.stgr.uri")
-      graft.table.iceberg.IcebergRestCommit.deregisterBase(
-        s"http://127.0.0.1:${server.port}")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(base)
       server.stop()
     }
   }
