@@ -839,7 +839,105 @@ object TextAnalysis {
     FROM reps
     WHERE n > 0 ORDER BY doc_id, copy"""
 
+  /** Deterministic train/valid/test splitting by a stable content-key
+    * hash (90/5/5): the split a document lands in depends only on its
+    * key — never on partitioning, row order, or cluster size — so
+    * reruns and incremental ingests route the same doc to the same
+    * split and nothing leaks from test into a retrained model. Pure
+    * projection (the same murmur bucket the partition transforms
+    * use), zero shuffle, whole-stage codegen. */
+  val pipelineSplit: Q = (s, d) => {
+    val slot = graft.functions.IcebergTransforms.bucket(col("doc_id"), 20)
+    Tables.documents(s, d)
+      .withColumn("slot", slot)
+      .withColumn("split",
+        when(col("slot") < 18, lit("train"))
+          .when(col("slot") === 18, lit("valid"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("slot"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelineSplitSql: String =
+    s"""WITH key_hash AS (
+      SELECT doc_id, ${OracleSql.murmurLongCols("doc_id")}
+      FROM documents)
+    SELECT doc_id, ((hu & 2147483647) % 20)::INT AS slot,
+      CASE WHEN (hu & 2147483647) % 20 < 18 THEN 'train'
+           WHEN (hu & 2147483647) % 20 = 18 THEN 'valid'
+           ELSE 'test' END AS split
+    FROM key_hash ORDER BY doc_id"""
+
+  /** Interpolated bigram language-model score (the KenLM/CCNet-style
+    * fluency filter one order up from ta_unigram_logprob): per
+    * document, the mean over word positions i>=2 of
+    * ln(0.75 * P(w_i | w_{i-1}) + 0.25 * P(w_i)), with both model
+    * terms estimated from the corpus itself. λ = 0.75 is an exact
+    * binary fraction, so the engines' doubles agree bit-for-bit.
+    *
+    * Scale design: bigrams come from two array slices zipped inside
+    * codegen (no self-join on position); the unigram and bigram count
+    * tables are vocabulary-bounded (they broadcast when small, hash-
+    * shuffle otherwise), and scoring is one join per table + one
+    * partial agg — the same two-phase shape as ta_unigram_logprob. */
+  val taBigramLm: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val words = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val uniFreq = words.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val biFreq = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val tot = words.agg(count(lit(1)).as("t"))
+    bigrams
+      .join(biFreq, Seq("bg"))
+      .join(uniFreq.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cu", "c_prev"), Seq("w1"))
+      .join(uniFreq.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cu", "c_w"), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(
+        lit(0.75) * col("cb").cast("double") / col("c_prev") +
+          lit(0.25) * col("c_w").cast("double") / col("t"))), 6)
+        .as("bigram_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taBigramLmSql: String =
+    """WITH docs AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+         FROM documents
+         WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2),
+       words AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+       bigrams AS (
+         SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2,
+                ws[i] || ' ' || ws[i+1] AS bg
+         FROM docs, unnest(range(1, len(ws))) AS t(i)),
+       uni AS (SELECT w, count(*) AS cu FROM words GROUP BY w),
+       bi AS (SELECT bg, count(*) AS cb FROM bigrams GROUP BY bg),
+       tot AS (SELECT count(*) AS t FROM words)
+       SELECT doc_id,
+              round(avg(ln(0.75 * cb::DOUBLE / u1.cu +
+                           0.25 * u2.cu::DOUBLE / t)), 6)
+                AS bigram_logprob
+       FROM bigrams b
+       JOIN bi USING (bg)
+       JOIN uni u1 ON u1.w = b.w1
+       JOIN uni u2 ON u2.w = b.w2
+       CROSS JOIN tot
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_split" -> pipelineSplit,
+    "ta_bigram_lm" -> taBigramLm,
     "ta_normalize" -> taNormalize,
     "ta_bm25" -> taBm25,
     "ta_gopher" -> taGopher,
@@ -928,6 +1026,8 @@ FROM full_h f LEFT JOIN minh m ON f.doc_id = m.doc_id
 ORDER BY f.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "pipeline_split" -> pipelineSplitSql,
+    "ta_bigram_lm" -> taBigramLmSql,
     "ta_normalize" -> taNormalizeSql,
     "ta_bm25" -> taBm25Sql,
     "ta_gopher" -> taGopherSql,
