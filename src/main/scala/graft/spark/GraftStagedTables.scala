@@ -29,7 +29,14 @@ import graft.table.{GraftTable, Meta, TableIO}
   * metadata commit (GraftTable.replaceTable) installs the new schema,
   * spec, properties, and a "replace" snapshot — readers see the old
   * table or the new one, never a mix, and pre-replace snapshots stay
-  * time-travelable until expire_snapshots. */
+  * time-travelable until expire_snapshots.
+  *
+  * Crash cleanup: replace staging dirs live under the table root as
+  * `stage-rtas-*`, which remove_orphan_files already sweeps; create
+  * staging dirs are namespace-level `.stage-<name>-*` and are removed
+  * on commit or abort — after a hard JVM crash mid-CTAS, delete any
+  * stale `.stage-*` directory by hand (it is invisible to every
+  * listing, so leaking one costs only disk). */
 class GraftStagedCreateTable(stagingRoot: String, finalPath: String,
     ident: Identifier, orReplace: Boolean)
   extends GraftSparkTable(stagingRoot) with StagedTable {

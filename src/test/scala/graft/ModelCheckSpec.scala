@@ -488,11 +488,20 @@ class ModelCheckSpec extends AnyFunSuite {
       }
 
       for (i <- 1 to nOps) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 | 1 => // SQL INSERT (rides the commit protocol)
             val k = nextKey; nextKey += 1
             spark.sql(s"INSERT INTO $cat.db.t VALUES ($k, 'v$k', ${k * 10})")
             mRows += k -> ((s"v$k", k * 10))
+          case 8 => // atomic RTAS through the plugin: ONE protocol
+            // commit resets all three model channels at once —
+            // schema labels, rows, and properties
+            val k = nextKey; nextKey += 1
+            spark.sql(s"CREATE OR REPLACE TABLE $cat.db.t AS " +
+              s"SELECT CAST($k AS BIGINT) AS k, 'r$k' AS a, " +
+              s"CAST(${k * 10} AS BIGINT) AS b")
+            mRows = Map(k -> ((s"r$k", k * 10)))
+            aLabel = "a"; bLabel = "b"; mProps = Map.empty
           case 2 if mRows.nonEmpty => // SQL UPDATE under CURRENT labels
             val k = mRows.keys.toSeq.sorted.apply(rnd.nextInt(mRows.size))
             spark.sql(
