@@ -323,8 +323,75 @@ object CatalogOps {
        FROM part WHERE p_size <= 25
        GROUP BY 1 ORDER BY p_brand"""
 
+  /** The V2 overwrite modes through the plugin — the daily
+    * re-materialization workhorse at 100 TB: static
+    * `INSERT OVERWRITE ... PARTITION (k=v)` drops the replaced
+    * partition's files METADATA-ONLY (stats prove every row matches;
+    * commit IO proportional to the NEW data, verified in-query) and
+    * dynamic partitionOverwriteMode replaces exactly the partitions
+    * the incoming rows touch — each as ONE snapshot. */
+  val tfOverwritePart: Q = (s, d) => {
+    val wh = scratch()
+    val cat = s"wow_${java.util.UUID.randomUUID().toString.take(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      Tables.orders(s, d).createOrReplaceTempView("ord_ow_src")
+      s.sql(s"CREATE TABLE $cat.db.o (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, o_orderstatus STRING) " +
+        "PARTITIONED BY (identity(o_orderstatus))")
+      s.sql(s"INSERT INTO $cat.db.o SELECT o_orderkey, o_totalprice, " +
+        "o_orderstatus FROM ord_ow_src")
+      // static: replace partition F with doubled prices (×2 is exact
+      // in binary, no rounding seam)
+      s.sql(s"INSERT OVERWRITE $cat.db.o PARTITION (o_orderstatus='F') " +
+        "SELECT o_orderkey, o_totalprice * 2 FROM ord_ow_src " +
+        "WHERE o_orderstatus = 'F'")
+      val m = graft.table.Meta.load(s"$wh/db/o")
+      require(m.snapshots.last.operation == "overwrite" &&
+        m.snapshots.last.addedFiles.forall(
+          _.partitionValues.get("_p_o_orderstatus").contains("F")),
+        "static partition overwrite must add only the new partition's " +
+          "files (whole-file metadata-only drop of the old ones)")
+      // dynamic: only the O partition is touched, so only it replaces
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $cat.db.o SELECT o_orderkey, " +
+        "o_totalprice, o_orderstatus FROM ord_ow_src " +
+        "WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0")
+      finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      val out = s.sql(s"SELECT o_orderstatus AS status, count(*) AS n, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) " +
+        s"AS DOUBLE) AS total FROM $cat.db.o " +
+        "GROUP BY o_orderstatus ORDER BY status")
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  val tfOverwritePartSql: String =
+    """SELECT status, count(*) AS n,
+              CAST(round(sum(CAST(p AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+       FROM (
+         SELECT o_orderstatus AS status, o_totalprice * 2 AS p
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderstatus NOT IN ('F', 'O'))
+       GROUP BY status ORDER BY status"""
+
   val queries: Map[String, Q] = Map(
     "tf_rtas" -> tfRtas,
+    "tf_overwrite_part" -> tfOverwritePart,
     "tf_insert_select" -> tfInsertSelect,
     "tf_ctas_view" -> tfCtasView,
     "tf_mv_incremental" -> tfMvIncremental,
@@ -335,6 +402,7 @@ object CatalogOps {
 
   val oracles: Map[String, String] = Map(
     "tf_rtas" -> tfRtasSql,
+    "tf_overwrite_part" -> tfOverwritePartSql,
     "tf_insert_select" -> tfInsertSelectSql,
     "tf_ctas_view" -> tfCtasViewSql,
     "tf_mv_incremental" -> tfMvIncrementalSql,

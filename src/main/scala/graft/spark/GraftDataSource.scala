@@ -174,20 +174,8 @@ class GraftSparkTable(root: String,
       t.StatFilter(f._1, f._2, f._3)))
   }
 
-  // literals rendered through the SAME canonical form the manifest
-  // stats use — naive toString on temporal values would make the
-  // rewrite-candidate pruning unsound (matching rows silently kept)
-  private def statFilterOf(f: Filter): Option[(String, String, String)] = {
-    import GraftScanBuilder.canonicalLiteral
-    f match {
-      case EqualTo(a, v) => canonicalLiteral(v).map((a, "=", _))
-      case GreaterThan(a, v) => canonicalLiteral(v).map((a, ">", _))
-      case GreaterThanOrEqual(a, v) => canonicalLiteral(v).map((a, ">=", _))
-      case LessThan(a, v) => canonicalLiteral(v).map((a, "<", _))
-      case LessThanOrEqual(a, v) => canonicalLiteral(v).map((a, "<=", _))
-      case _ => None
-    }
-  }
+  private def statFilterOf(f: Filter): Option[(String, String, String)] =
+    GraftSparkTable.statFilterOf(f)
 
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType =
@@ -204,6 +192,8 @@ class GraftSparkTable(root: String,
     if (Meta.exists(root))
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -240,6 +230,25 @@ object GraftSparkTable {
 
   val FileColName = "_file"
   val PosColName = "_pos"
+
+  // literals rendered through the SAME canonical form the manifest
+  // stats use — naive toString on temporal values would make the
+  // rewrite-candidate pruning unsound (matching rows silently kept)
+  private[spark] def statFilterOf(f: Filter): Option[(String, String, String)] = {
+    import GraftScanBuilder.canonicalLiteral
+    f match {
+      case EqualTo(a, v) => canonicalLiteral(v).map((a, "=", _))
+      // <=> with a non-null literal selects exactly = v (the shape a
+      // static `PARTITION (col='x')` overwrite arrives in)
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) if v != null =>
+        canonicalLiteral(v).map((a, "=", _))
+      case GreaterThan(a, v) => canonicalLiteral(v).map((a, ">", _))
+      case GreaterThanOrEqual(a, v) => canonicalLiteral(v).map((a, ">=", _))
+      case LessThan(a, v) => canonicalLiteral(v).map((a, "<", _))
+      case LessThanOrEqual(a, v) => canonicalLiteral(v).map((a, "<=", _))
+      case _ => None
+    }
+  }
 
   val FileMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
     new org.apache.spark.sql.connector.catalog.MetadataColumn {
@@ -1688,19 +1697,53 @@ case class MorReaderFactory(
 
 // ---- V2 write path ---------------------------------------------------
 
+/** How a V2 batch write lands: plain append, whole-table truncate,
+  * OverwriteByExpression (static `INSERT OVERWRITE ... PARTITION` /
+  * `REPLACE WHERE`), or dynamic partition overwrite. */
+private[spark] sealed trait GraftWriteMode
+private[spark] object GraftWriteMode {
+  case object Append extends GraftWriteMode
+  case object Truncate extends GraftWriteMode
+  final case class ByFilter(filters: Seq[Filter]) extends GraftWriteMode
+  case object DynamicPartitions extends GraftWriteMode
+}
+
 /** BatchWrite: executors stream InternalRows into per-task parquet
   * files under a staging dir; the driver commit ingests them (footer
-  * stats job) and snapshots — append or truncate+overwrite. */
+  * stats job) and snapshots — append, truncate+overwrite, overwrite
+  * by filter (one snapshot: candidates rewritten minus matching rows
+  * + new data), or dynamic partition overwrite (touched partitions
+  * dropped whole). */
 class GraftWriteBuilder(root: String, schema: StructType,
     queryId: String = "", branch: String = "main")
   extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
-  private var overwrite = false
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  private var mode: GraftWriteMode = GraftWriteMode.Append
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-    overwrite = true; this
+    mode = GraftWriteMode.Truncate; this
+  }
+  /** Untranslatable conditions fail the statement fast (Spark falls
+    * back to an error, never to a silent whole-table truncate) —
+    * same contract as canDeleteWhere. */
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftSparkTable.filterColumn(f).isDefined)
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    mode =
+      // AlwaysTrue (or no filter at all) IS a truncate
+      if (filters.isEmpty ||
+          filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+        GraftWriteMode.Truncate
+      else GraftWriteMode.ByFilter(filters.toSeq)
+    this
+  }
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    mode = GraftWriteMode.DynamicPartitions; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new GraftWrite(root, schema, overwrite, queryId, branch)
+    new GraftWrite(root, schema, mode, queryId, branch)
 }
 
 /** Shared write-layout derivation: the table's partition spec and
@@ -1783,7 +1826,7 @@ private[spark] object GraftWriteLayout {
   def presorted(root: String): Boolean = sortRefs(root).nonEmpty
 }
 
-class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
+class GraftWrite(root: String, schema: StructType, mode: GraftWriteMode,
     queryId: String = "", branch: String = "main")
   extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1803,10 +1846,11 @@ class GraftWrite(root: String, schema: StructType, overwrite: Boolean,
     GraftScanMetrics.writeMetrics
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftBatchWrite(root, schema, overwrite, presorted, branch)
+    new GraftBatchWrite(root, schema, mode, presorted, branch)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new GraftStreamingWrite(root, schema, overwrite, queryId, branch)
+    new GraftStreamingWrite(root, schema,
+      mode == GraftWriteMode.Truncate, queryId, branch)
 }
 
 /** Structured Streaming sink (`df.writeStream.format("graft")`):
@@ -1891,7 +1935,7 @@ case class GraftStreamingWriterFactory(staging: String,
   }
 }
 
-class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean,
+class GraftBatchWrite(root: String, schema: StructType, mode: GraftWriteMode,
     presorted: Boolean = false, branch: String = "main")
   extends org.apache.spark.sql.connector.write.BatchWrite {
   private val staging =
@@ -1910,10 +1954,37 @@ class GraftBatchWrite(root: String, schema: StructType, overwrite: Boolean,
   }
 
   override def commit(
-      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
-    GraftTable.load(SparkSession.active, root)
-      .commitStagedWrite(staging, overwrite, presorted = presorted,
-        branch = branch)
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val t = GraftTable.load(SparkSession.active, root)
+    mode match {
+      case GraftWriteMode.Append =>
+        t.commitStagedWrite(staging, overwrite = false,
+          presorted = presorted, branch = branch)
+      case GraftWriteMode.Truncate =>
+        t.commitStagedWrite(staging, overwrite = true,
+          presorted = presorted, branch = branch)
+      case GraftWriteMode.ByFilter(filters) =>
+        val cond = filters.flatMap(GraftSparkTable.filterColumn)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val triples = filters.flatMap(GraftSparkTable.statFilterOf)
+        val touched = triples.map(f => t.StatFilter(f._1, f._2, f._3))
+        // whole-file drops are provable only when EVERY conjunct is a
+        // stat-expressible equality — else stats can't cover the
+        // residual and every candidate rewrites
+        val eqProofs =
+          if (filters.forall(f => f.isInstanceOf[EqualTo] ||
+                f.isInstanceOf[org.apache.spark.sql.sources.EqualNullSafe]) &&
+              triples.size == filters.size &&
+              triples.forall(_._2 == "="))
+            triples.map(f => (f._1, f._3))
+          else Seq.empty
+        t.commitStagedOverwrite(staging, cond, touched,
+          eqProofs = eqProofs, presorted = presorted)
+      case GraftWriteMode.DynamicPartitions =>
+        t.commitStagedDynamicOverwrite(staging, presorted = presorted)
+    }
+  }
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =

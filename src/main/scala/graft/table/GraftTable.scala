@@ -246,36 +246,43 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * populated (BatchWrite) and snapshot it. Partition-spec'd tables
     * route the staged rows back through the partitioning write path
     * (transform columns + partition dirs), then drop the stage. */
-  private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
-      summaryExtra: Map[String, String] = Map.empty,
-      presorted: Boolean = false, branch: String = "main"): Unit = {
-    val m = meta
-    // executors already partition-routed the staged files (the V2
-    // write's clustered distribution + per-row transforms), so a plain
-    // ingest suffices. Re-cluster through the driver path only when
-    // the layout demands it: sort-ordered tables (range-partitioned
-    // sort is a write-side layout the row-router doesn't produce), or
-    // a spec'd table whose staged files are NOT in partition dirs
-    // (a writer that bypassed the partition routing).
+  /** Ingest a V2-staged directory into the data dir and return the
+    * manifest entries — shared by every staged commit flavor.
+    * Executors already partition-routed the staged files (the V2
+    * write's clustered distribution + per-row transforms), so a plain
+    * ingest suffices. Re-cluster through the driver path only when
+    * the layout demands it: sort-ordered tables (range-partitioned
+    * sort is a write-side layout the row-router doesn't produce), or
+    * a spec'd table whose staged files are NOT in partition dirs
+    * (a writer that bypassed the partition routing). `presorted`
+    * means the V2 write declared the sort order as its required
+    * distribution+ordering, so the staged files are already
+    * range-clustered — re-reading them through writeFiles would just
+    * double the write IO. */
+  private def ingestStagedForCommit(staging: HPath,
+      m: Meta.TableMetadata, presorted: Boolean): Seq[Meta.DataFile] = {
     val staged = TableIO.listFilesRecursive(staging)
       .filter(_._1.getName.endsWith(".parquet"))
     val routed = m.spec.isEmpty ||
       staged.forall(f => TableIO.relativize(staging, f._1).contains("="))
-    // presorted: the V2 write declared the sort order as its required
-    // distribution+ordering, so the staged files are already
-    // range-clustered — re-reading them through writeFiles would just
-    // double the write IO
-    val files =
-      if ((m.sortOrder.isEmpty || presorted) && routed)
-        ingestStaged(staging, m.schema, m.defaultSpecId)
-      else {
-        val stagedPaths = TableIO.listFilesRecursive(staging)
-          .filter(_._1.getName.endsWith(".parquet")).map(_._1.toString)
-        val out = writeFiles(
+    if ((m.sortOrder.isEmpty || presorted) && routed)
+      ingestStaged(staging, m.schema, m.defaultSpecId)
+    else {
+      val stagedPaths = staged.map(_._1.toString)
+      val out =
+        if (stagedPaths.isEmpty) Seq.empty
+        else writeFiles(
           idRead.schema(m.schema).parquet(stagedPaths: _*), m.schema)
-        TableIO.delete(staging, recursive = true)
-        out
-      }
+      TableIO.delete(staging, recursive = true)
+      out
+    }
+  }
+
+  private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
+      summaryExtra: Map[String, String] = Map.empty,
+      presorted: Boolean = false, branch: String = "main"): Unit = {
+    val m = meta
+    val files = ingestStagedForCommit(staging, m, presorted)
     // an overwrite truncates the TARGET ref's live set — a branch
     // overwrite must not list main's files as removed
     val base = if (branch == "main") None else m.refs.get(branch)
@@ -285,6 +292,70 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         summaryExtra = summaryExtra, branch = branch)
     else commit("append", files, Seq.empty, summaryExtra = summaryExtra,
       branch = branch)
+  }
+
+  /** `INSERT OVERWRITE t PARTITION (...)` / OverwriteByExpression in
+    * ONE snapshot: candidate files (manifest-pruned by `touched`)
+    * whose rows may match the predicate are rewritten keeping only
+    * the NON-matching rows (three-valued: NULL-predicate rows are
+    * kept, same as DELETE), the staged new data is added, and the
+    * candidates are removed — readers see the old content or the
+    * full replacement, never a mix. A filter aligned to partition
+    * boundaries prunes to whole-file drops with no rewrite IO. */
+  private[graft] def commitStagedOverwrite(staging: HPath,
+      predicate: Column, touched: Seq[StatFilter],
+      eqProofs: Seq[(String, String)] = Seq.empty,
+      presorted: Boolean = false): Unit = this.synchronized {
+    val m = meta
+    val files = ingestStagedForCommit(staging, m, presorted)
+    val candidates = plannedFiles(touched)
+    // metadata-only whole-file drops: when the WHOLE predicate is a
+    // conjunction of equalities (eqProofs non-empty only then), a file
+    // whose stats prove min = max = v with zero nulls on every proof
+    // column matches on every row — dropping it needs no read. This
+    // is what makes `INSERT OVERWRITE ... PARTITION (day=X)` on an
+    // identity-partitioned table IO-proportional to the NEW data,
+    // never to the replaced partition (the reference's overwrite
+    // validation prunes the same way).
+    def fullyMatches(f: Meta.DataFile): Boolean =
+      eqProofs.nonEmpty && eqProofs.forall { case (c, v) =>
+        !m.statsUnprunable.contains(c) &&
+          f.stats.get(c).exists(s =>
+            s.min == v && s.max == v && s.nullCount == 0 &&
+              s.min != null && s.max != null)
+      }
+    val (dropped, rewrite) = candidates.partition(fullyMatches)
+    val seqByPath = m.liveFilesWithSeq(None).map { case (f, q) => f.path -> q }.toMap
+    val kept =
+      if (rewrite.isEmpty) Seq.empty
+      else writeFiles(
+        readWithDeletes(rewrite.map(f => (f, seqByPath(f.path))),
+          m.liveDeleteFilesWithSeq(None), m.schema)
+          .filter(!coalesce(predicate, lit(false))), m.schema)
+    commit("overwrite", files ++ kept,
+      (dropped ++ rewrite).map(_.path),
+      requireLive = (dropped ++ rewrite).map(_.path))
+  }
+
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`):
+    * replace exactly the partitions the incoming data touches — the
+    * daily re-materialization workhorse. The staged files arrived
+    * partition-routed, so the touched partition set is read off their
+    * manifest entries; live files of the CURRENT spec with matching
+    * partition values are dropped whole (no rewrite IO), files of
+    * older specs are untouched (their routing is not comparable). */
+  private[graft] def commitStagedDynamicOverwrite(staging: HPath,
+      presorted: Boolean = false): Unit = this.synchronized {
+    val m = meta
+    require(m.spec.nonEmpty,
+      "dynamic partition overwrite targets a partitioned table")
+    val files = ingestStagedForCommit(staging, m, presorted)
+    val touchedParts = files.map(_.partitionValues).toSet
+    val removed = m.liveFiles(None)
+      .filter(f => f.specId == m.defaultSpecId &&
+        touchedParts.contains(f.partitionValues))
+      .map(_.path)
+    commit("overwrite", files, removed, requireLive = removed)
   }
 
   /** Commit a group replacement (the V2 row-level-operation path: SQL
