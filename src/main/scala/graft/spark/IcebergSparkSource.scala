@@ -144,7 +144,35 @@ class IcebergSparkTable(location: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.MICRO_BATCH_READ)
+
+  /** The default spec's transforms in V2 terms — analyzer metadata:
+    * what makes `INSERT OVERWRITE ... PARTITION (col=...)` resolve
+    * and DESCRIBE show the layout. Unknown transform strings are
+    * omitted (sound: the clause on them is refused, nothing lies). */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val m = ice
+    m.specs.find(_.specId == m.defaultSpecId).map(_.fields)
+      .getOrElse(Seq.empty)
+      .flatMap { pf =>
+        m.schema.fields.find(_.id == pf.sourceId).map(_.name).flatMap { c =>
+          pf.transform match {
+            case "identity" => Some(Expressions.identity(c))
+            case t if t.startsWith("bucket[") =>
+              Some(Expressions.bucket(
+                t.stripPrefix("bucket[").stripSuffix("]").toInt, c))
+            case "year" => Some(Expressions.years(c))
+            case "month" => Some(Expressions.months(c))
+            case "day" => Some(Expressions.days(c))
+            case "hour" => Some(Expressions.hours(c))
+            case _ => None
+          }
+        }
+      }.toArray
+  }
 
   /** Row-address metadata columns (_file, _pos) — the delta row id,
     * same pair Iceberg's own Spark integration exposes. */
@@ -200,22 +228,54 @@ class IcebergSparkTable(location: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwriteAll = false
+      private var byFilter: Option[Seq[org.apache.spark.sql.sources.Filter]] = None
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
         overwriteAll = true; this
+      }
+      /** Untranslatable conditions fail fast — never a silent
+        * whole-table truncate (same contract as the graft dialect). */
+      override def canOverwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+        filters.forall(f => GraftSparkTable.filterColumn(f).isDefined)
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        if (filters.isEmpty || filters.forall(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          overwriteAll = true
+        else byFilter = Some(filters.toSeq)
+        this
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-              if (overwriteAll)
-                graft.table.iceberg.IcebergWrite.overwrite(
-                  data.sparkSession, location, data)
-              else
-                graft.table.iceberg.IcebergWrite.append(
-                  data.sparkSession, location, data)
+              import org.apache.spark.sql.functions.lit
+              byFilter match {
+                case Some(filters) =>
+                  val cond = filters.flatMap(GraftSparkTable.filterColumn)
+                    .reduceOption(_ && _).getOrElse(lit(true))
+                  val triples = filters.flatMap(GraftSparkTable.statFilterOf)
+                  val eqProofs =
+                    if (filters.forall(f =>
+                        f.isInstanceOf[org.apache.spark.sql.sources.EqualTo] ||
+                        f.isInstanceOf[org.apache.spark.sql.sources.EqualNullSafe]) &&
+                        triples.size == filters.size &&
+                        triples.forall(_._2 == "="))
+                      triples.map(f => (f._1, f._3))
+                    else Seq.empty
+                  graft.table.iceberg.IcebergWrite.overwriteWhere(
+                    data.sparkSession, location, data, cond, triples, eqProofs)
+                case None if overwriteAll =>
+                  graft.table.iceberg.IcebergWrite.overwrite(
+                    data.sparkSession, location, data)
+                case None =>
+                  graft.table.iceberg.IcebergWrite.append(
+                    data.sparkSession, location, data)
+              }
             }
         }
     }

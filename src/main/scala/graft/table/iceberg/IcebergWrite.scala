@@ -183,10 +183,15 @@ object IcebergWrite {
     * data/, and collect their footer stats. Base-independent — commit
     * retries reuse the staged files and only re-run the manifest
     * assembly. */
-  private def stageData(spark: SparkSession,
+  /** The distributed staged WRITE of an append-shaped DataFrame
+    * (footer ids re-attached, sort-order clustering, partition-dir
+    * routing) — shared by stageData (which then ingests into data/)
+    * and overwriteWhere (whose ingest is commitReplaceFiles). Returns
+    * the staging dir, laid out as `_p_<field>=<value>` partition dirs
+    * when the table has a spec. */
+  private def writeStagedDir(spark: SparkSession,
       m: IcebergMetadata.IceMetadata, df: DataFrame,
-      numPartitions: Option[Int])
-      : (Seq[(HPath, Long, Seq[String])], Map[String, FileStats]) = {
+      numPartitions: Option[Int]): HPath = {
     val location = m.location
     val schema = m.schema
     val sparkSchema = schema.toSpark
@@ -263,6 +268,19 @@ object IcebergWrite {
           .parquet(staging.toString)
       }
     } }
+    staging
+  }
+
+  private def stageData(spark: SparkSession,
+      m: IcebergMetadata.IceMetadata, df: DataFrame,
+      numPartitions: Option[Int])
+      : (Seq[(HPath, Long, Seq[String])], Map[String, FileStats]) = {
+    val location = m.location
+    val schema = m.schema
+    val sparkSchema = schema.toSpark
+    val spec = m.specs.find(_.specId == m.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    val staging = writeStagedDir(spark, m, df, numPartitions)
     val dataDir = TableIO.path(location, "data")
     TableIO.mkdirs(dataDir)
     // files FLATTEN into data/ — Iceberg carries partition values in
@@ -769,6 +787,43 @@ object IcebergWrite {
         refs = mNew.refs + ("main" -> snap.snapshotId))
     }
     ()
+  }
+
+  /** OverwriteByExpression on a REAL-format table (`INSERT OVERWRITE
+    * ... PARTITION` / `REPLACE WHERE` through the V1 write bridge):
+    * ONE commit — candidates manifest-pruned by the filter; files
+    * whose stats prove every row matches the all-equality filter
+    * (min = max = v, zero nulls) drop METADATA-ONLY with no read;
+    * partially-matching files rewrite keeping NULL-predicate rows
+    * (3VL, same as DELETE); the new data appends. Over a REST catalog
+    * the commit rides the update-table protocol. */
+  def overwriteWhere(spark: SparkSession, location: String, df: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      touched: Seq[(String, String, String)],
+      eqProofs: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val t = IcebergTable.load(spark, location)
+    val base = t.meta
+    val cands = t.plannedFiles(None, touched)
+    def fullyMatches(stats: Map[String, graft.table.Meta.ColStats]): Boolean =
+      eqProofs.nonEmpty && eqProofs.forall { case (c, v) =>
+        stats.get(c).exists(s =>
+          s.min != null && s.max != null &&
+            s.min == v && s.max == v && s.nullCount == 0)
+      }
+    val (dropped, partial) = cands.partition(c => fullyMatches(c._2))
+    // a metadata-only drop is sound under outstanding MoR deletes:
+    // every visible row of a fully-matching file matches, and its
+    // already-deleted rows are invisible either way
+    val kept =
+      if (partial.isEmpty) df
+      else df.unionByName(
+        t.readVisible(base.schema, partial.map(c => (c._1, c._3)),
+          t.deleteEntries(None))
+          .filter(!coalesce(predicate, lit(false))))
+    val staging = writeStagedDir(spark, base, kept, None)
+    commitReplaceFiles(spark, location, staging,
+      (dropped ++ partial).map(_._1.filePath).toSet)
   }
 
   private def replaceContent(spark: SparkSession, location: String,

@@ -82,6 +82,62 @@ class OverwriteModesSpec extends AnyFunSuite {
     assert(m.snapshots.size === before.snapshots.size + 1)
   }
 
+  test("real-format table: static partition overwrite, metadata-only drop") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = s"$wh/db/ice_ow"
+    graft.table.iceberg.IcebergWrite.createWithSpec(spark, loc,
+      Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (10L, "d2", 10.0),
+        (20L, "d3", 20.0)).toDF("k", "day", "v"),
+      Seq(("day", "identity")))
+    val before = graft.table.iceberg.IcebergMetadata.load(loc)
+    spark.sql("INSERT OVERWRITE owm.db.ice_ow PARTITION (day='d2') " +
+      "VALUES (100, 100.0)")
+    assert(rows("ice_ow") ===
+      Seq((1L, "d1"), (2L, "d1"), (20L, "d3"), (100L, "d2")))
+    val m = graft.table.iceberg.IcebergMetadata.load(loc)
+    assert(m.snapshots.size === before.snapshots.size + 1)
+    // pre-overwrite snapshot still serves the old d2
+    val pre = before.currentSnapshotId.get
+    assert(spark.sql(s"SELECT k FROM owm.db.ice_ow VERSION AS OF $pre " +
+      "WHERE day = 'd2'").collect().map(_.getLong(0)).toSeq === Seq(10L))
+    // REPLACE WHERE with a non-aligned filter keeps non-matching rows
+    spark.sql("INSERT INTO owm.db.ice_ow REPLACE WHERE k >= 20 " +
+      "VALUES (500, 'd9', 5.0)")
+    assert(rows("ice_ow") ===
+      Seq((1L, "d1"), (2L, "d1"), (500L, "d9")))
+  }
+
+  test("REST table: REPLACE WHERE rides the protocol commit") {
+    val rwh = java.nio.file.Files.createTempDirectory("graft-ow-rest").toString
+    val server = new graft.table.iceberg.IcebergRestServer(rwh).start()
+    val base = s"http://127.0.0.1:${server.port}"
+    try {
+      spark.conf.set("spark.sql.catalog.owr", "graft.spark.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.owr.uri", base)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS owr.db")
+      spark.sql("CREATE TABLE owr.db.t (k BIGINT, day STRING) " +
+        "PARTITIONED BY (identity(day))")
+      spark.sql("INSERT INTO owr.db.t VALUES (1,'d1'),(10,'d2'),(20,'d3')")
+      spark.sql("INSERT OVERWRITE owr.db.t PARTITION (day='d2') VALUES (99)")
+      val got = spark.sql("SELECT k, day FROM owr.db.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((1L, "d1"), (20L, "d3"), (99L, "d2")))
+      // the swap was a protocol commit on the same table, not a
+      // drop+create: one more snapshot on the same uuid
+      val loc = graft.table.iceberg.IcebergRestClient
+        .tableRootOf(base, "db", "t").get
+      val m = graft.table.iceberg.IcebergMetadata.load(loc)
+      assert(m.snapshots.size === 2)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.owr")
+      spark.conf.unset("spark.sql.catalog.owr.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(base)
+      server.stop()
+    }
+  }
+
   test("overwrite by filter is one snapshot: old or new, never a mix") {
     val root = mkDays("atomic")
     val preSnap = graft.table.Meta.load(root).currentSnapshotId.get
