@@ -666,6 +666,94 @@ class ModelCheckSpec extends AnyFunSuite {
     runNamespaceSequence(61L, 40)
   }
 
+  /** Overwrite-mode plane (round 13): random interleavings of INSERT,
+    * static partition overwrite, dynamic partition overwrite, REPLACE
+    * WHERE, and DELETE against an identity-partitioned catalog table,
+    * mirrored in a model keyed by row id — the partition algebra the
+    * V2 SupportsOverwrite/SupportsDynamicOverwrite paths implement. */
+  private def runOverwriteSequence(seed: Long, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft-ow-model-$seed").toString
+    val cat = s"owf${seed}_${java.util.UUID.randomUUID().toString.take(4)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, day STRING, v BIGINT) " +
+        "PARTITIONED BY (identity(day))")
+      val days = Seq("d1", "d2", "d3", "d4")
+      var model = Map.empty[Long, (String, Long)] // k -> (day, v)
+      var nextK = 1L
+      def freshRows(n: Int, day: Option[String]): Seq[(Long, String, Long)] =
+        (1 to n).map { _ =>
+          val k = nextK; nextK += 1
+          (k, day.getOrElse(days(rnd.nextInt(days.size))), k * 100)
+        }
+      def values(rs: Seq[(Long, String, Long)]): String =
+        rs.map { case (k, d, v) => s"($k, '$d', $v)" }.mkString(", ")
+      def check(tag: String): Unit = {
+        val got = spark.sql(s"SELECT k, day, v FROM $cat.db.t ORDER BY k")
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        assert(got.toMap === model && got.length === model.size,
+          s"seed=$seed op=$tag diverged:\n got=${got.toSeq.sortBy(_._1)}\n " +
+            s"want=${model.toSeq.sortBy(_._1)}")
+      }
+      for (i <- 1 to nOps) {
+        rnd.nextInt(6) match {
+          case 0 | 1 => // plain INSERT
+            val rs = freshRows(1 + rnd.nextInt(3), None)
+            spark.sql(s"INSERT INTO $cat.db.t VALUES ${values(rs)}")
+            rs.foreach { case (k, d, v) => model += k -> ((d, v)) }
+          case 2 => // static partition overwrite
+            val d = days(rnd.nextInt(days.size))
+            val rs = freshRows(1 + rnd.nextInt(2), Some(d))
+            spark.sql(s"INSERT OVERWRITE $cat.db.t PARTITION (day='$d') " +
+              "VALUES " + rs.map { case (k, _, v) => s"($k, $v)" }.mkString(", "))
+            model = model.filterNot(_._2._1 == d)
+            rs.foreach { case (k, dd, v) => model += k -> ((dd, v)) }
+          case 3 => // dynamic partition overwrite: random touched set
+            val rs = freshRows(1 + rnd.nextInt(3), None)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try spark.sql(s"INSERT OVERWRITE $cat.db.t VALUES ${values(rs)}")
+            finally spark.conf
+              .unset("spark.sql.sources.partitionOverwriteMode")
+            val touched = rs.map(_._2).toSet
+            model = model.filterNot { case (_, (d, _)) => touched.contains(d) }
+            rs.foreach { case (k, d, v) => model += k -> ((d, v)) }
+          case 4 if model.nonEmpty => // REPLACE WHERE on a key range
+            val ks = model.keys.toSeq.sorted
+            val cut = ks(rnd.nextInt(ks.size))
+            val rs = freshRows(1, None)
+            spark.sql(s"INSERT INTO $cat.db.t REPLACE WHERE k >= $cut " +
+              s"VALUES ${values(rs)}")
+            model = model.filter(_._1 < cut)
+            rs.foreach { case (k, d, v) => model += k -> ((d, v)) }
+          case 5 if model.nonEmpty => // DELETE one key
+            val ks = model.keys.toSeq.sorted
+            val k = ks(rnd.nextInt(ks.size))
+            spark.sql(s"DELETE FROM $cat.db.t WHERE k = $k")
+            model -= k
+          case _ => // fall through to INSERT when guards fail
+            val rs = freshRows(1, None)
+            spark.sql(s"INSERT INTO $cat.db.t VALUES ${values(rs)}")
+            rs.foreach { case (k, d, v) => model += k -> ((d, v)) }
+        }
+        check(s"#$i")
+      }
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("overwrite-mode random sequences agree with the model (seed 5)") {
+    runOverwriteSequence(5L, 24)
+  }
+  test("overwrite-mode random sequences agree with the model (seed 47)") {
+    runOverwriteSequence(47L, 24)
+  }
+
   test("table REST-protocol random sequences agree with the model (seed 3)") {
     runTableRestSequence(3L, 25)
   }
