@@ -1065,6 +1065,19 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         val root = tableRoot(ns, t)
         if (!IcebergTable.exists(root)) notFound(ex)
         else {
+          // a staged-created table's data lives at the dot-hidden
+          // location its stage-create chose; DROP removes that too —
+          // but ONLY provably server-created staged storage (a
+          // `.stage-` dir directly under this namespace), never a
+          // register_table'd external location
+          val loc = scala.util.Try(
+            IcebergMetadata.load(root).location).toOption
+          loc.map(TableIO.path(_)).filter { p =>
+            p.getName.startsWith(".stage-") &&
+              p.getParent != null &&
+              p.getParent.toUri.getPath == nsRoot(ns).toUri.getPath &&
+              p.toUri.getPath != TableIO.path(root).toUri.getPath
+          }.foreach(TableIO.delete(_, recursive = true))
           TableIO.delete(TableIO.path(root), recursive = true)
           reply(ex, 204, Array.empty)
         }

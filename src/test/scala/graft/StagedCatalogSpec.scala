@@ -292,6 +292,15 @@ class StagedCatalogSpec extends AnyFunSuite {
       assert(!C.commitStagedCreate(base, "db", "mid", staged2))
       // the winner's shape serves
       assert(spark.table("stgr.db.mid").columns.toSeq === Seq("x"))
+      // DROP removes the published table's staged storage too (its
+      // data lives at the dot-hidden location stage-create chose);
+      // the loser's un-aborted staged dir is untouched — it belongs
+      // to a creator that may still abort it
+      spark.sql("DROP TABLE stgr.db.mid")
+      assert(!new java.io.File(stagedRoot).exists(),
+        s"published staged storage leaked past DROP: $stagedRoot")
+      assert(new java.io.File(staged2).exists(),
+        "DROP must not touch another creator's staged dir")
     } finally {
       spark.conf.unset("spark.sql.catalog.stgr")
       spark.conf.unset("spark.sql.catalog.stgr.uri")
