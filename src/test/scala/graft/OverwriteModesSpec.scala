@@ -138,6 +138,28 @@ class OverwriteModesSpec extends AnyFunSuite {
     }
   }
 
+  test("real-format dynamic overwrite is refused loudly, not mis-run") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = s"$wh/db/ice_dyn"
+    graft.table.iceberg.IcebergWrite.createWithSpec(spark, loc,
+      Seq((1L, "d1")).toDF("k", "day"), Seq(("day", "identity")))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // dynamic overwrite needs a V2 batch write; the interop table
+      // writes through the V1 bridge — the statement must fail at
+      // analysis (no capability), never fall back to a full truncate
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE owm.db.ice_dyn VALUES (9, 'd9')")
+      }
+      assert(e.getMessage.contains("dynamic overwrite"),
+        s"unexpected failure shape: ${e.getMessage.take(200)}")
+      assert(spark.sql("SELECT k FROM owm.db.ice_dyn").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L), "table must be untouched")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("overwrite by filter is one snapshot: old or new, never a mix") {
     val root = mkDays("atomic")
     val preSnap = graft.table.Meta.load(root).currentSnapshotId.get
