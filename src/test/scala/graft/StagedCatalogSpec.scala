@@ -139,6 +139,32 @@ class StagedCatalogSpec extends AnyFunSuite {
     assert(spark.table("stg.db.rpart").count() === 100)
   }
 
+  test("concurrent RTAS: the second staged replace refuses cleanly") {
+    wh
+    spark.sql("CREATE TABLE stg.db.race AS SELECT id FROM range(5)")
+    val cat = spark.sessionState.catalogManager.catalog("stg")
+      .asInstanceOf[graft.spark.GraftTableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "race")
+    def stage(colName: String) = cat.stageReplace(ident,
+      new org.apache.spark.sql.types.StructType()
+        .add(colName, org.apache.spark.sql.types.LongType),
+      Array.empty, new java.util.HashMap[String, String]())
+    // both replaces staged against the same base; the first commit
+    // moves the field-id watermark, so the second must refuse rather
+    // than risk reusing ids it allocated against stale history
+    val s1 = stage("a")
+    val s2 = stage("b")
+    s1.commitStagedChanges()
+    intercept[java.util.ConcurrentModificationException] {
+      s2.commitStagedChanges()
+    }
+    assert(spark.table("stg.db.race").columns.toSeq === Seq("a"))
+    // the loser's abort leaves the winner untouched
+    s2.abortStagedChanges()
+    assert(spark.table("stg.db.race").columns.toSeq === Seq("a"))
+  }
+
   test("staging dirs are invisible to listings while a CTAS is in flight") {
     wh
     // stage directly through the catalog API (mid-flight state)
