@@ -138,6 +138,23 @@ class OverwriteModesSpec extends AnyFunSuite {
     }
   }
 
+  test("DataFrameWriterV2 overwrite(condition) rides the same one-snapshot path") {
+    val root = mkDays("wt")
+    val spark0 = spark
+    import spark0.implicits._
+    Seq((700L, "d2", 7.0)).toDF("k", "day", "v")
+      .writeTo("owm.db.wt").overwrite($"day" === "d2")
+    assert(rows("wt") ===
+      Seq((1L, "d1"), (2L, "d1"), (20L, "d3"), (700L, "d2")))
+    val m = graft.table.Meta.load(root)
+    assert(m.snapshots.last.operation === "overwrite")
+    // overwritePartitions() is the dynamic mode through the V2 API
+    Seq((800L, "d3", 8.0)).toDF("k", "day", "v")
+      .writeTo("owm.db.wt").overwritePartitions()
+    assert(rows("wt") ===
+      Seq((1L, "d1"), (2L, "d1"), (700L, "d2"), (800L, "d3")))
+  }
+
   test("real-format dynamic overwrite is refused loudly, not mis-run") {
     wh
     val spark0 = spark
