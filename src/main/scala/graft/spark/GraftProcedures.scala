@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import graft.table.{GraftTable, Meta}
+import graft.table.{GraftTable, Meta, TableIO}
 
 /** SQL stored procedures for table maintenance — `CALL cat.system.X(...)`
   * on Spark 4's ProcedureCatalog API. This is how every engine exposes
@@ -204,6 +204,74 @@ object GraftProcedures {
           IcebergMaintenance.removeOrphanFiles(
             SparkSession.active, loc, in.getLong(1), in.getBoolean(2))
             .map(p => row(utf8(p)))
+      },
+
+      // The one crash residue remove_orphan_files can't reach: a hard
+      // JVM kill mid-CTAS leaves the staged table at a NAMESPACE-level
+      // dot-hidden `.stage-<name>-*` dir (GraftStagedTables.scala /
+      // the REST protocol's stage-create, create.rs:59) — invisible
+      // to listings, owned by no table, so the sweep is scoped by
+      // namespace rather than table.
+      new GraftProcedure("remove_orphan_staging",
+        "List (dry_run) or delete abandoned namespace-level .stage-* " +
+          "staging dirs left by a crashed CTAS, once every file in " +
+          "them is older than older_than_ms. Staging dirs a live " +
+          "table still references as its location (published REST " +
+          "staged creates) are never touched.",
+        Array(
+          ProcedureParameter.in("namespace", StringType)
+            .comment("namespace, e.g. 'db' or 'a.b'").build(),
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue("3600000").build(),
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(StructField("orphan_dir", StringType))),
+        loadTable) {
+        private val out =
+          StructType(Seq(StructField("orphan_dir", StringType)))
+        override def call(in: InternalRow): java.util.Iterator[Scan] = {
+          val parts = in.getUTF8String(0).toString
+            .split('.').toSeq.filter(_.nonEmpty)
+          require(parts.nonEmpty, "namespace required")
+          val (nsDir, live) = restBase match {
+            case Some(base) =>
+              // published staged-creates keep their DATA at the
+              // .stage-* dir their stage-create chose (the metadata
+              // skeleton lives at the conventional root; its location
+              // field points at the staged dir) — resolve every table
+              // in the namespace and protect root AND location
+              val ns = parts.mkString("\u001F")
+              val roots0 = graft.table.iceberg.IcebergRestClient
+                .listTables(base, ns)
+                .flatMap(t => graft.table.iceberg.IcebergRestClient
+                  .tableRootOf(base, ns, t))
+              val roots = roots0 ++ roots0.flatMap(r =>
+                scala.util.Try(
+                  graft.table.iceberg.IcebergMetadata.load(r).location)
+                  .toOption)
+              val dir =
+                if (warehouse != null && warehouse.nonEmpty)
+                  (warehouse +: parts).mkString("/")
+                else roots0.find(r => !TableIO.path(r).getName
+                    .startsWith(".stage-"))
+                  .map(r => TableIO.path(r).getParent.toString)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"cannot locate namespace ${parts.mkString(".")} on " +
+                      "shared storage: configure the catalog's " +
+                      "'warehouse' or keep at least one non-staged " +
+                      "table in the namespace"))
+              (dir, roots.toSet)
+            case None =>
+              // warehouse mode publishes by RENAME, so a .stage-* dir
+              // under the namespace is never a live table location
+              ((warehouse +: parts).mkString("/"), Set.empty[String])
+          }
+          result(out, IcebergMaintenance.sweepStagedDirs(
+              nsDir, live, in.getLong(1), in.getBoolean(2))
+            .map(p => row(utf8(p))))
+        }
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          Seq.empty // unused: call() is overridden
       },
 
       new GraftProcedure("add_files",

@@ -34,9 +34,10 @@ import graft.table.{GraftTable, Meta, TableIO}
   * Crash cleanup: replace staging dirs live under the table root as
   * `stage-rtas-*`, which remove_orphan_files already sweeps; create
   * staging dirs are namespace-level `.stage-<name>-*` and are removed
-  * on commit or abort — after a hard JVM crash mid-CTAS, delete any
-  * stale `.stage-*` directory by hand (it is invisible to every
-  * listing, so leaking one costs only disk). */
+  * on commit or abort — after a hard JVM crash mid-CTAS,
+  * `CALL cat.system.remove_orphan_staging('<ns>')` sweeps the stale
+  * dir once it ages past the threshold (it is invisible to every
+  * listing in the meantime, so leaking one costs only disk). */
 class GraftStagedCreateTable(stagingRoot: String, finalPath: String,
     ident: Identifier, orReplace: Boolean)
   extends GraftSparkTable(stagingRoot) with StagedTable {
@@ -55,8 +56,24 @@ class GraftStagedCreateTable(stagingRoot: String, finalPath: String,
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
       }
-      // CREATE OR REPLACE racing a table that appeared after staging:
-      // replace semantics — the existing object gives way
+      // CREATE OR REPLACE racing an object that appeared after
+      // staging: replace semantics — the existing object gives way.
+      // When the late arrival is a graft TABLE, give way through
+      // replaceTable's ONE metadata commit (readers see old content
+      // or new, never a missing table, and its history stays
+      // time-travelable); the rewrite re-stamps the staged rows with
+      // field ids the incumbent has never used. Views and foreign
+      // tables still give way by delete-then-rename — a cross-
+      // dialect swap is not expressible as a metadata commit.
+      if (Meta.exists(finalPath) && Meta.isGraftDialect(finalPath)) {
+        val spark = SparkSession.active
+        val sm = Meta.load(stagingRoot)
+        val df = spark.read.format("graft").load(stagingRoot)
+        GraftTable.load(spark, finalPath)
+          .replaceTableFromDf(df, sm.spec, sm.properties)
+        TableIO.delete(src, recursive = true)
+        return
+      }
       TableIO.delete(dst, recursive = true)
     }
     try TableIO.rename(src, dst)
@@ -143,20 +160,25 @@ class GraftStagedReplaceTable(root: String, ident: Identifier,
 }
 
 /** Staged REPLACE on a REAL-format Iceberg table (adopted warehouse
-  * tables and every REST-catalog table): the V1Write bridge hands the
-  * planned DataFrame to IcebergWrite.replaceTable, which stages the
-  * new content invisibly and publishes schema + spec + properties +
-  * 'replace' snapshot in ONE metadata commit — and over a REST
-  * catalog that commit rides the update-table protocol, so the swap
-  * is CAS'd server-side too. A REPLACE TABLE without AS SELECT never
-  * writes; commitStagedChanges then runs the same commit with empty
+  * tables and every REST-catalog table): the V1Write bridge STAGES
+  * the planned DataFrame's content — data files land in data/
+  * unreferenced, invisible to every reader — and only
+  * `commitStagedChanges` publishes schema + spec + properties +
+  * 'replace' snapshot in ONE metadata commit; over a REST catalog
+  * that commit rides the update-table protocol, so the swap is CAS'd
+  * server-side too. A failure anywhere between the write and the
+  * staged commit therefore rolls back: `abortStagedChanges` deletes
+  * the staged files and no protocol commit was ever issued. A
+  * REPLACE TABLE without AS SELECT never writes;
+  * commitStagedChanges then runs the same commit with empty
   * content. */
 class IcebergStagedReplaceTable(location: String, ident: Identifier,
     newSchema: StructType, partitions: Seq[(String, String)],
     props: Map[String, String])
   extends Table with StagedTable with SupportsWrite {
 
-  @volatile private var replaced = false
+  @volatile private var staged
+      : Option[graft.table.iceberg.IcebergWrite.StagedReplace] = None
 
   override def name(): String = ident.toString
   override def schema(): StructType = newSchema
@@ -173,25 +195,24 @@ class IcebergStagedReplaceTable(location: String, ident: Identifier,
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-              graft.table.iceberg.IcebergWrite.replaceTable(
-                data.sparkSession, location, data, partitions, props)
-              replaced = true
+              staged = Some(graft.table.iceberg.IcebergWrite
+                .stageReplaceTable(
+                  data.sparkSession, location, data, partitions, props))
             }
         }
     }
 
-  override def commitStagedChanges(): Unit =
-    if (!replaced) {
+  override def commitStagedChanges(): Unit = staged match {
+    case Some(s) => s.commit()
+    case None =>
       val spark = SparkSession.active
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
       graft.table.iceberg.IcebergWrite.replaceTable(
         spark, location, empty, partitions, props)
-    }
+  }
 
-  // nothing published: replaceTable's staging lives under the table
-  // root and unreferenced files are remove_orphan_files territory
-  override def abortStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = staged.foreach(_.abort())
 }
 
 /** REST staged create (the protocol's stage-create flag,

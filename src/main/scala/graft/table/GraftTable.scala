@@ -525,6 +525,41 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * `baseMaxFieldId`; if any concurrent commit allocated ids past
     * that base, this replace is refused rather than risking an id
     * collision with a column it never saw. */
+  /** DataFrame-level REPLACE TABLE AS SELECT: allocates fresh field
+    * ids above this table's watermark, writes `df` with those ids in
+    * the footers (partition-routed by the NEW spec), and swaps the
+    * whole table state through `replaceTable`'s one-commit path. The
+    * vehicle for replaces whose content arrives as a frame rather
+    * than a V2-staged directory — e.g. a CREATE OR REPLACE that lost
+    * its create race and must give way WITHOUT a delete-then-rename
+    * missing-table window. Rewrites the content once (the price of
+    * re-stamping the footers with ids this table has never used). */
+  private[graft] def replaceTableFromDf(df: DataFrame,
+      newSpec: Seq[Meta.PartitionField],
+      newProps: Map[String, String]): Unit = {
+    val base = Meta.maxFieldId(meta.schemas.values)
+    val newSchema = Meta.withFieldIds(Meta.stripFieldIds(df.schema), base + 1)
+    val staging = TableIO.path(root,
+      s"stage-rtas-${UUID.randomUUID().toString.take(8)}")
+    val withIds = df.select(df.columns.toSeq.map { c =>
+      newSchema.fields.find(_.name == c)
+        .map(f => col(c).as(c, f.metadata)).getOrElse(col(c))
+    }: _*)
+    val partNames = newSpec.map(_.name)
+    val withParts = newSpec.foldLeft(withIds)((acc, pf) =>
+      acc.withColumn(pf.name, transformCol(pf, newSchema)))
+    val writer =
+      if (newSpec.nonEmpty)
+        withParts.repartition(partNames.map(col): _*)
+          .write.partitionBy(partNames: _*)
+      else withParts.write
+    withMicrosTimestamps(withSessionConf(
+      "spark.sql.parquet.fieldId.write.enabled", "true") {
+      writer.parquet(staging.toString)
+    })
+    replaceTable(staging, newSchema, newSpec, newProps, base)
+  }
+
   private[graft] def replaceTable(staging: HPath, newSchema: StructType,
       newSpec: Seq[Meta.PartitionField], newProps: Map[String, String],
       baseMaxFieldId: Int): Unit = this.synchronized {

@@ -248,4 +248,34 @@ object IcebergMaintenance {
     (staleStaging ++ dataOrphans ++ staleAvro)
       .map(TableIO.relativize(rootPath, _))
   }
+
+  /** Sweep abandoned NAMESPACE-level `.stage-*` staging dirs — the
+    * residue of a hard crash mid-CTAS (both the local staged create
+    * and the REST protocol's stage-create build the table at a
+    * dot-hidden sibling of the final path; a clean commit or abort
+    * removes it, a killed JVM cannot). `liveLocations` protects dirs
+    * a LIVE table still points at: a REST staged-create that
+    * PUBLISHED keeps its data at the staged location forever (the
+    * set-location commit anchors it there), so those are not orphans.
+    * A dir is stale only when every file in it is older than the
+    * cutoff — an in-flight CTAS is still writing and stays younger.
+    * Returns the swept dir names (namespace-relative). */
+  def sweepStagedDirs(nsDir: String, liveLocations: Set[String],
+      olderThanMs: Long, dryRun: Boolean): Seq[String] = {
+    val dir = TableIO.path(nsDir)
+    if (!TableIO.isDirectory(dir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val live = liveLocations.map(l => TableIO.path(l).toUri.getPath)
+    val stale = TableIO.listDir(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".stage-"))
+      .filterNot(st => live.contains(st.getPath.toUri.getPath))
+      .filter { st =>
+        val entries = TableIO.listFilesRecursive(st.getPath)
+        if (entries.isEmpty) st.getModificationTime <= cutoff
+        else entries.forall(_._3 <= cutoff)
+      }
+      .map(_.getPath)
+    if (!dryRun) stale.foreach(TableIO.delete(_, recursive = true))
+    stale.map(_.getName).sorted
+  }
 }

@@ -734,7 +734,54 @@ object IcebergWrite {
     * it), so the swap is CAS'd server-side too. */
   def replaceTable(spark: SparkSession, location: String, df: DataFrame,
       partitions: Seq[(String, String)],
-      props: Map[String, String]): Unit = {
+      props: Map[String, String]): Unit =
+    stageReplaceTable(spark, location, df, partitions, props).commit()
+
+  /** A REPLACE TABLE staged but not yet published: the new content
+    * sits in data/ unreferenced (invisible to every reader), and the
+    * one metadata commit that swaps schema + spec + properties +
+    * content is deferred until `commit()`. `abort()` deletes the
+    * staged files and publishes nothing — this is what lets Spark's
+    * StagingTableCatalog contract hold for adopted/REST tables: a
+    * failure between the write and commitStagedChanges rolls back. */
+  final class StagedReplace private[iceberg] (
+      val location: String,
+      base: IcebergMetadata.IceMetadata,
+      install: IcebergMetadata.IceMetadata => IcebergMetadata.IceMetadata,
+      moved: Seq[(HPath, Long, Seq[String])],
+      stats: Map[String, FileStats]) {
+
+    def commit(): Unit = {
+      IcebergMetadata.commitRetry(location) { m =>
+        if (m.currentSnapshotId != base.currentSnapshotId ||
+            m.lastColumnId != base.lastColumnId ||
+            m.schemas.size != base.schemas.size)
+          throw new java.util.ConcurrentModificationException(
+            s"table at $location changed while REPLACE TABLE was " +
+              "writing its content; re-run the statement")
+        val mNew = install(m)
+        val snap0 = appendManifest(mNew, moved, stats)
+        val (snap, _) = soloManifestList(mNew, snap0, "replace")
+        mNew.copy(
+          lastSequenceNumber = snap.sequenceNumber,
+          currentSnapshotId = Some(snap.snapshotId),
+          snapshots = mNew.snapshots :+ snap,
+          refs = mNew.refs + ("main" -> snap.snapshotId))
+      }
+      ()
+    }
+
+    def abort(): Unit = moved.foreach(f => TableIO.delete(f._1))
+  }
+
+  /** Stage a REPLACE TABLE AS SELECT without publishing: computes the
+    * replacement schema/spec/properties, writes the new content under
+    * data/ unreferenced, and returns the handle whose `commit()` runs
+    * the single swap commit (CAS'd locally, or riding the update-table
+    * protocol for REST-managed roots). */
+  def stageReplaceTable(spark: SparkSession, location: String, df: DataFrame,
+      partitions: Seq[(String, String)],
+      props: Map[String, String]): StagedReplace = {
     val base = IcebergMetadata.load(location)
     val newSchemaId = base.schemas.map(_.schemaId).max + 1
     // fresh ids: strip anything the query's output schema inherited
@@ -768,25 +815,9 @@ object IcebergWrite {
         defaultSortOrderId = 0)
     // the staged data is written under the NEW schema/spec (ids in the
     // footers, routing by the new transforms) but stays unreferenced
-    // until the commit below lands
+    // until the handle's commit() lands
     val (moved, stats) = stageData(spark, install(base), df, None)
-    IcebergMetadata.commitRetry(location) { m =>
-      if (m.currentSnapshotId != base.currentSnapshotId ||
-          m.lastColumnId != base.lastColumnId ||
-          m.schemas.size != base.schemas.size)
-        throw new java.util.ConcurrentModificationException(
-          s"table at $location changed while REPLACE TABLE was " +
-            "writing its content; re-run the statement")
-      val mNew = install(m)
-      val snap0 = appendManifest(mNew, moved, stats)
-      val (snap, _) = soloManifestList(mNew, snap0, "replace")
-      mNew.copy(
-        lastSequenceNumber = snap.sequenceNumber,
-        currentSnapshotId = Some(snap.snapshotId),
-        snapshots = mNew.snapshots :+ snap,
-        refs = mNew.refs + ("main" -> snap.snapshotId))
-    }
-    ()
+    new StagedReplace(location, base, install, moved, stats)
   }
 
   /** OverwriteByExpression on a REAL-format table (`INSERT OVERWRITE

@@ -334,4 +334,244 @@ class StagedCatalogSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  private def ageDir(dir: java.io.File, ageMs: Long): Unit = {
+    val old = System.currentTimeMillis() - ageMs
+    def walk(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(walk)
+      f.setLastModified(old); ()
+    }
+    walk(dir)
+  }
+
+  test("remove_orphan_staging sweeps crashed namespace-level CTAS dirs") {
+    wh
+    // the residue of a hard JVM kill mid-CTAS: a namespace-level
+    // dot-hidden staged table dir nothing references
+    val crashed = new java.io.File(s"$wh/db/.stage-ghost-abc12345")
+    new java.io.File(crashed, "data").mkdirs()
+    java.nio.file.Files.writeString(
+      crashed.toPath.resolve("data/part-0.parquet"), "x")
+    ageDir(crashed, 7200000L)
+    // an in-flight CTAS: same shape, fresh mtimes — must survive
+    val inflight = new java.io.File(s"$wh/db/.stage-fresh-def67890")
+    new java.io.File(inflight, "data").mkdirs()
+    java.nio.file.Files.writeString(
+      inflight.toPath.resolve("data/part-0.parquet"), "y")
+
+    val dry = spark.sql(
+      "CALL stg.system.remove_orphan_staging('db', 3600000, true)")
+      .collect().map(_.getString(0)).toSeq
+    assert(dry === Seq(".stage-ghost-abc12345"))
+    assert(crashed.exists(), "dry_run must not delete")
+
+    val swept = spark.sql(
+      "CALL stg.system.remove_orphan_staging('db', 3600000, false)")
+      .collect().map(_.getString(0)).toSeq
+    assert(swept === Seq(".stage-ghost-abc12345"))
+    assert(!crashed.exists(), "crashed staging dir not removed")
+    assert(inflight.exists(), "in-flight staging dir must survive the sweep")
+    graft.table.TableIO.delete(
+      graft.table.TableIO.path(inflight.toString), recursive = true)
+  }
+
+  test("REST remove_orphan_staging spares published staged-create storage") {
+    val rwh = Files.createTempDirectory("graft-staged-sweep").toString
+    val server = new graft.table.iceberg.IcebergRestServer(rwh).start()
+    val base = s"http://127.0.0.1:${server.port}"
+    import graft.table.iceberg.{IcebergRestClient => C}
+    try {
+      spark.conf.set("spark.sql.catalog.stgsw", "graft.spark.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.stgsw.uri", base)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS stgsw.db")
+      // a non-staged table anchors namespace-dir derivation (the
+      // catalog has no warehouse configured in REST mode)
+      spark.sql("CREATE TABLE stgsw.db.anchor AS SELECT id FROM range(3)")
+      // loser: staged create whose creator crashed — never published
+      val lostRoot = C.createTableStaged(base, "db", "pub",
+        new org.apache.spark.sql.types.StructType()
+          .add("y", org.apache.spark.sql.types.LongType))
+      // winner: staged create, PUBLISHED — its data stays at the
+      // dot-hidden staged location forever
+      val winRoot = C.createTableStaged(base, "db", "pub",
+        new org.apache.spark.sql.types.StructType()
+          .add("x", org.apache.spark.sql.types.LongType))
+      assert(C.commitStagedCreate(base, "db", "pub", winRoot))
+      ageDir(new java.io.File(winRoot), 7200000L)
+      ageDir(new java.io.File(lostRoot), 7200000L)
+
+      val swept = spark.sql(
+        "CALL stgsw.system.remove_orphan_staging('db', 3600000, false)")
+        .collect().map(_.getString(0)).toSeq
+      assert(swept === Seq(new java.io.File(lostRoot).getName),
+        s"expected only the crashed staged dir, got $swept")
+      assert(!new java.io.File(lostRoot).exists())
+      assert(new java.io.File(winRoot).exists(),
+        "sweep deleted a PUBLISHED staged-create table's storage")
+      assert(spark.table("stgsw.db.pub").columns.toSeq === Seq("x"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.stgsw")
+      spark.conf.unset("spark.sql.catalog.stgsw.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(base)
+      server.stop()
+    }
+  }
+
+  private def writeInfo(s: org.apache.spark.sql.types.StructType) =
+    new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "staged-spec"
+      override def schema(): org.apache.spark.sql.types.StructType = s
+      override def options() =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+
+  test("adopted RTAS: abort between write and publish rolls back fully") {
+    wh
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = s"$wh/db/ice_abort"
+    graft.table.iceberg.IcebergWrite.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val metaFile = graft.table.iceberg.IcebergMetadata
+      .currentMetadataFile(loc)
+    val preBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaFile.toUri.getPath))
+    def dataFiles = new java.io.File(s"$loc/data").listFiles()
+      .map(_.getName).toSet
+    val preData = dataFiles
+
+    val cat = spark.sessionState.catalogManager.catalog("stg")
+      .asInstanceOf[graft.spark.GraftTableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "ice_abort")
+    val newSchema = new org.apache.spark.sql.types.StructType()
+      .add("cents", org.apache.spark.sql.types.LongType)
+    val st = cat.stageReplace(ident, newSchema, Array.empty,
+      new java.util.HashMap[String, String]())
+    // drive the V1 staged write: content lands in data/ UNREFERENCED,
+    // no metadata commit yet
+    val rel = st.asInstanceOf[org.apache.spark.sql.connector.catalog
+        .SupportsWrite]
+      .newWriteBuilder(writeInfo(newSchema)).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+      .toInsertableRelation
+    rel.insert(spark.range(5).select($"id".as("cents")).toDF(), false)
+    assert(java.util.Arrays.equals(preBytes, java.nio.file.Files
+        .readAllBytes(java.nio.file.Paths.get(metaFile.toUri.getPath))),
+      "the staged write must not publish before commitStagedChanges")
+    assert(dataFiles.size > preData.size,
+      "staged content should be sitting in data/ unreferenced")
+    // failure window: Spark aborts instead of committing
+    st.abortStagedChanges()
+    assert(dataFiles === preData,
+      "abort must delete the staged (unreferenced) files")
+    assert(java.util.Arrays.equals(preBytes, java.nio.file.Files
+        .readAllBytes(java.nio.file.Paths.get(metaFile.toUri.getPath))),
+      "abort left the table's metadata changed")
+    assert(spark.table("stg.db.ice_abort").columns.toSeq === Seq("k", "v"))
+    assert(spark.table("stg.db.ice_abort").count() === 2)
+  }
+
+  test("REST RTAS: abort issues no protocol commit") {
+    val rwh = Files.createTempDirectory("graft-staged-rest-ab").toString
+    val server = new graft.table.iceberg.IcebergRestServer(rwh).start()
+    val base = s"http://127.0.0.1:${server.port}"
+    try {
+      spark.conf.set("spark.sql.catalog.stgab", "graft.spark.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.stgab.uri", base)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS stgab.db")
+      spark.sql("CREATE TABLE stgab.db.t AS SELECT id FROM range(7)")
+      val loc = graft.table.iceberg.IcebergRestClient
+        .tableRootOf(base, "db", "t").get
+      val pre = graft.table.iceberg.IcebergMetadata.load(loc)
+
+      val cat = spark.sessionState.catalogManager.catalog("stgab")
+        .asInstanceOf[graft.spark.GraftTableCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "t")
+      val newSchema = new org.apache.spark.sql.types.StructType()
+        .add("z", org.apache.spark.sql.types.LongType)
+      val st = cat.stageReplace(ident, newSchema, Array.empty,
+        new java.util.HashMap[String, String]())
+      val rel = st.asInstanceOf[org.apache.spark.sql.connector.catalog
+          .SupportsWrite]
+        .newWriteBuilder(writeInfo(newSchema)).build()
+        .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+        .toInsertableRelation
+      val spark0 = spark
+      import spark0.implicits._
+      rel.insert(spark.range(4).select($"id".as("z")).toDF(), false)
+      // server-side state untouched by the write; abort never commits
+      val mid = graft.table.iceberg.IcebergMetadata.load(loc)
+      assert(mid.currentSnapshotId === pre.currentSnapshotId,
+        "staged REST write published before commitStagedChanges")
+      st.abortStagedChanges()
+      val post = graft.table.iceberg.IcebergMetadata.load(loc)
+      assert(post.currentSnapshotId === pre.currentSnapshotId)
+      assert(post.schemas.size === pre.schemas.size,
+        "abort pushed a schema through the protocol")
+      assert(spark.table("stgab.db.t").count() === 7)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.stgab")
+      spark.conf.unset("spark.sql.catalog.stgab.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(base)
+      server.stop()
+    }
+  }
+
+  test("CREATE OR REPLACE losing its create race replaces in one commit") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("stg")
+      .asInstanceOf[graft.spark.GraftTableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "race_cr")
+    // stage a CREATE OR REPLACE while the name is free
+    val st = cat.stageCreateOrReplace(ident,
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("w", org.apache.spark.sql.types.LongType),
+      Array.empty, new java.util.HashMap[String, String]())
+    val rel = st.asInstanceOf[org.apache.spark.sql.connector.catalog
+        .SupportsWrite]
+      .newWriteBuilder(writeInfo(spark.range(1)
+        .selectExpr("id", "id AS w").schema)).build()
+    // a rival creator lands the name FIRST
+    spark.sql("CREATE TABLE stg.db.race_cr AS SELECT id AS old FROM range(4)")
+    val rivalSnap = graft.table.Meta.load(s"$wh/db/race_cr")
+      .currentSnapshotId.get
+    // drive the staged write, then publish: OR REPLACE gives way via
+    // replaceTable's ONE commit — never a missing-table window, and
+    // the rival's snapshot stays in history
+    drainV2Write(rel, spark.range(6).selectExpr("id", "id * 2 AS w"))
+    st.commitStagedChanges()
+    val out = spark.table("stg.db.race_cr")
+    assert(out.columns.toSeq === Seq("id", "w"))
+    assert(out.count() === 6)
+    val m = graft.table.Meta.load(s"$wh/db/race_cr")
+    assert(m.snapshots.map(_.operation).contains("replace"),
+      "race path must publish as a replace commit, not delete+rename")
+    assert(m.snapshots.exists(_.snapshotId == rivalSnap),
+      "the rival's history must survive the OR REPLACE")
+    assert(spark.sql(
+        s"SELECT * FROM stg.db.race_cr VERSION AS OF $rivalSnap")
+      .columns.toSeq === Seq("old"))
+    assert(dotDirs() === Seq.empty, "staging dir leaked past the race")
+  }
+
+  /** Drive a V2 Write end-to-end on local data (the staged CTAS path
+    * writes through a GraftWriterFactory BatchWrite). */
+  private def drainV2Write(w: org.apache.spark.sql.connector.write.Write,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = w.toBatch
+    val schema = df.schema
+    val factory = batch.createBatchWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      })
+    val rows = df.queryExecution.toRdd.collect()
+    val writer = factory.createWriter(0, 0L)
+    rows.foreach(writer.write)
+    val msg = writer.commit()
+    batch.commit(Array(msg))
+  }
 }

@@ -1090,7 +1090,8 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(names.contains("remove_orphan_files") &&
       names.contains("update_by_key") &&
       names.contains("create_mat_view") &&
-      names.contains("refresh_mat_view") && names.size === 20)
+      names.contains("refresh_mat_view") &&
+      names.contains("remove_orphan_staging") && names.size === 21)
   }
 
   test("incremental read options flow through spark.read.table") {
