@@ -235,10 +235,13 @@ object CatalogOps {
         "event_type STRING, value DOUBLE)")
       s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, event_type, value " +
         "FROM ev_mv_src WHERE event_id % 4 != 0")
-      s.sql(s"CALL $cat.system.create_mat_view('db.by_type', " +
-        s"'SELECT event_type, count(*) AS n, sum(value) AS total " +
-        s"FROM $cat.db.ev GROUP BY event_type', 'db.ev')")
-      s.sql(s"CALL $cat.system.refresh_mat_view('db.by_type', 'full')")
+      // first-class DDL (round 14): CREATE/REFRESH MATERIALIZED VIEW
+      // intercepted at the parser, source lineage derived from the
+      // analyzed query; the CALL surface stays for compatibility
+      s.sql(s"CREATE MATERIALIZED VIEW $cat.db.by_type AS " +
+        s"SELECT event_type, count(*) AS n, sum(value) AS total " +
+        s"FROM $cat.db.ev GROUP BY event_type")
+      s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.by_type FULL")
       // source moves -> refresh_state flags staleness; the MV read
       // still serves the LAST materialization until the next refresh
       s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, event_type, value " +
@@ -247,10 +250,14 @@ object CatalogOps {
         s"SELECT count(*) FROM $cat.db.by_type.refresh_state WHERE stale")
         .collect().head.getLong(0)
       require(stale > 0, "refresh_state must flag the moved source")
+      // compat: the CALL spelling refreshes the same catalog object
       s.sql(s"CALL $cat.system.refresh_mat_view('db.by_type', 'full')")
       val out = s.sql(s"SELECT event_type, n, round(total, 2) AS total " +
         s"FROM $cat.db.by_type ORDER BY event_type")
       val rows = out.collect().toSeq
+      s.sql(s"DROP MATERIALIZED VIEW $cat.db.by_type")
+      require(s.sql(s"SHOW VIEWS IN $cat.db").collect()
+        .forall(_.getString(1) != "by_type"), "DROP MV must remove it")
       s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),

@@ -1,0 +1,113 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.table.{Meta, Views}
+
+/** Materialized-view lifecycle shared by the SQL DDL (CREATE/DROP/
+  * REFRESH MATERIALIZED VIEW, intercepted by GraftSqlParser) and the
+  * CALL procedures (create_mat_view / refresh_mat_view, kept for
+  * compatibility). Reference: materialized views as catalog objects
+  * with storage-table pointers and refresh lineage —
+  * datafusion_iceberg/src/materialized_view.rs (full refresh) and the
+  * reference catalog's create_materialized_view (catalog.rs:387).
+  *
+  * Both modes mirror tables: warehouse mode stores the view dir +
+  * storage table at the conventional path; REST mode creates the MV
+  * through the protocol and refreshes write data DIRECTLY to the
+  * storage table on shared storage (like table data files, only the
+  * definition lives behind the protocol). */
+object GraftMatViews {
+
+  /** Create: stores the view SQL + an empty storage table shaped like
+    * the query output (schema from ANALYSIS only — the catalog never
+    * runs the query). Returns the storage location. */
+  def create(spark: SparkSession, warehouse: String,
+      restBase: Option[String], parts: Seq[String], sql: String,
+      srcNames: Seq[String], fold: Option[String]): String = {
+    require(parts.length == 2,
+      s"materialized view identifier must be ns.name; got ${parts.mkString(".")}")
+    val sources = srcNames.map(tn =>
+      tn -> sourceRoot(warehouse, restBase, tn)).toMap
+    require(sources.nonEmpty, "at least one source table required")
+    val schema = spark.sql(sql).schema
+    restBase match {
+      case Some(base) =>
+        graft.table.iceberg.IcebergRestClient.createMaterializedView(
+          base, parts(0), parts(1), sql, sources, schema.json, fold)
+        val (_, storage, _, _, _) = graft.table.iceberg
+          .IcebergRestClient.loadMaterializedView(base, parts(0), parts(1))
+        storage
+      case None =>
+        val root = (warehouse +: parts).mkString("/")
+        require(!Views.viewExists(root) && !Meta.exists(root),
+          s"view or table ${parts.mkString(".")} already exists")
+        Views.createView(root, parts(1), sql, sources)
+        fold.foreach(Views.writeFold(root, _))
+        Views.createMaterializedStorage(root, schema)
+        Views.mvStorageRoot(root)
+    }
+  }
+
+  /** Resolve the MV's root directory on shared storage. */
+  def mvRoot(warehouse: String, restBase: Option[String],
+      parts: Seq[String]): String = {
+    require(parts.length == 2,
+      s"materialized view identifier must be ns.name; got ${parts.mkString(".")}")
+    restBase match {
+      case Some(base) =>
+        val (_, storage, _, _, _) = graft.table.iceberg
+          .IcebergRestClient.loadMaterializedView(base, parts(0), parts(1))
+        storage.stripSuffix("/storage")
+      case None => (warehouse +: parts).mkString("/")
+    }
+  }
+
+  /** Refresh: 'full' recomputes and overwrites storage; 'auto' /
+    * 'incremental' folds only appended source data when valid
+    * (falling back to full). Returns (effective mode, row count). */
+  def refresh(spark: SparkSession, root: String,
+      mode: String): (String, Long) = {
+    val mv = Views.loadMaterializedView(spark, root)
+    val incremental = mode match {
+      case "full" => mv.refresh(); false
+      case "auto" | "incremental" => mv.refreshIncremental()
+      case other => throw new IllegalArgumentException(
+        s"unknown refresh mode '$other' (full | auto | incremental)")
+    }
+    (if (incremental) "incremental" else "full", mv.read.count())
+  }
+
+  /** The graft-catalog tables a query reads, as 'ns.name' strings —
+    * the refresh-lineage anchors the DDL derives instead of asking
+    * the user to list them (the CALL surface still takes them
+    * explicitly). Only relations served by the SAME catalog count:
+    * lineage over a foreign catalog's snapshots is not trackable. */
+  def sourcesOf(spark: SparkSession, cat: GraftTableCatalog,
+      sql: String): Seq[String] = {
+    val analyzed = spark.sessionState
+      .executePlan(spark.sessionState.sqlParser.parseQuery(sql)).analyzed
+    val names = analyzed.collectWithSubqueries {
+      case r: DataSourceV2Relation
+          if r.catalog.exists(_ eq cat) && r.identifier.isDefined =>
+        (r.identifier.get.namespace() :+ r.identifier.get.name())
+          .mkString(".")
+    }
+    names.distinct
+  }
+
+  private def sourceRoot(warehouse: String, restBase: Option[String],
+      tableName: String): String = {
+    val tp = tableName.split('.').toSeq
+    require(tp.length == 2, s"source table must be ns.name; got $tableName")
+    restBase match {
+      case Some(base) =>
+        graft.table.iceberg.IcebergRestClient
+          .tableRootOf(base, tp(0), tp(1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no source table $tableName"))
+      case None => (warehouse +: tp).mkString("/")
+    }
+  }
+}

@@ -762,46 +762,10 @@ object GraftProcedures {
             .map(_.trim).filter(_.nonEmpty).toSeq
           val fold = Option(in.getUTF8String(3)).map(_.toString)
             .filter(_.nonEmpty)
-          val spark = SparkSession.active
-          val parts = viewName.split('.').toSeq
-          require(parts.length == 2,
-            s"view identifier must be ns.name; got $viewName")
-          def rootOfTable(tn: String): String = {
-            val tp = tn.split('.').toSeq
-            require(tp.length == 2,
-              s"source table must be ns.name; got $tn")
-            restBase match {
-              case Some(base) =>
-                graft.table.iceberg.IcebergRestClient
-                  .tableRootOf(base, tp(0), tp(1))
-                  .getOrElse(throw new IllegalArgumentException(
-                    s"no source table $tn"))
-              case None => (warehouse +: tp).mkString("/")
-            }
-          }
-          val sources = srcNames.map(tn => tn -> rootOfTable(tn)).toMap
-          require(sources.nonEmpty, "at least one source table required")
-          // the ENGINE computes the storage schema (analysis only, no
-          // execution) — the catalog never runs the query itself
-          val schema = spark.sql(sql).schema
-          restBase match {
-            case Some(base) =>
-              graft.table.iceberg.IcebergRestClient.createMaterializedView(
-                base, parts(0), parts(1), sql, sources, schema.json, fold)
-              val (_, storage, _, _, _) = graft.table.iceberg
-                .IcebergRestClient.loadMaterializedView(base, parts(0), parts(1))
-              result(out, Seq(row(utf8(viewName), utf8(storage))))
-            case None =>
-              val root = (warehouse +: parts).mkString("/")
-              require(!graft.table.Views.viewExists(root) &&
-                !Meta.exists(root),
-                s"view or table $viewName already exists")
-              graft.table.Views.createView(root, parts(1), sql, sources)
-              fold.foreach(graft.table.Views.writeFold(root, _))
-              graft.table.Views.createMaterializedStorage(root, schema)
-              result(out, Seq(row(utf8(viewName),
-                utf8(graft.table.Views.mvStorageRoot(root)))))
-          }
+          val storage = GraftMatViews.create(SparkSession.active,
+            warehouse, restBase, viewName.split('.').toSeq, sql,
+            srcNames, fold)
+          result(out, Seq(row(utf8(viewName), utf8(storage))))
         }
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
           Seq.empty // unused: call() is overridden
@@ -827,31 +791,15 @@ object GraftProcedures {
         override def call(in: InternalRow): java.util.Iterator[Scan] = {
           val viewName = in.getUTF8String(0).toString
           val mode = in.getUTF8String(1).toString
-          val spark = SparkSession.active
-          val parts = viewName.split('.').toSeq
-          require(parts.length == 2,
-            s"view identifier must be ns.name; got $viewName")
-          val root = restBase match {
-            case Some(base) =>
-              // the server names the storage table; its parent is the
-              // view root on shared storage (refresh WRITES data, so
-              // like data files it goes direct — only the definition
-              // lives behind the protocol)
-              val (_, storage, _, _, _) = graft.table.iceberg
-                .IcebergRestClient.loadMaterializedView(base, parts(0), parts(1))
-              storage.stripSuffix("/storage")
-            case None => (warehouse +: parts).mkString("/")
-          }
-          val mv = graft.table.Views.loadMaterializedView(spark, root)
-          val incremental = mode match {
-            case "full" => mv.refresh(); false
-            case "auto" | "incremental" => mv.refreshIncremental()
-            case other => throw new IllegalArgumentException(
-              s"unknown refresh mode '$other' (full | auto | incremental)")
-          }
-          result(out, Seq(row(
-            utf8(if (incremental) "incremental" else "full"),
-            mv.read.count())))
+          // the server names the storage table; its parent is the
+          // view root on shared storage (refresh WRITES data, so
+          // like data files it goes direct — only the definition
+          // lives behind the protocol)
+          val root = GraftMatViews.mvRoot(warehouse, restBase,
+            viewName.split('.').toSeq)
+          val (effective, n) = GraftMatViews.refresh(
+            SparkSession.active, root, mode)
+          result(out, Seq(row(utf8(effective), n)))
         }
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
           Seq.empty // unused: call() is overridden

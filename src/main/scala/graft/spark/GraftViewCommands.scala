@@ -81,12 +81,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftViewCommands._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    GraftMatViewSql.parse(session, delegate, sqlText)
+      .getOrElse(rewrite(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan =
-    rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+    GraftMatViewSql.parse(session, delegate, sqlText)
+      .getOrElse(rewrite(delegate.parsePlanWithParameters(sqlText, ctx)))
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case c: CreateView => c.child match {
@@ -412,5 +414,176 @@ case class GraftViewRead(session: SparkSession) extends Rule[LogicalPlan] {
     else if (isTempView(session, parts)) parts
     else if (parts.length == 1) ctxCat.get +: ctxNs :+ parts.head
     else ctxCat.get +: parts
+  }
+}
+
+/** MATERIALIZED VIEW DDL. Spark's grammar has no MATERIALIZED VIEW
+  * statement at all (the delegate parser throws before any plan
+  * exists), so these are recognized from the raw SQL text ahead of
+  * delegation — the same one-level-earlier interception the view DDL
+  * uses, one step earlier still. Reference: the SQL layer creating
+  * MVs as first-class statements over catalog-object MVs
+  * (datafusion_iceberg/src/materialized_view.rs; the catalog's
+  * create_materialized_view, catalog.rs:387).
+  *
+  * Grammar (identifiers resolve against graft catalogs only):
+  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] ident
+  *     [TBLPROPERTIES('k'='v', ...)] AS query
+  *   DROP MATERIALIZED VIEW [IF EXISTS] ident
+  *   REFRESH MATERIALIZED VIEW ident [FULL | AUTO | INCREMENTAL]
+  *
+  * The refresh-lineage source set is DERIVED from the analyzed query
+  * (every same-catalog table it reads) instead of asking the user to
+  * list it; TBLPROPERTIES('incremental_fold'='...') opts into
+  * incremental refresh exactly as the CALL surface's fourth argument
+  * does. The CALL procedures remain for compatibility. */
+object GraftMatViewSql {
+  import GraftViewCommands.resolveGraft
+
+  private val Create =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([^\s(]+)\s+(.*?)\s*;?\s*$""".r
+  private val Drop =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([^\s(]+)\s*;?\s*$""".r
+  private val Refresh =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([^\s(]+)(\s+\w+)?\s*;?\s*$""".r
+
+  def parse(session: SparkSession, delegate: ParserInterface,
+      sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Create(ine, identTok, rest) =>
+      val (cat, ident) = resolve(session, delegate, identTok,
+        "CREATE MATERIALIZED VIEW")
+      val (props, query) = splitPropsAndQuery(rest)
+      Some(CreateGraftMatViewCommand(cat, ident, query,
+        ifNotExists = ine != null, props))
+    case Drop(ifex, identTok) =>
+      val (cat, ident) = resolve(session, delegate, identTok,
+        "DROP MATERIALIZED VIEW")
+      Some(DropGraftMatViewCommand(cat, ident, ifExists = ifex != null))
+    case Refresh(identTok, mode) =>
+      val (cat, ident) = resolve(session, delegate, identTok,
+        "REFRESH MATERIALIZED VIEW")
+      Some(RefreshGraftMatViewCommand(cat, ident,
+        Option(mode).map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .getOrElse("auto")))
+    case _ => None
+  }
+
+  private def resolve(session: SparkSession, delegate: ParserInterface,
+      identTok: String, stmt: String): (GraftTableCatalog, Identifier) =
+    resolveGraft(session, delegate.parseMultipartIdentifier(identTok))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$stmt: '$identTok' does not resolve to a graft catalog " +
+          "(materialized views are catalog objects; qualify the name " +
+          "with a graft catalog or USE one)"))
+
+  /** Split `[TBLPROPERTIES(<pairs>)] AS <query>` — the pairs scan is
+    * balanced-paren and quote-aware, because a property value (an
+    * incremental_fold SQL) freely contains parens, commas, and AS. */
+  private def splitPropsAndQuery(rest: String): (Map[String, String], String) = {
+    val TblProps = """(?is)^\s*TBLPROPERTIES\s*\((.*)$""".r
+    val AsQuery = """(?is)^\s*AS\s+(.*)$""".r
+    rest match {
+      case TblProps(tail) =>
+        val (inside, after) = scanBalanced(tail)
+        after match {
+          case AsQuery(q) => (parsePairs(inside), q)
+          case other => throw new IllegalArgumentException(
+            "CREATE MATERIALIZED VIEW: expected AS <query> after " +
+              s"TBLPROPERTIES, got: ${other.take(40)}")
+        }
+      case AsQuery(q) => (Map.empty, q)
+      case other => throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW: expected [TBLPROPERTIES(...)] AS " +
+          s"<query>, got: ${other.take(40)}")
+    }
+  }
+
+  /** Consume up to the ')' balancing an already-open paren, honoring
+    * single-quoted strings ('' = escaped quote). Returns (inside,
+    * remainder-after-close). */
+  private def scanBalanced(s: String): (String, String) = {
+    var depth = 1
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\'')
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(0, i), s.substring(i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: unbalanced TBLPROPERTIES parentheses")
+  }
+
+  private val Pair = """(?s)^\s*'(.*?)'\s*=\s*'(.*)'\s*$""".r
+
+  private def parsePairs(s: String): Map[String, String] =
+    GraftProcedures.splitTopLevel(s).map {
+      case Pair(k, v) => k -> v.replace("''", "'")
+      case other => throw new IllegalArgumentException(
+        s"TBLPROPERTIES entry must be 'key'='value'; got: $other")
+    }.toMap
+}
+
+case class CreateGraftMatViewCommand(catalog: GraftTableCatalog,
+    ident: Identifier, queryText: String, ifNotExists: Boolean,
+    properties: Map[String, String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (catalog.viewExists(ident)) {
+      if (ifNotExists) return Seq.empty
+      throw new ViewAlreadyExistsException(ident)
+    }
+    val parts = ident.namespace().toSeq :+ ident.name()
+    val sources = GraftMatViews.sourcesOf(session, catalog, queryText)
+    require(sources.nonEmpty,
+      s"CREATE MATERIALIZED VIEW ${parts.mkString(".")}: the query " +
+        "reads no table of this catalog, so refresh lineage cannot " +
+        "anchor (materialize a query over at least one catalog table)")
+    GraftMatViews.create(session, catalog.warehouse, catalog.restBase,
+      parts, queryText, sources, properties.get("incremental_fold"))
+    Seq.empty
+  }
+}
+
+case class DropGraftMatViewCommand(catalog: GraftTableCatalog,
+    ident: Identifier, ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    catalog.loadViewState(ident) match {
+      case Some((_, _, materialized)) =>
+        require(materialized,
+          s"$ident is a plain view; use DROP VIEW")
+        catalog.dropView(ident)
+      case None if ifExists => ()
+      case None => throw new NoSuchViewException(ident)
+    }
+    Seq.empty
+  }
+}
+
+case class RefreshGraftMatViewCommand(catalog: GraftTableCatalog,
+    ident: Identifier, mode: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("row_count", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    val root = GraftMatViews.mvRoot(catalog.warehouse, catalog.restBase,
+      parts)
+    val (effective, n) = GraftMatViews.refresh(session, root, mode)
+    Seq(Row(effective, n))
   }
 }

@@ -288,6 +288,90 @@ class ViewCatalogSqlSpec extends AnyFunSuite {
       .head.getLong(0) === 4L)
   }
 
+  test("MATERIALIZED VIEW DDL lifecycle (warehouse)") {
+    // sources derived from the analyzed query — no explicit list
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_ddl AS
+      SELECT grp, count(*) AS n FROM $cat.db.t GROUP BY grp""")
+    // created but never refreshed: storage exists, empty
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mv_ddl")
+      .collect().head.getLong(0) === 0L)
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW $cat.db.mv_ddl FULL")
+      .collect()
+    assert(r.head.getString(0) === "full" && r.head.getLong(1) > 0L)
+    val expected = spark.sql(
+      s"SELECT grp, count(*) AS n FROM $cat.db.t GROUP BY grp ORDER BY grp")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(spark.sql(s"SELECT * FROM $cat.db.mv_ddl ORDER BY grp")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq === expected)
+    // refresh lineage anchored: a source append flags staleness
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (200, 'q', 2.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mv_ddl.refresh_state " +
+      "WHERE stale").collect().head.getLong(0) > 0L)
+    // bare REFRESH defaults to auto
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.db.mv_ddl")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mv_ddl.refresh_state " +
+      "WHERE stale").collect().head.getLong(0) === 0L)
+    // IF NOT EXISTS no-ops; a plain re-create throws
+    spark.sql(s"CREATE MATERIALIZED VIEW IF NOT EXISTS $cat.db.mv_ddl " +
+      s"AS SELECT grp FROM $cat.db.t")
+    intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW $cat.db.mv_ddl AS SELECT grp FROM $cat.db.t"))
+    // DROP MATERIALIZED VIEW refuses a plain view
+    spark.sql(s"CREATE VIEW $cat.db.v_notmv AS SELECT id FROM $cat.db.t")
+    intercept[Exception](
+      spark.sql(s"DROP MATERIALIZED VIEW $cat.db.v_notmv"))
+    spark.sql(s"DROP VIEW $cat.db.v_notmv")
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.db.mv_ddl")
+    assert(!spark.sql(s"SHOW VIEWS IN $cat.db").collect()
+      .map(_.getString(1)).contains("mv_ddl"))
+    intercept[Exception](
+      spark.sql(s"DROP MATERIALIZED VIEW $cat.db.mv_ddl"))
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.db.mv_ddl")
+    // a query reading no catalog table cannot anchor lineage
+    intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW $cat.db.mv_nosrc AS SELECT 1 AS one"))
+  }
+
+  test("MATERIALIZED VIEW DDL with TBLPROPERTIES carries the fold SQL") {
+    // the fold value contains parens, commas, quotes, and AS — the
+    // balanced TBLPROPERTIES scan must deliver it intact
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_props
+      TBLPROPERTIES('incremental_fold' =
+        'SELECT grp, sum(n) AS n FROM mv_delta_union GROUP BY grp')
+      AS SELECT grp, count(*) AS n FROM $cat.db.t GROUP BY grp""")
+    val root = s"$wh/db/mv_props"
+    graft.table.Views.loadView(root) // definition present
+    // fold.sql written next to the definition
+    val stored = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/fold.sql")), "UTF-8")
+    assert(stored.contains("mv_delta_union") && stored.contains("sum(n)"))
+    // dotted (catalog-derived) sources can't scope a delta temp view,
+    // so INCREMENTAL honestly falls back to full — the result row
+    // reports the effective mode
+    val eff = spark.sql(
+      s"REFRESH MATERIALIZED VIEW $cat.db.mv_props INCREMENTAL")
+      .collect().head.getString(0)
+    assert(eff === "full")
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.db.mv_props")
+  }
+
+  test("MATERIALIZED VIEW DDL over a live REST server") {
+    spark.sql(s"""CREATE MATERIALIZED VIEW $rcat.db.mv_rddl AS
+      SELECT k, count(*) AS n FROM $rcat.db.s GROUP BY k""")
+    val base = s"http://127.0.0.1:${restEnv._1.port}"
+    val (_, _, materialized) =
+      IcebergRestClient.loadViewDef(base, "db", "mv_rddl").get
+    assert(materialized, "REST DDL create must register an MV")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW $rcat.db.mv_rddl FULL")
+      .collect()
+    assert(r.head.getString(0) === "full")
+    assert(spark.sql(s"SELECT sum(n) FROM $rcat.db.mv_rddl").collect()
+      .head.getLong(0) === spark.sql(s"SELECT count(*) FROM $rcat.db.s")
+      .collect().head.getLong(0))
+    spark.sql(s"DROP MATERIALIZED VIEW $rcat.db.mv_rddl")
+    assert(IcebergRestClient.loadViewDef(base, "db", "mv_rddl").isEmpty)
+  }
+
   test("concurrent view replace over REST: exactly one CAS winner") {
     val base = s"http://127.0.0.1:${restEnv._1.port}"
     spark.sql(s"CREATE VIEW $rcat.db.vrace AS SELECT 1 AS one")
