@@ -396,7 +396,77 @@ object CatalogOps {
          FROM orders WHERE o_orderstatus NOT IN ('F', 'O'))
        GROUP BY status ORDER BY status"""
 
+  /** Multi-table atomic commit from SQL (reference:
+    * catalog_api_api.rs:492 commit_transaction): two tables receive
+    * their appends through ONE protocol commit — twice, to show
+    * transactions accumulate — and the verification aggregate reads
+    * both tables back. All-or-nothing is locked by RestCatalogSqlSpec
+    * (racing-commit 409 leg); here the driver checks the published
+    * state equals the two source slices exactly. */
+  val tfCommitTxn: Q = (s, d) => {
+    val wh = scratch()
+    val server = new graft.table.iceberg.IcebergRestServer(wh).start()
+    val cat = s"txnq_${java.util.UUID.randomUUID().toString.take(6)}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.uri",
+        s"http://127.0.0.1:${server.port}")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.ord (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE)")
+      s.sql(s"CREATE TABLE $cat.db.cust (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE)")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val cust = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      // two transactions, each publishing BOTH tables' slice in one
+      // protocol commit
+      Seq(0, 1).foreach { half =>
+        ord.filter(col("o_orderkey") % 2 === half)
+          .createOrReplaceTempView("txn_ord_src")
+        cust.filter(col("c_custkey") % 2 === half)
+          .createOrReplaceTempView("txn_cust_src")
+        val out = s.sql(s"CALL $cat.system.commit_transaction(" +
+          "'db.ord=txn_ord_src,db.cust=txn_cust_src')").collect()
+        require(out.length == 2 && out.forall(_.getLong(1) > 0),
+          s"transaction must publish both snapshots, got ${out.toSeq}")
+      }
+      val out = s.sql(
+        s"""SELECT tbl, n, total FROM (
+              SELECT 'cust' AS tbl, count(*) AS n,
+                     round(sum(c_acctbal), 2) AS total FROM $cat.db.cust
+              UNION ALL
+              SELECT 'ord', count(*), round(sum(o_totalprice), 2)
+              FROM $cat.db.ord) ORDER BY tbl""")
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(
+        s"http://127.0.0.1:${server.port}")
+      server.stop()
+    }
+  }
+
+  val tfCommitTxnSql: String =
+    """SELECT tbl, n, total FROM (
+         SELECT 'cust' AS tbl, count(*) AS n,
+                round(sum(c_acctbal), 2) AS total
+         FROM customer WHERE c_acctbal > 0
+         UNION ALL
+         SELECT 'ord', count(*), round(sum(o_totalprice), 2)
+         FROM orders WHERE o_orderkey % 3 = 0)
+       ORDER BY tbl"""
+
   val queries: Map[String, Q] = Map(
+    "tf_commit_txn" -> tfCommitTxn,
     "tf_rtas" -> tfRtas,
     "tf_overwrite_part" -> tfOverwritePart,
     "tf_insert_select" -> tfInsertSelect,
@@ -408,6 +478,7 @@ object CatalogOps {
     "tf_catalog_mv" -> tfCatalogMv)
 
   val oracles: Map[String, String] = Map(
+    "tf_commit_txn" -> tfCommitTxnSql,
     "tf_rtas" -> tfRtasSql,
     "tf_overwrite_part" -> tfOverwritePartSql,
     "tf_insert_select" -> tfInsertSelectSql,

@@ -725,6 +725,61 @@ object GraftProcedures {
         }
       },
 
+      // Multi-table atomic commit from SQL (reference:
+      // catalog_api_api.rs:492 commit_transaction). The CALL fronts
+      // the APPEND shape — publish N query results into N tables in
+      // one all-or-nothing protocol commit; richer transactions
+      // (property changes mixed in) use the Scala builder,
+      // graft.table.iceberg.IcebergTransaction.
+      new GraftProcedure("commit_transaction",
+        "Atomically append into multiple tables: 'appends' is a " +
+          "comma-separated list of ns.table=source entries, where " +
+          "source is a table or temp view whose rows append into " +
+          "ns.table. Data files stage to shared storage first; ONE " +
+          "commit_transaction publishes every snapshot — all tables " +
+          "land or none do (REST catalogs only).",
+        Array(
+          ProcedureParameter.in("appends", StringType)
+            .comment("e.g. 'db.facts=staged_facts,db.dims=staged_dims'")
+            .build()),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("snapshot_id", LongType))),
+        loadTable) {
+        private val out = StructType(Seq(
+          StructField("table", StringType),
+          StructField("snapshot_id", LongType)))
+        override def call(in: InternalRow): java.util.Iterator[Scan] = {
+          val base = restBase.getOrElse(throw new UnsupportedOperationException(
+            "CALL commit_transaction: multi-table atomic commits ride " +
+              "the REST catalog protocol; this catalog has no 'uri'"))
+          val spark = SparkSession.active
+          val entries = in.getUTF8String(0).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+            .map { e =>
+              val Array(tn, src) = e.split("=", 2)
+              val tp = tn.trim.split('.').toSeq
+              require(tp.length == 2,
+                s"appends entries are ns.table=source; got $e")
+              (tp(0), tp(1), src.trim)
+            }
+          require(entries.nonEmpty, "appends required")
+          val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+          entries.foreach { case (ns, t, src) =>
+            tx.append(ns, t, spark.table(src))
+          }
+          tx.commit()
+          result(out, entries.map { case (ns, t, _) =>
+            val root = graft.table.iceberg.IcebergRestClient
+              .tableRootOf(base, ns, t).get
+            row(utf8(s"$ns.$t"), IcebergMetadata.load(root)
+              .currentSnapshotId.getOrElse(-1L))
+          })
+        }
+        override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
+          Seq.empty // unused: call() is overridden
+      },
+
       // ---- materialized views as catalog objects (reference:
       // datafusion_iceberg/src/materialized_view.rs full refresh,
       // iceberg-rest-catalog create_materialized_view). Spark has no

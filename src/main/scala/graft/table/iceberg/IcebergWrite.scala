@@ -737,6 +737,38 @@ object IcebergWrite {
       props: Map[String, String]): Unit =
     stageReplaceTable(spark, location, df, partitions, props).commit()
 
+  /** An append staged but not committed: data files sit in data/
+    * unreferenced. `applyTo` assembles the snapshot over a given base
+    * (re-runnable — commit retries rebase the cheap manifest assembly
+    * over a fresh base, the staged files never rewrite), `cleanup`
+    * deletes the staged files when the commit is abandoned. The
+    * building block of multi-table transactions: each table's append
+    * stages here, and ONE commitTransaction publishes them all. */
+  final class StagedAppend private[iceberg] (
+      val location: String,
+      moved: Seq[(HPath, Long, Seq[String])],
+      stats: Map[String, FileStats]) {
+    private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
+        : IcebergMetadata.IceMetadata = {
+      val snap = appendManifest(m, moved, stats)
+      m.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snap.snapshotId))
+    }
+    private[iceberg] def cleanup(): Unit =
+      moved.foreach(f => TableIO.delete(f._1))
+  }
+
+  /** Stage an append's data files (distributed write, footer stats)
+    * WITHOUT any metadata commit. */
+  def stageAppend(spark: SparkSession, m: IcebergMetadata.IceMetadata,
+      df: DataFrame): StagedAppend = {
+    val (moved, stats) = stageData(spark, m, df, None)
+    new StagedAppend(m.location, moved, stats)
+  }
+
   /** A REPLACE TABLE staged but not yet published: the new content
     * sits in data/ unreferenced (invisible to every reader), and the
     * one metadata commit that swaps schema + spec + properties +

@@ -408,6 +408,88 @@ class RestCatalogSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL commit_transaction: two-table atomic append") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txn")
+    spark.sql(s"CREATE TABLE $cat.txn.facts (k BIGINT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE $cat.txn.summary (grp STRING, n BIGINT)")
+    Seq((1L, 1.5), (2L, 2.5)).toDF("k", "v")
+      .createOrReplaceTempView("txn_facts_src")
+    Seq(("a", 2L)).toDF("grp", "n")
+      .createOrReplaceTempView("txn_summary_src")
+    val out = spark.sql(s"CALL $cat.system.commit_transaction(" +
+      "'txn.facts=txn_facts_src,txn.summary=txn_summary_src')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.keySet === Set("txn.facts", "txn.summary"))
+    assert(out.values.forall(_ > 0L), s"snapshots must publish: $out")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txn.facts")
+      .collect().head.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txn.summary")
+      .collect().head.getLong(0) === 1L)
+    // the two snapshots arrived via ONE protocol commit: re-running
+    // the same appends through the Scala builder also lands both
+    val base = s"http://127.0.0.1:${env._1.port}"
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.append("txn", "facts", Seq((3L, 3.5)).toDF("k", "v"))
+    tx.append("txn", "summary", Seq(("b", 1L)).toDF("grp", "n"))
+    tx.setProperties("txn", "facts", Map("etl.run" -> "r42"))
+    tx.commit()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txn.facts")
+      .collect().head.getLong(0) === 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txn.summary")
+      .collect().head.getLong(0) === 2L)
+    assert(IcebergMetadata.load(s"$wh/txn/facts")
+      .properties.get("etl.run") === Some("r42"))
+  }
+
+  test("commit_transaction: a racing commit 409s the WHOLE transaction") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txr")
+    spark.sql(s"CREATE TABLE $cat.txr.a (k BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.txr.b (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.txr.b VALUES (0)")
+    val base = s"http://127.0.0.1:${env._1.port}"
+    def snap(t: String): Option[Long] =
+      IcebergMetadata.load(s"$wh/txr/$t").currentSnapshotId
+
+    val aBefore = snap("a")
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.append("txr", "a", Seq(1L, 2L).toDF("k"))
+    tx.append("txr", "b", Seq(3L).toDF("k"))
+    // a rival single-table commit moves table b AFTER the transaction
+    // observed it — the transaction's assert-ref-snapshot-id is now
+    // stale, so the server 409s the whole thing and table a stays put
+    spark.sql(s"INSERT INTO $cat.txr.b VALUES (99)")
+    intercept[java.util.ConcurrentModificationException] {
+      tx.commit(maxAttempts = 1)
+    }
+    assert(snap("a") === aBefore,
+      "a 409'd transaction must publish NOTHING — table a moved")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txr.a")
+      .collect().head.getLong(0) === 0L)
+    // the rival's own commit is intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txr.b")
+      .collect().head.getLong(0) === 2L)
+    // staged files were cleaned up on abort: no unreferenced residue
+    val dataDir = new java.io.File(s"$wh/txr/a/data")
+    assert(!dataDir.exists() || dataDir.listFiles().isEmpty,
+      "aborted transaction leaked staged data files")
+
+    // with retries allowed, the same race is absorbed by a rebase:
+    // everything lands on top of the rival's commit
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx2.append("txr", "a", Seq(1L, 2L).toDF("k"))
+    tx2.append("txr", "b", Seq(3L).toDF("k"))
+    spark.sql(s"INSERT INTO $cat.txr.b VALUES (100)")
+    tx2.commit(maxAttempts = 5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txr.a")
+      .collect().head.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txr.b")
+      .collect().head.getLong(0) === 4L)
+  }
+
   test("DROP TABLE and namespace lifecycle over REST") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lc")
     spark.sql(s"CREATE TABLE $cat.lc.t (k BIGINT)")

@@ -1091,7 +1091,8 @@ class TableCatalogSpec extends AnyFunSuite {
       names.contains("update_by_key") &&
       names.contains("create_mat_view") &&
       names.contains("refresh_mat_view") &&
-      names.contains("remove_orphan_staging") && names.size === 21)
+      names.contains("remove_orphan_staging") &&
+      names.contains("commit_transaction") && names.size === 22)
   }
 
   test("incremental read options flow through spark.read.table") {
