@@ -103,7 +103,7 @@ object Dedup {
     * equi-self-join rather than being dropped. (A drop here silently
     * loses recall exactly in the web-crawl case LSH dedup exists for;
     * cost stays bounded by candidate count, never N².) */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // ONE shuffle + hash agg over the signatures (the expensive
     // signature compute lives in the map stage, written once to the
     // shuffle files and reused by both routes below); routing happens

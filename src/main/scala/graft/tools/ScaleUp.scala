@@ -22,6 +22,7 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/tmp/sfscale/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(',').map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,18 +31,20 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dest, copies)
+    run(spark, src, dest, copies, only)
     spark.stop()
   }
 
   /** The generator proper, reusable from a live session (the sf1
     * invariant suite builds its fixture through this). */
   def run(spark: SparkSession, src: String, dest: String,
-      copies: Int): Unit = {
+      copies: Int, only: Option[Set[String]] = None): Unit = {
     val S = Shift
 
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
     def replicate(name: String, keyCols: Seq[String],
-        salt: Option[String] = None): Unit = {
+        salt: Option[String] = None): Unit = if (wanted(name)) {
       val df = spark.read.parquet(s"$src/$name.parquet")
       val parts = (0 until copies).map { i =>
         val shifted = keyCols.foldLeft(df)((d, c) =>
@@ -58,7 +61,7 @@ object ScaleUp {
       println(s"scaled $name x$copies")
     }
 
-    def copy(name: String): Unit = {
+    def copy(name: String): Unit = if (wanted(name)) {
       spark.read.parquet(s"$src/$name.parquet")
         .write.mode("overwrite").parquet(s"$dest/$name.parquet")
       println(s"copied $name")

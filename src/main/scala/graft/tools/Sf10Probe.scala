@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14 sf10 candidate-growth checkpoint (VERDICT r13 item 7):
+  * grow the ScaleUp fixture one more decade FOR THE SUPERLINEAR
+  * FAMILY ONLY (documents + embeddings ×100 from sf0.1) and confirm
+  * that each key's cost tracks its candidate mass — i.e. the
+  * superlinear growth is the answer getting bigger, not the plan
+  * degrading — and that dd_embed_neardup's LSH tier (which only runs
+  * above the 100k-vector gate, so sf1 never exercised it hot) holds
+  * its recall at scale.
+  *
+  * Usage: runMain graft.tools.Sf10Probe <sf1Dir> <sf10Dir> <leg,...>
+  * Legs: cand (minhash candidate counts + times), jaccard, contain,
+  * phash, embed (LSH tier + recall vs the sf0.1 exact slice). */
+object Sf10Probe {
+  def main(args: Array[String]): Unit = {
+    val sf1 = args.headOption.getOrElse("/tmp/sfscale/sf1")
+    val sf10 = args.lift(1).getOrElse("/tmp/sfscale/sf10")
+    val legs = args.lift(2).map(_.split(',').toSet)
+      .getOrElse(Set("cand", "jaccard", "contain", "phash", "embed"))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("sf10-probe")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.hadoop.fs.file.impl", "graft.hadoop.FastLocalFileSystem")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def probe(leg: String, key: String, d: String,
+        df: => org.apache.spark.sql.DataFrame): Unit = {
+      val ((n, t), label) = (time(df.count()), s"$key@$d")
+      println(f"[sf10probe] leg=$leg key=$key dir=$d rows=$n t=$t%.2f s")
+    }
+
+    Seq(sf1, sf10).foreach { d =>
+      if (legs("cand"))
+        probe("cand", "minhash_candidates", d,
+          graft.ops.Dedup.minhashPairs(spark, d))
+      if (legs("jaccard"))
+        probe("jaccard", "dd_ngram_jaccard", d,
+          graft.ops.Dedup.ddNgramJaccard(spark, d))
+      if (legs("contain"))
+        probe("contain", "dd_containment", d,
+          graft.ops.Dedup.ddContainment(spark, d))
+      if (legs("phash"))
+        probe("phash", "mm_image_phash", d,
+          graft.ops.Multimodal.queries("mm_image_phash")(spark, d))
+    }
+
+    if (legs("embed")) {
+      // sf10 = 600k vectors > the 100k exact gate: the LSH-bucketed
+      // tier runs (sf1's 60k stayed on the oracle-parity exact tier).
+      // Recall check: copy 0 of the ×100 fixture IS the sf0.1 corpus
+      // (ids unshifted), so the exact-tier pairs at sf0.1 must all
+      // reappear in the LSH tier's output restricted to copy-0 ids.
+      val S = ScaleUp.Shift
+      val (expected, tExact) = time {
+        graft.ops.Similarity.embedNeardupPairs(spark, "/root/testdata/sf0.1")
+          .select(col("ia"), col("ib"), col("cos")).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      }
+      val (lshAll, tLsh) = time {
+        graft.ops.Similarity.embedNeardupPairs(spark, sf10)
+          .filter(col("ia") < S && col("ib") < S)
+          .select(col("ia"), col("ib")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val hit = expected.keySet.intersect(lshAll).size
+      println(f"[sf10probe] leg=embed expected=${expected.size} " +
+        f"lsh_copy0=${lshAll.size} recall=${hit.toDouble / expected.size}%.4f " +
+        f"t_exact_sf01=$tExact%.2f s t_lsh_sf10=$tLsh%.2f s")
+      // stratified: LSH collision probability rises steeply with cos,
+      // so recall in the true near-dup band is the number that matters
+      Seq((0.45, 0.6), (0.6, 0.75), (0.75, 0.9), (0.9, 1.01)).foreach {
+        case (lo, hi) =>
+          val band = expected.filter { case (_, c) => c >= lo && c < hi }
+          val bandHit = band.keySet.intersect(lshAll).size
+          val r = if (band.isEmpty) 1.0 else bandHit.toDouble / band.size
+          println(f"[sf10probe] leg=embed cos=[$lo,$hi) expected=${band.size} " +
+            f"recall=$r%.4f")
+      }
+      // the strong band at scale: the ×100 fixture replicates every
+      // vector unchanged, so each base id owes C(copies,2) cos=1.0
+      // clone pairs (ia ≡ ib mod Shift) — identical vectors share all
+      // bucket keys, so the LSH tier must find every one
+      val n0 = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet").count()
+      val copies = spark.read.parquet(s"$sf10/embeddings.parquet")
+        .count() / n0
+      val expectedClones = n0 * copies * (copies - 1) / 2
+      val (foundClones, tClone) = time {
+        graft.ops.Similarity.embedNeardupPairs(spark, sf10)
+          .filter((col("ib") - col("ia")) % S === 0 && col("cos") >= 0.999)
+          .count()
+      }
+      println(f"[sf10probe] leg=embed clone_pairs expected=$expectedClones " +
+        f"found=$foundClones recall=${foundClones.toDouble / expectedClones}%.4f " +
+        f"t=$tClone%.2f s")
+    }
+    spark.stop()
+  }
+}
