@@ -261,28 +261,62 @@ object Views {
       * appended files, then `foldSql` (provided at creation) merges
       * the delta with the stored state over a temp view named
       * `mv_delta_union` — IO is proportional to new data, not source
-      * size. Falls back to full refresh (returns false) otherwise. */
+      * size. Falls back to full refresh (returns false) otherwise.
+      *
+      * Delta scoping by alias shape: a plain alias becomes a temp
+      * view of that name (the view SQL referenced the source through
+      * it); a DOTTED alias — what CREATE MATERIALIZED VIEW derives
+      * from the analyzed query, `db.t` referenced as `cat.db.t` in
+      * the stored SQL — cannot be a temp view, so the stored SQL is
+      * PARSED and every relation whose name resolves to the alias is
+      * substituted with the delta's plan directly (the relation may
+      * carry a leading catalog part the alias lacks). */
     def refreshIncremental(): Boolean = {
       val d = view
       val foldSql = loadFold(root)
       val lineage = recordedLineage
-      // dotted aliases can't scope the SQL to a delta temp view, and
       // only graft-dialect sources expose scanAppendedSince — anything
       // else falls back to full refresh
       val incrementalOk = foldSql.nonEmpty && lineage.nonEmpty &&
         d.sources.forall { case (alias, tableRoot) =>
-          !alias.contains('.') &&
-            Meta.exists(tableRoot) && Meta.isGraftDialect(tableRoot) &&
+          Meta.exists(tableRoot) && Meta.isGraftDialect(tableRoot) &&
             GraftTable.load(spark, tableRoot)
               .appendsOnlySince(lineage.get(alias))
         }
       if (!incrementalOk) { refresh(); return false }
-      d.sources.foreach { case (alias, tableRoot) =>
+      val (dotted, plain) = d.sources.partition(_._1.contains('.'))
+      plain.foreach { case (alias, tableRoot) =>
         GraftTable.load(spark, tableRoot)
           .scanAppendedSince(lineage.get(alias))
           .createOrReplaceTempView(alias)
       }
-      val delta = spark.sql(d.sql)
+      val delta =
+        if (dotted.isEmpty) spark.sql(d.sql)
+        else {
+          val deltaPlans = dotted.map { case (alias, tableRoot) =>
+            alias.split('.').toSeq.map(_.toLowerCase(java.util.Locale.ROOT)) ->
+              GraftTable.load(spark, tableRoot)
+                .scanAppendedSince(lineage.get(alias))
+                .queryExecution.logical
+          }.toMap
+          def deltaFor(parts: Seq[String])
+              : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+            val p = parts.map(_.toLowerCase(java.util.Locale.ROOT))
+            deltaPlans.find { case (alias, _) =>
+              p.endsWith(alias) && p.length <= alias.length + 1
+            }.map(_._2)
+          }
+          import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+          val substituted = spark.sessionState.sqlParser.parsePlan(d.sql)
+            .transformUpWithSubqueries {
+              case ur: UnresolvedRelation
+                  if deltaFor(ur.multipartIdentifier).isDefined =>
+                SubqueryAlias(ur.multipartIdentifier.last,
+                  deltaFor(ur.multipartIdentifier).get)
+            }
+          org.apache.spark.sql.GraftShim.ofRows(spark, substituted)
+        }
       storage.scan().unionByName(delta)
         .createOrReplaceTempView("mv_delta_union")
       val folded = spark.sql(foldSql.get)

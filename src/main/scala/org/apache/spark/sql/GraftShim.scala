@@ -13,4 +13,14 @@ object GraftShim {
 
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** A DataFrame over a hand-built logical plan (Dataset.ofRows went
+    * private[sql] too) — used to run a stored view SQL with some of
+    * its relations substituted by other plans (incremental MV refresh
+    * scoping catalog-dotted sources to their append deltas). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -345,13 +345,32 @@ class ViewCatalogSqlSpec extends AnyFunSuite {
     val stored = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/fold.sql")), "UTF-8")
     assert(stored.contains("mv_delta_union") && stored.contains("sum(n)"))
-    // dotted (catalog-derived) sources can't scope a delta temp view,
-    // so INCREMENTAL honestly falls back to full — the result row
-    // reports the effective mode
-    val eff = spark.sql(
-      s"REFRESH MATERIALIZED VIEW $cat.db.mv_props INCREMENTAL")
-      .collect().head.getString(0)
-    assert(eff === "full")
+    // first refresh has no lineage to fold onto — honest full; the
+    // result row reports the effective mode
+    assert(spark.sql(
+        s"REFRESH MATERIALIZED VIEW $cat.db.mv_props INCREMENTAL")
+      .collect().head.getString(0) === "full")
+    val before = spark.sql(s"SELECT * FROM $cat.db.mv_props")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // append-only source move: the dotted (catalog-derived) source is
+    // scoped to its delta by plan substitution, so the refresh is
+    // really incremental — and the folded result matches a recompute
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (300, 'q', 7.0), (301, 'r', 8.0)")
+    assert(spark.sql(
+        s"REFRESH MATERIALIZED VIEW $cat.db.mv_props INCREMENTAL")
+      .collect().head.getString(0) === "incremental")
+    val got = spark.sql(s"SELECT * FROM $cat.db.mv_props")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = spark.sql(
+      s"SELECT grp, count(*) AS n FROM $cat.db.t GROUP BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want, s"incremental fold diverged: $got vs $want")
+    assert(got("q") === before.getOrElse("q", 0L) + 1)
+    // a non-append source move (delete) falls back to full
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 300")
+    assert(spark.sql(
+        s"REFRESH MATERIALIZED VIEW $cat.db.mv_props INCREMENTAL")
+      .collect().head.getString(0) === "full")
     spark.sql(s"DROP MATERIALIZED VIEW $cat.db.mv_props")
   }
 
