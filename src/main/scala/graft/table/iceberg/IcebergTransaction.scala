@@ -16,8 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * append shape for SQL users):
   *
   *   val tx = new IcebergTransaction(spark, base)
-  *   tx.append("db", "facts", factsDf)
-  *   tx.append("db", "summary", summaryDf)
+  *   tx.append("db", "facts", factsDf)          // append the log
+  *   tx.overwrite("db", "summary", summaryDf)   // rebuild the rollup
   *   tx.setProperties("db", "facts", Map("etl.run" -> runId))
   *   tx.commit()     // all-or-nothing
   *
@@ -39,7 +39,7 @@ class IcebergTransaction(spark: SparkSession, base: String) {
 
   private case class Op(ns: String, name: String,
       mutate: IcebergMetadata.IceMetadata => IcebergMetadata.IceMetadata,
-      cleanup: () => Unit)
+      cleanup: () => Unit, rebaseSafe: Boolean = true)
 
   private val ops = scala.collection.mutable.ArrayBuffer[Op]()
   // the server state each table was first observed at: requirements
@@ -70,6 +70,21 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     this
   }
 
+  /** Stage a whole-content overwrite: the table's live set is
+    * replaced by `df` when the transaction commits. NOT rebase-safe:
+    * if the table moves between staging and commit, the transaction
+    * refuses (the replacement may have been computed FROM the table,
+    * so replaying it over the interloper would drop that commit) —
+    * recompute and re-run. Appends and property changes on OTHER
+    * tables in the same transaction still rebase freely. */
+  def overwrite(ns: String, name: String, df: DataFrame): this.type = {
+    require(!done, "transaction already committed or aborted")
+    val m = observe(ns, name)
+    val staged = IcebergWrite.stageOverwrite(spark, m, df)
+    ops += Op(ns, name, staged.applyTo, staged.cleanup _, rebaseSafe = false)
+    this
+  }
+
   /** Stage table property changes. */
   def setProperties(ns: String, name: String, set: Map[String, String],
       remove: Seq[String] = Seq.empty): this.type = {
@@ -91,6 +106,20 @@ class IcebergTransaction(spark: SparkSession, base: String) {
       val bases =
         if (attempts == 0) observed.toMap
         else observed.keys.map { case (ns, n) => (ns, n) -> served(ns, n) }.toMap
+      // rebase guard: an overwrite's content was computed against the
+      // OBSERVED base — replaying it over a base that moved would
+      // silently drop the interleaved commit, so refuse instead
+      ops.filter(!_.rebaseSafe).foreach { op =>
+        val fresh = bases((op.ns, op.name))
+        if (fresh.currentSnapshotId !=
+            observed((op.ns, op.name)).currentSnapshotId) {
+          abort()
+          throw new java.util.ConcurrentModificationException(
+            s"multi-table transaction aborted: ${op.ns}.${op.name} moved " +
+              "while an overwrite for it was staged; recompute the " +
+              "replacement content and re-run (nothing was published)")
+        }
+      }
       // one TableChange per table, its ops folded in staging order
       val changes = ops.groupBy(o => (o.ns, o.name)).toSeq
         .sortBy { case (k, _) => observed.keys.toSeq.indexOf(k) }

@@ -769,6 +769,39 @@ object IcebergWrite {
     new StagedAppend(m.location, moved, stats)
   }
 
+  /** A whole-content OVERWRITE staged but not committed: like
+    * StagedAppend, but `applyTo` publishes a snapshot whose manifest
+    * list carries ONLY the staged files (the solo-list shape every
+    * overwrite commit here uses), truncating the prior live set.
+    * NOT rebase-safe: the replacement content may have been computed
+    * FROM the table, so replaying it over a moved base would drop the
+    * interleaved commit — the transaction refuses instead (same
+    * validation as the single-table replaceContent path). */
+  final class StagedOverwrite private[iceberg] (
+      val location: String,
+      moved: Seq[(HPath, Long, Seq[String])],
+      stats: Map[String, FileStats]) {
+    private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
+        : IcebergMetadata.IceMetadata = {
+      val snap0 = appendManifest(m, moved, stats)
+      val (snap, _) = soloManifestList(m, snap0, "overwrite")
+      m.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snap.snapshotId))
+    }
+    private[iceberg] def cleanup(): Unit =
+      moved.foreach(f => TableIO.delete(f._1))
+  }
+
+  /** Stage an overwrite's replacement content without committing. */
+  def stageOverwrite(spark: SparkSession, m: IcebergMetadata.IceMetadata,
+      df: DataFrame): StagedOverwrite = {
+    val (moved, stats) = stageData(spark, m, df, None)
+    new StagedOverwrite(m.location, moved, stats)
+  }
+
   /** A REPLACE TABLE staged but not yet published: the new content
     * sits in data/ unreferenced (invisible to every reader), and the
     * one metadata commit that swaps schema + spec + properties +

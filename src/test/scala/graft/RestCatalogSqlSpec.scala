@@ -490,6 +490,51 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 4L)
   }
 
+  test("transaction overwrite: append-log + rebuild-rollup atomically") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txo")
+    spark.sql(s"CREATE TABLE $cat.txo.log (k BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.txo.rollup (n BIGINT)")
+    spark.sql(s"INSERT INTO $cat.txo.log VALUES (1), (2)")
+    spark.sql(s"INSERT INTO $cat.txo.rollup VALUES (2)")
+    val base = s"http://127.0.0.1:${env._1.port}"
+    // THE multi-table ETL shape: append the new batch to the log and
+    // REPLACE the rollup's whole content, one atomic publish
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.append("txo", "log", Seq(3L, 4L, 5L).toDF("k"))
+    tx.overwrite("txo", "rollup", Seq(5L).toDF("n"))
+    tx.commit()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txo.log")
+      .collect().head.getLong(0) === 5L)
+    assert(spark.sql(s"SELECT * FROM $cat.txo.rollup")
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // history kept: the pre-overwrite rollup still time-travels
+    val snaps = spark.sql(s"SELECT snapshot_id FROM $cat.txo.rollup.snapshots")
+      .collect().map(_.getLong(0)).sorted
+    assert(snaps.length === 2)
+    assert(spark.sql(
+        s"SELECT * FROM $cat.txo.rollup VERSION AS OF ${snaps.head}")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+
+    // an overwrite NEVER rebases: if the rollup moves after staging,
+    // the transaction refuses even with retries allowed (replaying
+    // content computed from a stale base would drop the rival commit)
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx2.append("txo", "log", Seq(6L).toDF("k"))
+    tx2.overwrite("txo", "rollup", Seq(6L).toDF("n"))
+    spark.sql(s"INSERT INTO $cat.txo.rollup VALUES (99)")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      tx2.commit(maxAttempts = 5)
+    }
+    assert(e.getMessage.contains("overwrite"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txo.log")
+      .collect().head.getLong(0) === 5L,
+      "refused transaction must publish nothing")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txo.rollup")
+      .collect().head.getLong(0) === 2L)
+  }
+
   test("DROP TABLE and namespace lifecycle over REST") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lc")
     spark.sql(s"CREATE TABLE $cat.lc.t (k BIGINT)")
