@@ -535,6 +535,84 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 2L)
   }
 
+  test("transaction fuzz: random multi-table transactions land fully or not at all (seed 1914)") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txf")
+    val tables = Seq("a", "b", "c")
+    tables.foreach(t =>
+      spark.sql(s"CREATE TABLE $cat.txf.$t (k BIGINT)"))
+    val base = s"http://127.0.0.1:${env._1.port}"
+    val rng = new scala.util.Random(1914)
+    // model: per-table row count and one tracked property
+    val rows = scala.collection.mutable.Map(tables.map(_ -> 0L): _*)
+    val props = scala.collection.mutable.Map[String, String]()
+
+    def df(n: Int) = (1 to n).map(_ => rng.nextLong().abs % 1000).toDF("k")
+
+    (1 to 25).foreach { round =>
+      val involved = rng.shuffle(tables).take(1 + rng.nextInt(tables.size))
+      val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+      // staged ops per table, in random shapes; track the would-be model
+      val pending = involved.map { t =>
+        rng.nextInt(3) match {
+          case 0 =>
+            val n = 1 + rng.nextInt(20)
+            tx.append("txf", t, df(n))
+            (t, ("append", n.toLong, ""))
+          case 1 =>
+            val n = 1 + rng.nextInt(10)
+            tx.overwrite("txf", t, df(n))
+            (t, ("overwrite", n.toLong, ""))
+          case 2 =>
+            val v = s"r$round"
+            tx.setProperties("txf", t, Map("fuzz.round" -> v))
+            (t, ("props", 0L, v))
+        }
+      }
+      // 40% of rounds: a rival single-table commit lands AFTER staging
+      val rival = if (rng.nextInt(10) < 4) {
+        val t = involved(rng.nextInt(involved.size))
+        spark.sql(s"INSERT INTO $cat.txf.$t VALUES ($round)")
+        rows(t) += 1
+        Some(t)
+      } else None
+      // an overwrite whose table moved must REFUSE (never rebases);
+      // everything else absorbs the rival by rebase-retry
+      val mustRefuse = rival.exists(t =>
+        pending.exists(p => p._1 == t && p._2._1 == "overwrite"))
+      if (mustRefuse)
+        intercept[java.util.ConcurrentModificationException] {
+          tx.commit(maxAttempts = 5)
+        }
+      else {
+        tx.commit(maxAttempts = 5)
+        pending.foreach {
+          case (t, ("append", n, _)) => rows(t) += n
+          case (t, ("overwrite", n, _)) =>
+            // a rival on an overwritten table always refuses (handled
+            // above), so a committed overwrite saw no interleaver
+            rows(t) = n
+          case (t, ("props", _, v)) => props(t) = v
+        }
+      }
+      // verify EVERY table against the model after EVERY round —
+      // atomicity means a refused transaction changed nothing
+      tables.foreach { t =>
+        val got = spark.sql(s"SELECT count(*) FROM $cat.txf.$t")
+          .collect().head.getLong(0)
+        assert(got === rows(t),
+          s"round $round: table $t has $got rows, model says ${rows(t)} " +
+            s"(rival=$rival, refused=$mustRefuse, ops=$pending)")
+        props.get(t).foreach { v =>
+          val m = graft.table.iceberg.IcebergMetadata.load(s"$wh/txf/$t")
+          assert(m.properties.get("fuzz.round").contains(v),
+            s"round $round: $t property drifted")
+        }
+      }
+    }
+  }
+
   test("DROP TABLE and namespace lifecycle over REST") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lc")
     spark.sql(s"CREATE TABLE $cat.lc.t (k BIGINT)")
