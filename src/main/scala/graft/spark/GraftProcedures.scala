@@ -732,15 +732,21 @@ object GraftProcedures {
       // (property changes mixed in) use the Scala builder,
       // graft.table.iceberg.IcebergTransaction.
       new GraftProcedure("commit_transaction",
-        "Atomically append into multiple tables: 'appends' is a " +
-          "comma-separated list of ns.table=source entries, where " +
-          "source is a table or temp view whose rows append into " +
-          "ns.table. Data files stage to shared storage first; ONE " +
-          "commit_transaction publishes every snapshot — all tables " +
-          "land or none do (REST catalogs only).",
+        "Atomically write multiple tables: 'appends' and 'overwrites' " +
+          "are comma-separated ns.table=source lists, where source is " +
+          "a table or temp view — its rows append into (or replace " +
+          "the whole content of) ns.table. Data files stage to shared " +
+          "storage first; ONE commit_transaction publishes every " +
+          "snapshot — all tables land or none do (REST catalogs " +
+          "only). Overwrites never rebase: a rival commit on an " +
+          "overwritten table fails the whole transaction.",
         Array(
           ProcedureParameter.in("appends", StringType)
             .comment("e.g. 'db.facts=staged_facts,db.dims=staged_dims'")
+            .build(),
+          ProcedureParameter.in("overwrites", StringType)
+            .defaultValue("''")
+            .comment("same syntax; each table's content is replaced")
             .build()),
         StructType(Seq(
           StructField("table", StringType),
@@ -749,27 +755,33 @@ object GraftProcedures {
         private val out = StructType(Seq(
           StructField("table", StringType),
           StructField("snapshot_id", LongType)))
+        private def parse(arg: String, what: String): Seq[(String, String, String)] =
+          arg.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
+            val Array(tn, src) = e.split("=", 2)
+            val tp = tn.trim.split('.').toSeq
+            require(tp.length == 2, s"$what entries are ns.table=source; got $e")
+            (tp(0), tp(1), src.trim)
+          }
         override def call(in: InternalRow): java.util.Iterator[Scan] = {
           val base = restBase.getOrElse(throw new UnsupportedOperationException(
             "CALL commit_transaction: multi-table atomic commits ride " +
               "the REST catalog protocol; this catalog has no 'uri'"))
           val spark = SparkSession.active
-          val entries = in.getUTF8String(0).toString.split(',')
-            .map(_.trim).filter(_.nonEmpty).toSeq
-            .map { e =>
-              val Array(tn, src) = e.split("=", 2)
-              val tp = tn.trim.split('.').toSeq
-              require(tp.length == 2,
-                s"appends entries are ns.table=source; got $e")
-              (tp(0), tp(1), src.trim)
-            }
-          require(entries.nonEmpty, "appends required")
+          val appends = parse(in.getUTF8String(0).toString, "appends")
+          val overwrites = parse(
+            Option(in.getUTF8String(1)).map(_.toString).getOrElse(""),
+            "overwrites")
+          require(appends.nonEmpty || overwrites.nonEmpty,
+            "appends or overwrites required")
           val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
-          entries.foreach { case (ns, t, src) =>
+          appends.foreach { case (ns, t, src) =>
             tx.append(ns, t, spark.table(src))
           }
+          overwrites.foreach { case (ns, t, src) =>
+            tx.overwrite(ns, t, spark.table(src))
+          }
           tx.commit()
-          result(out, entries.map { case (ns, t, _) =>
+          result(out, (appends ++ overwrites).map { case (ns, t, _) =>
             val root = graft.table.iceberg.IcebergRestClient
               .tableRootOf(base, ns, t).get
             row(utf8(s"$ns.$t"), IcebergMetadata.load(root)

@@ -441,6 +441,16 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 2L)
     assert(IcebergMetadata.load(s"$wh/txn/facts")
       .properties.get("etl.run") === Some("r42"))
+    // the CALL's overwrites parameter: append facts + replace summary
+    Seq((9L, 9.5)).toDF("k", "v").createOrReplaceTempView("txn_facts_b")
+    Seq(("z", 9L)).toDF("grp", "n").createOrReplaceTempView("txn_sum_b")
+    spark.sql(s"CALL $cat.system.commit_transaction(" +
+      "appends => 'txn.facts=txn_facts_b', " +
+      "overwrites => 'txn.summary=txn_sum_b')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txn.facts")
+      .collect().head.getLong(0) === 4L)
+    assert(spark.sql(s"SELECT grp FROM $cat.txn.summary")
+      .collect().map(_.getString(0)).toSeq === Seq("z"))
   }
 
   test("commit_transaction: a racing commit 409s the WHOLE transaction") {

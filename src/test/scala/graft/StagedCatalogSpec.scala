@@ -409,6 +409,20 @@ class StagedCatalogSpec extends AnyFunSuite {
       assert(new java.io.File(winRoot).exists(),
         "sweep deleted a PUBLISHED staged-create table's storage")
       assert(spark.table("stgsw.db.pub").columns.toSeq === Seq("x"))
+      // multi-level namespace: the sweep's namespace argument splits
+      // on '.' into protocol levels (%1F on the wire, nested dirs on
+      // the server)
+      spark.sql("CREATE NAMESPACE stgsw.a.b")
+      spark.sql("CREATE TABLE stgsw.a.b.anchor2 AS SELECT id FROM range(2)")
+      val deepLost = C.createTableStaged(base, "ab", "deep",
+        new org.apache.spark.sql.types.StructType()
+          .add("z", org.apache.spark.sql.types.LongType))
+      ageDir(new java.io.File(deepLost), 7200000L)
+      val deepSwept = spark.sql(
+        "CALL stgsw.system.remove_orphan_staging('a.b', 3600000, false)")
+        .collect().map(_.getString(0)).toSeq
+      assert(deepSwept === Seq(new java.io.File(deepLost).getName))
+      assert(!new java.io.File(deepLost).exists())
     } finally {
       spark.conf.unset("spark.sql.catalog.stgsw")
       spark.conf.unset("spark.sql.catalog.stgsw.uri")
