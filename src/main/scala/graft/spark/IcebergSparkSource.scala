@@ -145,7 +145,8 @@ class IcebergSparkTable(location: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** The default spec's transforms in V2 terms — analyzer metadata:
     * what makes `INSERT OVERWRITE ... PARTITION (col=...)` resolve
@@ -250,6 +251,12 @@ class IcebergSparkTable(location: String,
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          // writeStream.toTable on an adopted/REST table: per-epoch
+          // executor-staged files, one stamped snapshot per epoch
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new IcebergStreamingWrite(location, info.schema(),
+              overwriteAll, info.queryId())
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
@@ -907,4 +914,83 @@ class IcebergReplaceBatchWrite(location: String, rowSchema: StructType,
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     TableIO.delete(staging, recursive = true)
+}
+
+/** Structured Streaming sink for REAL-format tables (adopted
+  * warehouse tables and every REST-catalog table) —
+  * `df.writeStream.toTable("cat.db.t")`. Executors stage per-epoch
+  * parquet (field-id-stamped footers, partition-routed through the
+  * table's default spec exactly like batch writes), and the driver
+  * commits ONE snapshot per epoch through
+  * IcebergWrite.commitStreamEpoch — stamped with the stable query id
+  * + epoch id, so a recovery replay of an already-committed epoch is
+  * dropped (Iceberg's streaming writer dedups the same way), and over
+  * a REST catalog each epoch commit rides the update-table protocol.
+  * Complete mode truncates per epoch via a solo-manifest-list
+  * 'overwrite' snapshot. Epochs skip the sort-order range-clustering
+  * batch writes apply (micro-batches are small by construction);
+  * CALL rewrite_data_files restores clustering. Crashed epochs leave
+  * only a `stage-stream-*` dir that remove_orphan_files sweeps. */
+class IcebergStreamingWrite(location: String, writeSchema: StructType,
+    truncate: Boolean, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import graft.table.TableIO
+
+  // per-RUN staging root: a crashed run's half-staged epoch can never
+  // leak into a later run's ingest (it becomes an orphan dir instead)
+  private val staging = TableIO.path(location,
+    s"stage-stream-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  private def epochDir(epochId: Long) =
+    new org.apache.hadoop.fs.Path(staging, s"epoch-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val ice = IcebergMetadata.load(location)
+    // footers carry the table's field ids (the spec's data-file
+    // requirement) — id-based readers resolve without name mapping
+    val withIds = StructType(writeSchema.fields.map { f =>
+      ice.schema.fieldId(f.name) match {
+        case Some(id) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", id.toLong).build())
+        case None => f
+      }
+    })
+    // the default spec as row-level transforms: executors route each
+    // row into its `<field>=<value>` partition dir as it streams
+    // through (same units-since-epoch/murmur semantics as the batch
+    // writer's transform columns), and the epoch ingest parses the
+    // dirs back into manifest partition values
+    val spec = ice.specs.find(_.specId == ice.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+    val pfs = spec.flatMap(pf =>
+      ice.schema.fields.find(_.id == pf.sourceId).map(src =>
+        graft.table.Meta.PartitionField(src.name, pf.transform, pf.name)))
+    GraftStreamingWriterFactory(staging.toString,
+      org.apache.spark.sql.execution.datasources.GraftConnectorShim
+        .prepareParquetWriteConf(SparkSession.active, withIds),
+      RowTransform.forSpec(pfs, writeSchema))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val committed = graft.table.iceberg.IcebergWrite.commitStreamEpoch(
+      SparkSession.active, location, epochDir(epochId), queryId, epochId,
+      truncate)
+    // replayed or rowless epochs consumed nothing — drop the residue;
+    // a consumed epoch leaves the run root empty, so drop that too
+    // (the next epoch's writers re-mkdir on demand)
+    if (!committed ||
+        (TableIO.exists(staging) && TableIO.listDir(staging).isEmpty))
+      TableIO.delete(staging, recursive = true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    TableIO.delete(epochDir(epochId), recursive = true)
 }

@@ -275,12 +275,24 @@ object IcebergWrite {
       m: IcebergMetadata.IceMetadata, df: DataFrame,
       numPartitions: Option[Int])
       : (Seq[(HPath, Long, Seq[String])], Map[String, FileStats]) = {
+    val staging = writeStagedDir(spark, m, df, numPartitions)
+    ingestStagedFiles(spark, m, staging)
+  }
+
+  /** Ingest an already-written staging dir of parquet files (laid out
+    * as `[_p_]<field>=<value>` partition dirs when the table has a
+    * spec): move them into data/, parse their partition values, and
+    * collect footer stats. The tail half of `stageData`, shared with
+    * writers that staged on the EXECUTORS (the streaming sink's
+    * per-epoch files) rather than through a DataFrame write. */
+  private[iceberg] def ingestStagedFiles(spark: SparkSession,
+      m: IcebergMetadata.IceMetadata, staging: HPath)
+      : (Seq[(HPath, Long, Seq[String])], Map[String, FileStats]) = {
     val location = m.location
     val schema = m.schema
     val sparkSchema = schema.toSpark
     val spec = m.specs.find(_.specId == m.defaultSpecId)
       .map(_.fields).getOrElse(Seq.empty)
-    val staging = writeStagedDir(spark, m, df, numPartitions)
     val dataDir = TableIO.path(location, "data")
     TableIO.mkdirs(dataDir)
     // files FLATTEN into data/ — Iceberg carries partition values in
@@ -800,6 +812,60 @@ object IcebergWrite {
       df: DataFrame): StagedOverwrite = {
     val (moved, stats) = stageData(spark, m, df, None)
     new StagedOverwrite(m.location, moved, stats)
+  }
+
+  /** One streaming micro-batch epoch into a real-format table: ingest
+    * the executor-staged files under `epochDir` and commit ONE
+    * snapshot stamped with (query-id, epoch-id). Exactly-once across
+    * query restarts comes from the stamp: a replayed epoch whose id
+    * is already in the snapshot history commits nothing (the same
+    * dedup the graft-dialect streaming sink and Iceberg's own
+    * streaming writer use). `truncate` = Complete output mode: the
+    * epoch's snapshot carries a solo manifest list, replacing the
+    * table's live content. Over a REST-registered root the commit
+    * rides the update-table protocol like every other write. Returns
+    * whether a snapshot was committed. */
+  def commitStreamEpoch(spark: SparkSession, location: String,
+      epochDir: HPath, queryId: String, epochId: Long,
+      truncate: Boolean): Boolean = {
+    def replayed(m: IcebergMetadata.IceMetadata): Boolean =
+      m.snapshots.exists(s =>
+        s.summary.get("streaming-query-id").contains(queryId) &&
+          s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+    val base = IcebergMetadata.load(location)
+    if (replayed(base)) {
+      TableIO.delete(epochDir, recursive = true)
+      return false
+    }
+    val (moved, stats) =
+      if (TableIO.exists(epochDir)) ingestStagedFiles(spark, base, epochDir)
+      else (Seq.empty[(HPath, Long, Seq[String])], Map.empty[String, FileStats])
+    // a rowless append tick (watermark-only) commits nothing; an
+    // empty Complete-mode result must still truncate
+    if (moved.isEmpty && !truncate) return false
+    val stamp = Map(
+      "streaming-query-id" -> queryId,
+      "streaming-epoch-id" -> epochId.toString)
+    var replayedInside = false
+    IcebergMetadata.commitRetry(location) { m =>
+      if (replayed(m)) { replayedInside = true; m }
+      else {
+        val snap0 = appendManifest(m, moved, stats)
+        val snap1 =
+          if (truncate) soloManifestList(m, snap0, "overwrite")._1
+          else snap0
+        val snap = snap1.copy(summary = snap1.summary ++ stamp)
+        m.copy(
+          lastSequenceNumber = snap.sequenceNumber,
+          currentSnapshotId = Some(snap.snapshotId),
+          snapshots = m.snapshots :+ snap,
+          refs = m.refs + ("main" -> snap.snapshotId))
+      }
+    }
+    // a concurrent run of the SAME query won the epoch between our
+    // load and commit: our ingested files are unreferenced — drop them
+    if (replayedInside) moved.foreach(f => TableIO.delete(f._1))
+    !replayedInside
   }
 
   /** A REPLACE TABLE staged but not yet published: the new content

@@ -717,4 +717,150 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("v").isNull).count() === 0L)
   }
 
+
+  test("iceberg streaming sink: exactly-once epochs into an adopted table") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergWrite}
+    val base = java.nio.file.Files.createTempDirectory("ice-sink").toString
+    val src = base + "/wh/db/src"; val ckpt = base + "/ckpt"
+    val cat = s"isink_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base + "/wh")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val s0 = graft.table.GraftTable.create(spark, src,
+        (1L to 30L).map(i => (i, s"a$i")).toDF("k", "v").schema)
+      s0.append((1L to 30L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+      // the sink is a REAL-format table the catalog serves as adopted
+      val dstLoc = base + "/wh/db/icet"
+      IcebergWrite.create(spark, dstLoc,
+        Seq.empty[(Long, String)].toDF("k", "v"))
+
+      def run(): Unit = {
+        val q = spark.readStream.format("graft").load(src)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.db.icet")
+        q.awaitTermination(120000)
+      }
+      run()
+      assert(spark.table(s"$cat.db.icet").count() === 30L)
+      val m1 = IcebergMetadata.load(dstLoc)
+      val stamp1 = m1.snapshots.last.summary
+      assert(stamp1.get("streaming-query-id").exists(_.nonEmpty))
+      assert(stamp1.get("streaming-epoch-id").contains("0"))
+
+      // second snapshot arrives; the resumed query appends exactly it
+      s0.append((31L to 50L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+      run()
+      assert(spark.table(s"$cat.db.icet").select("k").as[Long]
+        .collect().sorted.toSeq === (1L to 50L))
+      assert(IcebergMetadata.load(dstLoc).snapshots.last.summary
+        .get("streaming-query-id") === stamp1.get("streaming-query-id"))
+
+      // recovery replay: drop the final commit marker so the restarted
+      // query re-executes the last epoch — the (query-id, epoch-id)
+      // stamp must drop the duplicate commit
+      val commits = new java.io.File(ckpt + "/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(commits.nonEmpty)
+      new java.io.File(commits.last.getParentFile,
+        "." + commits.last.getName + ".crc").delete()
+      commits.last.delete()
+      val snapsBefore = IcebergMetadata.load(dstLoc).snapshots.size
+      run()
+      assert(IcebergMetadata.load(dstLoc).snapshots.size === snapsBefore,
+        "replayed epoch committed a duplicate snapshot")
+      assert(spark.table(s"$cat.db.icet").count() === 50L)
+      // no staging residue under the table root
+      val residue = new java.io.File(dstLoc).listFiles()
+        .map(_.getName).filter(_.startsWith("stage-stream-"))
+      assert(residue.isEmpty, s"leaked: ${residue.toSeq}")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("iceberg streaming sink partition-routes epochs through the spec") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergWrite}
+    val base = java.nio.file.Files.createTempDirectory("ice-sink-part").toString
+    val src = base + "/wh/db/src"
+    val cat = s"ipart_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base + "/wh")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val df = (1L to 60L).map(i => (i, i % 3)).toDF("k", "cat")
+      val s0 = graft.table.GraftTable.create(spark, src, df.schema)
+      s0.append(df)
+      val dstLoc = base + "/wh/db/icep"
+      IcebergWrite.createWithSpec(spark, dstLoc,
+        df.limit(0), Seq("cat" -> "identity"))
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.icep")
+      q.awaitTermination(120000)
+      assert(spark.table(s"$cat.db.icep").count() === 60L)
+      // the epoch's files carry manifest partition values: a filtered
+      // scan plans only the matching partition's files
+      val parts = spark.sql(
+        s"SELECT partition FROM $cat.db.icep.files").collect()
+        .map(_.getString(0))
+      assert(parts.nonEmpty &&
+        parts.forall(p => p != null && p.contains("cat")),
+        s"epoch files lack manifest partition values: ${parts.toSeq}")
+      assert(spark.table(s"$cat.db.icep")
+        .filter(col("cat") === 1L).count() === 20L)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("iceberg streaming sink over REST: epoch commits ride the protocol") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergRestServer}
+    val base = java.nio.file.Files.createTempDirectory("ice-sink-rest").toString
+    val rwh = base + "/rwh"
+    val server = new IcebergRestServer(rwh).start()
+    val uri = s"http://127.0.0.1:${server.port}"
+    val cat = s"irest_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.uri", uri)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.sink (k BIGINT, v STRING)")
+      val src = base + "/src"
+      val s0 = graft.table.GraftTable.create(spark, src,
+        (1L to 25L).map(i => (i, s"x$i")).toDF("k", "v").schema)
+      s0.append((1L to 25L).map(i => (i, s"x$i")).toDF("k", "v").coalesce(1))
+      val verBefore = IcebergMetadata.loadVersioned(s"$rwh/db/sink")._2
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.sink")
+      q.awaitTermination(120000)
+      assert(spark.table(s"$cat.db.sink").count() === 25L)
+      // the epoch's snapshot arrived as a SERVER-side metadata version
+      // (the commit rode the update-table protocol, not a local CAS)
+      val (m2, verAfter) = IcebergMetadata.loadVersioned(s"$rwh/db/sink")
+      assert(verAfter > verBefore, "commit bypassed the REST protocol")
+      assert(m2.snapshots.last.summary.get("streaming-epoch-id")
+        .contains("0"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(uri)
+      server.stop()
+    }
+  }
 }
