@@ -824,6 +824,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("iceberg streaming sink Complete mode truncates per epoch") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergWrite}
+    val base = java.nio.file.Files.createTempDirectory("ice-sink-cm").toString
+    val cat = s"icm_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base + "/wh")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val dstLoc = base + "/wh/db/agg"
+      IcebergWrite.create(spark, dstLoc,
+        Seq.empty[(Long, Long)].toDF("k", "n"))
+      val mem = org.apache.spark.sql.execution.streaming
+        .runtime.MemoryStream[Long](spark)
+      mem.addData(1L, 2L, 2L, 3L)
+      val q = mem.toDF().withColumnRenamed("value", "k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", base + "/ckpt")
+        .toTable(s"$cat.db.agg")
+      q.processAllAvailable()
+      assert(spark.table(s"$cat.db.agg").count() === 3L)
+      // second epoch: the WHOLE result replaces the first epoch's
+      mem.addData(2L, 9L)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(s"$cat.db.agg").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((1L, 1L), (2L, 3L), (3L, 1L), (9L, 1L)),
+        s"complete mode must serve exactly the latest result: $got")
+      // each epoch was an 'overwrite' snapshot, not an append pile-up
+      val ops = IcebergMetadata.load(dstLoc).snapshots.map(_.operation)
+      assert(ops.count(_ == "overwrite") >= 2, s"ops: $ops")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("iceberg streaming sink over REST: epoch commits ride the protocol") {
     val spark0 = spark
     import spark0.implicits._
