@@ -1908,6 +1908,11 @@ class GraftStreamingWrite(root: String, schema: StructType,
       // micro-batch planning honors RequiresDistributionAndOrdering,
       // so sorted-table epochs arrive range-clustered like batch writes
       presorted = GraftWriteLayout.presorted(root), branch = branch)
+    // the ingest consumed the epoch dir; an empty run root is just
+    // residue — drop it (the next epoch's writers re-mkdir on demand)
+    if (TableIO.exists(staging) && TableIO.listDir(staging).isEmpty)
+      TableIO.delete(staging, recursive = true)
+    ()
   }
 
   override def abort(epochId: Long,
