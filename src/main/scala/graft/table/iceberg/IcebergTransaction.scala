@@ -32,6 +32,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files never rewrite, only the cheap manifest assembly re-runs
   * (same rebase shape as the single-table commitRetry). On
   * exhaustion the staged files are deleted and the commit throws. */
+object IcebergTransaction {
+  /** Build against a registered REST catalog's server (the
+    * `spark.sql.catalog.<name>.uri` the catalog was configured
+    * with) — so callers address the same server their SQL does. */
+  def forCatalog(spark: SparkSession, catalogName: String)
+      : IcebergTransaction = {
+    val key = s"spark.sql.catalog.$catalogName.uri"
+    val uri = spark.conf.getOption(key).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$catalogName' has no $key — multi-table " +
+          "transactions ride the REST protocol"))
+    new IcebergTransaction(spark, uri.stripSuffix("/"))
+  }
+}
+
 class IcebergTransaction(spark: SparkSession, base: String) {
   import IcebergRestClient.TableChange
 

@@ -430,7 +430,7 @@ class RestCatalogSqlSpec extends AnyFunSuite {
     // the two snapshots arrived via ONE protocol commit: re-running
     // the same appends through the Scala builder also lands both
     val base = s"http://127.0.0.1:${env._1.port}"
-    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    val tx = graft.table.iceberg.IcebergTransaction.forCatalog(spark, cat)
     tx.append("txn", "facts", Seq((3L, 3.5)).toDF("k", "v"))
     tx.append("txn", "summary", Seq(("b", 1L)).toDF("grp", "n"))
     tx.setProperties("txn", "facts", Map("etl.run" -> "r42"))
