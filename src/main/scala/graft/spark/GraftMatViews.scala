@@ -25,13 +25,15 @@ object GraftMatViews {
     * runs the query). Returns the storage location. */
   def create(spark: SparkSession, warehouse: String,
       restBase: Option[String], parts: Seq[String], sql: String,
-      srcNames: Seq[String], fold: Option[String]): String = {
+      srcNames: Seq[String], fold: Option[String],
+      knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : String = {
     require(parts.length == 2,
       s"materialized view identifier must be ns.name; got ${parts.mkString(".")}")
     val sources = srcNames.map(tn =>
       tn -> sourceRoot(warehouse, restBase, tn)).toMap
     require(sources.nonEmpty, "at least one source table required")
-    val schema = spark.sql(sql).schema
+    val schema = knownSchema.getOrElse(spark.sql(sql).schema)
     restBase match {
       case Some(base) =>
         graft.table.iceberg.IcebergRestClient.createMaterializedView(
@@ -66,17 +68,55 @@ object GraftMatViews {
 
   /** Refresh: 'full' recomputes and overwrites storage; 'auto' /
     * 'incremental' folds only appended source data when valid
-    * (falling back to full). Returns (effective mode, row count). */
-  def refresh(spark: SparkSession, root: String,
+    * (falling back to full). Returns (effective mode, row count).
+    * The catalog context (warehouse/restBase) supplies the relation
+    * resolver the delta substitution needs — dotted sources
+    * substitute by exact STORAGE-ROOT equality, never by name
+    * similarity. */
+  def refresh(spark: SparkSession, warehouse: String,
+      restBase: Option[String], root: String,
       mode: String): (String, Long) = {
     val mv = Views.loadMaterializedView(spark, root)
     val incremental = mode match {
       case "full" => mv.refresh(); false
-      case "auto" | "incremental" => mv.refreshIncremental()
+      case "auto" | "incremental" =>
+        mv.refreshIncremental(parts =>
+          relationRoot(spark, warehouse, restBase, parts))
       case other => throw new IllegalArgumentException(
         s"unknown refresh mode '$other' (full | auto | incremental)")
     }
     (if (incremental) "incremental" else "full", mv.read.count())
+  }
+
+  /** Map a relation name from the stored view SQL to the storage root
+    * it would resolve to — the identity test behind incremental delta
+    * substitution. Explicit-catalog names resolve within THAT catalog
+    * (so `cat2.db.t` can never alias `cat.db.t`'s delta even when the
+    * ns.table parts coincide); catalog-less names resolve against the
+    * MV's OWNING catalog context. 1-part names return None — their
+    * resolution depends on session state the stored SQL doesn't
+    * carry, and an unresolvable source falls back to full refresh
+    * rather than guessing. */
+  def relationRoot(spark: SparkSession, warehouse: String,
+      restBase: Option[String], parts: Seq[String]): Option[String] = {
+    def within(wh: String, rb: Option[String],
+        rel: Seq[String]): Option[String] =
+      if (rel.length < 2) None
+      else rb match {
+        case Some(base) =>
+          graft.table.iceberg.IcebergRestClient.tableRootOf(base,
+            rel.init.mkString("\u001F"), rel.last)
+        case None => Option(wh).filter(_.nonEmpty)
+          .map(w => (w +: rel).mkString("/"))
+      }
+    val cm = spark.sessionState.catalogManager
+    if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+      cm.catalog(parts.head) match {
+        case g: GraftTableCatalog =>
+          within(g.warehouse, g.restBase, parts.tail)
+        case _ => None
+      }
+    else within(warehouse, restBase, parts)
   }
 
   /** The graft-catalog tables a query reads, as 'ns.name' strings —
@@ -85,7 +125,13 @@ object GraftMatViews {
     * explicitly). Only relations served by the SAME catalog count:
     * lineage over a foreign catalog's snapshots is not trackable. */
   def sourcesOf(spark: SparkSession, cat: GraftTableCatalog,
-      sql: String): Seq[String] = {
+      sql: String): Seq[String] = analyzeQuery(spark, cat, sql)._1
+
+  /** One analysis pass serving BOTH needs of CREATE MATERIALIZED
+    * VIEW: the same-catalog source tables (refresh-lineage anchors)
+    * and the query's output schema (the storage-table shape). */
+  def analyzeQuery(spark: SparkSession, cat: GraftTableCatalog,
+      sql: String): (Seq[String], org.apache.spark.sql.types.StructType) = {
     val analyzed = spark.sessionState
       .executePlan(spark.sessionState.sqlParser.parseQuery(sql)).analyzed
     val names = analyzed.collectWithSubqueries {
@@ -94,7 +140,7 @@ object GraftMatViews {
         (r.identifier.get.namespace() :+ r.identifier.get.name())
           .mkString(".")
     }
-    names.distinct
+    (names.distinct, analyzed.schema)
   }
 
   private def sourceRoot(warehouse: String, restBase: Option[String],

@@ -757,10 +757,12 @@ object GraftProcedures {
           StructField("snapshot_id", LongType)))
         private def parse(arg: String, what: String): Seq[(String, String, String)] =
           arg.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
-            val Array(tn, src) = e.split("=", 2)
-            val tp = tn.trim.split('.').toSeq
+            val halves = e.split("=", 2)
+            require(halves.length == 2,
+              s"$what entries are ns.table=source; got $e")
+            val tp = halves(0).trim.split('.').toSeq
             require(tp.length == 2, s"$what entries are ns.table=source; got $e")
-            (tp(0), tp(1), src.trim)
+            (tp(0), tp(1), halves(1).trim)
           }
         override def call(in: InternalRow): java.util.Iterator[Scan] = {
           val base = restBase.getOrElse(throw new UnsupportedOperationException(
@@ -865,7 +867,7 @@ object GraftProcedures {
           val root = GraftMatViews.mvRoot(warehouse, restBase,
             viewName.split('.').toSeq)
           val (effective, n) = GraftMatViews.refresh(
-            SparkSession.active, root, mode)
+            SparkSession.active, warehouse, restBase, root, mode)
           result(out, Seq(row(utf8(effective), n)))
         }
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =

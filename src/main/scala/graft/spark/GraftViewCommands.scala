@@ -544,13 +544,15 @@ case class CreateGraftMatViewCommand(catalog: GraftTableCatalog,
       throw new ViewAlreadyExistsException(ident)
     }
     val parts = ident.namespace().toSeq :+ ident.name()
-    val sources = GraftMatViews.sourcesOf(session, catalog, queryText)
+    val (sources, schema) =
+      GraftMatViews.analyzeQuery(session, catalog, queryText)
     require(sources.nonEmpty,
       s"CREATE MATERIALIZED VIEW ${parts.mkString(".")}: the query " +
         "reads no table of this catalog, so refresh lineage cannot " +
         "anchor (materialize a query over at least one catalog table)")
     GraftMatViews.create(session, catalog.warehouse, catalog.restBase,
-      parts, queryText, sources, properties.get("incremental_fold"))
+      parts, queryText, sources, properties.get("incremental_fold"),
+      knownSchema = Some(schema))
     Seq.empty
   }
 }
@@ -583,7 +585,8 @@ case class RefreshGraftMatViewCommand(catalog: GraftTableCatalog,
     val parts = ident.namespace().toSeq :+ ident.name()
     val root = GraftMatViews.mvRoot(catalog.warehouse, catalog.restBase,
       parts)
-    val (effective, n) = GraftMatViews.refresh(session, root, mode)
+    val (effective, n) = GraftMatViews.refresh(session,
+      catalog.warehouse, catalog.restBase, root, mode)
     Seq(Row(effective, n))
   }
 }

@@ -268,10 +268,17 @@ object Views {
       * it); a DOTTED alias — what CREATE MATERIALIZED VIEW derives
       * from the analyzed query, `db.t` referenced as `cat.db.t` in
       * the stored SQL — cannot be a temp view, so the stored SQL is
-      * PARSED and every relation whose name resolves to the alias is
-      * substituted with the delta's plan directly (the relation may
-      * carry a leading catalog part the alias lacks). */
-    def refreshIncremental(): Boolean = {
+      * PARSED and every relation resolving to the source's ROOT is
+      * substituted with the delta's plan directly. Root identity is
+      * decided by `rootOf` (supplied by the catalog layer, which
+      * knows how relation names map to storage roots) — exact
+      * equality, so a same-named table in a DIFFERENT catalog is
+      * never mistaken for the source. If any dotted source matches
+      * no relation (the stored SQL reaches it under a spelling the
+      * resolver cannot map), the refresh falls back to FULL rather
+      * than silently treating the whole source as its own delta. */
+    def refreshIncremental(
+        rootOf: Seq[String] => Option[String] = _ => None): Boolean = {
       val d = view
       val foldSql = loadFold(root)
       val lineage = recordedLineage
@@ -293,28 +300,39 @@ object Views {
       val delta =
         if (dotted.isEmpty) spark.sql(d.sql)
         else {
+          def norm(p: String): String =
+            TableIO.path(p).toUri.getPath.stripSuffix("/")
           val deltaPlans = dotted.map { case (alias, tableRoot) =>
-            alias.split('.').toSeq.map(_.toLowerCase(java.util.Locale.ROOT)) ->
+            norm(tableRoot) -> (alias,
               GraftTable.load(spark, tableRoot)
                 .scanAppendedSince(lineage.get(alias))
-                .queryExecution.logical
+                .queryExecution.logical)
           }.toMap
-          def deltaFor(parts: Seq[String])
-              : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
-            val p = parts.map(_.toLowerCase(java.util.Locale.ROOT))
-            deltaPlans.find { case (alias, _) =>
-              p.endsWith(alias) && p.length <= alias.length + 1
-            }.map(_._2)
-          }
+          // a relation substitutes ONLY when the resolver maps its
+          // name to exactly a source's storage root
+          def deltaFor(parts: Seq[String]) =
+            rootOf(parts).map(norm).flatMap(deltaPlans.get)
+          val matched = scala.collection.mutable.Set[String]()
           import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
           val substituted = spark.sessionState.sqlParser.parsePlan(d.sql)
             .transformUpWithSubqueries {
               case ur: UnresolvedRelation
                   if deltaFor(ur.multipartIdentifier).isDefined =>
-                SubqueryAlias(ur.multipartIdentifier.last,
-                  deltaFor(ur.multipartIdentifier).get)
+                val (alias, plan) = deltaFor(ur.multipartIdentifier).get
+                matched += alias
+                SubqueryAlias(ur.multipartIdentifier.last, plan)
             }
+          val unmatched = dotted.map(_._1).filterNot(matched)
+          if (unmatched.nonEmpty) {
+            // the stored SQL never reaches these sources under a
+            // resolvable spelling — running it unsubstituted would
+            // read the FULL source as its own "delta" and fold every
+            // pre-existing row twice; full refresh is the only honest
+            // answer
+            refresh()
+            return false
+          }
           org.apache.spark.sql.GraftShim.ofRows(spark, substituted)
         }
       storage.scan().unionByName(delta)

@@ -374,6 +374,82 @@ class ViewCatalogSqlSpec extends AnyFunSuite {
     spark.sql(s"DROP MATERIALIZED VIEW $cat.db.mv_props")
   }
 
+  test("incremental MV: a source reached through a temp view falls back " +
+    "to FULL instead of double-counting") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.tsrc (grp STRING)")
+    spark.sql(s"INSERT INTO $cat.db.tsrc VALUES ('a'), ('a'), ('b')")
+    // the stored SQL reaches the source ONLY through a temp view, so
+    // at refresh time no relation resolves to the source's root — the
+    // resolver cannot scope a delta and the refresh must be FULL
+    spark.sql(s"CREATE TEMPORARY VIEW tsrc_wrap AS SELECT * FROM $cat.db.tsrc")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_wrap
+      TBLPROPERTIES('incremental_fold' =
+        'SELECT grp, sum(n) AS n FROM mv_delta_union GROUP BY grp')
+      AS SELECT grp, count(*) AS n FROM tsrc_wrap GROUP BY grp""")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.db.mv_wrap FULL")
+    spark.sql(s"INSERT INTO $cat.db.tsrc VALUES ('a'), ('c')")
+    val eff = spark.sql(
+      s"REFRESH MATERIALIZED VIEW $cat.db.mv_wrap INCREMENTAL")
+      .collect().head.getString(0)
+    assert(eff === "full",
+      "an unscopeable source must fall back to full, never treat the " +
+        "whole source as its own delta")
+    val got = spark.sql(s"SELECT * FROM $cat.db.mv_wrap ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 3L), ("b", 1L), ("c", 1L)),
+      s"double-counted: $got")
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.db.mv_wrap")
+    spark.sql("DROP VIEW tsrc_wrap")
+  }
+
+  test("incremental MV: a same-named table in ANOTHER catalog is never " +
+    "mistaken for the source's delta") {
+    val spark0 = spark
+    import spark0.implicits._
+    val whB = Files.createTempDirectory("graft-viewsql-b").toString
+    val catB = s"vsqlb_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$catB", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catB.warehouse", whB)
+    try {
+      spark.sql(s"CREATE NAMESPACE $catB.db")
+      // SAME ns.table name in both catalogs; catB's is a static dim
+      spark.sql(s"CREATE TABLE $cat.db.xsrc (grp STRING)")
+      spark.sql(s"INSERT INTO $cat.db.xsrc VALUES ('a'), ('b')")
+      spark.sql(s"CREATE TABLE $catB.db.xsrc (grp STRING, w BIGINT)")
+      spark.sql(s"INSERT INTO $catB.db.xsrc VALUES ('a', 10), ('b', 20), ('c', 30)")
+      spark.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_x
+        TBLPROPERTIES('incremental_fold' =
+          'SELECT grp, sum(n) AS n, sum(tw) AS tw FROM mv_delta_union GROUP BY grp')
+        AS SELECT a.grp, count(*) AS n, sum(b.w) AS tw
+           FROM $cat.db.xsrc a JOIN $catB.db.xsrc b ON a.grp = b.grp
+           GROUP BY a.grp""")
+      spark.sql(s"REFRESH MATERIALIZED VIEW $cat.db.mv_x FULL")
+      // append-only move of the TRACKED source; the dim is static
+      spark.sql(s"INSERT INTO $cat.db.xsrc VALUES ('a'), ('c')")
+      val eff = spark.sql(
+        s"REFRESH MATERIALIZED VIEW $cat.db.mv_x INCREMENTAL")
+        .collect().head.getString(0)
+      assert(eff === "incremental")
+      // delta JOIN full-dim folds to exactly the recompute; the old
+      // suffix matcher substituted catB.db.xsrc with catA's delta
+      // (delta JOIN delta) and diverged
+      val got = spark.sql(s"SELECT * FROM $cat.db.mv_x ORDER BY grp")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = spark.sql(
+        s"""SELECT a.grp, count(*) AS n, sum(b.w) AS tw
+            FROM $cat.db.xsrc a JOIN $catB.db.xsrc b ON a.grp = b.grp
+            GROUP BY a.grp ORDER BY a.grp""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === want, s"cross-catalog substitution corrupted: $got vs $want")
+      spark.sql(s"DROP MATERIALIZED VIEW $cat.db.mv_x")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$catB")
+      spark.conf.unset(s"spark.sql.catalog.$catB.warehouse")
+    }
+  }
+
   test("MATERIALIZED VIEW DDL over a live REST server") {
     spark.sql(s"""CREATE MATERIALIZED VIEW $rcat.db.mv_rddl AS
       SELECT k, count(*) AS n FROM $rcat.db.s GROUP BY k""")
