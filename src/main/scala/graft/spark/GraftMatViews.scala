@@ -145,12 +145,15 @@ object GraftMatViews {
 
   private def sourceRoot(warehouse: String, restBase: Option[String],
       tableName: String): String = {
+    // analyzeQuery emits (nsLevels :+ name).mkString("."): everything
+    // before the last dot is the (possibly nested) namespace — the
+    // same decomposition relationRoot applies
     val tp = tableName.split('.').toSeq
-    require(tp.length == 2, s"source table must be ns.name; got $tableName")
+    require(tp.length >= 2, s"source table must be ns[.ns…].name; got $tableName")
     restBase match {
       case Some(base) =>
         graft.table.iceberg.IcebergRestClient
-          .tableRootOf(base, tp(0), tp(1))
+          .tableRootOf(base, tp.init.mkString("\u001F"), tp.last)
           .getOrElse(throw new IllegalArgumentException(
             s"no source table $tableName"))
       case None => (warehouse +: tp).mkString("/")

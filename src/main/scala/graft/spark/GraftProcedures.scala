@@ -735,18 +735,33 @@ object GraftProcedures {
         "Atomically write multiple tables: 'appends' and 'overwrites' " +
           "are comma-separated ns.table=source lists, where source is " +
           "a table or temp view — its rows append into (or replace " +
-          "the whole content of) ns.table. Data files stage to shared " +
-          "storage first; ONE commit_transaction publishes every " +
-          "snapshot — all tables land or none do (REST catalogs " +
+          "the whole content of) ns.table. 'deletes' and 'upserts' " +
+          "carry row-level deltas: ns.table=source:key1+key2, where " +
+          "the source's rows are equality-delete key tuples (deletes) " +
+          "or full replacement rows keyed on the listed columns " +
+          "(upserts) — the multi-table GDPR shape. Data files stage " +
+          "to shared storage first; ONE commit_transaction publishes " +
+          "every snapshot — all tables land or none do (REST catalogs " +
           "only). Overwrites never rebase: a rival commit on an " +
           "overwritten table fails the whole transaction.",
         Array(
           ProcedureParameter.in("appends", StringType)
+            .defaultValue("''")
             .comment("e.g. 'db.facts=staged_facts,db.dims=staged_dims'")
             .build(),
           ProcedureParameter.in("overwrites", StringType)
             .defaultValue("''")
             .comment("same syntax; each table's content is replaced")
+            .build(),
+          ProcedureParameter.in("deletes", StringType)
+            .defaultValue("''")
+            .comment("'ns.t=keys_view:user_id' — equality-delete the " +
+              "key tuples from ns.t")
+            .build(),
+          ProcedureParameter.in("upserts", StringType)
+            .defaultValue("''")
+            .comment("'ns.t=rows_view:k' — MERGE-shape upsert keyed " +
+              "on the listed columns")
             .build()),
         StructType(Seq(
           StructField("table", StringType),
@@ -764,17 +779,31 @@ object GraftProcedures {
             require(tp.length == 2, s"$what entries are ns.table=source; got $e")
             (tp(0), tp(1), halves(1).trim)
           }
+        // delta entries carry their key columns after ':' — split
+        // them off the source spec
+        private def keyed(e: (String, String, String), what: String)
+            : (String, String, String, Seq[String]) = {
+          val halves = e._3.split(":", 2)
+          require(halves.length == 2 && halves(1).trim.nonEmpty,
+            s"$what entries are ns.table=source:key1+key2; got " +
+              s"${e._1}.${e._2}=${e._3}")
+          (e._1, e._2, halves(0).trim,
+            halves(1).split('+').map(_.trim).filter(_.nonEmpty).toSeq)
+        }
         override def call(in: InternalRow): java.util.Iterator[Scan] = {
           val base = restBase.getOrElse(throw new UnsupportedOperationException(
             "CALL commit_transaction: multi-table atomic commits ride " +
               "the REST catalog protocol; this catalog has no 'uri'"))
           val spark = SparkSession.active
-          val appends = parse(in.getUTF8String(0).toString, "appends")
-          val overwrites = parse(
-            Option(in.getUTF8String(1)).map(_.toString).getOrElse(""),
-            "overwrites")
-          require(appends.nonEmpty || overwrites.nonEmpty,
-            "appends or overwrites required")
+          def arg(i: Int): String =
+            Option(in.getUTF8String(i)).map(_.toString).getOrElse("")
+          val appends = parse(arg(0), "appends")
+          val overwrites = parse(arg(1), "overwrites")
+          val deletes = parse(arg(2), "deletes").map(keyed(_, "deletes"))
+          val upserts = parse(arg(3), "upserts").map(keyed(_, "upserts"))
+          require(appends.nonEmpty || overwrites.nonEmpty ||
+              deletes.nonEmpty || upserts.nonEmpty,
+            "appends, overwrites, deletes, or upserts required")
           val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
           appends.foreach { case (ns, t, src) =>
             tx.append(ns, t, spark.table(src))
@@ -782,13 +811,23 @@ object GraftProcedures {
           overwrites.foreach { case (ns, t, src) =>
             tx.overwrite(ns, t, spark.table(src))
           }
+          deletes.foreach { case (ns, t, src, keys) =>
+            tx.deleteByKey(ns, t, spark.table(src), keys)
+          }
+          upserts.foreach { case (ns, t, src, keys) =>
+            tx.upsertByKey(ns, t, spark.table(src), keys)
+          }
           tx.commit()
-          result(out, (appends ++ overwrites).map { case (ns, t, _) =>
-            val root = graft.table.iceberg.IcebergRestClient
-              .tableRootOf(base, ns, t).get
-            row(utf8(s"$ns.$t"), IcebergMetadata.load(root)
-              .currentSnapshotId.getOrElse(-1L))
-          })
+          result(out, (appends ++ overwrites ++
+              deletes.map(d => (d._1, d._2, d._3)) ++
+              upserts.map(u => (u._1, u._2, u._3)))
+            .map { case (ns, t, _) => (ns, t) }.distinct
+            .map { case (ns, t) =>
+              val root = graft.table.iceberg.IcebergRestClient
+                .tableRootOf(base, ns, t).get
+              row(utf8(s"$ns.$t"), IcebergMetadata.load(root)
+                .currentSnapshotId.getOrElse(-1L))
+            })
         }
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
           Seq.empty // unused: call() is overridden

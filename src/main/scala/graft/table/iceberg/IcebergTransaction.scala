@@ -54,7 +54,8 @@ class IcebergTransaction(spark: SparkSession, base: String) {
 
   private case class Op(ns: String, name: String,
       mutate: IcebergMetadata.IceMetadata => IcebergMetadata.IceMetadata,
-      cleanup: () => Unit, rebaseSafe: Boolean = true)
+      cleanup: () => Unit, rebaseSafe: Boolean = true,
+      finish: () => Unit = () => ())
 
   private val ops = scala.collection.mutable.ArrayBuffer[Op]()
   // the server state each table was first observed at: requirements
@@ -62,7 +63,13 @@ class IcebergTransaction(spark: SparkSession, base: String) {
   // staging is detected rather than silently absorbed
   private val observed = scala.collection.mutable.LinkedHashMap[
     (String, String), IcebergMetadata.IceMetadata]()
-  private var done = false
+  // committed and aborted are tracked SEPARATELY: after a successful
+  // commit the staged files are referenced by published snapshots, so
+  // abort() must never run cleanup again (a try/finally { tx.abort() }
+  // around commit() is a safe no-op, not silent corruption)
+  private var committed = false
+  private var aborted = false
+  private def done = committed || aborted
 
   private def served(ns: String, name: String): IcebergMetadata.IceMetadata = {
     val uri =
@@ -81,7 +88,71 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     require(!done, "transaction already committed or aborted")
     val m = observe(ns, name)
     val staged = IcebergWrite.stageAppend(spark, m, df)
-    ops += Op(ns, name, staged.applyTo, staged.cleanup _)
+    ops += Op(ns, name, staged.applyTo, staged.cleanup _,
+      finish = () => staged.dropAttemptMeta(keepCommitted = true))
+    this
+  }
+
+  /** Stage a row-level equality DELETE: the distinct key tuples of
+    * `keys` hide every earlier row version across ALL tables of the
+    * transaction atomically — the multi-table GDPR shape ("delete
+    * this user from facts AND summary in one commit"). Rebase-safe:
+    * the delete applies by key to strictly-earlier sequences, so a
+    * retry over a moved base carries exactly the asked-for
+    * semantics. */
+  def deleteByKey(ns: String, name: String, keys: DataFrame,
+      eqCols: Seq[String]): this.type = {
+    require(!done, "transaction already committed or aborted")
+    val m = observe(ns, name)
+    val staged = IcebergWrite.stageDeleteByKey(spark, m, keys, eqCols)
+    ops += Op(ns, name, staged.applyTo, staged.cleanup _,
+      finish = () => staged.dropAttemptMeta(keepCommitted = true))
+    this
+  }
+
+  /** Stage a keyed UPSERT (MERGE shape): one snapshot holding an
+    * equality delete of `df`'s key tuples plus `df` as new data
+    * files — old row versions hidden, new rows live, O(changed rows)
+    * IO. Rebase-safe: the replacement content is supplied by the
+    * caller, not derived from the table. */
+  def upsertByKey(ns: String, name: String, df: DataFrame,
+      eqCols: Seq[String]): this.type = {
+    require(!done, "transaction already committed or aborted")
+    val m = observe(ns, name)
+    val staged = IcebergWrite.stageUpsertByKey(spark, m, df, eqCols)
+    ops += Op(ns, name, staged.applyTo, staged.cleanup _,
+      finish = () => staged.dropAttemptMeta(keepCommitted = true))
+    this
+  }
+
+  /** Stage a positional DELETE of (file_path, pos) rows. Rebase-AWARE
+    * rather than rebase-safe: every commit attempt re-validates that
+    * the data files the deletes reference are still live in the fresh
+    * base — a concurrent rewrite/compaction fails the transaction
+    * (nothing published) instead of resurrecting deleted rows. */
+  def deletePositions(ns: String, name: String, positions: DataFrame)
+      : this.type = {
+    require(!done, "transaction already committed or aborted")
+    val m = observe(ns, name)
+    val staged = IcebergWrite.stageDeletePositions(spark, m, positions)
+    ops += Op(ns, name, staged.applyTo, staged.cleanup _,
+      finish = () => staged.dropAttemptMeta(keepCommitted = true))
+    this
+  }
+
+  /** Stage a schema evolution (reference: transaction add_schema,
+    * iceberg-rust/src/table/transaction/mod.rs:41): the added nullable
+    * columns land atomically with the transaction's other changes —
+    * the "evolve + backfill" shape stages addColumns on one table and
+    * the backfill append on another (or the same) table. Ids allocate
+    * from whatever base each attempt sees, so rebases replay
+    * soundly; the protocol pins assert-current-schema-id +
+    * assert-last-assigned-field-id server-side. */
+  def addColumns(ns: String, name: String,
+      newCols: org.apache.spark.sql.types.StructType): this.type = {
+    require(!done, "transaction already committed or aborted")
+    observe(ns, name)
+    ops += Op(ns, name, IcebergWrite.addColumnsTo(newCols), () => ())
     this
   }
 
@@ -96,7 +167,8 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     require(!done, "transaction already committed or aborted")
     val m = observe(ns, name)
     val staged = IcebergWrite.stageOverwrite(spark, m, df)
-    ops += Op(ns, name, staged.applyTo, staged.cleanup _, rebaseSafe = false)
+    ops += Op(ns, name, staged.applyTo, staged.cleanup _, rebaseSafe = false,
+      finish = () => staged.dropAttemptMeta(keepCommitted = true))
     this
   }
 
@@ -135,18 +207,30 @@ class IcebergTransaction(spark: SparkSession, base: String) {
               "replacement content and re-run (nothing was published)")
         }
       }
-      // one TableChange per table, its ops folded in staging order
-      val changes = ops.groupBy(o => (o.ns, o.name)).toSeq
-        .sortBy { case (k, _) => observed.keys.toSeq.indexOf(k) }
-        .map { case ((ns, n), tableOps) =>
-          val b = bases((ns, n))
-          val next = tableOps.foldLeft(b)((m, op) => op.mutate(m))
-          TableChange(ns, n,
-            nodes(IcebergRestCommit.requirements(b, next)),
-            nodes(IcebergRestCommit.updates(b, next)))
-        }
+      // one TableChange per table, its ops folded in staging order; a
+      // mutate may REFUSE mid-fold (positional delete whose referenced
+      // files were rewritten, a schema conflict) — abort and surface
+      val changes = try {
+        ops.groupBy(o => (o.ns, o.name)).toSeq
+          .sortBy { case (k, _) => observed.keys.toSeq.indexOf(k) }
+          .map { case ((ns, n), tableOps) =>
+            val b = bases((ns, n))
+            val next = tableOps.foldLeft(b)((m, op) => op.mutate(m))
+            TableChange(ns, n,
+              nodes(IcebergRestCommit.requirements(b, next)),
+              nodes(IcebergRestCommit.updates(b, next)))
+          }
+      } catch {
+        case e: Throwable => abort(); throw e
+      }
       val status = IcebergRestClient.commitTransaction(base, changes)
-      if (status == 204) { done = true; return }
+      if (status == 204) {
+        committed = true
+        // drop metadata written by superseded rebase attempts — the
+        // published snapshots reference only the final attempt's
+        ops.foreach(_.finish())
+        return
+      }
       if (status != 409) {
         abort()
         throw new IllegalStateException(
@@ -161,10 +245,15 @@ class IcebergTransaction(spark: SparkSession, base: String) {
         s"$lastErr; staged files cleaned up, nothing published")
   }
 
-  /** Drop every staged file; publishes nothing. */
+  /** Drop every staged file (data AND per-attempt manifest avro);
+    * publishes nothing. Idempotent, and a silent no-op after a
+    * successful commit — so try/finally { tx.abort() } around
+    * commit() can never delete files the committed snapshots
+    * reference. */
   def abort(): Unit = {
+    if (done) return
+    aborted = true
     ops.foreach(_.cleanup())
-    done = true
   }
 
   private def nodes(arr: com.fasterxml.jackson.databind.node.ArrayNode)

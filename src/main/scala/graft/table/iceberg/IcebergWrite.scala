@@ -760,17 +760,40 @@ object IcebergWrite {
       val location: String,
       moved: Seq[(HPath, Long, Seq[String])],
       stats: Map[String, FileStats]) {
+    // metadata (manifest + manifest list) written per applyTo attempt:
+    // commit retries rebase by re-running applyTo over fresh state, so
+    // earlier attempts' avro is superseded — tracked here so it never
+    // lingers as orphans under metadata/
+    private val attemptMeta =
+      scala.collection.mutable.ArrayBuffer[Seq[HPath]]()
     private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
         : IcebergMetadata.IceMetadata = {
       val snap = appendManifest(m, moved, stats)
+      val ml = new HPath(snap.manifestList)
+      attemptMeta += (IcebergAvro.readManifestList(ml)
+        .filter(_.addedSnapshotId == snap.snapshotId)
+        .map(mf => new HPath(mf.path)) :+ ml)
       m.copy(
         lastSequenceNumber = snap.sequenceNumber,
         currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap,
         refs = m.refs + ("main" -> snap.snapshotId))
     }
-    private[iceberg] def cleanup(): Unit =
+    /** Delete superseded attempt metadata: everything but the final
+      * attempt's (committed — the published snapshot references it),
+      * or everything (abandoned). */
+    private[iceberg] def dropAttemptMeta(keepCommitted: Boolean): Unit = {
+      val stale =
+        if (keepCommitted) attemptMeta.toSeq.dropRight(1)
+        else attemptMeta.toSeq
+      stale.flatten.foreach(p => TableIO.delete(p))
+      val kept = if (keepCommitted) attemptMeta.toSeq.takeRight(1) else Nil
+      attemptMeta.clear(); attemptMeta ++= kept
+    }
+    private[iceberg] def cleanup(): Unit = {
+      dropAttemptMeta(keepCommitted = false)
       moved.foreach(f => TableIO.delete(f._1))
+    }
   }
 
   /** Stage an append's data files (distributed write, footer stats)
@@ -793,18 +816,40 @@ object IcebergWrite {
       val location: String,
       moved: Seq[(HPath, Long, Seq[String])],
       stats: Map[String, FileStats]) {
+    // per-attempt metadata (see StagedAppend.attemptMeta); snap0's
+    // interim append-shaped manifest list is superseded by the solo
+    // list within the SAME attempt, so it is always-stale
+    private val attemptMeta =
+      scala.collection.mutable.ArrayBuffer[Seq[HPath]]()
+    private val interimMeta = scala.collection.mutable.ArrayBuffer[HPath]()
     private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
         : IcebergMetadata.IceMetadata = {
       val snap0 = appendManifest(m, moved, stats)
       val (snap, _) = soloManifestList(m, snap0, "overwrite")
+      interimMeta += new HPath(snap0.manifestList)
+      val ml = new HPath(snap.manifestList)
+      attemptMeta += (IcebergAvro.readManifestList(ml)
+        .filter(_.addedSnapshotId == snap.snapshotId)
+        .map(mf => new HPath(mf.path)) :+ ml)
       m.copy(
         lastSequenceNumber = snap.sequenceNumber,
         currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap,
         refs = m.refs + ("main" -> snap.snapshotId))
     }
-    private[iceberg] def cleanup(): Unit =
+    private[iceberg] def dropAttemptMeta(keepCommitted: Boolean): Unit = {
+      interimMeta.foreach(p => TableIO.delete(p)); interimMeta.clear()
+      val stale =
+        if (keepCommitted) attemptMeta.toSeq.dropRight(1)
+        else attemptMeta.toSeq
+      stale.flatten.foreach(p => TableIO.delete(p))
+      val kept = if (keepCommitted) attemptMeta.toSeq.takeRight(1) else Nil
+      attemptMeta.clear(); attemptMeta ++= kept
+    }
+    private[iceberg] def cleanup(): Unit = {
+      dropAttemptMeta(keepCommitted = false)
       moved.foreach(f => TableIO.delete(f._1))
+    }
   }
 
   /** Stage an overwrite's replacement content without committing. */
@@ -812,6 +857,162 @@ object IcebergWrite {
       df: DataFrame): StagedOverwrite = {
     val (moved, stats) = stageData(spark, m, df, None)
     new StagedOverwrite(m.location, moved, stats)
+  }
+
+  /** A row-level DELTA staged but not committed: an (optional) set of
+    * new data files plus delete files (equality content 2, or
+    * positional content 1) that land in ONE snapshot when the
+    * transaction commits — the multi-table form of the GDPR shape
+    * ("delete this user from facts AND summary atomically").
+    * Equality deltas are rebase-safe: the delete applies by key to
+    * all strictly-earlier sequences, so replaying over a moved base
+    * is exactly the semantics the caller asked for. Positional deltas
+    * re-validate on every attempt that the data files their deletes
+    * reference are still live (deltaSnapshot's validateDataFilesExist
+    * guard) — a concurrent rewrite fails the transaction rather than
+    * resurrecting deleted rows. */
+  final class StagedDelta private[iceberg] (
+      spark: SparkSession,
+      val location: String,
+      moved: Seq[(HPath, Long, Seq[String])],
+      stats: Map[String, FileStats],
+      movedDel: Seq[(HPath, Long, Long)],
+      delContent: Int,
+      eqCols: Seq[String],
+      spec: Seq[IcebergMetadata.IcePartitionField],
+      referenced: Set[String]) {
+    private val attemptMeta =
+      scala.collection.mutable.ArrayBuffer[Seq[HPath]]()
+    private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
+        : IcebergMetadata.IceMetadata = {
+      val next = deltaSnapshot(spark, location, moved, stats, movedDel,
+        referenced, delContent, eqCols, spec)(m)
+      val snap = next.snapshots.last
+      val ml = new HPath(snap.manifestList)
+      attemptMeta += (IcebergAvro.readManifestList(ml)
+        .filter(_.addedSnapshotId == snap.snapshotId)
+        .map(mf => new HPath(mf.path)) :+ ml)
+      next
+    }
+    private[iceberg] def dropAttemptMeta(keepCommitted: Boolean): Unit = {
+      val stale =
+        if (keepCommitted) attemptMeta.toSeq.dropRight(1)
+        else attemptMeta.toSeq
+      stale.flatten.foreach(p => TableIO.delete(p))
+      val kept = if (keepCommitted) attemptMeta.toSeq.takeRight(1) else Nil
+      attemptMeta.clear(); attemptMeta ++= kept
+    }
+    private[iceberg] def cleanup(): Unit = {
+      dropAttemptMeta(keepCommitted = false)
+      moved.foreach(f => TableIO.delete(f._1))
+      movedDel.foreach(f => TableIO.delete(f._1))
+    }
+  }
+
+  /** Write `rows` as one delete parquet in data/ (field ids in the
+    * footer: the spec's reserved ids for positional file_path/pos,
+    * the table's ids for equality keys), returning
+    * (path, size, rowCount) tuples — the movedDel shape every delta
+    * commit consumes. */
+  private def stageDeleteFile(spark: SparkSession,
+      m: IcebergMetadata.IceMetadata, rows: DataFrame, content: Int)
+      : Seq[(HPath, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val withIds = rows.select(rows.schema.fields.map { f =>
+      val id: Option[Long] = f.name match {
+        case "file_path" if content == 1 => Some(2147483546L)
+        case "pos" if content == 1 => Some(2147483545L)
+        case n => m.schema.fieldId(n).map(_.toLong)
+      }
+      id match {
+        case Some(i) => col(f.name).as(f.name,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", i).build())
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val staging = TableIO.path(m.location,
+      s"stage-txdel-${UUID.randomUUID().toString.take(8)}")
+    withMicrosTimestamps(spark)(
+      withIds.coalesce(1).write.parquet(staging.toString))
+    val dataDir = TableIO.path(m.location, "data")
+    TableIO.mkdirs(dataDir)
+    val kind = if (content == 1) "pos" else "eq"
+    val movedDel = TableIO.listFilesRecursive(staging)
+      .filter(_._1.getName.endsWith(".parquet"))
+      .map { case (src, sz, _) =>
+        val dest = new HPath(dataDir,
+          s"$kind-delete-${UUID.randomUUID().toString.take(8)}.parquet")
+        TableIO.rename(src, dest)
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(dest, footerConf))
+        val rows = try reader.getFooter.getBlocks.asScala
+          .map(_.getRowCount).sum finally reader.close()
+        (dest, sz, rows)
+      }
+    TableIO.delete(staging, recursive = true)
+    movedDel
+  }
+
+  private def defaultSpecFields(m: IcebergMetadata.IceMetadata)
+      : Seq[IcebergMetadata.IcePartitionField] =
+    m.specs.find(_.specId == m.defaultSpecId)
+      .map(_.fields).getOrElse(Seq.empty)
+
+  /** Stage an equality DELETE (the distinct key tuples) without
+    * committing. Rebase-safe by construction. */
+  def stageDeleteByKey(spark: SparkSession, m: IcebergMetadata.IceMetadata,
+      keys: DataFrame, eqCols: Seq[String]): StagedDelta = {
+    import org.apache.spark.sql.functions.col
+    require(eqCols.nonEmpty, "equality delete needs key columns")
+    eqCols.foreach(c => require(m.schema.fieldId(c).isDefined,
+      s"no column $c"))
+    val keyDf = keys.select(eqCols.map(col): _*).distinct()
+    val movedDel = stageDeleteFile(spark, m, keyDf, 2)
+    new StagedDelta(spark, m.location, Seq.empty, Map.empty, movedDel, 2,
+      eqCols, defaultSpecFields(m), Set.empty)
+  }
+
+  /** Stage a keyed UPSERT: one snapshot holding an equality delete of
+    * `df`'s key tuples (hides old row versions — strictly-earlier
+    * sequences only, so the new rows survive) plus data files holding
+    * `df`, partition-routed like any append. Null keys are refused:
+    * an equality-delete tuple would hide null-keyed rows with no
+    * replacement written (same contract as updateByKey). */
+  def stageUpsertByKey(spark: SparkSession, m: IcebergMetadata.IceMetadata,
+      df: DataFrame, eqCols: Seq[String]): StagedDelta = {
+    import org.apache.spark.sql.functions.col
+    require(eqCols.nonEmpty, "upsert needs key columns")
+    eqCols.foreach(c => require(m.schema.fieldId(c).isDefined,
+      s"no column $c"))
+    val keyDf = df.select(eqCols.map(col): _*).distinct()
+    require(keyDf.filter(keyDf.columns.map(col(_).isNull)
+        .reduce(_ || _)).isEmpty,
+      "upsertByKey: null key values are not supported (an equality " +
+        "delete would hide null-keyed rows without rewriting them)")
+    val (moved, stats) = stageData(spark, m, df, None)
+    val movedDel = stageDeleteFile(spark, m, keyDf, 2)
+    new StagedDelta(spark, m.location, moved, stats, movedDel, 2, eqCols,
+      defaultSpecFields(m), Set.empty)
+  }
+
+  /** Stage a positional DELETE of (file_path, pos) rows. Rebase-AWARE:
+    * each commit attempt re-validates the referenced data files are
+    * still live. */
+  def stageDeletePositions(spark: SparkSession,
+      m: IcebergMetadata.IceMetadata, positions: DataFrame): StagedDelta = {
+    val posDf = positions.select("file_path", "pos")
+    val movedDel = stageDeleteFile(spark, m, posDf, 1)
+    val referenced: Set[String] =
+      if (movedDel.isEmpty) Set.empty
+      else spark.read
+        .schema(StructType(Seq(StructField("file_path",
+          org.apache.spark.sql.types.StringType))))
+        .parquet(movedDel.map(_._1.toString): _*)
+        .distinct().collect()
+        .map(r => new HPath(r.getString(0)).toUri.getPath).toSet
+    new StagedDelta(spark, m.location, Seq.empty, Map.empty, movedDel, 1,
+      Seq.empty, defaultSpecFields(m), referenced)
   }
 
   /** One streaming micro-batch epoch into a real-format table: ingest
@@ -1024,7 +1225,17 @@ object IcebergWrite {
     * of the current schema null-fill older files. */
   def addColumns(location: String,
       newCols: org.apache.spark.sql.types.StructType): Unit = {
-    IcebergMetadata.commitRetry(location) { m =>
+    IcebergMetadata.commitRetry(location)(addColumnsTo(newCols))
+    ()
+  }
+
+  /** The add-columns evolution as a pure base→next function: id
+    * allocation re-derives from whatever base the attempt sees, so
+    * commit retries and multi-table transaction rebases both replay
+    * it soundly. */
+  private[iceberg] def addColumnsTo(
+      newCols: org.apache.spark.sql.types.StructType)(
+      m: IcebergMetadata.IceMetadata): IcebergMetadata.IceMetadata = {
     val old = m.schema
     newCols.fields.foreach(f => require(!old.fields.exists(_.name == f.name),
       s"column ${f.name} already exists"))
@@ -1043,8 +1254,6 @@ object IcebergWrite {
       schemas = m.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,
       lastColumnId = math.max(m.lastColumnId, newSchema.maxId))
-    }
-    ()
   }
 
   /** Schema evolution: RENAME a column on a real-format table
@@ -1399,7 +1608,26 @@ object IcebergWrite {
       eqCols: Seq[String],
       spec: Seq[IcebergMetadata.IcePartitionField],
       expectedBase: Option[Option[Long]] = None): Unit = {
-    IcebergMetadata.commitRetry(location) { m0 =>
+    IcebergMetadata.commitRetry(location)(deltaSnapshot(spark, location,
+      moved, statsByPath, movedDel, referenced, delContent, eqCols, spec,
+      expectedBase))
+    ()
+  }
+
+  /** The delta snapshot assembly as a PURE base→next function: writes
+    * the attempt's manifests/list as a side effect, but the metadata
+    * transition itself re-runs cleanly over any base — commitRetry
+    * wraps it for single-table commits, and multi-table transactions
+    * call it per rebase attempt (the server CASes instead). */
+  private[iceberg] def deltaSnapshot(spark: SparkSession, location: String,
+      moved: Seq[(HPath, Long, Seq[String])],
+      statsByPath: Map[String, FileStats],
+      movedDel: Seq[(HPath, Long, Long)],
+      referenced: Set[String], delContent: Int,
+      eqCols: Seq[String],
+      spec: Seq[IcebergMetadata.IcePartitionField],
+      expectedBase: Option[Option[Long]] = None)(
+      m0: IcebergMetadata.IceMetadata): IcebergMetadata.IceMetadata = {
       expectedBase.foreach { want =>
         if (m0.currentSnapshotId != want)
           throw new java.util.ConcurrentModificationException(
@@ -1589,8 +1817,6 @@ object IcebergWrite {
         currentSnapshotId = Some(snapshotId),
         snapshots = m.snapshots :+ snap,
         refs = m.refs + ("main" -> snapshotId))
-    }
-    ()
   }
 
   /** Commit a copy-on-write ROW-LEVEL operation on a REAL-format

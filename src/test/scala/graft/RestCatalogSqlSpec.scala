@@ -545,6 +545,153 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 2L)
   }
 
+  test("transaction delta + schema: GDPR delete + upsert + evolve atomically") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txd")
+    spark.sql(s"CREATE TABLE $cat.txd.facts (user BIGINT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE $cat.txd.summary (user BIGINT, n BIGINT)")
+    spark.sql(s"INSERT INTO $cat.txd.facts VALUES " +
+      "(1, 1.0), (2, 2.0), (2, 2.5), (3, 3.0)")
+    spark.sql(s"INSERT INTO $cat.txd.summary VALUES (1, 1), (2, 2), (3, 1)")
+    val base = s"http://127.0.0.1:${env._1.port}"
+
+    // THE GDPR shape: user 2 disappears from facts AND summary in one
+    // atomic commit, plus a schema evolution riding the same protocol
+    // transaction — O(changed rows) IO, no data file rewritten
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.deleteByKey("txd", "facts", Seq(2L).toDF("user"), Seq("user"))
+    tx.deleteByKey("txd", "summary", Seq(2L).toDF("user"), Seq("user"))
+    tx.addColumns("txd", "facts", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("erasure_audit",
+        org.apache.spark.sql.types.StringType))))
+    tx.commit()
+    // the conventional try/finally { tx.abort() } shape must be a
+    // safe no-op after commit — never delete committed files
+    tx.abort(); tx.abort()
+    assert(spark.sql(s"SELECT user FROM $cat.txd.facts ORDER BY user")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(spark.sql(s"SELECT user FROM $cat.txd.summary ORDER BY user")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(spark.sql(s"SELECT * FROM $cat.txd.facts").schema.fieldNames
+      .contains("erasure_audit"),
+      "schema evolution must land with the transaction")
+    // pre-erasure state still time-travels until expire_snapshots
+    val snaps = spark.sql(
+        s"SELECT snapshot_id FROM $cat.txd.facts.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0))
+    assert(spark.sql(
+        s"SELECT count(*) FROM $cat.txd.facts VERSION AS OF ${snaps.head}")
+      .collect().head.getLong(0) === 4L)
+
+    // MERGE-shape upsert in a transaction: summary row for user 1
+    // replaced while facts appends, atomically
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx2.upsertByKey("txd", "summary",
+      Seq((1L, 100L)).toDF("user", "n"), Seq("user"))
+    tx2.append("txd", "facts", Seq((4L, 4.0)).toDF("user", "v"))
+    tx2.commit()
+    assert(spark.sql(s"SELECT n FROM $cat.txd.summary WHERE user = 1")
+      .collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txd.summary")
+      .collect().head.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txd.facts")
+      .collect().head.getLong(0) === 3L)
+
+    // the SQL front: CALL commit_transaction with deletes + upserts
+    Seq(3L).toDF("user").createOrReplaceTempView("txd_erase")
+    Seq((1L, 200L)).toDF("user", "n").createOrReplaceTempView("txd_up")
+    spark.sql(s"CALL $cat.system.commit_transaction(" +
+      "deletes => 'txd.facts=txd_erase:user', " +
+      "upserts => 'txd.summary=txd_up:user')")
+    assert(spark.sql(s"SELECT user FROM $cat.txd.facts ORDER BY user")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 4L))
+    assert(spark.sql(s"SELECT user, n FROM $cat.txd.summary ORDER BY user")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 200L), (3L, 1L)))
+  }
+
+  test("transaction delta: rival 409s everything; staged delete files cleaned") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txe")
+    spark.sql(s"CREATE TABLE $cat.txe.a (k BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.txe.b (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.txe.a VALUES (1), (2)")
+    spark.sql(s"INSERT INTO $cat.txe.b VALUES (1)")
+    val base = s"http://127.0.0.1:${env._1.port}"
+    def dataFiles(t: String): Set[String] = {
+      val d = new java.io.File(s"$wh/txe/$t/data")
+      if (!d.exists()) Set.empty else d.listFiles().map(_.getName).toSet
+    }
+    val aFilesBefore = dataFiles("a")
+    val aSnapBefore = IcebergMetadata.load(s"$wh/txe/a").currentSnapshotId
+
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.deleteByKey("txe", "a", Seq(1L).toDF("k"), Seq("k"))
+    tx.append("txe", "b", Seq(9L).toDF("k"))
+    // rival moves b after observation; single attempt → whole tx fails
+    spark.sql(s"INSERT INTO $cat.txe.b VALUES (99)")
+    intercept[java.util.ConcurrentModificationException] {
+      tx.commit(maxAttempts = 1)
+    }
+    assert(IcebergMetadata.load(s"$wh/txe/a").currentSnapshotId
+      === aSnapBefore, "failed delta transaction must publish nothing")
+    assert(spark.sql(s"SELECT k FROM $cat.txe.a ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(dataFiles("a") === aFilesBefore,
+      "aborted transaction leaked its staged equality-delete file")
+    // retries absorb the race: the eq delete rebases onto the rival
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx2.deleteByKey("txe", "a", Seq(1L).toDF("k"), Seq("k"))
+    tx2.deleteByKey("txe", "b", Seq(99L).toDF("k"), Seq("k"))
+    spark.sql(s"INSERT INTO $cat.txe.b VALUES (100)")
+    tx2.commit(maxAttempts = 5)
+    assert(spark.sql(s"SELECT k FROM $cat.txe.a").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    assert(spark.sql(s"SELECT k FROM $cat.txe.b ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 100L),
+      "rebased eq delete must hide the rival's 99 row (earlier sequence)")
+  }
+
+  test("transaction positional delete: validates referenced files each attempt") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txp")
+    spark.sql(s"CREATE TABLE $cat.txp.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.txp.t VALUES (10), (20)")
+    spark.sql(s"INSERT INTO $cat.txp.t VALUES (30)")
+    val base = s"http://127.0.0.1:${env._1.port}"
+    def livePaths(): Seq[String] = spark.sql(
+        s"SELECT path FROM $cat.txp.t.files")
+      .collect().map(_.getString(0)).sorted
+
+    // happy path: hide row 0 of the first data file
+    val first = livePaths().head
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.deletePositions("txp", "t",
+      Seq((first, 0L)).toDF("file_path", "pos"))
+    tx.commit()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txp.t")
+      .collect().head.getLong(0) === 2L)
+
+    // a compaction rewriting the referenced files between staging and
+    // commit must FAIL the transaction (resurrecting deleted rows by
+    // pointing at dead paths is the alternative)
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx2.deletePositions("txp", "t",
+      Seq((livePaths().head, 0L)).toDF("file_path", "pos"))
+    spark.sql(s"CALL $cat.system.rewrite_data_files('txp.t')")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      tx2.commit(maxAttempts = 3)
+    }
+    assert(e.getMessage.contains("position deletes reference"),
+      s"wrong refusal: ${e.getMessage}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txp.t")
+      .collect().head.getLong(0) === 2L,
+      "refused positional delta must publish nothing")
+  }
+
   test("transaction fuzz: random multi-table transactions land fully or not at all (seed 1914)") {
     val spark0 = spark
     import spark0.implicits._
@@ -554,37 +701,65 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.txf.$t (k BIGINT)"))
     val base = s"http://127.0.0.1:${env._1.port}"
     val rng = new scala.util.Random(1914)
-    // model: per-table row count and one tracked property
-    val rows = scala.collection.mutable.Map(tables.map(_ -> 0L): _*)
+    // model: the exact multiset of k values per table (delta ops need
+    // value identity, not just counts), one tracked property, and the
+    // expected column count (schema evolutions ride transactions too)
+    val content = scala.collection.mutable.Map(
+      tables.map(_ -> scala.collection.mutable.Buffer.empty[Long]): _*)
     val props = scala.collection.mutable.Map[String, String]()
+    val cols = scala.collection.mutable.Map(tables.map(_ -> 1): _*)
 
-    def df(n: Int) = (1 to n).map(_ => rng.nextLong().abs % 1000).toDF("k")
+    def vals(n: Int): Seq[Long] =
+      (1 to n).map(_ => rng.nextLong().abs % 1000)
 
     (1 to 25).foreach { round =>
       val involved = rng.shuffle(tables).take(1 + rng.nextInt(tables.size))
       val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
       // staged ops per table, in random shapes; track the would-be model
-      val pending = involved.map { t =>
-        rng.nextInt(3) match {
-          case 0 =>
-            val n = 1 + rng.nextInt(20)
-            tx.append("txf", t, df(n))
-            (t, ("append", n.toLong, ""))
-          case 1 =>
-            val n = 1 + rng.nextInt(10)
-            tx.overwrite("txf", t, df(n))
-            (t, ("overwrite", n.toLong, ""))
-          case 2 =>
-            val v = s"r$round"
-            tx.setProperties("txf", t, Map("fuzz.round" -> v))
-            (t, ("props", 0L, v))
+      val pending: Seq[(String, (String, Seq[Long], String))] =
+        involved.map { t =>
+          rng.nextInt(6) match {
+            case 0 =>
+              val vs = vals(1 + rng.nextInt(20))
+              tx.append("txf", t, vs.toDF("k"))
+              (t, ("append", vs, ""))
+            case 1 =>
+              val vs = vals(1 + rng.nextInt(10))
+              tx.overwrite("txf", t, vs.toDF("k"))
+              (t, ("overwrite", vs, ""))
+            case 2 =>
+              val v = s"r$round"
+              tx.setProperties("txf", t, Map("fuzz.round" -> v))
+              (t, ("props", Seq.empty[Long], v))
+            case 3 =>
+              // equality-delete a value the table (probably) holds —
+              // hides EVERY row with that k, including a same-round
+              // rival's (the delete lands at a later sequence)
+              val v = if (content(t).nonEmpty)
+                content(t)(rng.nextInt(content(t).size))
+              else rng.nextLong().abs % 1000
+              tx.deleteByKey("txf", t, Seq(v).toDF("k"), Seq("k"))
+              (t, ("delete", Seq(v), ""))
+            case 4 =>
+              // MERGE-shape upsert: distinct keys replace any matching
+              // rows (old versions hidden, new rows live)
+              val vs = vals(1 + rng.nextInt(5)).distinct
+              tx.upsertByKey("txf", t, vs.toDF("k"), Seq("k"))
+              (t, ("upsert", vs, ""))
+            case 5 =>
+              tx.addColumns("txf", t, org.apache.spark.sql.types.StructType(
+                Seq(org.apache.spark.sql.types.StructField(
+                  s"x_${t}_$round",
+                  org.apache.spark.sql.types.DoubleType))))
+              (t, ("addcol", Seq.empty[Long], ""))
+          }
         }
-      }
       // 40% of rounds: a rival single-table commit lands AFTER staging
       val rival = if (rng.nextInt(10) < 4) {
         val t = involved(rng.nextInt(involved.size))
-        spark.sql(s"INSERT INTO $cat.txf.$t VALUES ($round)")
-        rows(t) += 1
+        // column-listed: the table may have evolved extra columns
+        spark.sql(s"INSERT INTO $cat.txf.$t (k) VALUES ($round)")
+        content(t) += round.toLong
         Some(t)
       } else None
       // an overwrite whose table moved must REFUSE (never rebases);
@@ -597,23 +772,38 @@ class RestCatalogSqlSpec extends AnyFunSuite {
         }
       else {
         tx.commit(maxAttempts = 5)
+        // rival applied to the model FIRST (it committed first; the
+        // transaction rebased on top), then the transaction's ops
         pending.foreach {
-          case (t, ("append", n, _)) => rows(t) += n
-          case (t, ("overwrite", n, _)) =>
+          case (t, ("append", vs, _)) => content(t) ++= vs
+          case (t, ("overwrite", vs, _)) =>
             // a rival on an overwritten table always refuses (handled
             // above), so a committed overwrite saw no interleaver
-            rows(t) = n
+            content(t).clear(); content(t) ++= vs
           case (t, ("props", _, v)) => props(t) = v
+          case (t, ("delete", vs, _)) =>
+            val dead = vs.toSet
+            val kept = content(t).filterNot(dead)
+            content(t).clear(); content(t) ++= kept
+          case (t, ("upsert", vs, _)) =>
+            val keys = vs.toSet
+            val kept = content(t).filterNot(keys)
+            content(t).clear(); content(t) ++= kept ++= vs
+          case (t, ("addcol", _, _)) => cols(t) += 1
         }
       }
       // verify EVERY table against the model after EVERY round —
       // atomicity means a refused transaction changed nothing
       tables.foreach { t =>
-        val got = spark.sql(s"SELECT count(*) FROM $cat.txf.$t")
-          .collect().head.getLong(0)
-        assert(got === rows(t),
-          s"round $round: table $t has $got rows, model says ${rows(t)} " +
+        val got = spark.sql(s"SELECT k FROM $cat.txf.$t")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got === content(t).sorted.toSeq,
+          s"round $round: table $t holds $got, model says " +
+            s"${content(t).sorted.toSeq} " +
             s"(rival=$rival, refused=$mustRefuse, ops=$pending)")
+        assert(spark.sql(s"SELECT * FROM $cat.txf.$t").schema.size
+          === cols(t),
+          s"round $round: $t column count drifted")
         props.get(t).foreach { v =>
           val m = graft.table.iceberg.IcebergMetadata.load(s"$wh/txf/$t")
           assert(m.properties.get("fuzz.round").contains(v),
