@@ -1890,9 +1890,16 @@ class GraftStreamingWrite(root: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val t = GraftTable.load(SparkSession.active, root)
-    val replayed = t.meta.snapshots.exists(s =>
-      s.summary.get("streaming-query-id").contains(queryId) &&
-        s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+    // dedup anchors: the snapshot stamp AND a high-water table
+    // property that survives expireSnapshots dropping the stamped
+    // snapshots — a delayed recovery replay after an expire still
+    // commits nothing
+    val hwKey = s"graft.streaming.epoch.$queryId"
+    val replayed =
+      t.meta.properties.get(hwKey).exists(_.toLong >= epochId) ||
+        t.meta.snapshots.exists(s =>
+          s.summary.get("streaming-query-id").contains(queryId) &&
+            s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
     val dir = epochDir(epochId)
     val rows = messages.collect { case GraftCommitMessage(_, n) => n }.sum
     // recovery replay of an already-committed epoch, or a rowless
@@ -1907,7 +1914,8 @@ class GraftStreamingWrite(root: String, schema: StructType,
       "streaming-epoch-id" -> epochId.toString),
       // micro-batch planning honors RequiresDistributionAndOrdering,
       // so sorted-table epochs arrive range-clustered like batch writes
-      presorted = GraftWriteLayout.presorted(root), branch = branch)
+      presorted = GraftWriteLayout.presorted(root), branch = branch,
+      propsExtra = Map(hwKey -> epochId.toString))
     // the ingest consumed the epoch dir; an empty run root is just
     // residue — drop it (the next epoch's writers re-mkdir on demand)
     if (TableIO.exists(staging) && TableIO.listDir(staging).isEmpty)

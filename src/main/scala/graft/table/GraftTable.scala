@@ -280,7 +280,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
       summaryExtra: Map[String, String] = Map.empty,
-      presorted: Boolean = false, branch: String = "main"): Unit = {
+      presorted: Boolean = false, branch: String = "main",
+      propsExtra: Map[String, String] = Map.empty): Unit = {
     val m = meta
     val files = ingestStagedForCommit(staging, m, presorted)
     // an overwrite truncates the TARGET ref's live set — a branch
@@ -289,9 +290,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     if (overwrite)
       commit("overwrite", files, m.liveFiles(base).map(_.path),
         removedDeletes = m.liveDeleteFiles(base).map(_.path),
-        summaryExtra = summaryExtra, branch = branch)
+        summaryExtra = summaryExtra, branch = branch,
+        propsExtra = propsExtra)
     else commit("append", files, Seq.empty, summaryExtra = summaryExtra,
-      branch = branch)
+      branch = branch, propsExtra = propsExtra)
   }
 
   /** `INSERT OVERWRITE t PARTITION (...)` / OverwriteByExpression in
@@ -423,7 +425,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       removedDeletes: Seq[String] = Seq.empty,
       summaryExtra: Map[String, String] = Map.empty,
       requireLive: Seq[String] = Seq.empty,
-      requireSnapshot: Option[Option[Long]] = None): Meta.TableMetadata = this.synchronized {
+      requireSnapshot: Option[Option[Long]] = None,
+      propsExtra: Map[String, String] = Map.empty): Meta.TableMetadata = this.synchronized {
     var attempts = 0
     while (true) {
       val m = meta
@@ -481,7 +484,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           snapshots = m.snapshots :+ snap,
           currentSnapshotId =
             if (branch == "main") Some(snap.snapshotId) else m.currentSnapshotId,
-          refs = newRefs))
+          refs = newRefs,
+          properties = m.properties ++ propsExtra))
       } catch {
         case _: Meta.CommitConflict if attempts < 50 => attempts += 1
       }

@@ -1025,14 +1025,24 @@ object IcebergWrite {
     * epoch's snapshot carries a solo manifest list, replacing the
     * table's live content. Over a REST-registered root the commit
     * rides the update-table protocol like every other write. Returns
-    * whether a snapshot was committed. */
+    * whether a snapshot was committed.
+    *
+    * The dedup has TWO anchors committed atomically with the epoch:
+    * the per-snapshot (query-id, epoch-id) summary stamp, and a
+    * high-water table property `graft.streaming.epoch.<query-id>` —
+    * the property survives expire_snapshots dropping the stamped
+    * snapshots from history, so a delayed recovery replay of an old
+    * epoch still commits nothing (the same reason Iceberg's own
+    * streaming writer keeps its watermark in table properties). */
   def commitStreamEpoch(spark: SparkSession, location: String,
       epochDir: HPath, queryId: String, epochId: Long,
       truncate: Boolean): Boolean = {
+    val hwKey = s"graft.streaming.epoch.$queryId"
     def replayed(m: IcebergMetadata.IceMetadata): Boolean =
-      m.snapshots.exists(s =>
-        s.summary.get("streaming-query-id").contains(queryId) &&
-          s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+      m.properties.get(hwKey).exists(_.toLong >= epochId) ||
+        m.snapshots.exists(s =>
+          s.summary.get("streaming-query-id").contains(queryId) &&
+            s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
     val base = IcebergMetadata.load(location)
     if (replayed(base)) {
       TableIO.delete(epochDir, recursive = true)
@@ -1060,7 +1070,8 @@ object IcebergWrite {
           lastSequenceNumber = snap.sequenceNumber,
           currentSnapshotId = Some(snap.snapshotId),
           snapshots = m.snapshots :+ snap,
-          refs = m.refs + ("main" -> snap.snapshotId))
+          refs = m.refs + ("main" -> snap.snapshotId),
+          properties = m.properties + (hwKey -> epochId.toString))
       }
     }
     // a concurrent run of the SAME query won the epoch between our

@@ -903,4 +903,173 @@ class StreamingSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("iceberg streaming sink vs maintenance: compaction/expire/rival between epochs; replay dedup survives expire") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergWrite}
+    val base = java.nio.file.Files.createTempDirectory("ice-sink-mx").toString
+    val src = base + "/wh/db/src"; val ckpt = base + "/ckpt"
+    val cat = s"imx_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base + "/wh")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val s0 = graft.table.GraftTable.create(spark, src,
+        (1L to 20L).map(i => (i, s"a$i")).toDF("k", "v").schema)
+      s0.append((1L to 20L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+      val dstLoc = base + "/wh/db/mx"
+      IcebergWrite.create(spark, dstLoc,
+        Seq.empty[(Long, String)].toDF("k", "v"))
+      def run(): Unit = {
+        val q = spark.readStream.format("graft").load(src)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.db.mx")
+        q.awaitTermination(120000)
+      }
+      def ks(): Seq[Long] = spark.table(s"$cat.db.mx")
+        .select("k").as[Long].collect().sorted.toSeq
+
+      run() // epoch 0: 1..20
+      // rival batch INSERT lands between epochs — the next epoch's
+      // commit must CAS-rebase on top of it, losing nothing
+      spark.sql(s"INSERT INTO $cat.db.mx VALUES (1001, 'r1'), (1002, 'r2')")
+      s0.append((21L to 35L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+      run() // epoch 1 rebases over the rival
+      assert(ks() === ((1L to 35L) ++ Seq(1001L, 1002L)),
+        "epoch rebase over a rival insert lost rows")
+
+      // compaction between epochs: the stream's next epoch rebases
+      // over the rewritten file set
+      spark.sql(s"CALL $cat.system.rewrite_data_files('db.mx')")
+      s0.append((36L to 40L).map(i => (i, s"c$i")).toDF("k", "v").coalesce(1))
+      run() // epoch 2
+      assert(ks() === ((1L to 40L) ++ Seq(1001L, 1002L)),
+        "epoch rebase over compaction lost rows")
+      val stamped = IcebergMetadata.load(dstLoc).snapshots
+        .filter(_.summary.contains("streaming-epoch-id"))
+      assert(stamped.map(_.summary("streaming-epoch-id")).sorted
+        === Seq("0", "1", "2"))
+
+      // maintenance AFTER the last epoch: another compaction makes the
+      // CURRENT snapshot unstamped, then expire drops every stamped
+      // snapshot from history — the per-snapshot dedup anchor is gone
+      spark.sql(s"CALL $cat.system.rewrite_data_files('db.mx')")
+      spark.sql(s"CALL $cat.system.expire_snapshots('db.mx', keep_last => 1)")
+      val mExp = IcebergMetadata.load(dstLoc)
+      assert(!mExp.snapshots.exists(_.summary.contains("streaming-epoch-id")),
+        "fixture broke: expire was supposed to drop every stamped snapshot")
+      // the high-water property committed with each epoch survives
+      val hw = mExp.properties.collect {
+        case (k, v) if k.startsWith("graft.streaming.epoch.") => v }
+      assert(hw.toSeq === Seq("2"),
+        s"high-water epoch property missing after expire: ${mExp.properties}")
+
+      // delayed recovery replay of epoch 2 (drop its commit marker):
+      // with the stamped snapshots expired, ONLY the property blocks a
+      // duplicate commit
+      val commits = new java.io.File(ckpt + "/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      new java.io.File(commits.last.getParentFile,
+        "." + commits.last.getName + ".crc").delete()
+      commits.last.delete()
+      val snapsBefore = IcebergMetadata.load(dstLoc).snapshots.size
+      run() // replays epoch 2
+      assert(IcebergMetadata.load(dstLoc).snapshots.size === snapsBefore,
+        "replayed epoch after expire committed a duplicate snapshot")
+      assert(ks() === ((1L to 40L) ++ Seq(1001L, 1002L)),
+        "replay after expire duplicated rows")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("iceberg streaming sink: maintenance races a RUNNING query between epochs") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergWrite}
+    val base = java.nio.file.Files.createTempDirectory("ice-sink-live").toString
+    val cat = s"ilive_${java.util.UUID.randomUUID().toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base + "/wh")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val dstLoc = base + "/wh/db/live"
+      IcebergWrite.create(spark, dstLoc, Seq.empty[Long].toDF("k"))
+      val mem = org.apache.spark.sql.execution.streaming
+        .runtime.MemoryStream[Long](spark)
+      val q = mem.toDF().withColumnRenamed("value", "k")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", base + "/ckpt")
+        .toTable(s"$cat.db.live")
+      try {
+        mem.addData(1L to 10L: _*); q.processAllAvailable()
+        // maintenance + a rival commit while the query is LIVE: the
+        // next epoch's CAS rebases over both, losing nothing
+        spark.sql(s"INSERT INTO $cat.db.live VALUES (1001)")
+        spark.sql(s"CALL $cat.system.rewrite_data_files('db.live')")
+        mem.addData(11L to 20L: _*); q.processAllAvailable()
+        spark.sql(s"CALL $cat.system.expire_snapshots('db.live', keep_last => 1)")
+        mem.addData(21L to 25L: _*); q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.table(s"$cat.db.live").select("k").as[Long]
+        .collect().sorted.toSeq === ((1L to 25L) :+ 1001L),
+        "maintenance racing a live stream lost or duplicated rows")
+      // dedup anchors are in place for a later delayed replay even
+      // though expire ran mid-stream
+      val m = IcebergMetadata.load(dstLoc)
+      assert(m.properties.exists { case (k, v) =>
+        k.startsWith("graft.streaming.epoch.") && v == "2" },
+        s"high-water property missing: ${m.properties}")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("graft streaming sink: replay dedup survives expireSnapshots") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-exp").toString
+    val src = base + "/src"; val dst = base + "/dst"; val ckpt = base + "/ckpt"
+    val s0 = graft.table.GraftTable.create(spark, src,
+      (1L to 10L).map(i => (i, s"a$i")).toDF("k", "v").schema)
+    s0.append((1L to 10L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    graft.table.GraftTable.create(spark, dst,
+      (1L to 10L).map(i => (i, s"a$i")).toDF("k", "v").schema)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.outputMode("append").format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("path", dst)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run() // epoch 0
+    s0.append((11L to 15L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    run() // epoch 1
+    val t = graft.table.GraftTable.load(spark, dst)
+    assert(t.scan().count() === 15L)
+    // maintenance: a compacting rewrite + expire drops the stamped
+    // epoch snapshots; the high-water property must carry the dedup
+    t.compact()
+    t.expireSnapshots(keepLast = 1)
+    assert(!graft.table.Meta.load(dst).snapshots
+      .exists(_.summary.contains("streaming-epoch-id")),
+      "fixture broke: stamped snapshots were supposed to expire")
+    val commits = new java.io.File(ckpt + "/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    new java.io.File(commits.last.getParentFile,
+      "." + commits.last.getName + ".crc").delete()
+    commits.last.delete()
+    val snapsBefore = graft.table.Meta.load(dst).snapshots.size
+    run() // replays epoch 1
+    assert(graft.table.Meta.load(dst).snapshots.size === snapsBefore,
+      "graft-sink replay after expire committed a duplicate")
+    assert(graft.table.GraftTable.load(spark, dst).scan().count() === 15L)
+  }
 }
