@@ -31,7 +31,8 @@ object Views {
     * outlive the mirror `sql`/`representations` fields (which always
     * reflect the CURRENT version, for every non-REST consumer). */
   case class ViewVersionDef(versionId: Int,
-      representations: Seq[ViewRepresentation])
+      representations: Seq[ViewRepresentation],
+      storageTable: Option[(Seq[String], String)] = None)
 
   case class ViewDef(name: String, sql: String, sources: Map[String, String],
       version: Int,
@@ -40,7 +41,16 @@ object Views {
       properties: Map[String, String] = Map.empty,
       location: String = "",
       versions: Seq[ViewVersionDef] = Seq.empty,
-      currentVersionId: Int = 0) {
+      currentVersionId: Int = 0,
+      // the reference's materialized-view form: view metadata whose
+      // Materialization IS a storage-table Identifier
+      // (iceberg-rust-spec/src/spec/materialized_view_metadata.rs:20
+      // GeneralViewMetadata<Identifier>, view_metadata.rs:305
+      // Version.storage_table) — (namespace levels, table name)
+      storageTable: Option[(Seq[String], String)] = None,
+      // the create request's Iceberg schema JSON, kept verbatim so a
+      // strict client's view metadata round-trips its schemas list
+      schemaJson: Option[String] = None) {
     /** Stable identity for spec asserts (commit.rs AssertViewUuid):
       * files written before uuid support resolve to a deterministic
       * name-derived uuid, so existing views stay assertable. */
@@ -88,6 +98,16 @@ object Views {
       d.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
     }
     if (d.location.nonEmpty) n.put("location", d.location)
+    def putStorage(into: com.fasterxml.jackson.databind.node.ObjectNode,
+        st: (Seq[String], String)): Unit = {
+      val sn = into.putObject("storage-table")
+      val arr = sn.putArray("namespace")
+      st._1.foreach(arr.add)
+      sn.put("name", st._2)
+      ()
+    }
+    d.storageTable.foreach(putStorage(n, _))
+    d.schemaJson.foreach(n.put("schema-json", _))
     if (d.versions.nonEmpty) {
       n.put("current-version-id", d.currentVersionId)
       val vs = n.putArray("view-versions")
@@ -100,6 +120,7 @@ object Views {
           rn.put("type", "sql"); rn.put("dialect", r.dialect)
           rn.put("sql", r.sql)
         }
+        v.storageTable.foreach(putStorage(vn, _))
       }
     }
     n
@@ -133,13 +154,19 @@ object Views {
     val reps = Option(n.get("representations")).map(_.elements().asScala.map(rn =>
       ViewRepresentation(rn.get("dialect").asText(), rn.get("sql").asText())
     ).toSeq).getOrElse(Seq.empty)
+    def storageOf(node: com.fasterxml.jackson.databind.JsonNode)
+        : Option[(Seq[String], String)] =
+      Option(node.get("storage-table")).filterNot(_.isNull).map(st =>
+        (st.get("namespace").elements().asScala.map(_.asText()).toSeq,
+          st.get("name").asText()))
     val versions = Option(n.get("view-versions"))
       .map(_.elements().asScala.map { vn =>
         ViewVersionDef(vn.get("version-id").asInt(),
           Option(vn.get("representations"))
             .map(_.elements().asScala.map(rn => ViewRepresentation(
               rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
-            .getOrElse(Seq.empty))
+            .getOrElse(Seq.empty),
+          storageTable = storageOf(vn))
       }.toSeq).getOrElse(Seq.empty)
     (ViewDef(n.get("name").asText(), n.get("sql").asText(),
       n.get("sources").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
@@ -150,7 +177,9 @@ object Views {
       location = Option(n.get("location")).map(_.asText()).getOrElse(""),
       versions = versions,
       currentVersionId = Option(n.get("current-version-id"))
-        .map(_.asInt()).getOrElse(0)), v)
+        .map(_.asInt()).getOrElse(0),
+      storageTable = storageOf(n),
+      schemaJson = Option(n.get("schema-json")).map(_.asText())), v)
   }
 
   def viewExists(root: String): Boolean =

@@ -269,24 +269,60 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   private def writeNsProps(ns: String, props: Map[String, String]): Unit =
     graft.table.NsProps.write(nsRoot(ns).toString, props)
 
-  /** View definition from a create/replace request body. */
+  /** (namespace levels, name) from the spec's Identifier JSON
+    * (identifier.rs: {"namespace": ["a","b"], "name": "t"}). */
+  private def identifierOf(n: com.fasterxml.jackson.databind.JsonNode)
+      : (Seq[String], String) = {
+    import scala.jdk.CollectionConverters._
+    (Option(n.get("namespace")).map(_.elements().asScala.map(_.asText())
+        .toSeq).getOrElse(throw new BadRequest("identifier.namespace required")),
+      Option(n.get("name")).map(_.asText())
+        .getOrElse(throw new BadRequest("identifier.name required")))
+  }
+
+  /** View definition from a create/replace request body. Two shapes:
+    * the simple graft form (top-level sql [+ representations]), and
+    * the reference's CreateView<T> (create.rs:134: name, location,
+    * schema, view-version{representations, storage-table when
+    * T=Identifier — the materialized-view form}, properties). */
   private def viewFromBody(name: String,
       body: com.fasterxml.jackson.databind.JsonNode): graft.table.Views.ViewDef = {
     import scala.jdk.CollectionConverters._
+    def repsOf(n: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[graft.table.Views.ViewRepresentation] =
+      Option(n).flatMap(x => Option(x.get("representations")))
+        .map(_.elements().asScala.map(rn =>
+          graft.table.Views.ViewRepresentation(
+            rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
+        .getOrElse(Seq.empty)
+    val vv = Option(body.get("view-version")).filterNot(_.isNull)
+    // optional multi-dialect representations (Iceberg view spec shape);
+    // the CreateView form carries them inside view-version
+    val reps = {
+      val top = repsOf(body)
+      if (top.nonEmpty) top else vv.map(repsOf).getOrElse(Seq.empty)
+    }
     val sql = Option(body.get("sql")).map(_.asText())
-      .getOrElse(throw new BadRequest("sql required"))
+      .orElse(reps.find(_.dialect == "spark").map(_.sql))
+      .orElse(reps.headOption.map(_.sql))
+      .getOrElse(throw new BadRequest(
+        "sql required (top-level, or a view-version representation)"))
     val sources = Option(body.get("sources")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
-    // optional multi-dialect representations (Iceberg view spec shape)
-    val reps = Option(body.get("representations")).map(_.elements().asScala.map(
-      rn => graft.table.Views.ViewRepresentation(
-        rn.get("dialect").asText(), rn.get("sql").asText())).toSeq)
-      .getOrElse(Seq.empty)
     // optional properties (CreateViewRequest.properties — engines park
     // view context like default-catalog/default-namespace here)
     val props = Option(body.get("properties")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
-    graft.table.Views.ViewDef(name, sql, sources, 1, reps, properties = props)
+    graft.table.Views.ViewDef(name, sql, sources, 1, reps,
+      properties = props,
+      location = Option(body.get("location")).filterNot(_.isNull)
+        .map(_.asText()).getOrElse(""),
+      // T=Identifier: the view IS a materialized view whose
+      // materialization is the storage-table identifier
+      storageTable = vv.flatMap(x => Option(x.get("storage-table")))
+        .filterNot(_.isNull).map(identifierOf),
+      schemaJson = Option(body.get("schema")).filterNot(_.isNull)
+        .map(_.toString))
   }
 
   /** The spec's CommitViewRequest (commit.rs:190-252): validate
@@ -389,8 +425,12 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             val taken = next.versions.map(_.versionId).toSet
             val id = if (vid > 0 && !taken.contains(vid)) vid
               else taken.max + 1
+            // Version<Identifier> (the MV form): the added version may
+            // carry its storage-table pin (view_metadata.rs:305)
+            val storage = Option(vv.get("storage-table"))
+              .filterNot(_.isNull).map(identifierOf)
             next = next.copy(versions = next.versions :+
-              graft.table.Views.ViewVersionDef(id, reps))
+              graft.table.Views.ViewVersionDef(id, reps, storage))
             addedIds = addedIds :+ id
           // add-view-version WITHOUT set-current is legal (the version
           // is registered but not current, commit.rs ViewUpdate), and
@@ -410,7 +450,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
               .find(_.dialect == "spark").map(_.sql)
               .getOrElse(chosen.representations.head.sql)
             next = next.copy(currentVersionId = target,
-              sql = sparkSql, representations = chosen.representations)
+              sql = sparkSql, representations = chosen.representations,
+              // an MV replace that pins a new storage table moves the
+              // view-level materialization with it; a plain version
+              // keeps the existing storage identity
+              storageTable = chosen.storageTable.orElse(next.storageTable))
           case other => halt(400, s"unknown view update: $other")
         }
       }
@@ -421,6 +465,33 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     } catch {
       case ViewCommitHalt(code, msg) => reply(ex, code, errBody(msg, code))
     }
+  }
+
+  /** Create an empty real-format table at `loc` from an Iceberg
+    * schema JSON node — the storage-table half of a spec-shape
+    * materialized-view create (the same v1 metadata the create-table
+    * endpoint writes). */
+  private def createEmptyTable(loc: String,
+      schemaNode: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val schema = IcebergMetadata.schemaFromNode(schemaNode)
+    val m0 = IcebergMetadata.IceMetadata(
+      formatVersion = 2,
+      tableUuid = java.util.UUID.randomUUID().toString,
+      location = loc,
+      lastSequenceNumber = 0L,
+      lastColumnId = schema.maxId,
+      currentSchemaId = schema.schemaId,
+      schemas = Seq(schema),
+      defaultSpecId = 0,
+      specs = Seq(IcebergMetadata.IceSpec(0, Seq.empty)),
+      lastPartitionId = 999,
+      properties = Map.empty,
+      currentSnapshotId = None,
+      snapshots = Seq.empty,
+      refs = Map.empty)
+    if (!IcebergMetadata.commitAt(loc, m0, 0))
+      throw new BadRequest(s"storage table at $loc already exists")
+    ()
   }
 
   /** LoadViewResult-ish shape: current definition + its version. */
@@ -441,6 +512,57 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
     d.allRepresentations.foreach { r =>
       val rn = reps.addObject()
       rn.put("type", "sql"); rn.put("dialect", r.dialect); rn.put("sql", r.sql)
+    }
+    // the spec's view metadata form under `metadata`
+    // (view_metadata.rs:161 ViewMetadataV1, kebab-case: view-uuid,
+    // format-version, location, current-version-id, versions[],
+    // version-log[], schemas[], properties) — version entries of a
+    // materialized view carry `storage-table` (view_metadata.rs:305
+    // Version<Identifier>), the reference's MV form, so a strict
+    // client's load round-trips MaterializedViewMetadata
+    locally {
+      val md = n.putObject("metadata")
+      md.put("view-uuid", d.viewUuid)
+      md.put("format-version", 1)
+      md.put("location", if (d.location.nonEmpty) d.location else root)
+      val effVersions =
+        if (d.versions.nonEmpty) d.versions
+        else Seq(graft.table.Views.ViewVersionDef(
+          math.max(1, version), d.allRepresentations, d.storageTable))
+      val curId =
+        if (d.versions.nonEmpty) d.currentVersionId else math.max(1, version)
+      md.put("current-version-id", curId)
+      val vs = md.putArray("versions")
+      effVersions.foreach { v =>
+        val vn = vs.addObject()
+        vn.put("version-id", v.versionId)
+        vn.put("schema-id", 0)
+        vn.put("timestamp-ms", 0L)
+        vn.putObject("summary").put("operation",
+          if (v.versionId <= 1) "create" else "replace")
+        val reps = vn.putArray("representations")
+        v.representations.foreach { r =>
+          val rn = reps.addObject()
+          rn.put("type", "sql"); rn.put("dialect", r.dialect)
+          rn.put("sql", r.sql)
+        }
+        vn.putArray("default-namespace")
+        // a version WITHOUT its own storage pin inherits the view's —
+        // an MV's storage identity is stable across replaces unless a
+        // commit explicitly moves it
+        v.storageTable.orElse(d.storageTable).foreach { case (sns, sn) =>
+          val st = vn.putObject("storage-table")
+          val arr = st.putArray("namespace"); sns.foreach(arr.add)
+          st.put("name", sn)
+        }
+      }
+      md.putArray("version-log")
+      val schemas = md.putArray("schemas")
+      d.schemaJson.foreach(j => schemas.add(mapper.readTree(j)))
+      if (d.properties.nonEmpty) {
+        val p = md.putObject("properties")
+        d.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+      }
     }
     // materialized view: storage-table pointer + refresh-state
     // (materialized_view_metadata.rs: refresh-version-id +
@@ -896,17 +1018,42 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         val body = mapper.readTree(ex.getRequestBody)
         val name = body.get("name").asText()
         val root = tableRoot(ns, name)
+        val d = viewFromBody(name, body)
+        // the reference client's MV flow (catalog.rs:387
+        // create_materialized_view) creates the storage TABLE via
+        // create_table FIRST — and, per catalog.rs:393's name
+        // clone_from, under the VIEW's own name even though the
+        // view-version's storage-table identifier says
+        // <name>__storage — then create_view with
+        // view-version.storage-table. An existing table at this root
+        // during an MV create is therefore the client's pre-created
+        // storage, not a name collision.
+        val isMvCreate = d.storageTable.isDefined
         if (!TableIO.isDirectory(nsRoot(ns)))
           reply(ex, 404, errBody(s"namespace $ns does not exist", 404))
-        else if (graft.table.Views.viewExists(root) || IcebergTable.exists(root))
+        else if (graft.table.Views.viewExists(root) ||
+            (IcebergTable.exists(root) && !isMvCreate))
           reply(ex, 409, errBody("view or table exists", 409))
         else {
-          val d = viewFromBody(name, body)
           if (graft.table.Views.commitViewAt(root, d, 0)) {
+            // spec-shape MV (T=Identifier): ensure the storage table
+            // the metadata points at actually loads through the
+            // catalog — created from the request schema when the
+            // client didn't pre-create it
+            d.storageTable.foreach { case (sns, sn) =>
+              val sroot = tableRoot(sns.mkString("\u001F"), sn)
+              if (!IcebergTable.exists(sroot)) {
+                val schemaNode = Option(body.get("schema"))
+                  .filterNot(_.isNull).getOrElse(throw new BadRequest(
+                    "materialized view create needs 'schema' when the " +
+                      "storage table does not exist yet"))
+                createEmptyTable(sroot, schemaNode)
+              }
+            }
             // create_materialized_view (reference catalog.rs:387):
             // the request carries the storage-table schema — the
             // catalog creates the storage TABLE alongside the view and
-            // never runs the query itself
+            // never runs the query itself (graft's extension form)
             Option(body.get("materialization")).foreach { mat =>
               val schemaJson = Option(mat.get("storage-schema"))
                 .map(_.asText()).getOrElse(

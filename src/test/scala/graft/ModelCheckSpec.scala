@@ -1480,6 +1480,132 @@ class ModelCheckSpec extends AnyFunSuite {
     runGraftPruneSoundness(431L, 30)
   }
 
+  /** The reference's materialized-view form over the wire: view
+    * metadata whose Materialization IS a storage-table Identifier
+    * (iceberg-rust-spec materialized_view_metadata.rs:20
+    * GeneralViewMetadata<Identifier>; create_view::<Identifier>,
+    * catalog_api_api.rs:568). This leg replays the reference client's
+    * create_materialized_view flow (catalog.rs:387: create_table for
+    * the storage, then create_view whose view-version carries
+    * storage-table) with RAW JSON — no graft client helpers — and
+    * asserts create/load/replace round-trip the identifier. */
+  test("spec-shape materialized view: create/load/replace via the reference JSON form") {
+    import graft.table.iceberg.IcebergRestServer
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val wh = java.nio.file.Files.createTempDirectory("graft-specmv").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}/v1"
+      val http = java.net.http.HttpClient.newHttpClient()
+      def send(method: String, path: String, body: String)
+          : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(base + path))
+          .header("Content-Type", "application/json")
+        val req = (method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(
+            java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        }).build()
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(),
+          if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
+          else mapper.readTree(resp.body()))
+      }
+      assert(send("POST", "/namespaces",
+        """{"namespace":["db"]}""")._1 === 200)
 
+      val schemaJson =
+        """{"schema-id":0,"type":"struct","fields":[
+             {"id":1,"name":"k","required":false,"type":"long"},
+             {"id":2,"name":"n","required":false,"type":"long"}]}"""
+      // 1. the storage table half, under the metadata identifier's name
+      assert(send("POST", "/namespaces/db/tables",
+        s"""{"name":"mv__storage","schema":$schemaJson}""")._1 === 200)
+      // 2. create_view with Version<Identifier> — the MV form
+      val createBody =
+        s"""{"name":"mv",
+             "schema":$schemaJson,
+             "view-version":{
+               "version-id":1,"schema-id":0,"timestamp-ms":1,
+               "summary":{"operation":"create"},
+               "representations":[
+                 {"type":"sql","dialect":"spark",
+                  "sql":"SELECT k, count(*) AS n FROM db.t GROUP BY k"}],
+               "default-namespace":["db"],
+               "storage-table":{"namespace":["db"],"name":"mv__storage"}},
+             "properties":{"comment":"spec mv"}}"""
+      val (cCode, _) = send("POST", "/namespaces/db/views", createBody)
+      assert(cCode === 200, "spec-shape MV create refused")
 
+      // 3. load: the metadata is the MATERIALIZED view form — current
+      // version carries the storage-table identifier
+      val (lCode, loaded) = send("GET", "/namespaces/db/views/mv", "")
+      assert(lCode === 200)
+      val md = loaded.get("metadata")
+      assert(md.get("view-uuid").asText().nonEmpty)
+      assert(md.get("format-version").asInt() === 1)
+      assert(md.get("current-version-id").asInt() === 1)
+      val v1 = md.get("versions").get(0)
+      assert(v1.get("storage-table").get("name").asText() === "mv__storage")
+      assert(v1.get("storage-table").get("namespace").get(0).asText() === "db")
+      assert(v1.get("representations").get(0).get("sql").asText()
+        .contains("GROUP BY k"))
+      assert(md.get("schemas").get(0).get("fields").size() === 2,
+        "request schema must round-trip in metadata.schemas")
+      // the storage identifier LOADS as a table through the catalog
+      assert(send("GET", "/namespaces/db/tables/mv__storage", "")._1 === 200)
+
+      // 4. replace via CommitView<Identifier>: a new version pinning a
+      // NEW storage table (the reference's full-refresh pattern swaps
+      // storage), set-current -1
+      val uuid = md.get("view-uuid").asText()
+      assert(send("POST", "/namespaces/db/tables",
+        s"""{"name":"mv__storage2","schema":$schemaJson}""")._1 === 200)
+      val commitBody =
+        s"""{"requirements":[{"type":"assert-view-uuid","uuid":"$uuid"}],
+             "updates":[
+               {"action":"add-view-version","view-version":{
+                 "version-id":2,"schema-id":0,"timestamp-ms":2,
+                 "summary":{"operation":"replace"},
+                 "representations":[
+                   {"type":"sql","dialect":"spark",
+                    "sql":"SELECT k, count(*) AS n FROM db.t2 GROUP BY k"}],
+                 "default-namespace":["db"],
+                 "storage-table":{"namespace":["db"],"name":"mv__storage2"}}},
+               {"action":"set-current-view-version","view-version-id":-1}]}"""
+      assert(send("POST", "/namespaces/db/views/mv", commitBody)._1 === 200)
+      val (_, replaced) = send("GET", "/namespaces/db/views/mv", "")
+      val md2 = replaced.get("metadata")
+      assert(md2.get("current-version-id").asInt() === 2)
+      val cur = md2.get("versions").elements()
+      var curStorage = ""
+      while (cur.hasNext) {
+        val v = cur.next()
+        if (v.get("version-id").asInt() === 2)
+          curStorage = v.get("storage-table").get("name").asText()
+      }
+      assert(curStorage === "mv__storage2",
+        "replace must carry the new version's storage-table pin")
+      assert(md2.get("view-uuid").asText() === uuid)
+
+      // 5. the clone_from quirk (catalog.rs:393): the client creates
+      // the storage table under the VIEW's name, then create_view —
+      // must not 409 as a name collision, and the declared identifier
+      // still gets a loadable table
+      assert(send("POST", "/namespaces/db/tables",
+        s"""{"name":"mv2","schema":$schemaJson}""")._1 === 200)
+      val create2 = createBody.replace("\"name\":\"mv\"", "\"name\":\"mv2\"")
+        .replace("\"name\":\"mv__storage\"", "\"name\":\"mv2__storage\"")
+      assert(send("POST", "/namespaces/db/views", create2)._1 === 200,
+        "clone_from-quirk MV create (pre-created table at the view " +
+          "name) must be accepted")
+      assert(send("GET", "/namespaces/db/tables/mv2__storage", "")._1 === 200,
+        "declared storage identifier must resolve to a table")
+      // a PLAIN view create over an existing table still collides
+      assert(send("POST", "/namespaces/db/views",
+        """{"name":"mv2__storage","sql":"SELECT 1 AS c"}""")._1 === 409)
+    } finally server.stop()
+  }
 }
