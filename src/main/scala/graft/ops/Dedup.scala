@@ -532,8 +532,24 @@ object Dedup {
           conv(substring(md5(w), 1, 15), 16, 10).cast("long")))).as("ha"))
       .localCheckpoint()
     val ex = sh.select(col("doc_id"), explode(col("ha")).as("h"))
+    // the candidate band scales with corpus size: df ∈ [2, max(10,
+    // N/500)]. An ABSOLUTE upper cap shrinks output under mass
+    // replication (the sf10 finding: tokens rare at N become df>10 at
+    // 100N and planted containment pairs stop being candidates). The
+    // divisor is sized for the WORST growth case — verbatim ×k
+    // replication multiplies every df by k, so survival needs
+    // cap(N·k) ≥ k·df₀, i.e. divisor ≤ N₀/df₀; 500 keeps every
+    // pair-generating token with df₀ ≤ N₀/500 in band at ANY
+    // replication factor, while Σ df² over the band still bounds the
+    // join and corpus-wide boilerplate (df ~ N) stays excluded. The
+    // band stays part of the operator CONTRACT — the oracle replays
+    // the same formula.
+    val hiDf = sh.agg(greatest(lit(10L),
+      floor(count(lit(1)) / 500.0).cast("long")).as("hi_df"))
     val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 10)
+      .filter(col("df") >= 2)
+      .crossJoin(broadcast(hiDf))
+      .filter(col("df") <= col("hi_df"))
       .select(col("h"))
     val keyed = ex.join(rare, Seq("h"))
     val cands = keyed.select(col("h"), col("doc_id").as("doc_a"))
@@ -553,8 +569,9 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact replica: same shingles, same [2,10]-df rare-token candidate
-    * rule, same overlap coefficient and threshold. */
+  /** Exact replica: same shingles, same scale-relative
+    * [2, max(10, N/500)]-df rare-token candidate rule, same overlap
+    * coefficient and threshold. */
   val ddContainmentSql: String =
     """WITH sh AS (
         SELECT doc_id,
@@ -568,7 +585,9 @@ object Dedup {
           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT))) AS ha
         FROM sh),
       ex AS (SELECT doc_id, unnest(ha) AS h FROM shh),
-      rare AS (SELECT h FROM ex GROUP BY h HAVING count(*) BETWEEN 2 AND 10),
+      rare AS (SELECT h FROM ex GROUP BY h
+        HAVING count(*) >= 2 AND count(*) <= greatest(10,
+          CAST(floor((SELECT count(*) FROM shh) / 500.0) AS BIGINT))),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM ex a JOIN rare r ON r.h = a.h
