@@ -23,24 +23,57 @@ object LshKernel {
   val Tables = 8
   val PlanesPerTable = 4
 
-  /** Indexed [table * PlanesPerTable + plane][dim]; reference plane
-    * derivation shared with the pure-SQL oracle. */
-  lazy val planes: Array[Array[Double]] =
-    Array.tabulate(Tables * PlanesPerTable, Dim) { (p, i) =>
-      IcebergHash.hashLong((p * Dim + i).toLong).toDouble / Int.MaxValue
-    }
+  /** The explicit recall dial. Random-hyperplane theory: a pair at
+    * cosine c agrees on one plane with p = 1 - acos(c)/π, matches a
+    * table with p^planes, and is a candidate with
+    * recall = 1 - (1 - p^planes)^tables. Candidate mass per query is
+    * ~ tables · N / 2^planes (uniform buckets), so fewer planes per
+    * table trades candidates for recall:
+    *
+    *   preset        recall@cos0.45  @cos0.5  @cos0.8   candidate mass
+    *   8x4 (default)      0.79         0.83    >0.999    8·N/16  (1×)
+    *   16x3 (wide)        0.994        0.996   >0.9999  16·N/8   (4×)
+    *
+    * The default is the documented operating point for near-dup
+    * dedup (recall >0.99 at the cos≥0.8 pairs that matter there);
+    * `wide` serves a user targeting the weak cos≈0.5 band. Selected
+    * per session via spark.conf `graft.ann.lshPreset`; oracles pin
+    * the DEFAULT derivation bit-for-bit. */
+  val Presets: Map[String, (Int, Int)] = Map(
+    "8x4" -> (Tables, PlanesPerTable),
+    "16x3" -> (16, 3))
+
+  /** Indexed [table * planesPerTable + plane][dim]; reference plane
+    * derivation shared with the pure-SQL oracle (murmur3 of the flat
+    * index over Int.MaxValue) — the default preset's planes are
+    * bit-for-bit the pre-dial ones. */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), Array[Array[Double]]]()
+  def planesFor(tables: Int, planesPerTable: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((tables, planesPerTable), { _ =>
+      Array.tabulate(tables * planesPerTable, Dim) { (p, i) =>
+        IcebergHash.hashLong((p * Dim + i).toLong).toDouble / Int.MaxValue
+      }
+    })
+
+  lazy val planes: Array[Array[Double]] = planesFor(Tables, PlanesPerTable)
 
   /** (table, sign-bit bucket) pairs for one embedding. */
-  def bucketKeys(emb: ArrayData): ArrayData = {
+  def bucketKeys(emb: ArrayData): ArrayData =
+    bucketKeys(emb, Tables, PlanesPerTable)
+
+  def bucketKeys(emb: ArrayData, tables: Int, planesPerTable: Int)
+      : ArrayData = {
+    val ps = planesFor(tables, planesPerTable)
     val v = emb.toDoubleArray()
     val n = math.min(v.length, Dim)
-    val out = new Array[Any](Tables)
+    val out = new Array[Any](tables)
     var t = 0
-    while (t < Tables) {
+    while (t < tables) {
       var b = 0
       var p = 0
-      while (p < PlanesPerTable) {
-        val plane = planes(t * PlanesPerTable + p)
+      while (p < planesPerTable) {
+        val plane = ps(t * planesPerTable + p)
         var dot = 0.0
         var i = 0
         while (i < n) { dot += v(i) * plane(i); i += 1 }
@@ -53,11 +86,25 @@ object LshKernel {
     new GenericArrayData(out)
   }
 
-  def bucketKeysCol(c: Column): Column =
-    GraftShim.column(LshBucketKeys(GraftShim.expression(c)))
+  def bucketKeysCol(c: Column, tables: Int = Tables,
+      planesPerTable: Int = PlanesPerTable): Column =
+    GraftShim.column(LshBucketKeys(GraftShim.expression(c),
+      tables, planesPerTable))
+
+  /** The preset a session selected (spark conf graft.ann.lshPreset;
+    * unknown names fail loudly with the known dial positions). */
+  def presetOf(s: org.apache.spark.sql.SparkSession): (Int, Int) = {
+    val name = s.conf.get("graft.ann.lshPreset", "8x4")
+    Presets.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown graft.ann.lshPreset '$name' " +
+        s"(known: ${Presets.keys.toSeq.sorted.mkString(", ")})"))
+  }
 }
 
-case class LshBucketKeys(child: Expression) extends UnaryExpression {
+case class LshBucketKeys(child: Expression,
+    tables: Int = LshKernel.Tables,
+    planesPerTable: Int = LshKernel.PlanesPerTable)
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("t", IntegerType, nullable = false),
     StructField("b", IntegerType, nullable = false))), containsNull = false)
@@ -73,11 +120,12 @@ case class LshBucketKeys(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(v: Any): Any =
-    LshKernel.bucketKeys(v.asInstanceOf[ArrayData])
+    LshKernel.bucketKeys(v.asInstanceOf[ArrayData], tables, planesPerTable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.LshKernel$$.MODULE$$.bucketKeys($c)")
+      c => s"graft.functions.LshKernel$$.MODULE$$.bucketKeys($c, " +
+        s"$tables, $planesPerTable)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketKeys =
     copy(child = newChild)

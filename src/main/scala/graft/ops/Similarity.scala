@@ -64,7 +64,7 @@ object Similarity {
     } else {
       // candidates from any shared LSH bucket; one shuffle on the key
       val vk = v.select(col("vec_id"), col("emb"),
-          explode(bucketKeys(col("emb"))).as("k"))
+          explode(bucketKeys(s, col("emb"))).as("k"))
       val a = vk.select(col("k"), col("vec_id").as("ia"), col("emb").as("ea"))
       val b = vk.select(col("k"), col("vec_id").as("ib"), col("emb").as("eb"))
       a.join(b, Seq("k")).filter(col("ia") < col("ib"))
@@ -124,8 +124,14 @@ object Similarity {
     * One compact codegen'd expression (LshKernel) — the previous
     * 32-literal-array formulation cost ~6 s of whole-stage codegen
     * compilation per cold plan. */
-  private def bucketKeys(emb: Column): Column =
-    graft.functions.LshKernel.bucketKeysCol(emb)
+  private def bucketKeys(s: SparkSession, emb: Column): Column = {
+    // the session's recall dial (graft.ann.lshPreset, default 8x4 —
+    // the oracle-pinned derivation; 16x3 trades ~4x candidate mass
+    // for >0.99 recall at cos 0.45-0.5). Curve documented at
+    // LshKernel.Presets.
+    val (t, p) = graft.functions.LshKernel.presetOf(s)
+    graft.functions.LshKernel.bucketKeysCol(emb, t, p)
+  }
 
   /** LSH top-k: equi-join on (table, bucket), candidates deduped, exact
     * rerank only on candidates. Shuffle cost tracks candidate count.
@@ -133,7 +139,7 @@ object Similarity {
   val annLshTopk: Q = (s, d) => {
     val v = vectors(s, d)
       .select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"),
-        bucketKeys(col("emb")).as("keys"))
+        bucketKeys(s, col("emb")).as("keys"))
     val vk = v.select(col("vec_id"), col("emb"), col("nrm"),
       explode(col("keys")).as("k"))
     val q = vk.filter(col("vec_id") < 5)

@@ -290,6 +290,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(found.subsetOf(brute), "LSH pair not confirmed by brute force")
   }
 
+  test("LSH recall dial: presets order as documented; unknown dial fails loudly") {
+    def lshPairs(preset: String): Set[(Long, Long)] = {
+      spark.conf.set("graft.ann.lshPreset", preset)
+      try graft.ops.Similarity.embedNeardupPairs(spark, sf, maxExact = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("graft.ann.lshPreset")
+    }
+    val brute = graft.ops.Similarity.embedNeardupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val base = lshPairs("8x4")
+    val wide = lshPairs("16x3")
+    // exactness holds at every dial position (cosine verify)
+    assert(base.subsetOf(brute) && wide.subsetOf(brute))
+    // the documented ordering: 16x3 trades ~4x candidate mass for
+    // >0.99 analytic recall across the whole cos>0.45 band, so it
+    // must recall at least the default's rate — and nearly everything
+    val rBase = base.size.toDouble / brute.size
+    val rWide = wide.size.toDouble / brute.size
+    assert(rWide >= rBase,
+      s"wide preset recalled less than default: $rWide < $rBase")
+    assert(rWide >= 0.9, s"16x3 recall $rWide below its documented curve")
+    // an unknown dial position is refused with the known presets named
+    spark.conf.set("graft.ann.lshPreset", "3x9")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Similarity.embedNeardupPairs(spark, sf, maxExact = 0L)
+      }
+      assert(e.getMessage.contains("8x4") && e.getMessage.contains("16x3"))
+    } finally spark.conf.unset("graft.ann.lshPreset")
+  }
+
   test("multimodal decode keeps schema and is deterministic") {
     val rows = ops.Multimodal.mmBinaryMeta(spark, sf).collect()
     assert(rows.length > 0)

@@ -152,6 +152,22 @@ class Sf1InvariantSpec extends AnyFunSuite {
       .count() === wanted.size.toLong)
     assert(lsh.join(exact, Seq("ia", "ib"), "left_anti").count() === 0,
       "the LSH path emitted a pair the exact path did not")
+
+    // the recall dial at scale: the wide preset (16x3) keeps the
+    // guarantees (clone recall, exactness) and recalls at least as
+    // many true pairs as the default at 60k vectors
+    spark.conf.set("graft.ann.lshPreset", "16x3")
+    val lshWide =
+      try ops.Similarity.embedNeardupPairs(spark, sf1, maxExact = 1000L)
+        .cache()
+      finally spark.conf.unset("graft.ann.lshPreset")
+    assert(lshWide.join(wantedDf, Seq("ia", "ib"), "left_semi")
+      .count() === wanted.size.toLong,
+      "wide preset missed guaranteed clone pairs")
+    assert(lshWide.join(exact, Seq("ia", "ib"), "left_anti").count() === 0,
+      "wide preset emitted a pair the exact path did not")
+    assert(lshWide.count() >= lsh.count(),
+      "wide preset recalled fewer pairs than the default")
   }
 
   test("incremental minhash: verified matches only; planted cross-boundary clones found") {
