@@ -515,7 +515,16 @@ object Dedup {
     * part of the operator's CONTRACT (the oracle replays it exactly),
     * which is how production set-similarity joins are actually
     * specified. One shuffle on the shingle key, one on the pair. */
-  val ddContainment: Q = (s, d) => {
+  val ddContainment: Q = (s, d) => containmentPairs(s, d, None)
+
+  /** The containment join with an optional doc restriction applied to
+    * BOTH candidate sides AFTER the corpus-wide df/band computation —
+    * the scale-probe shape ("do the original docs' planted pairs stay
+    * candidates under the full corpus's df inflation") without the
+    * answer-quadratic all-copies join. `restrict = None` is the
+    * operator itself. */
+  private[graft] def containmentPairs(s: SparkSession, d: String,
+      restrict: Option[org.apache.spark.sql.Column]): DataFrame = {
     // Every shingle maps through the 60-bit md5-prefix hash ONCE, up
     // front — the inverted index, df counts, candidate join AND the
     // verify arrays all carry 8-byte keys instead of 25-byte strings
@@ -551,7 +560,8 @@ object Dedup {
       .crossJoin(broadcast(hiDf))
       .filter(col("df") <= col("hi_df"))
       .select(col("h"))
-    val keyed = ex.join(rare, Seq("h"))
+    val keyed0 = ex.join(rare, Seq("h"))
+    val keyed = restrict.fold(keyed0)(p => keyed0.filter(p))
     val cands = keyed.select(col("h"), col("doc_id").as("doc_a"))
       .join(keyed.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))

@@ -106,6 +106,77 @@ object Sf10Probe {
         f"found=$foundClones recall=${foundClones.toDouble / expectedClones}%.4f " +
         f"t=$tClone%.2f s")
     }
+
+    if (legs("contain0")) {
+      // ×100 planted-pair SURVIVAL without the answer-quadratic
+      // all-copies join (whose output alone is ~30M pairs and whose
+      // shuffle spill exceeds this box's disk): the df counts and the
+      // scale-relative band come from the FULL 600k-doc corpus —
+      // exactly the inflation that used to push rare tokens out of
+      // the absolute band — while candidate generation and verify are
+      // restricted to copy-0 (the original sf0.1 documents). Planted
+      // pairs survive iff the sf0.1 output reappears.
+      val S = ScaleUp.Shift
+      val (exp, tE) = time {
+        graft.ops.Dedup.ddContainment(spark, "/root/testdata/sf0.1")
+          .select(col("doc_a"), col("doc_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val (got, tG) = time {
+        graft.ops.Dedup.containmentPairs(spark, sf10,
+            Some(col("doc_id") < S))
+          .select(col("doc_a"), col("doc_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val hit = exp.intersect(got).size
+      println(f"[sf10probe] leg=contain0 planted=${exp.size} " +
+        f"survived=$hit extra=${got.diff(exp).size} " +
+        f"survival=${hit.toDouble / exp.size}%.4f " +
+        f"t_sf01=$tE%.2f s t_sf10_copy0=$tG%.2f s")
+    }
+
+    if (legs("tfwrite")) {
+      // round-15 write-heavy checkpoint: the slowest sf1 tf_ keys are
+      // write-bound fixtures (tf_metadata_tables 13 s, tf_compaction
+      // 9.6 s at sf1). One decade up, split each into its phases and
+      // confirm the growth sits in the DATA write/rewrite (linear in
+      // rows by design) while the commit machinery — footer stats,
+      // manifest assembly, metadata-table walks — stays
+      // metadata-scale.
+      Seq(sf1, sf10).foreach { d =>
+        val li = graft.Tables.lineitem(spark, d)
+        val rows = li.count()
+        // tf_metadata_tables shape: two coalesce(1) appends (the
+        // oracle pins n_files=2, so each append is ONE task's parquet
+        // write — single-thread data throughput, by contract)
+        val r1 = java.nio.file.Files
+          .createTempDirectory("sf10-tfmeta").toString
+        val t1 = graft.table.GraftTable.create(spark, s"$r1/t", li.schema)
+        val (_, tApp1) = time(
+          t1.append(li.filter(col("l_linenumber") <= 3).coalesce(1)))
+        val (_, tApp2) = time(
+          t1.append(li.filter(col("l_linenumber") > 3).coalesce(1)))
+        val (_, tWalk) = time {
+          t1.filesDF.count(); t1.snapshotsDF.count(); t1.scan().count()
+        }
+        println(f"[sf10probe] leg=tfwrite key=tf_metadata_tables dir=$d " +
+          f"rows=$rows append1=$tApp1%.2f s append2=$tApp2%.2f s " +
+          f"metadata_walk=$tWalk%.2f s")
+        // tf_compaction shape: 40-file append, then bin-pack rewrite
+        val r2 = java.nio.file.Files
+          .createTempDirectory("sf10-tfcomp").toString
+        val t2 = graft.table.GraftTable.create(spark, s"$r2/t", li.schema)
+        val (_, tApp) = time(t2.append(li.repartition(40)))
+        val nBefore = t2.filesDF.count()
+        val (_, tComp) = time(t2.compact(targetFileBytes = 512L * 1024 * 1024))
+        val nAfter = t2.filesDF.count()
+        println(f"[sf10probe] leg=tfwrite key=tf_compaction dir=$d " +
+          f"rows=$rows append40=$tApp%.2f s compact=$tComp%.2f s " +
+          f"files=$nBefore->$nAfter")
+        Seq(r1, r2).foreach(r => org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(r)))
+      }
+    }
     spark.stop()
   }
 }
