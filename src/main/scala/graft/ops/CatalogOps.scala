@@ -465,8 +465,97 @@ object CatalogOps {
          FROM orders WHERE o_orderkey % 3 = 0)
        ORDER BY tbl"""
 
+  /** Round 15: the transaction's ROW-LEVEL + SCHEMA surface end to
+    * end (reference: the full single-table transaction vocabulary of
+    * iceberg-rust/src/table/transaction/mod.rs lifted to the
+    * multi-table protocol commit). One transaction carries the GDPR
+    * erasure (an equality delete of the k%7 users from BOTH tables),
+    * a MERGE-shape upsert of the k%5 summary rows, and a schema
+    * evolution on facts — all-or-nothing over the in-query REST
+    * server; abort() after commit is the try/finally no-op. The
+    * driver checks the final state of both tables plus the evolved
+    * column count. */
+  val tfTxnDelta: Q = (s, d) => {
+    val wh = scratch()
+    val server = new graft.table.iceberg.IcebergRestServer(wh).start()
+    val cat = s"txnd_${java.util.UUID.randomUUID().toString.take(6)}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.uri",
+        s"http://127.0.0.1:${server.port}")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.facts (k BIGINT, price DOUBLE)")
+      s.sql(s"CREATE TABLE $cat.db.summ (k BIGINT, cnt BIGINT)")
+      val slice = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_custkey").as("k"), col("o_totalprice").as("price"))
+      val summ = slice.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      slice.createOrReplaceTempView("txd_facts_src")
+      summ.createOrReplaceTempView("txd_summ_src")
+      // seed both tables through one protocol transaction
+      s.sql(s"CALL $cat.system.commit_transaction(" +
+        "'db.facts=txd_facts_src,db.summ=txd_summ_src')")
+      // the delta transaction: erase + upsert + evolve, one commit
+      val tx = graft.table.iceberg.IcebergTransaction.forCatalog(s, cat)
+      val erased = summ.filter(col("k") % 7 === 0).select("k")
+      tx.deleteByKey("db", "facts", erased, Seq("k"))
+      tx.deleteByKey("db", "summ", erased, Seq("k"))
+      tx.upsertByKey("db", "summ",
+        summ.filter(col("k") % 5 === 0 && col("k") % 7 =!= 0)
+          .select(col("k"), (col("cnt") + 1000).as("cnt")), Seq("k"))
+      tx.addColumns("db", "facts", org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("audit",
+          org.apache.spark.sql.types.StringType))))
+      tx.commit()
+      tx.abort() // no-op after commit: the try/finally contract
+      val nCols = s.table(s"$cat.db.facts").schema.size
+      val out = s.sql(
+        s"""SELECT part, n, total FROM (
+              SELECT 'facts' AS part, count(*) AS n,
+                     round(sum(price), 2) AS total FROM $cat.db.facts
+              UNION ALL
+              SELECT 'facts_cols', CAST($nCols AS BIGINT), CAST(0.0 AS DOUBLE)
+              UNION ALL
+              SELECT 'summary', count(*), CAST(sum(cnt) AS DOUBLE)
+              FROM $cat.db.summ) ORDER BY part""")
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(
+        s"http://127.0.0.1:${server.port}")
+      server.stop()
+    }
+  }
+
+  /** The delta transaction's model in pure SQL: erased users vanish
+    * from both tables, upserted summary rows carry cnt+1000, the
+    * facts schema gained one column. */
+  val tfTxnDeltaSql: String =
+    """WITH slice AS (
+         SELECT o_custkey AS k, o_totalprice AS price
+         FROM orders WHERE o_orderkey % 2 = 0),
+       kept AS (SELECT * FROM slice WHERE k % 7 <> 0),
+       summ AS (SELECT k, count(*) AS cnt FROM slice GROUP BY k),
+       s2 AS (SELECT k,
+                CASE WHEN k % 5 = 0 THEN cnt + 1000 ELSE cnt END AS cnt
+              FROM summ WHERE k % 7 <> 0)
+       SELECT part, n, total FROM (
+         SELECT 'facts' AS part, count(*) AS n,
+                CAST(round(sum(price), 2) AS DOUBLE) AS total FROM kept
+         UNION ALL
+         SELECT 'facts_cols', 3::BIGINT, 0.0::DOUBLE
+         UNION ALL
+         SELECT 'summary', count(*), CAST(sum(cnt) AS DOUBLE) FROM s2)
+       ORDER BY part"""
+
   val queries: Map[String, Q] = Map(
     "tf_commit_txn" -> tfCommitTxn,
+    "tf_txn_delta" -> tfTxnDelta,
     "tf_rtas" -> tfRtas,
     "tf_overwrite_part" -> tfOverwritePart,
     "tf_insert_select" -> tfInsertSelect,
@@ -479,6 +568,7 @@ object CatalogOps {
 
   val oracles: Map[String, String] = Map(
     "tf_commit_txn" -> tfCommitTxnSql,
+    "tf_txn_delta" -> tfTxnDeltaSql,
     "tf_rtas" -> tfRtasSql,
     "tf_overwrite_part" -> tfOverwritePartSql,
     "tf_insert_select" -> tfInsertSelectSql,
