@@ -47,13 +47,19 @@ object Similarity {
     * Pointing the old unconditional all-pairs at a full corpus was a
     * scale-killer; the gate makes the default safe. */
   def embedNeardupPairs(s: SparkSession, d: String,
-      maxExact: Long = 100000L): DataFrame = {
+      maxExact: Long = 100000L,
+      restrictA: Option[Column] = None): DataFrame = {
     val v = vectors(s, d).select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"))
     // size gate from the RAW table: Spark answers count() over plain
     // parquet from row-group metadata — no data pass for the gate
     val exact = Tables.embeddings(s, d).count() <= maxExact
+    // optional probe-side restriction (over vec_id), applied AFTER
+    // bucketing/corpus-wide structure: the scale-probe shape — "which
+    // pairs anchored at THESE vectors survive" — without the full
+    // pair mass (same idea as Dedup.containmentPairs' restrict)
+    def sideA(df: DataFrame): DataFrame = restrictA.fold(df)(df.filter)
     if (exact) {
-      val a = v.select(col("vec_id").as("ia"), col("emb").as("ea"), col("nrm").as("na"))
+      val a = sideA(v).select(col("vec_id").as("ia"), col("emb").as("ea"), col("nrm").as("na"))
       val b = v.select(col("vec_id").as("ib"), col("emb").as("eb"), col("nrm").as("nb"))
       a.join(b, col("ia") < col("ib"))
         .select(col("ia"), col("ib"),
@@ -65,7 +71,8 @@ object Similarity {
       // candidates from any shared LSH bucket; one shuffle on the key
       val vk = v.select(col("vec_id"), col("emb"),
           explode(bucketKeys(s, col("emb"))).as("k"))
-      val a = vk.select(col("k"), col("vec_id").as("ia"), col("emb").as("ea"))
+      val a = sideA(vk)
+        .select(col("k"), col("vec_id").as("ia"), col("emb").as("ea"))
       val b = vk.select(col("k"), col("vec_id").as("ib"), col("emb").as("eb"))
       a.join(b, Seq("k")).filter(col("ia") < col("ib"))
         .select(col("ia"), col("ib"), col("ea"), col("eb"))

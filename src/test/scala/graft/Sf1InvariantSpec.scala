@@ -153,20 +153,31 @@ class Sf1InvariantSpec extends AnyFunSuite {
     assert(lsh.join(exact, Seq("ia", "ib"), "left_anti").count() === 0,
       "the LSH path emitted a pair the exact path did not")
 
-    // the recall dial at scale: the wide preset (16x3) keeps the
-    // guarantees (clone recall, exactness) and recalls at least as
-    // many true pairs as the default at 60k vectors
+    // the recall dial at scale: the wide preset (16x3) carries ~4x the
+    // default's candidate mass — at 60k vectors the full join's
+    // shuffle spill exceeds this box's disk, so the probe restricts
+    // the PROBE side to copy-0 (buckets still computed over all 60k
+    // vectors; exactly the "which pairs anchored here survive"
+    // question, disk-bounded). Same restriction on the default for an
+    // apples-to-apples recall ordering.
+    val copy0 = Some(col("vec_id") < S)
+    val lshBase0 = ops.Similarity.embedNeardupPairs(spark, sf1,
+      maxExact = 1000L, restrictA = copy0).cache()
     spark.conf.set("graft.ann.lshPreset", "16x3")
-    val lshWide =
-      try ops.Similarity.embedNeardupPairs(spark, sf1, maxExact = 1000L)
-        .cache()
+    val lshWide0 =
+      try ops.Similarity.embedNeardupPairs(spark, sf1,
+        maxExact = 1000L, restrictA = copy0).cache()
       finally spark.conf.unset("graft.ann.lshPreset")
-    assert(lshWide.join(wantedDf, Seq("ia", "ib"), "left_semi")
-      .count() === wanted.size.toLong,
+    // clone pairs anchored at copy-0 are guaranteed at every dial
+    // position (identical vectors share every bucket)
+    val wanted0Df = wanted.filter(_._1 < S).toDF("ia", "ib")
+    val nWanted0 = wanted.count(_._1 < S).toLong
+    assert(lshWide0.join(wanted0Df, Seq("ia", "ib"), "left_semi")
+      .count() === nWanted0,
       "wide preset missed guaranteed clone pairs")
-    assert(lshWide.join(exact, Seq("ia", "ib"), "left_anti").count() === 0,
+    assert(lshWide0.join(exact, Seq("ia", "ib"), "left_anti").count() === 0,
       "wide preset emitted a pair the exact path did not")
-    assert(lshWide.count() >= lsh.count(),
+    assert(lshWide0.count() >= lshBase0.count(),
       "wide preset recalled fewer pairs than the default")
   }
 
