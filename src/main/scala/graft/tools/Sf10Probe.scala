@@ -107,6 +107,40 @@ object Sf10Probe {
         f"t=$tClone%.2f s")
     }
 
+    if (legs("embedwide")) {
+      // the 16x3 recall dial measured AT 600k vectors: probe side
+      // restricted to copy-0 (disk-bounded — the wide preset carries
+      // ~4x the default's candidate mass; buckets still computed over
+      // the full corpus), recall against the sf0.1 exact-tier truth,
+      // stratified by cosine band like the default-preset embed leg.
+      val S = ScaleUp.Shift
+      val (expected, tExact) = time {
+        graft.ops.Similarity.embedNeardupPairs(spark, "/root/testdata/sf0.1")
+          .select(col("ia"), col("ib"), col("cos")).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      }
+      spark.conf.set("graft.ann.lshPreset", "16x3")
+      val (wide, tWide) = try time {
+        graft.ops.Similarity.embedNeardupPairs(spark, sf10,
+            restrictA = Some(col("vec_id") < S))
+          .filter(col("ib") < S)
+          .select(col("ia"), col("ib")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally spark.conf.unset("graft.ann.lshPreset")
+      val hit = expected.keySet.intersect(wide).size
+      println(f"[sf10probe] leg=embedwide preset=16x3 " +
+        f"expected=${expected.size} recall=${hit.toDouble / expected.size}%.4f " +
+        f"t_exact_sf01=$tExact%.2f s t_wide_sf10=$tWide%.2f s")
+      Seq((0.45, 0.6), (0.6, 0.75), (0.75, 0.9), (0.9, 1.01)).foreach {
+        case (lo, hi) =>
+          val band = expected.filter { case (_, c) => c >= lo && c < hi }
+          val bandHit = band.keySet.intersect(wide).size
+          val r = if (band.isEmpty) 1.0 else bandHit.toDouble / band.size
+          println(f"[sf10probe] leg=embedwide cos=[$lo,$hi) " +
+            f"expected=${band.size} recall=$r%.4f")
+      }
+    }
+
     if (legs("contain0")) {
       // ×100 planted-pair SURVIVAL without the answer-quadratic
       // all-copies join (whose output alone is ~30M pairs and whose
