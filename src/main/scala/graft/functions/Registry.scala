@@ -33,7 +33,14 @@ object Registry {
       intArg(args(1), "minhash_bands"), intArg(args(2), "minhash_bands"))),
     "zorder2" -> (args => ZOrder2(args(0), args(1))),
     "zorder" -> (args => ZOrderBytes(args)),
-    "lsh_bucket_keys" -> (args => LshBucketKeys(args(0))))
+    // the SQL surface honors the same session recall dial as the
+    // DataFrame operators (graft.ann.lshPreset) — mixed SQL/DataFrame
+    // bucket keys in one session must agree or joins between them
+    // silently match nothing
+    "lsh_bucket_keys" -> (args => {
+      val (t, p) = LshKernel.presetOf(SparkSession.active)
+      LshBucketKeys(args(0), t, p)
+    }))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -53,15 +53,36 @@ object Similarity {
     // size gate from the RAW table: Spark answers count() over plain
     // parquet from row-group metadata — no data pass for the gate
     val exact = Tables.embeddings(s, d).count() <= maxExact
-    // optional probe-side restriction (over vec_id), applied AFTER
+    // optional anchor-side restriction (over vec_id), applied AFTER
     // bucketing/corpus-wide structure: the scale-probe shape — "which
     // pairs anchored at THESE vectors survive" — without the full
-    // pair mass (same idea as Dedup.containmentPairs' restrict)
+    // pair mass (same idea as Dedup.containmentPairs' restrict). A
+    // pair qualifies when EITHER endpoint is an anchor, regardless of
+    // id order: the join keeps ia≠ib and normalizes to (least,
+    // greatest) before dedup, so an anchor with the larger vec_id is
+    // never dropped. The unrestricted path keeps the original
+    // ia<ib join (the oracle-pinned plan) byte-identical.
     def sideA(df: DataFrame): DataFrame = restrictA.fold(df)(df.filter)
+    // pair condition + orientation: unrestricted keeps the original
+    // ia<ib join (the oracle-pinned plan, no extra dedup — ia<ib is
+    // already unique); restricted joins on ia≠ib and normalizes to
+    // (least, greatest), so an anchor with the larger vec_id is never
+    // dropped, then dedups the two orientations
+    val pairCond =
+      if (restrictA.isEmpty) col("ia") < col("ib")
+      else col("ia") =!= col("ib")
+    def orient(pairs: DataFrame): DataFrame =
+      if (restrictA.isEmpty) pairs
+      else pairs
+        .withColumn("lo", least(col("ia"), col("ib")))
+        .withColumn("hi", greatest(col("ia"), col("ib")))
+        .drop("ia", "ib")
+        .withColumnRenamed("lo", "ia").withColumnRenamed("hi", "ib")
+        .dropDuplicates("ia", "ib")
     if (exact) {
       val a = sideA(v).select(col("vec_id").as("ia"), col("emb").as("ea"), col("nrm").as("na"))
       val b = v.select(col("vec_id").as("ib"), col("emb").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("ia") < col("ib"))
+      orient(a.join(b, pairCond))
         .select(col("ia"), col("ib"),
           graft.functions.ArrayKernels.cosineSim(col("ea"), col("eb")).as("cos"))
         .filter(col("cos") > 0.45)
@@ -74,7 +95,7 @@ object Similarity {
       val a = sideA(vk)
         .select(col("k"), col("vec_id").as("ia"), col("emb").as("ea"))
       val b = vk.select(col("k"), col("vec_id").as("ib"), col("emb").as("eb"))
-      a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+      orient(a.join(b, Seq("k")).filter(pairCond))
         .select(col("ia"), col("ib"), col("ea"), col("eb"))
         .dropDuplicates("ia", "ib")
         .select(col("ia"), col("ib"),

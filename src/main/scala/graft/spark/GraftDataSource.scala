@@ -1893,13 +1893,18 @@ class GraftStreamingWrite(root: String, schema: StructType,
     // dedup anchors: the snapshot stamp AND a high-water table
     // property that survives expireSnapshots dropping the stamped
     // snapshots — a delayed recovery replay after an expire still
-    // commits nothing
+    // commits nothing. The SAME predicate is re-evaluated inside the
+    // commit's conflict-retry loop (skipIf below): a zombie run that
+    // loses the CAS race to a concurrent run of the same query must
+    // observe the winner's epoch and back off, not double-commit and
+    // regress the high-water on retry.
     val hwKey = s"graft.streaming.epoch.$queryId"
-    val replayed =
-      t.meta.properties.get(hwKey).exists(_.toLong >= epochId) ||
-        t.meta.snapshots.exists(s =>
+    def replayedIn(m: graft.table.Meta.TableMetadata): Boolean =
+      m.properties.get(hwKey).exists(_.toLong >= epochId) ||
+        m.snapshots.exists(s =>
           s.summary.get("streaming-query-id").contains(queryId) &&
             s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+    val replayed = replayedIn(t.meta)
     val dir = epochDir(epochId)
     val rows = messages.collect { case GraftCommitMessage(_, n) => n }.sum
     // recovery replay of an already-committed epoch, or a rowless
@@ -1915,7 +1920,8 @@ class GraftStreamingWrite(root: String, schema: StructType,
       // micro-batch planning honors RequiresDistributionAndOrdering,
       // so sorted-table epochs arrive range-clustered like batch writes
       presorted = GraftWriteLayout.presorted(root), branch = branch,
-      propsExtra = Map(hwKey -> epochId.toString))
+      propsExtra = Map(hwKey -> epochId.toString),
+      skipIf = replayedIn)
     // the ingest consumed the epoch dir; an empty run root is just
     // residue — drop it (the next epoch's writers re-mkdir on demand)
     if (TableIO.exists(staging) && TableIO.listDir(staging).isEmpty)

@@ -281,7 +281,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
       summaryExtra: Map[String, String] = Map.empty,
       presorted: Boolean = false, branch: String = "main",
-      propsExtra: Map[String, String] = Map.empty): Unit = {
+      propsExtra: Map[String, String] = Map.empty,
+      skipIf: Meta.TableMetadata => Boolean = _ => false): Unit = {
     val m = meta
     val files = ingestStagedForCommit(staging, m, presorted)
     // an overwrite truncates the TARGET ref's live set — a branch
@@ -291,9 +292,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       commit("overwrite", files, m.liveFiles(base).map(_.path),
         removedDeletes = m.liveDeleteFiles(base).map(_.path),
         summaryExtra = summaryExtra, branch = branch,
-        propsExtra = propsExtra)
+        propsExtra = propsExtra, skipIf = skipIf)
     else commit("append", files, Seq.empty, summaryExtra = summaryExtra,
-      branch = branch, propsExtra = propsExtra)
+      branch = branch, propsExtra = propsExtra, skipIf = skipIf)
   }
 
   /** `INSERT OVERWRITE t PARTITION (...)` / OverwriteByExpression in
@@ -426,10 +427,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       summaryExtra: Map[String, String] = Map.empty,
       requireLive: Seq[String] = Seq.empty,
       requireSnapshot: Option[Option[Long]] = None,
-      propsExtra: Map[String, String] = Map.empty): Meta.TableMetadata = this.synchronized {
+      propsExtra: Map[String, String] = Map.empty,
+      skipIf: Meta.TableMetadata => Boolean = _ => false): Meta.TableMetadata = this.synchronized {
     var attempts = 0
     while (true) {
       val m = meta
+      // idempotence guard re-evaluated against EVERY retry base (the
+      // streaming sink's replay dedup: a zombie run's epoch that lost
+      // a conflict race must observe the winner's commit and back off,
+      // never re-apply — a pre-loop check alone would let the retry
+      // double-commit the epoch and regress the high-water property)
+      if (skipIf(m)) return m
       // optimistic-concurrency pin: operations whose staged output was
       // DERIVED from a specific base (keyed update, eq-delete
       // conversion) must refuse if any other commit landed first —

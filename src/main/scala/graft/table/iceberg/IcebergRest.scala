@@ -525,6 +525,15 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
       md.put("view-uuid", d.viewUuid)
       md.put("format-version", 1)
       md.put("location", if (d.location.nonEmpty) d.location else root)
+      // every version's schema-id must resolve within metadata.schemas
+      // (a strict ViewMetadata deserializer validates the reference):
+      // the stored create-request schema when one exists, else the
+      // spec-valid EMPTY struct at id 0 — graft derives a view's real
+      // output schema from its SQL at query time
+      val storedSchema = d.schemaJson.map(mapper.readTree)
+      val schemaId = storedSchema
+        .flatMap(sn => Option(sn.get("schema-id")).map(_.asInt()))
+        .getOrElse(0)
       val effVersions =
         if (d.versions.nonEmpty) d.versions
         else Seq(graft.table.Views.ViewVersionDef(
@@ -536,7 +545,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
       effVersions.foreach { v =>
         val vn = vs.addObject()
         vn.put("version-id", v.versionId)
-        vn.put("schema-id", 0)
+        vn.put("schema-id", schemaId)
         vn.put("timestamp-ms", 0L)
         vn.putObject("summary").put("operation",
           if (v.versionId <= 1) "create" else "replace")
@@ -558,7 +567,13 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
       }
       md.putArray("version-log")
       val schemas = md.putArray("schemas")
-      d.schemaJson.foreach(j => schemas.add(mapper.readTree(j)))
+      storedSchema match {
+        case Some(sn) => schemas.add(sn)
+        case None =>
+          val e = schemas.addObject()
+          e.put("schema-id", schemaId); e.put("type", "struct")
+          e.putArray("fields")
+      }
       if (d.properties.nonEmpty) {
         val p = md.putObject("properties")
         d.properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
@@ -1026,30 +1041,43 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         // view-version's storage-table identifier says
         // <name>__storage — then create_view with
         // view-version.storage-table. An existing table at this root
-        // during an MV create is therefore the client's pre-created
-        // storage, not a name collision.
-        val isMvCreate = d.storageTable.isDefined
+        // is tolerated ONLY when it is plausibly that just-pre-created
+        // storage: same namespace, self-derived name, and ZERO
+        // committed snapshots — a data-bearing or foreign-named table
+        // here is a real name collision (letting it through would
+        // write view files into a live table's root, and a later DROP
+        // VIEW would destroy its data).
+        val storageSelfNamed = d.storageTable.exists { case (sns, sn) =>
+          sns.mkString("\u001F") == ns &&
+            (sn == name || sn == name + "__storage") }
+        val existingIsPrecreatedStorage = storageSelfNamed &&
+          IcebergTable.exists(root) &&
+          scala.util.Try(
+            IcebergMetadata.load(root).currentSnapshotId.isEmpty)
+            .getOrElse(false)
         if (!TableIO.isDirectory(nsRoot(ns)))
           reply(ex, 404, errBody(s"namespace $ns does not exist", 404))
         else if (graft.table.Views.viewExists(root) ||
-            (IcebergTable.exists(root) && !isMvCreate))
+            (IcebergTable.exists(root) && !existingIsPrecreatedStorage))
           reply(ex, 409, errBody("view or table exists", 409))
         else {
-          if (graft.table.Views.commitViewAt(root, d, 0)) {
-            // spec-shape MV (T=Identifier): ensure the storage table
-            // the metadata points at actually loads through the
-            // catalog — created from the request schema when the
-            // client didn't pre-create it
-            d.storageTable.foreach { case (sns, sn) =>
-              val sroot = tableRoot(sns.mkString("\u001F"), sn)
-              if (!IcebergTable.exists(sroot)) {
-                val schemaNode = Option(body.get("schema"))
-                  .filterNot(_.isNull).getOrElse(throw new BadRequest(
-                    "materialized view create needs 'schema' when the " +
-                      "storage table does not exist yet"))
-                createEmptyTable(sroot, schemaNode)
-              }
+          // spec-shape MV (T=Identifier): ensure the storage table the
+          // metadata points at actually loads through the catalog —
+          // created from the request schema when the client didn't
+          // pre-create it. Validated BEFORE the view commits, so a
+          // missing 'schema' (400) never leaves a committed view with
+          // a dangling storage identifier behind.
+          d.storageTable.foreach { case (sns, sn) =>
+            val sroot = tableRoot(sns.mkString("\u001F"), sn)
+            if (!IcebergTable.exists(sroot)) {
+              val schemaNode = Option(body.get("schema"))
+                .filterNot(_.isNull).getOrElse(throw new BadRequest(
+                  "materialized view create needs 'schema' when the " +
+                    "storage table does not exist yet"))
+              createEmptyTable(sroot, schemaNode)
             }
+          }
+          if (graft.table.Views.commitViewAt(root, d, 0)) {
             // create_materialized_view (reference catalog.rs:387):
             // the request carries the storage-table schema — the
             // catalog creates the storage TABLE alongside the view and

@@ -756,39 +756,56 @@ object IcebergWrite {
     * deletes the staged files when the commit is abandoned. The
     * building block of multi-table transactions: each table's append
     * stages here, and ONE commitTransaction publishes them all. */
-  final class StagedAppend private[iceberg] (
-      val location: String,
-      moved: Seq[(HPath, Long, Seq[String])],
-      stats: Map[String, FileStats]) {
-    // metadata (manifest + manifest list) written per applyTo attempt:
-    // commit retries rebase by re-running applyTo over fresh state, so
-    // earlier attempts' avro is superseded — tracked here so it never
-    // lingers as orphans under metadata/
+  /** Per-attempt metadata tracking shared by the staged transaction
+    * ops: commit retries rebase by re-running applyTo over fresh
+    * state, so earlier attempts' manifest avro is superseded — tracked
+    * here so it never lingers as orphans under metadata/. The attempt
+    * read-back of the just-written list is metadata-scale (one small
+    * avro per attempt). */
+  private[iceberg] trait AttemptMetaTracking {
     private val attemptMeta =
       scala.collection.mutable.ArrayBuffer[Seq[HPath]]()
-    private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
-        : IcebergMetadata.IceMetadata = {
-      val snap = appendManifest(m, moved, stats)
+    private val alwaysStale =
+      scala.collection.mutable.ArrayBuffer[HPath]()
+    /** Record one attempt's written metadata: the new manifest list
+      * plus the manifests the snapshot itself added. */
+    protected def recordAttempt(snap: IcebergMetadata.IceSnapshot): Unit = {
       val ml = new HPath(snap.manifestList)
       attemptMeta += (IcebergAvro.readManifestList(ml)
         .filter(_.addedSnapshotId == snap.snapshotId)
         .map(mf => new HPath(mf.path)) :+ ml)
-      m.copy(
-        lastSequenceNumber = snap.sequenceNumber,
-        currentSnapshotId = Some(snap.snapshotId),
-        snapshots = m.snapshots :+ snap,
-        refs = m.refs + ("main" -> snap.snapshotId))
+      ()
     }
+    /** Record a file superseded within its OWN attempt (an overwrite's
+      * interim append-shaped list) — stale even on commit. */
+    protected def recordStale(p: HPath): Unit = { alwaysStale += p; () }
     /** Delete superseded attempt metadata: everything but the final
       * attempt's (committed — the published snapshot references it),
       * or everything (abandoned). */
     private[iceberg] def dropAttemptMeta(keepCommitted: Boolean): Unit = {
+      alwaysStale.foreach(p => TableIO.delete(p)); alwaysStale.clear()
       val stale =
         if (keepCommitted) attemptMeta.toSeq.dropRight(1)
         else attemptMeta.toSeq
       stale.flatten.foreach(p => TableIO.delete(p))
       val kept = if (keepCommitted) attemptMeta.toSeq.takeRight(1) else Nil
       attemptMeta.clear(); attemptMeta ++= kept
+    }
+  }
+
+  final class StagedAppend private[iceberg] (
+      val location: String,
+      moved: Seq[(HPath, Long, Seq[String])],
+      stats: Map[String, FileStats]) extends AttemptMetaTracking {
+    private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
+        : IcebergMetadata.IceMetadata = {
+      val snap = appendManifest(m, moved, stats)
+      recordAttempt(snap)
+      m.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshots = m.snapshots :+ snap,
+        refs = m.refs + ("main" -> snap.snapshotId))
     }
     private[iceberg] def cleanup(): Unit = {
       dropAttemptMeta(keepCommitted = false)
@@ -815,36 +832,21 @@ object IcebergWrite {
   final class StagedOverwrite private[iceberg] (
       val location: String,
       moved: Seq[(HPath, Long, Seq[String])],
-      stats: Map[String, FileStats]) {
-    // per-attempt metadata (see StagedAppend.attemptMeta); snap0's
-    // interim append-shaped manifest list is superseded by the solo
-    // list within the SAME attempt, so it is always-stale
-    private val attemptMeta =
-      scala.collection.mutable.ArrayBuffer[Seq[HPath]]()
-    private val interimMeta = scala.collection.mutable.ArrayBuffer[HPath]()
+      stats: Map[String, FileStats]) extends AttemptMetaTracking {
     private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
         : IcebergMetadata.IceMetadata = {
       val snap0 = appendManifest(m, moved, stats)
       val (snap, _) = soloManifestList(m, snap0, "overwrite")
-      interimMeta += new HPath(snap0.manifestList)
-      val ml = new HPath(snap.manifestList)
-      attemptMeta += (IcebergAvro.readManifestList(ml)
-        .filter(_.addedSnapshotId == snap.snapshotId)
-        .map(mf => new HPath(mf.path)) :+ ml)
+      // snap0's interim append-shaped manifest list is superseded by
+      // the solo list within the SAME attempt (its manifests live on,
+      // referenced by the solo list)
+      recordStale(new HPath(snap0.manifestList))
+      recordAttempt(snap)
       m.copy(
         lastSequenceNumber = snap.sequenceNumber,
         currentSnapshotId = Some(snap.snapshotId),
         snapshots = m.snapshots :+ snap,
         refs = m.refs + ("main" -> snap.snapshotId))
-    }
-    private[iceberg] def dropAttemptMeta(keepCommitted: Boolean): Unit = {
-      interimMeta.foreach(p => TableIO.delete(p)); interimMeta.clear()
-      val stale =
-        if (keepCommitted) attemptMeta.toSeq.dropRight(1)
-        else attemptMeta.toSeq
-      stale.flatten.foreach(p => TableIO.delete(p))
-      val kept = if (keepCommitted) attemptMeta.toSeq.takeRight(1) else Nil
-      attemptMeta.clear(); attemptMeta ++= kept
     }
     private[iceberg] def cleanup(): Unit = {
       dropAttemptMeta(keepCommitted = false)
@@ -880,27 +882,13 @@ object IcebergWrite {
       delContent: Int,
       eqCols: Seq[String],
       spec: Seq[IcebergMetadata.IcePartitionField],
-      referenced: Set[String]) {
-    private val attemptMeta =
-      scala.collection.mutable.ArrayBuffer[Seq[HPath]]()
+      referenced: Set[String]) extends AttemptMetaTracking {
     private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
         : IcebergMetadata.IceMetadata = {
       val next = deltaSnapshot(spark, location, moved, stats, movedDel,
         referenced, delContent, eqCols, spec)(m)
-      val snap = next.snapshots.last
-      val ml = new HPath(snap.manifestList)
-      attemptMeta += (IcebergAvro.readManifestList(ml)
-        .filter(_.addedSnapshotId == snap.snapshotId)
-        .map(mf => new HPath(mf.path)) :+ ml)
+      recordAttempt(next.snapshots.last)
       next
-    }
-    private[iceberg] def dropAttemptMeta(keepCommitted: Boolean): Unit = {
-      val stale =
-        if (keepCommitted) attemptMeta.toSeq.dropRight(1)
-        else attemptMeta.toSeq
-      stale.flatten.foreach(p => TableIO.delete(p))
-      val kept = if (keepCommitted) attemptMeta.toSeq.takeRight(1) else Nil
-      attemptMeta.clear(); attemptMeta ++= kept
     }
     private[iceberg] def cleanup(): Unit = {
       dropAttemptMeta(keepCommitted = false)
