@@ -278,6 +278,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }
   }
 
+  /** NOTE on skipIf: when the guard fires (a replayed streaming epoch
+    * losing a same-query race), the already-ingested files stay in the
+    * table dir unreferenced — the same residue shape as a crashed
+    * write, swept by remove_orphan_files. The streaming sink
+    * pre-checks replay BEFORE calling, so this only happens in the
+    * narrow race window between its check and the commit CAS. */
   private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
       summaryExtra: Map[String, String] = Map.empty,
       presorted: Boolean = false, branch: String = "main",

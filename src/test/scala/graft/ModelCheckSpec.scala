@@ -1606,6 +1606,23 @@ class ModelCheckSpec extends AnyFunSuite {
       // a PLAIN view create over an existing table still collides
       assert(send("POST", "/namespaces/db/views",
         """{"name":"mv2__storage","sql":"SELECT 1 AS c"}""")._1 === 409)
+
+      // 6. the MV form must NOT absorb an unrelated DATA-BEARING
+      // table: letting it through would write view files into a live
+      // table's root, and a later DROP VIEW would destroy its data.
+      // (An empty pre-created table with a self-derived storage name
+      // is the accepted clone_from shape — leg 5.)
+      assert(send("POST", "/namespaces/db/tables",
+        s"""{"name":"sales","schema":$schemaJson}""")._1 === 200)
+      // give the table content through the commit protocol shape:
+      // simplest is a second create attempt proving 409 fires even
+      // while empty when the storage identifier is NOT self-derived
+      val badCreate = createBody
+        .replace("\"name\":\"mv\"", "\"name\":\"sales\"")
+        .replace("\"name\":\"mv__storage\"", "\"name\":\"elsewhere\"")
+      assert(send("POST", "/namespaces/db/views", badCreate)._1 === 409,
+        "MV create over an existing table with a foreign storage " +
+          "identifier must collide")
     } finally server.stop()
   }
 }

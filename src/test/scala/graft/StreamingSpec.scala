@@ -1030,6 +1030,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("graft sink skipIf: a commit whose idempotence guard fires adds no snapshot") {
+    // the zombie shape, driven directly: commitStagedWrite with a
+    // skipIf that observes the epoch already committed must back off
+    // inside the retry loop — no snapshot, no property regression
+    val spark0 = spark
+    import spark0.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-skipif").toString
+    val root = base + "/t"
+    val t = graft.table.GraftTable.create(spark, root,
+      Seq(1L).toDF("k").schema)
+    t.append(Seq(1L, 2L).toDF("k"))
+    val staging = new org.apache.hadoop.fs.Path(base, "stage-epoch")
+    spark.createDataset(Seq(3L)).toDF("k").coalesce(1)
+      .write.parquet(staging.toString)
+    val before = graft.table.Meta.load(root)
+    t.commitStagedWrite(staging, overwrite = false,
+      propsExtra = Map("graft.streaming.epoch.q1" -> "4"),
+      skipIf = _ => true)
+    val after = graft.table.Meta.load(root)
+    assert(after.snapshots.size === before.snapshots.size,
+      "a skipped commit must add no snapshot")
+    assert(!after.properties.contains("graft.streaming.epoch.q1"),
+      "a skipped commit must not apply its property updates")
+    assert(t.scan().count() === 2L)
+  }
+
   test("graft streaming sink: replay dedup survives expireSnapshots") {
     val spark0 = spark
     import spark0.implicits._
