@@ -36,7 +36,14 @@ object Registry {
     // the SQL surface honors the same session recall dial as the
     // DataFrame operators (graft.ann.lshPreset) — mixed SQL/DataFrame
     // bucket keys in one session must agree or joins between them
-    // silently match nothing
+    // silently match nothing.
+    // PERSISTENCE HAZARD: the dial binds at ANALYSIS time, so bucket
+    // keys MATERIALIZED to a table embed the preset they were computed
+    // under; a later session joining stored keys under a different
+    // preset gets empty results, not an error. Pipelines that persist
+    // bucket keys must record the preset next to them (e.g. a table
+    // property `graft.ann.lshPreset=<preset>` stamped at write time)
+    // and assert it before joining — see README "ANN recall dial"
     "lsh_bucket_keys" -> (args => {
       val (t, p) = LshKernel.presetOf(SparkSession.active)
       LshBucketKeys(args(0), t, p)

@@ -1899,11 +1899,16 @@ class GraftStreamingWrite(root: String, schema: StructType,
     // observe the winner's epoch and back off, not double-commit and
     // regress the high-water on retry.
     val hwKey = s"graft.streaming.epoch.$queryId"
+    // unparseable stamps (a hand-edited or corrupted property) read as
+    // ABSENT — the snapshot-stamp anchor still dedups — rather than
+    // permanently failing every commit of this query with an NFE
+    def stampedAtLeast(v: String): Boolean =
+      scala.util.Try(v.toLong).toOption.exists(_ >= epochId)
     def replayedIn(m: graft.table.Meta.TableMetadata): Boolean =
-      m.properties.get(hwKey).exists(_.toLong >= epochId) ||
+      m.properties.get(hwKey).exists(stampedAtLeast) ||
         m.snapshots.exists(s =>
           s.summary.get("streaming-query-id").contains(queryId) &&
-            s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+            s.summary.get("streaming-epoch-id").exists(stampedAtLeast))
     val replayed = replayedIn(t.meta)
     val dir = epochDir(epochId)
     val rows = messages.collect { case GraftCommitMessage(_, n) => n }.sum

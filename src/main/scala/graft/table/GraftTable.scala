@@ -442,8 +442,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       // streaming sink's replay dedup: a zombie run's epoch that lost
       // a conflict race must observe the winner's commit and back off,
       // never re-apply — a pre-loop check alone would let the retry
-      // double-commit the epoch and regress the high-water property)
-      if (skipIf(m)) return m
+      // double-commit the epoch and regress the high-water property).
+      // The skipped commit's just-ingested files are reclaimed HERE —
+      // they were staged for this commit only and nothing references
+      // them — instead of lingering as orphans until
+      // remove_orphan_files (the Iceberg-path commitStreamEpoch does
+      // the same in its replayedInside case)
+      if (skipIf(m)) {
+        (added ++ addedDeletes).foreach(f =>
+          TableIO.delete(new HPath(dataDir, f.path)))
+        return m
+      }
       // optimistic-concurrency pin: operations whose staged output was
       // DERIVED from a specific base (keyed update, eq-delete
       // conversion) must refuse if any other commit landed first —

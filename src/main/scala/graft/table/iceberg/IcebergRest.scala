@@ -1050,11 +1050,25 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         val storageSelfNamed = d.storageTable.exists { case (sns, sn) =>
           sns.mkString("\u001F") == ns &&
             (sn == name || sn == name + "__storage") }
+        // The tolerance is deliberately NARROW: the clone_from
+        // pre-create always carries the request's 'schema', so the
+        // absorbed table must be snapshot-free AND schema-identical
+        // (name/type/required per field). A legitimately-created but
+        // not-yet-loaded table with a colliding name — empty but
+        // differently-shaped — still 409s rather than being silently
+        // co-opted into the view's root (where DROP VIEW would later
+        // destroy its registration).
         val existingIsPrecreatedStorage = storageSelfNamed &&
           IcebergTable.exists(root) &&
-          scala.util.Try(
-            IcebergMetadata.load(root).currentSnapshotId.isEmpty)
-            .getOrElse(false)
+          scala.util.Try {
+            val existing = IcebergMetadata.load(root)
+            val reqFields = Option(body.get("schema"))
+              .filterNot(_.isNull)
+              .map(IcebergMetadata.schemaFromNode(_).fields
+                .map(f => (f.name, f.tpe, f.required)))
+            existing.currentSnapshotId.isEmpty && reqFields.contains(
+              existing.schema.fields.map(f => (f.name, f.tpe, f.required)))
+          }.getOrElse(false)
         if (!TableIO.isDirectory(nsRoot(ns)))
           reply(ex, 404, errBody(s"namespace $ns does not exist", 404))
         else if (graft.table.Views.viewExists(root) ||
@@ -1066,7 +1080,11 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           // created from the request schema when the client didn't
           // pre-create it. Validated BEFORE the view commits, so a
           // missing 'schema' (400) never leaves a committed view with
-          // a dangling storage identifier behind.
+          // a dangling storage identifier behind. Tables created by
+          // THIS request are remembered so a lost view-commit race
+          // (409 below) rolls them back instead of leaking a dangling
+          // catalog entry with no owning view.
+          val createdHere = scala.collection.mutable.ArrayBuffer[String]()
           d.storageTable.foreach { case (sns, sn) =>
             val sroot = tableRoot(sns.mkString("\u001F"), sn)
             if (!IcebergTable.exists(sroot)) {
@@ -1075,6 +1093,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
                   "materialized view create needs 'schema' when the " +
                     "storage table does not exist yet"))
               createEmptyTable(sroot, schemaNode)
+              createdHere += sroot
             }
           }
           if (graft.table.Views.commitViewAt(root, d, 0)) {
@@ -1094,7 +1113,14 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
                 .foreach(graft.table.Views.writeFold(root, _))
             }
             reply(ex, 200, viewResult(root))
-          } else reply(ex, 409, errBody("view exists", 409))
+          } else {
+            // lost the view-commit race: roll back the storage table
+            // this request just created (still empty — nothing else
+            // can have written through a view that never existed)
+            createdHere.foreach(sroot =>
+              TableIO.delete(TableIO.path(sroot), recursive = true))
+            reply(ex, 409, errBody("view exists", 409))
+          }
         }
 
       case ("GET", Seq("namespaces", ns, "views", v)) =>

@@ -83,15 +83,179 @@ class IcebergTransaction(spark: SparkSession, base: String) {
 
   /** Stage an append: data files land under the table's data dir now
     * (distributed write, unreferenced); the snapshot publishes only
-    * with the transaction. */
-  def append(ns: String, name: String, df: DataFrame): this.type = {
+    * with the transaction. `toRef` targets a branch (reference:
+    * TableTransaction::new's branch, transaction/mod.rs:33): the
+    * snapshot chains from that branch's head and only that branch
+    * moves — the WRITE half of multi-table write-audit-publish
+    * ("stage appends onto the audit branches of N tables in one
+    * atomic commit; fastForward publishes them later"). A branch that
+    * doesn't exist yet starts empty (the reference's
+    * current_snapshot(Some(branch)) -> None); to branch FROM main,
+    * stage setSnapshotRef(branch, mainHead) first — ops fold in
+    * staging order. */
+  def append(ns: String, name: String, df: DataFrame,
+      toRef: String = "main"): this.type = {
     require(!done, "transaction already committed or aborted")
     val m = observe(ns, name)
-    val staged = IcebergWrite.stageAppend(spark, m, df)
+    val staged = IcebergWrite.stageAppend(spark, m, df, toRef)
     ops += Op(ns, name, staged.applyTo, staged.cleanup _,
       finish = () => staged.dropAttemptMeta(keepCommitted = true))
     this
   }
+
+  /** Stage a compaction (reference: the transaction's rewrite /
+    * rewrite_with_lineage, transaction/mod.rs:76,97): the table's
+    * live content at the OBSERVED base, MoR deletes folded, re-binned
+    * into ~targetFileSizeBytes files — committed atomically with the
+    * transaction's other changes, `lineage` stamped into the rewrite
+    * snapshot's summary (additional_summary). Rebase-AWARE like
+    * deletePositions: a rival commit that rewrote/deleted any
+    * compacted source file, or landed a later-sequence delete file,
+    * fails the transaction (nothing published) instead of
+    * resurrecting rows; rival APPENDS are carried — compaction
+    * composes with concurrent ingest. */
+  def rewrite(ns: String, name: String,
+      lineage: Map[String, String] = Map.empty,
+      targetFileSizeBytes: Long = 128L << 20): this.type = {
+    require(!done, "transaction already committed or aborted")
+    val m = observe(ns, name)
+    val staged = IcebergWrite.stageRewrite(spark, m, lineage,
+      targetFileSizeBytes)
+    ops += Op(ns, name, staged.applyTo, staged.cleanup _,
+      finish = () => staged.dropAttemptMeta(keepCommitted = true))
+    this
+  }
+
+  /** Stage a branch move (reference: set_snapshot_ref,
+    * transaction/mod.rs:135): point `refName` at `snapshotId`, which
+    * must exist when the fold reaches this op — it may be a snapshot
+    * an EARLIER staged op of this same transaction creates. Moving
+    * "main" also moves the current snapshot pointer. Rebase-safe (the
+    * target id is pinned explicitly). */
+  def setSnapshotRef(ns: String, name: String, refName: String,
+      snapshotId: Long): this.type = {
+    require(!done, "transaction already committed or aborted")
+    observe(ns, name)
+    ops += Op(ns, name, m => {
+      require(m.snapshots.exists(_.snapshotId == snapshotId),
+        s"setSnapshotRef($refName): snapshot $snapshotId does not exist " +
+          s"in $ns.$name")
+      withRef(m, refName, snapshotId)
+    }, () => ())
+    this
+  }
+
+  /** Stage a fast-forward of `refName` to wherever `fromRef` points —
+    * resolved at COMMIT time inside the fold, so it publishes the
+    * audit branch's head as of the attempt that wins. The PUBLISH
+    * half of multi-table write-audit-publish: stage
+    * fastForward("main", from = "audit") on N tables and every branch
+    * move lands in ONE protocol commit — all tables' main advances
+    * together or none does. FAST-forward only (the contract of
+    * Iceberg's fast_forward and of IcebergMaintenance.fastForward):
+    * `refName`'s current head must be an ancestor of the target — a
+    * rival commit that landed on `refName` after the branch forked
+    * means the audit is STALE, and the transaction refuses (re-audit
+    * on the new base) rather than silently dropping that commit from
+    * the ref's lineage. A plain non-ancestry ref move is
+    * setSnapshotRef. */
+  def fastForward(ns: String, name: String, refName: String,
+      fromRef: String): this.type = {
+    require(!done, "transaction already committed or aborted")
+    observe(ns, name)
+    ops += Op(ns, name, m => {
+      val toId = m.refs.getOrElse(fromRef,
+        throw new IllegalArgumentException(
+          s"fastForward($refName <- $fromRef): ref '$fromRef' does not " +
+            s"exist in $ns.$name"))
+      val fromId = m.refs.get(refName)
+        .orElse(if (refName == "main") m.currentSnapshotId else None)
+      fromId.foreach { f =>
+        var cur = m.snapshots.find(_.snapshotId == toId)
+        var isAncestor = false
+        while (cur.isDefined && !isAncestor) {
+          if (cur.get.snapshotId == f) isAncestor = true
+          else cur = cur.get.parentId
+            .flatMap(p => m.snapshots.find(_.snapshotId == p))
+        }
+        if (!isAncestor)
+          throw new java.util.ConcurrentModificationException(
+            s"fastForward($refName <- $fromRef) on $ns.$name refused: " +
+              s"$refName ($f) is not an ancestor of $fromRef ($toId) — " +
+              "a commit landed on the target ref after the branch " +
+              "forked; re-audit on the new base (nothing was published)")
+      }
+      withRef(m, refName, toId)
+    }, () => ())
+    this
+  }
+
+  /** Stage a branch/tag drop (protocol remove-snapshot-ref) — the
+    * cleanup step after publish; snapshots stay until expire. */
+  def dropSnapshotRef(ns: String, name: String, refName: String)
+      : this.type = {
+    require(!done, "transaction already committed or aborted")
+    require(refName != "main", "cannot drop ref 'main'")
+    observe(ns, name)
+    ops += Op(ns, name, m => m.copy(refs = m.refs - refName), () => ())
+    this
+  }
+
+  /** Stage a default-spec change (reference: set_default_spec,
+    * transaction/mod.rs:47): make an EXISTING spec era the default
+    * for future writes. The protocol pins assert-default-spec-id
+    * server-side. Ops that stage data files for the same table must
+    * be staged BEFORE this (they were partition-routed under the spec
+    * observed at staging; the fold guards this loudly). */
+  def setDefaultSpec(ns: String, name: String, specId: Int): this.type = {
+    require(!done, "transaction already committed or aborted")
+    observe(ns, name)
+    ops += Op(ns, name, m => {
+      require(m.specs.exists(_.specId == specId),
+        s"setDefaultSpec: spec $specId does not exist in $ns.$name " +
+          s"(known: ${m.specs.map(_.specId).mkString(",")})")
+      m.copy(defaultSpecId = specId)
+    }, () => ())
+    this
+  }
+
+  /** Stage a NEW partition-spec era from (column, transform) pairs and
+    * make it the default — spec evolution riding the transaction (the
+    * re-partition + backfill shape: evolve table A's spec while the
+    * backfill appends to table B, atomically). Field ids allocate from
+    * whatever base each attempt sees, so rebases replay soundly; the
+    * protocol pins assert-default-spec-id +
+    * assert-last-assigned-partition-id. Same ordering contract as
+    * setDefaultSpec for data-bearing ops on the same table. */
+  def addPartitionSpec(ns: String, name: String,
+      partitions: Seq[(String, String)]): this.type = {
+    require(!done, "transaction already committed or aborted")
+    require(partitions.nonEmpty, "addPartitionSpec needs fields")
+    observe(ns, name)
+    ops += Op(ns, name, m => {
+      val schema = m.schema
+      val newSpecId = m.specs.map(_.specId).maxOption.getOrElse(-1) + 1
+      val firstFieldId = math.max(m.lastPartitionId, 999) + 1
+      val fields = partitions.zipWithIndex.map { case ((c, t), i) =>
+        val srcId = schema.fieldId(c).getOrElse(
+          throw new IllegalArgumentException(
+            s"addPartitionSpec: no column $c in $ns.$name"))
+        IcebergMetadata.IcePartitionField(srcId, firstFieldId + i,
+          Transforms.fieldName(c, t), t)
+      }
+      m.copy(
+        specs = m.specs :+ IcebergMetadata.IceSpec(newSpecId, fields),
+        defaultSpecId = newSpecId,
+        lastPartitionId = firstFieldId + fields.size - 1)
+    }, () => ())
+    this
+  }
+
+  private def withRef(m: IcebergMetadata.IceMetadata, refName: String,
+      id: Long): IcebergMetadata.IceMetadata =
+    m.copy(refs = m.refs + (refName -> id),
+      currentSnapshotId =
+        if (refName == "main") Some(id) else m.currentSnapshotId)
 
   /** Stage a row-level equality DELETE: the distinct key tuples of
     * `keys` hide every earlier row version across ALL tables of the

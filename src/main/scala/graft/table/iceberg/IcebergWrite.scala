@@ -332,11 +332,20 @@ object IcebergWrite {
     * import (which brings EXISTING files, no staging write). */
   private[iceberg] def appendManifest(m: IcebergMetadata.IceMetadata,
       moved: Seq[(HPath, Long, Seq[String])],
-      statsByPath: Map[String, FileStats]): IcebergMetadata.IceSnapshot = {
+      statsByPath: Map[String, FileStats],
+      ref: String = "main"): IcebergMetadata.IceSnapshot = {
     val location = m.location
     val schema = m.schema
     val spec = m.specs.find(_.specId == m.defaultSpecId)
       .map(_.fields).getOrElse(Seq.empty)
+    // branch-targeted appends (reference: TableTransaction::new's
+    // target branch, transaction/mod.rs:33) chain from the BRANCH
+    // head; a ref that doesn't exist yet starts empty, matching the
+    // reference's current_snapshot(Some(branch)) -> None
+    // (table_metadata.rs:217-237)
+    val baseSnap =
+      if (ref == "main") m.currentSnapshot
+      else m.refs.get(ref).flatMap(id => m.snapshots.find(_.snapshotId == id))
     val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val seq = m.lastSequenceNumber + 1
 
@@ -380,8 +389,8 @@ object IcebergWrite {
     val manifestLen = timed("write-manifest")(IcebergAvro.writeManifest(
       manifestPath, partRecordJson, manifestEntries, schemaJson, specJson))
 
-    // 3. manifest list: previous snapshot's manifests + the new one
-    val prevManifests = m.currentSnapshot.map(s =>
+    // 3. manifest list: the ref head's manifests + the new one
+    val prevManifests = baseSnap.map(s =>
       IcebergAvro.readManifestList(new HPath(s.manifestList))).getOrElse(Seq.empty)
     val mlSchema = IcebergAvro.manifestListSchema
     def mfRecord(path: String, len: Long, content: Int, sq: Long,
@@ -417,7 +426,7 @@ object IcebergWrite {
 
     IcebergMetadata.IceSnapshot(
       snapshotId = snapshotId,
-      parentId = m.currentSnapshotId,
+      parentId = baseSnap.map(_.snapshotId),
       sequenceNumber = seq,
       timestampMs = System.currentTimeMillis(),
       manifestList = TableIO.qualified(mlPath),
@@ -793,19 +802,40 @@ object IcebergWrite {
     }
   }
 
+  /** Data files were partition-routed under the spec that was default
+    * at STAGING time; folding them under a DIFFERENT default spec
+    * would stamp wrong partition records (the zip against the new
+    * spec's fields silently truncates). Every staged op that carries
+    * data files guards on this: stage data-bearing ops BEFORE a spec
+    * change of the same table in one transaction, and a rival spec
+    * evolution fails the transaction loudly instead of mis-routing. */
+  private def requireSpecUnmoved(m: IcebergMetadata.IceMetadata,
+      stagedSpecId: Int, what: String): Unit =
+    if (m.defaultSpecId != stagedSpecId)
+      throw new java.util.ConcurrentModificationException(
+        s"staged $what for ${m.location} cannot commit: the default " +
+          s"partition spec moved ($stagedSpecId -> ${m.defaultSpecId}) " +
+          "after the data files were partition-routed; stage data ops " +
+          "before a spec change of the same table, or re-run on the " +
+          "new base (nothing was published)")
+
   final class StagedAppend private[iceberg] (
       val location: String,
       moved: Seq[(HPath, Long, Seq[String])],
-      stats: Map[String, FileStats]) extends AttemptMetaTracking {
+      stats: Map[String, FileStats],
+      ref: String = "main",
+      stagedSpecId: Int = 0) extends AttemptMetaTracking {
     private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
         : IcebergMetadata.IceMetadata = {
-      val snap = appendManifest(m, moved, stats)
+      if (moved.nonEmpty) requireSpecUnmoved(m, stagedSpecId, "append")
+      val snap = appendManifest(m, moved, stats, ref)
       recordAttempt(snap)
       m.copy(
         lastSequenceNumber = snap.sequenceNumber,
-        currentSnapshotId = Some(snap.snapshotId),
+        currentSnapshotId =
+          if (ref == "main") Some(snap.snapshotId) else m.currentSnapshotId,
         snapshots = m.snapshots :+ snap,
-        refs = m.refs + ("main" -> snap.snapshotId))
+        refs = m.refs + (ref -> snap.snapshotId))
     }
     private[iceberg] def cleanup(): Unit = {
       dropAttemptMeta(keepCommitted = false)
@@ -814,11 +844,15 @@ object IcebergWrite {
   }
 
   /** Stage an append's data files (distributed write, footer stats)
-    * WITHOUT any metadata commit. */
+    * WITHOUT any metadata commit. `ref` targets a branch (reference:
+    * TableTransaction's branch, transaction/mod.rs:33): the snapshot
+    * chains from that ref's head and only that ref moves — main and
+    * every other branch are untouched (the write half of
+    * write-audit-publish). */
   def stageAppend(spark: SparkSession, m: IcebergMetadata.IceMetadata,
-      df: DataFrame): StagedAppend = {
+      df: DataFrame, ref: String = "main"): StagedAppend = {
     val (moved, stats) = stageData(spark, m, df, None)
-    new StagedAppend(m.location, moved, stats)
+    new StagedAppend(m.location, moved, stats, ref, m.defaultSpecId)
   }
 
   /** A whole-content OVERWRITE staged but not committed: like
@@ -832,9 +866,11 @@ object IcebergWrite {
   final class StagedOverwrite private[iceberg] (
       val location: String,
       moved: Seq[(HPath, Long, Seq[String])],
-      stats: Map[String, FileStats]) extends AttemptMetaTracking {
+      stats: Map[String, FileStats],
+      stagedSpecId: Int = 0) extends AttemptMetaTracking {
     private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
         : IcebergMetadata.IceMetadata = {
+      if (moved.nonEmpty) requireSpecUnmoved(m, stagedSpecId, "overwrite")
       val snap0 = appendManifest(m, moved, stats)
       val (snap, _) = soloManifestList(m, snap0, "overwrite")
       // snap0's interim append-shaped manifest list is superseded by
@@ -858,7 +894,7 @@ object IcebergWrite {
   def stageOverwrite(spark: SparkSession, m: IcebergMetadata.IceMetadata,
       df: DataFrame): StagedOverwrite = {
     val (moved, stats) = stageData(spark, m, df, None)
-    new StagedOverwrite(m.location, moved, stats)
+    new StagedOverwrite(m.location, moved, stats, m.defaultSpecId)
   }
 
   /** A row-level DELTA staged but not committed: an (optional) set of
@@ -882,9 +918,11 @@ object IcebergWrite {
       delContent: Int,
       eqCols: Seq[String],
       spec: Seq[IcebergMetadata.IcePartitionField],
-      referenced: Set[String]) extends AttemptMetaTracking {
+      referenced: Set[String],
+      stagedSpecId: Int = 0) extends AttemptMetaTracking {
     private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
         : IcebergMetadata.IceMetadata = {
+      if (moved.nonEmpty) requireSpecUnmoved(m, stagedSpecId, "delta")
       val next = deltaSnapshot(spark, location, moved, stats, movedDel,
         referenced, delContent, eqCols, spec)(m)
       recordAttempt(next.snapshots.last)
@@ -981,7 +1019,7 @@ object IcebergWrite {
     val (moved, stats) = stageData(spark, m, df, None)
     val movedDel = stageDeleteFile(spark, m, keyDf, 2)
     new StagedDelta(spark, m.location, moved, stats, movedDel, 2, eqCols,
-      defaultSpecFields(m), Set.empty)
+      defaultSpecFields(m), Set.empty, m.defaultSpecId)
   }
 
   /** Stage a positional DELETE of (file_path, pos) rows. Rebase-AWARE:
@@ -1001,6 +1039,84 @@ object IcebergWrite {
         .map(r => new HPath(r.getString(0)).toUri.getPath).toSet
     new StagedDelta(spark, m.location, Seq.empty, Map.empty, movedDel, 1,
       Seq.empty, defaultSpecFields(m), referenced)
+  }
+
+  /** A transaction-staged REWRITE (reference: the transaction's
+    * rewrite / rewrite_with_lineage, transaction/mod.rs:76,97):
+    * compaction as a transaction op. The observed base's live
+    * content — MoR deletes folded — re-binned into
+    * ~targetFileSizeBytes files, replacing exactly the source files
+    * it compacted when the transaction commits; `lineage` is the
+    * reference's additional_summary, stamped on the rewrite snapshot.
+    * Row-preserving, and rebase-AWARE rather than rebase-safe: every
+    * commit attempt re-validates against the fresh base that
+    * (a) every compacted source file is still live — a rival
+    * rewrite/DELETE that touched them fails the transaction instead
+    * of resurrecting rows, (b) no delete file landed at a later
+    * sequence — the rewritten rows' new sequence would escape it,
+    * and (c) the default spec hasn't moved — the staged files were
+    * partition-routed under the observed spec. Data files rivals
+    * appended since staging are CARRIED: compaction composes with
+    * concurrent ingest. */
+  final class StagedRewrite private[iceberg] (
+      spark: SparkSession,
+      val location: String,
+      moved: Seq[(HPath, Long, Seq[String])],
+      stats: Map[String, FileStats],
+      sourcePaths: Set[String],
+      observedSeq: Long,
+      observedSpecId: Int,
+      lineage: Map[String, String]) extends AttemptMetaTracking {
+    private def norm(p: String) = new HPath(p).toUri.getPath
+    private val normSources = sourcePaths.map(norm)
+    private[iceberg] def applyTo(m: IcebergMetadata.IceMetadata)
+        : IcebergMetadata.IceMetadata = {
+      def refuse(why: String) =
+        throw new java.util.ConcurrentModificationException(
+          s"staged rewrite of $location cannot commit: $why; nothing " +
+            "was published — recompute the rewrite on the new base")
+      if (moved.isEmpty && sourcePaths.isEmpty) return m // empty table
+      if (m.defaultSpecId != observedSpecId)
+        refuse("the default partition spec changed since the rewrite " +
+          "was staged")
+      val t = IcebergTable.fromMetadata(spark, m)
+      val gone = normSources --
+        t.plannedFiles().map(p => norm(p._1.filePath)).toSet
+      if (gone.nonEmpty)
+        refuse(s"${gone.size} compacted source file(s) were rewritten " +
+          s"or removed by a concurrent commit (e.g. ${gone.head})")
+      val lateDeletes = t.deleteEntries().count(_._2 > observedSeq)
+      if (lateDeletes > 0)
+        refuse(s"$lateDeletes delete file(s) landed at a later sequence " +
+          "than the staged rewrite; its rewritten rows would escape them")
+      val next = replaceFilesMutation(location, moved, stats, sourcePaths,
+        defaultSpecFields(m), "replace", lineage)(m)
+      recordAttempt(next.snapshots.last)
+      next
+    }
+    private[iceberg] def cleanup(): Unit = {
+      dropAttemptMeta(keepCommitted = false)
+      moved.foreach(f => TableIO.delete(f._1))
+    }
+  }
+
+  /** Stage a compaction of the observed base's live content without
+    * committing (see StagedRewrite). */
+  def stageRewrite(spark: SparkSession, m: IcebergMetadata.IceMetadata,
+      lineage: Map[String, String] = Map.empty,
+      targetFileSizeBytes: Long = 128L << 20): StagedRewrite = {
+    val t = IcebergTable.fromMetadata(spark, m)
+    val planned = t.plannedFiles()
+    val sourcePaths = planned.map(_._1.filePath).toSet
+    val totalBytes = planned.map(_._1.fileSizeBytes).sum
+    val n = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val (moved, stats) =
+      if (planned.isEmpty) (Seq.empty[(HPath, Long, Seq[String])],
+        Map.empty[String, FileStats])
+      else stageData(spark, m, t.scan().repartition(n), Some(n))
+    new StagedRewrite(spark, m.location, moved, stats, sourcePaths,
+      m.lastSequenceNumber, m.defaultSpecId, lineage)
   }
 
   /** One streaming micro-batch epoch into a real-format table: ingest
@@ -1026,11 +1142,16 @@ object IcebergWrite {
       epochDir: HPath, queryId: String, epochId: Long,
       truncate: Boolean): Boolean = {
     val hwKey = s"graft.streaming.epoch.$queryId"
+    // unparseable stamps read as absent (see GraftStreamingWrite):
+    // the snapshot-stamp anchor still dedups; a corrupted property
+    // must not permanently fail the query with an NFE
+    def stampedAtLeast(v: String): Boolean =
+      scala.util.Try(v.toLong).toOption.exists(_ >= epochId)
     def replayed(m: IcebergMetadata.IceMetadata): Boolean =
-      m.properties.get(hwKey).exists(_.toLong >= epochId) ||
+      m.properties.get(hwKey).exists(stampedAtLeast) ||
         m.snapshots.exists(s =>
           s.summary.get("streaming-query-id").contains(queryId) &&
-            s.summary.get("streaming-epoch-id").exists(_.toLong >= epochId))
+            s.summary.get("streaming-epoch-id").exists(stampedAtLeast))
     val base = IcebergMetadata.load(location)
     if (replayed(base)) {
       TableIO.delete(epochDir, recursive = true)
@@ -1863,6 +1984,28 @@ object IcebergWrite {
             s"${base.currentSnapshotId.getOrElse(-1L)} -> " +
             s"${m.currentSnapshotId.getOrElse(-1L)}) while a row-level " +
             "operation was computing its replacement; retry the operation")
+      replaceFilesMutation(location, moved, statsByPath, removedPaths, spec)(m)
+    }
+    ()
+  }
+
+  /** One replace-files snapshot as a pure base→next mutation: `moved`
+    * replaces `removedPaths` in the live set; manifests not holding a
+    * removed path are CARRIED verbatim (a concurrent append's files
+    * survive), touched ones are rewritten without the removed entries.
+    * Shared by commitReplaceFiles (row-level CoW, pinned to its base
+    * by the caller) and the transaction-staged rewrite (rebase-aware:
+    * its own validation runs before each attempt). `extraSummary` is
+    * the reference's rewrite_with_lineage additional_summary
+    * (transaction/mod.rs:97) — stamped into the snapshot summary. */
+  private[iceberg] def replaceFilesMutation(location: String,
+      moved: Seq[(HPath, Long, Seq[String])],
+      statsByPath: Map[String, FileStats],
+      removedPaths: Set[String],
+      spec: Seq[IcebergMetadata.IcePartitionField],
+      operation: String = "overwrite",
+      extraSummary: Map[String, String] = Map.empty)(
+      m: IcebergMetadata.IceMetadata): IcebergMetadata.IceMetadata = {
       val schema = m.schema
       val snapshotId = m.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       val seq = m.lastSequenceNumber + 1
@@ -2016,7 +2159,7 @@ object IcebergWrite {
         sequenceNumber = seq,
         timestampMs = System.currentTimeMillis(),
         manifestList = TableIO.qualified(mlPath),
-        operation = "overwrite",
+        operation = operation,
         schemaId = m.currentSchemaId,
         summary = Map(
           "added-data-files" -> moved.size.toString,
@@ -2025,14 +2168,12 @@ object IcebergWrite {
             moved.map(x => statsByPath(x._1.toString)._1).sum.toString,
           "added-files-size" -> moved.map(_._2).sum.toString,
           "deleted-data-files" -> removedPaths.size.toString,
-          "removed-files" -> removedPaths.size.toString))
+          "removed-files" -> removedPaths.size.toString) ++ extraSummary)
       m.copy(
         lastSequenceNumber = seq,
         currentSnapshotId = Some(snapshotId),
         snapshots = m.snapshots :+ snap,
         refs = m.refs + ("main" -> snapshotId))
-    }
-    ()
   }
 
   /** Copy one manifest-list entry onto OUR list schema, preserving

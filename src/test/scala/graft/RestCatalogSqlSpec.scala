@@ -692,6 +692,215 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       "refused positional delta must publish nothing")
   }
 
+  test("transaction write-audit-publish: stage on audit branches of N " +
+      "tables, publish every branch move in ONE protocol commit") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wap")
+    val tables = Seq("t1", "t2", "t3")
+    tables.foreach { t =>
+      spark.sql(s"CREATE TABLE $cat.wap.$t (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.wap.$t VALUES (1), (2)")
+    }
+    val base = s"http://127.0.0.1:${env._1.port}"
+    def m(t: String) = IcebergMetadata.load(s"$wh/wap/$t")
+    def countMain(t: String): Long =
+      spark.sql(s"SELECT count(*) FROM $cat.wap.$t").collect().head.getLong(0)
+
+    // WRITE: one transaction forks each table's audit branch from main
+    // (setSnapshotRef) and stages the batch onto it (branch-targeted
+    // append) — main untouched across all three tables
+    val mains = tables.map(t => t -> m(t).currentSnapshotId.get).toMap
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tables.zipWithIndex.foreach { case (t, i) =>
+      tx.setSnapshotRef("wap", t, "audit", mains(t))
+      tx.append("wap", t, Seq(10L + i).toDF("k"), toRef = "audit")
+    }
+    tx.commit()
+    tables.foreach { t =>
+      val meta = m(t)
+      assert(meta.currentSnapshotId === Some(mains(t)),
+        s"$t: main must not move on the write step")
+      assert(meta.refs.get("audit").exists(_ != mains(t)),
+        s"$t: audit branch must hold the staged append")
+      assert(countMain(t) === 2L)
+      // the staged rows are visible ONLY through the branch
+      assert(spark.sql(s"SELECT count(*) FROM $cat.wap.$t " +
+          s"VERSION AS OF ${meta.refs("audit")}")
+        .collect().head.getLong(0) === 3L)
+    }
+
+    // audit passed; PUBLISH: fast-forward all three mains to their
+    // audit heads and drop the branches — ONE protocol commit, every
+    // table's main advances together
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tables.foreach { t =>
+      tx2.fastForward("wap", t, "main", fromRef = "audit")
+      tx2.dropSnapshotRef("wap", t, "audit")
+    }
+    tx2.commit()
+    tables.foreach { t =>
+      assert(!m(t).refs.contains("audit"), s"$t: audit branch dropped")
+      assert(countMain(t) === 3L, s"$t: published rows visible on main")
+    }
+
+    // a rival commit on ONE table's main between re-audit and publish
+    // refuses the WHOLE publish: fast-forward demands ancestry (the
+    // audit is stale for that table), and atomicity means no other
+    // table's main moved either
+    val mains3 = tables.map(t => t -> m(t).currentSnapshotId.get).toMap
+    val tx3 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tables.foreach { t =>
+      tx3.setSnapshotRef("wap", t, "audit", mains3(t))
+      tx3.append("wap", t, Seq(99L).toDF("k"), toRef = "audit")
+    }
+    tx3.commit()
+    val tx4 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tables.foreach(t => tx4.fastForward("wap", t, "main", fromRef = "audit"))
+    spark.sql(s"INSERT INTO $cat.wap.t2 VALUES (50)") // rival moves ONE main
+    intercept[java.util.ConcurrentModificationException] {
+      tx4.commit(maxAttempts = 5) // retries can't fix a stale audit
+    }
+    tables.foreach { t =>
+      val expect = if (t == "t2") 4L else 3L
+      assert(countMain(t) === expect,
+        s"$t: a refused publish must move NO main")
+    }
+    // recovery is a re-audit: re-fork t2's audit from its NEW main,
+    // re-stage, and the publish lands on all three atomically
+    val tx5 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx5.setSnapshotRef("wap", "t2", "audit",
+      m("t2").currentSnapshotId.get)
+    tx5.append("wap", "t2", Seq(99L).toDF("k"), toRef = "audit")
+    tx5.commit()
+    val tx6 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tables.foreach { t =>
+      tx6.fastForward("wap", t, "main", fromRef = "audit")
+      tx6.dropSnapshotRef("wap", t, "audit")
+    }
+    tx6.commit()
+    tables.foreach { t =>
+      val expect = if (t == "t2") 5L else 4L // t2 kept the rival's row
+      assert(countMain(t) === expect, s"$t: re-audited publish landed")
+      assert(!m(t).refs.contains("audit"))
+    }
+  }
+
+  test("transaction rewrite: compaction + lineage stamps ride the " +
+      "transaction; rivals on compacted files refuse, rival appends carry") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txw")
+    spark.sql(s"CREATE TABLE $cat.txw.t (k BIGINT, v DOUBLE)")
+    (1 to 6).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.txw.t VALUES ($i, $i.5)"))
+    spark.sql(s"CREATE TABLE $cat.txw.log (k BIGINT)")
+    val base = s"http://127.0.0.1:${env._1.port}"
+    def files(): Int =
+      IcebergTable.load(spark, s"$wh/txw/t").plannedFiles().size
+    def sumK(): Long = spark.sql(s"SELECT sum(k) FROM $cat.txw.t")
+      .collect().head.getLong(0)
+    assert(files() === 6)
+
+    // compaction + an append on another table land in ONE commit,
+    // lineage stamped on the rewrite snapshot (rewrite_with_lineage)
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.rewrite("txw", "t", lineage = Map(
+      "compaction.run" -> "r1", "compaction.trigger" -> "small-files"))
+    tx.append("txw", "log", Seq(1L).toDF("k"))
+    tx.commit()
+    assert(sumK() === 21L, "rewrite must preserve rows")
+    assert(files() === 1, "six small files fold into one bin")
+    val snap = IcebergMetadata.load(s"$wh/txw/t").currentSnapshot.get
+    assert(snap.operation === "replace",
+      "compaction is row-preserving — streaming/MV consumers rely on it")
+    assert(snap.summary.get("compaction.run") === Some("r1"))
+    assert(snap.summary.get("compaction.trigger") === Some("small-files"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.txw.log")
+      .collect().head.getLong(0) === 1L)
+
+    // a rival CoW DELETE rewrote the compacted file after staging:
+    // the rewrite refuses even with retries (its content is stale)
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx2.rewrite("txw", "t")
+    spark.sql(s"DELETE FROM $cat.txw.t WHERE k = 3")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      tx2.commit(maxAttempts = 5)
+    }
+    assert(e.getMessage.contains("rewrite"))
+    assert(sumK() === 18L, "refused rewrite publishes nothing")
+
+    // a rival APPEND since staging is CARRIED — compaction composes
+    // with concurrent ingest instead of dropping it
+    val tx3 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx3.rewrite("txw", "t", lineage = Map("compaction.run" -> "r2"))
+    spark.sql(s"INSERT INTO $cat.txw.t VALUES (100, 0.5)")
+    tx3.commit(maxAttempts = 5)
+    assert(sumK() === 118L, "rival append's rows survive the rewrite")
+    assert(files() === 2, "the rival's file rides next to the new bin")
+
+    // a rival MoR equality delete lands at a LATER sequence than the
+    // staged rewrite: refuse — the rewritten rows would escape it
+    val tx4 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx4.rewrite("txw", "t")
+    graft.table.iceberg.IcebergWrite.deleteEquality(spark, s"$wh/txw/t",
+      Seq(100L).toDF("k"), Seq("k"))
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      tx4.commit(maxAttempts = 5)
+    }
+    assert(e2.getMessage.contains("sequence") ||
+      e2.getMessage.contains("rewritten or removed"))
+    assert(sumK() === 18L, "MoR delete applies; refused rewrite added nothing")
+  }
+
+  test("transaction spec evolution: addPartitionSpec + setDefaultSpec " +
+      "ride the protocol; data ops staged after a spec change refuse") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txs")
+    spark.sql(s"CREATE TABLE $cat.txs.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.txs.t VALUES (1)")
+    val base = s"http://127.0.0.1:${env._1.port}"
+    def meta() = IcebergMetadata.load(s"$wh/txs/t")
+
+    // append staged BEFORE the spec change folds under the spec it was
+    // routed with; the new era becomes default in the same commit
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.append("txs", "t", Seq(5L).toDF("k"))
+    tx.addPartitionSpec("txs", "t", Seq("k" -> "truncate[10]"))
+    tx.commit()
+    val m1 = meta()
+    assert(m1.specs.size === 2, "a second spec era registered")
+    assert(m1.defaultSpecId === m1.specs.map(_.specId).max)
+    assert(m1.specs.find(_.specId == m1.defaultSpecId).get
+      .fields.map(_.transform) === Seq("truncate[10]"))
+
+    // later writes route under the new era; reads span both eras
+    spark.sql(s"INSERT INTO $cat.txs.t VALUES (25)")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.txs.t")
+      .collect().head.getLong(0) === 31L)
+
+    // the reference's set_default_spec: select an EXISTING era by id
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx2.setDefaultSpec("txs", "t", 0)
+    tx2.commit()
+    assert(meta().defaultSpecId === 0)
+    assert(meta().specs.size === 2, "eras are never dropped")
+
+    // ordering guard: a data op staged AFTER a spec change of the same
+    // table was partition-routed under the OLD spec — the fold refuses
+    // loudly (atomically: the spec change doesn't land either)
+    val tx3 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx3.addPartitionSpec("txs", "t", Seq("k" -> "bucket[4]"))
+    tx3.append("txs", "t", Seq(7L).toDF("k"))
+    intercept[java.util.ConcurrentModificationException] {
+      tx3.commit()
+    }
+    assert(meta().specs.size === 2, "refused transaction adds no spec")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.txs.t")
+      .collect().head.getLong(0) === 31L)
+  }
+
   test("transaction fuzz: random multi-table transactions land fully or not at all (seed 1914)") {
     val spark0 = spark
     import spark0.implicits._
@@ -718,7 +927,7 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       // staged ops per table, in random shapes; track the would-be model
       val pending: Seq[(String, (String, Seq[Long], String))] =
         involved.map { t =>
-          rng.nextInt(6) match {
+          rng.nextInt(8) match {
             case 0 =>
               val vs = vals(1 + rng.nextInt(20))
               tx.append("txf", t, vs.toDF("k"))
@@ -752,6 +961,17 @@ class RestCatalogSqlSpec extends AnyFunSuite {
                   s"x_${t}_$round",
                   org.apache.spark.sql.types.DoubleType))))
               (t, ("addcol", Seq.empty[Long], ""))
+            case 6 =>
+              // branch-targeted append: rows park on a side branch —
+              // MAIN content must be untouched, under rivals/rebases
+              val vs = vals(1 + rng.nextInt(5))
+              tx.append("txf", t, vs.toDF("k"), toRef = "side")
+              (t, ("sideappend", vs, ""))
+            case 7 =>
+              // spec evolution riding the transaction: later writes
+              // route under the new era; content is unaffected
+              tx.addPartitionSpec("txf", t, Seq("k" -> "truncate[100]"))
+              (t, ("addspec", Seq.empty[Long], ""))
           }
         }
       // 40% of rounds: a rival single-table commit lands AFTER staging
@@ -790,6 +1010,13 @@ class RestCatalogSqlSpec extends AnyFunSuite {
             val kept = content(t).filterNot(keys)
             content(t).clear(); content(t) ++= kept ++= vs
           case (t, ("addcol", _, _)) => cols(t) += 1
+          case (t, ("sideappend", _, _)) =>
+            // main content untouched; the branch must hold the rows
+            val meta =
+              graft.table.iceberg.IcebergMetadata.load(s"$wh/txf/$t")
+            assert(meta.refs.contains("side"),
+              s"round $round: $t side branch missing after sideappend")
+          case (_, ("addspec", _, _)) => () // routing-only
         }
       }
       // verify EVERY table against the model after EVERY round —
