@@ -542,19 +542,20 @@ object Dedup {
       .localCheckpoint()
     val ex = sh.select(col("doc_id"), explode(col("ha")).as("h"))
     // the candidate band scales with corpus size: df ∈ [2, max(10,
-    // N/500)]. An ABSOLUTE upper cap shrinks output under mass
+    // N/divisor)]. An ABSOLUTE upper cap shrinks output under mass
     // replication (the sf10 finding: tokens rare at N become df>10 at
     // 100N and planted containment pairs stop being candidates). The
-    // divisor is sized for the WORST growth case — verbatim ×k
-    // replication multiplies every df by k, so survival needs
-    // cap(N·k) ≥ k·df₀, i.e. divisor ≤ N₀/df₀; 500 keeps every
+    // default divisor 500 is sized for the WORST growth case —
+    // verbatim ×k replication multiplies every df by k, so survival
+    // needs cap(N·k) ≥ k·df₀, i.e. divisor ≤ N₀/df₀; 500 keeps every
     // pair-generating token with df₀ ≤ N₀/500 in band at ANY
     // replication factor, while Σ df² over the band still bounds the
     // join and corpus-wide boilerplate (df ~ N) stays excluded. The
-    // band stays part of the operator CONTRACT — the oracle replays
-    // the same formula.
+    // band stays part of the operator CONTRACT at ANY dial setting —
+    // the oracle replays the session's divisor (containmentBandOf).
+    val divisor = containmentBandOf(s)
     val hiDf = sh.agg(greatest(lit(10L),
-      floor(count(lit(1)) / 500.0).cast("long")).as("hi_df"))
+      floor(count(lit(1)) / divisor.toDouble).cast("long")).as("hi_df"))
     val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .crossJoin(broadcast(hiDf))
@@ -579,10 +580,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The containment candidate band's scale divisor — the session
+    * dial `graft.dedup.containmentBand` (default 500; band =
+    * df ∈ [2, max(10, N/divisor)]). Smaller divisor = wider band
+    * (more candidates, more recall against high-df corpora, more join
+    * cost); larger divisor tightens toward the absolute floor of 10.
+    * Unknown values refuse loudly, exactly like graft.ann.lshPreset.
+    * The oracle replays the SESSION's divisor (ddContainmentSql is
+    * rebuilt per access), so the dial is part of the operator
+    * contract at any setting. */
+  private[graft] def containmentBandOf(s: SparkSession): Int = {
+    val raw = s.conf.get("graft.dedup.containmentBand", "500")
+    val v = scala.util.Try(raw.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        "graft.dedup.containmentBand must be a positive integer " +
+          s"divisor (default 500), got '$raw'"))
+    require(v >= 1,
+      s"graft.dedup.containmentBand must be >= 1, got $v")
+    v
+  }
+
   /** Exact replica: same shingles, same scale-relative
-    * [2, max(10, N/500)]-df rare-token candidate rule, same overlap
-    * coefficient and threshold. */
-  val ddContainmentSql: String =
+    * [2, max(10, N/divisor)]-df rare-token candidate rule (the
+    * SESSION's graft.dedup.containmentBand divisor inlined — default
+    * 500 when no session is active), same overlap coefficient and
+    * threshold. */
+  def ddContainmentSql: String = {
+    val divisor = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(containmentBandOf).getOrElse(500)
+    // plain literal + token substitution: an s-interpolated
+    // triple-quote would re-process the regex escapes in the SQL
     """WITH sh AS (
         SELECT doc_id,
           CASE WHEN len(ws) >= 3
@@ -597,7 +625,7 @@ object Dedup {
       ex AS (SELECT doc_id, unnest(ha) AS h FROM shh),
       rare AS (SELECT h FROM ex GROUP BY h
         HAVING count(*) >= 2 AND count(*) <= greatest(10,
-          CAST(floor((SELECT count(*) FROM shh) / 500.0) AS BIGINT))),
+          CAST(floor((SELECT count(*) FROM shh) / __BAND__.0) AS BIGINT))),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM ex a JOIN rare r ON r.h = a.h
@@ -611,6 +639,8 @@ object Dedup {
         JOIN shh sb ON sb.doc_id = c.doc_b)
       SELECT doc_a, doc_b, round(ov, 4) AS overlap
       FROM scored WHERE ov >= 0.8 ORDER BY doc_a, doc_b"""
+      .replace("__BAND__", divisor.toString)
+  }
 
   private val ParaW = 12 // words per paragraph unit
 
@@ -1064,7 +1094,9 @@ ORDER BY doc_a, doc_b"""
       FROM ranked WHERE rn = 1
       ORDER BY keep_id"""
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: ddContainmentSql inlines the session's
+  // graft.dedup.containmentBand divisor at access time
+  def oracles: Map[String, String] = Map(
     "dd_minhash_incr" -> ddMinhashIncrSql,
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_substring" -> ddSubstringSql,

@@ -237,8 +237,13 @@ object Views {
   def queryView(spark: SparkSession, root: String): DataFrame = {
     val d = loadView(root)
     d.sources.foreach { case (alias, tableRoot) =>
-      if (!alias.contains('.'))
-        GraftTable.load(spark, tableRoot).scan().createOrReplaceTempView(alias)
+      if (!alias.contains('.')) {
+        val scan =
+          if (Meta.exists(tableRoot) && Meta.isGraftDialect(tableRoot))
+            GraftTable.load(spark, tableRoot).scan()
+          else graft.table.iceberg.IcebergTable.load(spark, tableRoot).scan()
+        scan.createOrReplaceTempView(alias)
+      }
     }
     spark.sql(d.sqlFor("spark").getOrElse(d.sql))
   }
@@ -311,19 +316,30 @@ object Views {
       val d = view
       val foldSql = loadFold(root)
       val lineage = recordedLineage
-      // only graft-dialect sources expose scanAppendedSince — anything
-      // else falls back to full refresh
+      // BOTH dialects expose appendsOnlySince/scanAppendedSince:
+      // graft tables natively, adopted/REST-served real-format tables
+      // through the interop incremental scan — a row-changing snapshot
+      // (delete/overwrite/compaction) on either falls back to full
+      // refresh honestly
+      def appendsOnly(tableRoot: String, since: Option[Long]): Boolean =
+        if (Meta.exists(tableRoot) && Meta.isGraftDialect(tableRoot))
+          GraftTable.load(spark, tableRoot).appendsOnlySince(since)
+        else graft.table.iceberg.IcebergTable.exists(tableRoot) &&
+          graft.table.iceberg.IcebergTable.load(spark, tableRoot)
+            .appendsOnlySince(since)
+      def appendDelta(tableRoot: String, since: Option[Long]): DataFrame =
+        if (Meta.exists(tableRoot) && Meta.isGraftDialect(tableRoot))
+          GraftTable.load(spark, tableRoot).scanAppendedSince(since)
+        else graft.table.iceberg.IcebergTable.load(spark, tableRoot)
+          .scanAppendedSince(since)
       val incrementalOk = foldSql.nonEmpty && lineage.nonEmpty &&
         d.sources.forall { case (alias, tableRoot) =>
-          Meta.exists(tableRoot) && Meta.isGraftDialect(tableRoot) &&
-            GraftTable.load(spark, tableRoot)
-              .appendsOnlySince(lineage.get(alias))
+          appendsOnly(tableRoot, lineage.get(alias))
         }
       if (!incrementalOk) { refresh(); return false }
       val (dotted, plain) = d.sources.partition(_._1.contains('.'))
       plain.foreach { case (alias, tableRoot) =>
-        GraftTable.load(spark, tableRoot)
-          .scanAppendedSince(lineage.get(alias))
+        appendDelta(tableRoot, lineage.get(alias))
           .createOrReplaceTempView(alias)
       }
       val delta =
@@ -333,8 +349,7 @@ object Views {
             TableIO.path(p).toUri.getPath.stripSuffix("/")
           val deltaPlans = dotted.map { case (alias, tableRoot) =>
             norm(tableRoot) -> (alias,
-              GraftTable.load(spark, tableRoot)
-                .scanAppendedSince(lineage.get(alias))
+              appendDelta(tableRoot, lineage.get(alias))
                 .queryExecution.logical)
           }.toMap
           // a relation substitutes ONLY when the resolver maps its

@@ -544,6 +544,40 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     parts.foldLeft(empty)(_ unionByName _)
   }
 
+  /** True iff the main lineage from the current snapshot back to
+    * `since` is pure appends AND `since` is actually on it — the
+    * incremental-refresh validity check, mirroring the graft dialect's
+    * GraftTable.appendsOnlySince so materialized views fold adopted /
+    * REST-served real-format sources incrementally too (reference:
+    * datafusion_iceberg/src/materialized_view.rs refresh over source
+    * snapshot lineage). An expired or off-lineage `since` returns
+    * false — the caller must full-refresh rather than treat the whole
+    * table as its own delta. */
+  def appendsOnlySince(since: Option[Long]): Boolean = {
+    val m = meta
+    var cur = m.currentSnapshotId.flatMap(m.snapshot)
+    var ok = true
+    while (cur.isDefined && since != cur.map(_.snapshotId)) {
+      if (cur.get.operation != "append") ok = false
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    ok && (since.isEmpty || cur.map(_.snapshotId) == since)
+  }
+
+  /** Scan only the files added after snapshot `since` (append delta) —
+    * incremental-refresh IO proportional to new data, not table size.
+    * Sound ONLY under appendsOnlySince (no delete file since `since`
+    * can apply to the delta's newer-sequence files). */
+  def scanAppendedSince(since: Option[Long]): DataFrame = {
+    val m = meta
+    val baseline = since.map(id =>
+      plannedFiles(Some(id)).map(_._1.filePath).toSet).getOrElse(Set.empty)
+    val delta = plannedFiles(None)
+      .filterNot { case (e, _, _) => baseline.contains(e.filePath) }
+    readVisible(m.schema,
+      delta.map { case (e, _, seq) => (e, seq) }, deleteEntries(None))
+  }
+
   /** Rows of `stayLive` (parent-visible under `parentDeletes`) that a
     * commit's NEW delete files hide — the MoR delta's delete side.
     * Sequence rules bound applicability per delete file. */

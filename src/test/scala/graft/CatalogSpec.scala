@@ -173,6 +173,53 @@ class CatalogSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("incremental MV refresh over an ADOPTED real-format Iceberg " +
+      "source: delta-only fold, honest fallback on row changes") {
+    val w = wh()
+    val ev = Tables.events(spark, sf)
+    val loc = s"$w/ice_ev"
+    // the source is a REAL-format table (the adopted/REST-served
+    // shape), not a graft-dialect one
+    graft.table.iceberg.IcebergWrite.create(spark, loc,
+      ev.filter(col("event_id") % 2 === 0))
+    val mv = Views.createMaterializedView(spark, s"$w/mv", "by_type",
+      "SELECT event_type, count(*) AS n FROM ev GROUP BY event_type",
+      Map("ev" -> loc),
+      incrementalFold = Some(
+        "SELECT event_type, sum(n) AS n FROM mv_delta_union GROUP BY event_type"))
+    mv.refresh()
+    val firstSnap = mv.recordedLineage("ev")
+    val odd = ev.filter(col("event_id") % 2 === 1)
+    graft.table.iceberg.IcebergWrite.append(spark, loc, odd)
+    // refresh IO is DELTA-only: the interop incremental scan returns
+    // exactly the appended rows, not the whole source
+    assert(graft.table.iceberg.IcebergTable.load(spark, loc)
+      .scanAppendedSince(Some(firstSnap)).count() === odd.count(),
+      "append delta must hold only the second append's rows")
+    val usedIncremental = mv.refreshIncremental()
+    assert(usedIncremental,
+      "append-only real-format source must take the incremental path")
+    assert(mv.isFresh)
+    val got = mv.read.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want), "incremental fold matches recompute")
+    // a row-changing snapshot (MoR equality delete) on the real-format
+    // source forces the honest full-refresh fallback — and the full
+    // path reads the source MoR-visible
+    val victim = ev.filter(col("event_type") === "error")
+      .select(col("event_id")).limit(5)
+    graft.table.iceberg.IcebergWrite.deleteEquality(spark, loc,
+      victim, Seq("event_id"))
+    assert(!mv.refreshIncremental(),
+      "row-changing snapshot must force the full path")
+    val total = mv.read.agg(sum(col("n"))).collect().head.getLong(0)
+    assert(total === ev.count() - victim.count(),
+      "full refresh reads the source with MoR deletes applied")
+  }
+
   test("incremental refresh falls back to full after non-append ops") {
     val w = wh()
     val cat = GraftCatalog(spark, w)

@@ -373,6 +373,39 @@ class PipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("containment band dial: session divisor drives operator AND " +
+      "oracle; unknown values refuse loudly") {
+    def pairs() = ops.Dedup.ddContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dflt = pairs()
+    assert(ops.Dedup.ddContainmentSql.contains("/ 500.0"),
+      "default oracle replays divisor 500")
+    try {
+      // divisor 1 => cap = N: EVERY df>=2 token is in band — the
+      // widest setting. Output must be a SUPERSET of the default's,
+      // and shared pairs keep bit-identical overlaps (the band only
+      // gates candidates; scoring is band-independent)
+      spark.conf.set("graft.dedup.containmentBand", "1")
+      val wide = pairs()
+      assert(dflt.keySet.subsetOf(wide.keySet),
+        "widening the band must never lose a pair")
+      dflt.foreach { case (k, ov) => assert(wide(k) === ov,
+        s"overlap of $k drifted with the band dial") }
+      assert(ops.Dedup.ddContainmentSql.contains("/ 1.0"),
+        "oracle replays the session divisor")
+      // loud refusal, exactly like graft.ann.lshPreset
+      spark.conf.set("graft.dedup.containmentBand", "five hundred")
+      intercept[IllegalArgumentException] {
+        ops.Dedup.ddContainment(spark, sf).collect()
+      }
+      spark.conf.set("graft.dedup.containmentBand", "0")
+      intercept[IllegalArgumentException] {
+        ops.Dedup.ddContainment(spark, sf).collect()
+      }
+    } finally spark.conf.unset("graft.dedup.containmentBand")
+    assert(pairs() === dflt, "unset restores the default band")
+  }
+
   test("DSIR weights rank the target domain above the raw majority") {
     val rows = ops.TextAnalysis.taDsirWeight(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap

@@ -1045,6 +1045,9 @@ class StreamingSpec extends AnyFunSuite {
     spark.createDataset(Seq(3L)).toDF("k").coalesce(1)
       .write.parquet(staging.toString)
     val before = graft.table.Meta.load(root)
+    def dataFiles(): Int = Option(new java.io.File(root + "/data")
+      .listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val filesBefore = dataFiles()
     t.commitStagedWrite(staging, overwrite = false,
       propsExtra = Map("graft.streaming.epoch.q1" -> "4"),
       skipIf = _ => true)
@@ -1054,6 +1057,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(!after.properties.contains("graft.streaming.epoch.q1"),
       "a skipped commit must not apply its property updates")
     assert(t.scan().count() === 2L)
+    // the epoch's just-ingested files are reclaimed immediately (the
+    // commitStreamEpoch replayedInside behavior), not left as orphans
+    // for remove_orphan_files
+    assert(dataFiles() === filesBefore,
+      "a skipped commit must reclaim the files it ingested")
+  }
+
+  test("iceberg sink recovery semantics: a stale high-water on a " +
+      "rebuilt table skips as documented; a fresh query-id or property " +
+      "reset re-arms; corrupted stamps read as absent") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergMetadata, IcebergMaintenance,
+      IcebergTable, IcebergWrite}
+    val base = java.nio.file.Files.createTempDirectory("ice-recov").toString
+    val loc = base + "/t"
+    IcebergWrite.create(spark, loc, Seq.empty[Long].toDF("k"))
+    var n = 0
+    def epoch(q: String, e: Long, rows: Seq[Long]): Boolean = {
+      n += 1
+      val dir = new org.apache.hadoop.fs.Path(base, s"stage$n")
+      rows.toDF("k").coalesce(1).write.parquet(dir.toString)
+      IcebergWrite.commitStreamEpoch(spark, loc, dir, q, e,
+        truncate = false)
+    }
+    def ks(): Seq[Long] = IcebergTable.load(spark, loc).scan()
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(epoch("qA", 0, Seq(1L, 2L)))
+    assert(epoch("qA", 1, Seq(3L)))
+    assert(ks() === Seq(1L, 2L, 3L))
+
+    // REBUILD the table's content; the high-water property survives
+    // the overwrite — the documented checkpoint-reuse hazard: a query
+    // resuming the old checkpoint (same query-id) cannot re-land
+    // epochs <= the stale high-water
+    IcebergWrite.overwrite(spark, loc, Seq.empty[Long].toDF("k"))
+    assert(IcebergMetadata.load(loc).properties
+      .get("graft.streaming.epoch.qA") === Some("1"))
+    assert(!epoch("qA", 1, Seq(3L)),
+      "epochs <= the stale high-water skip silently (README documents it)")
+    assert(ks() === Seq.empty, "the skipped epoch landed nothing")
+
+    // documented remedy 1: a FRESH checkpoint = a new query-id
+    assert(epoch("qB", 0, Seq(3L)), "a new query-id is unaffected")
+    assert(ks() === Seq(3L))
+
+    // documented remedy 2: UNSET the stale property AND expire the
+    // stamped snapshots (both dedup anchors must go)
+    IcebergMetadata.commitRetry(loc)(m =>
+      m.copy(properties = m.properties - "graft.streaming.epoch.qA"))
+    IcebergMaintenance.expireSnapshots(loc, keepLast = 1)
+    assert(epoch("qA", 1, Seq(9L)),
+      "after property reset + expire, the replayed epoch re-lands")
+    assert(ks() === Seq(3L, 9L))
+
+    // a corrupted (hand-edited) stamp reads as ABSENT rather than
+    // permanently failing every commit of that query with an NFE
+    IcebergMetadata.commitRetry(loc)(m => m.copy(properties =
+      m.properties + ("graft.streaming.epoch.qC" -> "not-a-number")))
+    assert(epoch("qC", 0, Seq(20L)),
+      "an unparseable stamp must not fail the query")
+    assert(ks() === Seq(3L, 9L, 20L))
   }
 
   test("graft streaming sink: replay dedup survives expireSnapshots") {
