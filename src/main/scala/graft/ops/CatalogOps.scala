@@ -553,9 +553,116 @@ object CatalogOps {
          SELECT 'summary', count(*), CAST(sum(cnt) AS DOUBLE) FROM s2)
        ORDER BY part"""
 
+  /** Multi-table WRITE-AUDIT-PUBLISH over the protocol (reference:
+    * TableTransaction's target branch, transaction/mod.rs:33, +
+    * set_snapshot_ref, mod.rs:135 — composed through the multi-table
+    * commit): one transaction forks each shard's `audit` branch from
+    * main and stages that shard's batch onto it (mains untouched —
+    * the preaudit rows prove isolation); the audit reads the staged
+    * batches through the branches; then ONE protocol commit
+    * fast-forwards every shard's main to its audit head and drops the
+    * branches — all shards publish together or none does. The output
+    * encodes all three phases so the oracle checks the lifecycle, not
+    * just the end state. */
+  val tfTxnWap: Q = (s, d) => {
+    val wh = scratch()
+    val server = new graft.table.iceberg.IcebergRestServer(wh).start()
+    val cat = s"txnw_${java.util.UUID.randomUUID().toString.take(6)}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.uri",
+        s"http://127.0.0.1:${server.port}")
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      (0 until 3).foreach(i =>
+        s.sql(s"CREATE TABLE $cat.db.shard$i (k BIGINT, price DOUBLE)"))
+      val seed = graft.table.iceberg.IcebergTransaction.forCatalog(s, cat)
+      (0 until 3).foreach(i =>
+        seed.append("db", s"shard$i", o.filter(col("k") % 6 === i)))
+      seed.commit()
+      def meta(i: Int) =
+        graft.table.iceberg.IcebergMetadata.load(s"$wh/db/shard$i")
+      // WRITE: fork every shard's audit branch + stage its batch — one
+      // atomic commit, no main moves
+      val tx = graft.table.iceberg.IcebergTransaction.forCatalog(s, cat)
+      (0 until 3).foreach { i =>
+        tx.setSnapshotRef("db", s"shard$i", "audit",
+          meta(i).currentSnapshotId.get)
+        tx.append("db", s"shard$i",
+          o.filter(col("k") % 6 === i + 3), toRef = "audit")
+      }
+      tx.commit()
+      // AUDIT: mains still hold only the seed; branches hold the batch
+      val pre = (0 until 3).map { i =>
+        (s"shard${i}_main_preaudit",
+          s.table(s"$cat.db.shard$i").count(), 0.0)
+      }
+      val br = (0 until 3).map { i =>
+        val audId = meta(i).refs("audit")
+        (s"shard${i}_branch",
+          s.sql(s"SELECT count(*) FROM $cat.db.shard$i VERSION AS OF $audId")
+            .collect().head.getLong(0), 0.0)
+      }
+      // PUBLISH: every branch move + drop in ONE protocol commit
+      val pub = graft.table.iceberg.IcebergTransaction.forCatalog(s, cat)
+      (0 until 3).foreach { i =>
+        pub.fastForward("db", s"shard$i", "main", fromRef = "audit")
+        pub.dropSnapshotRef("db", s"shard$i", "audit")
+      }
+      pub.commit()
+      val post = (0 until 3).map { i =>
+        val r = s.sql("SELECT count(*) AS n, round(sum(price), 2) AS t " +
+          s"FROM $cat.db.shard$i").collect().head
+        (s"shard${i}_published", r.getLong(0), r.getDouble(1))
+      }
+      import s.implicits._
+      (pre ++ br ++ post).toDF("part", "n", "total").orderBy("part")
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.uri")
+      graft.table.iceberg.IcebergRestCommit.deregisterBase(
+        s"http://127.0.0.1:${server.port}")
+      server.stop()
+    }
+  }
+
+  /** The WAP lifecycle's model in pure SQL: preaudit mains = the
+    * seeds, branches = seed+batch, published = seed+batch with the
+    * value sum. */
+  val tfTxnWapSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders)
+       SELECT part, n, total FROM (
+         SELECT 'shard0_main_preaudit' AS part,
+           (SELECT count(*) FROM o WHERE k % 6 = 0) AS n, 0.0::DOUBLE AS total
+         UNION ALL SELECT 'shard1_main_preaudit',
+           (SELECT count(*) FROM o WHERE k % 6 = 1), 0.0::DOUBLE
+         UNION ALL SELECT 'shard2_main_preaudit',
+           (SELECT count(*) FROM o WHERE k % 6 = 2), 0.0::DOUBLE
+         UNION ALL SELECT 'shard0_branch',
+           (SELECT count(*) FROM o WHERE k % 6 IN (0, 3)), 0.0::DOUBLE
+         UNION ALL SELECT 'shard1_branch',
+           (SELECT count(*) FROM o WHERE k % 6 IN (1, 4)), 0.0::DOUBLE
+         UNION ALL SELECT 'shard2_branch',
+           (SELECT count(*) FROM o WHERE k % 6 IN (2, 5)), 0.0::DOUBLE
+         UNION ALL SELECT 'shard0_published',
+           (SELECT count(*) FROM o WHERE k % 6 IN (0, 3)),
+           (SELECT CAST(round(sum(price), 2) AS DOUBLE) FROM o
+             WHERE k % 6 IN (0, 3))
+         UNION ALL SELECT 'shard1_published',
+           (SELECT count(*) FROM o WHERE k % 6 IN (1, 4)),
+           (SELECT CAST(round(sum(price), 2) AS DOUBLE) FROM o
+             WHERE k % 6 IN (1, 4))
+         UNION ALL SELECT 'shard2_published',
+           (SELECT count(*) FROM o WHERE k % 6 IN (2, 5)),
+           (SELECT CAST(round(sum(price), 2) AS DOUBLE) FROM o
+             WHERE k % 6 IN (2, 5))
+       ) ORDER BY part"""
+
   val queries: Map[String, Q] = Map(
     "tf_commit_txn" -> tfCommitTxn,
     "tf_txn_delta" -> tfTxnDelta,
+    "tf_txn_wap" -> tfTxnWap,
     "tf_rtas" -> tfRtas,
     "tf_overwrite_part" -> tfOverwritePart,
     "tf_insert_select" -> tfInsertSelect,
@@ -569,6 +676,7 @@ object CatalogOps {
   val oracles: Map[String, String] = Map(
     "tf_commit_txn" -> tfCommitTxnSql,
     "tf_txn_delta" -> tfTxnDeltaSql,
+    "tf_txn_wap" -> tfTxnWapSql,
     "tf_rtas" -> tfRtasSql,
     "tf_overwrite_part" -> tfOverwritePartSql,
     "tf_insert_select" -> tfInsertSelectSql,
