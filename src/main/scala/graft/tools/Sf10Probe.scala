@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.Sf10Probe <sf1Dir> <sf10Dir> <leg,...>
   * Legs: cand (minhash candidate counts + times), jaccard, contain,
-  * phash, embed (LSH tier + recall vs the sf0.1 exact slice). */
+  * phash, embed (LSH tier + recall vs the sf0.1 exact slice),
+  * tfwrite (r15 write-heavy phase splits), protocol (r16: table-COUNT
+  * decade through one REST server + one multi-table transaction —
+  * per-phase splits proving commit cost is O(metadata) per table and
+  * the server's CAS/rollback loop doesn't degrade with table count). */
 object Sf10Probe {
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sfscale/sf1")
@@ -209,6 +213,72 @@ object Sf10Probe {
           f"files=$nBefore->$nAfter")
         Seq(r1, r2).foreach(r => org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(r)))
+      }
+    }
+
+    if (legs("protocol")) {
+      // round-16 protocol checkpoint: the slowest remaining bench keys
+      // are protocol FIXTURES (tf_txn_delta / tf_commit_txn /
+      // tf_rest_sql — in-query REST server + transactions). Scale the
+      // dimension those fixtures stress — TABLE COUNT through one
+      // server and ONE multi-table transaction — a decade (4 -> 40
+      // tables, identical per-table data), split into phases:
+      // create (server DDL), stage (N distributed appends), commit
+      // (ONE POST, server CAS loop over N tables), read (N loads), and
+      // commit_rival (a rival moves the LAST table after staging, so
+      // attempt 1 CAS-commits up to N-1 tables then compensating-rolls
+      // them ALL back, rebases, and lands on attempt 2 — the worst
+      // rollback shape). Flat per-table times across the decade =
+      // commit cost O(metadata) per table, no CAS-loop degradation.
+      Seq(4, 40).foreach { n =>
+        val wh = java.nio.file.Files
+          .createTempDirectory("sf10-proto").toString
+        val server = new graft.table.iceberg.IcebergRestServer(wh).start()
+        val cat = s"p${n}_${java.util.UUID.randomUUID().toString.take(4)}"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.spark.GraftTableCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.uri",
+          s"http://127.0.0.1:${server.port}")
+        try {
+          spark.sql(s"CREATE NAMESPACE $cat.db")
+          val (_, tCreate) = time((0 until n).foreach(i =>
+            spark.sql(s"CREATE TABLE $cat.db.t$i (k BIGINT, v DOUBLE)")))
+          val slice = graft.Tables.lineitem(spark, sf1)
+            .select(col("l_orderkey").as("k"),
+              col("l_extendedprice").as("v"))
+            .limit(500).cache()
+          slice.count()
+          val tx = graft.table.iceberg.IcebergTransaction
+            .forCatalog(spark, cat)
+          val (_, tStage) = time(
+            (0 until n).foreach(i => tx.append("db", s"t$i", slice)))
+          val (_, tCommit) = time(tx.commit())
+          val (_, tRead) = time((0 until n).foreach { i =>
+            require(spark.table(s"$cat.db.t$i").count() == 500L,
+              s"t$i read mismatch")
+          })
+          val tx2 = graft.table.iceberg.IcebergTransaction
+            .forCatalog(spark, cat)
+          (0 until n).foreach(i => tx2.append("db", s"t$i", slice))
+          spark.sql(s"INSERT INTO $cat.db.t${n - 1} VALUES (1, 1.0)")
+          val (_, tRival) = time(tx2.commit(maxAttempts = 3))
+          require(spark.table(s"$cat.db.t0").count() == 1000L,
+            "rival-rebased transaction must land everywhere")
+          slice.unpersist()
+          println(f"[sf10probe] leg=protocol tables=$n " +
+            f"create=$tCreate%.2f s stage=$tStage%.2f s " +
+            f"commit=$tCommit%.2f s commit_per_table=${tCommit / n}%.4f s " +
+            f"read=$tRead%.2f s commit_rival=$tRival%.2f s " +
+            f"rival_per_table=${tRival / n}%.4f s")
+        } finally {
+          spark.conf.unset(s"spark.sql.catalog.$cat")
+          spark.conf.unset(s"spark.sql.catalog.$cat.uri")
+          graft.table.iceberg.IcebergRestCommit.deregisterBase(
+            s"http://127.0.0.1:${server.port}")
+          server.stop()
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(wh))
+        }
       }
     }
     spark.stop()
