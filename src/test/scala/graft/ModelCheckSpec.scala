@@ -1623,6 +1623,20 @@ class ModelCheckSpec extends AnyFunSuite {
       assert(send("POST", "/namespaces/db/views", badCreate)._1 === 409,
         "MV create over an existing table with a foreign storage " +
           "identifier must collide")
+
+      // 7. (round 16) the tolerance is SCHEMA-checked: the clone_from
+      // pre-create always carries the request's schema, so an EMPTY
+      // self-named table whose shape differs is a real name collision
+      // — absorbed, a later DROP VIEW would destroy its registration
+      assert(send("POST", "/namespaces/db/tables",
+        """{"name":"mv3","schema":{"schema-id":0,"type":"struct",
+             "fields":[{"id":1,"name":"other","required":false,
+             "type":"string"}]}}""")._1 === 200)
+      val create3 = createBody.replace("\"name\":\"mv\"", "\"name\":\"mv3\"")
+        .replace("\"name\":\"mv__storage\"", "\"name\":\"mv3__storage\"")
+      assert(send("POST", "/namespaces/db/views", create3)._1 === 409,
+        "an empty but differently-shaped table at the view root " +
+          "must 409, not be co-opted")
     } finally server.stop()
   }
 }

@@ -927,7 +927,7 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       // staged ops per table, in random shapes; track the would-be model
       val pending: Seq[(String, (String, Seq[Long], String))] =
         involved.map { t =>
-          rng.nextInt(8) match {
+          rng.nextInt(9) match {
             case 0 =>
               val vs = vals(1 + rng.nextInt(20))
               tx.append("txf", t, vs.toDF("k"))
@@ -972,6 +972,14 @@ class RestCatalogSqlSpec extends AnyFunSuite {
               // route under the new era; content is unaffected
               tx.addPartitionSpec("txf", t, Seq("k" -> "truncate[100]"))
               (t, ("addspec", Seq.empty[Long], ""))
+            case 8 =>
+              // transaction-staged rewrite: row-preserving compaction
+              // with lineage — content unchanged, rival appends carry.
+              // An empty table's rewrite is an identity fold (no
+              // snapshot, no stamp) — remember which shape was staged
+              tx.rewrite("txf", t, lineage = Map("fuzz.rw" -> s"$round"))
+              (t, ("rewrite", Seq.empty[Long],
+                if (content(t).nonEmpty) "stamped" else ""))
           }
         }
       // 40% of rounds: a rival single-table commit lands AFTER staging
@@ -1017,6 +1025,16 @@ class RestCatalogSqlSpec extends AnyFunSuite {
             assert(meta.refs.contains("side"),
               s"round $round: $t side branch missing after sideappend")
           case (_, ("addspec", _, _)) => () // routing-only
+          case (t, ("rewrite", _, marker)) =>
+            // row-preserving: model unchanged; lineage stamp present
+            // whenever the staged fold had content
+            if (marker == "stamped") {
+              val meta =
+                graft.table.iceberg.IcebergMetadata.load(s"$wh/txf/$t")
+              assert(meta.snapshots.exists(
+                _.summary.get("fuzz.rw").contains(s"$round")),
+                s"round $round: $t rewrite lineage stamp missing")
+            }
         }
       }
       // verify EVERY table against the model after EVERY round —
