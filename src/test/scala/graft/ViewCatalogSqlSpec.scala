@@ -404,6 +404,45 @@ class ViewCatalogSqlSpec extends AnyFunSuite {
     spark.sql("DROP VIEW tsrc_wrap")
   }
 
+  test("incremental MV over an ADOPTED real-format Iceberg source " +
+    "through the DDL surface: delta fold, honest fallback on row changes") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the source is a REAL-format table a FOREIGN writer created inside
+    // the warehouse — the catalog serves it like any adopted table
+    val loc = s"$wh/db/icesrc"
+    graft.table.iceberg.IcebergWrite.create(spark, loc,
+      Seq("a", "a", "b").toDF("grp"))
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.db.mv_ice
+      TBLPROPERTIES('incremental_fold' =
+        'SELECT grp, sum(n) AS n FROM mv_delta_union GROUP BY grp')
+      AS SELECT grp, count(*) AS n FROM $cat.db.icesrc GROUP BY grp""")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.db.mv_ice FULL")
+    // a FOREIGN append (not through the catalog) moves the source
+    graft.table.iceberg.IcebergWrite.append(spark, loc,
+      Seq("a", "c").toDF("grp"))
+    val eff = spark.sql(
+      s"REFRESH MATERIALIZED VIEW $cat.db.mv_ice INCREMENTAL")
+      .collect().head.getString(0)
+    assert(eff === "incremental",
+      "append-only real-format source must fold incrementally")
+    val got = spark.sql(s"SELECT * FROM $cat.db.mv_ice ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 3L), ("b", 1L), ("c", 1L)), s"fold drifted: $got")
+    // a row-changing MoR equality delete forces the honest full path
+    graft.table.iceberg.IcebergWrite.deleteEquality(spark, loc,
+      Seq("b").toDF("grp"), Seq("grp"))
+    val eff2 = spark.sql(
+      s"REFRESH MATERIALIZED VIEW $cat.db.mv_ice INCREMENTAL")
+      .collect().head.getString(0)
+    assert(eff2 === "full", "row-changing snapshot must force full")
+    val got2 = spark.sql(s"SELECT * FROM $cat.db.mv_ice ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 === Seq(("a", 3L), ("c", 1L)),
+      s"full refresh must read MoR-visible: $got2")
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.db.mv_ice")
+  }
+
   test("incremental MV: a same-named table in ANOTHER catalog is never " +
     "mistaken for the source's delta") {
     val spark0 = spark
