@@ -739,11 +739,18 @@ object GraftProcedures {
           "carry row-level deltas: ns.table=source:key1+key2, where " +
           "the source's rows are equality-delete key tuples (deletes) " +
           "or full replacement rows keyed on the listed columns " +
-          "(upserts) — the multi-table GDPR shape. Data files stage " +
-          "to shared storage first; ONE commit_transaction publishes " +
+          "(upserts) — the multi-table GDPR shape. 'branch_appends' " +
+          "('ns.t=src@audit') stage batches onto audit branches " +
+          "(forked from main if absent, mains untouched) and " +
+          "'fast_forwards' ('ns.t=main<audit') + 'drop_refs' " +
+          "('ns.t=audit') publish them — multi-table " +
+          "write-audit-publish for SQL users. Data files stage to " +
+          "shared storage first; ONE commit_transaction publishes " +
           "every snapshot — all tables land or none do (REST catalogs " +
           "only). Overwrites never rebase: a rival commit on an " +
-          "overwritten table fails the whole transaction.",
+          "overwritten table fails the whole transaction. " +
+          "Fast-forwards are ancestry-checked: a rival on the target " +
+          "ref since the fork refuses the whole publish.",
         Array(
           ProcedureParameter.in("appends", StringType)
             .defaultValue("''")
@@ -762,6 +769,22 @@ object GraftProcedures {
             .defaultValue("''")
             .comment("'ns.t=rows_view:k' — MERGE-shape upsert keyed " +
               "on the listed columns")
+            .build(),
+          ProcedureParameter.in("branch_appends", StringType)
+            .defaultValue("''")
+            .comment("'ns.t=src@audit' — append onto a branch, forking " +
+              "it from main first if absent; mains untouched (the " +
+              "WRITE half of write-audit-publish)")
+            .build(),
+          ProcedureParameter.in("fast_forwards", StringType)
+            .defaultValue("''")
+            .comment("'ns.t=main<audit' — ancestry-checked fast-forward " +
+              "(the PUBLISH half; a rival on the target ref since the " +
+              "fork refuses the whole transaction)")
+            .build(),
+          ProcedureParameter.in("drop_refs", StringType)
+            .defaultValue("''")
+            .comment("'ns.t=audit' — drop a branch/tag after publish")
             .build()),
         StructType(Seq(
           StructField("table", StringType),
@@ -801,9 +824,30 @@ object GraftProcedures {
           val overwrites = parse(arg(1), "overwrites")
           val deletes = parse(arg(2), "deletes").map(keyed(_, "deletes"))
           val upserts = parse(arg(3), "upserts").map(keyed(_, "upserts"))
+          // WAP halves: src@branch staging and to<from publishing
+          val branchAppends = parse(arg(4), "branch_appends").map { e =>
+            val halves = e._3.split("@", 2)
+            require(halves.length == 2 && halves(0).trim.nonEmpty &&
+                halves(1).trim.nonEmpty,
+              s"branch_appends entries are ns.t=src@branch; got " +
+                s"${e._1}.${e._2}=${e._3}")
+            (e._1, e._2, halves(0).trim, halves(1).trim)
+          }
+          val fastForwards = parse(arg(5), "fast_forwards").map { e =>
+            val halves = e._3.split("<", 2)
+            require(halves.length == 2 && halves(0).trim.nonEmpty &&
+                halves(1).trim.nonEmpty,
+              s"fast_forwards entries are ns.t=toRef<fromRef; got " +
+                s"${e._1}.${e._2}=${e._3}")
+            (e._1, e._2, halves(0).trim, halves(1).trim)
+          }
+          val dropRefs = parse(arg(6), "drop_refs")
           require(appends.nonEmpty || overwrites.nonEmpty ||
-              deletes.nonEmpty || upserts.nonEmpty,
-            "appends, overwrites, deletes, or upserts required")
+              deletes.nonEmpty || upserts.nonEmpty ||
+              branchAppends.nonEmpty || fastForwards.nonEmpty ||
+              dropRefs.nonEmpty,
+            "appends, overwrites, deletes, upserts, branch_appends, " +
+              "fast_forwards, or drop_refs required")
           val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
           appends.foreach { case (ns, t, src) =>
             tx.append(ns, t, spark.table(src))
@@ -817,10 +861,23 @@ object GraftProcedures {
           upserts.foreach { case (ns, t, src, keys) =>
             tx.upsertByKey(ns, t, spark.table(src), keys)
           }
+          branchAppends.foreach { case (ns, t, src, branch) =>
+            tx.forkRefIfAbsent(ns, t, branch)
+            tx.append(ns, t, spark.table(src), toRef = branch)
+          }
+          fastForwards.foreach { case (ns, t, to, from) =>
+            tx.fastForward(ns, t, to, from)
+          }
+          dropRefs.foreach { case (ns, t, ref) =>
+            tx.dropSnapshotRef(ns, t, ref)
+          }
           tx.commit()
           result(out, (appends ++ overwrites ++
               deletes.map(d => (d._1, d._2, d._3)) ++
-              upserts.map(u => (u._1, u._2, u._3)))
+              upserts.map(u => (u._1, u._2, u._3)) ++
+              branchAppends.map(b => (b._1, b._2, b._3)) ++
+              fastForwards.map(f => (f._1, f._2, f._3)) ++
+              dropRefs)
             .map { case (ns, t, _) => (ns, t) }.distinct
             .map { case (ns, t) =>
               val root = graft.table.iceberg.IcebergRestClient

@@ -190,6 +190,32 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     this
   }
 
+  /** Stage an idempotent fork: create `refName` at `fromRef`'s head if
+    * it doesn't exist — resolved at COMMIT time inside the fold, so a
+    * rebase forks from the attempt's fresh head. An existing ref is
+    * left alone (the "ensure the audit branch exists" step the SQL
+    * write-audit-publish front uses); the raw reference semantics — a
+    * nonexistent branch starting EMPTY — remain available by just
+    * appending with toRef. Never moves `refName` if present and never
+    * moves main. */
+  def forkRefIfAbsent(ns: String, name: String, refName: String,
+      fromRef: String = "main"): this.type = {
+    require(!done, "transaction already committed or aborted")
+    observe(ns, name)
+    ops += Op(ns, name, m => {
+      if (m.refs.contains(refName)) m
+      else {
+        val id = m.refs.get(fromRef)
+          .orElse(if (fromRef == "main") m.currentSnapshotId else None)
+          .getOrElse(throw new IllegalArgumentException(
+            s"forkRefIfAbsent($refName): ref '$fromRef' has no head " +
+              s"in $ns.$name"))
+        m.copy(refs = m.refs + (refName -> id))
+      }
+    }, () => ())
+    this
+  }
+
   /** Stage a branch/tag drop (protocol remove-snapshot-ref) — the
     * cleanup step after publish; snapshots stay until expire. */
   def dropSnapshotRef(ns: String, name: String, refName: String)

@@ -786,6 +786,53 @@ class RestCatalogSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL write-audit-publish: CALL commit_transaction stages on " +
+      "branches and publishes atomically") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wapq")
+    Seq("t1", "t2").foreach { t =>
+      spark.sql(s"CREATE TABLE $cat.wapq.$t (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.wapq.$t VALUES (1), (2)")
+    }
+    Seq(10L).toDF("k").createOrReplaceTempView("wapq_b1")
+    Seq(11L, 12L).toDF("k").createOrReplaceTempView("wapq_b2")
+    def count(t: String): Long =
+      spark.sql(s"SELECT count(*) FROM $cat.wapq.$t")
+        .collect().head.getLong(0)
+    // WRITE: both batches land on audit branches (forked from main) in
+    // one CALL; mains untouched
+    spark.sql(s"CALL $cat.system.commit_transaction(branch_appends => " +
+      "'wapq.t1=wapq_b1@audit,wapq.t2=wapq_b2@audit')")
+    assert(count("t1") === 2L && count("t2") === 2L,
+      "branch_appends must not move mains")
+    Seq("t1", "t2").foreach { t =>
+      val m = IcebergMetadata.load(s"$wh/wapq/$t")
+      assert(m.refs.contains("audit"), s"$t audit branch missing")
+    }
+    // PUBLISH: both fast-forwards + branch drops in one CALL
+    spark.sql(s"CALL $cat.system.commit_transaction(fast_forwards => " +
+      "'wapq.t1=main<audit,wapq.t2=main<audit', " +
+      "drop_refs => 'wapq.t1=audit,wapq.t2=audit')")
+    assert(count("t1") === 3L && count("t2") === 4L,
+      "published batches must be visible on main")
+    Seq("t1", "t2").foreach { t =>
+      assert(!IcebergMetadata.load(s"$wh/wapq/$t").refs.contains("audit"))
+    }
+    // a rival between stage and publish refuses the WHOLE publish
+    spark.sql(s"CALL $cat.system.commit_transaction(branch_appends => " +
+      "'wapq.t1=wapq_b1@audit,wapq.t2=wapq_b2@audit')")
+    spark.sql(s"INSERT INTO $cat.wapq.t2 VALUES (50)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.commit_transaction(fast_forwards => " +
+        "'wapq.t1=main<audit,wapq.t2=main<audit')")
+    }
+    assert(e.getMessage.contains("not an ancestor") ||
+      Option(e.getCause).exists(_.getMessage.contains("not an ancestor")),
+      s"stale audit must refuse with the ancestry message: $e")
+    assert(count("t1") === 3L, "refused publish must move NO main")
+  }
+
   test("transaction rewrite: compaction + lineage stamps ride the " +
       "transaction; rivals on compacted files refuse, rival appends carry") {
     val spark0 = spark
