@@ -216,6 +216,66 @@ object Sf10Probe {
       }
     }
 
+    if (legs("txrewrite")) {
+      // round-16 staged-rewrite checkpoint: compaction as a
+      // transaction op at DATA scale (sf1 lineitem, ~6M rows, 40
+      // files) through a live REST server. Phases: stage (the
+      // MoR-folded re-bin — data-bound, the dominant cost by design),
+      // commit (ONE protocol POST — metadata-bound), and a rival
+      // append landing between staging and commit (the rebase carries
+      // it; only manifest assembly re-runs, no data rewrite).
+      val wh = java.nio.file.Files
+        .createTempDirectory("sf10-txrw").toString
+      val server = new graft.table.iceberg.IcebergRestServer(wh).start()
+      val cat = s"trw_${java.util.UUID.randomUUID().toString.take(4)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.spark.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.uri",
+        s"http://127.0.0.1:${server.port}")
+      try {
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val li = graft.Tables.lineitem(spark, sf1)
+        li.repartition(40).createOrReplaceTempView("txrw_src")
+        spark.sql(s"CREATE TABLE $cat.db.big (" +
+          li.schema.fields.map(f =>
+            s"${f.name} ${f.dataType.sql}").mkString(", ") + ")")
+        val (_, tSeed) = time(
+          spark.sql(s"INSERT INTO $cat.db.big SELECT /*+ REPARTITION(40) */ * FROM txrw_src"))
+        val loc = s"$wh/db/big"
+        def files(): Int =
+          graft.table.iceberg.IcebergTable.load(spark, loc)
+            .plannedFiles().size
+        val nBefore = files()
+        val rows = li.count()
+        val tx = graft.table.iceberg.IcebergTransaction
+          .forCatalog(spark, cat)
+        val (_, tStage) = time(tx.rewrite("db", "big",
+          lineage = Map("compaction.run" -> "sf10probe")))
+        // rival append AFTER staging: the commit rebases and carries it
+        val (_, tRival) = time(
+          spark.sql(s"INSERT INTO $cat.db.big (l_orderkey) VALUES (-1)"))
+        val (_, tCommit) = time(tx.commit(maxAttempts = 5))
+        val nAfter = files()
+        val total = spark.sql(s"SELECT count(*) FROM $cat.db.big")
+          .collect().head.getLong(0)
+        require(total == rows + 1,
+          s"staged rewrite lost rows: $total vs ${rows + 1}")
+        println(f"[sf10probe] leg=txrewrite rows=$rows files=$nBefore" +
+          f"->$nAfter seed=$tSeed%.2f s stage=$tStage%.2f s " +
+          f"rival=$tRival%.2f s commit=$tCommit%.2f s " +
+          "(stage is data-bound by design; commit is metadata-bound " +
+          "and absorbs the rival by manifest-only rebase)")
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.uri")
+        graft.table.iceberg.IcebergRestCommit.deregisterBase(
+          s"http://127.0.0.1:${server.port}")
+        server.stop()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(wh))
+      }
+    }
+
     if (legs("protocol")) {
       // round-16 protocol checkpoint: the slowest remaining bench keys
       // are protocol FIXTURES (tf_txn_delta / tf_commit_txn /
