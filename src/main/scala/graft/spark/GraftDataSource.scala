@@ -1953,7 +1953,8 @@ case class GraftStreamingWriterFactory(staging: String,
     hp.getFileSystem(conf.value).mkdirs(hp)
     if (transforms.isEmpty)
       new GraftDataWriter(
-        s"$dir/part-$partitionId-$taskId.parquet", conf.value, partitionId, taskId)
+        s"$dir/part-$partitionId-$taskId-${GraftWriterFactory.fileTag()}.parquet",
+        conf.value, partitionId, taskId)
     else
       new PartitionedGraftDataWriter(dir, conf.value, partitionId, taskId, transforms)
   }
@@ -2018,6 +2019,21 @@ class GraftBatchWrite(root: String, schema: StructType, mode: GraftWriteMode,
 case class GraftCommitMessage(path: String, rows: Long)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+object GraftWriterFactory {
+  /** Per-file random tag baked into every staged file name.
+    * `part-<partitionId>-<taskId>` alone is NOT collision-proof:
+    * task ids restart from 0 in a new JVM, so a streaming recovery
+    * replay (zombie run vs winner racing the same epoch) stages
+    * files whose names collide with ones the winner already
+    * ingested — and the loser's ingest rename would silently
+    * overwrite the winner's committed data file before the skipIf
+    * reclaim deleted it. A random tag makes every staged file's
+    * ingest destination unique, so no commit can ever rename over
+    * (or reclaim) another commit's file. */
+  def fileTag(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+}
+
 case class GraftWriterFactory(staging: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     transforms: Seq[RowTransform] = Seq.empty)
@@ -2026,7 +2042,8 @@ case class GraftWriterFactory(staging: String,
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
     if (transforms.isEmpty)
       new GraftDataWriter(
-        s"$staging/part-$partitionId-$taskId.parquet", conf.value, partitionId, taskId)
+        s"$staging/part-$partitionId-$taskId-${GraftWriterFactory.fileTag()}.parquet",
+        conf.value, partitionId, taskId)
     else
       new PartitionedGraftDataWriter(staging, conf.value, partitionId, taskId, transforms)
 }
@@ -2048,7 +2065,8 @@ class PartitionedGraftDataWriter(staging: String,
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     val dir = transforms.map(t => s"${t.name}=${t.eval(row)}").mkString("/")
     val w = writers.getOrElseUpdate(dir, {
-      val path = s"$staging/$dir/part-$partitionId-$taskId.parquet"
+      val path =
+        s"$staging/$dir/part-$partitionId-$taskId-${GraftWriterFactory.fileTag()}.parquet"
       val hp = new org.apache.hadoop.fs.Path(path)
       hp.getFileSystem(conf).mkdirs(hp.getParent)
       (GraftConnectorShim.newParquetTaskWriter(path, conf, partitionId, taskId),

@@ -449,8 +449,20 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       // remove_orphan_files (the Iceberg-path commitStreamEpoch does
       // the same in its replayedInside case)
       if (skipIf(m)) {
-        (added ++ addedDeletes).foreach(f =>
-          TableIO.delete(new HPath(dataDir, f.path)))
+        // never reclaim a path the observed metadata references:
+        // staged names carry a per-file random tag so a loser's
+        // ingest can't collide with a winner's committed file, but if
+        // a name ever DID collide (hand-adopted files, older tables),
+        // deleting it here would hole the winner's published snapshot
+        val referenced = (added ++ addedDeletes)
+          .map(_.path).toSet match {
+            case mine if mine.isEmpty => Set.empty[String]
+            case mine => m.snapshots.iterator
+              .flatMap(s => s.files.iterator ++ s.addedDeleteFiles.iterator)
+              .map(_.path).filter(mine.contains).toSet
+          }
+        (added ++ addedDeletes).filterNot(f => referenced.contains(f.path))
+          .foreach(f => TableIO.delete(new HPath(dataDir, f.path)))
         return m
       }
       // optimistic-concurrency pin: operations whose staged output was

@@ -1115,9 +1115,19 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
             reply(ex, 200, viewResult(root))
           } else {
             // lost the view-commit race: roll back the storage table
-            // this request just created (still empty — nothing else
-            // can have written through a view that never existed)
-            createdHere.foreach(sroot =>
+            // this request just created — EXCEPT one the winning view
+            // now references. The winner may have raced us with the
+            // SAME storage identifier, found the table this loser
+            // pre-created, skipped creating its own, and committed a
+            // view pointing at it; deleting it here would leave the
+            // committed view dangling. Re-load the winner and keep
+            // any createdHere root its view-version references.
+            val winnerStorage: Set[String] = scala.util.Try {
+              graft.table.Views.loadView(root).storageTable.map {
+                case (sns, sn) => tableRoot(sns.mkString("\u001F"), sn)
+              }.toSet
+            }.getOrElse(Set.empty)
+            createdHere.filterNot(winnerStorage.contains).foreach(sroot =>
               TableIO.delete(TableIO.path(sroot), recursive = true))
             reply(ex, 409, errBody("view exists", 409))
           }

@@ -204,14 +204,19 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     observe(ns, name)
     ops += Op(ns, name, m => {
       if (m.refs.contains(refName)) m
-      else {
-        val id = m.refs.get(fromRef)
-          .orElse(if (fromRef == "main") m.currentSnapshotId else None)
-          .getOrElse(throw new IllegalArgumentException(
+      else m.refs.get(fromRef)
+        .orElse(if (fromRef == "main") m.currentSnapshotId else None) match {
+          case Some(id) => m.copy(refs = m.refs + (refName -> id))
+          // headless MAIN on a freshly created table: no fork point
+          // exists, but append(toRef) supports a nonexistent branch
+          // starting empty — let it, so first-load WAP into a new
+          // table works (a named non-main source ref that is absent
+          // is still a caller error and refuses)
+          case None if fromRef == "main" => m
+          case None => throw new IllegalArgumentException(
             s"forkRefIfAbsent($refName): ref '$fromRef' has no head " +
-              s"in $ns.$name"))
-        m.copy(refs = m.refs + (refName -> id))
-      }
+              s"in $ns.$name")
+        }
     }, () => ())
     this
   }

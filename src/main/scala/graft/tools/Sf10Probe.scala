@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * tfwrite (r15 write-heavy phase splits), protocol (r16: table-COUNT
   * decade through one REST server + one multi-table transaction —
   * per-phase splits proving commit cost is O(metadata) per table and
-  * the server's CAS/rollback loop doesn't degrade with table count). */
+  * the server's CAS/rollback loop doesn't degrade with table count),
+  * txrewrite (r16: transaction-staged rewrite at sf1 — distributed
+  * re-bin paid once at staging, metadata-only commit, rival append
+  * carried through the rebase). */
 object Sf10Probe {
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sfscale/sf1")

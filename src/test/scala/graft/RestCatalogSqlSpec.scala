@@ -833,6 +833,30 @@ class RestCatalogSqlSpec extends AnyFunSuite {
     assert(count("t1") === 3L, "refused publish must move NO main")
   }
 
+  test("first-load WAP: branch_appends into a freshly created EMPTY " +
+      "table skips the fork, stages on the branch, publishes to a " +
+      "headless main") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wapn")
+    spark.sql(s"CREATE TABLE $cat.wapn.fresh (k BIGINT)") // no snapshot yet
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("wapn_b")
+    // pre-r17 this CALL threw: forkRefIfAbsent demanded a main head
+    // even though append(toRef) supports a branch starting empty
+    spark.sql(s"CALL $cat.system.commit_transaction(branch_appends => " +
+      "'wapn.fresh=wapn_b@audit')")
+    val m0 = IcebergMetadata.load(s"$wh/wapn/fresh")
+    assert(m0.currentSnapshotId.isEmpty,
+      "main must stay headless on the write step")
+    assert(m0.refs.contains("audit"), "audit branch must hold the batch")
+    spark.sql(s"CALL $cat.system.commit_transaction(fast_forwards => " +
+      "'wapn.fresh=main<audit', drop_refs => 'wapn.fresh=audit')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.wapn.fresh")
+      .collect().head.getLong(0) === 3L,
+      "first-load publish must land the batch on main")
+    assert(!IcebergMetadata.load(s"$wh/wapn/fresh").refs.contains("audit"))
+  }
+
   test("transaction rewrite: compaction + lineage stamps ride the " +
       "transaction; rivals on compacted files refuse, rival appends carry") {
     val spark0 = spark

@@ -1064,6 +1064,74 @@ class StreamingSpec extends AnyFunSuite {
       "a skipped commit must reclaim the files it ingested")
   }
 
+  test("streaming staged file names are collision-proof across replaying runs") {
+    // the zombie-vs-winner hazard: two runs of the same query replay
+    // the same epoch with the same (partitionId, taskId) — task ids
+    // restart from 0 in a fresh JVM — so deterministic part-<p>-<t>
+    // names would collide at the ingest destination, and the loser's
+    // rename would silently overwrite the winner's committed epoch
+    // file before the skipIf reclaim deleted it
+    val dir = java.nio.file.Files.createTempDirectory("graft-nametag").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val conf = org.apache.spark.sql.execution.datasources.GraftConnectorShim
+      .prepareParquetWriteConf(spark, schema)
+    def staged(run: String): String = {
+      val w = graft.spark.GraftStreamingWriterFactory(dir + "/" + run, conf)
+        .createWriter(0, 0L, 7L)
+      w.commit() match {
+        case graft.spark.GraftCommitMessage(p, _) => new java.io.File(p).getName
+      }
+    }
+    val p1 = staged("run1")
+    val p2 = staged("run2")
+    assert(p1 !== p2,
+      "identical (partition, task, epoch) across runs must not stage " +
+        "colliding file names")
+    assert(p1.matches("part-0-0-[0-9a-f]{8}\\.parquet"), p1)
+  }
+
+  test("skipIf reclaim never deletes a path the committed metadata references") {
+    // defense-in-depth behind the name tags: if a skipped commit's
+    // just-ingested file name ever DID collide with a committed file
+    // (hand-adopted files, pre-r17 tables), reclaiming it would hole
+    // the winner's published snapshot
+    val spark0 = spark
+    import spark0.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-reclaim").toString
+    val root = base + "/t"
+    val t = graft.table.GraftTable.create(spark, root,
+      Seq(1L).toDF("k").schema)
+    def stageFixed(sub: String): org.apache.hadoop.fs.Path = {
+      // a staging dir holding ONE parquet file under a FIXED name —
+      // the deterministic-name shape the real writers no longer produce
+      val tmp = new java.io.File(base, "tmp-" + sub)
+      // stamp the table's field id so the staged file scans like one
+      // the real writers produced
+      Seq(42L).toDF("k")
+        .select(col("k").as("k",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 1L).build()))
+        .coalesce(1).write.parquet(tmp.toString)
+      val staging = new java.io.File(base, sub)
+      staging.mkdirs()
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(staging, "epoch.parquet")))
+      new org.apache.hadoop.fs.Path(staging.toString)
+    }
+    t.commitStagedWrite(stageFixed("s1"), overwrite = false) // winner
+    assert(new java.io.File(root + "/data/epoch.parquet").exists())
+    // loser replays the epoch under the SAME file name; its skipIf
+    // fires — the reclaim must spare the committed path
+    t.commitStagedWrite(stageFixed("s2"), overwrite = false,
+      skipIf = _ => true)
+    assert(new java.io.File(root + "/data/epoch.parquet").exists(),
+      "the skipped commit's reclaim deleted a file the winner's " +
+        "published snapshot references")
+    assert(t.scan().as[Long].collect().toSeq === Seq(42L))
+  }
+
   test("iceberg sink recovery semantics: a stale high-water on a " +
       "rebuilt table skips as documented; a fresh query-id or property " +
       "reset re-arms; corrupted stamps read as absent") {
