@@ -91,14 +91,21 @@ object LshKernel {
     GraftShim.column(LshBucketKeys(GraftShim.expression(c),
       tables, planesPerTable))
 
+  /** The session dial's validated NAME — what persisted bucket-key
+    * tables are stamped with (Similarity.persistBucketKeys) and what
+    * loads assert against. */
+  def presetNameOf(s: org.apache.spark.sql.SparkSession): String = {
+    val name = s.conf.get("graft.ann.lshPreset", "8x4")
+    if (!Presets.contains(name)) throw new IllegalArgumentException(
+      s"unknown graft.ann.lshPreset '$name' " +
+        s"(known: ${Presets.keys.toSeq.sorted.mkString(", ")})")
+    name
+  }
+
   /** The preset a session selected (spark conf graft.ann.lshPreset;
     * unknown names fail loudly with the known dial positions). */
-  def presetOf(s: org.apache.spark.sql.SparkSession): (Int, Int) = {
-    val name = s.conf.get("graft.ann.lshPreset", "8x4")
-    Presets.getOrElse(name, throw new IllegalArgumentException(
-      s"unknown graft.ann.lshPreset '$name' " +
-        s"(known: ${Presets.keys.toSeq.sorted.mkString(", ")})"))
-  }
+  def presetOf(s: org.apache.spark.sql.SparkSession): (Int, Int) =
+    Presets(presetNameOf(s))
 }
 
 case class LshBucketKeys(child: Expression,

@@ -599,9 +599,11 @@ object CatalogOps {
           s.table(s"$cat.db.shard$i").count(), 0.0)
       }
       val br = (0 until 3).map { i =>
-        val audId = meta(i).refs("audit")
+        // read the branch by NAME: puts the catalog's ref-name
+        // resolution (VERSION AS OF 'audit') under the oracle, not
+        // just numeric snapshot-id time travel
         (s"shard${i}_branch",
-          s.sql(s"SELECT count(*) FROM $cat.db.shard$i VERSION AS OF $audId")
+          s.sql(s"SELECT count(*) FROM $cat.db.shard$i VERSION AS OF 'audit'")
             .collect().head.getLong(0), 0.0)
       }
       // PUBLISH: every branch move + drop in ONE protocol commit

@@ -161,6 +161,56 @@ object Similarity {
     graft.functions.LshKernel.bucketKeysCol(emb, t, p)
   }
 
+  /** Table property stamped on persisted bucket-key tables: the
+    * recall preset the keys were computed under. Bucket keys are a
+    * pure function of (embedding, preset); a join between keys from
+    * different presets silently matches nothing, so persistence
+    * records the preset and loads ASSERT it (Registry.scala hazard
+    * note, README "ANN recall dial"). */
+  val LshPresetProp = "graft.ann.lshPreset"
+
+  /** Materialize the corpus's exploded LSH bucket keys
+    * (vec_id, t, b) into a graft table at `root`, stamped with the
+    * SESSION preset at create time — the durable half of incremental
+    * ANN: later sessions bucket only their new vectors and equi-join
+    * the stored keys, instead of re-hashing the corpus. */
+  def persistBucketKeys(s: SparkSession, d: String,
+      root: String): graft.table.GraftTable = {
+    val keys = vectors(s, d)
+      .select(col("vec_id"), explode(bucketKeys(s, col("emb"))).as("k"))
+      .select(col("vec_id"), col("k.t").as("t"), col("k.b").as("b"))
+    val table = graft.table.GraftTable.create(s, root, keys.schema,
+      properties = Map(
+        LshPresetProp -> graft.functions.LshKernel.presetNameOf(s)))
+    table.append(keys)
+    table
+  }
+
+  /** Load persisted bucket keys for joining against THIS session's
+    * keys. Refuses loudly when the stored stamp and the session dial
+    * disagree — the alternative is an empty join result that looks
+    * like "no near-duplicates", not an error. An unstamped table also
+    * refuses: there is no way to know which preset computed it
+    * (stamp it with updateProperties after verifying out-of-band). */
+  def loadBucketKeys(s: SparkSession, root: String): DataFrame = {
+    val t = graft.table.GraftTable.load(s, root)
+    val session = graft.functions.LshKernel.presetNameOf(s)
+    t.meta.properties.get(LshPresetProp) match {
+      case Some(stored) if stored == session => t.scan()
+      case Some(stored) => throw new IllegalStateException(
+        s"persisted bucket keys at $root were computed under " +
+          s"$LshPresetProp=$stored but this session dials $session: " +
+          "a cross-preset bucket join silently matches nothing. " +
+          s"Set $LshPresetProp=$stored (or recompute the keys under " +
+          s"$session via persistBucketKeys)")
+      case None => throw new IllegalStateException(
+        s"bucket-key table at $root carries no $LshPresetProp stamp; " +
+          "cannot prove the keys match this session's dial. Stamp the " +
+          s"table (updateProperties(Map(\"$LshPresetProp\" -> <preset>)))" +
+          " after verifying which preset computed it")
+    }
+  }
+
   /** LSH top-k: equi-join on (table, bucket), candidates deduped, exact
     * rerank only on candidates. Shuffle cost tracks candidate count.
     * Rows-only; recall vs brute force asserted in PipelineSpec. */

@@ -189,20 +189,27 @@ object GraftProcedures {
 
       new GraftProcedure("remove_orphan_files",
         "List (dry_run) or delete unreferenced files and abandoned " +
-          "staging dirs older than older_than_ms",
+          "staging dirs older than older_than_ms; prune_stream_props " +
+          "also drops retired graft.streaming.epoch.* high-water " +
+          "properties (queries with no stamped snapshot left in a " +
+          "history spanning the window)",
         Array(TableParam,
           ProcedureParameter.in("older_than_ms", LongType)
             .defaultValue("3600000").build(),
           ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build(),
+          ProcedureParameter.in("prune_stream_props", BooleanType)
             .defaultValue("false").build()),
         StructType(Seq(StructField("orphan_path", StringType))),
         loadTable) {
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] =
-          t.removeOrphanFiles(in.getLong(1), in.getBoolean(2))
+          t.removeOrphanFiles(in.getLong(1), in.getBoolean(2),
+            pruneStreamProps = in.getBoolean(3))
             .map(p => row(utf8(p)))
         override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] =
           IcebergMaintenance.removeOrphanFiles(
-            SparkSession.active, loc, in.getLong(1), in.getBoolean(2))
+            SparkSession.active, loc, in.getLong(1), in.getBoolean(2),
+            pruneStreamProps = in.getBoolean(3))
             .map(p => row(utf8(p)))
       },
 
@@ -720,7 +727,7 @@ object GraftProcedures {
               throw new IllegalArgumentException("table has no snapshot"))
             else in.getLong(2)
           val tag = in.getUTF8String(1).toString
-          IcebergMaintenance.setRef(loc, tag, snap)
+          IcebergMaintenance.setRef(loc, tag, snap, refType = "tag")
           Seq(row(utf8(tag), snap))
         }
       },

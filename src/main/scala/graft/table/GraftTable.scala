@@ -279,9 +279,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   }
 
   /** NOTE on skipIf: when the guard fires (a replayed streaming epoch
-    * losing a same-query race), the already-ingested files stay in the
-    * table dir unreferenced — the same residue shape as a crashed
-    * write, swept by remove_orphan_files. The streaming sink
+    * losing a same-query race), the already-ingested files are
+    * reclaimed inside the commit loop — except any path the observed
+    * metadata references (see the guard there). The streaming sink
     * pre-checks replay BEFORE calling, so this only happens in the
     * narrow race window between its check and the commit CAS. */
   private[graft] def commitStagedWrite(staging: HPath, overwrite: Boolean,
@@ -1708,8 +1708,33 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * deleting. Also sweeps spilled manifest files no snapshot
     * references any more (left behind by rewrite_manifests /
     * expire-squash). Returns table-root-relative paths. */
+  /** Retired streaming high-water properties
+    * (`graft.streaming.epoch.<query-id>`): prune-eligible when the
+    * query has NO stamped snapshot left in history AND the retained
+    * history itself spans `olderThanMs` — the second half proves the
+    * query hasn't committed in at least that long (its last stamped
+    * commit predates the oldest retained snapshot), so the property's
+    * only remaining job (guarding a DELAYED zombie replay after
+    * expire) has aged past the caller's window. Without the span
+    * check, an aggressive expire right after the query's last epoch
+    * would make a LIVE query's guard look retired. */
+  private def retiredStreamProps(m: Meta.TableMetadata,
+      olderThanMs: Long, nowMs: Long): Seq[String] = {
+    val prefix = "graft.streaming.epoch."
+    val candidates = m.properties.keys.filter(_.startsWith(prefix)).toSeq
+    if (candidates.isEmpty) return Seq.empty
+    val spansWindow = m.snapshots.map(_.timestampMs).minOption
+      .exists(t => nowMs - t >= olderThanMs)
+    if (!spansWindow) return Seq.empty
+    val liveQueries =
+      m.snapshots.flatMap(_.summary.get("streaming-query-id")).toSet
+    candidates.filter(k => !liveQueries.contains(k.stripPrefix(prefix)))
+      .sorted
+  }
+
   def removeOrphanFiles(olderThanMs: Long = 3600000L,
-      dryRun: Boolean = false): Seq[String] = this.synchronized {
+      dryRun: Boolean = false,
+      pruneStreamProps: Boolean = false): Seq[String] = this.synchronized {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val rootPath = TableIO.path(root)
     val m = meta
@@ -1735,13 +1760,20 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       }
       .map(_.getPath)
     val dataOrphans = unreferencedDataFiles(olderThanMs)
+    val staleProps =
+      if (pruneStreamProps)
+        retiredStreamProps(m, olderThanMs, System.currentTimeMillis())
+      else Seq.empty
     if (!dryRun) {
       staleStaging.foreach(TableIO.delete(_, recursive = true))
       dataOrphans.foreach(TableIO.delete(_))
       staleManifests.foreach(TableIO.delete(_))
+      if (staleProps.nonEmpty)
+        Meta.write(root, meta.copy(properties = meta.properties -- staleProps))
     }
     (staleStaging ++ dataOrphans ++ staleManifests)
-      .map(TableIO.relativize(rootPath, _))
+      .map(TableIO.relativize(rootPath, _)) ++
+      staleProps.map("property:" + _)
   }
 
   /** Merge-on-read DELETE WHERE (Iceberg v2 equality deletes): the

@@ -65,12 +65,20 @@ object IcebergMaintenance {
   /** Create or repoint a branch/tag: a refs entry onto an existing
     * snapshot (the same update the REST set-snapshot-ref commit
     * applies, locally). */
-  def setRef(location: String, name: String, snapshotId: Long): Unit = {
+  def setRef(location: String, name: String, snapshotId: Long,
+      refType: String = "branch"): Unit = {
+    require(refType == "branch" || refType == "tag",
+      s"ref type must be 'branch' or 'tag', got '$refType'")
     IcebergMetadata.commitRetry(location) { m =>
       require(m.snapshot(snapshotId).isDefined,
         s"no snapshot $snapshotId in table at $location")
       m.copy(
         refs = m.refs + (name -> snapshotId),
+        // spec: SnapshotReference.type — a tag serialized as "branch"
+        // would make strict readers apply branch retention semantics
+        refTypes =
+          if (refType == "branch") m.refTypes - name
+          else m.refTypes + (name -> refType),
         currentSnapshotId =
           if (name == "main") Some(snapshotId) else m.currentSnapshotId)
     }
@@ -217,8 +225,27 @@ object IcebergMaintenance {
     * remaining snapshot references (left behind by expire). metadata
     * .json version files are never touched — history of the metadata
     * log stays readable. Returns table-root-relative paths. */
+  /** Retired streaming high-water properties (same rule as
+    * GraftTable.retiredStreamProps): no stamped snapshot left in
+    * history AND retained history spans the window — proving the
+    * query's last commit predates the oldest retained snapshot. */
+  private def retiredStreamProps(m: IcebergMetadata.IceMetadata,
+      olderThanMs: Long, nowMs: Long): Seq[String] = {
+    val prefix = "graft.streaming.epoch."
+    val candidates = m.properties.keys.filter(_.startsWith(prefix)).toSeq
+    if (candidates.isEmpty) return Seq.empty
+    val spansWindow = m.snapshots.map(_.timestampMs).minOption
+      .exists(t => nowMs - t >= olderThanMs)
+    if (!spansWindow) return Seq.empty
+    val liveQueries =
+      m.snapshots.flatMap(_.summary.get("streaming-query-id")).toSet
+    candidates.filter(k => !liveQueries.contains(k.stripPrefix(prefix)))
+      .sorted
+  }
+
   def removeOrphanFiles(spark: SparkSession, location: String,
-      olderThanMs: Long, dryRun: Boolean): Seq[String] = {
+      olderThanMs: Long, dryRun: Boolean,
+      pruneStreamProps: Boolean = false): Seq[String] = {
     val t = IcebergTable.load(spark, location)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val rootPath = TableIO.path(location)
@@ -240,13 +267,29 @@ object IcebergMaintenance {
       }
       .map(_.getPath)
     val dataOrphans = unreferencedDataFiles(spark, location, olderThanMs)
+    val staleProps =
+      if (pruneStreamProps)
+        retiredStreamProps(IcebergMetadata.load(location), olderThanMs,
+          System.currentTimeMillis())
+      else Seq.empty
     if (!dryRun) {
       staleStaging.foreach(TableIO.delete(_, recursive = true))
       dataOrphans.foreach(TableIO.delete(_))
       staleAvro.foreach(TableIO.delete(_))
+      if (staleProps.nonEmpty) {
+        // CAS commit like every metadata change: re-derive against the
+        // fresh base so a racing epoch's new stamp is never dropped
+        IcebergMetadata.commitRetry(location) { m =>
+          val stale = retiredStreamProps(m, olderThanMs,
+            System.currentTimeMillis())
+          m.copy(properties = m.properties -- stale)
+        }
+        ()
+      }
     }
     (staleStaging ++ dataOrphans ++ staleAvro)
-      .map(TableIO.relativize(rootPath, _))
+      .map(TableIO.relativize(rootPath, _)) ++
+      staleProps.map("property:" + _)
   }
 
   /** Sweep abandoned NAMESPACE-level `.stage-*` staging dirs — the

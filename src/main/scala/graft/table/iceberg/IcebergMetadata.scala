@@ -90,7 +90,12 @@ object IcebergMetadata {
       snapshots: Seq[IceSnapshot],
       refs: Map[String, Long],
       sortOrders: Seq[IceSortOrder] = Seq.empty,
-      defaultSortOrderId: Int = 0) {
+      defaultSortOrderId: Int = 0,
+      /** ref name → "branch" | "tag" (spec: SnapshotReference.type);
+        * absent = branch. Kept beside `refs` so the 50+ branch-moving
+        * call sites stay untyped — only tag creation and the
+        * serialization boundary touch it. */
+      refTypes: Map[String, String] = Map.empty) {
     def schema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
     def snapshot(id: Long): Option[IceSnapshot] =
       snapshots.find(_.snapshotId == id)
@@ -276,7 +281,7 @@ object IcebergMetadata {
     m.refs.foreach { case (name, id) =>
       val n = refs.putObject(name)
       n.put("snapshot-id", id)
-      n.put("type", if (name == "main") "branch" else "branch")
+      n.put("type", m.refTypes.getOrElse(name, "branch"))
     }
     r.putArray("snapshot-log"); r.putArray("metadata-log")
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(r)
@@ -323,6 +328,9 @@ object IcebergMetadata {
       refs = Option(r.get("refs")).map(_.properties().asScala.map(e =>
         e.getKey -> e.getValue.get("snapshot-id").asLong()).toMap)
         .getOrElse(Map.empty),
+      refTypes = Option(r.get("refs")).map(_.properties().asScala.flatMap(e =>
+        Option(e.getValue.get("type")).map(t => e.getKey -> t.asText()))
+        .toMap).getOrElse(Map.empty),
       sortOrders = arr(r.get("sort-orders")).map(sortOrderFromNode)
         .filter(_.fields.nonEmpty),
       defaultSortOrderId =

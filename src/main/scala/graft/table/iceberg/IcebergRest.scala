@@ -155,7 +155,14 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         case "set-snapshot-ref" =>
           val ref = u.get("ref-name").asText()
           val id = u.get("snapshot-id").asLong()
+          // SnapshotReference.type rides the update (branch | tag) —
+          // persisted so metadata.json serializes the declared kind
+          val refType = Option(u.get("type")).map(_.asText())
+            .getOrElse("branch")
           acc.copy(refs = acc.refs + (ref -> id),
+            refTypes =
+              if (refType == "branch") acc.refTypes - ref
+              else acc.refTypes + (ref -> refType),
             currentSnapshotId =
               if (ref == "main") Some(id) else acc.currentSnapshotId)
         // branch/tag deletion over REST (commit.rs:115-118
@@ -164,6 +171,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
         case "remove-snapshot-ref" =>
           val ref = u.get("ref-name").asText()
           acc.copy(refs = acc.refs - ref,
+            refTypes = acc.refTypes - ref,
             currentSnapshotId =
               if (ref == "main") None else acc.currentSnapshotId)
         // commit.rs:119-123 TableUpdate::SetLocation

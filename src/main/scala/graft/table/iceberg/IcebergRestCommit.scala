@@ -227,11 +227,15 @@ object IcebergRestCommit {
       .foreach(s =>
         obj("add-snapshot").set[ObjectNode]("snapshot",
           IcebergMetadata.snapshotToNode(s)))
+    def refType(r: String): String = next.refTypes.getOrElse(r, "branch")
     (next.refs.keySet -- base.refs.keySet).toSeq.sorted
-      .foreach { r => setRef(obj("set-snapshot-ref"), r, next.refs(r)) }
+      .foreach { r =>
+        setRef(obj("set-snapshot-ref"), r, next.refs(r), refType(r)) }
     next.refs.keySet.intersect(base.refs.keySet).toSeq.sorted
-      .filter(r => next.refs(r) != base.refs(r))
-      .foreach { r => setRef(obj("set-snapshot-ref"), r, next.refs(r)) }
+      .filter(r => next.refs(r) != base.refs(r) ||
+        next.refTypes.get(r) != base.refTypes.get(r))
+      .foreach { r =>
+        setRef(obj("set-snapshot-ref"), r, next.refs(r), refType(r)) }
     (base.refs.keySet -- next.refs.keySet).toSeq.sorted
       .foreach(r => obj("remove-snapshot-ref").put("ref-name", r))
     // a main move expressed only through currentSnapshotId (local
@@ -252,8 +256,9 @@ object IcebergRestCommit {
     arr
   }
 
-  private def setRef(n: ObjectNode, ref: String, id: Long): Unit = {
-    n.put("ref-name", ref); n.put("type", "branch"); n.put("snapshot-id", id)
+  private def setRef(n: ObjectNode, ref: String, id: Long,
+      refType: String = "branch"): Unit = {
+    n.put("ref-name", ref); n.put("type", refType); n.put("snapshot-id", id)
     ()
   }
 

@@ -228,7 +228,8 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     require(!done, "transaction already committed or aborted")
     require(refName != "main", "cannot drop ref 'main'")
     observe(ns, name)
-    ops += Op(ns, name, m => m.copy(refs = m.refs - refName), () => ())
+    ops += Op(ns, name, m => m.copy(refs = m.refs - refName,
+      refTypes = m.refTypes - refName), () => ())
     this
   }
 

@@ -395,12 +395,18 @@ object IcebergWrite {
     val mlSchema = IcebergAvro.manifestListSchema
     def mfRecord(path: String, len: Long, content: Int, sq: Long,
         snapId: Long, added: Int, rows: Long,
-        sums: Option[Seq[IcebergAvro.FieldSummary]])
+        sums: Option[Seq[IcebergAvro.FieldSummary]],
+        specId: Int = m.defaultSpecId)
         : org.apache.avro.generic.GenericRecord = {
       val r = IcebergAvro.record(mlSchema)
       r.put("manifest_path", path)
       r.put("manifest_length", len)
-      r.put("partition_spec_id", m.defaultSpecId)
+      // the list entry's spec id must match the manifest FILE's
+      // embedded partition-spec-id: carried pre-spec-change manifests
+      // keep their own spec, only the new manifest gets the default —
+      // a strict reader resolves each manifest's partition struct
+      // from the LIST entry's spec id
+      r.put("partition_spec_id", specId)
       r.put("content", content)
       r.put("sequence_number", sq)
       r.put("min_sequence_number", sq)
@@ -420,7 +426,7 @@ object IcebergWrite {
       fieldSummariesFor(spec, schema, moved.map(_._3)))
     val carried = prevManifests.map(mf => mfRecord(
       mf.path, mf.length, mf.content, mf.sequenceNumber,
-      mf.addedSnapshotId, 0, 0L, mf.partitions))
+      mf.addedSnapshotId, 0, 0L, mf.partitions, specId = mf.specId))
     val mlPath = new HPath(metaDir, s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}.avro")
     IcebergAvro.writeManifestList(mlPath, newEntry +: carried, snapshotId, seq)
 
@@ -723,7 +729,7 @@ object IcebergWrite {
       committedFiles += entries.size
       val r = IcebergAvro.record(IcebergAvro.manifestListSchema)
       r.put("manifest_path", mf.path); r.put("manifest_length", mf.length)
-      r.put("partition_spec_id", m.defaultSpecId); r.put("content", mf.content)
+      r.put("partition_spec_id", mf.specId); r.put("content", mf.content)
       r.put("sequence_number", mf.sequenceNumber)
       r.put("min_sequence_number", mf.sequenceNumber)
       r.put("added_snapshot_id", mf.addedSnapshotId)

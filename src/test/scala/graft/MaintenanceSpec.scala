@@ -40,6 +40,55 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(branch = Some("dev")).count() === 100)
   }
 
+  test("prune_stream_props drops only retired high-water properties, " +
+      "and only once history provably spans the window") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmp()
+    val t = GraftTable.create(spark, root, Seq(1L).toDF("k").schema)
+    def epoch(qid: String, eid: Long, rows: Seq[Long]): Unit = {
+      val staging = new org.apache.hadoop.fs.Path(root, s"stage-$qid-$eid")
+      rows.toDF("k").coalesce(1).write.parquet(staging.toString)
+      t.commitStagedWrite(staging, overwrite = false,
+        summaryExtra = Map("streaming-query-id" -> qid,
+          "streaming-epoch-id" -> eid.toString),
+        propsExtra = Map(s"graft.streaming.epoch.$qid" -> eid.toString))
+    }
+    epoch("qa", 3L, Seq(1L, 2L)) // the pipeline that will be retired
+    t.append(Seq(3L).toDF("k"))
+    t.append(Seq(4L).toDF("k"))
+    epoch("qb", 7L, Seq(5L)) // the live pipeline (stamp stays newest)
+    // both guards present while both queries' stamps are in history;
+    // nothing is prune-eligible
+    assert(t.removeOrphanFiles(0L, dryRun = true, pruneStreamProps = true)
+      .count(_.startsWith("property:")) === 0)
+    // expire drops qa's stamped snapshot from history (squash);
+    // qb's stamp survives as the newest snapshot
+    t.expireSnapshots(keepLast = 2)
+    val m = t.meta
+    assert(!m.snapshots.exists(
+      _.summary.get("streaming-query-id").contains("qa")))
+    assert(m.snapshots.exists(
+      _.summary.get("streaming-query-id").contains("qb")))
+    // dry run REPORTS the retired guard but drops nothing
+    val dry = t.removeOrphanFiles(0L, dryRun = true, pruneStreamProps = true)
+    assert(dry.contains("property:graft.streaming.epoch.qa"), dry.toString)
+    assert(t.meta.properties.contains("graft.streaming.epoch.qa"))
+    // a window the retained history does NOT span keeps the guard —
+    // an aggressive expire right after qa's last epoch must not make
+    // a possibly-live query's guard look retired
+    assert(t.removeOrphanFiles(3600000L, dryRun = false,
+        pruneStreamProps = true).count(_.startsWith("property:")) === 0)
+    assert(t.meta.properties.contains("graft.streaming.epoch.qa"))
+    // window spanned (0ms): qa's guard drops, qb's stays
+    val swept = t.removeOrphanFiles(0L, dryRun = false,
+      pruneStreamProps = true)
+    assert(swept.contains("property:graft.streaming.epoch.qa"))
+    assert(!t.meta.properties.contains("graft.streaming.epoch.qa"))
+    assert(t.meta.properties.get("graft.streaming.epoch.qb").contains("7"))
+    assert(t.scan().count() === 5L)
+  }
+
   test("sort order clusters files into disjoint key ranges") {
     val li = Tables.lineitem(spark, sf)
     val t = GraftTable.create(spark, tmp(), li.schema,

@@ -322,6 +322,40 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.ann.lshPreset")
   }
 
+  test("persisted bucket keys carry the preset stamp; a cross-preset " +
+      "load refuses loudly instead of matching nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lshstamp").toString + "/keys"
+    // write under the default dial (8x4)
+    val t = graft.ops.Similarity.persistBucketKeys(spark, sf, root)
+    assert(t.meta.properties.get("graft.ann.lshPreset").contains("8x4"),
+      "persist must stamp the session preset as a table property")
+    // same-dial load round-trips and the stored keys EQUAL a live
+    // recompute (pure function of embedding + preset)
+    val stored = graft.ops.Similarity.loadBucketKeys(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(stored.nonEmpty)
+    // cross-dial read: loud error naming both presets, not silence
+    spark.conf.set("graft.ann.lshPreset", "16x3")
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.ops.Similarity.loadBucketKeys(spark, root)
+      }
+      assert(e.getMessage.contains("8x4") && e.getMessage.contains("16x3"),
+        s"mismatch error must name both dials: ${e.getMessage}")
+    } finally spark.conf.unset("graft.ann.lshPreset")
+    // back on the matching dial the load works again
+    assert(graft.ops.Similarity.loadBucketKeys(spark, root).count()
+      === stored.size.toLong)
+    // an unstamped table refuses too (no way to prove the dial)
+    val t2 = graft.table.GraftTable.load(spark, root)
+    t2.removeProperties(Seq("graft.ann.lshPreset"))
+    val e2 = intercept[IllegalStateException] {
+      graft.ops.Similarity.loadBucketKeys(spark, root)
+    }
+    assert(e2.getMessage.contains("no graft.ann.lshPreset stamp"))
+  }
+
   test("multimodal decode keeps schema and is deterministic") {
     val rows = ops.Multimodal.mmBinaryMeta(spark, sf).collect()
     assert(rows.length > 0)

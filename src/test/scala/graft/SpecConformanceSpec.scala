@@ -148,6 +148,19 @@ class SpecConformanceSpec extends AnyFunSuite {
     val curSnap = snaps.find(_.get("snapshot-id").asLong == curSnapId)
       .getOrElse(fail("current-snapshot-id not in snapshots"))
     assert(mj.get("refs").get("main").get("snapshot-id").asLong === curSnapId)
+    // every ref (branches from WAP transactions, tags) must be a
+    // spec-shaped SnapshotReference resolving to a known snapshot
+    val refEntries = mj.get("refs").properties().asScala.toList
+    refEntries.foreach { e =>
+      val r = e.getValue
+      assert(r.has("snapshot-id"), s"ref ${e.getKey} missing snapshot-id")
+      assert(r.has("type"), s"ref ${e.getKey} missing type")
+      assert(Set("branch", "tag").contains(r.get("type").asText),
+        s"ref ${e.getKey} type '${r.get("type").asText}' not branch|tag")
+      assert(snaps.exists(_.get("snapshot-id").asLong ==
+        r.get("snapshot-id").asLong),
+        s"ref ${e.getKey} points at a snapshot not in the metadata")
+    }
     snaps.foreach { s =>
       for (k <- Seq("snapshot-id", "timestamp-ms", "manifest-list",
           "summary", "sequence-number"))
@@ -158,8 +171,13 @@ class SpecConformanceSpec extends AnyFunSuite {
       snaps.map(_.get("sequence-number").asLong).max)
 
     // --- manifest list: plain avro, spec field ids ------------------
+    // one walk per snapshot tree: the current snapshot's AND every
+    // other ref head's (a WAP audit branch, a tag) — a strict reader
+    // resolves `VERSION AS OF 'branch'` through exactly this tree
+    def walkSnapshot(snap: JsonNode)
+        : (Long, Int, Seq[GenericRecord]) = {
     val (mlSchema, _, mlRecs) =
-      openAvro(curSnap.get("manifest-list").asText)
+      openAvro(snap.get("manifest-list").asText)
     ManifestListIds.foreach { case (name, id) =>
       val f = mlSchema.getField(name)
       assert(f != null, s"manifest list schema missing $name")
@@ -267,6 +285,14 @@ class SpecConformanceSpec extends AnyFunSuite {
         }
       }
     }
+    (liveRows, liveFiles, mlRecs)
+    }
+
+    val (liveRows, liveFiles, mlRecs) = walkSnapshot(curSnap)
+    refEntries.map(_.getValue.get("snapshot-id").asLong).distinct
+      .filterNot(_ == curSnapId).foreach { id =>
+        walkSnapshot(snaps.find(_.get("snapshot-id").asLong == id).get)
+      }
     // position-delete ROW contents: every (file_path, pos) slot must
     // name a live data file and a position inside its row count —
     // dangling or out-of-range slots would silently change fold
@@ -367,6 +393,107 @@ class SpecConformanceSpec extends AnyFunSuite {
       .filterNot(_ % 7 == 0).filterNot(Set(5L, 6L))
     assert(spark.sql(s"SELECT count(*) FROM $cat.m.t")
       .collect()(0).getLong(0) === expected.size.toLong)
+  }
+
+  test("transaction WAP branches, staged-rewrite lineage, added spec, " +
+      "and tags produce conformant bytes (round-16 write shapes)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val wh = Files.createTempDirectory("graft-confwap").toString
+    val server = new graft.table.iceberg.IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      val cat = s"confw_${java.util.UUID.randomUUID().toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.spark.GraftTableCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", base)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.w")
+      spark.sql(s"CREATE TABLE $cat.w.t (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.w.t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+      val loc = s"$wh/w/t"
+      def raw(): JsonNode = {
+        val hint = Files.readString(
+          Paths.get(loc, "metadata", "version-hint.text")).trim.toInt
+        om.readTree(Files.readString(
+          Paths.get(loc, "metadata", s"v$hint.metadata.json")))
+      }
+
+      // (a) WAP write step: audit branch forked + staged by a
+      // transaction — the refs object must serialize spec-shaped
+      // SnapshotReference entries, and the audit head must be a fully
+      // walkable tree (main untouched)
+      val mainHead = raw().get("current-snapshot-id").asLong
+      val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+      tx.setSnapshotRef("w", "t", "audit", mainHead)
+      tx.append("w", "t", Seq((10L, "x"), (11L, "y")).toDF("k", "v"),
+        toRef = "audit")
+      tx.commit()
+      var mj = raw()
+      assert(mj.get("refs").get("audit").get("type").asText === "branch")
+      assert(mj.get("current-snapshot-id").asLong === mainHead,
+        "main must not move on the WAP write step")
+      walkAndValidate(loc) // walks main AND the audit head's tree
+
+      // publish: every branch move in one protocol commit
+      val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+      tx2.fastForward("w", "t", "main", fromRef = "audit")
+      tx2.dropSnapshotRef("w", "t", "audit")
+      tx2.commit()
+      mj = raw()
+      assert(!mj.get("refs").has("audit"), "dropped ref must leave refs JSON")
+      val (rows1, _) = walkAndValidate(loc)
+      assert(rows1 === 6L)
+
+      // (b) transaction-staged rewrite: operation='replace' with the
+      // lineage stamped as additional summary keys
+      val tx3 = new graft.table.iceberg.IcebergTransaction(spark, base)
+      tx3.rewrite("w", "t", lineage = Map(
+        "pipeline.run-id" -> "r17", "source.orders.snapshot" -> "42"))
+      tx3.commit()
+      mj = raw()
+      val rw = mj.get("snapshots").elements().asScala.toList
+        .find(_.get("summary").get("operation").asText == "replace")
+        .getOrElse(fail("no replace snapshot after transaction rewrite"))
+      assert(rw.get("summary").get("pipeline.run-id").asText === "r17")
+      assert(rw.get("summary").get("source.orders.snapshot").asText === "42")
+      val (rows2, files2) = walkAndValidate(loc)
+      assert(rows2 === 6L)
+      assert(files2 >= 1)
+
+      // (c) addPartitionSpec-minted spec JSON: field-id allocation in
+      // the 1000+ range above every prior spec, unique spec ids,
+      // last-partition-id covering the allocation; a post-spec append
+      // walks with manifests referencing the NEW spec id
+      val tx4 = new graft.table.iceberg.IcebergTransaction(spark, base)
+      tx4.addPartitionSpec("w", "t", Seq("k" -> "bucket[4]"))
+      tx4.commit()
+      val tx5 = new graft.table.iceberg.IcebergTransaction(spark, base)
+      tx5.append("w", "t", Seq((20L, "z")).toDF("k", "v"))
+      tx5.commit()
+      mj = raw()
+      val specs = mj.get("partition-specs").elements().asScala.toList
+      assert(specs.size >= 2, "added spec must join partition-specs")
+      assert(specs.map(_.get("spec-id").asInt).distinct.size === specs.size,
+        "spec ids must be unique")
+      val defSpec = specs.find(
+        _.get("spec-id").asInt == mj.get("default-spec-id").asInt).get
+      val fids = defSpec.get("fields").elements().asScala
+        .map(_.get("field-id").asInt).toList
+      assert(fids.nonEmpty && fids.forall(_ >= 1000))
+      assert(mj.get("last-partition-id").asInt >= fids.max,
+        "last-partition-id must cover the minted allocation")
+      val (rows3, _) = walkAndValidate(loc)
+      assert(rows3 === 7L)
+
+      // (d) a tag must serialize as SnapshotReference type 'tag' — a
+      // strict reader applies tag retention semantics, not branch
+      spark.sql(s"CALL $cat.system.create_tag(table => 'w.t', tag => 'v1')")
+      mj = raw()
+      assert(mj.get("refs").get("v1").get("type").asText === "tag",
+        "a tag serialized as 'branch' would change retention semantics " +
+          "in strict readers")
+      walkAndValidate(loc)
+    } finally server.stop()
   }
 
   test("heavily evolved table (adds, drops, converts) stays conformant") {
