@@ -91,7 +91,15 @@ object IcebergAvro {
       }
     }
 
+  /** Diagnostic counters (scale probes / specs): avro metadata opens —
+    * the interop twin of Meta.manifestReads, letting tests assert
+    * delta-proportional planning IO (incremental MV refresh must read
+    * manifests in proportion to the DELTA, not history depth). */
+  val manifestListReads = new java.util.concurrent.atomic.AtomicLong()
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong()
+
   def readManifestList(p: HPath): Seq[ManifestFile] = {
+    manifestListReads.incrementAndGet()
     val reader = openReader(p)
     try reader.iterator().asScala.map { r =>
       ManifestFile(
@@ -133,6 +141,7 @@ object IcebergAvro {
   }
 
   def readManifest(p: HPath): Seq[DataFileEntry] = {
+    manifestReads.incrementAndGet()
     val reader = openReader(p)
     try reader.iterator().asScala.map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]

@@ -565,17 +565,42 @@ class IcebergTable private (val location: String, val spark: SparkSession,
   }
 
   /** Scan only the files added after snapshot `since` (append delta) —
-    * incremental-refresh IO proportional to new data, not table size.
-    * Sound ONLY under appendsOnlySince (no delete file since `since`
-    * can apply to the delta's newer-sequence files). */
+    * incremental-refresh IO proportional to new data, not table size
+    * and not history depth: one manifest-LIST read at the head, then
+    * only manifests whose sequence number postdates the anchor are
+    * opened (carried list entries keep their original sequence, so an
+    * N-snapshot history with a 1-append delta opens 1 manifest, not
+    * N). Entry-level sequence filtering handles foreign writers that
+    * merge old entries into new manifests (status=existing rows keep
+    * their own sequence). No delete manifest is opened at all: under
+    * appendsOnlySince no delete file landed since the anchor, and a
+    * pre-anchor delete (seq <= anchor) cannot apply to the delta's
+    * strictly-newer-sequence files. Sound ONLY under
+    * appendsOnlySince. */
   def scanAppendedSince(since: Option[Long]): DataFrame = {
     val m = meta
-    val baseline = since.map(id =>
-      plannedFiles(Some(id)).map(_._1.filePath).toSet).getOrElse(Set.empty)
-    val delta = plannedFiles(None)
-      .filterNot { case (e, _, _) => baseline.contains(e.filePath) }
-    readVisible(m.schema,
-      delta.map { case (e, _, seq) => (e, seq) }, deleteEntries(None))
+    since match {
+      case None =>
+        // no anchor: the whole table is the delta (first refresh)
+        readVisible(m.schema,
+          plannedFiles(None).map { case (e, _, seq) => (e, seq) },
+          deleteEntries(None))
+      case Some(id) =>
+        val anchorSeq = m.snapshot(id).map(_.sequenceNumber).getOrElse(
+          throw new IllegalStateException(
+            s"delta anchor $id is not in history (expired or " +
+              "off-lineage); callers must gate on appendsOnlySince " +
+              "and full-refresh instead"))
+        val head = m.currentSnapshot.getOrElse(
+          return readVisible(m.schema, Seq.empty, Seq.empty))
+        val delta = IcebergAvro.readManifestList(resolve(head.manifestList))
+          .filter(mf => mf.content == 0 && mf.sequenceNumber > anchorSeq)
+          .flatMap(mf => IcebergAvro.readManifest(resolve(mf.path))
+            .filter(e => e.status != 2 && e.content == 0)
+            .map(e => (e, e.sequenceNumber.getOrElse(mf.sequenceNumber))))
+          .filter { case (_, seq) => seq > anchorSeq }
+        readVisible(m.schema, delta, Seq.empty)
+    }
   }
 
   /** Rows of `stayLive` (parent-visible under `parentDeletes`) that a

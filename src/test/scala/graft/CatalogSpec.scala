@@ -220,6 +220,49 @@ class CatalogSpec extends AnyFunSuite {
       "full refresh reads the source with MoR deletes applied")
   }
 
+  test("interop incremental refresh IO tracks the DELTA, not snapshot " +
+      "depth: 100-append history, 1-append refresh opens ~1 manifest") {
+    val w = wh()
+    val loc = s"$w/deep"
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.table.iceberg.{IcebergAvro, IcebergWrite}
+    IcebergWrite.create(spark, loc, Seq((0L, "g0")).toDF("k", "v"))
+    (1 until 100).foreach(i => IcebergWrite.append(spark, loc,
+      Seq((i.toLong, s"g${i % 7}")).toDF("k", "v")))
+    val mv = Views.createMaterializedView(spark, s"$w/mvdeep", "cnt",
+      "SELECT v, count(*) AS n FROM src GROUP BY v",
+      Map("src" -> loc),
+      incrementalFold = Some(
+        "SELECT v, sum(n) AS n FROM mv_delta_union GROUP BY v"))
+    mv.refresh()
+    IcebergWrite.append(spark, loc, Seq((100L, "g3")).toDF("k", "v"))
+    // the 1-append incremental refresh: one manifest-list read at the
+    // head, and ONLY the delta's manifest opened — not the 100
+    // carried ones (sequence-bounded list filter), and no delete
+    // manifests (none can apply to strictly-newer-sequence files)
+    val lists0 = IcebergAvro.manifestListReads.get()
+    val mans0 = IcebergAvro.manifestReads.get()
+    assert(mv.refreshIncremental(),
+      "append-only history must take the incremental path")
+    val listsUsed = IcebergAvro.manifestListReads.get() - lists0
+    val mansUsed = IcebergAvro.manifestReads.get() - mans0
+    assert(listsUsed <= 2,
+      s"delta refresh read $listsUsed manifest lists; IO must not " +
+        "track history depth")
+    assert(mansUsed <= 3,
+      s"delta refresh opened $mansUsed manifests for a 1-manifest " +
+        "delta over a 101-snapshot history")
+    // the counters are meaningful: a FULL refresh on this layout is
+    // history-deep (one manifest per append commit)
+    val mans1 = IcebergAvro.manifestReads.get()
+    mv.refresh()
+    assert(IcebergAvro.manifestReads.get() - mans1 >= 100,
+      "full refresh should open every carried manifest on this layout")
+    // and the incremental result was correct
+    assert(mv.read.agg(sum(col("n"))).collect().head.getLong(0) === 101L)
+  }
+
   test("incremental refresh falls back to full after non-append ops") {
     val w = wh()
     val cat = GraftCatalog(spark, w)
