@@ -152,23 +152,29 @@ object GraftProcedures {
       },
 
       new GraftProcedure("expire_snapshots",
-        "Expire history older than the newest keep_last snapshots " +
-          "(ref retention policies honored)",
+        "Expire history older than the newest keep_last snapshots; " +
+          "older_than_ms additionally keeps everything younger than " +
+          "the bound (ref retention policies override both)",
         Array(TableParam,
           ProcedureParameter.in("keep_last", IntegerType)
-            .defaultValue("1").build()),
+            .defaultValue("1").build(),
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
         StructType(Seq(
           StructField("snapshots_before", IntegerType),
           StructField("snapshots_after", IntegerType))),
         loadTable) {
+        private def bound(in: InternalRow): Option[Long] =
+          if (in.isNullAt(2)) None else Some(in.getLong(2))
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
           val before = t.meta.snapshots.size
-          t.expireSnapshots(keepLast = in.getInt(1))
+          t.expireSnapshots(keepLast = in.getInt(1),
+            maxAgeMs = bound(in))
           Seq(row(before, t.meta.snapshots.size))
         }
         override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
-          val (before, after) =
-            IcebergMaintenance.expireSnapshots(loc, in.getInt(1))
+          val (before, after) = IcebergMaintenance.expireSnapshots(
+            loc, in.getInt(1), maxAgeMs = bound(in))
           Seq(row(before, after))
         }
       },
@@ -509,22 +515,35 @@ object GraftProcedures {
       },
 
       new GraftProcedure("create_branch",
-        "Create or repoint a branch at snapshot_id (NULL = current)",
+        "Create or repoint a branch at snapshot_id (NULL = current), " +
+          "optionally with a SnapshotRetention policy honored by " +
+          "expire_snapshots",
         Array(TableParam,
           ProcedureParameter.in("branch", StringType).build(),
           ProcedureParameter.in("snapshot_id", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build(),
+          ProcedureParameter.in("min_snapshots_to_keep", IntegerType)
+            .defaultValue("CAST(NULL AS INT)").build(),
+          ProcedureParameter.in("max_snapshot_age_ms", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build(),
+          ProcedureParameter.in("max_ref_age_ms", LongType)
             .defaultValue("CAST(NULL AS BIGINT)").build()),
         StructType(Seq(
           StructField("branch", StringType),
           StructField("snapshot_id", LongType))),
         loadTable) {
+        private def opt[T](in: InternalRow, i: Int, get: Int => T)
+            : Option[T] = if (in.isNullAt(i)) None else Some(get(i))
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
           val snap =
             if (in.isNullAt(2)) t.meta.currentSnapshotId.getOrElse(
               throw new IllegalArgumentException("table has no snapshot"))
             else in.getLong(2)
           val branch = in.getUTF8String(1).toString
-          t.setRef(branch, snap, Some(Meta.RefRetention("branch")))
+          t.setRef(branch, snap, Some(Meta.RefRetention("branch",
+            maxRefAgeMs = opt(in, 5, in.getLong),
+            minSnapshotsToKeep = opt(in, 3, in.getInt),
+            maxSnapshotAgeMs = opt(in, 4, in.getLong))))
           Seq(row(utf8(branch), snap))
         }
         override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
@@ -534,7 +553,11 @@ object GraftProcedures {
               throw new IllegalArgumentException("table has no snapshot"))
             else in.getLong(2)
           val branch = in.getUTF8String(1).toString
-          IcebergMaintenance.setRef(loc, branch, snap)
+          IcebergMaintenance.setRef(loc, branch, snap,
+            retention = Some(IcebergMetadata.IceRefRetention(
+              minSnapshotsToKeep = opt(in, 3, in.getInt),
+              maxSnapshotAgeMs = opt(in, 4, in.getLong),
+              maxRefAgeMs = opt(in, 5, in.getLong))))
           Seq(row(utf8(branch), snap))
         }
       },
@@ -702,22 +725,28 @@ object GraftProcedures {
       },
 
       new GraftProcedure("create_tag",
-        "Pin a tag to snapshot_id (NULL = current)",
+        "Pin a tag to snapshot_id (NULL = current); max_ref_age_ms " +
+          "expires the tag itself at expire_snapshots time",
         Array(TableParam,
           ProcedureParameter.in("tag", StringType).build(),
           ProcedureParameter.in("snapshot_id", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build(),
+          ProcedureParameter.in("max_ref_age_ms", LongType)
             .defaultValue("CAST(NULL AS BIGINT)").build()),
         StructType(Seq(
           StructField("tag", StringType),
           StructField("snapshot_id", LongType))),
         loadTable) {
+        private def age(in: InternalRow): Option[Long] =
+          if (in.isNullAt(3)) None else Some(in.getLong(3))
         override def body(t: GraftTable, in: InternalRow): Seq[InternalRow] = {
           val snap =
             if (in.isNullAt(2)) t.meta.currentSnapshotId.getOrElse(
               throw new IllegalArgumentException("table has no snapshot"))
             else in.getLong(2)
           val tag = in.getUTF8String(1).toString
-          t.setRef(tag, snap, Some(Meta.RefRetention("tag")))
+          t.setRef(tag, snap,
+            Some(Meta.RefRetention("tag", maxRefAgeMs = age(in))))
           Seq(row(utf8(tag), snap))
         }
         override def foreignBody(loc: String, in: InternalRow): Seq[InternalRow] = {
@@ -727,7 +756,9 @@ object GraftProcedures {
               throw new IllegalArgumentException("table has no snapshot"))
             else in.getLong(2)
           val tag = in.getUTF8String(1).toString
-          IcebergMaintenance.setRef(loc, tag, snap, refType = "tag")
+          IcebergMaintenance.setRef(loc, tag, snap, refType = "tag",
+            retention = Some(IcebergMetadata.IceRefRetention(
+              maxRefAgeMs = age(in))))
           Seq(row(utf8(tag), snap))
         }
       },

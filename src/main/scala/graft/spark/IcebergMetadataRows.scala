@@ -87,9 +87,12 @@ object IcebergMetadataRows {
             es.map(_._2.recordCount).sum, es.map(_._2.fileSizeBytes).sum)
           }
       case "refs" =>
-        // the real format's flattened refs carry no retention policy
         m.refs.toSeq.sortBy(_._1).map { case (name, snapId) =>
-          Seq(name, "branch", snapId, null, null, null)
+          val ret = m.refRetention.get(name)
+          Seq(name, m.refTypes.getOrElse(name, "branch"), snapId,
+            ret.flatMap(_.maxRefAgeMs).map(Long.box).orNull,
+            ret.flatMap(_.minSnapshotsToKeep).map(Int.box).orNull,
+            ret.flatMap(_.maxSnapshotAgeMs).map(Long.box).orNull)
         }
       case "manifests" =>
         m.snapshots.flatMap(s => pass.own(s).map { case (mf, _) =>

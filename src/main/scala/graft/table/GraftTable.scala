@@ -1597,9 +1597,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   /** Expire snapshots older than the newest `keepLast`, keeping every
     * snapshot a ref points to plus its ancestry. Expired snapshots are
-    * squashed into a synthetic base so the live chain still replays. */
+    * squashed into a synthetic base so the live chain still replays.
+    * `maxAgeMs` (the procedure's older_than_ms) additionally keeps
+    * every snapshot younger than the bound beyond the keepLast floor —
+    * the standard "expire older than a week, retain at least N" call;
+    * a ref's own declared max-snapshot-age-ms overrides it. */
   def expireSnapshots(keepLast: Int,
-      nowMs: Long = System.currentTimeMillis()): GraftTable = this.synchronized {
+      nowMs: Long = System.currentTimeMillis(),
+      maxAgeMs: Option[Long] = None): GraftTable = this.synchronized {
     val m = meta
     // ref expiry first: a ref whose target snapshot is older than its
     // maxRefAgeMs disappears (never main) and stops pinning ancestry
@@ -1622,7 +1627,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         case Some(r) => r.minSnapshotsToKeep.getOrElse(keepLast)
         case None => keepLast
       }
-      val maxAge = ret.filter(_.refType != "tag").flatMap(_.maxSnapshotAgeMs)
+      val maxAge =
+        if (ret.exists(_.refType == "tag")) None
+        else ret.flatMap(_.maxSnapshotAgeMs).orElse(maxAgeMs)
       var cur = m.snapshot(tip)
       var n = 0
       while (cur.isDefined && (n < minKeep ||

@@ -22,29 +22,63 @@ object IcebergMaintenance {
     * snapshots are self-contained — each carries its own manifest
     * list — so expiry is pure metadata filtering, no squash. A kept
     * snapshot whose parent expired drops the dangling pointer.
+    * `maxAgeMs` (the procedure's older_than_ms) additionally keeps
+    * every snapshot younger than the bound beyond the keepLast floor;
+    * a ref's own declared max-snapshot-age-ms overrides it.
     * Returns (snapshots before, snapshots after). */
-  def expireSnapshots(location: String, keepLast: Int): (Int, Int) = {
+  def expireSnapshots(location: String, keepLast: Int,
+      nowMs: Long = System.currentTimeMillis(),
+      maxAgeMs: Option[Long] = None): (Int, Int) = {
     var before = 0
     var after = 0
     IcebergMetadata.commitRetry(location) { m =>
       before = m.snapshots.size
+      // ref expiry first (spec: SnapshotRetention.max-ref-age-ms): a
+      // non-main ref whose target snapshot is older than its declared
+      // ref age disappears and stops pinning ancestry — same rule as
+      // the native dialect's expireSnapshots
+      val expiredRefs = m.refs.keySet.filter { name =>
+        name != "main" && m.refRetention.get(name).flatMap(_.maxRefAgeMs)
+          .exists(age => m.refs.get(name).flatMap(m.snapshot)
+            .exists(s => nowMs - s.timestampMs > age))
+      }
+      val liveRefs = m.refs -- expiredRefs
       val keep = scala.collection.mutable.Set[Long]()
-      val tips = (m.refs.values.toSeq ++ m.currentSnapshotId.toSeq).distinct
-      tips.foreach { tip =>
+      val tips = liveRefs.toSeq.map { case (n, id) => (Some(n), id) } ++
+        m.currentSnapshotId.map(id => (None: Option[String], id)).toSeq
+      tips.distinct.foreach { case (refName, tip) =>
+        // per-ref budget: a tag pins exactly its snapshot; a branch
+        // with a declared policy keeps min-snapshots-to-keep plus
+        // everything younger than max-snapshot-age-ms; otherwise the
+        // caller's global keepLast applies
+        val isTag = refName.exists(n => m.refTypes.get(n).contains("tag"))
+        val ret = refName.flatMap(m.refRetention.get)
+        val minKeep =
+          if (isTag) 1
+          else ret.flatMap(_.minSnapshotsToKeep).getOrElse(keepLast)
+        val maxAge =
+          if (isTag) None
+          else ret.flatMap(_.maxSnapshotAgeMs).orElse(maxAgeMs)
         var cur = m.snapshot(tip)
         var n = 0
-        while (cur.isDefined && n < math.max(1, keepLast)) {
+        while (cur.isDefined && (n < math.max(1, minKeep) ||
+            maxAge.exists(a => nowMs - cur.get.timestampMs <= a))) {
           keep += cur.get.snapshotId
           cur = cur.get.parentId.flatMap(m.snapshot)
           n += 1
         }
       }
       after = math.min(keep.size, before)
-      if (keep.size >= before) m // nothing to expire: no-op commit
-      else m.copy(snapshots =
-        m.snapshots.filter(s => keep.contains(s.snapshotId)).map(s =>
-          if (s.parentId.exists(p => !keep.contains(p))) s.copy(parentId = None)
-          else s))
+      if (keep.size >= before && expiredRefs.isEmpty) m // nothing to do
+      else m.copy(
+        refs = liveRefs,
+        refTypes = m.refTypes -- expiredRefs,
+        refRetention = m.refRetention -- expiredRefs,
+        snapshots =
+          m.snapshots.filter(s => keep.contains(s.snapshotId)).map(s =>
+            if (s.parentId.exists(p => !keep.contains(p)))
+              s.copy(parentId = None)
+            else s))
     }
     (before, after)
   }
@@ -66,9 +100,15 @@ object IcebergMaintenance {
     * snapshot (the same update the REST set-snapshot-ref commit
     * applies, locally). */
   def setRef(location: String, name: String, snapshotId: Long,
-      refType: String = "branch"): Unit = {
+      refType: String = "branch",
+      retention: Option[IcebergMetadata.IceRefRetention] = None): Unit = {
     require(refType == "branch" || refType == "tag",
       s"ref type must be 'branch' or 'tag', got '$refType'")
+    require(refType == "branch" || retention.forall(r =>
+      r.minSnapshotsToKeep.isEmpty && r.maxSnapshotAgeMs.isEmpty),
+      "a tag's retention carries only max-ref-age-ms " +
+        "(spec: SnapshotRetention.Tag) — min-snapshots-to-keep / " +
+        "max-snapshot-age-ms are branch fields")
     IcebergMetadata.commitRetry(location) { m =>
       require(m.snapshot(snapshotId).isDefined,
         s"no snapshot $snapshotId in table at $location")
@@ -79,6 +119,12 @@ object IcebergMaintenance {
         refTypes =
           if (refType == "branch") m.refTypes - name
           else m.refTypes + (name -> refType),
+        // the whole SnapshotReference is being set: absent retention
+        // clears any prior policy on this ref
+        refRetention = retention.filter(!_.isEmpty) match {
+          case Some(ret) => m.refRetention + (name -> ret)
+          case None => m.refRetention - name
+        },
         currentSnapshotId =
           if (name == "main") Some(snapshotId) else m.currentSnapshotId)
     }
@@ -267,7 +313,7 @@ object IcebergMaintenance {
       }
       .map(_.getPath)
     val dataOrphans = unreferencedDataFiles(spark, location, olderThanMs)
-    val staleProps =
+    var staleProps =
       if (pruneStreamProps)
         retiredStreamProps(IcebergMetadata.load(location), olderThanMs,
           System.currentTimeMillis())
@@ -278,11 +324,12 @@ object IcebergMaintenance {
       staleAvro.foreach(TableIO.delete(_))
       if (staleProps.nonEmpty) {
         // CAS commit like every metadata change: re-derive against the
-        // fresh base so a racing epoch's new stamp is never dropped
+        // fresh base so a racing epoch's new stamp is never dropped —
+        // and report the set the winning attempt actually removed
         IcebergMetadata.commitRetry(location) { m =>
-          val stale = retiredStreamProps(m, olderThanMs,
+          staleProps = retiredStreamProps(m, olderThanMs,
             System.currentTimeMillis())
-          m.copy(properties = m.properties -- stale)
+          m.copy(properties = m.properties -- staleProps)
         }
         ()
       }

@@ -74,6 +74,23 @@ object IcebergMetadata {
     * for "unsorted". */
   case class IceSortOrder(orderId: Int, fields: Seq[IceSortField])
 
+  /** Per-ref retention policy (spec: SnapshotReference /
+    * SnapshotRetention, snapshot.rs:256-280): branch refs may bound
+    * how much ancestry expire keeps (min-snapshots-to-keep,
+    * max-snapshot-age-ms) and how long the ref itself lives
+    * (max-ref-age-ms); a tag carries only max-ref-age-ms. The interop
+    * twin of the native dialect's Meta.RefRetention — preserved
+    * through every graft commit so an adopted table's policies
+    * survive, and honored by IcebergMaintenance.expireSnapshots. */
+  case class IceRefRetention(
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None) {
+    def isEmpty: Boolean =
+      minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty &&
+        maxRefAgeMs.isEmpty
+  }
+
   case class IceMetadata(
       formatVersion: Int,
       tableUuid: String,
@@ -95,7 +112,11 @@ object IcebergMetadata {
         * absent = branch. Kept beside `refs` so the 50+ branch-moving
         * call sites stay untyped — only tag creation and the
         * serialization boundary touch it. */
-      refTypes: Map[String, String] = Map.empty) {
+      refTypes: Map[String, String] = Map.empty,
+      /** ref name → retention policy; absent = engine defaults. Kept
+        * beside `refs` for the same reason as refTypes — only the
+        * serialization boundary, ref creation, and expire touch it. */
+      refRetention: Map[String, IceRefRetention] = Map.empty) {
     def schema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
     def snapshot(id: Long): Option[IceSnapshot] =
       snapshots.find(_.snapshotId == id)
@@ -282,6 +303,13 @@ object IcebergMetadata {
       val n = refs.putObject(name)
       n.put("snapshot-id", id)
       n.put("type", m.refTypes.getOrElse(name, "branch"))
+      // SnapshotRetention fields ride the ref entry (kebab-case, spec
+      // snapshot.rs) — an adopted table's policy must survive commits
+      m.refRetention.get(name).foreach { ret =>
+        ret.minSnapshotsToKeep.foreach(n.put("min-snapshots-to-keep", _))
+        ret.maxSnapshotAgeMs.foreach(n.put("max-snapshot-age-ms", _))
+        ret.maxRefAgeMs.foreach(n.put("max-ref-age-ms", _))
+      }
     }
     r.putArray("snapshot-log"); r.putArray("metadata-log")
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(r)
@@ -331,11 +359,26 @@ object IcebergMetadata {
       refTypes = Option(r.get("refs")).map(_.properties().asScala.flatMap(e =>
         Option(e.getValue.get("type")).map(t => e.getKey -> t.asText()))
         .toMap).getOrElse(Map.empty),
+      refRetention = Option(r.get("refs"))
+        .map(_.properties().asScala.flatMap { e =>
+          val ret = refRetentionFromNode(e.getValue)
+          if (ret.isEmpty) None else Some(e.getKey -> ret)
+        }.toMap).getOrElse(Map.empty),
       sortOrders = arr(r.get("sort-orders")).map(sortOrderFromNode)
         .filter(_.fields.nonEmpty),
       defaultSortOrderId =
         Option(r.get("default-sort-order-id")).map(_.asInt()).getOrElse(0))
   }
+
+  /** SnapshotRetention fields from a SnapshotReference-shaped node
+    * (a metadata.json refs entry, or the flattened set-snapshot-ref
+    * protocol update — commit.rs TableUpdate::SetSnapshotRef
+    * #[serde(flatten)]s the reference into the update object). */
+  def refRetentionFromNode(n: JsonNode): IceRefRetention = IceRefRetention(
+    minSnapshotsToKeep =
+      Option(n.get("min-snapshots-to-keep")).map(_.asInt()),
+    maxSnapshotAgeMs = Option(n.get("max-snapshot-age-ms")).map(_.asLong()),
+    maxRefAgeMs = Option(n.get("max-ref-age-ms")).map(_.asLong()))
 
   /** Parse one sort order (the shape the commit protocol's
     * add-sort-order update carries — commit.rs TableUpdate::AddSortOrder). */

@@ -159,10 +159,17 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           // persisted so metadata.json serializes the declared kind
           val refType = Option(u.get("type")).map(_.asText())
             .getOrElse("branch")
+          // retention policy fields are #[serde(flatten)]ed into the
+          // update (commit.rs SetSnapshotRef) — absent fields CLEAR
+          // the policy (the update carries the whole reference)
+          val retention = IcebergMetadata.refRetentionFromNode(u)
           acc.copy(refs = acc.refs + (ref -> id),
             refTypes =
               if (refType == "branch") acc.refTypes - ref
               else acc.refTypes + (ref -> refType),
+            refRetention =
+              if (retention.isEmpty) acc.refRetention - ref
+              else acc.refRetention + (ref -> retention),
             currentSnapshotId =
               if (ref == "main") Some(id) else acc.currentSnapshotId)
         // branch/tag deletion over REST (commit.rs:115-118
@@ -172,6 +179,7 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
           val ref = u.get("ref-name").asText()
           acc.copy(refs = acc.refs - ref,
             refTypes = acc.refTypes - ref,
+            refRetention = acc.refRetention - ref,
             currentSnapshotId =
               if (ref == "main") None else acc.currentSnapshotId)
         // commit.rs:119-123 TableUpdate::SetLocation

@@ -228,14 +228,15 @@ object IcebergRestCommit {
         obj("add-snapshot").set[ObjectNode]("snapshot",
           IcebergMetadata.snapshotToNode(s)))
     def refType(r: String): String = next.refTypes.getOrElse(r, "branch")
-    (next.refs.keySet -- base.refs.keySet).toSeq.sorted
-      .foreach { r =>
-        setRef(obj("set-snapshot-ref"), r, next.refs(r), refType(r)) }
+    def emitRef(r: String): Unit =
+      setRef(obj("set-snapshot-ref"), r, next.refs(r), refType(r),
+        next.refRetention.get(r))
+    (next.refs.keySet -- base.refs.keySet).toSeq.sorted.foreach(emitRef)
     next.refs.keySet.intersect(base.refs.keySet).toSeq.sorted
       .filter(r => next.refs(r) != base.refs(r) ||
-        next.refTypes.get(r) != base.refTypes.get(r))
-      .foreach { r =>
-        setRef(obj("set-snapshot-ref"), r, next.refs(r), refType(r)) }
+        next.refTypes.get(r) != base.refTypes.get(r) ||
+        next.refRetention.get(r) != base.refRetention.get(r))
+      .foreach(emitRef)
     (base.refs.keySet -- next.refs.keySet).toSeq.sorted
       .foreach(r => obj("remove-snapshot-ref").put("ref-name", r))
     // a main move expressed only through currentSnapshotId (local
@@ -257,8 +258,16 @@ object IcebergRestCommit {
   }
 
   private def setRef(n: ObjectNode, ref: String, id: Long,
-      refType: String = "branch"): Unit = {
+      refType: String = "branch",
+      retention: Option[IcebergMetadata.IceRefRetention] = None): Unit = {
     n.put("ref-name", ref); n.put("type", refType); n.put("snapshot-id", id)
+    // SnapshotRetention is #[serde(flatten)]ed into the update
+    // (commit.rs SetSnapshotRef); the server clears absent fields
+    retention.foreach { ret =>
+      ret.minSnapshotsToKeep.foreach(n.put("min-snapshots-to-keep", _))
+      ret.maxSnapshotAgeMs.foreach(n.put("max-snapshot-age-ms", _))
+      ret.maxRefAgeMs.foreach(n.put("max-ref-age-ms", _))
+    }
     ()
   }
 

@@ -126,21 +126,39 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     this
   }
 
-  /** Stage a branch move (reference: set_snapshot_ref,
-    * transaction/mod.rs:135): point `refName` at `snapshotId`, which
-    * must exist when the fold reaches this op — it may be a snapshot
-    * an EARLIER staged op of this same transaction creates. Moving
-    * "main" also moves the current snapshot pointer. Rebase-safe (the
-    * target id is pinned explicitly). */
+  /** Stage a ref move (reference: set_snapshot_ref,
+    * transaction/mod.rs:135 — the entry carries a full
+    * SnapshotReference, so branch OR tag with retention): point
+    * `refName` at `snapshotId`, which must exist when the fold
+    * reaches this op — it may be a snapshot an EARLIER staged op of
+    * this same transaction creates. Moving "main" also moves the
+    * current snapshot pointer. Rebase-safe (the target id is pinned
+    * explicitly). `retention` replaces the ref's whole policy (the
+    * update carries the complete reference — None clears it);
+    * expireSnapshots honors it per ref. */
   def setSnapshotRef(ns: String, name: String, refName: String,
-      snapshotId: Long): this.type = {
+      snapshotId: Long, refType: String = "branch",
+      retention: Option[IcebergMetadata.IceRefRetention] = None)
+      : this.type = {
     require(!done, "transaction already committed or aborted")
+    require(refType == "branch" || refType == "tag",
+      s"ref type must be 'branch' or 'tag', got '$refType'")
+    require(refName != "main" ||
+      (refType == "branch" && retention.forall(_.maxRefAgeMs.isEmpty)),
+      "'main' is always a branch and never expires (spec: " +
+        "SnapshotRetention) — a tag type or max-ref-age-ms on 'main' " +
+        "is a caller error")
+    require(refType == "branch" || retention.forall(r =>
+      r.minSnapshotsToKeep.isEmpty && r.maxSnapshotAgeMs.isEmpty),
+      "a tag's retention carries only max-ref-age-ms " +
+        "(spec: SnapshotRetention.Tag) — min-snapshots-to-keep / " +
+        "max-snapshot-age-ms are branch fields")
     observe(ns, name)
     ops += Op(ns, name, m => {
       require(m.snapshots.exists(_.snapshotId == snapshotId),
         s"setSnapshotRef($refName): snapshot $snapshotId does not exist " +
           s"in $ns.$name")
-      withRef(m, refName, snapshotId)
+      withRef(m, refName, snapshotId, refType, retention)
     }, () => ())
     this
   }
@@ -185,7 +203,7 @@ class IcebergTransaction(spark: SparkSession, base: String) {
               "a commit landed on the target ref after the branch " +
               "forked; re-audit on the new base (nothing was published)")
       }
-      withRef(m, refName, toId)
+      moveRef(m, refName, toId)
     }, () => ())
     this
   }
@@ -229,7 +247,8 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     require(refName != "main", "cannot drop ref 'main'")
     observe(ns, name)
     ops += Op(ns, name, m => m.copy(refs = m.refs - refName,
-      refTypes = m.refTypes - refName), () => ())
+      refTypes = m.refTypes - refName,
+      refRetention = m.refRetention - refName), () => ())
     this
   }
 
@@ -283,7 +302,27 @@ class IcebergTransaction(spark: SparkSession, base: String) {
     this
   }
 
+  /** Set the COMPLETE reference: pointer, type, and retention policy
+    * (setSnapshotRef carries a whole SnapshotReference — absent
+    * retention clears any existing policy). */
   private def withRef(m: IcebergMetadata.IceMetadata, refName: String,
+      id: Long, refType: String = "branch",
+      retention: Option[IcebergMetadata.IceRefRetention] = None)
+      : IcebergMetadata.IceMetadata =
+    m.copy(refs = m.refs + (refName -> id),
+      refTypes =
+        if (refType == "branch") m.refTypes - refName
+        else m.refTypes + (refName -> refType),
+      refRetention = retention.filter(!_.isEmpty) match {
+        case Some(ret) => m.refRetention + (refName -> ret)
+        case None => m.refRetention - refName
+      },
+      currentSnapshotId =
+        if (refName == "main") Some(id) else m.currentSnapshotId)
+
+  /** Move only the POINTER: an existing ref's declared type and
+    * retention policy survive a fast-forward. */
+  private def moveRef(m: IcebergMetadata.IceMetadata, refName: String,
       id: Long): IcebergMetadata.IceMetadata =
     m.copy(refs = m.refs + (refName -> id),
       currentSnapshotId =

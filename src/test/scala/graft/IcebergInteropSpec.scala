@@ -3008,6 +3008,101 @@ class IcebergInteropSpec extends AnyFunSuite {
       (1L, "delete"), (2L, "delete"), (3L, "delete")))
   }
 
+  test("ref retention policies: set via SQL, preserved through " +
+      "commits, honored by expire (real format)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    (2 to 6).foreach(i =>
+      IcebergWrite.append(spark, loc, Seq((i.toLong, "x")).toDF("k", "v")))
+    val m0 = IcebergMetadata.load(loc)
+    assert(m0.snapshots.size === 6)
+    val chain = m0.snapshots.sortBy(_.sequenceNumber)
+    val mid = chain(2).snapshotId
+
+    val wh = Files.createTempDirectory("graft-iceret").toString
+    spark.conf.set("spark.sql.catalog.ice_ret", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_ret.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_ret.m")
+    spark.sql("CALL ice_ret.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    // SnapshotRetention through the SQL surface (foreign dialect):
+    // a branch floor deeper than the global keep, an already-aged tag,
+    // and a policy-free tag that pins forever
+    spark.sql("CALL ice_ret.system.create_branch(table => 'm.t', " +
+      "branch => 'dev', min_snapshots_to_keep => 4)").collect()
+    spark.sql("CALL ice_ret.system.create_tag(table => 'm.t', " +
+      s"tag => 'oldtag', snapshot_id => $mid, max_ref_age_ms => 1)")
+      .collect()
+    spark.sql("CALL ice_ret.system.create_tag(table => 'm.t', " +
+      s"tag => 'keeptag', snapshot_id => $mid)").collect()
+
+    // the policies survive an unrelated commit: the refs entries are
+    // re-serialized with their retention fields intact
+    IcebergWrite.append(spark, loc, Seq((7L, "y")).toDF("k", "v"))
+    val m1 = IcebergMetadata.load(loc)
+    assert(m1.refRetention.get("dev")
+      .flatMap(_.minSnapshotsToKeep).contains(4))
+    assert(m1.refRetention.get("oldtag").flatMap(_.maxRefAgeMs).contains(1L))
+    assert(m1.refTypes.get("keeptag").contains("tag"))
+    // ...and as BYTES: a strict reader sees the kebab-case fields
+    val hint = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      loc, "metadata", "version-hint.text")).trim.toInt
+    val mj = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        loc, "metadata", s"v$hint.metadata.json")))
+    assert(mj.get("refs").get("dev").get("min-snapshots-to-keep")
+      .asInt === 4)
+    assert(mj.get("refs").get("oldtag").get("max-ref-age-ms").asLong === 1L)
+    assert(mj.get("refs").get("oldtag").get("type").asText === "tag")
+    // the refs metadata table surfaces the policy columns
+    val refRows = spark.sql("SELECT name, type, min_snapshots_to_keep " +
+      "FROM ice_ret.m.t.refs ORDER BY name").collect()
+    assert(refRows.find(_.getString(0) == "dev")
+      .exists(r => r.getString(1) == "branch" && r.getInt(2) == 4))
+    assert(refRows.find(_.getString(0) == "keeptag")
+      .exists(_.getString(1) == "tag"))
+
+    // expire at global keepLast=1: oldtag's target predates its
+    // 1 ms ref age so the REF disappears; keeptag still pins mid; dev
+    // keeps its declared 4-ancestor floor over the global 1
+    val (before, after) =
+      graft.table.iceberg.IcebergMaintenance.expireSnapshots(loc, 1)
+    assert(before === 7)
+    val m2 = IcebergMetadata.load(loc)
+    assert(!m2.refs.contains("oldtag"))
+    assert(!m2.refRetention.contains("oldtag"))
+    assert(m2.refs.get("keeptag").contains(mid))
+    assert(m2.refTypes.get("keeptag").contains("tag"))
+    // dev tip = chain(5); floor of 4 keeps seq 3..6; main keeps its
+    // tip (the 7th); keeptag pins exactly mid (the 3rd) — 5 kept, and
+    // mid is double-counted by dev's floor
+    assert(after === 5)
+    assert(m2.snapshots.map(_.snapshotId).toSet ===
+      (chain.drop(2).map(_.snapshotId) :+
+        m1.currentSnapshotId.get).toSet)
+    // the time-travel read at the tag's pin still folds correctly
+    assert(IcebergTable.load(spark, loc).timeTravel(mid).count() === 3L)
+
+    // max-snapshot-age-ms: a branch window keeps everything younger
+    // than the bound even past the floor — and ages out with nowMs
+    val loc2 = tmp()
+    IcebergWrite.create(spark, loc2, Seq((1L, "a")).toDF("k", "v"))
+    (2 to 4).foreach(i =>
+      IcebergWrite.append(spark, loc2, Seq((i.toLong, "x")).toDF("k", "v")))
+    graft.table.iceberg.IcebergMaintenance.setRef(loc2, "window",
+      IcebergMetadata.load(loc2).currentSnapshotId.get,
+      retention = Some(IcebergMetadata.IceRefRetention(
+        maxSnapshotAgeMs = Some(3600000L))))
+    val (b2, a2) =
+      graft.table.iceberg.IcebergMaintenance.expireSnapshots(loc2, 1)
+    assert(b2 === 4 && a2 === 4, "everything is younger than the window")
+    val (_, a3) = graft.table.iceberg.IcebergMaintenance.expireSnapshots(
+      loc2, 1, nowMs = System.currentTimeMillis() + 7200000L)
+    assert(a3 === 1, "an aged-out window falls back to the keep floor")
+  }
+
   test("add_files refuses tables with renamed columns") {
     val spark0 = spark
     import spark0.implicits._

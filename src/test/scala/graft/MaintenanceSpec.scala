@@ -40,6 +40,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(branch = Some("dev")).count() === 100)
   }
 
+  test("expire_snapshots older_than_ms keeps young history past the " +
+      "keep_last floor; an aged-out bound falls back to the floor") {
+    val spark0 = spark
+    import spark0.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq(1L).toDF("k").schema)
+    (1 to 3).foreach(i => t.append(Seq(i.toLong).toDF("k")))
+    // everything is younger than the hour bound: nothing expires even
+    // though the floor is 1
+    t.expireSnapshots(keepLast = 1, maxAgeMs = Some(3600000L))
+    assert(t.meta.snapshots.size === 3)
+    // two hours later the bound keeps nothing extra: floor of 1 wins
+    t.expireSnapshots(keepLast = 1,
+      nowMs = System.currentTimeMillis() + 7200000L,
+      maxAgeMs = Some(3600000L))
+    assert(t.meta.snapshots.size === 1)
+    assert(t.scan().count() === 3L)
+  }
+
   test("prune_stream_props drops only retired high-water properties, " +
       "and only once history provably spans the window") {
     val spark0 = spark

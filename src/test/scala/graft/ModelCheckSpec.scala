@@ -1639,4 +1639,73 @@ class ModelCheckSpec extends AnyFunSuite {
           "must 409, not be co-opted")
     } finally server.stop()
   }
+
+  /** The commit protocol's set-snapshot-ref in the reference's WIRE
+    * form: the whole SnapshotReference #[serde(flatten)]ed into the
+    * update (commit.rs:102-108) — type + retention fields beside
+    * ref-name/snapshot-id. Raw JSON, no graft client helpers. */
+  test("raw set-snapshot-ref carries the flattened SnapshotReference " +
+      "(type + retention); re-setting without fields clears the policy") {
+    import graft.table.iceberg.{IcebergMetadata, IcebergRestServer, IcebergWrite}
+    val spark0 = spark
+    import spark0.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val wh = java.nio.file.Files.createTempDirectory("graft-rawref").toString
+    val server = new IcebergRestServer(wh).start()
+    try {
+      val base = s"http://127.0.0.1:${server.port}/v1"
+      val http = java.net.http.HttpClient.newHttpClient()
+      def send(method: String, path: String, body: String)
+          : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(base + path))
+          .header("Content-Type", "application/json")
+        val req = (method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(
+            java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        }).build()
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(),
+          if (resp.body() == null || resp.body().isEmpty)
+            mapper.createObjectNode()
+          else mapper.readTree(resp.body()))
+      }
+      assert(send("POST", "/namespaces",
+        """{"namespace":["db"]}""")._1 === 200)
+      val loc = s"$wh/db/t"
+      IcebergWrite.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+      val head = IcebergMetadata.load(loc).currentSnapshotId.get
+
+      val (tagCode, _) = send("POST", "/namespaces/db/tables/t",
+        s"""{"requirements":[],"updates":[
+             {"action":"set-snapshot-ref","ref-name":"rel","type":"tag",
+              "snapshot-id":$head,"max-ref-age-ms":604800000}]}""")
+      assert(tagCode === 200)
+      val (brCode, _) = send("POST", "/namespaces/db/tables/t",
+        s"""{"requirements":[],"updates":[
+             {"action":"set-snapshot-ref","ref-name":"hist",
+              "type":"branch","snapshot-id":$head,
+              "min-snapshots-to-keep":3,"max-snapshot-age-ms":86400000}]}""")
+      assert(brCode === 200)
+      val m1 = IcebergMetadata.load(loc)
+      assert(m1.refTypes.get("rel").contains("tag"))
+      assert(m1.refRetention.get("rel").flatMap(_.maxRefAgeMs)
+        .contains(604800000L))
+      assert(m1.refRetention.get("hist").flatMap(_.minSnapshotsToKeep)
+        .contains(3))
+      assert(m1.refRetention.get("hist").flatMap(_.maxSnapshotAgeMs)
+        .contains(86400000L))
+
+      // the update carries the WHOLE reference: re-setting a ref with
+      // no retention fields clears the stored policy
+      assert(send("POST", "/namespaces/db/tables/t",
+        s"""{"requirements":[],"updates":[
+             {"action":"set-snapshot-ref","ref-name":"hist",
+              "type":"branch","snapshot-id":$head}]}""")._1 === 200)
+      assert(IcebergMetadata.load(loc).refRetention.get("hist").isEmpty,
+        "a reference-replacing update must clear an absent policy")
+    } finally server.stop()
+  }
 }

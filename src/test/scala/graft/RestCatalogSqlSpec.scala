@@ -857,6 +857,67 @@ class RestCatalogSqlSpec extends AnyFunSuite {
     assert(!IcebergMetadata.load(s"$wh/wapn/fresh").refs.contains("audit"))
   }
 
+  test("transaction-minted tags with retention ride the protocol; " +
+      "fast-forward preserves a branch's policy; main refuses a tag") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.reft")
+    spark.sql(s"CREATE TABLE $cat.reft.t (k BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $cat.reft.t VALUES ($i)"))
+    val base = s"http://127.0.0.1:${env._1.port}"
+    val loc = s"$wh/reft/t"
+    val head = IcebergMetadata.load(loc).currentSnapshotId.get
+
+    // a tag with a ref-age policy, set through the TRANSACTION —
+    // type and retention must ride the set-snapshot-ref update
+    val tx = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx.setSnapshotRef("reft", "t", "rel", head, refType = "tag",
+      retention = Some(IcebergMetadata.IceRefRetention(
+        maxRefAgeMs = Some(86400000L))))
+    // and a branch with a keep floor, in the same commit
+    tx.setSnapshotRef("reft", "t", "work", head,
+      retention = Some(IcebergMetadata.IceRefRetention(
+        minSnapshotsToKeep = Some(2))))
+    tx.commit()
+    val m1 = IcebergMetadata.load(loc)
+    assert(m1.refTypes.get("rel").contains("tag"))
+    assert(m1.refRetention.get("rel").flatMap(_.maxRefAgeMs)
+      .contains(86400000L))
+    // branch type is explicit in serialized bytes, so a round-trip
+    // load materializes it
+    assert(m1.refTypes.getOrElse("work", "branch") === "branch")
+    assert(m1.refRetention.get("work").flatMap(_.minSnapshotsToKeep)
+      .contains(2))
+
+    // a branch append + fast-forward move the POINTER only: the
+    // branch's declared retention policy survives the move
+    Seq(10L).toDF("k").createOrReplaceTempView("reft_b")
+    spark.sql(s"CALL $cat.system.commit_transaction(branch_appends => " +
+      "'reft.t=reft_b@work')")
+    val tx2 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    tx2.fastForward("reft", "t", "main", fromRef = "work")
+    tx2.commit()
+    val m2 = IcebergMetadata.load(loc)
+    assert(m2.refs("main") === m2.refs("work"))
+    assert(m2.refRetention.get("work").flatMap(_.minSnapshotsToKeep)
+      .contains(2), "fast-forward must not strip the branch policy")
+    assert(m2.refTypes.get("rel").contains("tag"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.reft.t")
+      .collect().head.getLong(0) === 4L)
+
+    // 'main' is always a branch and never expires: tag type or a
+    // ref-age policy on it is a caller error, refused at staging
+    val tx3 = new graft.table.iceberg.IcebergTransaction(spark, base)
+    intercept[IllegalArgumentException] {
+      tx3.setSnapshotRef("reft", "t", "main", head, refType = "tag")
+    }
+    intercept[IllegalArgumentException] {
+      tx3.setSnapshotRef("reft", "t", "main", head,
+        retention = Some(IcebergMetadata.IceRefRetention(
+          maxRefAgeMs = Some(1L))))
+    }
+  }
+
   test("transaction rewrite: compaction + lineage stamps ride the " +
       "transaction; rivals on compacted files refuse, rival appends carry") {
     val spark0 = spark
@@ -998,7 +1059,7 @@ class RestCatalogSqlSpec extends AnyFunSuite {
       // staged ops per table, in random shapes; track the would-be model
       val pending: Seq[(String, (String, Seq[Long], String))] =
         involved.map { t =>
-          rng.nextInt(9) match {
+          rng.nextInt(10) match {
             case 0 =>
               val vs = vals(1 + rng.nextInt(20))
               tx.append("txf", t, vs.toDF("k"))
@@ -1051,6 +1112,21 @@ class RestCatalogSqlSpec extends AnyFunSuite {
               tx.rewrite("txf", t, lineage = Map("fuzz.rw" -> s"$round"))
               (t, ("rewrite", Seq.empty[Long],
                 if (content(t).nonEmpty) "stamped" else ""))
+            case 9 if content(t).nonEmpty =>
+              // transaction-minted tag with retention: pins the head
+              // id observed at STAGE time — a rival's later commit
+              // must not move it (explicit-id refs are rebase-safe)
+              val id = graft.table.iceberg.IcebergMetadata
+                .load(s"$wh/txf/$t").currentSnapshotId.get
+              tx.setSnapshotRef("txf", t, s"tag_r$round", id,
+                refType = "tag",
+                retention = Some(graft.table.iceberg.IcebergMetadata
+                  .IceRefRetention(maxRefAgeMs = Some(86400000L))))
+              (t, ("tag", Seq(id), s"tag_r$round"))
+            case _ => // tag on an empty table has no pin target
+              val vs = vals(1 + rng.nextInt(20))
+              tx.append("txf", t, vs.toDF("k"))
+              (t, ("append", vs, ""))
           }
         }
       // 40% of rounds: a rival single-table commit lands AFTER staging
@@ -1106,6 +1182,18 @@ class RestCatalogSqlSpec extends AnyFunSuite {
                 _.summary.get("fuzz.rw").contains(s"$round")),
                 s"round $round: $t rewrite lineage stamp missing")
             }
+          case (t, ("tag", Seq(id), name)) =>
+            // content untouched; the tag must pin the STAGED id with
+            // its declared type + retention, rivals notwithstanding
+            val meta =
+              graft.table.iceberg.IcebergMetadata.load(s"$wh/txf/$t")
+            assert(meta.refs.get(name).contains(id),
+              s"round $round: $t tag $name lost its pin")
+            assert(meta.refTypes.get(name).contains("tag"),
+              s"round $round: $t tag $name lost its type")
+            assert(meta.refRetention.get(name).flatMap(_.maxRefAgeMs)
+              .contains(86400000L),
+              s"round $round: $t tag $name lost its retention")
         }
       }
       // verify EVERY table against the model after EVERY round —

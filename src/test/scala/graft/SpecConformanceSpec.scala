@@ -160,6 +160,17 @@ class SpecConformanceSpec extends AnyFunSuite {
       assert(snaps.exists(_.get("snapshot-id").asLong ==
         r.get("snapshot-id").asLong),
         s"ref ${e.getKey} points at a snapshot not in the metadata")
+      // SnapshotRetention fields: positive when present, and a tag
+      // carries ONLY max-ref-age-ms (snapshot.rs SnapshotRetention)
+      Seq("min-snapshots-to-keep", "max-snapshot-age-ms",
+          "max-ref-age-ms").foreach { f =>
+        Option(r.get(f)).foreach(v => assert(v.asLong > 0,
+          s"ref ${e.getKey} $f must be positive"))
+      }
+      if (r.get("type").asText == "tag")
+        Seq("min-snapshots-to-keep", "max-snapshot-age-ms").foreach(f =>
+          assert(!r.has(f),
+            s"tag ${e.getKey} carries branch-only retention field $f"))
     }
     snaps.foreach { s =>
       for (k <- Seq("snapshot-id", "timestamp-ms", "manifest-list",
@@ -487,12 +498,22 @@ class SpecConformanceSpec extends AnyFunSuite {
 
       // (d) a tag must serialize as SnapshotReference type 'tag' — a
       // strict reader applies tag retention semantics, not branch
-      spark.sql(s"CALL $cat.system.create_tag(table => 'w.t', tag => 'v1')")
+      spark.sql(s"CALL $cat.system.create_tag(table => 'w.t', " +
+        "tag => 'v1', max_ref_age_ms => 604800000)")
+      spark.sql(s"CALL $cat.system.create_branch(table => 'w.t', " +
+        "branch => 'hist', min_snapshots_to_keep => 3, " +
+        "max_snapshot_age_ms => 86400000)")
       mj = raw()
       assert(mj.get("refs").get("v1").get("type").asText === "tag",
         "a tag serialized as 'branch' would change retention semantics " +
           "in strict readers")
-      walkAndValidate(loc)
+      assert(mj.get("refs").get("v1").get("max-ref-age-ms").asLong ===
+        604800000L)
+      assert(mj.get("refs").get("hist").get("min-snapshots-to-keep")
+        .asInt === 3)
+      assert(mj.get("refs").get("hist").get("max-snapshot-age-ms")
+        .asLong === 86400000L)
+      walkAndValidate(loc) // retention fields ride the refs validation
     } finally server.stop()
   }
 

@@ -813,6 +813,13 @@ class TableCatalogSpec extends AnyFunSuite {
     // SHOW TABLES lists it; CALL procedures reach it
     assert(spark.sql("SHOW TABLES IN graft_wh.reg").collect()
       .map(_.getString(1)).contains("t"))
+    // a young older_than_ms bound keeps everything past the floor;
+    // dropping the bound enforces the floor
+    val kept = spark.sql("CALL graft_wh.system.expire_snapshots(" +
+      "table => 'reg.t', keep_last => 1, older_than_ms => 3600000)")
+      .collect()
+    assert(kept(0).getInt(0) === kept(0).getInt(1),
+      "everything is younger than the bound")
     spark.sql("CALL graft_wh.system.expire_snapshots(table => 'reg.t', " +
       "keep_last => 1)")
     // double registration refused
