@@ -40,10 +40,11 @@ object Registry {
     // PERSISTENCE HAZARD: the dial binds at ANALYSIS time, so bucket
     // keys MATERIALIZED to a table embed the preset they were computed
     // under; a later session joining stored keys under a different
-    // preset gets empty results, not an error. Pipelines that persist
-    // bucket keys must record the preset next to them (e.g. a table
-    // property `graft.ann.lshPreset=<preset>` stamped at write time)
-    // and assert it before joining — see README "ANN recall dial"
+    // preset gets empty results, not an error. Use the stamped pair
+    // Similarity.persistBucketKeys / loadBucketKeys / appendBucketKeys
+    // (the table property `graft.ann.lshPreset` is written at create
+    // and ASSERTED on every load/append); hand-materialized key tables
+    // must stamp the same property — see README "ANN recall dial"
     "lsh_bucket_keys" -> (args => {
       val (t, p) = LshKernel.presetOf(SparkSession.active)
       LshBucketKeys(args(0), t, p)

@@ -32,7 +32,7 @@ object Similarity {
   /** Spread on read (no-op when input splits already parallelize):
     * the corpus arrives as one file locally and the cosine kernels
     * are CPU-bound. */
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private[graft] def vectors(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.embeddings(s, d))
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
         col("label"))
@@ -186,17 +186,17 @@ object Similarity {
     table
   }
 
-  /** Load persisted bucket keys for joining against THIS session's
-    * keys. Refuses loudly when the stored stamp and the session dial
+  /** The stamp assertion shared by every stored-key read/write path:
+    * refuses loudly when the stored stamp and the session dial
     * disagree — the alternative is an empty join result that looks
     * like "no near-duplicates", not an error. An unstamped table also
     * refuses: there is no way to know which preset computed it
     * (stamp it with updateProperties after verifying out-of-band). */
-  def loadBucketKeys(s: SparkSession, root: String): DataFrame = {
-    val t = graft.table.GraftTable.load(s, root)
+  private def requirePresetMatch(t: graft.table.GraftTable,
+      s: SparkSession, root: String): Unit = {
     val session = graft.functions.LshKernel.presetNameOf(s)
     t.meta.properties.get(LshPresetProp) match {
-      case Some(stored) if stored == session => t.scan()
+      case Some(stored) if stored == session => ()
       case Some(stored) => throw new IllegalStateException(
         s"persisted bucket keys at $root were computed under " +
           s"$LshPresetProp=$stored but this session dials $session: " +
@@ -209,6 +209,31 @@ object Similarity {
           s"table (updateProperties(Map(\"$LshPresetProp\" -> <preset>)))" +
           " after verifying which preset computed it")
     }
+  }
+
+  /** Load persisted bucket keys for joining against THIS session's
+    * keys; stamp-checked (see requirePresetMatch). */
+  def loadBucketKeys(s: SparkSession, root: String): DataFrame = {
+    val t = graft.table.GraftTable.load(s, root)
+    requirePresetMatch(t, s, root)
+    t.scan()
+  }
+
+  /** The incremental half: bucket only the NEW vectors
+    * (`(vec_id, emb)` rows) and append their exploded keys to the
+    * stored table — later sessions join stored keys instead of
+    * re-hashing the corpus, and ingest cost tracks the batch, not the
+    * table. Stamp-checked like every stored-key path, so a preset
+    * drift between the stamping session and this one refuses instead
+    * of silently mixing incompatible bucket spaces. */
+  def appendBucketKeys(s: SparkSession, newVectors: DataFrame,
+      root: String): graft.table.GraftTable = {
+    val t = graft.table.GraftTable.load(s, root)
+    requirePresetMatch(t, s, root)
+    t.append(newVectors
+      .select(col("vec_id"), explode(bucketKeys(s, col("emb"))).as("k"))
+      .select(col("vec_id"), col("k.t").as("t"), col("k.b").as("b")))
+    t
   }
 
   /** LSH top-k: equi-join on (table, bucket), candidates deduped, exact

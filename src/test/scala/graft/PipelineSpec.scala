@@ -347,6 +347,23 @@ class PipelineSpec extends AnyFunSuite {
     // back on the matching dial the load works again
     assert(graft.ops.Similarity.loadBucketKeys(spark, root).count()
       === stored.size.toLong)
+    // incremental ingest: new vectors' keys append under the same
+    // stamp check — batch-sized work, and the stored table now holds
+    // exactly old + new
+    val newVecs = graft.ops.Similarity.vectors(spark, sf)
+      .limit(5).select(
+        (org.apache.spark.sql.functions.col("vec_id") + 1000000L)
+          .as("vec_id"),
+        org.apache.spark.sql.functions.col("emb"))
+    graft.ops.Similarity.appendBucketKeys(spark, newVecs, root)
+    val after = graft.ops.Similarity.loadBucketKeys(spark, root)
+    assert(after.count() > stored.size.toLong)
+    assert(after.filter("vec_id >= 1000000").count() > 0)
+    // a cross-dial APPEND refuses like a load does
+    spark.conf.set("graft.ann.lshPreset", "16x3")
+    try intercept[IllegalStateException] {
+      graft.ops.Similarity.appendBucketKeys(spark, newVecs, root)
+    } finally spark.conf.unset("graft.ann.lshPreset")
     // an unstamped table refuses too (no way to prove the dial)
     val t2 = graft.table.GraftTable.load(spark, root)
     t2.removeProperties(Seq("graft.ann.lshPreset"))
