@@ -456,12 +456,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
               s"no snapshot of $ident at or before timestamp $tsMs"))
         new GraftSparkTable(root, pinnedSnapshot = Some(snap.snapshotId))
       case None if graft.table.iceberg.IcebergTable.exists(root) =>
-        val snap = graft.table.iceberg.IcebergMetadata.load(root).snapshots
-          .filter(_.timestampMs <= tsMs)
-          .sortBy(_.timestampMs).lastOption.getOrElse(
-            throw new IllegalArgumentException(
-              s"no snapshot of $ident at or before timestamp $tsMs"))
-        new IcebergSparkTable(root, pinnedSnapshot = Some(snap.snapshotId))
+        val im = graft.table.iceberg.IcebergMetadata.load(root)
+        // spec semantics: resolve through the snapshot-log — the
+        // snapshot that was CURRENT at that instant (after a rollback
+        // the latest-committed and the then-current snapshot differ,
+        // and the log is the record the spec says to consult);
+        // log-less adopted tables fall back to commit timestamps
+        val snapId =
+          if (im.snapshotLog.nonEmpty)
+            im.snapshotLog.filter(_.timestampMs <= tsMs)
+              .lastOption.map(_.snapshotId)
+          else im.snapshots.filter(_.timestampMs <= tsMs)
+            .sortBy(_.timestampMs).lastOption.map(_.snapshotId)
+        new IcebergSparkTable(root, pinnedSnapshot = Some(snapId.getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot of $ident at or before timestamp $tsMs"))))
       case None =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }

@@ -74,6 +74,16 @@ object IcebergMetadata {
     * for "unsorted". */
   case class IceSortOrder(orderId: Int, fields: Seq[IceSortField])
 
+  /** snapshot-log entry (spec table_metadata.rs:104-111): when the
+    * CURRENT snapshot changed, which id became current and when —
+    * the record timestamp-based time travel resolves against. */
+  case class IceSnapshotLogEntry(snapshotId: Long, timestampMs: Long)
+
+  /** metadata-log entry (spec table_metadata.rs:113-119): the
+    * previous metadata file each new version replaced — foreign
+    * readers walk table history through these without a catalog. */
+  case class IceMetadataLogEntry(metadataFile: String, timestampMs: Long)
+
   /** Per-ref retention policy (spec: SnapshotReference /
     * SnapshotRetention, snapshot.rs:256-280): branch refs may bound
     * how much ancestry expire keeps (min-snapshots-to-keep,
@@ -116,7 +126,13 @@ object IcebergMetadata {
       /** ref name → retention policy; absent = engine defaults. Kept
         * beside `refs` for the same reason as refTypes — only the
         * serialization boundary, ref creation, and expire touch it. */
-      refRetention: Map[String, IceRefRetention] = Map.empty) {
+      refRetention: Map[String, IceRefRetention] = Map.empty,
+      /** Maintained by commitAt, not by callers: appended when the
+        * current snapshot moves, trimmed to ids still in history. */
+      snapshotLog: Seq[IceSnapshotLogEntry] = Seq.empty,
+      /** Maintained by commitAt: the replaced metadata file per
+        * commit, bounded by write.metadata.previous-versions-max. */
+      metadataLog: Seq[IceMetadataLogEntry] = Seq.empty) {
     def schema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
     def snapshot(id: Long): Option[IceSnapshot] =
       snapshots.find(_.snapshotId == id)
@@ -311,7 +327,18 @@ object IcebergMetadata {
         ret.maxRefAgeMs.foreach(n.put("max-ref-age-ms", _))
       }
     }
-    r.putArray("snapshot-log"); r.putArray("metadata-log")
+    val slog = r.putArray("snapshot-log")
+    m.snapshotLog.foreach { e =>
+      val n = slog.addObject()
+      n.put("snapshot-id", e.snapshotId)
+      n.put("timestamp-ms", e.timestampMs)
+    }
+    val mlog = r.putArray("metadata-log")
+    m.metadataLog.foreach { e =>
+      val n = mlog.addObject()
+      n.put("metadata-file", e.metadataFile)
+      n.put("timestamp-ms", e.timestampMs)
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(r)
   }
 
@@ -367,7 +394,13 @@ object IcebergMetadata {
       sortOrders = arr(r.get("sort-orders")).map(sortOrderFromNode)
         .filter(_.fields.nonEmpty),
       defaultSortOrderId =
-        Option(r.get("default-sort-order-id")).map(_.asInt()).getOrElse(0))
+        Option(r.get("default-sort-order-id")).map(_.asInt()).getOrElse(0),
+      snapshotLog = arr(r.get("snapshot-log")).map(n =>
+        IceSnapshotLogEntry(n.get("snapshot-id").asLong(),
+          n.get("timestamp-ms").asLong())),
+      metadataLog = arr(r.get("metadata-log")).map(n =>
+        IceMetadataLogEntry(n.get("metadata-file").asText(),
+          n.get("timestamp-ms").asLong())))
   }
 
   /** SnapshotRetention fields from a SnapshotReference-shaped node
@@ -492,7 +525,8 @@ object IcebergMetadata {
     val dir = TableIO.path(location, "metadata")
     TableIO.mkdirs(dir)
     TableIO.writeString(
-      new org.apache.hadoop.fs.Path(dir, s"v$version.metadata.json"), toJson(m))
+      new org.apache.hadoop.fs.Path(dir, s"v$version.metadata.json"),
+      toJson(withCommitLogs(location, m, version - 1)))
     TableIO.writeString(
       new org.apache.hadoop.fs.Path(dir, "version-hint.text"), version.toString)
   }
@@ -557,13 +591,43 @@ object IcebergMetadata {
     * v(base+1) lands via rename-without-replace, so a writer that read
     * base and lost the race gets false (REST turns that into 409) —
     * it can never silently overwrite a snapshot committed in between. */
+  /** snapshot-log / metadata-log bookkeeping (table_metadata.rs:
+    * 104-119), stamped at the ONE version-writing choke point so
+    * every commit path — local CAS, REST server folds, transaction
+    * rollbacks — maintains them without callers knowing: trim
+    * snapshot-log to ids still in history (expire / remove-snapshots
+    * drop their entries), append when the current snapshot moved
+    * (a rollback re-appends an older id — the change record the spec
+    * wants); append the replaced metadata file, bounded by
+    * write.metadata.previous-versions-max (spec default 100). */
+  private def withCommitLogs(location: String, m: IceMetadata,
+      baseVersion: Int): IceMetadata = {
+    val now = System.currentTimeMillis()
+    val trimmed = m.snapshotLog.filter(e =>
+      m.snapshots.exists(_.snapshotId == e.snapshotId))
+    val snapLog = m.currentSnapshotId match {
+      case Some(id) if !trimmed.lastOption.exists(_.snapshotId == id) =>
+        trimmed :+ IceSnapshotLogEntry(id, now)
+      case _ => trimmed
+    }
+    val maxPrev = m.properties.get("write.metadata.previous-versions-max")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(100)
+    val mdLog =
+      if (baseVersion < 1) m.metadataLog
+      else (m.metadataLog :+ IceMetadataLogEntry(
+        TableIO.qualified(TableIO.path(s"$location/metadata",
+          s"v$baseVersion.metadata.json")), now)).takeRight(maxPrev)
+    m.copy(snapshotLog = snapLog, metadataLog = mdLog)
+  }
+
   def commitAt(location: String, m: IceMetadata, baseVersion: Int): Boolean = {
     val dir = TableIO.path(location, "metadata")
     TableIO.mkdirs(dir)
     val v = baseVersion + 1
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    TableIO.writeString(tmp, toJson(m))
+    TableIO.writeString(tmp, toJson(withCommitLogs(location, m, baseVersion)))
     val ok = TableIO.renameNoReplace(tmp,
       new org.apache.hadoop.fs.Path(dir, s"v$v.metadata.json"))
     if (ok) {

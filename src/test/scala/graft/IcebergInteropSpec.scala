@@ -3103,6 +3103,65 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(a3 === 1, "an aged-out window falls back to the keep floor")
   }
 
+  test("snapshot-log / metadata-log maintained at every commit: " +
+      "append, bound, rollback re-append, expire trim") {
+    val spark0 = spark
+    import spark0.implicits._
+    val loc = tmp()
+    IcebergWrite.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    (2 to 4).foreach(i =>
+      IcebergWrite.append(spark, loc, Seq((i.toLong, "x")).toDF("k", "v")))
+    val m0 = IcebergMetadata.load(loc)
+    // one snapshot-log entry per current move (create + 3 appends),
+    // tail = current; one metadata-log entry per replaced version
+    assert(m0.snapshotLog.size === 4)
+    assert(m0.snapshotLog.last.snapshotId === m0.currentSnapshotId.get)
+    // create = v1 (schema only) + v2 (initial data), appends v3..v5:
+    // four replaced versions in the log
+    assert(m0.metadataLog.size === 4)
+    assert(m0.metadataLog.map(_.metadataFile)
+      .forall(_.endsWith(".metadata.json")))
+
+    // write.metadata.previous-versions-max bounds the metadata log
+    IcebergMetadata.commitRetry(loc)(m => m.copy(properties =
+      m.properties + ("write.metadata.previous-versions-max" -> "2")))
+    (5 to 6).foreach(i =>
+      IcebergWrite.append(spark, loc, Seq((i.toLong, "x")).toDF("k", "v")))
+    assert(IcebergMetadata.load(loc).metadataLog.size === 2,
+      "previous-versions-max must bound the kept entries")
+
+    // a rollback RE-appends the older id: the change record shows the
+    // current pointer moving back
+    val firstAppend = m0.snapshotLog(1).snapshotId
+    graft.table.iceberg.IcebergMaintenance.rollbackTo(loc, firstAppend)
+    val m1 = IcebergMetadata.load(loc)
+    assert(m1.snapshotLog.last.snapshotId === firstAppend)
+    assert(m1.snapshotLog.count(_.snapshotId == firstAppend) === 2)
+
+    // TIMESTAMP AS OF resolves through the log: "now" reads the
+    // ROLLED-BACK state (what is current), not the latest-committed
+    // snapshot a raw timestamp scan would pick
+    val whL = Files.createTempDirectory("graft-icelog").toString
+    spark.conf.set("spark.sql.catalog.ice_log", "graft.spark.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.ice_log.warehouse", whL)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice_log.m")
+    spark.sql("CALL ice_log.system.register_table(table => 'm.t', " +
+      s"location => '$loc')")
+    val nowTs = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    assert(spark.sql("SELECT count(*) FROM ice_log.m.t " +
+      s"TIMESTAMP AS OF '$nowTs'").collect()(0).getLong(0) === 2L,
+      "time travel to now must see the rolled-back current state")
+
+    // expire trims the log to ids still in history
+    graft.table.iceberg.IcebergMaintenance.expireSnapshots(loc, 1)
+    val m2 = IcebergMetadata.load(loc)
+    val retained = m2.snapshots.map(_.snapshotId).toSet
+    assert(m2.snapshotLog.nonEmpty)
+    assert(m2.snapshotLog.forall(e => retained.contains(e.snapshotId)),
+      "expired snapshots must leave the snapshot-log")
+    assert(IcebergTable.load(spark, loc).scan().count() === 2L)
+  }
+
   test("add_files refuses tables with renamed columns") {
     val spark0 = spark
     import spark0.implicits._

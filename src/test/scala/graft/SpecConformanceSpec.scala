@@ -172,6 +172,34 @@ class SpecConformanceSpec extends AnyFunSuite {
           assert(!r.has(f),
             s"tag ${e.getKey} carries branch-only retention field $f"))
     }
+    // snapshot-log: every entry resolves to a retained snapshot,
+    // timestamps never regress, and the tail IS the current snapshot
+    // (timestamp-based time travel resolves against this record)
+    val slog = Option(mj.get("snapshot-log")).toSeq
+      .flatMap(_.elements().asScala)
+    slog.foreach(e => assert(snaps.exists(_.get("snapshot-id").asLong ==
+      e.get("snapshot-id").asLong),
+      "snapshot-log entry references an expired/unknown snapshot"))
+    assert(slog.map(_.get("timestamp-ms").asLong) ===
+      slog.map(_.get("timestamp-ms").asLong).sorted,
+      "snapshot-log timestamps must be non-decreasing")
+    if (slog.nonEmpty)
+      assert(slog.last.get("snapshot-id").asLong === curSnapId,
+        "snapshot-log tail must be the current snapshot")
+    // metadata-log: prior version files, resolvable on disk, ordered
+    val mlog = Option(mj.get("metadata-log")).toSeq
+      .flatMap(_.elements().asScala)
+    mlog.foreach { e =>
+      val p = e.get("metadata-file").asText
+      assert(p.endsWith(".metadata.json"),
+        s"metadata-log entry is not a metadata file: $p")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        new java.net.URI(p).getPath)),
+        s"metadata-log names a missing file: $p")
+    }
+    assert(mlog.map(_.get("timestamp-ms").asLong) ===
+      mlog.map(_.get("timestamp-ms").asLong).sorted,
+      "metadata-log timestamps must be non-decreasing")
     snaps.foreach { s =>
       for (k <- Seq("snapshot-id", "timestamp-ms", "manifest-list",
           "summary", "sequence-number"))
