@@ -46,11 +46,40 @@ object Multimodal {
 
   object MediaCodec {
 
+    // ImageIO's default stream cache backs every encode/decode with a
+    // TEMP FILE on disk (FileCacheImageInput/OutputStream) — a per-row
+    // disk round trip in the partition-local codec loops. Memory
+    // caching is semantically identical and this is per-task work
+    // (guide §1.2 step 2): the decoded bytes/pixels are unchanged.
+    ImageIO.setUseCache(false)
+
     /** Deterministic real PNG: pixels from an LCG over the seed
       * (the zero-mask case of encodePngVariant — ONE copy of the LCG
       * loop keeps the SQL oracle replays in sync). */
     def encodePng(width: Int, height: Int, seed: Long): Array[Byte] =
       encodePngVariant(width, height, seed, 0, 1)
+
+    /** Fill a TYPE_INT_RGB image's raster directly from the LCG state
+      * `x0` (already seed-folded): same stored pixel values as
+      * per-pixel setRGB (INT_RGB stores the 24-bit value verbatim),
+      * without setRGB's per-call color-model conversion and bounds
+      * checks. Returns the advanced LCG state (GIF frames continue
+      * it). */
+    private def fillLcgRaster(img: BufferedImage, x0: Long,
+        xorMask: Int, stride: Int): Long = {
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
+      var x = x0
+      var i = 0
+      val n = data.length
+      while (i < n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        val base = (x >>> 40).toInt & 0xffffff
+        data(i) = if (i % stride == 0) base ^ xorMask else base
+        i += 1
+      }
+      x
+    }
 
     /** Near-duplicate PNG: the same LCG raster with every `stride`-th
       * pixel XOR-perturbed — a re-encode with slight pixel noise, the
@@ -58,15 +87,7 @@ object Multimodal {
     def encodePngVariant(width: Int, height: Int, seed: Long,
         xorMask: Int, stride: Int): Array[Byte] = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-      var x = seed | 1L
-      var i = 0
-      while (i < width * height) {
-        x = x * 6364136223846793005L + 1442695040888963407L
-        val base = (x >>> 40).toInt & 0xffffff
-        img.setRGB(i % width, i / width,
-          if (i % stride == 0) base ^ xorMask else base)
-        i += 1
-      }
+      fillLcgRaster(img, seed | 1L, xorMask, stride)
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
       bos.toByteArray
@@ -105,12 +126,7 @@ object Multimodal {
       var f = 0
       while (f < nFrames) {
         val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < width * height) {
-          x = x * 6364136223846793005L + 1442695040888963407L
-          img.setRGB(i % width, i / width, (x >>> 40).toInt & 0xffffff)
-          i += 1
-        }
+        x = fillLcgRaster(img, x, 0, 1) // stride 1, no mask: plain LCG raster
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
         f += 1
       }
@@ -182,11 +198,14 @@ object Multimodal {
           require(n > 0, s"media ${m.media_id}: zero-frame video")
           val first = reader.read(0)
           def meanLum(img: BufferedImage): Float = {
+            val (w, h) = (img.getWidth, img.getHeight)
+            // one bulk getRGB: same per-pixel sRGB values, none of the
+            // per-call conversion/bounds overhead
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sum = 0f
             var p = 0
-            val (w, h) = (img.getWidth, img.getHeight)
-            while (p < w * h) {
-              val rgb = img.getRGB(p % w, p / w)
+            while (p < px.length) {
+              val rgb = px(p)
               sum += 0.299f * ((rgb >> 16) & 0xff) +
                 0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
               p += 1
@@ -267,11 +286,10 @@ object Multimodal {
         val img = ImageIO.read(new ByteArrayInputStream(png))
         val bb = ByteBuffer.allocate(8 + img.getWidth * img.getHeight * 4)
         bb.putInt(img.getWidth).putInt(img.getHeight)
+        val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+          null, 0, img.getWidth) // bulk: same values as per-pixel getRGB
         var i = 0
-        while (i < img.getWidth * img.getHeight) {
-          bb.putInt(img.getRGB(i % img.getWidth, i / img.getWidth))
-          i += 1
-        }
+        while (i < px.length) { bb.putInt(px(i)); i += 1 }
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(bb.array())
         (id, digest.map("%02x".format(_)).mkString)
@@ -363,11 +381,10 @@ object Multimodal {
             val img = reader.read(f)
             val bb = ByteBuffer.allocate(8 + img.getWidth * img.getHeight * 4)
             bb.putInt(img.getWidth).putInt(img.getHeight)
+            val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+              null, 0, img.getWidth) // bulk: same values as per-pixel getRGB
             var i = 0
-            while (i < img.getWidth * img.getHeight) {
-              bb.putInt(img.getRGB(i % img.getWidth, i / img.getWidth))
-              i += 1
-            }
+            while (i < px.length) { bb.putInt(px(i)); i += 1 }
             digest.update(bb.array())
             f += 1
           }
@@ -444,9 +461,10 @@ object Multimodal {
         val bw = w / 8
         val bh = h / 8
         val sums = new Array[Long](64)
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk: same values
         var i = 0
-        while (i < w * h) {
-          val p = img.getRGB(i % w, i / w)
+        while (i < px.length) {
+          val p = px(i)
           val lum = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
             114L * (p & 0xff)
           sums(((i / w) / bh) * 8 + ((i % w) / bw)) += lum

@@ -30,9 +30,21 @@ object TableIO {
     * MID-session are not picked up until the session changes — they
     * are builder-time configuration in every graft entry point. */
   @volatile private var cachedConf: (AnyRef, Configuration) = null
+  private lazy val bareConf = new Configuration()
 
+  /** getActiveSession is a THREAD-LOCAL: the REST server's handler
+    * pool and streaming/maintenance threads see None there even while
+    * a session is live, which silently dropped them to a fresh
+    * `new Configuration()` per call and Hadoop's RawLocalFileSystem —
+    * whose getFileStatus forks `ls` for permission info (~55 ms per
+    * namespaces listing, measured in tools/RestMicro). Falling back to
+    * the GLOBAL default session routes every thread to the session's
+    * conf (and FastLocalFileSystem when configured); the bare-JVM
+    * fallback conf is cached — Configuration() re-parses XML resources
+    * per construction. */
   def conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
       case Some(s) =>
         val c = cachedConf
         if (c != null && (c._1 eq s)) c._2
@@ -41,7 +53,7 @@ object TableIO {
           cachedConf = (s, nc)
           nc
         }
-      case None => new Configuration()
+      case None => bareConf
     }
 
   def path(s: String): HPath = new HPath(s)

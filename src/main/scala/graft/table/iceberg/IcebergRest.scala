@@ -1331,6 +1331,15 @@ class IcebergRestServer(val warehouse: String, bindPort: Int = 0,
   }
 
   def start(): IcebergRestServer = {
+    // TCP_NODELAY on the JDK server's accepted sockets (read once by
+    // sun.net.httpserver.ServerConfig's static init, so set before the
+    // first HttpServer.create in the JVM). Without it every
+    // request/response pair on loopback stalls in the Nagle +
+    // delayed-ACK interaction: measured 46 ms -> 2.5 ms per request
+    // (tools/RestMicro2), which dominated every REST-backed query's
+    // wall time (guide §1: measure first — the driver gap was 67-72%
+    // sendAuth).
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     server.createContext("/v1", handle(_))
     // daemon threads + explicit shutdown on stop: a leaked pool would
@@ -1416,10 +1425,18 @@ object IcebergRestClient {
     * ONCE and retry with the fresh token; otherwise the 401 surfaces
     * to the caller. The token endpoint itself bypasses this (its 401
     * is the answer, and retrying through itself would recurse). */
+  /** Request diagnostics (reads are racy-but-monotonic; used by the
+    * perf tools to attribute wall time to protocol round trips). */
+  val requestCount = new java.util.concurrent.atomic.AtomicLong()
+  val requestNanos = new java.util.concurrent.atomic.AtomicLong()
+
   private def sendAuth[T](req: java.net.http.HttpRequest,
       handler: java.net.http.HttpResponse.BodyHandler[T])
       : java.net.http.HttpResponse[T] = {
+    val t0 = System.nanoTime()
     val resp = http.send(req, handler)
+    requestCount.incrementAndGet()
+    requestNanos.addAndGet(System.nanoTime() - t0)
     if (resp.statusCode() != 401) resp
     else refreshFor(req.uri().toString) match {
       case Some(tok) =>
