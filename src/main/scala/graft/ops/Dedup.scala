@@ -86,13 +86,14 @@ object Dedup {
   /** MinHash LSH keys: the codegen'd MinHashBands kernel computes all
     * 64 min-hashes and folds them into 16 band keys in one pass per
     * document — no explode, no 64-column aggregation, no shuffle. */
-  private def bandedSignatures(s: SparkSession, d: String): DataFrame = {
-    docShingles(s, d)
-      .select(col("doc_id"),
-        posexplode(graft.functions.ArrayKernels
-          .minhashBandKeys(col("sh_arr"), NumHashes, NumBands))
-          .as(Seq("band", "bh")))
-  }
+  private def bandedSignatures(s: SparkSession, d: String): DataFrame =
+    bandedSignaturesFrom(docShingles(s, d))
+
+  private def bandedSignaturesFrom(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      posexplode(graft.functions.ArrayKernels
+        .minhashBandKeys(col("sh_arr"), NumHashes, NumBands))
+        .as(Seq("band", "bh")))
 
   /** LSH candidate pairs: docs agreeing on at least one full band.
     * One shuffle on the bucket key, then pairs generated within each
@@ -103,7 +104,14 @@ object Dedup {
     * equi-self-join rather than being dropped. (A drop here silently
     * loses recall exactly in the web-crawl case LSH dedup exists for;
     * cost stays bounded by candidate count, never N².) */
-  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFrom(s, bandedSignatures(s, d))
+
+  /** The pair pipeline over a prepared signatures frame, so callers
+    * that also need the SHINGLE ARRAYS themselves (dd_ngram_jaccard's
+    * verify joins) can shingle once and share the frame. */
+  private def minhashPairsFrom(s: SparkSession,
+      signatures: DataFrame): DataFrame = {
     // ONE shuffle + hash agg over the signatures (the expensive
     // signature compute lives in the map stage, written once to the
     // shuffle files and reused by both routes below); routing happens
@@ -116,7 +124,7 @@ object Dedup {
     // exact copies are removed by the dd_exact pre-pass in a real
     // pipeline, which keeps that bound to genuine VARIANT counts.
     val cap = bucketCap(s)
-    val buckets = meterDrops(s, bandedSignatures(s, d)
+    val buckets = meterDrops(s, signatures
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2), size(col("ids")), cap)
@@ -366,8 +374,11 @@ object Dedup {
     * candidates back to the (broadcastable) per-doc shingle arrays and
     * run the set kernel per pair — never all-pairs, no explode. */
   val ddNgramJaccard: Q = (s, d) => {
-    val pairs = minhashPairs(s, d)
-    val sh = docShingles(s, d)
+    // shingle ONCE and share the arrays across the signature pass and
+    // both verify joins (the dd_containment / dd_minhash_incr build-
+    // side pattern): the regex shingling is the key's dominant map cost
+    val sh = docShingles(s, d).localCheckpoint()
+    val pairs = minhashPairsFrom(s, bandedSignaturesFrom(sh))
     // no broadcast hint: the shingle side is corpus-sized — AQE picks
     // broadcast at small SF, shuffle join at scale
     pairs

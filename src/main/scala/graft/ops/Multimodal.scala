@@ -239,7 +239,9 @@ object Multimodal {
     * plan is scan → mapPartitions (encode+decode) → sort. */
   val mmBinaryMeta: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    // spread: the codec pass is CPU-bound and a local single-file read
+    // plans ONE split (no-op at cluster scale — see Tables.spread)
+    Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, _) =>
@@ -276,7 +278,7 @@ object Multimodal {
     * grouping. */
   val mmImageDedup: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id")).as[Long]
       .filter((id: Long) => id % 3 == 1)
       .mapPartitions(_.map { id =>
@@ -316,7 +318,7 @@ object Multimodal {
     * grouping. */
   val mmAudioDedup: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id")).as[Long]
       .filter((id: Long) => id % 3 == 2)
       .mapPartitions(_.map { id =>
@@ -363,7 +365,7 @@ object Multimodal {
     * content key. */
   val mmVideoDedup: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id")).as[Long]
       .filter((id: Long) => id % 3 == 0)
       .mapPartitions(_.map { id =>

@@ -327,12 +327,15 @@ object TextAnalysis {
   val taDsirWeight: Q = (s, d) => {
     val ws = split(trim(lower(col("text"))), "\\s+")
     val B = 8192
-    val docs = Tables.documents(s, d)
+    // spread + localCheckpoint: the bigram arrays feed three branches
+    // (stats, tots, per-doc scoring) — split/zip work materializes once
+    val docs = Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), col("lang"),
         when(size(ws) >= 2,
           zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
             (a, b) => concat(a, lit(" "), b)))
           .otherwise(array().cast("array<string>")).as("bigrams"))
+      .localCheckpoint()
     val feat = (b: Column) =>
       conv(substring(md5(b), 1, 15), 16, 10).cast("long") % B
     val feats = docs

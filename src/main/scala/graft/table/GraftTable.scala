@@ -692,15 +692,16 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           case None => schema
           case Some(mp) => Meta.importReadSchema(schema, mp)
         }
+        // both branches plan from manifest-known (path, size) pairs —
+        // no file re-listing (the manifest IS the file index); the
+        // id-resolved branch still routes nested schemas through the
+        // id-preserving format via IdRead
+        val knownFiles = group.map(g => (absolute(g), g.fileSizeBytes))
         val raw = mapping match {
-          // id-resolved reads route through the id-preserving format:
-          // nested leaves stay PRUNED and still resolve by field id
-          // (SchemaPruning drops parquet.field.id; the format
-          // re-stamps it on the rebuilt schema)
-          case None => IdRead.parquet(spark, readSchema,
-            group.map(absolute))
+          case None => IdRead.parquetKnown(spark, readSchema, knownFiles)
           case Some(_) =>
-            spark.read.schema(readSchema).parquet(group.map(absolute): _*)
+            org.apache.spark.sql.execution.datasources.GraftConnectorShim
+              .parquetFromKnownFiles(spark, readSchema, knownFiles)
         }
         val withMeta =
           if (!withPos) raw

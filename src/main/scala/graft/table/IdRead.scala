@@ -38,4 +38,19 @@ object IdRead {
       .option(GraftParquetFileFormat.IdSchemaOption, schema.json)
       .schema(schema).load(paths: _*)
   }
+
+  /** Same read over files whose SIZES the manifest already carries:
+    * skips the InMemoryFileIndex re-listing (and its bulkListLeafFiles
+    * Spark job past 32 files) — the manifest IS the file index. Same
+    * relation type and pushdown/pruning/`_metadata` behavior as
+    * `parquet` above. */
+  def parquetKnown(spark: SparkSession, schema: StructType,
+      files: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.GraftConnectorShim
+    if (!hasNested(schema))
+      GraftConnectorShim.parquetFromKnownFiles(spark, schema, files)
+    else GraftConnectorShim.parquetFromKnownFiles(spark, schema, files,
+      new GraftParquetFileFormat,
+      Map(GraftParquetFileFormat.IdSchemaOption -> schema.json))
+  }
 }

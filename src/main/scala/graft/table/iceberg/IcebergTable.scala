@@ -386,15 +386,19 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     // schema drops parquet.field.id, and the format re-stamps it, so
     // a pruned leaf under a renamed struct column resolves by id AND
     // the scan still reads only the pruned leaves
-    def readData(paths: Seq[String]): DataFrame =
-      if (idRes) graft.table.IdRead.parquet(spark, schemaOf, paths)
-      else spark.read.schema(schemaOf).parquet(paths: _*)
+    // manifest-known (path, size) pairs: the scan plans directly from
+    // manifest metadata — no re-listing (guide §6: manifest-carrying
+    // formats avoid directory listing; re-statting files the manifest
+    // just described cost a third of a 600-file partitioned scan)
+    def readData(entries: Seq[IcebergAvro.DataFileEntry]): DataFrame =
+      graft.table.IdRead.parquetKnown(spark, schemaOf,
+        entries.map(e => (resolve(e.filePath).toString, e.fileSizeBytes)))
     def unwiden(df: DataFrame): DataFrame =
       if (missingEq.isEmpty) df
       else df.select((iceSchema.fields.map(_.name) ++
         (if (keepPos) Seq("__file", "__pos") else Nil)).map(col).toIndexedSeq: _*)
     if (deletes.isEmpty && !keepPos)
-      return readData(dataWithSeq.map(f => resolve(f._1.filePath).toString))
+      return readData(dataWithSeq.map(_._1))
 
     val classes = dataWithSeq.groupBy { case (_, seq) =>
       (deletes.filter { case (d, ds) => d.content == 2 && ds > seq }
@@ -404,7 +408,7 @@ class IcebergTable private (val location: String, val spark: SparkSession,
     }
     classes.toSeq.map { case ((eqPaths, posPaths), group) =>
       val needPos = posPaths.nonEmpty || keepPos
-      val raw = readData(group.map(g => resolve(g._1.filePath).toString))
+      val raw = readData(group.map(_._1))
       val base =
         if (!needPos) raw
         else raw.withColumn("__file", col("_metadata.file_path"))
