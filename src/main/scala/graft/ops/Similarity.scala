@@ -602,6 +602,11 @@ WHERE r.rank <= 10 ORDER BY q_id, rank"""
       .select(col("cluster"), col("cemb")))
     // deterministic nearest-centroid: lexicographic min over
     // (-rounded_sim, cluster) == highest sim, lowest cluster on ties
+    // localCheckpoint: the assignment (scan + centroid cross-join +
+    // argmax over clusters) feeds THREE consumers (both sides of the
+    // within-cluster pair join and the final verdict join) — compute
+    // it once; compact form (one row per vector), so the
+    // materialization is cheap (the dd_containment pattern)
     val assigned = v.join(cents)
       .select(col("vec_id"), col("emb"), col("cluster"),
         round(graft.functions.ArrayKernels.cosineSim(col("emb"), col("cemb")), 6)
@@ -611,6 +616,7 @@ WHERE r.rank <= 10 ORDER BY q_id, rank"""
         .as("best"))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
         col("best.emb").as("emb"))
+      .localCheckpoint()
     val a = assigned.select(col("cluster"), col("vec_id").as("ia"),
       col("emb").as("ea"))
     val b = assigned.select(col("cluster"), col("vec_id").as("ib"),
