@@ -14,8 +14,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema cache, keyed per (session, path): a bare
+    * spark.read.parquet re-INFERS the schema on every call (a driver
+    * footer read plus a mergeSchemasInParallel job — visible in every
+    * key's profile), but these tables' schemas are static metadata a
+    * production deployment would carry in its catalog/manifests, not
+    * re-derive per query. No DATA is cached — only the StructType; the
+    * scan itself recomputes from parquet on every invocation. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = (System.identityHashCode(spark), path)
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
